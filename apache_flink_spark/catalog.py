@@ -1,0 +1,77 @@
+"""Table catalog: load the star-schema parquet fixtures as DataFrames/views.
+
+Mirrors the reference's catalog layer (reference: flink-table-common
+.../table/catalog/ — databases/tables/views resolved by name) with Spark's
+session catalog: each parquet file becomes a named temp view so both the
+DataFrame API and ``spark.sql`` can address it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Cache of (session id, sf_dir) -> {name: DataFrame} so repeated queries()
+# calls don't re-infer parquet schemas.
+_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+# Columns stored as TIMESTAMP(NANOS) in parquet — Spark reads them as int64
+# nanos under spark.sql.legacy.parquet.nanosAsLong; convert to proper
+# timestamps by integer-truncating to micros (identical to DuckDB's read).
+_NANOS_COLS = ("ts",)
+
+
+def _normalize_nanos(df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for c in _NANOS_COLS:
+        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    """Load every fixture table under ``sf_dir`` and register temp views.
+
+    Reads are plain ``spark.read.parquet`` — Catalyst handles column pruning
+    and predicate pushdown into the scan, so queries never pay for unused
+    columns (the reference needs its vectorized ParquetVectorizedInputFormat
+    for the same effect; here it is built-in).
+    """
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    key = (id(spark), sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df = _normalize_nanos(df)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    _CACHE[key] = out
+    return out
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_tables(spark, sf_dir)[name]

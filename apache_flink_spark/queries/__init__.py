@@ -1,0 +1,25 @@
+"""Declared query inventory: one entry per implemented operator (SURVEY.md §2).
+
+Importing this package populates the registry from every query module; the
+driver contract (``__spark_entry__.queries`` / ``oracle_sql``) reads it.
+"""
+
+from apache_flink_spark.queries.registry import ORACLES, QUERIES
+
+# Import for registration side effects — each module covers a SURVEY.md §2 row.
+from apache_flink_spark.queries import (  # noqa: F401,E402
+    tpch,
+    joins,
+    aggregates,
+    over_windows,
+    rank_dedup,
+    setops,
+    scalar_functions,
+    event_windows,
+    temporal_joins,
+    pipeline_dedup,
+    pipeline_similarity,
+    pipeline_text,
+)
+
+__all__ = ["QUERIES", "ORACLES"]

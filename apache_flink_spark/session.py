@@ -1,0 +1,68 @@
+"""SparkSession construction tuned for this engine.
+
+The reference engine configures its runtime through ``TableConfig`` /
+``StreamExecutionEnvironment`` (reference: flink-table-api-java
+.../TableConfig.java); here the equivalent knobs are Spark confs. Defaults are
+chosen for correctness-vs-oracle (UTC timestamps) and for scale (AQE on,
+adaptive skew handling) — the same settings hold on a real cluster; only
+``shuffle.partitions`` / memory sizing change with cluster size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults that matter at 100 TB as much as at sf0.001:
+#  - AQE re-plans joins + coalesces/splits shuffle partitions at runtime,
+#    which is the scale story for skewed keys and mis-sized shuffles.
+#  - UTC session timezone makes timestamp semantics engine-independent.
+#  - Arrow makes any unavoidable Python boundary vectorized.
+_BASE_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # The events fixture stores TIMESTAMP(NANOS) which Spark's reader rejects;
+    # read as int64 nanos and convert in the catalog (DuckDB equally truncates
+    # ns -> us on read, so semantics stay aligned with the oracle).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow batch size for mapInPandas/applyInPandas operators.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "apache_flink_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` drives local parallelism (driver contract); on a real
+    cluster ``master`` comes from spark-submit and this falls through.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.default.parallelism", str(cpus))
+    for k, v in _BASE_CONF.items():
+        builder = builder.config(k, v)
+    if os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
+        builder = builder.config(
+            "spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"]
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Headline benchmark: runs the engine's flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query executes end-to-end via a noop sink (full plan, no driver
+collection) after a warm-up query that amortizes JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward shuffle/join/agg
+# heavy shapes. Names not yet registered are skipped (early rounds).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "join_full_outer",
+    "agg_grouping_sets",
+    "over_window_frames",
+    "topn_per_group",
+    "window_tumble_agg",
+    "window_hop_agg",
+    "window_session_agg",
+    "join_asof_event_order",
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "text_quality_profile",
+]
+
+
+def main() -> None:
+    from apache_flink_spark.queries import QUERIES
+    from apache_flink_spark.session import get_spark
+
+    spark = get_spark(app_name="apache_flink_spark_bench")
+
+    sf = None
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    if m:
+        sf = float(m.group(1).rstrip("."))
+
+    # Warm up JVM + parquet footers with the flagship query.
+    QUERIES["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
