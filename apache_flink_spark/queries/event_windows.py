@@ -1,1 +1,267 @@
-"""Stub — populated in a later milestone."""
+"""Window TVF inventory — tumble / hop / session / cumulate + window rank/dedup.
+
+Reference parity (SURVEY.md §2.5): the FLIP-145 window TVFs
+(StreamExecWindowTableFunction / StreamExecWindowAggregate, slice assigners
+TumblingSliceAssigner / HoppingSliceAssigner / CumulativeSliceAssigner in
+flink-table-runtime .../window/tvf/slicing/SliceAssigners.java) plus the
+derived window operators StreamExecWindowRank and StreamExecWindowDeduplicate.
+
+Spark-first: tumble/hop map to the built-in ``window(ts, size[, slide])``
+grouping column, session to ``session_window(ts, gap)``. Cumulate has no
+Spark builtin — implemented as the SURVEY §7 explode-slices rewrite: each row
+generates its remaining slice-ends with ``sequence`` + ``explode`` then a
+plain tumble-style aggregation; this is a narrow (no-shuffle) row multiplier
+followed by one hash aggregation, identical in shape to Flink's slice-sharing
+trick. Window rank/dedup are ``row_number`` over the window struct.
+
+Window bounds cross the oracle boundary as epoch-micros BIGINT
+(``unix_micros`` vs DuckDB ``epoch_us``) — both engines align windows to the
+1970 epoch, so starts are bit-identical.
+
+Scale: one shuffle per aggregation on (window, key); window structs are just
+grouping columns so AQE/partial-agg apply as with any groupBy. The cumulate
+explode multiplies rows by at most size/step (4x here) BEFORE the map-side
+partial aggregate, which absorbs the blowup — no extra shuffle volume beyond
+the distinct (window, key) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from apache_flink_spark.queries._util import dsum, t
+from apache_flink_spark.queries.registry import query
+
+MIN10 = 600_000_000  # 10 minutes in micros
+MIN5 = 300_000_000
+MIN15 = 900_000_000
+MIN30 = 1_800_000_000
+HOUR = 3_600_000_000
+
+
+@query(
+    "win_tumble_agg",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {MIN10}) * {MIN10} AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def win_tumble_agg(spark, sf_dir):
+    """TUMBLE window TVF (TumblingSliceAssigner): 10-minute fixed windows."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "win_hop_agg",
+    oracle=f"""
+    SELECT ws AS win_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+    FROM (
+        SELECT e.event_type, e.value,
+               ((epoch_us(e.ts) // {MIN5}) - g.range) * {MIN5} AS ws
+        FROM events e CROSS JOIN range(2) g
+    )
+    GROUP BY 1, 2
+    """,
+)
+def win_hop_agg(spark, sf_dir):
+    """HOP window TVF (HoppingSliceAssigner): 10-minute windows sliding by 5
+    — every event lands in exactly size/slide = 2 windows."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "win_session_agg",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, value, epoch_us(ts) AS ep,
+               CASE WHEN epoch_us(ts)
+                         - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                         > {MIN30}
+                         OR LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ), numbered AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ep
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ep) AS sess_start,
+           MAX(ep) + {MIN30} AS sess_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def win_session_agg(spark, sf_dir):
+    """SESSION window (SessionWindowAssigner / UnalignedWindowTableFunction):
+    per-user sessions closed by a 30-minute inactivity gap. Spark's
+    ``session_window`` ends at last-event + gap, matching Flink's merge
+    semantics; the oracle reproduces it with gaps-and-islands SQL."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("win.start").alias("sess_start"),
+            F.unix_micros("win.end").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "win_cumulate_agg",
+    oracle=f"""
+    SELECT win_start, win_end, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+    FROM (
+        SELECT (epoch_us(ts) // {HOUR}) * {HOUR} AS win_start,
+               (epoch_us(ts) // {HOUR}) * {HOUR}
+                 + (((epoch_us(ts) % {HOUR}) // {MIN15}) + 1 + g.range) * {MIN15}
+                 AS win_end,
+               event_type, value
+        FROM events CROSS JOIN range(4) g
+        WHERE ((epoch_us(ts) % {HOUR}) // {MIN15}) + 1 + g.range <= 4
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def win_cumulate_agg(spark, sf_dir):
+    """CUMULATE window TVF (CumulativeSliceAssigner): 1-hour max window with
+    15-minute expanding steps. No Spark builtin — explode-slices rewrite: an
+    event at offset o into its hour belongs to every slice ending at
+    k*15min for k > o//15min, so generate those k with ``sequence`` and
+    explode (narrow op), then aggregate like a tumble."""
+    e = t(spark, sf_dir, "events")
+    ep = F.unix_micros("ts")
+    start = (ep - (ep % F.lit(HOUR))).alias("win_start")
+    kmin = ((ep % F.lit(HOUR)) / F.lit(MIN15)).cast("long") + F.lit(1)
+    exploded = e.select(
+        "event_type",
+        "value",
+        start,
+        F.explode(F.sequence(kmin, F.lit(4))).alias("k"),
+    )
+    return (
+        exploded.groupBy(
+            "win_start",
+            (F.col("win_start") + F.col("k") * F.lit(MIN15)).alias("win_end"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "win_rank_topn",
+    oracle=f"""
+    WITH a AS (
+        SELECT (epoch_us(ts) // {HOUR}) * {HOUR} AS win_start, user_id,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT win_start, user_id, sum_value, rn
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY win_start
+                                     ORDER BY sum_value DESC, user_id) AS rn
+        FROM a
+    )
+    WHERE rn <= 3
+    """,
+)
+def win_rank_topn(spark, sf_dir):
+    """Window Top-N (StreamExecWindowRank): top-3 users by summed value per
+    tumbling hour. Catalyst pushes the rn<=3 filter into WindowGroupLimit so
+    only 3 rows per window survive the sort — the same rank-limit pushdown
+    the reference does with FlinkLogicalRankRule."""
+    e = t(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "user_id")
+        .agg(dsum("value").alias("sum_value"))
+        .select(
+            F.unix_micros("win.start").alias("win_start"), "user_id", "sum_value"
+        )
+    )
+    w = Window.partitionBy("win_start").orderBy(F.desc("sum_value"), "user_id")
+    return agg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@query(
+    "win_dedup_first",
+    oracle=f"""
+    SELECT win_start, user_id, event_id, event_type
+    FROM (
+        SELECT (epoch_us(ts) // {MIN10}) * {MIN10} AS win_start,
+               user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY (epoch_us(ts) // {MIN10}), user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def win_dedup_first(spark, sf_dir):
+    """Window deduplicate (StreamExecWindowDeduplicate): first event per
+    (user, 10-minute window) — row_number()=1 over the window struct."""
+    e = t(spark, sf_dir, "events")
+    withwin = e.withColumn("win", F.window("ts", "10 minutes"))
+    w = Window.partitionBy("win", "user_id").orderBy("ts", "event_id")
+    return (
+        withwin.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.unix_micros("win.start").alias("win_start"),
+            "user_id",
+            "event_id",
+            "event_type",
+        )
+    )
