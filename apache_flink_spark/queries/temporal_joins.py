@@ -1,1 +1,213 @@
-"""Stub — populated in a later milestone."""
+"""Time-centric joins — interval, as-of (temporal), window join, lookup join.
+
+Reference parity (SURVEY.md §2.3):
+  - Interval join: StreamExecIntervalJoin / TimeIntervalJoin (flink-table-runtime
+    .../join/interval/TimeIntervalJoin.java) — equi-key join bounded by a time
+    range on both sides.
+  - Temporal / as-of join (FOR SYSTEM_TIME AS OF): StreamExecTemporalJoin /
+    TemporalRowTimeJoinOperator — probe side picks the latest build-side row
+    with ts <= probe.ts per key.
+  - Window join: StreamExecWindowJoin / WindowJoinOperator — equi-join that
+    additionally requires both rows in the same time window.
+  - Lookup join: StreamExecLookupJoin / LookupJoinRunner — per-row probe into
+    a dimension table.
+
+Spark-first implementations and their scale story:
+  - Interval join = equi-join on the key plus a range predicate; Catalyst
+    plans a ShuffledHashJoin/SortMergeJoin on user_id and evaluates the range
+    as a post-join filter — state is bounded by the key partitioning, no
+    cross product.
+  - As-of join deliberately avoids join-then-filter (which is O(clicks x
+    views) per key before ranking): tag both sides, union, and take
+    ``last(value, ignorenulls=True)`` over a (key, time)-sorted window. One
+    shuffle + one sort over clicks+views — the same single-pass merge the
+    reference's TemporalRowTimeJoinOperator does with keyed state, and it
+    survives 100TB because the window never materializes more than a
+    partition.
+  - Window join = plain equi-join with the window struct as an extra key.
+  - Lookup join at batch = broadcast hash join against the dim table (the
+    probe-per-row semantics collapse to a broadcast map lookup; Spark ships
+    the dim once per executor instead of per-row RPCs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from apache_flink_spark.queries._util import t
+from apache_flink_spark.queries.registry import query
+
+MIN10 = 600_000_000
+
+
+@query(
+    "interval_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           er.event_id AS error_id,
+           epoch_us(c.ts) AS click_ts,
+           epoch_us(er.ts) AS error_ts
+    FROM events c JOIN events er
+      ON c.user_id = er.user_id
+     AND er.ts >= c.ts - INTERVAL 30 MINUTE
+     AND er.ts <= c.ts
+    WHERE c.event_type = 'click' AND er.event_type = 'error'
+    """,
+)
+def interval_join(spark, sf_dir):
+    """Interval join (TimeIntervalJoin): errors within the 30 minutes
+    preceding each click by the same user."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("e_ts") <= F.col("c_ts")),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "error_id",
+        F.unix_micros("c_ts").alias("click_ts"),
+        F.unix_micros("e_ts").alias("error_ts"),
+    )
+
+
+@query(
+    "asof_join_latest_view",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, 1 AS is_click
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, epoch_us(ts), event_id, 0
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT user_id, event_id AS click_id, ep AS click_ts, view_event_id
+    FROM (
+        SELECT user_id, ep, event_id, is_click,
+               LAST_VALUE(CASE WHEN is_click = 0 THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ep, is_click, event_id
+                         ROWS UNBOUNDED PRECEDING) AS view_event_id
+        FROM u
+    )
+    WHERE is_click = 1
+    """,
+)
+def asof_join_latest_view(spark, sf_dir):
+    """As-of / temporal join (TemporalRowTimeJoinOperator, FOR SYSTEM_TIME AS
+    OF): for every click, the latest view by the same user at or before it.
+
+    Union-merge rewrite: views sort before clicks at equal ts (is_click
+    tiebreak) so a same-microsecond view is visible to the click, matching
+    the reference's <=: semantics; ``last(..., ignorenulls)`` over the sorted
+    per-user window carries the newest view forward. Left-outer semantics:
+    clicks before any view get NULL."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        F.lit(1).alias("is_click"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        F.lit(0).alias("is_click"),
+    )
+    u = clicks.unionAll(views)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "view_event_id",
+        F.last(
+            F.when(F.col("is_click") == 0, F.col("event_id")), ignorenulls=True
+        ).over(w),
+    )
+    return carried.filter(F.col("is_click") == 1).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ep").alias("click_ts"),
+        "view_event_id",
+    )
+
+
+@query(
+    "win_join_same_window",
+    oracle=f"""
+    SELECT c.user_id,
+           (epoch_us(c.ts) // {MIN10}) * {MIN10} AS win_start,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND (epoch_us(c.ts) // {MIN10}) = (epoch_us(p.ts) // {MIN10})
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def win_join_same_window(spark, sf_dir):
+    """Window join (WindowJoinOperator): clicks and purchases by the same
+    user inside the same 10-minute tumbling window — equi-join with the
+    window struct as an extra join key."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.window("ts", "10 minutes").alias("win"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.window("ts", "10 minutes").alias("p_win"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user")) & (F.col("win") == F.col("p_win")),
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros("win.start").alias("win_start"),
+        "click_id",
+        "purchase_id",
+    )
+
+
+@query(
+    "lookup_join_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_name AS customer_name, c.c_mktsegment AS mktsegment
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id + 1
+    """,
+)
+def lookup_join_enrich(spark, sf_dir):
+    """Lookup join (LookupJoinRunner): enrich the event stream with dimension
+    attributes. Batch collapse of probe-per-row: an explicit broadcast hash
+    join — the dimension ships once per executor, the fact side never
+    shuffles (the plan must show BroadcastHashJoin; a shuffled join here
+    would move 100TB of facts to co-locate with a MB-scale dim)."""
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    return e.join(
+        F.broadcast(c), c["c_custkey"] == e["user_id"] + 1, "left"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
