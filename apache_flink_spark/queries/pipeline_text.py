@@ -1,1 +1,176 @@
-"""Stub — populated in a later milestone."""
+"""Text-analysis operators for training-data pipelines — token statistics,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+These are the north-star additions beyond the reference's operator set
+(SURVEY.md §7 step 6): the text-prep stages an LLM data pipeline runs over
+billions of documents. No reference counterpart exists; semantics follow
+standard corpus-prep practice (C4/RefinedWeb-style heuristics).
+
+Spark-first: everything is built-in higher-order array/string functions
+(split/transform/filter/aggregate/regexp_*) evaluated JVM-side — a 100 TB
+corpus runs these as narrow map-only stages with full column pruning; no
+Python, no shuffle, no state.
+
+Determinism: ratios are single integer-divisions in double (exact inputs,
+one correctly-rounded op — identical cross-engine); fingerprints are md5
+strings (exact); rounding at scale 4 per the dround analysis in
+queries/_util.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_flink_spark.queries.registry import query
+from apache_flink_spark.queries._util import t
+
+# Tiny English stopword list shared by the quality/lang-id heuristics.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_unique,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len,
+           len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens, unique tokens, mean token length,
+    and a BPE-ish regex pre-tokenizer count."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_bpe"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) AS alpha_ratio,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                      x -> x IN {_STOP_SQL})) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS stop_ratio,
+           len(string_split(text, ' ')) BETWEEN 10 AND 1000
+             AND length(text) >= 50 AS len_ok
+    FROM documents
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: alphabetic-character ratio, stopword ratio, and a
+    length gate — the standard cheap filters applied before expensive
+    pipeline stages."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+            / F.length("text"),
+            4,
+        ).alias("alpha_ratio"),
+        F.round(n_stop.cast("double") / n_tokens, 4).alias("stop_ratio"),
+        (
+            n_tokens.between(10, 1000) & (F.length("text") >= 50)
+        ).alias("len_ok"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN ascii_ratio >= 0.99 AND stop_ratio >= 0.02 THEN 'en'
+                WHEN ascii_ratio >= 0.99 THEN 'latin-other'
+                ELSE 'non-latin' END AS predicted_lang
+    FROM (
+        SELECT doc_id, lang,
+               CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                 / length(text) AS ascii_ratio,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x IN {_STOP_SQL})) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stop_ratio
+        FROM documents
+    )
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Language-ID heuristic: character-class ratio + stopword-hit ratio (the
+    n-gram-free tier of fastText-style LID). The fixture's text is synthetic
+    same-vocabulary English regardless of its lang label, so the classifier
+    legitimately predicts 'en' — the operator under test is the heuristic
+    computation, not the fixture's labels."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ascii_ratio = (
+        F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
+        / F.length("text")
+    )
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when((ascii_ratio >= 0.99) & (stop_ratio >= 0.02), "en")
+        .when(ascii_ratio >= 0.99, "latin-other")
+        .otherwise("non-latin")
+        .alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_md5,
+           list_min([md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                     for i in generate_series(1, len(l) - 2)]) AS shingle_minhash
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: full-content hash (exact-dup key) plus a
+    1-permutation MinHash over 3-word shingles (rolling near-dup signature).
+    At 100 TB both are map-only; the minhash column is what the MinHash-LSH
+    dedup stage (pipeline_dedup) banding extends to K permutations."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("content_md5"),
+        F.array_min(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 3),"
+                " i -> md5(concat_ws(' ', split(text, ' ')[i],"
+                " split(text, ' ')[i+1], split(text, ' ')[i+2])))"
+            )
+        ).alias("shingle_minhash"),
+    )
