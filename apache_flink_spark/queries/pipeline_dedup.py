@@ -1,1 +1,255 @@
-"""Stub — populated in a later milestone."""
+"""Deduplication operators for training-data pipelines — exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+North-star additions beyond the reference (SURVEY.md §7 step 6). All four are
+the standard corpus-dedup algorithms (Broder MinHash / Charikar SimHash /
+shingle Jaccard), expressed as distributed DataFrame plans:
+
+  - Exact: one hash-groupBy on a content digest — the cheapest stage,
+    always first.
+  - Jaccard: inverted-index formulation (explode shingles -> self-join on
+    shingle -> count per pair) instead of array_intersect over a cross
+    join: the join only materializes pairs that SHARE a shingle, which is
+    the only formulation that survives 100 TB. Hot shingles fan out
+    quadratically — at scale the MinHash-LSH candidates below replace the
+    raw shingle join; AQE skew-join splitting handles the residual.
+  - MinHash-LSH: K=8 permutations via min(md5(k:shingle)), banded 2 rows x
+    4 bands -> equi-join on (band, hash). Candidate generation is a plain
+    shuffle join on band hash; no cross product anywhere.
+  - SimHash: 16-bit signatures from frequency-weighted token hashes — one
+    explode + one groupBy.
+
+Everything is built-in JVM expressions (md5/conv/shiftright/higher-order
+array fns); md5-derived integers make every value bit-identical to the
+DuckDB oracle (hex parsed with conv() in Spark, strpos arithmetic in the
+oracle — same digits, same value).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from apache_flink_spark.queries.registry import query
+from apache_flink_spark.queries._util import t
+
+# Distinct 3-word shingles per doc, as a DuckDB expression over l (token list).
+_SHINGLES_SQL = (
+    "list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]"
+    " for i in generate_series(1, len(l) - 2)])"
+)
+# Same, as a Spark SQL expression over the text column.
+_SHINGLES_SPARK = (
+    "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),"
+    " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],"
+    " split(text, ' ')[i+2])))"
+)
+
+
+def _shingles(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh")
+    )
+
+
+@query(
+    "dedup_exact_content",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_md5,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_content(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the normalized content digest, keeping
+    the smallest doc_id per group (deterministic survivor rule)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.lower(F.trim("text"))).alias("content_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    ), cnt AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           ca.n + cb.n - n_inter AS n_union,
+           ROUND(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (threshold 0.3) via the inverted-index
+    join — only pairs sharing >= 1 shingle are ever materialized."""
+    sh = _shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= 0.3)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+_N_HASH = 8  # MinHash permutations; banded 2 rows x 4 bands.
+_MINHASH_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    ), sig AS (
+        SELECT doc_id,
+               {", ".join(f"min(md5('{k}:' || sh)) AS m{k}" for k in range(_N_HASH))}
+        FROM sh GROUP BY doc_id
+    ), bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, md5(m{2 * b} || m{2 * b + 1}) AS bh FROM sig"
+            for b in range(_N_HASH // 2)
+        )}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh
+                AND a.doc_id < b.doc_id
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH candidate pairs: 8 md5-keyed min-hash permutations over
+    distinct shingles, banded into 4 bands of 2; docs colliding in any band
+    are near-dup candidates. The only shuffles are the signature groupBy and
+    the band-hash equi-join — candidate generation never compares all
+    pairs."""
+    sh = _shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"m{k}")
+            for k in range(_N_HASH)
+        ]
+    )
+    bands = None
+    for b in range(_N_HASH // 2):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))).alias(
+                "bh"
+            ),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+_N_BITS = 16
+# DuckDB-side hex parse of the first 4 md5 chars (Spark side uses conv()).
+_HEXPARSE = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+    for i in range(4)
+)
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), hashed AS (
+        SELECT doc_id, {_HEXPARSE} AS h FROM toks
+    ), bits AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+                   for b in range(_N_BITS)
+               )}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {" + ".join(
+               f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(_N_BITS)
+           )} AS simhash
+    FROM bits
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark, sf_dir):
+    """SimHash signatures: each token votes +-1 on 16 bits of its md5-derived
+    hash (frequency-weighted, per Charikar); the signature's set bits are the
+    positive sums. Near-dup = small Hamming distance between signatures.
+    One explode + one groupBy — map-side partial aggregation absorbs the
+    token blowup before the shuffle."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long").alias("h"),
+    )
+    bits = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.shiftright(F.col("h"), b) % 2) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_N_BITS)
+        ]
+    )
+    simhash = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)),
+        range(1, _N_BITS),
+        F.when(F.col("s0") > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return bits.select("doc_id", simhash.alias("simhash"))
