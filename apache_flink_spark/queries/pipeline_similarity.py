@@ -1,1 +1,274 @@
-"""Stub — populated in a later milestone."""
+"""Similarity search over embeddings — brute-force cosine top-k, random-
+hyperplane LSH ANN, and embedding-cosine near-dup pairs.
+
+North-star additions beyond the reference (SURVEY.md §7 step 6). The
+embeddings fixture is array<float> 64-dim, unit-norm-ish.
+
+Determinism design: floating-point dot products are order-dependent, so both
+engines first QUANTIZE each component with floor(x * 32768) -> BIGINT —
+float->double is exact, the power-of-two scale is exact, floor is exact, so
+both engines get identical integers, and every subsequent dot/norm is exact
+64-bit integer arithmetic (order-independent). Cosine then needs exactly one
+int->double conversion, one multiply, one sqrt, one divide — each correctly
+rounded identically everywhere. This mirrors real ANN practice (int8/int16
+quantization) rather than being a test-only trick.
+
+Scale story:
+  - Brute-force top-k: the baseline — a broadcast of the (small) query set
+    against the full corpus, one narrow pass + per-query top-k
+    (TakeOrderedAndProject shape); no all-pairs materialization.
+  - LSH ANN: 8 md5-seeded hyperplanes -> 8 sign bits -> bucket id; the join
+    is an equi-join on bucket, so candidate count scales with bucket
+    occupancy, not corpus^2. At 100 TB, multi-probe (flipping low-margin
+    bits) trades recall for fan-out — bucketing is the scale path.
+  - Near-dup pairs: thresholded all-pairs at test SF; at scale the LSH
+    buckets bound the pair space first.
+
+Everything is built-in higher-order functions (zip_with/aggregate/transform)
+— JVM-side, no UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from apache_flink_spark.queries.registry import query
+from apache_flink_spark.queries._util import t
+
+DIM = 64
+_N_PLANES = 8
+
+# Quantized embedding expressions.
+_QE_SPARK = "transform(embedding, x -> CAST(floor(x * 32768) AS BIGINT))"
+_QE_SQL = "[CAST(floor(x * 32768) AS BIGINT) for x in embedding]"
+
+
+def _dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return f"list_sum([{a}[i] * {b}[i] for i in generate_series(1, {DIM})])"
+
+
+# Deterministic +-1 hyperplanes shared by both engines: sign from the first
+# md5 hex digit's parity of "plane:component" (computed here, inlined as
+# literals — no engine-side randomness).
+def _plane(j: int) -> list[int]:
+    return [
+        1 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+        for i in range(DIM)
+    ]
+
+
+_PLANES = [_plane(j) for j in range(_N_PLANES)]
+
+
+def _bucket_spark(qe: str) -> str:
+    bits = []
+    for j, p in enumerate(_PLANES):
+        arr = "array(" + ", ".join(f"CAST({s} AS BIGINT)" for s in p) + ")"
+        bits.append(
+            f"(CASE WHEN {_dot_spark(qe, arr)} > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+def _bucket_sql(qe: str) -> str:
+    bits = []
+    for j, p in enumerate(_PLANES):
+        arr = "[" + ", ".join(f"CAST({s} AS BIGINT)" for s in p) + "]"
+        bits.append(
+            f"(CASE WHEN {_dot_sql(qe, arr)} > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+_COS_SQL = "ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(nq * nc AS DOUBLE)), 6)"
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, {_QE_SQL} AS qe
+        FROM embeddings WHERE vec_id < 5
+    ), c AS (
+        SELECT vec_id AS cand_id, {_QE_SQL} AS ce FROM embeddings
+    ), d AS (
+        SELECT query_id, cand_id,
+               {_dot_sql("qe", "ce")} AS dot,
+               {_dot_sql("qe", "qe")} AS nq,
+               {_dot_sql("ce", "ce")} AS nc
+        FROM q, c WHERE query_id <> cand_id
+    )
+    SELECT query_id, cand_id, rnk, {_COS_SQL} AS cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq * nc AS DOUBLE)) DESC,
+                     cand_id) AS rnk
+        FROM d
+    )
+    WHERE rnk <= 10
+    """,
+)
+def sim_bruteforce_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for a query set: broadcast the queries,
+    one narrow pass over the corpus, per-query top-k."""
+    e = t(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.expr(_QE_SPARK).alias("qe"))
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.expr(_QE_SPARK).alias("ce"))
+    d = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(_dot_spark("qe", "ce")).alias("dot"),
+            F.expr(_dot_spark("qe", "qe")).alias("nq"),
+            F.expr(_dot_spark("ce", "ce")).alias("nc"),
+        )
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        (F.col("nq") * F.col("nc")).cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(cos), "cand_id")
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "cand_id", "rnk", F.round(cos, 6).alias("cosine"))
+    )
+
+
+@query(
+    "sim_lsh_ann",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_QE_SQL} AS qe FROM embeddings
+    ), b AS (
+        SELECT vec_id, qe, {_bucket_sql("qe")} AS bucket FROM v
+    ), d AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket,
+               {_dot_sql("q.qe", "c.qe")} AS dot,
+               {_dot_sql("q.qe", "q.qe")} AS nq,
+               {_dot_sql("c.qe", "c.qe")} AS nc
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20
+    )
+    SELECT query_id, cand_id, bucket, rnk, {_COS_SQL} AS cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq * nc AS DOUBLE)) DESC,
+                     cand_id) AS rnk
+        FROM d
+    )
+    WHERE rnk <= 5
+    """,
+)
+def sim_lsh_ann(spark, sf_dir):
+    """LSH-bucketed approximate NN: 8 random-hyperplane sign bits form the
+    bucket id; neighbors are ranked only within the query's bucket (equi-join
+    on bucket — the candidate set shrinks ~2^8-fold vs brute force)."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.expr(_QE_SPARK).alias("qe"))
+    b = v.withColumn("bucket", F.expr(_bucket_spark("qe")))
+    q = (
+        b.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qe").alias("q_qe"),
+            "bucket",
+        )
+    )
+    c = b.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qe").alias("c_qe"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    d = (
+        q.join(
+            c,
+            (F.col("bucket") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("cand_id")),
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            "bucket",
+            F.expr(_dot_spark("q_qe", "c_qe")).alias("dot"),
+            F.expr(_dot_spark("q_qe", "q_qe")).alias("nq"),
+            F.expr(_dot_spark("c_qe", "c_qe")).alias("nc"),
+        )
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        (F.col("nq") * F.col("nc")).cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(cos), "cand_id")
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id", "cand_id", "bucket", "rnk", F.round(cos, 6).alias("cosine")
+        )
+    )
+
+
+@query(
+    "sim_embedding_neardup",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, {_QE_SQL} AS qe FROM embeddings
+    ), d AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               a.label AS label_a, b.label AS label_b,
+               {_dot_sql("a.qe", "b.qe")} AS dot,
+               {_dot_sql("a.qe", "a.qe")} AS nq,
+               {_dot_sql("b.qe", "b.qe")} AS nc
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, label_a, label_b, {_COS_SQL} AS cosine
+    FROM d
+    WHERE CAST(dot AS DOUBLE) / sqrt(CAST(nq * nc AS DOUBLE)) >= 0.9
+    """,
+)
+def sim_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.9) — the semantic-dedup
+    stage. All-pairs at test SF; at 100 TB the sim_lsh_ann buckets bound the
+    pair space before this thresholding."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", F.expr(_QE_SPARK).alias("qe"))
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("qe").alias("a_qe"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("qe").alias("b_qe"),
+    )
+    d = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        "label_a",
+        "label_b",
+        F.expr(_dot_spark("a_qe", "b_qe")).alias("dot"),
+        F.expr(_dot_spark("a_qe", "a_qe")).alias("nq"),
+        F.expr(_dot_spark("b_qe", "b_qe")).alias("nc"),
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        (F.col("nq") * F.col("nc")).cast("double")
+    )
+    return d.filter(cos >= 0.9).select(
+        "vec_a", "vec_b", "label_a", "label_b", F.round(cos, 6).alias("cosine")
+    )
