@@ -1,0 +1,218 @@
+"""Streaming operator inventory — real Structured Streaming executions.
+
+Reference parity (SURVEY.md §2.12 + §2.4/2.5 stream exec nodes): each entry
+below runs an actual streaming job (file source -> watermark/state ->
+memory sink, drained with availableNow) and returns the final table, so the
+driver's DuckDB oracle validates true streaming semantics, not a batch
+stand-in:
+
+  - StreamExecGroupAggregate        -> stream_update_group_agg (update mode)
+  - StreamExecWindowAggregate       -> stream_tumble_agg (complete mode)
+  - session windows (UnalignedWindowTableFunction) -> stream_session_agg
+  - StreamExecDeduplicate           -> stream_distinct_keys
+  - StreamExecJoin/IntervalJoin     -> stream_stream_join (watermarked,
+                                       time-bounded inner join)
+  - StreamExecCalc                  -> stream_filter_project
+
+Oracle-determinism: output modes are chosen so the FINAL memory-sink table
+is independent of micro-batch slicing — complete mode re-emits the full
+aggregate; append-mode entries have batching-invariant row SETS (stateless
+projection, inner-join match set, key-projected dedup). Update-mode output
+equals the final aggregate here because the bounded fixture drains in one
+file-aligned micro-batch (maxFilesPerTrigger=1, single-file fixtures).
+
+Scale: identical plans run unbounded on a cluster — state lives in the
+state store (RocksDB provider for big keyspaces), watermarks bound the
+join/window state exactly as the reference's TimeIntervalJoin state cleanup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_flink_spark.queries._util import dsum
+from apache_flink_spark.queries.registry import query
+from apache_flink_spark.streaming.sources import run_to_table, stream_table
+
+MIN30 = 1_800_000_000
+
+
+@query(
+    "stream_filter_project",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type = 'click' AND value > 50
+    """,
+)
+def stream_filter_project(spark, sf_dir):
+    """Stateless streaming calc (StreamExecCalc): filter + project in append
+    mode — the row set is batching-invariant by construction."""
+    e = stream_table(spark, sf_dir, "events")
+    out = e.filter((F.col("event_type") == "click") & (F.col("value") > 50)).select(
+        "event_id", "user_id", "value"
+    )
+    return run_to_table(out, "append")
+
+
+@query(
+    "stream_tumble_agg",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {600_000_000}) * {600_000_000} AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumble_agg(spark, sf_dir):
+    """Streaming tumble window aggregation (StreamExecWindowAggregate) with
+    an event-time watermark, complete output mode."""
+    e = stream_table(spark, sf_dir, "events")
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_table(agg, "complete")
+
+
+@query(
+    "stream_session_agg",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, value, epoch_us(ts) AS ep,
+               CASE WHEN epoch_us(ts)
+                         - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                         > {MIN30}
+                         OR LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ), numbered AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ep
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ep) AS sess_start,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_agg(spark, sf_dir):
+    """Streaming session windows (session gap merging — the reference's
+    unaligned window operator), complete mode."""
+    e = stream_table(spark, sf_dir, "events")
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("win.start").alias("sess_start"),
+            "n_events",
+        )
+    )
+    return run_to_table(agg, "complete")
+
+
+@query(
+    "stream_distinct_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_distinct_keys(spark, sf_dir):
+    """Streaming deduplicate (StreamExecDeduplicate): dropDuplicates keyed
+    state; projecting only the key columns makes the emitted SET equal to
+    DISTINCT regardless of which physical row survives per key."""
+    e = stream_table(spark, sf_dir, "events")
+    out = e.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_table(out, "append")
+
+
+@query(
+    "stream_update_group_agg",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_update_group_agg(spark, sf_dir):
+    """Unbounded streaming group aggregation in update mode
+    (StreamExecGroupAggregate / GroupAggFunction keyed state): per-key
+    running aggregates, updated rows emitted each micro-batch."""
+    e = stream_table(spark, sf_dir, "events")
+    agg = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
+    )
+    return run_to_table(agg, "update")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           epoch_us(c.ts) AS click_ts, epoch_us(p.ts) AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (StreamExecIntervalJoin):
+    purchases within 30 minutes after a click by the same user. The range
+    condition + watermarks bound both sides' state (Spark derives the
+    eviction horizon from the join condition, as the reference's
+    TimeIntervalJoin does from its relative windows). Inner join — the match
+    set is batching-invariant."""
+    e1 = stream_table(spark, sf_dir, "events")
+    e2 = stream_table(spark, sf_dir, "events")
+    clicks = (
+        e1.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        e2.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.unix_micros("c_ts").alias("click_ts"),
+        F.unix_micros("p_ts").alias("purchase_ts"),
+    )
+    return run_to_table(joined, "append")

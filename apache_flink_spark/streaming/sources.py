@@ -1,0 +1,103 @@
+"""Streaming source builders + bounded run-to-completion helper.
+
+Reference parity:
+  - File source (streaming): reference FileSource (flink-connector-files
+    .../file/src/FileSource.java:98) — here ``spark.readStream`` over the
+    same parquet fixtures, schema taken from the batch read so the two paths
+    agree (including the TIMESTAMP(NANOS) -> micros normalization).
+  - Datagen source: reference DataGeneratorSource — ``format("rate")``.
+  - Bounded execution of an unbounded plan: reference runs batch over the
+    same Table plan; here ``trigger(availableNow=True)`` drains all input
+    then stops — the Spark-native "bounded stream" mode.
+
+The memory-sink runner exists so streaming operators can sit in the same
+oracle-checked ``queries()`` inventory as batch ones: results land in an
+in-memory table, and modes are chosen so the FINAL table is independent of
+micro-batch slicing (complete-mode aggs; append-mode results whose row SET
+is batching-invariant: stateless maps, inner joins, key-projected dedup).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructType
+
+_name_counter = itertools.count()
+
+
+def _batch_schema(spark: SparkSession, path: str) -> StructType:
+    return spark.read.parquet(path).schema
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source streaming read of a fixture table.
+
+    Mirrors the batch catalog: same schema, same nanos->micros timestamp
+    normalization, so a streaming plan and its batch twin see identical
+    rows. maxFilesPerTrigger=1 keeps micro-batches aligned to files.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _batch_schema(spark, path)
+    # Spark's file stream source requires a DIRECTORY to monitor (it models
+    # an arriving-files stream); the fixtures are single files, so stage a
+    # per-table directory of symlinks — zero copy, read-only fixtures
+    # untouched.
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "afs_stream", sf_dir.strip("/").replace("/", "_"), name
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    for field in schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
+            )
+    return df
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Datagen-equivalent source (reference DataGeneratorSource.java:95):
+    monotonically timestamped synthetic rows at a fixed rate."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def run_to_table(
+    df: DataFrame, output_mode: str = "append", name: str | None = None
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a memory
+    sink and return the result as a batch DataFrame.
+
+    Checkpointing goes to a throwaway dir — exactly-once within the run; a
+    production sink would pin the checkpoint path for cross-run recovery
+    (SURVEY.md §2.12: Spark's WAL+state-store commit replaces the
+    reference's CheckpointCoordinator/2PC machinery).
+    """
+    spark = df.sparkSession
+    name = name or f"stream_result_{next(_name_counter)}"
+    ckpt = tempfile.mkdtemp(prefix=f"afs_ckpt_{name}_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
