@@ -21,6 +21,8 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     pipeline_similarity,
     pipeline_text,
     streaming_queries,
+    subqueries,
+    unnest_lateral,
 )
 
 __all__ = ["QUERIES", "ORACLES"]
