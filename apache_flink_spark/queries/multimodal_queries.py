@@ -1,0 +1,81 @@
+"""Multimodal pipeline inventory — metadata, stubbed decode, frame sampling.
+
+Queries over the synthesized media table (apache_flink_spark/multimodal.py):
+binary payloads with typed metadata, decoded via Arrow-batched mapInPandas.
+The fake decode is byte-deterministic, so even the Python decode stage is
+DuckDB-oracle-checkable (payload == utf-8 text bytes, ASCII in the fixture).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_flink_spark.multimodal import decode_features, media_table
+from apache_flink_spark.queries.registry import query
+
+
+@query(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           hex(encode(substring(text, 1, 4))) AS header_hex
+    FROM documents
+    """,
+)
+def mm_binary_metadata(spark, sf_dir):
+    """Typed metadata over opaque binary payloads: size, digest, magic-bytes
+    header — all computed without decoding, scan-prunable at scale."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.hex(F.substring("payload", 1, 4)).alias("header_hex"),
+    )
+
+
+@query(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id,
+           ascii(substring(text, 1, 1)) % 64 + 1 AS width,
+           ascii(substring(text, 2, 1)) % 64 + 1 AS height,
+           octet_length(encode(text)) % 16 + 1 AS n_frames
+    FROM documents
+    """,
+)
+def mm_decode_features(spark, sf_dir):
+    """The mapInPandas decode stage (stubbed codec, real plumbing): Arrow
+    batches of binary payloads -> feature rows. The oracle recomputes the
+    byte-deterministic fake decode in SQL, validating batch handling,
+    schema, and partition-parallel execution end-to-end."""
+    return decode_features(media_table(spark, sf_dir))
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, t.frame_idx
+    FROM (
+        SELECT doc_id, octet_length(encode(text)) % 16 + 1 AS n_frames
+        FROM documents
+        WHERE doc_id % 3 = 2
+    ), unnest(generate_series(0, n_frames - 1, 4)) AS t(frame_idx)
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling for video payloads: every 4th frame index from the
+    decoded frame count — generator explode, no shuffle; the downstream
+    per-frame decode would map over (doc_id, frame_idx) pairs."""
+    m = media_table(spark, sf_dir)
+    decoded = decode_features(m.filter(F.col("media_type") == "video"))
+    return decoded.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(4))
+        ).alias("frame_idx"),
+    )
