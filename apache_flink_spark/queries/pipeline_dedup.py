@@ -39,17 +39,27 @@ _SHINGLES_SQL = (
     "list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]"
     " for i in generate_series(1, len(l) - 2)])"
 )
-# Same, as a Spark SQL expression over the text column.
+# Same, as a Spark SQL expression over a pre-materialized token array.
+# The token array MUST be its own projection below the explode: inlining
+# split(text) into the transform lambda makes Catalyst re-split the text for
+# every shingle element (O(tokens^2) per doc — measured 8x slower at sf0.1).
+# Generate (explode) is not a Project, so CollapseProject cannot undo this.
 _SHINGLES_SPARK = (
-    "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),"
-    " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],"
-    " split(text, ' ')[i+2])))"
+    "array_distinct(transform(sequence(0, size(toks) - 3),"
+    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
 )
 
 
 def _shingles(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    return d.select(
+    # Spread docs across cores BEFORE the shingle explode + hashing: the
+    # fixture is one parquet file (one input split), and the expensive
+    # map work sits above the scan — at 100 TB the many input files give
+    # this parallelism for free; locally the small shuffle buys it.
+    toks = d.repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    return toks.select(
         "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh")
     )
 
@@ -102,8 +112,17 @@ def dedup_exact_content(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup pairs (threshold 0.3) via the inverted-index
     join — only pairs sharing >= 1 shingle are ever materialized."""
-    sh = _shingles(spark, sf_dir)
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    # Ride the per-doc shingle count along on every shingle row with a
+    # window count (same doc_id partitioning the explode already has)
+    # instead of joining a separate cnt aggregate back twice — that
+    # formulation re-executed the shingle subtree 4x; this one appears
+    # twice (join sides) and the identical window exchanges dedupe via
+    # ReusedExchange, so the shingles are computed once.
+    sh = _shingles(spark, sf_dir).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -115,24 +134,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min(F.col("a.n")).alias("na"),
+            F.min(F.col("b.n")).alias("nb"),
+        )
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_inter")
     )
-    return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .filter(jac >= 0.3)
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_inter",
-            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
-            F.round(jac, 4).alias("jaccard"),
-        )
+    return inter.filter(jac >= 0.3).select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+        F.round(jac, 4).alias("jaccard"),
     )
 
 
@@ -172,30 +188,45 @@ def dedup_minhash_lsh(spark, sf_dir):
             for k in range(_N_HASH)
         ]
     )
-    bands = None
-    for b in range(_N_HASH // 2):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))).alias(
-                "bh"
-            ),
-        )
-        bands = part if bands is None else bands.unionAll(part)
-    a = bands.alias("a")
-    b_ = bands.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    # One Generate for all bands (a 4-arm union would re-execute the whole
+    # shingle+signature subtree per arm — measured 4x the work), then
+    # bucket-local pair generation via collect_list instead of a self-join
+    # (which would execute the subtree twice more). The plan computes the
+    # signatures exactly once; bucket sizes bound the pair fan-out (cap hot
+    # buckets before exploding pairs when corpus-scale skew appears).
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
+                        ).alias("bh"),
+                    )
+                    for b in range(_N_HASH // 2)
+                ]
+            ).alias("band")
+        ),
+    ).select("doc_id", F.col("col.band_id").alias("band_id"), F.col("col.bh").alias("bh"))
+    buckets = (
+        bands.groupBy("band_id", "bh")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds)),"
+                " y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select(
+        F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+    ).distinct()
 
 
 _N_BITS = 16

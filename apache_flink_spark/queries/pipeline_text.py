@@ -162,15 +162,18 @@ def text_fingerprint(spark, sf_dir):
     At 100 TB both are map-only; the minhash column is what the MinHash-LSH
     dedup stage (pipeline_dedup) banding extends to K permutations."""
     d = t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    return d.select(
+    # Pre-materialize the token array so the transform lambda indexes an
+    # attribute instead of re-splitting text per element (O(tokens^2)).
+    staged = d.select(
+        "doc_id", "text", F.split("text", " ").alias("toks")
+    )
+    return staged.select(
         "doc_id",
         F.md5(F.lower(F.trim("text"))).alias("content_md5"),
         F.array_min(
             F.expr(
-                "transform(sequence(0, size(split(text, ' ')) - 3),"
-                " i -> md5(concat_ws(' ', split(text, ' ')[i],"
-                " split(text, ' ')[i+1], split(text, ' ')[i+2])))"
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
             )
         ).alias("shingle_minhash"),
     )

@@ -27,15 +27,15 @@ HEADLINE = [
     "q10_returned_items",
     "join_full_outer",
     "agg_grouping_sets",
-    "over_window_frames",
-    "topn_per_group",
-    "window_tumble_agg",
-    "window_hop_agg",
-    "window_session_agg",
-    "join_asof_event_order",
+    "over_running_sum",
+    "rank_topn_per_group",
+    "win_tumble_agg",
+    "win_hop_agg",
+    "win_session_agg",
+    "asof_join_latest_view",
     "dedup_minhash_lsh",
-    "similarity_cosine_topk",
-    "text_quality_profile",
+    "sim_bruteforce_topk",
+    "text_quality_score",
 ]
 
 
