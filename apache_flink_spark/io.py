@@ -1,0 +1,86 @@
+"""Source / sink connectors — file formats, partitioned writes, debug sinks.
+
+Reference parity (SURVEY.md §2.1):
+  - FileSource + format modules (flink-formats/flink-parquet, flink-csv,
+    flink-json; vectorized ParquetVectorizedInputFormat) -> ``spark.read``
+    datasources (Spark's vectorized parquet reader is the built-in twin).
+  - FileSystemTableFactory partitioned writes -> ``df.write.partitionBy``.
+  - PrintTableSinkFactory / BlackHoleTableSinkFactory -> ``format("console")``
+    / ``format("noop")``.
+  - Values source (StreamExecValues) -> ``spark.createDataFrame``.
+
+Scale notes: partitioned parquet writes shard by partition column value —
+pick low-cardinality columns (date, category), never high-cardinality keys
+(file-per-key explosion); CSV/JSON exist for interchange, parquet is the
+only format that survives 100 TB (columnar pruning + predicate pushdown).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Partitioned parquet sink (FileSystemTableFactory parity): hive-style
+    <col>=<value>/ directory layout, partition-pruned on read."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink (flink-csv format parity) — header on, default quoting."""
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """CSV source with explicit schema (no inference pass — at scale an
+    inference read of 100 TB is a full extra scan)."""
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (flink-json format parity)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def print_sink(df: DataFrame, n: int = 20) -> None:
+    """Print/console debug sink (PrintTableSinkFactory parity)."""
+    df.show(n, truncate=False)
+
+
+def blackhole_sink(df: DataFrame) -> None:
+    """BlackHole sink (BlackHoleTableSinkFactory parity): full execution, no
+    output — the bench harness uses exactly this to time plans."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def temp_sink_dir(label: str) -> str:
+    return tempfile.mkdtemp(prefix=f"afs_sink_{label}_")
+
+
+def roundtrip_dir(sf_dir: str, label: str) -> str:
+    """Stable per-(sf_dir,label) scratch dir for write->read inventory
+    queries (idempotent across repeated driver invocations)."""
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "afs_roundtrip",
+        sf_dir.strip("/").replace("/", "_"),
+        label,
+    )
+    os.makedirs(d, exist_ok=True)
+    return d

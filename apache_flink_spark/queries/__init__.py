@@ -20,6 +20,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     pipeline_dedup,
     pipeline_similarity,
     pipeline_text,
+    io_queries,
     multimodal_queries,
     streaming_queries,
     subqueries,

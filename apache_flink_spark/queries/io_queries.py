@@ -1,0 +1,115 @@
+"""Connector inventory — values source, partitioned parquet, CSV/JSON
+round-trips.
+
+Each query exercises a source/sink from SURVEY.md §2.1 end-to-end: write the
+fixture data through the connector to scratch space, read it back, and
+produce a result the DuckDB oracle checks against the ORIGINAL table — i.e.
+the round-trip must be lossless for the oracle to match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_flink_spark import io
+from apache_flink_spark.queries.registry import query
+from apache_flink_spark.queries._util import dsum, t
+
+
+@query(
+    "source_values_inline",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'tumble', 600), (2, 'hop', 300), (3, 'session', NULL),
+        (4, 'cumulate', 900)
+    ) AS v(id, kind, step_s)
+    """,
+)
+def source_values_inline(spark, sf_dir):
+    """Values source (StreamExecValues / fromValues): inline literal rows."""
+    return spark.createDataFrame(
+        [
+            (1, "tumble", 600),
+            (2, "hop", 300),
+            (3, "session", None),
+            (4, "cumulate", 900),
+        ],
+        "id long, kind string, step_s long",
+    )
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def sink_parquet_partitioned(spark, sf_dir):
+    """Partitioned parquet sink + partition-pruned re-read
+    (FileSystemTableFactory parity): write lineitem partitioned by
+    l_returnflag, read it back, aggregate. Oracle matching proves the
+    round-trip is lossless; reads against one flag value prune to a single
+    hive partition directory."""
+    li = t(spark, sf_dir, "lineitem")
+    path = io.roundtrip_dir(sf_dir, "lineitem_part")
+    io.write_parquet_partitioned(
+        li.select("l_returnflag", "l_linestatus", "l_quantity"),
+        path,
+        ["l_returnflag"],
+    )
+    back = io.read_parquet(spark, path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, MIN(epoch_us(ts)) AS first_ts
+    FROM events
+    GROUP BY 1
+    """,
+)
+def source_csv_roundtrip(spark, sf_dir):
+    """CSV format round-trip (flink-csv parity). Timestamps travel as epoch
+    micros (CSV has no timestamp type); schema is explicit on read — never
+    schema-infer a large CSV (it costs a full extra scan)."""
+    e = t(spark, sf_dir, "events")
+    path = io.roundtrip_dir(sf_dir, "events_csv")
+    io.write_csv(
+        e.select(
+            "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type"
+        ),
+        path,
+    )
+    back = io.read_csv(
+        spark, path, "event_id long, ts_us long, user_id long, event_type string"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.min("ts_us").alias("first_ts")
+    )
+
+
+@query(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT source, lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def source_json_roundtrip(spark, sf_dir):
+    """JSON-lines format round-trip (flink-json parity)."""
+    d = t(spark, sf_dir, "documents")
+    path = io.roundtrip_dir(sf_dir, "documents_json")
+    io.write_json(d.select("doc_id", "source", "lang", "n_chars"), path)
+    back = io.read_json(
+        spark, path, "doc_id long, source string, lang string, n_chars long"
+    )
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars")
+    )
