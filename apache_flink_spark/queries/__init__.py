@@ -22,6 +22,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     pipeline_text,
     io_queries,
     multimodal_queries,
+    stateful_streaming_queries,
     streaming_queries,
     subqueries,
     udf_surface,

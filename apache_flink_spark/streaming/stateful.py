@@ -1,0 +1,107 @@
+"""Custom stateful streaming operators — streaming Top-N and keep-last
+deduplicate via applyInPandasWithState.
+
+Reference parity (SURVEY.md §2.7, the streaming "hard items" of §7 step 4):
+  - StreamExecRank / AppendOnlyTopNFunction (flink-table-runtime
+    .../rank/AppendOnlyTopNFunction.java:52): per-key top-N maintained in
+    keyed state, updates emitted as new records arrive.
+  - StreamExecDeduplicate keep-LAST (RowTimeDeduplicateFunction +
+    ProcTimeDeduplicateKeepLastRowFunction): latest row per key by event
+    time. Spark's dropDuplicates only keeps FIRST — keep-last needs custom
+    state.
+
+Structured Streaming has no built-in streaming rank/keep-last, so both are
+implemented with ``applyInPandasWithState``: per-key GroupState holds the
+current top-N (resp. latest row) as array columns; each micro-batch merges
+its rows into state and emits the key's refreshed result (update
+semantics — the reference's retract stream collapses to
+latest-value-per-key here, SURVEY §1.1 changelog note).
+
+Scale: state is O(N) per key (Top-N) or O(1) (keep-last); the only shuffle
+is the groupBy on the key, and the state store (RocksDB provider for large
+keyspaces) persists it across micro-batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_topn_by_value(events: DataFrame, n: int = 3) -> DataFrame:
+    """Streaming Top-N: per user, the top-``n`` events by (value desc,
+    event_id asc), maintained in GroupState across micro-batches."""
+
+    out_schema = "user_id long, event_id long, value double, rn int"
+    state_schema = "event_ids array<long>, vals array<double>"
+
+    def topn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            ids, vals = state.get
+            ids, vals = list(ids), list(vals)
+        else:
+            ids, vals = [], []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["event_id"])
+            vals.extend(float(x) for x in pdf["value"])
+        # (value desc, event_id asc) — the reference's TopN comparator with
+        # a deterministic tiebreak.
+        order = sorted(range(len(ids)), key=lambda i: (-vals[i], ids[i]))[:n]
+        ids = [ids[i] for i in order]
+        vals = [vals[i] for i in order]
+        state.update((ids, vals))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(ids),
+                "event_id": ids,
+                "value": vals,
+                "rn": range(1, len(ids) + 1),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        topn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_keep_last(events: DataFrame) -> DataFrame:
+    """Keep-last deduplicate: latest event per (user_id, event_type) by
+    (ts desc, event_id desc) — O(1) state per key."""
+
+    out_schema = "user_id long, event_type string, event_id long, ts_us long"
+    state_schema = "event_id long, ts_us long"
+
+    def keep_last(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id, event_type = key
+        best = state.get if state.exists else None
+        for pdf in pdfs:
+            for eid, ts in zip(pdf["event_id"], pdf["ts_us"]):
+                cand = (int(eid), int(ts))
+                if best is None or (cand[1], cand[0]) > (best[1], best[0]):
+                    best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "event_type": [event_type],
+                "event_id": [best[0]],
+                "ts_us": [best[1]],
+            }
+        )
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        keep_last, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
