@@ -1,0 +1,117 @@
+"""Physical-plan assertions — the 100 TB scale story, checked per plan.
+
+The reference needs explicit planner rules for these (SURVEY.md §4.2);
+Catalyst provides them, but only if the queries are phrased declaratively.
+These tests pin that property so a refactor that silently breaks pushdown,
+pruning, or broadcast selection fails CI — the local-mode analog of a 100 TB
+regression.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_flink_spark.queries import QUERIES
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """q6 filters on shipdate/discount/quantity must reach the parquet scan
+    as PushedFilters (reference: PushFilterIntoTableSourceScanRule)."""
+    plan = _executed_plan(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:400]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """q6 touches 4 of 11 lineitem columns; ReadSchema must show only those
+    (reference: PushProjectIntoTableSourceScanRule)."""
+    plan = _executed_plan(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema, "scan reads unused columns"
+
+
+def test_broadcast_join_for_small_dims(spark, sf_dir):
+    """Dim tables under the broadcast threshold must plan as
+    BroadcastHashJoin, never shuffling the fact side (reference: broadcast
+    distribution via BatchPhysicalHashJoinRule)."""
+    plan = _executed_plan(QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lookup_join_is_broadcast(spark, sf_dir):
+    plan = _executed_plan(QUERIES["lookup_join_enrich"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_on_agg_path(spark, sf_dir):
+    """The hot agg path must sit inside WholeStageCodegen spans (reference
+    needs Janino codegen: HashAggCodeGenerator.scala; Spark: free)."""
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    # AQE finalizes the plan only at execution; "*(n)" prefixes mark
+    # WholeStageCodegen spans in the final plan string.
+    df.collect()
+    plan = _executed_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan, "no WholeStageCodegen span on the agg path"
+    assert "HashAggregate" in plan
+
+
+def test_topn_uses_window_group_limit(spark, sf_dir):
+    """row_number<=N must push a group-limit below the sort (reference:
+    FlinkLogicalRankRule -> rank-limit pushdown; Catalyst:
+    InferWindowGroupLimit)."""
+    plan = _optimized_plan(QUERIES["rank_topn_per_group"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_minhash_plan_has_single_signature_pass(spark, sf_dir):
+    """The LSH banding must not re-execute the shingle subtree per band:
+    exactly one Generate (shingle explode) pair in the whole plan."""
+    plan = _executed_plan(QUERIES["dedup_minhash_lsh"](spark, sf_dir))
+    # The plan has three DIFFERENT explodes (shingles -> bands -> pairs),
+    # each once; the regression guarded against is the SHINGLE explode
+    # appearing multiple times (band-per-arm union / self-join shapes).
+    assert plan.count("array_distinct(transform(sequence") == 1, (
+        "band fan-out re-executes the shingle explode"
+    )
+
+
+def test_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
+    """Reading one partition of a partitioned write must prune directories
+    (reference: PushPartitionIntoTableSourceScanRule / dynamic pruning)."""
+    li = QUERIES["q1_pricing_summary"]  # noqa: F841 — warm catalog
+    from apache_flink_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    df = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    out = str(tmp_path / "part")
+    df.write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = _executed_plan(back)
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "fn_string_basics",
+        "text_quality_score",
+        "win_tumble_agg",
+    ],
+)
+def test_no_python_udfs_on_builtin_surface(spark, sf_dir, name):
+    """Everything claiming to be built-in must stay JVM-side: no
+    BatchEvalPython / ArrowEvalPython nodes in those plans."""
+    plan = _executed_plan(QUERIES[name](spark, sf_dir))
+    assert "EvalPython" not in plan
