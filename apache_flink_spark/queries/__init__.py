@@ -17,6 +17,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     scalar_functions,
     event_windows,
     temporal_joins,
+    pattern_match,
     pipeline_dedup,
     pipeline_similarity,
     pipeline_text,

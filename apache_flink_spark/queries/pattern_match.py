@@ -1,0 +1,257 @@
+"""Pattern matching (CEP / MATCH_RECOGNIZE subset).
+
+Reference parity (SURVEY.md §2.9): StreamExecMatch + the NFA CEP library
+(flink-libraries/flink-cep — CepOperator.java:82, NFA.java:76). Spark has no
+MATCH_RECOGNIZE; per the SURVEY this is implemented as a restricted subset
+(no quantifier backtracking):
+
+  - PATTERN (A B) adjacency        -> lead() over (key, time) order
+  - A FOLLOWED_BY B within T       -> range-frame window scan (the CEP
+    'followedBy' relaxed-contiguity operator)
+  - B+ quantifier runs             -> gaps-and-islands run-length detection
+  - streaming matcher              -> applyInPandasWithState keeping the
+    active partial match per key (pattern_match_stateful below)
+
+All batch rewrites are single-shuffle window plans on (user_id, ts) — the
+same keyed, time-ordered traversal the NFA performs, minus backtracking.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from apache_flink_spark.queries._util import t
+from apache_flink_spark.queries.registry import query
+from apache_flink_spark.streaming.sources import run_to_table, stream_table
+
+MIN30 = 1_800_000_000
+
+
+@query(
+    "match_adjacent_pair",
+    oracle="""
+    SELECT user_id, a_id, b_id, a_ts
+    FROM (
+        SELECT user_id,
+               event_id AS a_id,
+               LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b_id,
+               epoch_us(ts) AS a_ts,
+               event_type AS a_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b_type
+        FROM events
+    )
+    WHERE a_type = 'click' AND b_type = 'purchase'
+    """,
+)
+def match_adjacent_pair(spark, sf_dir):
+    """MATCH_RECOGNIZE PATTERN (A B) — strict contiguity: a purchase as the
+    very next event after a click in the user's timeline."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.lead("event_id").over(w).alias("b_id"),
+        F.unix_micros("ts").alias("a_ts"),
+        F.col("event_type").alias("a_type"),
+        F.lead("event_type").over(w).alias("b_type"),
+    )
+    return seq.filter(
+        (F.col("a_type") == "click") & (F.col("b_type") == "purchase")
+    ).select("user_id", "a_id", "b_id", "a_ts")
+
+
+@query(
+    "match_followed_by",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ), scanned AS (
+        SELECT user_id, ep, event_id, event_type,
+               MIN(CASE WHEN event_type = 'purchase' THEN ep END)
+                   OVER (PARTITION BY user_id ORDER BY ep
+                         RANGE BETWEEN 1 FOLLOWING AND {MIN30} FOLLOWING)
+                   AS next_p_ep
+        FROM u
+    )
+    SELECT s.user_id, s.event_id AS click_id, s.ep AS click_ts,
+           s.next_p_ep AS purchase_ts,
+           MIN(p.event_id) AS purchase_id
+    FROM scanned s
+    JOIN u p ON p.user_id = s.user_id AND p.ep = s.next_p_ep
+            AND p.event_type = 'purchase'
+    WHERE s.event_type = 'click' AND s.next_p_ep IS NOT NULL
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def match_followed_by(spark, sf_dir):
+    """CEP followedBy (relaxed contiguity): the FIRST purchase within 30
+    minutes after each click, other events in between allowed. Range-frame
+    forward scan + a point join to recover the matched event id."""
+    e = t(spark, sf_dir, "events")
+    u = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(1, MIN30)
+    )
+    scanned = u.withColumn(
+        "next_p_ep",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ep"))).over(w),
+    )
+    clicks = scanned.filter(
+        (F.col("event_type") == "click") & F.col("next_p_ep").isNotNull()
+    )
+    p = u.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ep").alias("p_ep"),
+        F.col("event_id").alias("p_id"),
+    )
+    return (
+        clicks.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("next_p_ep") == F.col("p_ep")),
+        )
+        .groupBy(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ep").alias("click_ts"),
+            F.col("next_p_ep").alias("purchase_ts"),
+        )
+        .agg(F.min("p_id").alias("purchase_id"))
+    )
+
+
+@query(
+    "match_longest_run",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
+        FROM events
+    ), runs AS (
+        SELECT user_id, event_type,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM marked
+    ), lens AS (
+        SELECT user_id, event_type, run_id, COUNT(*) AS run_len
+        FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, MAX(run_len) AS longest_run
+    FROM lens GROUP BY 1, 2
+    """,
+)
+def match_longest_run(spark, sf_dir):
+    """Quantifier pattern (B+): longest consecutive same-type run per user —
+    gaps-and-islands, the batch rewrite of an NFA self-loop state."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    lens = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return lens.groupBy("user_id", "event_type").agg(
+        F.max("run_len").alias("longest_run")
+    )
+
+
+@query(
+    "match_cep_stateful",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ), scanned AS (
+        SELECT user_id, ep, event_id, event_type,
+               MAX(CASE WHEN event_type = 'click' THEN ep END)
+                   OVER (PARTITION BY user_id ORDER BY ep, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_c_ep,
+               MAX(CASE WHEN event_type = 'click' THEN event_id END)
+                   OVER (PARTITION BY user_id ORDER BY ep, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_c_id
+        FROM u
+    )
+    SELECT user_id, last_c_id AS click_id, event_id AS purchase_id,
+           ep AS purchase_ts
+    FROM scanned
+    WHERE event_type = 'purchase' AND last_c_ep IS NOT NULL
+      AND ep - last_c_ep <= {MIN30}
+    """,
+)
+def match_cep_stateful(spark, sf_dir):
+    """Streaming CEP matcher (CepOperator parity, restricted): per-user state
+    holds the most recent click; an arriving purchase within 30 minutes
+    emits a (click, purchase) match. Non-consuming NFA transition — the
+    click stays active until a newer click replaces it, which keeps the
+    oracle SQL-expressible. Because clicks are strictly ordered per user,
+    the newest-click-so-far state makes appended emissions deterministic."""
+
+    out_schema = "user_id long, click_id long, purchase_id long, purchase_ts long"
+    state_schema = "c_id long, c_ep long"
+
+    def matcher(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        c_id, c_ep = state.get if state.exists else (None, None)
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ep", "event_id"], kind="mergesort")
+        for _, r in batch.iterrows():
+            if r["event_type"] == "click":
+                if c_ep is None or (r["ep"], r["event_id"]) > (c_ep, c_id):
+                    c_id, c_ep = int(r["event_id"]), int(r["ep"])
+            elif (
+                c_ep is not None and int(r["ep"]) - c_ep <= MIN30
+            ):
+                rows.append(
+                    (user_id, c_id, int(r["event_id"]), int(r["ep"]))
+                )
+        state.update((c_id if c_id is not None else -1, c_ep if c_ep is not None else -1))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "click_id", "purchase_id", "purchase_ts"]
+        )
+
+    e = stream_table(spark, sf_dir, "events")
+    u = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    out = u.groupBy("user_id").applyInPandasWithState(
+        matcher, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return run_to_table(out, "append")
