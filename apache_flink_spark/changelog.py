@@ -1,0 +1,84 @@
+"""Changelog / retraction modeling — the ``__rowkind`` convention.
+
+Reference parity (SURVEY.md §1.1): every streaming row in the reference
+carries a RowKind (+I insert, -U update-before/retract, +U update-after,
+-D delete — flink-core .../types/RowKind.java:31-52), and operators consume
+and emit changelogs (ChangelogMode). Structured Streaming has output modes
+instead of per-row kinds, so where changelog semantics are required this
+engine models them explicitly as a ``__rowkind`` string column (the SURVEY
+§1.1 mapping decision), with:
+
+  - :func:`derive_changelog` — turn a keyed, time-ordered table into its
+    insert/retract event stream (what a Flink group-agg or upsert source
+    emits downstream).
+  - :func:`materialize` — ChangelogNormalize
+    (StreamExecChangelogNormalize.java:77): collapse a changelog back into
+    the latest non-deleted row per key.
+  - :func:`drop_update_before` — StreamExecDropUpdateBefore
+    (DropUpdateBeforeFunction.java): strip -U rows for sinks that key on
+    upserts and don't need the retract half.
+
+Scale: both derive and materialize are one window/group pass over the key
+partitioning; no state beyond the per-key frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+INSERT = "+I"
+UPDATE_BEFORE = "-U"
+UPDATE_AFTER = "+U"
+DELETE = "-D"
+
+ROWKIND_COL = "__rowkind"
+
+
+def derive_changelog(
+    df: DataFrame, key_cols: list[str], order_cols: list[str], value_col: str
+) -> DataFrame:
+    """Emit the changelog of a keyed, time-ordered table: the first row per
+    key is +I; every later row emits -U (prior value) then +U (new value),
+    both stamped with the current row's order columns."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    base = df.select(*key_cols, *order_cols, value_col).withColumn(
+        "__prev", F.lag(value_col).over(w)
+    )
+    inserts = base.filter(F.col("__prev").isNull()).select(
+        *key_cols, *order_cols, F.lit(INSERT).alias(ROWKIND_COL), F.col(value_col)
+    )
+    befores = base.filter(F.col("__prev").isNotNull()).select(
+        *key_cols,
+        *order_cols,
+        F.lit(UPDATE_BEFORE).alias(ROWKIND_COL),
+        F.col("__prev").alias(value_col),
+    )
+    afters = base.filter(F.col("__prev").isNotNull()).select(
+        *key_cols, *order_cols, F.lit(UPDATE_AFTER).alias(ROWKIND_COL), F.col(value_col)
+    )
+    return inserts.unionAll(befores).unionAll(afters)
+
+
+def materialize(
+    changelog: DataFrame, key_cols: list[str], order_cols: list[str], value_col: str
+) -> DataFrame:
+    """ChangelogNormalize: latest +I/+U row per key wins; keys whose final
+    event is -D disappear. One row_number pass on the key partitioning."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in order_cols],
+        # At equal order position, +U/-D outrank the -U retract half.
+        F.desc(ROWKIND_COL),
+    )
+    ranked = changelog.filter(F.col(ROWKIND_COL) != UPDATE_BEFORE).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    return (
+        ranked.filter((F.col("__rn") == 1) & (F.col(ROWKIND_COL) != DELETE))
+        .select(*key_cols, *order_cols, value_col)
+    )
+
+
+def drop_update_before(changelog: DataFrame) -> DataFrame:
+    """DropUpdateBefore: forward only +I/+U/-D (upsert-keyed sinks)."""
+    return changelog.filter(F.col(ROWKIND_COL) != UPDATE_BEFORE)
