@@ -32,10 +32,20 @@ HEADLINE = [
     "win_tumble_agg",
     "win_hop_agg",
     "win_session_agg",
+    "win_cumulate_agg",
     "asof_join_latest_view",
+    "interval_join",
+    "subq_correlated_scalar",
+    "match_followed_by",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "sim_bruteforce_topk",
+    "sim_lsh_ann",
     "text_quality_score",
+    "text_fingerprint",
+    "stream_tumble_agg",
+    "stream_stream_join",
 ]
 
 
