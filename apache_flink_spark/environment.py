@@ -53,6 +53,13 @@ class TableEnvironment:
     def from_path(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
+    def table(self, name: str):
+        """Fluent Table API handle (reference entry point B — SURVEY.md §3;
+        pyflink table.py surface in apache_flink_spark/table_api.py)."""
+        from apache_flink_spark.table_api import Table
+
+        return Table(self.spark.table(name))
+
     def create_view(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)
 

@@ -1,0 +1,143 @@
+"""Fluent Table API (entry point B) — each chain must agree with its SQL
+twin, proving the fluent surface builds the same logical plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_flink_spark.environment import TableEnvironment
+from apache_flink_spark.table_api import Over, Session, Slide, Table, Tumble
+
+
+def _tenv(spark, sf_dir) -> TableEnvironment:
+    te = TableEnvironment(spark=spark)
+    te.use_data_dir(sf_dir)
+    return te
+
+
+def _same(a, b, sort_cols):
+    pa = a.orderBy(*sort_cols).toPandas()
+    pb = b.orderBy(*sort_cols).toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(pa, pb, check_dtype=False)
+
+
+def test_select_filter_group_order(spark, sf_dir):
+    te = _tenv(spark, sf_dir)
+    got = (
+        te.table("orders")
+        .filter("o_totalprice > 100000")
+        .group_by("o_orderpriority")
+        .select(F.count(F.lit(1)).alias("n"))
+        .to_df()
+    )
+    want = te.sql(
+        """SELECT o_orderpriority, count(*) AS n FROM orders
+           WHERE o_totalprice > 100000 GROUP BY o_orderpriority"""
+    )
+    _same(got, want, ["o_orderpriority"])
+
+
+def test_join_and_setops(spark, sf_dir):
+    te = _tenv(spark, sf_dir)
+    nat = te.table("nation").select("n_nationkey", "n_regionkey")
+    reg = te.table("region")
+    got = nat.join(reg, "n_regionkey = r_regionkey").select(
+        "n_nationkey", "r_name"
+    )
+    want = te.sql(
+        """SELECT n_nationkey, r_name FROM nation
+           JOIN region ON n_regionkey = r_regionkey"""
+    )
+    _same(got.to_df(), want, ["n_nationkey"])
+
+    a = te.table("customer").select("c_nationkey")
+    b = te.table("supplier").select("s_nationkey")
+    got2 = a.intersect(Table(b.to_df().toDF("c_nationkey"))).to_df()
+    want2 = te.sql(
+        "SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier"
+    )
+    _same(got2, want2, ["c_nationkey"])
+
+
+def test_order_offset_fetch(spark, sf_dir):
+    te = _tenv(spark, sf_dir)
+    got = (
+        te.table("customer")
+        .order_by(F.desc("c_acctbal"), "c_custkey")
+        .offset_fetch(5, 10)
+        .select("c_custkey")
+        .to_df()
+    )
+    want = te.sql(
+        """SELECT c_custkey FROM customer
+           ORDER BY c_acctbal DESC, c_custkey LIMIT 10 OFFSET 5"""
+    )
+    _same(got, want, ["c_custkey"])
+
+
+def test_tumble_window_descriptor(spark, sf_dir):
+    te = _tenv(spark, sf_dir)
+    got = (
+        te.table("events")
+        .window(Tumble.over("10 minutes").on("ts").alias("w"))
+        .group_by("event_type")
+        .select(F.count(F.lit(1)).alias("n"))
+        .select("w.start", "event_type", "n")
+        .to_df()
+        .withColumn("ws", F.unix_micros("start"))
+        .select("ws", "event_type", "n")
+    )
+    want = te.sql(
+        """SELECT unix_micros(window.start) AS ws, event_type, count(*) AS n
+           FROM events GROUP BY window(ts, '10 minutes'), event_type"""
+    )
+    _same(got, want, ["ws", "event_type"])
+
+
+def test_session_and_slide_descriptors(spark, sf_dir):
+    te = _tenv(spark, sf_dir)
+    sess = (
+        te.table("events")
+        .window(Session.with_gap("30 minutes").on("ts").alias("w"))
+        .group_by("user_id")
+        .select(F.count(F.lit(1)).alias("n"))
+        .to_df()
+    )
+    assert sess.count() > 0
+    slide = (
+        te.table("events")
+        .window(Slide.over("10 minutes").every("5 minutes").on("ts").alias("w"))
+        .group_by()
+        .select(F.count(F.lit(1)).alias("n"))
+        .to_df()
+    )
+    # every event lands in exactly 2 sliding windows
+    total = slide.agg(F.sum("n")).collect()[0][0]
+    n_events = te.table("events").to_df().count()
+    assert total == 2 * n_events
+
+
+def test_over_descriptor(spark, sf_dir):
+    te = _tenv(spark, sf_dir)
+    w = (
+        Over.partition_by("o_custkey")
+        .order_by("o_orderdate", "o_orderkey")
+        .unbounded_preceding()
+        .spec()
+    )
+    got = (
+        te.table("orders")
+        .add_columns(nth=F.count(F.lit(1)).over(w))
+        .select("o_orderkey", "nth")
+        .to_df()
+    )
+    want = te.sql(
+        """SELECT o_orderkey,
+                  count(*) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS nth
+           FROM orders"""
+    )
+    _same(got, want, ["o_orderkey"])
