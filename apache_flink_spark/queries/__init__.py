@@ -11,6 +11,8 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     tpch,
     joins,
     aggregates,
+    agg_extras,
+    stream_over_agg,
     over_windows,
     rank_dedup,
     setops,
