@@ -9,6 +9,7 @@ from apache_flink_spark.queries.registry import ORACLES, QUERIES
 # Import for registration side effects — each module covers a SURVEY.md §2 row.
 from apache_flink_spark.queries import (  # noqa: F401,E402
     tpch,
+    tpch_extra,
     joins,
     aggregates,
     agg_extras,
