@@ -13,6 +13,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     joins,
     aggregates,
     agg_extras,
+    async_lookup,
     stream_over_agg,
     over_windows,
     rank_dedup,

@@ -1,0 +1,106 @@
+"""Async / batched external lookup patterns.
+
+Reference parity (SURVEY.md §2.3 lookup join + §2.2 async calc):
+AsyncLookupJoinRunner / RetryableLookupFunctionDelegator (flink-table-runtime
+.../join/lookup/) probe an external system per row with async batching and
+caching; StreamExecAsyncCalc does the same for scalar functions. Spark's
+equivalent is ``mapInPandas``: each Arrow batch is one "async round trip" —
+the lookup function receives THOUSANDS of keys at once (vs the reference's
+per-row futures), amortizing the service call, with a per-executor cache.
+
+The external service is simulated with a deterministic in-process table
+(broadcast dict) so the oracle can verify the plumbing; a real deployment
+swaps `_service_batch_get` for an aiohttp/grpc batched call with retry —
+the DataFrame-side shape (batch in, batch out, no shuffle) is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from apache_flink_spark.queries._util import t
+from apache_flink_spark.queries.registry import query
+
+
+@query(
+    "async_lookup_enrich",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name,
+           length(n.n_name) AS svc_checksum
+    FROM supplier s LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def async_lookup_enrich(spark, sf_dir):
+    """Batched async-lookup join (AsyncLookupJoinRunner parity): suppliers
+    probe the 'nation service' one Arrow batch at a time. The service table
+    rides to executors as a broadcast variable (the lookup cache); misses
+    yield NULL (left-join semantics)."""
+    s = t(spark, sf_dir, "supplier")
+    nation_rows = t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    service_table = spark.sparkContext.broadcast(
+        {int(r.n_nationkey): r.n_name for r in nation_rows}
+    )
+
+    def _service_batch_get(keys: pd.Series) -> pd.Series:
+        # One call per Arrow batch — the async round trip. A real client
+        # would issue a single batched RPC here (with retry/backoff).
+        cache = service_table.value
+        return keys.map(lambda k: cache.get(int(k)))
+
+    def lookup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            names = _service_batch_get(pdf["s_nationkey"])
+            yield pd.DataFrame(
+                {
+                    "s_suppkey": pdf["s_suppkey"],
+                    "s_name": pdf["s_name"],
+                    "nation_name": names,
+                    "svc_checksum": names.str.len().astype("Int64"),
+                }
+            )
+
+    return s.select("s_suppkey", "s_name", "s_nationkey").mapInPandas(
+        lookup,
+        "s_suppkey long, s_name string, nation_name string, svc_checksum int",
+    )
+
+
+@query(
+    "win_count_tumble",
+    oracle="""
+    SELECT user_id, win_id,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS first_event,
+           MAX(event_id) AS last_event
+    FROM (
+        SELECT user_id, event_id,
+               CAST((ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1) // 50
+                    AS BIGINT) AS win_id
+        FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def win_count_tumble(spark, sf_dir):
+    """Count tumbling window (SURVEY §2.5 CountTumblingWindowAssigner,
+    DataStream countWindow:609): fixed-size windows of 50 events per user in
+    event order — row_number div N as the window id."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    numbered = e.select(
+        "user_id",
+        "event_id",
+        ((F.row_number().over(w) - 1) / 50).cast("long").alias("win_id"),
+    )
+    return numbered.groupBy("user_id", "win_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
