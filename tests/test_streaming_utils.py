@@ -1,0 +1,145 @@
+"""Side outputs, stream-static joins, watermark introspection, late-data
+semantics — the §2.12 machinery beyond the oracle-gated queries."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from apache_flink_spark.streaming.sources import run_to_table, stream_table
+from apache_flink_spark.streaming.utils import current_watermark, split_to_sinks
+
+
+def test_side_outputs_split(spark, sf_dir):
+    e = stream_table(spark, sf_dir, "events")
+    q, paths = split_to_sinks(
+        e,
+        {
+            "errors": ("event_type = 'error'", lambda d: d.select("event_id")),
+            "purchases": (
+                "event_type = 'purchase'",
+                lambda d: d.select("event_id", "value"),
+            ),
+        },
+    )
+    q.awaitTermination()
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_err = spark.read.parquet(paths["errors"]).count()
+    n_pur = spark.read.parquet(paths["purchases"]).count()
+    assert n_err == batch.filter("event_type = 'error'").count()
+    assert n_pur == batch.filter("event_type = 'purchase'").count()
+
+
+def test_stream_static_broadcast_join(spark, sf_dir):
+    """Stream-static join (broadcast state pattern, SURVEY §2.12): the
+    static dim joins each micro-batch without streaming state."""
+    e = stream_table(spark, sf_dir, "events")
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = e.join(
+        F.broadcast(dim), dim.c_custkey == e.user_id + 1, "left"
+    ).select("event_id", "c_mktsegment")
+    got = run_to_table(joined, "append")
+    want = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .join(
+            F.broadcast(dim),
+            dim.c_custkey == F.col("user_id") + 1,
+            "left",
+        )
+        .select("event_id", "c_mktsegment")
+    )
+    assert got.count() == want.count()
+    assert got.filter("c_mktsegment IS NOT NULL").count() == want.filter(
+        "c_mktsegment IS NOT NULL"
+    ).count()
+
+
+def test_current_watermark_progress(spark, sf_dir):
+    """CURRENT_WATERMARK analog: after a watermarked agg drains, the query
+    progress reports the advanced event-time watermark."""
+    e = stream_table(spark, sf_dir, "events")
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .count()
+    )
+    import tempfile as tf
+
+    ckpt = tf.mkdtemp(prefix="afs_wm_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_probe")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wm = current_watermark(q)
+    assert wm is not None and wm.startswith("20"), wm
+
+
+def test_late_data_dropped_after_watermark(spark):
+    """SS drops rows older than the watermark (no allowed-lateness re-fire —
+    documented divergence, SURVEY §2.12 'Late data'): a second batch row
+    whose event time is far behind the advanced watermark must not create
+    or update a window in append mode."""
+    import os
+
+    src = tempfile.mkdtemp(prefix="afs_late_src_")
+    ckpt = tempfile.mkdtemp(prefix="afs_late_ckpt_")
+
+    import os
+    import time
+    from datetime import datetime
+
+    def write_batch(rows, mtime: float):
+        rows = [(datetime.fromisoformat(ts), k) for ts, k in rows]
+        before = set(os.listdir(src))
+        spark.createDataFrame(rows, "ts timestamp, k string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        for f in set(os.listdir(src)) - before:
+            os.utime(os.path.join(src, f), (mtime, mtime))
+
+    # The file source orders batches by modification time. Watermark
+    # propagation lags one batch behind the progress report (a batch's
+    # input filter uses the watermark committed before the PREVIOUS batch),
+    # so: batch 0 carries the 12:00 row, batch 1 propagates the 11:50
+    # watermark, batch 2's 09:00 row is then genuinely late and dropped.
+    now = time.time()
+    write_batch(
+        [("2024-01-01 10:00:00", "a"), ("2024-01-01 12:00:00", "a")], now - 60
+    )
+    write_batch([("2024-01-01 12:01:00", "b")], now - 30)
+    write_batch([("2024-01-01 09:00:00", "late")], now)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "k")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_probe")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table("late_probe")
+    assert result.filter("k = 'late'").count() == 0, (
+        "late row should be dropped past the watermark"
+    )
+    # The 10:00 window closed when the watermark passed it.
+    assert result.filter("k = 'a'").count() >= 1
