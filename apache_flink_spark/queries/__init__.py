@@ -17,6 +17,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     stream_over_agg,
     over_windows,
     rank_dedup,
+    scale_patterns,
     setops,
     scalar_functions,
     event_windows,
