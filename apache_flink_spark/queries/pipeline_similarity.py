@@ -224,6 +224,79 @@ def sim_lsh_ann(spark, sf_dir):
 
 
 @query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, {_QE_SQL} AS qe FROM embeddings
+    ), d AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.label,
+               {_dot_sql("q.qe", "c.qe")} AS dot,
+               {_dot_sql("q.qe", "q.qe")} AS nq,
+               {_dot_sql("c.qe", "c.qe")} AS nc
+        FROM v q JOIN v c ON q.label = c.label AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20
+    )
+    SELECT query_id, cand_id, label AS centroid_id, rnk, {_COS_SQL} AS cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq * nc AS DOUBLE)) DESC,
+                     cand_id) AS rnk
+        FROM d
+    )
+    WHERE rnk <= 5
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: an inverted file on a coarse quantizer — here the
+    fixture's label column stands in for the trained centroid assignment
+    (in production: argmin distance to k-means centroids, same join shape).
+    Search probes only the query's own cell: an equi-join on centroid id,
+    so candidate count scales with cell occupancy. Multi-probe = also join
+    the next-nearest centroids. Complements sim_lsh_ann (hash buckets) as
+    the second standard ANN scale path."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", F.expr(_QE_SPARK).alias("qe"))
+    q = v.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("centroid_id"),
+        F.col("qe").alias("q_qe"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("qe").alias("c_qe"),
+    )
+    d = q.join(
+        c,
+        (F.col("centroid_id") == F.col("c_label"))
+        & (F.col("query_id") != F.col("cand_id")),
+    ).select(
+        "query_id",
+        "cand_id",
+        "centroid_id",
+        F.expr(_dot_spark("q_qe", "c_qe")).alias("dot"),
+        F.expr(_dot_spark("q_qe", "q_qe")).alias("nq"),
+        F.expr(_dot_spark("c_qe", "c_qe")).alias("nc"),
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        (F.col("nq") * F.col("nc")).cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(cos), "cand_id")
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            "cand_id",
+            "centroid_id",
+            "rnk",
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+
+
+@query(
     "sim_embedding_neardup",
     oracle=f"""
     WITH v AS (
