@@ -1,34 +1,64 @@
 """SQL-side registration of Flink-named functions.
 
 The reference exposes its functions through the Calcite operator table
-(flink-table-planner .../functions/sql/FlinkSqlOperatorTable.java); here the
-Flink-specific names become Spark SQL functions via CREATE TEMPORARY FUNCTION
--style `spark.sql` registration of expression aliases, so `tenv.sql()` accepts
-the Flink spellings that differ from Spark's.
+(flink-table-planner .../functions/sql/FlinkSqlOperatorTable.java); most
+names are already valid Spark SQL (SURVEY.md §2.10 mapping table). The
+remainder — Flink spellings with no Spark twin — are installed as SQL
+scalar functions (CREATE TEMPORARY FUNCTION ... RETURN <expr>), which
+Catalyst inlines into the calling plan: zero-cost aliases, fully inside
+whole-stage codegen, never Python.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-# Flink name -> Spark SQL expression template ({0}, {1}, ... are args).
-_SQL_ALIASES = {
-    "SPLIT_INDEX": "element_at(split({0}, {1}), {2} + 1)",
-    "TRANSLATE3": "translate({0}, {1}, {2})",
-    "JSON_VALUE": "get_json_object({0}, {1})",
-    "JSON_EXISTS": "get_json_object({0}, {1}) IS NOT NULL",
-    "IFNULL": "coalesce({0}, {1})",
-    "CHAR_LENGTH2": "length({0})",
+# Flink name -> (typed parameter list, return type, body expression).
+_SQL_FUNCTIONS = {
+    "split_index": (
+        "(s STRING, sep STRING, i INT)",
+        "STRING",
+        "element_at(split(s, sep), i + 1)",
+    ),
+    "translate3": (
+        "(s STRING, src STRING, dst STRING)",
+        "STRING",
+        "translate(s, src, dst)",
+    ),
+    "json_value": (
+        "(js STRING, p STRING)",
+        "STRING",
+        "get_json_object(js, p)",
+    ),
+    "json_exists": (
+        "(js STRING, p STRING)",
+        "BOOLEAN",
+        "get_json_object(js, p) IS NOT NULL",
+    ),
+    "is_json": ("(js STRING)", "BOOLEAN", "try_parse_json(js) IS NOT NULL"),
+    "json_quote": (
+        "(s STRING)",
+        "STRING",
+        r"concat('\"', regexp_replace(regexp_replace(s, '\\\\', '\\\\\\\\'),"
+        r" '\"', '\\\\\"'), '\"')",
+    ),
+    "json_unquote": ("(s STRING)", "STRING", "get_json_object(s, '$')"),
+    "if_then_else": (
+        "(c BOOLEAN, a STRING, b STRING)",
+        "STRING",
+        "CASE WHEN c THEN a ELSE b END",
+    ),
+    "char_length_": ("(s STRING)", "INT", "length(s)"),
+    "to_base64_": ("(s STRING)", "STRING", "base64(s)"),
+    "from_base64_": ("(s STRING)", "STRING", "CAST(unbase64(s) AS STRING)"),
 }
 
 
 def register_all(spark: SparkSession) -> None:
-    """Install engine extensions into a session. Python-side wrappers in
-    ``functions.scalar`` are importable regardless; SQL aliases that can be
-    expressed as zero-cost rewrites are documented in ``_SQL_ALIASES`` and
-    applied by ``TableEnvironment.sql`` when needed (most Flink names are
-    already valid Spark SQL)."""
-    # Spark SQL can't define expression macros without a Hive catalog; the
-    # engine instead relies on names shared by both dialects (the vast
-    # majority — SURVEY.md §2.10 table) and the Python wrappers for the rest.
-    return None
+    """Install the Flink-named SQL function surface into the session.
+    Idempotent (CREATE OR REPLACE); called by TableEnvironment.__init__."""
+    for name, (params, ret, body) in _SQL_FUNCTIONS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{params} "
+            f"RETURNS {ret} RETURN {body}"
+        )

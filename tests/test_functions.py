@@ -1,0 +1,66 @@
+"""Flink-named function surface: Python wrappers + SQL registrations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_flink_spark.environment import TableEnvironment
+from apache_flink_spark.functions import scalar as S
+
+
+def test_python_wrappers(spark):
+    df = spark.createDataFrame(
+        [("a,b,c", '{"k": 7}', "hello world")], "csv string, js string, txt string"
+    )
+    row = df.select(
+        S.split_index("csv", ",", 1).alias("si"),
+        S.str_to_map("csv", ",", "=").alias("m"),
+        S.translate3("txt", "lo", "01").alias("tr"),
+        S.regexp_count("txt", "l").alias("rc"),
+        S.char_length("txt").alias("cl"),
+        S.json_value("js", "$.k").alias("jv"),
+        S.json_exists("js", "$.k").alias("je"),
+        S.json_exists("js", "$.missing").alias("jm"),
+        S.is_json("js").alias("ij"),
+        S.if_then_else(F.lit(True), F.lit("y"), F.lit("n")).alias("ite"),
+        S.btrim(F.lit("  x  ")).alias("bt"),
+        S.try_cast(F.lit("12x"), "int").alias("tc"),
+    ).collect()[0]
+    assert row.si == "b"
+    assert row.tr == "he001 w1r0d"
+    assert row.rc == 3
+    assert row.cl == 11
+    assert row.jv == "7"
+    assert row.je is True and row.jm is False
+    assert row.ij is True
+    assert row.ite == "y"
+    assert row.bt == "x"
+    assert row.tc is None
+
+
+def test_sql_registered_functions(spark, sf_dir):
+    te = TableEnvironment(spark=spark)
+    te.use_data_dir(sf_dir)
+    row = te.sql(
+        """SELECT split_index('x|y|z', '\\\\|', 2) AS si,
+                  translate3('abc', 'ab', 'xy') AS tr,
+                  json_value(props, '$.k') AS jv,
+                  json_exists(props, '$.k') AS je,
+                  is_json(props) AS ij,
+                  json_unquote('"q"') AS ju
+           FROM events LIMIT 1"""
+    ).collect()[0]
+    assert row.si == "z"
+    assert row.tr == "xyc"
+    assert row.jv is not None
+    assert row.je is True
+    assert row.ij is True
+    assert row.ju == "q"
+
+
+def test_base64_roundtrip_sql(spark):
+    TableEnvironment(spark=spark)
+    row = spark.sql(
+        "SELECT from_base64_(to_base64_('flink')) AS rt"
+    ).collect()[0]
+    assert row.rt == "flink"
