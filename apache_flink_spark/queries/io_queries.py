@@ -39,6 +39,29 @@ def source_values_inline(spark, sf_dir):
 
 
 @query(
+    "source_datagen_range",
+    oracle="""
+    SELECT i AS id, i % 100 AS bucket,
+           md5(CAST(i AS VARCHAR)) AS payload,
+           CAST(i * 37 % 1000 AS DOUBLE) / 10 AS metric
+    FROM generate_series(0, 9999) t(i)
+    """,
+)
+def source_datagen_range(spark, sf_dir):
+    """Datagen source (DataGeneratorSource.java:95, deterministic mode):
+    synthetic rows from a distributed range + derived expression columns —
+    the batch twin of the rate source, partition-parallel with no input
+    I/O (spark.range splits the sequence across executors)."""
+    df = spark.range(0, 10000)
+    return df.select(
+        F.col("id"),
+        (F.col("id") % 100).alias("bucket"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+        ((F.col("id") * 37 % 1000).cast("double") / 10).alias("metric"),
+    )
+
+
+@query(
     "sink_parquet_partitioned",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
