@@ -19,6 +19,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     rank_dedup,
     scale_patterns,
     setops,
+    sort_ops,
     scalar_functions,
     event_windows,
     temporal_joins,
