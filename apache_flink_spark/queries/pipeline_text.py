@@ -147,6 +147,53 @@ def text_lang_id(spark, sf_dir):
 
 
 @query(
+    "text_top_bigrams",
+    oracle="""
+    SELECT bigram, n, rnk
+    FROM (
+        SELECT bigram, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rnk
+        FROM (
+            SELECT bg AS bigram, COUNT(*) AS n
+            FROM (
+                SELECT unnest([l[i] || ' ' || l[i+1]
+                               for i in generate_series(1, len(l) - 1)]) AS bg
+                FROM (SELECT string_split(text, ' ') AS l FROM documents)
+            )
+            GROUP BY 1
+        )
+    )
+    WHERE rnk <= 20
+    """,
+)
+def text_top_bigrams(spark, sf_dir):
+    """Corpus n-gram statistics: global top-20 bigrams — the vocabulary/
+    collocation profiling stage of corpus analysis. Explode is narrow;
+    the count is one shuffle with map-side partial aggregation absorbing
+    the bigram blowup; the final top-20 is a TakeOrdered merge, not a
+    global sort."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat_ws(' ', toks[i], toks[i+1]))"
+            )
+        ).alias("bigram")
+    )
+    counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), "bigram")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("bigram", "n", "rnk")
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -88,6 +88,79 @@ def stream_tumble_agg(spark, sf_dir):
 
 
 @query(
+    "stream_hop_agg",
+    oracle=f"""
+    SELECT ws AS win_start, event_type,
+           COUNT(*) AS n_events
+    FROM (
+        SELECT e.event_type,
+               ((epoch_us(e.ts) // {300_000_000}) - g.range) * {300_000_000} AS ws
+        FROM events e CROSS JOIN range(2) g
+    )
+    GROUP BY 1, 2
+    """,
+)
+def stream_hop_agg(spark, sf_dir):
+    """Streaming HOP (sliding) window aggregation — each event lands in
+    size/slide = 2 concurrent windows, complete mode."""
+    e = stream_table(spark, sf_dir, "events")
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_to_table(agg, "complete")
+
+
+@query(
+    "stream_cumulate_agg",
+    oracle=f"""
+    SELECT win_start, win_end, event_type, COUNT(*) AS n_events
+    FROM (
+        SELECT (epoch_us(ts) // {3_600_000_000}) * {3_600_000_000} AS win_start,
+               (epoch_us(ts) // {3_600_000_000}) * {3_600_000_000}
+                 + (((epoch_us(ts) % {3_600_000_000}) // {900_000_000}) + 1 + g.range)
+                   * {900_000_000} AS win_end,
+               event_type
+        FROM events CROSS JOIN range(4) g
+        WHERE ((epoch_us(ts) % {3_600_000_000}) // {900_000_000}) + 1 + g.range <= 4
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_cumulate_agg(spark, sf_dir):
+    """Streaming CUMULATE window (CumulativeSliceAssigner): the explode-
+    slices rewrite applied to a STREAM — the narrow slice-generator runs
+    pre-shuffle on each micro-batch, then a standard streaming group agg in
+    complete mode. Proves the custom window rewrite composes with
+    Structured Streaming unchanged."""
+    e = stream_table(spark, sf_dir, "events")
+    hour = 3_600_000_000
+    step = 900_000_000
+    ep = F.unix_micros("ts")
+    start = (ep - (ep % F.lit(hour))).alias("win_start")
+    kmin = ((ep % F.lit(hour)) / F.lit(step)).cast("long") + F.lit(1)
+    exploded = e.withWatermark("ts", "1 hour").select(
+        "event_type",
+        start,
+        F.explode(F.sequence(kmin, F.lit(4))).alias("k"),
+    )
+    agg = exploded.groupBy(
+        "win_start",
+        (F.col("win_start") + F.col("k") * F.lit(step)).alias("win_end"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return run_to_table(agg, "complete")
+
+
+@query(
     "stream_session_agg",
     oracle=f"""
     WITH marked AS (
