@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from apache_flink_spark.queries.registry import query
 from apache_flink_spark.streaming.sources import run_to_table, stream_table
 from apache_flink_spark.streaming.stateful import (
+    streaming_custom_sessions,
     streaming_keep_last,
     streaming_topn_by_value,
 )
@@ -63,3 +64,54 @@ def stream_keep_last_dedup(spark, sf_dir):
         e.select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us"))
     )
     return run_to_table(out, "update")
+
+
+_MIN30_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "stream_custom_sessions",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, epoch_us(ts) AS ep,
+               CASE WHEN epoch_us(ts)
+                         - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                         > {_MIN30_US}
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ), numbered AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ep
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    ), sessions AS (
+        SELECT user_id, sess_id,
+               MIN(ep) AS sess_start, MAX(ep) AS sess_last,
+               COUNT(*) AS n_events,
+               MAX(sess_id) OVER (PARTITION BY user_id) AS max_sess
+        FROM numbered
+        GROUP BY user_id, sess_id
+    )
+    SELECT user_id, sess_start, sess_last, n_events
+    FROM sessions
+    WHERE sess_id < max_sess
+    """,
+)
+def stream_custom_sessions(spark, sf_dir):
+    """Custom session operator with event-time timers
+    (streaming/stateful.py streaming_custom_sessions — reference
+    ProcessFunction timer parity). The watermark delay exceeds the fixture's
+    time span, so timers cannot fire inside this bounded run (availableNow
+    otherwise appends a timer-only batch that also flushes still-open
+    sessions — timer firing itself is covered by
+    tests/test_event_time_timers.py). The emitted set is therefore every
+    session CLOSED BY A GAP: all sessions except each user's final open
+    one — exactly the oracle's gaps-and-islands minus the last island."""
+    from pyspark.sql import functions as F
+
+    e = stream_table(spark, sf_dir, "events")
+    stream = e.withWatermark("ts", "10000 hours").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    out = streaming_custom_sessions(stream, _MIN30_US)
+    return run_to_table(out, "append")

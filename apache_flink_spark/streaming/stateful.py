@@ -73,6 +73,64 @@ def streaming_topn_by_value(events: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def streaming_custom_sessions(events: DataFrame, gap_us: int) -> DataFrame:
+    """Custom session-window operator with EVENT-TIME TIMERS (reference
+    ProcessFunction timers, SURVEY §2.12: KeyedStream.process + timer
+    services): sessions close when the event-time watermark passes
+    last_event + gap — exactly how the reference's session assigner fires.
+
+    Demonstrates the timeout half of the GroupState API that the built-in
+    ``session_window`` hides: state carries (start, last, count); each batch
+    extends or rolls sessions and re-arms the timeout; when Spark calls the
+    function with ``state.hasTimedOut`` the session is emitted and state
+    cleared. Input must be watermarked (``withWatermark``) for event-time
+    timeouts to fire."""
+
+    out_schema = "user_id long, sess_start long, sess_last long, n_events long"
+    state_schema = "start long, last long, cnt long"
+
+    def sessionize(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            start, last, cnt = state.get
+            closed.append((user_id, start, last, cnt))
+            state.remove()
+        else:
+            cur = state.get if state.exists else None
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values("ts_us", kind="mergesort")
+            for ts in rows["ts_us"]:
+                ts = int(ts)
+                if cur is None:
+                    cur = (ts, ts, 1)
+                elif ts - cur[1] > gap_us:
+                    closed.append((user_id, *cur))
+                    cur = (ts, ts, 1)
+                else:
+                    cur = (cur[0], ts, cur[2] + 1)
+            if cur is not None:
+                state.update(cur)
+                # Arm the event-time timer: fire when the watermark passes
+                # session end + gap (timestamps are micros; the API takes ms).
+                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        yield pd.DataFrame(
+            closed, columns=["user_id", "sess_start", "sess_last", "n_events"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def streaming_keep_last(events: DataFrame) -> DataFrame:
     """Keep-last deduplicate: latest event per (user_id, event_type) by
     (ts desc, event_id desc) — O(1) state per key."""
