@@ -100,3 +100,35 @@ def agg_bitwise(spark, sf_dir):
         F.bit_or("l_linenumber").alias("bor"),
         F.bit_xor("l_linenumber").alias("bxor"),
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           COUNT(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)))
+                      FILTER (WHERE l_quantity > 25), 2) AS DOUBLE) AS rev_big
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_filter_clause(spark, sf_dir):
+    """FILTER (WHERE ...) per-aggregate predicates (SQL:2003 filtered
+    aggregates; the reference plans them through AggCallWithFilter) — each
+    aggregate sees its own row subset in ONE pass, no self-joins."""
+    from apache_flink_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               COUNT(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)))
+                          FILTER (WHERE l_quantity > 25), 2) AS DOUBLE) AS rev_big
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
