@@ -15,8 +15,12 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 
 def test_all_queries_runnable(spark, sf_dir):
-    """Queries without an oracle still must execute and have a stable schema."""
+    """Queries without an oracle still must execute and have a stable
+    schema (oracle-backed ones already executed in the parametrized gate
+    above — re-running them here would double the suite's cost)."""
     for name, fn in QUERIES.items():
+        if name in ORACLES:
+            continue
         df = fn(spark, sf_dir)
         assert df.columns, name
         assert df.count() >= 0, name

@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) — algebraic laws the operators must
+hold on arbitrary inputs, not just the fixtures. SURVEY §5 notes the
+reference has no randomized testing; this goes beyond its strategy.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from apache_flink_spark.changelog import derive_changelog, materialize
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, seq, value) rows: few keys, small ints — enough to hit empty/
+# singleton/duplicate-free/update-heavy shapes.
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.integers(0, 20),
+        st.integers(-5, 5),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: (r[0], r[1]),  # unique (key, seq) -> total order
+)
+
+
+@given(rows=rows_strategy)
+@_settings
+def test_changelog_roundtrip_is_keep_last(spark, rows):
+    """materialize(derive(T)) == keep-last-per-key(T) for any keyed,
+    totally-ordered table."""
+    df = spark.createDataFrame(rows, "k long, seq long, v long")
+    got = (
+        materialize(
+            derive_changelog(df, ["k"], ["seq"], "v"), ["k"], ["seq"], "v"
+        )
+        .orderBy("k")
+        .toPandas()
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("seq"))
+    want = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("k", "seq", "v")
+        .orderBy("k")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+
+@given(
+    a=st.lists(st.integers(0, 5), min_size=0, max_size=20),
+    b=st.lists(st.integers(0, 5), min_size=0, max_size=20),
+)
+@_settings
+def test_multiset_partition_law(spark, a, b):
+    """|A intersectAll B| + |A exceptAll B| == |A| (multiset partition)."""
+    da = spark.createDataFrame([(x,) for x in a], "v long")
+    db = spark.createDataFrame([(x,) for x in b], "v long")
+    inter = da.intersectAll(db).count()
+    minus = da.exceptAll(db).count()
+    assert inter + minus == len(a)
+
+
+@given(
+    ts_list=st.lists(
+        st.integers(0, 10**7), min_size=1, max_size=25, unique=True
+    )
+)
+@_settings
+def test_window_coverage_law(spark, ts_list):
+    """Every row lands in exactly 1 tumble window and exactly size/slide
+    hop windows — the slice-assigner invariant (SURVEY §2.5)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts_list)], "id long, sec long"
+    ).select("id", F.timestamp_seconds("sec").alias("ts"))
+    n = df.count()
+    tumble = df.groupBy(F.window("ts", "97 seconds")).count()
+    assert tumble.agg(F.sum("count")).collect()[0][0] == n
+    hop = df.groupBy(F.window("ts", "100 seconds", "25 seconds")).count()
+    assert hop.agg(F.sum("count")).collect()[0][0] == 4 * n
+
+
+@given(rows=rows_strategy)
+@_settings
+def test_dedup_keep_first_last_partition(spark, rows):
+    """keep-first(T) and keep-last(T) pick rows OF T, one per key, and
+    agree on keys with a single row."""
+    df = spark.createDataFrame(rows, "k long, seq long, v long")
+    wf = Window.partitionBy("k").orderBy("seq")
+    wl = Window.partitionBy("k").orderBy(F.desc("seq"))
+    first = df.withColumn("rn", F.row_number().over(wf)).filter("rn = 1").drop("rn")
+    last = df.withColumn("rn", F.row_number().over(wl)).filter("rn = 1").drop("rn")
+    keys = df.select("k").distinct().count()
+    assert first.count() == keys and last.count() == keys
+    singles = (
+        df.groupBy("k").count().filter("count = 1").select("k")
+    )
+    f1 = first.join(singles, "k").orderBy("k").toPandas()
+    l1 = last.join(singles, "k").orderBy("k").toPandas()
+    pd.testing.assert_frame_equal(f1, l1, check_dtype=False)
