@@ -25,8 +25,10 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q18_large_volume_customer",
     "join_full_outer",
     "agg_grouping_sets",
+    "rollup_multi_resolution",
     "over_running_sum",
     "rank_topn_per_group",
     "win_tumble_agg",
