@@ -136,3 +136,50 @@ def source_json_roundtrip(spark, sf_dir):
     return back.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars")
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """ORC format round-trip (flink-orc parity — the reference's second
+    vectorized columnar format; Spark's ORC reader is equally vectorized
+    with the same pushdown surface as parquet)."""
+    o = t(spark, sf_dir, "orders")
+    path = io.roundtrip_dir(sf_dir, "orders_orc")
+    o.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+@query(
+    "source_text_lines",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           SUM(length(text)) AS total_chars
+    FROM documents
+    """,
+)
+def source_text_lines(spark, sf_dir):
+    """Text-line format (reference readTextFile / sequence-file analog):
+    one string column per line; written from and checked against the
+    documents fixture. Newlines cannot appear inside a line by
+    construction, so the round-trip is lossless."""
+    d = t(spark, sf_dir, "documents")
+    path = io.roundtrip_dir(sf_dir, "documents_text")
+    d.select("text").write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+    )

@@ -67,6 +67,18 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Socket text source (reference StreamExecutionEnvironment
+    .socketTextStream:1453): one string column ``value`` per received line.
+    Dev/test only — not replayable, so no exactly-once."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+
+
 def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Datagen-equivalent source (reference DataGeneratorSource.java:95):
     monotonically timestamped synthetic rows at a fixed rate."""

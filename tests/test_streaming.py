@@ -56,3 +56,51 @@ def test_rate_source_produces_rows(spark):
         assert spark.table("rate_smoke").count() > 0
     finally:
         q.stop()
+
+
+def test_socket_source(spark):
+    """Socket text source parity (socketTextStream:1453): feed lines over a
+    loopback socket, assert they arrive as rows."""
+    import socket
+    import threading
+    import time
+
+    from apache_flink_spark.streaming import sources as S
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            for i in range(5):
+                conn.sendall(f"line-{i}\n".encode())
+                time.sleep(0.05)
+            time.sleep(8)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    df = S.socket_source(spark, "127.0.0.1", port)
+    assert df.isStreaming and df.columns == ["value"]
+    q = (
+        df.writeStream.format("memory")
+        .queryName("socket_smoke")
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if spark.table("socket_smoke").count() >= 5:
+                break
+            time.sleep(0.25)
+        got = {r.value for r in spark.table("socket_smoke").collect()}
+        assert {f"line-{i}" for i in range(5)} <= got
+    finally:
+        q.stop()
+        server.close()
