@@ -249,3 +249,36 @@ def fn_hash_conditional(spark, sf_dir):
         F.col("c_nationkey").isin(1, 2, 3).alias("small_nation"),
         F.col("c_acctbal").between(0, 1000).alias("low_pos"),
     )
+
+
+@query(
+    "fn_null_semantics",
+    oracle="""
+    SELECT c_custkey,
+           nullif(c_nationkey, 5) AS nk_or_null,
+           nullif(c_nationkey, 5) IS NOT DISTINCT FROM NULL AS was_five,
+           c_nationkey IS DISTINCT FROM c_custkey % 25 AS key_mismatch,
+           coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'redacted') AS seg2,
+           CASE WHEN c_acctbal IS NULL THEN -1 ELSE 0 END AS null_flag
+    FROM customer
+    """,
+)
+def fn_null_semantics(spark, sf_dir):
+    """Three-valued-logic surface: NULLIF, null-safe equality (Spark's <=> /
+    eqNullSafe == ANSI IS NOT DISTINCT FROM), IS DISTINCT FROM, COALESCE
+    fallbacks — the comparison-group semantics of
+    BuiltInFunctionDefinitions."""
+    c = t(spark, sf_dir, "customer")
+    nk = F.nullif("c_nationkey", F.lit(5))
+    return c.select(
+        "c_custkey",
+        nk.alias("nk_or_null"),
+        nk.eqNullSafe(F.lit(None)).alias("was_five"),
+        (~F.col("c_nationkey").eqNullSafe(F.col("c_custkey") % 25)).alias(
+            "key_mismatch"
+        ),
+        F.coalesce(
+            F.nullif("c_mktsegment", F.lit("AUTOMOBILE")), F.lit("redacted")
+        ).alias("seg2"),
+        F.when(F.col("c_acctbal").isNull(), -1).otherwise(0).alias("null_flag"),
+    )

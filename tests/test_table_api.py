@@ -141,3 +141,21 @@ def test_over_descriptor(spark, sf_dir):
            FROM orders"""
     )
     _same(got, want, ["o_orderkey"])
+
+
+def test_catalog_ddl_surface(spark, sf_dir):
+    """DDL through the facade (reference TableEnvironment.executeSql DDL
+    path): CREATE/DROP temp views, SHOW TABLES resolution."""
+    te = _tenv(spark, sf_dir)
+    te.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW big_orders AS "
+        "SELECT * FROM orders WHERE o_totalprice > 300000"
+    )
+    n = te.sql("SELECT count(*) AS n FROM big_orders").collect()[0].n
+    assert n == te.table("orders").filter("o_totalprice > 300000").to_df().count()
+    names = {r.viewName for r in te.sql("SHOW VIEWS").collect()}
+    assert "big_orders" in names
+    te.sql("DROP VIEW big_orders")
+    assert "big_orders" not in {
+        r.viewName for r in te.sql("SHOW VIEWS").collect()
+    }
