@@ -132,3 +132,38 @@ def agg_filter_clause(spark, sf_dir):
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "agg_json_objectagg",
+    oracle="""
+    SELECT user_id,
+           '{' || array_to_string(
+               list_sort(list('"' || event_type || '":' || CAST(cnt AS VARCHAR))),
+               ',') || '}' AS type_counts_json
+    FROM (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    GROUP BY user_id
+    """,
+)
+def agg_json_objectagg(spark, sf_dir):
+    """JSON_OBJECTAGG (reference JsonObjectAggFunction) / MULTISET-as-map
+    (SURVEY §1.2): per-user JSON object of event-type counts. Entries sort
+    canonically before serialization so the collected-order
+    nondeterminism disappears."""
+    e = t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    entry = F.concat(
+        F.lit('"'), F.col("event_type"), F.lit('":'), F.col("cnt").cast("string")
+    )
+    return counts.groupBy("user_id").agg(
+        F.concat(
+            F.lit("{"),
+            F.array_join(F.sort_array(F.collect_list(entry)), ","),
+            F.lit("}"),
+        ).alias("type_counts_json")
+    )
