@@ -284,3 +284,82 @@ def dedup_simhash(spark, sf_dir):
         F.when(F.col("s0") > 0, F.lit(1)).otherwise(F.lit(0)),
     )
     return bits.select("doc_id", simhash.alias("simhash"))
+
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    ), cnt AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.3
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id,
+           src = MIN(dst) AS is_kept
+    FROM reach GROUP BY src
+"""
+
+
+@query("dedup_cluster_components", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_components(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the Jaccard pair graph
+    by iterative min-label propagation, keeping the smallest doc_id per
+    component (the canonical corpus-dedup survivor rule: candidate pairs ->
+    clusters -> one kept doc per cluster).
+
+    Iterative algorithm on DataFrames: each round propagates neighbor
+    labels (one join + one min-aggregate) and localCheckpoints to truncate
+    lineage — without it the plan doubles every round. Rounds needed =
+    graph diameter; at 100 TB scale the same loop runs with the
+    large-star/small-star optimization (alternate edge orientations) to
+    bound skew on popular nodes. The DuckDB oracle computes the same
+    components with a recursive transitive-closure CTE."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(20):
+        nbr = edges.join(
+            labels, edges["doc_b"] == labels["doc_id"]
+        ).select(F.col("doc_a").alias("doc_id"), "cluster_id")
+        new_labels = (
+            labels.unionAll(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
+    )
