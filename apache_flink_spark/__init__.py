@@ -5,17 +5,20 @@ Architecture: the PySpark DataFrame / Spark SQL API *is* the engine surface;
 Catalyst/Tungsten/AQE do the batch optimization (SURVEY.md §4.2 shows full
 coverage of the reference's rewrite set). This package adds:
 
-- ``TableEnvironment``: a Flink ``TableEnvironment``-style facade over
-  ``SparkSession`` (reference: flink-table-api-java .../TableEnvironment.java).
-- ``operators/``: the operators Spark lacks as built-ins — cumulate windows,
-  as-of/temporal joins, streaming-style top-n and dedup — expressed as
-  DataFrame-level rewrites (no Catalyst extensions needed).
-- ``functions/``: the Flink scalar-function surface (SURVEY.md §2.10) mapped to
-  ``pyspark.sql.functions``, with thin wrappers where names/semantics differ.
-- ``pipeline/``: large-scale training-data operators (dedup families,
-  similarity search, text analysis, multimodal columns).
-- ``streaming/``: Structured Streaming runners mirroring the reference's
-  streaming semantics (watermarks, windows, update-mode aggs, stateful ops).
+- ``TableEnvironment`` (environment.py) + fluent ``Table`` API
+  (table_api.py): the Flink entry-point surfaces over ``SparkSession``
+  (reference: flink-table-api-java .../TableEnvironment.java, Table.java).
+- ``functions/``: the Flink scalar-function surface (SURVEY.md §2.10) —
+  Python wrappers plus SQL-UDF registrations where names differ.
+- ``streaming/``: Structured Streaming sources/runners and the stateful
+  custom operators (Top-N, keep-last, sessions-with-timers) via
+  applyInPandasWithState.
+- ``io.py`` / ``changelog.py`` / ``multimodal.py`` / ``plans.py``:
+  connectors, __rowkind retraction modeling, binary-payload pipelines,
+  plan introspection.
+- ``queries/``: the executable operator inventory — every SURVEY §2 row and
+  every north-star pipeline operator (dedup/similarity/text/multimodal) as
+  a registered query with a DuckDB oracle.
 """
 
 from apache_flink_spark.environment import TableEnvironment
