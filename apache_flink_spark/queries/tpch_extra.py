@@ -113,3 +113,46 @@ def q14_promo_revenue(spark, sf_dir):
     range — the shipdate filter must reach the scan so the join only sees
     the 3-month slice."""
     return _sql(spark, sf_dir, _Q14)
+
+
+_Q4 = """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+"""
+
+
+@query("q4_order_priority", oracle=_Q4)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H q4 shape (commitdate/receiptdate absent from the fixture, so
+    the lateness predicate becomes shipdate > orderdate): correlated EXISTS
+    inside a date-windowed aggregate — semi join + pushdown-gated scan."""
+    return _sql(spark, sf_dir, _Q4)
+
+
+_Q12 = """
+    SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY 1
+"""
+
+
+@query("q12_priority_shipping", oracle=_Q12)
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H q12 shape (shipmode column absent — grouped by ship year
+    instead): fact-fact join with conditional-sum pivoting of the priority
+    dimension."""
+    return _sql(spark, sf_dir, _Q12)
