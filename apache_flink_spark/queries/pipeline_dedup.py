@@ -153,17 +153,50 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 _N_HASH = 8  # MinHash permutations; banded 2 rows x 4 bands.
+
+# One md5 per shingle, then arithmetic permutations m_k = (a_k*h + b_k) mod P
+# of its 32-bit prefix — 8x fewer digest computations than md5-per-
+# permutation with identical LSH behavior (the permutation family only needs
+# pairwise independence). h < 2^32 and a_k < 2^31 keep every product inside
+# 63 bits — no overflow in either engine's BIGINT.
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _perm_coeffs(k: int) -> tuple[int, int]:
+    import hashlib
+
+    # a_k masked to 31 bits: (2^31-1) * (2^32-1) + b stays under 2^63.
+    ha = (int(hashlib.md5(f"a{k}".encode()).hexdigest()[:8], 16) & 0x7FFFFFFF) | 1
+    hb = int(hashlib.md5(f"b{k}".encode()).hexdigest()[:8], 16)
+    return ha, hb
+
+
+_COEFFS = [_perm_coeffs(k) for k in range(_N_HASH)]
+
+# DuckDB-side parse of the first 8 md5 hex chars -> BIGINT.
+_HEX8 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(sh), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
 _MINHASH_ORACLE = f"""
     WITH sh AS (
         SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh
         FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    ), hashed AS (
+        SELECT doc_id, CAST({_HEX8} AS BIGINT) AS h FROM sh
     ), sig AS (
         SELECT doc_id,
-               {", ".join(f"min(md5('{k}:' || sh)) AS m{k}" for k in range(_N_HASH))}
-        FROM sh GROUP BY doc_id
+               {", ".join(
+                   f"min(({a} * h + {b}) % {_MERSENNE_P}) AS m{k}"
+                   for k, (a, b) in enumerate(_COEFFS)
+               )}
+        FROM hashed GROUP BY doc_id
     ), bands AS (
         {" UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band_id, md5(m{2 * b} || m{2 * b + 1}) AS bh FROM sig"
+            f"SELECT doc_id, {b} AS band_id,"
+            f" CAST(m{2 * b} AS VARCHAR) || ':' || CAST(m{2 * b + 1} AS VARCHAR) AS bh"
+            f" FROM sig"
             for b in range(_N_HASH // 2)
         )}
     )
@@ -182,10 +215,16 @@ def dedup_minhash_lsh(spark, sf_dir):
     the band-hash equi-join — candidate generation never compares all
     pairs."""
     sh = _shingles(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"m{k}")
-            for k in range(_N_HASH)
+            F.min(
+                (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE_P)
+            ).alias(f"m{k}")
+            for k, (a, b) in enumerate(_COEFFS)
         ]
     )
     # One Generate for all bands (a 4-arm union would re-execute the whole
@@ -201,8 +240,10 @@ def dedup_minhash_lsh(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
+                        F.concat_ws(
+                            ":",
+                            F.col(f"m{2 * b}").cast("string"),
+                            F.col(f"m{2 * b + 1}").cast("string"),
                         ).alias("bh"),
                     )
                     for b in range(_N_HASH // 2)
