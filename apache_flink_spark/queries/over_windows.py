@@ -64,27 +64,35 @@ def over_running_sum(spark, sf_dir):
     "over_sliding_rows",
     oracle="""
     SELECT user_id, event_id,
-           CAST(ROUND(AVG(CAST(value AS DECIMAL(12,4)))
-                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
-                AS DOUBLE) AS moving_avg3
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / (100 * COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+             AS moving_avg3
     FROM events
     """,
 )
 def over_sliding_rows(spark, sf_dir):
     """ROWS sliding frame (RowSlidingOverFrame): 3-event moving average.
-    AVG over DECIMAL yields DECIMAL(p,s+4)-exact in both engines; rounded to
-    2 it is bit-identical."""
+    Exact integer-cents sum over the frame, ONE final int->double division —
+    engines' decimal-AVG division semantics differ at rounding boundaries
+    (caught at sf0.1: 0.034% of rows off by an ulp with the naive
+    AVG(DECIMAL) formulation), so the average is never computed in decimal."""
     e = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(-2, Window.currentRow)
     )
+    cents = F.round(F.col("value") * 100).cast("long")
     return e.select(
         "user_id",
         "event_id",
-        F.round(F.avg(dec("value")).over(w), 2).cast("double").alias("moving_avg3"),
+        (
+            F.sum(cents).over(w).cast("double")
+            / (F.count(F.lit(1)).over(w) * 100)
+        ).alias("moving_avg3"),
     )
 
 
