@@ -31,6 +31,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # calls don't re-infer parquet schemas.
 _CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
+# Which sf_dir's temp views are currently registered in each session. Temp
+# views are session-global, so switching sf_dir must re-point them — a cache
+# hit alone must NOT skip registration or spark.sql() would silently read the
+# previously active scale factor's data.
+_ACTIVE_VIEWS: dict[int, str] = {}
+
 
 # Columns stored as TIMESTAMP(NANOS) in parquet — Spark reads them as int64
 # nanos under spark.sql.legacy.parquet.nanosAsLong; convert to proper
@@ -59,6 +65,10 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, Dat
     sf_dir = sf_dir or DEFAULT_SF_DIR
     key = (id(spark), sf_dir)
     if key in _CACHE:
+        if _ACTIVE_VIEWS.get(id(spark)) != sf_dir:
+            for name, df in _CACHE[key].items():
+                df.createOrReplaceTempView(name)
+            _ACTIVE_VIEWS[id(spark)] = sf_dir
         return _CACHE[key]
     out: dict[str, DataFrame] = {}
     for name in TABLES:
@@ -70,6 +80,7 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, Dat
         df.createOrReplaceTempView(name)
         out[name] = df
     _CACHE[key] = out
+    _ACTIVE_VIEWS[id(spark)] = sf_dir
     return out
 
 

@@ -10,6 +10,7 @@ from apache_flink_spark.queries.registry import ORACLES, QUERIES
 from apache_flink_spark.queries import (  # noqa: F401,E402
     tpch,
     tpch_extra,
+    tpch_rest,
     joins,
     aggregates,
     agg_extras,
