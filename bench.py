@@ -26,6 +26,9 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q18_large_volume_customer",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q21_sole_blame_supplier",
     "join_full_outer",
     "agg_grouping_sets",
     "rollup_multi_resolution",
