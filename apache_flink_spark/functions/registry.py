@@ -51,6 +51,27 @@ _SQL_FUNCTIONS = {
     "char_length_": ("(s STRING)", "INT", "length(s)"),
     "to_base64_": ("(s STRING)", "STRING", "base64(s)"),
     "from_base64_": ("(s STRING)", "STRING", "CAST(unbase64(s) AS STRING)"),
+    # TEMPORAL_OVERLAPS (BuiltInFunctionDefinitions "temporalOverlaps"):
+    # SQL-standard (s1,e1) OVERLAPS (s2,e2) — half-open interval intersection.
+    "temporal_overlaps": (
+        "(s1 TIMESTAMP, e1 TIMESTAMP, s2 TIMESTAMP, e2 TIMESTAMP)",
+        "BOOLEAN",
+        "s1 < e2 AND s2 < e1",
+    ),
+    # Flink TRUNCATE(numeric, d): toward-zero truncation at d decimals
+    # (Spark's trunc/date_trunc are date-only).
+    "truncate_num": (
+        "(x DOUBLE, d INT)",
+        "DOUBLE",
+        "CASE WHEN x >= 0 THEN floor(x * power(10, d)) / power(10, d) "
+        "ELSE ceil(x * power(10, d)) / power(10, d) END",
+    ),
+    # Flink randInteger(bound) — uniform int in [0, bound).
+    "rand_integer": ("(bound INT)", "INT", "CAST(floor(rand() * bound) AS INT)"),
+    # Flink's fixed-width SHA variants are sha2 with an explicit bit length.
+    "sha224": ("(s STRING)", "STRING", "sha2(s, 224)"),
+    "sha384": ("(s STRING)", "STRING", "sha2(s, 384)"),
+    "sha512": ("(s STRING)", "STRING", "sha2(s, 512)"),
 }
 
 

@@ -64,3 +64,27 @@ def test_base64_roundtrip_sql(spark):
         "SELECT from_base64_(to_base64_('flink')) AS rt"
     ).collect()[0]
     assert row.rt == "flink"
+
+
+def test_temporal_numeric_hash_shims(spark):
+    TableEnvironment(spark=spark)
+    row = spark.sql(
+        """SELECT temporal_overlaps(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-01 02:00:00',
+                                    TIMESTAMP '2024-01-01 01:00:00',
+                                    TIMESTAMP '2024-01-01 03:00:00') AS ov,
+                  temporal_overlaps(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-01 01:00:00',
+                                    TIMESTAMP '2024-01-01 01:00:00',
+                                    TIMESTAMP '2024-01-01 02:00:00') AS adj,
+                  truncate_num(3.14159, 2) AS tpos,
+                  truncate_num(-3.14159, 2) AS tneg,
+                  rand_integer(10) AS ri,
+                  sha224('x') AS h224, sha384('x') AS h384, sha512('x') AS h512
+        """
+    ).collect()[0]
+    assert row.ov is True
+    assert row.adj is False  # half-open: touching endpoints do not overlap
+    assert row.tpos == 3.14 and row.tneg == -3.14  # toward zero, not floor
+    assert 0 <= row.ri < 10
+    assert (len(row.h224), len(row.h384), len(row.h512)) == (56, 96, 128)
