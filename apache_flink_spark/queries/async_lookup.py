@@ -104,3 +104,51 @@ def win_count_tumble(spark, sf_dir):
         F.min("event_id").alias("first_event"),
         F.max("event_id").alias("last_event"),
     )
+
+
+@query(
+    "win_count_slide",
+    oracle="""
+    SELECT user_id, win_end, n_events,
+           CAST(sum_cents AS DOUBLE) / 100 AS window_sum
+    FROM (
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS win_end,
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS sum_cents,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS n_events
+        FROM events
+    )
+    WHERE win_end % 20 = 0
+    """,
+)
+def win_count_slide(spark, sf_dir):
+    """Count sliding window (SURVEY §2.5 CountSlidingWindowAssigner,
+    DataStream countWindow(size, slide)): every 20th event per user emits an
+    aggregate over its last 50 events — a 49-PRECEDING rows frame sampled at
+    the slide points. Sum stays in exact integer cents until one final
+    division (same determinism rule as over_sliding_rows)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-49, Window.currentRow)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.select(
+            "user_id",
+            F.row_number().over(w).alias("win_end"),
+            F.sum(cents).over(frame).alias("sum_cents"),
+            F.count(F.lit(1)).over(frame).alias("n_events"),
+        )
+        .where(F.col("win_end") % 20 == 0)
+        .select(
+            "user_id",
+            "win_end",
+            "n_events",
+            (F.col("sum_cents").cast("double") / 100).alias("window_sum"),
+        )
+    )
