@@ -58,6 +58,57 @@ def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (flink-orc format parity) — columnar, vectorized on read."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+_AVRO_HINT = (
+    "avro format requires the spark-avro jar on the classpath "
+    "(spark-submit --packages org.apache.spark:spark-avro_2.13:<ver>)"
+)
+
+
+def _avro_available(spark: SparkSession) -> bool:
+    # spark-avro is "built-in but external" — present only when the jar is
+    # deployed with the app. Spark's own datasource lookup is the only
+    # reliable probe (avro helper classes exist in catalyst even without it).
+    try:
+        spark.read.format("avro").schema("probe int").load(
+            "/nonexistent-avro-probe"
+        ).schema
+        return True
+    except Exception as ex:
+        return "Failed to find data source: avro" not in str(ex)
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    """Avro sink (flink-avro format parity). The spark-avro module is an
+    external jar not shipped in this environment; gate with a clear error
+    rather than Spark's generic lookup failure (SURVEY.md §2.1 formats row —
+    parquet/orc/csv/json/text are first-class here, avro/protobuf need
+    their connector jars exactly as Flink needs its format modules)."""
+    try:
+        df.write.mode("overwrite").format("avro").save(path)
+    except Exception as ex:
+        if "Failed to find data source: avro" in str(ex):
+            raise NotImplementedError(_AVRO_HINT) from None
+        raise
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as ex:
+        if "Failed to find data source: avro" in str(ex):
+            raise NotImplementedError(_AVRO_HINT) from None
+        raise
+
+
 def print_sink(df: DataFrame, n: int = 20) -> None:
     """Print/console debug sink (PrintTableSinkFactory parity)."""
     df.show(n, truncate=False)
