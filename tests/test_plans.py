@@ -115,3 +115,29 @@ def test_no_python_udfs_on_builtin_surface(spark, sf_dir, name):
     BatchEvalPython / ArrowEvalPython nodes in those plans."""
     plan = _executed_plan(QUERIES[name](spark, sf_dir))
     assert "EvalPython" not in plan
+
+
+def test_q21_self_joins_survive_no_broadcast(spark, sf_dir):
+    """q21's EXISTS/NOT EXISTS lineitem self-joins at 100 TB cannot
+    broadcast the fact table: with broadcast planning disabled (simulating
+    fact-scale sizes) every join must fall back to SortMergeJoin on
+    l_orderkey — never a nested-loop or a fact-side broadcast."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _executed_plan(QUERIES["q21_sole_blame_supplier"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert plan.count("SortMergeJoin") >= 4
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_correlated_min_decorrelates(spark, sf_dir):
+    """q2's correlated MIN subquery must rewrite to aggregate + join
+    (Catalyst decorrelation; reference: FlinkSubQueryRemoveRule) — a
+    per-row scalar subquery would re-scan lineitem once per part row."""
+    opt = _optimized_plan(QUERIES["q2_min_cost_supplier"](spark, sf_dir))
+    assert "scalar-subquery" not in opt.lower()
+    assert "Join" in opt and "Aggregate" in opt
