@@ -224,3 +224,73 @@ def text_fingerprint(spark, sf_dir):
             )
         ).alias("shingle_minhash"),
     )
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, source,
+               len(string_split(lower(text), ' ')) AS n_tokens,
+               md5(array_to_string(string_split(lower(text), ' ')[1:8], ' '))
+                 AS dedup_key
+        FROM documents
+        WHERE lang IN ('en', 'de') AND n_chars >= 50
+          AND len(string_split(lower(text), ' ')) BETWEEN 5 AND 1000
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY dedup_key ORDER BY doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY dedup_key) AS n_copies
+        FROM base
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS dups_removed
+    FROM ranked
+    WHERE rn = 1
+    GROUP BY lang, source
+    """,
+)
+def pipeline_corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation — the composed shape a training-data run
+    executes: language filter -> cheap quality gate -> prefix-fingerprint
+    dedup (first 8 tokens, deterministic min-doc_id survivor) -> per-source
+    token accounting.
+
+    Scale notes (100 TB): the filters are narrow map stages fully pushed to
+    the scan (lang/n_chars reach PushedFilters); the only wide op is ONE
+    shuffle on the md5 dedup key — uniformly distributed by construction, so
+    no salting needed — followed by a tiny (lang, source) rollup. Python
+    never touches the data.
+    """
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    base = (
+        d.where(F.col("lang").isin("en", "de") & (F.col("n_chars") >= 50))
+        .select("doc_id", "lang", "source", toks.alias("toks"))
+        .where(F.size("toks").between(5, 1000))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size("toks").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.slice("toks", 1, 8))).alias("dedup_key"),
+        )
+    )
+    w = Window.partitionBy("dedup_key").orderBy("doc_id")
+    wall = Window.partitionBy("dedup_key")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_copies", F.count(F.lit(1)).over(wall)
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("n_copies") - 1).alias("dups_removed"),
+        )
+    )

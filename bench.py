@@ -49,6 +49,7 @@ HEADLINE = [
     "sim_lsh_ann",
     "text_quality_score",
     "text_fingerprint",
+    "pipeline_corpus_curation",
     "stream_tumble_agg",
     "stream_stream_join",
 ]
