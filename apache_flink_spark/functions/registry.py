@@ -72,6 +72,14 @@ _SQL_FUNCTIONS = {
     "sha224": ("(s STRING)", "STRING", "sha2(s, 224)"),
     "sha384": ("(s STRING)", "STRING", "sha2(s, 384)"),
     "sha512": ("(s STRING)", "STRING", "sha2(s, 512)"),
+    # SQL-standard SIMILAR TO (Flink "similar"): regex syntax where % and _
+    # stand for .* and . — the translation below implements exactly that
+    # subset (no custom ESCAPE character support), whole-string anchored.
+    "similar_to": (
+        "(s STRING, p STRING)",
+        "BOOLEAN",
+        "s RLIKE concat('^(?:', replace(replace(p, '%', '.*'), '_', '.'), ')$')",
+    ),
 }
 
 

@@ -88,3 +88,18 @@ def test_temporal_numeric_hash_shims(spark):
     assert row.tpos == 3.14 and row.tneg == -3.14  # toward zero, not floor
     assert 0 <= row.ri < 10
     assert (len(row.h224), len(row.h384), len(row.h512)) == (56, 96, 128)
+
+
+def test_similar_to(spark):
+    TableEnvironment(spark=spark)
+    row = spark.sql(
+        """SELECT similar_to('abcdef', 'abc%') AS pre,
+                  similar_to('abcdef', '%c_e%') AS mid,
+                  similar_to('abcdef', 'abc') AS whole,
+                  similar_to('abc', 'a(b|x)c') AS alt
+        """
+    ).collect()[0]
+    assert row.pre is True
+    assert row.mid is True
+    assert row.whole is False  # anchored: must match the ENTIRE string
+    assert row.alt is True  # regex alternation passes through per the standard
