@@ -140,7 +140,7 @@ def win_count_slide(spark, sf_dir):
     return (
         e.select(
             "user_id",
-            F.row_number().over(w).alias("win_end"),
+            F.row_number().over(w).cast("long").alias("win_end"),
             F.sum(cents).over(frame).alias("sum_cents"),
             F.count(F.lit(1)).over(frame).alias("n_events"),
         )

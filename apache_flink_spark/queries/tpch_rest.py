@@ -70,7 +70,7 @@ _Q8 = """
                                ELSE CAST(0 AS DECIMAL(19,8)) END), 2) AS DOUBLE)
            / CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS mkt_share
     FROM (
-        SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
                CAST(l.l_extendedprice AS DECIMAL(12,4))
                  * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))
                  AS volume,
@@ -100,7 +100,7 @@ _Q9 = """
     SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
     FROM (
         SELECT n.n_name AS nation,
-               EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+               CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
                CAST(l.l_extendedprice AS DECIMAL(12,4))
                  * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))
                - CAST(p.p_retailprice AS DECIMAL(12,4))
