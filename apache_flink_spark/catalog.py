@@ -62,6 +62,13 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, Dat
     columns (the reference needs its vectorized ParquetVectorizedInputFormat
     for the same effect; here it is built-in).
     """
+    from apache_flink_spark.session import configure_session
+
+    # The caller's session may be vanilla (driver harness, user code); the
+    # fixtures' TIMESTAMP(NANOS) column is unreadable without nanosAsLong and
+    # oracle parity needs a UTC session timezone — set runtime confs here so
+    # reads never depend on get_spark() having built the session.
+    configure_session(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
     key = (id(spark), sf_dir)
     if key in _CACHE:

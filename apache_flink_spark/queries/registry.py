@@ -15,6 +15,7 @@ Determinism contract for oracle-checked queries (see tests/test_oracle.py):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,12 +26,26 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     """Register a declared query. ``oracle=None`` => rows-only check
-    (reserved for genuinely non-SQL-expressible ops)."""
+    (reserved for genuinely non-SQL-expressible ops).
+
+    Every registered callable first applies the engine's runtime confs to the
+    caller-provided session (``session.configure_session``) so results are
+    identical whether the session came from ``get_spark()`` or a vanilla
+    ``SparkSession.builder.getOrCreate()`` — the r1 failure mode was exactly
+    a harness session missing ``spark.sql.legacy.parquet.nanosAsLong``.
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from apache_flink_spark.session import configure_session
+
+            configure_session(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco

@@ -36,6 +36,43 @@ _BASE_CONF = {
     "spark.ui.enabled": "false",
 }
 
+# The subset of _BASE_CONF the engine's semantics depend on: all of these are
+# runtime-settable SQL confs, so they can be applied to ANY SparkSession —
+# including one built by an external harness that never calls get_spark().
+# (spark.ui.enabled is static and excluded; it's cosmetic anyway.)
+_RUNTIME_CONF = {
+    k: v for k, v in _BASE_CONF.items() if k != "spark.ui.enabled"
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required runtime confs to an existing session.
+
+    The package contract is ``fn(spark, sf_dir)`` with a CALLER-provided
+    session; correctness must not depend on how that session was built. Every
+    conf here is runtime-settable (``spark.conf.set``), so this is safe to
+    call repeatedly — it is invoked from the query registry and from
+    ``catalog.load_tables`` so both the DataFrame and SQL entry points work
+    on a vanilla ``SparkSession.builder.getOrCreate()`` session.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            # Static conf on this build — skip; none of these should be.
+            pass
+    # Vanilla sessions default to 200 shuffle partitions, which is wasteful
+    # on a laptop-scale run; right-size only when the caller left the default
+    # in place (never clobber an explicit setting).
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+            spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+    except Exception:
+        pass
+    return spark
+
 
 def get_spark(
     app_name: str = "apache_flink_spark",
