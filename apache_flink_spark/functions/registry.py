@@ -52,11 +52,14 @@ _SQL_FUNCTIONS = {
     "to_base64_": ("(s STRING)", "STRING", "base64(s)"),
     "from_base64_": ("(s STRING)", "STRING", "CAST(unbase64(s) AS STRING)"),
     # TEMPORAL_OVERLAPS (BuiltInFunctionDefinitions "temporalOverlaps"):
-    # SQL-standard (s1,e1) OVERLAPS (s2,e2) — half-open interval intersection.
+    # SQL-standard OVERLAPS per the reference's TemporalOverlapsConverter —
+    # endpoints are sorted within each pair (swapped args allowed) and the
+    # comparison is CLOSED (>=), so touching intervals like (9:00,10:00)
+    # OVERLAPS (10:00,11:00) are TRUE, matching the reference's ITCase.
     "temporal_overlaps": (
         "(s1 TIMESTAMP, e1 TIMESTAMP, s2 TIMESTAMP, e2 TIMESTAMP)",
         "BOOLEAN",
-        "s1 < e2 AND s2 < e1",
+        "greatest(s1, e1) >= least(s2, e2) AND greatest(s2, e2) >= least(s1, e1)",
     ),
     # Flink TRUNCATE(numeric, d): toward-zero truncation at d decimals
     # (Spark's trunc/date_trunc are date-only).
@@ -73,12 +76,17 @@ _SQL_FUNCTIONS = {
     "sha384": ("(s STRING)", "STRING", "sha2(s, 384)"),
     "sha512": ("(s STRING)", "STRING", "sha2(s, 512)"),
     # SQL-standard SIMILAR TO (Flink "similar"): regex syntax where % and _
-    # stand for .* and . — the translation below implements exactly that
-    # subset (no custom ESCAPE character support), whole-string anchored.
+    # stand for .* and . — whole-string anchored, no custom ESCAPE support.
+    # '.' and '$' are LITERALS in SIMILAR TO (unlike Java regex), so they are
+    # escaped before the %/_ substitution ('a.c' must not match 'abc').
+    # '^' is left as-is because [^...] negated classes are valid SIMILAR TO
+    # syntax; a bare '^' outside brackets remains a (non-standard) anchor —
+    # documented caveat, as are %/_ inside bracket expressions.
     "similar_to": (
         "(s STRING, p STRING)",
         "BOOLEAN",
-        "s RLIKE concat('^(?:', replace(replace(p, '%', '.*'), '_', '.'), ')$')",
+        r"s RLIKE concat('^(?:', replace(replace(replace(replace("
+        r"p, '.', '\\.'), '$', '\\$'), '%', '.*'), '_', '.'), ')$')",
     ),
 }
 

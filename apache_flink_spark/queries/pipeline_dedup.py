@@ -44,9 +44,15 @@ _SHINGLES_SQL = (
 # split(text) into the transform lambda makes Catalyst re-split the text for
 # every shingle element (O(tokens^2) per doc — measured 8x slower at sf0.1).
 # Generate (explode) is not a Project, so CollapseProject cannot undo this.
+# Docs with < 3 tokens must yield ZERO shingles: Spark's sequence(0, n) with
+# n < 0 produces a DESCENDING [0, -1] (spurious partial shingles through
+# concat_ws's null-skipping), while the oracle's generate_series is empty —
+# the CASE guard keeps both engines at "no shingles" for short docs.
 _SHINGLES_SPARK = (
-    "array_distinct(transform(sequence(0, size(toks) - 3),"
+    "CASE WHEN size(toks) >= 3 THEN"
+    " array_distinct(transform(sequence(0, size(toks) - 3),"
     " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+    " ELSE CAST(array() AS ARRAY<STRING>) END"
 )
 
 
@@ -380,7 +386,9 @@ def dedup_cluster_components(spark, sf_dir):
         )
     ).localCheckpoint(eager=True)
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    for _ in range(20):
+    max_rounds = 20
+    converged = False
+    for rnd in range(1, max_rounds + 1):
         nbr = edges.join(
             labels, edges["doc_b"] == labels["doc_id"]
         ).select(F.col("doc_a").alias("doc_id"), "cluster_id")
@@ -390,15 +398,32 @@ def dedup_cluster_components(spark, sf_dir):
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        # The convergence probe is a full job (join + count); probing every
+        # 2nd round halves the action count — on a 100 TB edge set each
+        # saved job is material, and one extra propagation round past the
+        # fixpoint is an idempotent no-op.
+        if rnd % 2 == 0 or rnd == max_rounds:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                converged = True
+                break
         labels = new_labels
-        if changed == 0:
-            break
+    if not converged:
+        # A component with diameter > max_rounds would silently mislabel
+        # clusters (and diverge from the oracle's exact transitive closure);
+        # fail loudly instead of returning unconverged labels.
+        raise RuntimeError(
+            f"dedup_cluster_components: min-label propagation did not "
+            f"converge within {max_rounds} rounds — component diameter "
+            f"exceeds the cap; raise max_rounds or switch to "
+            f"large-star/small-star contraction for this graph"
+        )
     return labels.select(
         "doc_id",
         "cluster_id",

@@ -179,8 +179,12 @@ def text_top_bigrams(spark, sf_dir):
     bigrams = toks.select(
         F.explode(
             F.expr(
-                "transform(sequence(0, size(toks) - 2),"
+                # Guard single-token docs: sequence(0, -1) would descend and
+                # fabricate bigrams the oracle's empty generate_series lacks.
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(0, size(toks) - 2),"
                 " i -> concat_ws(' ', toks[i], toks[i+1]))"
+                " ELSE CAST(array() AS ARRAY<STRING>) END"
             )
         ).alias("bigram")
     )
@@ -219,8 +223,12 @@ def text_fingerprint(spark, sf_dir):
         F.md5(F.lower(F.trim("text"))).alias("content_md5"),
         F.array_min(
             F.expr(
-                "transform(sequence(0, size(toks) - 3),"
+                # Short-doc guard: <3 tokens => empty array => array_min NULL,
+                # matching DuckDB's list_min over an empty comprehension.
+                "CASE WHEN size(toks) >= 3 THEN"
+                " transform(sequence(0, size(toks) - 3),"
                 " i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+                " ELSE CAST(array() AS ARRAY<STRING>) END"
             )
         ).alias("shingle_minhash"),
     )

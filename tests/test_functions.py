@@ -84,7 +84,9 @@ def test_temporal_numeric_hash_shims(spark):
         """
     ).collect()[0]
     assert row.ov is True
-    assert row.adj is False  # half-open: touching endpoints do not overlap
+    # SQL-standard OVERLAPS (reference TemporalOverlapsConverter): closed
+    # comparison after endpoint sorting — touching intervals DO overlap.
+    assert row.adj is True
     assert row.tpos == 3.14 and row.tneg == -3.14  # toward zero, not floor
     assert 0 <= row.ri < 10
     assert (len(row.h224), len(row.h384), len(row.h512)) == (56, 96, 128)
@@ -96,10 +98,16 @@ def test_similar_to(spark):
         """SELECT similar_to('abcdef', 'abc%') AS pre,
                   similar_to('abcdef', '%c_e%') AS mid,
                   similar_to('abcdef', 'abc') AS whole,
-                  similar_to('abc', 'a(b|x)c') AS alt
+                  similar_to('abc', 'a(b|x)c') AS alt,
+                  similar_to('abc', 'a.c') AS dotlit,
+                  similar_to('a.c', 'a.c') AS dotmatch,
+                  similar_to('a$b', 'a$b') AS dollarlit
         """
     ).collect()[0]
     assert row.pre is True
     assert row.mid is True
     assert row.whole is False  # anchored: must match the ENTIRE string
     assert row.alt is True  # regex alternation passes through per the standard
+    assert row.dotlit is False  # '.' is a LITERAL in SIMILAR TO, not any-char
+    assert row.dotmatch is True
+    assert row.dollarlit is True  # '$' is a literal, not an anchor
