@@ -301,13 +301,20 @@ def sim_ivf_topk(spark, sf_dir):
     oracle=f"""
     WITH v AS (
         SELECT vec_id, label, {_QE_SQL} AS qe FROM embeddings
+    ), b AS (
+        SELECT vec_id, label, qe, {_bucket_sql("qe")} AS bucket FROM v
+    ), k AS (
+        SELECT vec_id, label, qe, band,
+               CASE WHEN band = 0 THEN bucket % 16 ELSE bucket // 16 END AS key
+        FROM b, (SELECT unnest([0, 1]) AS band)
     ), d AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               a.label AS label_a, b.label AS label_b,
-               {_dot_sql("a.qe", "b.qe")} AS dot,
+        SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
+               a.label AS label_a, c.label AS label_b,
+               {_dot_sql("a.qe", "c.qe")} AS dot,
                {_dot_sql("a.qe", "a.qe")} AS nq,
-               {_dot_sql("b.qe", "b.qe")} AS nc
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
+               {_dot_sql("c.qe", "c.qe")} AS nc
+        FROM k a JOIN k c
+          ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id
     )
     SELECT vec_a, vec_b, label_a, label_b, {_COS_SQL} AS cosine
     FROM d
@@ -316,28 +323,68 @@ def sim_ivf_topk(spark, sf_dir):
 )
 def sim_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (threshold 0.9) — the semantic-dedup
-    stage. All-pairs at test SF; at 100 TB the sim_lsh_ann buckets bound the
-    pair space before this thresholding."""
+    stage, LSH-BOUNDED: the 8 hyperplane sign bits split into 2 bands of 4
+    bits; a pair is a candidate iff it collides in at least one band
+    (standard banded-LSH OR-amplification — higher recall than requiring the
+    full 8-bit bucket to match). Candidate generation is a pure EQUI-join on
+    (band, key) — never an all-pairs theta join — so the pair space scales
+    with band-bucket occupancy, not corpus^2; cosine is computed and
+    thresholded on candidates only. Band duplicates (pairs colliding in both
+    bands) are removed with DISTINCT before thresholding. At 100 TB you
+    raise planes/bands (e.g. 4x8 bits) to shrink buckets; the join shape is
+    unchanged. Approximate by design: pairs colliding in neither band are
+    missed — the oracle uses the identical candidate set."""
     e = t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", "label", F.expr(_QE_SPARK).alias("qe"))
-    a = v.select(
+    b = v.withColumn("bucket", F.expr(_bucket_spark("qe")))
+    # Two band keys per vector: low / high 4 bits of the 8-bit signature.
+    k = b.select(
+        "vec_id",
+        "label",
+        "qe",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"), (F.col("bucket") % 16).alias("key")
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.expr("bucket div 16").alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("vec_id", "label", "qe", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = k.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("label_a"),
         F.col("qe").alias("a_qe"),
+        "band",
+        "key",
     )
-    b = v.select(
+    c = k.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("qe").alias("b_qe"),
+        F.col("band").alias("c_band"),
+        F.col("key").alias("c_key"),
     )
-    d = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
-        "vec_a",
-        "vec_b",
-        "label_a",
-        "label_b",
-        F.expr(_dot_spark("a_qe", "b_qe")).alias("dot"),
-        F.expr(_dot_spark("a_qe", "a_qe")).alias("nq"),
-        F.expr(_dot_spark("b_qe", "b_qe")).alias("nc"),
+    d = (
+        a.join(
+            c,
+            (F.col("band") == F.col("c_band"))
+            & (F.col("key") == F.col("c_key"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            "label_a",
+            "label_b",
+            F.expr(_dot_spark("a_qe", "b_qe")).alias("dot"),
+            F.expr(_dot_spark("a_qe", "a_qe")).alias("nq"),
+            F.expr(_dot_spark("b_qe", "b_qe")).alias("nc"),
+        )
+        .distinct()
     )
     cos = F.col("dot").cast("double") / F.sqrt(
         (F.col("nq") * F.col("nc")).cast("double")

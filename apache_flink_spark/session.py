@@ -36,12 +36,30 @@ _BASE_CONF = {
     "spark.ui.enabled": "false",
 }
 
-# The subset of _BASE_CONF the engine's semantics depend on: all of these are
-# runtime-settable SQL confs, so they can be applied to ANY SparkSession —
-# including one built by an external harness that never calls get_spark().
-# (spark.ui.enabled is static and excluded; it's cosmetic anyway.)
-_RUNTIME_CONF = {
-    k: v for k, v in _BASE_CONF.items() if k != "spark.ui.enabled"
+# Confs CORRECTNESS depends on — enforced on every caller-provided session
+# (all runtime-settable SQL confs). AQE/filterPushdown are not listed: their
+# engine values equal Spark's defaults, so a vanilla session already has
+# them, and a caller who changed one did so deliberately (e.g. the plan
+# tests disable broadcast to simulate fact-table scale).
+_MANDATORY_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+}
+
+# Perf preferences applied only while the conf still holds its Spark default
+# — never clobbering an explicit caller setting.
+_PREFERRED_CONF = {
+    # (engine value, Spark-default spellings that mean "caller never set it")
+    "spark.sql.autoBroadcastJoinThreshold": (
+        str(64 * 1024 * 1024),
+        {"10MB", "10485760b", "10485760"},
+    ),
+    "spark.sql.shuffle.partitions": (
+        str(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))),
+        {"200"},
+    ),
 }
 
 
@@ -55,22 +73,19 @@ def configure_session(spark: SparkSession) -> SparkSession:
     ``catalog.load_tables`` so both the DataFrame and SQL entry points work
     on a vanilla ``SparkSession.builder.getOrCreate()`` session.
     """
-    for k, v in _RUNTIME_CONF.items():
+    for k, v in _MANDATORY_CONF.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
         except Exception:
             # Static conf on this build — skip; none of these should be.
             pass
-    # Vanilla sessions default to 200 shuffle partitions, which is wasteful
-    # on a laptop-scale run; right-size only when the caller left the default
-    # in place (never clobber an explicit setting).
-    try:
-        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
-            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-            spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
-    except Exception:
-        pass
+    for k, (v, defaults) in _PREFERRED_CONF.items():
+        try:
+            if spark.conf.get(k, defaults and next(iter(defaults))) in defaults:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
     return spark
 
 

@@ -134,6 +134,16 @@ def test_q21_self_joins_survive_no_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_neardup_is_equijoin(spark, sf_dir):
+    """sim_embedding_neardup's candidate generation must be a banded-LSH
+    EQUI-join — an all-pairs theta join (BroadcastNestedLoopJoin /
+    CartesianProduct) is O(n^2) at corpus scale and is the exact r1
+    perf-weak finding this pins against."""
+    plan = _executed_plan(QUERIES["sim_embedding_neardup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q2_correlated_min_decorrelates(spark, sf_dir):
     """q2's correlated MIN subquery must rewrite to aggregate + join
     (Catalyst decorrelation; reference: FlinkSubQueryRemoveRule) — a
