@@ -47,7 +47,13 @@ class TableEnvironment:
         """Parse/plan/execute SQL — reference TableEnvironmentImpl.executeSql
         (flink-table-api-java .../internal/TableEnvironmentImpl.java:727);
         here Catalyst replaces the Calcite parse→validate→optimize chain
-        (SURVEY.md §3)."""
+        (SURVEY.md §3). MATCH_RECOGNIZE clauses (which Spark SQL lacks) are
+        compiled by apache_flink_spark.match_recognize first — reference
+        StreamExecMatch.java:61."""
+        if "MATCH_RECOGNIZE" in query.upper():
+            from apache_flink_spark.match_recognize import sql_with_match_recognize
+
+            return sql_with_match_recognize(self.spark, query)
         return self.spark.sql(query)
 
     def from_path(self, name: str) -> DataFrame:

@@ -1,0 +1,365 @@
+"""SQL MATCH_RECOGNIZE — restricted row-pattern matching over DataFrames.
+
+Reference parity (SURVEY.md §2.9): the reference parses MATCH_RECOGNIZE via
+Calcite and plans StreamExecMatch (flink-table-planner
+.../nodes/exec/stream/StreamExecMatch.java:61) backed by the CEP NFA
+(flink-libraries/flink-cep NFA.java:76). Spark has no MATCH_RECOGNIZE
+syntax; this module adds the SQL surface on top of the DataFrame CEP
+rewrites in queries/pattern_match.py.
+
+Supported subset (errors loudly otherwise):
+
+    SELECT ... FROM <table> MATCH_RECOGNIZE (
+        PARTITION BY k [, ...]
+        ORDER BY c [, ...]                       -- ascending only
+        MEASURES <measure> AS alias [, ...]
+        [ONE ROW PER MATCH]                      -- the only supported mode
+        [AFTER MATCH SKIP PAST LAST ROW         -- default
+         | AFTER MATCH SKIP TO NEXT ROW]
+        PATTERN ( VAR[quant] ... )               -- quant in  + * ?  (greedy)
+        DEFINE VAR AS <predicate> [, ...]        -- own-row predicates only
+    ) [AS alias]
+
+    <measure>  := VAR.col | FIRST(VAR.col) | LAST(VAR.col)
+                | COUNT(VAR.*) | COUNT(*) | SUM|MIN|MAX|AVG(VAR.col)
+
+Semantics follow the reference: greedy quantifiers with backtracking,
+leftmost match priority, non-overlapping via AFTER MATCH SKIP. Variables not
+in DEFINE match any row (the standard's "undefined variable is TRUE").
+
+Execution strategy (Spark-first):
+  1. DEFINE predicates are stripped of their variable prefix and evaluated
+     JVM-side as boolean columns (Catalyst expressions, codegen, pushdown-
+     friendly) — the Python matcher never evaluates SQL.
+  2. Rows shuffle once on PARTITION BY; an Arrow-batched ``applyInPandas``
+     runs a linear-pattern NFA per key over the precomputed booleans (the
+     same keyed, time-ordered traversal CepOperator performs). Per-key rows
+     must fit in executor memory — identical to the reference's per-key NFA
+     state assumption.
+  3. The MATCH_RECOGNIZE subtree is replaced by a temp view so the OUTER
+     query (projection / WHERE / ORDER BY over the matches) still runs
+     through Catalyst unchanged.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["sql_with_match_recognize", "compile_match_recognize"]
+
+
+class MatchRecognizeError(ValueError):
+    pass
+
+
+_QUANTS = {"": (1, 1), "?": (0, 1), "+": (1, None), "*": (0, None)}
+
+_BODY_RE = re.compile(
+    r"PARTITION\s+BY\s+(?P<part>.+?)\s+"
+    r"ORDER\s+BY\s+(?P<order>.+?)\s+"
+    r"MEASURES\s+(?P<meas>.+?)\s+"
+    r"(?:ONE\s+ROW\s+PER\s+MATCH\s+)?"
+    r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)\s+)?"
+    r"PATTERN\s*\(\s*(?P<pat>[^)]*?)\s*\)\s+"
+    r"DEFINE\s+(?P<defs>.+)$",
+    re.I | re.S,
+)
+
+_MEASURE_RE = re.compile(
+    r"^(?:(?P<agg>FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?P<inner>[^)]*?)\s*\)"
+    r"|(?P<var>\w+)\.(?P<col>\w+))\s+AS\s+(?P<alias>\w+)$",
+    re.I,
+)
+
+_TOKEN_RE = re.compile(r"(\w+)\s*([+*?]?)")
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside parentheses."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur and "".join(cur).strip():
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def _parse_pattern(pat: str) -> list[tuple[str, tuple[int, int | None]]]:
+    toks = []
+    rest = pat.strip()
+    while rest:
+        m = _TOKEN_RE.match(rest)
+        if not m:
+            raise MatchRecognizeError(f"unsupported PATTERN syntax near: {rest!r}")
+        toks.append((m.group(1), _QUANTS[m.group(2)]))
+        rest = rest[m.end():].strip()
+    if not toks:
+        raise MatchRecognizeError("empty PATTERN")
+    return toks
+
+
+def _parse_measures(meas: str):
+    out = []
+    for part in _split_top_level(meas):
+        m = _MEASURE_RE.match(part.strip())
+        if not m:
+            raise MatchRecognizeError(
+                f"unsupported MEASURES expression: {part!r} (supported: "
+                "VAR.col, FIRST/LAST(VAR.col), COUNT(VAR.*|*), "
+                "SUM/MIN/MAX/AVG(VAR.col))"
+            )
+        alias = m.group("alias")
+        if m.group("var"):
+            out.append(("FIRST", m.group("var"), m.group("col"), alias))
+            continue
+        agg = m.group("agg").upper()
+        inner = m.group("inner").strip()
+        if agg == "COUNT":
+            if inner == "*":
+                out.append(("COUNT", None, None, alias))
+                continue
+            mv = re.match(r"^(\w+)\.\*$", inner)
+            if mv:
+                out.append(("COUNT", mv.group(1), None, alias))
+                continue
+        mv = re.match(r"^(\w+)\.(\w+)$", inner)
+        if not mv:
+            raise MatchRecognizeError(
+                f"unsupported {agg} argument in MEASURES: {inner!r}"
+            )
+        out.append((agg, mv.group(1), mv.group(2), alias))
+    return out
+
+
+def _parse_defines(defs: str, variables: set[str]) -> dict[str, str]:
+    out = {}
+    for part in _split_top_level(defs):
+        m = re.match(r"^(\w+)\s+AS\s+(.+)$", part.strip(), re.I | re.S)
+        if not m:
+            raise MatchRecognizeError(f"unsupported DEFINE clause: {part!r}")
+        var, pred = m.group(1), m.group(2).strip()
+        if var not in variables:
+            raise MatchRecognizeError(f"DEFINE for unknown variable {var!r}")
+        # Own-row predicates only: references to OTHER variables (PREV/NEXT/
+        # LAST(B.x) cross-references) need full NFA bind tracking — out of
+        # the supported subset, like the reference's unsupported-feature
+        # errors in MatchRecognize validation.
+        for other in variables - {var}:
+            if re.search(rf"\b{other}\s*\.", pred):
+                raise MatchRecognizeError(
+                    f"DEFINE {var} references {other}.<col>: only own-row "
+                    "predicates are supported"
+                )
+        if re.search(r"\b(PREV|NEXT)\s*\(", pred, re.I):
+            raise MatchRecognizeError("PREV()/NEXT() are not supported")
+        # Strip the own-variable prefix: A.col -> col (evaluated on the row).
+        out[var] = re.sub(rf"\b{var}\s*\.\s*(\w+)", r"\1", pred)
+    return out
+
+
+_SUM_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _measure_sql_type(kind: str, col_type: str | None) -> str:
+    if kind == "COUNT":
+        return "bigint"
+    if kind == "AVG":
+        return "double"
+    if kind == "SUM":
+        return "bigint" if col_type in _SUM_INT_TYPES else "double"
+    return col_type  # FIRST/LAST/MIN/MAX
+
+
+def compile_match_recognize(
+    spark: SparkSession, source: DataFrame, body: str
+) -> DataFrame:
+    """Compile one MATCH_RECOGNIZE(...) body against ``source``.
+
+    Returns a DataFrame with PARTITION BY columns + one row per match
+    carrying the MEASURES (ONE ROW PER MATCH semantics).
+    """
+    import pandas as pd
+
+    m = _BODY_RE.search(body.strip())
+    if not m:
+        raise MatchRecognizeError(
+            "could not parse MATCH_RECOGNIZE body — expected PARTITION BY, "
+            "ORDER BY, MEASURES, [ONE ROW PER MATCH], [AFTER MATCH SKIP ...], "
+            "PATTERN (...), DEFINE in that order"
+        )
+    part_cols = [c.strip() for c in m.group("part").split(",")]
+    order_cols = [c.strip() for c in m.group("order").split(",")]
+    for oc in order_cols:
+        if re.search(r"\bDESC\b", oc, re.I):
+            raise MatchRecognizeError("ORDER BY ... DESC is not supported")
+    pattern = _parse_pattern(m.group("pat"))
+    variables = {v for v, _ in pattern}
+    measures = _parse_measures(m.group("meas"))
+    defines = _parse_defines(m.group("defs"), variables)
+    skip_to_next = bool(
+        m.group("skip") and re.match(r"TO\s+NEXT", m.group("skip"), re.I)
+    )
+
+    for kind, var, col, alias in measures:
+        if var is not None and var not in variables:
+            raise MatchRecognizeError(f"MEASURES references unknown variable {var!r}")
+
+    # 1. JVM-side predicate evaluation: one boolean column per variable.
+    #    An undefined variable matches every row (SQL standard).
+    work = source
+    for var in sorted(variables):
+        pred = defines.get(var)
+        work = work.withColumn(
+            f"__mr_{var}",
+            F.expr(pred).cast("boolean") if pred else F.lit(True),
+        )
+
+    type_of = dict((f.name, f.dataType.simpleString()) for f in source.schema.fields)
+    out_fields = []
+    for c in part_cols:
+        if c not in type_of:
+            raise MatchRecognizeError(f"unknown PARTITION BY column {c!r}")
+        out_fields.append((c, type_of[c]))
+    for kind, var, col, alias in measures:
+        if col is not None and col not in type_of:
+            raise MatchRecognizeError(f"unknown column in MEASURES: {col!r}")
+        out_fields.append((alias, _measure_sql_type(kind, type_of.get(col))))
+    out_schema = ", ".join(f"{name} {typ}" for name, typ in out_fields)
+    out_cols = [name for name, _ in out_fields]
+
+    pat = list(pattern)
+    meas = list(measures)
+    parts = list(part_cols)
+    orders = list(order_cols)
+
+    def run_matches(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(orders, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        sat = {v: pdf[f"__mr_{v}"].fillna(False).to_numpy() for v in variables}
+
+        def try_match(start: int):
+            """Greedy leftmost match beginning at ``start`` for the linear
+            pattern; returns (var -> [row indices], end_exclusive) or None.
+            Quantifier backtracking only reduces the greedy count — linear
+            patterns need no other backtracking."""
+
+            def rec(pi: int, ri: int):
+                if pi == len(pat):
+                    return {}, ri
+                var, (lo, hi) = pat[pi]
+                ok = sat[var]
+                # Greedily take as many as allowed, then back off.
+                take_max = 0
+                while (
+                    (hi is None or take_max < hi)
+                    and ri + take_max < n
+                    and ok[ri + take_max]
+                ):
+                    take_max += 1
+                for take in range(take_max, lo - 1, -1):
+                    res = rec(pi + 1, ri + take)
+                    if res is not None:
+                        assign, end = res
+                        if take:
+                            assign = dict(assign)
+                            assign[var] = list(range(ri, ri + take)) + assign.get(
+                                var, []
+                            )
+                        return assign, end
+                return None
+
+            res = rec(0, start)
+            if res is None:
+                return None
+            assign, end = res
+            if end == start:
+                return None  # zero-width match — never emitted
+            return assign, end
+
+        rows = []
+        i = 0
+        while i < n:
+            hit = try_match(i)
+            if hit is None:
+                i += 1
+                continue
+            assign, end = hit
+            vals = []
+            for c in parts:
+                vals.append(pdf.at[0, c])
+            for kind, var, col, alias in meas:
+                if kind == "COUNT":
+                    if var is None:
+                        vals.append(sum(len(v) for v in assign.values()))
+                    else:
+                        vals.append(len(assign.get(var, [])))
+                    continue
+                idxs = assign.get(var, [])
+                if not idxs:
+                    vals.append(None)
+                    continue
+                series = pdf[col].iloc[idxs]
+                if kind == "FIRST":
+                    vals.append(series.iloc[0])
+                elif kind == "LAST":
+                    vals.append(series.iloc[-1])
+                elif kind == "SUM":
+                    vals.append(series.sum())
+                elif kind == "MIN":
+                    vals.append(series.min())
+                elif kind == "MAX":
+                    vals.append(series.max())
+                elif kind == "AVG":
+                    vals.append(float(series.mean()))
+            rows.append(vals)
+            i = (i + 1) if skip_to_next else end
+        return pd.DataFrame(rows, columns=out_cols)
+
+    # groupBy itself hash-shuffles on the partition keys — exactly one
+    # exchange, the same distribution StreamExecMatch requires.
+    return work.groupBy(*part_cols).applyInPandas(run_matches, out_schema)
+
+
+_MR_SITE_RE = re.compile(r"(\w+)\s+MATCH_RECOGNIZE\s*\(", re.I)
+
+_view_counter = itertools.count()
+
+
+def sql_with_match_recognize(spark: SparkSession, sql: str) -> DataFrame:
+    """Execute SQL, compiling any ``<table> MATCH_RECOGNIZE (...)`` subtree.
+
+    The subtree is compiled to a DataFrame, registered as a temp view, and
+    textually substituted so the remaining query (outer SELECT, WHERE,
+    ORDER BY, joins against the matches) still runs through ``spark.sql``.
+    """
+    while True:
+        m = _MR_SITE_RE.search(sql)
+        if m is None:
+            return spark.sql(sql)
+        src_name = m.group(1)
+        # Find the matching close paren of MATCH_RECOGNIZE( ... ).
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise MatchRecognizeError("unbalanced parentheses in MATCH_RECOGNIZE")
+        body = sql[m.end(): i - 1]
+        view = f"__mr_matches_{next(_view_counter)}"
+        compile_match_recognize(spark, spark.table(src_name), body).createOrReplaceTempView(view)
+        sql = sql[: m.start()] + view + sql[i:]

@@ -12,6 +12,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     tpch_extra,
     tpch_rest,
     joins,
+    match_recognize_queries,
     aggregates,
     agg_extras,
     async_lookup,

@@ -1,0 +1,154 @@
+"""MATCH_RECOGNIZE compiler unit tests (SQL surface, semantics, errors).
+
+Reference behaviors mirrored: greedy quantifiers, AFTER MATCH SKIP modes,
+undefined-variable-is-TRUE, unsupported-feature errors (the reference's
+MatchRecognize validator rejects what its NFA can't run; ours rejects what
+the linear-pattern subset can't)."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_flink_spark.environment import TableEnvironment
+from apache_flink_spark.match_recognize import (
+    MatchRecognizeError,
+    sql_with_match_recognize,
+)
+
+
+@pytest.fixture(scope="module")
+def seq_view(spark):
+    rows = [
+        # user 1: low low high low high  (values), types: a a b a b
+        (1, 1, "a", 10.0),
+        (1, 2, "a", 20.0),
+        (1, 3, "b", 200.0),
+        (1, 4, "a", 30.0),
+        (1, 5, "b", 300.0),
+        # user 2: one lone low, never a breakout
+        (2, 1, "a", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, seq int, typ string, v double")
+    df.createOrReplaceTempView("mr_seq")
+    return "mr_seq"
+
+
+def test_greedy_plus_consumes_maximal_run(spark, seq_view):
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT user_id, n_a, b_seq FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES COUNT(A.*) AS n_a, B.seq AS b_seq
+            PATTERN (A+ B)
+            DEFINE A AS A.v < 100, B AS B.v >= 100
+        ) ORDER BY user_id, b_seq
+        """,
+    ).collect()
+    assert [(r.user_id, r.n_a, r.b_seq) for r in out] == [(1, 2, 3), (1, 1, 5)]
+
+
+def test_skip_to_next_row_overlaps(spark, seq_view):
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT user_id, a_seq FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES A.seq AS a_seq
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE B AS B.typ = 'b'
+        ) ORDER BY user_id, a_seq
+        """,
+    ).collect()
+    # A is undefined => TRUE for every row; every row directly before a 'b'
+    # starts a match, and SKIP TO NEXT ROW allows overlapping starts.
+    assert [r.a_seq for r in out] == [2, 4]
+
+
+def test_optional_and_star_quantifiers(spark, seq_view):
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT user_id, n_a, b_seq FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES COUNT(A.*) AS n_a, B.seq AS b_seq
+            PATTERN (A* B)
+            DEFINE A AS A.v < 100, B AS B.v >= 100
+        ) ORDER BY user_id, b_seq
+        """,
+    ).collect()
+    # Same matches as A+ here (runs exist), but A* would also accept a bare B.
+    assert [(r.n_a, r.b_seq) for r in out] == [(2, 3), (1, 5)]
+
+
+def test_outer_query_composes(spark, seq_view):
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT user_id, n_a * 10 AS score FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES COUNT(A.*) AS n_a, B.seq AS b_seq
+            PATTERN (A+ B)
+            DEFINE A AS A.v < 100, B AS B.v >= 100
+        ) WHERE n_a >= 2
+        """,
+    ).collect()
+    assert [(r.user_id, r.score) for r in out] == [(1, 20)]
+
+
+def test_tenv_routes_match_recognize(spark, seq_view):
+    tenv = TableEnvironment(spark=spark)
+    out = tenv.sql(
+        """
+        SELECT user_id, b_seq FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES B.seq AS b_seq
+            PATTERN (A B)
+            DEFINE A AS A.typ = 'a', B AS B.typ = 'b'
+        ) ORDER BY b_seq
+        """
+    ).collect()
+    assert [r.b_seq for r in out] == [3, 5]
+
+
+@pytest.mark.parametrize(
+    "frag,msg",
+    [
+        (
+            "PATTERN (A B) DEFINE A AS A.v > B.v",
+            "own-row",
+        ),
+        (
+            "PATTERN (A B) DEFINE B AS PREV(B.v) < B.v",
+            "PREV",
+        ),
+    ],
+)
+def test_unsupported_features_error_loudly(spark, seq_view, frag, msg):
+    with pytest.raises(MatchRecognizeError, match=msg):
+        sql_with_match_recognize(
+            spark,
+            f"""
+            SELECT * FROM mr_seq MATCH_RECOGNIZE (
+                PARTITION BY user_id ORDER BY seq
+                MEASURES A.seq AS a_seq
+                {frag}
+            )
+            """,
+        )
+
+
+def test_unknown_measure_column_errors(spark, seq_view):
+    with pytest.raises(MatchRecognizeError, match="unknown column"):
+        sql_with_match_recognize(
+            spark,
+            """
+            SELECT * FROM mr_seq MATCH_RECOGNIZE (
+                PARTITION BY user_id ORDER BY seq
+                MEASURES A.nope AS x
+                PATTERN (A)
+                DEFINE A AS A.v > 0
+            )
+            """,
+        )
