@@ -238,6 +238,106 @@ def stream_update_group_agg(spark, sf_dir):
 
 
 @query(
+    "stream_semi_join",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click' AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    )
+    """,
+)
+def stream_semi_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT SEMI join (reference
+    StreamingSemiAntiJoinOperator.java:36, semi side): clicks that see at
+    least one same-user purchase within 30 minutes. A left row emits exactly
+    once on its first match, so the emitted SET equals batch EXISTS —
+    batching-invariant. Watermarks + the time bound evict both sides' state
+    exactly as the reference's OuterJoinRecordStateView cleanup."""
+    clicks, purchases, cond = _click_purchase_sides(spark, sf_dir)
+    joined = clicks.join(purchases, cond, "left_semi").select(
+        "click_id", "user_id", F.unix_micros("c_ts").alias("click_ts")
+    )
+    return run_to_table(joined, "append")
+
+
+@query(
+    "stream_anti_join",
+    oracle="""
+    WITH wm AS (
+        SELECT LEAST(
+            (SELECT epoch_ms(MAX(ts)) FROM events WHERE event_type = 'click'),
+            (SELECT epoch_ms(MAX(ts)) FROM events WHERE event_type = 'purchase')
+        ) - 3600000 AS wm_ms
+    )
+    SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS click_ts
+    FROM events c, wm
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      )
+      AND epoch_ms(c.ts) + 1800000 < wm.wm_ms
+    """,
+)
+def stream_anti_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT ANTI join (reference
+    StreamingSemiAntiJoinOperator.java:36, anti side): clicks with NO
+    same-user purchase within 30 minutes. An anti row can only emit once the
+    watermark proves no future match is possible (its 30-minute window has
+    closed below the final GLOBAL watermark — the MIN of both sides' (max
+    event-time - 1 hour), Spark's multi-watermark policy), so clicks near
+    the stream tail remain in state — the oracle applies the identical
+    cutoff. This watermark-gated emission is
+    exactly the reference's retraction-free NOT EXISTS on streams.
+
+    Spark rejects stream-stream left_anti outright; the standard rewrite is
+    watermarked LEFT OUTER + IS NULL on the right key — the outer join emits
+    the null-padded row only when the watermark closes the match window,
+    which IS the anti join's emission rule."""
+    clicks, purchases, cond = _click_purchase_sides(spark, sf_dir)
+    joined = (
+        clicks.join(purchases, cond, "left_outer")
+        .filter(F.col("purchase_id").isNull())
+        .select("click_id", "user_id", F.unix_micros("c_ts").alias("click_ts"))
+    )
+    return run_to_table(joined, "append")
+
+
+def _click_purchase_sides(spark, sf_dir):
+    """Shared watermarked click/purchase sides + 30-minute join bound."""
+    e1 = stream_table(spark, sf_dir, "events")
+    e2 = stream_table(spark, sf_dir, "events")
+    clicks = (
+        e1.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        e2.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return clicks, purchases, cond
+
+
+@query(
     "stream_stream_join",
     oracle="""
     SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
