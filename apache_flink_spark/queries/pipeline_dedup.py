@@ -205,12 +205,29 @@ _MINHASH_ORACLE = f"""
             f" FROM sig"
             for b in range(_N_HASH // 2)
         )}
+    ), capped AS (
+        SELECT doc_id, band_id, bh
+        FROM (
+            SELECT doc_id, band_id, bh,
+                   ROW_NUMBER() OVER (PARTITION BY band_id, bh
+                                      ORDER BY doc_id) AS rn
+            FROM bands
+        )
+        WHERE rn <= {{cap}}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh
-                AND a.doc_id < b.doc_id
+    FROM capped a
+    JOIN capped b ON a.band_id = b.band_id AND a.bh = b.bh
+                 AND a.doc_id < b.doc_id
 """
+
+# Degenerate hot buckets (boilerplate/empty docs hashing identically) would
+# otherwise explode quadratically; the cap bounds any bucket's pair fan-out
+# at C(cap,2) and keeps collect_list's worst case O(cap) per bucket. The
+# kept members are the cap smallest doc_ids — deterministic, so the oracle
+# applies the identical truncation.
+_BUCKET_CAP = 64
+_MINHASH_ORACLE = _MINHASH_ORACLE.format(cap=_BUCKET_CAP)
 
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
@@ -257,10 +274,15 @@ def dedup_minhash_lsh(spark, sf_dir):
             ).alias("band")
         ),
     ).select("doc_id", F.col("col.band_id").alias("band_id"), F.col("col.bh").alias("bh"))
+    # Hot-bucket cap: keep the _BUCKET_CAP smallest doc_ids per bucket
+    # (array_sort makes collect_list's arrival order irrelevant) so a
+    # degenerate bucket can at most yield C(cap,2) pairs — the oracle's
+    # ROW_NUMBER <= cap truncation is identical.
     buckets = (
         bands.groupBy("band_id", "bh")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") >= 2)
+        .agg(F.collect_list("doc_id").alias("ds_all"))
+        .filter(F.size("ds_all") >= 2)
+        .select(F.slice(F.array_sort("ds_all"), 1, _BUCKET_CAP).alias("ds"))
     )
     pairs = buckets.select(
         F.explode(
