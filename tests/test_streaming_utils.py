@@ -8,7 +8,12 @@ import tempfile
 from pyspark.sql import functions as F
 
 from apache_flink_spark.streaming.sources import run_to_table, stream_table
-from apache_flink_spark.streaming.utils import current_watermark, split_to_sinks
+from apache_flink_spark.streaming.utils import (
+    broadcast_control_join,
+    current_watermark,
+    late_data_side_channel,
+    split_to_sinks,
+)
 
 
 def test_side_outputs_split(spark, sf_dir):
@@ -57,6 +62,59 @@ def test_stream_static_broadcast_join(spark, sf_dir):
     ).count()
 
 
+def test_broadcast_control_join_sees_updates(spark):
+    """Broadcast-state parity: a control-table update between micro-batches
+    must affect the NEXT batch's enrichment (a plan-time stream-static join
+    would keep serving the stale snapshot)."""
+    import os
+    import time
+
+    src = tempfile.mkdtemp(prefix="afs_ctl_src_")
+    control = tempfile.mkdtemp(prefix="afs_ctl_tbl_") + "/control"
+
+    def write_batch(rows, mtime: float):
+        before = set(os.listdir(src))
+        spark.createDataFrame(rows, "k string, v long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in set(os.listdir(src)) - before:
+            os.utime(os.path.join(src, f), (mtime, mtime))
+
+    # Batch 0 joins control v1; then the control flips before batch 1.
+    spark.createDataFrame([("a", "v1")], "k string, tag string").write.mode(
+        "overwrite"
+    ).parquet(control)
+    now = time.time()
+    write_batch([("a", 1)], now - 60)
+    write_batch([("a", 2)], now)
+
+    stream = (
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+
+    seen = []
+
+    def join_fn(batch, ctl):
+        # Materialize the enrichment BEFORE mutating the control table —
+        # Spark reads are lazy, and the point is to flip the control only
+        # between batch 0 and batch 1 (foreachBatch runs sequentially).
+        out = batch.join(ctl, "k").localCheckpoint(eager=True)
+        if not seen:
+            seen.append(True)
+            batch.sparkSession.createDataFrame(
+                [("a", "v2")], "k string, tag string"
+            ).write.mode("overwrite").parquet(control)
+        return out
+
+    q, out_path = broadcast_control_join(stream, control, join_fn)
+    q.awaitTermination()
+    out = {(r.v, r.tag) for r in spark.read.parquet(out_path).collect()}
+    assert out == {(1, "v1"), (2, "v2")}
+
+
 def test_current_watermark_progress(spark, sf_dir):
     """CURRENT_WATERMARK analog: after a watermarked agg drains, the query
     progress reports the advanced event-time watermark."""
@@ -80,6 +138,49 @@ def test_current_watermark_progress(spark, sf_dir):
     q.awaitTermination()
     wm = current_watermark(q)
     assert wm is not None and wm.startswith("20"), wm
+
+
+def test_late_data_side_channel_routes_both_outputs(spark):
+    """sideOutputLateData parity: the splitter must deliver on-time rows to
+    the main sink and watermark-late rows to the side sink — nothing
+    silently dropped."""
+    import os
+    import time
+    from datetime import datetime
+
+    src = tempfile.mkdtemp(prefix="afs_latechan_src_")
+
+    def write_batch(rows, mtime: float):
+        rows = [(datetime.fromisoformat(ts), k) for ts, k in rows]
+        before = set(os.listdir(src))
+        spark.createDataFrame(rows, "ts timestamp, k string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        for f in set(os.listdir(src)) - before:
+            os.utime(os.path.join(src, f), (mtime, mtime))
+
+    now = time.time()
+    write_batch(
+        [("2024-01-01 10:00:00", "a"), ("2024-01-01 12:00:00", "b")], now - 60
+    )
+    # After batch 0 the watermark is 11:50; 09:00 is late, 12:01 on time.
+    write_batch(
+        [("2024-01-01 12:01:00", "c"), ("2024-01-01 09:00:00", "late")], now
+    )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q, main_path, late_path = late_data_side_channel(stream, "ts", "10 MINUTES")
+    q.awaitTermination()
+
+    main_keys = {r.k for r in spark.read.parquet(main_path).collect()}
+    late_keys = {r.k for r in spark.read.parquet(late_path).collect()}
+    assert main_keys == {"a", "b", "c"}
+    assert late_keys == {"late"}
 
 
 def test_late_data_dropped_after_watermark(spark):
