@@ -73,8 +73,41 @@ _SQL_FUNCTIONS = {
     "rand_integer": ("(bound INT)", "INT", "CAST(floor(rand() * bound) AS INT)"),
     # Flink's fixed-width SHA variants are sha2 with an explicit bit length.
     "sha224": ("(s STRING)", "STRING", "sha2(s, 224)"),
+    "sha256": ("(s STRING)", "STRING", "sha2(s, 256)"),
     "sha384": ("(s STRING)", "STRING", "sha2(s, 384)"),
     "sha512": ("(s STRING)", "STRING", "sha2(s, 512)"),
+    # JSON constructors (BuiltInFunctionDefinitions JSON_OBJECT / JSON_ARRAY /
+    # JSON_STRING). SQL CREATE FUNCTION is fixed-arity, so the shims take the
+    # common small arities; ABSENT ON NULL (the reference default) via filter.
+    "json_object": (
+        "(k STRING, v STRING)",
+        "STRING",
+        "to_json(map(k, v))",
+    ),
+    "json_array3": (
+        "(a STRING, b STRING, c STRING)",
+        "STRING",
+        "to_json(filter(array(a, b, c), x -> x IS NOT NULL))",
+    ),
+    "json_string": (
+        "(s STRING)",
+        "STRING",
+        r"concat('\"', regexp_replace(regexp_replace(s, '\\\\', '\\\\\\\\'),"
+        r" '\"', '\\\\\"'), '\"')",
+    ),
+    # TIME-typed clock functions: Spark has no TIME type, so these return the
+    # HH:mm:ss string (documented divergence). Trailing underscore keeps the
+    # names clear of any future Spark builtin.
+    "current_time_": (
+        "()",
+        "STRING",
+        "date_format(current_timestamp(), 'HH:mm:ss')",
+    ),
+    "local_time_": (
+        "()",
+        "STRING",
+        "date_format(localtimestamp(), 'HH:mm:ss')",
+    ),
     # SQL-standard SIMILAR TO (Flink "similar"): regex syntax where % and _
     # stand for .* and . — whole-string anchored, no custom ESCAPE support.
     # '.' and '$' are LITERALS in SIMILAR TO (unlike Java regex), so they are

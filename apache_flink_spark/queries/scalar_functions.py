@@ -282,3 +282,81 @@ def fn_null_semantics(spark, sf_dir):
         ).alias("seg2"),
         F.when(F.col("c_acctbal").isNull(), -1).otherwise(0).alias("null_flag"),
     )
+
+
+@query(
+    "fn_string_extended",
+    oracle="""
+    SELECT 'SpANSIQL' AS ov, 'b' AS el, 'x-007' AS pf,
+           'Hello Spark World' AS ic, 'xycyx' AS tr, 'A' AS ch,
+           'ababab' AS rp, CAST(3 AS INTEGER) AS lc, CAST(4 AS INTEGER) AS ps,
+           'Spark' AS bt, CAST(4 AS INTEGER) AS ri, '123' AS rs,
+           '1,22,333' AS rea, 'a+b%2Fc' AS ue, 'a b' AS ud,
+           '1010' AS bn, '4142' AS hx, 'AB' AS uh,
+           'h.io' AS pu, '2' AS sm, 'Sp' AS lf, 'rk' AS rt,
+           CAST(3 AS INTEGER) AS ins, CAST(65 AS INTEGER) AS asc_
+    """,
+)
+def fn_string_extended(spark, sf_dir):
+    """Per-name sweep follow-up (FUNCTIONS.md): the string/regexp/url names
+    the r1 family queries did not individually prove — OVERLAY, ELT, PRINTF,
+    INITCAP, TRANSLATE3(translate), CHR(char), REPEAT, LOCATE, POSITION,
+    BTRIM, REGEXP_INSTR, REGEXP_SUBSTR, REGEXP_EXTRACT_ALL, URL_ENCODE/
+    DECODE, BIN, HEX/UNHEX, PARSE_URL, STR_TO_MAP, LEFT/RIGHT, INSTR, ASCII.
+    Literal inputs -> hand-computed constants in the oracle, so the driver's
+    hash compare pins each function's exact output."""
+    _ = t(spark, sf_dir, "region")  # touch catalog (uniform query shape)
+    return spark.sql(
+        """SELECT
+        overlay('SparkSQL', 'ANSI', 3, 4) AS ov,
+        elt(2, 'a', 'b', 'c') AS el,
+        printf('%s-%03d', 'x', 7) AS pf,
+        initcap('hello spark world') AS ic,
+        translate('abcba', 'ab', 'xy') AS tr,
+        char(65) AS ch,
+        repeat('ab', 3) AS rp,
+        locate('ar', 'Spark') AS lc,
+        position('rk' IN 'Spark') AS ps,
+        btrim('xxSparkxx', 'x') AS bt,
+        regexp_instr('abc123def', '[0-9]+') AS ri,
+        regexp_substr('abc123def', '[0-9]+') AS rs,
+        array_join(regexp_extract_all('a1b22c333', '[0-9]+', 0), ',') AS rea,
+        url_encode('a b/c') AS ue,
+        url_decode('a%20b') AS ud,
+        bin(10) AS bn,
+        hex('AB') AS hx,
+        CAST(unhex('4142') AS STRING) AS uh,
+        parse_url('https://h.io/p?q=1', 'HOST') AS pu,
+        CAST(str_to_map('a:1,b:2', ',', ':')['b'] AS STRING) AS sm,
+        left('Spark', 2) AS lf,
+        right('Spark', 2) AS rt,
+        instr('Spark', 'ar') AS ins,
+        ascii('A') AS asc_
+        """
+    )
+
+
+@query(
+    "fn_json_constructors",
+    oracle=r"""
+    SELECT '{"a":"1"}' AS jo, '["x","y"]' AS ja, '"he\"y"' AS js,
+           CAST(1 AS BIGINT) AS hr
+    """,
+)
+def fn_json_constructors(spark, sf_dir):
+    """JSON constructor shims (reference JSON_OBJECT / JSON_ARRAY /
+    JSON_STRING; FUNCTIONS.md): fixed-arity SQL-function shims, Catalyst-
+    inlined — json_array3 applies the reference's ABSENT ON NULL default.
+    The hash-family row (sha256 shim) rides along as a length check."""
+    from apache_flink_spark.functions.registry import register_all
+
+    register_all(spark)
+    _ = t(spark, sf_dir, "region")
+    return spark.sql(
+        """SELECT
+        json_object('a', '1') AS jo,
+        json_array3('x', NULL, 'y') AS ja,
+        json_string('he"y') AS js,
+        CAST(length(sha256('x')) / 64 AS BIGINT) AS hr
+        """
+    )
