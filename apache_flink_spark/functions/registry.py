@@ -124,11 +124,21 @@ _SQL_FUNCTIONS = {
 }
 
 
-def register_all(spark: SparkSession) -> None:
+# Sessions already carrying the function surface — registering ~30 SQL
+# functions costs ~30 round-trips, so repeated TableEnvironment construction
+# on the same session must not re-pay it.
+_REGISTERED: set[int] = set()
+
+
+def register_all(spark: SparkSession, force: bool = False) -> None:
     """Install the Flink-named SQL function surface into the session.
-    Idempotent (CREATE OR REPLACE); called by TableEnvironment.__init__."""
+    Idempotent (CREATE OR REPLACE) and cached per session; called by
+    TableEnvironment.__init__."""
+    if not force and id(spark) in _REGISTERED:
+        return
     for name, (params, ret, body) in _SQL_FUNCTIONS.items():
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{params} "
             f"RETURNS {ret} RETURN {body}"
         )
+    _REGISTERED.add(id(spark))

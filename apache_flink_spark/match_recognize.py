@@ -242,29 +242,52 @@ def compile_match_recognize(
     pat = list(pattern)
     meas = list(measures)
     parts = list(part_cols)
-    orders = list(order_cols)
+    meas_cols = sorted({c for _, _, c, _ in meas if c is not None})
+    var_list = sorted(variables)
 
-    def run_matches(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(orders, kind="mergesort").reset_index(drop=True)
+    def run_partition(batches):
+        """One call per PARTITION, not per key: the hash shuffle already
+        co-located each key, sortWithinPartitions already ordered rows, so
+        the matcher walks numpy arrays and finds key boundaries itself —
+        Spark's per-group applyInPandas overhead (an Arrow round-trip per
+        key) measured ~3ms/key, which dominated at 1500 keys/100k rows."""
+        import numpy as np
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
         n = len(pdf)
-        sat = {v: pdf[f"__mr_{v}"].fillna(False).to_numpy() for v in variables}
+        if n == 0:
+            return
+        sat = {
+            v: pdf[f"__mr_{v}"].fillna(False).to_numpy(dtype=bool)
+            for v in var_list
+        }
+        arr = {c: pdf[c].to_numpy() for c in meas_cols}
+        part_arrs = [pdf[c].to_numpy() for c in parts]
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for a in part_arrs:
+            change[1:] |= a[1:] != a[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
 
-        def try_match(start: int):
-            """Greedy leftmost match beginning at ``start`` for the linear
-            pattern; returns (var -> [row indices], end_exclusive) or None.
-            Quantifier backtracking only reduces the greedy count — linear
-            patterns need no other backtracking."""
+        def try_match(start: int, limit: int):
+            """Greedy leftmost match beginning at ``start`` within
+            [start, limit); returns (var -> [row indices], end_exclusive)
+            or None. Quantifier backtracking only reduces the greedy count —
+            linear patterns need no other backtracking."""
 
             def rec(pi: int, ri: int):
                 if pi == len(pat):
                     return {}, ri
                 var, (lo, hi) = pat[pi]
                 ok = sat[var]
-                # Greedily take as many as allowed, then back off.
                 take_max = 0
                 while (
                     (hi is None or take_max < hi)
-                    and ri + take_max < n
+                    and ri + take_max < limit
                     and ok[ri + take_max]
                 ):
                     take_max += 1
@@ -274,9 +297,9 @@ def compile_match_recognize(
                         assign, end = res
                         if take:
                             assign = dict(assign)
-                            assign[var] = list(range(ri, ri + take)) + assign.get(
-                                var, []
-                            )
+                            assign[var] = list(
+                                range(ri, ri + take)
+                            ) + assign.get(var, [])
                         return assign, end
                 return None
 
@@ -289,47 +312,53 @@ def compile_match_recognize(
             return assign, end
 
         rows = []
-        i = 0
-        while i < n:
-            hit = try_match(i)
-            if hit is None:
-                i += 1
-                continue
-            assign, end = hit
-            vals = []
-            for c in parts:
-                vals.append(pdf.at[0, c])
-            for kind, var, col, alias in meas:
-                if kind == "COUNT":
-                    if var is None:
-                        vals.append(sum(len(v) for v in assign.values()))
-                    else:
-                        vals.append(len(assign.get(var, [])))
+        for s, e in zip(starts, ends):
+            part_vals = [a[s] for a in part_arrs]
+            i = s
+            while i < e:
+                hit = try_match(i, e)
+                if hit is None:
+                    i += 1
                     continue
-                idxs = assign.get(var, [])
-                if not idxs:
-                    vals.append(None)
-                    continue
-                series = pdf[col].iloc[idxs]
-                if kind == "FIRST":
-                    vals.append(series.iloc[0])
-                elif kind == "LAST":
-                    vals.append(series.iloc[-1])
-                elif kind == "SUM":
-                    vals.append(series.sum())
-                elif kind == "MIN":
-                    vals.append(series.min())
-                elif kind == "MAX":
-                    vals.append(series.max())
-                elif kind == "AVG":
-                    vals.append(float(series.mean()))
-            rows.append(vals)
-            i = (i + 1) if skip_to_next else end
-        return pd.DataFrame(rows, columns=out_cols)
+                assign, end = hit
+                vals = list(part_vals)
+                for kind, var, col, alias in meas:
+                    if kind == "COUNT":
+                        if var is None:
+                            vals.append(sum(len(v) for v in assign.values()))
+                        else:
+                            vals.append(len(assign.get(var, [])))
+                        continue
+                    idxs = assign.get(var, [])
+                    if not idxs:
+                        vals.append(None)
+                        continue
+                    a = arr[col]
+                    if kind == "FIRST":
+                        vals.append(a[idxs[0]])
+                    elif kind == "LAST":
+                        vals.append(a[idxs[-1]])
+                    elif kind == "SUM":
+                        vals.append(a[idxs].sum())
+                    elif kind == "MIN":
+                        vals.append(a[idxs].min())
+                    elif kind == "MAX":
+                        vals.append(a[idxs].max())
+                    elif kind == "AVG":
+                        vals.append(float(a[idxs].mean()))
+                rows.append(vals)
+                i = (i + 1) if skip_to_next else end
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    # groupBy itself hash-shuffles on the partition keys — exactly one
-    # exchange, the same distribution StreamExecMatch requires.
-    return work.groupBy(*part_cols).applyInPandas(run_matches, out_schema)
+    # One hash exchange on the partition keys (the distribution
+    # StreamExecMatch requires) + an in-partition sort; the sort makes each
+    # key's rows contiguous AND event-time ordered, so no per-key sort runs
+    # in Python.
+    keyed = work.repartition(*[F.col(c) for c in part_cols]).sortWithinPartitions(
+        *part_cols, *order_cols
+    )
+    return keyed.mapInPandas(run_partition, out_schema)
 
 
 _MR_SITE_RE = re.compile(r"(\w+)\s+MATCH_RECOGNIZE\s*\(", re.I)

@@ -335,13 +335,20 @@ def sim_embedding_neardup(spark, sf_dir):
     unchanged. Approximate by design: pairs colliding in neither band are
     missed — the oracle uses the identical candidate set."""
     e = t(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", "label", F.expr(_QE_SPARK).alias("qe"))
-    b = v.withColumn("bucket", F.expr(_bucket_spark("qe")))
-    # Two band keys per vector: low / high 4 bits of the 8-bit signature.
-    k = b.select(
+    # Stage 1: per-vector work ONCE — quantized vector, its norm, bucket.
+    v = e.select("vec_id", "label", F.expr(_QE_SPARK).alias("qe")).select(
         "vec_id",
         "label",
         "qe",
+        F.expr(_dot_spark("qe", "qe")).alias("norm"),
+        F.expr(_bucket_spark("qe")).alias("bucket"),
+    )
+    # Stage 2: SLIM candidate generation — band keys only (no vectors on the
+    # shuffle), equi-join per band, then DISTINCT pair ids. Dots are NOT
+    # computed here, so a pair colliding in both bands costs nothing extra
+    # and the shuffled rows are 4 longs wide.
+    k = v.select(
+        "vec_id",
         F.explode(
             F.array(
                 F.struct(
@@ -353,38 +360,48 @@ def sim_embedding_neardup(spark, sf_dir):
                 ),
             )
         ).alias("bk"),
-    ).select("vec_id", "label", "qe", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = k.select(
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    pairs = (
+        k.alias("a")
+        .join(
+            k.alias("c"),
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.key") == F.col("c.key"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    # Stage 3: fetch vectors + precomputed norms for each UNIQUE pair (the
+    # per-vector table is tiny relative to the pair set — broadcastable at
+    # any scale where it fits; else it hash-joins) and compute ONE dot per
+    # pair.
+    va = v.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("label_a"),
         F.col("qe").alias("a_qe"),
-        "band",
-        "key",
+        F.col("norm").alias("nq"),
     )
-    c = k.select(
+    vb = v.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("qe").alias("b_qe"),
-        F.col("band").alias("c_band"),
-        F.col("key").alias("c_key"),
+        F.col("norm").alias("nc"),
     )
     d = (
-        a.join(
-            c,
-            (F.col("band") == F.col("c_band"))
-            & (F.col("key") == F.col("c_key"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
+        pairs.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
             "label_a",
             "label_b",
             F.expr(_dot_spark("a_qe", "b_qe")).alias("dot"),
-            F.expr(_dot_spark("a_qe", "a_qe")).alias("nq"),
-            F.expr(_dot_spark("b_qe", "b_qe")).alias("nc"),
+            "nq",
+            "nc",
         )
-        .distinct()
     )
     cos = F.col("dot").cast("double") / F.sqrt(
         (F.col("nq") * F.col("nc")).cast("double")

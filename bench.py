@@ -47,6 +47,8 @@ HEADLINE = [
     "dedup_simhash",
     "sim_bruteforce_topk",
     "sim_lsh_ann",
+    "sim_embedding_neardup",
+    "mr_quantifier_plus",
     "text_quality_score",
     "text_fingerprint",
     "pipeline_corpus_curation",
