@@ -109,6 +109,78 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         raise
 
 
+def write_sequence_file(
+    df: DataFrame, path: str, key_col: str, value_col: str
+) -> None:
+    """Hadoop SequenceFile sink (reference flink-formats sequence-file /
+    SerializedOutputFormat parity): (key, value) writable pairs. The only
+    justified RDD drop-down in the IO layer — SequenceFile is a K/V
+    container with no DataFrame datasource, and Spark's writable conversion
+    needs an RDD of pairs. Columns must be primitive (string/long/double)."""
+    df.select(key_col, value_col).rdd.map(tuple).saveAsSequenceFile(path)
+
+
+def read_sequence_file(
+    spark: SparkSession, path: str, schema: str = "key string, value string"
+) -> DataFrame:
+    """SequenceFile source: K/V pairs back as a two-column DataFrame."""
+    return spark.createDataFrame(spark.sparkContext.sequenceFile(path), schema)
+
+
+_PROTOBUF_HINT = (
+    "protobuf format requires the spark-protobuf jar on the classpath "
+    "(spark-submit --packages org.apache.spark:spark-protobuf_2.13:<ver>) "
+    "plus a compiled descriptor file"
+)
+
+
+def protobuf_column(df: DataFrame, col: str, message_name: str, desc_path: str):
+    """Decode a binary protobuf column (reference flink-formats/
+    flink-protobuf PbFormatFactory parity) via spark-protobuf's
+    ``from_protobuf``. Like avro, the module is an external jar — gated
+    behind a clear error instead of Spark's generic lookup failure."""
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf
+
+        out = df.withColumn(col, from_protobuf(col, message_name, desc_path))
+        out.schema  # force analysis so a missing jar fails HERE
+        return out
+    except Exception as ex:
+        msg = str(ex)
+        if "PROTOBUF_NOT_LOADED" in msg or (
+            "protobuf" in msg.lower()
+            and ("not found" in msg.lower() or "failed to find" in msg.lower())
+        ):
+            raise NotImplementedError(_PROTOBUF_HINT) from None
+        raise
+
+
+def hive_session(warehouse_dir: str | None = None) -> SparkSession:
+    """Hive-enabled SparkSession (reference flink-connector-hive
+    HiveDynamicTableFactory parity): persistent metastore catalog + managed
+    tables. Spark ships the Hive integration in-box (spark-hive jar); the
+    metastore defaults to a local Derby db under the warehouse dir. Must be
+    the FIRST session in the JVM — catalogImplementation is a static conf
+    (tests drive this in a subprocess for that reason)."""
+    import os as _os
+
+    builder = (
+        SparkSession.builder.appName("apache_flink_spark_hive")
+        .master(f"local[{_os.environ.get('SPARK_GRAFT_CPUS', '4')}]")
+        .enableHiveSupport()
+    )
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+        builder = builder.config(
+            "javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName={warehouse_dir}/metastore_db;create=true",
+        )
+    spark = builder.getOrCreate()
+    from apache_flink_spark.session import configure_session
+
+    return configure_session(spark)
+
+
 def print_sink(df: DataFrame, n: int = 20) -> None:
     """Print/console debug sink (PrintTableSinkFactory parity)."""
     df.show(n, truncate=False)

@@ -26,6 +26,16 @@ from apache_flink_spark.queries._util import t
 from apache_flink_spark.queries.registry import query
 
 
+#: Hard bound on the simulated service table. This pattern DRIVER-COLLECTS
+#: the lookup side (it stands in for an external RPC service, which has no
+#: DataFrame); that is only sane for genuinely tiny control tables. For
+#: in-cluster lookup data of any real size use a broadcast-hint join
+#: (queries/temporal_joins.py lookup_join_enrich) — Catalyst ships it to
+#: executors without routing rows through the driver, and falls back to a
+#: shuffle join when it outgrows the broadcast threshold.
+_MAX_SERVICE_ROWS = 10_000
+
+
 @query(
     "async_lookup_enrich",
     oracle="""
@@ -38,9 +48,17 @@ def async_lookup_enrich(spark, sf_dir):
     """Batched async-lookup join (AsyncLookupJoinRunner parity): suppliers
     probe the 'nation service' one Arrow batch at a time. The service table
     rides to executors as a broadcast variable (the lookup cache); misses
-    yield NULL (left-join semantics)."""
+    yield NULL (left-join semantics). Size-guarded — see _MAX_SERVICE_ROWS."""
     s = t(spark, sf_dir, "supplier")
-    nation_rows = t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation_rows = nation.limit(_MAX_SERVICE_ROWS + 1).collect()
+    if len(nation_rows) > _MAX_SERVICE_ROWS:
+        raise ValueError(
+            f"async_lookup_enrich: service table exceeds {_MAX_SERVICE_ROWS} "
+            "rows — this pattern driver-collects the lookup side and is for "
+            "tiny external-service caches only; use lookup_join_enrich "
+            "(broadcast-hint join) for in-cluster lookup tables"
+        )
     service_table = spark.sparkContext.broadcast(
         {int(r.n_nationkey): r.n_name for r in nation_rows}
     )

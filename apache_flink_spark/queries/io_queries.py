@@ -183,3 +183,29 @@ def source_text_lines(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.length("value")).alias("total_chars"),
     )
+
+
+@query(
+    "source_seqfile_roundtrip",
+    oracle="""
+    SELECT event_type AS value, COUNT(*) AS n, MIN(event_id) AS min_key
+    FROM events
+    GROUP BY 1
+    """,
+)
+def source_seqfile_roundtrip(spark, sf_dir):
+    """Hadoop SequenceFile round-trip (reference flink-formats
+    sequence-file parity): (event_id, event_type) writable pairs out and
+    back. The write is the IO layer's one justified RDD drop-down — there is
+    no SequenceFile DataFrame datasource (see io.write_sequence_file)."""
+    import shutil
+
+    e = t(spark, sf_dir, "events")
+    base = io.roundtrip_dir(sf_dir, "events_seq")
+    path = f"{base}/seq"
+    shutil.rmtree(path, ignore_errors=True)  # Hadoop sink dir must not exist
+    io.write_sequence_file(e.select("event_id", "event_type"), path, "event_id", "event_type")
+    back = io.read_sequence_file(spark, path, "key long, value string")
+    return back.groupBy("value").agg(
+        F.count(F.lit(1)).alias("n"), F.min("key").alias("min_key")
+    )
