@@ -115,3 +115,31 @@ def stream_custom_sessions(spark, sf_dir):
     )
     out = streaming_custom_sessions(stream, _MIN30_US)
     return run_to_table(out, "append")
+
+
+@query(
+    "stream_temporal_sort",
+    oracle="""
+    WITH wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS wm_ms FROM events)
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS seq
+    FROM events, wm
+    WHERE epoch_ms(ts) <= wm.wm_ms
+    """,
+)
+def stream_temporal_sort(spark, sf_dir):
+    """Streaming temporal sort (reference StreamExecTemporalSort — the §2.8
+    row the r1 survey marked unimplemented): per-user events re-emitted in
+    event-time order with a continuous seq, gated on the watermark. Rows in
+    the final 1-hour watermark lag stay buffered (never certifiable in a
+    bounded run); the oracle applies the identical cutoff and the seq
+    column pins the emission ORDER, not just the set."""
+    from apache_flink_spark.streaming.stateful import streaming_temporal_sort
+
+    e = stream_table(spark, sf_dir, "events")
+    stream = e.withWatermark("ts", "1 hour").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    out = streaming_temporal_sort(stream)
+    return run_to_table(out, "append")

@@ -163,3 +163,59 @@ def streaming_keep_last(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id", "event_type").applyInPandasWithState(
         keep_last, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_temporal_sort(events: DataFrame) -> DataFrame:
+    """Event-time SORTED emission (reference StreamExecTemporalSort /
+    RowTimeSortOperator: buffer rows per key, release them in row-time order
+    as the watermark passes — the streaming analog of ORDER BY ts).
+
+    State = the per-key buffer of not-yet-releasable rows. Each data batch
+    appends to the buffer; an event-time timer armed at the earliest
+    buffered row fires when the watermark passes it, emitting every buffered
+    row at or below the watermark in (ts, event_id) order with a continuous
+    per-key sequence number (the proof of sortedness). Rows above the final
+    watermark stay buffered — identical horizon semantics to the
+    reference's row-time sorter, which also cannot release rows the
+    watermark has not certified."""
+
+    out_schema = "user_id long, event_id long, ts_us long, seq long"
+    state_schema = "eids array<long>, tss array<long>, seq long"
+
+    def sorter(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        eids, tss, seq = state.get if state.exists else ([], [], 0)
+        eids, tss = list(eids), list(tss)
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            eids += [int(x) for x in rows["event_id"]]
+            tss += [int(x) for x in rows["ts_us"]]
+        wm_ms = state.getCurrentWatermarkMs()
+        order = sorted(range(len(tss)), key=lambda i: (tss[i], eids[i]))
+        eids = [eids[i] for i in order]
+        tss = [tss[i] for i in order]
+        emit_n = 0
+        while emit_n < len(tss) and tss[emit_n] // 1000 <= wm_ms:
+            emit_n += 1
+        out = [
+            (user_id, eids[i], tss[i], seq + i + 1) for i in range(emit_n)
+        ]
+        rest_e, rest_t = eids[emit_n:], tss[emit_n:]
+        if rest_e:
+            state.update((rest_e, rest_t, seq + emit_n))
+            # Re-arm at the earliest unreleased row (must exceed the
+            # current watermark — guaranteed since it was not emitted).
+            state.setTimeoutTimestamp(max(rest_t[0] // 1000, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "ts_us", "seq"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        sorter,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
