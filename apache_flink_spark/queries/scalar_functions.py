@@ -360,3 +360,58 @@ def fn_json_constructors(spark, sf_dir):
         CAST(length(sha256('x')) / 64 AS BIGINT) AS hr
         """
     )
+
+
+@query(
+    "fn_collection_vectors",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS ap, CAST(2 AS INTEGER) AS ea,
+           'a,b' AS mk, '1,2' AS mv, CAST(2 AS INTEGER) AS me,
+           CAST(2 AS INTEGER) AS mfa, CAST(2 AS INTEGER) AS mu,
+           '1,2,3' AS au, '1,3' AS ax, '2' AS ai,
+           '1,2' AS aap, '1,2' AS apr, '2' AS arm,
+           CAST(TRUE AS BOOLEAN) AS ac, '2,3' AS sl, '1,2' AS fl,
+           '1,2,3,4' AS sq, CAST(3 AS INTEGER) AS cd
+    """,
+)
+def fn_collection_vectors(spark, sf_dir):
+    """Collection-family per-name proof (FUNCTIONS.md ARRAY_*/MAP_* rows):
+    ARRAY_POSITION, element_at (AT), MAP_KEYS/VALUES/ENTRIES,
+    MAP_FROM_ARRAYS, MAP_UNION(map_concat), ARRAY_UNION/EXCEPT/INTERSECT/
+    APPEND/PREPEND/REMOVE/CONTAINS, ARRAY_SLICE(slice), flatten, sequence
+    (rangeTo), CARDINALITY. Literal inputs -> hand-computed constants;
+    array/map outputs serialize through array_join so the hash compare is
+    order-stable."""
+    _ = t(spark, sf_dir, "region")
+    return spark.sql(
+        """SELECT
+        array_position(array('a','b','c'), 'b') AS ap,
+        element_at(map('k1',1,'k2',2), 'k2') AS ea,
+        array_join(array_sort(map_keys(map('b',2,'a',1))), ',') AS mk,
+        array_join(transform(map_values(map('a',1,'b',2)),
+                             x -> cast(x AS string)), ',') AS mv,
+        size(map_entries(map('a',1,'b',2))) AS me,
+        element_at(map_from_arrays(array('x','y'), array(1,2)), 'y') AS mfa,
+        size(map_concat(map('a',1), map('b',2))) AS mu,
+        array_join(transform(array_sort(array_union(array(1,2), array(2,3))),
+                             x -> cast(x AS string)), ',') AS au,
+        array_join(transform(array_sort(array_except(array(1,2,3), array(2))),
+                             x -> cast(x AS string)), ',') AS ax,
+        array_join(transform(array_intersect(array(1,2), array(2,3)),
+                             x -> cast(x AS string)), ',') AS ai,
+        array_join(transform(array_append(array(1), 2),
+                             x -> cast(x AS string)), ',') AS aap,
+        array_join(transform(array_prepend(array(2), 1),
+                             x -> cast(x AS string)), ',') AS apr,
+        array_join(transform(array_remove(array(1,2,1), 1),
+                             x -> cast(x AS string)), ',') AS arm,
+        array_contains(array(1,2), 2) AS ac,
+        array_join(transform(slice(array(1,2,3,4), 2, 2),
+                             x -> cast(x AS string)), ',') AS sl,
+        array_join(transform(flatten(array(array(1),array(2))),
+                             x -> cast(x AS string)), ',') AS fl,
+        array_join(transform(sequence(1,4),
+                             x -> cast(x AS string)), ',') AS sq,
+        cardinality(array(1,2,3)) AS cd
+        """
+    )
