@@ -103,46 +103,17 @@ def stream_over_rows_bounded(spark, sf_dir):
     """Streaming ROWS-BOUNDED over-aggregate (reference
     RowTimeRowsBoundedPrecedingFunction.java — the bounded sibling of
     stream_over_unbounded): per-user sliding sum/count over the last 3 rows,
-    one output row per input row. State is the bounded deque of the last
-    N-1 cents values (the reference keeps the same bounded row buffer per
-    key and retracts the expiring row from its accumulator — here the
-    window re-sums 3 integers, cheaper than maintaining retractions).
-    State size is O(N) per key regardless of stream length."""
-
-    out_schema = (
-        "user_id long, event_id long, ts_us long, w_cnt long, w_sum_cents long"
+    one output row per input row. Operator lives in
+    streaming/stateful.streaming_rows_bounded_over (multi-batch pinned by
+    tests/test_stateful_streaming.py)."""
+    from apache_flink_spark.streaming.stateful import (
+        streaming_rows_bounded_over,
     )
-    state_schema = "hist array<long>"
-
-    def running(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        (user_id,) = key
-        hist: list[int] = list(state.get[0]) if state.exists else []
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
-        out_cnt, out_sum = [], []
-        for v in batch["value"]:
-            hist.append(int(round(float(v) * 100)))
-            win = hist[-_WINDOW_ROWS:]
-            out_cnt.append(len(win))
-            out_sum.append(sum(win))
-        state.update((hist[-(_WINDOW_ROWS - 1):],))
-        yield pd.DataFrame(
-            {
-                "user_id": batch["user_id"],
-                "event_id": batch["event_id"],
-                "ts_us": batch["ts_us"],
-                "w_cnt": out_cnt,
-                "w_sum_cents": out_sum,
-            }
-        )
 
     e = stream_table(spark, sf_dir, "events")
     u = e.select(
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
-    out = u.groupBy("user_id").applyInPandasWithState(
-        running, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    return run_to_table(
+        streaming_rows_bounded_over(u, _WINDOW_ROWS), "append"
     )
-    return run_to_table(out, "append")

@@ -219,3 +219,48 @@ def streaming_temporal_sort(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_rows_bounded_over(events: DataFrame, window_rows: int) -> DataFrame:
+    """ROWS-BOUNDED streaming over-aggregate (reference
+    RowTimeRowsBoundedPrecedingFunction.java): per-key sliding sum/count
+    over the last ``window_rows`` rows, one output row per input row.
+    State = the bounded deque of the last N-1 integer-cents values (the
+    reference keeps the same bounded row buffer per key and retracts the
+    expiring row from its accumulator — here the window re-sums N ints,
+    cheaper than maintaining retractions). O(N) state per key regardless of
+    stream length; rows are assumed to arrive per-key in event-time order
+    across batches (see module docstring)."""
+
+    out_schema = (
+        "user_id long, event_id long, ts_us long, w_cnt long, w_sum_cents long"
+    )
+    state_schema = "hist array<long>"
+
+    def running(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        hist: list[int] = list(state.get[0]) if state.exists else []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+        out_cnt, out_sum = [], []
+        for v in batch["value"]:
+            hist.append(int(round(float(v) * 100)))
+            win = hist[-window_rows:]
+            out_cnt.append(len(win))
+            out_sum.append(sum(win))
+        state.update((hist[-(window_rows - 1):],))
+        yield pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": batch["ts_us"],
+                "w_cnt": out_cnt,
+                "w_sum_cents": out_sum,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        running, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -141,3 +141,139 @@ def test_topn_converges_across_batches(spark):
     )
     got["rn"] = got["rn"].astype(want["rn"].dtype)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _staged_time_slices(spark, sf_dir, n_slices: int) -> str:
+    """Stage events as n CONTIGUOUS TIME RANGES with increasing file mtimes:
+    micro-batches then arrive in event-time order (the documented ordering
+    assumption of the over-agg/temporal-sort operators — the reference's
+    watermark-ordered state flushes give the same guarantee)."""
+    import time
+
+    out = tempfile.mkdtemp(prefix="afs_timeslice_")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").orderBy("ts", "event_id")
+    n = e.count()
+    rows_per = (n + n_slices - 1) // n_slices
+    pdf = e.toPandas()
+    now = time.time()
+    for i in range(n_slices):
+        chunk = pdf.iloc[i * rows_per : (i + 1) * rows_per]
+        sub = os.path.join(out, f"slice_{i}")
+        spark.createDataFrame(chunk, e.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sub)
+        files = [f for f in os.listdir(sub) if f.endswith(".parquet")]
+        for f in files:
+            src = os.path.join(sub, f)
+            dst = os.path.join(out, f"{i:03d}_{f}")
+            os.rename(src, dst)
+            os.utime(dst, (now - 60 + i, now - 60 + i))
+    return out
+
+
+def _run_append_batches(spark, stream_df) -> dict[int, pd.DataFrame]:
+    captured: dict[int, pd.DataFrame] = {}
+
+    def sink(batch_df, batch_id: int) -> None:
+        captured[batch_id] = batch_df.toPandas()
+
+    ckpt = tempfile.mkdtemp(prefix="afs_mb_ckpt_")
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return captured
+
+
+def test_over_rows_bounded_converges_across_batches(spark):
+    """The bounded-deque state must carry the last N-1 values across batch
+    boundaries: emissions from 3 time-ordered micro-batches must equal the
+    batch ROWS 2 PRECEDING window."""
+    from apache_flink_spark.queries.stream_over_agg import _WINDOW_ROWS  # noqa: F401
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = _staged_time_slices(spark, sf_dir, 3)
+
+    st = _stream_events(spark, path).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    from apache_flink_spark.queries import stream_over_agg as soa
+    from apache_flink_spark.streaming.stateful import streaming_rows_bounded_over
+
+    captured = _run_append_batches(
+        spark, streaming_rows_bounded_over(st, soa._WINDOW_ROWS)
+    )
+    assert len(captured) >= 3
+    got = (
+        pd.concat([captured[b] for b in sorted(captured)], ignore_index=True)
+        .sort_values(["user_id", "ts_us", "event_id"])
+        .reset_index(drop=True)
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(soa._WINDOW_ROWS - 1), Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    want = (
+        e.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.count(F.lit(1)).over(w).alias("w_cnt"),
+            F.sum(cents).over(w).alias("w_sum_cents"),
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_temporal_sort_emits_in_order_across_batches(spark):
+    """Ordered emission must survive multi-batch arrival: concatenated
+    append emissions = watermark-eligible rows, per-key sorted, with a
+    CONTINUOUS seq across batches."""
+    from apache_flink_spark.streaming.stateful import streaming_temporal_sort
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = _staged_time_slices(spark, sf_dir, 3)
+
+    st = _stream_events(spark, path)
+    stream = st.withWatermark("ts", "1 hour").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    captured = _run_append_batches(spark, streaming_temporal_sort(stream))
+    got = (
+        pd.concat([captured[b] for b in sorted(captured)], ignore_index=True)
+        .sort_values(["user_id", "seq"])
+        .reset_index(drop=True)
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    wm_ms = (
+        e.agg(F.max(F.unix_micros("ts"))).first()[0] // 1000 - 3_600_000
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    want = (
+        e.select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+        .filter((F.col("ts_us") / 1000).cast("long") <= wm_ms)
+        .withColumn("seq", F.row_number().over(w).cast("long"))
+        .toPandas()
+        .sort_values(["user_id", "seq"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # Emission really was incremental: more than one batch carried rows.
+    batches_with_rows = [b for b in captured if len(captured[b])]
+    assert len(batches_with_rows) >= 2, batches_with_rows
