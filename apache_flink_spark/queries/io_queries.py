@@ -209,3 +209,38 @@ def source_seqfile_roundtrip(spark, sf_dir):
     return back.groupBy("value").agg(
         F.count(F.lit(1)).alias("n"), F.min("key").alias("min_key")
     )
+
+
+@query(
+    "source_compressed_roundtrip",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+    FROM nation
+    GROUP BY 1
+    """,
+)
+def source_compressed_roundtrip(spark, sf_dir):
+    """Compressed-format round-trip (reference flink-formats compress /
+    StandardDeCompressors): gzip CSV out and back, plus a zstd parquet leg —
+    Spark's codecs are transparent on read (extension-sniffed for text
+    formats, footer-declared for parquet). Both legs must agree."""
+    n = t(spark, sf_dir, "nation")
+    base = io.roundtrip_dir(sf_dir, "nation_compressed")
+    gz, zst = f"{base}/gz_csv", f"{base}/zstd_parquet"
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).option("header", "true").option("compression", "gzip").csv(gz)
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).option("compression", "zstd").parquet(zst)
+    back_gz = spark.read.schema(
+        "n_nationkey long, n_name string, n_regionkey long"
+    ).option("header", "true").csv(gz)
+    back_zst = spark.read.parquet(zst)
+    agg = lambda df: df.groupBy("n_regionkey").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"), F.min("n_name").alias("first_name")
+    )
+    a, b = agg(back_gz), agg(back_zst)
+    # Both decompressed legs must agree before either is returned.
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    return a
