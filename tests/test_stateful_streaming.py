@@ -277,3 +277,85 @@ def test_temporal_sort_emits_in_order_across_batches(spark):
     # Emission really was incremental: more than one batch carried rows.
     batches_with_rows = [b for b in captured if len(captured[b])]
     assert len(batches_with_rows) >= 2, batches_with_rows
+
+
+def test_keep_last_under_rocksdb_state_store(spark):
+    """Pin the RocksDB state-store provider path (SURVEY §2.12).
+
+    The reference's large-keyspace state backend is RocksDB
+    (flink-state-backends/flink-statebackend-rocksdb/.../EmbeddedRocksDBStateBackend.java);
+    Spark's analog is RocksDBStateStoreProvider, a runtime-settable conf read
+    at query start. Run keep-last dedup across 3 micro-batches under it,
+    assert (a) state converges identically and (b) the checkpoint holds
+    RocksDB snapshot artifacts (.zip/.changelog), NOT the default HDFS
+    provider's .delta files — proving the provider was actually engaged.
+    """
+    sf_dir = "/root/testdata/sf0.001"
+    path = _staged_events(spark, sf_dir, 3)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        st = _stream_events(spark, path).select(
+            "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+        )
+        captured: dict[int, pd.DataFrame] = {}
+
+        def sink(batch_df, batch_id: int) -> None:
+            captured[batch_id] = batch_df.toPandas()
+
+        ckpt = tempfile.mkdtemp(prefix="afs_rocksdb_ckpt_")
+        q = (
+            streaming_keep_last(st)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    assert len(captured) >= 3, "expected one micro-batch per file"
+    got = (
+        _final_state(captured, ["user_id", "event_type"])
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    want = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us"))
+        .toPandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # Provider engagement: RocksDB checkpoints upload .zip/.changelog
+    # snapshots; the HDFS provider writes .delta/.snapshot files.
+    state_files = []
+    for root, _dirs, files in os.walk(os.path.join(ckpt, "state")):
+        state_files.extend(files)
+    assert state_files, "state checkpoint is empty"
+    assert not any(f.endswith(".delta") for f in state_files), (
+        "HDFS-provider .delta files found - RocksDB provider not engaged: "
+        f"{state_files[:8]}"
+    )
+    assert any(f.endswith((".zip", ".changelog")) for f in state_files), (
+        f"no RocksDB snapshot artifacts in {state_files[:8]}"
+    )
