@@ -117,3 +117,38 @@ def stream_over_rows_bounded(spark, sf_dir):
     return run_to_table(
         streaming_rows_bounded_over(u, _WINDOW_ROWS), "append"
     )
+
+
+_RANGE_HOURS = 24
+
+
+@query(
+    "stream_over_range_bounded",
+    oracle=f"""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           COUNT(*) OVER w AS w_cnt,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS w_sum_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL {_RANGE_HOURS} HOUR PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+def stream_over_range_bounded(spark, sf_dir):
+    """Streaming RANGE-BOUNDED (event-time interval) over-aggregate
+    (reference RowTimeRangeBoundedPrecedingFunction.java:56 — the third
+    member of the streaming over-agg family next to unbounded and
+    rows-bounded): per-user count/sum over the trailing 24 h of events, one
+    output row per input row, equal timestamps sharing one frame (RANGE
+    peers). Operator: streaming/stateful.streaming_range_bounded_over."""
+    from apache_flink_spark.streaming.stateful import (
+        streaming_range_bounded_over,
+    )
+
+    e = stream_table(spark, sf_dir, "events")
+    u = e.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return run_to_table(
+        streaming_range_bounded_over(u, _RANGE_HOURS * 3_600_000_000), "append"
+    )

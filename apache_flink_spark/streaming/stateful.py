@@ -264,3 +264,66 @@ def streaming_rows_bounded_over(events: DataFrame, window_rows: int) -> DataFram
     return events.groupBy("user_id").applyInPandasWithState(
         running, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_range_bounded_over(events: DataFrame, range_us: int) -> DataFrame:
+    """RANGE-BOUNDED (event-time interval) streaming over-aggregate
+    (reference RowTimeRangeBoundedPrecedingFunction.java:56): per-key
+    count/sum over rows whose timestamp lies in
+    ``[cur_ts - range_us, cur_ts]``, one output row per input row.
+
+    RANGE frames include ALL peers of the current timestamp (SQL-standard
+    "CURRENT ROW" in RANGE mode) — the reference gets this by buffering rows
+    per timestamp and firing an event-time timer once per distinct ts; here
+    each micro-batch processes rows grouped by distinct ts so equal-ts rows
+    see the identical frame. State = the trailing buffer of (ts, cents)
+    pairs inside the range window — O(rows-in-range) per key, exactly the
+    reference's ``Map<Long, List<RowData>>`` retained window, evicted as the
+    frame slides. Rows are assumed to arrive per-key in event-time order
+    across batches (module docstring)."""
+
+    out_schema = (
+        "user_id long, event_id long, ts_us long, w_cnt long, w_sum_cents long"
+    )
+    state_schema = "ts_hist array<long>, cents_hist array<long>"
+
+    def running(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts_hist, cents_hist = (list(a) for a in state.get)
+        else:
+            ts_hist, cents_hist = [], []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+        out_cnt, out_sum = [], []
+        # Process per distinct ts so same-ts peers share one frame.
+        for ts, grp in batch.groupby("ts_us", sort=True):
+            for v in grp["value"]:
+                ts_hist.append(int(ts))
+                cents_hist.append(int(round(float(v) * 100)))
+            lo = int(ts) - range_us
+            # Evict expired frame entries (ordered arrival -> prefix drop).
+            drop = 0
+            while drop < len(ts_hist) and ts_hist[drop] < lo:
+                drop += 1
+            if drop:
+                ts_hist = ts_hist[drop:]
+                cents_hist = cents_hist[drop:]
+            cnt, s = len(cents_hist), sum(cents_hist)
+            out_cnt.extend([cnt] * len(grp))
+            out_sum.extend([s] * len(grp))
+        state.update((ts_hist, cents_hist))
+        yield pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": batch["ts_us"],
+                "w_cnt": out_cnt,
+                "w_sum_cents": out_sum,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        running, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -359,3 +359,52 @@ def test_keep_last_under_rocksdb_state_store(spark):
     assert any(f.endswith((".zip", ".changelog")) for f in state_files), (
         f"no RocksDB snapshot artifacts in {state_files[:8]}"
     )
+
+
+def test_over_range_bounded_converges_across_batches(spark):
+    """The trailing (ts, cents) frame buffer must carry across batch
+    boundaries and evict as the frame slides: emissions from 3 time-ordered
+    micro-batches must equal the batch RANGE 24h PRECEDING window."""
+    sf_dir = "/root/testdata/sf0.001"
+    path = _staged_time_slices(spark, sf_dir, 3)
+
+    st = _stream_events(spark, path).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    from apache_flink_spark.queries import stream_over_agg as soa
+    from apache_flink_spark.streaming.stateful import streaming_range_bounded_over
+
+    range_us = soa._RANGE_HOURS * 3_600_000_000
+    captured = _run_append_batches(
+        spark, streaming_range_bounded_over(st, range_us)
+    )
+    assert len(captured) >= 3
+    got = (
+        pd.concat([captured[b] for b in sorted(captured)], ignore_index=True)
+        .sort_values(["user_id", "ts_us", "event_id"])
+        .reset_index(drop=True)
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    # RANGE frame on the micros value — same as the operator's definition.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-range_us, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    want = (
+        e.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.count(F.lit(1)).over(w).alias("w_cnt"),
+            F.sum(cents).over(w).alias("w_sum_cents"),
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
