@@ -169,6 +169,34 @@ def _parse_defines(defs: str, variables: set[str]) -> dict[str, str]:
     return out
 
 
+def _emit_measures(meas, assign, arr, vals) -> None:
+    """Append one value per MEASURES entry for a completed match."""
+    for kind, var, col, _alias in meas:
+        if kind == "COUNT":
+            if var is None:
+                vals.append(sum(len(v) for v in assign.values()))
+            else:
+                vals.append(len(assign.get(var, [])))
+            continue
+        idxs = assign.get(var, [])
+        if not idxs:
+            vals.append(None)
+            continue
+        a = arr[col]
+        if kind == "FIRST":
+            vals.append(a[idxs[0]])
+        elif kind == "LAST":
+            vals.append(a[idxs[-1]])
+        elif kind == "SUM":
+            vals.append(a[idxs].sum())
+        elif kind == "MIN":
+            vals.append(a[idxs].min())
+        elif kind == "MAX":
+            vals.append(a[idxs].max())
+        elif kind == "AVG":
+            vals.append(float(a[idxs].mean()))
+
+
 _SUM_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
 
@@ -311,9 +339,36 @@ def compile_match_recognize(
                 return None  # zero-width match — never emitted
             return assign, end
 
+        # A match can only START at a row satisfying the first variable's
+        # predicate when that variable's min-count >= 1 (greedy rec() takes
+        # at least ``lo`` rows of it). Precomputing those candidate
+        # positions turns the scan from a Python row-walk into numpy jumps
+        # between candidates — the dominant cost when the first variable is
+        # selective (the common CEP shape: a rare trigger event).
+        first_var, (first_lo, _) = pat[0]
+        cand_idx = np.flatnonzero(sat[first_var]) if first_lo >= 1 else None
+
         rows = []
         for s, e in zip(starts, ends):
             part_vals = [a[s] for a in part_arrs]
+            if cand_idx is not None:
+                p = int(np.searchsorted(cand_idx, s, "left"))
+                while p < len(cand_idx) and cand_idx[p] < e:
+                    i = int(cand_idx[p])
+                    hit = try_match(i, e)
+                    if hit is None:
+                        p += 1
+                        continue
+                    assign, end = hit
+                    vals = list(part_vals)
+                    _emit_measures(meas, assign, arr, vals)
+                    rows.append(vals)
+                    p = (
+                        p + 1
+                        if skip_to_next
+                        else int(np.searchsorted(cand_idx, end, "left"))
+                    )
+                continue
             i = s
             while i < e:
                 hit = try_match(i, e)
@@ -322,30 +377,7 @@ def compile_match_recognize(
                     continue
                 assign, end = hit
                 vals = list(part_vals)
-                for kind, var, col, alias in meas:
-                    if kind == "COUNT":
-                        if var is None:
-                            vals.append(sum(len(v) for v in assign.values()))
-                        else:
-                            vals.append(len(assign.get(var, [])))
-                        continue
-                    idxs = assign.get(var, [])
-                    if not idxs:
-                        vals.append(None)
-                        continue
-                    a = arr[col]
-                    if kind == "FIRST":
-                        vals.append(a[idxs[0]])
-                    elif kind == "LAST":
-                        vals.append(a[idxs[-1]])
-                    elif kind == "SUM":
-                        vals.append(a[idxs].sum())
-                    elif kind == "MIN":
-                        vals.append(a[idxs].min())
-                    elif kind == "MAX":
-                        vals.append(a[idxs].max())
-                    elif kind == "AVG":
-                        vals.append(float(a[idxs].mean()))
+                _emit_measures(meas, assign, arr, vals)
                 rows.append(vals)
                 i = (i + 1) if skip_to_next else end
         if rows:
