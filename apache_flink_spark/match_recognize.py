@@ -16,7 +16,7 @@ Supported subset (errors loudly otherwise):
         [ONE ROW PER MATCH]                      -- the only supported mode
         [AFTER MATCH SKIP PAST LAST ROW         -- default
          | AFTER MATCH SKIP TO NEXT ROW]
-        PATTERN ( VAR[quant] ... )               -- quant in  + * ?  (greedy)
+        PATTERN ( VAR[quant] ... )               -- quant in  + * ? {m} {m,} {m,n}  (greedy)
         DEFINE VAR AS <predicate> [, ...]        -- own-row predicates only
     ) [AS alias]
 
@@ -75,7 +75,26 @@ _MEASURE_RE = re.compile(
     re.I,
 )
 
-_TOKEN_RE = re.compile(r"(\w+)\s*([+*?]?)")
+_TOKEN_RE = re.compile(r"(\w+)\s*([+*?]|\{\s*\d+\s*(?:,\s*\d*)?\s*\})?")
+
+
+def _parse_quant(q: str | None) -> tuple[int, int | None]:
+    """Quantifier -> (lo, hi): + * ? and SQL/Flink bounded {m} {m,} {m,n}."""
+    if not q:
+        return (1, 1)
+    if q in _QUANTS:
+        return _QUANTS[q]
+    m = re.match(r"^\{\s*(\d+)\s*(?:(,)\s*(\d*)\s*)?\}$", q)
+    lo = int(m.group(1))
+    if not m.group(2):
+        hi: int | None = lo  # {m} — exactly m
+    elif m.group(3):
+        hi = int(m.group(3))  # {m,n}
+    else:
+        hi = None  # {m,} — at least m
+    if hi is not None and hi < lo:
+        raise MatchRecognizeError(f"bad quantifier bounds {q!r}: max < min")
+    return (lo, hi)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -103,7 +122,7 @@ def _parse_pattern(pat: str) -> list[tuple[str, tuple[int, int | None]]]:
         m = _TOKEN_RE.match(rest)
         if not m:
             raise MatchRecognizeError(f"unsupported PATTERN syntax near: {rest!r}")
-        toks.append((m.group(1), _QUANTS[m.group(2)]))
+        toks.append((m.group(1), _parse_quant(m.group(2))))
         rest = rest[m.end():].strip()
     if not toks:
         raise MatchRecognizeError("empty PATTERN")

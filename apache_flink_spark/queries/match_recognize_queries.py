@@ -194,3 +194,61 @@ def mr_low_run_breakout(spark, sf_dir):
         ORDER BY user_id, breakout_id
         """
     )
+
+
+@query(
+    "mr_bounded_quantifier",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ep,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events
+    ), runs AS (
+        SELECT *,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY rn) AS grp
+        FROM seq
+    ), pruns AS (
+        SELECT user_id, grp, MIN(rn) AS start_rn, COUNT(*) AS run_len
+        FROM runs WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.event_id AS click_id,
+           LEAST(3, p.run_len) AS n_purchases,
+           lastp.ep AS last_purchase_ts
+    FROM seq s
+    JOIN pruns p ON p.user_id = s.user_id AND p.start_rn = s.rn + 1
+    JOIN seq lastp ON lastp.user_id = s.user_id
+                  AND lastp.rn = p.start_rn + LEAST(3, p.run_len) - 1
+    WHERE s.event_type = 'click' AND p.run_len >= 2
+    ORDER BY s.user_id, click_id
+    """,
+)
+def mr_bounded_quantifier(spark, sf_dir):
+    """PATTERN (A B{2,3}) from a SQL string: a click followed by two-or-three
+    strictly consecutive purchases, greedy B taking min(3, run length)
+    (reference bounded quantifiers: Pattern.times(from, to) in flink-cep and
+    `{ n, m }` in MatchRecognize validation). Exact oracle: gaps-and-islands —
+    a maximal purchase run of length >= 2 whose immediate predecessor is a
+    click yields exactly one greedy match consuming LEAST(3, run) purchases;
+    consumed regions contain no other click and leftover purchases cannot
+    start a match, so SKIP PAST LAST ROW suppresses nothing."""
+    return _tenv(spark, sf_dir).sql(
+        """
+        SELECT user_id, click_id, n_purchases, last_purchase_ts
+        FROM events_mr MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ep, event_id
+            MEASURES A.event_id AS click_id,
+                     COUNT(B.*) AS n_purchases,
+                     LAST(B.ep) AS last_purchase_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B{2,3})
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        )
+        ORDER BY user_id, click_id
+        """
+    )

@@ -152,3 +152,62 @@ def test_unknown_measure_column_errors(spark, seq_view):
             )
             """,
         )
+
+
+def test_bounded_quantifiers(spark, seq_view):
+    """{m} / {m,} / {m,n} bounds (reference Pattern.times(from, to)):
+    greedy within the cap, match fails below the floor."""
+    # A{2} exactly two lows then a high: only user 1's (1,2)->3 qualifies.
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT user_id, n_a, b_seq FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES COUNT(A.*) AS n_a, B.seq AS b_seq
+            PATTERN (A{2} B)
+            DEFINE A AS A.v < 100, B AS B.v >= 100
+        ) ORDER BY user_id, b_seq
+        """,
+    ).collect()
+    assert [(r.user_id, r.n_a, r.b_seq) for r in out] == [(1, 2, 3)]
+
+    # A{1,} == A+ (maximal greedy run).
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT user_id, n_a, b_seq FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES COUNT(A.*) AS n_a, B.seq AS b_seq
+            PATTERN (A{1,} B)
+            DEFINE A AS A.v < 100, B AS B.v >= 100
+        ) ORDER BY user_id, b_seq
+        """,
+    ).collect()
+    assert [(r.user_id, r.n_a, r.b_seq) for r in out] == [(1, 2, 3), (1, 1, 5)]
+
+    # A{1,1} caps the greedy take at one row even though two lows precede.
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT user_id, a_seq, b_seq FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES FIRST(A.seq) AS a_seq, B.seq AS b_seq
+            PATTERN (A{1,1} B)
+            DEFINE A AS A.v < 100, B AS B.v >= 100
+        ) ORDER BY user_id, b_seq
+        """,
+    ).collect()
+    assert [(r.user_id, r.a_seq, r.b_seq) for r in out] == [(1, 2, 3), (1, 4, 5)]
+
+    with pytest.raises(MatchRecognizeError, match="max < min"):
+        sql_with_match_recognize(
+            spark,
+            """
+            SELECT * FROM mr_seq MATCH_RECOGNIZE (
+                PARTITION BY user_id ORDER BY seq
+                MEASURES COUNT(A.*) AS n_a
+                PATTERN (A{3,2})
+                DEFINE A AS A.v < 100
+            )
+            """,
+        )
