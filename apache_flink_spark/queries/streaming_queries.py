@@ -389,3 +389,100 @@ def stream_stream_join(spark, sf_dir):
         F.unix_micros("p_ts").alias("purchase_ts"),
     )
     return run_to_table(joined, "append")
+
+
+@query(
+    "stream_side_outputs",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+           CASE WHEN value >= 150 THEN 'high'
+                WHEN value >= 50  THEN 'mid'
+                ELSE 'low' END AS route
+    FROM events
+    """,
+)
+def stream_side_outputs(spark, sf_dir):
+    """Side-output fan-out as a driver-checked query (reference
+    SideOutputDataStream.java / OutputTag): one streaming source split into
+    three value-tier sinks in a single foreachBatch pass (one source read
+    per micro-batch), then read back with the route tag. Row routing is
+    stateless, so output is batching-invariant — the oracle is the plain
+    CASE partition of events. Machinery: streaming/utils.split_to_sinks."""
+    from apache_flink_spark.streaming.utils import split_to_sinks
+
+    st = stream_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+        "value",
+    )
+    keep = lambda b: b.select("event_id", "user_id", "value_c")  # noqa: E731
+    q, paths = split_to_sinks(
+        st,
+        {
+            "high": ("value >= 150", keep),
+            "mid": ("value >= 50 AND value < 150", keep),
+            "low": ("value < 50", keep),
+        },
+    )
+    q.awaitTermination()
+    out = None
+    for route, path in paths.items():
+        part = spark.read.parquet(path).withColumn("route", F.lit(route))
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+@query(
+    "stream_broadcast_control_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           CAST(ROUND(e.value * 100) AS BIGINT) AS value_c,
+           c.max_c,
+           CAST(ROUND(e.value * 100) AS BIGINT) = c.max_c AS is_type_peak
+    FROM events e
+    JOIN (SELECT event_type,
+                 MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_c
+          FROM events GROUP BY 1) c USING (event_type)
+    """,
+)
+def stream_broadcast_control_join(spark, sf_dir):
+    """Broadcast-state pattern as a driver-checked query (reference
+    DataStream.broadcast:337 / BroadcastProcessFunction): every micro-batch
+    re-reads a slowly-changing control table and broadcast-joins it — control
+    updates land between batches without restarting the stream. Here the
+    control (per-event-type max cents) is static for the run, so the output
+    is batching-invariant and the oracle is the equivalent batch join.
+    Machinery: streaming/utils.broadcast_control_join."""
+    import tempfile
+
+    from apache_flink_spark.queries._util import t
+    from apache_flink_spark.streaming.utils import broadcast_control_join
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    control = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.max(cents).alias("max_c"))
+    )
+    ctl_dir = tempfile.mkdtemp(prefix="afs_ctl_") + "/control"
+    control.write.mode("overwrite").parquet(ctl_dir)
+
+    st = stream_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", cents.alias("value_c")
+    )
+
+    def enrich(batch, ctl):
+        return batch.join(ctl, "event_type").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value_c",
+            "max_c",
+            (F.col("value_c") == F.col("max_c")).alias("is_type_peak"),
+        )
+
+    q, out_path = broadcast_control_join(st, ctl_dir, enrich)
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
