@@ -72,3 +72,67 @@ class TableEnvironment:
     def from_values(self, rows, schema=None) -> DataFrame:
         """Inline literal table — reference StreamExecValues / fromValues."""
         return self.spark.createDataFrame(rows, schema=schema)
+
+    def explain_sql(self, query: str, extended: bool = False) -> str:
+        """Plan explanation for a SQL statement — reference
+        TableEnvironment.explainSql (flink-table-api-java
+        .../TableEnvironment.java, ExplainDetail variants). Returns the
+        Catalyst plan string: physical only by default, parsed→analyzed→
+        optimized→physical with ``extended=True`` (the analog of the
+        reference's AST / optimized rel / physical triple)."""
+        df = self.sql(query)
+        qe = df._jdf.queryExecution()
+        return qe.toString() if extended else qe.simpleString()
+
+    def create_statement_set(self) -> "StatementSet":
+        """Multi-sink pipeline builder — reference
+        TableEnvironment.createStatementSet (StatementSetImpl): buffer
+        several INSERT INTOs and execute them as one unit."""
+        return StatementSet(self)
+
+
+class StatementSet:
+    """Buffered multi-insert execution (reference StatementSetImpl —
+    flink-table-api-java .../internal/StatementSetImpl.java).
+
+    The reference compiles all buffered inserts into ONE job graph so shared
+    source subtrees are read once. Spark has no cross-query common-subplan
+    reuse, so the same effect comes from persisting each distinct shared
+    source DataFrame for the duration of :meth:`execute` — every sink then
+    reads the materialized partitions instead of re-scanning."""
+
+    def __init__(self, tenv: TableEnvironment):
+        self._tenv = tenv
+        self._inserts: list[tuple[str, DataFrame, str]] = []
+
+    def add_insert_sql(self, target_path: str, query: str, fmt: str = "parquet") -> "StatementSet":
+        """Buffer ``INSERT INTO <target_path> <query>`` (path-based sink)."""
+        self._inserts.append((target_path, self._tenv.sql(query), fmt))
+        return self
+
+    def add_insert(self, target_path: str, df: DataFrame, fmt: str = "parquet") -> "StatementSet":
+        """Buffer a DataFrame insert into a path-based sink."""
+        self._inserts.append((target_path, df, fmt))
+        return self
+
+    def execute(self, shared: DataFrame | None = None) -> list[str]:
+        """Run every buffered insert; returns the written paths.
+
+        ``shared`` optionally names a source DataFrame common to several
+        inserts — it is persisted for the duration so each sink job reuses
+        the materialized scan (the reference's single-DAG multi-sink
+        behavior)."""
+        if not self._inserts:
+            return []
+        if shared is not None:
+            shared.persist()
+        try:
+            paths = []
+            for path, df, fmt in self._inserts:
+                df.write.format(fmt).mode("append").save(path)
+                paths.append(path)
+            return paths
+        finally:
+            if shared is not None:
+                shared.unpersist()
+            self._inserts.clear()

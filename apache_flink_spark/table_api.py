@@ -44,6 +44,13 @@ class Table:
     def execute(self) -> DataFrame:
         return self._df
 
+    def explain(self, extended: bool = False) -> str:
+        """Plan explanation — reference Table.explain (pyflink table.py
+        explain:1004, ExplainDetail). Physical plan by default; the full
+        parsed→analyzed→optimized→physical chain with ``extended=True``."""
+        qe = self._df._jdf.queryExecution()
+        return qe.toString() if extended else qe.simpleString()
+
     # -- row-level ops ---------------------------------------------------
     def select(self, *exprs) -> "Table":
         return Table(self._df.select(*[_col(e) for e in exprs]))

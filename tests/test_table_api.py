@@ -159,3 +159,41 @@ def test_catalog_ddl_surface(spark, sf_dir):
     assert "big_orders" not in {
         r.viewName for r in te.sql("SHOW VIEWS").collect()
     }
+
+
+def test_explain_surface(spark, sf_dir):
+    """Plan explanation parity (reference TableEnvironment.explainSql /
+    Table.explain): the physical plan names real operators, and extended
+    mode shows the full parse->physical chain."""
+    te = _tenv(spark, sf_dir)
+    phys = te.explain_sql(
+        "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1"
+    )
+    assert "HashAggregate" in phys or "SortAggregate" in phys
+    ext = te.explain_sql("SELECT 1 AS one", extended=True)
+    assert "Parsed Logical Plan" in ext and "Physical Plan" in ext
+
+    tbl_plan = te.table("orders").filter("o_totalprice > 0").explain()
+    assert "Filter" in tbl_plan or "PushedFilters" in tbl_plan
+
+
+def test_statement_set_multi_sink(spark, sf_dir, tmp_path):
+    """StatementSet parity (reference StatementSetImpl): several buffered
+    inserts execute as one unit, sharing one persisted source scan."""
+    te = _tenv(spark, sf_dir)
+    src = te.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders"
+    )
+    te.create_view("ss_src", src)
+    ss = te.create_statement_set()
+    hi, lo = str(tmp_path / "hi"), str(tmp_path / "lo")
+    ss.add_insert_sql(hi, "SELECT * FROM ss_src WHERE o_totalprice >= 150000")
+    ss.add_insert_sql(lo, "SELECT * FROM ss_src WHERE o_totalprice < 150000")
+    paths = ss.execute(shared=src)
+    assert paths == [hi, lo]
+    n_hi = spark.read.parquet(hi).count()
+    n_lo = spark.read.parquet(lo).count()
+    assert n_hi + n_lo == src.count()
+    assert n_hi > 0 and n_lo > 0
+    # Buffer cleared: executing again writes nothing new.
+    assert ss.execute() == []
