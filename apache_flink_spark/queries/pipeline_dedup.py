@@ -126,15 +126,23 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # formulation re-executed the shingle subtree 4x; this one appears
     # twice (join sides) and the identical window exchanges dedupe via
     # ReusedExchange, so the shingles are computed once.
-    sh = _shingles(spark, sf_dir).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    # Join on xxhash64(shingle), not the shingle string: the shuffle then
+    # carries 8 bytes per key instead of the raw n-gram (~20-30 bytes) — at
+    # corpus scale the exchange is the cost, and a 64-bit collision merging
+    # two distinct shingles (~2^-64 per pair) is far below the near-dup
+    # threshold's own noise floor.
+    sh = (
+        _shingles(spark, sf_dir)
+        .withColumn("shh", F.xxhash64("sh"))
+        .drop("sh")
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.sh") == F.col("b.sh"))
+            (F.col("a.shh") == F.col("b.shh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
