@@ -35,6 +35,10 @@ from apache_flink_spark.queries.registry import query
 #: shuffle join when it outgrows the broadcast threshold.
 _MAX_SERVICE_ROWS = 10_000
 
+#: Concurrent in-flight service requests per task (reference
+#: AsyncWaitOperator capacity — AsyncDataStream.orderedWait's capacity arg).
+_ASYNC_CAPACITY = 4
+
 
 @query(
     "async_lookup_enrich",
@@ -45,10 +49,12 @@ _MAX_SERVICE_ROWS = 10_000
     """,
 )
 def async_lookup_enrich(spark, sf_dir):
-    """Batched async-lookup join (AsyncLookupJoinRunner parity): suppliers
-    probe the 'nation service' one Arrow batch at a time. The service table
-    rides to executors as a broadcast variable (the lookup cache); misses
-    yield NULL (left-join semantics). Size-guarded — see _MAX_SERVICE_ROWS."""
+    """Async lookup join (AsyncLookupJoinRunner / AsyncWaitOperator parity):
+    suppliers probe the 'nation service' with _ASYNC_CAPACITY concurrent
+    in-flight requests per Arrow batch, awaited in submission order
+    (ordered async mode — deterministic emission). The service table rides
+    to executors as a broadcast variable (the lookup cache); misses yield
+    NULL (left-join semantics). Size-guarded — see _MAX_SERVICE_ROWS."""
     s = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     nation_rows = nation.limit(_MAX_SERVICE_ROWS + 1).collect()
@@ -64,22 +70,37 @@ def async_lookup_enrich(spark, sf_dir):
     )
 
     def _service_batch_get(keys: pd.Series) -> pd.Series:
-        # One call per Arrow batch — the async round trip. A real client
-        # would issue a single batched RPC here (with retry/backoff).
+        # One in-flight service request. A real client issues a batched RPC
+        # here (with retry/backoff); the GIL releases during network I/O,
+        # so the thread-pool below genuinely overlaps round trips.
         cache = service_table.value
         return keys.map(lambda k: cache.get(int(k)))
 
     def lookup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            names = _service_batch_get(pdf["s_nationkey"])
-            yield pd.DataFrame(
-                {
-                    "s_suppkey": pdf["s_suppkey"],
-                    "s_name": pdf["s_name"],
-                    "nation_name": names,
-                    "svc_checksum": names.str.len().astype("Int64"),
-                }
-            )
+        # ORDERED async mode (reference AsyncWaitOperator with capacity N +
+        # OutputMode.ORDERED): each Arrow batch is split into _ASYNC_CAPACITY
+        # concurrent in-flight requests; results are awaited in submission
+        # order so emission order — and the oracle hash — is deterministic.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=_ASYNC_CAPACITY) as pool:
+            for pdf in batches:
+                n = len(pdf)
+                step = max(1, -(-n // _ASYNC_CAPACITY))
+                keys = pdf["s_nationkey"]
+                futures = [
+                    pool.submit(_service_batch_get, keys.iloc[i : i + step])
+                    for i in range(0, n, step)
+                ]
+                names = pd.concat([f.result() for f in futures]) if futures else keys
+                yield pd.DataFrame(
+                    {
+                        "s_suppkey": pdf["s_suppkey"],
+                        "s_name": pdf["s_name"],
+                        "nation_name": names,
+                        "svc_checksum": names.str.len().astype("Int64"),
+                    }
+                )
 
     return s.select("s_suppkey", "s_name", "s_nationkey").mapInPandas(
         lookup,
