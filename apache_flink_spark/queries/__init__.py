@@ -24,6 +24,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     sort_ops,
     scalar_functions,
     event_windows,
+    graph_queries,
     temporal_joins,
     pattern_match,
     pipeline_dedup,
