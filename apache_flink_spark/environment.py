@@ -47,9 +47,15 @@ class TableEnvironment:
         """Parse/plan/execute SQL — reference TableEnvironmentImpl.executeSql
         (flink-table-api-java .../internal/TableEnvironmentImpl.java:727);
         here Catalyst replaces the Calcite parse→validate→optimize chain
-        (SURVEY.md §3). MATCH_RECOGNIZE clauses (which Spark SQL lacks) are
-        compiled by apache_flink_spark.match_recognize first — reference
-        StreamExecMatch.java:61."""
+        (SURVEY.md §3). Two Flink-SQL surfaces Spark lacks are compiled
+        first: window TVFs (TUMBLE/HOP/CUMULATE — window_tvf.py rewrite)
+        and MATCH_RECOGNIZE (match_recognize.py) — reference
+        StreamExecWindowAggregate / StreamExecMatch.java:61."""
+        up = query.upper()
+        if "TUMBLE" in up or "HOP" in up or "CUMULATE" in up or "SESSION" in up:
+            from apache_flink_spark.window_tvf import rewrite_window_tvfs
+
+            query = rewrite_window_tvfs(query)
         if "MATCH_RECOGNIZE" in query.upper():
             from apache_flink_spark.match_recognize import sql_with_match_recognize
 

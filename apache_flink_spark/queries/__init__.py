@@ -38,6 +38,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     subqueries,
     udf_surface,
     unnest_lateral,
+    window_tvf_queries,
 )
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,115 @@
+"""Window TVFs driven from SQL STRINGS through the facade.
+
+Reference parity (SURVEY.md §2.5): Flink SQL's windowing table functions —
+``TABLE(TUMBLE|HOP|CUMULATE(TABLE t, DESCRIPTOR(ts), ...))`` — planned into
+StreamExecWindowAggregate. The DataFrame twins live in
+queries/event_windows.py; these SQL-string queries prove the syntax path
+(apache_flink_spark/window_tvf.py rewrite -> spark.sql), sharing the same
+exact oracles. Window bounds cross the oracle boundary as epoch micros.
+"""
+
+from __future__ import annotations
+
+from apache_flink_spark.queries.event_windows import HOUR, MIN5, MIN10, MIN15
+from apache_flink_spark.queries.registry import query
+
+
+def _tenv(spark, sf_dir):
+    from apache_flink_spark.environment import TableEnvironment
+
+    tenv = TableEnvironment(spark=spark)
+    tenv.use_data_dir(sf_dir)
+    return tenv
+
+
+@query(
+    "tvf_tumble_agg",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {MIN10}) * {MIN10} AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tvf_tumble_agg(spark, sf_dir):
+    """TUMBLE TVF from a SQL string (reference window TVF syntax ->
+    window_tvf.py rewrite -> Spark's builtin window())."""
+    return _tenv(spark, sf_dir).sql(
+        """
+        SELECT unix_micros(window_start) AS win_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE)
+                   AS sum_value
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '10' MINUTES))
+        GROUP BY 1, 2
+        """
+    )
+
+
+@query(
+    "tvf_hop_agg",
+    oracle=f"""
+    SELECT ws AS win_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+    FROM (
+        SELECT e.event_type, e.value,
+               ((epoch_us(e.ts) // {MIN5}) - g.range) * {MIN5} AS ws
+        FROM events e CROSS JOIN range(2) g
+    )
+    GROUP BY 1, 2
+    """,
+)
+def tvf_hop_agg(spark, sf_dir):
+    """HOP TVF from a SQL string — 10-minute windows sliding by 5; the
+    rewrite's projection-position window() fans each row into its
+    size/slide = 2 windows."""
+    return _tenv(spark, sf_dir).sql(
+        """
+        SELECT unix_micros(window_start) AS win_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE)
+                   AS sum_value
+        FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts),
+                       INTERVAL '5' MINUTES, INTERVAL '10' MINUTES))
+        GROUP BY 1, 2
+        """
+    )
+
+
+@query(
+    "tvf_cumulate_agg",
+    oracle=f"""
+    SELECT win_start, win_end, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+    FROM (
+        SELECT (epoch_us(ts) // {HOUR}) * {HOUR} AS win_start,
+               (epoch_us(ts) // {HOUR}) * {HOUR}
+                 + (((epoch_us(ts) % {HOUR}) // {MIN15}) + 1 + g.range) * {MIN15}
+                 AS win_end,
+               event_type, value
+        FROM events CROSS JOIN range(4) g
+        WHERE ((epoch_us(ts) % {HOUR}) // {MIN15}) + 1 + g.range <= 4
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def tvf_cumulate_agg(spark, sf_dir):
+    """CUMULATE TVF from a SQL string — 1-hour max window, 15-minute
+    expanding steps; the rewrite applies the same explode-slices expansion
+    as the DataFrame cumulate operator."""
+    return _tenv(spark, sf_dir).sql(
+        """
+        SELECT unix_micros(window_start) AS win_start,
+               unix_micros(window_end) AS win_end, event_type,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE)
+                   AS sum_value
+        FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts),
+                            INTERVAL '15' MINUTES, INTERVAL '1' HOUR))
+        GROUP BY 1, 2, 3
+        """
+    )

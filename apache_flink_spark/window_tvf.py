@@ -1,0 +1,121 @@
+"""Window TVF SQL syntax — TUMBLE/HOP/CUMULATE table functions.
+
+Reference parity: Flink SQL's windowing TVFs (flink-table-planner
+.../plan/rules/logical/... window TVF planning into
+StreamExecWindowAggregate; the SQL surface
+``TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '10' MINUTES))`` assigns
+``window_start``/``window_end`` columns to every row). Spark SQL has the
+``window()`` expression but not the TVF syntax, so
+:func:`rewrite_window_tvfs` rewrites each TVF call site into an equivalent
+subquery — TUMBLE/HOP via the builtin ``window()`` (projection position,
+which Spark supports and which fans a row into all its hop windows), and
+CUMULATE via the explode-slices rewrite this engine already uses for its
+DataFrame cumulate (queries/event_windows.py).
+
+The rewrite is textual, like the MATCH_RECOGNIZE path: everything around
+the TVF — aggregation on window_start/window_end, joins, HAVING — stays in
+``spark.sql`` untouched, and Catalyst plans it (a GROUP BY
+window_start/window_end after the rewrite is the same plan a native
+``groupBy(window(...))`` produces).
+
+SESSION TVFs need merging aggregation (no projection-position equivalent);
+they raise with a pointer to ``session_window`` in the DataFrame API.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+
+class WindowTvfError(ValueError):
+    pass
+
+
+_TVF_RE = re.compile(
+    r"TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(\s*TABLE\s+(\w+)\s*,\s*"
+    r"DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*([^()]+)\)\s*\)",
+    re.I,
+)
+
+_INTERVAL_RE = re.compile(
+    r"INTERVAL\s*'(\d+)'\s*(SECOND|MINUTE|HOUR|DAY)S?", re.I
+)
+
+_UNIT_US = {
+    "SECOND": 1_000_000,
+    "MINUTE": 60_000_000,
+    "HOUR": 3_600_000_000,
+    "DAY": 86_400_000_000,
+}
+
+_counter = itertools.count()
+
+
+def _parse_intervals(args: str):
+    out = [
+        (int(n) * _UNIT_US[u.upper()], f"{n} {u.lower()}s")
+        for n, u in _INTERVAL_RE.findall(args)
+    ]
+    if not out:
+        raise WindowTvfError(f"no INTERVAL arguments in window TVF: {args!r}")
+    return out
+
+
+def _rewrite_one(kind: str, src: str, col: str, args: str) -> str:
+    ivs = _parse_intervals(args)
+    w = f"__wtvf{next(_counter)}"
+    if kind == "TUMBLE":
+        (_, size), = ivs
+        return (
+            f"(SELECT * EXCEPT({w}), {w}.start AS window_start,"
+            f" {w}.`end` AS window_end"
+            f" FROM (SELECT *, window(`{col}`, '{size}') AS {w} FROM {src}))"
+        )
+    if kind == "HOP":
+        # Flink arg order: slide, then size.
+        (_, slide), (_, size) = ivs
+        return (
+            f"(SELECT * EXCEPT({w}), {w}.start AS window_start,"
+            f" {w}.`end` AS window_end"
+            f" FROM (SELECT *, window(`{col}`, '{size}', '{slide}') AS {w}"
+            f" FROM {src}))"
+        )
+    if kind == "CUMULATE":
+        # Flink arg order: step, then max size. A row at offset o into its
+        # max-size window belongs to every slice ending after o —
+        # explode those slice indices (same rewrite as the DataFrame
+        # cumulate operator).
+        (step_us, _), (size_us, _) = ivs
+        if size_us % step_us:
+            raise WindowTvfError("CUMULATE size must be a multiple of step")
+        n = size_us // step_us
+        ws, k = f"{w}s", f"{w}k"
+        return (
+            f"(SELECT * EXCEPT({ws}, {k}),"
+            f" timestamp_micros({ws}) AS window_start,"
+            f" timestamp_micros({ws} + {k} * {step_us}) AS window_end"
+            f" FROM (SELECT *,"
+            f" (unix_micros(`{col}`) div {size_us}) * {size_us} AS {ws},"
+            f" explode(sequence(CAST(1 AS BIGINT), CAST({n} AS BIGINT))) AS {k}"
+            f" FROM {src})"
+            f" WHERE unix_micros(`{col}`) < {ws} + {k} * {step_us})"
+        )
+    raise WindowTvfError(
+        "SESSION window TVFs need merging aggregation, which has no "
+        "projection-position rewrite — use session_window via the DataFrame "
+        "API (queries/event_windows.win_session_agg) or the stateful "
+        "custom-session operator (streaming/stateful.py)"
+    )
+
+
+def rewrite_window_tvfs(sql: str) -> str:
+    """Replace every ``TABLE(TUMBLE|HOP|CUMULATE(...))`` site with an
+    equivalent Spark SQL subquery; returns the SQL unchanged if none."""
+    while True:
+        m = _TVF_RE.search(sql)
+        if m is None:
+            return sql
+        kind = m.group(1).upper()
+        sub = _rewrite_one(kind, m.group(2), m.group(3), m.group(4))
+        sql = sql[: m.start()] + sub + sql[m.end():]

@@ -1,0 +1,56 @@
+"""Window-TVF SQL rewrite (reference Flink SQL windowing TVFs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_flink_spark.window_tvf import WindowTvfError, rewrite_window_tvfs
+
+
+def test_tumble_rewrites_to_window_call():
+    out = rewrite_window_tvfs(
+        "SELECT * FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '10' MINUTES))"
+    )
+    assert "window(`ts`, '10 minutes')" in out
+    assert "window_start" in out and "window_end" in out
+    assert "TUMBLE" not in out
+
+
+def test_hop_arg_order_slide_then_size():
+    out = rewrite_window_tvfs(
+        "SELECT * FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts),"
+        " INTERVAL '5' MINUTES, INTERVAL '10' MINUTES))"
+    )
+    # Spark arg order is (col, size, slide).
+    assert "window(`ts`, '10 minutes', '5 minutes')" in out
+
+
+def test_cumulate_requires_divisible_step():
+    with pytest.raises(WindowTvfError, match="multiple of step"):
+        rewrite_window_tvfs(
+            "SELECT * FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts),"
+            " INTERVAL '7' MINUTES, INTERVAL '1' HOUR))"
+        )
+
+
+def test_session_raises_with_pointer():
+    with pytest.raises(WindowTvfError, match="session_window"):
+        rewrite_window_tvfs(
+            "SELECT * FROM TABLE(SESSION(TABLE t, DESCRIPTOR(ts),"
+            " INTERVAL '5' MINUTES))"
+        )
+
+
+def test_plain_sql_passes_through():
+    sql = "SELECT tumble_me, hop FROM t WHERE x < 1"
+    assert rewrite_window_tvfs(sql) == sql
+
+
+def test_two_sites_both_rewritten():
+    out = rewrite_window_tvfs(
+        "SELECT * FROM TABLE(TUMBLE(TABLE a, DESCRIPTOR(ts), INTERVAL '1' HOUR)) x"
+        " JOIN TABLE(TUMBLE(TABLE b, DESCRIPTOR(ts), INTERVAL '1' HOUR)) y"
+        " ON x.window_start = y.window_start"
+    )
+    assert "TUMBLE" not in out
+    assert out.count("window(`ts`, '1 hours')") == 2
