@@ -53,9 +53,12 @@ class TableEnvironment:
         StreamExecWindowAggregate / StreamExecMatch.java:61."""
         up = query.upper()
         if "TUMBLE" in up or "HOP" in up or "CUMULATE" in up or "SESSION" in up:
-            from apache_flink_spark.window_tvf import rewrite_window_tvfs
+            from apache_flink_spark.window_tvf import (
+                rewrite_group_windows,
+                rewrite_window_tvfs,
+            )
 
-            query = rewrite_window_tvfs(query)
+            query = rewrite_group_windows(rewrite_window_tvfs(query))
         if "MATCH_RECOGNIZE" in query.upper():
             from apache_flink_spark.match_recognize import sql_with_match_recognize
 

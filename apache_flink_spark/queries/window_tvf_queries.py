@@ -10,7 +10,7 @@ exact oracles. Window bounds cross the oracle boundary as epoch micros.
 
 from __future__ import annotations
 
-from apache_flink_spark.queries.event_windows import HOUR, MIN5, MIN10, MIN15
+from apache_flink_spark.queries.event_windows import HOUR, MIN5, MIN10, MIN15, MIN30
 from apache_flink_spark.queries.registry import query
 
 
@@ -111,5 +111,53 @@ def tvf_cumulate_agg(spark, sf_dir):
         FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts),
                             INTERVAL '15' MINUTES, INTERVAL '1' HOUR))
         GROUP BY 1, 2, 3
+        """
+    )
+
+
+@query(
+    "gw_session_agg",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, value, epoch_us(ts) AS ep,
+               CASE WHEN epoch_us(ts)
+                         - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                         > {MIN30}
+                         OR LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ), numbered AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ep
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ep) AS sess_start,
+           MAX(ep) + {MIN30} AS sess_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def gw_session_agg(spark, sf_dir):
+    """SESSION group window from a SQL string (reference legacy group-window
+    syntax — GROUP BY SESSION(ts, gap) with SESSION_START/SESSION_END
+    selectors, validated by LogicalWindowAggregate planning): rewritten to
+    Spark's merging session_window expression. This closes the SQL-string
+    session gap the TVF form cannot express."""
+    return _tenv(spark, sf_dir).sql(
+        """
+        SELECT user_id,
+               unix_micros(SESSION_START(ts, INTERVAL '30' MINUTES))
+                   AS sess_start,
+               unix_micros(SESSION_END(ts, INTERVAL '30' MINUTES)) AS sess_end,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTES)
         """
     )

@@ -103,9 +103,10 @@ def _rewrite_one(kind: str, src: str, col: str, args: str) -> str:
         )
     raise WindowTvfError(
         "SESSION window TVFs need merging aggregation, which has no "
-        "projection-position rewrite — use session_window via the DataFrame "
-        "API (queries/event_windows.win_session_agg) or the stateful "
-        "custom-session operator (streaming/stateful.py)"
+        "projection-position rewrite — use the legacy group-window syntax "
+        "(GROUP BY SESSION(ts, INTERVAL ...), rewritten to Spark's "
+        "session_window) or the DataFrame API "
+        "(queries/event_windows.win_session_agg)"
     )
 
 
@@ -119,3 +120,44 @@ def rewrite_window_tvfs(sql: str) -> str:
         kind = m.group(1).upper()
         sub = _rewrite_one(kind, m.group(2), m.group(3), m.group(4))
         sql = sql[: m.start()] + sub + sql[m.end():]
+
+
+# Legacy group-window syntax (reference "Group Window Aggregation" —
+# TUMBLE/HOP/SESSION directly in GROUP BY plus *_START/*_END selectors in
+# SELECT; validated by the planner's LogicalWindowAggregate rules).
+_GW_RE = re.compile(
+    r"\b(TUMBLE|HOP|SESSION)(_START|_END)?\s*\(\s*`?(\w+)`?\s*,\s*([^()]+)\)",
+    re.I,
+)
+
+
+def _gw_expr(kind: str, col: str, args: str) -> str:
+    ivs = _parse_intervals(args)
+    if kind == "TUMBLE":
+        (_, size), = ivs
+        return f"window(`{col}`, '{size}')"
+    if kind == "HOP":
+        (_, slide), (_, size) = ivs  # Flink arg order: slide, size
+        return f"window(`{col}`, '{size}', '{slide}')"
+    (_, gap), = ivs
+    return f"session_window(`{col}`, '{gap}')"
+
+
+def rewrite_group_windows(sql: str) -> str:
+    """Rewrite legacy group-window calls to Spark window expressions:
+    ``GROUP BY TUMBLE(ts, i)`` -> ``GROUP BY window(ts, 'i')`` (HOP and
+    SESSION -> ``session_window`` likewise), and the ``TUMBLE_START`` /
+    ``HOP_END`` / ``SESSION_START``-style selectors to the corresponding
+    ``.start`` / ``.end`` field of the same grouping expression (Catalyst
+    matches the repeated expression to the grouping column)."""
+
+    def sub(m: re.Match) -> str:
+        expr = _gw_expr(m.group(1).upper(), m.group(3), m.group(4))
+        suffix = (m.group(2) or "").upper()
+        if suffix == "_START":
+            return f"{expr}.start"
+        if suffix == "_END":
+            return f"{expr}.`end`"
+        return expr
+
+    return _GW_RE.sub(sub, sql)

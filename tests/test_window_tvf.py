@@ -54,3 +54,28 @@ def test_two_sites_both_rewritten():
     )
     assert "TUMBLE" not in out
     assert out.count("window(`ts`, '1 hours')") == 2
+
+
+def test_legacy_group_window_rewrites():
+    from apache_flink_spark.window_tvf import rewrite_group_windows
+
+    out = rewrite_group_windows(
+        "SELECT TUMBLE_START(ts, INTERVAL '10' MINUTES) AS s, COUNT(*)"
+        " FROM t GROUP BY TUMBLE(ts, INTERVAL '10' MINUTES)"
+    )
+    assert "window(`ts`, '10 minutes').start" in out
+    assert "GROUP BY window(`ts`, '10 minutes')" in out
+
+    out = rewrite_group_windows(
+        "SELECT HOP_END(ts, INTERVAL '5' MINUTES, INTERVAL '10' MINUTES)"
+        " FROM t GROUP BY HOP(ts, INTERVAL '5' MINUTES, INTERVAL '10' MINUTES)"
+    )
+    # Spark arg order (col, size, slide); END needs backticks.
+    assert "window(`ts`, '10 minutes', '5 minutes').`end`" in out
+
+    out = rewrite_group_windows(
+        "SELECT SESSION_START(ts, INTERVAL '30' MINUTES)"
+        " FROM t GROUP BY SESSION(ts, INTERVAL '30' MINUTES)"
+    )
+    assert "session_window(`ts`, '30 minutes').start" in out
+    assert "GROUP BY session_window(`ts`, '30 minutes')" in out
