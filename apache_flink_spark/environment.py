@@ -59,6 +59,10 @@ class TableEnvironment:
             )
 
             query = rewrite_group_windows(rewrite_window_tvfs(query))
+        if "SYSTEM_TIME" in query.upper():
+            from apache_flink_spark.temporal_sql import rewrite_system_time_joins
+
+            query = rewrite_system_time_joins(query)
         if "MATCH_RECOGNIZE" in query.upper():
             from apache_flink_spark.match_recognize import sql_with_match_recognize
 

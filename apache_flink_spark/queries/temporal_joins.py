@@ -211,3 +211,43 @@ def lookup_join_enrich(spark, sf_dir):
         F.col("c_name").alias("customer_name"),
         F.col("c_mktsegment").alias("mktsegment"),
     )
+
+
+@query(
+    "temporal_join_sql",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_ts,
+           v.event_id AS view_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+def temporal_join_sql(spark, sf_dir):
+    """FOR SYSTEM_TIME AS OF from a SQL string (reference temporal-join
+    syntax -> TemporalRowTimeJoinOperator; here temporal_sql.py rewrites the
+    site to a correlated LATERAL top-1 subquery): every click joined to the
+    newest same-user view at or before it, NULL when none. The oracle is
+    DuckDB's native ASOF LEFT JOIN — an independent third formulation of
+    the same semantics (the DataFrame union-merge twin is
+    asof_join_latest_view)."""
+    from apache_flink_spark.environment import TableEnvironment
+
+    tenv = TableEnvironment(spark=spark)
+    tenv.use_data_dir(sf_dir)
+    tenv.create_view(
+        "clicks_v", tenv.sql("SELECT * FROM events WHERE event_type = 'click'")
+    )
+    tenv.create_view(
+        "views_v", tenv.sql("SELECT * FROM events WHERE event_type = 'view'")
+    )
+    return tenv.sql(
+        """
+        SELECT c.user_id, c.event_id AS click_id,
+               unix_micros(c.ts) AS click_ts,
+               v.event_id AS view_event_id
+        FROM clicks_v c
+        LEFT JOIN views_v FOR SYSTEM_TIME AS OF c.ts AS v
+          ON v.user_id = c.user_id
+        """
+    )
