@@ -6,10 +6,17 @@ TemporalRowTimeJoinOperator, flink-table-runtime
 .../join/temporal/TemporalRowTimeJoinOperator.java): each left row joins
 the newest version of the right table whose time attribute is <= the left
 row's time. Spark SQL lacks the syntax; the rewrite compiles each site to
-a correlated LATERAL subquery (`ORDER BY version-time DESC LIMIT 1`) —
-Catalyst plans the correlation as a rewritten join, and the DataFrame-side
-scalable formulation (one union + last-ignore-nulls pass, no per-row scan)
-remains available as queries/temporal_joins.asof_join_latest_view.
+a correlated LATERAL subquery (`ORDER BY version-time DESC LIMIT 1`).
+
+PLAN NOTE — this surface is for SQL compatibility, not fact-scale use:
+Catalyst decorrelates the non-equi time predicate with a DOMAIN JOIN that
+broadcasts the distinct AS-OF timestamp set and theta-joins it against the
+versioned table. With a bounded version/timestamp domain that is fine; on
+a fact-scale left side the domain approaches the row count and the plan
+degrades to O(|domain| x |versions|). The scalable formulation — one
+union + last-ignore-nulls window pass, a single shuffle, no domain join —
+is queries/temporal_joins.asof_join_latest_view; use it (or its pattern)
+when the left side is large. See SCALE.md.
 
 Restricted subset (loud errors otherwise, like the reference's
 unsupported-feature validation):
