@@ -19,6 +19,14 @@ order-independent, so Spark and DuckDB agree bit-for-bit.
 Scale: edges shuffle on the vertex key per round; at 100 TB the same loops
 run with the usual escalations (salting for power-law hot vertices, the
 large-star/small-star trick for components — see SCALE.md).
+
+Join strategy: every iterative join carries an explicit SHUFFLE_HASH hint.
+``localCheckpoint`` erases size statistics (a checkpointed relation reports
+``defaultSizeInBytes``), so Catalyst's broadcast selection becomes
+arbitrary — on a 100 TB edge set a mis-chosen broadcast of the edge or
+frontier relation is fatal (locally it already OOMs the driver at sf0.1).
+Hash-shuffling both sides on the vertex key is the correct shape at every
+scale and keeps one reusable partitioning across rounds.
 """
 
 from __future__ import annotations
@@ -101,9 +109,13 @@ def graph_sssp_hops(spark, sf_dir):
     for _ in range(_SSSP_ROUNDS):
         nbr = (
             dist.alias("n")
-            .join(bi.alias("e"), F.col("e.dst") == F.col("n.node"), "left")
             .join(
-                dist.alias("m"),
+                bi.alias("e").hint("shuffle_hash"),
+                F.col("e.dst") == F.col("n.node"),
+                "left",
+            )
+            .join(
+                dist.alias("m").hint("shuffle_hash"),
                 F.col("m.node") == F.col("e.src"),
                 "left",
             )
@@ -160,14 +172,20 @@ def graph_pagerank(spark, sf_dir):
     for _ in range(_PR_ROUNDS):
         contrib = (
             bi.alias("e")
-            .join(ranks.alias("p"), F.col("p.node") == F.col("e.src"))
-            .join(deg.alias("g"), F.col("g.node") == F.col("e.src"))
+            .join(
+                ranks.alias("p").hint("shuffle_hash"),
+                F.col("p.node") == F.col("e.src"),
+            )
+            .join(
+                deg.alias("g").hint("shuffle_hash"),
+                F.col("g.node") == F.col("e.src"),
+            )
             .groupBy(F.col("e.dst").alias("node"))
             .agg(F.sum(F.expr("p.r div g.d")).alias("s"))
         )
         ranks = (
             deg.alias("d")
-            .join(contrib.alias("c"), "node", "left")
+            .join(contrib.alias("c").hint("shuffle_hash"), "node", "left")
             .select(
                 "node",
                 (
@@ -210,10 +228,13 @@ def graph_triangle_count(spark, sf_dir):
     degree-ordering is the documented escalation."""
     e = _edges(spark, sf_dir).localCheckpoint(eager=True)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    # Sort-merge, not shuffle-hash: the wedge join's inputs scale with
+    # sum-of-degrees-squared, and SMJ spills where a hash build cannot
+    # (shuffle_hash OOMs this join at sf0.1 already).
     tris = (
-        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        e1.join(e2.hint("merge"), F.col("e2.pa") == F.col("e1.pb"))
         .join(
-            e3,
+            e3.hint("merge"),
             (F.col("e3.pa") == F.col("e1.pa"))
             & (F.col("e3.pb") == F.col("e2.pb")),
         )
