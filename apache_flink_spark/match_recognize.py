@@ -17,6 +17,7 @@ Supported subset (errors loudly otherwise):
         [AFTER MATCH SKIP PAST LAST ROW         -- default
          | AFTER MATCH SKIP TO NEXT ROW]
         PATTERN ( VAR[quant] ... )               -- quant in  + * ? {m} {m,} {m,n}  (greedy)
+        [WITHIN INTERVAL 'n' unit]               -- match horizon (CEP within)
         DEFINE VAR AS <predicate> [, ...]        -- own-row predicates only
     ) [AS alias]
 
@@ -65,9 +66,21 @@ _BODY_RE = re.compile(
     r"(?:ONE\s+ROW\s+PER\s+MATCH\s+)?"
     r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)\s+)?"
     r"PATTERN\s*\(\s*(?P<pat>[^)]*?)\s*\)\s+"
+    r"(?:WITHIN\s+INTERVAL\s*'(?P<within_n>\d+)'\s*(?P<within_u>\w+)\s+)?"
     r"DEFINE\s+(?P<defs>.+)$",
     re.I | re.S,
 )
+
+_WITHIN_UNIT_US = {
+    "SECOND": 1_000_000,
+    "SECONDS": 1_000_000,
+    "MINUTE": 60_000_000,
+    "MINUTES": 60_000_000,
+    "HOUR": 3_600_000_000,
+    "HOURS": 3_600_000_000,
+    "DAY": 86_400_000_000,
+    "DAYS": 86_400_000_000,
+}
 
 _MEASURE_RE = re.compile(
     r"^(?:(?P<agg>FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?P<inner>[^)]*?)\s*\)"
@@ -258,6 +271,12 @@ def compile_match_recognize(
     skip_to_next = bool(
         m.group("skip") and re.match(r"TO\s+NEXT", m.group("skip"), re.I)
     )
+    within_us = None
+    if m.group("within_n"):
+        unit = m.group("within_u").upper()
+        if unit not in _WITHIN_UNIT_US:
+            raise MatchRecognizeError(f"unsupported WITHIN unit {unit!r}")
+        within_us = int(m.group("within_n")) * _WITHIN_UNIT_US[unit]
 
     for kind, var, col, alias in measures:
         if var is not None and var not in variables:
@@ -286,6 +305,13 @@ def compile_match_recognize(
     out_schema = ", ".join(f"{name} {typ}" for name, typ in out_fields)
     out_cols = [name for name, _ in out_fields]
 
+    time_col = order_cols[0]
+    if within_us is not None and type_of.get(time_col) not in ("bigint", "int"):
+        raise MatchRecognizeError(
+            "WITHIN requires the first ORDER BY column to be epoch micros "
+            f"(BIGINT); got {time_col!r}: {type_of.get(time_col)}"
+        )
+
     pat = list(pattern)
     meas = list(measures)
     parts = list(part_cols)
@@ -311,6 +337,20 @@ def compile_match_recognize(
             v: pdf[f"__mr_{v}"].fillna(False).to_numpy(dtype=bool)
             for v in var_list
         }
+        # WITHIN horizon (reference CEP Pattern.within / MATCH_RECOGNIZE
+        # WITHIN): rows later than match-start + interval are outside the
+        # match scope — the NFA prunes them, so the greedy search runs
+        # against a tightened limit per candidate start.
+        time_arr = pdf[time_col].to_numpy() if within_us is not None else None
+
+        def _limit(i: int, seg_end: int) -> int:
+            if time_arr is None:
+                return seg_end
+            return i + int(
+                np.searchsorted(
+                    time_arr[i:seg_end], time_arr[i] + within_us, "right"
+                )
+            )
         arr = {c: pdf[c].to_numpy() for c in meas_cols}
         part_arrs = [pdf[c].to_numpy() for c in parts]
         change = np.zeros(n, dtype=bool)
@@ -374,7 +414,7 @@ def compile_match_recognize(
                 p = int(np.searchsorted(cand_idx, s, "left"))
                 while p < len(cand_idx) and cand_idx[p] < e:
                     i = int(cand_idx[p])
-                    hit = try_match(i, e)
+                    hit = try_match(i, _limit(i, e))
                     if hit is None:
                         p += 1
                         continue
@@ -390,7 +430,7 @@ def compile_match_recognize(
                 continue
             i = s
             while i < e:
-                hit = try_match(i, e)
+                hit = try_match(i, _limit(i, e))
                 if hit is None:
                     i += 1
                     continue

@@ -252,3 +252,62 @@ def mr_bounded_quantifier(spark, sf_dir):
         ORDER BY user_id, click_id
         """
     )
+
+
+@query(
+    "mr_within_horizon",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ep,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events
+    ), runs AS (
+        SELECT *,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY rn) AS grp
+        FROM seq
+    ), pruns AS (
+        SELECT user_id, grp, MIN(rn) AS start_rn, COUNT(*) AS run_len
+        FROM runs WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.event_id AS click_id,
+           COUNT(*) AS n_purchases,
+           MAX(b.ep) AS last_purchase_ts
+    FROM seq s
+    JOIN pruns p ON p.user_id = s.user_id AND p.start_rn = s.rn + 1
+    JOIN seq b ON b.user_id = s.user_id
+              AND b.rn BETWEEN p.start_rn AND p.start_rn + p.run_len - 1
+              AND b.ep <= s.ep + 86400000000
+    WHERE s.event_type = 'click'
+    GROUP BY 1, 2
+    """,
+)
+def mr_within_horizon(spark, sf_dir):
+    """PATTERN (A B+) WITHIN INTERVAL '24' HOURS (reference CEP
+    Pattern.within / MATCH_RECOGNIZE WITHIN — the NFA prunes rows beyond
+    match-start + interval): a click followed by consecutive purchases, the
+    greedy run truncated to the 24-hour horizon. Exact oracle: the
+    quantifier-plus islands restricted to run-prefix rows with
+    ep <= click.ep + 24h (the run is time-ascending, so the horizon cut is
+    exactly that prefix)."""
+    return _tenv(spark, sf_dir).sql(
+        """
+        SELECT user_id, click_id, n_purchases, last_purchase_ts
+        FROM events_mr MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ep, event_id
+            MEASURES A.event_id AS click_id,
+                     COUNT(B.*) AS n_purchases,
+                     LAST(B.ep) AS last_purchase_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+)
+            WITHIN INTERVAL '24' HOURS
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        )
+        ORDER BY user_id, click_id
+        """
+    )

@@ -211,3 +211,35 @@ def test_bounded_quantifiers(spark, seq_view):
             )
             """,
         )
+
+
+def test_within_horizon_truncates_greedy_run(spark):
+    """WITHIN (reference Pattern.within): rows beyond match-start +
+    interval are outside the match scope — the greedy B+ run is cut at the
+    horizon, and a match needs at least one in-horizon B."""
+    rows = [
+        # user 1: trigger at t=0s, lows at 1s, 2s, 10s — a 5s horizon
+        # keeps only the first two lows.
+        (1, 0_000_000, "hi"),
+        (1, 1_000_000, "lo"),
+        (1, 2_000_000, "lo"),
+        (1, 10_000_000, "lo"),
+        # user 2: trigger at 0s, first low at 8s — no in-horizon B, no match.
+        (2, 0_000_000, "hi"),
+        (2, 8_000_000, "lo"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ep bigint, typ string")
+    df.createOrReplaceTempView("mr_within_seq")
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT user_id, n_b, last_ep FROM mr_within_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ep
+            MEASURES COUNT(B.*) AS n_b, LAST(B.ep) AS last_ep
+            PATTERN (A B+)
+            WITHIN INTERVAL '5' SECONDS
+            DEFINE A AS A.typ = 'hi', B AS B.typ = 'lo'
+        ) ORDER BY user_id
+        """,
+    ).collect()
+    assert [(r.user_id, r.n_b, r.last_ep) for r in out] == [(1, 2, 2_000_000)]
