@@ -408,3 +408,77 @@ def test_over_range_bounded_converges_across_batches(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rocksdb_changelog_checkpointing(spark):
+    """Changelog checkpointing under RocksDB (SURVEY §2.12; reference
+    flink-dstl — the durable short-term log that makes checkpoints
+    incremental): per-batch .changelog files are uploaded instead of full
+    snapshots every commit. Pin that the conf engages and state converges."""
+    sf_dir = "/root/testdata/sf0.001"
+    path = _staged_events(spark, sf_dir, 3)
+
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+            "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        st = _stream_events(spark, path).select(
+            "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+        )
+        captured: dict[int, pd.DataFrame] = {}
+
+        def sink(batch_df, batch_id: int) -> None:
+            captured[batch_id] = batch_df.toPandas()
+
+        ckpt = tempfile.mkdtemp(prefix="afs_rocksdb_cl_ckpt_")
+        q = (
+            streaming_keep_last(st)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    assert len(captured) >= 3
+    state_files = []
+    for _root, _dirs, files in os.walk(os.path.join(ckpt, "state")):
+        state_files.extend(files)
+    assert any(f.endswith(".changelog") for f in state_files), (
+        f"no .changelog files - changelog checkpointing not engaged: "
+        f"{sorted(set(f.rsplit('.',1)[-1] for f in state_files))}"
+    )
+    # Converged state still equals the batch answer.
+    got = (
+        _final_state(captured, ["user_id", "event_type"])
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    want = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us"))
+        .toPandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
