@@ -110,3 +110,59 @@ def test_dedup_keep_first_last_partition(spark, rows):
     f1 = first.join(singles, "k").orderBy("k").toPandas()
     l1 = last.join(singles, "k").orderBy("k").toPandas()
     pd.testing.assert_frame_equal(f1, l1, check_dtype=False)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),            # key
+            st.integers(0, 25),           # seq
+            st.sampled_from("aabbc"),     # symbol (a/b dense, c noise)
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    pattern=st.sampled_from(
+        [("A B+", "ab+"), ("A B{1,2}", "ab{1,2}"), ("A B* C", "ab*c")]
+    ),
+)
+@_settings
+def test_match_recognize_equals_regex(spark, rows, pattern):
+    """The MR matcher's greedy leftmost non-overlapping semantics are
+    EXACTLY a regex scan over the per-key symbol string — an independent
+    oracle sharing no code with the NFA. Checks (key, first_seq, n_rows)
+    of every match for three pattern shapes."""
+    import re as _re
+
+    from apache_flink_spark.match_recognize import sql_with_match_recognize
+
+    mr_pat, rx = pattern
+    defines = ", ".join(
+        f"{v} AS {v}.typ = '{v.lower()}'" for v in "ABC" if v in mr_pat
+    )
+    df = spark.createDataFrame(rows, "k int, seq int, typ string")
+    df.createOrReplaceTempView("prop_mr_seq")
+    out = sql_with_match_recognize(
+        spark,
+        f"""
+        SELECT k, first_seq, n FROM prop_mr_seq MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY seq
+            MEASURES A.seq AS first_seq, COUNT(*) AS n
+            PATTERN ({mr_pat})
+            DEFINE {defines}
+        )
+        """,
+    ).collect()
+    got = sorted((r.k, r.first_seq, r.n) for r in out)
+
+    want = []
+    by_key: dict[int, list[tuple[int, str]]] = {}
+    for k, seq, typ in rows:
+        by_key.setdefault(k, []).append((seq, typ))
+    for k, seq_rows in by_key.items():
+        seq_rows.sort()
+        s = "".join(t for _, t in seq_rows)
+        for m in _re.finditer(rx, s):
+            want.append((k, seq_rows[m.start()][0], m.end() - m.start()))
+    assert got == sorted(want)
