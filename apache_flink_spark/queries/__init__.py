@@ -28,6 +28,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     temporal_joins,
     pattern_match,
     pipeline_dedup,
+    pipeline_sampling,
     pipeline_similarity,
     pipeline_text,
     changelog_queries,
