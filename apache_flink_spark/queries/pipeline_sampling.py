@@ -92,3 +92,103 @@ def pipeline_stratified_sample(spark, sf_dir):
         .filter(F.col("rn") <= _STRATUM_K)
         .drop("rn")
     )
+
+
+_PACK_BUDGET = 512  # tokens per packed sequence (context-window budget)
+
+
+@query(
+    "pipeline_token_pack",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               SUM(len(string_split(text, ' '))) OVER (
+                   ORDER BY CAST({_DUCK_H32} AS BIGINT), doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum_tokens - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin_id
+    FROM ordered
+    """,
+)
+def pipeline_token_pack(spark, sf_dir):
+    """Sequence packing: assign docs to fixed token-budget bins (the
+    pretraining context-window packing step) by cumulative token count in
+    hash order — deterministic, engine-independent, and equivalent to
+    greedy sequential packing over a fixed pseudo-random shuffle. The
+    cumulative sum is one global ordered window; at 100 TB the same
+    assignment runs per-shard (hash-partition first, pack within shards) —
+    the bin ids stay deterministic because the shard key is the same hash.
+    """
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    w = (
+        Window.orderBy(F.expr(_SPARK_H32), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", n_tok)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"(cum_tokens - n_tokens) div {_PACK_BUDGET}").alias("bin_id"),
+        )
+    )
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle=f"""
+    WITH splits AS (
+        SELECT doc_id, text,
+               CAST({_DUCK_H32} AS BIGINT) % 100 AS bucket
+        FROM documents
+    ),
+    train AS (SELECT doc_id, text FROM splits WHERE bucket < 80),
+    bench AS (SELECT doc_id, text FROM splits WHERE bucket >= 90),
+    tsh AS (
+        SELECT doc_id, unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                       for i in generate_series(1, len(l) - 2)])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM train)
+    ),
+    bsh AS (
+        SELECT DISTINCT unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                        for i in generate_series(1, len(l) - 2)])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM bench)
+    )
+    SELECT DISTINCT t.doc_id AS contaminated_doc
+    FROM tsh t JOIN bsh b ON t.sh = b.sh
+    """,
+)
+def pipeline_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: train-split docs sharing any 3-token
+    shingle with the holdout split are flagged (the n-gram-overlap
+    contamination check run before every pretraining job). Composition of
+    the hash split + the inverted shingle index: the holdout shingle set is
+    small (10% of corpus, distinct), so it broadcasts and the check is one
+    semi join — no pair explosion at any scale."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_H32) % 100
+    docs = d.select("doc_id", "text", bucket.alias("bucket"))
+    toks = lambda df: df.select(  # noqa: E731
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    from apache_flink_spark.queries.pipeline_dedup import _SHINGLES_SPARK
+
+    def shingles(df):
+        return toks(df).select(
+            "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh")
+        )
+
+    train_sh = shingles(docs.filter(F.col("bucket") < 80))
+    bench_sh = (
+        shingles(docs.filter(F.col("bucket") >= 90)).select("sh").distinct()
+    )
+    return (
+        train_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .select(F.col("doc_id").alias("contaminated_doc"))
+        .distinct()
+    )
