@@ -52,6 +52,7 @@ HEADLINE = [
     "text_quality_score",
     "text_fingerprint",
     "pipeline_corpus_curation",
+    "pipeline_decontaminate",
     "stream_tumble_agg",
     "stream_stream_join",
 ]
