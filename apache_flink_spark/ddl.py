@@ -1,0 +1,182 @@
+"""Flink CREATE TABLE DDL — connector tables with WATERMARK clauses.
+
+Reference parity: Flink SQL DDL (flink-table-planner SqlCreateTable /
+CatalogTable; options resolved by DynamicTableFactory discovery — e.g.
+``WITH ('connector'='filesystem', 'path'=..., 'format'='parquet')``) is how
+every reference user declares sources. Spark SQL's CREATE TABLE speaks
+USING/OPTIONS, so :func:`execute_flink_ddl` compiles the Flink form:
+
+  - ``connector=filesystem`` + format parquet/csv/json/orc -> a reader over
+    the path, registered as a temp view (Catalyst still prunes/pushes into
+    the scan — the view is lazy, not materialized);
+  - ``connector=datagen`` -> a bounded ``spark.range`` sequence column;
+  - ``WATERMARK FOR c AS c - INTERVAL 'n' u`` -> recorded in
+    :data:`WATERMARKS`; :func:`stream_ddl_table` replays the same DDL table
+    as a file stream with ``withWatermark`` applied — the exact split the
+    reference hides behind one DDL (batch scan vs streaming scan of the
+    same declared table);
+  - ``PRIMARY KEY ... NOT ENFORCED`` -> accepted and ignored (Spark, like
+    the reference, does not enforce it);
+  - anything else (kafka, jdbc, hive connectors; computed columns) raises
+    ``DdlError`` loudly, mirroring factory-discovery failures.
+
+Types map structurally: STRING->string, TIMESTAMP(p)/TIMESTAMP_LTZ(p)->
+timestamp, DECIMAL(p,s) kept, everything else lower-cased verbatim
+(BIGINT/INT/DOUBLE/FLOAT/BOOLEAN/DATE/VARBINARY->binary).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class DdlError(ValueError):
+    pass
+
+
+#: table name -> (event-time column, delay expression e.g. "5 seconds")
+WATERMARKS: dict[str, tuple[str, str]] = {}
+
+#: table name -> (format, path, schema_ddl) for streaming replay
+_TABLES: dict[str, tuple[str, str, str]] = {}
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>\w+)\s*\((?P<body>.*)\)\s*"
+    r"WITH\s*\((?P<opts>.*)\)\s*$",
+    re.I | re.S,
+)
+
+_WATERMARK_RE = re.compile(
+    r"^WATERMARK\s+FOR\s+(?P<col>\w+)\s+AS\s+\w+\s*-\s*"
+    r"INTERVAL\s*'(?P<n>\d+)'\s*(?P<u>\w+)$",
+    re.I,
+)
+
+_PK_RE = re.compile(r"^PRIMARY\s+KEY\s*\(.*\)\s*(NOT\s+ENFORCED)?$", re.I)
+
+_TYPE_MAP = {
+    "STRING": "string",
+    "VARBINARY": "binary",
+    "BYTES": "binary",
+}
+
+
+def _map_type(t: str) -> str:
+    t = t.strip()
+    m = re.match(r"^TIMESTAMP(?:_LTZ)?\s*(?:\(\d+\))?$", t, re.I)
+    if m:
+        return "timestamp"
+    m = re.match(r"^(DECIMAL|NUMERIC)\s*\((\d+)\s*,\s*(\d+)\)$", t, re.I)
+    if m:
+        return f"decimal({m.group(2)},{m.group(3)})"
+    up = t.upper()
+    if up in _TYPE_MAP:
+        return _TYPE_MAP[up]
+    if re.match(r"^(VARCHAR|CHAR)\s*(\(\d+\))?$", up):
+        return "string"
+    return t.lower()
+
+
+def _split_options(opts: str) -> dict[str, str]:
+    out = {}
+    for m in re.finditer(r"'([^']*)'\s*=\s*'([^']*)'", opts):
+        out[m.group(1).lower()] = m.group(2)
+    return out
+
+
+def _parse_columns(body: str):
+    from apache_flink_spark.match_recognize import _split_top_level
+
+    cols, watermark = [], None
+    for part in _split_top_level(body):
+        part = part.strip()
+        if not part:
+            continue
+        wm = _WATERMARK_RE.match(part)
+        if wm:
+            watermark = (wm.group("col"), f"{wm.group('n')} {wm.group('u').lower()}")
+            continue
+        if _PK_RE.match(part):
+            continue  # accepted, not enforced — like the reference
+        m = re.match(r"^(\w+)\s+(.+?)(?:\s+NOT\s+NULL)?$", part, re.I | re.S)
+        if not m or re.search(r"\bAS\b", part, re.I):
+            raise DdlError(
+                f"unsupported column clause {part!r} (computed columns / "
+                "metadata columns are outside the supported DDL subset)"
+            )
+        cols.append((m.group(1), _map_type(m.group(2))))
+    if not cols:
+        raise DdlError("CREATE TABLE with no physical columns")
+    return cols, watermark
+
+
+def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
+    """Compile one Flink CREATE TABLE ... WITH (...) statement; returns
+    False when the statement is not a Flink connector DDL (caller should
+    fall through to ``spark.sql``)."""
+    m = _CREATE_RE.match(sql)
+    if m is None or "'connector'" not in sql.replace(" ", "").replace('"', "'"):
+        return False
+    name = m.group("name")
+    opts = _split_options(m.group("opts"))
+    cols, watermark = _parse_columns(m.group("body"))
+    schema_ddl = ", ".join(f"{c} {t}" for c, t in cols)
+    connector = opts.get("connector", "").lower()
+
+    if connector == "filesystem":
+        fmt = opts.get("format", "parquet").lower()
+        path = opts.get("path")
+        if not path:
+            raise DdlError("filesystem connector requires a 'path' option")
+        if fmt not in ("parquet", "csv", "json", "orc"):
+            raise DdlError(f"unsupported filesystem format {fmt!r}")
+        reader = spark.read.format(fmt).schema(schema_ddl)
+        if fmt == "csv":
+            reader = reader.option(
+                "header", opts.get("csv.include-header", "true")
+            ).option("sep", opts.get("csv.field-delimiter", ","))
+        df = reader.load(path)
+        _TABLES[name] = (fmt, path, schema_ddl)
+    elif connector == "datagen":
+        n = int(opts.get("number-of-rows", "1000"))
+        first = cols[0][0]
+        df = spark.range(n).select(
+            F.col("id").cast(dict(cols)[first]).alias(first),
+            *[
+                (F.col("id") % 97).cast(t).alias(c)
+                for c, t in cols[1:]
+            ],
+        )
+    else:
+        raise DdlError(
+            f"unsupported connector {connector!r} — supported: filesystem "
+            "(parquet/csv/json/orc), datagen"
+        )
+
+    df.createOrReplaceTempView(name)
+    if watermark:
+        WATERMARKS[name] = watermark
+    return True
+
+
+def stream_ddl_table(spark: SparkSession, name: str) -> DataFrame:
+    """Streaming scan of a DDL-declared filesystem table, with its declared
+    WATERMARK applied — the reference's streaming-mode read of the same
+    catalog table."""
+    if name not in _TABLES:
+        raise DdlError(f"{name!r} was not declared via filesystem DDL")
+    fmt, path, schema_ddl = _TABLES[name]
+    df = spark.readStream.format(fmt).schema(schema_ddl).load(path)
+    if name in WATERMARKS:
+        col, delay = WATERMARKS[name]
+        # Watermarks need a TIMESTAMP column; a BIGINT event-time column is
+        # this engine's epoch-nanos convention (the fixtures' TIMESTAMP(NANOS)
+        # read under nanosAsLong) — normalize exactly like catalog/stream_table.
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        df = df.withWatermark(col, delay)
+    return df

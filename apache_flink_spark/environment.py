@@ -52,6 +52,11 @@ class TableEnvironment:
         and MATCH_RECOGNIZE (match_recognize.py) — reference
         StreamExecWindowAggregate / StreamExecMatch.java:61."""
         up = query.upper()
+        if "CREATE" in up and "CONNECTOR" in up:
+            from apache_flink_spark.ddl import execute_flink_ddl
+
+            if execute_flink_ddl(self.spark, query):
+                return self.spark.sql("SELECT 'OK' AS result")
         if "TUMBLE" in up or "HOP" in up or "CUMULATE" in up or "SESSION" in up:
             from apache_flink_spark.window_tvf import (
                 rewrite_group_windows,

@@ -1,0 +1,112 @@
+"""Flink CREATE TABLE DDL (connector tables + WATERMARK) — reference
+SqlCreateTable / DynamicTableFactory parity."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_flink_spark.ddl import (
+    WATERMARKS,
+    DdlError,
+    execute_flink_ddl,
+    stream_ddl_table,
+)
+from apache_flink_spark.environment import TableEnvironment
+
+
+def test_filesystem_parquet_table(spark):
+    te = TableEnvironment(spark=spark)
+    te.sql(
+        """
+        CREATE TABLE ddl_docs (
+            doc_id BIGINT,
+            text STRING,
+            lang STRING,
+            source STRING,
+            n_chars BIGINT
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '/root/testdata/sf0.001/documents.parquet',
+            'format' = 'parquet'
+        )
+        """
+    )
+    got = te.sql("SELECT count(*) AS n, min(doc_id) AS lo FROM ddl_docs").collect()[0]
+    want = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert got.n == want.count()
+    assert got.lo == want.agg({"doc_id": "min"}).collect()[0][0]
+
+
+def test_watermark_clause_recorded_and_applied(spark):
+    te = TableEnvironment(spark=spark)
+    te.sql(
+        """
+        CREATE TABLE ddl_events (
+            event_id BIGINT,
+            user_id BIGINT,
+            event_type STRING,
+            value DOUBLE,
+            ts BIGINT,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECONDS
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '/root/testdata/sf0.001/events.parquet',
+            'format' = 'parquet'
+        )
+        """
+    )
+    assert WATERMARKS["ddl_events"] == ("ts", "5 seconds")
+    # Batch view resolves; streaming replay carries the watermark.
+    assert te.sql("SELECT count(*) AS n FROM ddl_events").collect()[0].n > 0
+    st = stream_ddl_table(spark, "ddl_events")
+    assert st.isStreaming
+    # The declared watermark materializes as an EventTimeWatermark node.
+    assert "EventTimeWatermark" in st._jdf.queryExecution().analyzed().toString()
+
+
+def test_datagen_and_errors(spark):
+    te = TableEnvironment(spark=spark)
+    te.sql(
+        """
+        CREATE TABLE ddl_gen (seq BIGINT, small INT) WITH (
+            'connector' = 'datagen', 'number-of-rows' = '7'
+        )
+        """
+    )
+    rows = te.sql("SELECT count(*) AS n, max(seq) AS mx FROM ddl_gen").collect()[0]
+    assert (rows.n, rows.mx) == (7, 6)
+
+    with pytest.raises(DdlError, match="unsupported connector"):
+        execute_flink_ddl(
+            spark,
+            "CREATE TABLE k (x STRING) WITH ('connector'='kafka',"
+            "'topic'='t')",
+        )
+    with pytest.raises(DdlError, match="computed columns"):
+        execute_flink_ddl(
+            spark,
+            "CREATE TABLE c (x BIGINT, y AS x + 1) WITH "
+            "('connector'='filesystem','path'='/tmp/x','format'='parquet')",
+        )
+    # Non-connector DDL falls through untouched.
+    assert not execute_flink_ddl(spark, "CREATE TABLE plain (x INT)")
+
+
+def test_primary_key_accepted_not_enforced(spark):
+    te = TableEnvironment(spark=spark)
+    te.sql(
+        """
+        CREATE TABLE ddl_nation (
+            n_nationkey BIGINT,
+            n_name STRING,
+            n_regionkey BIGINT,
+            n_comment STRING,
+            PRIMARY KEY (n_nationkey) NOT ENFORCED
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '/root/testdata/sf0.001/nation.parquet',
+            'format' = 'parquet'
+        )
+        """
+    )
+    assert te.sql("SELECT count(*) AS n FROM ddl_nation").collect()[0].n == 25
