@@ -27,6 +27,7 @@ timestamp, DECIMAL(p,s) kept, everything else lower-cased verbatim
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -134,6 +135,12 @@ def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
             raise DdlError("filesystem connector requires a 'path' option")
         if fmt not in ("parquet", "csv", "json", "orc"):
             raise DdlError(f"unsupported filesystem format {fmt!r}")
+        # A declared path that does not exist yet is a fresh sink table —
+        # materialize it as an empty directory so the view resolves (the
+        # reference's catalog likewise registers the table before any
+        # writer produces files).
+        if not path.startswith(("s3://", "hdfs://")) and not os.path.exists(path):
+            os.makedirs(path, exist_ok=True)
         reader = spark.read.format(fmt).schema(schema_ddl)
         if fmt == "csv":
             reader = reader.option(
@@ -161,6 +168,30 @@ def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
     if watermark:
         WATERMARKS[name] = watermark
     return True
+
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s+(?P<select>SELECT\b.*)$",
+    re.I | re.S,
+)
+
+
+def execute_flink_insert(spark: SparkSession, sql: str):
+    """``INSERT INTO <ddl table> SELECT ...`` — the reference's sink path
+    for a declared connector table. Appends to the table's path in its
+    declared format and re-registers the view so subsequent reads see the
+    new rows. Returns None when the statement is not an insert into a DDL
+    table (caller falls through to ``spark.sql``)."""
+    m = _INSERT_RE.match(sql)
+    if m is None or m.group("name") not in _TABLES:
+        return None
+    name = m.group("name")
+    fmt, path, schema_ddl = _TABLES[name]
+    out = spark.sql(m.group("select"))
+    out.write.format(fmt).mode("append").save(path)
+    df = spark.read.format(fmt).schema(schema_ddl).load(path)
+    df.createOrReplaceTempView(name)
+    return spark.sql("SELECT 'OK' AS result")
 
 
 def stream_ddl_table(spark: SparkSession, name: str) -> DataFrame:

@@ -57,6 +57,12 @@ class TableEnvironment:
 
             if execute_flink_ddl(self.spark, query):
                 return self.spark.sql("SELECT 'OK' AS result")
+        if up.lstrip().startswith("INSERT"):
+            from apache_flink_spark.ddl import execute_flink_insert
+
+            handled = execute_flink_insert(self.spark, query)
+            if handled is not None:
+                return handled
         if "TUMBLE" in up or "HOP" in up or "CUMULATE" in up or "SESSION" in up:
             from apache_flink_spark.window_tvf import (
                 rewrite_group_windows,

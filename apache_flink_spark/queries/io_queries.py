@@ -244,3 +244,44 @@ def source_compressed_roundtrip(spark, sf_dir):
     # Both decompressed legs must agree before either is returned.
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     return a
+
+
+@query(
+    "ddl_connector_table",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def ddl_connector_table(spark, sf_dir):
+    """Flink CREATE TABLE DDL end-to-end (reference SqlCreateTable +
+    filesystem DynamicTableFactory): declare the documents fixture via
+    connector DDL — columns, format, path — then aggregate through the
+    declared table. The view is lazy, so pruning/pushdown still reach the
+    parquet scan; the oracle reads the same fixture directly."""
+    from apache_flink_spark.environment import TableEnvironment
+
+    tenv = TableEnvironment(spark=spark)
+    name = "ddl_docs_q"
+    tenv.sql(
+        f"""
+        CREATE TABLE {name} (
+            doc_id BIGINT,
+            text STRING,
+            lang STRING,
+            source STRING,
+            n_chars BIGINT
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{sf_dir}/documents.parquet',
+            'format' = 'parquet'
+        )
+        """
+    )
+    return tenv.sql(
+        f"""
+        SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM {name} GROUP BY 1, 2
+        """
+    )

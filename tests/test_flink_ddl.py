@@ -110,3 +110,20 @@ def test_primary_key_accepted_not_enforced(spark):
         """
     )
     assert te.sql("SELECT count(*) AS n FROM ddl_nation").collect()[0].n == 25
+
+
+def test_insert_into_ddl_table(spark, tmp_path):
+    te = TableEnvironment(spark=spark)
+    path = str(tmp_path / "sink_tbl")
+    te.sql(
+        f"""
+        CREATE TABLE ddl_sink (k BIGINT, v STRING) WITH (
+            'connector' = 'filesystem', 'path' = '{path}',
+            'format' = 'parquet'
+        )
+        """
+    )
+    te.sql("INSERT INTO ddl_sink SELECT id AS k, CAST(id * 2 AS STRING) AS v FROM range(5)")
+    te.sql("INSERT INTO ddl_sink SELECT id + 10 AS k, 'x' AS v FROM range(3)")
+    got = te.sql("SELECT count(*) AS n, max(k) AS mx FROM ddl_sink").collect()[0]
+    assert (got.n, got.mx) == (8, 12)
