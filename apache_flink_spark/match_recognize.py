@@ -13,7 +13,7 @@ Supported subset (errors loudly otherwise):
         PARTITION BY k [, ...]
         ORDER BY c [, ...]                       -- ascending only
         MEASURES <measure> AS alias [, ...]
-        [ONE ROW PER MATCH]                      -- the only supported mode
+        [ONE ROW PER MATCH | ALL ROWS PER MATCH]
         [AFTER MATCH SKIP PAST LAST ROW         -- default
          | AFTER MATCH SKIP TO NEXT ROW]
         PATTERN ( VAR[quant] ... )               -- quant in  + * ? {m} {m,} {m,n}  (greedy)
@@ -23,6 +23,7 @@ Supported subset (errors loudly otherwise):
 
     <measure>  := VAR.col | FIRST(VAR.col) | LAST(VAR.col)
                 | COUNT(VAR.*) | COUNT(*) | SUM|MIN|MAX|AVG(VAR.col)
+                | CLASSIFIER() | MATCH_NUMBER()
 
 Semantics follow the reference: greedy quantifiers with backtracking,
 leftmost match priority, non-overlapping via AFTER MATCH SKIP. Variables not
@@ -63,7 +64,7 @@ _BODY_RE = re.compile(
     r"PARTITION\s+BY\s+(?P<part>.+?)\s+"
     r"ORDER\s+BY\s+(?P<order>.+?)\s+"
     r"MEASURES\s+(?P<meas>.+?)\s+"
-    r"(?:ONE\s+ROW\s+PER\s+MATCH\s+)?"
+    r"(?:(?P<mode>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
     r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)\s+)?"
     r"PATTERN\s*\(\s*(?P<pat>[^)]*?)\s*\)\s+"
     r"(?:WITHIN\s+INTERVAL\s*'(?P<within_n>\d+)'\s*(?P<within_u>\w+)\s+)?"
@@ -83,7 +84,8 @@ _WITHIN_UNIT_US = {
 }
 
 _MEASURE_RE = re.compile(
-    r"^(?:(?P<agg>FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?P<inner>[^)]*?)\s*\)"
+    r"^(?:(?P<fn>CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)"
+    r"|(?P<agg>FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?P<inner>[^)]*?)\s*\)"
     r"|(?P<var>\w+)\.(?P<col>\w+))\s+AS\s+(?P<alias>\w+)$",
     re.I,
 )
@@ -153,6 +155,9 @@ def _parse_measures(meas: str):
                 "SUM/MIN/MAX/AVG(VAR.col))"
             )
         alias = m.group("alias")
+        if m.group("fn"):
+            out.append((m.group("fn").upper(), None, None, alias))
+            continue
         if m.group("var"):
             out.append(("FIRST", m.group("var"), m.group("col"), alias))
             continue
@@ -201,9 +206,15 @@ def _parse_defines(defs: str, variables: set[str]) -> dict[str, str]:
     return out
 
 
-def _emit_measures(meas, assign, arr, vals) -> None:
+def _emit_measures(meas, assign, arr, vals, classifier=None, match_no=None) -> None:
     """Append one value per MEASURES entry for a completed match."""
     for kind, var, col, _alias in meas:
+        if kind == "CLASSIFIER":
+            vals.append(classifier)
+            continue
+        if kind == "MATCH_NUMBER":
+            vals.append(match_no)
+            continue
         if kind == "COUNT":
             if var is None:
                 vals.append(sum(len(v) for v in assign.values()))
@@ -233,7 +244,9 @@ _SUM_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
 
 def _measure_sql_type(kind: str, col_type: str | None) -> str:
-    if kind == "COUNT":
+    if kind == "CLASSIFIER":
+        return "string"
+    if kind in ("COUNT", "MATCH_NUMBER"):
         return "bigint"
     if kind == "AVG":
         return "double"
@@ -271,6 +284,7 @@ def compile_match_recognize(
     skip_to_next = bool(
         m.group("skip") and re.match(r"TO\s+NEXT", m.group("skip"), re.I)
     )
+    all_rows = bool(m.group("mode") and m.group("mode").upper().startswith("ALL"))
     within_us = None
     if m.group("within_n"):
         unit = m.group("within_u").upper()
@@ -293,14 +307,25 @@ def compile_match_recognize(
         )
 
     type_of = dict((f.name, f.dataType.simpleString()) for f in source.schema.fields)
+    src_cols = [f.name for f in source.schema.fields]
     out_fields = []
-    for c in part_cols:
-        if c not in type_of:
-            raise MatchRecognizeError(f"unknown PARTITION BY column {c!r}")
-        out_fields.append((c, type_of[c]))
+    if all_rows:
+        # ALL ROWS PER MATCH: every input column of each matched row, then
+        # the measures (FINAL semantics) — SQL-standard output shape.
+        out_fields.extend((c, type_of[c]) for c in src_cols)
+    else:
+        for c in part_cols:
+            if c not in type_of:
+                raise MatchRecognizeError(f"unknown PARTITION BY column {c!r}")
+            out_fields.append((c, type_of[c]))
     for kind, var, col, alias in measures:
         if col is not None and col not in type_of:
             raise MatchRecognizeError(f"unknown column in MEASURES: {col!r}")
+        if all_rows and alias in type_of:
+            raise MatchRecognizeError(
+                f"MEASURES alias {alias!r} collides with an input column "
+                "in ALL ROWS PER MATCH mode"
+            )
         out_fields.append((alias, _measure_sql_type(kind, type_of.get(col))))
     out_schema = ", ".join(f"{name} {typ}" for name, typ in out_fields)
     out_cols = [name for name, _ in out_fields]
@@ -407,9 +432,39 @@ def compile_match_recognize(
         first_var, (first_lo, _) = pat[0]
         cand_idx = np.flatnonzero(sat[first_var]) if first_lo >= 1 else None
 
+        src_arr = {c: pdf[c].to_numpy() for c in src_cols} if all_rows else None
+
         rows = []
         for s, e in zip(starts, ends):
             part_vals = [a[s] for a in part_arrs]
+            match_no = 0
+
+            def _do_emit(assign):
+                """One match -> one output row (ONE ROW mode: measures with
+                the last matched row's CLASSIFIER) or len(match) rows (ALL
+                ROWS mode: input columns + FINAL measures, per-row
+                classifier). MATCH_NUMBER counts per partition key."""
+                nonlocal match_no
+                match_no += 1
+                members = sorted(
+                    (idx, v) for v, idxs in assign.items() for idx in idxs
+                )
+                if not all_rows:
+                    vals = list(part_vals)
+                    _emit_measures(
+                        meas, assign, arr, vals,
+                        classifier=members[-1][1], match_no=match_no,
+                    )
+                    rows.append(vals)
+                    return
+                for idx, v in members:
+                    vals = [src_arr[c][idx] for c in src_cols]
+                    _emit_measures(
+                        meas, assign, arr, vals,
+                        classifier=v, match_no=match_no,
+                    )
+                    rows.append(vals)
+
             if cand_idx is not None:
                 p = int(np.searchsorted(cand_idx, s, "left"))
                 while p < len(cand_idx) and cand_idx[p] < e:
@@ -419,9 +474,7 @@ def compile_match_recognize(
                         p += 1
                         continue
                     assign, end = hit
-                    vals = list(part_vals)
-                    _emit_measures(meas, assign, arr, vals)
-                    rows.append(vals)
+                    _do_emit(assign)
                     p = (
                         p + 1
                         if skip_to_next
@@ -435,9 +488,7 @@ def compile_match_recognize(
                     i += 1
                     continue
                 assign, end = hit
-                vals = list(part_vals)
-                _emit_measures(meas, assign, arr, vals)
-                rows.append(vals)
+                _do_emit(assign)
                 i = (i + 1) if skip_to_next else end
         if rows:
             yield pd.DataFrame(rows, columns=out_cols)

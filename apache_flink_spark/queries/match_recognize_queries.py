@@ -311,3 +311,60 @@ def mr_within_horizon(spark, sf_dir):
         ORDER BY user_id, click_id
         """
     )
+
+
+@query(
+    "mr_all_rows_classifier",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ep,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events
+    ), runs AS (
+        SELECT *,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY rn) AS grp
+        FROM seq
+    ), pruns AS (
+        SELECT user_id, grp, MIN(rn) AS start_rn, COUNT(*) AS run_len
+        FROM runs WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ), matches AS (
+        SELECT s.user_id, s.rn AS a_rn, p.start_rn, p.run_len,
+               ROW_NUMBER() OVER (PARTITION BY s.user_id
+                                  ORDER BY s.rn) AS match_no
+        FROM seq s
+        JOIN pruns p ON p.user_id = s.user_id AND p.start_rn = s.rn + 1
+        WHERE s.event_type = 'click'
+    )
+    SELECT m.user_id, r.event_id, r.ep,
+           CASE WHEN r.rn = m.a_rn THEN 'A' ELSE 'B' END AS role,
+           m.match_no
+    FROM matches m
+    JOIN seq r ON r.user_id = m.user_id
+              AND r.rn BETWEEN m.a_rn AND m.start_rn + m.run_len - 1
+    """,
+)
+def mr_all_rows_classifier(spark, sf_dir):
+    """ALL ROWS PER MATCH with CLASSIFIER()/MATCH_NUMBER() from a SQL string
+    (SQL-standard row-expansion mode; reference StreamExecMatch supports
+    both output modes): every row of every click->purchases match, tagged
+    with its pattern variable and the per-user match ordinal. Exact oracle:
+    the islands decomposition expanded back to member rows."""
+    return _tenv(spark, sf_dir).sql(
+        """
+        SELECT user_id, event_id, ep, role, match_no
+        FROM events_mr MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ep, event_id
+            MEASURES CLASSIFIER() AS role, MATCH_NUMBER() AS match_no
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        )
+        ORDER BY user_id, ep, event_id
+        """
+    )

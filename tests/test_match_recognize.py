@@ -243,3 +243,44 @@ def test_within_horizon_truncates_greedy_run(spark):
         """,
     ).collect()
     assert [(r.user_id, r.n_b, r.last_ep) for r in out] == [(1, 2, 2_000_000)]
+
+
+def test_all_rows_per_match_with_classifier(spark, seq_view):
+    """ALL ROWS PER MATCH emits every matched input row with per-row
+    CLASSIFIER() and per-partition MATCH_NUMBER() (SQL-standard mode;
+    reference supports it through StreamExecMatch)."""
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT user_id, seq, role, mn FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES CLASSIFIER() AS role, MATCH_NUMBER() AS mn
+            ALL ROWS PER MATCH
+            PATTERN (A+ B)
+            DEFINE A AS A.v < 100, B AS B.v >= 100
+        ) ORDER BY user_id, seq
+        """,
+    ).collect()
+    # user 1: match 1 = rows 1,2 (A) + 3 (B); match 2 = 4 (A) + 5 (B).
+    assert [(r.user_id, r.seq, r.role, r.mn) for r in out] == [
+        (1, 1, "A", 1),
+        (1, 2, "A", 1),
+        (1, 3, "B", 1),
+        (1, 4, "A", 2),
+        (1, 5, "B", 2),
+    ]
+
+
+def test_one_row_mode_classifier_is_last_variable(spark, seq_view):
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT user_id, role FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES CLASSIFIER() AS role
+            PATTERN (A+ B)
+            DEFINE A AS A.v < 100, B AS B.v >= 100
+        )
+        """,
+    ).collect()
+    assert {r.role for r in out} == {"B"}
