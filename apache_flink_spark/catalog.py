@@ -38,19 +38,32 @@ _CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 _ACTIVE_VIEWS: dict[int, str] = {}
 
 
-# Columns stored as TIMESTAMP(NANOS) in parquet — Spark reads them as int64
-# nanos under spark.sql.legacy.parquet.nanosAsLong; convert to proper
-# timestamps by integer-truncating to micros (identical to DuckDB's read).
+# Columns stored as TIMESTAMP(NANOS) in parquet. How Spark reads them depends
+# on session build-time conf:
+#   - builder sessions with spark.sql.legacy.parquet.nanosAsLong=true read
+#     int64 nanos (LongType);
+#   - vanilla sessions (driver harness, user code) read TIMESTAMP_NTZ with
+#     nanos already truncated to micros. The nanosAsLong conf is build-time
+#     only — setting it at runtime does NOT change an existing session's read.
+# Both paths normalize to a session-timezone TIMESTAMP (session tz is forced
+# to UTC by configure_session), truncated to micros exactly like DuckDB's
+# read of the same file — so every query sees one ts type everywhere.
 _NANOS_COLS = ("ts",)
 
 
 def _normalize_nanos(df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for c in _NANOS_COLS:
-        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # NTZ wall-clock == UTC instant because the session tz is UTC.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -207,7 +207,10 @@ def stream_ddl_table(spark: SparkSession, name: str) -> DataFrame:
         # Watermarks need a TIMESTAMP column; a BIGINT event-time column is
         # this engine's epoch-nanos convention (the fixtures' TIMESTAMP(NANOS)
         # read under nanosAsLong) — normalize exactly like catalog/stream_table.
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
         df = df.withWatermark(col, delay)
     return df

@@ -64,7 +64,7 @@ def agg_collect_sorted(spark, sf_dir):
     "agg_bool_count_if",
     oracle="""
     SELECT o_orderpriority,
-           count_if(o_totalprice > 200000) AS n_big,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
            bool_and(o_totalprice > 0) AS all_positive,
            bool_or(o_orderstatus = 'F') AS any_final
     FROM orders

@@ -154,7 +154,7 @@ _PR_SCALE = 1_000_000  # micro-units; integer arithmetic = order-independent
         f"   JOIN deg g ON g.node = e.src GROUP BY 1) c USING (node))"
         for k in range(1, _PR_ROUNDS + 1)
     )}
-    SELECT node, r AS rank_micros FROM r{_PR_ROUNDS}
+    SELECT node, CAST(r AS BIGINT) AS rank_micros FROM r{_PR_ROUNDS}
     """,
 )
 def graph_pagerank(spark, sf_dir):

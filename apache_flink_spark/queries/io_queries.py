@@ -120,7 +120,7 @@ def source_csv_roundtrip(spark, sf_dir):
 @query(
     "source_json_roundtrip",
     oracle="""
-    SELECT source, lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+    SELECT source, lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1, 2
     """,
@@ -166,7 +166,7 @@ def source_orc_roundtrip(spark, sf_dir):
     "source_text_lines",
     oracle="""
     SELECT COUNT(*) AS n_lines,
-           SUM(length(text)) AS total_chars
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
     FROM documents
     """,
 )
@@ -249,7 +249,7 @@ def source_compressed_roundtrip(spark, sf_dir):
 @query(
     "ddl_connector_table",
     oracle="""
-    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1, 2
     """,
@@ -281,7 +281,7 @@ def ddl_connector_table(spark, sf_dir):
     )
     return tenv.sql(
         f"""
-        SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM {name} GROUP BY 1, 2
         """
     )

@@ -36,7 +36,7 @@ from apache_flink_spark.streaming.sources import run_to_table, stream_table
     oracle="""
     SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            COUNT(*) OVER w AS run_cnt,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS run_sum_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS run_sum_cents
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -93,7 +93,7 @@ _WINDOW_ROWS = 3  # current row + 2 preceding
     oracle=f"""
     SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            COUNT(*) OVER w AS w_cnt,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS w_sum_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS w_sum_cents
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN {_WINDOW_ROWS - 1} PRECEDING AND CURRENT ROW)
@@ -127,7 +127,7 @@ _RANGE_HOURS = 24
     oracle=f"""
     SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            COUNT(*) OVER w AS w_cnt,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS w_sum_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS w_sum_cents
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL {_RANGE_HOURS} HOUR PRECEDING

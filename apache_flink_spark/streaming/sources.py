@@ -25,7 +25,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructType
+from pyspark.sql.types import StructType
 
 _name_counter = itertools.count()
 
@@ -59,12 +59,9 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    for field in schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
-            )
-    return df
+    from apache_flink_spark.catalog import _normalize_nanos
+
+    return _normalize_nanos(df)
 
 
 def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:

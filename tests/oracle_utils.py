@@ -47,4 +47,17 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
     assert len(actual) == len(expected), (
         f"row count mismatch: spark={len(actual)} duckdb={len(expected)}"
     )
+    # The driver's gate hashes VALUES: an int 3655 and a float 3655.0 hash
+    # differently even though assert_frame_equal(check_dtype=False) calls
+    # them equal (r2 regression: DuckDB SUM(int)/count_if return HUGEINT ->
+    # pandas float64). Require matching numeric-kind so the local gate is at
+    # least as strict as the driver's.
+    for c in actual.columns:
+        ka, ke = actual[c].dtype.kind, expected[c].dtype.kind
+        if ka != ke and {ka, ke} <= set("iufb") and {ka, ke} != {"i", "u"}:
+            raise AssertionError(
+                f"dtype kind mismatch on {c!r}: spark={actual[c].dtype} "
+                f"duckdb={expected[c].dtype} — cast the oracle (HUGEINT?) or "
+                "the Spark side so both engines agree on int-vs-float"
+            )
     pd.testing.assert_frame_equal(actual, expected, check_dtype=False, check_exact=True)
