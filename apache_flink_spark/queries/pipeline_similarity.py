@@ -69,10 +69,18 @@ def _plane(j: int) -> list[int]:
 
 _PLANES = [_plane(j) for j in range(_N_PLANES)]
 
+# Near-dup banding uses MORE planes than the ANN bucket: band-key occupancy
+# is corpus_size / 2^bits_per_band, so candidate pairs grow quadratically in
+# occupancy — at 100 TB you keep occupancy bounded by widening the key (more
+# planes), never by shrinking the corpus. 16 planes = 2 bands x 8 bits here;
+# a cluster run would use 64-bit band keys, same join shape.
+_N_PLANES_ND = 16
+_PLANES_ND = [_plane(j) for j in range(_N_PLANES_ND)]
 
-def _bucket_spark(qe: str) -> str:
+
+def _bucket_spark(qe: str, planes: list[list[int]] | None = None) -> str:
     bits = []
-    for j, p in enumerate(_PLANES):
+    for j, p in enumerate(planes if planes is not None else _PLANES):
         arr = "array(" + ", ".join(f"CAST({s} AS BIGINT)" for s in p) + ")"
         bits.append(
             f"(CASE WHEN {_dot_spark(qe, arr)} > 0 THEN {1 << j} ELSE 0 END)"
@@ -80,9 +88,9 @@ def _bucket_spark(qe: str) -> str:
     return " + ".join(bits)
 
 
-def _bucket_sql(qe: str) -> str:
+def _bucket_sql(qe: str, planes: list[list[int]] | None = None) -> str:
     bits = []
-    for j, p in enumerate(_PLANES):
+    for j, p in enumerate(planes if planes is not None else _PLANES):
         arr = "[" + ", ".join(f"CAST({s} AS BIGINT)" for s in p) + "]"
         bits.append(
             f"(CASE WHEN {_dot_sql(qe, arr)} > 0 THEN {1 << j} ELSE 0 END)"
@@ -302,38 +310,48 @@ def sim_ivf_topk(spark, sf_dir):
     WITH v AS (
         SELECT vec_id, label, {_QE_SQL} AS qe FROM embeddings
     ), b AS (
-        SELECT vec_id, label, qe, {_bucket_sql("qe")} AS bucket FROM v
+        SELECT vec_id, label, qe,
+               {_bucket_sql("qe", _PLANES_ND)} AS bucket FROM v
     ), k AS (
-        SELECT vec_id, label, qe, band,
-               CASE WHEN band = 0 THEN bucket % 16 ELSE bucket // 16 END AS key
+        SELECT vec_id, band,
+               CASE WHEN band = 0 THEN bucket % 256 ELSE bucket // 256 END AS key
         FROM b, (SELECT unnest([0, 1]) AS band)
-    ), d AS (
-        SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
-               a.label AS label_a, c.label AS label_b,
-               {_dot_sql("a.qe", "c.qe")} AS dot,
-               {_dot_sql("a.qe", "a.qe")} AS nq,
-               {_dot_sql("c.qe", "c.qe")} AS nc
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
         FROM k a JOIN k c
           ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id
+    ), d AS (
+        SELECT vec_a, vec_b, va.label AS label_a, vb.label AS label_b,
+               {_dot_sql("va.qe", "vb.qe")} AS dot,
+               {_dot_sql("va.qe", "va.qe")} AS nq,
+               {_dot_sql("vb.qe", "vb.qe")} AS nc
+        FROM cand
+        JOIN b va ON va.vec_id = cand.vec_a
+        JOIN b vb ON vb.vec_id = cand.vec_b
     )
     SELECT vec_a, vec_b, label_a, label_b, {_COS_SQL} AS cosine
     FROM d
-    WHERE CAST(dot AS DOUBLE) / sqrt(CAST(nq * nc AS DOUBLE)) >= 0.9
+    ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq * nc AS DOUBLE)) DESC,
+             vec_a, vec_b
+    LIMIT 20
     """,
 )
 def sim_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (threshold 0.9) — the semantic-dedup
-    stage, LSH-BOUNDED: the 8 hyperplane sign bits split into 2 bands of 4
-    bits; a pair is a candidate iff it collides in at least one band
-    (standard banded-LSH OR-amplification — higher recall than requiring the
-    full 8-bit bucket to match). Candidate generation is a pure EQUI-join on
+    """Embedding-cosine near-dup candidates — the semantic-dedup stage,
+    LSH-BOUNDED: 16 hyperplane sign bits split into 2 bands of 8 bits; a
+    pair is a candidate iff it collides in at least one band (banded-LSH
+    OR-amplification). Candidate generation is a pure EQUI-join on
     (band, key) — never an all-pairs theta join — so the pair space scales
-    with band-bucket occupancy, not corpus^2; cosine is computed and
-    thresholded on candidates only. Band duplicates (pairs colliding in both
-    bands) are removed with DISTINCT before thresholding. At 100 TB you
-    raise planes/bands (e.g. 4x8 bits) to shrink buckets; the join shape is
-    unchanged. Approximate by design: pairs colliding in neither band are
-    missed — the oracle uses the identical candidate set."""
+    with band-key occupancy (corpus / 2^8 here), not corpus^2; cosine is
+    computed on candidates only, ONE dot per DISTINCT pair. The checked
+    output is the top-20 candidate pairs by cosine under a deterministic
+    total order (exact-integer dots -> identical doubles -> identical order
+    in both engines) — the fixtures plant no pairs above a dedup threshold,
+    so a thresholded output would be vacuously empty; production composes
+    ``WHERE cosine >= tau`` on the same plan. At 100 TB you widen the band
+    key (more planes) to hold occupancy flat; the join shape is unchanged.
+    Approximate by design: pairs colliding in neither band are missed — the
+    oracle uses the identical candidate set."""
     e = t(spark, sf_dir, "embeddings")
     # Stage 1: per-vector work ONCE — quantized vector, its norm, bucket.
     v = e.select("vec_id", "label", F.expr(_QE_SPARK).alias("qe")).select(
@@ -341,7 +359,7 @@ def sim_embedding_neardup(spark, sf_dir):
         "label",
         "qe",
         F.expr(_dot_spark("qe", "qe")).alias("norm"),
-        F.expr(_bucket_spark("qe")).alias("bucket"),
+        F.expr(_bucket_spark("qe", _PLANES_ND)).alias("bucket"),
     )
     # Stage 2: SLIM candidate generation — band keys only (no vectors on the
     # shuffle), equi-join per band, then DISTINCT pair ids. Dots are NOT
@@ -352,11 +370,11 @@ def sim_embedding_neardup(spark, sf_dir):
         F.explode(
             F.array(
                 F.struct(
-                    F.lit(0).alias("band"), (F.col("bucket") % 16).alias("key")
+                    F.lit(0).alias("band"), (F.col("bucket") % 256).alias("key")
                 ),
                 F.struct(
                     F.lit(1).alias("band"),
-                    F.expr("bucket div 16").alias("key"),
+                    F.expr("bucket div 256").alias("key"),
                 ),
             )
         ).alias("bk"),
@@ -406,6 +424,12 @@ def sim_embedding_neardup(spark, sf_dir):
     cos = F.col("dot").cast("double") / F.sqrt(
         (F.col("nq") * F.col("nc")).cast("double")
     )
-    return d.filter(cos >= 0.9).select(
-        "vec_a", "vec_b", "label_a", "label_b", F.round(cos, 6).alias("cosine")
+    # Top-20 by cosine under a deterministic total order: TakeOrdered shape
+    # (per-partition top-k then merge on the driver — no global sort).
+    return (
+        d.orderBy(F.desc(cos), "vec_a", "vec_b")
+        .limit(20)
+        .select(
+            "vec_a", "vec_b", "label_a", "label_b", F.round(cos, 6).alias("cosine")
+        )
     )

@@ -26,9 +26,11 @@ _BASE_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
-    # The events fixture stores TIMESTAMP(NANOS) which Spark's reader rejects;
-    # read as int64 nanos and convert in the catalog (DuckDB equally truncates
-    # ns -> us on read, so semantics stay aligned with the oracle).
+    # The events fixture stores TIMESTAMP(NANOS). pyspark 4.1 reads it as
+    # TIMESTAMP_NTZ (micros-truncated) regardless of this conf; older Sparks
+    # reject it unless nanosAsLong makes it an int64. The catalog normalizes
+    # BOTH shapes to a session-tz TIMESTAMP, so reads work on any session —
+    # the conf is kept only for older-Spark portability.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow batch size for mapInPandas/applyInPandas operators.

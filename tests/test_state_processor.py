@@ -12,6 +12,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from apache_flink_spark.catalog import _normalize_nanos
 from apache_flink_spark.streaming.state_processor import (
     read_keyed_state,
     read_state_metadata,
@@ -40,7 +41,7 @@ def _run_stateful_agg(spark, sf_dir):
     )
     q.awaitTermination()
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = _normalize_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
     want = (
         e.groupBy("user_id")
         .agg(

@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from apache_flink_spark.catalog import _normalize_nanos
 from apache_flink_spark.streaming.stateful import (
     streaming_keep_last,
     streaming_topn_by_value,
@@ -25,7 +26,7 @@ from apache_flink_spark.streaming.stateful import (
 def _staged_events(spark, sf_dir, n_files: int) -> str:
     out = tempfile.mkdtemp(prefix="afs_multibatch_")
     (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        _normalize_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
         .repartition(n_files)
         .write.mode("overwrite")
         .parquet(out)
@@ -61,17 +62,13 @@ def _final_state(captured: dict[int, pd.DataFrame], key_cols: list[str]) -> pd.D
 
 
 def _stream_events(spark, path):
-    from apache_flink_spark.streaming.sources import _batch_schema
-
     schema = spark.read.parquet(path).schema
     df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
-    return df
+    return _normalize_nanos(df)
 
 
 def test_keep_last_converges_across_batches(spark):
@@ -90,9 +87,7 @@ def test_keep_last_converges_across_batches(spark):
         .reset_index(drop=True)
     )
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(e.dtypes).get("ts") == "bigint":
-        e = e.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    e = _normalize_nanos((spark.read.parquet(f"{sf_dir}/events.parquet")))
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
@@ -129,7 +124,7 @@ def test_topn_converges_across_batches(spark):
         .reset_index(drop=True)
     )
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = _normalize_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
     want = (
         e.withColumn("rn", F.row_number().over(w))
@@ -151,7 +146,7 @@ def _staged_time_slices(spark, sf_dir, n_slices: int) -> str:
     import time
 
     out = tempfile.mkdtemp(prefix="afs_timeslice_")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").orderBy("ts", "event_id")
+    e = _normalize_nanos(spark.read.parquet(f"{sf_dir}/events.parquet")).orderBy("ts", "event_id")
     n = e.count()
     rows_per = (n + n_slices - 1) // n_slices
     pdf = e.toPandas()
@@ -214,9 +209,7 @@ def test_over_rows_bounded_converges_across_batches(spark):
         .reset_index(drop=True)
     )
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(e.dtypes).get("ts") == "bigint":
-        e = e.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    e = _normalize_nanos((spark.read.parquet(f"{sf_dir}/events.parquet")))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -258,9 +251,7 @@ def test_temporal_sort_emits_in_order_across_batches(spark):
         .reset_index(drop=True)
     )
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(e.dtypes).get("ts") == "bigint":
-        e = e.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    e = _normalize_nanos((spark.read.parquet(f"{sf_dir}/events.parquet")))
     wm_ms = (
         e.agg(F.max(F.unix_micros("ts"))).first()[0] // 1000 - 3_600_000
     )
@@ -330,9 +321,7 @@ def test_keep_last_under_rocksdb_state_store(spark):
         .reset_index(drop=True)
     )
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(e.dtypes).get("ts") == "bigint":
-        e = e.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    e = _normalize_nanos((spark.read.parquet(f"{sf_dir}/events.parquet")))
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
@@ -385,9 +374,7 @@ def test_over_range_bounded_converges_across_batches(spark):
         .reset_index(drop=True)
     )
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(e.dtypes).get("ts") == "bigint":
-        e = e.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    e = _normalize_nanos((spark.read.parquet(f"{sf_dir}/events.parquet")))
     # RANGE frame on the micros value — same as the operator's definition.
     w = (
         Window.partitionBy("user_id")
@@ -467,9 +454,7 @@ def test_rocksdb_changelog_checkpointing(spark):
         .sort_values(["user_id", "event_type"])
         .reset_index(drop=True)
     )
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(e.dtypes).get("ts") == "bigint":
-        e = e.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    e = _normalize_nanos((spark.read.parquet(f"{sf_dir}/events.parquet")))
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.desc("ts"), F.desc("event_id")
     )

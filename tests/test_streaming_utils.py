@@ -7,6 +7,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from apache_flink_spark.catalog import _normalize_nanos
 from apache_flink_spark.streaming.sources import run_to_table, stream_table
 from apache_flink_spark.streaming.utils import (
     broadcast_control_join,
@@ -29,7 +30,7 @@ def test_side_outputs_split(spark, sf_dir):
         },
     )
     q.awaitTermination()
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = _normalize_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
     n_err = spark.read.parquet(paths["errors"]).count()
     n_pur = spark.read.parquet(paths["purchases"]).count()
     assert n_err == batch.filter("event_type = 'error'").count()
@@ -48,7 +49,7 @@ def test_stream_static_broadcast_join(spark, sf_dir):
     ).select("event_id", "c_mktsegment")
     got = run_to_table(joined, "append")
     want = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        _normalize_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
         .join(
             F.broadcast(dim),
             dim.c_custkey == F.col("user_id") + 1,
