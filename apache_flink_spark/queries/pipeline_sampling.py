@@ -192,3 +192,47 @@ def pipeline_decontaminate(spark, sf_dir):
         .select(F.col("doc_id").alias("contaminated_doc"))
         .distinct()
     )
+
+
+@query(
+    "pipeline_domain_mix",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS cells
+        FROM c
+    )
+    SELECT c.lang, c.source, c.n_docs,
+           ROUND(CAST(t.total AS DOUBLE) / (t.cells * c.n_docs), 6)
+               AS sample_weight,
+           CAST(10000 // t.cells AS BIGINT) AS uniform_quota
+    FROM c, tot t
+    """,
+)
+def pipeline_domain_mix(spark, sf_dir):
+    """Domain-mixture reweighting — compute per-(lang, source) sampling
+    weights that rebalance the corpus to a uniform target mixture (the
+    DoReMi/Pile-style domain-weighting step before sampling a training
+    epoch): weight = target_share / actual_share, plus the per-cell doc
+    quota for a fixed 10k-doc budget. One tiny rollup + a broadcast of the
+    single-row totals — the 100 TB cost is exactly one map-side-combined
+    groupBy over the corpus."""
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    tot = c.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("cells"),
+    )
+    joined = c.crossJoin(F.broadcast(tot))
+    weight = F.round(
+        F.col("total").cast("double") / (F.col("cells") * F.col("n_docs")), 6
+    )
+    return joined.select(
+        "lang",
+        "source",
+        "n_docs",
+        weight.alias("sample_weight"),
+        F.expr("CAST(10000 div cells AS BIGINT)").alias("uniform_quota"),
+    )

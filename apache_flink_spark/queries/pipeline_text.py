@@ -302,3 +302,59 @@ def pipeline_corpus_curation(spark, sf_dir):
             F.sum(F.col("n_copies") - 1).alias("dups_removed"),
         )
     )
+
+
+# PII patterns — kept to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, no lookarounds.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+# The synthetic corpus plants no PII, so derive a deterministic PII-bearing
+# text from the fixture (identical construction in both engines) — the scrub
+# then has real matches to find instead of a vacuously-clean pass.
+_PII_TEXT_SQL = (
+    "text || ' Contact user' || CAST(doc_id AS STRING) || '@example.com"
+    " or +1-555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' now.'"
+)
+_PII_TEXT_DUCK = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.'"
+)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH src AS (
+        SELECT doc_id, {_PII_TEXT_DUCK} AS raw FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           md5(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS scrub_sig
+    FROM src
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction — the compliance pass every training-data pipeline runs
+    before tokenization: regex-scrub emails/phones, count redactions, emit a
+    digest of the scrubbed text. Pure built-in regexp_replace/regexp_count —
+    a narrow JVM map stage with full pushdown at 100 TB; patterns restricted
+    to the Java-regex ∩ RE2 common subset so the DuckDB oracle runs the
+    byte-identical scrub."""
+    d = t(spark, sf_dir, "documents")
+    raw = F.expr(_PII_TEXT_SQL)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_sig"),
+    )

@@ -88,11 +88,12 @@ def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
 
 #: Stateful streaming ops pay a per-partition state-store commit (WAL +
 #: snapshot) every micro-batch; with local fixtures that fixed cost dwarfs
-#: the work (measured: the stream-stream join at sf0.1 runs 12.9s with 32
-#: shuffle partitions, 3.1s with 8). Size streaming partitions to the state
-#: volume, not the CPU count — and note Spark pins stateful partitioning at
-#: first checkpoint, so it must be chosen before go-live.
-STREAMING_SHUFFLE_PARTITIONS = 8
+#: the work (measured warm at sf0.1: the stream-stream join runs 12.9s with
+#: 32 shuffle partitions, 3.3s with 8, 2.7s with 4, flat below that). Size
+#: streaming partitions to the state volume, not the CPU count — and note
+#: Spark pins stateful partitioning at first checkpoint, so it must be
+#: chosen before go-live.
+STREAMING_SHUFFLE_PARTITIONS = 4
 
 
 def run_to_table(

@@ -51,8 +51,10 @@ HEADLINE = [
     "mr_quantifier_plus",
     "text_quality_score",
     "text_fingerprint",
+    "text_pii_scrub",
     "pipeline_corpus_curation",
     "pipeline_decontaminate",
+    "pipeline_domain_mix",
     "stream_tumble_agg",
     "stream_stream_join",
 ]
