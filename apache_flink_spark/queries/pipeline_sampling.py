@@ -236,3 +236,77 @@ def pipeline_domain_mix(spark, sf_dir):
         weight.alias("sample_weight"),
         F.expr("CAST(10000 div cells AS BIGINT)").alias("uniform_quota"),
     )
+
+
+@query(
+    "pipeline_length_buckets",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), b AS (
+        SELECT doc_id, n_tokens, n_tokens // 64 AS bucket FROM d
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+               AS padding_waste
+    FROM b
+    GROUP BY bucket
+    """,
+)
+def pipeline_length_buckets(spark, sf_dir):
+    """Length-bucketed batching accounting: group documents into 64-token
+    buckets and measure the padding waste of batching each bucket to its max
+    length — the quantity a sequence-packing scheduler minimizes. One narrow
+    projection + one small rollup (map-side combined); the bucket key is a
+    pure integer division so the shuffle is uniform by construction."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("bigint")
+    b = d.select("doc_id", toks.alias("n_tokens")).select(
+        "doc_id", "n_tokens", F.expr("n_tokens div 64").alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        (F.count("*") * F.max("n_tokens") - F.sum("n_tokens"))
+        .cast("bigint")
+        .alias("padding_waste"),
+    )
+
+
+@query(
+    "pipeline_epoch_shuffle",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, {_DUCK_H32} AS h32 FROM documents
+    ), s AS (
+        SELECT doc_id, h32 % 8 AS shard, h32 FROM h
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h32, doc_id)
+                AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def pipeline_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle: every engine/run derives the same
+    training order from md5(doc_id) — shard assignment (h % 8) plus a
+    within-shard position. Content-hash ordering is the reproducible
+    replacement for random() shuffles (identical rationale to the hash
+    split above); at 100 TB the shard count matches the writer parallelism
+    and each shard's sort is partition-local (one WindowGroupLimit-free
+    window per shard, no global sort)."""
+    d = t(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.expr(_SPARK_H32).alias("h32"))
+    s = h.select("doc_id", (F.col("h32") % 8).alias("shard"), "h32")
+    w = Window.partitionBy("shard").orderBy("h32", "doc_id")
+    return s.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

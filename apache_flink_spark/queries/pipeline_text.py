@@ -358,3 +358,65 @@ def text_pii_scrub(spark, sf_dir):
         F.regexp_count(raw, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
         F.md5(scrubbed).alias("scrub_sig"),
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+    ), g AS (
+        SELECT doc_id,
+               greatest(len(l) - 2, 0) AS n_grams,
+               CASE WHEN len(l) >= 3 THEN
+                   len(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                                      for i in generate_series(1, len(l) - 2)]))
+               ELSE 0 END AS n_distinct
+        FROM s
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CASE WHEN n_grams > 0
+                THEN ROUND(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS dup3_frac,
+           (n_grams = 0 OR
+            CAST(n_grams - n_distinct AS DOUBLE) / n_grams <= 0.2) AS keep
+    FROM g
+    """,
+)
+def text_repetition_filter(spark, sf_dir):
+    """Within-document repetition filter (Gopher/MassiveText-style quality
+    rule): the fraction of duplicated word 3-grams inside each document;
+    docs above 20% duplicated content are dropped before training. One
+    narrow JVM map stage — transform/array_distinct higher-order functions,
+    no shuffle, no Python; at 100 TB this composes with the curation
+    pipeline's other per-doc gates in the same scan pass."""
+    d = t(spark, sf_dir, "documents")
+    s = d.select("doc_id", F.split(F.lower("text"), " ").alias("l"))
+    n_grams = F.greatest(F.size("l") - 2, F.lit(0))
+    distinct3 = F.when(
+        F.size("l") >= 3,
+        F.size(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(l) - 3),"
+                    " i -> concat_ws(' ', l[i], l[i+1], l[i+2]))"
+                )
+            )
+        ),
+    ).otherwise(F.lit(0))
+    g = s.select(
+        "doc_id",
+        n_grams.cast("bigint").alias("n_grams"),
+        distinct3.alias("n_distinct"),
+    )
+    dup_raw = (F.col("n_grams") - F.col("n_distinct")).cast("double") / F.col(
+        "n_grams"
+    )
+    return g.select(
+        "doc_id",
+        "n_grams",
+        F.when(F.col("n_grams") > 0, F.round(dup_raw, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup3_frac"),
+        ((F.col("n_grams") == 0) | (dup_raw <= 0.2)).alias("keep"),
+    )
