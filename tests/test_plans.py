@@ -151,3 +151,29 @@ def test_q2_correlated_min_decorrelates(spark, sf_dir):
     opt = _optimized_plan(QUERIES["q2_min_cost_supplier"](spark, sf_dir))
     assert "scalar-subquery" not in opt.lower()
     assert "Join" in opt and "Aggregate" in opt
+
+
+def test_pii_scrub_prunes_to_two_columns(spark, sf_dir):
+    """text_pii_scrub touches doc_id+text only; the scan must not read the
+    lang/source/n_chars columns (narrow map stage at 100 TB)."""
+    plan = _executed_plan(QUERIES["text_pii_scrub"](spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "n_chars" not in read_schema and "lang" not in read_schema
+
+
+def test_epoch_shuffle_has_no_global_sort(spark, sf_dir):
+    """pipeline_epoch_shuffle orders WITHIN hash-partitioned shards — a
+    range-partitioned global sort would serialize the corpus through one
+    ordering at 100 TB."""
+    plan = _executed_plan(QUERIES["pipeline_epoch_shuffle"](spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning" in plan.lower()
+
+
+def test_length_buckets_partial_aggregation(spark, sf_dir):
+    """pipeline_length_buckets must map-side combine before the bucket
+    shuffle (two HashAggregate phases), so the exchange carries one row per
+    (partition, bucket), not per document."""
+    plan = _executed_plan(QUERIES["pipeline_length_buckets"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
