@@ -19,10 +19,12 @@ Scale story:
     (TakeOrderedAndProject shape); no all-pairs materialization.
   - LSH ANN: 8 md5-seeded hyperplanes -> 8 sign bits -> bucket id; the join
     is an equi-join on bucket, so candidate count scales with bucket
-    occupancy, not corpus^2. At 100 TB, multi-probe (flipping low-margin
-    bits) trades recall for fan-out — bucketing is the scale path.
-  - Near-dup pairs: thresholded all-pairs at test SF; at scale the LSH
-    buckets bound the pair space first.
+    occupancy, not corpus^2. sim_lsh_multiprobe adds the recall escalation:
+    each query also probes its 8 single-bit-flip buckets (9x fan-out, same
+    equi-join shape).
+  - Near-dup pairs: banded LSH (2 bands x 8 bits from 16 planes) bounds the
+    candidate pair space; one exact-integer dot per DISTINCT pair,
+    deterministic top-k output.
 
 Everything is built-in higher-order functions (zip_with/aggregate/transform)
 — JVM-side, no UDFs.
@@ -432,4 +434,92 @@ def sim_embedding_neardup(spark, sf_dir):
         .select(
             "vec_a", "vec_b", "label_a", "label_b", F.round(cos, 6).alias("cosine")
         )
+    )
+
+
+_PROBE_SQL_DUCK = "[bucket, " + ", ".join(
+    f"xor(bucket, {1 << j})" for j in range(_N_PLANES)
+) + "]"
+_PROBE_SPARK = "array(bucket, " + ", ".join(
+    f"bucket ^ {1 << j}" for j in range(_N_PLANES)
+) + ")"
+
+
+@query(
+    "sim_lsh_multiprobe",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_QE_SQL} AS qe FROM embeddings
+    ), b AS (
+        SELECT vec_id, qe, {_bucket_sql("qe")} AS bucket FROM v
+    ), probes AS (
+        SELECT vec_id AS query_id, qe AS q_qe,
+               unnest({_PROBE_SQL_DUCK}) AS probe
+        FROM b WHERE vec_id < 20
+    ), d AS (
+        SELECT p.query_id, c.vec_id AS cand_id,
+               {_dot_sql("p.q_qe", "c.qe")} AS dot,
+               {_dot_sql("p.q_qe", "p.q_qe")} AS nq,
+               {_dot_sql("c.qe", "c.qe")} AS nc
+        FROM probes p JOIN b c
+          ON c.bucket = p.probe AND p.query_id <> c.vec_id
+    )
+    SELECT query_id, cand_id, rnk, {_COS_SQL} AS cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq * nc AS DOUBLE)) DESC,
+                     cand_id) AS rnk
+        FROM d
+    )
+    WHERE rnk <= 5
+    """,
+)
+def sim_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN (the recall escalation SCALE.md names for the
+    bucketed path): each query probes its own bucket PLUS the 8 single-bit
+    flips — the nearest Hamming neighbors, where near-misses concentrate —
+    so recall approaches brute force while the candidate set stays bucket-
+    bounded (9 x occupancy vs corpus). Still a pure EQUI-join on the probed
+    bucket id; a candidate's bucket matches at most one probe, so no dedup
+    is needed. At 100 TB the probe count trades recall vs fan-out without
+    changing the plan shape."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.expr(_QE_SPARK).alias("qe"))
+    b = v.withColumn("bucket", F.expr(_bucket_spark("qe")))
+    probes = (
+        b.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qe").alias("q_qe"),
+            F.explode(F.expr(_PROBE_SPARK)).alias("probe"),
+        )
+    )
+    c = b.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qe").alias("c_qe"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    d = (
+        probes.join(
+            c,
+            (F.col("probe") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("cand_id")),
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(_dot_spark("q_qe", "c_qe")).alias("dot"),
+            F.expr(_dot_spark("q_qe", "q_qe")).alias("nq"),
+            F.expr(_dot_spark("c_qe", "c_qe")).alias("nc"),
+        )
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        (F.col("nq") * F.col("nc")).cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(cos), "cand_id")
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "cand_id", "rnk", F.round(cos, 6).alias("cosine"))
     )
