@@ -76,3 +76,16 @@ def test_vanilla_session_reads_nanos_timestamps(vanilla, sf_dir):
     assert row.ts is not None
     assert vanilla.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     assert vanilla.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_ts_normalizes_to_timestamp_on_any_session(vanilla, sf_dir):
+    """pyspark 4.1 reads the fixtures' TIMESTAMP(NANOS) as TIMESTAMP_NTZ on
+    EVERY session (the legacy nanosAsLong conf is build-time-only and inert
+    here); the catalog must hand queries a session-tz TIMESTAMP regardless —
+    r2 regression: unix_micros(ts) fails on NTZ."""
+    from pyspark.sql.types import TimestampType
+
+    events = catalog.load_tables(vanilla, sf_dir)["events"]
+    assert isinstance(events.schema["ts"].dataType, TimestampType)
+    # and the normalized column is actually usable by epoch extraction:
+    events.selectExpr("unix_micros(ts)").limit(1).collect()
