@@ -111,10 +111,14 @@ def get_spark(
     builder = builder.config("spark.default.parallelism", str(cpus))
     for k, v in _BASE_CONF.items():
         builder = builder.config(k, v)
-    if os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
-        builder = builder.config(
-            "spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"]
-        )
+    # Local-mode heap: the single JVM hosts ALL executor threads, so Spark's
+    # 1g driver default is the wrong sizing on a many-core box (measured: the
+    # 49M-row triangle wedge join at sf0.1 OOMs a 1g heap). Heap is
+    # environment sizing, not an engine conf — only effective when THIS call
+    # launches the JVM; a cluster deployment sizes executors via submit args.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

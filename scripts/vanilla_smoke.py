@@ -30,6 +30,14 @@ def main() -> int:
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
         .appName("vanilla_smoke")
+        # Heap is ENVIRONMENT sizing, not an engine conf — the point of this
+        # script is "no engine confs", but Spark's 1g local default OOMs the
+        # heavier sf0.1 intermediates (triangle wedge join) regardless of
+        # which engine runs them.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
