@@ -75,6 +75,13 @@ def main() -> None:
     QUERIES["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Warm the Python worker pool + Arrow serde once: spark.python.worker.reuse
+    # (default true) keeps workers alive, so a long-lived deployment pays this
+    # startup exactly once — charging it to whichever Arrow-path query happens
+    # to run first would misattribute environment init as query cost.
+    spark.range(1024).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
