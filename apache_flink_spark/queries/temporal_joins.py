@@ -83,6 +83,37 @@ def interval_join(spark, sf_dir):
     )
 
 
+def asof_join(left, right, key: str, ts: str, carry: str, tiebreak: str):
+    """Reusable as-of / temporal join (TemporalRowTimeJoinOperator, FOR
+    SYSTEM_TIME AS OF): for every LEFT row, the value of ``carry`` from the
+    latest RIGHT row with ``right[ts] <= left[ts]`` on the same ``key``
+    (NULL when none — left-outer semantics).
+
+    Union-merge rewrite, NOT a join: both sides shuffle ONCE on the key and
+    a single sorted window pass carries the newest right value forward —
+    at 100 TB this is one exchange + one in-partition sort, versus the
+    range-join + per-row max a naive formulation pays. Right rows sort
+    before left rows at equal ts, so a same-instant right row is visible
+    (the reference's <= semantics); ``tiebreak`` must exist on both sides
+    and make the per-key order total, which also makes ties among right
+    rows deterministic (largest tiebreak wins)."""
+    l = left.withColumn("__side", F.lit(1))
+    r = right.withColumn("__side", F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "__side", tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        carry,
+        F.last(
+            F.when(F.col("__side") == 0, F.col(carry)), ignorenulls=True
+        ).over(w),
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")
+
+
 @query(
     "asof_join_latest_view",
     oracle="""
@@ -105,40 +136,24 @@ def interval_join(spark, sf_dir):
     """,
 )
 def asof_join_latest_view(spark, sf_dir):
-    """As-of / temporal join (TemporalRowTimeJoinOperator, FOR SYSTEM_TIME AS
-    OF): for every click, the latest view by the same user at or before it.
-
-    Union-merge rewrite: views sort before clicks at equal ts (is_click
-    tiebreak) so a same-microsecond view is visible to the click, matching
-    the reference's <=: semantics; ``last(..., ignorenulls)`` over the sorted
-    per-user window carries the newest view forward. Left-outer semantics:
-    clicks before any view get NULL."""
+    """As-of / temporal join: for every click, the latest view by the same
+    user at or before it (see ``asof_join`` for the union-merge rewrite;
+    property-tested against a brute-force reference in
+    tests/test_properties.py)."""
     e = t(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.unix_micros("ts").alias("ep"),
-        "event_id",
-        F.lit(1).alias("is_click"),
+        "user_id", F.unix_micros("ts").alias("ep"), "event_id"
     )
     views = e.filter(F.col("event_type") == "view").select(
         "user_id",
         F.unix_micros("ts").alias("ep"),
         "event_id",
-        F.lit(0).alias("is_click"),
+        F.col("event_id").alias("view_event_id"),
     )
-    u = clicks.unionAll(views)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ep", "is_click", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = u.withColumn(
-        "view_event_id",
-        F.last(
-            F.when(F.col("is_click") == 0, F.col("event_id")), ignorenulls=True
-        ).over(w),
-    )
-    return carried.filter(F.col("is_click") == 1).select(
+    return asof_join(
+        clicks, views, key="user_id", ts="ep", carry="view_event_id",
+        tiebreak="event_id",
+    ).select(
         "user_id",
         F.col("event_id").alias("click_id"),
         F.col("ep").alias("click_ts"),

@@ -166,3 +166,36 @@ def test_match_recognize_equals_regex(spark, rows, pattern):
         for m in _re.finditer(rx, s):
             want.append((k, seq_rows[m.start()][0], m.end() - m.start()))
     assert got == sorted(want)
+
+
+# Two keyed event lists: (key, ts, id). Ids globally unique per side; ts
+# collisions both within and across sides are deliberately likely.
+_asof_side = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 8), st.integers(0, 1000)),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda r: r[2],
+)
+
+
+@given(left=_asof_side, right=_asof_side)
+@_settings
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """asof_join == per-left-row brute force: the right row with max
+    (ts, id) among same-key rows with right.ts <= left.ts."""
+    from apache_flink_spark.queries.temporal_joins import asof_join
+
+    ldf = spark.createDataFrame(left, "k long, ts long, event_id long")
+    rdf = spark.createDataFrame(right, "k long, ts long, event_id long")
+    rdf = rdf.withColumn("carry", F.col("event_id"))
+    got = {
+        r.event_id: r.carry
+        for r in asof_join(
+            ldf, rdf, key="k", ts="ts", carry="carry", tiebreak="event_id"
+        ).collect()
+    }
+    want = {}
+    for lk, lts, lid in left:
+        cands = [(rts, rid) for rk, rts, rid in right if rk == lk and rts <= lts]
+        want[lid] = max(cands)[1] if cands else None
+    assert got == want
