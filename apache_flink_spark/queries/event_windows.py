@@ -153,6 +153,25 @@ def win_session_agg(spark, sf_dir):
     )
 
 
+def cumulate_slices(df, ep_col: str, step_us: int, max_us: int):
+    """CUMULATE slice assigner (CumulativeSliceAssigner): explode each row
+    into every expanding slice of its max-window that contains it — a row at
+    offset o into its window belongs to the slices ending at k*step for all
+    k > o // step. Adds ``win_start``/``win_end`` (epoch micros); narrow op,
+    fan-out <= max/step per row. Property-tested in tests/test_properties.py
+    (slice-count + bounds invariants on arbitrary timestamps)."""
+    assert max_us % step_us == 0, "max must be a multiple of step"
+    n = max_us // step_us
+    ep = F.col(ep_col)
+    kmin = ((ep % F.lit(max_us)) / F.lit(step_us)).cast("long") + F.lit(1)
+    return (
+        df.withColumn("win_start", ep - (ep % F.lit(max_us)))
+        .withColumn("__k", F.explode(F.sequence(kmin, F.lit(n))))
+        .withColumn("win_end", F.col("win_start") + F.col("__k") * F.lit(step_us))
+        .drop("__k")
+    )
+
+
 @query(
     "win_cumulate_agg",
     oracle=f"""
@@ -173,26 +192,17 @@ def win_session_agg(spark, sf_dir):
 )
 def win_cumulate_agg(spark, sf_dir):
     """CUMULATE window TVF (CumulativeSliceAssigner): 1-hour max window with
-    15-minute expanding steps. No Spark builtin — explode-slices rewrite: an
-    event at offset o into its hour belongs to every slice ending at
-    k*15min for k > o//15min, so generate those k with ``sequence`` and
-    explode (narrow op), then aggregate like a tumble."""
+    15-minute expanding steps. No Spark builtin — explode-slices rewrite
+    (see ``cumulate_slices``), then aggregate like a tumble."""
     e = t(spark, sf_dir, "events")
-    ep = F.unix_micros("ts")
-    start = (ep - (ep % F.lit(HOUR))).alias("win_start")
-    kmin = ((ep % F.lit(HOUR)) / F.lit(MIN15)).cast("long") + F.lit(1)
-    exploded = e.select(
-        "event_type",
-        "value",
-        start,
-        F.explode(F.sequence(kmin, F.lit(4))).alias("k"),
+    exploded = cumulate_slices(
+        e.select("event_type", "value", F.unix_micros("ts").alias("ep")),
+        "ep",
+        MIN15,
+        HOUR,
     )
     return (
-        exploded.groupBy(
-            "win_start",
-            (F.col("win_start") + F.col("k") * F.lit(MIN15)).alias("win_end"),
-            "event_type",
-        )
+        exploded.groupBy("win_start", "win_end", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             dsum("value").alias("sum_value"),

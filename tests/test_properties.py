@@ -199,3 +199,31 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         cands = [(rts, rid) for rk, rts, rid in right if rk == lk and rts <= lts]
         want[lid] = max(cands)[1] if cands else None
     assert got == want
+
+
+@given(
+    ts_list=st.lists(st.integers(0, 200), min_size=1, max_size=25, unique=True),
+    step=st.sampled_from([2, 4, 8]),
+    n_slices=st.integers(1, 4),
+)
+@_settings
+def test_cumulate_slice_invariants(spark, ts_list, step, n_slices):
+    """CumulativeSliceAssigner laws on arbitrary timestamps: a row at offset
+    o into its max-window lands in exactly n - o // step slices; every slice
+    is step-aligned, covers the row, and is at most max long."""
+    from apache_flink_spark.queries.event_windows import cumulate_slices
+
+    mx = step * n_slices
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts_list)], "id long, ep long"
+    )
+    rows = cumulate_slices(df, "ep", step, mx).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+        assert r.win_start == (r.ep // mx) * mx
+        assert (r.win_end - r.win_start) % step == 0
+        assert r.win_start <= r.ep < r.win_end <= r.win_start + mx
+    for i, ts in enumerate(ts_list):
+        expect = n_slices - (ts % mx) // step
+        assert len(by_id.get(i, [])) == expect
