@@ -255,3 +255,50 @@ def match_cep_stateful(spark, sf_dir):
         matcher, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
     return run_to_table(out, "append")
+
+
+@query(
+    "match_not_followed_by",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type FROM events
+        WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT user_id, event_id AS click_id, ep AS click_ts
+    FROM (
+        SELECT user_id, ep, event_id, event_type,
+               MIN(CASE WHEN event_type = 'purchase' THEN ep END)
+                   OVER (PARTITION BY user_id ORDER BY ep
+                         RANGE BETWEEN 1 FOLLOWING AND {MIN30} FOLLOWING)
+                   AS next_p_ep
+        FROM u
+    )
+    WHERE event_type = 'click' AND next_p_ep IS NULL
+    """,
+)
+def match_not_followed_by(spark, sf_dir):
+    """CEP negative pattern — notFollowedBy (reference flink-cep
+    Pattern.notFollowedBy / NFA stop states): clicks with NO purchase in the
+    following 30 minutes — the abandonment shape. Same single range-frame
+    forward scan as match_followed_by with the match condition inverted: one
+    keyed exchange + in-partition sort, NO anti join and no second pass over
+    events — the absence test rides the same window."""
+    e = t(spark, sf_dir, "events")
+    u = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ep").rangeBetween(1, MIN30)
+    scanned = u.withColumn(
+        "next_p_ep",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ep"))).over(w),
+    )
+    return scanned.filter(
+        (F.col("event_type") == "click") & F.col("next_p_ep").isNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ep").alias("click_ts"),
+    )
