@@ -486,3 +486,44 @@ def stream_broadcast_control_join(spark, sf_dir):
     q, out_path = broadcast_control_join(st, ctl_dir, enrich)
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+@query(
+    "stream_left_outer_join",
+    oracle="""
+    WITH wm AS (
+        SELECT LEAST(
+            (SELECT epoch_ms(MAX(ts)) FROM events WHERE event_type = 'click'),
+            (SELECT epoch_ms(MAX(ts)) FROM events WHERE event_type = 'purchase')
+        ) - 3600000 AS wm_ms
+    )
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, epoch_us(c.ts) AS click_ts
+    FROM events c
+    LEFT JOIN events p
+      ON p.event_type = 'purchase' AND p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    CROSS JOIN wm
+    WHERE c.event_type = 'click'
+      AND (p.event_id IS NOT NULL
+           OR epoch_ms(c.ts) + 1800000 < wm.wm_ms)
+    """,
+)
+def stream_left_outer_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER join (reference StreamExecJoin
+    with LeftOuterJoin spec — flink-table-runtime join/stream/): every click
+    joined to same-user purchases within 30 minutes; clicks with no match
+    emit null-padded ONCE the watermark proves no future purchase can
+    arrive. Matched rows emit eagerly; null-padded rows are watermark-gated,
+    so clicks whose 30-minute window is still open below the final global
+    watermark stay in state — the oracle applies the identical cutoff to
+    the unmatched side only. State is evicted by the same watermark: the
+    unbounded-state killer is structurally avoided."""
+    clicks, purchases, cond = _click_purchase_sides(spark, sf_dir)
+    joined = clicks.join(purchases, cond, "left_outer").select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.unix_micros("c_ts").alias("click_ts"),
+    )
+    return run_to_table(joined, "append")
