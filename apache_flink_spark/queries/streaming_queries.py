@@ -527,3 +527,41 @@ def stream_left_outer_join(spark, sf_dir):
         F.unix_micros("c_ts").alias("click_ts"),
     )
     return run_to_table(joined, "append")
+
+
+@query(
+    "stream_full_outer_join",
+    oracle="""
+    WITH wm AS (
+        SELECT LEAST(
+            (SELECT epoch_ms(MAX(ts)) FROM events WHERE event_type = 'click'),
+            (SELECT epoch_ms(MAX(ts)) FROM events WHERE event_type = 'purchase')
+        ) - 3600000 AS wm_ms
+    )
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           COALESCE(c.user_id, p.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    CROSS JOIN wm
+    WHERE (c.event_id IS NOT NULL AND p.event_id IS NOT NULL)
+       OR (p.event_id IS NULL AND epoch_ms(c.ts) + 1800000 < wm.wm_ms)
+       OR (c.event_id IS NULL AND epoch_ms(p.ts) < wm.wm_ms)
+    """,
+)
+def stream_full_outer_join(spark, sf_dir):
+    """Watermarked stream-stream FULL OUTER join (reference StreamExecJoin,
+    FullOuterJoin spec): matches emit eagerly; each side's null-padded rows
+    emit once the watermark closes THAT side's match window — a click waits
+    out its forward 30-minute purchase window, a purchase waits until the
+    click watermark passes its own timestamp (clicks at or before it can no
+    longer arrive). The oracle applies both cutoffs to the respective
+    unmatched sides."""
+    clicks, purchases, cond = _click_purchase_sides(spark, sf_dir)
+    joined = clicks.join(purchases, cond, "full_outer").select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("p_user")).alias("user_id"),
+    )
+    return run_to_table(joined, "append")
