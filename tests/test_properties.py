@@ -227,3 +227,58 @@ def test_cumulate_slice_invariants(spark, ts_list, step, n_slices):
     for i, ts in enumerate(ts_list):
         expect = n_slices - (ts % mx) // step
         assert len(by_id.get(i, [])) == expect
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "e"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_settings
+def test_minhash_signature_matches_python_reference(spark, docs):
+    """The Spark shingle->md5->arithmetic-permutation-min chain must equal a
+    direct Python evaluation on arbitrary token lists (incl. <3-token docs,
+    which have no shingles and therefore no signature row)."""
+    import hashlib
+
+    from apache_flink_spark.queries.pipeline_dedup import (
+        _COEFFS,
+        _MERSENNE_P,
+        _SHINGLES_SPARK,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    sh = df.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE_P)
+            ).alias(f"m{k}")
+            for k, (a, b) in enumerate(_COEFFS)
+        ]
+    )
+    got = {r.doc_id: [r[f"m{k}"] for k in range(len(_COEFFS))] for r in sig.collect()}
+
+    want = {}
+    for i, toks in enumerate(docs):
+        shingles = {
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+        if not shingles:
+            continue
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles]
+        want[i] = [
+            min((a * h + b) % _MERSENNE_P for h in hs) for a, b in _COEFFS
+        ]
+    assert got == want
