@@ -275,3 +275,42 @@ def win_dedup_first(spark, sf_dir):
             "event_type",
         )
     )
+
+
+MIN3 = 180_000_000
+
+
+@query(
+    "win_tumble_offset_agg",
+    oracle=f"""
+    SELECT ((epoch_us(ts) - {MIN3}) // {MIN10}) * {MIN10} + {MIN3} AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def win_tumble_offset_agg(spark, sf_dir):
+    """TUMBLE with a window OFFSET (reference TumblingEventTimeWindows.of(
+    size, offset) — flink-runtime windowing assigners): 10-minute windows
+    shifted 3 minutes off the epoch alignment, e.g. [:03, :13). Spark's
+    ``window()`` startTime parameter is the same knob; the oracle aligns by
+    subtracting the offset before flooring."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "10 minutes", "3 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -565,3 +565,35 @@ def stream_full_outer_join(spark, sf_dir):
         F.coalesce(F.col("user_id"), F.col("p_user")).alias("user_id"),
     )
     return run_to_table(joined, "append")
+
+
+@query(
+    "stream_right_outer_join",
+    oracle="""
+    WITH wm AS (
+        SELECT LEAST(
+            (SELECT epoch_ms(MAX(ts)) FROM events WHERE event_type = 'click'),
+            (SELECT epoch_ms(MAX(ts)) FROM events WHERE event_type = 'purchase')
+        ) - 3600000 AS wm_ms
+    )
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           p.user_id AS p_user
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    RIGHT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    CROSS JOIN wm
+    WHERE c.event_id IS NOT NULL
+       OR epoch_ms(p.ts) < wm.wm_ms
+    """,
+)
+def stream_right_outer_join(spark, sf_dir):
+    """Watermarked stream-stream RIGHT OUTER join (reference StreamExecJoin,
+    RightOuterJoin spec): the mirror of the left-outer case — purchases with
+    no preceding same-user click within 30 minutes emit null-padded once the
+    click watermark passes their timestamp."""
+    clicks, purchases, cond = _click_purchase_sides(spark, sf_dir)
+    joined = clicks.join(purchases, cond, "right_outer").select(
+        "click_id", "purchase_id", "p_user"
+    )
+    return run_to_table(joined, "append")
