@@ -467,3 +467,97 @@ def test_rocksdb_changelog_checkpointing(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_left_outer_join_converges_across_batches(spark):
+    """Stream-stream LEFT OUTER join across 3 time-ordered micro-batches:
+    matches spanning batch boundaries must still pair up (left state outlives
+    its batch), null-padding must emit exactly once per unmatched click whose
+    window closed under the FINAL global watermark, and the accumulated
+    append output must equal the single-pass answer."""
+    sf_dir = "/root/testdata/sf0.001"
+    path = _staged_time_slices(spark, sf_dir, 3)
+
+    def sides(src):
+        clicks = (
+            src.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            src.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        cond = (
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        return clicks, purchases, cond
+
+    # The file stream is re-read per side; both sides see the same 3 slices.
+    s1 = _stream_events(spark, path)
+    s2 = _stream_events(spark, path)
+    clicks, purchases, cond = sides(s1)
+    clicks2, purchases2, cond2 = sides(s2)
+    del purchases, clicks2  # one side from each read
+    joined = clicks.join(purchases2, cond2, "left_outer").select(
+        "click_id", "purchase_id", F.unix_micros("c_ts").alias("click_ts")
+    )
+    captured = _run_append_batches(spark, joined)
+    assert len(captured) >= 3
+    got = pd.concat(
+        [captured[b] for b in sorted(captured)], ignore_index=True
+    ).sort_values(["click_id", "purchase_id"]).reset_index(drop=True)
+
+    # Null-padded rows must be unique per click (emitted exactly once).
+    nulls = got[got["purchase_id"].isna()]
+    assert nulls["click_id"].is_unique
+
+    e = _normalize_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    c = e.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+    )
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    wm_us = (
+        min(
+            e.filter("event_type = 'click'").agg(F.max("ts")).collect()[0][0],
+            e.filter("event_type = 'purchase'").agg(F.max("ts")).collect()[0][0],
+        ).timestamp()
+        * 1_000_000
+        - 3_600_000_000
+    )
+    MIN30_US = 1_800_000_000
+    want = (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_us") >= F.col("c_us"))
+            & (F.col("p_us") <= F.col("c_us") + MIN30_US),
+            "left_outer",
+        )
+        .filter(
+            F.col("purchase_id").isNotNull()
+            | (F.col("c_us") + MIN30_US < F.lit(int(wm_us)))
+        )
+        .select("click_id", "purchase_id", F.col("c_us").alias("click_ts"))
+        .toPandas()
+        .sort_values(["click_id", "purchase_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
