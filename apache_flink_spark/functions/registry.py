@@ -15,6 +15,13 @@ from pyspark.sql import SparkSession
 
 # Flink name -> (typed parameter list, return type, body expression).
 _SQL_FUNCTIONS = {
+    # Null-safe boolean predicates (BuiltInFunctionDefinitions IS_TRUE
+    # family): three-valued logic collapsed to two-valued, NULL -> FALSE
+    # for the positive forms and NULL -> TRUE for the negated ones.
+    "is_true": ("(x BOOLEAN)", "BOOLEAN", "x IS NOT DISTINCT FROM TRUE"),
+    "is_false": ("(x BOOLEAN)", "BOOLEAN", "x IS NOT DISTINCT FROM FALSE"),
+    "is_not_true": ("(x BOOLEAN)", "BOOLEAN", "x IS DISTINCT FROM TRUE"),
+    "is_not_false": ("(x BOOLEAN)", "BOOLEAN", "x IS DISTINCT FROM FALSE"),
     "split_index": (
         "(s STRING, sep STRING, i INT)",
         "STRING",

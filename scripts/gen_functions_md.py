@@ -146,10 +146,10 @@ M: dict[str, tuple[str, str, str]] = {
     "end": ("dsl", "window().end field", ""),
     "withColumns": ("dsl", "select(*cols)", ""),
     "withoutColumns": ("dsl", ".drop(*cols)", ""),
-    "isFalse": ("mapped", "x = FALSE", "null-safe: x IS NOT DISTINCT FROM FALSE"),
-    "isNotFalse": ("mapped", "x IS DISTINCT FROM FALSE", ""),
-    "isTrue": ("mapped", "x = TRUE", "null-safe: x IS NOT DISTINCT FROM TRUE"),
-    "isNotTrue": ("mapped", "x IS DISTINCT FROM TRUE", ""),
+    "isFalse": ("shim", "is_false -> x IS NOT DISTINCT FROM FALSE", "functions/registry.py"),
+    "isNotFalse": ("shim", "is_not_false -> x IS DISTINCT FROM FALSE", "functions/registry.py"),
+    "isTrue": ("shim", "is_true -> x IS NOT DISTINCT FROM TRUE", "functions/registry.py"),
+    "isNotTrue": ("shim", "is_not_true -> x IS DISTINCT FROM TRUE", "functions/registry.py"),
     "isNull": ("builtin", "isnull", "also IS NULL"),
     "isNotNull": ("builtin", "isnotnull", "also IS NOT NULL"),
     "ifThenElse": ("builtin", "if", "also CASE WHEN; if_then_else shim"),

@@ -111,3 +111,19 @@ def test_similar_to(spark):
     assert row.dotlit is False  # '.' is a LITERAL in SIMILAR TO, not any-char
     assert row.dotmatch is True
     assert row.dollarlit is True  # '$' is a literal, not an anchor
+
+
+def test_boolean_predicate_shims(spark):
+    """IS_TRUE family: three-valued logic collapsed exactly as the
+    reference's null-safe predicates."""
+    from apache_flink_spark.functions.registry import register_all
+
+    register_all(spark)
+    r = spark.sql(
+        "SELECT is_true(true) a, is_true(false) b, is_true(CAST(NULL AS BOOLEAN)) c,"
+        " is_false(false) d, is_false(CAST(NULL AS BOOLEAN)) e,"
+        " is_not_true(CAST(NULL AS BOOLEAN)) f, is_not_false(CAST(NULL AS BOOLEAN)) g"
+    ).collect()[0]
+    assert (r.a, r.b, r.c) == (True, False, False)
+    assert (r.d, r.e) == (True, False)
+    assert (r.f, r.g) == (True, True)
