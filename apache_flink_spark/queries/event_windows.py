@@ -314,3 +314,42 @@ def win_tumble_offset_agg(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@query(
+    "win_hop_offset_agg",
+    oracle=f"""
+    SELECT ws AS win_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+    FROM (
+        SELECT e.event_type, e.value,
+               (((epoch_us(e.ts) - {MIN3}) // {MIN5}) - g.range) * {MIN5} + {MIN3} AS ws
+        FROM events e CROSS JOIN range(2) g
+    )
+    GROUP BY 1, 2
+    """,
+)
+def win_hop_offset_agg(spark, sf_dir):
+    """HOP with a window OFFSET (reference SlidingEventTimeWindows.of(size,
+    slide, offset)): 10-minute windows sliding by 5, shifted 3 minutes off
+    epoch alignment — every event still lands in exactly size/slide = 2
+    windows; the oracle subtracts the offset before the slide floor and adds
+    it back."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes", "3 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
