@@ -7,19 +7,20 @@ driver's DuckDB oracle validates true streaming semantics, not a batch
 stand-in:
 
   - StreamExecGroupAggregate        -> stream_update_group_agg (update mode)
-  - StreamExecWindowAggregate       -> stream_tumble_agg (complete mode)
+  - StreamExecWindowAggregate       -> stream_tumble_agg (update mode +
+                                       foreachBatch upsert sink)
   - session windows (UnalignedWindowTableFunction) -> stream_session_agg
   - StreamExecDeduplicate           -> stream_distinct_keys
   - StreamExecJoin/IntervalJoin     -> stream_stream_join (watermarked,
                                        time-bounded inner join)
   - StreamExecCalc                  -> stream_filter_project
 
-Oracle-determinism: output modes are chosen so the FINAL memory-sink table
-is independent of micro-batch slicing — complete mode re-emits the full
-aggregate; append-mode entries have batching-invariant row SETS (stateless
-projection, inner-join match set, key-projected dedup). Update-mode output
-equals the final aggregate here because the bounded fixture drains in one
-file-aligned micro-batch (maxFilesPerTrigger=1, single-file fixtures).
+Oracle-determinism: output modes are chosen so the FINAL table is
+independent of micro-batch slicing — window/group aggs run in update mode
+drained through a foreachBatch upsert log (last-writer-wins per key =
+final aggregate, any batching); append-mode entries have
+batching-invariant row SETS (stateless projection, inner-join match set,
+key-projected dedup).
 
 Scale: identical plans run unbounded on a cluster — state lives in the
 state store (RocksDB provider for big keyspaces), watermarks bound the
@@ -32,7 +33,11 @@ from pyspark.sql import functions as F
 
 from apache_flink_spark.queries._util import dsum
 from apache_flink_spark.queries.registry import query
-from apache_flink_spark.streaming.sources import run_to_table, stream_table
+from apache_flink_spark.streaming.sources import (
+    run_to_table,
+    run_upsert_to_table,
+    stream_table,
+)
 
 MIN30 = 1_800_000_000
 
@@ -68,7 +73,10 @@ def stream_filter_project(spark, sf_dir):
 )
 def stream_tumble_agg(spark, sf_dir):
     """Streaming tumble window aggregation (StreamExecWindowAggregate) with
-    an event-time watermark, complete output mode."""
+    an event-time watermark: update output mode + foreachBatch upsert keyed
+    on (win_start, event_type), so watermark state eviction stays live
+    (reference WindowAggOperator.java:95 purges on watermark exactly so;
+    state boundedness pinned by tests/test_stateful_streaming.py)."""
     e = stream_table(spark, sf_dir, "events")
     agg = (
         e.withWatermark("ts", "1 hour")
@@ -84,7 +92,7 @@ def stream_tumble_agg(spark, sf_dir):
             "sum_value",
         )
     )
-    return run_to_table(agg, "complete")
+    return run_upsert_to_table(agg, ["win_start", "event_type"])
 
 
 @query(
@@ -102,7 +110,8 @@ def stream_tumble_agg(spark, sf_dir):
 )
 def stream_hop_agg(spark, sf_dir):
     """Streaming HOP (sliding) window aggregation — each event lands in
-    size/slide = 2 concurrent windows, complete mode."""
+    size/slide = 2 concurrent windows; update mode + upsert sink keeps
+    watermark eviction live for every concurrent window."""
     e = stream_table(spark, sf_dir, "events")
     agg = (
         e.withWatermark("ts", "1 hour")
@@ -116,7 +125,7 @@ def stream_hop_agg(spark, sf_dir):
             "n_events",
         )
     )
-    return run_to_table(agg, "complete")
+    return run_upsert_to_table(agg, ["win_start", "event_type"])
 
 
 @query(
@@ -139,8 +148,8 @@ def stream_cumulate_agg(spark, sf_dir):
     """Streaming CUMULATE window (CumulativeSliceAssigner): the explode-
     slices rewrite applied to a STREAM — the narrow slice-generator runs
     pre-shuffle on each micro-batch, then a standard streaming group agg in
-    complete mode. Proves the custom window rewrite composes with
-    Structured Streaming unchanged."""
+    update mode + upsert sink. Proves the custom window rewrite composes
+    with Structured Streaming unchanged."""
     e = stream_table(spark, sf_dir, "events")
     hour = 3_600_000_000
     step = 900_000_000
@@ -157,7 +166,7 @@ def stream_cumulate_agg(spark, sf_dir):
         (F.col("win_start") + F.col("k") * F.lit(step)).alias("win_end"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    return run_to_table(agg, "complete")
+    return run_upsert_to_table(agg, ["win_start", "win_end", "event_type"])
 
 
 @query(
@@ -177,17 +186,31 @@ def stream_cumulate_agg(spark, sf_dir):
         SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ep
                                       ROWS UNBOUNDED PRECEDING) AS sess_id
         FROM marked
+    ), sess AS (
+        SELECT user_id,
+               MIN(ep) AS sess_start,
+               MAX(ep) AS sess_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, sess_id
+    ), wm AS (
+        SELECT epoch_us(MAX(ts)) - 3600000000 AS wm_us FROM events
     )
-    SELECT user_id,
-           MIN(ep) AS sess_start,
-           COUNT(*) AS n_events
-    FROM numbered
-    GROUP BY user_id, sess_id
+    SELECT user_id, sess_start, n_events
+    FROM sess, wm
+    WHERE sess_end + {MIN30} < wm.wm_us
     """,
 )
 def stream_session_agg(spark, sf_dir):
     """Streaming session windows (session gap merging — the reference's
-    unaligned window operator), complete mode."""
+    unaligned window operator / UnalignedWindowTableFunction), APPEND mode:
+    a session is emitted exactly once, when the watermark passes its end
+    (last event + 30-minute gap) — the reference's emit-and-purge-on-
+    watermark behavior, so state stays bounded. Spark rejects update mode
+    for session windows (merging windows would need retractions), so
+    unfinalized tail sessions (end within the final watermark delay) stay
+    in state; the oracle applies the identical cutoff, as the
+    stream_anti_join / stream_left_outer_join oracles do."""
     e = stream_table(spark, sf_dir, "events")
     agg = (
         e.withWatermark("ts", "1 hour")
@@ -199,7 +222,7 @@ def stream_session_agg(spark, sf_dir):
             "n_events",
         )
     )
-    return run_to_table(agg, "complete")
+    return run_to_table(agg, "append")
 
 
 @query(
@@ -229,12 +252,15 @@ def stream_distinct_keys(spark, sf_dir):
 def stream_update_group_agg(spark, sf_dir):
     """Unbounded streaming group aggregation in update mode
     (StreamExecGroupAggregate / GroupAggFunction keyed state): per-key
-    running aggregates, updated rows emitted each micro-batch."""
+    running aggregates, updated rows emitted each micro-batch into a
+    foreachBatch upsert sink (last-writer-wins per key — batching-
+    invariant, unlike a raw update-mode memory sink which would retain
+    superseded emissions across batches)."""
     e = stream_table(spark, sf_dir, "events")
     agg = e.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
     )
-    return run_to_table(agg, "update")
+    return run_upsert_to_table(agg, ["user_id", "event_type"])
 
 
 @query(

@@ -96,6 +96,76 @@ def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
 STREAMING_SHUFFLE_PARTITIONS = 4
 
 
+def run_upsert_to_table(
+    df: DataFrame, keys: list[str], name: str | None = None
+) -> DataFrame:
+    """Drain an update-mode streaming aggregate through a foreachBatch
+    UPSERT sink and return the compacted final table.
+
+    Reference parity: the slicing window operator
+    (flink-table-runtime ``WindowAggOperator.java:95``) emits incremental
+    per-window updates downstream and PURGES each window's state once the
+    watermark passes its end. Spark's equivalent is update output mode —
+    watermark-based state eviction stays live, and each micro-batch emits
+    only the keys whose aggregate changed. (Complete mode — what these
+    queries used before round 4 — disables that eviction entirely: every
+    window ever opened stays in the state store and the full result is
+    re-emitted per batch. Correct on a bounded replay, fatal on an
+    unbounded stream.)
+
+    The sink is an upsert log: each micro-batch APPENDS its changed rows
+    stamped with the batch id; the final table is last-writer-wins per
+    ``keys`` — the same contract a production keyed upsert sink gives
+    (Delta ``MERGE``, JDBC upsert, compacted Kafka topic), expressed here
+    as distributed parquet appends + a window-function compaction. No
+    driver-side collect anywhere; both the log write and the compaction
+    scale out.
+
+    Compaction assumes a key's final emission is its final value — true
+    for fixed-key aggregates (tumble/hop/cumulate windows, group aggs)
+    and for session windows under in-time-order micro-batches (sessions
+    only extend forward, keeping their start; a backward merge that
+    RETIRES a key would need retraction handling, which update mode does
+    not carry — the reference emits retractions there).
+    """
+    spark = df.sparkSession
+    name = name or f"stream_result_{next(_name_counter)}"
+    ckpt = tempfile.mkdtemp(prefix=f"afs_ckpt_{name}_")
+    log_dir = tempfile.mkdtemp(prefix=f"afs_upsert_{name}_") + "/log"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(int(prev_parts), STREAMING_SHUFFLE_PARTITIONS)),
+    )
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        batch.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(log_dir)
+
+    try:
+        q = (
+            df.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    from pyspark.sql.window import Window
+
+    log = spark.read.parquet(log_dir)
+    w = Window.partitionBy(*keys).orderBy(F.desc("__batch_id"))
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__batch_id")
+    )
+
+
 def run_to_table(
     df: DataFrame, output_mode: str = "append", name: str | None = None
 ) -> DataFrame:

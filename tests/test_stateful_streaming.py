@@ -534,12 +534,18 @@ def test_left_outer_join_converges_across_batches(spark):
         F.col("user_id").alias("p_user"),
         F.unix_micros("ts").alias("p_us"),
     )
+    # Max event time is computed as epoch-micros INSIDE Spark: collecting a
+    # naive datetime and calling .timestamp() would interpret it in the
+    # Python process's local timezone — correct only under TZ=UTC.
     wm_us = (
         min(
-            e.filter("event_type = 'click'").agg(F.max("ts")).collect()[0][0],
-            e.filter("event_type = 'purchase'").agg(F.max("ts")).collect()[0][0],
-        ).timestamp()
-        * 1_000_000
+            e.filter("event_type = 'click'")
+            .agg(F.max(F.unix_micros("ts")))
+            .collect()[0][0],
+            e.filter("event_type = 'purchase'")
+            .agg(F.max(F.unix_micros("ts")))
+            .collect()[0][0],
+        )
         - 3_600_000_000
     )
     MIN30_US = 1_800_000_000
@@ -558,6 +564,98 @@ def test_left_outer_join_converges_across_batches(spark):
         .select("click_id", "purchase_id", F.col("c_us").alias("click_ts"))
         .toPandas()
         .sort_values(["click_id", "purchase_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_window_agg_state_bounded_by_watermark(spark):
+    """Update-mode tumble agg must EVICT window state as the watermark
+    advances (the reference's WindowAggOperator purges each window on
+    watermark passage); complete mode — the round-3 shape — would retain
+    every window ever opened forever. Pins both halves of the round-4 fix:
+    (a) state rows shrink once the final watermark closes old windows,
+    never approaching the full window history, and (b) last-writer-wins
+    compaction of the update-mode emissions equals the batch aggregate."""
+    import json
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = _staged_time_slices(spark, sf_dir, 4)
+
+    st = _stream_events(spark, path)
+    agg = (
+        st.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    captured: dict[int, pd.DataFrame] = {}
+
+    def sink(batch_df, batch_id: int) -> None:
+        captured[batch_id] = batch_df.toPandas()
+
+    ckpt = tempfile.mkdtemp(prefix="afs_wmstate_")
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    state_rows = []
+    for p in q.recentProgress:
+        pj = p if isinstance(p, dict) else json.loads(p.json)
+        ops = pj.get("stateOperators") or []
+        if ops:
+            state_rows.append(ops[0]["numRowsTotal"])
+
+    e = _normalize_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    total_windows = (
+        e.select(
+            (F.unix_micros("ts") / 600_000_000).cast("long").alias("w"),
+            "event_type",
+        )
+        .distinct()
+        .count()
+    )
+    assert len(state_rows) >= 4, f"expected >=4 micro-batches, got {state_rows}"
+    # Never holds the full window history...
+    assert max(state_rows) < total_windows
+    # ...and the final no-data commit batch applies the end-of-stream
+    # watermark, evicting everything but the last open hour of windows.
+    assert state_rows[-1] < total_windows * 0.2, (
+        f"state not evicted: final={state_rows[-1]} total={total_windows}"
+    )
+    assert state_rows[-1] < max(state_rows)
+
+    frames = [
+        captured[b].assign(_b=b) for b in sorted(captured) if len(captured[b])
+    ]
+    allb = pd.concat(frames, ignore_index=True)
+    got = (
+        allb.sort_values("_b")
+        .groupby(["win_start", "event_type"], as_index=False)
+        .last()
+        .drop(columns=["_b"])
+        .sort_values(["win_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        e.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+        .toPandas()
+        .sort_values(["win_start", "event_type"])
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
