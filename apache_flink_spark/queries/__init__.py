@@ -16,6 +16,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     aggregates,
     agg_extras,
     async_lookup,
+    cdc_queries,
     stream_over_agg,
     over_windows,
     rank_dedup,
@@ -105,7 +106,7 @@ GATE_SAMPLE = [
     "pipeline_decontaminate",
     # graph / changelog / temporal / udf
     "graph_pagerank",
-    "changelog_materialize",
+    "cdc_debezium_materialize",
     "asof_join_latest_view",
     "udtaf_apply_in_pandas",
     # io

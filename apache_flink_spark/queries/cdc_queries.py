@@ -1,0 +1,233 @@
+"""CDC ingestion queries: wire-format JSON -> changelog -> materialized table.
+
+The flagship Flink use case (SURVEY.md §2.1: debezium/canal/maxwell/ogg
+formats in flink-formats/flink-json): replay a CDC stream and materialize
+the last image. Each query here builds a deterministic CDC stream FROM the
+events fixture (keyed by (user_id, event_type), each event updates the
+key's value; keys whose final cents value is divisible by 10 get a
+trailing DELETE), serializes it to the real wire format with the
+``to_*_json`` encoders, parses it back with the ``parse_*`` decoders, and
+materializes — so the decoder, not the generator, is what the oracle
+checks: a decoder that drops/mislabels ops or mispatches partial
+old-images produces a wrong last image.
+
+All four materialize to the same result, checked against the same DuckDB
+oracle (last image per key, deleted keys absent).
+
+Scale: encode and decode are narrow whole-stage-codegen'd passes;
+materialize is one row_number over the key partitioning. The identical
+``parse_*`` expressions run on a Kafka ``readStream`` value column
+unchanged (stateless decode), with ``changelog.materialize`` replaced by
+the streaming keep-last operator for unbounded input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from apache_flink_spark.cdc import (
+    parse_canal,
+    parse_debezium,
+    parse_maxwell,
+    parse_ogg,
+    to_canal_json,
+    to_debezium_json,
+    to_maxwell_json,
+    to_ogg_json,
+)
+from apache_flink_spark.changelog import materialize
+from apache_flink_spark.queries._util import t
+from apache_flink_spark.queries.registry import query
+
+PAYLOAD = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value_c", LongType()),
+    ]
+)
+
+_KEYS = ["user_id", "event_type"]
+_ORDER = ["ts_us", "event_id"]
+
+#: Last image per key; keys whose final cents value is divisible by 10 were
+#: deleted by the CDC stream and must be absent.
+_ORACLE = """
+    WITH ranked AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_type, ts_us, event_id, value_c
+    FROM ranked
+    WHERE rn = 1 AND value_c % 10 <> 0
+"""
+
+
+def _cdc_base(spark, sf_dir):
+    """Events as a keyed update stream: current image, previous image, and
+    a last-row flag (delete candidates)."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    w = Window.partitionBy(*_KEYS).orderBy(*_ORDER)
+    wd = Window.partitionBy(*_KEYS).orderBy(*[F.desc(c) for c in _ORDER])
+    return (
+        e.withColumn("prev_ts", F.lag("ts_us").over(w))
+        .withColumn("prev_id", F.lag("event_id").over(w))
+        .withColumn("prev_c", F.lag("value_c").over(w))
+        .withColumn("rn_desc", F.row_number().over(wd))
+    )
+
+
+def _img(prefix: str = ""):
+    """Payload struct; with prefix 'prev_' the previous full image."""
+    if not prefix:
+        return F.struct("user_id", "event_type", "ts_us", "event_id", "value_c")
+    return F.struct(
+        F.col("user_id").alias("user_id"),
+        F.col("event_type").alias("event_type"),
+        F.col("prev_ts").alias("ts_us"),
+        F.col("prev_id").alias("event_id"),
+        F.col("prev_c").alias("value_c"),
+    )
+
+
+def _old_partial():
+    """Canal/maxwell-style partial old-image: ONLY the changed columns
+    (keys are unchanged by an update, so they are absent => null)."""
+    return F.struct(
+        F.lit(None).cast(LongType()).alias("user_id"),
+        F.lit(None).cast(StringType()).alias("event_type"),
+        F.col("prev_ts").alias("ts_us"),
+        F.col("prev_id").alias("event_id"),
+        F.col("prev_c").alias("value_c"),
+    )
+
+
+def _null_img():
+    return F.lit(None).cast(PAYLOAD)
+
+
+def _is_delete_key():
+    return (F.col("rn_desc") == 1) & (F.col("value_c") % 10 == 0)
+
+
+def _materialized(parsed):
+    return materialize(parsed, _KEYS, _ORDER, "value_c")
+
+
+@query("cdc_debezium_materialize", oracle=_ORACLE)
+def cdc_debezium_materialize(spark, sf_dir):
+    """Debezium-JSON replay (DebeziumJsonDeserializationSchema.java:56):
+    c/u/d envelopes with full before/after images; the trailing delete's
+    before-image is the key's last row, so the -D lands at the same order
+    position and materialize's rowkind tiebreak retires the key."""
+    base = _cdc_base(spark, sf_dir)
+    ts_ms = (F.col("ts_us") / 1000).cast("long")
+    rows = base.select(
+        to_debezium_json(
+            F.when(F.col("prev_c").isNull(), F.lit("c")).otherwise(F.lit("u")),
+            F.when(F.col("prev_c").isNotNull(), _img("prev_")).otherwise(_null_img()),
+            _img(),
+            ts_ms,
+        ).alias("value")
+    )
+    dels = base.filter(_is_delete_key()).select(
+        to_debezium_json(F.lit("d"), _img(), _null_img(), ts_ms).alias("value")
+    )
+    return _materialized(parse_debezium(rows.unionAll(dels), PAYLOAD))
+
+
+@query("cdc_canal_materialize", oracle=_ORACLE)
+def cdc_canal_materialize(spark, sf_dir):
+    """Canal-JSON replay (CanalJsonDeserializationSchema.java): data is an
+    ARRAY (deletes are batched per event_type into one multi-row envelope
+    to exercise it); old[i] carries only the changed columns and is patched
+    over data[i] to rebuild the before-image."""
+    base = _cdc_base(spark, sf_dir)
+    ts = (F.col("ts_us") / 1000).cast("long")
+    rows = base.select(
+        to_canal_json(
+            F.when(F.col("prev_c").isNull(), F.lit("INSERT")).otherwise(
+                F.lit("UPDATE")
+            ),
+            F.array(_img()),
+            F.when(F.col("prev_c").isNotNull(), F.array(_old_partial())).otherwise(
+                F.lit(None).cast(f"array<{PAYLOAD.simpleString()}>")
+            ),
+            ts,
+        ).alias("value")
+    )
+    dels = (
+        base.filter(_is_delete_key())
+        .groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list(_img())).alias("imgs"),
+            F.max("ts_us").alias("max_ts"),
+        )
+        .select(
+            to_canal_json(
+                F.lit("DELETE"),
+                F.col("imgs"),
+                F.lit(None).cast(f"array<{PAYLOAD.simpleString()}>"),
+                (F.col("max_ts") / 1000).cast("long"),
+            ).alias("value")
+        )
+    )
+    return _materialized(parse_canal(rows.unionAll(dels), PAYLOAD))
+
+
+@query("cdc_maxwell_materialize", oracle=_ORACLE)
+def cdc_maxwell_materialize(spark, sf_dir):
+    """Maxwell-JSON replay (MaxwellJsonDeserializationSchema.java):
+    insert/update/delete envelopes; update's ``old`` holds only the changed
+    columns' prior values, patched over ``data`` for the before-image."""
+    base = _cdc_base(spark, sf_dir)
+    ts = (F.col("ts_us") / 1_000_000).cast("long")
+    rows = base.select(
+        to_maxwell_json(
+            F.when(F.col("prev_c").isNull(), F.lit("insert")).otherwise(
+                F.lit("update")
+            ),
+            _img(),
+            F.when(F.col("prev_c").isNotNull(), _old_partial()).otherwise(_null_img()),
+            ts,
+        ).alias("value")
+    )
+    dels = base.filter(_is_delete_key()).select(
+        to_maxwell_json(F.lit("delete"), _img(), _null_img(), ts).alias("value")
+    )
+    return _materialized(parse_maxwell(rows.unionAll(dels), PAYLOAD))
+
+
+@query("cdc_ogg_materialize", oracle=_ORACLE)
+def cdc_ogg_materialize(spark, sf_dir):
+    """GoldenGate-JSON replay (OggJsonDeserializationSchema.java): I/U/D
+    op_types with full before/after images and an op_ts string."""
+    base = _cdc_base(spark, sf_dir)
+    op_ts = F.date_format(
+        F.timestamp_micros(F.col("ts_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    )
+    rows = base.select(
+        to_ogg_json(
+            F.when(F.col("prev_c").isNull(), F.lit("I")).otherwise(F.lit("U")),
+            F.when(F.col("prev_c").isNotNull(), _img("prev_")).otherwise(_null_img()),
+            _img(),
+            op_ts,
+        ).alias("value")
+    )
+    dels = base.filter(_is_delete_key()).select(
+        to_ogg_json(F.lit("D"), _img(), _null_img(), op_ts).alias("value")
+    )
+    return _materialized(parse_ogg(rows.unionAll(dels), PAYLOAD))

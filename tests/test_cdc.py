@@ -1,0 +1,146 @@
+"""Decoder-level CDC tests on handcrafted wire-format JSON.
+
+The registered cdc_* queries prove end-to-end materialization against the
+DuckDB oracle; these pin the decoder edge cases the round-trip fixture
+can't distinguish: partial old-image patching, multi-row canal batches,
+unknown-op skipping, and the exact RowKind sequences per op.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from apache_flink_spark.cdc import (
+    parse_canal,
+    parse_debezium,
+    parse_maxwell,
+    parse_ogg,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", IntegerType()),
+        StructField("name", StringType()),
+        StructField("qty", IntegerType()),
+    ]
+)
+
+
+def _rows(spark, payloads):
+    return spark.createDataFrame([(p,) for p in payloads], "value string")
+
+
+def _collect(df):
+    return sorted(
+        (r["__rowkind"], r["id"], r["name"], r["qty"]) for r in df.collect()
+    )
+
+
+def test_debezium_ops(spark):
+    out = parse_debezium(
+        _rows(
+            spark,
+            [
+                '{"before": null, "after": {"id": 1, "name": "a", "qty": 5}, "op": "c", "ts_ms": 1}',
+                '{"before": null, "after": {"id": 2, "name": "b", "qty": 6}, "op": "r", "ts_ms": 2}',
+                '{"before": {"id": 1, "name": "a", "qty": 5}, "after": {"id": 1, "name": "a2", "qty": 7}, "op": "u", "ts_ms": 3}',
+                '{"before": {"id": 2, "name": "b", "qty": 6}, "after": null, "op": "d", "ts_ms": 4}',
+                '{"before": null, "after": {"id": 9, "name": "x", "qty": 9}, "op": "t", "ts_ms": 5}',
+            ],
+        ),
+        SCHEMA,
+    )
+    assert _collect(out) == [
+        ("+I", 1, "a", 5),
+        ("+I", 2, "b", 6),
+        ("+U", 1, "a2", 7),
+        ("-D", 2, "b", 6),
+        ("-U", 1, "a", 5),
+    ]
+
+
+def test_canal_multirow_and_partial_old(spark):
+    out = parse_canal(
+        _rows(
+            spark,
+            [
+                # one envelope, two inserted rows
+                '{"data": [{"id": 1, "name": "a", "qty": 1}, {"id": 2, "name": "b", "qty": 2}], "old": null, "type": "INSERT", "ts": 1}',
+                # two updated rows; old[i] carries ONLY the changed column
+                '{"data": [{"id": 1, "name": "a", "qty": 10}, {"id": 2, "name": "b2", "qty": 2}], '
+                '"old": [{"qty": 1}, {"name": "b"}], "type": "UPDATE", "ts": 2}',
+                '{"data": [{"id": 1, "name": "a", "qty": 10}], "old": null, "type": "DELETE", "ts": 3}',
+                '{"data": [{"id": 7, "name": "z", "qty": 7}], "old": null, "type": "CREATE", "ts": 4}',
+            ],
+        ),
+        SCHEMA,
+    )
+    assert _collect(out) == [
+        ("+I", 1, "a", 1),
+        ("+I", 2, "b", 2),
+        ("+U", 1, "a", 10),
+        ("+U", 2, "b2", 2),
+        ("-D", 1, "a", 10),
+        # before-images rebuilt by patching old over data:
+        ("-U", 1, "a", 1),
+        ("-U", 2, "b", 2),
+    ]
+
+
+def test_maxwell_partial_old(spark):
+    out = parse_maxwell(
+        _rows(
+            spark,
+            [
+                '{"type": "insert", "data": {"id": 1, "name": "a", "qty": 1}, "ts": 1}',
+                '{"type": "update", "data": {"id": 1, "name": "a", "qty": 9}, "old": {"qty": 1}, "ts": 2}',
+                '{"type": "delete", "data": {"id": 1, "name": "a", "qty": 9}, "ts": 3}',
+                '{"type": "bootstrap-start", "data": {"id": 5, "name": "q", "qty": 5}, "ts": 4}',
+            ],
+        ),
+        SCHEMA,
+    )
+    assert _collect(out) == [
+        ("+I", 1, "a", 1),
+        ("+U", 1, "a", 9),
+        ("-D", 1, "a", 9),
+        ("-U", 1, "a", 1),
+    ]
+
+
+def test_ogg_ops(spark):
+    out = parse_ogg(
+        _rows(
+            spark,
+            [
+                '{"before": null, "after": {"id": 3, "name": "c", "qty": 3}, "op_type": "I", "op_ts": "2024-01-01 00:00:00.000000"}',
+                '{"before": {"id": 3, "name": "c", "qty": 3}, "after": {"id": 3, "name": "c", "qty": 4}, "op_type": "U", "op_ts": "2024-01-01 00:00:01.000000"}',
+                '{"before": {"id": 3, "name": "c", "qty": 4}, "after": null, "op_type": "D", "op_ts": "2024-01-01 00:00:02.000000"}',
+            ],
+        ),
+        SCHEMA,
+    )
+    assert _collect(out) == [
+        ("+I", 3, "c", 3),
+        ("+U", 3, "c", 4),
+        ("-D", 3, "c", 4),
+        ("-U", 3, "c", 3),
+    ]
+
+
+def test_decode_plan_is_udf_free(spark):
+    """The decode stage must stay JVM-side: no Python eval nodes."""
+    df = parse_debezium(
+        _rows(spark, ['{"before": null, "after": {"id": 1, "name": "a", "qty": 5}, "op": "c", "ts_ms": 1}']),
+        SCHEMA,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("bad", ['not json at all', '{"op": "u"}'])
+def test_garbage_envelopes_dropped(spark, bad):
+    out = parse_debezium(_rows(spark, [bad]), SCHEMA)
+    assert out.count() == 0
