@@ -52,9 +52,13 @@ def async_lookup_enrich(spark, sf_dir):
     """Async lookup join (AsyncLookupJoinRunner / AsyncWaitOperator parity):
     suppliers probe the 'nation service' with _ASYNC_CAPACITY concurrent
     in-flight requests per Arrow batch, awaited in submission order
-    (ordered async mode — deterministic emission). The service table rides
-    to executors as a broadcast variable (the lookup cache); misses yield
-    NULL (left-join semantics). Size-guarded — see _MAX_SERVICE_ROWS."""
+    (ordered async mode — deterministic emission). Each probe goes through
+    the per-worker TTL'd LRU cache + bounded-retry wrapper
+    (apache_flink_spark.lookup — DefaultLookupCache.java:51 /
+    RetryableLookupFunctionDelegator parity), so a hot key hits the
+    service once per executor worker. Misses yield NULL (left-join
+    semantics) and are negative-cached. Size-guarded — see
+    _MAX_SERVICE_ROWS."""
     s = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     nation_rows = nation.limit(_MAX_SERVICE_ROWS + 1).collect()
@@ -69,12 +73,14 @@ def async_lookup_enrich(spark, sf_dir):
         {int(r.n_nationkey): r.n_name for r in nation_rows}
     )
 
-    def _service_batch_get(keys: pd.Series) -> pd.Series:
-        # One in-flight service request. A real client issues a batched RPC
-        # here (with retry/backoff); the GIL releases during network I/O,
-        # so the thread-pool below genuinely overlaps round trips.
-        cache = service_table.value
-        return keys.map(lambda k: cache.get(int(k)))
+    def _service_batch_get(keys) -> dict:
+        # One in-flight service request for the DISTINCT keys the cache
+        # doesn't hold. A real client issues a batched RPC here; the GIL
+        # releases during network I/O, so the thread-pool below genuinely
+        # overlaps round trips. Wrapped in bounded retry for transient
+        # failures (RetryableLookupFunctionDelegator parity).
+        table = service_table.value
+        return {k: table.get(int(k)) for k in keys}
 
     def lookup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # ORDERED async mode (reference AsyncWaitOperator with capacity N +
@@ -83,13 +89,26 @@ def async_lookup_enrich(spark, sf_dir):
         # order so emission order — and the oracle hash — is deterministic.
         from concurrent.futures import ThreadPoolExecutor
 
+        from apache_flink_spark.lookup import (
+            cached_batch_lookup,
+            executor_cache,
+            retrying,
+        )
+
+        cache = executor_cache(
+            "nation_service", max_size=_MAX_SERVICE_ROWS, ttl_s=600.0
+        )
+        probe = cached_batch_lookup(
+            retrying(_service_batch_get, max_attempts=3), cache
+        )
+
         with ThreadPoolExecutor(max_workers=_ASYNC_CAPACITY) as pool:
             for pdf in batches:
                 n = len(pdf)
                 step = max(1, -(-n // _ASYNC_CAPACITY))
                 keys = pdf["s_nationkey"]
                 futures = [
-                    pool.submit(_service_batch_get, keys.iloc[i : i + step])
+                    pool.submit(probe, keys.iloc[i : i + step])
                     for i in range(0, n, step)
                 ]
                 names = pd.concat([f.result() for f in futures]) if futures else keys
