@@ -118,6 +118,54 @@ def stream_custom_sessions(spark, sf_dir):
 
 
 @query(
+    "stream_temporal_join",
+    oracle="""
+    WITH wm AS (
+        SELECT LEAST(
+            (SELECT epoch_ms(MAX(ts)) FROM events WHERE event_type = 'click'),
+            (SELECT epoch_ms(MAX(ts)) FROM events WHERE event_type = 'view')
+        ) - 3600000 AS wm_ms
+    )
+    SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_ts,
+           v.event_id AS view_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    CROSS JOIN wm
+    WHERE epoch_ms(c.ts) <= wm.wm_ms
+    """,
+)
+def stream_temporal_join(spark, sf_dir):
+    """Streaming stateful temporal join (TemporalRowTimeJoinOperator.java:78
+    parity — the last §2.3 'hard item'): clicks probe the versioned view
+    stream, each click matched to the latest same-user view at or before
+    it, emitted once the global watermark (min over both sources) certifies
+    the click. Clicks inside the final 1-hour watermark lag stay buffered —
+    the DuckDB ASOF JOIN oracle applies the identical cutoff. Batch twin:
+    asof_join_latest_view; arrival-slicing invariance pinned in
+    tests/test_stateful_streaming.py."""
+    from apache_flink_spark.streaming.stateful import streaming_temporal_join
+
+    e1 = stream_table(spark, sf_dir, "events")
+    e2 = stream_table(spark, sf_dir, "events")
+    clicks = (
+        e1.filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", "ts", F.lit(1).alias("side"))
+        .withWatermark("ts", "1 hour")
+    )
+    views = (
+        e2.filter(F.col("event_type") == "view")
+        .select("user_id", "event_id", "ts", F.lit(0).alias("side"))
+        .withWatermark("ts", "1 hour")
+    )
+    tagged = clicks.unionByName(views).select(
+        "user_id", "side", "event_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    out = streaming_temporal_join(tagged)
+    return run_to_table(out, "append")
+
+
+@query(
     "stream_temporal_sort",
     oracle="""
     WITH wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS wm_ms FROM events)

@@ -221,6 +221,111 @@ def streaming_temporal_sort(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_temporal_join(tagged: DataFrame) -> DataFrame:
+    """Streaming stateful temporal (as-of) join — the reference's
+    TemporalRowTimeJoinOperator.java:78: a probe stream joined per key to a
+    VERSIONED build stream, each probe row matched to the latest build
+    version with ``version.ts <= probe.ts``, emission gated on the
+    watermark.
+
+    Input is the two streams unioned with a ``side`` tag (0 = versioned
+    build, 1 = probe), both watermarked before the union (Spark's global
+    watermark = min over sources — the reference's combined left/right
+    watermark, TemporalRowTimeJoinOperator's
+    ``combinedWatermark``). Per-key GroupState holds BOTH sides' buffers,
+    mirroring the operator's two keyed states:
+
+      - versions: the build rows seen so far (``rightState``);
+      - probes: left rows not yet certified by the watermark
+        (``leftState``).
+
+    On each invocation (data batch or event-time timer): probes with
+    ``ts <= watermark`` are emitted with the latest version at-or-before
+    their timestamp (left-outer: NULL when none) — at that point no
+    earlier version can still arrive, which is exactly why the reference
+    waits for the watermark. Emitted probes leave state; versions below
+    the newest watermark-covered version are pruned (the reference's
+    ``cleanupState`` keeps one version at-or-below the watermark as the
+    still-joinable image). A timer armed at the earliest buffered probe
+    guarantees emission when the watermark advances without new per-key
+    data. State per key = O(unexpired probes + retained versions) —
+    bounded by the watermark lag, never the stream length.
+    """
+
+    out_schema = "user_id long, click_id long, click_ts long, view_event_id long"
+    state_schema = (
+        "v_ts array<long>, v_ids array<long>, p_ts array<long>, p_ids array<long>"
+    )
+
+    def joiner(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import bisect
+
+        (user_id,) = key
+        if state.exists:
+            v_ts, v_ids, p_ts, p_ids = (list(a) for a in state.get)
+        else:
+            v_ts, v_ids, p_ts, p_ids = [], [], [], []
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            for side, eid, ts in zip(
+                rows["side"], rows["event_id"], rows["ts_us"]
+            ):
+                if int(side) == 0:
+                    v_ts.append(int(ts))
+                    v_ids.append(int(eid))
+                else:
+                    p_ts.append(int(ts))
+                    p_ids.append(int(eid))
+        wm_ms = state.getCurrentWatermarkMs()
+        vo = sorted(range(len(v_ts)), key=lambda i: (v_ts[i], v_ids[i]))
+        v_ts, v_ids = [v_ts[i] for i in vo], [v_ids[i] for i in vo]
+        po = sorted(range(len(p_ts)), key=lambda i: (p_ts[i], p_ids[i]))
+        p_ts, p_ids = [p_ts[i] for i in po], [p_ids[i] for i in po]
+
+        out = []
+        emit_n = 0
+        while emit_n < len(p_ts) and p_ts[emit_n] // 1000 <= wm_ms:
+            pt = p_ts[emit_n]
+            j = bisect.bisect_right(v_ts, pt) - 1
+            out.append(
+                (user_id, p_ids[emit_n], pt, v_ids[j] if j >= 0 else None)
+            )
+            emit_n += 1
+        p_ts, p_ids = p_ts[emit_n:], p_ids[emit_n:]
+
+        # Version cleanup: everything strictly before the newest
+        # watermark-covered version is unreachable for any future probe
+        # (probes below the watermark were just emitted).
+        keep_from = 0
+        for i, tv in enumerate(v_ts):
+            if tv // 1000 <= wm_ms:
+                keep_from = i
+            else:
+                break
+        if keep_from:
+            v_ts, v_ids = v_ts[keep_from:], v_ids[keep_from:]
+
+        if p_ts or v_ts:
+            state.update((v_ts, v_ids, p_ts, p_ids))
+            if p_ts:
+                state.setTimeoutTimestamp(max(p_ts[0] // 1000, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            out, columns=["user_id", "click_id", "click_ts", "view_event_id"]
+        )
+
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        joiner,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def streaming_rows_bounded_over(events: DataFrame, window_rows: int) -> DataFrame:
     """ROWS-BOUNDED streaming over-aggregate (reference
     RowTimeRowsBoundedPrecedingFunction.java): per-key sliding sum/count

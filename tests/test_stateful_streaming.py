@@ -659,3 +659,80 @@ def test_window_agg_state_bounded_by_watermark(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_temporal_join_converges_across_batches(spark):
+    """The versioned-state + probe-buffer logic must be arrival-slicing
+    invariant: 3 time-ordered micro-batches (both sides re-read the same
+    slices) must emit exactly the batch as-of join of the watermark-
+    certified clicks."""
+    from apache_flink_spark.streaming.stateful import streaming_temporal_join
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = _staged_time_slices(spark, sf_dir, 3)
+
+    def side(df, etype, tag):
+        return (
+            df.filter(F.col("event_type") == etype)
+            .select("user_id", "event_id", "ts", F.lit(tag).alias("side"))
+            .withWatermark("ts", "1 hour")
+        )
+
+    tagged = (
+        side(_stream_events(spark, path), "click", 1)
+        .unionByName(side(_stream_events(spark, path), "view", 0))
+        .select(
+            "user_id", "side", "event_id",
+            F.unix_micros("ts").alias("ts_us"), "ts",
+        )
+    )
+    captured = _run_append_batches(spark, streaming_temporal_join(tagged))
+    assert len(captured) >= 3
+    got = (
+        pd.concat([captured[b] for b in sorted(captured)], ignore_index=True)
+        .sort_values(["user_id", "click_id"])
+        .reset_index(drop=True)
+    )
+    # a click emits exactly once
+    assert got["click_id"].is_unique
+
+    e = _normalize_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    wm_ms = (
+        min(
+            e.filter("event_type = 'click'")
+            .agg(F.max(F.unix_millis("ts")))
+            .collect()[0][0],
+            e.filter("event_type = 'view'")
+            .agg(F.max(F.unix_millis("ts")))
+            .collect()[0][0],
+        )
+        - 3_600_000
+    )
+    from apache_flink_spark.queries.temporal_joins import asof_join
+
+    clicks = e.filter("event_type = 'click'").select(
+        "user_id", F.unix_micros("ts").alias("ep"), "event_id"
+    )
+    views = e.filter("event_type = 'view'").select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        F.col("event_id").alias("view_event_id"),
+    )
+    want = (
+        asof_join(
+            clicks, views, key="user_id", ts="ep", carry="view_event_id",
+            tiebreak="event_id",
+        )
+        .filter((F.col("ep") / 1000).cast("long") <= F.lit(int(wm_ms)))
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ep").alias("click_ts"),
+            "view_event_id",
+        )
+        .toPandas()
+        .sort_values(["user_id", "click_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
