@@ -201,6 +201,112 @@ def win_join_same_window(spark, sf_dir):
     )
 
 
+def _window_join_sides(spark, sf_dir):
+    """Shared sides for the window-join family: clicks and purchases with
+    their 10-minute tumbling window struct as an extra join key."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.window("ts", "10 minutes").alias("win"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.window("ts", "10 minutes").alias("p_win"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    cond = (F.col("user_id") == F.col("p_user")) & (
+        F.col("win") == F.col("p_win")
+    )
+    return clicks, purchases, cond
+
+
+@query(
+    "win_join_semi",
+    oracle=f"""
+    SELECT c.user_id,
+           (epoch_us(c.ts) // {MIN10}) * {MIN10} AS win_start,
+           c.event_id AS click_id
+    FROM events c
+    WHERE c.event_type = 'click' AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+          AND (epoch_us(p.ts) // {MIN10}) = (epoch_us(c.ts) // {MIN10})
+    )
+    """,
+)
+def win_join_semi(spark, sf_dir):
+    """Window SEMI join (reference WindowJoinOperator.java:262 plans
+    SemiAntiJoinOperator for IN/EXISTS over a shared window): clicks that
+    saw at least one same-user purchase inside the same 10-minute tumble —
+    left_semi with the window struct as an extra equi-key, so matching
+    stays window-local and per-window state is droppable on watermark."""
+    clicks, purchases, cond = _window_join_sides(spark, sf_dir)
+    return clicks.join(purchases, cond, "left_semi").select(
+        "user_id",
+        F.unix_micros("win.start").alias("win_start"),
+        "click_id",
+    )
+
+
+@query(
+    "win_join_anti",
+    oracle=f"""
+    SELECT c.user_id,
+           (epoch_us(c.ts) // {MIN10}) * {MIN10} AS win_start,
+           c.event_id AS click_id
+    FROM events c
+    WHERE c.event_type = 'click' AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+          AND (epoch_us(p.ts) // {MIN10}) = (epoch_us(c.ts) // {MIN10})
+    )
+    """,
+)
+def win_join_anti(spark, sf_dir):
+    """Window ANTI join (SemiAntiJoinOperator, anti side): clicks with NO
+    same-user purchase in their 10-minute window. On a stream the window
+    bound is what makes anti emission decidable — once the watermark
+    closes the window, absence is final (cf. stream_anti_join, where the
+    bound comes from the interval condition)."""
+    clicks, purchases, cond = _window_join_sides(spark, sf_dir)
+    return clicks.join(purchases, cond, "left_anti").select(
+        "user_id",
+        F.unix_micros("win.start").alias("win_start"),
+        "click_id",
+    )
+
+
+@query(
+    "win_join_full_outer",
+    oracle=f"""
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE((epoch_us(c.ts) // {MIN10}) * {MIN10},
+                    (epoch_us(p.ts) // {MIN10}) * {MIN10}) AS win_start,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND (epoch_us(c.ts) // {MIN10}) = (epoch_us(p.ts) // {MIN10})
+    """,
+)
+def win_join_full_outer(spark, sf_dir):
+    """Window FULL OUTER join (WindowJoinOperator outer spec): clicks and
+    purchases paired within their shared 10-minute window; unmatched rows
+    on either side emit null-padded. Window-locality again bounds state —
+    each window's buffered rows are emitted and dropped when it closes."""
+    clicks, purchases, cond = _window_join_sides(spark, sf_dir)
+    return clicks.join(purchases, cond, "full_outer").select(
+        F.coalesce(F.col("user_id"), F.col("p_user")).alias("user_id"),
+        F.unix_micros(
+            F.coalesce(F.col("win.start"), F.col("p_win.start"))
+        ).alias("win_start"),
+        "click_id",
+        "purchase_id",
+    )
+
+
 @query(
     "lookup_join_enrich",
     oracle="""
