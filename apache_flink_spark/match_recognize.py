@@ -15,8 +15,11 @@ Supported subset (errors loudly otherwise):
         MEASURES <measure> AS alias [, ...]
         [ONE ROW PER MATCH | ALL ROWS PER MATCH]
         [AFTER MATCH SKIP PAST LAST ROW         -- default
-         | AFTER MATCH SKIP TO NEXT ROW]
-        PATTERN ( VAR[quant] ... )               -- quant in  + * ? {m} {m,} {m,n}  (greedy)
+         | AFTER MATCH SKIP TO NEXT ROW
+         | AFTER MATCH SKIP TO FIRST VAR | AFTER MATCH SKIP TO LAST VAR]
+        PATTERN ( ELEM[quant] ... )              -- ELEM := VAR | (V1|V2|...)
+                                                 -- quant in + * ? {m} {m,} {m,n},
+                                                 -- each optionally reluctant (+? *? ?? {m,n}?)
         [WITHIN INTERVAL 'n' unit]               -- match horizon (CEP within)
         DEFINE VAR AS <predicate> [, ...]        -- own-row predicates only
     ) [AS alias]
@@ -25,9 +28,15 @@ Supported subset (errors loudly otherwise):
                 | COUNT(VAR.*) | COUNT(*) | SUM|MIN|MAX|AVG(VAR.col)
                 | CLASSIFIER() | MATCH_NUMBER()
 
-Semantics follow the reference: greedy quantifiers with backtracking,
-leftmost match priority, non-overlapping via AFTER MATCH SKIP. Variables not
-in DEFINE match any row (the standard's "undefined variable is TRUE").
+Semantics follow the reference (cep/nfa/NFA.java:76 and Calcite's
+MATCH_RECOGNIZE validation): greedy quantifiers with backtracking,
+reluctant quantifiers take the shortest extension first, alternation
+prefers the leftmost branch (variable labeling per row), leftmost match
+priority, non-overlapping via AFTER MATCH SKIP (TO FIRST/LAST var resumes
+INSIDE the previous match, so matches may overlap — and a skip target
+that cannot advance past the match start raises, the reference's
+infinite-loop guard). Variables not in DEFINE match any row (the
+standard's "undefined variable is TRUE").
 
 Execution strategy (Spark-first):
   1. DEFINE predicates are stripped of their variable prefix and evaluated
@@ -65,8 +74,9 @@ _BODY_RE = re.compile(
     r"ORDER\s+BY\s+(?P<order>.+?)\s+"
     r"MEASURES\s+(?P<meas>.+?)\s+"
     r"(?:(?P<mode>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
-    r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)\s+)?"
-    r"PATTERN\s*\(\s*(?P<pat>[^)]*?)\s*\)\s+"
+    r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW"
+    r"|TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
+    r"PATTERN\s*\(\s*(?P<pat>(?:[^()]|\([^()]*\))*?)\s*\)\s+"
     r"(?:WITHIN\s+INTERVAL\s*'(?P<within_n>\d+)'\s*(?P<within_u>\w+)\s+)?"
     r"DEFINE\s+(?P<defs>.+)$",
     re.I | re.S,
@@ -90,15 +100,24 @@ _MEASURE_RE = re.compile(
     re.I,
 )
 
-_TOKEN_RE = re.compile(r"(\w+)\s*([+*?]|\{\s*\d+\s*(?:,\s*\d*)?\s*\})?")
+_TOKEN_RE = re.compile(
+    r"(?:(?P<var>\w+)|\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\))"
+    r"\s*(?P<quant>[+*?]\??|\{\s*\d+\s*(?:,\s*\d*)?\s*\}\??)?"
+)
 
 
-def _parse_quant(q: str | None) -> tuple[int, int | None]:
-    """Quantifier -> (lo, hi): + * ? and SQL/Flink bounded {m} {m,} {m,n}."""
+def _parse_quant(q: str | None) -> tuple[int, int | None, bool]:
+    """Quantifier -> (lo, hi, greedy): + * ? and SQL/Flink bounded {m} {m,}
+    {m,n}, each with an optional reluctant '?' suffix (+? *? ?? {m,n}? —
+    reference Quantifier.reluctant / NFA lazy transitions)."""
     if not q:
-        return (1, 1)
+        return (1, 1, True)
+    greedy = True
+    if q.endswith("?") and q != "?":
+        greedy = False
+        q = q[:-1]
     if q in _QUANTS:
-        return _QUANTS[q]
+        return (*_QUANTS[q], greedy)
     m = re.match(r"^\{\s*(\d+)\s*(?:(,)\s*(\d*)\s*)?\}$", q)
     lo = int(m.group(1))
     if not m.group(2):
@@ -109,7 +128,7 @@ def _parse_quant(q: str | None) -> tuple[int, int | None]:
         hi = None  # {m,} — at least m
     if hi is not None and hi < lo:
         raise MatchRecognizeError(f"bad quantifier bounds {q!r}: max < min")
-    return (lo, hi)
+    return (lo, hi, greedy)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -130,14 +149,28 @@ def _split_top_level(s: str) -> list[str]:
     return parts
 
 
-def _parse_pattern(pat: str) -> list[tuple[str, tuple[int, int | None]]]:
+def _parse_pattern(
+    pat: str,
+) -> list[tuple[tuple[str, ...], tuple[int, int | None], bool]]:
+    """Pattern -> [(alternatives, (lo, hi), greedy)]. A plain variable is a
+    1-tuple of alternatives; ``(A|B|C)`` is a leftmost-preference branch set
+    (reference Pattern.or_ / GroupPattern with alternation)."""
     toks = []
     rest = pat.strip()
     while rest:
         m = _TOKEN_RE.match(rest)
-        if not m:
+        if not m or not m.group(0).strip():
             raise MatchRecognizeError(f"unsupported PATTERN syntax near: {rest!r}")
-        toks.append((m.group(1), _parse_quant(m.group(2))))
+        if m.group("var"):
+            alts: tuple[str, ...] = (m.group("var"),)
+        else:
+            alts = tuple(v.strip() for v in m.group("alts").split("|"))
+            if len(set(alts)) != len(alts):
+                raise MatchRecognizeError(
+                    f"duplicate variable in alternation: {m.group(0)!r}"
+                )
+        lo, hi, greedy = _parse_quant(m.group("quant"))
+        toks.append((alts, (lo, hi), greedy))
         rest = rest[m.end():].strip()
     if not toks:
         raise MatchRecognizeError("empty PATTERN")
@@ -278,12 +311,30 @@ def compile_match_recognize(
         if re.search(r"\bDESC\b", oc, re.I):
             raise MatchRecognizeError("ORDER BY ... DESC is not supported")
     pattern = _parse_pattern(m.group("pat"))
-    variables = {v for v, _ in pattern}
+    variables = {v for alts, _, _ in pattern for v in alts}
     measures = _parse_measures(m.group("meas"))
     defines = _parse_defines(m.group("defs"), variables)
-    skip_to_next = bool(
-        m.group("skip") and re.match(r"TO\s+NEXT", m.group("skip"), re.I)
-    )
+    # skip spec: "past_last" | "to_next" | ("first"|"last", var)
+    skip: str | tuple[str, str] = "past_last"
+    if m.group("skip"):
+        sk = re.sub(r"\s+", " ", m.group("skip").strip()).upper()
+        if sk == "TO NEXT ROW":
+            skip = "to_next"
+        elif sk.startswith("TO FIRST ") or sk.startswith("TO LAST "):
+            _, which, var = sk.split(" ")
+            if var not in variables:
+                raise MatchRecognizeError(
+                    f"AFTER MATCH SKIP TO {which} {var}: unknown variable"
+                )
+            first_alts, (first_lo, _fh), _fg = pattern[0]
+            if which == "FIRST" and first_alts == (var,) and first_lo >= 1:
+                # The skip target would always be the match start — the
+                # reference rejects this as a guaranteed infinite loop.
+                raise MatchRecognizeError(
+                    f"AFTER MATCH SKIP TO FIRST {var} cannot advance past "
+                    "the match start (infinite loop)"
+                )
+            skip = (which.lower(), var)
     all_rows = bool(m.group("mode") and m.group("mode").upper().startswith("ALL"))
     within_us = None
     if m.group("within_n"):
@@ -362,6 +413,22 @@ def compile_match_recognize(
             v: pdf[f"__mr_{v}"].fillna(False).to_numpy(dtype=bool)
             for v in var_list
         }
+        # Per pattern element: a row can extend the repetition iff ANY
+        # alternative matches it (own-row predicates make extension
+        # label-independent); the matched row is LABELED with the leftmost
+        # matching alternative (the reference's branch preference).
+        elem_ok = []
+        for alts, _q, _g in pat:
+            ok = sat[alts[0]]
+            for v in alts[1:]:
+                ok = ok | sat[v]
+            elem_ok.append(ok)
+
+        def _label(alts, idx: int) -> str:
+            for v in alts:
+                if sat[v][idx]:
+                    return v
+            raise AssertionError("unlabelable matched row")
         # WITHIN horizon (reference CEP Pattern.within / MATCH_RECOGNIZE
         # WITHIN): rows later than match-start + interval are outside the
         # match scope — the NFA prunes them, so the greedy search runs
@@ -386,16 +453,18 @@ def compile_match_recognize(
         ends = np.append(starts[1:], n)
 
         def try_match(start: int, limit: int):
-            """Greedy leftmost match beginning at ``start`` within
-            [start, limit); returns (var -> [row indices], end_exclusive)
-            or None. Quantifier backtracking only reduces the greedy count —
-            linear patterns need no other backtracking."""
+            """Leftmost match beginning at ``start`` within [start, limit);
+            returns (var -> sorted [row indices], end_exclusive) or None.
+            Greedy elements try the longest extension first, reluctant ones
+            the shortest (reference NFA greedy vs lazy transitions);
+            backtracking only re-picks repetition counts — own-row
+            predicates need no other backtracking."""
 
             def rec(pi: int, ri: int):
                 if pi == len(pat):
                     return {}, ri
-                var, (lo, hi) = pat[pi]
-                ok = sat[var]
+                alts, (lo, hi), greedy = pat[pi]
+                ok = elem_ok[pi]
                 take_max = 0
                 while (
                     (hi is None or take_max < hi)
@@ -403,15 +472,20 @@ def compile_match_recognize(
                     and ok[ri + take_max]
                 ):
                     take_max += 1
-                for take in range(take_max, lo - 1, -1):
+                order = (
+                    range(take_max, lo - 1, -1)
+                    if greedy
+                    else range(lo, take_max + 1)
+                )
+                for take in order:
                     res = rec(pi + 1, ri + take)
                     if res is not None:
                         assign, end = res
                         if take:
                             assign = dict(assign)
-                            assign[var] = list(
-                                range(ri, ri + take)
-                            ) + assign.get(var, [])
+                            for j in range(ri, ri + take):
+                                v = _label(alts, j)
+                                assign[v] = [j] + assign.get(v, [])
                         return assign, end
                 return None
 
@@ -421,6 +495,8 @@ def compile_match_recognize(
             assign, end = res
             if end == start:
                 return None  # zero-width match — never emitted
+            # rec prepends per element right-to-left; restore row order.
+            assign = {v: sorted(idxs) for v, idxs in assign.items()}
             return assign, end
 
         # A match can only START at a row satisfying the first variable's
@@ -429,8 +505,30 @@ def compile_match_recognize(
         # positions turns the scan from a Python row-walk into numpy jumps
         # between candidates — the dominant cost when the first variable is
         # selective (the common CEP shape: a rare trigger event).
-        first_var, (first_lo, _) = pat[0]
-        cand_idx = np.flatnonzero(sat[first_var]) if first_lo >= 1 else None
+        (first_alts, (first_lo, _fh), _fg) = pat[0]
+        cand_idx = np.flatnonzero(elem_ok[0]) if first_lo >= 1 else None
+
+        def _resume(match_start: int, assign: dict, end: int) -> int:
+            """Next search position per AFTER MATCH SKIP (reference
+            SkipPastLastRow/SkipToNextRow/SkipToFirst/SkipToLast)."""
+            if skip == "past_last":
+                return end
+            if skip == "to_next":
+                return match_start + 1
+            which, var = skip
+            idxs = assign.get(var)
+            if not idxs:
+                raise MatchRecognizeError(
+                    f"AFTER MATCH SKIP TO {which.upper()} {var}: variable "
+                    "did not participate in the match"
+                )
+            r = idxs[0] if which == "first" else idxs[-1]
+            if r <= match_start:
+                raise MatchRecognizeError(
+                    f"AFTER MATCH SKIP TO {which.upper()} {var} cannot "
+                    "advance past the match start (infinite loop)"
+                )
+            return r
 
         src_arr = {c: pdf[c].to_numpy() for c in src_cols} if all_rows else None
 
@@ -475,10 +573,8 @@ def compile_match_recognize(
                         continue
                     assign, end = hit
                     _do_emit(assign)
-                    p = (
-                        p + 1
-                        if skip_to_next
-                        else int(np.searchsorted(cand_idx, end, "left"))
+                    p = int(
+                        np.searchsorted(cand_idx, _resume(i, assign, end), "left")
                     )
                 continue
             i = s
@@ -489,7 +585,7 @@ def compile_match_recognize(
                     continue
                 assign, end = hit
                 _do_emit(assign)
-                i = (i + 1) if skip_to_next else end
+                i = _resume(i, assign, end)
         if rows:
             yield pd.DataFrame(rows, columns=out_cols)
 

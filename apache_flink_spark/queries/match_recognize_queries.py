@@ -368,3 +368,158 @@ def mr_all_rows_classifier(spark, sf_dir):
         ORDER BY user_id, ep, event_id
         """
     )
+
+
+@query(
+    "mr_alternation_branch",
+    oracle="""
+    SELECT user_id, click_id, b_id, c_id, next_kind
+    FROM (
+        SELECT user_id,
+               event_id AS click_id,
+               event_type AS a_type,
+               LEAD(event_type) OVER w AS b_type,
+               CASE WHEN LEAD(event_type) OVER w = 'purchase'
+                    THEN LEAD(event_id) OVER w END AS b_id,
+               CASE WHEN LEAD(event_type) OVER w = 'error'
+                    THEN LEAD(event_id) OVER w END AS c_id,
+               CASE LEAD(event_type) OVER w
+                    WHEN 'purchase' THEN 'B'
+                    WHEN 'error' THEN 'C' END AS next_kind
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE a_type = 'click' AND b_type IN ('purchase', 'error')
+    ORDER BY user_id, click_id
+    """,
+)
+def mr_alternation_branch(spark, sf_dir):
+    """PATTERN (A (B|C)) — alternation (reference Pattern alternation /
+    GroupPattern branch in cep/nfa/NFA.java:76): a click followed
+    immediately by either a purchase (B) or an error (C); CLASSIFIER()
+    reports which branch won. Exact oracle: A/B/C predicates are mutually
+    disjoint per row, so consumed regions hide no candidate starts and
+    LEAD() enumerates the identical matches; branch preference never
+    fires because B and C cannot both hold (leftmost preference itself is
+    pinned by unit + property tests)."""
+    return _tenv(spark, sf_dir).sql(
+        """
+        SELECT user_id, click_id, b_id, c_id, next_kind
+        FROM events_mr MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ep, event_id
+            MEASURES A.event_id AS click_id,
+                     B.event_id AS b_id,
+                     C.event_id AS c_id,
+                     CLASSIFIER() AS next_kind
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A (B|C))
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase',
+                   C AS C.event_type = 'error'
+        )
+        ORDER BY user_id, click_id
+        """
+    )
+
+
+@query(
+    "mr_reluctant_first_after",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ep,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events
+    ), nxt AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_p_rn
+        FROM seq
+    )
+    SELECT n.user_id, n.event_id AS click_id, p.event_id AS purchase_id,
+           n.next_p_rn - n.rn - 1 AS n_skipped
+    FROM nxt n
+    JOIN seq p ON p.user_id = n.user_id AND p.rn = n.next_p_rn
+    WHERE n.event_type = 'click'
+    ORDER BY n.user_id, click_id
+    """,
+)
+def mr_reluctant_first_after(spark, sf_dir):
+    """PATTERN (A X*? B) — reluctant quantifier (reference NFA lazy
+    transitions / Quantifier reluctant): each click matched to the FIRST
+    following same-user purchase, skipping the minimal run of intervening
+    rows. Greedy X* would bind the LAST purchase instead — reluctance is
+    semantically load-bearing here, not a notation detail. AFTER MATCH
+    SKIP TO NEXT ROW makes every click a match start, so the exact oracle
+    is per-click: the nearest following purchase and the count of rows
+    between (a FOLLOWING-frame running MIN)."""
+    return _tenv(spark, sf_dir).sql(
+        """
+        SELECT user_id, click_id, purchase_id, n_skipped
+        FROM events_mr MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ep, event_id
+            MEASURES A.event_id AS click_id,
+                     B.event_id AS purchase_id,
+                     COUNT(X.*) AS n_skipped
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A X*? B)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        )
+        ORDER BY user_id, click_id
+        """
+    )
+
+
+@query(
+    "mr_skip_to_last_overlap",
+    oracle="""
+    SELECT user_id, a_id, b_id, gap_us
+    FROM (
+        SELECT user_id,
+               event_id AS a_id,
+               LEAD(event_id) OVER w AS b_id,
+               event_type AS a_type,
+               LEAD(event_type) OVER w AS b_type,
+               CAST(LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS BIGINT)
+                   AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE a_type = 'click' AND b_type = 'click'
+    ORDER BY user_id, a_id
+    """,
+)
+def mr_skip_to_last_overlap(spark, sf_dir):
+    """PATTERN (A B) AFTER MATCH SKIP TO LAST B — skip-to-variable
+    resumption (reference AfterMatchSkipStrategy.skipToLast /
+    MatchCodeGenerator): consecutive same-user click pairs where the
+    SECOND click of each match starts the next one, yielding every
+    SLIDING pair. SKIP PAST LAST ROW would pair rows 1-2, 3-4, ... —
+    overlap is the observable difference. Exact oracle: LEAD() over
+    click-typed neighbors enumerates exactly the sliding pairs."""
+    return _tenv(spark, sf_dir).sql(
+        """
+        SELECT user_id, a_id, b_id, last_ep - first_ep AS gap_us
+        FROM events_mr MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ep, event_id
+            MEASURES A.event_id AS a_id,
+                     B.event_id AS b_id,
+                     LAST(B.ep) AS last_ep,
+                     FIRST(A.ep) AS first_ep
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO LAST B
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'click'
+        )
+        ORDER BY user_id, a_id
+        """
+    )

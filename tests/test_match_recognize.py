@@ -284,3 +284,134 @@ def test_one_row_mode_classifier_is_last_variable(spark, seq_view):
         """,
     ).collect()
     assert {r.role for r in out} == {"B"}
+
+
+def test_alternation_prefers_leftmost_branch(spark, seq_view):
+    """(B|C) with OVERLAPPING predicates: a row satisfying both is labeled
+    B (leftmost preference, the reference's branch order)."""
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT user_id, a_seq, kind FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES A.seq AS a_seq, CLASSIFIER() AS kind
+            PATTERN (A (B|C))
+            DEFINE A AS A.typ = 'a',
+                   B AS B.v >= 100,
+                   C AS C.v >= 0
+        )
+        """,
+    ).collect()
+    got = sorted((r.user_id, r.a_seq, r.kind) for r in out)
+    # user 1: (a@1 -> a@2 has v=20: B false, C true -> 'C'),
+    #         (a@4 -> b@5 has v=300: both true -> 'B' wins)
+    assert got == [(1, 1, "C"), (1, 4, "B")]
+
+
+def test_alternation_disjoint_branches_classify(spark, seq_view):
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT user_id, coalesce(a_s, b_s) AS s, kind
+        FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES A.seq AS a_s, B.seq AS b_s, CLASSIFIER() AS kind
+            PATTERN ((A|B))
+            DEFINE A AS A.typ = 'b', B AS B.v < 15
+        )
+        """,
+    ).collect()
+    # rows: u1 seq1 (a,10: B), seq3 (b,200: A), seq5 (b,300: A); u2 seq1 (a,5: B)
+    assert sorted((r.user_id, r.s, r.kind) for r in out) == [
+        (1, 1, "B"), (1, 3, "A"), (1, 5, "A"), (2, 1, "B"),
+    ]
+
+
+def test_reluctant_binds_first_not_last(spark, seq_view):
+    """A X*? B stops at the FIRST b; greedy A X* B extends to the LAST b.
+    Same data, opposite bindings — reluctance is observable."""
+    reluctant = sql_with_match_recognize(
+        spark,
+        """
+        SELECT user_id, b_seq, n_x FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES B.seq AS b_seq, COUNT(X.*) AS n_x
+            PATTERN (A X*? B)
+            DEFINE A AS A.seq = 1, B AS B.typ = 'b'
+        )
+        """,
+    ).collect()
+    assert [(r.user_id, r.b_seq, r.n_x) for r in reluctant] == [(1, 3, 1)]
+    greedy = sql_with_match_recognize(
+        spark,
+        """
+        SELECT user_id, b_seq, n_x FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES B.seq AS b_seq, COUNT(X.*) AS n_x
+            PATTERN (A X* B)
+            DEFINE A AS A.seq = 1, B AS B.typ = 'b'
+        )
+        """,
+    ).collect()
+    assert [(r.user_id, r.b_seq, r.n_x) for r in greedy] == [(1, 5, 3)]
+
+
+def test_skip_to_first_var_overlapping_resume(spark):
+    rows = [(1, 1, "x"), (1, 2, "b"), (1, 3, "b")]
+    spark.createDataFrame(rows, "k int, seq int, typ string").createOrReplaceTempView(
+        "mr_skipfirst"
+    )
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT k, a_seq, b_seq FROM mr_skipfirst MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY seq
+            MEASURES A.seq AS a_seq, B.seq AS b_seq
+            AFTER MATCH SKIP TO FIRST B
+            PATTERN (A B)
+            DEFINE B AS B.typ = 'b'
+        )
+        """,
+    ).collect()
+    # match (1,2) resumes AT seq 2, which starts match (2,3) — overlap.
+    assert sorted((r.a_seq, r.b_seq) for r in out) == [(1, 2), (2, 3)]
+
+
+def test_skip_to_first_of_leading_var_rejected(spark, seq_view):
+    with pytest.raises(MatchRecognizeError, match="infinite loop"):
+        sql_with_match_recognize(
+            spark,
+            """
+            SELECT user_id FROM mr_seq MATCH_RECOGNIZE (
+                PARTITION BY user_id ORDER BY seq
+                MEASURES A.seq AS a_seq
+                AFTER MATCH SKIP TO FIRST A
+                PATTERN (A B)
+                DEFINE A AS A.typ = 'a', B AS B.typ = 'b'
+            )
+            """,
+        )
+
+
+def test_skip_to_last_sliding_pairs(spark):
+    rows = [(1, i, "c") for i in range(1, 5)]  # c c c c
+    spark.createDataFrame(rows, "k int, seq int, typ string").createOrReplaceTempView(
+        "mr_skiplast"
+    )
+    body = """
+        SELECT k, a_seq, b_seq FROM mr_skiplast MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY seq
+            MEASURES A.seq AS a_seq, B.seq AS b_seq
+            {skip}
+            PATTERN (A B)
+            DEFINE A AS A.typ = 'c', B AS B.typ = 'c'
+        )
+    """
+    sliding = sql_with_match_recognize(
+        spark, body.format(skip="AFTER MATCH SKIP TO LAST B")
+    ).collect()
+    assert sorted((r.a_seq, r.b_seq) for r in sliding) == [(1, 2), (2, 3), (3, 4)]
+    tumbling = sql_with_match_recognize(
+        spark, body.format(skip="AFTER MATCH SKIP PAST LAST ROW")
+    ).collect()
+    assert sorted((r.a_seq, r.b_seq) for r in tumbling) == [(1, 2), (3, 4)]

@@ -124,7 +124,17 @@ def test_dedup_keep_first_last_partition(spark, rows):
         unique_by=lambda r: (r[0], r[1]),
     ),
     pattern=st.sampled_from(
-        [("A B+", "ab+"), ("A B{1,2}", "ab{1,2}"), ("A B* C", "ab*c")]
+        [
+            ("A B+", "ab+"),
+            ("A B{1,2}", "ab{1,2}"),
+            ("A B* C", "ab*c"),
+            # r4 additions: alternation and reluctant quantifiers — the
+            # regex engine is again the independent oracle (same scan
+            # order: leftmost, non-overlapping, lazy vs greedy).
+            ("A (B|C)+", "a[bc]+"),
+            ("A B*? C", "ab*?c"),
+            ("A B+? C", "ab+?c"),
+        ]
     ),
 )
 @_settings
