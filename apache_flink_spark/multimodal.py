@@ -3,11 +3,13 @@ Pandas-UDF decode plumbing.
 
 North-star addition (task brief): image/audio/video are modeled as
 ``binary`` columns with a typed metadata struct; decode / feature-extract /
-resize / frame-sample run as Arrow-batched ``mapInPandas`` stages. The
-actual codec libraries are NOT in this container, so the codec call is
-stubbed behind ``decode_media`` (NotImplementedError) with a deterministic
-fake (``fake_decode_features``) standing in — the Spark-side plumbing
-(schema, batch iteration, partitioning) is real and oracle-tested.
+resize / frame-sample run as Arrow-batched ``mapInPandas`` stages.
+``decode_media`` decodes PPM (P6) and 24-bit BMP NATIVELY (pure numpy —
+public formats, no codec libraries), exercised end-to-end by
+mm_decode_real_codec; jpeg/png/audio/video need PIL/ffmpeg/librosa, which
+are NOT in this container, and raise loudly — ``fake_decode_features`` is
+the deterministic stand-in those paths use so the plumbing stays
+oracle-tested.
 
 Scale: payload bytes never leave the executor — mapInPandas streams Arrow
 batches partition-locally; metadata-only queries prune the binary column at
@@ -55,14 +57,133 @@ def media_table(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, media_type: str):
-    """Real codec entry point — requires PIL/ffmpeg/librosa, which are not
-    installed in this environment. The pipeline wires through
-    ``fake_decode_features`` instead; swap this in when codecs exist."""
+def decode_media(payload: bytes, media_type: str | None = None):
+    """Real codec entry point. PPM (P6) and BMP (24-bit BI_RGB) decode
+    natively (pure numpy, public formats, no codec libraries needed);
+    other formats (jpeg/png/audio/video) still need PIL/ffmpeg/librosa,
+    which are not installed in this container, and raise loudly.
+
+    Returns (width, height, n_pixels, total_luma_milli) where
+    total_luma_milli is the exact integer sum over pixels of
+    299*R + 587*G + 114*B (Rec.601 luma in per-mille fixed point — kept
+    as a SUM, not a mean, so the value is division-free and bit-exact
+    across engines)."""
+    if payload[:2] == b"P6":
+        return _features(*decode_ppm(payload))
+    if payload[:2] == b"BM":
+        return _features(*decode_bmp(payload))
     raise NotImplementedError(
-        "media codecs (PIL/ffmpeg) are not available in this container; "
-        "use fake_decode_features for the deterministic stub"
+        "only PPM(P6)/BMP(24-bit) decode natively; other media codecs "
+        "(PIL/ffmpeg) are not available in this container — use "
+        "fake_decode_features for the deterministic stub"
     )
+
+
+def _features(width: int, height: int, rgb) -> tuple[int, int, int, int]:
+    import numpy as np
+
+    px = rgb.astype(np.int64)
+    total = int(
+        (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]).sum()
+    )
+    return (width, height, width * height, total)
+
+
+def encode_ppm(width: int, height: int, rgb) -> bytes:
+    """Binary PPM (P6, maxval 255): ASCII header + raw RGB rows
+    (netpbm public spec)."""
+    import numpy as np
+
+    return f"P6\n{width} {height}\n255\n".encode() + np.ascontiguousarray(
+        rgb, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_ppm(data: bytes):
+    """Parse P6: header tokens (whitespace/comment separated) then raw
+    RGB. Returns (width, height, HxWx3 uint8 array)."""
+    import numpy as np
+
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # Tokenize the header: magic, width, height, maxval; '#' comments run
+    # to end-of-line; a single whitespace byte separates maxval from data.
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (only 255)")
+    n = width * height * 3
+    raw = data[pos : pos + n]
+    if len(raw) != n:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, np.frombuffer(raw, dtype=np.uint8).reshape(
+        height, width, 3
+    )
+
+
+def encode_bmp(width: int, height: int, rgb) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB): BGR pixel
+    order, rows bottom-up, each row padded to a 4-byte boundary
+    (public Windows DIB spec)."""
+    import struct
+
+    import numpy as np
+
+    row_size = (3 * width + 3) // 4 * 4
+    img_size = row_size * height
+    px = np.ascontiguousarray(rgb, dtype=np.uint8)
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = px[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (row_size - len(row))
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(body)
+
+
+def decode_bmp(data: bytes):
+    """Parse 24-bit BI_RGB BMP. Returns (width, height, HxWx3 uint8 RGB,
+    top-down)."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", data, 10)
+    header_size, width, height = struct.unpack_from("<Iii", data, 14)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP supported (got {bpp}bpp, "
+            f"compression={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = (3 * width + 3) // 4 * 4
+    rows = []
+    for r in range(height):
+        off = data_offset + r * row_size
+        row = np.frombuffer(data, dtype=np.uint8, count=3 * width, offset=off)
+        rows.append(row.reshape(width, 3)[:, ::-1])  # BGR -> RGB
+    px = np.stack(rows[::-1] if bottom_up else rows)
+    return width, height, px
 
 
 def fake_decode_features(payload: bytes) -> tuple[int, int, int]:
@@ -73,6 +194,65 @@ def fake_decode_features(payload: bytes) -> tuple[int, int, int]:
         payload[1] % 64 + 1,
         len(payload) % 16 + 1,
     )
+
+
+REAL_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels long, total_luma_milli long"
+)
+
+
+def synth_images(docs: DataFrame) -> DataFrame:
+    """Deterministic image fixtures, generated EXECUTOR-SIDE (payload bytes
+    never touch the driver): per doc, a (doc_id%16+1) x (doc_id%8+1) image
+    with an R gradient ((doc_id+i)%256 over pixel index i) and solid G/B
+    channels, encoded PPM for even doc_ids and BMP for odd — both real
+    wire formats, so the decode stage reads actual headers, padding, and
+    channel order."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = doc_id % 16 + 1, doc_id % 8 + 1
+                i = np.arange(w * h, dtype=np.int64)
+                rgb = np.stack(
+                    [
+                        ((doc_id + i) % 256).astype(np.uint8),
+                        np.full(w * h, (doc_id * 7) % 256, np.uint8),
+                        np.full(w * h, (doc_id * 13) % 256, np.uint8),
+                    ],
+                    axis=1,
+                ).reshape(h, w, 3)
+                enc = encode_ppm if doc_id % 2 == 0 else encode_bmp
+                payloads.append(enc(w, h, rgb))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+
+
+def decode_real_features(media: DataFrame) -> DataFrame:
+    """The REAL decode stage: sniffs each payload's magic bytes and runs
+    the native PPM/BMP parser (decode_media). Same 100 TB shape as
+    decode_features — partition-local Arrow batches, no shuffle, binary in
+    / small features out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(d), *decode_media(bytes(p)))
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels", "total_luma_milli",
+                ],
+            )
+
+    return media.mapInPandas(run, REAL_DECODE_SCHEMA)
 
 
 def decode_features(media: DataFrame) -> DataFrame:

@@ -79,3 +79,42 @@ def mm_frame_sample(spark, sf_dir):
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(4))
         ).alias("frame_idx"),
     )
+
+
+@query(
+    "mm_decode_real_codec",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 16 + 1 AS width,
+               doc_id % 8 + 1 AS height,
+               (doc_id * 7) % 256 AS g,
+               (doc_id * 13) % 256 AS b
+        FROM documents
+    )
+    SELECT base.doc_id,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           CAST(SUM(299 * ((base.doc_id + t.i) % 256) + 587 * g + 114 * b)
+                AS BIGINT) AS total_luma_milli
+    FROM base, unnest(generate_series(0, width * height - 1)) AS t(i)
+    GROUP BY base.doc_id, width, height, g, b
+    """,
+)
+def mm_decode_real_codec(spark, sf_dir):
+    """REAL image decode (no codec libraries): deterministic PPM/BMP
+    payloads are generated executor-side (R-gradient + solid G/B), then
+    the native pure-numpy parser (multimodal.decode_media) reads actual
+    wire bytes — P6 headers, BMP bottom-up BGR rows with 4-byte padding —
+    and emits width/height/pixel-count/Rec.601 total luma in exact
+    integer fixed point. The oracle recomputes the same sum relationally
+    (generate_series over pixel indices), so a decoder that misreads
+    dimensions, channel order, row padding, or header offsets hash-fails.
+    Both mapInPandas stages are narrow: no shuffle, payloads stay on
+    executors."""
+    from apache_flink_spark.catalog import table
+    from apache_flink_spark.multimodal import decode_real_features, synth_images
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_real_features(synth_images(docs))

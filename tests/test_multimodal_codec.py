@@ -1,0 +1,93 @@
+"""Native PPM/BMP codec unit tests (pure numpy, no Spark needed for most).
+
+The registered mm_decode_real_codec query pins the distributed
+end-to-end path against the DuckDB oracle; these pin the parser edge
+cases: round-trips, BMP row padding, bottom-up order, PPM header
+comments, truncation, and the loud unsupported-format gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from apache_flink_spark.multimodal import (
+    decode_bmp,
+    decode_media,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+)
+
+
+def _img(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (16, 8), (5, 7)])
+def test_ppm_roundtrip(w, h):
+    img = _img(w, h, seed=w * 100 + h)
+    got_w, got_h, got = decode_ppm(encode_ppm(w, h, img))
+    assert (got_w, got_h) == (w, h)
+    np.testing.assert_array_equal(got, img)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (16, 8), (5, 7)])
+def test_bmp_roundtrip(w, h):
+    """Widths 1/3/5 force nonzero row padding (3w not divisible by 4)."""
+    img = _img(w, h, seed=w * 100 + h)
+    got_w, got_h, got = decode_bmp(encode_bmp(w, h, img))
+    assert (got_w, got_h) == (w, h)
+    np.testing.assert_array_equal(got, img)
+
+
+def test_bmp_bottom_up_and_bgr():
+    """Hand-check byte layout: 1x2 image, rows stored bottom-up as BGR."""
+    img = np.array([[[10, 20, 30]], [[40, 50, 60]]], dtype=np.uint8)
+    data = encode_bmp(1, 2, img)
+    body = data[54:]  # 14 file header + 40 info header
+    # first stored row = BOTTOM image row (40,50,60) as BGR + 1-byte pad
+    assert body[:3] == bytes([60, 50, 40])
+    assert body[4:7] == bytes([30, 20, 10])
+    _, _, got = decode_bmp(data)
+    np.testing.assert_array_equal(got, img)
+
+
+def test_ppm_header_comments():
+    img = _img(2, 2)
+    data = encode_ppm(2, 2, img)
+    commented = b"P6\n# a comment\n2 2\n# another\n255\n" + data.split(b"\n", 3)[3]
+    got_w, got_h, got = decode_ppm(commented)
+    assert (got_w, got_h) == (2, 2)
+    np.testing.assert_array_equal(got, img)
+
+
+def test_ppm_truncated_raises():
+    data = encode_ppm(4, 4, _img(4, 4))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(data[:-5])
+
+
+def test_decode_media_features_exact():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[:, :, 0] = 100  # R
+    img[:, :, 1] = 50  # G
+    img[:, :, 2] = 200  # B
+    w, h, n, luma = decode_media(encode_ppm(2, 2, img))
+    assert (w, h, n) == (2, 2, 4)
+    assert luma == 4 * (299 * 100 + 587 * 50 + 114 * 200)
+    # identical features regardless of container format
+    assert decode_media(encode_bmp(2, 2, img)) == (w, h, n, luma)
+
+
+def test_decode_media_unknown_format_raises():
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        decode_media(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_bmp_unsupported_bpp_raises():
+    data = bytearray(encode_bmp(2, 2, _img(2, 2)))
+    data[28] = 8  # claim 8bpp
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_bmp(bytes(data))
