@@ -148,6 +148,38 @@ def broadcast_control_join(
     return q, out_path
 
 
+def with_idleness(spark, enable: bool = True) -> None:
+    """Watermark idleness shim (reference WatermarkStrategy.withIdleness:147).
+
+    In the reference, a source marked idle after a timeout STOPS
+    contributing to the combined watermark, so a stalled partition cannot
+    freeze event time for the whole pipeline. Spark's multi-source
+    watermark is a session policy, not per-source: with the default
+    ``min`` policy a union's watermark is the minimum over sources — an
+    idle source pins it forever (the exact failure withIdleness exists
+    for). Setting ``spark.sql.streaming.multipleWatermarkPolicy`` to
+    ``max`` is the micro-batch equivalent of declaring every source
+    idle-tolerant: the global watermark follows the FASTEST source, and
+    slow-but-not-idle sources' late rows are then subject to drop —
+    the same correctness trade the reference documents for idleness.
+
+    Session-scoped (affects every query started afterwards); call
+    ``with_idleness(spark, False)`` to restore strict min semantics.
+    Pinned by tests/test_streaming_utils.py (idle source no longer stalls
+    a two-source union's windows).
+
+    Watermark ALIGNMENT (withWatermarkAlignment:168) needs no shim in
+    micro-batch execution: sources advance in lockstep one micro-batch at
+    a time and every stateful operator evaluates against the same global
+    watermark per batch, which is precisely the alignment contract the
+    reference enforces by pausing fast splits.
+    """
+    spark.conf.set(
+        "spark.sql.streaming.multipleWatermarkPolicy",
+        "max" if enable else "min",
+    )
+
+
 def current_watermark(query) -> str | None:
     """CURRENT_WATERMARK analog: the event-time watermark of the last
     completed micro-batch (None before the first stateful batch)."""

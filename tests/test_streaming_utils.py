@@ -245,3 +245,59 @@ def test_late_data_dropped_after_watermark(spark):
     )
     # The 10:00 window closed when the watermark passed it.
     assert result.filter("k = 'a'").count() >= 1
+
+
+def test_idle_source_stalls_min_policy_not_max(spark, sf_dir):
+    """with_idleness (WatermarkStrategy.withIdleness parity): a source that
+    goes idle after day 1 pins a two-source union's watermark under the
+    default min policy, so windows after day 1 never close; under the max
+    policy (the idleness shim) the active source drives the watermark and
+    the full range of windows emits."""
+    import os
+
+    from apache_flink_spark.streaming.utils import with_idleness
+
+    e = _normalize_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    cutoff = e.agg(
+        (F.min(F.unix_micros("ts")) + 86_400_000_000).alias("c")
+    ).collect()[0][0]
+
+    active_dir = tempfile.mkdtemp(prefix="afs_idle_active_")
+    idle_dir = tempfile.mkdtemp(prefix="afs_idle_idle_")
+    e.coalesce(1).write.mode("overwrite").parquet(active_dir)
+    # the idle source delivered day 1 only, then went silent
+    e.filter(F.unix_micros("ts") < cutoff).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(idle_dir)
+
+    def run_union():
+        schema = spark.read.parquet(active_dir).schema
+
+        def src(path):
+            df = spark.readStream.schema(schema).parquet(path)
+            return _normalize_nanos(df).withWatermark("ts", "1 hour").select(
+                "ts", "event_id"
+            )
+
+        agg = (
+            src(active_dir)
+            .unionByName(src(idle_dir))
+            .groupBy(F.window("ts", "1 day").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_micros("win.start").alias("ws"), "n")
+        )
+        return run_to_table(agg, "append").count()
+
+    prev = spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy", "min")
+    try:
+        with_idleness(spark, False)  # strict min: idle source stalls
+        stalled = run_union()
+        with_idleness(spark, True)  # idleness shim: fastest source drives
+        flowing = run_union()
+    finally:
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", prev)
+
+    # ~30 daily windows in the fixture; min policy closes at most day 1.
+    assert stalled <= 1
+    assert flowing > stalled + 20
+    assert os.path.isdir(active_dir)
