@@ -57,6 +57,11 @@ HEADLINE = [
     "pipeline_domain_mix",
     "stream_tumble_agg",
     "stream_stream_join",
+    # r4: the scale-relevant shapes added this round — update-mode group
+    # agg (upsert sink), CDC decode->materialize, stateful temporal join.
+    "stream_update_group_agg",
+    "cdc_debezium_materialize",
+    "stream_temporal_join",
 ]
 
 
