@@ -163,9 +163,13 @@ def cumulate_slices(df, ep_col: str, step_us: int, max_us: int):
     assert max_us % step_us == 0, "max must be a multiple of step"
     n = max_us // step_us
     ep = F.col(ep_col)
-    kmin = ((ep % F.lit(max_us)) / F.lit(step_us)).cast("long") + F.lit(1)
+    # pmod, not %: Spark's % keeps the dividend's sign, which for pre-1970
+    # (negative-epoch) rows would round win_start toward zero instead of
+    # flooring — the window wouldn't contain its own row.
+    off = F.pmod(ep, F.lit(max_us))
+    kmin = (off / F.lit(step_us)).cast("long") + F.lit(1)
     return (
-        df.withColumn("win_start", ep - (ep % F.lit(max_us)))
+        df.withColumn("win_start", ep - off)
         .withColumn("__k", F.explode(F.sequence(kmin, F.lit(n))))
         .withColumn("win_end", F.col("win_start") + F.col("__k") * F.lit(step_us))
         .drop("__k")

@@ -187,6 +187,7 @@ def match_longest_run(spark, sf_dir):
 
 @query(
     "match_cep_stateful",
+    streaming=True,  # runs a real streaming job despite the match_ name
     oracle=f"""
     WITH u AS (
         SELECT user_id, epoch_us(ts) AS ep, event_id, event_type FROM events
@@ -282,7 +283,15 @@ def match_not_followed_by(spark, sf_dir):
     following 30 minutes — the abandonment shape. Same single range-frame
     forward scan as match_followed_by with the match condition inverted: one
     keyed exchange + in-partition sort, NO anti join and no second pass over
-    events — the absence test rides the same window."""
+    events — the absence test rides the same window.
+
+    Boundary convention: STRICTLY after (rangeBetween(1, MIN30)) — a
+    purchase at the click's exact timestamp does NOT count as a follow-up
+    here, whereas the stream_anti_join family counts it (p.ts >= c.ts).
+    Deliberate: CEP's notFollowedBy inspects events after the matched
+    one in stream order, while the join family expresses a time-interval
+    predicate where same-instant counts as within the interval. Compare
+    result sets across the two operators with the boundary in mind."""
     e = t(spark, sf_dir, "events")
     u = e.filter(F.col("event_type").isin("click", "purchase")).select(
         "user_id",

@@ -23,10 +23,18 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+#: Queries that EXECUTE a streaming job when called (run_to_table /
+#: foreachBatch sinks) regardless of their name. Plan tooling
+#: (tests/test_plan_lint.py) uses this instead of name prefixes: the
+#: returned DataFrame is just a memory-sink/parquet scan, so linting it
+#: would burn a full streaming run for no plan coverage.
+STREAMING: set[str] = set()
 
-def query(name: str, oracle: str | None = None):
+
+def query(name: str, oracle: str | None = None, streaming: bool = False):
     """Register a declared query. ``oracle=None`` => rows-only check
-    (reserved for genuinely non-SQL-expressible ops).
+    (reserved for genuinely non-SQL-expressible ops). ``streaming=True``
+    marks queries whose invocation runs a streaming job (see STREAMING).
 
     Every registered callable first applies the engine's runtime confs to the
     caller-provided session (``session.configure_session``) so results are
@@ -46,6 +54,8 @@ def query(name: str, oracle: str | None = None):
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
+        if streaming or name.startswith("stream_"):
+            STREAMING.add(name)
         return wrapped
 
     return deco

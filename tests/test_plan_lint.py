@@ -4,7 +4,9 @@ A CartesianProduct or BroadcastNestedLoopJoin is O(|L|x|R|) compare work —
 the single most common way a correct-at-sf0.01 plan dies at 100 TB (the r1
 verdict's sim_embedding_neardup finding). Every batch query's executed plan
 is checked; the whitelist names the operators where a nested-loop shape is
-the OPERATOR ITSELF or is provably bounded, each with its justification.
+the OPERATOR ITSELF or is provably bounded — and still constrains WHICH
+shape is allowed, so a regression from a bounded broadcast loop to a full
+cartesian fails even on whitelisted queries.
 """
 
 from __future__ import annotations
@@ -12,33 +14,56 @@ from __future__ import annotations
 import pytest
 
 from apache_flink_spark.queries import QUERIES
+from apache_flink_spark.queries.registry import STREAMING
 
 _PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
-# name -> why a nested-loop shape is correct there
+# name -> (why a nested-loop shape is correct there, allowed shapes).
+# BroadcastNestedLoopJoin-only entries are justified by a BOUNDED broadcast
+# side; a CartesianProduct there means the bounded side stopped being
+# broadcast and the justification no longer holds.
 _WHITELIST = {
-    # The operator IS a cross / theta join — nested loop is its definition.
-    "join_cross": "cross join operator",
-    "join_theta_nonequi": "theta (non-equi) join operator",
-    # Non-equi join against a provably bounded broadcast side.
-    "pipeline_domain_mix": "attaches a SINGLE-ROW global-totals relation",
-    "sim_bruteforce_topk": "deliberate exactness baseline; tiny query set",
-    # FOR SYSTEM_TIME rewrite joins the version table per key domain —
-    # documented plan limitation (temporal_sql.py module docstring).
-    "temporal_join_sql": "documented temporal-SQL rewrite limitation",
+    "join_cross": (
+        "cross join operator",
+        {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    ),
+    "join_theta_nonequi": (
+        "theta (non-equi) join operator",
+        {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    ),
+    "pipeline_domain_mix": (
+        "attaches a SINGLE-ROW global-totals relation",
+        {"BroadcastNestedLoopJoin"},
+    ),
+    "sim_bruteforce_topk": (
+        "deliberate exactness baseline; tiny broadcast query set",
+        {"BroadcastNestedLoopJoin"},
+    ),
+    "temporal_join_sql": (
+        "documented temporal-SQL rewrite limitation",
+        {"BroadcastNestedLoopJoin"},
+    ),
 }
 
 
 @pytest.mark.parametrize(
+    # STREAMING (registry flag, not name prefix): those queries EXECUTE a
+    # streaming job when called and return a memory-sink scan — linting
+    # that plan costs a full run and covers nothing.
     "name",
-    sorted(n for n in QUERIES if not n.startswith("stream_")),
+    sorted(n for n in QUERIES if n not in STREAMING),
 )
 def test_no_accidental_allpairs_join(spark, sf_dir, name):
     plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    hits = [p for p in _PATTERNS if p in plan]
+    hits = {p for p in _PATTERNS if p in plan}
     if name in _WHITELIST:
-        return  # shape is the operator / bounded by construction
+        reason, allowed = _WHITELIST[name]
+        assert hits <= allowed, (
+            f"{name} plans {sorted(hits - allowed)} — beyond its whitelist "
+            f"justification ({reason}; allowed: {sorted(allowed)})"
+        )
+        return
     assert not hits, (
-        f"{name} plans {hits} — an all-pairs join shape outside the "
-        "whitelist; fix the query or justify it in _WHITELIST"
+        f"{name} plans {sorted(hits)} — an all-pairs join shape outside "
+        "the whitelist; fix the query or justify it in _WHITELIST"
     )

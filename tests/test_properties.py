@@ -212,15 +212,20 @@ def test_asof_join_matches_bruteforce(spark, left, right):
 
 
 @given(
-    ts_list=st.lists(st.integers(0, 200), min_size=1, max_size=25, unique=True),
+    ts_list=st.lists(
+        # negatives included: pre-1970 epochs pin the pmod (not %) floor
+        st.integers(-200, 200), min_size=1, max_size=25, unique=True
+    ),
     step=st.sampled_from([2, 4, 8]),
     n_slices=st.integers(1, 4),
 )
 @_settings
 def test_cumulate_slice_invariants(spark, ts_list, step, n_slices):
-    """CumulativeSliceAssigner laws on arbitrary timestamps: a row at offset
-    o into its max-window lands in exactly n - o // step slices; every slice
-    is step-aligned, covers the row, and is at most max long."""
+    """CumulativeSliceAssigner laws on arbitrary timestamps (including
+    negative epochs — Python's floor-semantics // and % are the spec): a
+    row at offset o into its max-window lands in exactly n - o // step
+    slices; every slice is step-aligned, covers the row, and is at most
+    max long."""
     from apache_flink_spark.queries.event_windows import cumulate_slices
 
     mx = step * n_slices
