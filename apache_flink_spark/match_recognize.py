@@ -21,7 +21,9 @@ Supported subset (errors loudly otherwise):
                                                  -- quant in + * ? {m} {m,} {m,n},
                                                  -- each optionally reluctant (+? *? ?? {m,n}?)
         [WITHIN INTERVAL 'n' unit]               -- match horizon (CEP within)
-        DEFINE VAR AS <predicate> [, ...]        -- own-row predicates only
+        DEFINE VAR AS <predicate> [, ...]        -- own-row predicates, plus
+                                                 -- PREV/NEXT(X.col[, n]) physical
+                                                 -- row navigation (lag/lead)
     ) [AS alias]
 
     <measure>  := VAR.col | FIRST(VAR.col) | LAST(VAR.col)
@@ -213,8 +215,33 @@ def _parse_measures(meas: str):
     return out
 
 
-def _parse_defines(defs: str, variables: set[str]) -> dict[str, str]:
-    out = {}
+_NAV_RE = re.compile(
+    r"\b(?P<fn>PREV|NEXT)\s*\(\s*(?P<var>\w+)\s*\.\s*(?P<col>\w+)\s*"
+    r"(?:,\s*(?P<n>\d+)\s*)?\)",
+    re.I,
+)
+
+
+def _nav_col(fn: str, col: str, n: int) -> str:
+    return f"__mr_{'prev' if fn.upper() == 'PREV' else 'next'}{n}_{col}"
+
+
+def _parse_defines(
+    defs: str, variables: set[str]
+) -> tuple[dict[str, str], dict[str, tuple[str, str, int]]]:
+    """Returns (var -> rewritten predicate, nav columns needed).
+
+    PREV/NEXT are SQL-standard PHYSICAL row navigation (the variable
+    prefix only names the column — PREV(A.price) is the price of the row
+    before the one under test, whatever variable it matched; reference
+    MatchCodeGenerator generates exactly this offset access). They rewrite
+    to precomputed lag/lead columns, so predicates stay own-row and
+    JVM-evaluated. What still needs full NFA bind tracking — LAST/FIRST of
+    a DIFFERENT variable's matched rows — remains out of subset and errors
+    loudly, like the reference's unsupported-feature validation.
+    """
+    out: dict[str, str] = {}
+    nav: dict[str, tuple[str, str, int]] = {}
     for part in _split_top_level(defs):
         m = re.match(r"^(\w+)\s+AS\s+(.+)$", part.strip(), re.I | re.S)
         if not m:
@@ -222,21 +249,29 @@ def _parse_defines(defs: str, variables: set[str]) -> dict[str, str]:
         var, pred = m.group(1), m.group(2).strip()
         if var not in variables:
             raise MatchRecognizeError(f"DEFINE for unknown variable {var!r}")
-        # Own-row predicates only: references to OTHER variables (PREV/NEXT/
-        # LAST(B.x) cross-references) need full NFA bind tracking — out of
-        # the supported subset, like the reference's unsupported-feature
-        # errors in MatchRecognize validation.
+
+        def nav_sub(nm: re.Match) -> str:
+            n = int(nm.group("n") or 1)
+            if n == 0:  # PREV(x, 0) is the current row
+                return nm.group("col")
+            alias = _nav_col(nm.group("fn"), nm.group("col"), n)
+            nav[alias] = (nm.group("fn").upper(), nm.group("col"), n)
+            return alias
+
+        pred = _NAV_RE.sub(nav_sub, pred)
+        # After navigation rewriting, any remaining other-variable column
+        # reference is a cross-variable bind (LAST(B.x)-style) — out of
+        # the supported subset.
         for other in variables - {var}:
             if re.search(rf"\b{other}\s*\.", pred):
                 raise MatchRecognizeError(
                     f"DEFINE {var} references {other}.<col>: only own-row "
-                    "predicates are supported"
+                    "predicates (plus PREV/NEXT physical navigation) are "
+                    "supported"
                 )
-        if re.search(r"\b(PREV|NEXT)\s*\(", pred, re.I):
-            raise MatchRecognizeError("PREV()/NEXT() are not supported")
         # Strip the own-variable prefix: A.col -> col (evaluated on the row).
         out[var] = re.sub(rf"\b{var}\s*\.\s*(\w+)", r"\1", pred)
-    return out
+    return out, nav
 
 
 def _emit_measures(meas, assign, arr, vals, classifier=None, match_no=None) -> None:
@@ -313,7 +348,7 @@ def compile_match_recognize(
     pattern = _parse_pattern(m.group("pat"))
     variables = {v for alts, _, _ in pattern for v in alts}
     measures = _parse_measures(m.group("meas"))
-    defines = _parse_defines(m.group("defs"), variables)
+    defines, nav_cols = _parse_defines(m.group("defs"), variables)
     # skip spec: "past_last" | "to_next" | ("first"|"last", var)
     skip: str | tuple[str, str] = "past_last"
     if m.group("skip"):
@@ -347,17 +382,39 @@ def compile_match_recognize(
         if var is not None and var not in variables:
             raise MatchRecognizeError(f"MEASURES references unknown variable {var!r}")
 
-    # 1. JVM-side predicate evaluation: one boolean column per variable.
+    type_of = dict((f.name, f.dataType.simpleString()) for f in source.schema.fields)
+
+    # 1. One hash exchange on the partition keys (the distribution
+    #    StreamExecMatch requires) + an in-partition sort. Done FIRST so
+    #    the PREV/NEXT lag/lead window below reuses this exact exchange
+    #    and sort (EnsureRequirements sees them satisfied) instead of
+    #    planning its own.
+    work = source.repartition(*[F.col(c) for c in part_cols]).sortWithinPartitions(
+        *part_cols, *order_cols
+    )
+
+    # 2. PREV/NEXT physical navigation -> lag/lead columns per key.
+    if nav_cols:
+        from pyspark.sql import Window as _W
+
+        wspec = _W.partitionBy(*part_cols).orderBy(*order_cols)
+        for alias, (fn, col, n) in sorted(nav_cols.items()):
+            if col not in type_of:
+                raise MatchRecognizeError(
+                    f"unknown column in PREV/NEXT navigation: {col!r}"
+                )
+            work = work.withColumn(
+                alias, (F.lag if fn == "PREV" else F.lead)(col, n).over(wspec)
+            )
+
+    # 3. JVM-side predicate evaluation: one boolean column per variable.
     #    An undefined variable matches every row (SQL standard).
-    work = source
     for var in sorted(variables):
         pred = defines.get(var)
         work = work.withColumn(
             f"__mr_{var}",
             F.expr(pred).cast("boolean") if pred else F.lit(True),
         )
-
-    type_of = dict((f.name, f.dataType.simpleString()) for f in source.schema.fields)
     src_cols = [f.name for f in source.schema.fields]
     out_fields = []
     if all_rows:
@@ -589,14 +646,10 @@ def compile_match_recognize(
         if rows:
             yield pd.DataFrame(rows, columns=out_cols)
 
-    # One hash exchange on the partition keys (the distribution
-    # StreamExecMatch requires) + an in-partition sort; the sort makes each
-    # key's rows contiguous AND event-time ordered, so no per-key sort runs
-    # in Python.
-    keyed = work.repartition(*[F.col(c) for c in part_cols]).sortWithinPartitions(
-        *part_cols, *order_cols
-    )
-    return keyed.mapInPandas(run_partition, out_schema)
+    # The exchange + in-partition sort happened up top (step 1): each
+    # key's rows are contiguous AND event-time ordered, so no per-key sort
+    # runs in Python. Projections (nav + boolean columns) preserve both.
+    return work.mapInPandas(run_partition, out_schema)
 
 
 _MR_SITE_RE = re.compile(r"(\w+)\s+MATCH_RECOGNIZE\s*\(", re.I)

@@ -523,3 +523,72 @@ def mr_skip_to_last_overlap(spark, sf_dir):
         ORDER BY user_id, a_id
         """
     )
+
+
+@query(
+    "mr_v_shape_prev",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events
+    ), dirs AS (
+        SELECT *, CASE WHEN LAG(v) OVER w IS NULL THEN NULL
+                       WHEN v < LAG(v) OVER w THEN 'd'
+                       WHEN v > LAG(v) OVER w THEN 'u'
+                       ELSE 'f' END AS dir
+        FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    ), runs AS (
+        SELECT user_id, dir, MIN(rn) AS s, MAX(rn) AS e, COUNT(*) AS len
+        FROM (
+            SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, dir
+                                              ORDER BY rn) AS grp
+            FROM dirs WHERE dir IS NOT NULL
+        )
+        GROUP BY user_id, dir, grp
+    ), pairs AS (
+        SELECT d.user_id, d.s AS ds, d.e AS de, u.len AS n_up
+        FROM runs d JOIN runs u
+          ON u.user_id = d.user_id AND u.s = d.e + 1
+        WHERE d.dir = 'd' AND u.dir = 'u'
+    )
+    SELECT p.user_id, s.event_id AS strt_id,
+           CAST(p.de - t.i AS BIGINT) AS n_down,
+           CAST(p.n_up AS BIGINT) AS n_up
+    FROM pairs p,
+         unnest(generate_series(p.ds - 1, p.de - 1)) AS t(i),
+         seq s
+    WHERE s.user_id = p.user_id AND s.rn = t.i
+    ORDER BY p.user_id, strt_id
+    """,
+)
+def mr_v_shape_prev(spark, sf_dir):
+    """The canonical Ticker V pattern with PREV navigation (reference
+    MatchCodeGenerator physical-offset access; the flagship Flink
+    MATCH_RECOGNIZE example): STRT DOWN+ UP+ where DOWN/UP compare each
+    row's cents value against the PHYSICAL previous row. AFTER MATCH SKIP
+    TO NEXT ROW makes every row an independent candidate start, which is
+    what makes the oracle exact: a match starts at row i iff row i+1
+    begins-or-continues a falling run whose end abuts a rising run —
+    gaps-and-islands over the LAG direction column, exploded over the
+    candidate starts inside each falling run (greedy DOWN+ takes the run
+    suffix from i+1, greedy UP+ the full rising run)."""
+    return _tenv(spark, sf_dir).sql(
+        """
+        SELECT user_id, strt_id, n_down, n_up
+        FROM events_mr MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ep, event_id
+            MEASURES STRT.event_id AS strt_id,
+                     COUNT(DOWN.*) AS n_down,
+                     COUNT(UP.*) AS n_up
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (STRT DOWN+ UP+)
+            DEFINE DOWN AS DOWN.value_c < PREV(DOWN.value_c),
+                   UP AS UP.value_c > PREV(UP.value_c)
+        )
+        ORDER BY user_id, strt_id
+        """
+    )

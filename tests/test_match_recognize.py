@@ -116,12 +116,17 @@ def test_tenv_routes_match_recognize(spark, seq_view):
     "frag,msg",
     [
         (
+            # cross-variable bind (LAST(B.x)-style) — still out of subset;
+            # PREV/NEXT physical navigation is supported (r4) and tested
+            # below, so the raw other-variable reference is what errors.
             "PATTERN (A B) DEFINE A AS A.v > B.v",
             "own-row",
         ),
         (
-            "PATTERN (A B) DEFINE B AS PREV(B.v) < B.v",
-            "PREV",
+            # LAST over another variable's matched rows needs NFA bind
+            # tracking — not rewritable to physical navigation.
+            "PATTERN (A B) DEFINE B AS LAST(A.v) < B.v",
+            "own-row",
         ),
     ],
 )
@@ -415,3 +420,96 @@ def test_skip_to_last_sliding_pairs(spark):
         spark, body.format(skip="AFTER MATCH SKIP PAST LAST ROW")
     ).collect()
     assert sorted((r.a_seq, r.b_seq) for r in tumbling) == [(1, 2), (3, 4)]
+
+
+def test_prev_navigation_is_physical(spark):
+    """PREV(X.col) is PHYSICAL previous-row navigation (SQL standard): the
+    variable prefix only names the column. Rising-pair pattern over a
+    zigzag sequence."""
+    rows = [(1, 1, 10), (1, 2, 20), (1, 3, 5), (1, 4, 30), (1, 5, 30)]
+    spark.createDataFrame(rows, "k int, seq int, v int").createOrReplaceTempView(
+        "mr_nav"
+    )
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT k, up_seq FROM mr_nav MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY seq
+            MEASURES UP.seq AS up_seq
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (UP)
+            DEFINE UP AS UP.v > PREV(UP.v)
+        )
+        """,
+    ).collect()
+    # rises at seq 2 (10->20) and seq 4 (5->30); seq 1 has no PREV (null),
+    # seq 3 falls, seq 5 ties.
+    assert sorted(r.up_seq for r in out) == [2, 4]
+
+
+def test_next_navigation_and_offset(spark):
+    rows = [(1, 1, 10), (1, 2, 20), (1, 3, 30), (1, 4, 5)]
+    spark.createDataFrame(rows, "k int, seq int, v int").createOrReplaceTempView(
+        "mr_nav2"
+    )
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT k, s FROM mr_nav2 MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY seq
+            MEASURES A.seq AS s
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A)
+            DEFINE A AS NEXT(A.v) < A.v AND PREV(A.v, 2) IS NOT NULL
+        )
+        """,
+    ).collect()
+    # NEXT falls only at seq 3 (30 -> 5); PREV(.,2) non-null from seq 3 on.
+    assert sorted(r.s for r in out) == [3]
+
+
+def test_v_shape_with_prev(spark):
+    """The canonical Ticker V pattern (the reference's flagship
+    MATCH_RECOGNIZE example): STRT DOWN+ UP+ with PREV-based direction
+    predicates and AFTER MATCH SKIP TO LAST UP, so the peak that ends one
+    V starts the next."""
+    #              v: 10  9   8   11  12  7   8
+    rows = [(1, i + 1, v) for i, v in enumerate([10, 9, 8, 11, 12, 7, 8])]
+    spark.createDataFrame(rows, "k int, seq int, v int").createOrReplaceTempView(
+        "mr_vshape"
+    )
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT k, strt_seq, n_down, n_up FROM mr_vshape MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY seq
+            MEASURES STRT.seq AS strt_seq, COUNT(DOWN.*) AS n_down,
+                     COUNT(UP.*) AS n_up
+            AFTER MATCH SKIP TO LAST UP
+            PATTERN (STRT DOWN+ UP+)
+            DEFINE DOWN AS DOWN.v < PREV(DOWN.v),
+                   UP AS UP.v > PREV(UP.v)
+        )
+        """,
+    ).collect()
+    # V1: start seq1, down 9,8, up 11,12; resume AT seq5 (last UP) ->
+    # V2: start seq5 (the peak), down 7, up 8.
+    assert sorted((r.strt_seq, r.n_down, r.n_up) for r in out) == [
+        (1, 2, 2),
+        (5, 1, 1),
+    ]
+    # SKIP PAST LAST ROW consumes the peak -> only the first V.
+    out2 = sql_with_match_recognize(
+        spark,
+        """
+        SELECT k, strt_seq FROM mr_vshape MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY seq
+            MEASURES STRT.seq AS strt_seq
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (STRT DOWN+ UP+)
+            DEFINE DOWN AS DOWN.v < PREV(DOWN.v),
+                   UP AS UP.v > PREV(UP.v)
+        )
+        """,
+    ).collect()
+    assert [r.strt_seq for r in out2] == [1]
