@@ -125,6 +125,40 @@ def retrying(
     return wrapper
 
 
+def ordered_async_probe(
+    async_fn: Callable, capacity: int = 4
+) -> Callable[[list], list]:
+    """ORDERED async I/O (reference AsyncWaitOperator with
+    ``AsyncDataStream.orderedWait`` + capacity): run a real asyncio event
+    loop with at most ``capacity`` in-flight coroutine requests and return
+    results in SUBMISSION order — deterministic emission, which is what
+    keeps downstream oracles hash-stable.
+
+    ``async_fn`` is a genuine coroutine function (an aiohttp/grpc-aio
+    batched call in production; the tests use an asyncio-sleeping fake).
+    The returned callable takes a list of request payloads and blocks
+    until all complete — the shape a ``mapInPandas`` stage calls per Arrow
+    batch, making each batch one bounded flight of overlapped round
+    trips."""
+    import asyncio
+
+    def probe(requests: list) -> list:
+        async def run():
+            sem = asyncio.Semaphore(capacity)
+
+            async def one(req):
+                async with sem:
+                    return await async_fn(req)
+
+            # gather preserves submission order regardless of completion
+            # order — the ORDERED output mode.
+            return list(await asyncio.gather(*(one(r) for r in requests)))
+
+        return asyncio.run(run())
+
+    return probe
+
+
 def cached_batch_lookup(
     batch_fn: Callable[[Iterable], dict], cache: LookupCache
 ) -> Callable[[pd.Series], pd.Series]:

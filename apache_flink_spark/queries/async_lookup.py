@@ -50,9 +50,11 @@ _ASYNC_CAPACITY = 4
 )
 def async_lookup_enrich(spark, sf_dir):
     """Async lookup join (AsyncLookupJoinRunner / AsyncWaitOperator parity):
-    suppliers probe the 'nation service' with _ASYNC_CAPACITY concurrent
-    in-flight requests per Arrow batch, awaited in submission order
-    (ordered async mode — deterministic emission). Each probe goes through
+    suppliers probe the 'nation service' through a REAL asyncio event loop
+    (lookup.ordered_async_probe) — _ASYNC_CAPACITY concurrent in-flight
+    coroutine requests per Arrow batch, awaited in submission order
+    (ordered async mode — deterministic emission); a production client
+    awaits aiohttp/grpc-aio in the same coroutine slot. Each probe goes through
     the per-worker TTL'd LRU cache + bounded-retry wrapper
     (apache_flink_spark.lookup — DefaultLookupCache.java:51 /
     RetryableLookupFunctionDelegator parity), so a hot key hits the
@@ -73,53 +75,60 @@ def async_lookup_enrich(spark, sf_dir):
         {int(r.n_nationkey): r.n_name for r in nation_rows}
     )
 
-    def _service_batch_get(keys) -> dict:
-        # One in-flight service request for the DISTINCT keys the cache
-        # doesn't hold. A real client issues a batched RPC here; the GIL
-        # releases during network I/O, so the thread-pool below genuinely
-        # overlaps round trips. Wrapped in bounded retry for transient
-        # failures (RetryableLookupFunctionDelegator parity).
+    async def _service_batch_get_async(keys) -> dict:
+        # One in-flight ASYNC service request for the DISTINCT keys the
+        # cache doesn't hold — a real client awaits an aiohttp/grpc-aio
+        # batched call here; the asyncio.sleep(0) is the awaited I/O point
+        # that lets the event loop overlap the other in-flight requests.
+        import asyncio
+
+        await asyncio.sleep(0)
         table = service_table.value
         return {k: table.get(int(k)) for k in keys}
 
     def lookup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # ORDERED async mode (reference AsyncWaitOperator with capacity N +
         # OutputMode.ORDERED): each Arrow batch is split into _ASYNC_CAPACITY
-        # concurrent in-flight requests; results are awaited in submission
-        # order so emission order — and the oracle hash — is deterministic.
-        from concurrent.futures import ThreadPoolExecutor
-
+        # concurrent in-flight coroutine requests on a real asyncio loop;
+        # results are awaited in submission order so emission order — and
+        # the oracle hash — is deterministic.
         from apache_flink_spark.lookup import (
             cached_batch_lookup,
             executor_cache,
+            ordered_async_probe,
             retrying,
         )
 
         cache = executor_cache(
             "nation_service", max_size=_MAX_SERVICE_ROWS, ttl_s=600.0
         )
-        probe = cached_batch_lookup(
-            retrying(_service_batch_get, max_attempts=3), cache
+        flight = ordered_async_probe(
+            _service_batch_get_async, capacity=_ASYNC_CAPACITY
         )
 
-        with ThreadPoolExecutor(max_workers=_ASYNC_CAPACITY) as pool:
-            for pdf in batches:
-                n = len(pdf)
-                step = max(1, -(-n // _ASYNC_CAPACITY))
-                keys = pdf["s_nationkey"]
-                futures = [
-                    pool.submit(probe, keys.iloc[i : i + step])
-                    for i in range(0, n, step)
-                ]
-                names = pd.concat([f.result() for f in futures]) if futures else keys
-                yield pd.DataFrame(
-                    {
-                        "s_suppkey": pdf["s_suppkey"],
-                        "s_name": pdf["s_name"],
-                        "nation_name": names,
-                        "svc_checksum": names.str.len().astype("Int64"),
-                    }
-                )
+        def _fetch(keys) -> dict:
+            # The cache sees ONE batched fetch; the flight splits it into
+            # capacity-bounded concurrent sub-requests.
+            keys = list(keys)
+            step = max(1, -(-len(keys) // _ASYNC_CAPACITY))
+            chunks = [keys[i : i + step] for i in range(0, len(keys), step)]
+            merged: dict = {}
+            for part in flight(chunks):
+                merged.update(part)
+            return merged
+
+        probe = cached_batch_lookup(retrying(_fetch, max_attempts=3), cache)
+
+        for pdf in batches:
+            names = probe(pdf["s_nationkey"])
+            yield pd.DataFrame(
+                {
+                    "s_suppkey": pdf["s_suppkey"],
+                    "s_name": pdf["s_name"],
+                    "nation_name": names,
+                    "svc_checksum": names.str.len().astype("Int64"),
+                }
+            )
 
     return s.select("s_suppkey", "s_name", "s_nationkey").mapInPandas(
         lookup,

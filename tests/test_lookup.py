@@ -158,3 +158,49 @@ def test_async_lookup_enrich_probe_count(spark):
     # 25 nations, 2 partitions: cache+dedup caps fetches at 50; without
     # them it would be one per supplier row.
     assert probes.value <= len(nation) * 2 < n_rows
+
+
+def test_ordered_async_probe_orders_and_overlaps():
+    """AsyncWaitOperator ORDERED-mode parity: results come back in
+    SUBMISSION order even when completion order is reversed, and requests
+    genuinely overlap (capacity > 1 -> faster than serial execution of
+    the sleeps)."""
+    import asyncio
+    import time
+
+    from apache_flink_spark.lookup import ordered_async_probe
+
+    completion_order = []
+
+    async def service(req):
+        idx, delay = req
+        await asyncio.sleep(delay)
+        completion_order.append(idx)
+        return idx
+
+    reqs = [(0, 0.2), (1, 0.1), (2, 0.05)]  # later requests finish first
+    t0 = time.perf_counter()
+    out = ordered_async_probe(service, capacity=3)(reqs)
+    elapsed = time.perf_counter() - t0
+    assert out == [0, 1, 2]  # submission order
+    assert completion_order == [2, 1, 0]  # reverse completion
+    assert elapsed < 0.35  # overlapped, not 0.35s serial
+
+
+def test_ordered_async_probe_capacity_bounds_inflight():
+    import asyncio
+
+    from apache_flink_spark.lookup import ordered_async_probe
+
+    inflight = {"now": 0, "max": 0}
+
+    async def service(req):
+        inflight["now"] += 1
+        inflight["max"] = max(inflight["max"], inflight["now"])
+        await asyncio.sleep(0.01)
+        inflight["now"] -= 1
+        return req
+
+    out = ordered_async_probe(service, capacity=2)(list(range(8)))
+    assert out == list(range(8))
+    assert inflight["max"] <= 2
