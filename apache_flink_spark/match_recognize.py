@@ -467,7 +467,12 @@ def compile_match_recognize(
         if n == 0:
             return
         sat = {
-            v: pdf[f"__mr_{v}"].fillna(False).to_numpy(dtype=bool)
+            # astype("boolean") first: nav-null predicates arrive as object
+            # dtype, and fillna on object warns about silent downcasting.
+            v: pdf[f"__mr_{v}"]
+            .astype("boolean")
+            .fillna(False)
+            .to_numpy(dtype=bool)
             for v in var_list
         }
         # Per pattern element: a row can extend the repetition iff ANY
@@ -556,14 +561,30 @@ def compile_match_recognize(
             assign = {v: sorted(idxs) for v, idxs in assign.items()}
             return assign, end
 
-        # A match can only START at a row satisfying the first variable's
-        # predicate when that variable's min-count >= 1 (greedy rec() takes
-        # at least ``lo`` rows of it). Precomputing those candidate
-        # positions turns the scan from a Python row-walk into numpy jumps
-        # between candidates — the dominant cost when the first variable is
-        # selective (the common CEP shape: a rare trigger event).
-        (first_alts, (first_lo, _fh), _fg) = pat[0]
-        cand_idx = np.flatnonzero(elem_ok[0]) if first_lo >= 1 else None
+        # Candidate-start pruning: walk the pattern prefix to the first
+        # SELECTIVE element reachable at a FIXED offset — trivial
+        # (always-true) elements with an exact count {lo==hi} contribute a
+        # known offset; the first element with lo>=1 whose predicate
+        # actually rejects rows anchors the scan. A match starting at i
+        # then requires that element true at i+offset, so candidates are
+        # its true-positions shifted back by offset — numpy jumps instead
+        # of a Python row-walk. Covers both the rare-trigger shape
+        # (anchor = element 0, offset 0) and the undefined-STRT shape
+        # (PATTERN (STRT DOWN+ ...): anchor = DOWN at offset 1, the
+        # canonical V query). Falls back to the linear scan when a
+        # variable-length element precedes every selective one.
+        cand_idx = None
+        _off = 0
+        for _pi, (_alts, (_lo, _hi), _g) in enumerate(pat):
+            _ok = elem_ok[_pi]
+            if _lo >= 1 and not _ok.all():
+                cand_idx = np.flatnonzero(_ok) - _off
+                cand_idx = cand_idx[cand_idx >= 0]
+                break
+            if _lo == _hi and _ok.all():
+                _off += _lo
+                continue
+            break
 
         def _resume(match_start: int, assign: dict, end: int) -> int:
             """Next search position per AFTER MATCH SKIP (reference
