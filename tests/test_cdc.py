@@ -144,3 +144,56 @@ def test_decode_plan_is_udf_free(spark):
 def test_garbage_envelopes_dropped(spark, bad):
     out = parse_debezium(_rows(spark, [bad]), SCHEMA)
     assert out.count() == 0
+
+
+def test_debezium_decode_runs_on_readstream(spark):
+    """The decode expressions are stateless Catalyst exprs, so the SAME
+    parse_debezium call must work on a streaming source (the Kafka-value
+    shape) — pinned by draining a file stream through it and comparing to
+    the batch decode of the same lines."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    lines = [
+        '{"before": null, "after": {"id": 1, "name": "a", "qty": 5}, "op": "c", "ts_ms": 1}',
+        '{"before": {"id": 1, "name": "a", "qty": 5}, "after": {"id": 1, "name": "b", "qty": 6}, "op": "u", "ts_ms": 2}',
+        '{"before": {"id": 1, "name": "b", "qty": 6}, "after": null, "op": "d", "ts_ms": 3}',
+    ]
+    d = tempfile.mkdtemp(prefix="afs_cdc_stream_")
+    with open(os.path.join(d, "cdc.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    stream = spark.readStream.format("text").load(d)
+    decoded = parse_debezium(stream, SCHEMA)
+
+    captured: list[pd.DataFrame] = []
+
+    def sink(batch_df, _bid):
+        captured.append(batch_df.toPandas())
+
+    ckpt = tempfile.mkdtemp(prefix="afs_cdc_ckpt_")
+    q = (
+        decoded.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r["__rowkind"], r["id"], r["name"], r["qty"])
+        for pdf in captured
+        for r in pdf.to_dict("records")
+    )
+    want = _collect(
+        parse_debezium(spark.read.format("text").load(d), SCHEMA)
+    )
+    assert got == want == [
+        ("+I", 1, "a", 5),
+        ("+U", 1, "b", 6),
+        ("-D", 1, "b", 6),
+        ("-U", 1, "a", 5),
+    ]
