@@ -96,9 +96,9 @@ GATE_SAMPLE = [
     # set ops
     "setop_intersect_all",
     "setop_except_all",
-    # MATCH_RECOGNIZE
+    # MATCH_RECOGNIZE (bounded quantifier + the PREV-navigation V query)
     "mr_bounded_quantifier",
-    "mr_within_horizon",
+    "mr_v_shape_prev",
     # LLM-pipeline north stars
     "dedup_minhash_lsh",
     "sim_lsh_ann",
@@ -110,8 +110,9 @@ GATE_SAMPLE = [
     "asof_join_latest_view",
     "udtaf_apply_in_pandas",
     # io
-    "source_csv_roundtrip",
     "sink_parquet_partitioned",
+    # streaming stateful temporal join (r4 flagship)
+    "stream_temporal_join",
 ]
 
 
