@@ -150,11 +150,21 @@ def parse_canal(
     """Canal JSON envelope -> changelog rows (ref
     CanalJsonDeserializationSchema.java). ``data`` is an ARRAY (one MySQL
     binlog event can carry many rows); ``old[i]`` holds row i's changed
-    columns on UPDATE."""
+    columns on UPDATE.
+
+    Canal STRINGIFIES every column value on the wire (``"qty": "5"``),
+    and Spark's ``from_json`` does not coerce quoted numbers into numeric
+    fields — so the payload is parsed with an all-string schema and CAST
+    per the target schema afterwards, exactly the reference
+    deserializer's string-to-rowtype conversion. Unquoted (typed) values
+    decode identically through the same path."""
+    str_schema = StructType(
+        [StructField(f.name, StringType()) for f in payload_schema.fields]
+    )
     env = StructType(
         [
-            StructField("data", ArrayType(payload_schema)),
-            StructField("old", ArrayType(payload_schema)),
+            StructField("data", ArrayType(str_schema)),
+            StructField("old", ArrayType(str_schema)),
             StructField("type", StringType()),
             StructField("ts", LongType()),
         ]
@@ -166,7 +176,7 @@ def parse_canal(
         F.col("e.old").alias("old"),
     )
     old_item = F.element_at(F.col("old"), F.col("pos") + F.lit(1))
-    before = _patched(F.col("row"), old_item, payload_schema)
+    before = _patched(F.col("row"), old_item, str_schema)
     cases = (
         F.when(F.col("type") == "INSERT", F.array(_kinded(INSERT, F.col("row"))))
         .when(
@@ -176,9 +186,16 @@ def parse_canal(
             ),
         )
         .when(F.col("type") == "DELETE", F.array(_kinded(DELETE, F.col("row"))))
-        .otherwise(F.array().cast(ArrayType(_kind_row_type(payload_schema))))
+        .otherwise(F.array().cast(ArrayType(_kind_row_type(str_schema))))
     )
-    return _emit(ex, cases)
+    emitted = _emit(ex, cases)
+    return emitted.select(
+        ROWKIND_COL,
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in payload_schema.fields
+        ],
+    )
 
 
 def parse_maxwell(

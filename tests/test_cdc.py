@@ -197,3 +197,24 @@ def test_debezium_decode_runs_on_readstream(spark):
         ("-D", 1, "b", 6),
         ("-U", 1, "a", 5),
     ]
+
+
+def test_canal_stringified_values_coerce(spark):
+    """Real canal wire format stringifies EVERY column value; the decoder
+    must cast them per the table schema (the typed-value form decodes
+    identically through the same path)."""
+    out = parse_canal(
+        _rows(
+            spark,
+            [
+                '{"data": [{"id": "1", "name": "a", "qty": "5"}], "old": null, "type": "INSERT", "ts": "1690000000000"}',
+                '{"data": [{"id": "1", "name": "a", "qty": "9"}], "old": [{"qty": "5"}], "type": "UPDATE", "ts": 1690000000001}',
+            ],
+        ),
+        SCHEMA,
+    )
+    assert _collect(out) == [
+        ("+I", 1, "a", 5),
+        ("+U", 1, "a", 9),
+        ("-U", 1, "a", 5),
+    ]
