@@ -260,62 +260,77 @@ def streaming_temporal_join(tagged: DataFrame) -> DataFrame:
     def joiner(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        import bisect
+        # Fully vectorized per key: lexsort + two searchsorted passes —
+        # no Python per-row loop (the per-key work is O(n log n) numpy,
+        # so the operator's local cost is state-store commits, not the
+        # matcher).
+        import numpy as np
 
         (user_id,) = key
         if state.exists:
-            v_ts, v_ids, p_ts, p_ids = (list(a) for a in state.get)
+            sv_ts, sv_ids, sp_ts, sp_ids = state.get
         else:
-            v_ts, v_ids, p_ts, p_ids = [], [], [], []
+            sv_ts, sv_ids, sp_ts, sp_ids = (), (), (), ()
+        v_ts = np.asarray(sv_ts, dtype=np.int64)
+        v_ids = np.asarray(sv_ids, dtype=np.int64)
+        p_ts = np.asarray(sp_ts, dtype=np.int64)
+        p_ids = np.asarray(sp_ids, dtype=np.int64)
         if not state.hasTimedOut:
             rows = pd.concat(list(pdfs), ignore_index=True)
-            for side, eid, ts in zip(
-                rows["side"], rows["event_id"], rows["ts_us"]
-            ):
-                if int(side) == 0:
-                    v_ts.append(int(ts))
-                    v_ids.append(int(eid))
-                else:
-                    p_ts.append(int(ts))
-                    p_ids.append(int(eid))
+            side_arr = rows["side"].to_numpy()
+            ts_arr = rows["ts_us"].to_numpy(dtype=np.int64)
+            id_arr = rows["event_id"].to_numpy(dtype=np.int64)
+            build = side_arr == 0
+            v_ts = np.concatenate([v_ts, ts_arr[build]])
+            v_ids = np.concatenate([v_ids, id_arr[build]])
+            p_ts = np.concatenate([p_ts, ts_arr[~build]])
+            p_ids = np.concatenate([p_ids, id_arr[~build]])
         wm_ms = state.getCurrentWatermarkMs()
-        vo = sorted(range(len(v_ts)), key=lambda i: (v_ts[i], v_ids[i]))
-        v_ts, v_ids = [v_ts[i] for i in vo], [v_ids[i] for i in vo]
-        po = sorted(range(len(p_ts)), key=lambda i: (p_ts[i], p_ids[i]))
-        p_ts, p_ids = [p_ts[i] for i in po], [p_ids[i] for i in po]
+        vo = np.lexsort((v_ids, v_ts))
+        v_ts, v_ids = v_ts[vo], v_ids[vo]
+        po = np.lexsort((p_ids, p_ts))
+        p_ts, p_ids = p_ts[po], p_ids[po]
 
-        out = []
-        emit_n = 0
-        while emit_n < len(p_ts) and p_ts[emit_n] // 1000 <= wm_ms:
-            pt = p_ts[emit_n]
-            j = bisect.bisect_right(v_ts, pt) - 1
-            out.append(
-                (user_id, p_ids[emit_n], pt, v_ids[j] if j >= 0 else None)
-            )
-            emit_n += 1
+        # Probes certified by the watermark (sorted -> prefix).
+        emit_n = int(np.searchsorted(p_ts // 1000, wm_ms, side="right"))
+        emit_ts, emit_ids = p_ts[:emit_n], p_ids[:emit_n]
+        # Latest version at-or-before each probe ts (ties: largest id,
+        # from the lexsort order).
+        j = np.searchsorted(v_ts, emit_ts, side="right") - 1
+        matched = pd.array(
+            v_ids[np.clip(j, 0, None)] if len(v_ids) else np.zeros(0, np.int64),
+            dtype="Int64",
+        )
+        if len(matched):
+            matched[j < 0] = pd.NA
+        out = pd.DataFrame(
+            {
+                "user_id": np.full(emit_n, user_id, dtype=np.int64),
+                "click_id": emit_ids,
+                "click_ts": emit_ts,
+                "view_event_id": matched
+                if len(v_ids)
+                else pd.array([pd.NA] * emit_n, dtype="Int64"),
+            }
+        )
         p_ts, p_ids = p_ts[emit_n:], p_ids[emit_n:]
 
         # Version cleanup: everything strictly before the newest
         # watermark-covered version is unreachable for any future probe
         # (probes below the watermark were just emitted).
-        keep_from = 0
-        for i, tv in enumerate(v_ts):
-            if tv // 1000 <= wm_ms:
-                keep_from = i
-            else:
-                break
-        if keep_from:
+        keep_from = int(np.searchsorted(v_ts // 1000, wm_ms, side="right")) - 1
+        if keep_from > 0:
             v_ts, v_ids = v_ts[keep_from:], v_ids[keep_from:]
 
-        if p_ts or v_ts:
-            state.update((v_ts, v_ids, p_ts, p_ids))
-            if p_ts:
-                state.setTimeoutTimestamp(max(p_ts[0] // 1000, wm_ms + 1))
+        if len(p_ts) or len(v_ts):
+            state.update(
+                (v_ts.tolist(), v_ids.tolist(), p_ts.tolist(), p_ids.tolist())
+            )
+            if len(p_ts):
+                state.setTimeoutTimestamp(max(int(p_ts[0]) // 1000, wm_ms + 1))
         elif state.exists:
             state.remove()
-        yield pd.DataFrame(
-            out, columns=["user_id", "click_id", "click_ts", "view_event_id"]
-        )
+        yield out
 
     return tagged.groupBy("user_id").applyInPandasWithState(
         joiner,
