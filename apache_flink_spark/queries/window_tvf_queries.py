@@ -161,3 +161,49 @@ def gw_session_agg(spark, sf_dir):
         GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTES)
         """
     )
+
+
+@query(
+    "tvf_session_agg",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, value, epoch_us(ts) AS ep,
+               CASE WHEN epoch_us(ts)
+                         - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts)
+                         > {MIN30}
+                         OR LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ), numbered AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ep
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ep) AS sess_start,
+           MAX(ep) + {MIN30} AS sess_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def tvf_session_agg(spark, sf_dir):
+    """SESSION window TVF from a SQL string (Flink 1.17+ syntax,
+    reference UnalignedWindowTableFunction): ``SESSION(TABLE events
+    PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '30' MINUTES)``
+    rewritten to a gaps-and-islands subquery (window_tvf.py) — closes the
+    r1-r3 'SESSION TVF not expressible' subset gap; the legacy
+    group-window twin is gw_session_agg."""
+    return _tenv(spark, sf_dir).sql(
+        """
+        SELECT user_id,
+               unix_micros(window_start) AS sess_start,
+               unix_micros(window_end) AS sess_end,
+               COUNT(*) AS n_events
+        FROM TABLE(SESSION(TABLE events PARTITION BY user_id,
+                           DESCRIPTOR(ts), INTERVAL '30' MINUTES))
+        GROUP BY user_id, window_start, window_end
+        """
+    )

@@ -18,8 +18,11 @@ the TVF — aggregation on window_start/window_end, joins, HAVING — stays in
 window_start/window_end after the rewrite is the same plan a native
 ``groupBy(window(...))`` produces).
 
-SESSION TVFs need merging aggregation (no projection-position equivalent);
-they raise with a pointer to ``session_window`` in the DataFrame API.
+SESSION TVFs (Flink 1.17+ ``SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts),
+INTERVAL ...)``) merge by gap, so their bounds are not a per-row
+projection — the rewrite is gaps-and-islands over the partition keys
+(session-start marks -> running-sum session ids -> per-session MIN/MAX
+bounds), sharing one exchange across the analytic windows.
 """
 
 from __future__ import annotations
@@ -33,7 +36,8 @@ class WindowTvfError(ValueError):
 
 
 _TVF_RE = re.compile(
-    r"TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(\s*TABLE\s+(\w+)\s*,\s*"
+    r"TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(\s*TABLE\s+(\w+)"
+    r"(?:\s+PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*))?\s*,\s*"
     r"DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*([^()]+)\)\s*\)",
     re.I,
 )
@@ -62,9 +66,15 @@ def _parse_intervals(args: str):
     return out
 
 
-def _rewrite_one(kind: str, src: str, col: str, args: str) -> str:
+def _rewrite_one(
+    kind: str, src: str, col: str, args: str, part: str | None = None
+) -> str:
     ivs = _parse_intervals(args)
     w = f"__wtvf{next(_counter)}"
+    if part and kind != "SESSION":
+        raise WindowTvfError(
+            f"PARTITION BY is only valid on SESSION window TVFs, not {kind}"
+        )
     if kind == "TUMBLE":
         (_, size), = ivs
         return (
@@ -101,12 +111,34 @@ def _rewrite_one(kind: str, src: str, col: str, args: str) -> str:
             f" FROM {src})"
             f" WHERE unix_micros(`{col}`) < {ws} + {k} * {step_us})"
         )
-    raise WindowTvfError(
-        "SESSION window TVFs need merging aggregation, which has no "
-        "projection-position rewrite — use the legacy group-window syntax "
-        "(GROUP BY SESSION(ts, INTERVAL ...), rewritten to Spark's "
-        "session_window) or the DataFrame API "
-        "(queries/event_windows.win_session_agg)"
+    # SESSION (Flink 1.17+ TVF syntax, ref UnalignedWindowTableFunction):
+    # sessions merge by gap, so window bounds are not a projection of the
+    # single row — the rewrite is gaps-and-islands: mark session starts
+    # (gap exceeded), running-sum them into a session id, then window
+    # MIN/MAX give every row its merged session's bounds
+    # (window_end = last event + gap, Spark session_window semantics).
+    # All four analytic windows share one exchange on the partition keys.
+    (gap_us, _), = ivs
+    keys = [k.strip() for k in part.split(",")] if part else []
+    by = ", ".join(f"`{k}`" for k in keys)
+    pb = f"PARTITION BY {by}" if keys else ""
+    pbg = f"PARTITION BY {by}, {w}g" if keys else f"PARTITION BY {w}g"
+    ep = f"unix_micros(`{col}`)"
+    lag = f"LAG({ep}) OVER ({pb} ORDER BY `{col}`)"
+    return (
+        f"(SELECT * EXCEPT({w}n, {w}g, {w}s, {w}e),"
+        f" timestamp_micros({w}s) AS window_start,"
+        f" timestamp_micros({w}e) AS window_end"
+        f" FROM (SELECT *,"
+        f" MIN({ep}) OVER ({pbg}) AS {w}s,"
+        f" MAX({ep}) OVER ({pbg}) + {gap_us} AS {w}e"
+        f" FROM (SELECT *,"
+        f" SUM({w}n) OVER ({pb} ORDER BY `{col}`"
+        f" ROWS UNBOUNDED PRECEDING) AS {w}g"
+        f" FROM (SELECT *,"
+        f" CASE WHEN {lag} IS NULL"
+        f" OR {ep} - {lag} > {gap_us} THEN 1 ELSE 0 END AS {w}n"
+        f" FROM {src}))))"
     )
 
 
@@ -118,7 +150,7 @@ def rewrite_window_tvfs(sql: str) -> str:
         if m is None:
             return sql
         kind = m.group(1).upper()
-        sub = _rewrite_one(kind, m.group(2), m.group(3), m.group(4))
+        sub = _rewrite_one(kind, m.group(2), m.group(4), m.group(5), m.group(3))
         sql = sql[: m.start()] + sub + sql[m.end():]
 
 

@@ -33,11 +33,29 @@ def test_cumulate_requires_divisible_step():
         )
 
 
-def test_session_raises_with_pointer():
-    with pytest.raises(WindowTvfError, match="session_window"):
+def test_session_tvf_rewrites_to_islands():
+    """SESSION TVF (r4): gaps-and-islands subquery with window_start /
+    window_end; PARTITION BY keys thread into every analytic window."""
+    out = rewrite_window_tvfs(
+        "SELECT * FROM TABLE(SESSION(TABLE t PARTITION BY k,"
+        " DESCRIPTOR(ts), INTERVAL '5' MINUTES))"
+    )
+    assert "window_start" in out and "window_end" in out
+    assert "PARTITION BY `k`" in out
+    assert "300000000" in out  # the 5-minute gap in micros
+    # global (un-partitioned) sessions are also valid syntax
+    out2 = rewrite_window_tvfs(
+        "SELECT * FROM TABLE(SESSION(TABLE t, DESCRIPTOR(ts),"
+        " INTERVAL '5' MINUTES))"
+    )
+    assert "window_start" in out2 and "PARTITION BY `" not in out2
+
+
+def test_partition_by_rejected_on_non_session():
+    with pytest.raises(WindowTvfError, match="PARTITION BY"):
         rewrite_window_tvfs(
-            "SELECT * FROM TABLE(SESSION(TABLE t, DESCRIPTOR(ts),"
-            " INTERVAL '5' MINUTES))"
+            "SELECT * FROM TABLE(TUMBLE(TABLE t PARTITION BY k,"
+            " DESCRIPTOR(ts), INTERVAL '5' MINUTES))"
         )
 
 
