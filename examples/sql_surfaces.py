@@ -2,9 +2,10 @@
 """End-to-end tour of the Flink-SQL-only surfaces this engine compiles.
 
 A SQL-string user of the reference can run these verbatim shapes here:
-MATCH_RECOGNIZE (with quantifier bounds and WITHIN), window TVFs
-(TUMBLE/HOP/CUMULATE), legacy group windows (incl. SESSION), and
-FOR SYSTEM_TIME AS OF temporal joins.
+MATCH_RECOGNIZE (quantifier bounds, WITHIN, alternation, reluctant
+quantifiers, PREV/NEXT navigation, SKIP TO var), window TVFs
+(TUMBLE/HOP/CUMULATE/SESSION), legacy group windows (incl. SESSION),
+FOR SYSTEM_TIME AS OF temporal joins, and CDC format replay.
 
 Usage: python examples/sql_surfaces.py [sf_dir]
 """
@@ -82,6 +83,46 @@ def main() -> None:
         ORDER BY c.user_id, click_id LIMIT 5
         """
     ).show(truncate=False)
+
+    print("== SESSION window TVF (1.17+ syntax) ==")
+    tenv.sql(
+        """
+        SELECT user_id, window_start, COUNT(*) AS n
+        FROM TABLE(SESSION(TABLE events PARTITION BY user_id,
+                           DESCRIPTOR(ts), INTERVAL '30' MINUTES))
+        GROUP BY user_id, window_start, window_end
+        ORDER BY window_start LIMIT 5
+        """
+    ).show(truncate=False)
+
+    print("== MATCH_RECOGNIZE: the Ticker V with PREV + SKIP TO LAST ==")
+    tenv.create_view(
+        "priced",
+        tenv.sql(
+            "SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT)"
+            " AS value_c, unix_micros(ts) AS ep FROM events"
+        ),
+    )
+    tenv.sql(
+        """
+        SELECT user_id, strt_id, n_down, n_up FROM priced MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ep, event_id
+            MEASURES STRT.event_id AS strt_id, COUNT(DOWN.*) AS n_down,
+                     COUNT(UP.*) AS n_up
+            AFTER MATCH SKIP TO LAST UP
+            PATTERN (STRT DOWN+ UP+)
+            DEFINE DOWN AS DOWN.value_c < PREV(DOWN.value_c),
+                   UP AS UP.value_c > PREV(UP.value_c)
+        ) ORDER BY user_id, strt_id LIMIT 5
+        """
+    ).show(truncate=False)
+
+    print("== CDC: replay a debezium stream into its last image ==")
+    from apache_flink_spark.queries.cdc_queries import cdc_debezium_materialize
+
+    cdc_debezium_materialize(tenv.spark, SF_DIR).orderBy(
+        "user_id", "event_type"
+    ).show(5, truncate=False)
 
     print("ok")
 
