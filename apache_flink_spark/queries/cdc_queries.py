@@ -133,6 +133,14 @@ def cdc_debezium_materialize(spark, sf_dir):
     c/u/d envelopes with full before/after images; the trailing delete's
     before-image is the key's last row, so the -D lands at the same order
     position and materialize's rowkind tiebreak retires the key."""
+    return _materialized(
+        parse_debezium(_debezium_wire(spark, sf_dir), PAYLOAD)
+    )
+
+
+def _debezium_wire(spark, sf_dir):
+    """The full debezium envelope stream (rows + trailing deletes) as a
+    one-column 'value' DataFrame — the Kafka-topic shape."""
     base = _cdc_base(spark, sf_dir)
     ts_ms = (F.col("ts_us") / 1000).cast("long")
     rows = base.select(
@@ -146,7 +154,43 @@ def cdc_debezium_materialize(spark, sf_dir):
     dels = base.filter(_is_delete_key()).select(
         to_debezium_json(F.lit("d"), _img(), _null_img(), ts_ms).alias("value")
     )
-    return _materialized(parse_debezium(rows.unionAll(dels), PAYLOAD))
+    return rows.unionAll(dels)
+
+
+@query("cdc_debezium_stream_materialize", oracle=_ORACLE)
+def cdc_debezium_stream_materialize(spark, sf_dir):
+    """STREAMING debezium ingestion — the flagship Flink use case run as a
+    real Structured Streaming job: the wire envelopes are staged as text
+    files (the Kafka-value shape), ``readStream`` + the SAME stateless
+    ``parse_debezium`` expressions decode them per micro-batch, and
+    foreachBatch appends the ``__rowkind`` rows to a bronze changelog log;
+    the drained log is compacted with ``changelog.materialize`` — the
+    production bronze-log + compaction layout (a keyed upsert sink would
+    subsume the compaction step). Same last-image oracle as the batch
+    twin, so the streaming transport provably loses/duplicates nothing."""
+    import tempfile
+
+    wire_dir = tempfile.mkdtemp(prefix="afs_cdc_wire_") + "/wire"
+    _debezium_wire(spark, sf_dir).write.mode("overwrite").text(wire_dir)
+
+    stream = spark.readStream.format("text").load(wire_dir)
+    decoded = parse_debezium(stream, PAYLOAD)
+
+    log_dir = tempfile.mkdtemp(prefix="afs_cdc_log_") + "/log"
+    ckpt = tempfile.mkdtemp(prefix="afs_cdc_ckpt_")
+
+    def sink(batch, _bid):
+        batch.write.mode("append").parquet(log_dir)
+
+    q = (
+        decoded.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _materialized(spark.read.parquet(log_dir))
 
 
 @query("cdc_canal_materialize", oracle=_ORACLE)
