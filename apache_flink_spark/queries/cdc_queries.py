@@ -157,7 +157,7 @@ def _debezium_wire(spark, sf_dir):
     return rows.unionAll(dels)
 
 
-@query("cdc_debezium_stream_materialize", oracle=_ORACLE)
+@query("cdc_debezium_stream_materialize", oracle=_ORACLE, streaming=True)
 def cdc_debezium_stream_materialize(spark, sf_dir):
     """STREAMING debezium ingestion — the flagship Flink use case run as a
     real Structured Streaming job: the wire envelopes are staged as text
