@@ -297,3 +297,78 @@ def test_minhash_signature_matches_python_reference(spark, docs):
             min((a * h + b) % _MERSENNE_P for h in hs) for a, b in _COEFFS
         ]
     assert got == want
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key
+            st.sampled_from(["set", "set", "del"]),  # upsert-biased
+            st.integers(-50, 50),  # value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_settings
+def test_debezium_roundtrip_matches_dict_replay(spark, ops):
+    """CDC law: encode a CONSISTENT debezium stream (c for new keys, u
+    with the true before-image, d with the last image), decode with
+    parse_debezium, materialize — and the result must equal a plain
+    Python dict replay of the same operations. Covers op interleavings,
+    re-inserts after delete, and delete-of-last-write shapes the fixture
+    query can't reach."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from apache_flink_spark.cdc import parse_debezium
+    from apache_flink_spark.changelog import materialize as _mat
+
+    payload = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("seq", LongType()),
+            StructField("val", LongType()),
+        ]
+    )
+    live: dict[int, tuple[int, int]] = {}  # key -> (seq, val)
+    envelopes = []
+    for seq, (key, kind, val) in enumerate(ops):
+        cur = live.get(key)
+        img = lambda s, v: {"id": key, "seq": s, "val": v}  # noqa: E731
+        if kind == "del":
+            if cur is None:
+                continue  # delete of absent key: no wire event
+            envelopes.append(
+                {"before": img(*cur), "after": None, "op": "d", "ts_ms": seq}
+            )
+            del live[key]
+            continue
+        if cur is None:
+            envelopes.append(
+                {"before": None, "after": img(seq, val), "op": "c", "ts_ms": seq}
+            )
+        else:
+            envelopes.append(
+                {
+                    "before": img(*cur),
+                    "after": img(seq, val),
+                    "op": "u",
+                    "ts_ms": seq,
+                }
+            )
+        live[key] = (seq, val)
+    if not envelopes:
+        return
+    df = spark.createDataFrame(
+        [(_json.dumps(e),) for e in envelopes], "value string"
+    )
+    got = sorted(
+        (r.id, r.seq, r.val)
+        for r in _mat(
+            parse_debezium(df, payload), ["id"], ["seq"], "val"
+        ).collect()
+    )
+    want = sorted((k, s, v) for k, (s, v) in live.items())
+    assert got == want
