@@ -314,3 +314,81 @@ def graph_triangle_sample(spark, sf_dir):
         F.count("*").cast("bigint").alias("sampled_triangles"),
         (F.count("*") * 64).cast("bigint").alias("estimated_triangles"),
     )
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    sym AS (
+        SELECT pa AS src, pb AS dst FROM edges
+        UNION ALL
+        SELECT pb AS src, pa AS dst FROM edges
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+    c1 AS (
+        SELECT s.src, l.label, COUNT(*) AS cnt
+        FROM sym s JOIN l0 l ON l.node = s.dst
+        GROUP BY 1, 2
+    ),
+    l1 AS (
+        SELECT src AS node, label FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                         ORDER BY cnt DESC, label ASC) AS rn
+            FROM c1
+        ) WHERE rn = 1
+    ),
+    c2 AS (
+        SELECT s.src, l.label, COUNT(*) AS cnt
+        FROM sym s JOIN l1 l ON l.node = s.dst
+        GROUP BY 1, 2
+    ),
+    l2 AS (
+        SELECT src AS node, label FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                         ORDER BY cnt DESC, label ASC) AS rn
+            FROM c2
+        ) WHERE rn = 1
+    )
+    SELECT node, label FROM l2
+    """,
+)
+def graph_label_propagation(spark, sf_dir):
+    """Label propagation community detection (flink-gelly
+    LabelPropagation.java parity): synchronous rounds where every vertex
+    adopts the most frequent label among its neighbors, ties broken by
+    the SMALLEST label (an explicit deterministic rule — gelly's
+    hash-order tie behavior is nondeterministic, which an oracle cannot
+    tolerate). Two unrolled rounds over the co-purchase graph; per round
+    one shuffle-hash join on the vertex key + one count/argmax — the same
+    round shape as the other gelly loops, so the 100 TB escalations
+    (salting hot vertices) apply unchanged."""
+    from pyspark.sql import Window
+
+    edges = _edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(2):
+        cand = (
+            sym.join(
+                labels.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+                "dst",
+            )
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint()
+        )
+    return labels
