@@ -1,0 +1,663 @@
+"""Avro Object Container Files, pure Python, as a Spark Python DataSource.
+
+Reference parity: flink-formats/flink-avro (AvroFileFormatFactory /
+AvroRowDataDeserializationSchema) gives Flink SQL ``'format' = 'avro'``.
+Spark's own avro support lives in the external spark-avro jar which is not
+deployable here, so this module implements the public Avro 1.11
+specification directly — binary encoding (zigzag varints, length-prefixed
+bytes, union indexes) and the Object Container File layout (magic
+``Obj\\x01``, metadata map with ``avro.schema``/``avro.codec``, 16-byte sync
+marker, deflate-compressed blocks) — and registers it through Spark 4's
+Python DataSource API as format ``pyavro``.
+
+Scale story: both sides are embarrassingly parallel — the reader maps one
+``InputPartition`` per container file (Avro files are block-compressed and
+self-describing; a 1000-executor cluster reads 1000 files concurrently with
+zero coordination), and the writer emits one container file per upstream
+partition, so write parallelism equals the plan's partitioning. No driver
+materialization anywhere; only file paths cross the driver.
+
+Type coverage (Spark <-> Avro): boolean, int, long, float, double, string,
+binary<->bytes, date<->int/date, timestamp<->long/timestamp-micros,
+timestamp_ntz<->long/local-timestamp-micros, decimal<->bytes/decimal,
+array, map (string keys), struct<->record, nullable<->["null", T] unions.
+Enum and fixed decode to string/binary on read (no Spark write-side type).
+"""
+
+from __future__ import annotations
+
+import calendar
+import datetime as dt
+import decimal
+import glob
+import json
+import os
+import shutil
+import struct
+import uuid
+import zlib
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+MAGIC = b"Obj\x01"
+_EPOCH_DATE = dt.date(1970, 1, 1)
+_BLOCK_ROWS = 4096
+
+
+# ---------------------------------------------------------------------------
+# Binary primitives (Avro spec "Binary Encoding")
+# ---------------------------------------------------------------------------
+
+
+def zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_long(out: bytearray, n: int) -> None:
+    n = zigzag_encode(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def write_bytes(out: bytearray, b: bytes) -> None:
+    write_long(out, len(b))
+    out += b
+
+
+def write_string(out: bytearray, s: str) -> None:
+    write_bytes(out, s.encode("utf-8"))
+
+
+class Bin:
+    """Cursor over a decoded (decompressed) block buffer."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def read_long(self) -> int:
+        buf, pos = self.buf, self.pos
+        shift = 0
+        acc = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        self.pos = pos
+        return zigzag_decode(acc)
+
+    def read_bytes(self) -> bytes:
+        n = self.read_long()
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return bytes(out)
+
+    def read_string(self) -> str:
+        return self.read_bytes().decode("utf-8")
+
+    def read_fixed(self, n: int) -> bytes:
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Schema conversion: Spark StructType <-> Avro schema (JSON-decodable dicts)
+# ---------------------------------------------------------------------------
+
+
+def spark_to_avro(schema: T.StructType, name: str = "topLevelRecord") -> dict:
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": _field_avro(f.dataType, f.nullable, f.name)}
+            for f in schema.fields
+        ],
+    }
+
+
+def _field_avro(dtype: T.DataType, nullable: bool, path: str):
+    a = _type_avro(dtype, path)
+    return ["null", a] if nullable else a
+
+
+def _type_avro(dtype: T.DataType, path: str):
+    if isinstance(dtype, T.BooleanType):
+        return "boolean"
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType)):
+        return "int"
+    if isinstance(dtype, T.LongType):
+        return "long"
+    if isinstance(dtype, T.FloatType):
+        return "float"
+    if isinstance(dtype, T.DoubleType):
+        return "double"
+    if isinstance(dtype, T.StringType):
+        return "string"
+    if isinstance(dtype, T.BinaryType):
+        return "bytes"
+    if isinstance(dtype, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dtype, T.TimestampNTZType):
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
+    if isinstance(dtype, T.TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dtype, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dtype.precision,
+            "scale": dtype.scale,
+        }
+    if isinstance(dtype, T.ArrayType):
+        return {
+            "type": "array",
+            "items": _field_avro(
+                dtype.elementType, dtype.containsNull, path + ".item"
+            ),
+        }
+    if isinstance(dtype, T.MapType):
+        if not isinstance(dtype.keyType, T.StringType):
+            raise NotImplementedError(
+                f"avro maps require string keys (field {path})"
+            )
+        return {
+            "type": "map",
+            "values": _field_avro(
+                dtype.valueType, dtype.valueContainsNull, path + ".value"
+            ),
+        }
+    if isinstance(dtype, T.StructType):
+        return spark_to_avro(dtype, name=path.replace(".", "_"))
+    raise NotImplementedError(f"no avro mapping for {dtype} (field {path})")
+
+
+def avro_to_spark(sch) -> T.DataType:
+    """Avro schema -> Spark type. Nullable unions unwrap; the returned type
+    for a top-level record is a StructType."""
+    if isinstance(sch, str):
+        return {
+            "null": T.NullType(),
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "bytes": T.BinaryType(),
+            "string": T.StringType(),
+        }[sch]
+    if isinstance(sch, list):  # union
+        non_null = [s for s in sch if s != "null"]
+        if len(non_null) != 1:
+            raise NotImplementedError(f"only nullable unions supported: {sch}")
+        return avro_to_spark(non_null[0])
+    t = sch["type"]
+    logical = sch.get("logicalType")
+    if logical == "date":
+        return T.DateType()
+    if logical == "timestamp-micros" or logical == "timestamp-millis":
+        return T.TimestampType()
+    if logical in ("local-timestamp-micros", "local-timestamp-millis"):
+        return T.TimestampNTZType()
+    if logical == "decimal":
+        return T.DecimalType(sch.get("precision", 38), sch.get("scale", 0))
+    if t == "record":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"],
+                    avro_to_spark(f["type"]),
+                    nullable=_is_nullable(f["type"]),
+                )
+                for f in sch["fields"]
+            ]
+        )
+    if t == "array":
+        return T.ArrayType(
+            avro_to_spark(sch["items"]), containsNull=_is_nullable(sch["items"])
+        )
+    if t == "map":
+        return T.MapType(
+            T.StringType(),
+            avro_to_spark(sch["values"]),
+            valueContainsNull=_is_nullable(sch["values"]),
+        )
+    if t == "enum":
+        return T.StringType()
+    if t == "fixed":
+        return T.BinaryType()
+    return avro_to_spark(t)  # {"type": "long", ...} primitive wrapper
+
+
+def _is_nullable(sch) -> bool:
+    return isinstance(sch, list) and "null" in sch
+
+
+# ---------------------------------------------------------------------------
+# Encoder / decoder builders (closure tree compiled from the avro schema)
+# ---------------------------------------------------------------------------
+
+
+def make_encoder(sch):
+    if isinstance(sch, list):  # nullable union: null always index 0 on write
+        non_null = [s for s in sch if s != "null"]
+        if len(non_null) != 1:
+            raise NotImplementedError(f"only nullable unions supported: {sch}")
+        null_idx = sch.index("null")
+        val_idx = 1 - null_idx if len(sch) == 2 else None
+        if val_idx is None:
+            raise NotImplementedError(f"union arity > 2: {sch}")
+        inner = make_encoder(non_null[0])
+
+        def enc_union(v, out):
+            if v is None:
+                write_long(out, null_idx)
+            else:
+                write_long(out, val_idx)
+                inner(v, out)
+
+        return enc_union
+    if isinstance(sch, str):
+        return _PRIM_ENC[sch]
+    t = sch["type"]
+    logical = sch.get("logicalType")
+    if logical == "date":
+        return lambda v, out: write_long(out, (v - _EPOCH_DATE).days)
+    if logical == "timestamp-micros":
+
+        def enc_ts(v, out):
+            # naive datetimes from Spark are session-local wall times;
+            # .timestamp() applies the process tz (matches Spark's own
+            # internal conversion on collect). Second part computed on the
+            # microsecond-stripped value so the float is integral (exact).
+            us = int(v.replace(microsecond=0).timestamp()) * 1_000_000
+            write_long(out, us + v.microsecond)
+
+        return enc_ts
+    if logical == "local-timestamp-micros":
+
+        def enc_ntz(v, out):
+            write_long(
+                out,
+                calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond,
+            )
+
+        return enc_ntz
+    if logical == "decimal":
+        scale = sch.get("scale", 0)
+
+        def enc_dec(v, out):
+            unscaled = int(
+                v.scaleb(scale).to_integral_value(decimal.ROUND_HALF_UP)
+            )
+            n = max(1, (unscaled.bit_length() + 8) // 8)
+            write_bytes(out, unscaled.to_bytes(n, "big", signed=True))
+
+        return enc_dec
+    if t == "record":
+        field_encs = [make_encoder(f["type"]) for f in sch["fields"]]
+
+        def enc_record(v, out):
+            for i, enc in enumerate(field_encs):
+                enc(v[i], out)
+
+        return enc_record
+    if t == "array":
+        item_enc = make_encoder(sch["items"])
+
+        def enc_array(v, out):
+            if v:
+                write_long(out, len(v))
+                for item in v:
+                    item_enc(item, out)
+            write_long(out, 0)
+
+        return enc_array
+    if t == "map":
+        val_enc = make_encoder(sch["values"])
+
+        def enc_map(v, out):
+            if v:
+                write_long(out, len(v))
+                for k, item in v.items():
+                    write_string(out, k)
+                    val_enc(item, out)
+            write_long(out, 0)
+
+        return enc_map
+    if isinstance(t, (dict, list)) or (isinstance(t, str) and t in _PRIM_ENC):
+        return make_encoder(t)
+    raise NotImplementedError(f"avro encode: unsupported type {sch}")
+
+
+_PRIM_ENC = {
+    "null": lambda v, out: None,
+    "boolean": lambda v, out: out.append(1 if v else 0),
+    "int": lambda v, out: write_long(out, v),
+    "long": lambda v, out: write_long(out, v),
+    "float": lambda v, out: out.extend(struct.pack("<f", v)),
+    "double": lambda v, out: out.extend(struct.pack("<d", v)),
+    "bytes": lambda v, out: write_bytes(out, bytes(v)),
+    "string": lambda v, out: write_string(out, v),
+}
+
+
+def make_decoder(sch):
+    if isinstance(sch, list):
+        branches = [make_decoder(s) for s in sch]
+
+        def dec_union(r: Bin):
+            return branches[r.read_long()](r)
+
+        return dec_union
+    if isinstance(sch, str):
+        return _PRIM_DEC[sch]
+    t = sch["type"]
+    logical = sch.get("logicalType")
+    if logical == "date":
+        return lambda r: _EPOCH_DATE + dt.timedelta(days=r.read_long())
+    if logical in ("timestamp-micros", "timestamp-millis"):
+        mult = 1 if logical == "timestamp-micros" else 1000
+
+        def dec_ts(r: Bin):
+            us = r.read_long() * mult
+            return dt.datetime.fromtimestamp(us // 1_000_000) + dt.timedelta(
+                microseconds=us % 1_000_000
+            )
+
+        return dec_ts
+    if logical in ("local-timestamp-micros", "local-timestamp-millis"):
+        mult = 1 if logical == "local-timestamp-micros" else 1000
+
+        def dec_ntz(r: Bin):
+            us = r.read_long() * mult
+            return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us)
+
+        return dec_ntz
+    if logical == "decimal":
+        scale = sch.get("scale", 0)
+
+        def dec_dec(r: Bin):
+            raw = r.read_bytes() if t == "bytes" else r.read_fixed(sch["size"])
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return decimal.Decimal(unscaled).scaleb(-scale)
+
+        return dec_dec
+    if t == "record":
+        field_decs = [make_decoder(f["type"]) for f in sch["fields"]]
+
+        def dec_record(r: Bin):
+            return tuple(d(r) for d in field_decs)
+
+        return dec_record
+    if t == "array":
+        item_dec = make_decoder(sch["items"])
+
+        def dec_array(r: Bin):
+            out = []
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    return out
+                if n < 0:  # spec: negative count -> byte size follows
+                    n = -n
+                    r.read_long()
+                for _ in range(n):
+                    out.append(item_dec(r))
+
+        return dec_array
+    if t == "map":
+        val_dec = make_decoder(sch["values"])
+
+        def dec_map(r: Bin):
+            out = {}
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    r.read_long()
+                for _ in range(n):
+                    k = r.read_string()
+                    out[k] = val_dec(r)
+
+        return dec_map
+    if t == "enum":
+        symbols = sch["symbols"]
+        return lambda r: symbols[r.read_long()]
+    if t == "fixed":
+        size = sch["size"]
+        return lambda r: r.read_fixed(size)
+    if isinstance(t, (dict, list)) or (isinstance(t, str) and t in _PRIM_DEC):
+        return make_decoder(t)
+    raise NotImplementedError(f"avro decode: unsupported type {sch}")
+
+
+_PRIM_DEC = {
+    "null": lambda r: None,
+    "boolean": lambda r: r.read_fixed(1) == b"\x01",
+    "int": Bin.read_long,
+    "long": Bin.read_long,
+    "float": lambda r: struct.unpack("<f", r.read_fixed(4))[0],
+    "double": lambda r: struct.unpack("<d", r.read_fixed(8))[0],
+    "bytes": Bin.read_bytes,
+    "string": Bin.read_string,
+}
+
+
+# ---------------------------------------------------------------------------
+# Object Container File layout
+# ---------------------------------------------------------------------------
+
+
+def write_container(
+    path: str, avro_schema: dict, rows, codec: str = "deflate"
+) -> int:
+    """Write rows (sequences in field order) to one container file; returns
+    the row count. ``codec``: "null" or "deflate" (raw zlib, spec-exact)."""
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r} (null/deflate only)")
+    enc = make_encoder(avro_schema)
+    sync = uuid.uuid4().bytes
+    header = bytearray(MAGIC)
+    write_long(header, 2)
+    write_string(header, "avro.schema")
+    write_bytes(header, json.dumps(avro_schema).encode("utf-8"))
+    write_string(header, "avro.codec")
+    write_bytes(header, codec.encode("ascii"))
+    write_long(header, 0)
+    header += sync
+    total = 0
+    with open(path, "wb") as fh:
+        fh.write(header)
+        block = bytearray()
+        n = 0
+
+        def flush():
+            nonlocal block, n, total
+            if not n:
+                return
+            data = bytes(block)
+            if codec == "deflate":
+                data = zlib.compress(data)[2:-4]  # raw deflate, no zlib wrap
+            head = bytearray()
+            write_long(head, n)
+            write_long(head, len(data))
+            fh.write(head)
+            fh.write(data)
+            fh.write(sync)
+            total += n
+            block = bytearray()
+            n = 0
+
+        for row in rows:
+            enc(row, block)
+            n += 1
+            if n >= _BLOCK_ROWS:
+                flush()
+        flush()
+    return total
+
+
+def read_container_schema(path: str) -> dict:
+    with open(path, "rb") as fh:
+        data = fh.read(1 << 20)
+    meta, _, _ = _parse_header(data)
+    return json.loads(meta[b"avro.schema"])
+
+
+def _parse_header(data: bytes):
+    if data[:4] != MAGIC:
+        raise ValueError("not an avro object container file (bad magic)")
+    r = Bin(data, 4)
+    meta = {}
+    while True:
+        n = r.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.read_long()
+        for _ in range(n):
+            k = r.read_bytes()
+            meta[bytes(k)] = r.read_bytes()
+    sync = r.read_fixed(16)
+    return meta, sync, r.pos
+
+
+def read_container(path: str):
+    """Yield decoded rows (tuples for records) from one container file."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    meta, sync, pos = _parse_header(data)
+    schema = json.loads(meta[b"avro.schema"])
+    codec = meta.get(b"avro.codec", b"null").decode("ascii")
+    dec = make_decoder(schema)
+    r = Bin(data, pos)
+    while r.pos < len(data):
+        count = r.read_long()
+        size = r.read_long()
+        block = r.read_fixed(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise NotImplementedError(f"avro codec {codec!r}")
+        if r.read_fixed(16) != sync:
+            raise ValueError(f"sync marker mismatch in {path}")
+        br = Bin(block)
+        for _ in range(count):
+            yield dec(br)
+
+
+# ---------------------------------------------------------------------------
+# Spark Python DataSource (format name: pyavro)
+# ---------------------------------------------------------------------------
+
+
+def _list_avro_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.avro")))
+        if not files:
+            raise FileNotFoundError(f"no *.avro files under {path}")
+        return files
+    return [path]
+
+
+class AvroDataSource(DataSource):
+    """``spark.read.format("pyavro").load(dir)`` /
+    ``df.write.format("pyavro").mode("overwrite").save(dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyavro"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("pyavro requires a path")
+        first = _list_avro_files(path)[0]
+        spark_type = avro_to_spark(read_container_schema(first))
+        if not isinstance(spark_type, T.StructType):
+            raise ValueError("top-level avro schema must be a record")
+        return spark_type
+
+    def reader(self, schema: T.StructType) -> "AvroReader":
+        return AvroReader(self.options["path"])
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> "AvroWriter":
+        path = self.options["path"]
+        if overwrite and os.path.isdir(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        return AvroWriter(
+            path,
+            json.dumps(spark_to_avro(schema)),
+            self.options.get("codec", "deflate"),
+        )
+
+
+class AvroReader(DataSourceReader):
+    def __init__(self, path: str):
+        self.path = path
+
+    def partitions(self):
+        # one task per container file: the scale unit of avro parallelism
+        return [InputPartition(f) for f in _list_avro_files(self.path)]
+
+    def read(self, partition: InputPartition):
+        return read_container(partition.value)
+
+
+class AvroWriter(DataSourceWriter):
+    def __init__(self, path: str, schema_json: str, codec: str):
+        self.path = path
+        self.schema_json = schema_json
+        self.codec = codec
+
+    def write(self, iterator) -> WriterCommitMessage:
+        # runs on the executor: one container file per input partition
+        avro_schema = json.loads(self.schema_json)
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
+        n = write_container(out, avro_schema, iterator, codec=self.codec)
+        if n == 0:
+            os.remove(out)  # avoid empty part files
+        return WriterCommitMessage()
+
+    def commit(self, messages) -> None:
+        return None
+
+    def abort(self, messages) -> None:
+        return None
+
+
+def register(spark) -> None:
+    """Idempotently register the pyavro datasource on a session."""
+    try:
+        spark.dataSource.register(AvroDataSource)
+    except Exception as ex:  # already registered is fine
+        if "already" not in str(ex).lower():
+            raise

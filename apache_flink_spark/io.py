@@ -87,26 +87,36 @@ def _avro_available(spark: SparkSession) -> bool:
 
 
 def write_avro(df: DataFrame, path: str) -> None:
-    """Avro sink (flink-avro format parity). The spark-avro module is an
-    external jar not shipped in this environment; gate with a clear error
-    rather than Spark's generic lookup failure (SURVEY.md §2.1 formats row —
-    parquet/orc/csv/json/text are first-class here, avro/protobuf need
-    their connector jars exactly as Flink needs its format modules)."""
+    """Avro sink (flink-avro format parity). Prefers the JVM spark-avro
+    datasource when its jar is deployed; otherwise falls back to the
+    spec-compliant pure-Python container-file datasource registered as
+    ``pyavro`` (apache_flink_spark/formats/avro_format.py) — same file
+    layout, one container file per partition."""
     try:
         df.write.mode("overwrite").format("avro").save(path)
     except Exception as ex:
-        if "Failed to find data source: avro" in str(ex):
-            raise NotImplementedError(_AVRO_HINT) from None
-        raise
+        if "Failed to find data source: avro" not in str(ex):
+            raise
+        from apache_flink_spark.formats import avro_format
+
+        avro_format.register(df.sparkSession)
+        df.write.mode("overwrite").format("pyavro").save(path)
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source: JVM spark-avro if present, else the pyavro datasource
+    (self-describing — schema comes from the container-file header)."""
     try:
-        return spark.read.format("avro").load(path)
+        out = spark.read.format("avro").load(path)
+        out.schema  # force datasource resolution so a missing jar fails HERE
+        return out
     except Exception as ex:
-        if "Failed to find data source: avro" in str(ex):
-            raise NotImplementedError(_AVRO_HINT) from None
-        raise
+        if "Failed to find data source: avro" not in str(ex):
+            raise
+        from apache_flink_spark.formats import avro_format
+
+        avro_format.register(spark)
+        return spark.read.format("pyavro").load(path)
 
 
 def write_sequence_file(

@@ -247,6 +247,44 @@ def source_compressed_roundtrip(spark, sf_dir):
 
 
 @query(
+    "source_avro_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE)
+               AS total_price,
+           MIN(epoch_us(o_orderdate)) AS first_order_us
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def source_avro_roundtrip(spark, sf_dir):
+    """Avro container-file round-trip (flink-avro parity). Runs through the
+    spec-compliant pure-Python ``pyavro`` datasource when the spark-avro jar
+    is absent (apache_flink_spark/formats/avro_format.py): binary-encoded
+    blocks, deflate codec, schema self-described in the file header — so
+    the read side needs no schema argument. Exercises long, string, double
+    and timestamp_ntz columns; the oracle reads the original table, so the
+    round-trip must be lossless to hash-match."""
+    o = t(spark, sf_dir, "orders")
+    path = io.roundtrip_dir(sf_dir, "orders_avro")
+    io.write_avro(
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+        path,
+    )
+    back = io.read_avro(spark, path)
+    # o_orderdate is TIMESTAMP_NTZ end-to-end (wall time == UTC instant in
+    # this engine's UTC session); cast for unix_micros, matching epoch_us.
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total_price"),
+        F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+            "first_order_us"
+        ),
+    )
+
+
+@query(
     "ddl_connector_table",
     oracle="""
     SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars

@@ -17,14 +17,13 @@ def test_orc_roundtrip(spark, sf_dir):
     )
 
 
-def test_avro_gated_when_jar_absent(spark, sf_dir):
+def test_avro_roundtrip_any_backend(spark, sf_dir):
+    """write_avro/read_avro work with or without the spark-avro jar: the
+    pure-Python pyavro datasource is the fallback (formats/avro_format.py),
+    so avro is a first-class format in this environment too."""
     df = spark.read.parquet(f"{sf_dir}/region.parquet")
-    if io._avro_available(spark):
-        path = io.temp_sink_dir("avro")
-        io.write_avro(df, path)
-        assert io.read_avro(spark, path).count() == df.count()
-    else:
-        with pytest.raises(NotImplementedError, match="spark-avro"):
-            io.write_avro(df, io.temp_sink_dir("avro"))
-        with pytest.raises(NotImplementedError, match="spark-avro"):
-            io.read_avro(spark, "/nonexistent")
+    path = io.temp_sink_dir("avro")
+    io.write_avro(df, path)
+    back = io.read_avro(spark, path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
