@@ -285,6 +285,67 @@ def source_avro_roundtrip(spark, sf_dir):
 
 
 @query(
+    "source_protobuf_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE)
+               AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE)
+               AS sum_price,
+           MIN(l_orderkey) AS min_order
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def source_protobuf_roundtrip(spark, sf_dir):
+    """Protobuf wire-format round-trip (flink-protobuf PbFormatFactory
+    parity). Rows are packed into a struct, encoded to protobuf binary and
+    decoded back with the spec-exact pure-Python codec
+    (formats/protobuf_format.py) — varints, length-delimited fields, a
+    nested message for the money columns — all inside Arrow-batched pandas
+    UDFs; payload bytes never leave the executors. Oracle reads the
+    original table, so the wire round-trip must be lossless."""
+    from apache_flink_spark.formats import protobuf_format as P
+
+    desc = {
+        "name": "LineItem",
+        "fields": {
+            1: ("l_orderkey", "int64"),
+            2: ("l_returnflag", "string"),
+            3: (
+                "money",
+                {
+                    "name": "Money",
+                    "fields": {
+                        1: ("l_quantity", "double"),
+                        2: ("l_extendedprice", "double"),
+                    },
+                },
+            ),
+        },
+    }
+    li = t(spark, sf_dir, "lineitem")
+    packed = li.select(
+        F.struct(
+            "l_orderkey",
+            "l_returnflag",
+            F.struct("l_quantity", "l_extendedprice").alias("money"),
+        ).alias("payload")
+    )
+    wire = P.to_protobuf_py(packed, "payload", desc)
+    back = P.from_protobuf_py(wire, "payload", desc).select("payload.*")
+    return back.select(
+        "l_orderkey", "l_returnflag", "money.l_quantity", "money.l_extendedprice"
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.min("l_orderkey").alias("min_order"),
+    )
+
+
+@query(
     "ddl_connector_table",
     oracle="""
     SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
