@@ -4,12 +4,13 @@ Pandas-UDF decode plumbing.
 North-star addition (task brief): image/audio/video are modeled as
 ``binary`` columns with a typed metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` stages.
-``decode_media`` decodes PPM (P6) and 24-bit BMP NATIVELY (pure numpy —
-public formats, no codec libraries), exercised end-to-end by
-mm_decode_real_codec; jpeg/png/audio/video need PIL/ffmpeg/librosa, which
-are NOT in this container, and raise loudly — ``fake_decode_features`` is
-the deterministic stand-in those paths use so the plumbing stays
-oracle-tested.
+``decode_media`` decodes PPM (P6) and 24-bit BMP NATIVELY, and
+``decode_wav`` decodes 16-bit PCM WAV (pure numpy/struct — public formats,
+no codec libraries), exercised end-to-end by mm_decode_real_codec and
+mm_audio_features; jpeg/png/compressed-audio/video need PIL/ffmpeg/librosa,
+which are NOT in this container, and raise loudly —
+``fake_decode_features`` is the deterministic stand-in those paths use so
+the plumbing stays oracle-tested.
 
 Scale: payload bytes never leave the executor — mapInPandas streams Arrow
 batches partition-locally; metadata-only queries prune the binary column at
@@ -186,6 +187,73 @@ def decode_bmp(data: bytes):
     return width, height, px
 
 
+def encode_wav(sample_rate: int, samples) -> bytes:
+    """PCM 16-bit WAV (public RIFF/WAVE spec): ``RIFF`` header, ``fmt ``
+    chunk (format 1 = integer PCM), ``data`` chunk. ``samples`` is an
+    int16 array of shape (n,) mono or (n, channels)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(samples, dtype=np.int16)
+    channels = 1 if px.ndim == 1 else px.shape[1]
+    body = np.ascontiguousarray(px).tobytes()  # interleaved little-endian
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(data: bytes):
+    """Parse a PCM 16-bit WAV by walking RIFF chunks (unknown chunks like
+    LIST/INFO are skipped per spec; chunks are word-aligned). Returns
+    (sample_rate, channels, int16 array of shape (n, channels))."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body_at = pos + 8
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", data, body_at)
+        elif cid == b"data":
+            raw = data[body_at : body_at + size]
+        pos = body_at + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit integer PCM supported (format={audio_format}, "
+            f"bits={bits})"
+        )
+    px = np.frombuffer(raw, dtype="<i2").reshape(-1, channels)
+    return sample_rate, channels, px
+
+
+def audio_features(payload: bytes) -> tuple[int, int, int, int]:
+    """Decode a WAV payload to division-free integer features:
+    (sample_rate, n_samples, sum_abs_amplitude, peak_amplitude) — sums and
+    maxima over all channels, exact across engines (no float RMS)."""
+    import numpy as np
+
+    sample_rate, _channels, px = decode_wav(payload)
+    a = np.abs(px.astype(np.int64))
+    return (sample_rate, px.shape[0], int(a.sum()), int(a.max(initial=0)))
+
+
 def fake_decode_features(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for decode: derives (width, height, n_frames)
     from the payload bytes so the distributed plumbing is verifiable."""
@@ -253,6 +321,53 @@ def decode_real_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, REAL_DECODE_SCHEMA)
+
+
+AUDIO_DECODE_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, sum_abs long, peak int"
+)
+
+
+def synth_audio(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV fixtures, generated EXECUTOR-SIDE: per doc, mono
+    16-bit PCM at 8/12/16 kHz (by doc_id%3) with doc_id%100+50 samples of
+    the integer waveform (doc_id*31 + i*17) % 2048 - 1024 — closed-form, so
+    a SQL oracle can recompute every feature without touching audio."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rate = 8000 + (doc_id % 3) * 4000
+                n = doc_id % 100 + 50
+                i = np.arange(n, dtype=np.int64)
+                wave = ((doc_id * 31 + i * 17) % 2048 - 1024).astype(np.int16)
+                payloads.append(encode_wav(rate, wave))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas WAV decode stage: same 100 TB shape as the image path —
+    partition-local Arrow batches, no shuffle, binary in / tiny features
+    out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(d), *audio_features(bytes(p)))
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "sum_abs", "peak"],
+            )
+
+    return media.mapInPandas(run, AUDIO_DECODE_SCHEMA)
 
 
 def decode_features(media: DataFrame) -> DataFrame:

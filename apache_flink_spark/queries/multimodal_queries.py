@@ -118,3 +118,33 @@ def mm_decode_real_codec(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return decode_real_features(synth_images(docs))
+
+
+@query(
+    "mm_audio_features",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(8000 + (d.doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+           CAST(d.doc_id % 100 + 50 AS INTEGER) AS n_samples,
+           CAST(SUM(ABS((d.doc_id * 31 + t.i * 17) % 2048 - 1024))
+                AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS((d.doc_id * 31 + t.i * 17) % 2048 - 1024))
+                AS INTEGER) AS peak
+    FROM documents d, unnest(generate_series(0, d.doc_id % 100 + 49)) AS t(i)
+    GROUP BY d.doc_id
+    """,
+)
+def mm_audio_features(spark, sf_dir):
+    """REAL audio decode (no codec libraries): deterministic 16-bit PCM WAV
+    payloads are generated executor-side (RIFF/fmt/data chunks, a
+    closed-form integer waveform), then multimodal.decode_wav walks the
+    RIFF chunks and emits sample-rate / sample-count / integer amplitude
+    features. The oracle recomputes the waveform relationally, so a parser
+    that misreads chunk sizes, the fmt layout, or int16 endianness
+    hash-fails. Both mapInPandas stages are narrow — payloads never leave
+    the executors."""
+    from apache_flink_spark.catalog import table
+    from apache_flink_spark.multimodal import decode_audio_features, synth_audio
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_audio_features(synth_audio(docs))

@@ -91,3 +91,70 @@ def test_bmp_unsupported_bpp_raises():
     data[28] = 8  # claim 8bpp
     with pytest.raises(NotImplementedError, match="24-bit"):
         decode_bmp(bytes(data))
+
+
+# ----------------------------------------------------------------- WAV codec
+
+
+def test_wav_roundtrip_mono():
+    from apache_flink_spark.multimodal import decode_wav, encode_wav
+
+    wave = np.array([0, 1, -1, 32767, -32768, 123], dtype=np.int16)
+    rate, ch, back = decode_wav(encode_wav(8000, wave))
+    assert (rate, ch) == (8000, 1)
+    assert back.shape == (6, 1)
+    assert np.array_equal(back[:, 0], wave)
+
+
+def test_wav_roundtrip_stereo():
+    from apache_flink_spark.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(7)
+    wave = rng.integers(-32768, 32768, size=(100, 2), dtype=np.int16)
+    rate, ch, back = decode_wav(encode_wav(44100, wave))
+    assert (rate, ch) == (44100, 2)
+    assert np.array_equal(back, wave)
+
+
+def test_wav_skips_unknown_chunks():
+    """Foreign chunks (LIST/INFO metadata) must be walked over per the RIFF
+    spec, including the odd-size word-alignment pad."""
+    import struct
+
+    from apache_flink_spark.multimodal import decode_wav, encode_wav
+
+    wave = np.array([5, -5, 7], dtype=np.int16)
+    raw = encode_wav(16000, wave)
+    # splice a 3-byte (odd) LIST chunk between fmt and data
+    fmt_end = raw.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    spliced = raw[:fmt_end] + extra + raw[fmt_end:]
+    rate, ch, back = decode_wav(spliced)
+    assert rate == 16000 and np.array_equal(back[:, 0], wave)
+
+
+def test_wav_rejects_non_pcm():
+    import struct
+
+    from apache_flink_spark.multimodal import decode_wav, encode_wav
+
+    raw = bytearray(encode_wav(8000, np.array([1], dtype=np.int16)))
+    fmt_at = raw.index(b"fmt ") + 8
+    struct.pack_into("<H", raw, fmt_at, 3)  # IEEE float format code
+    with pytest.raises(NotImplementedError, match="16-bit integer PCM"):
+        decode_wav(bytes(raw))
+
+
+def test_wav_rejects_bad_magic():
+    from apache_flink_spark.multimodal import decode_wav
+
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+
+
+def test_audio_features_exact():
+    from apache_flink_spark.multimodal import audio_features, encode_wav
+
+    wave = np.array([10, -20, 0, 5], dtype=np.int16)
+    rate, n, sum_abs, peak = audio_features(encode_wav(12000, wave))
+    assert (rate, n, sum_abs, peak) == (12000, 4, 35, 20)
