@@ -392,3 +392,107 @@ def graph_label_propagation(spark, sf_dir):
             .localCheckpoint()
         )
     return labels
+
+
+@query(
+    "graph_jaccard_index",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    bi AS (SELECT pa AS src, pb AS dst FROM edges
+           UNION ALL SELECT pb, pa FROM edges),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM bi GROUP BY 1),
+    common AS (
+        SELECT x.dst AS a, y.dst AS b, COUNT(*) AS n_common
+        FROM bi x JOIN bi y ON y.src = x.src AND x.dst < y.dst
+        GROUP BY 1, 2
+    )
+    SELECT a, b, n_common,
+           da.d + db.d - n_common AS n_union
+    FROM common
+    JOIN deg da ON da.node = a
+    JOIN deg db ON db.node = b
+    ORDER BY n_common DESC, a, b
+    LIMIT 100
+    """,
+)
+def graph_jaccard_index(spark, sf_dir):
+    """Jaccard similarity of vertex neighborhoods (flink-gelly
+    .../library/similarity/JaccardIndex.java parity): for every vertex
+    pair sharing >= 1 neighbor, |N(a) ∩ N(b)| and |N(a) ∪ N(b)| as exact
+    integers (numerator/denominator instead of a float ratio, so both
+    engines agree bit-for-bit). The pair generation is the inverted-index
+    shape — join the adjacency list with itself on the SHARED NEIGHBOR, so
+    only co-neighbor pairs materialize, never all-pairs; the intermediate
+    is Θ(Σ C(deg,2)), the same wedge bound (and the same spill/sampling
+    escalations) as triangle counting. Top-100 by count with a total
+    deterministic tiebreak, TakeOrdered — no global sort."""
+    bi = _bidirected(_edges(spark, sf_dir)).localCheckpoint(eager=True)
+    deg = bi.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    x, y = bi.alias("x"), bi.alias("y")
+    common = (
+        x.join(
+            y.hint("shuffle_hash"),
+            (F.col("y.src") == F.col("x.src"))
+            & (F.col("x.dst") < F.col("y.dst")),
+        )
+        .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    return (
+        common.join(da.hint("shuffle_hash"), F.col("da.node") == F.col("a"))
+        .join(db.hint("shuffle_hash"), F.col("db.node") == F.col("b"))
+        .select(
+            "a",
+            "b",
+            "n_common",
+            (F.col("da.d") + F.col("db.d") - F.col("n_common")).alias("n_union"),
+        )
+        .orderBy(F.desc("n_common"), "a", "b")
+        .limit(100)
+    )
+
+
+@query(
+    "graph_summarization",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    lbl AS (SELECT p_partkey, p_brand FROM part)
+    SELECT LEAST(la.p_brand, lb.p_brand) AS brand_a,
+           GREATEST(la.p_brand, lb.p_brand) AS brand_b,
+           COUNT(*) AS n_edges,
+           COUNT(DISTINCT CASE WHEN la.p_brand <= lb.p_brand
+                               THEN pa ELSE pb END) AS n_src_vertices
+    FROM edges
+    JOIN lbl la ON la.p_partkey = pa
+    JOIN lbl lb ON lb.p_partkey = pb
+    GROUP BY 1, 2
+    """,
+)
+def graph_summarization(spark, sf_dir):
+    """Graph summarization (flink-gelly .../library/Summarization.java
+    parity): condense the vertex set by a label (part brand) and emit one
+    summary edge per label pair with the multiplicity of underlying edges
+    (canonicalized LEAST/GREATEST so the undirected summary is unique) plus
+    the count of distinct source vertices feeding each summary edge. Two
+    broadcast joins against the small part-label dim + one hash aggregate —
+    the summary relation is O(|labels|^2), independent of graph size, so
+    this is the cheap first look at a 100 TB graph."""
+    edges = _edges(spark, sf_dir)
+    lbl = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    la, lb = lbl.alias("la"), lbl.alias("lb")
+    joined = (
+        edges.join(F.broadcast(la), F.col("la.p_partkey") == F.col("pa"))
+        .join(F.broadcast(lb), F.col("lb.p_partkey") == F.col("pb"))
+        .select(
+            F.least("la.p_brand", "lb.p_brand").alias("brand_a"),
+            F.greatest("la.p_brand", "lb.p_brand").alias("brand_b"),
+            F.when(
+                F.col("la.p_brand") <= F.col("lb.p_brand"), F.col("pa")
+            ).otherwise(F.col("pb")).alias("src_vertex"),
+        )
+    )
+    return joined.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("src_vertex").alias("n_src_vertices"),
+    )
