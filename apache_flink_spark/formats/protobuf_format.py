@@ -173,6 +173,20 @@ def descriptor_schema(desc: dict) -> T.StructType:
 # ------------------------------------------------------------------- encode
 
 
+def _compiled(desc: dict) -> list[tuple]:
+    """Field metadata parsed ONCE per descriptor (cached in the dict itself
+    under a reserved key — descriptors are plain dicts, so self-caching
+    avoids re-parsing per row in the UDF hot loop)."""
+    cached = desc.get("__compiled__")
+    if cached is None:
+        cached = [
+            (num, *_parse_field_full(spec))
+            for num, spec in sorted(desc["fields"].items())
+        ]
+        desc["__compiled__"] = cached
+    return cached
+
+
 def encode_message(desc: dict, value: dict) -> bytes:
     out = bytearray()
     _encode_into(desc, value, out)
@@ -180,8 +194,7 @@ def encode_message(desc: dict, value: dict) -> bytes:
 
 
 def _encode_into(desc: dict, value: dict, out: bytearray) -> None:
-    for num, spec in sorted(desc["fields"].items()):
-        name, base, repeated, nested = _parse_field_full(spec)
+    for num, name, base, repeated, nested in _compiled(desc):
         v = value.get(name)
         if v is None:
             continue  # absent field: nothing on the wire (proto3 semantics)
@@ -261,9 +274,13 @@ def _skip(wt: int, buf: bytes, pos: int) -> int:
 
 
 def decode_message(desc: dict, buf: bytes) -> dict:
-    fields = {
-        num: _parse_field_full(spec) for num, spec in desc["fields"].items()
-    }
+    fields = desc.get("__field_index__")
+    if fields is None:
+        fields = {
+            num: (name, base, repeated, nested)
+            for num, name, base, repeated, nested in _compiled(desc)
+        }
+        desc["__field_index__"] = fields
     out: dict = {}
     for num, (name, _b, repeated, _n) in fields.items():
         if repeated:

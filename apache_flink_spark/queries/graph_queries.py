@@ -425,11 +425,13 @@ def graph_jaccard_index(spark, sf_dir):
     only co-neighbor pairs materialize, never all-pairs; the intermediate
     is Θ(Σ C(deg,2)), the same wedge bound (and the same spill/sampling
     escalations) as triangle counting. Top-100 by count with a total
-    deterministic tiebreak, TakeOrdered — no global sort."""
+    deterministic tiebreak, TakeOrdered — no global sort; degrees join
+    AFTER the limit, so the expensive pair relation is never joined —
+    only the 100 survivors touch the degree dim (broadcast)."""
     bi = _bidirected(_edges(spark, sf_dir)).localCheckpoint(eager=True)
     deg = bi.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
     x, y = bi.alias("x"), bi.alias("y")
-    common = (
+    top = (
         x.join(
             y.hint("shuffle_hash"),
             (F.col("y.src") == F.col("x.src"))
@@ -437,19 +439,23 @@ def graph_jaccard_index(spark, sf_dir):
         )
         .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
+        .orderBy(F.desc("n_common"), "a", "b")
+        .limit(100)
     )
-    da, db = deg.alias("da"), deg.alias("db")
+    # broadcast the 100-row survivors against the O(V) degree relation —
+    # never the reverse (deg is vertex-cardinality; unbroadcastable at scale)
+    da = deg.join(
+        F.broadcast(top), F.col("node") == F.col("a")
+    ).select("a", "b", "n_common", F.col("d").alias("da"))
     return (
-        common.join(da.hint("shuffle_hash"), F.col("da.node") == F.col("a"))
-        .join(db.hint("shuffle_hash"), F.col("db.node") == F.col("b"))
+        deg.join(F.broadcast(da), F.col("node") == F.col("b"))
         .select(
             "a",
             "b",
             "n_common",
-            (F.col("da.d") + F.col("db.d") - F.col("n_common")).alias("n_union"),
+            (F.col("da") + F.col("d") - F.col("n_common")).alias("n_union"),
         )
         .orderBy(F.desc("n_common"), "a", "b")
-        .limit(100)
     )
 
 

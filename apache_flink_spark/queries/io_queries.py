@@ -268,8 +268,12 @@ def source_avro_roundtrip(spark, sf_dir):
     round-trip must be lossless to hash-match."""
     o = t(spark, sf_dir, "orders")
     path = io.roundtrip_dir(sf_dir, "orders_avro")
+    # Repartition to core count before the write: the container-file count
+    # IS the read parallelism, and the pure-Python encode/decode stages
+    # scale by cores, not by the (few) input splits of the parquet fixture.
     io.write_avro(
-        o.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .repartition(spark.sparkContext.defaultParallelism),
         path,
     )
     back = io.read_avro(spark, path)
@@ -326,7 +330,10 @@ def source_protobuf_roundtrip(spark, sf_dir):
         },
     }
     li = t(spark, sf_dir, "lineitem")
-    packed = li.select(
+    # Repartition to core count: the encode/decode stages are Python-CPU
+    # bound, so parallelism must come from cores, not the fixture's (few)
+    # parquet splits — the shuffle costs far less than 3-wide Python.
+    packed = li.repartition(spark.sparkContext.defaultParallelism).select(
         F.struct(
             "l_orderkey",
             "l_returnflag",

@@ -62,6 +62,11 @@ HEADLINE = [
     "stream_update_group_agg",
     "cdc_debezium_materialize",
     "stream_temporal_join",
+    # r4 wire formats + audio decode: pure-Python avro datasource,
+    # protobuf pandas-UDF codec, WAV feature extraction.
+    "source_avro_roundtrip",
+    "source_protobuf_roundtrip",
+    "mm_audio_features",
 ]
 
 
