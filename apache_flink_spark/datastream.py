@@ -1,0 +1,305 @@
+"""DataStream API facade — the reference's second user-facing API.
+
+Reference parity: the classic DataStream API lives in flink-runtime since
+2.0 (``flink-runtime/src/main/java/org/apache/flink/streaming/api/
+datastream/DataStream.java``, ``KeyedStream.java``, environment
+``.../environment/StreamExecutionEnvironment.java`` — ``fromElements:995``,
+``fromCollection:1068``, ``fromSequence:965``, ``socketTextStream:1453``).
+This module re-expresses that vocabulary over DataFrames so a DataStream
+user can port programs verbatim:
+
+    env = StreamExecutionEnvironment.get_execution_environment()
+    ds = env.from_collection([...], "word string")
+    (ds.flat_map(..., "word string")
+       .key_by("word")
+       .sum_("n")                      # Flink batch-mode semantics
+       .to_df())
+
+Semantics note (important): Flink 2.0 runs keyed aggregations in BATCH
+execution mode by emitting only the FINAL value per key (streaming mode
+emits rolling updates). The facade implements the batch-mode contract for
+bounded inputs — ``key_by().sum_()`` is a hash aggregate — and the rolling
+variant for unbounded inputs is exactly the update-mode streaming group agg
+already registered (``stream_update_group_agg``).
+
+Expression-first design: ``map``/``filter`` take Column expressions (JVM,
+whole-stage codegen) as the hot path; Python callables are accepted and run
+Arrow-batched via ``mapInPandas`` — the documented slow path, same contract
+as a Flink ``MapFunction``.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_flink_spark.table_api import GroupWindow
+
+
+class StreamExecutionEnvironment:
+    """Entry point (StreamExecutionEnvironment.java parity)."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        if spark is None:
+            from apache_flink_spark.session import get_spark
+
+            spark = get_spark()
+        self.spark = spark
+
+    @classmethod
+    def get_execution_environment(
+        cls, spark: SparkSession | None = None
+    ) -> "StreamExecutionEnvironment":
+        return cls(spark)
+
+    def set_parallelism(self, n: int) -> "StreamExecutionEnvironment":
+        """Default parallelism (``setParallelism``): maps to the shuffle
+        partition count — the unit of keyed parallelism here."""
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        return self
+
+    # -- sources -----------------------------------------------------------
+
+    def from_collection(self, data, schema=None) -> "DataStream":
+        """``fromCollection:1068`` / ``fromElements:995``."""
+        return DataStream(self.spark.createDataFrame(data, schema))
+
+    from_elements = from_collection
+
+    def from_sequence(self, start: int, end: int) -> "DataStream":
+        """``fromSequence:965``: inclusive [start, end], column ``id``."""
+        return DataStream(self.spark.range(start, end + 1))
+
+    def socket_text_stream(self, host: str, port: int) -> "DataStream":
+        """``socketTextStream:1453``: one ``value`` string column/line."""
+        from apache_flink_spark.streaming.sources import socket_source
+
+        return DataStream(socket_source(self.spark, host, port))
+
+    def from_source(self, df: DataFrame) -> "DataStream":
+        """Wrap any batch or streaming DataFrame (FLIP-27 Source parity —
+        the DataFrame IS the source)."""
+        return DataStream(df)
+
+    def execute(self, job_name: str | None = None) -> None:
+        """``execute()``: no-op — Spark actions trigger execution; kept so
+        ported programs run unchanged."""
+        return None
+
+
+def _rowwise(fn: Callable, out_schema: str):
+    """Arrow-batched adapter for a per-row Python function (MapFunction /
+    FlatMapFunction contract). fn(Row-as-namedtuple) -> tuple (map) or
+    iterable of tuples (flat_map when flat=True)."""
+
+    def run_map(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [fn(r) for r in pdf.itertuples(index=False)]
+            yield pd.DataFrame(rows)
+
+    return run_map
+
+
+def _rowwise_flat(fn: Callable):
+    def run_flat(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = [t for r in pdf.itertuples(index=False) for t in fn(r)]
+            yield pd.DataFrame(out)
+
+    return run_flat
+
+
+class DataStream:
+    """DataStream.java parity over a DataFrame (batch or streaming)."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def to_df(self) -> DataFrame:
+        return self.df
+
+    # -- stateless transforms (StreamExecCalc twin) ------------------------
+
+    def map(self, fn, output_type: str | None = None) -> "DataStream":
+        """``DataStream.map``. Column expression(s) -> JVM projection (hot
+        path); Python callable -> Arrow-batched mapInPandas (slow path,
+        requires ``output_type``)."""
+        if callable(fn) and not isinstance(fn, Column):
+            if output_type is None:
+                raise ValueError("python map() needs an output_type schema")
+            return DataStream(
+                self.df.mapInPandas(_rowwise(fn, output_type), output_type)
+            )
+        cols = fn if isinstance(fn, (list, tuple)) else [fn]
+        return DataStream(self.df.select(*cols))
+
+    def flat_map(self, fn, output_type: str | None = None) -> "DataStream":
+        """``DataStream.flatMap``. Column producing an array -> explode
+        (JVM); Python generator callable -> mapInPandas."""
+        if callable(fn) and not isinstance(fn, Column):
+            if output_type is None:
+                raise ValueError("python flat_map() needs an output_type")
+            return DataStream(
+                self.df.mapInPandas(_rowwise_flat(fn), output_type)
+            )
+        col = fn if isinstance(fn, Column) else F.col(fn)
+        return DataStream(self.df.select(F.explode(col).alias("value")))
+
+    def filter(self, predicate) -> "DataStream":
+        """``DataStream.filter``: Column/SQL-string predicate (JVM)."""
+        return DataStream(self.df.filter(predicate))
+
+    def project(self, *cols) -> "DataStream":
+        return DataStream(self.df.select(*cols))
+
+    # -- partitioning ------------------------------------------------------
+
+    def key_by(self, *keys) -> "KeyedStream":
+        """``DataStream.keyBy``: hash-partition by key."""
+        return KeyedStream(self.df, [k if isinstance(k, Column) else F.col(k) for k in keys], list(keys))
+
+    def broadcast(self) -> "DataStream":
+        """``DataStream.broadcast:337``: replicate to every task — here, a
+        broadcast-join hint on the relation."""
+        return DataStream(F.broadcast(self.df))
+
+    def rebalance(self) -> "DataStream":
+        """Round-robin repartition (``rebalance``)."""
+        return DataStream(
+            self.df.repartition(
+                int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
+                or self.df.sparkSession.sparkContext.defaultParallelism
+            )
+        )
+
+    def union(self, *others: "DataStream") -> "DataStream":
+        """``DataStream.union``: UNION ALL of same-schema streams."""
+        out = self.df
+        for o in others:
+            out = out.unionAll(o.df)
+        return DataStream(out)
+
+    # -- event time --------------------------------------------------------
+
+    def assign_timestamps_and_watermarks(
+        self, ts_col: str, max_out_of_orderness: str
+    ) -> "DataStream":
+        """``assignTimestampsAndWatermarks`` with
+        ``forBoundedOutOfOrderness`` (WatermarkStrategy.java:234)."""
+        return DataStream(self.df.withWatermark(ts_col, max_out_of_orderness))
+
+    # -- sinks -------------------------------------------------------------
+
+    def print(self, n: int = 20) -> None:
+        """``DataStream.print``: console sink."""
+        from apache_flink_spark import io
+
+        io.print_sink(self.df, n)
+
+    def sink_to(self, path: str, fmt: str = "parquet") -> None:
+        """FileSink parity."""
+        self.df.write.mode("overwrite").format(fmt).save(path)
+
+    def execute_and_collect(self, limit: int = 1000):
+        """``executeAndCollect(limit)`` — bounded driver fetch, the ONLY
+        collect in this API (mirrors the reference's own test sink)."""
+        return self.df.limit(limit).collect()
+
+
+class KeyedStream(DataStream):
+    """KeyedStream.java parity: per-key aggregates and windows. Bounded
+    (batch-mode) semantics — final value per key."""
+
+    def __init__(self, df: DataFrame, key_cols: list[Column], key_names: list):
+        super().__init__(df)
+        self._keys = key_cols
+        self._key_names = key_names
+
+    def sum_(self, col) -> DataStream:
+        return self._agg(F.sum(col).alias(f"sum_{col}" if isinstance(col, str) else "sum"))
+
+    def min_(self, col) -> DataStream:
+        return self._agg(F.min(col).alias(f"min_{col}" if isinstance(col, str) else "min"))
+
+    def max_(self, col) -> DataStream:
+        return self._agg(F.max(col).alias(f"max_{col}" if isinstance(col, str) else "max"))
+
+    def count(self) -> DataStream:
+        return self._agg(F.count(F.lit(1)).alias("count"))
+
+    def aggregate(self, *aggs: Column) -> DataStream:
+        """``KeyedStream.aggregate`` with explicit aggregate expressions."""
+        return self._agg(*aggs)
+
+    def _agg(self, *aggs: Column) -> DataStream:
+        return DataStream(self.df.groupBy(*self._keys).agg(*aggs))
+
+    def reduce(self, fn: Callable, output_type: str | None = None) -> DataStream:
+        """``KeyedStream.reduce``: per-key fold with a Python ReduceFunction
+        (fn(acc_row, row) -> row, rows as namedtuples). Arrow-batched
+        applyInPandas per key — the documented slow path; prefer
+        ``aggregate`` with Column expressions."""
+        import functools
+
+        schema = output_type or self.df.schema
+
+        def fold(pdf):
+            import pandas as pd
+
+            rows = list(pdf.itertuples(index=False))
+            acc = functools.reduce(fn, rows[1:], rows[0])
+            return pd.DataFrame([tuple(acc)], columns=list(pdf.columns))
+
+        return DataStream(
+            self.df.groupBy(*self._keys).applyInPandas(fold, schema)
+        )
+
+    def window(self, assigner: "GroupWindow") -> "WindowedKeyedStream":
+        """``KeyedStream.window`` with an event-time window assigner
+        (Tumbling/Sliding/Session — same assigners as the Table API)."""
+        return WindowedKeyedStream(self.df, self._keys, assigner)
+
+
+class WindowedKeyedStream:
+    def __init__(self, df: DataFrame, keys: list[Column], assigner: GroupWindow):
+        self.df = df
+        self.keys = keys
+        self.assigner = assigner
+
+    def aggregate(self, *aggs: Column) -> DataStream:
+        """``WindowedStream.aggregate``: keyed windowed aggregation —
+        groupBy(window, keys), the StreamExecWindowAggregate shape."""
+        win = self.assigner.to_column().alias(self.assigner.alias_name or "w")
+        return DataStream(self.df.groupBy(win, *self.keys).agg(*aggs))
+
+
+# Window assigner aliases in DataStream vocabulary
+# (TumblingEventTimeWindows.of / SlidingEventTimeWindows.of /
+#  EventTimeSessionWindows.withGap)
+from apache_flink_spark.table_api import (  # noqa: E402
+    Session as EventTimeSessionWindows,
+    Slide as SlidingEventTimeWindows,
+    Tumble as TumblingEventTimeWindows,
+)
+
+# DataStream vocabulary: assigners use .of(...) (TumblingEventTimeWindows
+# .of, SlidingEventTimeWindows.of) where the Table API says .over(...).
+TumblingEventTimeWindows.of = TumblingEventTimeWindows.over
+SlidingEventTimeWindows.of = SlidingEventTimeWindows.over
+
+__all__ = [
+    "StreamExecutionEnvironment",
+    "DataStream",
+    "KeyedStream",
+    "WindowedKeyedStream",
+    "TumblingEventTimeWindows",
+    "SlidingEventTimeWindows",
+    "EventTimeSessionWindows",
+]

@@ -1,0 +1,143 @@
+"""DataStream API facade tests (apache_flink_spark/datastream.py).
+
+The registered ds_* queries pin oracle parity; these pin the API contract:
+python map/flat_map/reduce callables, key_by aggregates, window assigners,
+union/broadcast/rebalance, watermark assignment, and that the expression
+fast paths stay JVM-side (no Python eval in the plan).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_flink_spark.datastream import (
+    EventTimeSessionWindows,
+    SlidingEventTimeWindows,
+    StreamExecutionEnvironment,
+    TumblingEventTimeWindows,
+)
+
+
+@pytest.fixture()
+def env(spark):
+    return StreamExecutionEnvironment.get_execution_environment(spark)
+
+
+def test_from_collection_map_filter_expression_path(spark, env):
+    ds = env.from_collection([(1, "a"), (2, "b"), (3, "c")], "n long, s string")
+    out = (
+        ds.filter("n >= 2")
+        .map([F.col("n") * 10, F.col("s")])
+        .to_df()
+    )
+    assert sorted(map(tuple, out.collect())) == [(20, "b"), (30, "c")]
+    # expression path must stay JVM-side: no Python eval operators
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_python_map_callable(spark, env):
+    ds = env.from_sequence(1, 5)
+    out = ds.map(lambda r: (r.id * r.id,), "sq long").to_df()
+    assert sorted(r.sq for r in out.collect()) == [1, 4, 9, 16, 25]
+
+
+def test_python_map_requires_schema(env):
+    with pytest.raises(ValueError, match="output_type"):
+        env.from_sequence(1, 3).map(lambda r: (r.id,))
+
+
+def test_python_flat_map_callable(spark, env):
+    ds = env.from_collection([("a b",), ("c",)], "line string")
+    out = ds.flat_map(
+        lambda r: [(w,) for w in r.line.split(" ")], "word string"
+    ).to_df()
+    assert sorted(r.word for r in out.collect()) == ["a", "b", "c"]
+
+
+def test_flat_map_expression_explode(spark, env):
+    ds = env.from_collection([("a b",), ("c d e",)], "line string")
+    out = ds.flat_map(F.split("line", " ")).to_df()
+    assert out.columns == ["value"]
+    assert out.count() == 5
+
+
+def test_key_by_aggregates(spark, env):
+    rows = [("x", 1), ("x", 2), ("y", 10)]
+    ds = env.from_collection(rows, "k string, v long")
+    got = {
+        (r.k, r.sum_v, r.min_v)
+        for r in ds.key_by("k")
+        .aggregate(F.sum("v").alias("sum_v"), F.min("v").alias("min_v"))
+        .to_df()
+        .collect()
+    }
+    assert got == {("x", 3, 1), ("y", 10, 10)}
+
+
+def test_keyed_reduce_python(spark, env):
+    rows = [("x", 1), ("x", 2), ("x", 4), ("y", 10)]
+    ds = env.from_collection(rows, "k string, v long")
+
+    def pick_bigger(a, b):
+        return a if a.v >= b.v else b
+
+    got = {
+        (r.k, r.v)
+        for r in ds.key_by("k").reduce(pick_bigger).to_df().collect()
+    }
+    assert got == {("x", 4), ("y", 10)}
+
+
+def test_window_assigner_vocabulary(spark, env, sf_dir):
+    import datetime as dt
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 1), 1),
+        ("a", dt.datetime(2024, 1, 1, 0, 2), 2),
+        ("a", dt.datetime(2024, 1, 1, 0, 59), 5),
+    ]
+    ds = env.from_collection(rows, "k string, ts timestamp, v long")
+    win = TumblingEventTimeWindows.of("10 minutes").on("ts").alias("w")
+    out = (
+        ds.key_by("k").window(win).aggregate(F.sum("v").alias("s")).to_df()
+    )
+    got = sorted((r.w.start.minute, r.s) for r in out.collect())
+    assert got == [(0, 3), (50, 5)]
+    # sliding + session assigners build without error and carry .of/.with_gap
+    SlidingEventTimeWindows.of("10 minutes").every("5 minutes").on("ts")
+    EventTimeSessionWindows.with_gap("5 minutes").on("ts")
+
+
+def test_union_and_rebalance(spark, env):
+    a = env.from_sequence(1, 3)
+    b = env.from_sequence(4, 5)
+    u = a.union(b)
+    assert u.to_df().count() == 5
+    assert u.rebalance().to_df().count() == 5
+
+
+def test_broadcast_hint(spark, env):
+    dim = env.from_collection([(1, "one")], "id long, name string").broadcast()
+    fact = env.from_sequence(1, 100)
+    joined = fact.to_df().join(dim.to_df(), "id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_watermark_assignment_streaming(spark, env, sf_dir):
+    from apache_flink_spark.streaming.sources import stream_table
+
+    ds = env.from_source(stream_table(spark, sf_dir, "events"))
+    wm = ds.assign_timestamps_and_watermarks("ts", "10 minutes")
+    assert wm.to_df().isStreaming
+
+
+def test_execute_and_collect_bounded(spark, env):
+    rows = env.from_sequence(1, 1000).execute_and_collect(limit=10)
+    assert len(rows) == 10
+
+
+def test_env_execute_noop(env):
+    assert env.execute("job") is None
