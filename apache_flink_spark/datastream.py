@@ -266,6 +266,57 @@ class KeyedStream(DataStream):
         (Tumbling/Sliding/Session — same assigners as the Table API)."""
         return WindowedKeyedStream(self.df, self._keys, assigner)
 
+    def interval_join(
+        self,
+        other: "KeyedStream",
+        left_ts: str,
+        right_ts: str,
+        lower: str,
+        upper: str,
+    ) -> DataStream:
+        """``KeyedStream.intervalJoin:369`` (RT TimeIntervalJoin.java):
+        join rows with equal keys whose times satisfy
+        ``left_ts + lower <= right_ts <= left_ts + upper`` (lower/upper are
+        SQL interval strings, negative allowed: ``"-30 minutes"``).
+        On streaming inputs with watermarks, Structured Streaming derives
+        state eviction from the range condition — the same cleanup the
+        reference's interval-join state timers do."""
+        conds = [
+            lk.eqNullSafe(rk) for lk, rk in zip(self._keys, other._keys)
+        ]
+        lo = F.col(left_ts) + F.expr(f"INTERVAL {lower.lstrip('+')}")
+        hi = F.col(left_ts) + F.expr(f"INTERVAL {upper.lstrip('+')}")
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        cond = cond & (F.col(right_ts) >= lo) & (F.col(right_ts) <= hi)
+        return DataStream(self.df.join(other.df, cond))
+
+    def process(
+        self,
+        fn,
+        output_schema: str,
+        state_schema: str | None = None,
+        output_mode: str = "append",
+        timeout: str = "NoTimeout",
+    ) -> DataStream:
+        """``KeyedProcessFunction`` parity. Batch input: per-key
+        ``applyInPandas`` (fn(key, pdf) -> pdf). Streaming input: per-key
+        ``applyInPandasWithState`` (fn(key, pdfs, state) -> iterator of
+        pdfs) with a GroupState of ``state_schema`` — the same surface the
+        engine's own stateful operators (Top-N, custom sessions, temporal
+        sort — streaming/stateful.py) are built on."""
+        grouped = self.df.groupBy(*self._keys)
+        if self.df.isStreaming:
+            if state_schema is None:
+                raise ValueError("streaming process() needs a state_schema")
+            return DataStream(
+                grouped.applyInPandasWithState(
+                    fn, output_schema, state_schema, output_mode, timeout
+                )
+            )
+        return DataStream(grouped.applyInPandas(fn, output_schema))
+
 
 class WindowedKeyedStream:
     def __init__(self, df: DataFrame, keys: list[Column], assigner: GroupWindow):

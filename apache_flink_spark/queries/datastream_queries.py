@@ -78,3 +78,52 @@ def ds_keyed_window_agg(spark, sf_dir):
         "n_events",
         "sum_value",
     )
+
+
+@query(
+    "ds_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           er.event_id AS error_id,
+           epoch_us(c.ts) AS click_ts,
+           epoch_us(er.ts) AS error_ts
+    FROM events c JOIN events er
+      ON c.user_id = er.user_id
+     AND er.ts >= c.ts - INTERVAL 30 MINUTE
+     AND er.ts <= c.ts
+    WHERE c.event_type = 'click' AND er.event_type = 'error'
+    """,
+)
+def ds_interval_join(spark, sf_dir):
+    """KeyedStream.intervalJoin through the facade (reference
+    KeyedStream.intervalJoin:369 / TimeIntervalJoin.java): errors within
+    the 30 minutes preceding each click by the same user — the DataStream
+    spelling of the registered interval_join query, same oracle, proving
+    the facade builds the identical time-bounded join."""
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    e = t(spark, sf_dir, "events")
+    clicks = env.from_source(
+        e.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    ).key_by("user_id")
+    errors = env.from_source(
+        e.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("e_ts"),
+        )
+    ).key_by("e_user")
+    return (
+        clicks.interval_join(errors, "c_ts", "e_ts", "-30 minutes", "0 minutes")
+        .to_df()
+        .select(
+            "user_id",
+            "click_id",
+            "error_id",
+            F.unix_micros("c_ts").alias("click_ts"),
+            F.unix_micros("e_ts").alias("error_ts"),
+        )
+    )

@@ -141,3 +141,47 @@ def test_execute_and_collect_bounded(spark, env):
 
 def test_env_execute_noop(env):
     assert env.execute("job") is None
+
+
+def test_interval_join_batch(spark, env):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    left = env.from_collection(
+        [(1, base + dt.timedelta(minutes=10))], "k long, lts timestamp"
+    ).key_by("k")
+    right = env.from_collection(
+        [
+            (1, base + dt.timedelta(minutes=5)),   # inside [-10m, 0]
+            (1, base + dt.timedelta(minutes=11)),  # after
+            (1, base - dt.timedelta(minutes=5)),   # before window
+            (2, base + dt.timedelta(minutes=9)),   # wrong key
+        ],
+        "k2 long, rts timestamp",
+    ).key_by("k2")
+    out = left.interval_join(right, "lts", "rts", "-10 minutes", "0 minutes")
+    rows = out.to_df().collect()
+    assert len(rows) == 1 and rows[0].rts.minute == 5
+
+
+def test_keyed_process_batch(spark, env):
+    import pandas as pd
+
+    ds = env.from_collection(
+        [("x", 3), ("x", 1), ("y", 7)], "k string, v long"
+    )
+
+    def median_like(key, pdf):
+        return pd.DataFrame({"k": [key[0]], "total": [int(pdf.v.sum())]})
+
+    out = ds.key_by("k").process(median_like, "k string, total long")
+    got = {(r.k, r.total) for r in out.to_df().collect()}
+    assert got == {("x", 4), ("y", 7)}
+
+
+def test_streaming_process_requires_state_schema(spark, env, sf_dir):
+    from apache_flink_spark.streaming.sources import stream_table
+
+    ds = env.from_source(stream_table(spark, sf_dir, "events")).key_by("user_id")
+    with pytest.raises(ValueError, match="state_schema"):
+        ds.process(lambda *a: None, "user_id long")
