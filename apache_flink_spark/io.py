@@ -99,8 +99,9 @@ def write_avro(df: DataFrame, path: str) -> None:
             raise
         from apache_flink_spark.formats import avro_format
 
-        avro_format.register(df.sparkSession)
-        df.write.mode("overwrite").format("pyavro").save(path)
+        # mapInArrow sink (shared warm UDF worker pool); the registered
+        # pyavro datasource write lane stays the API-parity surface.
+        avro_format.write_avro_dir(df, path)
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
@@ -115,8 +116,9 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
             raise
         from apache_flink_spark.formats import avro_format
 
-        avro_format.register(spark)
-        return spark.read.format("pyavro").load(path)
+        # mapInArrow source (shared warm UDF worker pool); the registered
+        # pyavro datasource read lane stays the API-parity surface.
+        return avro_format.read_avro_dir(spark, path)
 
 
 def write_sequence_file(

@@ -268,12 +268,15 @@ def source_avro_roundtrip(spark, sf_dir):
     round-trip must be lossless to hash-match."""
     o = t(spark, sf_dir, "orders")
     path = io.roundtrip_dir(sf_dir, "orders_avro")
-    # Repartition to core count before the write: the container-file count
-    # IS the read parallelism, and the pure-Python encode/decode stages
-    # scale by cores, not by the (few) input splits of the parquet fixture.
+    # Repartition before the write: the container-file count IS the read
+    # parallelism. Capped at 8 because every pyavro write task cold-starts
+    # a dedicated Python datasource worker (~6s for 32 simultaneous
+    # starts, measured) while the encode itself is ~1s for all of sf0.1 —
+    # on a real cluster the JVM spark-avro path takes over and the input
+    # split count governs parallelism instead.
     io.write_avro(
         o.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
-        .repartition(spark.sparkContext.defaultParallelism),
+        .repartition(min(8, spark.sparkContext.defaultParallelism)),
         path,
     )
     back = io.read_avro(spark, path)
