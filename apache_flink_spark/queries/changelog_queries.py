@@ -12,7 +12,7 @@ from apache_flink_spark.changelog import (
     drop_update_before,
     materialize,
 )
-from apache_flink_spark.queries._util import t
+from apache_flink_spark.queries._util import dround, t
 from apache_flink_spark.queries.registry import query
 
 from pyspark.sql import functions as F
@@ -73,6 +73,51 @@ def changelog_materialize(spark, sf_dir):
         ["user_id", "event_type"],
         ["ts_us", "event_id"],
         "value",
+    )
+
+
+@query(
+    "changelog_agg_retract",
+    oracle="""
+    SELECT event_type,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total_value,
+           COUNT(*) AS live_keys
+    FROM (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC)
+                   AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def changelog_agg_retract(spark, sf_dir):
+    """Retract-aware aggregation over an updating stream — the reference's
+    GroupAggFunction.java calls ``acc.retract(row)`` for -U/-D rowkinds so
+    a SUM over a changelog tracks the CURRENT images, not the arrival
+    history. Spark-first: fold the rowkind into a +1/-1 weight and run ONE
+    hash aggregate of the signed values — sum(weight*value) telescopes to
+    the last image per key and sum(weight) to the live-key count.
+    Summed as exact DECIMAL so every -U cancels its +I/+U bit-for-bit
+    (double addition would leave round-off residue and the count of keys
+    would still be right but the sum nondeterministic). One narrow
+    map + one shuffle regardless of how many updates each key saw —
+    the 100 TB plan is identical to a plain groupBy.
+    Oracle derives the same result independently: last image per
+    (user_id, event_type), then a plain aggregate."""
+    log = _changelog(spark, sf_dir)
+    w = F.when(F.col("__rowkind").isin("+I", "+U"), F.lit(1)).otherwise(-1)
+    signed = log.select(
+        "event_type",
+        w.alias("__w"),
+        (w * F.col("value").cast("decimal(18,4)")).alias("__wv"),
+    )
+    return signed.groupBy("event_type").agg(
+        dround(F.sum("__wv")).alias("total_value"),
+        F.sum("__w").cast("long").alias("live_keys"),
     )
 
 

@@ -83,6 +83,94 @@ def interval_join(spark, sf_dir):
     )
 
 
+@query(
+    "interval_join_left",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           er.event_id AS error_id,
+           epoch_us(c.ts) AS click_ts,
+           epoch_us(er.ts) AS error_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') er
+      ON c.user_id = er.user_id
+     AND er.ts >= c.ts - INTERVAL 30 MINUTE
+     AND er.ts <= c.ts
+    """,
+)
+def interval_join_left(spark, sf_dir):
+    """LEFT OUTER interval join (TimeIntervalJoin.java — the reference
+    plans all four outer modes for interval joins; its joinType drives
+    whether unmatched left rows emit with nulls once the time bound
+    passes). Batch twin: clicks keep a row even when no error preceded
+    them within 30 minutes. Same plan shape as the inner variant — equi
+    shuffle on user_id, range as a post-join filter, outer rows preserved
+    by the join mode, so the scale story is unchanged."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("e_ts") <= F.col("c_ts")),
+        "left",
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "error_id",
+        F.unix_micros("c_ts").alias("click_ts"),
+        F.unix_micros("e_ts").alias("error_ts"),
+    )
+
+
+@query(
+    "interval_join_full",
+    oracle="""
+    SELECT c.user_id AS click_user,
+           er.user_id AS error_user,
+           c.event_id AS click_id,
+           er.event_id AS error_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'error') er
+      ON c.user_id = er.user_id
+     AND er.ts >= c.ts - INTERVAL 30 MINUTE
+     AND er.ts <= c.ts
+    """,
+)
+def interval_join_full(spark, sf_dir):
+    """FULL OUTER interval join (TimeIntervalJoin.java joinType=FULL):
+    clicks with no preceding error AND errors followed by no click within
+    the bound both survive with nulls — the reference emits each side's
+    unmatched rows when its time bound expires."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("error_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("click_user") == F.col("error_user"))
+        & (F.col("e_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("e_ts") <= F.col("c_ts")),
+        "full",
+    )
+    return joined.select("click_user", "error_user", "click_id", "error_id")
+
+
 def asof_join(left, right, key: str, ts: str, carry: str, tiebreak: str):
     """Reusable as-of / temporal join (TemporalRowTimeJoinOperator, FOR
     SYSTEM_TIME AS OF): for every LEFT row, the value of ``carry`` from the
