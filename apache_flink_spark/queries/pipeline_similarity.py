@@ -523,3 +523,121 @@ def sim_lsh_multiprobe(spark, sf_dir):
         .filter(F.col("rnk") <= 5)
         .select("query_id", "cand_id", "rnk", F.round(cos, 6).alias("cosine"))
     )
+
+
+@query(
+    "pipeline_kmeans_assign",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, {_QE_SQL} AS qe FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS centroid_id, qe AS c_qe FROM v WHERE vec_id < 8
+    ), d AS (
+        SELECT v.vec_id, cent.centroid_id,
+               {_dot_sql("v.qe", "cent.c_qe")} AS dot,
+               {_dot_sql("v.qe", "v.qe")} AS nv,
+               {_dot_sql("cent.c_qe", "cent.c_qe")} AS nc
+        FROM v CROSS JOIN cent
+    ), ranked AS (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY CAST(dot AS DOUBLE)
+                            / sqrt(CAST(nv * nc AS DOUBLE)) DESC,
+                            centroid_id) AS rn
+        FROM d
+    )
+    SELECT centroid_id, COUNT(*) AS n_members,
+           MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+    FROM ranked WHERE rn = 1
+    GROUP BY centroid_id
+    """,
+)
+def pipeline_kmeans_assign(spark, sf_dir):
+    """K-means assignment step — the workhorse of embedding clustering /
+    IVF index training: every vector assigned to its nearest of K fixed
+    centroids (K=8, deterministically the vectors with vec_id 0..7 — in
+    production these come from the previous Lloyd iteration; the join
+    shape is identical). Nearest = max cosine over the exact-integer
+    quantized dots (module determinism contract), ties to the lowest
+    centroid id. Plan: the K-row centroid set broadcasts (a full Lloyd
+    iteration at 100 TB is this same narrow pass + one k-row groupBy per
+    step), then a per-vector argmax — no shuffle on the corpus beyond the
+    final k-row aggregate. Returns per-cluster membership stats."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.expr(_QE_SPARK).alias("qe"))
+    cent = (
+        v.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("centroid_id"), F.col("qe").alias("c_qe")
+        )
+    )
+    d = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        F.expr(_dot_spark("qe", "c_qe")).alias("dot"),
+        F.expr(_dot_spark("qe", "qe")).alias("nv"),
+        F.expr(_dot_spark("c_qe", "c_qe")).alias("nc"),
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        (F.col("nv") * F.col("nc")).cast("double")
+    )
+    best = F.max(
+        F.struct(cos.alias("cos"), (-F.col("centroid_id")).alias("neg_id"))
+    )
+    assigned = d.groupBy("vec_id").agg(
+        (-best.getField("neg_id")).alias("centroid_id")
+    )
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )
+
+
+_Q8_SPARK = (
+    "transform(embedding, x -> CAST(greatest(-127.0, least(127.0,"
+    " floor(x * 127))) AS BIGINT))"
+)
+_Q8_SQL = (
+    "[CAST(greatest(-127.0, least(127.0, floor(x * 127))) AS BIGINT)"
+    " for x in embedding]"
+)
+
+
+@query(
+    "pipeline_embed_quantize",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label, {_Q8_SQL} AS q8, embedding FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST(list_sum(q8) AS BIGINT) AS q_sum,
+           CAST(list_sum([abs(x) for x in q8]) AS BIGINT) AS q_l1,
+           len(list_filter(q8, x -> abs(x) = 127)) AS n_sat
+    FROM q
+    """,
+)
+def pipeline_embed_quantize(spark, sf_dir):
+    """Int8 embedding quantization — the storage/serving compression stage
+    of an embedding pipeline (4x smaller than float32 before ANN search).
+    Fixed-scale floor(x*127) clamped to [-127, 127]: multiply and floor
+    are single correctly-rounded IEEE ops, so both engines produce
+    identical integers (the module's determinism contract; per-vector
+    max-abs scaling would need a cross-engine-rounded division). Narrow
+    map-only stage, JVM higher-order functions, no shuffle — emits the
+    quantized checksum stats (sum, L1 mass, saturation count) per
+    vector."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", "label", F.expr(_Q8_SPARK).alias("q8"))
+    return q.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(q8, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("q_sum"),
+        F.expr(
+            "aggregate(q8, CAST(0 AS BIGINT), (acc, x) -> acc + abs(x))"
+        ).alias("q_l1"),
+        F.size(F.expr("filter(q8, x -> abs(x) = 127)")).alias("n_sat"),
+    )

@@ -420,3 +420,71 @@ def text_repetition_filter(spark, sf_dir):
         .alias("dup3_frac"),
         ((F.col("n_grams") == 0) | (dup_raw <= 0.2)).alias("keep"),
     )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df
+    FROM (
+        SELECT doc_id, term, tf, df,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rn
+        FROM scored
+    )
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf * ln(N/df). Classic corpus analytics over the same whitespace
+    tokens as text_token_stats. Plan: one explode + two hash aggregates
+    (term frequency per doc, document frequency per term) + an equi-join
+    on term + a per-doc top-n window — at 100 TB the df table is tiny
+    relative to the corpus (vocabulary-sized) and every shuffle is keyed,
+    no all-pairs shape anywhere. The emitted columns are the integer
+    (tf, df) pair — the float score only ORDERS (desc, term tiebreak), so
+    cross-engine libm ulp differences in ln() cannot flip a hash, only a
+    pathological near-tie could (distinct small-integer (tf, df) pairs
+    whose scores collide within 1 ulp)."""
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+            "score"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df")
+    )

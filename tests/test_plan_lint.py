@@ -39,6 +39,11 @@ _WHITELIST = {
         "deliberate exactness baseline; tiny broadcast query set",
         {"BroadcastNestedLoopJoin"},
     ),
+    "pipeline_kmeans_assign": (
+        "K-row centroid set broadcasts against the corpus — the k-means "
+        "assignment shape; fan-out is K per vector, never corpus^2",
+        {"BroadcastNestedLoopJoin"},
+    ),
     "temporal_join_sql": (
         "documented temporal-SQL rewrite limitation",
         {"BroadcastNestedLoopJoin"},
