@@ -459,3 +459,51 @@ def dedup_cluster_components(spark, sf_dir):
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
     )
+
+
+@query(
+    "dedup_edit_distance",
+    oracle="""
+    WITH blocked AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(a.text, b.text) AS dist,
+               greatest(len(a.text), len(b.text)) AS max_len
+        FROM documents a JOIN documents b
+          ON md5(substring(a.text, 1, 64)) = md5(substring(b.text, 1, 64))
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, dist, max_len
+    FROM blocked
+    WHERE 50 * dist <= max_len
+    """,
+)
+def dedup_edit_distance(spark, sf_dir):
+    """Edit-distance near-dup confirmation — the high-precision second
+    stage after cheap blocking (the pattern real dedup pipelines run:
+    MinHash/prefix blocking proposes, Levenshtein disposes). Blocking key
+    here = md5 of the first 64 chars (an equi-join, so candidates scale
+    with bucket occupancy, never corpus^2 — same story and same hot-bucket
+    caveat as dedup_ngram_jaccard, with MinHash-LSH as the escalation);
+    the confirm filter keeps pairs whose edit distance is <= 2% of the
+    longer text, compared as exact integers (50*d <= max_len) so no
+    cross-engine float boundary exists. Levenshtein runs JVM-side
+    (O(len^2) per CANDIDATE pair only)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.md5(F.substring("text", 1, 64)).alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.md5(F.substring("text", 1, 64)).alias("bk"),
+    )
+    cand = a.join(b, "bk").filter(F.col("doc_a") < F.col("doc_b"))
+    out = cand.select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein("text_a", "text_b").alias("dist"),
+        F.greatest(F.length("text_a"), F.length("text_b")).alias("max_len"),
+    )
+    return out.filter(50 * F.col("dist") <= F.col("max_len"))
