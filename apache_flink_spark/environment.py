@@ -10,11 +10,24 @@ DataFrame API and Catalyst plans/executes them.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from apache_flink_spark.catalog import load_tables
 from apache_flink_spark.functions.registry import register_all
 from apache_flink_spark.session import get_spark
+
+
+# Flink SqlRichExplain grammar: EXPLAIN [detail[, detail]*] [PLAN FOR] stmt.
+_EXPLAIN_RE = re.compile(
+    r"""^\s*EXPLAIN\s+
+        (?P<details>(?:(?:ESTIMATED_COST|CHANGELOG_MODE|PLAN_ADVICE|
+                       JSON_EXECUTION_PLAN)\s*,?\s*)+)?
+        (?:PLAN\s+FOR\s+)?
+        (?P<stmt>(?:SELECT|INSERT|WITH|VALUES|TABLE)\b.*)$""",
+    re.IGNORECASE | re.DOTALL | re.VERBOSE,
+)
 
 
 class TableEnvironment:
@@ -52,6 +65,19 @@ class TableEnvironment:
         and MATCH_RECOGNIZE (match_recognize.py) — reference
         StreamExecWindowAggregate / StreamExecMatch.java:61."""
         up = query.upper()
+        m = _EXPLAIN_RE.match(query)
+        if m:
+            # Flink's ``EXPLAIN [details] [PLAN FOR] <stmt>`` (reference
+            # SqlRichExplain / TableEnvironment.explainSql). The detail
+            # flags (ESTIMATED_COST, CHANGELOG_MODE, PLAN_ADVICE,
+            # JSON_EXECUTION_PLAN) all render plan variants in the
+            # reference; Catalyst's parsed/analyzed/optimized/physical
+            # chain is the analog and is returned whenever any detail is
+            # requested. One row, column ``result`` — the reference's
+            # EXPLAIN result shape.
+            extended = bool(m.group("details"))
+            plan = self.explain_sql(m.group("stmt"), extended=extended)
+            return self.spark.createDataFrame([(plan,)], "result string")
         if "CREATE" in up and "CONNECTOR" in up:
             from apache_flink_spark.ddl import execute_flink_ddl
 

@@ -197,3 +197,38 @@ def test_statement_set_multi_sink(spark, sf_dir, tmp_path):
     assert n_hi > 0 and n_lo > 0
     # Buffer cleared: executing again writes nothing new.
     assert ss.execute() == []
+
+
+def test_sql_statement_surface(spark, sf_dir):
+    """Flink SQL statement routing through tenv.sql (reference
+    TableEnvironmentImpl.executeSql's non-query branches): EXPLAIN [PLAN
+    FOR | details], SHOW TABLES, DESCRIBE, ANALYZE TABLE."""
+    te = _tenv(spark, sf_dir)
+    # Flink-only EXPLAIN PLAN FOR syntax -> one row, column `result`.
+    row = te.sql("EXPLAIN PLAN FOR SELECT count(*) FROM lineitem").collect()
+    assert len(row) == 1 and "Aggregate" in row[0].result
+    # Detail flags request the extended chain (reference ExplainDetail).
+    ext = te.sql(
+        "EXPLAIN ESTIMATED_COST, CHANGELOG_MODE SELECT 1 AS one"
+    ).collect()[0].result
+    assert "Parsed Logical Plan" in ext and "Physical Plan" in ext
+    # Spark-native statements pass straight through.
+    tabs = {r.tableName for r in te.sql("SHOW TABLES").collect()}
+    assert "lineitem" in tabs and "orders" in tabs
+    cols = {r.col_name for r in te.sql("DESCRIBE lineitem").collect()}
+    assert "l_orderkey" in cols
+    # ANALYZE needs a catalog table (views reject it) — reference parity:
+    # Flink's ANALYZE TABLE also targets catalog tables only.
+    spark.sql("DROP TABLE IF EXISTS afs_analyze_t")
+    try:
+        te.sql(
+            "CREATE TABLE afs_analyze_t USING parquet AS "
+            "SELECT * FROM region"
+        )
+        te.sql(
+            "ANALYZE TABLE afs_analyze_t COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+        stats = te.sql("DESCRIBE EXTENDED afs_analyze_t").collect()
+        assert any("Statistics" in (r.col_name or "") for r in stats)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS afs_analyze_t")
