@@ -311,3 +311,53 @@ def match_not_followed_by(spark, sf_dir):
         F.col("event_id").alias("click_id"),
         F.col("ep").alias("click_ts"),
     )
+
+
+@query(
+    "match_timeout_sideoutput",
+    streaming=True,  # runs a real streaming job despite the match_ name
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ), wm AS (
+        SELECT MAX(ep) - 3600000000 AS wm_us FROM u
+    ), flagged AS (
+        SELECT user_id, ep, event_id, event_type,
+               MIN(CASE WHEN event_type = 'purchase' THEN ep END)
+                   OVER (PARTITION BY user_id ORDER BY ep
+                         RANGE BETWEEN 1 FOLLOWING AND {MIN30} FOLLOWING)
+                   AS next_p_ep
+        FROM u
+    )
+    SELECT user_id, event_id AS click_id, ep AS click_ts,
+           ep + {MIN30} AS deadline
+    FROM flagged, wm
+    WHERE event_type = 'click' AND next_p_ep IS NULL
+      AND ep + {MIN30} < wm_us
+    """,
+)
+def match_timeout_sideoutput(spark, sf_dir):
+    """CEP timeout side output (TimedOutPartialMatchHandler parity): the
+    partial matches of click -> purchase WITHIN 30min whose window expired
+    under the watermark without completing. Boundary convention: the
+    purchase must be STRICTLY after the click (consistent with
+    match_not_followed_by's rangeBetween(1, MIN30)); clicks inside the
+    final 1-hour watermark lag stay buffered (their window can still
+    complete), and the oracle applies the identical cutoff."""
+    from apache_flink_spark.streaming.stateful import streaming_cep_timeout
+
+    e = stream_table(spark, sf_dir, "events")
+    u = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .withWatermark("ts", "1 hour")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ep"),
+            "event_id",
+            "event_type",
+            "ts",  # the watermark column must survive into the grouping
+        )
+    )
+    out = streaming_cep_timeout(u, MIN30)
+    return run_to_table(out, "append")

@@ -447,3 +447,87 @@ def streaming_range_bounded_over(events: DataFrame, range_us: int) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         running, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_cep_timeout(stream: DataFrame, window_us: int) -> DataFrame:
+    """CEP timed-out partial matches — the reference's
+    TimedOutPartialMatchHandler / PatternStream timeout side output
+    (flink-cep .../PatternProcessFunction.java, CepOperator's
+    processTimedOutSequences): pattern click -> purchase WITHIN
+    ``window_us``; a click whose window expires under the watermark with
+    NO strictly-later same-user purchase inside it is emitted on the
+    timeout channel (the MATCHED sequences are the main output — covered
+    by match_cep_stateful; this operator is the other half).
+
+    Per-key GroupState = the pending (unmatched, unexpired) clicks — the
+    NFA's partial-match buffer. Each invocation is vectorized: one
+    searchsorted finds each click's first strictly-later purchase, one
+    mask splits consumed / expired / still-pending. An event-time timer
+    at the earliest pending deadline guarantees emission when the
+    watermark advances without new per-key data. State per key =
+    O(pending clicks inside the window), bounded by the watermark lag.
+    Rows are assumed to arrive per-key in event-time order across batches
+    (single-replay fixture batches are; the reference buffers out-of-order
+    rows in the same keyed state before its NFA sees them)."""
+
+    out_schema = "user_id long, click_id long, click_ts long, deadline long"
+    state_schema = "c_ids array<long>, c_eps array<long>"
+
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        (user_id,) = key
+        s_ids, s_eps = state.get if state.exists else ((), ())
+        c_ids = np.asarray(s_ids, dtype=np.int64)
+        c_eps = np.asarray(s_eps, dtype=np.int64)
+        pe = np.zeros(0, dtype=np.int64)
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values(["ep", "event_id"], kind="mergesort")
+            is_click = (rows["event_type"] == "click").to_numpy()
+            eps = rows["ep"].to_numpy(dtype=np.int64)
+            ids = rows["event_id"].to_numpy(dtype=np.int64)
+            c_ids = np.concatenate([c_ids, ids[is_click]])
+            c_eps = np.concatenate([c_eps, eps[is_click]])
+            pe = np.sort(eps[~is_click])
+        # Consume: first purchase strictly after the click, inside window.
+        if len(pe) and len(c_eps):
+            nxt = np.searchsorted(pe, c_eps, side="right")
+            hit = np.full(len(c_eps), False)
+            in_range = nxt < len(pe)
+            hit[in_range] = (
+                pe[nxt[in_range]] <= c_eps[in_range] + window_us
+            )
+            c_ids, c_eps = c_ids[~hit], c_eps[~hit]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        expired = c_eps + window_us < wm_us
+        out = pd.DataFrame(
+            {
+                "user_id": np.full(
+                    int(expired.sum()), user_id, dtype=np.int64
+                ),
+                "click_id": c_ids[expired],
+                "click_ts": c_eps[expired],
+                "deadline": c_eps[expired] + window_us,
+            }
+        )
+        c_ids, c_eps = c_ids[~expired], c_eps[~expired]
+        if len(c_eps):
+            state.update((c_ids.tolist(), c_eps.tolist()))
+            deadline_ms = int((c_eps.min() + window_us) // 1000) + 1
+            state.setTimeoutTimestamp(
+                max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
+        yield out
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        handler,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
