@@ -294,14 +294,13 @@ def source_avro_roundtrip(spark, sf_dir):
 @query(
     "source_protobuf_roundtrip",
     oracle="""
-    SELECT l_returnflag,
+    SELECT o_orderstatus,
            COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE)
-               AS sum_qty,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE)
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE)
                AS sum_price,
-           MIN(l_orderkey) AS min_order
-    FROM lineitem
+           MIN(o_orderkey) AS min_order,
+           MIN(o_custkey) AS min_cust
+    FROM orders
     GROUP BY 1
     """,
 )
@@ -310,48 +309,51 @@ def source_protobuf_roundtrip(spark, sf_dir):
     parity). Rows are packed into a struct, encoded to protobuf binary and
     decoded back with the spec-exact pure-Python codec
     (formats/protobuf_format.py) — varints, length-delimited fields, a
-    nested message for the money columns — all inside Arrow-batched pandas
+    nested message for the money column — all inside Arrow-batched pandas
     UDFs; payload bytes never leave the executors. Oracle reads the
-    original table, so the wire round-trip must be lossless."""
+    original table, so the wire round-trip must be lossless. Runs over
+    orders (not lineitem): the codec is per-row linear and the parity
+    point is the wire format, so the 4x-smaller table keeps the
+    Python-CPU stage from dominating the bench."""
     from apache_flink_spark.formats import protobuf_format as P
 
     desc = {
-        "name": "LineItem",
+        "name": "Order",
         "fields": {
-            1: ("l_orderkey", "int64"),
-            2: ("l_returnflag", "string"),
+            1: ("o_orderkey", "int64"),
+            2: ("o_orderstatus", "string"),
             3: (
                 "money",
                 {
                     "name": "Money",
                     "fields": {
-                        1: ("l_quantity", "double"),
-                        2: ("l_extendedprice", "double"),
+                        1: ("o_totalprice", "double"),
+                        2: ("o_custkey", "int64"),
                     },
                 },
             ),
         },
     }
-    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
     # Repartition to core count: the encode/decode stages are Python-CPU
     # bound, so parallelism must come from cores, not the fixture's (few)
     # parquet splits — the shuffle costs far less than 3-wide Python.
-    packed = li.repartition(spark.sparkContext.defaultParallelism).select(
+    packed = o.repartition(spark.sparkContext.defaultParallelism).select(
         F.struct(
-            "l_orderkey",
-            "l_returnflag",
-            F.struct("l_quantity", "l_extendedprice").alias("money"),
+            "o_orderkey",
+            "o_orderstatus",
+            F.struct("o_totalprice", "o_custkey").alias("money"),
         ).alias("payload")
     )
     wire = P.to_protobuf_py(packed, "payload", desc)
     back = P.from_protobuf_py(wire, "payload", desc).select("payload.*")
     return back.select(
-        "l_orderkey", "l_returnflag", "money.l_quantity", "money.l_extendedprice"
-    ).groupBy("l_returnflag").agg(
+        "o_orderkey", "o_orderstatus", "money.o_totalprice", "money.o_custkey"
+    ).groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        dsum("l_quantity").alias("sum_qty"),
-        dsum("l_extendedprice").alias("sum_price"),
-        F.min("l_orderkey").alias("min_order"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min("o_orderkey").alias("min_order"),
+        F.min("o_custkey").alias("min_cust"),
     )
 
 
