@@ -191,3 +191,33 @@ def stream_temporal_sort(spark, sf_dir):
     )
     out = streaming_temporal_sort(stream)
     return run_to_table(out, "append")
+
+
+@query(
+    "stream_dedup_state_ttl",
+    oracle="""
+    SELECT user_id, event_id, ep AS ts_us
+    FROM (
+        SELECT user_id, event_id, epoch_us(ts) AS ep,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id)
+                   AS prev_ep
+        FROM events
+    )
+    WHERE prev_ep IS NULL OR ep - prev_ep > 1800000000
+    """,
+)
+def stream_dedup_state_ttl(spark, sf_dir):
+    """Deduplication with TTL'd keyed state (StateTtlConfig parity): a
+    user's event emits only when more than 30 minutes passed since that
+    user's previous event — the keep-alive TTL pattern that bounds dedup
+    state to the active-key horizon. Oracle: the LAG formulation of the
+    same per-key gap rule."""
+    from apache_flink_spark.streaming.stateful import streaming_dedup_ttl
+
+    e = stream_table(spark, sf_dir, "events")
+    stream = e.withWatermark("ts", "1 hour").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    out = streaming_dedup_ttl(stream, 1_800_000_000)
+    return run_to_table(out, "append")

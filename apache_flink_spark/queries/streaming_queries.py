@@ -623,3 +623,60 @@ def stream_right_outer_join(spark, sf_dir):
         "click_id", "purchase_id", "p_user"
     )
     return run_to_table(joined, "append")
+
+
+@query(
+    "stream_window_join",
+    streaming=True,
+    oracle="""
+    SELECT c.user_id,
+           (epoch_us(c.ts) // 600000000) * 600000000 AS win_start,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND (epoch_us(c.ts) // 600000000) = (epoch_us(p.ts) // 600000000)
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_window_join(spark, sf_dir):
+    """STREAMING window join (WindowJoinOperator.java — batch twin:
+    win_join_same_window): clicks x purchases of the same user inside the
+    same 10-minute tumbling window, as a native stream-stream equi-join on
+    (user_id, window). Spark's symmetric hash join emits a pair as soon as
+    both sides arrived; the watermark's role is pure state eviction —
+    windows older than the lag drop from both join states, the exact
+    single-window state bound the reference's operator keeps per key.
+    Inner join => no emission gating, so the oracle is the full batch
+    equivalence with no cutoff."""
+    e1 = stream_table(spark, sf_dir, "events")
+    e2 = stream_table(spark, sf_dir, "events")
+    c = (
+        e1.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.window("ts", "10 minutes").alias("win"),
+        )
+    )
+    p = (
+        e2.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.window("ts", "10 minutes").alias("p_win"),
+        )
+    )
+    j = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user")) & (F.col("win") == F.col("p_win")),
+    )
+    out = j.select(
+        "user_id",
+        F.unix_micros(F.col("win.start")).alias("win_start"),
+        "click_id",
+        "purchase_id",
+    )
+    return run_to_table(out, "append")

@@ -583,3 +583,98 @@ def streaming_cep_timeout(stream: DataFrame, window_us: int) -> DataFrame:
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_dedup_ttl(stream: DataFrame, ttl_us: int) -> DataFrame:
+    """Keyed deduplication with TTL'd state — the reference's
+    StateTtlConfig pattern (flink-runtime .../state/ttl/TtlStateFactory,
+    and the dedup-with-TTL idiom its docs recommend to bound dedup state):
+    a key's first event emits; subsequent events inside ``ttl_us`` of the
+    key's LAST event are duplicates (the keep-alive refreshes the TTL —
+    OnReadAndWrite update type); once a key goes quiet for longer than the
+    TTL its state expires and the next event emits again.
+
+    State shards by key group (KEY_GROUPS, as in streaming_temporal_join)
+    holding (user, last_ts) pairs — O(active keys in the TTL horizon), the
+    bound the TTL exists to enforce. Per group the batch is one lexsort +
+    one vectorized per-segment gap scan; emission is immediate (append —
+    the verdict depends only on the key's PREVIOUS event, which in-order
+    arrival already delivered; the reference's TTL dedup emits on arrival
+    too). Rows are assumed to arrive per-key in event-time order across
+    batches (single-replay fixture batches are)."""
+
+    out_schema = "user_id long, event_id long, ts_us long"
+    state_schema = "u array<long>, last_ts array<long>"
+
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        s_u, s_ts = state.get if state.exists else ((), ())
+        su = np.asarray(s_u, dtype=np.int64)
+        sts = np.asarray(s_ts, dtype=np.int64)
+        if state.hasTimedOut:
+            yield pd.DataFrame(
+                {
+                    "user_id": np.zeros(0, np.int64),
+                    "event_id": np.zeros(0, np.int64),
+                    "ts_us": np.zeros(0, np.int64),
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        u = rows["user_id"].to_numpy(dtype=np.int64)
+        ts = rows["ts_us"].to_numpy(dtype=np.int64)
+        ids = rows["event_id"].to_numpy(dtype=np.int64)
+        o = np.lexsort((ids, ts, u))
+        u, ts, ids = u[o], ts[o], ids[o]
+        # Previous same-key timestamp: within-batch predecessor, else the
+        # state's last_ts for that key, else none.
+        prev = np.full(len(u), -1, dtype=np.int64)
+        same = np.concatenate(([False], u[1:] == u[:-1]))
+        prev[same] = ts[np.flatnonzero(same) - 1]
+        firsts = ~same
+        if len(su):
+            pos = np.searchsorted(su, u[firsts])
+            pos_ok = (pos < len(su)) & (su[np.clip(pos, 0, len(su) - 1)] == u[firsts])
+            fprev = np.full(int(firsts.sum()), -1, dtype=np.int64)
+            fprev[pos_ok] = sts[pos[pos_ok]]
+            prev[firsts] = fprev
+        emit = (prev < 0) | (ts - prev > ttl_us)
+        out = pd.DataFrame(
+            {"user_id": u[emit], "event_id": ids[emit], "ts_us": ts[emit]}
+        )
+        # New state: per key the max ts (keep-alive refresh), merged over
+        # state keys that saw no rows this batch.
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        bu = u[starts]
+        bts = np.maximum.reduceat(ts, starts) if len(u) else ts
+        if len(su):
+            untouched = ~np.isin(su, bu)
+            bu = np.concatenate([su[untouched], bu])
+            bts = np.concatenate([sts[untouched], bts])
+            o2 = np.argsort(bu)
+            bu, bts = bu[o2], bts[o2]
+        # TTL expiry under the watermark: keys whose last event is more
+        # than the TTL below the watermark can never suppress again — drop
+        # them (the state-size bound TTL exists for).
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        live = bts + ttl_us >= wm_us
+        bu, bts = bu[live], bts[live]
+        if len(bu):
+            state.update((bu.tolist(), bts.tolist()))
+        elif state.exists:
+            state.remove()
+        yield out
+
+    grouped = stream.withColumn(
+        "__kg", F.pmod(F.xxhash64("user_id"), F.lit(KEY_GROUPS))
+    )
+    return grouped.groupBy("__kg").applyInPandasWithState(
+        handler,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
