@@ -134,6 +134,34 @@ class TableEnvironment:
         qe = df._jdf.queryExecution()
         return qe.toString() if extended else qe.simpleString()
 
+    # -- catalog introspection (reference TableEnvironment.listTables /
+    # listViews / listFunctions / listDatabases, CatalogManager-backed) --
+
+    def list_tables(self) -> list[str]:
+        """Names of every table and view visible in the current database
+        (reference ``listTables`` — includes temporary views, as the
+        reference's does)."""
+        return sorted(t.name for t in self.spark.catalog.listTables())
+
+    def list_views(self) -> list[str]:
+        """Temporary-view names only (reference ``listViews``)."""
+        return sorted(
+            t.name for t in self.spark.catalog.listTables() if t.isTemporary
+        )
+
+    def list_databases(self) -> list[str]:
+        """Reference ``listDatabases`` (Spark: catalog databases)."""
+        return sorted(d.name for d in self.spark.catalog.listDatabases())
+
+    def list_functions(self) -> list[str]:
+        """Every resolvable function name, builtin + registered UDFs
+        (reference ``listFunctions``)."""
+        return sorted(f.name for f in self.spark.catalog.listFunctions())
+
+    def drop_temporary_view(self, name: str) -> bool:
+        """Reference ``dropTemporaryView``: True when the view existed."""
+        return bool(self.spark.catalog.dropTempView(name))
+
     def create_statement_set(self) -> "StatementSet":
         """Multi-sink pipeline builder — reference
         TableEnvironment.createStatementSet (StatementSetImpl): buffer

@@ -232,3 +232,27 @@ def test_sql_statement_surface(spark, sf_dir):
         assert any("Statistics" in (r.col_name or "") for r in stats)
     finally:
         spark.sql("DROP TABLE IF EXISTS afs_analyze_t")
+
+
+def test_catalog_introspection(spark, sf_dir):
+    """Catalog listing parity (reference TableEnvironment.listTables /
+    listViews / listDatabases / listFunctions / dropTemporaryView)."""
+    te = _tenv(spark, sf_dir)
+    tables = te.list_tables()
+    assert "lineitem" in tables and "orders" in tables
+    te.create_view("cat_probe_v", te.sql("SELECT 1 AS one"))
+    assert "cat_probe_v" in te.list_views()
+    assert te.drop_temporary_view("cat_probe_v")
+    assert "cat_probe_v" not in te.list_views()
+    assert not te.drop_temporary_view("cat_probe_v")
+    assert "default" in te.list_databases()
+    fns = te.list_functions()
+    # builtin + an engine-registered Flink-name shim must both resolve
+    assert "sum" in fns
+    from apache_flink_spark.functions.registry import register_all
+
+    register_all(spark)
+    assert any(
+        f in fns or f in te.list_functions()
+        for f in ("to_base64", "from_unixtime", "ifnull")
+    )
