@@ -565,19 +565,26 @@ def pipeline_kmeans_assign(spark, sf_dir):
     step), then a per-vector argmax — no shuffle on the corpus beyond the
     final k-row aggregate. Returns per-cluster membership stats."""
     e = t(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", F.expr(_QE_SPARK).alias("qe"))
+    # Norms computed ONCE per side before the join — inside the join
+    # projection they would be re-folded per (vector, centroid) pair AND
+    # triple the unrolled-64-dim codegen janino has to compile.
+    v = e.select("vec_id", F.expr(_QE_SPARK).alias("qe")).withColumn(
+        "nv", F.expr(_dot_spark("qe", "qe"))
+    )
     cent = (
         v.filter(F.col("vec_id") < 8)
         .select(
-            F.col("vec_id").alias("centroid_id"), F.col("qe").alias("c_qe")
+            F.col("vec_id").alias("centroid_id"),
+            F.col("qe").alias("c_qe"),
+            F.col("nv").alias("nc"),
         )
     )
     d = v.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "centroid_id",
         F.expr(_dot_spark("qe", "c_qe")).alias("dot"),
-        F.expr(_dot_spark("qe", "qe")).alias("nv"),
-        F.expr(_dot_spark("c_qe", "c_qe")).alias("nc"),
+        "nv",
+        "nc",
     )
     cos = F.col("dot").cast("double") / F.sqrt(
         (F.col("nv") * F.col("nc")).cast("double")

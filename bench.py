@@ -67,6 +67,12 @@ HEADLINE = [
     "source_avro_roundtrip",
     "source_protobuf_roundtrip",
     "mm_audio_features",
+    # r4 late additions: retract-aware changelog agg, TF-IDF corpus
+    # analytics, k-means assignment, native streaming window join.
+    "changelog_agg_retract",
+    "text_tfidf_topterms",
+    "pipeline_kmeans_assign",
+    "stream_window_join",
 ]
 
 
