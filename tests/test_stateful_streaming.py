@@ -772,3 +772,44 @@ def test_run_upsert_to_table_compacts_across_batches(spark):
     # keys spanning several slices really were emitted more than once —
     # i.e. the compaction had something to do.
     assert len(got) < e.count()
+
+
+def test_dedup_ttl_converges_across_batches(spark):
+    """TTL'd-state dedup must carry each key's last-seen timestamp across
+    batch boundaries: 3 time-ordered micro-batches must emit exactly the
+    batch LAG-gap formulation (first event per key, or gap > TTL)."""
+    from apache_flink_spark.streaming.stateful import streaming_dedup_ttl
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = _staged_time_slices(spark, sf_dir, 3)
+    ttl_us = 1_800_000_000
+
+    st = (
+        _stream_events(spark, path)
+        .withWatermark("ts", "1 hour")
+        .select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "ts"
+        )
+    )
+    captured = _run_append_batches(spark, streaming_dedup_ttl(st, ttl_us))
+    assert len(captured) >= 3
+    got = (
+        pd.concat([captured[b] for b in sorted(captured)], ignore_index=True)
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+
+    e = _normalize_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    want = (
+        e.select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+        )
+        .withColumn("prev", F.lag("ts_us").over(w))
+        .filter(F.col("prev").isNull() | (F.col("ts_us") - F.col("prev") > ttl_us))
+        .drop("prev")
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
