@@ -27,3 +27,24 @@ def test_avro_roundtrip_any_backend(spark, sf_dir):
     back = io.read_avro(spark, path)
     assert back.schema == df.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_kafka_gate_raises_actionable_hint(spark):
+    """Kafka connector surface (flink-connector-kafka parity): the
+    container ships no kafka jar, so both directions must fail with the
+    deploy hint, not Spark's generic datasource lookup error."""
+    import pytest
+
+    from apache_flink_spark import io
+
+    with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        io.read_kafka_stream(spark, "localhost:9092", "events")
+    with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        io.write_kafka_stream(
+            spark.readStream.format("rate").load().selectExpr(
+                "CAST(value AS STRING) AS value"
+            ),
+            "localhost:9092",
+            "events",
+            "/tmp/kckpt",
+        )
