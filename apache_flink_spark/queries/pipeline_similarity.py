@@ -648,3 +648,89 @@ def pipeline_embed_quantize(spark, sf_dir):
         ).alias("q_l1"),
         F.size(F.expr("filter(q8, x -> abs(x) = 127)")).alias("n_sat"),
     )
+
+
+@query(
+    "pipeline_kmeans_iterate",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_QE_SQL} AS qe FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS centroid_id, qe AS c_qe FROM v WHERE vec_id < 8
+    ), d AS (
+        SELECT v.vec_id, cent.centroid_id, v.qe,
+               {_dot_sql("v.qe", "cent.c_qe")} AS dot,
+               {_dot_sql("v.qe", "v.qe")} AS nv,
+               {_dot_sql("cent.c_qe", "cent.c_qe")} AS nc
+        FROM v CROSS JOIN cent
+    ), assigned AS (
+        SELECT vec_id, centroid_id, qe
+        FROM (
+            SELECT vec_id, centroid_id, qe,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY CAST(dot AS DOUBLE)
+                                / sqrt(CAST(nv * nc AS DOUBLE)) DESC,
+                                centroid_id) AS rn
+            FROM d
+        )
+        WHERE rn = 1
+    )
+    SELECT centroid_id, dim, CAST(SUM(qe[dim]) AS BIGINT) AS sum_q,
+           COUNT(*) AS n_members
+    FROM assigned, generate_series(1, {DIM}) AS g(dim)
+    GROUP BY centroid_id, dim
+    """,
+)
+def pipeline_kmeans_iterate(spark, sf_dir):
+    """One FULL Lloyd iteration — assignment plus centroid recomputation,
+    the loop body of distributed k-means (and of IVF coarse-quantizer
+    training): every vector goes to its max-cosine centroid
+    (pipeline_kmeans_assign's broadcast argmax), then each new centroid is
+    the per-dimension mean of its members. Emitted as the exact integer
+    (sum, count) pairs per (centroid, dimension) — the DIVISION is the
+    only inexact step of an iteration, so publishing the numerator/
+    denominator keeps the oracle bit-exact and is also precisely what a
+    multi-round distributed implementation ships between rounds (partial
+    sums combine; means don't). Plan: the assignment pass (narrow,
+    broadcast centroids) + one posexplode + one (K x DIM)-key hash
+    aggregate — at 100 TB the explode is the map side of the aggregate,
+    no extra shuffle beyond the final K*DIM-row exchange."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.expr(_QE_SPARK).alias("qe")).withColumn(
+        "nv", F.expr(_dot_spark("qe", "qe"))
+    )
+    cent = (
+        v.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("qe").alias("c_qe"),
+            F.col("nv").alias("nc"),
+        )
+    )
+    d = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "qe",
+        "centroid_id",
+        F.expr(_dot_spark("qe", "c_qe")).alias("dot"),
+        "nv",
+        "nc",
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        (F.col("nv") * F.col("nc")).cast("double")
+    )
+    best = F.max(
+        F.struct(cos.alias("cos"), (-F.col("centroid_id")).alias("neg_id"))
+    )
+    assigned = d.groupBy("vec_id", "qe").agg(
+        (-best.getField("neg_id")).alias("centroid_id")
+    )
+    exploded = assigned.select(
+        "centroid_id", F.posexplode("qe").alias("pos", "val")
+    )
+    return exploded.groupBy(
+        "centroid_id", (F.col("pos") + 1).alias("dim")
+    ).agg(
+        F.sum("val").alias("sum_q"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
