@@ -70,11 +70,21 @@ def _emit(parsed: DataFrame, cases: Column) -> DataFrame:
 
 
 def parse_debezium(
-    df: DataFrame, payload_schema: StructType, value_col: str = "value"
+    df: DataFrame,
+    payload_schema: StructType,
+    value_col: str = "value",
+    ignore_parse_errors: bool = True,
 ) -> DataFrame:
     """Debezium JSON envelope -> changelog rows
     (ref DebeziumJsonDeserializationSchema.java:56 op mapping: c/r -> +I,
-    u -> -U(before) +U(after), d -> -D(before))."""
+    u -> -U(before) +U(after), d -> -D(before)).
+
+    ``ignore_parse_errors`` mirrors the reference format option of the
+    same name: True (default here) silently drops undecodable envelopes —
+    PERMISSIVE from_json yields an all-null struct, whose null op falls
+    through _emit's skip case; False reproduces the reference's fail-fast
+    default via FAILFAST parse mode, raising on the first malformed value
+    while the scan stays distributed."""
     env = StructType(
         [
             StructField("before", payload_schema),
@@ -83,7 +93,10 @@ def parse_debezium(
             StructField("ts_ms", LongType()),
         ]
     )
-    e = df.select(F.from_json(F.col(value_col), env).alias("e")).select("e.*")
+    opts = {} if ignore_parse_errors else {"mode": "FAILFAST"}
+    e = df.select(
+        F.from_json(F.col(value_col), env, opts).alias("e")
+    ).select("e.*")
     cases = (
         F.when(
             F.col("op").isin("c", "r"), F.array(_kinded(INSERT, F.col("after")))

@@ -281,6 +281,43 @@ def win_dedup_first(spark, sf_dir):
     )
 
 
+@query(
+    "win_dedup_last",
+    oracle=f"""
+    SELECT win_start, user_id, event_id, event_type
+    FROM (
+        SELECT (epoch_us(ts) // {MIN10}) * {MIN10} AS win_start,
+               user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY (epoch_us(ts) // {MIN10}), user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def win_dedup_last(spark, sf_dir):
+    """Window deduplicate keep-LAST (RowTimeWindowDeduplicateOperator —
+    the reference plans keepLastRow as well as first): latest event per
+    (user, 10-minute window), ties to the largest event_id. Same
+    window-group-limit plan shape as win_dedup_first with the sort
+    reversed."""
+    e = t(spark, sf_dir, "events")
+    withwin = e.withColumn("win", F.window("ts", "10 minutes"))
+    w = Window.partitionBy("win", "user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        withwin.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.unix_micros("win.start").alias("win_start"),
+            "user_id",
+            "event_id",
+            "event_type",
+        )
+    )
+
+
 MIN3 = 180_000_000
 
 

@@ -218,3 +218,36 @@ def test_canal_stringified_values_coerce(spark):
         ("+U", 1, "a", 9),
         ("-U", 1, "a", 5),
     ]
+
+
+def test_debezium_ignore_parse_errors_modes(spark):
+    """flink-json's ignore-parse-errors option parity: lenient mode drops
+    undecodable envelopes and keeps decoding; strict mode (the reference
+    default) fails on the first malformed value."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from apache_flink_spark import cdc
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", LongType())]
+    )
+    good = '{"op":"c","after":{"id":1,"v":10},"before":null,"ts_ms":1}'
+    bad = "{definitely not json"
+    df = spark.createDataFrame([(good,), (bad,), (None,)], "value string")
+
+    lenient = cdc.parse_debezium(df, schema).collect()
+    assert len(lenient) == 1 and lenient[0].id == 1
+
+    with pytest.raises(Exception, match="Malformed|MALFORMED"):
+        cdc.parse_debezium(
+            df, schema, ignore_parse_errors=False
+        ).collect()
+
+    # strict mode passes cleanly when every value decodes
+    ok = cdc.parse_debezium(
+        df.filter(F.col("value") != bad), schema, ignore_parse_errors=False
+    ).collect()
+    assert len(ok) == 1
