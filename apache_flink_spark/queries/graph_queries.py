@@ -502,3 +502,85 @@ def graph_summarization(spark, sf_dir):
         F.count(F.lit(1)).alias("n_edges"),
         F.countDistinct("src_vertex").alias("n_src_vertices"),
     )
+
+
+@query(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    bi AS (
+        SELECT pa AS src, pb AS dst FROM e
+        UNION ALL
+        SELECT pb, pa FROM e
+    ),
+    reach AS (
+        SELECT src AS v, dst AS r FROM bi
+        UNION
+        SELECT reach.v, bi.dst FROM reach JOIN bi ON reach.r = bi.src
+    ),
+    comp AS (
+        SELECT p.p_partkey AS v,
+               LEAST(p.p_partkey, COALESCE(MIN(r.r), p.p_partkey)) AS comp
+        FROM part p LEFT JOIN reach r ON r.v = p.p_partkey
+        GROUP BY p.p_partkey
+    )
+    SELECT comp AS component_id, COUNT(*) AS n_vertices,
+           MIN(v) AS min_vertex, MAX(v) AS max_vertex
+    FROM comp GROUP BY comp
+    """,
+)
+def graph_connected_components(spark, sf_dir):
+    """Connected components (reference flink-gelly
+    .../library/ConnectedComponents.java — min-vertex-id label
+    propagation to fixpoint). Vertices are ALL parts, so parts never
+    co-purchased stay singleton components (the result is the giant
+    co-purchase component plus the isolates). Same loop skeleton as
+    dedup_cluster_components: per round one shuffle-hash join + one
+    min-aggregate, localCheckpointed, convergence probed every 2nd
+    round, loud failure if the diameter cap is hit; at 100 TB the
+    large-star/small-star alternation bounds hot-vertex skew (SCALE.md).
+    The oracle computes the same fixpoint with a recursive
+    transitive-closure CTE."""
+    bi = _bidirected(_edges(spark, sf_dir)).localCheckpoint(eager=True)
+    vertices = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("v")
+    )
+    labels = vertices.select("v", F.col("v").alias("comp")).localCheckpoint(
+        eager=True
+    )
+    max_rounds = 20
+    converged = False
+    for rnd in range(1, max_rounds + 1):
+        nbr = (
+            bi.alias("e")
+            .hint("shuffle_hash")
+            .join(labels.alias("l"), F.col("e.src") == F.col("l.v"))
+            .select(F.col("e.dst").alias("v"), "comp")
+        )
+        new_labels = (
+            labels.unionAll(nbr)
+            .groupBy("v")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        if rnd % 2 == 0 or rnd == max_rounds:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "v")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                converged = True
+                break
+        labels = new_labels
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds"
+        )
+    return labels.groupBy(F.col("comp").alias("component_id")).agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.min("v").alias("min_vertex"),
+        F.max("v").alias("max_vertex"),
+    )
