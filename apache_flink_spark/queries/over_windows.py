@@ -195,3 +195,38 @@ def over_first_last_value(spark, sf_dir):
         F.first("event_type").over(w_first).alias("first_type"),
         F.last("event_type").over(w_last).alias("final_type"),
     )
+
+
+@query(
+    "over_forward_fill",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ROUND(LAST_VALUE(CASE WHEN event_type = 'purchase'
+                                      THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS DOUBLE) AS last_purchase_value
+    FROM events
+    """,
+)
+def over_forward_fill(spark, sf_dir):
+    """Forward fill via LAST_VALUE ... IGNORE NULLS (reference
+    LastValueAggFunction's ignoreNulls accumulate path) — the classic
+    gap-fill: every event carries the user's most recent purchase value
+    (NULL until the first purchase). One shuffle + one in-partition sort,
+    the universal over-window plan; rounded at scale 4 because the carried
+    double is a raw column value, not an aggregate."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.last(purchase_val, ignorenulls=True).over(w), 4).alias(
+            "last_purchase_value"
+        ),
+    )
