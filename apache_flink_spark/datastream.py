@@ -186,6 +186,12 @@ class DataStream:
             out = out.unionAll(o.df)
         return DataStream(out)
 
+    def connect(self, other: "DataStream") -> "ConnectedStreams":
+        """``DataStream.connect`` (ConnectedStreams.java): pair two
+        differently-typed streams for a CoMap/CoFlatMap that folds both
+        into one output type."""
+        return ConnectedStreams(self, other)
+
     # -- event time --------------------------------------------------------
 
     def assign_timestamps_and_watermarks(
@@ -211,6 +217,35 @@ class DataStream:
         """``executeAndCollect(limit)`` — bounded driver fetch, the ONLY
         collect in this API (mirrors the reference's own test sink)."""
         return self.df.limit(limit).collect()
+
+
+class ConnectedStreams:
+    """``ConnectedStreams.java`` parity: the CoMapFunction /
+    CoFlatMapFunction surface. Semantics match the reference exactly —
+    each side is transformed by ITS function into the shared output type
+    and the results interleave — so the Spark-first plan is two
+    independent map stages + UNION ALL (both narrow; no shared operator
+    instance is needed because the co-functions in the reference may not
+    share mutable state across map1/map2 anyway without keyed state)."""
+
+    def __init__(self, first: DataStream, second: DataStream):
+        self.first = first
+        self.second = second
+
+    def map(self, fn1, fn2, output_type: str | None = None) -> DataStream:
+        """``ConnectedStreams.map(CoMapFunction)``: map1 on stream 1,
+        map2 on stream 2, unioned into the common ``output_type``."""
+        return self.first.map(fn1, output_type).union(
+            self.second.map(fn2, output_type)
+        )
+
+    def flat_map(
+        self, fn1, fn2, output_type: str | None = None
+    ) -> DataStream:
+        """``ConnectedStreams.flatMap(CoFlatMapFunction)``."""
+        return self.first.flat_map(fn1, output_type).union(
+            self.second.flat_map(fn2, output_type)
+        )
 
 
 class KeyedStream(DataStream):

@@ -94,6 +94,69 @@ class Table:
     def join(self, other: "Table", on, how: str = "inner") -> "Table":
         return Table(self._df.join(other._df, _col(on), how))
 
+    def create_temporal_table_function(
+        self, time_attr: str, primary_key: str
+    ) -> "TemporalTableFunction":
+        """Reference ``Table.createTemporalTableFunction`` (pyflink
+        table.py / TemporalTableFunctionImpl.java): wraps THIS table as a
+        versioned function of time, later applied with
+        :meth:`join_lateral`. The build side is assumed versioned — one
+        row per (primary_key, time_attr), the same contract the
+        reference's TemporalProcessTimeJoinOperator requires."""
+        return TemporalTableFunction(self._df, time_attr, primary_key)
+
+    def join_lateral(self, call, probe_key: str) -> "Table":
+        """Reference ``Table.joinLateral(rates(o_time), key equality)`` —
+        the temporal-table-function join syntax (pre-FOR SYSTEM_TIME AS
+        OF). Executes as the engine's scalable as-of shape: union-merge +
+        one last-ignore-nulls window pass (see queries/temporal_joins
+        .asof_join), never a range join. Left rows keep all their
+        columns; the function's non-key columns arrive from the latest
+        version with ``version.time <= probe.time`` (NULL before the
+        first version)."""
+        ttf, probe_time = call
+        right, r_time, r_key = ttf.df, ttf.time_attr, ttf.primary_key
+        carry_cols = [c for c in right.columns if c != r_key]
+        left_cols = self._df.columns
+        l = (
+            self._df.withColumn("__side", F.lit(1))
+            .withColumn("__ts", F.col(probe_time))
+            .withColumn("__key", F.col(probe_key))
+            .withColumn(
+                "__carry",
+                F.lit(None).cast(
+                    right.select(F.struct(*carry_cols).alias("s")).schema[
+                        "s"
+                    ].dataType
+                ),
+            )
+        )
+        r = right.select(
+            F.lit(0).alias("__side"),
+            F.col(r_time).alias("__ts"),
+            F.col(r_key).alias("__key"),
+            F.struct(*carry_cols).alias("__carry"),
+            *[
+                F.lit(None).cast(d.dataType).alias(d.name)
+                for d in self._df.schema.fields
+            ],
+        ).select("__side", "__ts", "__key", "__carry", *left_cols)
+        u = l.select("__side", "__ts", "__key", "__carry", *left_cols).unionByName(r)
+        from pyspark.sql import Window as W
+
+        w = (
+            W.partitionBy("__key")
+            .orderBy("__ts", "__side")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        carried = F.last("__carry", ignorenulls=True).over(w)
+        out = (
+            u.withColumn("__v", carried)
+            .filter(F.col("__side") == 1)
+            .select(*left_cols, *[F.col(f"__v.{c}").alias(c) for c in carry_cols])
+        )
+        return Table(out)
+
     def left_outer_join(self, other: "Table", on) -> "Table":
         return self.join(other, on, "left")
 
@@ -136,6 +199,22 @@ class Table:
 
     def offset_fetch(self, offset: int, n: int) -> "Table":
         return Table(self._df.offset(offset).limit(n))
+
+
+class TemporalTableFunction:
+    """Handle returned by :meth:`Table.create_temporal_table_function`
+    (reference TemporalTableFunctionImpl.java). Calling it with the probe
+    side's time attribute — ``rates("o_time")`` — yields the argument
+    :meth:`Table.join_lateral` consumes, mirroring the pyflink call
+    shape."""
+
+    def __init__(self, df: DataFrame, time_attr: str, primary_key: str):
+        self.df = df
+        self.time_attr = time_attr
+        self.primary_key = primary_key
+
+    def __call__(self, probe_time_attr: str):
+        return (self, probe_time_attr)
 
 
 class GroupedTable:

@@ -185,3 +185,41 @@ def test_streaming_process_requires_state_schema(spark, env, sf_dir):
     ds = env.from_source(stream_table(spark, sf_dir, "events")).key_by("user_id")
     with pytest.raises(ValueError, match="state_schema"):
         ds.process(lambda *a: None, "user_id long")
+
+
+def test_connected_streams_co_map(spark, env):
+    """connect() + CoMapFunction (ConnectedStreams.java): each side maps
+    with its own function into the shared type; results interleave."""
+    a = env.from_collection([(1,), (2,)], "n long")
+    b = env.from_collection([("x",), ("yy",)], "s string")
+    out = (
+        a.connect(b)
+        .map(
+            [(F.col("n") * 10).alias("v")],
+            [F.length("s").cast("long").alias("v")],
+        )
+        .to_df()
+        .collect()
+    )
+    assert sorted(r.v for r in out) == [1, 2, 10, 20]
+
+
+def test_connected_streams_co_flat_map_python(spark, env):
+    a = env.from_collection([(2,)], "n long")
+    b = env.from_collection([("ab",)], "s string")
+
+    def f1(row):
+        for i in range(int(row.n)):
+            yield (i,)
+
+    def f2(row):
+        for ch in row.s:
+            yield (ord(ch) - ord("a"),)
+
+    out = (
+        a.connect(b)
+        .flat_map(f1, f2, "v long")
+        .to_df()
+        .collect()
+    )
+    assert sorted(r.v for r in out) == [0, 0, 1, 1]

@@ -256,3 +256,36 @@ def test_catalog_introspection(spark, sf_dir):
         f in fns or f in te.list_functions()
         for f in ("to_base64", "from_unixtime", "ifnull")
     )
+
+
+def test_temporal_table_function_join_lateral(spark, sf_dir):
+    """createTemporalTableFunction + joinLateral (the pre-SYSTEM_TIME
+    temporal join syntax): each order picks the latest rate version at or
+    before its time; NULL before the first version."""
+    from apache_flink_spark.table_api import Table
+
+    rates = Table(
+        spark.createDataFrame(
+            [("eur", 10, 114), ("eur", 20, 116), ("usd", 15, 102)],
+            "r_currency string, r_time long, r_rate long",
+        )
+    )
+    orders = Table(
+        spark.createDataFrame(
+            [
+                (1, "eur", 5),
+                (2, "eur", 10),
+                (3, "eur", 25),
+                (4, "usd", 30),
+            ],
+            "o_id long, o_currency string, o_time long",
+        )
+    )
+    fn = rates.create_temporal_table_function("r_time", "r_currency")
+    got = {
+        r.o_id: r.r_rate
+        for r in orders.join_lateral(fn("o_time"), "o_currency")
+        .to_df()
+        .collect()
+    }
+    assert got == {1: None, 2: 114, 3: 116, 4: 102}
