@@ -99,6 +99,29 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Warm the Structured Streaming machinery once (state-store provider,
+    # streaming query planner, checkpoint IO): the first streaming query in
+    # a session pays ~5s of one-time init that a long-lived deployment
+    # amortizes exactly once — same misattribution argument as the Python
+    # pool warmup above. A two-row rate-source count is the cheapest
+    # stateful streaming job that touches all of it.
+    import tempfile as _tf
+
+    (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "2")
+        .load()
+        .groupBy()
+        .count()
+        .writeStream.format("memory")
+        .queryName("bench_warmup_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="bench_warm_"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
