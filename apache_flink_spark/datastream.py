@@ -389,3 +389,52 @@ __all__ = [
     "SlidingEventTimeWindows",
     "EventTimeSessionWindows",
 ]
+
+
+class AsyncDataStream:
+    """``AsyncDataStream.java`` parity — the async I/O operator factory
+    (reference AsyncWaitOperator + orderedWait/unorderedWait). Each Arrow
+    batch becomes one bounded flight of overlapped coroutine requests on a
+    real asyncio event loop (apache_flink_spark/lookup.py
+    ordered_async_probe); ``capacity`` is the reference's max in-flight
+    requests. In micro-batch execution ordered vs unordered emission
+    collapses at the batch boundary — both emit when the batch completes —
+    so ``unordered_wait`` shares the implementation and exists for API
+    parity; row order within the batch is preserved either way (the
+    stronger, deterministic contract)."""
+
+    @staticmethod
+    def ordered_wait(
+        ds: DataStream,
+        async_fn,
+        key_col: str,
+        out_col: str,
+        out_type: str = "string",
+        capacity: int = 4,
+    ) -> DataStream:
+        from pyspark.sql.types import (
+            StructField,
+            StructType,
+            _parse_datatype_string,
+        )
+
+        from apache_flink_spark.lookup import ordered_async_probe
+
+        # NB: StructType(fields) keeps the caller's list by REFERENCE and
+        # DataFrames cache their schema object — mutating via .add() would
+        # corrupt ds.df.schema. Build a fresh field list instead.
+        out_schema = StructType(
+            list(ds.df.schema.fields)
+            + [StructField(out_col, _parse_datatype_string(out_type))]
+        )
+
+        def run(batches: Iterator) -> Iterator:
+            probe = ordered_async_probe(async_fn, capacity)
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[out_col] = probe(list(pdf[key_col]))
+                yield pdf
+
+        return DataStream(ds.df.mapInPandas(run, out_schema))
+
+    unordered_wait = ordered_wait

@@ -223,3 +223,26 @@ def test_connected_streams_co_flat_map_python(spark, env):
         .collect()
     )
     assert sorted(r.v for r in out) == [0, 0, 1, 1]
+
+
+def test_async_datastream_ordered_wait(spark, env):
+    """AsyncDataStream.orderedWait: overlapped coroutine lookups, results
+    in row order even when completions arrive reversed."""
+    from apache_flink_spark.datastream import AsyncDataStream
+
+    async def fake_service(k):
+        import asyncio
+
+        await asyncio.sleep((5 - int(k)) * 0.01)  # later keys finish first
+        return f"v{k}"
+
+    ds = env.from_collection([(1,), (2,), (3,), (4,)], "k long")
+    out = (
+        AsyncDataStream.ordered_wait(
+            ds, fake_service, "k", "enriched", "string", capacity=4
+        )
+        .to_df()
+        .orderBy("k")
+        .collect()
+    )
+    assert [r.enriched for r in out] == ["v1", "v2", "v3", "v4"]
