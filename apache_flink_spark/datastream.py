@@ -186,6 +186,11 @@ class DataStream:
             out = out.unionAll(o.df)
         return DataStream(out)
 
+    def co_group(self, other: "DataStream") -> "CoGroupedStreams":
+        """``DataStream.coGroup`` (CoGroupedStreams.java): windowed
+        group-wise pairing — see CoGroupedStreams below."""
+        return CoGroupedStreams(self, other)
+
     def connect(self, other: "DataStream") -> "ConnectedStreams":
         """``DataStream.connect`` (ConnectedStreams.java): pair two
         differently-typed streams for a CoMap/CoFlatMap that folds both
@@ -366,6 +371,74 @@ class WindowedKeyedStream:
         return DataStream(self.df.groupBy(win, *self.keys).agg(*aggs))
 
 
+class CoGroupedStreams:
+    """``DataStream.coGroup`` builder chain (CoGroupedStreams.java):
+    ``a.co_group(b).where(k1).equal_to(k2).window(assigner).apply()``.
+
+    Unlike a windowed JOIN, coGroup surfaces keys present on only ONE
+    side (the reference hands the CoGroupFunction an empty iterable for
+    the absent side). Spark-first: each side aggregates its per-(key,
+    window) rows with collect_list — two partial-aggregated shuffles —
+    then a FULL OUTER equi-join on (key, window) stitches the groups;
+    missing sides arrive as empty arrays. No row-level cross product
+    ever materializes, and at 100 TB both collect_lists combine
+    map-side before the one keyed exchange each."""
+
+    def __init__(self, first: "DataStream", second: "DataStream"):
+        self.first = first
+        self.second = second
+        self._k1: list | None = None
+        self._k2: list | None = None
+
+    def where(self, *keys) -> "CoGroupedStreams":
+        self._k1 = list(keys)
+        return self
+
+    def equal_to(self, *keys) -> "CoGroupedStreams":
+        self._k2 = list(keys)
+        return self
+
+    def window(self, assigner: GroupWindow) -> "CoGroupedStreams":
+        self._assigner = assigner
+        return self
+
+    def apply(self) -> DataStream:
+        """Emit (key, window, left_items array, right_items array) — the
+        declarative CoGroupFunction: downstream expressions consume the
+        two group arrays exactly as the reference's apply() consumes its
+        two iterables."""
+        if not self._k1 or not self._k2:
+            raise ValueError("co_group needs where(...) and equal_to(...)")
+        win = self._assigner.to_column().alias("w")
+
+        def side(ds: "DataStream", keys: list, out: str) -> DataFrame:
+            items = F.struct(*ds.df.columns).alias("__it")
+            return (
+                ds.df.select(*[F.col(k).alias("__k") for k in keys], win, items)
+                .groupBy("__k", "w")
+                .agg(F.collect_list("__it").alias(out))
+            )
+
+        l = side(self.first, self._k1, "left_items")
+        r = side(self.second, self._k2, "right_items")
+        joined = l.join(r, ["__k", "w"], "full")
+        empty_l = F.coalesce(
+            F.col("left_items"), F.array().cast(l.schema["left_items"].dataType)
+        )
+        empty_r = F.coalesce(
+            F.col("right_items"),
+            F.array().cast(r.schema["right_items"].dataType),
+        )
+        return DataStream(
+            joined.select(
+                F.col("__k").alias("key"),
+                F.col("w.start").alias("win_start"),
+                empty_l.alias("left_items"),
+                empty_r.alias("right_items"),
+            )
+        )
+
+
 # Window assigner aliases in DataStream vocabulary
 # (TumblingEventTimeWindows.of / SlidingEventTimeWindows.of /
 #  EventTimeSessionWindows.withGap)
@@ -438,3 +511,40 @@ class AsyncDataStream:
         return DataStream(ds.df.mapInPandas(run, out_schema))
 
     unordered_wait = ordered_wait
+
+
+class OutputTag:
+    """``OutputTag.java`` parity: names a side-output channel. The facade
+    routes declaratively (a predicate per tag) rather than imperatively
+    from inside a process function — same channels, same rows, but the
+    routing predicate stays a JVM Column expression instead of Python."""
+
+    def __init__(self, tag_id: str, predicate):
+        self.tag_id = tag_id
+        self.predicate = predicate
+
+
+def side_output_split(
+    ds: DataStream, *tags: OutputTag
+) -> dict[str, DataStream]:
+    """Side outputs (reference ProcessFunction Context.output(OutputTag)):
+    returns {"main": rows matching NO tag, tag_id: its rows} — every row
+    routed exactly once, first matching tag wins (the reference emits to
+    whichever tags the process function chooses; first-match is the
+    deterministic declarative analog). Each output is a filter over the
+    same parent plan, so a persisted/cached parent is scanned once; the
+    STREAMING fan-out with real per-sink exactly-once lives in
+    streaming/utils.split_to_sinks (foreachBatch persist + N filtered
+    sinks)."""
+    outs: dict[str, DataStream] = {}
+    taken = F.lit(False)
+    for tag in tags:
+        pred = (
+            tag.predicate
+            if isinstance(tag.predicate, Column)
+            else F.expr(tag.predicate)
+        )
+        outs[tag.tag_id] = DataStream(ds.df.filter(~taken & pred))
+        taken = taken | pred
+    outs["main"] = DataStream(ds.df.filter(~taken))
+    return outs

@@ -246,3 +246,52 @@ def test_async_datastream_ordered_wait(spark, env):
         .collect()
     )
     assert [r.enriched for r in out] == ["v1", "v2", "v3", "v4"]
+
+
+def test_side_output_split(spark, env):
+    """OutputTag routing: every row to exactly one channel, first match
+    wins, unmatched rows to main."""
+    from apache_flink_spark.datastream import OutputTag, side_output_split
+
+    ds = env.from_collection(
+        [(1, 5), (2, 50), (3, 500), (4, 55)], "id long, v long"
+    )
+    outs = side_output_split(
+        ds,
+        OutputTag("small", "v < 10"),
+        OutputTag("medium", "v < 100"),
+    )
+    got = {
+        name: sorted(r.id for r in s.to_df().collect())
+        for name, s in outs.items()
+    }
+    assert got == {"small": [1], "medium": [2, 4], "main": [3]}
+
+
+def test_co_group_windowed(spark, env):
+    """coGroup: keys present on only one side surface with an empty
+    iterable for the absent side (the contract a windowed JOIN loses)."""
+    from apache_flink_spark.datastream import TumblingEventTimeWindows
+
+    a = env.from_collection(
+        [("u1", "2024-01-01 00:01:00", 1), ("u3", "2024-01-01 00:02:00", 3)],
+        "k string, ts string, v long",
+    ).map([F.col("k"), F.to_timestamp("ts").alias("ts"), F.col("v")])
+    b = env.from_collection(
+        [("u1", "2024-01-01 00:03:00", 10), ("u2", "2024-01-01 00:04:00", 20)],
+        "k string, ts string, v long",
+    ).map([F.col("k"), F.to_timestamp("ts").alias("ts"), F.col("v")])
+
+    out = (
+        a.co_group(b)
+        .where("k")
+        .equal_to("k")
+        .window(TumblingEventTimeWindows.of("10 minutes").on("ts"))
+        .apply()
+        .to_df()
+        .collect()
+    )
+    got = {
+        r.key: (len(r.left_items), len(r.right_items)) for r in out
+    }
+    assert got == {"u1": (1, 1), "u2": (0, 1), "u3": (1, 0)}
