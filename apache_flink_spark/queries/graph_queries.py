@@ -584,3 +584,77 @@ def graph_connected_components(spark, sf_dir):
         F.min("v").alias("min_vertex"),
         F.max("v").alias("max_vertex"),
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    bi AS (
+        SELECT pa AS src, pb AS dst FROM edges
+        UNION ALL SELECT pb, pa FROM edges
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS degree FROM bi GROUP BY 1),
+    tris AS (
+        SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.pa = e1.pb
+        JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    per_node AS (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+    ),
+    tcount AS (SELECT node, COUNT(*) AS n_triangles FROM per_node GROUP BY 1)
+    SELECT d.node, d.degree,
+           COALESCE(t.n_triangles, 0) AS n_triangles,
+           d.degree * (d.degree - 1) // 2 AS n_wedges
+    FROM deg d LEFT JOIN tcount t ON t.node = d.node
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient (reference flink-gelly
+    .../library/clustering/undirected/LocalClusteringCoefficient.java):
+    per vertex, closed triangles vs possible wedges C(deg, 2). Emitted as
+    the exact integer (triangles, wedges) pair — the coefficient is their
+    ratio, and publishing numerator/denominator keeps the oracle
+    bit-exact (the reference's result type also carries the counts and
+    computes the ratio lazily). Reuses the oriented wedge-join triangle
+    enumeration and the degree aggregate — no new join shapes; vertices
+    in no triangle surface with 0 (left join from degrees)."""
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    bi = _bidirected(e)
+    deg = bi.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tris = (
+        e1.join(e2.hint("merge"), F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3.hint("merge"),
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("a"),
+            F.col("e1.pb").alias("b"),
+            F.col("e2.pb").alias("c"),
+        )
+    )
+    per_node = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    tcount = per_node.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return deg.join(tcount, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        (F.col("degree") * (F.col("degree") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
