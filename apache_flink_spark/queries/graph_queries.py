@@ -658,3 +658,40 @@ def graph_clustering_coefficient(spark, sf_dir):
         .cast("long")
         .alias("n_wedges"),
     )
+
+
+@query(
+    "graph_vertex_degrees",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    outd AS (SELECT pa AS node, COUNT(*) AS out_degree FROM edges GROUP BY 1),
+    ind AS (SELECT pb AS node, COUNT(*) AS in_degree FROM edges GROUP BY 1)
+    SELECT COALESCE(o.node, i.node) AS node,
+           COALESCE(o.out_degree, 0) AS out_degree,
+           COALESCE(i.in_degree, 0) AS in_degree,
+           COALESCE(o.out_degree, 0) + COALESCE(i.in_degree, 0) AS degree
+    FROM outd o FULL JOIN ind i ON o.node = i.node
+    """,
+)
+def graph_vertex_degrees(spark, sf_dir):
+    """Vertex degree annotation (reference flink-gelly
+    .../asm/degree/annotate/directed/VertexDegrees.java): in/out/total
+    degree per vertex on the low->high oriented edge set. Two narrow
+    aggregates + one full outer join on the vertex key."""
+    e = _edges(spark, sf_dir)
+    outd = e.groupBy(F.col("pa").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    ind = e.groupBy(F.col("pb").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    j = outd.join(ind, "node", "full")
+    return j.select(
+        "node",
+        F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+        F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        (
+            F.coalesce("out_degree", F.lit(0))
+            + F.coalesce("in_degree", F.lit(0))
+        ).alias("degree"),
+    )
