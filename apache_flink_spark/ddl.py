@@ -171,24 +171,29 @@ def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
 
 
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<name>\w+)\s+(?P<select>SELECT\b.*)$",
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<name>\w+)\s+"
+    r"(?P<select>SELECT\b.*)$",
     re.I | re.S,
 )
 
 
 def execute_flink_insert(spark: SparkSession, sql: str):
-    """``INSERT INTO <ddl table> SELECT ...`` — the reference's sink path
-    for a declared connector table. Appends to the table's path in its
-    declared format and re-registers the view so subsequent reads see the
-    new rows. Returns None when the statement is not an insert into a DDL
-    table (caller falls through to ``spark.sql``)."""
+    """``INSERT INTO|OVERWRITE <ddl table> SELECT ...`` — the reference's
+    sink path for a declared connector table (SqlInsert / filesystem
+    DynamicTableSink; OVERWRITE is the reference's batch filesystem
+    replace mode, SupportsOverwrite). INTO appends to the table's path in
+    its declared format, OVERWRITE replaces it; either way the view is
+    re-registered so subsequent reads see the new rows. Returns None when
+    the statement is not an insert into a DDL table (caller falls through
+    to ``spark.sql``)."""
     m = _INSERT_RE.match(sql)
     if m is None or m.group("name") not in _TABLES:
         return None
     name = m.group("name")
     fmt, path, schema_ddl = _TABLES[name]
     out = spark.sql(m.group("select"))
-    out.write.format(fmt).mode("append").save(path)
+    mode = "overwrite" if m.group("mode").upper() == "OVERWRITE" else "append"
+    out.write.format(fmt).mode(mode).save(path)
     df = spark.read.format(fmt).schema(schema_ddl).load(path)
     df.createOrReplaceTempView(name)
     return spark.sql("SELECT 'OK' AS result")

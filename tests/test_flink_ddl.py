@@ -127,3 +127,22 @@ def test_insert_into_ddl_table(spark, tmp_path):
     te.sql("INSERT INTO ddl_sink SELECT id + 10 AS k, 'x' AS v FROM range(3)")
     got = te.sql("SELECT count(*) AS n, max(k) AS mx FROM ddl_sink").collect()[0]
     assert (got.n, got.mx) == (8, 12)
+
+
+def test_insert_overwrite_ddl_table(spark, tmp_path):
+    """INSERT OVERWRITE (reference SupportsOverwrite filesystem sink):
+    replaces the table contents instead of appending."""
+    te = TableEnvironment(spark=spark)
+    path = str(tmp_path / "ow_tbl")
+    te.sql(
+        f"""
+        CREATE TABLE ddl_ow (k BIGINT, v STRING) WITH (
+            'connector' = 'filesystem', 'path' = '{path}',
+            'format' = 'parquet'
+        )
+        """
+    )
+    te.sql("INSERT INTO ddl_ow SELECT id AS k, 'a' AS v FROM range(5)")
+    te.sql("INSERT OVERWRITE ddl_ow SELECT id + 100 AS k, 'b' AS v FROM range(2)")
+    got = te.sql("SELECT count(*) AS n, min(k) AS mn FROM ddl_ow").collect()[0]
+    assert (got.n, got.mn) == (2, 100)
