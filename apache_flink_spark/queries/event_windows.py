@@ -394,3 +394,81 @@ def win_hop_offset_agg(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@query(
+    "win_session_dynamic_gap",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ep,
+               CASE WHEN event_type = 'purchase'
+                    THEN {MIN10} * 3 ELSE {MIN10} END AS gap_us
+        FROM events
+    ), marked AS (
+        SELECT user_id, event_id, ep, gap_us,
+               CASE WHEN ep > COALESCE(
+                        MAX(ep + gap_us) OVER (
+                            PARTITION BY user_id ORDER BY ep, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                    THEN 1 ELSE 0 END AS is_start
+        FROM e
+    ), sess AS (
+        SELECT user_id, ep,
+               CAST(SUM(is_start) OVER (PARTITION BY user_id
+                                        ORDER BY ep, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT)
+                   AS sess_id
+        FROM marked
+    )
+    SELECT user_id, sess_id, COUNT(*) AS n_events,
+           MIN(ep) AS sess_start, MAX(ep) AS sess_last
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def win_session_dynamic_gap(spark, sf_dir):
+    """Session windows with a DYNAMIC per-element gap (reference
+    SessionWindowTimeGapExtractor.java + EventTimeSessionWindows
+    .withDynamicGap): each element extends its session by its own
+    gap — purchases hold the session open 30 minutes, everything else
+    10. Batch formulation: an event starts a new session when its time
+    exceeds the running max of (prev ts + prev gap) — gaps-and-islands
+    with a per-row horizon instead of a constant (exactly the window
+    MERGE the reference's MergingWindowAssigner performs). Two window
+    passes + one aggregate, all on the same (user, time) sort — one
+    shuffle total. The constant-gap streaming twin with timers is
+    stream_custom_sessions."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ep"),
+        F.when(F.col("event_type") == "purchase", F.lit(MIN10 * 3))
+        .otherwise(F.lit(MIN10))
+        .alias("gap_us"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ep", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = e.withColumn(
+        "is_start",
+        (
+            F.col("ep")
+            > F.coalesce(
+                F.max(F.col("ep") + F.col("gap_us")).over(w_prev), F.lit(-1)
+            )
+        ).cast("int"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ep", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("sess_id", F.sum("is_start").over(w_run))
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ep").alias("sess_start"),
+        F.max("ep").alias("sess_last"),
+    )
