@@ -389,6 +389,7 @@ class CoGroupedStreams:
         self.second = second
         self._k1: list | None = None
         self._k2: list | None = None
+        self._assigner: GroupWindow | None = None
 
     def where(self, *keys) -> "CoGroupedStreams":
         self._k1 = list(keys)
@@ -409,19 +410,25 @@ class CoGroupedStreams:
         two iterables."""
         if not self._k1 or not self._k2:
             raise ValueError("co_group needs where(...) and equal_to(...)")
+        if self._assigner is None:
+            raise ValueError("co_group needs window(assigner)")
+        if len(self._k1) != len(self._k2):
+            raise ValueError("where(...) and equal_to(...) arity differ")
         win = self._assigner.to_column().alias("w")
+        knames = [f"__k{i}" for i in range(len(self._k1))]
 
         def side(ds: "DataStream", keys: list, out: str) -> DataFrame:
             items = F.struct(*ds.df.columns).alias("__it")
+            aliased = [F.col(k).alias(n) for k, n in zip(keys, knames)]
             return (
-                ds.df.select(*[F.col(k).alias("__k") for k in keys], win, items)
-                .groupBy("__k", "w")
+                ds.df.select(*aliased, win, items)
+                .groupBy(*knames, "w")
                 .agg(F.collect_list("__it").alias(out))
             )
 
         l = side(self.first, self._k1, "left_items")
         r = side(self.second, self._k2, "right_items")
-        joined = l.join(r, ["__k", "w"], "full")
+        joined = l.join(r, [*knames, "w"], "full")
         empty_l = F.coalesce(
             F.col("left_items"), F.array().cast(l.schema["left_items"].dataType)
         )
@@ -429,9 +436,16 @@ class CoGroupedStreams:
             F.col("right_items"),
             F.array().cast(r.schema["right_items"].dataType),
         )
+        key_cols = (
+            [F.col(knames[0]).alias("key")]
+            if len(knames) == 1
+            else [
+                F.col(n).alias(f"key{i}") for i, n in enumerate(knames)
+            ]
+        )
         return DataStream(
             joined.select(
-                F.col("__k").alias("key"),
+                *key_cols,
                 F.col("w.start").alias("win_start"),
                 empty_l.alias("left_items"),
                 empty_r.alias("right_items"),
@@ -544,6 +558,10 @@ def side_output_split(
             if isinstance(tag.predicate, Column)
             else F.expr(tag.predicate)
         )
+        # NULL-safe: a predicate evaluating to SQL NULL must count as
+        # no-match, not poison `taken` into NULL and drop the row from
+        # every channel (SQL three-valued logic would).
+        pred = F.coalesce(pred, F.lit(False))
         outs[tag.tag_id] = DataStream(ds.df.filter(~taken & pred))
         taken = taken | pred
     outs["main"] = DataStream(ds.df.filter(~taken))

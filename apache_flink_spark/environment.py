@@ -76,7 +76,27 @@ class TableEnvironment:
             # requested. One row, column ``result`` — the reference's
             # EXPLAIN result shape.
             extended = bool(m.group("details"))
-            plan = self.explain_sql(m.group("stmt"), extended=extended)
+            stmt = m.group("stmt")
+            if stmt.lstrip().upper().startswith("INSERT"):
+                # EXPLAIN must never EXECUTE: routing an INSERT through
+                # self.sql would run the write (and spark.sql runs
+                # non-DDL inserts eagerly). Plan only: for a DDL-declared
+                # sink, plan its SELECT; otherwise use Spark's native
+                # EXPLAIN, which plans without executing.
+                from apache_flink_spark.ddl import _INSERT_RE, _TABLES
+
+                im = _INSERT_RE.match(stmt)
+                if im and im.group("name") in _TABLES:
+                    plan = self.explain_sql(
+                        im.group("select"), extended=extended
+                    )
+                else:
+                    kw = "EXPLAIN EXTENDED " if extended else "EXPLAIN "
+                    plan = self.spark.sql(kw + stmt).collect()[0][0]
+                return self.spark.createDataFrame(
+                    [(plan,)], "result string"
+                )
+            plan = self.explain_sql(stmt, extended=extended)
             return self.spark.createDataFrame([(plan,)], "result string")
         if "CREATE" in up and "CONNECTOR" in up:
             from apache_flink_spark.ddl import execute_flink_ddl

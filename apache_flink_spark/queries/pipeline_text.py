@@ -465,20 +465,21 @@ def text_tfidf_topterms(spark, sf_dir):
     pathological near-tie could (distinct small-integer (tf, df) pairs
     whose scores collide within 1 ulp)."""
     d = t(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # Corpus size joined in as a 1-row aggregate (the oracle's CROSS JOIN
+    # n) — an eager d.count() here would run a second full scan of the
+    # documents table per invocation just to fetch a scalar.
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df, "term").select(
+    scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
         "tf",
         "df",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
-            "score"
-        ),
+        (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("score"),
     )
     from pyspark.sql import Window
 

@@ -41,6 +41,27 @@ from apache_flink_spark.queries.registry import query
 MIN10 = 600_000_000
 
 
+def _clicks_errors_interval(spark, sf_dir, how: str):
+    """Shared body of the interval-join family (one place for the
+    30-minute bound and the column set; only the join mode varies)."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    return clicks.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("e_ts") <= F.col("c_ts")),
+        how,
+    )
+
+
 @query(
     "interval_join",
     oracle="""
@@ -59,22 +80,7 @@ MIN10 = 600_000_000
 def interval_join(spark, sf_dir):
     """Interval join (TimeIntervalJoin): errors within the 30 minutes
     preceding each click by the same user."""
-    e = t(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
-    )
-    errors = e.filter(F.col("event_type") == "error").select(
-        F.col("user_id").alias("e_user"),
-        F.col("event_id").alias("error_id"),
-        F.col("ts").alias("e_ts"),
-    )
-    joined = clicks.join(
-        errors,
-        (F.col("user_id") == F.col("e_user"))
-        & (F.col("e_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
-        & (F.col("e_ts") <= F.col("c_ts")),
-    )
-    return joined.select(
+    return _clicks_errors_interval(spark, sf_dir, "inner").select(
         "user_id",
         "click_id",
         "error_id",
@@ -106,23 +112,7 @@ def interval_join_left(spark, sf_dir):
     them within 30 minutes. Same plan shape as the inner variant — equi
     shuffle on user_id, range as a post-join filter, outer rows preserved
     by the join mode, so the scale story is unchanged."""
-    e = t(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
-    )
-    errors = e.filter(F.col("event_type") == "error").select(
-        F.col("user_id").alias("e_user"),
-        F.col("event_id").alias("error_id"),
-        F.col("ts").alias("e_ts"),
-    )
-    joined = clicks.join(
-        errors,
-        (F.col("user_id") == F.col("e_user"))
-        & (F.col("e_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
-        & (F.col("e_ts") <= F.col("c_ts")),
-        "left",
-    )
-    return joined.select(
+    return _clicks_errors_interval(spark, sf_dir, "left").select(
         "user_id",
         "click_id",
         "error_id",
@@ -150,25 +140,13 @@ def interval_join_full(spark, sf_dir):
     clicks with no preceding error AND errors followed by no click within
     the bound both survive with nulls — the reference emits each side's
     unmatched rows when its time bound expires."""
-    e = t(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
+    j = _clicks_errors_interval(spark, sf_dir, "full")
+    return j.select(
         F.col("user_id").alias("click_user"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("c_ts"),
+        F.col("e_user").alias("error_user"),
+        "click_id",
+        "error_id",
     )
-    errors = e.filter(F.col("event_type") == "error").select(
-        F.col("user_id").alias("error_user"),
-        F.col("event_id").alias("error_id"),
-        F.col("ts").alias("e_ts"),
-    )
-    joined = clicks.join(
-        errors,
-        (F.col("click_user") == F.col("error_user"))
-        & (F.col("e_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
-        & (F.col("e_ts") <= F.col("c_ts")),
-        "full",
-    )
-    return joined.select("click_user", "error_user", "click_id", "error_id")
 
 
 def asof_join(left, right, key: str, ts: str, carry: str, tiebreak: str):

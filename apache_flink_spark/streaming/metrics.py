@@ -70,8 +70,11 @@ class MetricsRecorder(StreamingQueryListener):
             out = [r for r in out if r["query_id"] == query_id]
         return out
 
-    def totals(self) -> dict:
-        rows = self.batches()
+    def totals(self, query_id: str | None = None) -> dict:
+        """Aggregated metrics; pass ``query_id`` when more than one
+        streaming query ran while attached — the listener is
+        session-global, so an unfiltered total mixes queries."""
+        rows = self.batches(query_id)
         return {
             "n_batches": len(rows),
             "num_input_rows": sum(r["num_input_rows"] for r in rows),

@@ -295,3 +295,40 @@ def test_co_group_windowed(spark, env):
         r.key: (len(r.left_items), len(r.right_items)) for r in out
     }
     assert got == {"u1": (1, 1), "u2": (0, 1), "u3": (1, 0)}
+
+
+def test_side_output_split_null_predicate(spark, env):
+    """A NULL-evaluating tag predicate counts as no-match: the row must
+    land in main, not vanish under three-valued logic."""
+    from apache_flink_spark.datastream import OutputTag, side_output_split
+
+    ds = env.from_collection([(1, None), (2, 5)], "id long, v long")
+    outs = side_output_split(ds, OutputTag("small", "v < 10"))
+    assert [r.id for r in outs["small"].to_df().collect()] == [2]
+    assert [r.id for r in outs["main"].to_df().collect()] == [1]
+
+
+def test_co_group_composite_key(spark, env):
+    from apache_flink_spark.datastream import TumblingEventTimeWindows
+
+    a = env.from_collection(
+        [("u1", "A", "2024-01-01 00:01:00")], "k string, g string, ts string"
+    ).map([F.col("k"), F.col("g"), F.to_timestamp("ts").alias("ts")])
+    b = env.from_collection(
+        [("u1", "A", "2024-01-01 00:02:00"), ("u1", "B", "2024-01-01 00:02:30")],
+        "k string, g string, ts string",
+    ).map([F.col("k"), F.col("g"), F.to_timestamp("ts").alias("ts")])
+    rows = (
+        a.co_group(b)
+        .where("k", "g")
+        .equal_to("k", "g")
+        .window(TumblingEventTimeWindows.of("10 minutes").on("ts"))
+        .apply()
+        .to_df()
+        .collect()
+    )
+    got = {
+        (r.key0, r.key1): (len(r.left_items), len(r.right_items))
+        for r in rows
+    }
+    assert got == {("u1", "A"): (1, 1), ("u1", "B"): (0, 1)}

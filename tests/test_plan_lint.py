@@ -44,6 +44,11 @@ _WHITELIST = {
         "assignment shape; fan-out is K per vector, never corpus^2",
         {"BroadcastNestedLoopJoin"},
     ),
+    "text_tfidf_topterms": (
+        "corpus size attaches as a SINGLE-ROW broadcast aggregate "
+        "(the oracle's CROSS JOIN n)",
+        {"BroadcastNestedLoopJoin"},
+    ),
     "pipeline_kmeans_iterate": (
         "same broadcast K-row centroid assignment shape as "
         "pipeline_kmeans_assign, plus the centroid re-aggregation",

@@ -289,3 +289,25 @@ def test_temporal_table_function_join_lateral(spark, sf_dir):
         .collect()
     }
     assert got == {1: None, 2: 114, 3: 116, 4: 102}
+
+
+def test_explain_insert_does_not_execute(spark, sf_dir, tmp_path):
+    """EXPLAIN INSERT must plan, never run, the write (reference
+    SqlRichExplain explains the modification without executing it)."""
+    te = _tenv(spark, sf_dir)
+    path = str(tmp_path / "xp_sink")
+    te.sql(
+        f"""
+        CREATE TABLE xp_sink (k BIGINT) WITH (
+            'connector' = 'filesystem', 'path' = '{path}',
+            'format' = 'parquet'
+        )
+        """
+    )
+    te.sql("INSERT INTO xp_sink SELECT id AS k FROM range(3)")
+    plan = te.sql(
+        "EXPLAIN PLAN FOR INSERT INTO xp_sink SELECT id AS k FROM range(99)"
+    ).collect()[0].result
+    assert "Range" in plan or "range" in plan
+    n = te.sql("SELECT count(*) AS n FROM xp_sink").collect()[0].n
+    assert n == 3  # the explained insert did NOT append 99 rows
