@@ -162,3 +162,33 @@ def dedup_distinct_rows(spark, sf_dir):
     """Exact whole-row dedup -> hash aggregate on all columns."""
     c = t(spark, sf_dir, "customer")
     return c.select("c_nationkey", "c_mktsegment").distinct()
+
+
+@query(
+    "rank_topn_with_ties",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate) AS rnk
+      FROM orders
+    ) WHERE rnk <= 2
+    """,
+)
+def rank_topn_with_ties(spark, sf_dir):
+    """Top-N WITH TIES — the reference's RankType.RANK Top-N
+    (flink-table-runtime .../rank/ RankProcessStrategy: ROW_NUMBER
+    truncates at exactly N, RANK keeps every row tied with the Nth):
+    each customer's first-two order DATES, where several same-date
+    orders all survive. Ranked on the (non-unique) o_orderdate
+    deliberately — a unique sort key would make RANK degenerate to
+    ROW_NUMBER and test nothing. Same window-group-limit plan shape;
+    Catalyst pushes the rank()<=k limit into the sort exactly as for
+    row_number."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
