@@ -489,3 +489,56 @@ def text_tfidf_topterms(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df")
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ), cnt AS (
+        SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2
+    ), tot AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+    )
+    SELECT cnt.doc_id, tot.n AS n_chars, COUNT(*) AS n_distinct,
+           ROUND(ln(CAST(tot.n AS DOUBLE))
+                 - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                   / tot.n, 3) AS entropy
+    FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+    GROUP BY cnt.doc_id, tot.n
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the cheap
+    perplexity proxy corpus pipelines use to flag binary junk, boilerplate
+    and repetitive spam (low entropy) without running a language model.
+    Computed as ln(n) - (1/n)*sum(c*ln(c)) over the per-char counts —
+    one explode + two hash aggregates, narrow JVM stages. Rounded at
+    scale 3: the term values are identical cross-engine (counts are exact
+    integers, ln and * single correctly-rounded ops); only the SUM's
+    accumulation order differs, a ~1e-15 relative wobble far below the
+    rounding quantum."""
+    d = t(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    )
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    joined = cnt.join(tot, "doc_id")
+    return joined.groupBy("doc_id", "n").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - F.sum(
+                F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+            )
+            / F.col("n"),
+            3,
+        ).alias("entropy"),
+    ).select(
+        "doc_id",
+        F.col("n").alias("n_chars"),
+        "n_distinct",
+        "entropy",
+    )
