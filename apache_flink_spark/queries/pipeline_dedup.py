@@ -387,10 +387,20 @@ _CLUSTER_ORACLE = f"""
         SELECT doc_id AS src, doc_id AS dst FROM documents
         UNION
         SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ), comp AS (
+        SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
     )
-    SELECT src AS doc_id, MIN(dst) AS cluster_id,
-           src = MIN(dst) AS is_kept
-    FROM reach GROUP BY src
+    SELECT doc_id, cluster_id, doc_id = cluster_id AS is_kept
+    FROM comp
+"""
+
+# Same CTE chain, quality-based survivor rule instead of min-doc_id.
+_SURVIVOR_ORACLE = _CLUSTER_ORACLE[: _CLUSTER_ORACLE.rindex(")")] + """)
+    SELECT c.doc_id, c.cluster_id, d.n_chars,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY d.n_chars DESC, c.doc_id) = 1
+               AS keep
+    FROM comp c JOIN documents d ON d.doc_id = c.doc_id
 """
 
 
@@ -507,3 +517,31 @@ def dedup_edit_distance(spark, sf_dir):
         F.greatest(F.length("text_a"), F.length("text_b")).alias("max_len"),
     )
     return out.filter(50 * F.col("dist") <= F.col("max_len"))
+
+
+@query("pipeline_dedup_survivor", oracle=_SURVIVOR_ORACLE)
+def pipeline_dedup_survivor(spark, sf_dir):
+    """Quality-based dedup survivorship: within each near-dup cluster keep
+    the HIGHEST-QUALITY member (longest text, doc_id tiebreak) instead of
+    the smallest id — the rule production corpus dedup actually applies
+    (drop the truncated/boilerplate copies, keep the fullest one).
+    Composes dedup_cluster_components' label propagation with one join to
+    the documents table and a per-cluster rank — the added cost over
+    min-id survivorship is a single window pass on the (tiny relative to
+    the corpus) membership table."""
+    from pyspark.sql import Window
+
+    comp = dedup_cluster_components(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = comp.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
