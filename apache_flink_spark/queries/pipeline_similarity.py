@@ -734,3 +734,131 @@ def pipeline_kmeans_iterate(spark, sf_dir):
         F.sum("val").alias("sum_q"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+@query(
+    "sim_lsh_recall",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_QE_SQL} AS qe FROM embeddings
+    ), b AS (
+        SELECT vec_id, qe, {_bucket_sql("qe")} AS bucket FROM v
+    ), exact_d AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_dot_sql("q.qe", "c.qe")} AS dot,
+               {_dot_sql("q.qe", "q.qe")} AS nq,
+               {_dot_sql("c.qe", "c.qe")} AS nc
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20
+    ), exact_top AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY CAST(dot AS DOUBLE)
+                         / sqrt(CAST(nq * nc AS DOUBLE)) DESC, cand_id) AS rnk
+            FROM exact_d
+        ) WHERE rnk <= 5
+    ), lsh_d AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_dot_sql("q.qe", "c.qe")} AS dot,
+               {_dot_sql("q.qe", "q.qe")} AS nq,
+               {_dot_sql("c.qe", "c.qe")} AS nc
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20
+    ), lsh_top AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY CAST(dot AS DOUBLE)
+                         / sqrt(CAST(nq * nc AS DOUBLE)) DESC, cand_id) AS rnk
+            FROM lsh_d
+        ) WHERE rnk <= 5
+    )
+    SELECT e.query_id,
+           COUNT(l.cand_id) AS n_hit,
+           COUNT(l.cand_id) / 5.0 AS recall_at_5
+    FROM exact_top e
+    LEFT JOIN lsh_top l
+      ON l.query_id = e.query_id AND l.cand_id = e.cand_id
+    GROUP BY e.query_id
+    """,
+)
+def sim_lsh_recall(spark, sf_dir):
+    """ANN recall evaluation — recall@5 of the LSH index against the exact
+    brute-force ranking per query, THE acceptance metric every production
+    ANN deployment tracks before swapping approximate search in. One
+    left-semi-shaped join between the two top-k sets; recall = hits/5 is
+    an exact small-integer division (identical cross-engine). The exact
+    arm is the deliberate baseline cost (same shape as
+    sim_bruteforce_topk, broadcast query set); the LSH arm reuses the
+    bucket equi-join — at corpus scale the evaluation runs on a SAMPLE of
+    queries exactly like the 20-query probe here."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.expr(_QE_SPARK).alias("qe"))
+    b = v.withColumn("bucket", F.expr(_bucket_spark("qe")))
+
+    def topk(cand_join):
+        cos = F.col("dot").cast("double") / F.sqrt(
+            (F.col("nq") * F.col("nc")).cast("double")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc(cos), "cand_id")
+        return (
+            cand_join.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("query_id", "cand_id")
+        )
+
+    q_exact = v.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe")
+    )
+    c_exact = v.select(
+        F.col("vec_id").alias("cand_id"), F.col("qe").alias("c_qe")
+    )
+    exact_top = topk(
+        c_exact.join(
+            F.broadcast(q_exact), F.col("query_id") != F.col("cand_id")
+        ).select(
+            "query_id",
+            "cand_id",
+            F.expr(_dot_spark("q_qe", "c_qe")).alias("dot"),
+            F.expr(_dot_spark("q_qe", "q_qe")).alias("nq"),
+            F.expr(_dot_spark("c_qe", "c_qe")).alias("nc"),
+        )
+    )
+    q_lsh = b.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qe").alias("q_qe"),
+        "bucket",
+    )
+    c_lsh = b.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qe").alias("c_qe"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    lsh_top = topk(
+        q_lsh.join(
+            c_lsh,
+            (F.col("bucket") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("cand_id")),
+        ).select(
+            "query_id",
+            "cand_id",
+            F.expr(_dot_spark("q_qe", "c_qe")).alias("dot"),
+            F.expr(_dot_spark("q_qe", "q_qe")).alias("nq"),
+            F.expr(_dot_spark("c_qe", "c_qe")).alias("nc"),
+        )
+    )
+    hit = lsh_top.withColumnRenamed("cand_id", "l_cand")
+    return (
+        exact_top.join(
+            hit,
+            (exact_top["query_id"] == hit["query_id"])
+            & (exact_top["cand_id"] == hit["l_cand"]),
+            "left",
+        )
+        .groupBy(exact_top["query_id"].alias("query_id"))
+        .agg(
+            F.count("l_cand").alias("n_hit"),
+            (F.count("l_cand") / F.lit(5.0)).alias("recall_at_5"),
+        )
+    )

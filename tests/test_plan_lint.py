@@ -44,6 +44,11 @@ _WHITELIST = {
         "assignment shape; fan-out is K per vector, never corpus^2",
         {"BroadcastNestedLoopJoin"},
     ),
+    "sim_lsh_recall": (
+        "the exact-baseline arm is the deliberate brute-force broadcast "
+        "of the 20-query probe set (recall evaluation needs ground truth)",
+        {"BroadcastNestedLoopJoin"},
+    ),
     "text_tfidf_topterms": (
         "corpus size attaches as a SINGLE-ROW broadcast aggregate "
         "(the oracle's CROSS JOIN n)",
