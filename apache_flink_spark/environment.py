@@ -19,6 +19,13 @@ from apache_flink_spark.functions.registry import register_all
 from apache_flink_spark.session import get_spark
 
 
+# Flink SQL-client SET/RESET: quoted keys, e.g. SET 'table.local-time-zone'
+# = 'UTC'. Bare SET lists; RESET 'key' unsets.
+_SET_RE = re.compile(
+    r"^\s*(?P<op>SET|RESET)\s*(?:'(?P<key>[^']+)'\s*(?:=\s*'(?P<val>[^']*)')?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # Flink SqlRichExplain grammar: EXPLAIN [detail[, detail]*] [PLAN FOR] stmt.
 _EXPLAIN_RE = re.compile(
     r"""^\s*EXPLAIN\s+
@@ -98,6 +105,23 @@ class TableEnvironment:
                 )
             plan = self.explain_sql(stmt, extended=extended)
             return self.spark.createDataFrame([(plan,)], "result string")
+        sm = _SET_RE.match(query)
+        if sm:
+            # Flink SQL-client ``SET 'key' = 'value';`` / ``RESET 'key'``
+            # (reference SqlSet/SqlReset, sql-client SetOperation). Keys
+            # apply to the session conf — the same scope the reference's
+            # TableConfig gives them. Bare ``SET`` lists the conf like the
+            # client does.
+            key, val = sm.group("key"), sm.group("val")
+            if sm.group("op").upper() == "RESET":
+                if key:
+                    self.spark.conf.unset(key)
+                    return self.spark.sql("SELECT 'OK' AS result")
+                return self.spark.sql("RESET")
+            if key is None:
+                return self.spark.sql("SET")
+            self.spark.conf.set(key, val)
+            return self.spark.sql("SELECT 'OK' AS result")
         if "CREATE" in up and "CONNECTOR" in up:
             from apache_flink_spark.ddl import execute_flink_ddl
 

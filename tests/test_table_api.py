@@ -311,3 +311,23 @@ def test_explain_insert_does_not_execute(spark, sf_dir, tmp_path):
     assert "Range" in plan or "range" in plan
     n = te.sql("SELECT count(*) AS n FROM xp_sink").collect()[0].n
     assert n == 3  # the explained insert did NOT append 99 rows
+
+
+def test_set_reset_statements(spark, sf_dir):
+    """Flink SQL-client SET/RESET statements (SqlSet/SqlReset): quoted
+    keys apply to the session conf; bare SET lists it."""
+    te = _tenv(spark, sf_dir)
+    te.sql("SET 'spark.sql.afs.test.flag' = 'hello'")
+    assert spark.conf.get("spark.sql.afs.test.flag") == "hello"
+    te.sql("RESET 'spark.sql.afs.test.flag'")
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        spark.conf.get("spark.sql.afs.test.flag")
+    # bare SET lists the conf (Spark's native SET output shape)
+    rows = te.sql("SET").limit(3).collect()
+    assert rows and hasattr(rows[0], "key")
+    # unquoted Spark-native form still passes straight through
+    te.sql("SET spark.sql.afs.test.flag2=v2")
+    assert spark.conf.get("spark.sql.afs.test.flag2") == "v2"
+    spark.conf.unset("spark.sql.afs.test.flag2")
