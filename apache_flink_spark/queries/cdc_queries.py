@@ -275,3 +275,91 @@ def cdc_ogg_materialize(spark, sf_dir):
         to_ogg_json(F.lit("D"), _img(), _null_img(), op_ts).alias("value")
     )
     return _materialized(parse_ogg(rows.unionAll(dels), PAYLOAD))
+
+
+_VIEW_PAYLOAD = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+    ]
+)
+
+
+@query(
+    "stream_cdc_temporal_join",
+    streaming=True,
+    oracle="""
+    WITH wm AS (
+        SELECT LEAST(
+            (SELECT epoch_ms(MAX(ts)) FROM events WHERE event_type = 'click'),
+            (SELECT epoch_ms(MAX(ts)) FROM events WHERE event_type = 'view')
+        ) - 3600000 AS wm_ms
+    )
+    SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_ts,
+           v.event_id AS view_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    CROSS JOIN wm
+    WHERE epoch_ms(c.ts) <= wm.wm_ms
+    """,
+)
+def stream_cdc_temporal_join(spark, sf_dir):
+    """The flagship Flink composition end-to-end: a click stream
+    temporally joined against a CDC-MAINTAINED versioned dimension —
+    kafka+debezium dimension table, FOR SYSTEM_TIME AS OF probe (reference
+    docs' canonical currency-rates example; TemporalRowTimeJoinOperator
+    fed by DebeziumJsonDeserializationSchema). The view-side images travel
+    as REAL debezium wire JSON staged as text files (the Kafka value
+    shape), are decoded per micro-batch by the stateless parse_debezium
+    expressions, become the versioned build side of
+    streaming_temporal_join, and every click emits its as-of view once
+    the combined watermark certifies it. The oracle is the SAME ASOF
+    formulation as stream_temporal_join — green means the wire encode ->
+    decode -> versioned-state path provably loses nothing."""
+    import tempfile
+
+    from apache_flink_spark.streaming.stateful import streaming_temporal_join
+    from apache_flink_spark.streaming.sources import run_to_table, stream_table
+
+    # Stage the dimension's CDC feed: one upsert envelope per view event.
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view")
+    img = F.struct(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    wire = views.select(
+        to_debezium_json(
+            F.lit("u"),
+            F.lit(None).cast(_VIEW_PAYLOAD.simpleString()),
+            img,
+            (F.unix_micros("ts") / 1000).cast("long"),
+        ).alias("value")
+    )
+    wire_dir = tempfile.mkdtemp(prefix="afs_cdc_dim_") + "/wire"
+    wire.write.mode("overwrite").text(wire_dir)
+
+    dim = parse_debezium(
+        spark.readStream.format("text").load(wire_dir), _VIEW_PAYLOAD
+    )
+    versions = (
+        dim.filter(F.col("__rowkind").isin("+I", "+U"))
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withWatermark("ts", "1 hour")
+        .select("user_id", F.lit(0).alias("side"), "event_id", "ts_us", "ts")
+    )
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            "user_id",
+            F.lit(1).alias("side"),
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "ts",
+        )
+    )
+    out = streaming_temporal_join(clicks.unionByName(versions))
+    return run_to_table(out, "append")
