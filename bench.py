@@ -73,6 +73,8 @@ HEADLINE = [
     "text_tfidf_topterms",
     "pipeline_kmeans_assign",
     "stream_window_join",
+    # the flagship composition: debezium wire -> versioned dim -> temporal join
+    "stream_cdc_temporal_join",
 ]
 
 
