@@ -20,9 +20,15 @@ from apache_flink_spark.session import get_spark
 
 
 # Flink SQL-client SET/RESET: quoted keys, e.g. SET 'table.local-time-zone'
-# = 'UTC'. Bare SET lists; RESET 'key' unsets.
+# = 'UTC'. Bare SET lists; RESET 'key' unsets; RESET resets all. The
+# grammar is per-op (SET requires the ='value'; RESET forbids it) so
+# malformed variants fall through to spark.sql and get Spark's parse
+# error instead of silently half-applying.
 _SET_RE = re.compile(
-    r"^\s*(?P<op>SET|RESET)\s*(?:'(?P<key>[^']+)'\s*(?:=\s*'(?P<val>[^']*)')?)?\s*;?\s*$",
+    r"^\s*(?:"
+    r"(?P<set>SET)(?:\s+'(?P<key>[^']+)'\s*=\s*'(?P<val>[^']*)')?"
+    r"|(?P<reset>RESET)(?:\s+'(?P<rkey>[^']+)')?"
+    r")\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -111,16 +117,17 @@ class TableEnvironment:
             # (reference SqlSet/SqlReset, sql-client SetOperation). Keys
             # apply to the session conf — the same scope the reference's
             # TableConfig gives them. Bare ``SET`` lists the conf like the
-            # client does.
-            key, val = sm.group("key"), sm.group("val")
-            if sm.group("op").upper() == "RESET":
-                if key:
-                    self.spark.conf.unset(key)
+            # client does; bare ``RESET`` resets everything.
+            if sm.group("reset"):
+                rkey = sm.group("rkey")
+                if rkey:
+                    self.spark.conf.unset(rkey)
                     return self.spark.sql("SELECT 'OK' AS result")
                 return self.spark.sql("RESET")
+            key = sm.group("key")
             if key is None:
                 return self.spark.sql("SET")
-            self.spark.conf.set(key, val)
+            self.spark.conf.set(key, sm.group("val"))
             return self.spark.sql("SELECT 'OK' AS result")
         if "CREATE" in up and "CONNECTOR" in up:
             from apache_flink_spark.ddl import execute_flink_ddl

@@ -318,27 +318,32 @@ def stream_cdc_temporal_join(spark, sf_dir):
     the combined watermark certifies it. The oracle is the SAME ASOF
     formulation as stream_temporal_join — green means the wire encode ->
     decode -> versioned-state path provably loses nothing."""
-    import tempfile
+    import os
 
+    from apache_flink_spark import io
     from apache_flink_spark.streaming.stateful import streaming_temporal_join
     from apache_flink_spark.streaming.sources import run_to_table, stream_table
 
-    # Stage the dimension's CDC feed: one upsert envelope per view event.
-    e = t(spark, sf_dir, "events")
-    views = e.filter(F.col("event_type") == "view")
-    img = F.struct(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
-    )
-    wire = views.select(
-        to_debezium_json(
-            F.lit("u"),
-            F.lit(None).cast(_VIEW_PAYLOAD.simpleString()),
-            img,
-            (F.unix_micros("ts") / 1000).cast("long"),
-        ).alias("value")
-    )
-    wire_dir = tempfile.mkdtemp(prefix="afs_cdc_dim_") + "/wire"
-    wire.write.mode("overwrite").text(wire_dir)
+    # Stage the dimension's CDC feed ONCE per sf_dir (a corpus-sized copy
+    # of the view events as wire JSON — a fresh mkdtemp per call would
+    # accumulate until /tmp fills, and the bench runs this query every
+    # round). roundtrip_dir gives the deterministic reusable path.
+    wire_dir = os.path.join(io.roundtrip_dir(sf_dir, "cdc_dim_wire"), "wire")
+    if not os.path.isdir(wire_dir) or not os.listdir(wire_dir):
+        e = t(spark, sf_dir, "events")
+        views = e.filter(F.col("event_type") == "view")
+        img = F.struct(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+        )
+        wire = views.select(
+            to_debezium_json(
+                F.lit("u"),
+                F.lit(None).cast(_VIEW_PAYLOAD.simpleString()),
+                img,
+                (F.unix_micros("ts") / 1000).cast("long"),
+            ).alias("value")
+        )
+        wire.write.mode("overwrite").text(wire_dir)
 
     dim = parse_debezium(
         spark.readStream.format("text").load(wire_dir), _VIEW_PAYLOAD

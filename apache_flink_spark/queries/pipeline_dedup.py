@@ -363,7 +363,9 @@ def dedup_simhash(spark, sf_dir):
     return bits.select("doc_id", simhash.alias("simhash"))
 
 
-_CLUSTER_ORACLE = f"""
+# Shared CTE chain of the components/survivor oracles — pair graph ->
+# symmetric edges -> transitive closure -> min-label components.
+_CLUSTER_CTES = f"""
     WITH RECURSIVE sh AS (
         SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh
         FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
@@ -390,12 +392,15 @@ _CLUSTER_ORACLE = f"""
     ), comp AS (
         SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
     )
+"""
+
+_CLUSTER_ORACLE = _CLUSTER_CTES + """
     SELECT doc_id, cluster_id, doc_id = cluster_id AS is_kept
     FROM comp
 """
 
 # Same CTE chain, quality-based survivor rule instead of min-doc_id.
-_SURVIVOR_ORACLE = _CLUSTER_ORACLE[: _CLUSTER_ORACLE.rindex(")")] + """)
+_SURVIVOR_ORACLE = _CLUSTER_CTES + """
     SELECT c.doc_id, c.cluster_id, d.n_chars,
            ROW_NUMBER() OVER (PARTITION BY c.cluster_id
                               ORDER BY d.n_chars DESC, c.doc_id) = 1

@@ -740,14 +740,14 @@ def pipeline_kmeans_iterate(spark, sf_dir):
     "sim_lsh_recall",
     oracle=f"""
     WITH v AS (
-        SELECT vec_id, {_QE_SQL} AS qe FROM embeddings
+        SELECT vec_id, qe, {_dot_sql("qe", "qe")} AS nn
+        FROM (SELECT vec_id, {_QE_SQL} AS qe FROM embeddings)
     ), b AS (
-        SELECT vec_id, qe, {_bucket_sql("qe")} AS bucket FROM v
+        SELECT vec_id, qe, nn, {_bucket_sql("qe")} AS bucket FROM v
     ), exact_d AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                {_dot_sql("q.qe", "c.qe")} AS dot,
-               {_dot_sql("q.qe", "q.qe")} AS nq,
-               {_dot_sql("c.qe", "c.qe")} AS nc
+               q.nn AS nq, c.nn AS nc
         FROM v q JOIN v c ON q.vec_id <> c.vec_id
         WHERE q.vec_id < 20
     ), exact_top AS (
@@ -761,8 +761,7 @@ def pipeline_kmeans_iterate(spark, sf_dir):
     ), lsh_d AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                {_dot_sql("q.qe", "c.qe")} AS dot,
-               {_dot_sql("q.qe", "q.qe")} AS nq,
-               {_dot_sql("c.qe", "c.qe")} AS nc
+               q.nn AS nq, c.nn AS nc
         FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
         WHERE q.vec_id < 20
     ), lsh_top AS (
@@ -794,7 +793,11 @@ def sim_lsh_recall(spark, sf_dir):
     bucket equi-join — at corpus scale the evaluation runs on a SAMPLE of
     queries exactly like the 20-query probe here."""
     e = t(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", F.expr(_QE_SPARK).alias("qe"))
+    # Norms once per vector, not per joined pair (the 64-element fold per
+    # pair triples work and codegen — same lesson as pipeline_kmeans).
+    v = e.select("vec_id", F.expr(_QE_SPARK).alias("qe")).withColumn(
+        "nn", F.expr(_dot_spark("qe", "qe"))
+    )
     b = v.withColumn("bucket", F.expr(_bucket_spark("qe")))
 
     def topk(cand_join):
@@ -809,10 +812,14 @@ def sim_lsh_recall(spark, sf_dir):
         )
 
     q_exact = v.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("nn").alias("nq"),
     )
     c_exact = v.select(
-        F.col("vec_id").alias("cand_id"), F.col("qe").alias("c_qe")
+        F.col("vec_id").alias("cand_id"),
+        F.col("qe").alias("c_qe"),
+        F.col("nn").alias("nc"),
     )
     exact_top = topk(
         c_exact.join(
@@ -821,18 +828,20 @@ def sim_lsh_recall(spark, sf_dir):
             "query_id",
             "cand_id",
             F.expr(_dot_spark("q_qe", "c_qe")).alias("dot"),
-            F.expr(_dot_spark("q_qe", "q_qe")).alias("nq"),
-            F.expr(_dot_spark("c_qe", "c_qe")).alias("nc"),
+            "nq",
+            "nc",
         )
     )
     q_lsh = b.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("qe").alias("q_qe"),
+        F.col("nn").alias("nq"),
         "bucket",
     )
     c_lsh = b.select(
         F.col("vec_id").alias("cand_id"),
         F.col("qe").alias("c_qe"),
+        F.col("nn").alias("nc"),
         F.col("bucket").alias("c_bucket"),
     )
     lsh_top = topk(
@@ -844,8 +853,8 @@ def sim_lsh_recall(spark, sf_dir):
             "query_id",
             "cand_id",
             F.expr(_dot_spark("q_qe", "c_qe")).alias("dot"),
-            F.expr(_dot_spark("q_qe", "q_qe")).alias("nq"),
-            F.expr(_dot_spark("c_qe", "c_qe")).alias("nc"),
+            "nq",
+            "nc",
         )
     )
     hit = lsh_top.withColumnRenamed("cand_id", "l_cand")
