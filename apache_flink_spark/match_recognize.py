@@ -26,9 +26,12 @@ Supported subset (errors loudly otherwise):
                                                  -- row navigation (lag/lead)
     ) [AS alias]
 
-    <measure>  := VAR.col | FIRST(VAR.col) | LAST(VAR.col)
-                | COUNT(VAR.*) | COUNT(*) | SUM|MIN|MAX|AVG(VAR.col)
+    <measure>  := [RUNNING | FINAL] (VAR.col | FIRST(VAR.col)
+                | LAST(VAR.col) | COUNT(VAR.*) | COUNT(*)
+                | SUM|MIN|MAX|AVG(VAR.col))
                 | CLASSIFIER() | MATCH_NUMBER()
+                -- ALL ROWS PER MATCH defaults to RUNNING (SQL standard);
+                -- ONE ROW PER MATCH evaluates at the final row
 
 Semantics follow the reference (cep/nfa/NFA.java:76 and Calcite's
 MATCH_RECOGNIZE validation): greedy quantifiers with backtracking,
@@ -96,7 +99,8 @@ _WITHIN_UNIT_US = {
 }
 
 _MEASURE_RE = re.compile(
-    r"^(?:(?P<fn>CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)"
+    r"^(?:(?P<sem>RUNNING|FINAL)\s+)?"
+    r"(?:(?P<fn>CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)"
     r"|(?P<agg>FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?P<inner>[^)]*?)\s*\)"
     r"|(?P<var>\w+)\.(?P<col>\w+))\s+AS\s+(?P<alias>\w+)$",
     re.I,
@@ -190,28 +194,32 @@ def _parse_measures(meas: str):
                 "SUM/MIN/MAX/AVG(VAR.col))"
             )
         alias = m.group("alias")
+        # RUNNING/FINAL semantics prefix (SQL standard / reference
+        # MatchCodeGenerator): None = default (RUNNING in ALL ROWS PER
+        # MATCH, where ONE ROW mode evaluates at the final row anyway).
+        sem = m.group("sem").upper() if m.group("sem") else None
         if m.group("fn"):
-            out.append((m.group("fn").upper(), None, None, alias))
+            out.append((m.group("fn").upper(), None, None, alias, sem))
             continue
         if m.group("var"):
-            out.append(("FIRST", m.group("var"), m.group("col"), alias))
+            out.append(("FIRST", m.group("var"), m.group("col"), alias, sem))
             continue
         agg = m.group("agg").upper()
         inner = m.group("inner").strip()
         if agg == "COUNT":
             if inner == "*":
-                out.append(("COUNT", None, None, alias))
+                out.append(("COUNT", None, None, alias, sem))
                 continue
             mv = re.match(r"^(\w+)\.\*$", inner)
             if mv:
-                out.append(("COUNT", mv.group(1), None, alias))
+                out.append(("COUNT", mv.group(1), None, alias, sem))
                 continue
         mv = re.match(r"^(\w+)\.(\w+)$", inner)
         if not mv:
             raise MatchRecognizeError(
                 f"unsupported {agg} argument in MEASURES: {inner!r}"
             )
-        out.append((agg, mv.group(1), mv.group(2), alias))
+        out.append((agg, mv.group(1), mv.group(2), alias, sem))
     return out
 
 
@@ -274,9 +282,22 @@ def _parse_defines(
     return out, nav
 
 
-def _emit_measures(meas, assign, arr, vals, classifier=None, match_no=None) -> None:
-    """Append one value per MEASURES entry for a completed match."""
-    for kind, var, col, _alias in meas:
+def _emit_measures(
+    meas, assign, arr, vals, classifier=None, match_no=None, upto=None
+) -> None:
+    """Append one value per MEASURES entry for a completed match.
+
+    ``upto`` is the current row's index in ALL ROWS PER MATCH mode:
+    measures without an explicit FINAL prefix aggregate only the matched
+    rows at or before it (RUNNING — the SQL-standard/reference default in
+    that mode); ``upto=None`` (ONE ROW mode) is full-match FINAL."""
+
+    def _vis(idx_list, sem):
+        if upto is None or sem == "FINAL":
+            return idx_list
+        return [i for i in idx_list if i <= upto]
+
+    for kind, var, col, _alias, sem in meas:
         if kind == "CLASSIFIER":
             vals.append(classifier)
             continue
@@ -285,11 +306,13 @@ def _emit_measures(meas, assign, arr, vals, classifier=None, match_no=None) -> N
             continue
         if kind == "COUNT":
             if var is None:
-                vals.append(sum(len(v) for v in assign.values()))
+                vals.append(
+                    sum(len(_vis(v, sem)) for v in assign.values())
+                )
             else:
-                vals.append(len(assign.get(var, [])))
+                vals.append(len(_vis(assign.get(var, []), sem)))
             continue
-        idxs = assign.get(var, [])
+        idxs = _vis(assign.get(var, []), sem)
         if not idxs:
             vals.append(None)
             continue
@@ -378,7 +401,7 @@ def compile_match_recognize(
             raise MatchRecognizeError(f"unsupported WITHIN unit {unit!r}")
         within_us = int(m.group("within_n")) * _WITHIN_UNIT_US[unit]
 
-    for kind, var, col, alias in measures:
+    for kind, var, col, alias, _sem in measures:
         if var is not None and var not in variables:
             raise MatchRecognizeError(f"MEASURES references unknown variable {var!r}")
 
@@ -419,14 +442,15 @@ def compile_match_recognize(
     out_fields = []
     if all_rows:
         # ALL ROWS PER MATCH: every input column of each matched row, then
-        # the measures (FINAL semantics) — SQL-standard output shape.
+        # the measures (RUNNING by default, FINAL on request) —
+        # SQL-standard output shape.
         out_fields.extend((c, type_of[c]) for c in src_cols)
     else:
         for c in part_cols:
             if c not in type_of:
                 raise MatchRecognizeError(f"unknown PARTITION BY column {c!r}")
             out_fields.append((c, type_of[c]))
-    for kind, var, col, alias in measures:
+    for kind, var, col, alias, _sem in measures:
         if col is not None and col not in type_of:
             raise MatchRecognizeError(f"unknown column in MEASURES: {col!r}")
         if all_rows and alias in type_of:
@@ -448,7 +472,7 @@ def compile_match_recognize(
     pat = list(pattern)
     meas = list(measures)
     parts = list(part_cols)
-    meas_cols = sorted({c for _, _, c, _ in meas if c is not None})
+    meas_cols = sorted({c for _, _, c, _, _ in meas if c is not None})
     var_list = sorted(variables)
 
     def run_partition(batches):
@@ -637,7 +661,7 @@ def compile_match_recognize(
                     vals = [src_arr[c][idx] for c in src_cols]
                     _emit_measures(
                         meas, assign, arr, vals,
-                        classifier=v, match_no=match_no,
+                        classifier=v, match_no=match_no, upto=idx,
                     )
                     rows.append(vals)
 

@@ -592,3 +592,61 @@ def mr_v_shape_prev(spark, sf_dir):
         ORDER BY user_id, strt_id
         """
     )
+
+
+@query(
+    "mr_running_final_measures",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ep,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events
+    ), runs AS (
+        SELECT *,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY rn) AS grp
+        FROM seq
+    ), pruns AS (
+        SELECT user_id, grp, MIN(rn) AS start_rn, COUNT(*) AS run_len
+        FROM runs WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ), matches AS (
+        SELECT s.user_id, s.rn AS a_rn, p.start_rn, p.run_len
+        FROM seq s
+        JOIN pruns p ON p.user_id = s.user_id AND p.start_rn = s.rn + 1
+        WHERE s.event_type = 'click'
+    )
+    SELECT m.user_id, r.event_id, r.ep,
+           GREATEST(r.rn - m.a_rn, 0) AS b_so_far,
+           m.run_len AS b_total
+    FROM matches m
+    JOIN seq r ON r.user_id = m.user_id
+              AND r.rn BETWEEN m.a_rn AND m.start_rn + m.run_len - 1
+    """,
+)
+def mr_running_final_measures(spark, sf_dir):
+    """RUNNING vs FINAL measure semantics in ALL ROWS PER MATCH (SQL
+    standard; reference MatchCodeGenerator's RUNNING/FINAL evaluation
+    contexts): per emitted row, COUNT(B.*) without a prefix aggregates
+    only the matched rows seen SO FAR (RUNNING — the mode's default),
+    while FINAL COUNT(B.*) is the whole match's count on every row. The
+    oracle rebuilds both from the islands decomposition — b_so_far rises
+    0..run_len along each match while b_total stays constant."""
+    return _tenv(spark, sf_dir).sql(
+        """
+        SELECT user_id, event_id, ep, b_so_far, b_total
+        FROM events_mr MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ep, event_id
+            MEASURES RUNNING COUNT(B.*) AS b_so_far,
+                     FINAL COUNT(B.*) AS b_total
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        )
+        ORDER BY user_id, ep, event_id
+        """
+    )
