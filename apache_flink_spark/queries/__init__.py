@@ -11,6 +11,8 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     tpch,
     tpch_extra,
     tpch_rest,
+    tpcds_shapes,
+    tpcds_shapes2,
     joins,
     match_recognize_queries,
     aggregates,
@@ -52,11 +54,10 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
 # the remaining ~140 entries follow in import order and are covered by the
 # full-registry sweep (scripts/vanilla_smoke.py).
 GATE_SAMPLE = [
-    # TPC-H, the flagship relational surface (all 22)
+    # TPC-H, the flagship relational surface (16 of 22 in-gate; the 6
+    # rotated out for TPC-DS shapes stay oracle-green in the full sweep)
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
     "q3_shipping_priority",
-    "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_nation_volume_shipping",
@@ -64,17 +65,21 @@ GATE_SAMPLE = [
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_stock",
-    "q12_priority_shipping",
     "q13_customer_distribution",
-    "q14_promo_revenue",
     "q15_top_supplier",
     "q16_supplier_part_types",
-    "q17_small_quantity_revenue",
     "q18_large_volume_customer",
-    "q19_disjunctive_predicates",
     "q20_promotion_suppliers",
     "q21_sole_blame_supplier",
     "q22_global_sales_opportunity",
+    # TPC-DS shapes (r5): rollup, 3-way intersect, window deviation,
+    # cumulative full-outer compare, rollup-rank, channel overlap
+    "ds_q5_channel_rollup",
+    "ds_q38_three_channel_intersect",
+    "ds_q47_monthly_deviation",
+    "ds_q51_cumulative_compare",
+    "ds_q70_rollup_rank_within_parent",
+    "ds_q97_channel_overlap",
     # joins
     "join_inner_fact_dim",
     "join_full_outer",

@@ -1,0 +1,512 @@
+"""TPC-DS query SHAPES (2 of 2): ds_q47..ds_q97, adapted to the fixture schema.
+
+Continues tpcds_shapes.py (see its module docstring for the channel mapping
+and the determinism contract). Reference: the TPC-DS validation surface at
+flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/query*.sql, run by
+test-scripts/test_tpcds.sh against official answer sets.
+
+- ds_q47 (query47.sql): monthly sales vs yearly average deviation, with
+                        lag/lead month columns via rank self-joins
+- ds_q49 (query49.sql): per-channel return-ratio double ranking, OR filter
+- ds_q51 (query51.sql): two cumulative-window CTEs FULL OUTER joined, then a
+                        running MAX compare on top of the join
+- ds_q54 (query54.sql): cohort CTE chain -> revenue bucketing -> histogram
+- ds_q58 (query58.sql): three per-channel aggs equi-joined, kept when each
+                        is within 10% of their mutual average
+- ds_q64 (query64.sql): one aggregate CTE instantiated twice and self-joined
+                        across consecutive years with a growth predicate
+- ds_q65 (query65.sql): per-(supplier, part) revenue vs 0.2x the supplier's
+                        average part revenue (aggregate CTE reused two ways)
+- ds_q70 (query70.sql): ROLLUP with GROUPING() in a window PARTITION BY
+                        (rank within rollup parent) + a ranked IN subquery
+- ds_q78 (query78.sql): NOT IN anti-join of returned orders, two channel
+                        CTEs joined per (customer, year) with a ratio sort
+- ds_q88 (query88.sql): eight single-row COUNT subqueries (hour buckets with
+                        a triple-OR side predicate) cross-joined into one row
+- ds_q93 (query93.sql): LEFT JOIN against a returns subset with conditional
+                        netting, per-customer totals
+- ds_q95 (query95.sql): multi-supplier order CTE consumed by two IN
+                        subqueries (the EXISTS-chain shape)
+- ds_q97 (query97.sql): FULL OUTER join of two channel (customer, item)
+                        sets -> store-only / catalog-only / both counts
+"""
+
+from __future__ import annotations
+
+from apache_flink_spark.queries.registry import query
+from apache_flink_spark.queries.tpcds_shapes import _CHANNEL, _PRICE, _QTY, _REV, _sql
+
+_DS_Q47 = f"""
+    WITH v1 AS (
+        SELECT p_brand,
+               CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr,
+               CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS moy,
+               CAST(ROUND(SUM({_PRICE}), 2) AS DOUBLE) AS msum
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2, 3
+    ), v1r AS (
+        SELECT v1.*, ROW_NUMBER() OVER (PARTITION BY p_brand
+                                        ORDER BY yr, moy) AS rn
+        FROM v1
+    ), ya AS (
+        SELECT p_brand AS yb, yr AS yyr,
+               CAST(ROUND(SUM(CAST(msum AS DECIMAL(14,2))), 2) AS DOUBLE)
+                   AS ysum,
+               COUNT(*) AS months
+        FROM v1 GROUP BY 1, 2
+    )
+    SELECT v.p_brand, v.yr, v.moy, v.msum AS sum_sales,
+           ya.ysum / ya.months AS avg_monthly_sales,
+           lagv.msum AS psum, leadv.msum AS nsum
+    FROM v1r v
+    JOIN ya ON v.p_brand = ya.yb AND v.yr = ya.yyr
+    JOIN v1r lagv ON v.p_brand = lagv.p_brand AND v.rn = lagv.rn + 1
+    JOIN v1r leadv ON v.p_brand = leadv.p_brand AND v.rn = leadv.rn - 1
+    WHERE v.yr = 1997
+      AND ABS(v.msum - ya.ysum / ya.months)
+          > CAST(0.1 AS DOUBLE) * (ya.ysum / ya.months)
+    ORDER BY v.p_brand, v.moy
+    LIMIT 100
+"""
+
+
+@query("ds_q47_monthly_deviation", oracle=_DS_Q47)
+def ds_q47_monthly_deviation(spark, sf_dir):
+    """TPC-DS query47 shape (query47.sql): v1 = monthly brand sales with a
+    sequence number; prev/next month columns come from rn +/- 1 self-joins
+    (the reference's v1_lag/v1_lead pattern); rows kept when the month
+    deviates >10% from the yearly average. All comparisons run on exact
+    rounded doubles with identical expression trees in both engines (the
+    yearly re-sum goes through DECIMAL(14,2) of the already-exact month
+    totals, so it is order-independent too)."""
+    return _sql(spark, sf_dir, _DS_Q47)
+
+
+_DS_Q49 = f"""
+    WITH per AS (
+        SELECT {_CHANNEL} AS channel, l_partkey,
+               CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN {_QTY}
+                                   ELSE CAST(0 AS DECIMAL(12,4)) END), 2)
+                    AS DOUBLE) AS ret_qty,
+               CAST(ROUND(SUM({_QTY}), 2) AS DOUBLE) AS tot_qty,
+               CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN {_PRICE}
+                                   ELSE CAST(0 AS DECIMAL(12,4)) END), 2)
+                    AS DOUBLE) AS ret_amt,
+               CAST(ROUND(SUM({_PRICE}), 2) AS DOUBLE) AS tot_amt
+        FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+        SELECT channel, l_partkey,
+               ret_qty / tot_qty AS return_ratio,
+               ROW_NUMBER() OVER (PARTITION BY channel
+                                  ORDER BY ret_qty / tot_qty DESC, l_partkey)
+                   AS return_rank,
+               ROW_NUMBER() OVER (PARTITION BY channel
+                                  ORDER BY ret_amt / tot_amt DESC, l_partkey)
+                   AS currency_rank
+        FROM per
+    )
+    SELECT channel, l_partkey AS item, return_ratio, return_rank,
+           currency_rank
+    FROM ranked
+    WHERE return_rank <= 10 OR currency_rank <= 10
+    ORDER BY channel, return_rank, currency_rank, item
+"""
+
+
+@query("ds_q49_return_ratio_rank", oracle=_DS_Q49)
+def ds_q49_return_ratio_rank(spark, sf_dir):
+    """TPC-DS query49 shape (query49.sql): per-channel worst-return ranking
+    on two ratio orders at once, kept when either rank is in the top 10.
+    Ratios are double divisions of exact rounded sums; ROW_NUMBER carries a
+    key tie-break."""
+    return _sql(spark, sf_dir, _DS_Q49)
+
+
+def _q51_leg(status: str) -> str:
+    return f"""
+        SELECT l_partkey AS item,
+               CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) * 12
+                   + CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS ms,
+               SUM({_PRICE}) AS sales
+        FROM lineitem WHERE l_linestatus = '{status}'
+        GROUP BY 1, 2
+"""
+
+
+_DS_Q51 = f"""
+    WITH web AS ({_q51_leg("O")}),
+    web_v1 AS (
+        SELECT item, ms,
+               CAST(ROUND(SUM(sales) OVER (PARTITION BY item ORDER BY ms
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                    AS DOUBLE) AS cume_sales
+        FROM web
+    ),
+    store AS ({_q51_leg("F")}),
+    store_v1 AS (
+        SELECT item, ms,
+               CAST(ROUND(SUM(sales) OVER (PARTITION BY item ORDER BY ms
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                    AS DOUBLE) AS cume_sales
+        FROM store
+    )
+    SELECT * FROM (
+        SELECT COALESCE(w.item, s.item) AS item,
+               COALESCE(w.ms, s.ms) AS ms,
+               w.cume_sales AS web_sales,
+               s.cume_sales AS store_sales,
+               MAX(w.cume_sales) OVER (PARTITION BY COALESCE(w.item, s.item)
+                    ORDER BY COALESCE(w.ms, s.ms)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS web_cumulative,
+               MAX(s.cume_sales) OVER (PARTITION BY COALESCE(w.item, s.item)
+                    ORDER BY COALESCE(w.ms, s.ms)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS store_cumulative
+        FROM web_v1 w FULL OUTER JOIN store_v1 s
+             ON w.item = s.item AND w.ms = s.ms
+    ) y
+    WHERE web_cumulative > store_cumulative
+    ORDER BY item, ms
+    LIMIT 100
+"""
+
+
+@query("ds_q51_cumulative_compare", oracle=_DS_Q51)
+def ds_q51_cumulative_compare(spark, sf_dir):
+    """TPC-DS query51 shape (query51.sql): per-channel cumulative window
+    sums, FULL OUTER joined on (item, month), then a second layer of running
+    MAX windows over the join output with a cross-channel compare. Cumulative
+    sums stay DECIMAL inside the window (order fixed by the unique ms key)
+    and round once; the running MAX of those doubles is order-independent."""
+    return _sql(spark, sf_dir, _DS_Q51)
+
+
+_DS_Q54 = f"""
+    WITH my_customers AS (
+        SELECT DISTINCT o_custkey AS cust
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_linenumber % 3 IN (1, 2)
+          AND EXTRACT(YEAR FROM o_orderdate) = 1996
+          AND EXTRACT(MONTH FROM o_orderdate) = 3
+    ), my_revenue AS (
+        SELECT cust,
+               CAST(ROUND(SUM({_PRICE}), 2) AS DOUBLE) AS revenue
+        FROM my_customers
+        JOIN orders ON cust = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_linenumber % 3 = 0
+        GROUP BY cust
+    ), segments AS (
+        SELECT CAST(FLOOR(revenue / CAST(5000 AS DOUBLE)) AS BIGINT)
+                   AS segment
+        FROM my_revenue
+    )
+    SELECT segment, COUNT(*) AS num_customers, segment * 5000 AS segment_base
+    FROM segments
+    GROUP BY segment
+    ORDER BY segment
+"""
+
+
+@query("ds_q54_revenue_segments", oracle=_DS_Q54)
+def ds_q54_revenue_segments(spark, sf_dir):
+    """TPC-DS query54 shape (query54.sql): build a cohort (customers who
+    bought in the catalog/web channels in one month), total their store
+    revenue, bucket into $5000 segments, histogram the segments."""
+    return _sql(spark, sf_dir, _DS_Q54)
+
+
+def _q58_leg(chan: int, name: str) -> str:
+    return f"""
+        SELECT l_partkey AS item,
+               CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS {name}
+        FROM lineitem
+        WHERE l_linenumber % 3 = {chan}
+        GROUP BY l_partkey
+"""
+
+
+_DS_Q58 = f"""
+    WITH ss AS ({_q58_leg(0, "ss_sales")}),
+         cs AS ({_q58_leg(1, "cs_sales")}),
+         ws AS ({_q58_leg(2, "ws_sales")})
+    SELECT * FROM (
+        SELECT ss.item AS item, ss_sales, cs_sales, ws_sales,
+               (ss_sales + cs_sales + ws_sales) / CAST(3 AS DOUBLE)
+                   AS avg_sales
+        FROM ss JOIN cs ON ss.item = cs.item JOIN ws ON ss.item = ws.item
+    ) t
+    WHERE ss_sales BETWEEN CAST(0.9 AS DOUBLE) * avg_sales
+                       AND CAST(1.1 AS DOUBLE) * avg_sales
+      AND cs_sales BETWEEN CAST(0.9 AS DOUBLE) * avg_sales
+                       AND CAST(1.1 AS DOUBLE) * avg_sales
+      AND ws_sales BETWEEN CAST(0.9 AS DOUBLE) * avg_sales
+                       AND CAST(1.1 AS DOUBLE) * avg_sales
+    ORDER BY item
+    LIMIT 100
+"""
+
+
+@query("ds_q58_channel_parity", oracle=_DS_Q58)
+def ds_q58_channel_parity(spark, sf_dir):
+    """TPC-DS query58 shape (query58.sql): items whose revenue in each of the
+    three channels stays within 10% of the three-channel average — three
+    aggregate CTEs equi-joined with symmetric BETWEEN predicates on exact
+    rounded doubles (left-associative addition both engines)."""
+    return _sql(spark, sf_dir, _DS_Q58)
+
+
+_DS_Q64 = f"""
+    WITH cs AS (
+        SELECT l_partkey AS item,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+               COUNT(*) AS cnt,
+               CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS sales
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    )
+    SELECT y1.item AS item, p_name,
+           y1.sales AS sales_y1, y2.sales AS sales_y2,
+           y1.cnt AS cnt_y1, y2.cnt AS cnt_y2
+    FROM cs y1
+    JOIN cs y2 ON y1.item = y2.item AND y2.yr = y1.yr + 1
+    JOIN part ON y1.item = p_partkey
+    WHERE y1.yr = 1996 AND y2.sales > y1.sales * CAST(2 AS DOUBLE)
+    ORDER BY item
+    LIMIT 100
+"""
+
+
+@query("ds_q64_cross_year_repeat", oracle=_DS_Q64)
+def ds_q64_cross_year_repeat(spark, sf_dir):
+    """TPC-DS query64 shape (query64.sql): the same aggregate CTE
+    instantiated twice and self-joined across consecutive years on the item
+    key, keeping items whose sales more than doubled."""
+    return _sql(spark, sf_dir, _DS_Q64)
+
+
+_DS_Q65 = f"""
+    WITH sp AS (
+        SELECT l_suppkey AS sk, l_partkey AS pk,
+               CAST(ROUND(SUM({_PRICE}), 2) AS DOUBLE) AS rev
+        FROM lineitem GROUP BY 1, 2
+    ), sa AS (
+        SELECT sk AS sk2,
+               CAST(ROUND(SUM(CAST(rev AS DECIMAL(14,2))), 2) AS DOUBLE)
+                   AS tot,
+               COUNT(*) AS cnt
+        FROM sp GROUP BY sk
+    )
+    SELECT s_name, p_name, rev AS revenue
+    FROM sp JOIN sa ON sk = sk2
+    JOIN supplier ON sk = s_suppkey
+    JOIN part ON pk = p_partkey
+    WHERE rev * CAST(cnt AS DOUBLE) * CAST(10 AS DOUBLE)
+          <= tot * CAST(2 AS DOUBLE)
+    ORDER BY s_name, p_name
+    LIMIT 100
+"""
+
+
+@query("ds_q65_below_avg_parts", oracle=_DS_Q65)
+def ds_q65_below_avg_parts(spark, sf_dir):
+    """TPC-DS query65 shape (query65.sql): per-(supplier, part) revenue kept
+    when <= 0.2x that supplier's average part revenue — the aggregate CTE
+    consumed once as join input and once re-aggregated as the threshold.
+    The threshold compare is the cross-multiplied double form rev*cnt*10 <=
+    tot*2 (identical expression both engines; the supplier re-sum goes
+    through DECIMAL(14,2) of already-exact values)."""
+    return _sql(spark, sf_dir, _DS_Q65)
+
+
+_DS_Q70 = f"""
+    SELECT CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS total_sum,
+           COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           GROUPING(r_name) + GROUPING(n_name) AS lochierarchy,
+           RANK() OVER (
+               PARTITION BY GROUPING(r_name) + GROUPING(n_name),
+                            CASE WHEN GROUPING(n_name) = 0 THEN r_name END
+               ORDER BY SUM({_REV}) DESC, n_name) AS rank_within_parent
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE n_name IN (
+        SELECT nn FROM (
+            SELECT n_name AS nn,
+                   RANK() OVER (PARTITION BY n_regionkey
+                                ORDER BY SUM({_PRICE}) DESC, n_name) AS rk
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_regionkey, n_name
+        ) ranked_nations
+        WHERE rk <= 3
+    )
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY lochierarchy DESC, region, rank_within_parent, nation
+"""
+
+
+@query("ds_q70_rollup_rank_within_parent", oracle=_DS_Q70)
+def ds_q70_rollup_rank_within_parent(spark, sf_dir):
+    """TPC-DS query70 shape (query70.sql): ROLLUP(region, nation) with
+    GROUPING() both as an output column and inside the window PARTITION BY
+    (rank-within-parent over the rollup level), plus an IN subquery that is
+    itself a windowed ranking. Rank order keys are exact decimal sums, so
+    tie sets agree across engines; n_name is the final tie-break."""
+    return _sql(spark, sf_dir, _DS_Q70)
+
+
+def _q78_leg(status: str, qn: str, an: str) -> str:
+    return f"""
+        SELECT o_custkey AS cust,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(ROUND(SUM({_QTY}), 2) AS DOUBLE) AS {qn},
+               CAST(ROUND(SUM({_PRICE}), 2) AS DOUBLE) AS {an}
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linestatus = '{status}'
+          AND l_orderkey NOT IN (SELECT rk FROM returned_orders)
+        GROUP BY 1, 2
+"""
+
+
+_DS_Q78 = f"""
+    WITH returned_orders AS (
+        SELECT DISTINCT l_orderkey AS rk FROM lineitem
+        WHERE l_returnflag = 'R'
+    ),
+    ss AS ({_q78_leg("F", "ss_qty", "ss_amt")}),
+    ws AS ({_q78_leg("O", "ws_qty", "ws_amt")})
+    SELECT ss.cust AS c_custkey, ss.yr AS yr,
+           ss_qty, ss_amt, ws_qty, ws_amt,
+           ss_amt / ws_amt AS ratio
+    FROM ss JOIN ws ON ss.cust = ws.cust AND ss.yr = ws.yr
+    WHERE ws_amt > CAST(0 AS DOUBLE)
+    ORDER BY ratio DESC, c_custkey, yr
+    LIMIT 100
+"""
+
+
+@query("ds_q78_unreturned_ratio", oracle=_DS_Q78)
+def ds_q78_unreturned_ratio(spark, sf_dir):
+    """TPC-DS query78 shape (query78.sql): drop fully/partly returned orders
+    with a NOT IN anti-join (Catalyst plans LeftAnti), aggregate the two
+    surviving channels per (customer, year), join them and sort on the
+    cross-channel ratio."""
+    return _sql(spark, sf_dir, _DS_Q78)
+
+
+def _q88_bucket(i: int, hour: int) -> str:
+    return f"""
+    (SELECT COUNT(*) AS h{hour}
+     FROM events
+     WHERE EXTRACT(HOUR FROM ts) = {hour}
+       AND (event_type IN ('click', 'view')
+            OR value BETWEEN 10 AND 60
+            OR value BETWEEN 200 AND 300)) s{i}
+"""
+
+
+_DS_Q88 = "    SELECT * FROM\n" + ",".join(
+    _q88_bucket(i, h) for i, h in enumerate(range(8, 16), start=1)
+)
+
+
+@query("ds_q88_hourly_buckets", oracle=_DS_Q88)
+def ds_q88_hourly_buckets(spark, sf_dir):
+    """TPC-DS query88 shape (query88.sql): eight single-row COUNT subqueries
+    over consecutive hour buckets (each with the OR'd demographic-style side
+    predicate) comma-cross-joined into one wide row. The 1-row sides combine
+    via broadcast nested-loop — bounded by construction."""
+    return _sql(spark, sf_dir, _DS_Q88)
+
+
+_DS_Q93 = f"""
+    WITH ret AS (
+        SELECT l_orderkey AS rok, l_linenumber AS rln
+        FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(ROUND(SUM(CASE WHEN rok IS NOT NULL
+                               THEN {_PRICE} * CAST(0.5 AS DECIMAL(2,1))
+                               ELSE {_PRICE} END), 2) AS DOUBLE) AS sumsales
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    LEFT JOIN ret ON l_orderkey = rok AND l_linenumber = rln
+    GROUP BY o_custkey
+    ORDER BY sumsales, c_custkey
+    LIMIT 100
+"""
+
+
+@query("ds_q93_net_after_returns", oracle=_DS_Q93)
+def ds_q93_net_after_returns(spark, sf_dir):
+    """TPC-DS query93 shape (query93.sql): sales LEFT JOINed against the
+    returns subset on the (order, line) composite key, netting returned
+    lines to half value inside the aggregate, per-customer totals with an
+    ascending top-k."""
+    return _sql(spark, sf_dir, _DS_Q93)
+
+
+_DS_Q95 = f"""
+    WITH multi_supp AS (
+        SELECT DISTINCT l1.l_orderkey AS ok
+        FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey
+            AND l1.l_suppkey <> l2.l_suppkey
+    )
+    SELECT COUNT(DISTINCT o_orderkey) AS order_count,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+      AND c_mktsegment = 'BUILDING'
+      AND o_orderkey IN (SELECT ok FROM multi_supp)
+      AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         JOIN multi_supp ON l_orderkey = ok
+                         WHERE l_returnflag = 'R')
+"""
+
+
+@query("ds_q95_exists_chain", oracle=_DS_Q95)
+def ds_q95_exists_chain(spark, sf_dir):
+    """TPC-DS query95 shape (query95.sql): the ws_wh CTE (orders shipped by
+    at least two distinct suppliers, a keyed self-join) consumed by TWO IN
+    subqueries — membership alone and membership joined against returns —
+    under date/segment filters, reduced to a one-row summary."""
+    return _sql(spark, sf_dir, _DS_Q95)
+
+
+def _q97_leg(status: str) -> str:
+    return f"""
+        SELECT o_custkey AS cust, l_partkey AS item
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_linestatus = '{status}'
+        GROUP BY 1, 2
+"""
+
+
+_DS_Q97 = f"""
+    WITH ssci AS ({_q97_leg("F")}),
+         csci AS ({_q97_leg("O")})
+    SELECT COUNT(CASE WHEN s.cust IS NOT NULL AND c.cust IS NULL
+                      THEN 1 END) AS store_only,
+           COUNT(CASE WHEN s.cust IS NULL AND c.cust IS NOT NULL
+                      THEN 1 END) AS catalog_only,
+           COUNT(CASE WHEN s.cust IS NOT NULL AND c.cust IS NOT NULL
+                      THEN 1 END) AS store_and_catalog
+    FROM ssci s FULL OUTER JOIN csci c
+         ON s.cust = c.cust AND s.item = c.item
+"""
+
+
+@query("ds_q97_channel_overlap", oracle=_DS_Q97)
+def ds_q97_channel_overlap(spark, sf_dir):
+    """TPC-DS query97 shape (query97.sql): distinct (customer, item) sets per
+    channel FULL OUTER joined, classified into store-only / catalog-only /
+    both with null-sensitive conditional counts."""
+    return _sql(spark, sf_dir, _DS_Q97)

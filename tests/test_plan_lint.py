@@ -63,6 +63,16 @@ _WHITELIST = {
         "documented temporal-SQL rewrite limitation",
         {"BroadcastNestedLoopJoin"},
     ),
+    "ds_q28_bucket_stats": (
+        "TPC-DS q28 shape: six SINGLE-ROW aggregate subqueries combine "
+        "into one row — each broadcast side is exactly one row",
+        {"BroadcastNestedLoopJoin"},
+    ),
+    "ds_q88_hourly_buckets": (
+        "TPC-DS q88 shape: eight SINGLE-ROW COUNT subqueries combine "
+        "into one row — each broadcast side is exactly one row",
+        {"BroadcastNestedLoopJoin"},
+    ),
 }
 
 
