@@ -369,3 +369,78 @@ def from_protobuf_py(df: DataFrame, bin_col: str, desc: dict):
         )
 
     return df.withColumn(bin_col, dec(F.col(bin_col)))
+
+
+def _replaced_schema(df: DataFrame, col: str, dtype: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(col, dtype, True) if f.name == col else f
+            for f in df.schema.fields
+        ]
+    )
+
+
+def to_protobuf_arrow(df: DataFrame, struct_col: str, desc: dict):
+    """Struct column -> protobuf binary column through the VECTORIZED wire
+    codec (formats/protobuf_vector.py): mapInArrow hands whole RecordBatches
+    so no per-row Python objects exist on either side. Falls back to the
+    pandas-UDF row lane for descriptors with repeated fields."""
+    from apache_flink_spark.formats import protobuf_vector as PVec
+
+    if not PVec.vector_ok(desc):
+        return to_protobuf_py(df, struct_col, desc)
+    out_schema = _replaced_schema(df, struct_col, T.BinaryType())
+    idx = df.columns.index(struct_col)
+    sjson = out_schema.json()
+    dcopy = {k: v for k, v in desc.items() if not k.startswith("__")}
+
+    def conv(batches):
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.compute as pa_pc
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from apache_flink_spark.formats import protobuf_vector as PV
+
+        arrow_schema = to_arrow_schema(T.StructType.fromJson(_json.loads(sjson)))
+        for b in batches:
+            cols = list(b.columns)
+            cols[idx] = pa_pc.cast(
+                PV.encode_column(cols[idx], dcopy), arrow_schema.field(idx).type
+            )
+            yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+    return df.mapInArrow(conv, out_schema)
+
+
+def from_protobuf_arrow(df: DataFrame, bin_col: str, desc: dict):
+    """Protobuf binary column -> struct column through the VECTORIZED wire
+    codec; same fallback rule as :func:`to_protobuf_arrow`."""
+    from apache_flink_spark.formats import protobuf_vector as PVec
+
+    if not PVec.vector_ok(desc):
+        return from_protobuf_py(df, bin_col, desc)
+    out_schema = _replaced_schema(df, bin_col, descriptor_schema(desc))
+    idx = df.columns.index(bin_col)
+    sjson = out_schema.json()
+    dcopy = {k: v for k, v in desc.items() if not k.startswith("__")}
+
+    def conv(batches):
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.compute as pa_pc
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from apache_flink_spark.formats import protobuf_vector as PV
+
+        arrow_schema = to_arrow_schema(T.StructType.fromJson(_json.loads(sjson)))
+        for b in batches:
+            cols = list(b.columns)
+            cols[idx] = pa_pc.cast(
+                PV.decode_column(cols[idx], dcopy), arrow_schema.field(idx).type
+            )
+            yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+    return df.mapInArrow(conv, out_schema)

@@ -345,8 +345,8 @@ def source_protobuf_roundtrip(spark, sf_dir):
             F.struct("o_totalprice", "o_custkey").alias("money"),
         ).alias("payload")
     )
-    wire = P.to_protobuf_py(packed, "payload", desc)
-    back = P.from_protobuf_py(wire, "payload", desc).select("payload.*")
+    wire = P.to_protobuf_arrow(packed, "payload", desc)
+    back = P.from_protobuf_arrow(wire, "payload", desc).select("payload.*")
     return back.select(
         "o_orderkey", "o_orderstatus", "money.o_totalprice", "money.o_custkey"
     ).groupBy("o_orderstatus").agg(

@@ -96,8 +96,22 @@ def main() -> None:
     # Warm the Python worker pool + Arrow serde once: spark.python.worker.reuse
     # (default true) keeps workers alive, so a long-lived deployment pays this
     # startup exactly once — charging it to whichever Arrow-path query happens
-    # to run first would misattribute environment init as query cost.
-    spark.range(1024).mapInPandas(lambda it: it, "id long").write.format(
+    # to run first would misattribute environment init as query cost. The
+    # warmup also imports the engine's vectorized format codecs (numpy +
+    # pyarrow.compute kernels) in every worker for the same reason.
+    def _warm_worker(it):
+        import pyarrow.compute  # noqa: F401  (kernel registry load)
+
+        from apache_flink_spark.formats import (  # noqa: F401
+            avro_vector,
+            protobuf_vector,
+        )
+
+        return it
+
+    spark.range(1024, numPartitions=int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )).mapInPandas(_warm_worker, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
 
