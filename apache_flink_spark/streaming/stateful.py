@@ -32,11 +32,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# Key-group count for multi-user state buckets (the reference's
+# Key-group FLOOR for multi-user state buckets (the reference's
 # KeyGroupRangeAssignment maxParallelism analog): state shards by
-# pmod(xxhash64(key), KEY_GROUPS), so Python-crossing cost scales with
-# groups, not distinct keys, while rescale granularity stays bounded.
+# pmod(xxhash64(key), key_groups(spark)), so Python-crossing cost scales
+# with groups, not distinct keys, while rescale granularity stays bounded.
 KEY_GROUPS = 32
+
+
+def key_groups(spark) -> int:
+    """Key-group count for sharded custom stateful operators.
+
+    Sizing (SCALE.md "Stateful key groups"): per-group buffered state is
+    roughly watermark_lag x input_rate / groups and must fit one worker, so
+    groups scale WITH the cluster — default max(KEY_GROUPS,
+    defaultParallelism), overridable via ``spark.graft.stateful.keyGroups``
+    (the reference's pipeline.max-parallelism knob). More groups = more
+    parallelism + smaller per-group buffers, at the cost of one extra
+    Python crossing per group per micro-batch."""
+    v = spark.conf.get("spark.graft.stateful.keyGroups", None)
+    if v is not None:
+        g = int(v)
+        if g <= 0:
+            raise ValueError(
+                f"spark.graft.stateful.keyGroups must be positive, got {g}"
+            )
+        return g
+    return max(KEY_GROUPS, spark.sparkContext.defaultParallelism)
+
+
+def max_group_rows(spark) -> int:
+    """Loud per-key-group state budget (rows buffered in one GroupState
+    value). Exceeding it means the watermark lag x rate outgrew the shard
+    layout — the fix is more key groups or a shorter lag, not silent
+    spill-to-heap. Override via ``spark.graft.stateful.maxGroupRows``."""
+    return int(spark.conf.get("spark.graft.stateful.maxGroupRows", "2000000"))
+
+
+def _check_group_budget(n_rows: int, budget: int, op: str) -> None:
+    if n_rows > budget:
+        raise RuntimeError(
+            f"{op}: key-group state buffer holds {n_rows} rows, over the "
+            f"budget of {budget} (spark.graft.stateful.maxGroupRows). "
+            "Per-group state ~= watermark_lag x rate / key_groups — raise "
+            "spark.graft.stateful.keyGroups (more, smaller shards) or "
+            "shorten the watermark lag (see SCALE.md)."
+        )
 
 
 def streaming_topn_by_value(events: DataFrame, n: int = 3) -> DataFrame:
@@ -250,8 +290,8 @@ def streaming_temporal_join(tagged: DataFrame) -> DataFrame:
     the reference's key-group model (KeyGroupRangeAssignment.java) — not
     by raw user_id. applyInPandasWithState pays a Python crossing per
     GROUP per batch, so grouping by user made the operator's local cost
-    ~one call per user (1500 calls/batch at sf0.1); G=32 groups cut that
-    ~50x while every per-group computation stays vectorized ACROSS users
+    ~one call per user (1500 calls/batch at sf0.1); G = key_groups(spark)
+    groups (default max(32, defaultParallelism)) cut that ~50x while every per-group computation stays vectorized ACROSS users
     (lexsort + one C-speed merge_asof(by=user)). On a real cluster the
     same layout holds: key-group count bounds rebalance granularity, and
     per-group state is the sum of its users' bounded buffers.
@@ -275,6 +315,7 @@ def streaming_temporal_join(tagged: DataFrame) -> DataFrame:
         "v_user array<long>, v_ts array<long>, v_ids array<long>, "
         "p_user array<long>, p_ts array<long>, p_ids array<long>"
     )
+    budget = max_group_rows(tagged.sparkSession)
 
     def joiner(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -363,6 +404,9 @@ def streaming_temporal_join(tagged: DataFrame) -> DataFrame:
             v_u, v_ts, v_ids = v_u[keep], v_ts[keep], v_ids[keep]
 
         if len(p_ts) or len(v_ts):
+            _check_group_budget(
+                len(v_ts) + len(p_ts), budget, "streaming_temporal_join"
+            )
             state.update(
                 (
                     v_u.tolist(),
@@ -382,7 +426,8 @@ def streaming_temporal_join(tagged: DataFrame) -> DataFrame:
         yield out
 
     grouped = tagged.withColumn(
-        "__kg", F.pmod(F.xxhash64("user_id"), F.lit(KEY_GROUPS))
+        "__kg",
+        F.pmod(F.xxhash64("user_id"), F.lit(key_groups(tagged.sparkSession))),
     )
     return grouped.groupBy("__kg").applyInPandasWithState(
         joiner,
@@ -517,13 +562,16 @@ def streaming_cep_timeout(stream: DataFrame, window_us: int) -> DataFrame:
     mask splits consumed / expired / still-pending. An event-time timer
     at the earliest pending deadline guarantees emission when the
     watermark advances without new per-key data. State per key =
-    O(pending clicks inside the window), bounded by the watermark lag.
-    Rows are assumed to arrive per-key in event-time order across batches
-    (single-replay fixture batches are; the reference buffers out-of-order
-    rows in the same keyed state before its NFA sees them)."""
+    O(pending clicks + retained purchases inside the window), bounded by
+    the watermark lag. Purchases buffer in the SAME keyed state as clicks
+    (the reference buffers out-of-order rows in keyed state before its NFA
+    sees them), so consumption is ARRIVAL-order independent: a purchase
+    arriving in an earlier micro-batch than its event-time-earlier click
+    still consumes it; retained purchases prune once the watermark
+    guarantees no still-live click can precede them."""
 
     out_schema = "user_id long, click_id long, click_ts long, deadline long"
-    state_schema = "c_ids array<long>, c_eps array<long>"
+    state_schema = "c_ids array<long>, c_eps array<long>, p_eps array<long>"
 
     def handler(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -531,10 +579,10 @@ def streaming_cep_timeout(stream: DataFrame, window_us: int) -> DataFrame:
         import numpy as np
 
         (user_id,) = key
-        s_ids, s_eps = state.get if state.exists else ((), ())
+        s_ids, s_eps, s_pe = state.get if state.exists else ((), (), ())
         c_ids = np.asarray(s_ids, dtype=np.int64)
         c_eps = np.asarray(s_eps, dtype=np.int64)
-        pe = np.zeros(0, dtype=np.int64)
+        pe = np.asarray(s_pe, dtype=np.int64)
         if not state.hasTimedOut:
             rows = pd.concat(list(pdfs), ignore_index=True)
             rows = rows.sort_values(["ep", "event_id"], kind="mergesort")
@@ -543,8 +591,9 @@ def streaming_cep_timeout(stream: DataFrame, window_us: int) -> DataFrame:
             ids = rows["event_id"].to_numpy(dtype=np.int64)
             c_ids = np.concatenate([c_ids, ids[is_click]])
             c_eps = np.concatenate([c_eps, eps[is_click]])
-            pe = np.sort(eps[~is_click])
-        # Consume: first purchase strictly after the click, inside window.
+            pe = np.sort(np.concatenate([pe, eps[~is_click]]))
+        # Consume: first purchase strictly after the click, inside window
+        # (stored + new purchases together — arrival order irrelevant).
         if len(pe) and len(c_eps):
             nxt = np.searchsorted(pe, c_eps, side="right")
             hit = np.full(len(c_eps), False)
@@ -566,9 +615,16 @@ def streaming_cep_timeout(stream: DataFrame, window_us: int) -> DataFrame:
             }
         )
         c_ids, c_eps = c_ids[~expired], c_eps[~expired]
-        if len(c_eps):
-            state.update((c_ids.tolist(), c_eps.tolist()))
-            deadline_ms = int((c_eps.min() + window_us) // 1000) + 1
+        # Retained purchases: only useful to an unexpired click with
+        # c_ep < p_ep, and unexpired means c_ep + window >= wm — so any
+        # purchase at or below wm - window can never consume again.
+        pe = pe[pe > wm_us - window_us]
+        if len(c_eps) or len(pe):
+            state.update((c_ids.tolist(), c_eps.tolist(), pe.tolist()))
+            candidates = [int(c_eps.min())] if len(c_eps) else []
+            if len(pe):
+                candidates.append(int(pe.min()))
+            deadline_ms = int((min(candidates) + window_us) // 1000) + 1
             state.setTimeoutTimestamp(
                 max(deadline_ms, state.getCurrentWatermarkMs() + 1)
             )
@@ -592,9 +648,11 @@ def streaming_dedup_ttl(stream: DataFrame, ttl_us: int) -> DataFrame:
     a key's first event emits; subsequent events inside ``ttl_us`` of the
     key's LAST event are duplicates (the keep-alive refreshes the TTL —
     OnReadAndWrite update type); once a key goes quiet for longer than the
-    TTL its state expires and the next event emits again.
+    TTL its state expires and the next event emits again. An event-time
+    timer armed at the group's earliest expiry prunes even fully idle
+    groups (StateTtlConfig background-cleanup parity).
 
-    State shards by key group (KEY_GROUPS, as in streaming_temporal_join)
+    State shards by key group (key_groups(spark), as in streaming_temporal_join)
     holding (user, last_ts) pairs — O(active keys in the TTL horizon), the
     bound the TTL exists to enforce. Per group the batch is one lexsort +
     one vectorized per-segment gap scan; emission is immediate (append —
@@ -605,6 +663,16 @@ def streaming_dedup_ttl(stream: DataFrame, ttl_us: int) -> DataFrame:
 
     out_schema = "user_id long, event_id long, ts_us long"
     state_schema = "u array<long>, last_ts array<long>"
+    budget = max_group_rows(stream.sparkSession)
+
+    def _rearm(state, bts, ttl_us: int, wm_ms: int) -> None:
+        # Event-time timer at the group's EARLIEST possible expiry so fully
+        # idle groups still get pruned (StateTtlConfig cleanup parity) —
+        # without it, expired state would linger until the group next
+        # receives data.
+        state.setTimeoutTimestamp(
+            max(int((int(bts.min()) + ttl_us) // 1000) + 1, wm_ms + 1)
+        )
 
     def handler(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -615,6 +683,15 @@ def streaming_dedup_ttl(stream: DataFrame, ttl_us: int) -> DataFrame:
         su = np.asarray(s_u, dtype=np.int64)
         sts = np.asarray(s_ts, dtype=np.int64)
         if state.hasTimedOut:
+            # Timer fired: drop keys whose TTL horizon has passed; keep the
+            # rest and re-arm for the next-earliest expiry.
+            wm_ms = state.getCurrentWatermarkMs()
+            live = sts + ttl_us >= wm_ms * 1000
+            if live.any():
+                state.update((su[live].tolist(), sts[live].tolist()))
+                _rearm(state, sts[live], ttl_us, wm_ms)
+            else:
+                state.remove()
             yield pd.DataFrame(
                 {
                     "user_id": np.zeros(0, np.int64),
@@ -659,22 +736,25 @@ def streaming_dedup_ttl(stream: DataFrame, ttl_us: int) -> DataFrame:
         # TTL expiry under the watermark: keys whose last event is more
         # than the TTL below the watermark can never suppress again — drop
         # them (the state-size bound TTL exists for).
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        live = bts + ttl_us >= wm_us
+        wm_ms = state.getCurrentWatermarkMs()
+        live = bts + ttl_us >= wm_ms * 1000
         bu, bts = bu[live], bts[live]
         if len(bu):
+            _check_group_budget(len(bu), budget, "streaming_dedup_ttl")
             state.update((bu.tolist(), bts.tolist()))
+            _rearm(state, bts, ttl_us, wm_ms)
         elif state.exists:
             state.remove()
         yield out
 
     grouped = stream.withColumn(
-        "__kg", F.pmod(F.xxhash64("user_id"), F.lit(KEY_GROUPS))
+        "__kg",
+        F.pmod(F.xxhash64("user_id"), F.lit(key_groups(stream.sparkSession))),
     )
     return grouped.groupBy("__kg").applyInPandasWithState(
         handler,
         out_schema,
         state_schema,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout,
     )

@@ -116,7 +116,19 @@ class Table:
         first version)."""
         ttf, probe_time = call
         right, r_time, r_key = ttf.df, ttf.time_attr, ttf.primary_key
-        carry_cols = [c for c in right.columns if c != r_key]
+        # Carry the function table's PAYLOAD columns only: the version time
+        # attribute is join machinery, not output (and both sides naming
+        # their time column identically is the common case). Any remaining
+        # name collision with the probe side would yield ambiguous
+        # duplicate output columns — refuse loudly instead.
+        carry_cols = [c for c in right.columns if c not in (r_key, r_time)]
+        clash = sorted(set(carry_cols) & set(self._df.columns))
+        if clash:
+            raise ValueError(
+                f"join_lateral: function-table columns {clash} collide with "
+                "probe-side columns; rename one side (e.g. "
+                "right.withColumnRenamed) before the temporal join"
+            )
         left_cols = self._df.columns
         l = (
             self._df.withColumn("__side", F.lit(1))
