@@ -193,36 +193,38 @@ def stream_cumulate_agg(spark, sf_dir):
                COUNT(*) AS n_events
         FROM numbered
         GROUP BY user_id, sess_id
-    ), wm AS (
-        SELECT epoch_us(MAX(ts)) - 3600000000 AS wm_us FROM events
     )
     SELECT user_id, sess_start, n_events
-    FROM sess, wm
-    WHERE sess_end + {MIN30} < wm.wm_us
+    FROM sess
     """,
 )
 def stream_session_agg(spark, sf_dir):
     """Streaming session windows (session gap merging — the reference's
-    unaligned window operator / UnalignedWindowTableFunction), APPEND mode:
-    a session is emitted exactly once, when the watermark passes its end
-    (last event + 30-minute gap) — the reference's emit-and-purge-on-
-    watermark behavior, so state stays bounded. Spark rejects update mode
-    for session windows (merging windows would need retractions), so
-    unfinalized tail sessions (end within the final watermark delay) stay
-    in state; the oracle applies the identical cutoff, as the
-    stream_anti_join / stream_left_outer_join oracles do."""
-    e = stream_table(spark, sf_dir, "events")
-    agg = (
-        e.withWatermark("ts", "1 hour")
-        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.unix_micros("win.start").alias("sess_start"),
-            "n_events",
-        )
+    unaligned window operator / UnalignedWindowTableFunction) as a
+    RETRACTION-carrying changelog: Spark rejects update mode for its
+    built-in session_window (merging windows need retractions), so the
+    engine's custom session operator
+    (streaming/stateful.py:streaming_session_changelog) emits 'U' upserts
+    per affected session and 'D' deletes for keys RETIRED by merges, and
+    the changelog sink compacts honoring the deletes — the reference's
+    merging-window retract stream end-to-end. Unlike the r4 append-mode
+    shape, no oracle-side watermark cutoff exists: open tail sessions are
+    in the compacted view with their latest state, so the oracle is the
+    plain batch sessionization."""
+    from apache_flink_spark.streaming.sources import (
+        run_changelog_upsert_to_table,
     )
-    return run_to_table(agg, "append")
+    from apache_flink_spark.streaming.stateful import (
+        streaming_session_changelog,
+    )
+
+    e = stream_table(spark, sf_dir, "events")
+    stream = e.withWatermark("ts", "1 hour").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    ch = streaming_session_changelog(stream, MIN30)
+    final = run_changelog_upsert_to_table(ch, ["user_id", "sess_start"])
+    return final.select("user_id", "sess_start", "n_events")
 
 
 @query(

@@ -125,8 +125,11 @@ def run_upsert_to_table(
     for fixed-key aggregates (tumble/hop/cumulate windows, group aggs)
     and for session windows under in-time-order micro-batches (sessions
     only extend forward, keeping their start; a backward merge that
-    RETIRES a key would need retraction handling, which update mode does
-    not carry — the reference emits retractions there).
+    RETIRES a key needs retraction handling, which update mode does not
+    carry). For merging windows use the retraction-carrying pair instead:
+    streaming/stateful.py:streaming_session_changelog emits 'D' tombstones
+    and :func:`run_changelog_upsert_to_table` compacts honoring them —
+    the reference's merging-window retract stream.
     """
     spark = df.sparkSession
     name = name or f"stream_result_{next(_name_counter)}"
@@ -163,6 +166,64 @@ def run_upsert_to_table(
         log.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__batch_id")
+    )
+
+
+def run_changelog_upsert_to_table(
+    df: DataFrame, keys: list[str], name: str | None = None
+) -> DataFrame:
+    """Drain a CHANGELOG stream (rows carry an ``op`` column: 'U' upsert /
+    'D' delete) through a foreachBatch log sink and return the compacted
+    final table — the retraction-carrying variant of
+    :func:`run_upsert_to_table`.
+
+    Reference parity: merging (session) windows emit retractions when a
+    merge RETIRES a window key (UnalignedWindowTableFunctionOperator /
+    the retract stream of SURVEY §1.1); plain last-writer-wins compaction
+    cannot represent that, so the log keeps the op and compaction drops
+    keys whose LAST record is a delete — the contract of a production
+    keyed changelog sink (Delta MERGE with whenMatchedDelete, compacted
+    Kafka topic with tombstones).
+
+    The upstream operator must emit at most one changelog row per key per
+    micro-batch (the engine's session operator does), making per-key
+    last-batch-wins well defined. No driver-side collect; log write and
+    compaction both scale out."""
+    spark = df.sparkSession
+    name = name or f"stream_result_{next(_name_counter)}"
+    ckpt = tempfile.mkdtemp(prefix=f"afs_ckpt_{name}_")
+    log_dir = tempfile.mkdtemp(prefix=f"afs_chlog_{name}_") + "/log"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(int(prev_parts), STREAMING_SHUFFLE_PARTITIONS)),
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(log_dir)
+
+    try:
+        q = (
+            df.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    from pyspark.sql.window import Window
+
+    log = spark.read.parquet(log_dir)
+    w = Window.partitionBy(*keys).orderBy(F.desc("__batch_id"))
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("op") == "U"))
+        .drop("__rn", "__batch_id", "op")
     )
 
 

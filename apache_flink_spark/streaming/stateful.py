@@ -641,6 +641,183 @@ def streaming_cep_timeout(stream: DataFrame, window_us: int) -> DataFrame:
     )
 
 
+def streaming_session_changelog(events: DataFrame, gap_us: int) -> DataFrame:
+    """Session windows as a CHANGELOG stream with retractions — the
+    reference's merging-window behavior (flink-table-runtime
+    UnalignedWindowTableFunctionOperator; MergingWindowSet.java's
+    mergePartialWindows): every micro-batch emits, per affected session,
+    an upsert row ('U': user, sess_start, sess_end, n_events) and — when a
+    merge RETIRES a previously-emitted session key (a bridging or earlier
+    event changed its start) — a delete row ('D') for the dead key. The
+    companion sink (sources.run_changelog_upsert_to_table) compacts the
+    log honoring the deletes, which is exactly what Spark's built-in
+    session_window cannot express (update mode on merging windows is
+    rejected because it would need these retractions).
+
+    State: per key group, the OPEN sessions of its users as parallel
+    arrays. Each batch is fully vectorized across users: state sessions
+    (weight = n_events) and new events (weight = 1) merge in one lexsort +
+    per-user gap scan (reset-aware running max via the dense-code offset
+    trick); sessions whose end + gap passed the watermark leave state
+    (their last 'U' is already final in the log) — an event-time timer at
+    the group's earliest expiry evicts idle groups too. At most ONE
+    changelog row per (user, sess_start) key per batch, which the sink's
+    per-key last-batch-wins compaction requires. State per group =
+    O(open + unexpired sessions of its users), bounded by the watermark
+    lag. Arrival order across batches is immaterial: an out-of-order
+    earlier event triggers the backward merge + retraction path."""
+
+    out_schema = (
+        "op string, user_id long, sess_start long, sess_end long, "
+        "n_events long"
+    )
+    state_schema = (
+        "su array<long>, ss array<long>, se array<long>, sc array<long>"
+    )
+    budget = max_group_rows(events.sparkSession)
+
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        s_u, s_s, s_e, s_c = state.get if state.exists else ((), (), (), ())
+        su = np.asarray(s_u, dtype=np.int64)
+        ss = np.asarray(s_s, dtype=np.int64)
+        se = np.asarray(s_e, dtype=np.int64)
+        sc = np.asarray(s_c, dtype=np.int64)
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+
+        def empty_out():
+            return pd.DataFrame(
+                {
+                    "op": pd.Series([], dtype=str),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "sess_start": pd.Series([], dtype=np.int64),
+                    "sess_end": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                }
+            )
+
+        def rearm(ends):
+            state.setTimeoutTimestamp(
+                max(int((int(ends.min()) + gap_us) // 1000) + 1, wm_ms + 1)
+            )
+
+        if state.hasTimedOut:
+            live = se + gap_us >= wm_us
+            if live.any():
+                state.update(
+                    (
+                        su[live].tolist(),
+                        ss[live].tolist(),
+                        se[live].tolist(),
+                        sc[live].tolist(),
+                    )
+                )
+                rearm(se[live])
+            else:
+                state.remove()
+            yield empty_out()
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        eu = rows["user_id"].to_numpy(dtype=np.int64)
+        ets = rows["ts_us"].to_numpy(dtype=np.int64)
+
+        # Merge state sessions (as weighted intervals) with new events.
+        mu = np.concatenate([su, eu])
+        mst = np.concatenate([ss, ets])
+        men = np.concatenate([se, ets])
+        mct = np.concatenate([sc, np.ones(len(eu), dtype=np.int64)])
+        order = np.lexsort((men, mst, mu))
+        mu, mst, men, mct = mu[order], mst[order], men[order], mct[order]
+
+        # Per-user running max of interval ends with resets, via dense-code
+        # offsets (codes are per-invocation, so the offset stays small).
+        codes = np.unique(mu, return_inverse=True)[1].astype(np.int64)
+        base = int(min(mst.min(), men.min()))
+        span = int(men.max()) - base + gap_us + 2
+        runmax = (
+            np.maximum.accumulate(men - base + codes * span) - codes * span
+            + base
+        )
+        new_sess = np.ones(len(mu), dtype=bool)
+        if len(mu) > 1:
+            new_sess[1:] = (mu[1:] != mu[:-1]) | (
+                mst[1:] - runmax[:-1] > gap_us
+            )
+        sess_id = np.cumsum(new_sess) - 1
+        starts_idx = np.flatnonzero(new_sess)
+        nu = mu[starts_idx]
+        nst = mst[starts_idx]
+        nen = np.maximum.reduceat(men, starts_idx)
+        nct = np.add.reduceat(mct, starts_idx)
+
+        # Changelog: for users with batch activity, every current session
+        # is an upsert; every retired old key (same user, start no longer a
+        # session start) is a delete.
+        active = np.unique(eu)
+
+        def keyof(users, starts):
+            k = np.empty(len(users), dtype=[("u", np.int64), ("s", np.int64)])
+            k["u"] = users
+            k["s"] = starts
+            return k
+
+        n_active = np.isin(nu, active)
+        u_rows = (nu[n_active], nst[n_active], nen[n_active], nct[n_active])
+        o_active = np.isin(su, active)
+        dead = ~np.isin(keyof(su[o_active], ss[o_active]), keyof(nu, nst))
+        d_rows = (
+            su[o_active][dead],
+            ss[o_active][dead],
+            se[o_active][dead],
+            sc[o_active][dead],
+        )
+        out = pd.DataFrame(
+            {
+                "op": ["U"] * len(u_rows[0]) + ["D"] * len(d_rows[0]),
+                "user_id": np.concatenate([u_rows[0], d_rows[0]]),
+                "sess_start": np.concatenate([u_rows[1], d_rows[1]]),
+                "sess_end": np.concatenate([u_rows[2], d_rows[2]]),
+                "n_events": np.concatenate([u_rows[3], d_rows[3]]),
+            }
+        )
+
+        # Evict finalized sessions (their latest U is already in the log).
+        live = nen + gap_us >= wm_us
+        if live.any():
+            _check_group_budget(
+                int(live.sum()), budget, "streaming_session_changelog"
+            )
+            state.update(
+                (
+                    nu[live].tolist(),
+                    nst[live].tolist(),
+                    nen[live].tolist(),
+                    nct[live].tolist(),
+                )
+            )
+            rearm(nen[live])
+        elif state.exists:
+            state.remove()
+        yield out
+
+    grouped = events.withColumn(
+        "__kg",
+        F.pmod(F.xxhash64("user_id"), F.lit(key_groups(events.sparkSession))),
+    )
+    return grouped.groupBy("__kg").applyInPandasWithState(
+        handler,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def streaming_dedup_ttl(stream: DataFrame, ttl_us: int) -> DataFrame:
     """Keyed deduplication with TTL'd state — the reference's
     StateTtlConfig pattern (flink-runtime .../state/ttl/TtlStateFactory,
