@@ -234,22 +234,76 @@ def _nav_col(fn: str, col: str, n: int) -> str:
     return f"__mr_{'prev' if fn.upper() == 'PREV' else 'next'}{n}_{col}"
 
 
+_BIND_RE = re.compile(
+    r"\b(?P<fn>LAST|FIRST)\s*\(\s*(?P<var>\w+)\s*\.\s*(?P<col>\w+)\s*"
+    r"(?:,\s*(?P<n>\d+)\s*)?\)",
+    re.I,
+)
+def _sql_pred_to_python(expr: str, columns, var_msg: str) -> str:
+    """Convert the (already bind/row-rewritten) SQL predicate fragment to a
+    Python expression. Comparison, boolean and arithmetic operators plus
+    ABS() only — the cross-variable evaluator runs per candidate row in
+    Python, so the subset is deliberately small and errors loudly."""
+    e = expr
+    e = re.sub(r"<>", "!=", e)
+    e = re.sub(r"(?<![<>!=])=(?!=)", "==", e)
+    e = re.sub(r"\bAND\b", "and", e, flags=re.I)
+    e = re.sub(r"\bOR\b", "or", e, flags=re.I)
+    e = re.sub(r"\bNOT\b", "not", e, flags=re.I)
+    e = re.sub(r"\bTRUE\b", "True", e, flags=re.I)
+    e = re.sub(r"\bFALSE\b", "False", e, flags=re.I)
+    e = re.sub(r"\bNULL\b", "None", e, flags=re.I)
+    # Remaining bare identifiers OUTSIDE string literals: known columns
+    # become row accesses, Python keywords/builtins pass through, anything
+    # else (an unsupported SQL construct) errors loudly.
+    def ident_sub(im: re.Match) -> str:
+        name = im.group(0)
+        if name.startswith("__mr_"):  # PREV/NEXT nav alias column
+            return f'__row("{name}")'
+        if name in ("__bind", "__row") or name in (
+            "and", "or", "not", "True", "False", "None", "abs",
+        ):
+            return name
+        if name.upper() == "ABS":
+            return "abs"
+        if name in columns:
+            return f'__row("{name}")'
+        raise MatchRecognizeError(
+            f"DEFINE {var_msg}: {name!r} is neither a column nor part of "
+            "the supported cross-variable predicate subset (comparisons, "
+            "AND/OR/NOT, arithmetic, ABS, LAST/FIRST binds)"
+        )
+
+    segs = re.split(r"(\"[^\"]*\"|'[^']*')", e)
+    for i in range(0, len(segs), 2):
+        segs[i] = re.sub(r"\b[A-Za-z_]\w*\b", ident_sub, segs[i])
+    return "".join(segs)
+
+
 def _parse_defines(
-    defs: str, variables: set[str]
-) -> tuple[dict[str, str], dict[str, tuple[str, str, int]]]:
-    """Returns (var -> rewritten predicate, nav columns needed).
+    defs: str, variables: set[str], columns
+) -> tuple[dict[str, str], dict[str, tuple[str, str, int]], dict[str, str]]:
+    """Returns (var -> JVM-evaluable predicate, nav columns needed,
+    var -> Python cross-variable predicate).
 
     PREV/NEXT are SQL-standard PHYSICAL row navigation (the variable
     prefix only names the column — PREV(A.price) is the price of the row
     before the one under test, whatever variable it matched; reference
     MatchCodeGenerator generates exactly this offset access). They rewrite
-    to precomputed lag/lead columns, so predicates stay own-row and
-    JVM-evaluated. What still needs full NFA bind tracking — LAST/FIRST of
-    a DIFFERENT variable's matched rows — remains out of subset and errors
-    loudly, like the reference's unsupported-feature validation.
-    """
+    to precomputed lag/lead columns, so those predicates stay own-row and
+    JVM-evaluated.
+
+    LAST/FIRST of ANOTHER variable's matched rows — ``DEFINE B AS B.price
+    < LAST(A.price)`` — and bare other-variable references (``A.price`` =
+    LAST(A.price), SQL standard) DO need bind tracking (reference
+    cep/nfa/NFA.java:76 sharedBuffer; MatchCodeGenerator.scala): such
+    predicates compile to Python expressions evaluated against the
+    in-flight match's binds (``cross`` return). An unmatched referenced
+    variable yields NULL, which makes the comparison false — standard
+    semantics, so a forward reference simply never matches."""
     out: dict[str, str] = {}
     nav: dict[str, tuple[str, str, int]] = {}
+    cross: dict[str, str] = {}
     for part in _split_top_level(defs):
         m = re.match(r"^(\w+)\s+AS\s+(.+)$", part.strip(), re.I | re.S)
         if not m:
@@ -267,19 +321,43 @@ def _parse_defines(
             return alias
 
         pred = _NAV_RE.sub(nav_sub, pred)
-        # After navigation rewriting, any remaining other-variable column
-        # reference is a cross-variable bind (LAST(B.x)-style) — out of
-        # the supported subset.
-        for other in variables - {var}:
-            if re.search(rf"\b{other}\s*\.", pred):
+        # After navigation rewriting, LAST/FIRST(V.col) or a remaining
+        # other-variable reference makes this a cross-variable predicate.
+        is_cross = bool(_BIND_RE.search(pred)) or any(
+            re.search(rf"\b{other}\s*\.", pred)
+            for other in variables - {var}
+        )
+        if not is_cross:
+            # Own-row: strip the variable prefix, evaluate on the JVM.
+            out[var] = re.sub(rf"\b{var}\s*\.\s*(\w+)", r"\1", pred)
+            continue
+
+        def bind_sub(bm: re.Match) -> str:
+            v, col = bm.group("var"), bm.group("col")
+            if v not in variables:
                 raise MatchRecognizeError(
-                    f"DEFINE {var} references {other}.<col>: only own-row "
-                    "predicates (plus PREV/NEXT physical navigation) are "
-                    "supported"
+                    f"DEFINE {var}: {bm.group('fn')}({v}.{col}) references "
+                    "an unknown pattern variable"
                 )
-        # Strip the own-variable prefix: A.col -> col (evaluated on the row).
-        out[var] = re.sub(rf"\b{var}\s*\.\s*(\w+)", r"\1", pred)
-    return out, nav
+            n = int(bm.group("n") or 0)
+            if v == var and bm.group("fn").upper() == "LAST" and n == 0:
+                # RUNNING LAST of the own variable is the current row.
+                return f'__row("{col}")'
+            return (
+                f'__bind("{v}", "{col}", "{bm.group("fn").upper()}", {n})'
+            )
+
+        p = _BIND_RE.sub(bind_sub, pred)
+        # Bare other-variable reference = LAST(V.col) (SQL standard).
+        for other in variables - {var}:
+            p = re.sub(
+                rf"\b{other}\s*\.\s*(\w+)",
+                rf'__bind("{other}", "\1", "LAST", 0)',
+                p,
+            )
+        p = re.sub(rf"\b{var}\s*\.\s*(\w+)", r'__row("\1")', p)
+        cross[var] = _sql_pred_to_python(p, columns, var)
+    return out, nav, cross
 
 
 def _emit_measures(
@@ -371,7 +449,10 @@ def compile_match_recognize(
     pattern = _parse_pattern(m.group("pat"))
     variables = {v for alts, _, _ in pattern for v in alts}
     measures = _parse_measures(m.group("meas"))
-    defines, nav_cols = _parse_defines(m.group("defs"), variables)
+    src_col_names = {f.name for f in source.schema.fields}
+    defines, nav_cols, cross_defs = _parse_defines(
+        m.group("defs"), variables, src_col_names
+    )
     # skip spec: "past_last" | "to_next" | ("first"|"last", var)
     skip: str | tuple[str, str] = "past_last"
     if m.group("skip"):
@@ -474,6 +555,11 @@ def compile_match_recognize(
     parts = list(part_cols)
     meas_cols = sorted({c for _, _, c, _, _ in meas if c is not None})
     var_list = sorted(variables)
+    cross_codes = dict(cross_defs)
+    cross_cols = sorted(
+        {c for code in cross_codes.values()
+         for c in re.findall(r'__(?:row|bind)\("(?:\w+", ")?(\w+)"', code)}
+    )
 
     def run_partition(batches):
         """One call per PARTITION, not per key: the hash shuffle already
@@ -515,6 +601,93 @@ def compile_match_recognize(
                 if sat[v][idx]:
                     return v
             raise AssertionError("unlabelable matched row")
+
+        # Cross-variable DEFINE machinery (reference NFA.java:76
+        # sharedBuffer): predicates referencing LAST/FIRST of another
+        # variable evaluate per candidate row against the in-flight
+        # match's binds, so matching switches to the bind-tracking DFS
+        # below. Own-row variables still use their precomputed booleans.
+        cross_fns = {
+            v: compile(code, f"<mr-define-{v}>", "eval")
+            for v, code in cross_codes.items()
+        }
+        pred_arr = {c: pdf[c].to_numpy() for c in cross_cols}
+
+        def ok_fn(v: str, j: int, binds: dict) -> bool:
+            if v not in cross_fns:
+                return bool(sat[v][j])
+
+            def __row(col):
+                x = pred_arr[col][j]
+                return None if x != x else x  # NaN -> NULL
+
+            def __bind(bv, col, fn, off):
+                idxs = binds.get(bv, ())
+                if bv == v:
+                    idxs = list(idxs) + [j]  # RUNNING: current row is in v
+                k = (len(idxs) - 1 - off) if fn == "LAST" else off
+                if k < 0 or k >= len(idxs):
+                    return None  # unmatched variable / offset: SQL NULL
+                x = pred_arr[col][idxs[k]]
+                return None if x != x else x
+
+            try:
+                return bool(
+                    eval(  # noqa: S307 - compiled from the validated subset
+                        cross_fns[v], {"__row": __row, "__bind": __bind,
+                                       "abs": abs, "__builtins__": {}}
+                    )
+                )
+            except TypeError:  # comparison with NULL -> false (SQL)
+                return False
+
+        def try_match_binds(start: int, limit: int):
+            """Bind-tracking variant of try_match for cross-variable
+            DEFINEs: forward DFS carrying var -> [row indices]. Labels and
+            extension validity are evaluated under the binds accumulated
+            so far, so LAST(A.x)/FIRST(A.x) see exactly the reference
+            NFA's shared-buffer view. Backtracking re-picks repetition
+            counts only, like the vectorized path — label choices for a
+            shorter take are prefixes of the greedy scan (row k's
+            evaluation only ever saw rows < k)."""
+
+            def rec(pi: int, ri: int, binds: dict):
+                if pi == len(pat):
+                    return binds, ri
+                alts, (lo, hi), greedy = pat[pi]
+                cur = {v: list(x) for v, x in binds.items()}
+                labels = []
+                while (hi is None or len(labels) < hi) and ri + len(labels) < limit:
+                    j = ri + len(labels)
+                    v_hit = next(
+                        (v for v in alts if ok_fn(v, j, cur)), None
+                    )
+                    if v_hit is None:
+                        break
+                    labels.append(v_hit)
+                    cur.setdefault(v_hit, []).append(j)
+                take_max = len(labels)
+                order = (
+                    range(take_max, lo - 1, -1)
+                    if greedy
+                    else range(lo, take_max + 1)
+                )
+                for take in order:
+                    nb = {v: list(x) for v, x in binds.items()}
+                    for t in range(take):
+                        nb.setdefault(labels[t], []).append(ri + t)
+                    res = rec(pi + 1, ri + take, nb)
+                    if res is not None:
+                        return res
+                return None
+
+            res = rec(0, start, {})
+            if res is None:
+                return None
+            binds, end = res
+            if end == start:
+                return None
+            return {v: sorted(i) for v, i in binds.items() if i}, end
         # WITHIN horizon (reference CEP Pattern.within / MATCH_RECOGNIZE
         # WITHIN): rows later than match-start + interval are outside the
         # match scope — the NFA prunes them, so the greedy search runs
@@ -665,11 +838,12 @@ def compile_match_recognize(
                     )
                     rows.append(vals)
 
+            matcher = try_match_binds if cross_fns else try_match
             if cand_idx is not None:
                 p = int(np.searchsorted(cand_idx, s, "left"))
                 while p < len(cand_idx) and cand_idx[p] < e:
                     i = int(cand_idx[p])
-                    hit = try_match(i, _limit(i, e))
+                    hit = matcher(i, _limit(i, e))
                     if hit is None:
                         p += 1
                         continue
@@ -681,7 +855,7 @@ def compile_match_recognize(
                 continue
             i = s
             while i < e:
-                hit = try_match(i, _limit(i, e))
+                hit = matcher(i, _limit(i, e))
                 if hit is None:
                     i += 1
                     continue

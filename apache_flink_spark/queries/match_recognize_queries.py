@@ -650,3 +650,80 @@ def mr_running_final_measures(spark, sf_dir):
         ORDER BY user_id, ep, event_id
         """
     )
+
+
+@query(
+    "mr_cross_define_last",
+    oracle="""
+    SELECT user_id, a_id, b_id, b_val_c FROM (
+        SELECT user_id, event_id AS a_id, event_type AS a_type,
+               CAST(round(value * 100) AS BIGINT) AS a_val,
+               LEAD(event_id) OVER w AS b_id,
+               LEAD(CAST(round(value * 100) AS BIGINT)) OVER w AS b_val_c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE a_type = 'view' AND b_val_c > a_val
+    ORDER BY user_id, a_id
+    """,
+)
+def mr_cross_define_last(spark, sf_dir):
+    """Cross-variable DEFINE with a LAST bind (r5 — closes the last
+    MATCH_RECOGNIZE subset line): ``B AS B.value_c > LAST(A.value_c)``
+    needs the in-flight match's variable binds at predicate-evaluation
+    time (reference cep/nfa/NFA.java:76 sharedBuffer;
+    MatchCodeGenerator.scala's define-with-binds path), which the
+    bind-tracking DFS in match_recognize.py provides. AFTER MATCH SKIP TO
+    NEXT ROW makes every qualifying row a match start, so the oracle is
+    the exact LEAD formulation."""
+    return _tenv(spark, sf_dir).sql(
+        """
+        SELECT user_id, a_id, b_id, b_val_c
+        FROM events_mr MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ep, event_id
+            MEASURES A.event_id AS a_id, B.event_id AS b_id,
+                     B.value_c AS b_val_c
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.value_c > LAST(A.value_c)
+        ) ORDER BY user_id, a_id
+        """
+    )
+
+
+@query(
+    "mr_cross_define_first",
+    oracle="""
+    SELECT user_id, b0_id, c_id, c_val FROM (
+        SELECT user_id, event_id AS b0_id,
+               CAST(round(value * 100) AS BIGINT) AS b0_val,
+               LEAD(event_id, 2) OVER w AS c_id,
+               LEAD(CAST(round(value * 100) AS BIGINT), 2) OVER w AS c_val
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE c_id IS NOT NULL AND c_val > b0_val
+    ORDER BY user_id, b0_id
+    """,
+)
+def mr_cross_define_first(spark, sf_dir):
+    """Cross-variable DEFINE with a FIRST bind over a MULTI-ROW variable:
+    ``C AS C.value_c > FIRST(B.value_c)`` compares against the first of
+    the two rows B matched — FIRST navigation into another variable's
+    bind list (same shared-buffer machinery as mr_cross_define_last; the
+    undefined B matches any row, SQL-standard TRUE). SKIP TO NEXT ROW +
+    fixed {2} quantifier make the oracle the exact LEAD(.., 2) form."""
+    return _tenv(spark, sf_dir).sql(
+        """
+        SELECT user_id, b0_id, c_id, c_val
+        FROM events_mr MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ep, event_id
+            MEASURES FIRST(B.event_id) AS b0_id, C.event_id AS c_id,
+                     C.value_c AS c_val
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (B{2} C)
+            DEFINE C AS C.value_c > FIRST(B.value_c)
+        ) ORDER BY user_id, b0_id
+        """
+    )

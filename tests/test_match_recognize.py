@@ -116,17 +116,15 @@ def test_tenv_routes_match_recognize(spark, seq_view):
     "frag,msg",
     [
         (
-            # cross-variable bind (LAST(B.x)-style) — still out of subset;
-            # PREV/NEXT physical navigation is supported (r4) and tested
-            # below, so the raw other-variable reference is what errors.
-            "PATTERN (A B) DEFINE A AS A.v > B.v",
-            "own-row",
+            # a function outside the cross-variable predicate subset
+            # (comparisons/boolean/arithmetic/ABS) errors loudly
+            "PATTERN (A B) DEFINE B AS SUBSTR(B.typ, 1) = LAST(A.typ)",
+            "SUBSTR",
         ),
         (
-            # LAST over another variable's matched rows needs NFA bind
-            # tracking — not rewritable to physical navigation.
-            "PATTERN (A B) DEFINE B AS LAST(A.v) < B.v",
-            "own-row",
+            # unknown variable inside a bind
+            "PATTERN (A B) DEFINE B AS B.v > LAST(Z.v)",
+            "unknown pattern variable",
         ),
     ],
 )
@@ -142,6 +140,52 @@ def test_unsupported_features_error_loudly(spark, seq_view, frag, msg):
             )
             """,
         )
+
+
+def test_cross_define_last_bind(spark, seq_view):
+    """r5: DEFINE referencing LAST of ANOTHER variable's rows (bind
+    tracking, reference NFA sharedBuffer) — B matches only when its v
+    exceeds the A row's v."""
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT * FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES A.seq AS a_seq, B.seq AS b_seq
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE B AS B.v > LAST(A.v)
+        ) ORDER BY user_id, a_seq
+        """,
+    ).collect()
+    # ground truth: consecutive pairs with rising v
+    rows = sorted(
+        (r.user_id, r.seq, r.v)
+        for r in spark.table("mr_seq").collect()
+    )
+    expect = []
+    for (u1, s1, v1), (u2, s2, v2) in zip(rows, rows[1:]):
+        if u1 == u2 and v2 > v1:
+            expect.append((u1, s1, s2))
+    assert sorted((r.user_id, r.a_seq, r.b_seq) for r in out) == sorted(expect)
+
+
+def test_cross_define_forward_reference_is_null(spark, seq_view):
+    """SQL semantics: a reference to a variable matched LATER evaluates to
+    NULL, so the predicate is false and nothing matches — no loud error
+    (the r4 restriction is lifted)."""
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT * FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES A.seq AS a_seq
+            PATTERN (A B)
+            DEFINE A AS A.v > B.v
+        )
+        """,
+    ).collect()
+    assert out == []
 
 
 def test_unknown_measure_column_errors(spark, seq_view):

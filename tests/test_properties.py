@@ -178,6 +178,53 @@ def test_match_recognize_equals_regex(spark, rows, pattern):
     assert got == sorted(want)
 
 
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # key
+            st.integers(0, 25),         # seq
+            st.integers(-3, 3),         # value
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+@_settings
+def test_cross_define_last_equals_pairwise_scan(spark, rows):
+    """r5 cross-variable DEFINE property: PATTERN (A B), B AS
+    B.v > LAST(A.v), SKIP TO NEXT ROW is exactly the per-key consecutive
+    rising-pair scan — an independent oracle for the bind-tracking DFS
+    (the vectorized matcher never runs here)."""
+    from apache_flink_spark.match_recognize import sql_with_match_recognize
+
+    df = spark.createDataFrame(rows, "k int, seq int, v int")
+    df.createOrReplaceTempView("prop_mr_cross")
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT k, a_seq, b_seq FROM prop_mr_cross MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY seq
+            MEASURES A.seq AS a_seq, B.seq AS b_seq
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE B AS B.v > LAST(A.v)
+        )
+        """,
+    ).collect()
+    got = sorted((r.k, r.a_seq, r.b_seq) for r in out)
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, seq, v in rows:
+        by_key.setdefault(k, []).append((seq, v))
+    want = []
+    for k, seq_rows in by_key.items():
+        seq_rows.sort()
+        for (s1, v1), (s2, v2) in zip(seq_rows, seq_rows[1:]):
+            if v2 > v1:
+                want.append((k, s1, s2))
+    assert got == sorted(want)
+
+
 # Two keyed event lists: (key, ts, id). Ids globally unique per side; ts
 # collisions both within and across sides are deliberately likely.
 _asof_side = st.lists(
