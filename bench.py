@@ -75,6 +75,16 @@ HEADLINE = [
     "stream_window_join",
     # the flagship composition: debezium wire -> versioned dim -> temporal join
     "stream_cdc_temporal_join",
+    # r5: DataStream facade + gelly surfaces timed every round (VERDICT r4
+    # item 8), two TPC-DS shapes (window-deviation, rollup-rank), the
+    # retraction-carrying session pipeline, and a cross-variable
+    # MATCH_RECOGNIZE bind.
+    "ds_keyed_window_agg",
+    "graph_connected_components",
+    "ds_q47_monthly_deviation",
+    "ds_q70_rollup_rank_within_parent",
+    "stream_session_agg",
+    "mr_cross_define_last",
 ]
 
 

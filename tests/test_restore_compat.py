@@ -1,0 +1,97 @@
+"""Cross-version checkpoint restore (reference restore-tests analog:
+flink-table-planner/src/test/resources/restore-tests/ pins that operator
+state written by an OLD build restores under the current one).
+
+tests/fixtures/restore_v1/ holds a checkpoint written by the round-5 build
+running streaming_dedup_ttl over batch 1 (see scripts/make_restore_fixture
+.py). This test restarts the SAME query from that checkpoint with a new
+batch and asserts the restored keyed state drives suppression — a code
+change that breaks the operator's state schema or key-group layout fails
+here loudly instead of silently double-emitting in production."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+FIX = "/tmp/afs_restore_fixture"
+HERE = os.path.dirname(os.path.abspath(__file__))
+SRC = os.path.join(HERE, "fixtures", "restore_v1")
+
+BATCH2 = [
+    # within 30min TTL of user 1's batch-1 last event (12:10) -> the
+    # RESTORED state must suppress it; a cold start would emit it
+    {"user_id": 1, "event_id": 103, "ts": "2024-01-01 12:25:00"},
+    # beyond the TTL of user 2's last event (12:05) -> emits
+    {"user_id": 2, "event_id": 202, "ts": "2024-01-01 12:50:00"},
+    # brand-new key -> emits
+    {"user_id": 3, "event_id": 301, "ts": "2024-01-01 12:30:00"},
+]
+
+
+def test_restore_from_committed_checkpoint(spark, tmp_path):
+    meta = json.load(open(os.path.join(SRC, "META.json")))
+    shutil.rmtree(FIX, ignore_errors=True)
+    os.makedirs(f"{FIX}/input")
+    # Recreate batch 1's file at the EXACT path the offsets log recorded,
+    # then add batch 2.
+    shutil.copy(os.path.join(SRC, "b1.json"), f"{FIX}/input/b1.json")
+    with open(f"{FIX}/input/b2.json", "w") as f:
+        for row in BATCH2:
+            f.write(json.dumps(row) + "\n")
+    shutil.copytree(os.path.join(SRC, "ckpt"), f"{FIX}/ckpt")
+
+    # Key-group count is checkpoint-immutable (the reference's
+    # maxParallelism rule) — pin it to the writer's value.
+    spark.conf.set(
+        "spark.graft.stateful.keyGroups", str(meta["key_groups"])
+    )
+    try:
+        from apache_flink_spark.streaming.stateful import streaming_dedup_ttl
+
+        raw = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", "10")
+            .json(f"{FIX}/input")
+        )
+        stream = raw.withWatermark("ts", "10000 hours").select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "ts"
+        )
+        out = streaming_dedup_ttl(stream, meta["ttl_us"])
+        out_dir = str(tmp_path / "out2")
+
+        def sink(batch, batch_id):
+            batch.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        (
+            out.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", f"{FIX}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        got = sorted(
+            (r.user_id, r.event_id)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+    # batch 1 is committed in the checkpoint: its rows must NOT re-emit
+    # (exactly-once across the restart); 103 suppressed by restored state;
+    # 202 emits (TTL passed); 301 emits (new key).
+    assert got == [(2, 202), (3, 301)], (
+        f"restore-compat break: expected [(2, 202), (3, 301)], got {got} — "
+        "the current build no longer restores the committed round-"
+        f"{meta['written_by_round']} checkpoint (state schema or key-group "
+        "layout changed without a migration)"
+    )
