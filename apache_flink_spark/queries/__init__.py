@@ -13,6 +13,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     tpch_rest,
     tpcds_shapes,
     tpcds_shapes2,
+    tpcds_shapes3,
     joins,
     match_recognize_queries,
     aggregates,
