@@ -11,7 +11,7 @@ Supported subset (errors loudly otherwise):
 
     SELECT ... FROM <table> MATCH_RECOGNIZE (
         PARTITION BY k [, ...]
-        ORDER BY c [, ...]                       -- ascending only
+        ORDER BY c [ASC|DESC] [, ...]            -- DESC: r5 (not with WITHIN)
         MEASURES <measure> AS alias [, ...]
         [ONE ROW PER MATCH | ALL ROWS PER MATCH]
         [AFTER MATCH SKIP PAST LAST ROW         -- default
@@ -442,10 +442,19 @@ def compile_match_recognize(
             "PATTERN (...), DEFINE in that order"
         )
     part_cols = [c.strip() for c in m.group("part").split(",")]
-    order_cols = [c.strip() for c in m.group("order").split(",")]
-    for oc in order_cols:
-        if re.search(r"\bDESC\b", oc, re.I):
-            raise MatchRecognizeError("ORDER BY ... DESC is not supported")
+    # ORDER BY with per-column ASC/DESC (r5 — the matcher walks rows in
+    # whatever total order the in-partition sort produced, so direction
+    # only changes the sort and the PREV/NEXT window spec).
+    order_specs: list[tuple[str, bool]] = []
+    for oc in m.group("order").split(","):
+        oc = oc.strip()
+        om = re.match(r"^(\w+)(?:\s+(ASC|DESC))?$", oc, re.I)
+        if not om:
+            raise MatchRecognizeError(f"unsupported ORDER BY item: {oc!r}")
+        order_specs.append(
+            (om.group(1), bool(om.group(2)) and om.group(2).upper() == "DESC")
+        )
+    order_cols = [c for c, _ in order_specs]
     pattern = _parse_pattern(m.group("pat"))
     variables = {v for alts, _, _ in pattern for v in alts}
     measures = _parse_measures(m.group("meas"))
@@ -493,15 +502,19 @@ def compile_match_recognize(
     #    the PREV/NEXT lag/lead window below reuses this exact exchange
     #    and sort (EnsureRequirements sees them satisfied) instead of
     #    planning its own.
+    order_exprs = [
+        F.col(c).desc() if is_desc else F.col(c).asc()
+        for c, is_desc in order_specs
+    ]
     work = source.repartition(*[F.col(c) for c in part_cols]).sortWithinPartitions(
-        *part_cols, *order_cols
+        *part_cols, *order_exprs
     )
 
     # 2. PREV/NEXT physical navigation -> lag/lead columns per key.
     if nav_cols:
         from pyspark.sql import Window as _W
 
-        wspec = _W.partitionBy(*part_cols).orderBy(*order_cols)
+        wspec = _W.partitionBy(*part_cols).orderBy(*order_exprs)
         for alias, (fn, col, n) in sorted(nav_cols.items()):
             if col not in type_of:
                 raise MatchRecognizeError(
@@ -548,6 +561,11 @@ def compile_match_recognize(
         raise MatchRecognizeError(
             "WITHIN requires the first ORDER BY column to be epoch micros "
             f"(BIGINT); got {time_col!r}: {type_of.get(time_col)}"
+        )
+    if within_us is not None and order_specs[0][1]:
+        raise MatchRecognizeError(
+            "WITHIN requires an ASCENDING first ORDER BY column (the match "
+            "horizon scans forward in event time)"
         )
 
     pat = list(pattern)

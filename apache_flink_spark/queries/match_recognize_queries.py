@@ -727,3 +727,39 @@ def mr_cross_define_first(spark, sf_dir):
         ) ORDER BY user_id, b0_id
         """
     )
+
+
+@query(
+    "mr_desc_order",
+    oracle="""
+    SELECT user_id, a_id, b_id FROM (
+        SELECT user_id, event_id AS b_id,
+               CAST(round(value * 100) AS BIGINT) AS b_val,
+               LEAD(event_id) OVER w AS a_id,
+               LEAD(CAST(round(value * 100) AS BIGINT)) OVER w AS a_val
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE a_id IS NOT NULL AND b_val > a_val
+    ORDER BY user_id, a_id
+    """,
+)
+def mr_desc_order(spark, sf_dir):
+    """ORDER BY ... DESC inside MATCH_RECOGNIZE (r5 — the last documented
+    subset line): the matcher walks each key NEWEST-first, so PATTERN
+    (A B) pairs every event with its event-time PREDECESSOR, and the
+    cross-variable DEFINE keeps pairs where the predecessor's value is
+    higher. The oracle is the ascending LEAD formulation of the same
+    pairs (A = the later event, B = the earlier one)."""
+    return _tenv(spark, sf_dir).sql(
+        """
+        SELECT user_id, a_id, b_id
+        FROM events_mr MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ep DESC, event_id DESC
+            MEASURES A.event_id AS a_id, B.event_id AS b_id
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE B AS B.value_c > LAST(A.value_c)
+        ) ORDER BY user_id, a_id
+        """
+    )

@@ -557,3 +557,43 @@ def test_v_shape_with_prev(spark):
         """,
     ).collect()
     assert [r.strt_seq for r in out2] == [1]
+
+
+def test_desc_order_walks_newest_first(spark, seq_view):
+    """r5: ORDER BY DESC — PATTERN (A B) over a descending walk pairs each
+    row with its predecessor."""
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT * FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq DESC
+            MEASURES A.seq AS a_seq, B.seq AS b_seq
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE B AS B.v > LAST(A.v)
+        ) ORDER BY user_id, a_seq
+        """,
+    ).collect()
+    rows = sorted(
+        (r.user_id, r.seq, r.v) for r in spark.table("mr_seq").collect()
+    )
+    expect = []
+    for (u1, s1, v1), (u2, s2, v2) in zip(rows, rows[1:]):
+        if u1 == u2 and v1 > v2:  # predecessor strictly higher
+            expect.append((u1, s2, s1))
+    assert sorted((r.user_id, r.a_seq, r.b_seq) for r in out) == sorted(expect)
+
+
+def test_desc_order_with_within_errors(spark, seq_view):
+    with pytest.raises(MatchRecognizeError, match="ASCENDING"):
+        sql_with_match_recognize(
+            spark,
+            """
+            SELECT * FROM mr_seq MATCH_RECOGNIZE (
+                PARTITION BY user_id ORDER BY seq DESC
+                MEASURES A.seq AS a_seq
+                PATTERN (A B) WITHIN INTERVAL '5' MINUTES
+                DEFINE A AS A.v > 0
+            )
+            """,
+        )
