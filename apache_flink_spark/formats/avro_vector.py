@@ -72,6 +72,9 @@ _VARINT_KINDS = {
     "time-millis",
 }
 _LEN_KINDS = {"string", "bytes"}
+# Arrays of NON-NULL fixed-width floats/doubles (the embedding-column
+# shape): single-block spec encoding, fixed per-item stride.
+_ARRAY_KINDS = {"array-f4": ("float", 4), "array-f8": ("double", 8)}
 
 
 def _kind(sch):
@@ -87,6 +90,13 @@ def _kind(sch):
         if logical == "decimal":
             return None  # scale semantics stay on the closure codec
         t = sch.get("type")
+        if t == "array":
+            items = _kind(sch.get("items"))
+            if items == "float":
+                return "array-f4"
+            if items == "double":
+                return "array-f8"
+            return None  # nullable/varint items: closure codec
         if isinstance(t, str) and (
             t in _FIXED or t in _VARINT_KINDS or t in _LEN_KINDS
         ):
@@ -229,6 +239,30 @@ def _string_parts(col: pa.Array):
     return offsets, data
 
 
+def _list_parts(col: pa.Array, kind: str):
+    """(per-row item counts, per-row byte starts, all item bytes) for a
+    list column of non-null float/double items. The caller gathers the
+    row-major payload with the null rows masked to zero length (a null
+    slot MAY carry a nonzero extent in Arrow)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    item = pa.float32() if kind == "array-f4" else pa.float64()
+    size = _ARRAY_KINDS[kind][1]
+    lc = pc.cast(col, pa.large_list(item))
+    buffers = lc.buffers()
+    offsets = np.frombuffer(buffers[1], np.int64, len(lc) + 1, lc.offset * 8)
+    dt = "<f4" if kind == "array-f4" else "<f8"
+    allbytes = np.frombuffer(
+        np.ascontiguousarray(np.asarray(lc.values), dtype=dt).tobytes(),
+        np.uint8,
+    )
+    return (
+        np.diff(offsets).astype(np.int64),
+        (offsets[:-1] * size).astype(np.int64),
+        allbytes,
+    )
+
+
 def encode_block(batch: pa.RecordBatch, avro_record: dict) -> bytes:
     """Encode one Arrow batch as the (uncompressed) avro block body."""
     plan = _plan(avro_record)
@@ -261,6 +295,25 @@ def encode_block(batch: pa.RecordBatch, avro_record: dict) -> bytes:
                 vals = np.asarray(col.fill_null(0.0), dtype=dt)[valid]
                 buf = np.frombuffer(vals.tobytes(), np.uint8)
             segments.append((buf, np.where(valid, size, 0).astype(np.int64)))
+        elif kind in _ARRAY_KINDS:
+            size = _ARRAY_KINDS[kind][1]
+            counts_raw, byte_starts, allbytes = _list_parts(col, kind)
+            counts = np.where(valid, counts_raw, 0)
+            flat = _gather_segments(allbytes, byte_starts, counts * size)
+            # spec single-block form (row-codec parity): for non-empty
+            # arrays varint(count) + items; ALWAYS the 0x00 terminator.
+            nz = valid & (counts > 0)
+            cbuf, clens = _varint_encode(_zigzag_enc(counts[nz]))
+            cfull = np.zeros(nrows, np.int64)
+            cfull[nz] = clens
+            segments.append((cbuf, cfull))
+            segments.append((flat, counts * size))
+            segments.append(
+                (
+                    np.zeros(int(valid.sum()), np.uint8),
+                    np.where(valid, 1, 0).astype(np.int64),
+                )
+            )
         else:  # string / bytes
             offsets, data = _string_parts(col)
             lens = np.diff(offsets)
@@ -301,12 +354,23 @@ def _row_starts(arr: np.ndarray, nc: np.ndarray, plan, count: int):
     n = len(arr)
     al = arr.tolist()
     ncl = nc.tolist()
-    # (null_branch_byte or -1, category 0=varint/1=fixed/2=len-prefixed, size)
+    # (null_branch_byte or -1,
+    #  category 0=varint/1=fixed/2=len-prefixed/3=fixed-item array, size)
+    def _cat(kind):
+        if kind in _VARINT_KINDS:
+            return 0
+        if kind in _FIXED:
+            return 1
+        if kind in _ARRAY_KINDS:
+            return 3
+        return 2
+
     fast = [
         (
             null_branch * 2 if nullable else -1,
-            0 if kind in _VARINT_KINDS else (1 if kind in _FIXED else 2),
-            _FIXED.get(kind, 0),
+            _cat(kind),
+            _ARRAY_KINDS[kind][1] if kind in _ARRAY_KINDS
+            else _FIXED.get(kind, 0),
         )
         for _, nullable, null_branch, kind in plan
     ]
@@ -327,6 +391,30 @@ def _row_starts(arr: np.ndarray, nc: np.ndarray, plan, count: int):
                     pos = ncl[pos] + 1
                 elif cat == 1:
                     pos += size
+                elif cat == 3:
+                    # array blocks: varint count (negative => byte-size
+                    # prefixed block) until the 0 terminator
+                    while True:
+                        e = ncl[pos]
+                        z = 0
+                        shift = 0
+                        for j in range(pos, e + 1):
+                            z |= (al[j] & 0x7F) << shift
+                            shift += 7
+                        cnt = (z >> 1) ^ -(z & 1)
+                        pos = e + 1
+                        if cnt == 0:
+                            break
+                        if cnt < 0:
+                            e2 = ncl[pos]
+                            z2 = 0
+                            shift = 0
+                            for j in range(pos, e2 + 1):
+                                z2 |= (al[j] & 0x7F) << shift
+                                shift += 7
+                            pos = e2 + 1 + ((z2 >> 1) ^ -(z2 & 1))
+                        else:
+                            pos += cnt * size
                 else:
                     e = ncl[pos]
                     z = 0
@@ -385,6 +473,69 @@ def decode_block(body: bytes, count: int, avro_record: dict) -> list[pa.Array]:
             full[valid] = vals
             out.append(pa.array(full, mask=mask))
             pos[valid] = vp + size
+        elif kind in _ARRAY_KINDS:
+            size = _ARRAY_KINDS[kind][1]
+            dt = "<f4" if kind == "array-f4" else "<f8"
+            # per-row block walk (usually exactly one block + terminator);
+            # item payloads then gather vectorized
+            al = arr.tolist()
+            ncl = nc.tolist()
+            seg_starts: list[int] = []
+            seg_lens: list[int] = []
+            row_counts = np.zeros(count, np.int64)
+            new_pos = pos.copy()
+            for ri in np.flatnonzero(valid):
+                p0 = int(pos[ri])
+                total_items = 0
+                while True:
+                    e = ncl[p0]
+                    z = 0
+                    shift = 0
+                    for j in range(p0, e + 1):
+                        z |= (al[j] & 0x7F) << shift
+                        shift += 7
+                    cnt = (z >> 1) ^ -(z & 1)
+                    p0 = e + 1
+                    if cnt == 0:
+                        break
+                    if cnt < 0:
+                        # size-prefixed block: skip the byte-size varint
+                        e2 = ncl[p0]
+                        p0 = e2 + 1
+                        cnt = -cnt
+                    seg_starts.append(p0)
+                    seg_lens.append(cnt * size)
+                    total_items += cnt
+                    p0 += cnt * size
+                    if p0 > len(arr):
+                        raise BlockDecodeError("array block past block end")
+                row_counts[ri] = total_items
+                new_pos[ri] = p0
+            flat = _gather_segments(
+                arr,
+                np.asarray(seg_starts, np.int64),
+                np.asarray(seg_lens, np.int64),
+            )
+            values = pa.Array.from_buffers(
+                pa.float32() if kind == "array-f4" else pa.float64(),
+                int(row_counts.sum()),
+                [None, pa.py_buffer(flat.tobytes())],
+            )
+            offsets = np.concatenate(([0], np.cumsum(row_counts)))
+            validity = (
+                None
+                if mask is None
+                else pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+            )
+            out.append(
+                pa.Array.from_buffers(
+                    pa.large_list(values.type),
+                    count,
+                    [validity, pa.py_buffer(offsets.tobytes())],
+                    children=[values],
+                )
+            )
+            pos = new_pos
         else:  # string / bytes
             z, nxt = _varint_at(arr, nc, vp)
             ln = _zigzag_dec(z)
@@ -431,6 +582,9 @@ def _typed_int(full: np.ndarray, mask, kind: str) -> pa.Array:
 
 
 def _typed_empty(kind: str) -> pa.Array:
+    if kind in _ARRAY_KINDS:
+        item = pa.float32() if kind == "array-f4" else pa.float64()
+        return pa.array([], type=pa.large_list(item))
     return _typed_int(np.empty(0, np.int64), None, kind) if (
         kind in _VARINT_KINDS
     ) else (

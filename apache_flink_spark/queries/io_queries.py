@@ -396,3 +396,47 @@ def ddl_connector_table(spark, sf_dir):
         FROM {name} GROUP BY 1, 2
         """
     )
+
+
+@query(
+    "source_avro_embeddings_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n, MIN(vec_id) AS min_id, MAX(vec_id) AS max_id,
+           CAST(SUM(label) AS BIGINT) AS label_sum,
+           CAST(SUM(len(embedding)) AS BIGINT) AS total_dims,
+           MIN(embedding[1]) AS first_min, MAX(embedding[1]) AS first_max
+    FROM embeddings
+    """,
+)
+def source_avro_embeddings_roundtrip(spark, sf_dir):
+    """Avro round-trip of the EMBEDDINGS table (vec_id, array<float>,
+    label) — the training-data shape a 100 TB pipeline actually ships.
+    The array<float> column rides the r5 vectorized block lane
+    (formats/avro_vector.py array-f4 kind: single-block spec encoding,
+    fixed item stride, payload gathered straight from the Arrow list
+    buffers); the element transform pins items non-null so the fast lane
+    engages. Oracle reads the original table — the float payload must be
+    bit-lossless through the wire (min/max aggregates are order-free)."""
+    from apache_flink_spark import io
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> coalesce(x, float(0)))"
+        ).alias("embedding"),
+        "label",
+    )
+    path = io.roundtrip_dir(sf_dir, "embeddings_avro")
+    io.write_avro(
+        e.repartition(min(8, spark.sparkContext.defaultParallelism)), path
+    )
+    back = io.read_avro(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("vec_id").alias("min_id"),
+        F.max("vec_id").alias("max_id"),
+        F.sum("label").cast("bigint").alias("label_sum"),
+        F.sum(F.size("embedding")).cast("bigint").alias("total_dims"),
+        F.min(F.element_at("embedding", 1)).alias("first_min"),
+        F.max(F.element_at("embedding", 1)).alias("first_max"),
+    )

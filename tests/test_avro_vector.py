@@ -148,3 +148,45 @@ def test_empty_write_dir_roundtrip(spark, sf_dir):
         back = io.read_avro(spark, path)
         assert back.count() == 0
         assert back.columns == src.columns
+
+
+def test_array_float_roundtrip_byte_identical():
+    """r5 array-f4 lane: list<float> columns (embeddings) encode byte-
+    identically to the row codec, including null rows and EMPTY arrays
+    (terminator-only encoding), and decode losslessly."""
+    rng = np.random.default_rng(3)
+    n = 800
+    lens = rng.integers(0, 6, n)
+    vecs = [
+        None
+        if rng.random() < 0.15
+        else [float(np.float32(x)) for x in rng.normal(size=k)]
+        for k in lens
+    ]
+    ids = pa.array(rng.integers(0, 10**6, n))
+    emb = pa.array(vecs, type=pa.list_(pa.float32()))
+    batch = pa.RecordBatch.from_arrays([ids, emb], names=["id", "emb"])
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("emb", T.ArrayType(T.FloatType(), False)),
+        ]
+    )
+    asch = A.spark_to_avro(schema)
+    assert V.vector_ok(asch)
+    body = V.encode_block(batch, asch)
+    enc = A.make_encoder(asch)
+    ref = bytearray()
+    for i in range(n):
+        enc((ids[i].as_py(), vecs[i]), ref)
+    assert bytes(ref) == body
+    cols = V.decode_block(body, n, asch)
+    assert cols[1].cast(pa.list_(pa.float32())).equals(emb)
+    assert cols[0].equals(ids)
+
+
+def test_array_nullable_items_falls_back():
+    schema = T.StructType(
+        [T.StructField("emb", T.ArrayType(T.FloatType(), True))]
+    )
+    assert not V.vector_ok(A.spark_to_avro(schema))
