@@ -14,6 +14,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     tpcds_shapes,
     tpcds_shapes2,
     tpcds_shapes3,
+    tpcds_shapes4,
     joins,
     match_recognize_queries,
     aggregates,

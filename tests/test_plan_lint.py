@@ -73,6 +73,16 @@ _WHITELIST = {
         "into one row — each broadcast side is exactly one row",
         {"BroadcastNestedLoopJoin"},
     ),
+    "ds_q61_promo_ratio": (
+        "TPC-DS q61 shape: two SINGLE-ROW scalar aggregates combine "
+        "into one ratio row",
+        {"BroadcastNestedLoopJoin"},
+    ),
+    "ds_q90_am_pm_ratio": (
+        "TPC-DS q90 shape: two SINGLE-ROW COUNT subqueries combine "
+        "into one ratio row",
+        {"BroadcastNestedLoopJoin"},
+    ),
 }
 
 
