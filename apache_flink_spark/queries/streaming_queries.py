@@ -682,3 +682,49 @@ def stream_window_join(spark, sf_dir):
         "purchase_id",
     )
     return run_to_table(out, "append")
+
+
+@query(
+    "stream_session_changelog_log",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, epoch_us(ts) AS ep,
+               CASE WHEN epoch_us(ts)
+                         - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                         > {MIN30}
+                         OR LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ), numbered AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ep
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    )
+    SELECT 'U' AS op, user_id,
+           MIN(ep) AS sess_start, MAX(ep) AS sess_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+    streaming=True,
+)
+def stream_session_changelog_log(spark, sf_dir):
+    """The RAW changelog of the merging-session operator
+    (streaming/stateful.py:streaming_session_changelog): 'U' upserts per
+    affected session, 'D' tombstones for merge-retired keys. The fixture
+    replays as ONE micro-batch (single file), so every session is built
+    in place and the log is exactly the final sessionization as 'U' rows
+    with zero deletes — which is what the oracle states. The multi-batch
+    retraction path is pinned by tests/test_session_changelog.py."""
+    from apache_flink_spark.streaming.sources import run_to_table
+    from apache_flink_spark.streaming.stateful import (
+        streaming_session_changelog,
+    )
+
+    e = stream_table(spark, sf_dir, "events")
+    stream = e.withWatermark("ts", "1 hour").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    return run_to_table(streaming_session_changelog(stream, MIN30), "append")

@@ -145,11 +145,109 @@ def test_decode_foreign_bytes():
     assert dict(got["money"]) == {"price": 2.5, "cur": None}
 
 
-def test_repeated_not_vector_ok():
-    assert not PV.vector_ok(
+def test_vector_ok_boundaries():
+    # repeated SCALARS are vectorized (r5); repeated MESSAGES are not
+    assert PV.vector_ok(
         {"name": "R", "fields": {1: ("xs", "repeated int64")}}
     )
+    assert not PV.vector_ok(
+        {
+            "name": "R",
+            "fields": {
+                1: ("ms", "repeated", {"name": "M", "fields": {1: ("x", "int64")}})
+            },
+        }
+    )
     assert PV.vector_ok(DESC)
+
+
+REP_DESC = {
+    "name": "R",
+    "fields": {
+        1: ("xs", "repeated int64"),
+        2: ("name", "string"),
+        3: ("fs", "repeated float"),
+        4: ("ss", "repeated string"),
+        5: ("zz", "repeated sint64"),
+    },
+}
+
+
+def _rep_rows(n=1500, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        r = {}
+        if rng.random() > 0.2:
+            r["xs"] = [int(x) for x in rng.integers(-(10**6), 10**6, rng.integers(0, 5))]
+        if rng.random() > 0.3:
+            r["name"] = "n%d" % i
+        if rng.random() > 0.5:
+            r["fs"] = [float(np.float32(x)) for x in rng.normal(size=rng.integers(0, 4))]
+        if rng.random() > 0.5:
+            r["ss"] = ["s%d" % j for j in range(rng.integers(0, 3))]
+        if rng.random() > 0.5:
+            r["zz"] = [int(x) for x in rng.integers(-100, 100, rng.integers(0, 3))]
+        rows.append(r)
+    return rows
+
+
+def _rep_struct(rows):
+    at = to_arrow_type(P.descriptor_schema(REP_DESC))
+    return pa.array(
+        [
+            {k: r.get(k) for k in ("xs", "name", "fs", "ss", "zz")}
+            for r in rows
+        ],
+        type=at,
+    )
+
+
+def test_repeated_encode_byte_identical():
+    rows = _rep_rows()
+    wire_row = [P.encode_message(REP_DESC, r) for r in rows]
+    wire_vec = PV.encode_column(_rep_struct(rows), REP_DESC).to_pylist()
+    assert wire_row == wire_vec
+
+
+def test_repeated_decode_matches_row_codec():
+    rows = _rep_rows(seed=13)
+    wire = [P.encode_message(REP_DESC, r) for r in rows]
+    got = PV.decode_column(
+        pa.array(wire, type=pa.large_binary()), REP_DESC
+    ).to_pylist()
+    for g, b in zip(got, wire):
+        w = P.decode_message(REP_DESC, b)
+        for k in ("xs", "ss", "zz"):
+            assert (g[k] or []) == (w[k] or [])
+        fw, fg = w["fs"] or [], g["fs"] or []
+        assert len(fw) == len(fg)
+        assert all(abs(x - y) < 1e-6 for x, y in zip(fw, fg))
+
+
+def test_repeated_packed_foreign_decode():
+    """PACKED runs (LEN wire type for scalar fields — what protoc emits by
+    default) decode identically to the row codec even though the engine
+    writes unpacked."""
+    import struct
+
+    msg = bytearray()
+    P._write_varint(msg, 1 << 3 | 2)
+    inner = bytearray()
+    for v in (5, 300, 2**40):
+        P._write_varint(inner, v)
+    P._write_varint(msg, len(inner))
+    msg += inner
+    P._write_varint(msg, 3 << 3 | 2)
+    fl = struct.pack("<3f", 1.5, -2.25, 9.0)
+    P._write_varint(msg, len(fl))
+    msg += fl
+    got = PV.decode_column(
+        pa.array([bytes(msg)], type=pa.large_binary()), REP_DESC
+    ).to_pylist()[0]
+    want = P.decode_message(REP_DESC, bytes(msg))
+    assert got["xs"] == want["xs"] == [5, 300, 2**40]
+    assert [round(x, 4) for x in got["fs"]] == [1.5, -2.25, 9.0]
 
 
 def test_empty_and_null_messages():
