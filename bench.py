@@ -85,6 +85,8 @@ HEADLINE = [
     "ds_q70_rollup_rank_within_parent",
     "stream_session_agg",
     "mr_cross_define_last",
+    # r5: the embedding-array avro lane (vectorized list<float> codec)
+    "source_avro_embeddings_roundtrip",
 ]
 
 
