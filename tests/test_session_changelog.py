@@ -154,3 +154,44 @@ def test_single_batch_no_retractions(spark):
         (r.user_id, r.sess_start, r.n_events) for r in final.collect()
     )
     assert got == _batch_sessions(spark, d)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 2),      # user
+            st.integers(0, 300),    # minute
+            st.integers(0, 2),      # which micro-batch the event arrives in
+        ),
+        min_size=1,
+        max_size=18,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_batching_equals_batch_truth(spark, data):
+    """PROPERTY: for ANY assignment of events to micro-batches (arbitrary
+    event-time disorder across batches, so merges/retractions fire
+    arbitrarily), the changelog pipeline compacts to the plain batch
+    sessionization."""
+    batches = [[], [], []]
+    for u, m, b in data:
+        batches[b].append((u, _mins(m)))
+    batches = [b for b in batches if b]
+    d = _write_batches(spark, batches)
+    final = run_changelog_upsert_to_table(
+        streaming_session_changelog(_stream(spark, d), GAP_US),
+        ["user_id", "sess_start"],
+    )
+    got = sorted(
+        (r.user_id, r.sess_start, r.n_events) for r in final.collect()
+    )
+    assert got == _batch_sessions(spark, d)
