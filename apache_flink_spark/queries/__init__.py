@@ -15,6 +15,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     tpcds_shapes2,
     tpcds_shapes3,
     tpcds_shapes4,
+    tpcds_shapes5,
     joins,
     match_recognize_queries,
     aggregates,

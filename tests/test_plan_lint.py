@@ -78,6 +78,11 @@ _WHITELIST = {
         "into one ratio row",
         {"BroadcastNestedLoopJoin"},
     ),
+    "ds_q24_above_avg_group_sum": (
+        "TPC-DS q24 shape: the scale threshold attaches as a SINGLE-ROW "
+        "broadcast aggregate (avg group revenue)",
+        {"BroadcastNestedLoopJoin"},
+    ),
     "ds_q90_am_pm_ratio": (
         "TPC-DS q90 shape: two SINGLE-ROW COUNT subqueries combine "
         "into one ratio row",
