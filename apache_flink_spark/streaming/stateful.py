@@ -734,15 +734,28 @@ def streaming_session_changelog(events: DataFrame, gap_us: int) -> DataFrame:
         order = np.lexsort((men, mst, mu))
         mu, mst, men, mct = mu[order], mst[order], men[order], mct[order]
 
-        # Per-user running max of interval ends with resets, via dense-code
-        # offsets (codes are per-invocation, so the offset stays small).
+        # Per-user running max of interval ends with resets. Fast path:
+        # dense-code offsets (one accumulate); when codes.max x span could
+        # overflow int64 (huge key-group user counts x wide time ranges at
+        # scale), fall back to per-segment accumulates — same result,
+        # O(users-in-group) segment slices.
         codes = np.unique(mu, return_inverse=True)[1].astype(np.int64)
         base = int(min(mst.min(), men.min()))
         span = int(men.max()) - base + gap_us + 2
-        runmax = (
-            np.maximum.accumulate(men - base + codes * span) - codes * span
-            + base
-        )
+        if (int(codes[-1]) + 1) * span < (1 << 62):
+            runmax = (
+                np.maximum.accumulate(men - base + codes * span)
+                - codes * span
+                + base
+            )
+        else:
+            runmax = men.copy()
+            seg = np.flatnonzero(
+                np.concatenate(([True], mu[1:] != mu[:-1]))
+            )
+            bounds = np.append(seg, len(mu))
+            for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                runmax[s0:s1] = np.maximum.accumulate(men[s0:s1])
         new_sess = np.ones(len(mu), dtype=bool)
         if len(mu) > 1:
             new_sess[1:] = (mu[1:] != mu[:-1]) | (
