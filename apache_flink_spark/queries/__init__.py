@@ -16,6 +16,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     tpcds_shapes3,
     tpcds_shapes4,
     tpcds_shapes5,
+    tpcds_shapes6,
     joins,
     match_recognize_queries,
     aggregates,
