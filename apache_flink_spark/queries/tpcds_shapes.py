@@ -41,7 +41,11 @@ decimal ARITHMETIC is the one non-portable spot). Every LIMIT carries a full
 tie-break ORDER BY.
 
 Scale notes (100 TB): every shape is scan -> pushed filter -> keyed shuffle
-agg/join; dimension sides broadcast. The self-joins (ds_q2/q11/q44) join
+agg/join; dimension sides broadcast. Physical-plan audit at sf0.1
+(ds_q25/q47/q70/q95): 4-5 BroadcastHashJoins per query (all dimension
+sides), fact-fact and aggregated-intermediate joins SortMergeJoin under
+AQE, PushedFilters on every parquet scan, zero nested-loop joins outside
+the whitelisted single-row combines (tests/test_plan_lint.py). The self-joins (ds_q2/q11/q44) join
 small AGGREGATED intermediates (weeks, customer-years, parts), never raw
 fact rows. INTERSECTs shuffle on the projected key. ds_q28's six single-row
 aggregates broadcast-combine (whitelisted BNLJ on 1-row sides).

@@ -64,3 +64,18 @@ def test_dedup_ttl_group_count_invariant(spark, sf_dir):
         assert run() == baseline
     finally:
         spark.conf.unset("spark.graft.stateful.keyGroups")
+
+
+def test_budget_guard_fires_in_running_query(spark, sf_dir):
+    """End-to-end: an impossibly low per-group budget must abort the
+    stateful temporal join with the sizing-guidance error, not OOM or
+    silently truncate."""
+    from apache_flink_spark.queries import QUERIES
+
+    spark.conf.set("spark.graft.stateful.maxGroupRows", "1")
+    try:
+        with pytest.raises(Exception) as ei:
+            QUERIES["stream_temporal_join"](spark, sf_dir).collect()
+        assert "maxGroupRows" in str(ei.value)
+    finally:
+        spark.conf.unset("spark.graft.stateful.maxGroupRows")
