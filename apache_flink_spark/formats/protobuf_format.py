@@ -384,7 +384,8 @@ def to_protobuf_arrow(df: DataFrame, struct_col: str, desc: dict):
     """Struct column -> protobuf binary column through the VECTORIZED wire
     codec (formats/protobuf_vector.py): mapInArrow hands whole RecordBatches
     so no per-row Python objects exist on either side. Falls back to the
-    pandas-UDF row lane for descriptors with repeated fields."""
+    pandas-UDF row lane only for descriptors with repeated NESTED
+    MESSAGES (repeated scalars/strings are vectorized)."""
     from apache_flink_spark.formats import protobuf_vector as PVec
 
     if not PVec.vector_ok(desc):

@@ -388,15 +388,17 @@ def _decode_regions(desc: dict, arr: np.ndarray, nc, starts, ends):
     }
     pos = starts.astype(np.int64).copy()
     endsl = ends.astype(np.int64)
-    guard = 0
     while True:
         active = np.flatnonzero(pos < endsl)
         if not len(active):
             break
-        guard += 1
-        if guard > 100_000:
-            raise ValueError("protobuf decode: runaway field loop")
         tags, nxt = _varint_at(arr, nc, pos[active])
+        # termination: every iteration must strictly advance every active
+        # row (a tag consumes >= 1 byte), so the loop is bounded by the
+        # message byte length — no arbitrary occurrence cap (a 150k-item
+        # unpacked repeated field is VALID input, not a runaway).
+        if not (nxt > pos[active]).all():
+            raise ValueError("protobuf decode: non-advancing tag position")
         for t in np.unique(tags):
             sel = tags == t
             rows = active[sel]

@@ -239,23 +239,22 @@ _BIND_RE = re.compile(
     r"(?:,\s*(?P<n>\d+)\s*)?\)",
     re.I,
 )
+def _outside_literals(expr: str, fn) -> str:
+    """Apply ``fn`` only to the parts of ``expr`` outside string literals."""
+    segs = re.split(r"(\"[^\"]*\"|'[^']*')", expr)
+    for i in range(0, len(segs), 2):
+        segs[i] = fn(segs[i])
+    return "".join(segs)
+
+
 def _sql_pred_to_python(expr: str, columns, var_msg: str) -> str:
     """Convert the (already bind/row-rewritten) SQL predicate fragment to a
     Python expression. Comparison, boolean and arithmetic operators plus
     ABS() only — the cross-variable evaluator runs per candidate row in
     Python, so the subset is deliberately small and errors loudly."""
-    e = expr
-    e = re.sub(r"<>", "!=", e)
-    e = re.sub(r"(?<![<>!=])=(?!=)", "==", e)
-    e = re.sub(r"\bAND\b", "and", e, flags=re.I)
-    e = re.sub(r"\bOR\b", "or", e, flags=re.I)
-    e = re.sub(r"\bNOT\b", "not", e, flags=re.I)
-    e = re.sub(r"\bTRUE\b", "True", e, flags=re.I)
-    e = re.sub(r"\bFALSE\b", "False", e, flags=re.I)
-    e = re.sub(r"\bNULL\b", "None", e, flags=re.I)
-    # Remaining bare identifiers OUTSIDE string literals: known columns
-    # become row accesses, Python keywords/builtins pass through, anything
-    # else (an unsupported SQL construct) errors loudly.
+    # EVERY rewrite runs only on segments OUTSIDE string literals — an
+    # operator or keyword lookalike inside '...'/"..." must survive intact
+    # (e.g. B.name = 'TRUE AND x=y').
     def ident_sub(im: re.Match) -> str:
         name = im.group(0)
         if name.startswith("__mr_"):  # PREV/NEXT nav alias column
@@ -274,10 +273,18 @@ def _sql_pred_to_python(expr: str, columns, var_msg: str) -> str:
             "AND/OR/NOT, arithmetic, ABS, LAST/FIRST binds)"
         )
 
-    segs = re.split(r"(\"[^\"]*\"|'[^']*')", e)
-    for i in range(0, len(segs), 2):
-        segs[i] = re.sub(r"\b[A-Za-z_]\w*\b", ident_sub, segs[i])
-    return "".join(segs)
+    def convert(e: str) -> str:
+        e = re.sub(r"<>", "!=", e)
+        e = re.sub(r"(?<![<>!=])=(?!=)", "==", e)
+        e = re.sub(r"\bAND\b", "and", e, flags=re.I)
+        e = re.sub(r"\bOR\b", "or", e, flags=re.I)
+        e = re.sub(r"\bNOT\b", "not", e, flags=re.I)
+        e = re.sub(r"\bTRUE\b", "True", e, flags=re.I)
+        e = re.sub(r"\bFALSE\b", "False", e, flags=re.I)
+        e = re.sub(r"\bNULL\b", "None", e, flags=re.I)
+        return re.sub(r"\b[A-Za-z_]\w*\b", ident_sub, e)
+
+    return _outside_literals(expr, convert)
 
 
 def _parse_defines(
@@ -347,16 +354,20 @@ def _parse_defines(
                 f'__bind("{v}", "{col}", "{bm.group("fn").upper()}", {n})'
             )
 
-        p = _BIND_RE.sub(bind_sub, pred)
-        # Bare other-variable reference = LAST(V.col) (SQL standard).
-        for other in variables - {var}:
-            p = re.sub(
-                rf"\b{other}\s*\.\s*(\w+)",
-                rf'__bind("{other}", "\1", "LAST", 0)',
-                p,
-            )
-        p = re.sub(rf"\b{var}\s*\.\s*(\w+)", r'__row("\1")', p)
-        cross[var] = _sql_pred_to_python(p, columns, var)
+        def rewrite_binds(seg: str) -> str:
+            seg = _BIND_RE.sub(bind_sub, seg)
+            # Bare other-variable reference = LAST(V.col) (SQL standard).
+            for other in variables - {var}:
+                seg = re.sub(
+                    rf"\b{other}\s*\.\s*(\w+)",
+                    rf'__bind("{other}", "\1", "LAST", 0)',
+                    seg,
+                )
+            return re.sub(rf"\b{var}\s*\.\s*(\w+)", r'__row("\1")', seg)
+
+        cross[var] = _sql_pred_to_python(
+            _outside_literals(pred, rewrite_binds), columns, var
+        )
     return out, nav, cross
 
 

@@ -96,6 +96,40 @@ def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
 STREAMING_SHUFFLE_PARTITIONS = 4
 
 
+def _drain_to_log(df: DataFrame, output_mode: str, name: str | None):
+    """Shared drain scaffolding for the upsert sinks: run the stream to
+    completion (availableNow) through a foreachBatch parquet log stamped
+    with the batch id, under the streaming shuffle-partition clamp.
+    Returns (spark, log_dir)."""
+    spark = df.sparkSession
+    name = name or f"stream_result_{next(_name_counter)}"
+    ckpt = tempfile.mkdtemp(prefix=f"afs_ckpt_{name}_")
+    log_dir = tempfile.mkdtemp(prefix=f"afs_log_{name}_") + "/log"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(int(prev_parts), STREAMING_SHUFFLE_PARTITIONS)),
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(log_dir)
+
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark, log_dir
+
+
 def run_upsert_to_table(
     df: DataFrame, keys: list[str], name: str | None = None
 ) -> DataFrame:
@@ -131,32 +165,7 @@ def run_upsert_to_table(
     and :func:`run_changelog_upsert_to_table` compacts honoring them —
     the reference's merging-window retract stream.
     """
-    spark = df.sparkSession
-    name = name or f"stream_result_{next(_name_counter)}"
-    ckpt = tempfile.mkdtemp(prefix=f"afs_ckpt_{name}_")
-    log_dir = tempfile.mkdtemp(prefix=f"afs_upsert_{name}_") + "/log"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(min(int(prev_parts), STREAMING_SHUFFLE_PARTITIONS)),
-    )
-
-    def upsert(batch: DataFrame, batch_id: int) -> None:
-        batch.withColumn("__batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(log_dir)
-
-    try:
-        q = (
-            df.writeStream.outputMode("update")
-            .foreachBatch(upsert)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    spark, log_dir = _drain_to_log(df, "update", name)
 
     from pyspark.sql.window import Window
 
@@ -189,32 +198,7 @@ def run_changelog_upsert_to_table(
     micro-batch (the engine's session operator does), making per-key
     last-batch-wins well defined. No driver-side collect; log write and
     compaction both scale out."""
-    spark = df.sparkSession
-    name = name or f"stream_result_{next(_name_counter)}"
-    ckpt = tempfile.mkdtemp(prefix=f"afs_ckpt_{name}_")
-    log_dir = tempfile.mkdtemp(prefix=f"afs_chlog_{name}_") + "/log"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(min(int(prev_parts), STREAMING_SHUFFLE_PARTITIONS)),
-    )
-
-    def sink(batch: DataFrame, batch_id: int) -> None:
-        batch.withColumn("__batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(log_dir)
-
-    try:
-        q = (
-            df.writeStream.outputMode("append")
-            .foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    spark, log_dir = _drain_to_log(df, "append", name)
 
     from pyspark.sql.window import Window
 

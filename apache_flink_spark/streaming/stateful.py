@@ -32,23 +32,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# Key-group FLOOR for multi-user state buckets (the reference's
-# KeyGroupRangeAssignment maxParallelism analog): state shards by
-# pmod(xxhash64(key), key_groups(spark)), so Python-crossing cost scales
-# with groups, not distinct keys, while rescale granularity stays bounded.
-KEY_GROUPS = 32
+# Multi-user state buckets (the reference's KeyGroupRangeAssignment
+# maxParallelism analog): state shards by pmod(xxhash64(key),
+# key_groups(spark)), so Python-crossing cost scales with groups, not
+# distinct keys, while rescale granularity stays bounded.
+
+
+#: Default key-group count when the conf is unset — the reference's own
+#: default maxParallelism (KeyGroupRangeAssignment: 128). Deliberately a
+#: CONSTANT, never derived from the machine: the group count is baked into
+#: every checkpoint's state layout, so a machine-derived default would
+#: silently mis-shard restored state on a host with a different core count
+#: (keys hash to pmod(h, G') while saved GroupState lives under pmod(h, G)).
+KEY_GROUPS_DEFAULT = 128
 
 
 def key_groups(spark) -> int:
     """Key-group count for sharded custom stateful operators.
 
     Sizing (SCALE.md "Stateful key groups"): per-group buffered state is
-    roughly watermark_lag x input_rate / groups and must fit one worker, so
-    groups scale WITH the cluster — default max(KEY_GROUPS,
-    defaultParallelism), overridable via ``spark.graft.stateful.keyGroups``
-    (the reference's pipeline.max-parallelism knob). More groups = more
-    parallelism + smaller per-group buffers, at the cost of one extra
-    Python crossing per group per micro-batch."""
+    roughly watermark_lag x input_rate / groups and must fit one worker.
+    Default is the CHECKPOINT-STABLE constant 128 (the reference's default
+    maxParallelism) — machine-independent so an unpinned restart on
+    different hardware still finds its state; set
+    ``spark.graft.stateful.keyGroups`` (the pipeline.max-parallelism knob)
+    to scale beyond 128-way stateful parallelism, and keep it pinned for
+    the checkpoint's lifetime. More groups = more parallelism + smaller
+    per-group buffers, at the cost of one extra Python crossing per group
+    per micro-batch."""
     v = spark.conf.get("spark.graft.stateful.keyGroups", None)
     if v is not None:
         g = int(v)
@@ -57,7 +68,7 @@ def key_groups(spark) -> int:
                 f"spark.graft.stateful.keyGroups must be positive, got {g}"
             )
         return g
-    return max(KEY_GROUPS, spark.sparkContext.defaultParallelism)
+    return KEY_GROUPS_DEFAULT
 
 
 def max_group_rows(spark) -> int:
@@ -291,7 +302,7 @@ def streaming_temporal_join(tagged: DataFrame) -> DataFrame:
     by raw user_id. applyInPandasWithState pays a Python crossing per
     GROUP per batch, so grouping by user made the operator's local cost
     ~one call per user (1500 calls/batch at sf0.1); G = key_groups(spark)
-    groups (default max(32, defaultParallelism)) cut that ~50x while every per-group computation stays vectorized ACROSS users
+    groups (checkpoint-stable default 128) cut that ~50x while every per-group computation stays vectorized ACROSS users
     (lexsort + one C-speed merge_asof(by=user)). On a real cluster the
     same layout holds: key-group count bounds rebalance granularity, and
     per-group state is the sum of its users' bounded buffers.

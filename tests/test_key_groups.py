@@ -10,10 +10,11 @@ import pytest
 from apache_flink_spark.streaming import stateful as S
 
 
-def test_default_tracks_parallelism(spark):
-    assert S.key_groups(spark) == max(
-        S.KEY_GROUPS, spark.sparkContext.defaultParallelism
-    )
+def test_default_is_checkpoint_stable_constant(spark):
+    """The unpinned default must be machine-INDEPENDENT: the group count is
+    baked into every checkpoint's shard layout, so deriving it from core
+    count would silently mis-shard state restored on different hardware."""
+    assert S.key_groups(spark) == S.KEY_GROUPS_DEFAULT == 128
 
 
 def test_override_and_validation(spark):

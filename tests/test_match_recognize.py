@@ -597,3 +597,29 @@ def test_desc_order_with_within_errors(spark, seq_view):
             )
             """,
         )
+
+
+def test_cross_define_string_literal_survives_rewrite(spark, seq_view):
+    """Review r5: operator/keyword lookalikes INSIDE string literals must
+    not be rewritten by the cross-variable predicate converter."""
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT * FROM mr_seq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES A.seq AS a_seq, B.seq AS b_seq
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE A AS A.typ = 'a',
+                   B AS B.typ <> 'TRUE AND x=y' AND B.v >= LAST(A.v)
+        ) ORDER BY user_id, a_seq
+        """,
+    ).collect()
+    rows = sorted(
+        (r.user_id, r.seq, r.typ, r.v) for r in spark.table("mr_seq").collect()
+    )
+    expect = []
+    for (u1, s1, t1, v1), (u2, s2, t2, v2) in zip(rows, rows[1:]):
+        if u1 == u2 and t1 == "a" and t2 != "TRUE AND x=y" and v2 >= v1:
+            expect.append((u1, s1, s2))
+    assert sorted((r.user_id, r.a_seq, r.b_seq) for r in out) == sorted(expect)
