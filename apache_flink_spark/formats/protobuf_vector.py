@@ -383,8 +383,12 @@ def _decode_regions(desc: dict, arr: np.ndarray, nc, starts, ends):
     rep_vals: dict[str, list] = {
         name: [] for _, (name, _b, r, _x) in meta.items() if r
     }
+    # presence only matters for non-repeated fields (absent repeated ==
+    # empty list by construction)
     present = {
-        name: np.zeros(n, bool) for _, (name, _b, _r, _x) in meta.items()
+        name: np.zeros(n, bool)
+        for _, (name, _b, r, _x) in meta.items()
+        if not r
     }
     pos = starts.astype(np.int64).copy()
     endsl = ends.astype(np.int64)
@@ -414,7 +418,7 @@ def _decode_regions(desc: dict, arr: np.ndarray, nc, starts, ends):
                         rep_vals[name].append((rows, vals))
                     else:
                         raw[name][rows] = vals
-                    present[name][rows] = True
+                        present[name][rows] = True
                 pos[rows] = after
             elif wt in (_WT_FIXED64, _WT_FIXED32):
                 size = 8 if wt == _WT_FIXED64 else 4
@@ -424,7 +428,7 @@ def _decode_regions(desc: dict, arr: np.ndarray, nc, starts, ends):
                         rep_vals[name].append((rows, vals))
                     else:
                         raw[name][rows] = vals
-                    present[name][rows] = True
+                        present[name][rows] = True
                 pos[rows] = p + size
             elif wt == _WT_LEN:
                 lns, after = _varint_at(arr, nc, p)
@@ -460,10 +464,8 @@ def _decode_regions(desc: dict, arr: np.ndarray, nc, starts, ends):
                             v, rnxt = _varint_at(arr, nc, rp[alive])
                             rep_vals[name].append((rows[alive], v))
                             rp[alive] = rnxt
-                    present[name][rows] = True
                 elif m and rep:  # repeated string/bytes occurrence
                     rep_vals[name].append((rows, after, ln))
-                    present[name][rows] = True
                 elif m and base in ("string", "bytes", "message"):
                     ext[name][0][rows] = after
                     ext[name][1][rows] = after + ln
@@ -473,12 +475,11 @@ def _decode_regions(desc: dict, arr: np.ndarray, nc, starts, ends):
                 raise ValueError(f"protobuf decode: wire type {wt}")
     out = {}
     for _num, (name, base, rep, nested) in meta.items():
-        valid = present[name]
         if rep:
-            out[name] = _build_repeated(
-                arr, base, rep_vals[name], n
-            )
-        elif base in ("string", "bytes"):
+            out[name] = _build_repeated(arr, base, rep_vals[name], n)
+            continue
+        valid = present[name]
+        if base in ("string", "bytes"):
             s, e = ext[name]
             lens = np.where(valid, e - s, 0)
             payload = _gather_segments(arr, s, lens)

@@ -138,14 +138,20 @@ def _parse_quant(q: str | None) -> tuple[int, int | None, bool]:
 
 
 def _split_top_level(s: str) -> list[str]:
-    """Split on commas not nested inside parentheses."""
+    """Split on commas not nested inside parentheses or string literals."""
     parts, depth, cur = [], 0, []
+    quote: str | None = None
     for ch in s:
-        if ch == "(":
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "," and depth == 0 and quote is None:
             parts.append("".join(cur).strip())
             cur = []
         else:
@@ -327,16 +333,23 @@ def _parse_defines(
             nav[alias] = (nm.group("fn").upper(), nm.group("col"), n)
             return alias
 
-        pred = _NAV_RE.sub(nav_sub, pred)
+        pred = _outside_literals(pred, lambda seg: _NAV_RE.sub(nav_sub, seg))
         # After navigation rewriting, LAST/FIRST(V.col) or a remaining
-        # other-variable reference makes this a cross-variable predicate.
-        is_cross = bool(_BIND_RE.search(pred)) or any(
-            re.search(rf"\b{other}\s*\.", pred)
+        # other-variable reference (both checked outside string literals)
+        # makes this a cross-variable predicate.
+        stripped = "".join(
+            re.split(r"(\"[^\"]*\"|'[^']*')", pred)[0::2]
+        )
+        is_cross = bool(_BIND_RE.search(stripped)) or any(
+            re.search(rf"\b{other}\s*\.", stripped)
             for other in variables - {var}
         )
         if not is_cross:
             # Own-row: strip the variable prefix, evaluate on the JVM.
-            out[var] = re.sub(rf"\b{var}\s*\.\s*(\w+)", r"\1", pred)
+            out[var] = _outside_literals(
+                pred,
+                lambda seg: re.sub(rf"\b{var}\s*\.\s*(\w+)", r"\1", seg),
+            )
             continue
 
         def bind_sub(bm: re.Match) -> str:

@@ -173,7 +173,7 @@ def stream_cumulate_agg(spark, sf_dir):
     "stream_session_agg",
     oracle=f"""
     WITH marked AS (
-        SELECT user_id, value, epoch_us(ts) AS ep,
+        SELECT user_id, value, event_id, epoch_us(ts) AS ep,
                CASE WHEN epoch_us(ts)
                          - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
                                                    ORDER BY ts, event_id)
@@ -183,7 +183,8 @@ def stream_cumulate_agg(spark, sf_dir):
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
     ), numbered AS (
-        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ep
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ep, event_id
                                       ROWS UNBOUNDED PRECEDING) AS sess_id
         FROM marked
     ), sess AS (
@@ -688,7 +689,7 @@ def stream_window_join(spark, sf_dir):
     "stream_session_changelog_log",
     oracle=f"""
     WITH marked AS (
-        SELECT user_id, epoch_us(ts) AS ep,
+        SELECT user_id, event_id, epoch_us(ts) AS ep,
                CASE WHEN epoch_us(ts)
                          - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
                                                    ORDER BY ts, event_id)
@@ -698,7 +699,8 @@ def stream_window_join(spark, sf_dir):
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
     ), numbered AS (
-        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ep
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ep, event_id
                                       ROWS UNBOUNDED PRECEDING) AS sess_id
         FROM marked
     )

@@ -49,7 +49,7 @@ _DS_Q25 = f"""
     JOIN resold ON sold.sk = resold.sk AND sold.pk = resold.pk
     JOIN supplier ON sold.sk = s_suppkey
     JOIN part ON sold.pk = p_partkey
-    ORDER BY s_name, p_name
+    ORDER BY s_name, p_name, sold.sk, sold.pk
     LIMIT 100
 """
 
