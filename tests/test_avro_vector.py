@@ -190,3 +190,26 @@ def test_array_nullable_items_falls_back():
         [T.StructField("emb", T.ArrayType(T.FloatType(), True))]
     )
     assert not V.vector_ok(A.spark_to_avro(schema))
+
+
+def test_multi_block_container_roundtrip(tmp_path):
+    """Container files with MULTIPLE blocks (>_BLOCK_ROWS rows): the
+    vector writer splits at 4096-row boundaries, both decoders see every
+    block, and a ROW-codec-written multi-block file reads back through
+    the vector lane."""
+    batch, asch = _batch_and_schema(n=9000, seed=41)
+    p = str(tmp_path / "multi.avro")
+    n = A.write_container_arrow(p, asch, [batch])
+    assert n == 9000
+    blocks = list(A.read_container_arrow(p))
+    assert len(blocks) == 3  # 4096 + 4096 + 808
+    assert sum(len(b[0]) for b in blocks) == 9000
+    assert sum(1 for _ in A.read_container(p)) == 9000
+    # row-codec writer -> vector reader
+    p2 = str(tmp_path / "rowmulti.avro")
+    cols = [c.to_pylist() for c in batch.columns]
+    A.write_container(p2, asch, list(zip(*cols)))
+    total = 0
+    for arrays in A.read_container_arrow(p2):
+        total += len(arrays[0])
+    assert total == 9000
