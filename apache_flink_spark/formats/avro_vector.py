@@ -412,7 +412,15 @@ def _row_starts(arr: np.ndarray, nc: np.ndarray, plan, count: int):
                             for j in range(pos, e2 + 1):
                                 z2 |= (al[j] & 0x7F) << shift
                                 shift += 7
-                            pos = e2 + 1 + ((z2 >> 1) ^ -(z2 & 1))
+                            blk_size = (z2 >> 1) ^ -(z2 & 1)
+                            if blk_size < 0:
+                                # ADVICE r5: a corrupt negative byte-size
+                                # would move pos BACKWARD and cycle forever
+                                raise BlockDecodeError(
+                                    "negative array-block byte size "
+                                    f"{blk_size} at {pos}"
+                                )
+                            pos = e2 + 1 + blk_size
                         else:
                             pos += cnt * size
                 else:
@@ -422,7 +430,12 @@ def _row_starts(arr: np.ndarray, nc: np.ndarray, plan, count: int):
                     for j in range(pos, e + 1):
                         z |= (al[j] & 0x7F) << shift
                         shift += 7
-                    pos = e + 1 + ((z >> 1) ^ -(z & 1))
+                    blen = (z >> 1) ^ -(z & 1)
+                    if blen < 0:  # ADVICE r5: no backward jumps
+                        raise BlockDecodeError(
+                            f"negative bytes/string length {blen} at {pos}"
+                        )
+                    pos = e + 1 + blen
     except IndexError as ex:  # ncl[pos] with pos past the last terminator
         raise BlockDecodeError(f"row skip out of range: {ex}") from ex
     if pos != n:
@@ -488,6 +501,7 @@ def decode_block(body: bytes, count: int, avro_record: dict) -> list[pa.Array]:
                 p0 = int(pos[ri])
                 total_items = 0
                 while True:
+                    prev_p0 = p0  # ADVICE r5: enforce monotonic progress
                     e = ncl[p0]
                     z = 0
                     shift = 0
@@ -509,6 +523,11 @@ def decode_block(body: bytes, count: int, avro_record: dict) -> list[pa.Array]:
                     p0 += cnt * size
                     if p0 > len(arr):
                         raise BlockDecodeError("array block past block end")
+                    if p0 <= prev_p0:
+                        raise BlockDecodeError(
+                            f"array-block walk stalled at {p0} (was "
+                            f"{prev_p0}) — corrupt block"
+                        )
                 row_counts[ri] = total_items
                 new_pos[ri] = p0
             flat = _gather_segments(

@@ -59,7 +59,9 @@ Execution strategy (Spark-first):
 
 from __future__ import annotations
 
+import ast
 import itertools
+import operator as _op
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -253,6 +255,158 @@ def _outside_literals(expr: str, fn) -> str:
     return "".join(segs)
 
 
+class _NullType:
+    """SQL NULL sentinel for the cross-variable predicate evaluator.
+
+    Arithmetic with NULL propagates NULL (all dunders return the
+    singleton); comparisons never reach its dunders because the AST
+    transform below routes every comparison through ``_cmp3``, which
+    yields UNKNOWN when either side is NULL. ``bool()`` raises so an
+    untransformed use fails loudly instead of silently truthy."""
+
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self):
+        return "NULL"
+
+    def __bool__(self):
+        raise TypeError("NULL has no truth value")
+
+    def __abs__(self):
+        return self
+
+    def __neg__(self):
+        return self
+
+
+for _dunder in (
+    "add radd sub rsub mul rmul truediv rtruediv floordiv rfloordiv "
+    "mod rmod pow rpow"
+).split():
+    setattr(_NullType, f"__{_dunder}__", lambda self, other: self)
+
+_NULL = _NullType()
+
+
+class _UnknownType:
+    """Kleene UNKNOWN: the third truth value. Coerces to False at the
+    match decision (SQL: a predicate satisfies only when TRUE)."""
+
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self):
+        return "UNKNOWN"
+
+
+_UNKNOWN = _UnknownType()
+
+_CMP3_OPS = {
+    "Eq": _op.eq, "NotEq": _op.ne, "Lt": _op.lt,
+    "LtE": _op.le, "Gt": _op.gt, "GtE": _op.ge,
+}
+
+
+def _and3(*vals):
+    if any(v is not _UNKNOWN and v is not _NULL and not v for v in vals):
+        return False
+    if any(v is _UNKNOWN or v is _NULL for v in vals):
+        return _UNKNOWN
+    return True
+
+
+def _or3(*vals):
+    if any(v is not _UNKNOWN and v is not _NULL and bool(v) for v in vals):
+        return True
+    if any(v is _UNKNOWN or v is _NULL for v in vals):
+        return _UNKNOWN
+    return False
+
+
+def _not3(v):
+    if v is _UNKNOWN or v is _NULL:
+        return _UNKNOWN
+    return not bool(v)
+
+
+def _cmp3(left, pairs):
+    """SQL three-valued comparison, including Python chained comparisons
+    (a < b < c == AND of the pairwise comparisons)."""
+    res = True
+    cur = left
+    for opname, right in pairs:
+        if cur is _NULL or right is _NULL:
+            step = _UNKNOWN
+        else:
+            step = bool(_CMP3_OPS[opname](cur, right))
+        res = _and3(res, step)
+        cur = right
+    return res
+
+
+class _ThreeVL(ast.NodeTransformer):
+    """Rewrite a compiled DEFINE predicate to Kleene logic: and/or/not ->
+    _and3/_or3/_not3, comparisons -> _cmp3 (NULL operand -> UNKNOWN).
+    Fixes the ADVICE r5 finding: plain-None semantics made ``x <> LAST(A.x)``
+    TRUE and ``x = y`` TRUE when sides were NULL; SQL requires UNKNOWN."""
+
+    def visit_BoolOp(self, node):
+        self.generic_visit(node)
+        fn = "__and3" if isinstance(node.op, ast.And) else "__or3"
+        return ast.Call(
+            func=ast.Name(id=fn, ctx=ast.Load()), args=node.values,
+            keywords=[],
+        )
+
+    def visit_UnaryOp(self, node):
+        self.generic_visit(node)
+        if isinstance(node.op, ast.Not):
+            return ast.Call(
+                func=ast.Name(id="__not3", ctx=ast.Load()),
+                args=[node.operand], keywords=[],
+            )
+        return node
+
+    def visit_Compare(self, node):
+        self.generic_visit(node)
+        pairs = ast.List(
+            elts=[
+                ast.Tuple(
+                    elts=[ast.Constant(type(o).__name__), c],
+                    ctx=ast.Load(),
+                )
+                for o, c in zip(node.ops, node.comparators)
+            ],
+            ctx=ast.Load(),
+        )
+        return ast.Call(
+            func=ast.Name(id="__cmp3", ctx=ast.Load()),
+            args=[node.left, pairs], keywords=[],
+        )
+
+
+def _compile_3vl(pyexpr: str, filename: str):
+    tree = ast.parse(pyexpr, mode="eval")
+    tree = _ThreeVL().visit(tree)
+    ast.fix_missing_locations(tree)
+    return compile(tree, filename, "eval")
+
+
+_3VL_GLOBALS = {
+    "__and3": _and3, "__or3": _or3, "__not3": _not3, "__cmp3": _cmp3,
+    "__NULL": _NULL, "abs": abs, "__builtins__": {},
+}
+
+
 def _sql_pred_to_python(expr: str, columns, var_msg: str) -> str:
     """Convert the (already bind/row-rewritten) SQL predicate fragment to a
     Python expression. Comparison, boolean and arithmetic operators plus
@@ -265,7 +419,7 @@ def _sql_pred_to_python(expr: str, columns, var_msg: str) -> str:
         name = im.group(0)
         if name.startswith("__mr_"):  # PREV/NEXT nav alias column
             return f'__row("{name}")'
-        if name in ("__bind", "__row") or name in (
+        if name in ("__bind", "__row", "__NULL") or name in (
             "and", "or", "not", "True", "False", "None", "abs",
         ):
             return name
@@ -287,7 +441,7 @@ def _sql_pred_to_python(expr: str, columns, var_msg: str) -> str:
         e = re.sub(r"\bNOT\b", "not", e, flags=re.I)
         e = re.sub(r"\bTRUE\b", "True", e, flags=re.I)
         e = re.sub(r"\bFALSE\b", "False", e, flags=re.I)
-        e = re.sub(r"\bNULL\b", "None", e, flags=re.I)
+        e = re.sub(r"\bNULL\b", "__NULL", e, flags=re.I)
         return re.sub(r"\b[A-Za-z_]\w*\b", ident_sub, e)
 
     return _outside_literals(expr, convert)
@@ -650,7 +804,7 @@ def compile_match_recognize(
         # match's binds, so matching switches to the bind-tracking DFS
         # below. Own-row variables still use their precomputed booleans.
         cross_fns = {
-            v: compile(code, f"<mr-define-{v}>", "eval")
+            v: _compile_3vl(code, f"<mr-define-{v}>")
             for v, code in cross_codes.items()
         }
         pred_arr = {c: pdf[c].to_numpy() for c in cross_cols}
@@ -661,7 +815,7 @@ def compile_match_recognize(
 
             def __row(col):
                 x = pred_arr[col][j]
-                return None if x != x else x  # NaN -> NULL
+                return _NULL if x is None or x != x else x  # None/NaN -> NULL
 
             def __bind(bv, col, fn, off):
                 idxs = binds.get(bv, ())
@@ -669,19 +823,23 @@ def compile_match_recognize(
                     idxs = list(idxs) + [j]  # RUNNING: current row is in v
                 k = (len(idxs) - 1 - off) if fn == "LAST" else off
                 if k < 0 or k >= len(idxs):
-                    return None  # unmatched variable / offset: SQL NULL
+                    return _NULL  # unmatched variable / offset: SQL NULL
                 x = pred_arr[col][idxs[k]]
-                return None if x != x else x
+                return _NULL if x is None or x != x else x
 
             try:
-                return bool(
-                    eval(  # noqa: S307 - compiled from the validated subset
-                        cross_fns[v], {"__row": __row, "__bind": __bind,
-                                       "abs": abs, "__builtins__": {}}
-                    )
+                res = eval(  # noqa: S307 - compiled from the validated subset
+                    cross_fns[v],
+                    {**_3VL_GLOBALS, "__row": __row, "__bind": __bind},
                 )
-            except TypeError:  # comparison with NULL -> false (SQL)
+            except (TypeError, ZeroDivisionError):
+                # untransformed NULL use / div-by-zero -> not TRUE (SQL)
                 return False
+            # Kleene: the row matches only when the predicate is TRUE;
+            # UNKNOWN and NULL coerce to false (SQL WHERE semantics).
+            return (
+                res is not _UNKNOWN and res is not _NULL and bool(res)
+            )
 
         def try_match_binds(start: int, limit: int):
             """Bind-tracking variant of try_match for cross-variable

@@ -71,6 +71,49 @@ def key_groups(spark) -> int:
     return KEY_GROUPS_DEFAULT
 
 
+def pin_key_groups(spark, checkpoint_dir: str) -> int:
+    """Record/validate the key-group count against a REUSED checkpoint.
+
+    The group count is baked into a checkpoint's state layout (keys live
+    under pmod(xxhash64(key), G)); restarting with a different G silently
+    mis-shards restored state — stale state lingers under old group ids
+    and dedup/join state is silently lost (ADVICE r5). Call this before
+    starting any key-grouped stateful query whose checkpointLocation can
+    outlive the process: first use writes ``_graft_key_groups.json`` into
+    the checkpoint dir; any later start with a different effective count
+    fails loudly instead.
+
+    Migration note: builds before round 6 defaulted to G=32 (the old
+    KEY_GROUPS constant); the default is now 128 (the reference's default
+    maxParallelism). A pre-r6 checkpoint written with the conf unset MUST
+    pin ``spark.graft.stateful.keyGroups=32`` on restore.
+
+    Returns the effective group count.
+    """
+    import json as _json
+    import os as _os
+
+    g = key_groups(spark)
+    marker = _os.path.join(checkpoint_dir, "_graft_key_groups.json")
+    if _os.path.exists(marker):
+        with open(marker) as f:
+            recorded = _json.load(f)["key_groups"]
+        if recorded != g:
+            raise RuntimeError(
+                f"key-group mismatch on checkpoint reuse: {checkpoint_dir} "
+                f"was written with keyGroups={recorded} but this session "
+                f"resolves to {g}. Restored state would silently mis-shard "
+                f"(keys rehash to pmod(h,{g}) while saved GroupState lives "
+                f"under pmod(h,{recorded})). Pin spark.graft.stateful."
+                f"keyGroups={recorded}, or start a fresh checkpoint."
+            )
+    else:
+        _os.makedirs(checkpoint_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            _json.dump({"key_groups": g}, f)
+    return g
+
+
 def max_group_rows(spark) -> int:
     """Loud per-key-group state budget (rows buffered in one GroupState
     value). Exceeding it means the watermark lag x rate outgrew the shard

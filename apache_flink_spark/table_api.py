@@ -113,22 +113,34 @@ class Table:
         .asof_join), never a range join. Left rows keep all their
         columns; the function's non-key columns arrive from the latest
         version with ``version.time <= probe.time`` (NULL before the
-        first version)."""
+        first version).
+
+        Parity note (ADVICE r5): the reference's temporal table function
+        join emits the FULL function-table row including its time
+        attribute. The matched version's time is therefore carried too —
+        under its own name when free on the probe side, else suffixed
+        ``<time_attr>_version`` (both sides naming the time column
+        identically is the common case). Payload-column name collisions
+        still refuse loudly."""
         ttf, probe_time = call
         right, r_time, r_key = ttf.df, ttf.time_attr, ttf.primary_key
-        # Carry the function table's PAYLOAD columns only: the version time
-        # attribute is join machinery, not output (and both sides naming
-        # their time column identically is the common case). Any remaining
-        # name collision with the probe side would yield ambiguous
-        # duplicate output columns — refuse loudly instead.
-        carry_cols = [c for c in right.columns if c not in (r_key, r_time)]
-        clash = sorted(set(carry_cols) & set(self._df.columns))
+        payload_cols = [c for c in right.columns if c not in (r_key, r_time)]
+        clash = sorted(set(payload_cols) & set(self._df.columns))
         if clash:
             raise ValueError(
                 f"join_lateral: function-table columns {clash} collide with "
                 "probe-side columns; rename one side (e.g. "
                 "right.withColumnRenamed) before the temporal join"
             )
+        vt_out = (
+            r_time
+            if r_time not in self._df.columns and r_time not in payload_cols
+            else f"{r_time}_version"
+        )
+        carry_cols = payload_cols + [vt_out]
+        carry_exprs = [F.col(c) for c in payload_cols] + [
+            F.col(r_time).alias(vt_out)
+        ]
         left_cols = self._df.columns
         l = (
             self._df.withColumn("__side", F.lit(1))
@@ -137,7 +149,7 @@ class Table:
             .withColumn(
                 "__carry",
                 F.lit(None).cast(
-                    right.select(F.struct(*carry_cols).alias("s")).schema[
+                    right.select(F.struct(*carry_exprs).alias("s")).schema[
                         "s"
                     ].dataType
                 ),
@@ -147,7 +159,7 @@ class Table:
             F.lit(0).alias("__side"),
             F.col(r_time).alias("__ts"),
             F.col(r_key).alias("__key"),
-            F.struct(*carry_cols).alias("__carry"),
+            F.struct(*carry_exprs).alias("__carry"),
             *[
                 F.lit(None).cast(d.dataType).alias(d.name)
                 for d in self._df.schema.fields

@@ -91,6 +91,17 @@ HEADLINE = [
 
 
 def main() -> None:
+    # Stdout hygiene (VERDICT r5 #2): the driver parses the LAST stdout line
+    # as JSON; any query/library/JVM print to stdout mid-run corrupts the
+    # artifact ("parsed": null in BENCH_r05.json). Dup the real stdout fd
+    # for the final JSON line, then point fd 1 at stderr at the OS level so
+    # even the JVM child (which inherits fd 1, not sys.stdout) can't pollute
+    # the artifact.
+    real_fd = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+    real_stdout = os.fdopen(real_fd, "w")
+
     from apache_flink_spark.queries import QUERIES
     from apache_flink_spark.session import get_spark
 
@@ -150,14 +161,23 @@ def main() -> None:
         .awaitTermination()
     )
 
+    # Per-query warm-up (VERDICT r5 #2): the first execution of a heavy shape
+    # pays one-time codegen/broadcast/shuffle-service costs (~4x warm was
+    # measured on ds_q70), which misreports plan quality. Run each query
+    # twice and record the second (warm) execution; a long-lived deployment
+    # sees the warm number.
+    warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(max(1, warm_runs)):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = round(time.perf_counter() - t0, 4)
+        times[name] = best
 
     total = round(sum(times.values()), 4)
     out = {
@@ -188,7 +208,8 @@ def main() -> None:
                 "total_ratio": round(nsum / bsum, 3),
                 "worst": [{"query": n, "ratio": r} for r, n in ratios[:3]],
             }
-    print(json.dumps(out))
+    real_stdout.write(json.dumps(out) + "\n")
+    real_stdout.flush()
 
 
 if __name__ == "__main__":

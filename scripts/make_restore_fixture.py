@@ -42,7 +42,12 @@ TTL_US = 30 * 60 * 1_000_000  # 30 minutes
 def run_batch(spark, out_dir: str) -> None:
     from pyspark.sql import functions as F
 
-    from apache_flink_spark.streaming.stateful import streaming_dedup_ttl
+    from apache_flink_spark.streaming.stateful import (
+        pin_key_groups,
+        streaming_dedup_ttl,
+    )
+
+    pin_key_groups(spark, f"{FIX}/ckpt")
 
     raw = (
         spark.readStream.schema("user_id long, event_id long, ts timestamp")

@@ -52,7 +52,14 @@ def test_restore_from_committed_checkpoint(spark, tmp_path):
         "spark.graft.stateful.keyGroups", str(meta["key_groups"])
     )
     try:
-        from apache_flink_spark.streaming.stateful import streaming_dedup_ttl
+        from apache_flink_spark.streaming.stateful import (
+            pin_key_groups,
+            streaming_dedup_ttl,
+        )
+
+        # Guard: checkpoint reuse validates the key-group count (ADVICE
+        # r5 — a mismatched G silently mis-shards restored state).
+        pin_key_groups(spark, f"{FIX}/ckpt")
 
         raw = (
             spark.readStream.schema(
@@ -95,3 +102,21 @@ def test_restore_from_committed_checkpoint(spark, tmp_path):
         f"{meta['written_by_round']} checkpoint (state schema or key-group "
         "layout changed without a migration)"
     )
+
+
+def test_key_group_mismatch_fails_loudly(spark, tmp_path):
+    """ADVICE r5: reusing a checkpoint under a different key-group count
+    must raise, not silently mis-shard restored state."""
+    from apache_flink_spark.streaming.stateful import pin_key_groups
+
+    ckpt = str(tmp_path / "ckpt")
+    spark.conf.set("spark.graft.stateful.keyGroups", "32")
+    try:
+        assert pin_key_groups(spark, ckpt) == 32
+        # same count: idempotent
+        assert pin_key_groups(spark, ckpt) == 32
+        spark.conf.set("spark.graft.stateful.keyGroups", "128")
+        with pytest.raises(RuntimeError, match="key-group mismatch"):
+            pin_key_groups(spark, ckpt)
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
