@@ -1,0 +1,211 @@
+"""Shared driving code for the cross-version checkpoint-restore fixtures
+(reference restore-tests analog, VERDICT r5 item #3: one committed
+checkpoint per custom stateful operator, restored by every later build).
+
+Each op entry defines:
+  - ``schema``: the JSON file-source schema;
+  - ``build(raw)``: wraps the file-source DataFrame into the operator's
+    streaming output (the SAME wiring the registered query uses);
+  - ``batch1`` / ``batch2``: input rows (batch1 is committed into the
+    fixture checkpoint; batch2 runs on restore);
+  - ``expect_restored(rows)``: asserts batch-2 output that only the
+    RESTORED batch-1 state can produce (a cold start fails it).
+
+Used by scripts/make_restore_fixtures_r6.py (generation) and
+tests/test_restore_compat.py (the restore gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+GAP_US = 30 * 60 * 1_000_000  # session gap: 30 minutes
+WINDOW_ROWS = 3
+
+
+def _topn_build(raw):
+    from apache_flink_spark.streaming.stateful import streaming_topn_by_value
+
+    return streaming_topn_by_value(
+        raw.select("user_id", "event_id", "value"), 3
+    ), "update"
+
+
+def _topn_expect(rows):
+    got = sorted((r.user_id, r.event_id, r.rn) for r in rows)
+    # Restored state holds 101/102/103 (values 10/9/8); batch-2's 104
+    # (value 1.0) must NOT displace them. A cold start would emit 104 as
+    # rank 1 and know nothing of 101-103.
+    assert got == [(1, 101, 1), (1, 102, 2), (1, 103, 3)], got
+
+
+def _temporal_build(raw):
+    from apache_flink_spark.streaming.stateful import streaming_temporal_join
+
+    views = (
+        raw.filter(F.col("side") == 0)
+        .select("user_id", "event_id", "ts", "side")
+        .withWatermark("ts", "1 hour")
+    )
+    clicks = (
+        raw.filter(F.col("side") == 1)
+        .select("user_id", "event_id", "ts", "side")
+        .withWatermark("ts", "1 hour")
+    )
+    tagged = views.unionByName(clicks).select(
+        "user_id", "side", "event_id",
+        F.unix_micros("ts").alias("ts_us"), "ts",
+    )
+    return streaming_temporal_join(tagged), "append"
+
+
+def _temporal_expect(rows):
+    got = {(r.user_id, r.click_id): r.view_event_id for r in rows}
+    # Click 900 (user 1, 10:30) must join to version 500 (10:00) that
+    # ONLY the restored build-side state contains; cold start -> NULL.
+    assert got.get((1, 900)) == 500, got
+
+
+def _session_build(raw):
+    from apache_flink_spark.streaming.stateful import (
+        streaming_session_changelog,
+    )
+
+    stream = raw.withWatermark("ts", "1 hour").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    return streaming_session_changelog(stream, GAP_US), "append"
+
+
+_NOON_US = None  # filled lazily from the fixture rows
+
+
+def _session_expect(rows):
+    import datetime
+
+    noon = int(
+        datetime.datetime(
+            2024, 1, 1, 12, 0, tzinfo=datetime.timezone.utc
+        ).timestamp() * 1_000_000
+    )
+    got = {
+        (r.user_id, r.op): (r.sess_start, r.n_events)
+        for r in rows
+        if r.user_id == 1
+    }
+    # Batch-2's 12:15 event bridges into the RESTORED open session
+    # [12:00, 12:10] -> the upsert must carry sess_start=12:00, n=3.
+    # Cold start would open a fresh session at 12:15 with n=1.
+    assert got.get((1, "U")) == (noon, 3), got
+
+
+def _over_build(raw):
+    from apache_flink_spark.streaming.stateful import (
+        streaming_rows_bounded_over,
+    )
+
+    u = raw.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return streaming_rows_bounded_over(u, WINDOW_ROWS), "append"
+
+
+def _over_expect(rows):
+    got = {(r.user_id, r.event_id): (r.w_cnt, r.w_sum_cents) for r in rows}
+    # Event 204's 3-row window spans the RESTORED deque (values 2.0, 3.0)
+    # plus itself (4.0) -> cnt=3, sum=900 cents. Cold start: cnt=1.
+    assert got.get((1, 204)) == (3, 900), got
+
+
+OPS = {
+    "topn": {
+        "schema": "user_id long, event_id long, value double",
+        "build": _topn_build,
+        "batch1": [
+            {"user_id": 1, "event_id": 101, "value": 10.0},
+            {"user_id": 1, "event_id": 102, "value": 9.0},
+            {"user_id": 1, "event_id": 103, "value": 8.0},
+        ],
+        "batch2": [{"user_id": 1, "event_id": 104, "value": 1.0}],
+        "expect_restored": _topn_expect,
+    },
+    "temporal": {
+        "schema": "user_id long, event_id long, ts timestamp, side int",
+        "build": _temporal_build,
+        # batch 1: the versioned build row only — pure state, no output.
+        "batch1": [
+            {"user_id": 1, "event_id": 500,
+             "ts": "2024-01-01 10:00:00", "side": 0},
+        ],
+        # batch 2: the probe + watermark advancers on BOTH sides (the
+        # global watermark is the min over sources).
+        "batch2": [
+            {"user_id": 1, "event_id": 900,
+             "ts": "2024-01-01 10:30:00", "side": 1},
+            {"user_id": 99, "event_id": 501,
+             "ts": "2024-01-02 23:00:00", "side": 0},
+            {"user_id": 99, "event_id": 901,
+             "ts": "2024-01-02 23:00:00", "side": 1},
+        ],
+        "expect_restored": _temporal_expect,
+    },
+    "session": {
+        "schema": "user_id long, ts timestamp",
+        "build": _session_build,
+        "batch1": [
+            {"user_id": 1, "ts": "2024-01-01 12:00:00"},
+            {"user_id": 1, "ts": "2024-01-01 12:10:00"},
+        ],
+        "batch2": [
+            {"user_id": 1, "ts": "2024-01-01 12:15:00"},
+            {"user_id": 99, "ts": "2024-01-02 23:00:00"},
+        ],
+        "expect_restored": _session_expect,
+    },
+    "over": {
+        "schema": "user_id long, event_id long, ts timestamp, value double",
+        "build": _over_build,
+        "batch1": [
+            {"user_id": 1, "event_id": 201,
+             "ts": "2024-01-01 10:00:00", "value": 1.0},
+            {"user_id": 1, "event_id": 202,
+             "ts": "2024-01-01 10:05:00", "value": 2.0},
+            {"user_id": 1, "event_id": 203,
+             "ts": "2024-01-01 10:10:00", "value": 3.0},
+        ],
+        "batch2": [
+            {"user_id": 1, "event_id": 204,
+             "ts": "2024-01-01 10:15:00", "value": 4.0},
+        ],
+        "expect_restored": _over_expect,
+    },
+}
+
+
+def run_from(spark, op: str, fix_dir: str, out_dir: str) -> None:
+    """Run the op's streaming query over <fix_dir>/input with the
+    checkpoint at <fix_dir>/ckpt, logging emissions to out_dir parquet."""
+    from apache_flink_spark.streaming.stateful import pin_key_groups
+
+    spec = OPS[op]
+    pin_key_groups(spark, f"{fix_dir}/ckpt")
+    raw = (
+        spark.readStream.schema(spec["schema"])
+        .option("maxFilesPerTrigger", "10")
+        .json(f"{fix_dir}/input")
+    )
+    out, mode = spec["build"](raw)
+
+    def sink(batch, batch_id):
+        batch.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    (
+        out.writeStream.outputMode(mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", f"{fix_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

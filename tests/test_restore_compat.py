@@ -120,3 +120,40 @@ def test_key_group_mismatch_fails_loudly(spark, tmp_path):
             pin_key_groups(spark, ckpt)
     finally:
         spark.conf.unset("spark.graft.stateful.keyGroups")
+
+
+@pytest.mark.parametrize("op", ["topn", "temporal", "session", "over"])
+def test_restore_r6_operator_fixtures(spark, tmp_path, op):
+    """Round-6 restore suite (reference restore-tests analog, one per
+    custom stateful operator): the committed checkpoint in
+    tests/fixtures/restore_<op>_v1 must restore under the current build,
+    and batch 2's output must prove the batch-1 state survived (see
+    tests/restore_ops.py for each op's cold-start-detecting assertion)."""
+    from tests.restore_ops import OPS, run_from
+
+    src = os.path.join(HERE, "fixtures", f"restore_{op}_v1")
+    meta = json.load(open(os.path.join(src, "META.json")))
+    fix = f"/tmp/afs_restore_{op}"
+    shutil.rmtree(fix, ignore_errors=True)
+    os.makedirs(f"{fix}/input")
+    shutil.copy(os.path.join(src, "b1.json"), f"{fix}/input/b1.json")
+    with open(f"{fix}/input/b2.json", "w") as f:
+        for row in OPS[op]["batch2"]:
+            f.write(json.dumps(row) + "\n")
+    shutil.copytree(os.path.join(src, "ckpt"), f"{fix}/ckpt")
+
+    spark.conf.set(
+        "spark.graft.stateful.keyGroups", str(meta["key_groups"])
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(meta["shuffle_partitions"])
+    )
+    out_dir = str(tmp_path / f"out_{op}")
+    try:
+        run_from(spark, op, fix, out_dir)
+        rows = spark.read.parquet(out_dir).collect()
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    OPS[op]["expect_restored"](rows)
