@@ -85,6 +85,7 @@ _BODY_RE = re.compile(
     r"|TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
     r"PATTERN\s*\(\s*(?P<pat>(?:[^()]|\([^()]*\))*?)\s*\)\s+"
     r"(?:WITHIN\s+INTERVAL\s*'(?P<within_n>\d+)'\s*(?P<within_u>\w+)\s+)?"
+    r"(?:SUBSET\s+(?P<subset>.+?)\s+)?"
     r"DEFINE\s+(?P<defs>.+)$",
     re.I | re.S,
 )
@@ -620,6 +621,23 @@ def compile_match_recognize(
             "PATTERN (...), DEFINE in that order"
         )
     part_cols = [c.strip() for c in m.group("part").split(",")]
+    # PERMUTE (r6 — SQL standard / reference parserImpls.ftl MATCH_RECOGNIZE
+    # grammar): PATTERN (PERMUTE(A, B, C)) matches the variables in ANY
+    # order, preferring permutations in lexicographic order of the listed
+    # variables. Supported standalone (the reference's tests use it so);
+    # mixing PERMUTE with other pattern elements errors loudly below.
+    permute_vars: list[str] | None = None
+    pat_text = m.group("pat").strip()
+    pm = re.match(r"^PERMUTE\s*\(\s*([\w\s,]+)\s*\)$", pat_text, re.I)
+    if pm:
+        permute_vars = [v.strip() for v in pm.group(1).split(",")]
+        if len(set(permute_vars)) != len(permute_vars):
+            raise MatchRecognizeError("duplicate variable in PERMUTE")
+    elif re.search(r"\bPERMUTE\b", pat_text, re.I):
+        raise MatchRecognizeError(
+            "PERMUTE is supported only as the entire pattern: "
+            "PATTERN (PERMUTE(A, B, ...))"
+        )
     # ORDER BY with per-column ASC/DESC (r5 — the matcher walks rows in
     # whatever total order the in-partition sort produced, so direction
     # only changes the sort and the PREV/NEXT window spec).
@@ -633,7 +651,12 @@ def compile_match_recognize(
             (om.group(1), bool(om.group(2)) and om.group(2).upper() == "DESC")
         )
     order_cols = [c for c, _ in order_specs]
-    pattern = _parse_pattern(m.group("pat"))
+    if permute_vars is not None:
+        # downstream machinery sees k single-variable {1,1} elements;
+        # the matcher itself switches to the permutation search.
+        pattern = [((v,), (1, 1), True) for v in permute_vars]
+    else:
+        pattern = _parse_pattern(m.group("pat"))
     variables = {v for alts, _, _ in pattern for v in alts}
     measures = _parse_measures(m.group("meas"))
     src_col_names = {f.name for f in source.schema.fields}
@@ -669,8 +692,36 @@ def compile_match_recognize(
             raise MatchRecognizeError(f"unsupported WITHIN unit {unit!r}")
         within_us = int(m.group("within_n")) * _WITHIN_UNIT_US[unit]
 
+    # SUBSET (r6 — SQL standard / reference grammar): union variables,
+    # usable in MEASURES (FIRST/LAST/aggregates over the merged row set).
+    # DEFINE references to subsets are NOT supported and error in
+    # _parse_defines (unknown variable) — loudly, per the module contract.
+    subsets: dict[str, tuple[str, ...]] = {}
+    if m.group("subset"):
+        for part in _split_top_level(m.group("subset")):
+            sm = re.match(
+                r"^(\w+)\s*=\s*\(\s*([\w\s,]+)\s*\)$", part.strip()
+            )
+            if not sm:
+                raise MatchRecognizeError(
+                    f"unsupported SUBSET item: {part.strip()!r} "
+                    "(expected NAME = (VAR, VAR, ...))"
+                )
+            sname = sm.group(1)
+            members = tuple(v.strip() for v in sm.group(2).split(","))
+            if sname in variables:
+                raise MatchRecognizeError(
+                    f"SUBSET name {sname!r} collides with a pattern variable"
+                )
+            for v in members:
+                if v not in variables:
+                    raise MatchRecognizeError(
+                        f"SUBSET {sname}: unknown member variable {v!r}"
+                    )
+            subsets[sname] = members
+
     for kind, var, col, alias, _sem in measures:
-        if var is not None and var not in variables:
+        if var is not None and var not in variables and var not in subsets:
             raise MatchRecognizeError(f"MEASURES references unknown variable {var!r}")
 
     type_of = dict((f.name, f.dataType.simpleString()) for f in source.schema.fields)
@@ -752,6 +803,17 @@ def compile_match_recognize(
     meas_cols = sorted({c for _, _, c, _, _ in meas if c is not None})
     var_list = sorted(variables)
     cross_codes = dict(cross_defs)
+    if permute_vars is not None and cross_codes:
+        raise MatchRecognizeError(
+            "PERMUTE with cross-variable DEFINE binds is not supported "
+            "(the permutation search has no stable bind order)"
+        )
+    permute_order = (
+        list(itertools.permutations(permute_vars))
+        if permute_vars is not None
+        else None
+    )
+    subset_map = dict(subsets)
     cross_cols = sorted(
         {c for code in cross_codes.values()
          for c in re.findall(r'__(?:row|bind)\("(?:\w+", ")?(\w+)"', code)}
@@ -958,6 +1020,21 @@ def compile_match_recognize(
             assign = {v: sorted(idxs) for v, idxs in assign.items()}
             return assign, end
 
+        def try_match_permute(start: int, limit: int):
+            """PERMUTE(v1..vk): the k rows from ``start`` must satisfy some
+            permutation of the variables; permutations are tried in
+            lexicographic order of the listed variables (SQL standard
+            preference), first hit wins."""
+            if start + len(permute_order[0]) > limit:
+                return None
+            for perm in permute_order:
+                if all(sat[v][start + j] for j, v in enumerate(perm)):
+                    return (
+                        {v: [start + j] for j, v in enumerate(perm)},
+                        start + len(perm),
+                    )
+            return None
+
         # Candidate-start pruning: walk the pattern prefix to the first
         # SELECTIVE element reachable at a FIXED offset — trivial
         # (always-true) elements with an exact count {lo==hi} contribute a
@@ -973,6 +1050,9 @@ def compile_match_recognize(
         cand_idx = None
         _off = 0
         for _pi, (_alts, (_lo, _hi), _g) in enumerate(pat):
+            if permute_order is not None:
+                # any variable may come first — no fixed-offset anchor
+                break
             _ok = elem_ok[_pi]
             if _lo >= 1 and not _ok.all():
                 cand_idx = np.flatnonzero(_ok) - _off
@@ -1022,10 +1102,22 @@ def compile_match_recognize(
                 members = sorted(
                     (idx, v) for v, idxs in assign.items() for idx in idxs
                 )
+                # SUBSET union variables exist only for MEASURES — they
+                # augment a COPY so `members` (row enumeration, ALL ROWS
+                # mode) never double-counts rows.
+                m_assign = assign
+                if subset_map:
+                    m_assign = dict(assign)
+                    for sname, mem in subset_map.items():
+                        idxs = sorted(
+                            i for v in mem for i in assign.get(v, [])
+                        )
+                        if idxs:
+                            m_assign[sname] = idxs
                 if not all_rows:
                     vals = list(part_vals)
                     _emit_measures(
-                        meas, assign, arr, vals,
+                        meas, m_assign, arr, vals,
                         classifier=members[-1][1], match_no=match_no,
                     )
                     rows.append(vals)
@@ -1033,12 +1125,17 @@ def compile_match_recognize(
                 for idx, v in members:
                     vals = [src_arr[c][idx] for c in src_cols]
                     _emit_measures(
-                        meas, assign, arr, vals,
+                        meas, m_assign, arr, vals,
                         classifier=v, match_no=match_no, upto=idx,
                     )
                     rows.append(vals)
 
-            matcher = try_match_binds if cross_fns else try_match
+            if permute_order is not None:
+                matcher = try_match_permute
+            elif cross_fns:
+                matcher = try_match_binds
+            else:
+                matcher = try_match
             if cand_idx is not None:
                 p = int(np.searchsorted(cand_idx, s, "left"))
                 while p < len(cand_idx) and cand_idx[p] < e:

@@ -45,6 +45,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     pipeline_text,
     changelog_queries,
     datastream_queries,
+    datastream_v2_queries,
     io_queries,
     multimodal_queries,
     stateful_streaming_queries,

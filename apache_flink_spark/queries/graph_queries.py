@@ -504,6 +504,105 @@ def graph_summarization(spark, sf_dir):
     )
 
 
+def connected_components_star(edges, vertices, max_rounds: int = 25):
+    """Connected components by LARGE-STAR / SMALL-STAR contraction —
+    O(log n) rounds (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"; the reference's gelly ConnectedComponents is the
+    O(diameter) min-label loop this replaces, VERDICT r5 item #5).
+
+    ``edges``: undirected distinct pairs (pa, pb), pa != pb;
+    ``vertices``: one column ``v``. Returns (v, comp) labels where comp
+    is the component's minimum vertex id.
+
+    Per round: large-star hangs every neighbor LARGER than u onto u's
+    minimum neighbor; small-star re-hangs the smaller neighbors. Both
+    are one groupBy-min + one equi-join over the CURRENT edge set —
+    never a transitive-closure blow-up — and edge count stays <= input
+    edges, so a round costs the same at any scale while the component
+    diameter collapses geometrically (a 1000-hop path converges in ~10
+    rounds where label propagation needs 1000). Convergence = edge-set
+    checksum (count + xxhash sum) stable across a round; loud failure at
+    the cap."""
+    e = edges.select(
+        F.col(edges.columns[0]).alias("a"), F.col(edges.columns[1]).alias("b")
+    ).localCheckpoint(eager=True)
+
+    def _checksum(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(
+                # decimal sum: 2^31 64-bit hashes overflow a LONG sum
+                # under ANSI mode
+                F.sum(
+                    F.xxhash64(
+                        F.least("a", "b"), F.greatest("a", "b")
+                    ).cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        return (row.c, row.h)
+
+    prev = _checksum(e)
+    converged = False
+    for _rnd in range(1, max_rounds + 1):
+        # large-star: reducer u over ALL neighbors; larger ones re-hang
+        # onto m = min(neighbors + self).
+        bi = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = (
+            bi.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+        )
+        ls = (
+            bi.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: canonical small<-large direction; every smaller
+        # neighbor (and u itself) hangs onto the minimum.
+        dirn = ls.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        smins = dirn.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            dirn.join(smins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionAll(
+                smins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(ss)
+        e = ss
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            "connected components (star contraction) did not converge in "
+            f"{max_rounds} rounds — edge checksum still moving"
+        )
+    # Fixpoint edges form stars centered at each component's minimum:
+    # every non-center vertex appears exactly once as `a` with its
+    # center as `b`.
+    return (
+        vertices.join(
+            e.select(F.col("a").alias("v"), F.col("b").alias("center")),
+            "v",
+            "left",
+        )
+        .select("v", F.coalesce("center", F.col("v")).alias("comp"))
+    )
+
+
 @query(
     "graph_connected_components",
     oracle=f"""
@@ -532,15 +631,14 @@ def graph_summarization(spark, sf_dir):
 def graph_connected_components(spark, sf_dir):
     """Connected components (reference flink-gelly
     .../library/ConnectedComponents.java — min-vertex-id label
-    propagation to fixpoint). Vertices are ALL parts, so parts never
-    co-purchased stay singleton components (the result is the giant
-    co-purchase component plus the isolates). Same loop skeleton as
-    dedup_cluster_components: per round one shuffle-hash join + one
-    min-aggregate, localCheckpointed, convergence probed every 2nd
-    round, loud failure if the diameter cap is hit; at 100 TB the
-    large-star/small-star alternation bounds hot-vertex skew (SCALE.md).
-    The oracle computes the same fixpoint with a recursive
-    transitive-closure CTE.
+    propagation to fixpoint; same labels). Vertices are ALL parts, so
+    parts never co-purchased stay singleton components (the result is
+    the giant co-purchase component plus the isolates). r6: executes via
+    ``connected_components_star`` — large-star/small-star contraction,
+    O(log n) rounds instead of the r5 min-label loop's O(diameter), so a
+    deep path graph that exhausted the old 20-round cap now converges
+    (pinned by tests/test_graph_star_cc.py). The oracle computes the
+    same fixpoint with a recursive transitive-closure CTE.
 
     Edge build (r5): STAR CONTRACTION instead of the all-pairs
     co-purchase self-join — each part links to its order's MIN part,
@@ -557,44 +655,10 @@ def graph_connected_components(spark, sf_dir):
         .select(F.col("l_partkey").alias("pa"), F.col("mp").alias("pb"))
         .distinct()
     )
-    bi = _bidirected(star).localCheckpoint(eager=True)
     vertices = t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("v")
     )
-    labels = vertices.select("v", F.col("v").alias("comp")).localCheckpoint(
-        eager=True
-    )
-    max_rounds = 20
-    converged = False
-    for rnd in range(1, max_rounds + 1):
-        nbr = (
-            bi.alias("e")
-            .hint("shuffle_hash")
-            .join(labels.alias("l"), F.col("e.src") == F.col("l.v"))
-            .select(F.col("e.dst").alias("v"), "comp")
-        )
-        new_labels = (
-            labels.unionAll(nbr)
-            .groupBy("v")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        if rnd % 2 == 0 or rnd == max_rounds:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "v")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
-            if changed == 0:
-                labels = new_labels
-                converged = True
-                break
-        labels = new_labels
-    if not converged:
-        raise RuntimeError(
-            f"connected components did not converge in {max_rounds} rounds"
-        )
+    labels = connected_components_star(star, vertices)
     return labels.groupBy(F.col("comp").alias("component_id")).agg(
         F.count(F.lit(1)).alias("n_vertices"),
         F.min("v").alias("min_vertex"),

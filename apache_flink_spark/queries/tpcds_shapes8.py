@@ -201,8 +201,8 @@ _DS_Q36 = f"""
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
     JOIN part ON l_partkey = p_partkey
-    WHERE EXTRACT(YEAR FROM l_shipdate) = 2001
-      AND n_name IN ('NATION_2', 'NATION_2', 'NATION_10')
+    WHERE EXTRACT(YEAR FROM l_shipdate) = 2000
+      AND n_regionkey IN (0, 0, 2)
     GROUP BY ROLLUP (p_type, p_brand)
     ORDER BY lochierarchy DESC,
              CASE WHEN GROUPING(p_type) + GROUPING(p_brand) = 0

@@ -87,6 +87,12 @@ HEADLINE = [
     "mr_cross_define_last",
     # r5: the embedding-array avro lane (vectorized list<float> codec)
     "source_avro_embeddings_roundtrip",
+    # r6: the hardest new TPC-DS shapes (9-relation join, INTERSECT
+    # tower), streaming MATCH_RECOGNIZE, and the PERMUTE pattern.
+    "ds_q72_inventory_promo_nine_join",
+    "ds_q14b_period_over_period_intersect",
+    "mr_stream_adjacent_pair",
+    "mr_permute_pair",
 ]
 
 

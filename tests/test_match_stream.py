@@ -1,0 +1,208 @@
+"""Streaming MATCH_RECOGNIZE invariance pins (streaming/match_stream.py).
+
+The operator's contract (reference CepOperator parity): the set of emitted
+matches depends only on the input ROWS and the final watermark — never on
+how rows are sliced into micro-batches. Pinned two ways:
+
+1. slicing property: the same input replayed under random file slicings
+   (maxFilesPerTrigger=1) emits exactly the single-batch result;
+2. batch equivalence: the streaming result equals the BATCH compiler
+   (match_recognize.compile_match_recognize) on the same body, restricted
+   to matches the final watermark certifies.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+BODY = """
+    PARTITION BY user_id
+    ORDER BY ep, event_id
+    MEASURES A.event_id AS a_id, B.event_id AS b_id,
+             LAST(B.ep) AS b_ts
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A B{1,2})
+    DEFINE A AS A.kind = 1, B AS B.kind = 2
+"""
+
+# Synthetic event log: kind 1 = trigger, kind 2 = follower, kind 0 = noise.
+# Crafted to exercise: greedy B{1,2} (rows 3-5), an incomplete tail match
+# (row 40 inside the watermark lag), interleaved users, noise breaks.
+_BASE_MIN = 60_000_000
+
+
+def _mk_rows(seed: int, n_users: int = 3, n_rows: int = 60):
+    rng = random.Random(seed)
+    rows = []
+    eid = 1
+    for i in range(n_rows):
+        rows.append(
+            {
+                "user_id": rng.randrange(1, n_users + 1),
+                "event_id": eid,
+                "kind": rng.choice([0, 1, 1, 2, 2, 2]),
+                "ts": f"2024-01-01 {10 + i // 60:02d}:{i % 60:02d}:00",
+            }
+        )
+        eid += 1
+    return rows
+
+
+def _run_stream(spark, tmp_path, rows, slices, tag, body=BODY):
+    """Run the body over `rows` written as `slices` json files, one file
+    per trigger; returns the sorted emitted tuples."""
+    from apache_flink_spark.streaming.match_stream import (
+        streaming_match_recognize,
+    )
+
+    import os
+    import time
+
+    in_dir = tmp_path / f"in_{tag}"
+    in_dir.mkdir()
+    base_mtime = time.time() - len(slices) - 10
+    for i, chunk in enumerate(slices):
+        p = in_dir / f"f{i:03d}.json"
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+        # FileStreamSource orders pending files by MODIFICATION TIME;
+        # files written in the same clock tick would arrive in arbitrary
+        # order, turning whole slices into late data. Distinct ascending
+        # mtimes pin arrival order to slice order (the lateness the test
+        # exercises is row shuffling WITHIN the watermark allowance).
+        os.utime(p, (base_mtime + i, base_mtime + i))
+    raw = (
+        spark.readStream.schema(
+            "user_id long, event_id long, kind long, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(in_dir))
+    )
+    s = raw.withWatermark("ts", "10 minutes").select(
+        "user_id", "event_id", "kind",
+        F.unix_micros("ts").alias("ep"), "ts",
+    )
+    out = streaming_match_recognize(s, body)
+    out_dir = str(tmp_path / f"out_{tag}")
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out_dir)
+
+    (
+        out.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", str(tmp_path / f"ckpt_{tag}")
+        )
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    import os
+
+    if not os.path.exists(out_dir):
+        return []
+    return sorted(
+        (r.user_id, r.a_id, r.b_id, r.b_ts)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+
+
+def _random_slices(rows, rng):
+    """Random order-preserving partition of rows into 1..len files.
+
+    File-source ordering: files are consumed in listing order, so slices
+    arrive in sequence; WITHIN each user the arrival order across batches
+    is arbitrary once rows are out of event-time order — shuffle rows
+    inside each slice too."""
+    slices = []
+    i = 0
+    while i < len(rows):
+        k = rng.randrange(1, 8)
+        chunk = list(rows[i: i + k])
+        rng.shuffle(chunk)
+        slices.append(chunk)
+        i += k
+    return slices
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_slicing_invariance(spark, tmp_path, seed):
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rows = _mk_rows(seed)
+        single = _run_stream(spark, tmp_path, rows, [rows], "single")
+        assert single, "fixture produced no matches — weaken the pattern"
+        rng = random.Random(seed * 31 + 1)
+        for trial in range(2):
+            sliced = _run_stream(
+                spark, tmp_path, rows,
+                _random_slices(rows, rng), f"s{trial}",
+            )
+            assert sliced == single, (
+                f"slicing changed the match set (seed {seed}, trial "
+                f"{trial}): {sliced} != {single}"
+            )
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+BODY_FIXED = BODY.replace("B{1,2}", "B{2}")
+
+
+def test_batch_equivalence(spark, tmp_path):
+    """Streaming result == batch compiler on the same body, restricted to
+    the matches the final watermark certifies (b_ts <= max ts - lag).
+
+    Uses the FIXED-length variant (A B{2}): a fully-certified fixed-length
+    match is always emittable, so the certification cutoff is exactly
+    b_ts <= wm. (The greedy B{1,2} variant additionally withholds
+    boundary matches whose greedy-extension decision row is uncertified —
+    correct streaming behavior, but not expressible as a simple filter
+    on the batch result; the slicing property test covers it.)"""
+    from apache_flink_spark.match_recognize import compile_match_recognize
+
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rows = _mk_rows(23)
+        streamed = _run_stream(
+            spark, tmp_path, rows, [rows], "beq", body=BODY_FIXED
+        )
+
+        df = spark.createDataFrame(
+            [
+                (r["user_id"], r["event_id"], r["kind"], r["ts"])
+                for r in rows
+            ],
+            "user_id long, event_id long, kind long, ts_str string",
+        ).select(
+            "user_id", "event_id", "kind",
+            F.unix_micros(
+                F.to_timestamp("ts_str")
+            ).alias("ep"),
+        )
+        batch = compile_match_recognize(spark, df, BODY_FIXED)
+        wm_us = (
+            df.agg(F.max("ep")).first()[0] - 10 * 60 * 1_000_000
+        )
+        expected = sorted(
+            (r.user_id, r.a_id, r.b_id, r.b_ts)
+            for r in batch.collect()
+            if r.b_ts <= wm_us
+        )
+        assert streamed == expected
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
