@@ -745,6 +745,39 @@ class AvroReader(DataSourceReader):
 
         arrow_schema = to_arrow_schema(schema)
 
+        # Vector lane first (r6, VERDICT r5 #6): decode whole blocks into
+        # Arrow arrays with the numpy codec — no per-row Python. Falls back
+        # to the row lane on schemas the vector plan can't express.
+        from apache_flink_spark.formats.avro_vector import BlockDecodeError
+
+        def gen_vector():
+            for arrays in read_container_arrow(path):
+                rb = pa.RecordBatch.from_arrays(
+                    arrays, names=arrow_schema.names
+                )
+                if rb.schema != arrow_schema:
+                    rb = rb.cast(arrow_schema)
+                yield rb
+
+        try:
+            # Probe the first block eagerly so an unsupported schema raises
+            # HERE (where the fallback lives), not mid-iteration in Spark.
+            it = gen_vector()
+            first = next(it, None)
+
+            def chain():
+                if first is not None:
+                    yield first
+                yield from it
+
+            return chain()
+        except (BlockDecodeError, NotImplementedError, pa.ArrowInvalid):
+            pass
+        return self._read_arrow_rows(path, schema, arrow_schema)
+
+    def _read_arrow_rows(self, path: str, schema: T.StructType, arrow_schema):
+        import pyarrow as pa
+
         def gen():
             batch: list[tuple] = []
             ncols = len(schema.fields)
