@@ -64,20 +64,23 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
 # the remaining ~140 entries follow in import order and are covered by the
 # full-registry sweep (scripts/vanilla_smoke.py).
 GATE_SAMPLE = [
-    # TPC-H, the flagship relational surface (12 of 22 in-gate; the 10
-    # rotated out for TPC-DS shapes stay oracle-green in the full sweep)
+    # TPC-H, the flagship relational surface (9 of 22 in-gate; the 13
+    # rotated out for TPC-DS/r6 shapes stay oracle-green in the full sweep)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q7_nation_volume_shipping",
     "q9_product_profit",
     "q10_returned_items",
-    "q11_important_stock",
-    "q15_top_supplier",
     "q18_large_volume_customer",
     "q21_sole_blame_supplier",
     "q22_global_sales_opportunity",
+    # r6 rotation: the streaming MATCH_RECOGNIZE NFA driver, the
+    # large-star/small-star connected components, and the DataStream V2
+    # facade — this round's three new operator families, each in-gate
+    "mr_stream_adjacent_pair",
+    "graph_connected_components",
+    "dsv2_keyed_process_agg",
     # TPC-DS shapes (r5): rollup, 3-way intersect, window deviation,
     # cumulative full-outer compare, rollup-rank, channel overlap
     "ds_q5_channel_rollup",
