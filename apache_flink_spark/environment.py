@@ -65,6 +65,18 @@ class TableEnvironment:
     def create(cls, sf_dir: str | None = None) -> "TableEnvironment":
         return cls(sf_dir=sf_dir)
 
+    @property
+    def materialized_tables(self):
+        """Lazily-created MaterializedTableManager for this session
+        (reference: MaterializedTableManager per gateway session)."""
+        if not hasattr(self, "_mt_manager"):
+            from apache_flink_spark.materialized_table import (
+                MaterializedTableManager,
+            )
+
+            self._mt_manager = MaterializedTableManager(self)
+        return self._mt_manager
+
     def use_data_dir(self, sf_dir: str) -> dict[str, DataFrame]:
         """Register every fixture table under ``sf_dir`` as a temp view."""
         return load_tables(self.spark, sf_dir)
@@ -78,6 +90,13 @@ class TableEnvironment:
         and MATCH_RECOGNIZE (match_recognize.py) — reference
         StreamExecWindowAggregate / StreamExecMatch.java:61."""
         up = query.upper()
+        if "MATERIALIZED" in up:
+            from apache_flink_spark.materialized_table import (
+                is_materialized_table_stmt,
+            )
+
+            if is_materialized_table_stmt(query):
+                return self.materialized_tables.execute(query)
         m = _EXPLAIN_RE.match(query)
         if m:
             # Flink's ``EXPLAIN [details] [PLAN FOR] <stmt>`` (reference

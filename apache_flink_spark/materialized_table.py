@@ -1,0 +1,360 @@
+"""Materialized tables: FRESHNESS-driven auto-refreshed query results.
+
+Reference parity: the Flink 2.0 materialized-table surface —
+``CREATE MATERIALIZED TABLE … FRESHNESS = INTERVAL … [REFRESH_MODE = …] AS
+<query>`` (`flink-sql-parser/.../ddl/SqlCreateMaterializedTable.java`),
+``ALTER MATERIALIZED TABLE … SUSPEND | RESUME | REFRESH [PARTITION (…)]
+| SET REFRESH_MODE = …`` (`SqlAlterMaterializedTable*.java`), the catalog
+model (`flink-table-common/.../catalog/CatalogMaterializedTable.java`:
+refresh modes CONTINUOUS/FULL, status ACTIVATED/SUSPENDED), and the
+gateway's `refreshMaterializedTable` operation
+(`SqlGatewayService.java:342`, `MaterializedTableManager.java`).
+
+Spark-first mapping:
+
+- A materialized table is a **parquet snapshot directory + a temp view**
+  over the current snapshot. Refresh writes snapshot N+1, atomically
+  repoints the view, then deletes snapshot N — readers never observe a
+  half-written table, the same contract as the reference's two-phase
+  refresh job.
+- **FULL refresh** recomputes the defining query — Spark's distributed
+  write IS the refresh job (reference: a batch Flink job per refresh).
+- **CONTINUOUS mode** is accepted and scheduled at the freshness cadence
+  with the same snapshot pipeline. Divergence, documented: the reference
+  runs a dedicated background *streaming* job; this engine emulates it
+  with freshness-period micro-batch re-materialization, which meets the
+  identical data-freshness SLA (contents lag ≤ FRESHNESS) that the
+  reference defines for the mode. A production deployment would wire
+  this branch to ``writeStream``/Delta MERGE — the storage contract
+  (snapshot dir + view) is unchanged.
+- **PARTITION refresh** (`ALTER … REFRESH PARTITION (k = 'v')`) rewrites
+  only the targeted partition via dynamic partition overwrite — Spark's
+  native partition-scoped write, mirroring the reference's
+  ``staticPartitions`` refresh.
+- The **scheduler** is a deterministic ``tick(now)`` (tests drive time
+  explicitly); ``start_scheduler`` wraps it in a daemon thread for
+  long-lived processes.
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+import tempfile
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional
+
+__all__ = ["MaterializedTableManager", "MaterializedTableError"]
+
+
+class MaterializedTableError(ValueError):
+    """Loud failure for unsupported/invalid materialized-table DDL."""
+
+
+_INTERVAL_US = {
+    "SECOND": 1_000_000,
+    "MINUTE": 60 * 1_000_000,
+    "HOUR": 3600 * 1_000_000,
+    "DAY": 86400 * 1_000_000,
+}
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s*"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\)\s*)?"
+    r"FRESHNESS\s*=\s*INTERVAL\s*'(?P<n>\d+)'\s*(?P<unit>SECOND|MINUTE|HOUR|DAY)S?\s*"
+    r"(?:REFRESH_MODE\s*=\s*(?P<mode>FULL|CONTINUOUS)\s*)?"
+    r"AS\s+(?P<query>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+MATERIALIZED\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+"
+    r"(?P<verb>SUSPEND|RESUME"
+    r"|REFRESH(?:\s+PARTITION\s*\((?P<spec>[^)]*)\))?"
+    r"|SET\s+REFRESH_MODE\s*=\s*(?P<newmode>FULL|CONTINUOUS))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s*$",
+    re.IGNORECASE,
+)
+
+_MT_STMT_RE = re.compile(r"\bMATERIALIZED\s+TABLE\b", re.IGNORECASE)
+
+
+def is_materialized_table_stmt(sql: str) -> bool:
+    return bool(_MT_STMT_RE.search(sql))
+
+
+@dataclass
+class _MTable:
+    name: str
+    query: str
+    freshness_us: int
+    refresh_mode: str  # FULL | CONTINUOUS
+    partition_cols: list[str]
+    root: str
+    status: str = "ACTIVATED"  # | SUSPENDED (reference RefreshStatus)
+    snapshot: int = -1
+    last_refresh_mono: float = field(default=-1.0)
+
+    @property
+    def current_path(self) -> str:
+        return f"{self.root}/snapshot-{self.snapshot}"
+
+
+class MaterializedTableManager:
+    """Owns every materialized table of one TableEnvironment session."""
+
+    def __init__(self, tenv, storage_root: Optional[str] = None):
+        self.tenv = tenv
+        self.root = storage_root or tempfile.mkdtemp(prefix="graft_mt_")
+        self.tables: dict[str, _MTable] = {}
+        self._lock = threading.RLock()
+        self._scheduler: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    # -- DDL entry point ---------------------------------------------------
+    def execute(self, sql: str):
+        """Route one MATERIALIZED TABLE statement; returns a result
+        DataFrame (single OK/count row, like the reference's TableResult)."""
+        spark = self.tenv.spark
+        m = _CREATE_RE.match(sql)
+        if m:
+            self.create(
+                m.group("name"),
+                m.group("query").rstrip().rstrip(";"),
+                freshness_us=int(m.group("n")) * _INTERVAL_US[
+                    m.group("unit").upper()
+                ],
+                refresh_mode=(m.group("mode") or "").upper() or None,
+                partition_cols=[
+                    c.strip()
+                    for c in (m.group("parts") or "").split(",")
+                    if c.strip()
+                ],
+            )
+            return spark.sql("SELECT 'OK' AS result")
+        m = _ALTER_RE.match(sql)
+        if m:
+            name, verb = m.group("name"), m.group("verb").upper()
+            if verb == "SUSPEND":
+                self.suspend(name)
+            elif verb == "RESUME":
+                self.resume(name)
+            elif verb.startswith("SET"):
+                self.set_refresh_mode(name, m.group("newmode").upper())
+            else:  # REFRESH [PARTITION (...)]
+                parts = self._parse_partition_spec(m.group("spec"))
+                n = self.refresh(name, static_partitions=parts)
+                return spark.createDataFrame(
+                    [(n,)], "rows_refreshed bigint"
+                )
+            return spark.sql("SELECT 'OK' AS result")
+        m = _DROP_RE.match(sql)
+        if m:
+            self.drop(m.group("name"))
+            return spark.sql("SELECT 'OK' AS result")
+        raise MaterializedTableError(
+            "unsupported MATERIALIZED TABLE statement (supported: CREATE "
+            "… FRESHNESS = INTERVAL 'n' unit [REFRESH_MODE = FULL|"
+            "CONTINUOUS] AS query; ALTER … SUSPEND|RESUME|REFRESH "
+            f"[PARTITION (…)]|SET REFRESH_MODE = …; DROP): {sql.strip()[:80]!r}"
+        )
+
+    @staticmethod
+    def _parse_partition_spec(spec: Optional[str]) -> Optional[dict]:
+        if not spec:
+            return None
+        out = {}
+        for kv in spec.split(","):
+            k, _, v = kv.partition("=")
+            if not _:
+                raise MaterializedTableError(
+                    f"malformed PARTITION spec entry {kv.strip()!r}"
+                )
+            out[k.strip()] = v.strip().strip("'\"")
+        return out
+
+    # -- lifecycle ----------------------------------------------------------
+    def create(
+        self,
+        name: str,
+        query: str,
+        freshness_us: int,
+        refresh_mode: Optional[str] = None,
+        partition_cols: Optional[list[str]] = None,
+    ) -> None:
+        with self._lock:
+            if name in self.tables:
+                raise MaterializedTableError(
+                    f"materialized table {name} already exists"
+                )
+            if refresh_mode is None:
+                # Reference MaterializedTableUtils: freshness below the
+                # full-refresh threshold (30 min default) derives
+                # CONTINUOUS, else FULL.
+                refresh_mode = (
+                    "CONTINUOUS" if freshness_us < 30 * 60 * 1_000_000
+                    else "FULL"
+                )
+            t = _MTable(
+                name=name,
+                query=query,
+                freshness_us=freshness_us,
+                refresh_mode=refresh_mode,
+                partition_cols=list(partition_cols or []),
+                root=f"{self.root}/{name}-{uuid.uuid4().hex[:8]}",
+            )
+            self.tables[name] = t
+        try:
+            self.refresh(name)  # initial materialization, as the reference
+        except Exception:
+            with self._lock:
+                self.tables.pop(name, None)
+            raise
+
+    def drop(self, name: str) -> None:
+        t = self._get(name)
+        with self._lock:
+            self.tables.pop(name, None)
+        self.tenv.spark.catalog.dropTempView(name)
+        shutil.rmtree(t.root, ignore_errors=True)
+
+    def suspend(self, name: str) -> None:
+        self._get(name).status = "SUSPENDED"
+
+    def resume(self, name: str) -> None:
+        self._get(name).status = "ACTIVATED"
+
+    def set_refresh_mode(self, name: str, mode: str) -> None:
+        if mode not in ("FULL", "CONTINUOUS"):
+            raise MaterializedTableError(f"bad refresh mode {mode}")
+        self._get(name).refresh_mode = mode
+
+    def describe(self, name: str) -> dict:
+        t = self._get(name)
+        return {
+            "name": t.name,
+            "refreshMode": t.refresh_mode,
+            "status": t.status,
+            "freshnessSeconds": t.freshness_us / 1e6,
+            "partitionedBy": list(t.partition_cols),
+            "snapshot": t.snapshot,
+        }
+
+    # -- refresh ------------------------------------------------------------
+    def refresh(
+        self, name: str, static_partitions: Optional[dict] = None
+    ) -> int:
+        """Re-materialize ``name`` (whole table, or one static partition
+        via dynamic partition overwrite). Returns rows written."""
+        t = self._get(name)
+        spark = self.tenv.spark
+        df = self.tenv.sql(t.query)
+        if static_partitions:
+            missing = [
+                k for k in static_partitions if k not in t.partition_cols
+            ]
+            if missing:
+                raise MaterializedTableError(
+                    f"PARTITION keys {missing} are not in PARTITIONED BY "
+                    f"{t.partition_cols}"
+                )
+            if t.snapshot < 0:
+                raise MaterializedTableError(
+                    f"{name} has no snapshot to partition-refresh"
+                )
+            for k, v in static_partitions.items():
+                df = df.filter(df[k].cast("string") == v)
+            # Partition-scoped rewrite INTO the live snapshot: dynamic
+            # partition overwrite replaces exactly the partitions present
+            # in df, leaving every other partition untouched.
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*t.partition_cols)
+                .parquet(t.current_path)
+            )
+            # Dynamic overwrite replaced files in place: invalidate the
+            # cached listing AND re-capture the view's file index (a temp
+            # view pins the listing it was created with).
+            spark.catalog.refreshByPath(t.current_path)
+            spark.read.parquet(t.current_path).createOrReplaceTempView(
+                t.name
+            )
+            n = df.count()
+        else:
+            nxt = t.snapshot + 1
+            path = f"{t.root}/snapshot-{nxt}"
+            w = df.write.mode("overwrite")
+            if t.partition_cols:
+                w = w.partitionBy(*t.partition_cols)
+            w.parquet(path)
+            old = t.current_path if t.snapshot >= 0 else None
+            t.snapshot = nxt
+            # repoint the view atomically, then drop the old snapshot
+            spark.read.parquet(path).createOrReplaceTempView(t.name)
+            if old:
+                shutil.rmtree(old, ignore_errors=True)
+            n = spark.table(t.name).count()
+        t.last_refresh_mono = time.monotonic()
+        return n
+
+    # -- freshness scheduling -------------------------------------------------
+    def due(self, now: Optional[float] = None) -> list[str]:
+        now = time.monotonic() if now is None else now
+        with self._lock:
+            return [
+                t.name
+                for t in self.tables.values()
+                if t.status == "ACTIVATED"
+                and now - t.last_refresh_mono >= t.freshness_us / 1e6
+            ]
+
+    def tick(self, now: Optional[float] = None) -> list[str]:
+        """One scheduler pass: refresh every due ACTIVATED table. Returns
+        the names refreshed (deterministic, test-drivable)."""
+        refreshed = []
+        for name in self.due(now):
+            self.refresh(name)
+            refreshed.append(name)
+        return refreshed
+
+    def start_scheduler(self, period_s: float = 1.0) -> None:
+        if self._scheduler is not None:
+            return
+        self._stop.clear()
+
+        def loop():
+            while not self._stop.wait(period_s):
+                try:
+                    self.tick()
+                except Exception:
+                    # a failing refresh must not kill the scheduler; the
+                    # table stays stale and the next tick retries
+                    pass
+
+        self._scheduler = threading.Thread(
+            target=loop, name="mt-scheduler", daemon=True
+        )
+        self._scheduler.start()
+
+    def stop_scheduler(self) -> None:
+        self._stop.set()
+        if self._scheduler is not None:
+            self._scheduler.join(timeout=5)
+            self._scheduler = None
+
+    # -- internals ---------------------------------------------------------
+    def _get(self, name: str) -> _MTable:
+        t = self.tables.get(name)
+        if t is None:
+            raise MaterializedTableError(
+                f"unknown materialized table {name}"
+            )
+        return t

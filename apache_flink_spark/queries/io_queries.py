@@ -440,3 +440,48 @@ def source_avro_embeddings_roundtrip(spark, sf_dir):
         F.min(F.element_at("embedding", 1)).alias("first_min"),
         F.max(F.element_at("embedding", 1)).alias("first_max"),
     )
+
+
+@query(
+    "mt_materialized_refresh",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def mt_materialized_refresh(spark, sf_dir):
+    """Materialized table end-to-end (reference: Flink 2.0
+    SqlCreateMaterializedTable / MaterializedTableManager refresh
+    workflows, gateway refreshMaterializedTable): CREATE … FRESHNESS
+    materializes a parquet snapshot + view, ALTER … REFRESH writes
+    snapshot N+1 and atomically repoints. The oracle checks the defining
+    query against the snapshot CONTENTS — the refresh pipeline must be
+    lossless. Snapshot names are uuid-suffixed so gate re-runs on a
+    shared session never collide."""
+    import uuid as _uuid
+
+    from apache_flink_spark.environment import TableEnvironment
+
+    tenv = TableEnvironment(spark=spark, sf_dir=sf_dir)
+    name = f"mt_gate_{_uuid.uuid4().hex[:8]}"
+    tenv.sql(
+        f"CREATE MATERIALIZED TABLE {name} FRESHNESS = INTERVAL '1' HOUR "
+        "AS SELECT l_returnflag, l_linestatus, "
+        "CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+    tenv.sql(f"ALTER MATERIALIZED TABLE {name} REFRESH")
+    out = tenv.sql(
+        f"SELECT l_returnflag, l_linestatus, cnt, qty FROM {name} "
+        "ORDER BY l_returnflag, l_linestatus"
+    )
+    # read the snapshot eagerly-planned, then drop the table so scratch
+    # space does not accumulate across gate runs
+    out = out.localCheckpoint(eager=True)
+    tenv.materialized_tables.drop(name)
+    return out

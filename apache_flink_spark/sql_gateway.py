@@ -568,6 +568,29 @@ class SqlGatewayService:
             return candidates
         return [c for c in candidates if c.startswith(prefix)]
 
+    def refresh_materialized_table(
+        self,
+        handle: SessionHandle,
+        identifier: str,
+        is_periodic: bool = False,
+        static_partitions: Optional[dict] = None,
+    ) -> OperationHandle:
+        """Reference ``SqlGatewayService.refreshMaterializedTable``: run a
+        refresh as a tracked operation. ``is_periodic`` marks a
+        scheduler-triggered refresh (same execution; recorded in the
+        result row, as the reference passes it to the refresh workflow)."""
+        sess = self._session(handle)
+        mgr = sess.tenv.materialized_tables
+
+        def thunk():
+            n = mgr.refresh(identifier, static_partitions=static_partitions)
+            return sess.tenv.spark.createDataFrame(
+                [(identifier, n, bool(is_periodic))],
+                "identifier string, rows_refreshed bigint, periodic boolean",
+            )
+
+        return self.submit_operation(handle, thunk)
+
     def get_gateway_info(self) -> dict:
         return {
             "productName": "apache_flink_spark",
@@ -696,6 +719,14 @@ _ROUTES = [
             r"(?P<oh>[0-9a-f-]+)/result/(?P<token>\d+)$"
         ),
         "_r_fetch",
+    ),
+    (
+        "POST",
+        re.compile(
+            r"^/(?:v[23]/)?sessions/(?P<sh>[0-9a-f-]+)/materialized-tables/"
+            r"(?P<mt>[^/]+)/refresh$"
+        ),
+        "_r_mt_refresh",
     ),
 ]
 
@@ -850,6 +881,17 @@ class SqlGatewayRestEndpoint:
             SessionHandle(params["sh"]), OperationHandle(params["oh"])
         )
         return 200, {"status": "CLOSED"}
+
+    def _r_mt_refresh(self, params, body):
+        import urllib.parse
+
+        oh = self.service.refresh_materialized_table(
+            SessionHandle(params["sh"]),
+            urllib.parse.unquote(params["mt"]),
+            is_periodic=bool(body.get("periodic", False)),
+            static_partitions=body.get("staticPartitions"),
+        )
+        return 200, {"operationHandle": oh.identifier}
 
     def _r_fetch(self, params, body):
         sh, oh = params["sh"], params["oh"]

@@ -1,0 +1,188 @@
+"""Materialized-table lifecycle: CREATE/REFRESH/SUSPEND/RESUME/partition
+refresh/scheduler + gateway refresh operation.
+
+Reference parity model: SqlCreateMaterializedTable / SqlAlterMaterializedTable*
+DDL, CatalogMaterializedTable refresh modes, MaterializedTableManager refresh
+workflows, SqlGatewayService.refreshMaterializedTable.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_flink_spark.environment import TableEnvironment
+from apache_flink_spark.materialized_table import MaterializedTableError
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tenv(spark, tmp_path):
+    env = TableEnvironment(spark=spark, sf_dir=SF)
+    # source table the tests mutate between refreshes
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "id int, grp string, v int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "src"))
+    env.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW mt_src AS "
+        f"SELECT * FROM parquet.`{tmp_path/'src'}`"
+    )
+    yield env
+    for name in list(env.materialized_tables.tables):
+        env.materialized_tables.drop(name)
+
+
+def _write_src(spark, tmp_path, rows):
+    spark.createDataFrame(rows, "id int, grp string, v int").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "src"))
+    spark.catalog.refreshByPath(str(tmp_path / "src"))
+
+
+def test_create_and_query(tenv):
+    tenv.sql(
+        "CREATE MATERIALIZED TABLE mt_sum FRESHNESS = INTERVAL '1' HOUR "
+        "AS SELECT grp, sum(v) AS total FROM mt_src GROUP BY grp"
+    )
+    got = {
+        (r.grp, r.total)
+        for r in tenv.sql("SELECT * FROM mt_sum").collect()
+    }
+    assert got == {("a", 30), ("b", 30)}
+    d = tenv.materialized_tables.describe("mt_sum")
+    # 1h freshness >= the 30-min threshold derives FULL, as in the reference
+    assert d["refreshMode"] == "FULL" and d["status"] == "ACTIVATED"
+
+
+def test_contents_are_snapshot_until_refresh(tenv, spark, tmp_path):
+    tenv.sql(
+        "CREATE MATERIALIZED TABLE mt_cnt FRESHNESS = INTERVAL '1' DAY "
+        "AS SELECT count(*) AS n FROM mt_src"
+    )
+    assert tenv.sql("SELECT * FROM mt_cnt").collect()[0].n == 3
+    _write_src(spark, tmp_path, [(i, "a", i) for i in range(10)])
+    # still the old snapshot
+    assert tenv.sql("SELECT * FROM mt_cnt").collect()[0].n == 3
+    out = tenv.sql("ALTER MATERIALIZED TABLE mt_cnt REFRESH").collect()
+    assert out[0].rows_refreshed == 1
+    assert tenv.sql("SELECT * FROM mt_cnt").collect()[0].n == 10
+
+
+def test_freshness_derives_continuous(tenv):
+    tenv.sql(
+        "CREATE MATERIALIZED TABLE mt_c FRESHNESS = INTERVAL '30' SECOND "
+        "AS SELECT count(*) AS n FROM mt_src"
+    )
+    assert tenv.materialized_tables.describe("mt_c")["refreshMode"] == (
+        "CONTINUOUS"
+    )
+    tenv.sql("ALTER MATERIALIZED TABLE mt_c SET REFRESH_MODE = FULL")
+    assert tenv.materialized_tables.describe("mt_c")["refreshMode"] == "FULL"
+
+
+def test_scheduler_tick_refreshes_due_only(tenv, spark, tmp_path):
+    mgr = tenv.materialized_tables
+    tenv.sql(
+        "CREATE MATERIALIZED TABLE mt_due FRESHNESS = INTERVAL '1' SECOND "
+        "AS SELECT count(*) AS n FROM mt_src"
+    )
+    tenv.sql(
+        "CREATE MATERIALIZED TABLE mt_slow FRESHNESS = INTERVAL '1' DAY "
+        "AS SELECT count(*) AS n FROM mt_src"
+    )
+    t0 = max(
+        t.last_refresh_mono for t in mgr.tables.values()
+    )
+    assert mgr.tick(now=t0) == []  # nothing due yet
+    _write_src(spark, tmp_path, [(i, "a", i) for i in range(7)])
+    assert mgr.tick(now=t0 + 2.0) == ["mt_due"]  # only the 1s-fresh table
+    assert tenv.sql("SELECT * FROM mt_due").collect()[0].n == 7
+    assert tenv.sql("SELECT * FROM mt_slow").collect()[0].n == 3
+
+
+def test_suspend_blocks_tick_resume_restores(tenv, spark, tmp_path):
+    mgr = tenv.materialized_tables
+    tenv.sql(
+        "CREATE MATERIALIZED TABLE mt_s FRESHNESS = INTERVAL '1' SECOND "
+        "AS SELECT count(*) AS n FROM mt_src"
+    )
+    t0 = mgr.tables["mt_s"].last_refresh_mono
+    tenv.sql("ALTER MATERIALIZED TABLE mt_s SUSPEND")
+    assert mgr.tick(now=t0 + 5.0) == []
+    assert mgr.describe("mt_s")["status"] == "SUSPENDED"
+    tenv.sql("ALTER MATERIALIZED TABLE mt_s RESUME")
+    assert mgr.tick(now=t0 + 5.0) == ["mt_s"]
+
+
+def test_partition_refresh_rewrites_only_target(tenv, spark, tmp_path):
+    tenv.sql(
+        "CREATE MATERIALIZED TABLE mt_p PARTITIONED BY (grp) "
+        "FRESHNESS = INTERVAL '1' DAY "
+        "AS SELECT id, v, grp FROM mt_src"
+    )
+    # mutate BOTH partitions upstream
+    _write_src(
+        spark, tmp_path,
+        [(1, "a", 100), (2, "a", 200), (3, "b", 300)],
+    )
+    out = tenv.sql(
+        "ALTER MATERIALIZED TABLE mt_p REFRESH PARTITION (grp = 'a')"
+    ).collect()
+    assert out[0].rows_refreshed == 2
+    rows = {
+        (r.grp, r.v) for r in tenv.sql("SELECT grp, v FROM mt_p").collect()
+    }
+    # partition a refreshed, partition b still the old snapshot — pinned
+    assert rows == {("a", 100), ("a", 200), ("b", 30)}
+
+
+def test_partition_refresh_requires_declared_key(tenv):
+    tenv.sql(
+        "CREATE MATERIALIZED TABLE mt_np FRESHNESS = INTERVAL '1' DAY "
+        "AS SELECT id, v, grp FROM mt_src"
+    )
+    with pytest.raises(MaterializedTableError, match="not in PARTITIONED BY"):
+        tenv.sql("ALTER MATERIALIZED TABLE mt_np REFRESH PARTITION (grp='a')")
+
+
+def test_drop_removes_view_and_storage(tenv):
+    tenv.sql(
+        "CREATE MATERIALIZED TABLE mt_d FRESHNESS = INTERVAL '1' DAY "
+        "AS SELECT 1 AS one"
+    )
+    root = tenv.materialized_tables.tables["mt_d"].root
+    tenv.sql("DROP MATERIALIZED TABLE mt_d")
+    import os
+
+    assert not os.path.exists(root)
+    with pytest.raises(Exception):
+        tenv.sql("SELECT * FROM mt_d").collect()
+
+
+def test_bad_ddl_errors_loudly(tenv):
+    with pytest.raises(MaterializedTableError, match="unsupported"):
+        tenv.sql("CREATE MATERIALIZED TABLE broken AS SELECT 1")  # no FRESHNESS
+    with pytest.raises(MaterializedTableError, match="unknown"):
+        tenv.sql("ALTER MATERIALIZED TABLE nope REFRESH")
+
+
+def test_gateway_refresh_operation(spark):
+    from apache_flink_spark.sql_gateway import (
+        OperationStatus,
+        SqlGatewayService,
+    )
+
+    svc = SqlGatewayService(spark=spark, sf_dir=SF)
+    try:
+        sh = svc.open_session()
+        svc.configure_session(
+            sh,
+            "CREATE MATERIALIZED TABLE mt_gw FRESHNESS = INTERVAL '1' DAY "
+            "AS SELECT count(*) AS n FROM nation",
+        )
+        oh = svc.refresh_materialized_table(sh, "mt_gw")
+        assert svc.await_operation(sh, oh) is OperationStatus.FINISHED
+        rs = svc.fetch_results(sh, oh, 0)
+        assert rs.data[0][0] == "mt_gw" and rs.data[0][1] == 1
+    finally:
+        svc.close()
