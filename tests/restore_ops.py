@@ -117,6 +117,39 @@ def _over_expect(rows):
     assert got.get((1, 204)) == (3, 900), got
 
 
+def _match_build(raw):
+    from apache_flink_spark.streaming.match_stream import (
+        streaming_match_recognize,
+    )
+
+    s = raw.withWatermark("ts", "1 hour").select(
+        "user_id", "event_id", "kind",
+        F.unix_micros("ts").alias("ep"), "ts",
+    )
+    out = streaming_match_recognize(
+        s,
+        """
+        PARTITION BY user_id
+        ORDER BY ep, event_id
+        MEASURES A.event_id AS a_id, B.event_id AS b_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B)
+        DEFINE A AS A.kind = 'a',
+               B AS B.kind = 'b'
+        """,
+    )
+    return out, "append"
+
+
+def _match_expect(rows):
+    got = {(r.user_id): (r.a_id, r.b_id) for r in rows if r.user_id == 1}
+    # Batch-2's B row (12) completes the pattern with the A row (11) that
+    # ONLY the restored NFA buffer contains — a cold start sees a lone B
+    # and emits nothing for user 1.
+    assert got.get(1) == (11, 12), got
+
+
 OPS = {
     "topn": {
         "schema": "user_id long, event_id long, value double",
@@ -178,6 +211,25 @@ OPS = {
              "ts": "2024-01-01 10:15:00", "value": 4.0},
         ],
         "expect_restored": _over_expect,
+    },
+    "match": {
+        "schema": "user_id long, event_id long, kind string, ts timestamp",
+        "build": _match_build,
+        # batch 1: the A row alone — uncertified (watermark behind it),
+        # pure NFA-buffer state, no output.
+        "batch1": [
+            {"user_id": 1, "event_id": 11, "kind": "a",
+             "ts": "2024-01-01 10:00:00"},
+        ],
+        # batch 2: the completing B row + a far-future watermark advancer
+        # that certifies user 1's prefix.
+        "batch2": [
+            {"user_id": 1, "event_id": 12, "kind": "b",
+             "ts": "2024-01-01 10:05:00"},
+            {"user_id": 99, "event_id": 98, "kind": "a",
+             "ts": "2024-01-02 23:00:00"},
+        ],
+        "expect_restored": _match_expect,
     },
 }
 
