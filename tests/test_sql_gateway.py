@@ -268,3 +268,40 @@ def test_rest_complete_and_configure(rest):
         _http("POST", f"{base}/v2/sessions/{sh}/heartbeat", {})
     finally:
         _http("DELETE", f"{base}/v2/sessions/{sh}")
+
+
+def test_concurrent_sessions_soak(service):
+    """Thread-safety: N sessions execute statements simultaneously; every
+    result must be correct and session-scoped (no cross-talk in temp
+    views or operation maps)."""
+    import threading
+
+    errors = []
+
+    def worker(i):
+        try:
+            h = service.open_session()
+            try:
+                service.configure_session(
+                    h, f"CREATE TEMPORARY VIEW soak_v AS SELECT {i} AS x"
+                )
+                for _ in range(3):
+                    rows = _run(service, h, "SELECT x + 1 AS y FROM soak_v")
+                    assert rows == [(i + 1,)], (i, rows)
+                    rows = _run(
+                        service, h,
+                        "SELECT count(*) AS n FROM lineitem WHERE "
+                        f"l_orderkey % 7 = {i % 7}",
+                    )
+                    assert rows[0][0] > 0
+            finally:
+                service.close_session(h)
+        except Exception as ex:  # surfaced after join
+            errors.append((i, repr(ex)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
