@@ -186,3 +186,79 @@ def test_gateway_refresh_operation(spark):
         assert rs.data[0][0] == "mt_gw" and rs.data[0][1] == 1
     finally:
         svc.close()
+
+
+# ---------------------------------------------------------------------------
+# CONTINUOUS mode: incremental checkpointed refresh
+# ---------------------------------------------------------------------------
+
+
+def _add_src_files(spark, tmp_path, rows, fname):
+    # append NEW parquet files (what a landing zone does) — the file
+    # stream must pick up only these
+    spark.createDataFrame(rows, "id int, grp string, v int").coalesce(
+        1
+    ).write.mode("append").parquet(str(tmp_path / "src"))
+
+
+def test_continuous_append_is_incremental(tenv, spark, tmp_path):
+    mgr = tenv.materialized_tables
+    mgr.register_stream_source("mt_src", str(tmp_path / "src"))
+    tenv.sql(
+        "CREATE MATERIALIZED TABLE mt_ca FRESHNESS = INTERVAL '10' SECOND "
+        "REFRESH_MODE = CONTINUOUS "
+        "AS SELECT id, v FROM mt_src WHERE v >= 20"
+    )
+    assert mgr.tables["mt_ca"].continuous_sink == "append"
+    got = {(r.id, r.v) for r in tenv.sql("SELECT * FROM mt_ca").collect()}
+    assert got == {(2, 20), (3, 30)}  # offset-0 replay of existing data
+    # new files arrive; next tick ingests ONLY them (offsets persisted)
+    _add_src_files(spark, tmp_path, [(4, "b", 40), (5, "a", 5)], "b2")
+    tenv.sql("ALTER MATERIALIZED TABLE mt_ca REFRESH")
+    got = {(r.id, r.v) for r in tenv.sql("SELECT * FROM mt_ca").collect()}
+    assert got == {(2, 20), (3, 30), (4, 40)}
+
+
+def test_continuous_complete_aggregate(tenv, spark, tmp_path):
+    mgr = tenv.materialized_tables
+    mgr.register_stream_source("mt_src", str(tmp_path / "src"))
+    tenv.sql(
+        "CREATE MATERIALIZED TABLE mt_cc FRESHNESS = INTERVAL '10' SECOND "
+        "REFRESH_MODE = CONTINUOUS "
+        "AS SELECT grp, count(*) AS n, sum(v) AS sv FROM mt_src GROUP BY grp"
+    )
+    assert mgr.tables["mt_cc"].continuous_sink == "complete"
+    got = {(r.grp, r.n, r.sv) for r in tenv.sql("SELECT * FROM mt_cc").collect()}
+    assert got == {("a", 2, 30), ("b", 1, 30)}
+    _add_src_files(spark, tmp_path, [(6, "a", 6)], "b2")
+    tenv.sql("ALTER MATERIALIZED TABLE mt_cc REFRESH")
+    got = {(r.grp, r.n, r.sv) for r in tenv.sql("SELECT * FROM mt_cc").collect()}
+    # incremental agg state carried the old groups across the tick
+    assert got == {("a", 3, 36), ("b", 1, 30)}
+
+
+def test_continuous_without_source_falls_back(tenv):
+    mgr = tenv.materialized_tables
+    # mt_src NOT registered as a stream source in this fixture instance
+    tenv.sql(
+        "CREATE MATERIALIZED TABLE mt_fb FRESHNESS = INTERVAL '10' SECOND "
+        "REFRESH_MODE = CONTINUOUS "
+        "AS SELECT count(*) AS n FROM mt_src"
+    )
+    assert mgr.tables["mt_fb"].continuous_sink == "fallback"
+    assert tenv.sql("SELECT * FROM mt_fb").collect()[0].n == 3
+
+
+def test_continuous_tick_refreshes_at_cadence(tenv, spark, tmp_path):
+    mgr = tenv.materialized_tables
+    mgr.register_stream_source("mt_src", str(tmp_path / "src"))
+    tenv.sql(
+        "CREATE MATERIALIZED TABLE mt_ct FRESHNESS = INTERVAL '1' SECOND "
+        "REFRESH_MODE = CONTINUOUS "
+        "AS SELECT id FROM mt_src"
+    )
+    t0 = mgr.tables["mt_ct"].last_refresh_mono
+    _add_src_files(spark, tmp_path, [(9, "z", 90)], "b2")
+    assert mgr.tick(now=t0 + 2.0) == ["mt_ct"]
+    ids = {r.id for r in tenv.sql("SELECT * FROM mt_ct").collect()}
+    assert ids == {1, 2, 3, 9}
