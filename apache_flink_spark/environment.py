@@ -90,6 +90,14 @@ class TableEnvironment:
         and MATCH_RECOGNIZE (match_recognize.py) — reference
         StreamExecWindowAggregate / StreamExecMatch.java:61."""
         up = query.upper()
+        if "PLAN" in up and ("COMPILE" in up or up.lstrip().startswith("EXECUTE")):
+            from apache_flink_spark.compiled_plan import (
+                try_handle_plan_statement,
+            )
+
+            handled = try_handle_plan_statement(self, query)
+            if handled is not None:
+                return handled
         if "MATERIALIZED" in up:
             from apache_flink_spark.materialized_table import (
                 is_materialized_table_stmt,
