@@ -305,3 +305,45 @@ def test_concurrent_sessions_soak(service):
     for t in threads:
         t.join(timeout=120)
     assert not errors, errors
+
+
+def test_pagination_property_random_page_sizes(service):
+    """Property: for ANY page-size sequence, walking the token protocol
+    reassembles exactly the full result, and the replay window returns
+    byte-identical pages."""
+    import random
+
+    h = service.open_session()
+    try:
+        want = None
+        for seed in range(5):
+            rng = random.Random(seed)
+            oh = service.execute_statement(
+                h,
+                "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+                "ORDER BY l_orderkey, l_linenumber LIMIT 500",
+            )
+            service.await_operation(h, oh)
+            rows, token = [], 0
+            from apache_flink_spark.sql_gateway import ResultKind
+
+            while token is not None:
+                size = rng.choice([1, 3, 7, 50, 499, 1000])
+                rs = service.fetch_results(h, oh, token, max_rows=size)
+                if rng.random() < 0.3:
+                    # replay the page just served (lost-response recovery);
+                    # must be byte-identical
+                    again = service.fetch_results(
+                        h, oh, token, max_rows=size
+                    )
+                    assert again.data == rs.data
+                    assert again.next_token == rs.next_token
+                rows.extend(rs.data)
+                token = rs.next_token
+                if rs.result_type is ResultKind.EOS:
+                    break
+            if want is None:
+                want = rows
+            assert rows == want and len(rows) == 500
+    finally:
+        service.close_session(h)
