@@ -93,6 +93,10 @@ HEADLINE = [
     "ds_q14b_period_over_period_intersect",
     "mr_stream_adjacent_pair",
     "mr_permute_pair",
+    # r6 late additions: the DataStream V2 facade's keyed process agg and
+    # the materialized-table snapshot+refresh lifecycle.
+    "dsv2_keyed_process_agg",
+    "mt_materialized_refresh",
 ]
 
 
