@@ -262,3 +262,59 @@ def test_continuous_tick_refreshes_at_cadence(tenv, spark, tmp_path):
     assert mgr.tick(now=t0 + 2.0) == ["mt_ct"]
     ids = {r.id for r in tenv.sql("SELECT * FROM mt_ct").collect()}
     assert ids == {1, 2, 3, 9}
+
+
+def test_continuous_property_random_arrivals(tenv, spark, tmp_path):
+    """Property: for ANY slicing of row arrivals into files/ticks, a
+    CONTINUOUS table's final contents equal the batch truth — append and
+    complete sinks both."""
+    import random
+
+    mgr = tenv.materialized_tables
+    src = str(tmp_path / "prop_src")
+    rows = [(i, "g" + str(i % 3), i * 10) for i in range(40)]
+    rng = random.Random(7)
+    spark.createDataFrame(
+        rows[:5], "id int, grp string, v int"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    tenv.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW prop_src AS "
+        f"SELECT * FROM parquet.`{src}`"
+    )
+    mgr.register_stream_source("prop_src", src)
+    tenv.sql(
+        "CREATE MATERIALIZED TABLE mt_pa FRESHNESS = INTERVAL '1' SECOND "
+        "REFRESH_MODE = CONTINUOUS AS SELECT id, v FROM prop_src WHERE id % 2 = 0"
+    )
+    tenv.sql(
+        "CREATE MATERIALIZED TABLE mt_pc FRESHNESS = INTERVAL '1' SECOND "
+        "REFRESH_MODE = CONTINUOUS "
+        "AS SELECT grp, count(*) AS n, sum(v) AS sv FROM prop_src GROUP BY grp"
+    )
+    i = 5
+    while i < len(rows):
+        step = rng.choice([1, 2, 3, 7])
+        chunk = rows[i:i + step]
+        i += step
+        spark.createDataFrame(
+            chunk, "id int, grp string, v int"
+        ).coalesce(1).write.mode("append").parquet(src)
+        if rng.random() < 0.7:  # some arrivals share a tick
+            mgr.refresh("mt_pa")
+            mgr.refresh("mt_pc")
+    mgr.refresh("mt_pa")
+    mgr.refresh("mt_pc")
+    want_a = {(i_, v) for i_, g, v in rows if i_ % 2 == 0}
+    got_a = {(r.id, r.v) for r in tenv.sql("SELECT * FROM mt_pa").collect()}
+    assert got_a == want_a
+    import collections
+
+    truth = collections.defaultdict(lambda: [0, 0])
+    for i_, g, v in rows:
+        truth[g][0] += 1
+        truth[g][1] += v
+    want_c = {(g, n, sv) for g, (n, sv) in truth.items()}
+    got_c = {
+        (r.grp, r.n, r.sv) for r in tenv.sql("SELECT * FROM mt_pc").collect()
+    }
+    assert got_c == want_c
