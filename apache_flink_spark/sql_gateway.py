@@ -423,8 +423,15 @@ class SqlGatewayService:
                     op.transition(OperationStatus.TIMEOUT)
                     return
                 # Driver-bounded streaming: one partition in memory at a
-                # time. (A LIMIT/small result costs one job as usual.)
-                op.attach_result(cols, df.toLocalIterator())
+                # time. toLocalIterator is LAZY, so force the first page
+                # HERE — in the job-group-tagged worker thread — so that
+                # (a) FINISHED means "first page ready to fetch" (the
+                # reference's contract) and (b) the heavy leading jobs are
+                # cancellable via cancelJobGroup, not hidden in a later
+                # fetch caller's thread.
+                it = df.toLocalIterator()
+                head = list(itertools.islice(it, DEFAULT_MAX_ROWS))
+                op.attach_result(cols, itertools.chain(head, it))
             if op.cancel_requested.is_set():
                 op.transition(OperationStatus.CANCELED)
             else:
