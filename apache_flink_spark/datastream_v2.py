@@ -387,26 +387,39 @@ class KeyedPartitionStream:
         if isinstance(other, BroadcastStream):
             bfn = fn
             bcast_rows = [r.asDict() for r in other.df.collect()]
+            bkey_cols = self.key_cols
 
-            def brunner(batches):
+            def brunner(key, pdf) -> "pd.DataFrame":
+                # KEYED broadcast connect: one state scope PER KEY with
+                # ctx.current_key set (reference KeyedBroadcastProcess
+                # semantics) — the bounded broadcast side replays into
+                # each key's scope before its records (broadcast-first
+                # ordering). A partition-shared scope here would silently
+                # mix per-key state (review r6 finding #4).
                 bfn.open()
                 out = Collector()
-                ctx = PartitionedContext()
+                ctx = PartitionedContext(
+                    current_key=key[0] if len(key) == 1 else key
+                )
                 try:
                     for rec in bcast_rows:
-                        bfn.process_record_from_broadcast_input(rec, ctx)
-                    for pdf in batches:
-                        for rec in _rows_of(pdf):
-                            bfn.process_record_from_non_broadcast_input(
-                                rec, out, ctx
-                            )
+                        bfn.process_record_from_broadcast_input(
+                            dict(rec), ctx
+                        )
+                    for rec in _rows_of(pdf):
+                        bfn.process_record_from_non_broadcast_input(
+                            rec, out, ctx
+                        )
                     bfn.end_input(ctx)
                 finally:
                     bfn.close()
-                yield pd.DataFrame(out.buf)
+                return pd.DataFrame(out.buf)
 
             return NonKeyedPartitionStream(
-                self.env, self.df.mapInPandas(brunner, out_schema)
+                self.env,
+                self.df.groupBy(*bkey_cols).applyInPandas(
+                    brunner, out_schema
+                ),
             )
 
         if not isinstance(other, KeyedPartitionStream):

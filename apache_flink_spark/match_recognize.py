@@ -317,20 +317,32 @@ _CMP3_OPS = {
 }
 
 
-def _and3(*vals):
-    if any(v is not _UNKNOWN and v is not _NULL and not v for v in vals):
-        return False
-    if any(v is _UNKNOWN or v is _NULL for v in vals):
-        return _UNKNOWN
-    return True
+def _and3(*thunks):
+    """Kleene AND over LAZY operands (each a zero-arg callable): evaluates
+    left-to-right and short-circuits on the first FALSE, like the
+    reference's generated Java ``&&`` — a guarded operand (e.g. a division
+    behind a zero check) is never evaluated once the guard decides."""
+    saw_unknown = False
+    for t in thunks:
+        v = t()
+        if v is _UNKNOWN or v is _NULL:
+            saw_unknown = True
+        elif not v:
+            return False
+    return _UNKNOWN if saw_unknown else True
 
 
-def _or3(*vals):
-    if any(v is not _UNKNOWN and v is not _NULL and bool(v) for v in vals):
-        return True
-    if any(v is _UNKNOWN or v is _NULL for v in vals):
-        return _UNKNOWN
-    return False
+def _or3(*thunks):
+    """Kleene OR over LAZY operands; short-circuits on the first TRUE
+    (Java ``||`` parity — see _and3)."""
+    saw_unknown = False
+    for t in thunks:
+        v = t()
+        if v is _UNKNOWN or v is _NULL:
+            saw_unknown = True
+        elif v:
+            return True
+    return _UNKNOWN if saw_unknown else False
 
 
 def _not3(v):
@@ -342,16 +354,15 @@ def _not3(v):
 def _cmp3(left, pairs):
     """SQL three-valued comparison, including Python chained comparisons
     (a < b < c == AND of the pairwise comparisons)."""
-    res = True
+    saw_unknown = False
     cur = left
     for opname, right in pairs:
         if cur is _NULL or right is _NULL:
-            step = _UNKNOWN
-        else:
-            step = bool(_CMP3_OPS[opname](cur, right))
-        res = _and3(res, step)
+            saw_unknown = True
+        elif not _CMP3_OPS[opname](cur, right):
+            return False
         cur = right
-    return res
+    return _UNKNOWN if saw_unknown else True
 
 
 class _ThreeVL(ast.NodeTransformer):
@@ -363,8 +374,21 @@ class _ThreeVL(ast.NodeTransformer):
     def visit_BoolOp(self, node):
         self.generic_visit(node)
         fn = "__and3" if isinstance(node.op, ast.And) else "__or3"
+        # Operands wrapped in zero-arg lambdas: _and3/_or3 evaluate them
+        # left-to-right and short-circuit, so `C = 0 OR x / C > 1` never
+        # touches the division once the guard decides (Java && / || parity).
+        lazy = [
+            ast.Lambda(
+                args=ast.arguments(
+                    posonlyargs=[], args=[], kwonlyargs=[],
+                    kw_defaults=[], defaults=[],
+                ),
+                body=v,
+            )
+            for v in node.values
+        ]
         return ast.Call(
-            func=ast.Name(id=fn, ctx=ast.Load()), args=node.values,
+            func=ast.Name(id=fn, ctx=ast.Load()), args=lazy,
             keywords=[],
         )
 

@@ -14,9 +14,11 @@ Spark-first mapping:
 
 - A materialized table is a **parquet snapshot directory + a temp view**
   over the current snapshot. Refresh writes snapshot N+1, atomically
-  repoints the view, then deletes snapshot N — readers never observe a
-  half-written table, the same contract as the reference's two-phase
-  refresh job.
+  repoints the view, and reclaims snapshot N−1 — the immediately previous
+  snapshot survives one generation so concurrent readers (the gateway
+  pages results on other threads) finish their scans; readers never
+  observe a half-written table, the same contract as the reference's
+  two-phase refresh job.
 - **FULL refresh** recomputes the defining query — Spark's distributed
   write IS the refresh job (reference: a batch Flink job per refresh).
 - **CONTINUOUS mode** refreshes **incrementally**: when the defining
@@ -86,7 +88,12 @@ _DROP_RE = re.compile(
     re.IGNORECASE,
 )
 
-_MT_STMT_RE = re.compile(r"\bMATERIALIZED\s+TABLE\b", re.IGNORECASE)
+# Anchored to the statement verbs: 'materialized table' inside a string
+# literal or comment of an ordinary query must NOT divert the dispatch
+# (review r6 finding #8).
+_MT_STMT_RE = re.compile(
+    r"^\s*(CREATE|ALTER|DROP)\s+MATERIALIZED\s+TABLE\b", re.IGNORECASE
+)
 
 
 def is_materialized_table_stmt(sql: str) -> bool:
@@ -336,12 +343,12 @@ class MaterializedTableManager:
             if t.partition_cols:
                 w = w.partitionBy(*t.partition_cols)
             w.parquet(path)
-            old = t.current_path if t.snapshot >= 0 else None
             t.snapshot = nxt
-            # repoint the view atomically, then drop the old snapshot
+            # repoint the view atomically; the PREVIOUS snapshot stays one
+            # generation for in-flight readers (the gateway pages results
+            # concurrently) — only N-2 is reclaimed (review r6 finding #6)
             spark.read.parquet(path).createOrReplaceTempView(t.name)
-            if old:
-                shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(f"{t.root}/snapshot-{nxt - 2}", ignore_errors=True)
             n = spark.table(t.name).count()
         t.last_refresh_mono = time.monotonic()
         return n
@@ -402,23 +409,34 @@ class MaterializedTableManager:
         )
         pending = f"{t.root}/pending"
         for mode in modes:
+            parts = list(t.partition_cols)
             if mode == "append" and t.snapshot < 0:
+                # the snapshot dir materializes on the first data write
+                # (an empty PARTITIONED write leaves no schema on disk);
+                # until then the view is an empty in-memory frame
                 t.snapshot = 0
-                main.createDataFrame([], sdf.schema).write.mode(
-                    "overwrite"
-                ).parquet(t.current_path)
-                main.read.parquet(t.current_path).createOrReplaceTempView(
+                main.createDataFrame([], sdf.schema).createOrReplaceTempView(
                     t.name
                 )
 
+            # PARTITIONED BY tables keep the k=v layout in EVERY snapshot
+            # writer — a later ALTER … REFRESH PARTITION dynamic-overwrites
+            # into this same directory and a mixed flat/partitioned layout
+            # breaks partition discovery (review r6 finding #5).
             if mode == "append":
-                def sink(batch, _bid, path=t.current_path):
-                    batch.write.mode("append").parquet(path)
+                def sink(batch, _bid, path=t.current_path, p=parts):
+                    w = batch.write.mode("append")
+                    if p:
+                        w = w.partitionBy(*p)
+                    w.parquet(path)
             else:
                 shutil.rmtree(pending, ignore_errors=True)
 
-                def sink(batch, _bid, path=pending):
-                    batch.write.mode("overwrite").parquet(path)
+                def sink(batch, _bid, path=pending, p=parts):
+                    w = batch.write.mode("overwrite")
+                    if p:
+                        w = w.partitionBy(*p)
+                    w.parquet(path)
 
             try:
                 (
@@ -439,18 +457,32 @@ class MaterializedTableManager:
                 if mode == modes[-1]:
                     raise
         if t.continuous_sink == "append":
+            import glob as _glob
+
             main.catalog.refreshByPath(t.current_path)
-            main.read.parquet(t.current_path).createOrReplaceTempView(t.name)
+            if _glob.glob(f"{t.current_path}/**/*.parquet", recursive=True):
+                # explicit schema: partitioned layouts must keep the
+                # defining query's column types, not inference from k=v
+                # directory names
+                main.read.schema(sdf.schema).parquet(
+                    t.current_path
+                ).createOrReplaceTempView(t.name)
+            else:
+                main.createDataFrame([], sdf.schema).createOrReplaceTempView(
+                    t.name
+                )
         else:  # complete: swap the pending result in as snapshot N+1
             if os.path.isdir(pending):
                 nxt = t.snapshot + 1
                 path = f"{t.root}/snapshot-{nxt}"
                 shutil.move(pending, path)
-                old = t.current_path if t.snapshot >= 0 else None
                 t.snapshot = nxt
                 main.read.parquet(path).createOrReplaceTempView(t.name)
-                if old:
-                    shutil.rmtree(old, ignore_errors=True)
+                # one-generation grace for concurrent readers (see
+                # _refresh_full)
+                shutil.rmtree(
+                    f"{t.root}/snapshot-{nxt - 2}", ignore_errors=True
+                )
             elif t.snapshot < 0:
                 # zero input data ever: an empty table is still a table
                 t.snapshot = 0

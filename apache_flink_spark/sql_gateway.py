@@ -432,19 +432,24 @@ class SqlGatewayService:
                 it = df.toLocalIterator()
                 head = list(itertools.islice(it, DEFAULT_MAX_ROWS))
                 op.attach_result(cols, itertools.chain(head, it))
-            if op.cancel_requested.is_set():
-                op.transition(OperationStatus.CANCELED)
-            else:
-                op.transition(OperationStatus.FINISHED)
+            # cancel_operation may have transitioned the op concurrently —
+            # take the lock and re-check so a clean cancellation never
+            # records a bogus illegal-transition error (review r6 #9)
+            with op.lock:
+                if not op.status.is_terminal:
+                    op.transition(
+                        OperationStatus.CANCELED
+                        if op.cancel_requested.is_set()
+                        else OperationStatus.FINISHED
+                    )
         except BaseException as ex:  # recorded, surfaced at fetch
-            op.error = ex
-            if op.cancel_requested.is_set():
-                try:
-                    op.transition(OperationStatus.CANCELED)
-                except GatewayError:
-                    pass
-            elif not op.status.is_terminal:
-                op.transition(OperationStatus.ERROR)
+            with op.lock:
+                if op.cancel_requested.is_set():
+                    if not op.status.is_terminal:
+                        op.transition(OperationStatus.CANCELED)
+                elif not op.status.is_terminal:
+                    op.error = ex
+                    op.transition(OperationStatus.ERROR)
         finally:
             try:
                 sess.tenv.spark.sparkContext.setJobGroup("", "")

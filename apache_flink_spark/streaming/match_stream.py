@@ -154,6 +154,13 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
             f"to be epoch-micros BIGINT; got {type_of.get(time_col)!r}"
         )
     tiebreaks = order_specs[1:]
+    if len(tiebreaks) > 1:
+        raise MatchRecognizeError(
+            "streaming MATCH_RECOGNIZE supports at most ONE tie-break "
+            f"column after the event-time ORDER BY key; got {tiebreaks} "
+            "(the state layout carries a single tie-break — use the batch "
+            "path for deeper orderings)"
+        )
     for c in part_cols + tiebreaks:
         if type_of.get(c) != "bigint":
             raise MatchRecognizeError(
@@ -359,6 +366,9 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
                 for i, c in enumerate(carry)
             }
             arr[time_col] = np.asarray(ts, dtype=np.int64)
+            # MEASURES may navigate the PARTITION BY column itself
+            # (FIRST(A.user_id) …) — constant per group, not in carry
+            arr[part_cols[0]] = np.full(len(idxs), user, dtype=np.int64)
 
             pos = 0
             keep_from = None

@@ -163,6 +163,13 @@ def run_upsert_to_table(
     that later gains retraction output switches sinks without changing
     the log format.
     """
+    if "op" in df.columns:
+        raise ValueError(
+            "run_upsert_to_table: the input schema already has a column "
+            "named 'op', which is the changelog sink's protocol column "
+            "('U'/'D') — rename the data column (silently clobbering it "
+            "would corrupt the compaction; review r6 finding #7)"
+        )
     spark, log_dir = _drain_to_log(
         df.withColumn("op", F.lit("U")), "update", name
     )

@@ -137,6 +137,17 @@ class Table:
             if r_time not in self._df.columns and r_time not in payload_cols
             else f"{r_time}_version"
         )
+        if vt_out != r_time and (
+            vt_out in self._df.columns or vt_out in payload_cols
+        ):
+            # the suffixed fallback must ALSO be collision-checked, or the
+            # output silently carries two identically-named columns and
+            # breaks at the first select (review r6 finding #10)
+            raise ValueError(
+                f"join_lateral: version-time output column {vt_out!r} "
+                "collides with an existing column; rename the probe-side "
+                f"column {vt_out!r} before the temporal join"
+            )
         carry_cols = payload_cols + [vt_out]
         carry_exprs = [F.col(c) for c in payload_cols] + [
             F.col(r_time).alias(vt_out)
