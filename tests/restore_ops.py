@@ -117,6 +117,121 @@ def _over_expect(rows):
     assert got.get((1, 204)) == (3, 900), got
 
 
+def _keeplast_build(raw):
+    from apache_flink_spark.streaming.stateful import streaming_keep_last
+
+    return streaming_keep_last(
+        raw.select(
+            "user_id", "event_type", "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    ), "update"
+
+
+def _keeplast_expect(rows):
+    import datetime
+
+    ten = int(
+        datetime.datetime(
+            2024, 1, 1, 10, 0, tzinfo=datetime.timezone.utc
+        ).timestamp() * 1_000_000
+    )
+    got = {(r.user_id, r.event_type): (r.event_id, r.ts_us) for r in rows}
+    # Batch-2's event 90 is OLDER (09:00) than the restored best (101 at
+    # 10:00) — keep-last must re-emit 101. A cold start knows only 90.
+    assert got.get((1, "click")) == (101, ten), got
+
+
+def _tsort_build(raw):
+    from apache_flink_spark.streaming.stateful import streaming_temporal_sort
+
+    stream = raw.withWatermark("ts", "1 hour").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    return streaming_temporal_sort(stream), "append"
+
+
+def _tsort_expect(rows):
+    got = sorted(
+        (r.seq, r.event_id) for r in rows if r.user_id == 1
+    )
+    # Batch-2's far-future row advances the watermark past user 1's
+    # RESTORED buffer (302@10:00, 301@10:05, arrival-reversed) -> the
+    # event-time timer releases them in ts order with seq 1,2. A cold
+    # start has no user-1 rows at all.
+    assert got == [(1, 302), (2, 301)], got
+
+
+def _rover_build(raw):
+    from apache_flink_spark.streaming.stateful import (
+        streaming_range_bounded_over,
+    )
+
+    u = raw.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return streaming_range_bounded_over(u, 3_600_000_000), "append"
+
+
+def _rover_expect(rows):
+    got = {(r.user_id, r.event_id): (r.w_cnt, r.w_sum_cents) for r in rows}
+    # Event 403's 1-hour RANGE frame [10:00, 11:00] spans the RESTORED
+    # trailing buffer (100 + 200 cents) plus itself (400) -> cnt=3,
+    # sum=700. Cold start: cnt=1, sum=400.
+    assert got.get((1, 403)) == (3, 700), got
+
+
+def _ceptimeout_build(raw):
+    from apache_flink_spark.streaming.stateful import streaming_cep_timeout
+
+    u = (
+        raw.filter(F.col("event_type").isin("click", "purchase"))
+        .withWatermark("ts", "1 hour")
+        .select(
+            "user_id", F.unix_micros("ts").alias("ep"),
+            "event_id", "event_type", "ts",
+        )
+    )
+    return streaming_cep_timeout(u, 30 * 60 * 1_000_000), "append"
+
+
+def _ceptimeout_expect(rows):
+    got = {r.user_id: (r.click_id, r.deadline - r.click_ts) for r in rows}
+    # Batch-2's watermark advancer expires the RESTORED pending click 601
+    # (10:00, never purchased) -> timeout row with the 30-min deadline.
+    # A cold start has no pending click to expire.
+    assert got.get(1) == (601, 30 * 60 * 1_000_000), got
+
+
+def _csession_build(raw):
+    from apache_flink_spark.streaming.stateful import (
+        streaming_custom_sessions,
+    )
+
+    # Same wiring as the registered stream_custom_sessions query: the
+    # watermark delay exceeds the data span, so sessions close by GAP
+    # (a later same-user event), not by timer.
+    stream = raw.withWatermark("ts", "10000 hours").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    return streaming_custom_sessions(stream, GAP_US), "append"
+
+
+def _csession_expect(rows):
+    import datetime
+
+    noon = int(
+        datetime.datetime(
+            2024, 1, 1, 12, 0, tzinfo=datetime.timezone.utc
+        ).timestamp() * 1_000_000
+    )
+    got = {r.user_id: (r.sess_start, r.n_events) for r in rows}
+    # Batch-2's 12:15 event extends the RESTORED open session [12:00,
+    # 12:10]; the 14:00 event then closes it by gap -> (start=12:00, n=3).
+    # Cold start: the closed session would be (12:15, n=1).
+    assert got.get(1) == (noon, 3), got
+
+
 def _match_build(raw):
     from apache_flink_spark.streaming.match_stream import (
         streaming_match_recognize,
@@ -211,6 +326,82 @@ OPS = {
              "ts": "2024-01-01 10:15:00", "value": 4.0},
         ],
         "expect_restored": _over_expect,
+    },
+    "keeplast": {
+        "schema": (
+            "user_id long, event_type string, event_id long, ts timestamp"
+        ),
+        "build": _keeplast_build,
+        "batch1": [
+            {"user_id": 1, "event_type": "click", "event_id": 101,
+             "ts": "2024-01-01 10:00:00"},
+        ],
+        "batch2": [
+            {"user_id": 1, "event_type": "click", "event_id": 90,
+             "ts": "2024-01-01 09:00:00"},
+        ],
+        "expect_restored": _keeplast_expect,
+    },
+    "tsort": {
+        "schema": "user_id long, event_id long, ts timestamp",
+        "build": _tsort_build,
+        # batch 1: two out-of-order user-1 rows, watermark behind both —
+        # pure buffer state, no output.
+        "batch1": [
+            {"user_id": 1, "event_id": 301, "ts": "2024-01-01 10:05:00"},
+            {"user_id": 1, "event_id": 302, "ts": "2024-01-01 10:00:00"},
+        ],
+        # batch 2: a far-future watermark advancer on another key.
+        "batch2": [
+            {"user_id": 99, "event_id": 999, "ts": "2024-01-02 23:00:00"},
+        ],
+        "expect_restored": _tsort_expect,
+    },
+    "rover": {
+        "schema": "user_id long, event_id long, ts timestamp, value double",
+        "build": _rover_build,
+        "batch1": [
+            {"user_id": 1, "event_id": 401,
+             "ts": "2024-01-01 10:00:00", "value": 1.0},
+            {"user_id": 1, "event_id": 402,
+             "ts": "2024-01-01 10:30:00", "value": 2.0},
+        ],
+        "batch2": [
+            {"user_id": 1, "event_id": 403,
+             "ts": "2024-01-01 11:00:00", "value": 4.0},
+        ],
+        "expect_restored": _rover_expect,
+    },
+    "ceptimeout": {
+        "schema": (
+            "user_id long, event_id long, event_type string, ts timestamp"
+        ),
+        "build": _ceptimeout_build,
+        # batch 1: a lone click — a pending partial match, no output.
+        "batch1": [
+            {"user_id": 1, "event_id": 601, "event_type": "click",
+             "ts": "2024-01-01 10:00:00"},
+        ],
+        # batch 2: a far-future click on another key advances the
+        # watermark past click 601's 30-min window.
+        "batch2": [
+            {"user_id": 99, "event_id": 998, "event_type": "click",
+             "ts": "2024-01-02 23:00:00"},
+        ],
+        "expect_restored": _ceptimeout_expect,
+    },
+    "csession": {
+        "schema": "user_id long, ts timestamp",
+        "build": _csession_build,
+        "batch1": [
+            {"user_id": 1, "ts": "2024-01-01 12:00:00"},
+            {"user_id": 1, "ts": "2024-01-01 12:10:00"},
+        ],
+        "batch2": [
+            {"user_id": 1, "ts": "2024-01-01 12:15:00"},
+            {"user_id": 1, "ts": "2024-01-01 14:00:00"},
+        ],
+        "expect_restored": _csession_expect,
     },
     "match": {
         "schema": "user_id long, event_id long, kind string, ts timestamp",

@@ -122,7 +122,13 @@ def test_key_group_mismatch_fails_loudly(spark, tmp_path):
         spark.conf.unset("spark.graft.stateful.keyGroups")
 
 
-@pytest.mark.parametrize("op", ["topn", "temporal", "session", "over", "match"])
+@pytest.mark.parametrize(
+    "op",
+    [
+        "topn", "temporal", "session", "over", "match",
+        "keeplast", "tsort", "rover", "ceptimeout", "csession",
+    ],
+)
 def test_restore_r6_operator_fixtures(spark, tmp_path, op):
     """Round-6 restore suite (reference restore-tests analog, one per
     custom stateful operator): the committed checkpoint in
