@@ -115,6 +115,18 @@ def _parse_columns(body: str):
     return cols, watermark
 
 
+def _datagen_df(spark: SparkSession, cols, opts: dict):
+    """Deterministic datagen scan (reference datagen connector): first
+    column is the sequence id, the rest cycle mod 97. Honors the
+    'number-of-rows' option — including per-statement OPTIONS overrides."""
+    n = int(opts.get("number-of-rows", "1000"))
+    first = cols[0][0]
+    return spark.range(n).select(
+        F.col("id").cast(dict(cols)[first]).alias(first),
+        *[(F.col("id") % 97).cast(t).alias(c) for c, t in cols[1:]],
+    )
+
+
 def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
     """Compile one Flink CREATE TABLE ... WITH (...) statement; returns
     False when the statement is not a Flink connector DDL (caller should
@@ -149,15 +161,8 @@ def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
         df = reader.load(path)
         _TABLES[name] = (fmt, path, schema_ddl)
     elif connector == "datagen":
-        n = int(opts.get("number-of-rows", "1000"))
-        first = cols[0][0]
-        df = spark.range(n).select(
-            F.col("id").cast(dict(cols)[first]).alias(first),
-            *[
-                (F.col("id") % 97).cast(t).alias(c)
-                for c, t in cols[1:]
-            ],
-        )
+        df = _datagen_df(spark, cols, opts)
+        _TABLES[name] = ("datagen", opts, cols)
     else:
         raise DdlError(
             f"unsupported connector {connector!r} — supported: filesystem "
@@ -190,6 +195,8 @@ def execute_flink_insert(spark: SparkSession, sql: str):
     if m is None or m.group("name") not in _TABLES:
         return None
     name = m.group("name")
+    if _TABLES[name][0] == "datagen":
+        raise DdlError(f"datagen table {name!r} is a source — INSERT unsupported")
     fmt, path, schema_ddl = _TABLES[name]
     out = spark.sql(m.group("select"))
     mode = "overwrite" if m.group("mode").upper() == "OVERWRITE" else "append"
@@ -203,7 +210,7 @@ def stream_ddl_table(spark: SparkSession, name: str) -> DataFrame:
     """Streaming scan of a DDL-declared filesystem table, with its declared
     WATERMARK applied — the reference's streaming-mode read of the same
     catalog table."""
-    if name not in _TABLES:
+    if name not in _TABLES or _TABLES[name][0] == "datagen":
         raise DdlError(f"{name!r} was not declared via filesystem DDL")
     fmt, path, schema_ddl = _TABLES[name]
     df = spark.readStream.format(fmt).schema(schema_ddl).load(path)

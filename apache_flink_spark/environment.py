@@ -167,6 +167,10 @@ class TableEnvironment:
             handled = execute_flink_insert(self.spark, query)
             if handled is not None:
                 return handled
+        if "/*+" in query:
+            from apache_flink_spark.query_hints import rewrite_flink_hints
+
+            query = rewrite_flink_hints(self.spark, query)
         if "TUMBLE" in up or "HOP" in up or "CUMULATE" in up or "SESSION" in up:
             from apache_flink_spark.window_tvf import (
                 rewrite_group_windows,

@@ -37,6 +37,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     scalar_functions,
     event_windows,
     graph_queries,
+    hint_queries,
     temporal_joins,
     pattern_match,
     pipeline_dedup,
