@@ -60,6 +60,10 @@ class TableEnvironment:
         register_all(self.spark)
         if sf_dir:
             self.use_data_dir(sf_dir)
+        from apache_flink_spark.models import ModelCatalog
+
+        # reference CatalogManager's model namespace (CatalogModel.java)
+        self.model_catalog = ModelCatalog()
 
     @classmethod
     def create(cls, sf_dir: str | None = None) -> "TableEnvironment":
@@ -96,6 +100,12 @@ class TableEnvironment:
             )
 
             handled = try_handle_plan_statement(self, query)
+            if handled is not None:
+                return handled
+        if "MODEL" in up or "ML_PREDICT" in up:
+            from apache_flink_spark.models import try_handle_model_statement
+
+            handled = try_handle_model_statement(self, query)
             if handled is not None:
                 return handled
         if "MATERIALIZED" in up:

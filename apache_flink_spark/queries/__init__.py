@@ -38,6 +38,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     event_windows,
     graph_queries,
     hint_queries,
+    model_queries,
     temporal_joins,
     pattern_match,
     pipeline_dedup,
