@@ -561,7 +561,8 @@ def connected_components_star(edges, vertices, max_rounds: int = 25):
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .where(F.col("a") != F.col("b"))
-            .distinct()
+            # no distinct here: small-star's groupBy+distinct below
+            # re-canonicalizes, and skipping saves one exchange per round
         )
         # small-star: canonical small<-large direction; every smaller
         # neighbor (and u itself) hangs onto the minimum.
