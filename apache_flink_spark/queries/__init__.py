@@ -70,19 +70,21 @@ GATE_SAMPLE = [
     # rotated out for TPC-DS/r6 shapes stay oracle-green in the full sweep)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q9_product_profit",
     "q10_returned_items",
     "q18_large_volume_customer",
     "q21_sole_blame_supplier",
-    "q22_global_sales_opportunity",
     # r6 rotation: the streaming MATCH_RECOGNIZE NFA driver, the
     # large-star/small-star connected components, and the DataStream V2
     # facade — this round's three new operator families, each in-gate
     "mr_stream_adjacent_pair",
     "graph_connected_components",
     "dsv2_keyed_process_agg",
+    # r6 continuation: ML_PREDICT batch scoring and the Flink query-hint
+    # translation (2 more TPC-H rotated out, green in the full sweep)
+    "model_predict_l2norm",
+    "hint_join_strategies",
     # TPC-DS shapes (r5): rollup, 3-way intersect, window deviation,
     # cumulative full-outer compare, rollup-rank, channel overlap
     "ds_q5_channel_rollup",
