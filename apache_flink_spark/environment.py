@@ -24,6 +24,7 @@ from apache_flink_spark.session import get_spark
 # grammar is per-op (SET requires the ='value'; RESET forbids it) so
 # malformed variants fall through to spark.sql and get Spark's parse
 # error instead of silently half-applying.
+_SHOW_PROCS_RE = re.compile(r"^\s*SHOW\s+PROCEDURES\s*$", re.I)
 _SET_RE = re.compile(
     r"^\s*(?:"
     r"(?P<set>SET)(?:\s+'(?P<key>[^']+)'\s*=\s*'(?P<val>[^']*)')?"
@@ -100,6 +101,14 @@ class TableEnvironment:
             )
 
             handled = try_handle_plan_statement(self, query)
+            if handled is not None:
+                return handled
+        if up.lstrip().startswith("CALL") or _SHOW_PROCS_RE.match(query):
+            from apache_flink_spark.procedures import (
+                try_handle_call_statement,
+            )
+
+            handled = try_handle_call_statement(self.spark, query)
             if handled is not None:
                 return handled
         if "MODEL" in up or "ML_PREDICT" in up:
