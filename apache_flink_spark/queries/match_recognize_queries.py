@@ -938,3 +938,81 @@ def mr_subset_union_measures(spark, sf_dir):
         ) ORDER BY user_id, a_id
         """
     )
+
+
+@query(
+    "mr_stream_quantifier_within",
+    oracle="""
+    WITH wm AS (
+        SELECT epoch_us(MAX(ts)) - 3600000000 AS wm_us FROM events
+    ), seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ep,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT user_id, rn, ep, event_id,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY rn) AS grp
+        FROM seq WHERE event_type = 'view'
+    ), runagg AS (
+        SELECT user_id, grp, MIN(rn) AS r0, MAX(rn) AS r1,
+               COUNT(*) AS n_views
+        FROM runs GROUP BY user_id, grp
+    )
+    SELECT a.user_id, a.event_id AS a_id, c.event_id AS c_id,
+           g.n_views, a.ep AS a_ts
+    FROM runagg g
+    JOIN seq a ON a.user_id = g.user_id AND a.rn = g.r0 - 1
+              AND a.event_type = 'click'
+    JOIN seq c ON c.user_id = g.user_id AND c.rn = g.r1 + 1
+              AND c.event_type = 'purchase'
+    LEFT JOIN seq nxt ON nxt.user_id = g.user_id AND nxt.rn = g.r1 + 2
+    CROSS JOIN wm
+    WHERE c.ep <= a.ep + 3600000000
+      AND (nxt.ep <= wm.wm_us OR wm.wm_us > a.ep + 3600000000)
+    ORDER BY a.user_id, a_id
+    """,
+    streaming=True,
+)
+def mr_stream_quantifier_within(spark, sf_dir):
+    """STREAMING MATCH_RECOGNIZE with an UNBOUNDED quantifier + WITHIN
+    horizon (the CepOperator state-pruning pair: B+ alone would keep
+    match starts alive forever; WITHIN bounds both the match and the
+    keyed state): PATTERN (A B+ C) WITHIN 1 hour — click, >=1 views,
+    purchase. Disjoint predicates make greedy B+ equal to the maximal
+    consecutive-view run, so the oracle is the exact gaps-and-islands
+    decomposition; a match emits when the row AFTER it is certified or
+    its WITHIN horizon has passed under the watermark (the operator's
+    two decision rules), and the oracle applies the identical cutoffs."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.streaming.match_stream import (
+        streaming_match_recognize,
+    )
+    from apache_flink_spark.streaming.sources import (
+        run_to_table,
+        stream_table,
+    )
+
+    e = stream_table(spark, sf_dir, "events")
+    s = e.withWatermark("ts", "1 hour").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("ep"), "ts",
+    )
+    out = streaming_match_recognize(
+        s,
+        """
+        PARTITION BY user_id
+        ORDER BY ep, event_id
+        MEASURES A.event_id AS a_id, C.event_id AS c_id,
+                 COUNT(B.*) AS n_views, A.ep AS a_ts
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B+ C) WITHIN INTERVAL '1' HOUR
+        DEFINE A AS A.event_type = 'click',
+               B AS B.event_type = 'view',
+               C AS C.event_type = 'purchase'
+        """,
+    )
+    return run_to_table(out, "append")
