@@ -180,6 +180,14 @@ class TableEnvironment:
 
             if execute_flink_ddl(self.spark, query):
                 return self.spark.sql("SELECT 'OK' AS result")
+        if up.lstrip().startswith(("DELETE", "UPDATE", "TRUNCATE")):
+            from apache_flink_spark.row_level import (
+                try_handle_row_level_statement,
+            )
+
+            handled = try_handle_row_level_statement(self.spark, query)
+            if handled is not None:
+                return handled
         if up.lstrip().startswith("INSERT"):
             from apache_flink_spark.ddl import execute_flink_insert
 
