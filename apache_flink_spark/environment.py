@@ -25,6 +25,10 @@ from apache_flink_spark.session import get_spark
 # malformed variants fall through to spark.sql and get Spark's parse
 # error instead of silently half-applying.
 _SHOW_PROCS_RE = re.compile(r"^\s*SHOW\s+PROCEDURES\s*$", re.I)
+_STMT_SET_RE = re.compile(
+    r"^\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(?P<body>.+?)\s*;?\s*END\s*;?\s*$",
+    re.I | re.S,
+)
 _SET_RE = re.compile(
     r"^\s*(?:"
     r"(?P<set>SET)(?:\s+'(?P<key>[^']+)'\s*=\s*'(?P<val>[^']*)')?"
@@ -180,6 +184,32 @@ class TableEnvironment:
 
             if execute_flink_ddl(self.spark, query):
                 return self.spark.sql("SELECT 'OK' AS result")
+        sm_set = _STMT_SET_RE.match(query)
+        if sm_set:
+            # EXECUTE STATEMENT SET BEGIN <insert>; ...; END (reference
+            # SqlStatementSet — parserImpls grammar; the SQL twin of
+            # create_statement_set). Each member must be an INSERT; they
+            # run as one unit and report per-target results.
+            from apache_flink_spark.sql_client import split_statements
+
+            inserts = split_statements(sm_set.group("body"))
+            if not inserts:
+                raise ValueError("empty STATEMENT SET")
+            rows = []
+            for i, ins in enumerate(inserts):
+                if not ins.lstrip().upper().startswith("INSERT"):
+                    raise ValueError(
+                        "STATEMENT SET members must be INSERT statements; "
+                        f"got: {ins.strip()[:60]!r}"
+                    )
+                self.sql(ins.strip())
+                tgt = re.match(
+                    r"\s*INSERT\s+(?:INTO|OVERWRITE)\s+(\S+)", ins, re.I
+                )
+                rows.append((i, tgt.group(1) if tgt else "?", "OK"))
+            return self.spark.createDataFrame(
+                rows, "stmt_index int, target string, result string"
+            )
         if up.lstrip().startswith(("DELETE", "UPDATE", "TRUNCATE")):
             from apache_flink_spark.row_level import (
                 try_handle_row_level_statement,

@@ -17,9 +17,14 @@ a 100 TB result costs one page, not a collect.
 from __future__ import annotations
 
 import json
+import re
 import sys
 import urllib.request
 from typing import Iterator, Optional
+
+_STMT_SET_OPEN_RE = re.compile(
+    r"^\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\b", re.I
+)
 
 __all__ = ["GatewayClient", "RestGatewayClient", "SqlClient", "render_tableau"]
 
@@ -239,8 +244,16 @@ def split_statements(text: str) -> list[str]:
             i = len(text) if j < 0 else j
             continue
         elif ch == ";":
-            stmts.append("".join(cur))
-            cur = []
+            # keep EXECUTE STATEMENT SET BEGIN ... END intact: inner ';'
+            # terminators are content until the closing END
+            acc = "".join(cur)
+            if _STMT_SET_OPEN_RE.match(acc) and not re.search(
+                r"\bEND\s*$", acc, re.I
+            ):
+                cur.append(ch)
+            else:
+                stmts.append(acc)
+                cur = []
         else:
             cur.append(ch)
         i += 1

@@ -146,3 +146,38 @@ def test_insert_overwrite_ddl_table(spark, tmp_path):
     te.sql("INSERT OVERWRITE ddl_ow SELECT id + 100 AS k, 'b' AS v FROM range(2)")
     got = te.sql("SELECT count(*) AS n, min(k) AS mn FROM ddl_ow").collect()[0]
     assert (got.n, got.mn) == (2, 100)
+
+
+def test_execute_statement_set(spark, tmp_path):
+    """EXECUTE STATEMENT SET BEGIN ...; ...; END (reference
+    SqlStatementSet): both inserts run as one unit with per-target OK
+    rows; non-INSERT members error loudly."""
+    import pytest as _pytest
+
+    te = TableEnvironment(spark=spark)
+    d1, d2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    te.sql(
+        f"""CREATE TABLE ss_a (k BIGINT) WITH (
+            'connector'='filesystem','path'='{d1}','format'='parquet')"""
+    )
+    te.sql(
+        f"""CREATE TABLE ss_b (k BIGINT) WITH (
+            'connector'='filesystem','path'='{d2}','format'='parquet')"""
+    )
+    res = te.sql(
+        """
+        EXECUTE STATEMENT SET BEGIN
+          INSERT INTO ss_a SELECT id FROM range(3);
+          INSERT INTO ss_b SELECT id * 2 FROM range(4);
+        END
+        """
+    ).collect()
+    assert [(r.stmt_index, r.target, r.result) for r in res] == [
+        (0, "ss_a", "OK"), (1, "ss_b", "OK")
+    ]
+    assert spark.table("ss_a").count() == 3
+    assert spark.table("ss_b").count() == 4
+    with _pytest.raises(ValueError, match="must be INSERT"):
+        te.sql(
+            "EXECUTE STATEMENT SET BEGIN SELECT 1; END"
+        )

@@ -116,3 +116,16 @@ def test_quit_ends_repl(service):
     out = buf.getvalue()
     assert "seven" in out and "eight" not in out
     cli.client.close()
+
+
+def test_split_statements_keeps_statement_set_intact():
+    from apache_flink_spark.sql_client import split_statements
+
+    parts = split_statements(
+        "SELECT 1; EXECUTE STATEMENT SET BEGIN INSERT INTO a SELECT 1; "
+        "INSERT INTO b SELECT ';'; END; SELECT 2"
+    )
+    assert len(parts) == 3
+    assert parts[1].strip().upper().startswith("EXECUTE STATEMENT SET")
+    assert parts[1].rstrip().upper().endswith("END")
+    assert parts[2].strip() == "SELECT 2"
