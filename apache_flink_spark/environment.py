@@ -25,6 +25,12 @@ from apache_flink_spark.session import get_spark
 # malformed variants fall through to spark.sql and get Spark's parse
 # error instead of silently half-applying.
 _SHOW_PROCS_RE = re.compile(r"^\s*SHOW\s+PROCEDURES\s*$", re.I)
+_SHOW_JOBS_RE = re.compile(r"^\s*SHOW\s+JOBS\s*$", re.I)
+_STOP_JOB_RE = re.compile(
+    r"^\s*STOP\s+JOB\s+'(?P<id>[^']+)'"
+    r"(?P<sp>\s+WITH\s+SAVEPOINT)?(?:\s+WITH\s+DRAIN)?\s*$",
+    re.I,
+)
 _STMT_SET_RE = re.compile(
     r"^\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(?P<body>.+?)\s*;?\s*END\s*;?\s*$",
     re.I | re.S,
@@ -184,6 +190,48 @@ class TableEnvironment:
 
             if execute_flink_ddl(self.spark, query):
                 return self.spark.sql("SELECT 'OK' AS result")
+        if _SHOW_JOBS_RE.match(query):
+            # Flink SQL-client job management (SqlShowJobs): the engine's
+            # jobs are Structured Streaming queries on this session.
+            rows = [
+                (
+                    q.id,
+                    q.name or "",
+                    "RUNNING" if q.isActive else "FINISHED",
+                )
+                for q in self.spark.streams.active
+            ]
+            return self.spark.createDataFrame(
+                rows, "job_id string, job_name string, status string"
+            )
+        sj = _STOP_JOB_RE.match(query)
+        if sj:
+            # SqlStopJob: graceful stop; WITH SAVEPOINT reports the
+            # query's checkpoint location — the savepoint analog (state
+            # is already durable there; a restart from it resumes).
+            target = None
+            for q in self.spark.streams.active:
+                if q.id == sj.group("id") or (q.name or "") == sj.group("id"):
+                    target = q
+                    break
+            if target is None:
+                raise ValueError(
+                    f"no running job {sj.group('id')!r} — SHOW JOBS lists "
+                    "active ones"
+                )
+            ckpt = ""
+            if sj.group("sp"):
+                # the savepoint analog: state is already durable in the
+                # query's checkpoint; report run + last committed batch
+                # as the restore coordinates
+                lp = target.lastProgress or {}
+                ckpt = f"runId={lp.get('runId', target.runId)};" \
+                       f"batchId={lp.get('batchId', -1)}"
+            target.stop()
+            return self.spark.createDataFrame(
+                [(sj.group("id"), "STOPPED", ckpt)],
+                "job_id string, status string, savepoint string",
+            )
         sm_set = _STMT_SET_RE.match(query)
         if sm_set:
             # EXECUTE STATEMENT SET BEGIN <insert>; ...; END (reference

@@ -331,3 +331,39 @@ def test_set_reset_statements(spark, sf_dir):
     te.sql("SET spark.sql.afs.test.flag2=v2")
     assert spark.conf.get("spark.sql.afs.test.flag2") == "v2"
     spark.conf.unset("spark.sql.afs.test.flag2")
+
+
+def test_show_jobs_and_stop_job(spark, tmp_path):
+    """Flink job management statements (SqlShowJobs/SqlStopJob) mapped
+    onto Structured Streaming's active queries."""
+    import pytest as _pytest
+
+    from apache_flink_spark.environment import TableEnvironment
+
+    te = TableEnvironment(spark=spark)
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName("job_mgmt_probe")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        jobs = {
+            r.job_name: r for r in te.sql("SHOW JOBS").collect()
+        }
+        assert "job_mgmt_probe" in jobs
+        assert jobs["job_mgmt_probe"].status == "RUNNING"
+        res = te.sql(
+            "STOP JOB 'job_mgmt_probe' WITH SAVEPOINT"
+        ).first()
+        assert res.status == "STOPPED"
+        assert res.savepoint.startswith("runId=")
+        assert not q.isActive
+        with _pytest.raises(ValueError, match="no running job"):
+            te.sql("STOP JOB 'job_mgmt_probe'")
+    finally:
+        if q.isActive:
+            q.stop()
