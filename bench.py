@@ -97,6 +97,10 @@ HEADLINE = [
     # the materialized-table snapshot+refresh lifecycle.
     "dsv2_keyed_process_agg",
     "mt_materialized_refresh",
+    # r6 continuation: the ML_PREDICT mapInPandas scoring lane and the
+    # quantifier+WITHIN streaming MATCH_RECOGNIZE NFA.
+    "model_predict_l2norm",
+    "mr_stream_quantifier_within",
 ]
 
 
