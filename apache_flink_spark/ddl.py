@@ -41,8 +41,52 @@ class DdlError(ValueError):
 #: table name -> (event-time column, delay expression e.g. "5 seconds")
 WATERMARKS: dict[str, tuple[str, str]] = {}
 
-#: table name -> (format, path, schema_ddl) for streaming replay
-_TABLES: dict[str, tuple[str, str, str]] = {}
+#: table name -> (format, path, schema_ddl, declared_options) for
+#: filesystem tables; ("datagen", options, cols) for datagen sources.
+#: Consumers (INSERT, streaming replay, OPTIONS hints, row-level DML,
+#: compaction) rebuild readers/writers through fs_reader/fs_writer so the
+#: DECLARED connector options (csv delimiter/header, ...) are always
+#: honored — an ad-hoc spark.read at defaults silently re-parses csv
+#: wrong (r6 review finding).
+_TABLES: dict[str, tuple] = {}
+
+
+def _fs_read_opts(opts: dict, fmt: str) -> dict:
+    out = {}
+    if fmt == "csv":
+        out["header"] = opts.get("csv.include-header", "true")
+        out["sep"] = opts.get("csv.field-delimiter", ",")
+    return out
+
+
+def fs_reader(spark: SparkSession, name: str, overrides: dict | None = None):
+    """Batch reader for a filesystem DDL table, honoring its declared
+    options merged with per-statement ``overrides`` (OPTIONS hint keys,
+    e.g. 'csv.field-delimiter'). Returns (reader, path)."""
+    fmt, path, schema_ddl, opts = _TABLES[name]
+    merged = {**opts, **(overrides or {})}
+    fmt = merged.get("format", fmt).lower()
+    path = merged.get("path", path)
+    reader = spark.read.format(fmt).schema(schema_ddl)
+    for k, v in _fs_read_opts(merged, fmt).items():
+        reader = reader.option(k, v)
+    return reader, path
+
+
+def fs_writer(df, name: str):
+    """Writer for a filesystem DDL table honoring its declared options.
+    Returns (writer, fmt, path)."""
+    fmt, path, _schema, opts = _TABLES[name]
+    writer = df.write.format(fmt)
+    for k, v in _fs_read_opts(opts, fmt).items():
+        writer = writer.option(k, v)
+    return writer, fmt, path
+
+
+def refresh_table_view(spark: SparkSession, name: str) -> None:
+    """Re-register the temp view after the table's files changed."""
+    reader, path = fs_reader(spark, name)
+    reader.load(path).createOrReplaceTempView(name)
 
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
@@ -115,6 +159,33 @@ def _parse_columns(body: str):
     return cols, watermark
 
 
+def _schema_ddl_cols(schema_ddl: str) -> list[tuple[str, str]]:
+    """Parse ``"a BIGINT, b DECIMAL(10, 2)"`` into [(name, type)] —
+    commas inside (), <> are type syntax, not separators."""
+    parts, cur, depth = [], [], 0
+    for ch in schema_ddl:
+        if ch in "(<":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")>":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        parts.append("".join(cur))
+    out = []
+    for p in parts:
+        toks = p.strip().split(None, 1)
+        if len(toks) != 2:
+            raise DdlError(f"bad schema column: {p.strip()!r}")
+        out.append((toks[0].strip("`"), toks[1].strip()))
+    return out
+
+
 def _datagen_df(spark: SparkSession, cols, opts: dict):
     """Deterministic datagen scan (reference datagen connector): first
     column is the sequence id, the rest cycle mod 97. Honors the
@@ -153,13 +224,9 @@ def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
         # writer produces files).
         if not path.startswith(("s3://", "hdfs://")) and not os.path.exists(path):
             os.makedirs(path, exist_ok=True)
-        reader = spark.read.format(fmt).schema(schema_ddl)
-        if fmt == "csv":
-            reader = reader.option(
-                "header", opts.get("csv.include-header", "true")
-            ).option("sep", opts.get("csv.field-delimiter", ","))
+        _TABLES[name] = (fmt, path, schema_ddl, opts)
+        reader, _ = fs_reader(spark, name)
         df = reader.load(path)
-        _TABLES[name] = (fmt, path, schema_ddl)
     elif connector == "datagen":
         df = _datagen_df(spark, cols, opts)
         _TABLES[name] = ("datagen", opts, cols)
@@ -197,12 +264,26 @@ def execute_flink_insert(spark: SparkSession, sql: str):
     name = m.group("name")
     if _TABLES[name][0] == "datagen":
         raise DdlError(f"datagen table {name!r} is a source — INSERT unsupported")
-    fmt, path, schema_ddl = _TABLES[name]
     out = spark.sql(m.group("select"))
+    # POSITIONAL column mapping with casts to the declared schema (the
+    # reference's SqlInsert semantics; parquet reads back BY NAME, so an
+    # expression-named select column would otherwise round-trip as NULL)
+    declared = _schema_ddl_cols(_TABLES[name][2])
+    if len(out.columns) != len(declared):
+        raise DdlError(
+            f"INSERT INTO {name}: {len(out.columns)} select columns for "
+            f"{len(declared)} declared table columns"
+        )
+    out = out.select(
+        *[
+            F.col(old).cast(t).alias(n)
+            for old, (n, t) in zip(out.columns, declared)
+        ]
+    )
     mode = "overwrite" if m.group("mode").upper() == "OVERWRITE" else "append"
-    out.write.format(fmt).mode(mode).save(path)
-    df = spark.read.format(fmt).schema(schema_ddl).load(path)
-    df.createOrReplaceTempView(name)
+    writer, _fmt, path = fs_writer(out, name)
+    writer.mode(mode).save(path)
+    refresh_table_view(spark, name)
     return spark.sql("SELECT 'OK' AS result")
 
 
@@ -212,8 +293,11 @@ def stream_ddl_table(spark: SparkSession, name: str) -> DataFrame:
     catalog table."""
     if name not in _TABLES or _TABLES[name][0] == "datagen":
         raise DdlError(f"{name!r} was not declared via filesystem DDL")
-    fmt, path, schema_ddl = _TABLES[name]
-    df = spark.readStream.format(fmt).schema(schema_ddl).load(path)
+    fmt, path, schema_ddl, opts = _TABLES[name]
+    reader = spark.readStream.format(fmt).schema(schema_ddl)
+    for k, v in _fs_read_opts(opts, fmt).items():
+        reader = reader.option(k, v)
+    df = reader.load(path)
     if name in WATERMARKS:
         col, delay = WATERMARKS[name]
         # Watermarks need a TIMESTAMP column; a BIGINT event-time column is

@@ -232,6 +232,13 @@ class TableEnvironment:
                 [(sj.group("id"), "STOPPED", ckpt)],
                 "job_id string, status string, savepoint string",
             )
+        if "/*+" in query:
+            # BEFORE the statement-set/DML/INSERT routes: hints inside an
+            # INSERT's SELECT must translate too (r6 review finding —
+            # Spark silently ignores unknown hint names)
+            from apache_flink_spark.query_hints import rewrite_flink_hints
+
+            query = rewrite_flink_hints(self.spark, query)
         sm_set = _STMT_SET_RE.match(query)
         if sm_set:
             # EXECUTE STATEMENT SET BEGIN <insert>; ...; END (reference
@@ -272,10 +279,6 @@ class TableEnvironment:
             handled = execute_flink_insert(self.spark, query)
             if handled is not None:
                 return handled
-        if "/*+" in query:
-            from apache_flink_spark.query_hints import rewrite_flink_hints
-
-            query = rewrite_flink_hints(self.spark, query)
         if "TUMBLE" in up or "HOP" in up or "CUMULATE" in up or "SESSION" in up:
             from apache_flink_spark.window_tvf import (
                 rewrite_group_windows,

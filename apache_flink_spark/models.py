@@ -32,9 +32,10 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from typing import Callable, Optional
+from typing import TYPE_CHECKING, Callable, Optional
 
-import pandas as pd
+if TYPE_CHECKING:  # pandas loads lazily — sessions that never score a
+    import pandas as pd  # model must not pay the import (r6 review)
 
 __all__ = [
     "CatalogModel",
@@ -93,8 +94,9 @@ def register_provider(name: str, fn: Callable) -> None:
     _PROVIDERS[name] = fn
 
 
-def _l2norm_provider(batch: pd.DataFrame, model: CatalogModel) -> pd.DataFrame:
+def _l2norm_provider(batch: "pd.DataFrame", model: CatalogModel) -> "pd.DataFrame":
     import numpy as np
+    import pandas as pd
 
     col = model.input_schema[0][0]
     out = model.output_schema[0][0]
@@ -106,8 +108,9 @@ def _l2norm_provider(batch: pd.DataFrame, model: CatalogModel) -> pd.DataFrame:
     return pd.DataFrame({out: vals})
 
 
-def _linear_provider(batch: pd.DataFrame, model: CatalogModel) -> pd.DataFrame:
+def _linear_provider(batch: "pd.DataFrame", model: CatalogModel) -> "pd.DataFrame":
     import numpy as np
+    import pandas as pd
 
     col = model.input_schema[0][0]
     out = model.output_schema[0][0]
@@ -216,6 +219,8 @@ def ml_predict(df, model: CatalogModel, input_cols: Optional[list] = None):
     rename = dict(zip(actual, expected))
 
     def score(batches):
+        import pandas as pd
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -327,5 +332,9 @@ def try_handle_model_statement(tenv, sql: str):
         scored = ml_predict(spark.table(pm.group("table")), model, cols)
         view = f"__ml_predict_{pm.group('model')}_{pm.group('table')}"
         scored.createOrReplaceTempView(view)
-        return spark.sql(sql[:pm.start()] + view + sql[pm.end():])
+        # re-dispatch the substituted statement through the FACADE, not
+        # bare spark.sql: an INSERT INTO <ddl sink> SELECT ... FROM
+        # ML_PREDICT(...) must still reach execute_flink_insert (r6
+        # review finding — spark.sql cannot insert into a temp view)
+        return tenv.sql(sql[:pm.start()] + view + sql[pm.end():])
     return None

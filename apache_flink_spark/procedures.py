@@ -90,6 +90,17 @@ def _compact_files(ctx: ProcedureContext, path: str, target_mb: int = 128):
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)
+    # invalidate cached file listings (r6 review finding: a view over
+    # this path would otherwise hold the pre-compaction file index and
+    # throw FileNotFound), and re-register any DDL table on this path
+    ctx.spark.catalog.refreshByPath(path)
+    from apache_flink_spark.ddl import _TABLES, refresh_table_view
+
+    for tname, spec in list(_TABLES.items()):
+        if spec[0] != "datagen" and os.path.normpath(
+            spec[1]
+        ) == os.path.normpath(path):
+            refresh_table_view(ctx.spark, tname)
     after = [
         f for f in glob.glob(os.path.join(path, "**", "*.parquet"),
                              recursive=True)

@@ -148,24 +148,18 @@ def _apply_dynamic_options(spark, table: str, options: dict) -> str:
 
         _datagen_df(spark, cols, merged).createOrReplaceTempView(view)
         return view
-    fmt, path, schema_ddl = spec
-    merged_fmt = options.pop("format", fmt).lower()
-    reader = spark.read.format(merged_fmt).schema(schema_ddl)
-    if merged_fmt == "csv":
-        reader = reader.option(
-            "header", options.pop("csv.include-header", "true")
-        ).option("sep", options.pop("csv.field-delimiter", ","))
-    new_path = options.pop("path", path)
-    unknown = {
-        k: v for k, v in options.items() if not k.startswith(merged_fmt + ".")
-    }
+    known = {"format", "path", "csv.include-header", "csv.field-delimiter"}
+    unknown = sorted(k for k in options if k not in known)
     if unknown:
         raise HintError(
             f"OPTIONS hint on {table!r}: unsupported option(s) "
-            f"{sorted(unknown)} for the filesystem connector"
+            f"{unknown} for the filesystem connector"
         )
-    for k, v in options.items():
-        reader = reader.option(k.split(".", 1)[1], v)
+    # merge over the DECLARED options (fs_reader) — defaults-only re-read
+    # silently re-parses csv wrong (r6 review finding)
+    from apache_flink_spark.ddl import fs_reader
+
+    reader, new_path = fs_reader(spark, table, overrides=options)
     try:
         reader.load(new_path).createOrReplaceTempView(view)
     except Exception as ex:  # surface the connector error with hint context
@@ -175,10 +169,15 @@ def _apply_dynamic_options(spark, table: str, options: dict) -> str:
     return view
 
 
-# ``<table> [AS alias] /*+ OPTIONS(...) */`` — located per block, with the
-# table reference read BACKWARD from the hint block start (literal-safe:
-# the block spans came from the scanner).
+# ``<table> /*+ OPTIONS(...) */ [AS alias]`` — the hint follows the table
+# name (Calcite table-hint position). Read BACKWARD from the hint block
+# start (literal-safe: the block spans came from the scanner); the
+# two-token form catches ``<table> AS? <alias> /*+ OPTIONS */`` written
+# alias-first and resolves the TABLE, not the alias (r6 review finding).
 _TABLE_REF_RE = re.compile(r"([A-Za-z_][\w.]*)\s*$")
+_TABLE_ALIAS_RE = re.compile(
+    r"([A-Za-z_][\w.]*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s*$", re.I
+)
 
 
 def rewrite_flink_hints(spark, sql: str) -> str:
@@ -197,6 +196,16 @@ def rewrite_flink_hints(spark, sql: str) -> str:
                     raise HintError(
                         "OPTIONS hint must directly follow a table reference"
                     )
+                from apache_flink_spark.ddl import _TABLES
+
+                if ref.group(1) not in _TABLES:
+                    # maybe '<table> [AS] <alias> /*+ OPTIONS */' — the
+                    # trailing token is the alias; resolve the table
+                    am = _TABLE_ALIAS_RE.search(sql, 0, start)
+                    if am and am.group(1) in _TABLES and \
+                            am.group(1).upper() != "FROM" and \
+                            am.group(2).upper() != "AS":
+                        ref = am
                 view = _apply_dynamic_options(
                     spark, ref.group(1), _parse_options(args)
                 )

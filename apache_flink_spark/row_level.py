@@ -100,26 +100,27 @@ def _table_spec(name: str):
             "one (reference: the connector must implement "
             "SupportsRowLevelDelete/Update — datagen sources do not)"
         )
-    return _TABLES[name]
+    fmt, path, schema_ddl, _opts = _TABLES[name]
+    return fmt, path, schema_ddl
 
 
 def _rewrite(spark, name: str, df, fmt: str, path: str, schema_ddl: str):
-    """Copy-on-write: staging write -> atomic swap -> view refresh."""
+    """Copy-on-write: staging write -> atomic swap -> view refresh. The
+    write/read honor the table's DECLARED connector options (csv
+    delimiter/header) via ddl.fs_writer/refresh_table_view — a
+    defaults-only rewrite silently re-encodes csv (r6 review finding)."""
+    from apache_flink_spark.ddl import fs_writer, refresh_table_view
+
     staging = path.rstrip("/") + ".__rowlevel__"
     backup = path.rstrip("/") + ".__prerowlevel__"
     shutil.rmtree(staging, ignore_errors=True)
-    writer = df.write.format(fmt).mode("overwrite")
-    if fmt == "csv":
-        writer = writer.option("header", "true")
-    writer.save(staging)
+    writer, _fmt, _path = fs_writer(df, name)
+    writer.mode("overwrite").save(staging)
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)
-    reader = spark.read.format(fmt).schema(schema_ddl)
-    if fmt == "csv":
-        reader = reader.option("header", "true")
-    reader.load(path).createOrReplaceTempView(name)
+    refresh_table_view(spark, name)
 
 
 def try_handle_row_level_statement(spark, sql: str):
@@ -129,13 +130,12 @@ def try_handle_row_level_statement(spark, sql: str):
     if m:
         name = m.group("name")
         fmt, path, schema_ddl = _table_spec(name)
+        from apache_flink_spark.ddl import refresh_table_view
+
         n = spark.table(name).count()
         shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
-        reader = spark.read.format(fmt).schema(schema_ddl)
-        if fmt == "csv":
-            reader = reader.option("header", "true")
-        reader.load(path).createOrReplaceTempView(name)
+        refresh_table_view(spark, name)
         return spark.createDataFrame([(n,)], "rows_affected bigint")
 
     m = _DELETE_RE.match(sql)

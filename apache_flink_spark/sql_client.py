@@ -212,19 +212,25 @@ class SqlClient:
         self.out.flush()
         for line in inp:
             buf += line
-            while ";" in buf:
-                stmt, _, buf = buf.partition(";")
+            # literal-safe, statement-set-aware incremental split: an
+            # open EXECUTE STATEMENT SET (or an unterminated literal)
+            # keeps buffering until complete (r6 review finding — the
+            # old partition(';') fragmented sets and quoted ';')
+            done, rest = _split_terminated(buf)
+            ready, pending = _merge_statement_sets(done)
+            for stmt in ready:
                 if not self.run_statement(stmt):
                     return
+            buf = ";".join(pending) + ";" + rest if pending else rest
             self.out.write(_PROMPT)
             self.out.flush()
         if buf.strip():
             self.run_statement(buf)
 
 
-def split_statements(text: str) -> list[str]:
-    """Split a script on ';' outside single-quoted literals and
-    ``--`` line comments."""
+def _split_terminated(text: str) -> tuple[list[str], str]:
+    """Split on ';' outside single-quoted literals and ``--`` comments;
+    returns (';'-terminated statements, unterminated tail)."""
     stmts, cur, in_str, i = [], [], False, 0
     while i < len(text):
         ch = text[i]
@@ -244,22 +250,55 @@ def split_statements(text: str) -> list[str]:
             i = len(text) if j < 0 else j
             continue
         elif ch == ";":
-            # keep EXECUTE STATEMENT SET BEGIN ... END intact: inner ';'
-            # terminators are content until the closing END
-            acc = "".join(cur)
-            if _STMT_SET_OPEN_RE.match(acc) and not re.search(
-                r"\bEND\s*$", acc, re.I
-            ):
-                cur.append(ch)
-            else:
-                stmts.append(acc)
-                cur = []
+            stmts.append("".join(cur))
+            cur = []
         else:
             cur.append(ch)
         i += 1
-    if "".join(cur).strip():
-        stmts.append("".join(cur))
-    return [s for s in stmts if s.strip()]
+    return [s for s in stmts if s.strip()], "".join(cur)
+
+
+def _merge_statement_sets(
+    stmts: list[str],
+) -> tuple[list[str], Optional[list[str]]]:
+    """Re-merge EXECUTE STATEMENT SET BEGIN ...; ...; END into ONE
+    statement. The closing terminator is a STANDALONE ``END`` item (the
+    grammar puts ';' after every member), so a member's CASE ... END
+    never closes the set. Returns (merged, pending) where pending is the
+    parts of a still-open set (no END yet) or None."""
+    out: list[str] = []
+    i = 0
+    while i < len(stmts):
+        s = stmts[i]
+        if _STMT_SET_OPEN_RE.match(s):
+            parts = [s]
+            i += 1
+            while i < len(stmts) and stmts[i].strip().upper() != "END":
+                parts.append(stmts[i])
+                i += 1
+            if i >= len(stmts):
+                return out, parts
+            parts.append(stmts[i])
+            i += 1
+            out.append(";".join(parts))
+        else:
+            out.append(s)
+            i += 1
+    return out, None
+
+
+def split_statements(text: str) -> list[str]:
+    """Split a script on ';' outside single-quoted literals and ``--``
+    line comments, keeping EXECUTE STATEMENT SET blocks intact."""
+    stmts, rest = _split_terminated(text)
+    if rest.strip():
+        stmts.append(rest)
+    merged, pending = _merge_statement_sets(stmts)
+    if pending is not None:
+        raise ValueError(
+            "unterminated EXECUTE STATEMENT SET: no closing END"
+        )
+    return merged
 
 
 def main(argv: Optional[list[str]] = None) -> int:
