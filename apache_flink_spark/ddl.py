@@ -274,11 +274,10 @@ def execute_flink_insert(spark: SparkSession, sql: str):
             f"INSERT INTO {name}: {len(out.columns)} select columns for "
             f"{len(declared)} declared table columns"
         )
-    out = out.select(
-        *[
-            F.col(old).cast(t).alias(n)
-            for old, (n, t) in zip(out.columns, declared)
-        ]
+    # toDF is PURELY positional — F.col(old_name) would mis-parse
+    # expression-generated names containing dots like "(id * 1.5)"
+    out = out.toDF(*[n for n, _ in declared]).select(
+        *[F.col(n).cast(t).alias(n) for n, t in declared]
     )
     mode = "overwrite" if m.group("mode").upper() == "OVERWRITE" else "append"
     writer, _fmt, path = fs_writer(out, name)
