@@ -1,0 +1,144 @@
+"""Catalog store — persist the session catalog across processes.
+
+Reference parity: ``flink-table-api-java .../catalog/FileCatalogStore.java``
+(and GenericInMemoryCatalogStore): the reference persists catalog
+DESCRIPTORS — the options needed to re-open a catalog object — not data.
+Same here: the store is one JSON file holding every DDL-declared
+connector table (options + schema + watermark) and every catalog model
+(INPUT/OUTPUT schemas + options); ``load_catalog_store`` replays them
+into a fresh session, re-registering views through the same
+``fs_reader``/datagen paths the DDL uses, so a new process sees the
+exact catalog a previous one declared. Data stays where it lives (the
+table paths); the store is metadata only, ~KBs at any scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+__all__ = ["save_catalog_store", "load_catalog_store", "CatalogStoreError"]
+
+FORMAT_VERSION = 1
+
+
+class CatalogStoreError(ValueError):
+    pass
+
+
+def save_catalog_store(tenv, path: str) -> int:
+    """Write every DDL table + model descriptor to ``path`` (JSON).
+    Returns the number of objects saved."""
+    from apache_flink_spark.ddl import _TABLES, WATERMARKS
+
+    tables = {}
+    for name, spec in _TABLES.items():
+        if spec[0] == "datagen":
+            _, opts, cols = spec
+            tables[name] = {
+                "connector": "datagen",
+                "options": dict(opts),
+                "columns": [list(c) for c in cols],
+            }
+        else:
+            fmt, tpath, schema_ddl, opts = spec
+            tables[name] = {
+                "connector": "filesystem",
+                "format": fmt,
+                "path": tpath,
+                "schema": schema_ddl,
+                "options": dict(opts),
+            }
+        if name in WATERMARKS:
+            tables[name]["watermark"] = list(WATERMARKS[name])
+
+    models = []
+    for mname in tenv.model_catalog.list():
+        m = tenv.model_catalog.get(mname)
+        models.append(
+            {
+                "name": m.name,
+                "input_schema": [list(c) for c in m.input_schema],
+                "output_schema": [list(c) for c in m.output_schema],
+                "options": dict(m.options),
+                "comment": m.comment,
+                "temporary": m.temporary,
+            }
+        )
+
+    doc = {
+        "format_version": FORMAT_VERSION,
+        "tables": tables,
+        "models": models,
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".__writing__"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    return len(tables) + len(models)
+
+
+def load_catalog_store(tenv, path: str) -> int:
+    """Replay a catalog store into ``tenv``'s session: re-register every
+    table view and model. Returns the number of objects restored. Loud
+    on version mismatch or a table whose path no longer exists."""
+    from apache_flink_spark.ddl import (
+        _TABLES,
+        WATERMARKS,
+        _datagen_df,
+        fs_reader,
+    )
+    from apache_flink_spark.models import CatalogModel
+
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except FileNotFoundError:
+        raise CatalogStoreError(f"catalog store {path!r} does not exist")
+    except json.JSONDecodeError as ex:
+        raise CatalogStoreError(f"catalog store {path!r} is not JSON: {ex}")
+    ver = doc.get("format_version")
+    if ver != FORMAT_VERSION:
+        raise CatalogStoreError(
+            f"catalog store format_version {ver!r} != supported "
+            f"{FORMAT_VERSION} — refusing a silent misread"
+        )
+
+    n = 0
+    for name, t in doc.get("tables", {}).items():
+        if t["connector"] == "datagen":
+            cols = [tuple(c) for c in t["columns"]]
+            _TABLES[name] = ("datagen", dict(t["options"]), cols)
+            _datagen_df(tenv.spark, cols, t["options"]).createOrReplaceTempView(
+                name
+            )
+        else:
+            if not os.path.exists(t["path"]):
+                raise CatalogStoreError(
+                    f"table {name!r}: declared path {t['path']!r} no "
+                    "longer exists"
+                )
+            _TABLES[name] = (
+                t["format"], t["path"], t["schema"], dict(t["options"])
+            )
+            reader, tpath = fs_reader(tenv.spark, name)
+            reader.load(tpath).createOrReplaceTempView(name)
+        if "watermark" in t:
+            WATERMARKS[name] = tuple(t["watermark"])
+        n += 1
+    for m in doc.get("models", []):
+        tenv.model_catalog.create(
+            CatalogModel(
+                name=m["name"],
+                input_schema=[tuple(c) for c in m["input_schema"]],
+                output_schema=[tuple(c) for c in m["output_schema"]],
+                options=dict(m["options"]),
+                comment=m.get("comment"),
+                temporary=bool(m.get("temporary")),
+            ),
+            if_not_exists=True,
+        )
+        n += 1
+    return n
