@@ -1,0 +1,443 @@
+"""ALTER TABLE + SHOW CREATE TABLE for DDL-declared connector tables.
+
+Reference parity: Flink's ALTER TABLE statement family
+(flink-sql-parser ``parserImpls.ftl`` SqlAlterTable; operations applied by
+``AlterSchemaConverter`` / ``OperationConverterUtils`` in
+flink-table-planner) and ``SqlShowCreateTable`` /
+``ShowCreateUtil.buildShowCreateTableRow``:
+
+  - ``ALTER TABLE t RENAME TO t2``           (SqlAlterTableRename)
+  - ``ALTER TABLE t SET ('k'='v', ...)``     (SqlAlterTableOptions)
+  - ``ALTER TABLE t RESET ('k', ...)``       (SqlAlterTableReset)
+  - ``ALTER TABLE t ADD (c TYPE [FIRST|AFTER col], ...)``  (SqlAlterTableAdd)
+  - ``ALTER TABLE t DROP (c, ...)``          (SqlAlterTableDropColumn)
+  - ``ALTER TABLE t RENAME c TO c2``         (SqlAlterTableRenameColumn)
+  - ``ALTER TABLE t MODIFY (c TYPE, ...)``   (SqlAlterTableModify)
+  - ``ALTER TABLE t COMPACT``                (SqlAlterTableCompact — the
+    filesystem connector's small-file compaction entry)
+  - ``SHOW CREATE TABLE t``
+
+Execution model. The reference mutates catalog metadata and lets
+connectors interpret it. Here the catalog is :data:`ddl._TABLES` and the
+storage is real files, so each shape picks the cheapest SAFE strategy:
+
+  - **Metadata-only** (no data movement): RENAME TO, SET/RESET, and —
+    for by-NAME formats (parquet/orc/json) — ADD / DROP. Old files simply
+    resolve the added column to NULL / stop projecting the dropped one,
+    exactly how the reference's filesystem connector behaves after a
+    catalog-level schema change.
+  - **Copy-on-write rewrite** (distributed read → cast/rename → staging
+    dir → atomic swap, the same shape as row_level.py): RENAME COLUMN and
+    MODIFY always; ADD / DROP too when the format is positional (csv),
+    where a metadata-only change would silently misalign every subsequent
+    read. Data never touches the driver.
+
+Every unsupported clause raises :class:`ddl.DdlError` loudly.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from apache_flink_spark.ddl import (
+    _TABLES,
+    WATERMARKS,
+    DdlError,
+    _map_type,
+    _schema_ddl_cols,
+    _split_options,
+    fs_reader,
+    fs_writer,
+    refresh_table_view,
+)
+
+__all__ = ["try_handle_alter_statement", "show_create_table"]
+
+_BY_NAME_FORMATS = {"parquet", "orc", "json"}
+
+_RENAME_TABLE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s+"
+    r"RENAME\s+TO\s+(?P<to>\w+)\s*$",
+    re.I,
+)
+_RENAME_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+RENAME\s+(?P<col>\w+)\s+"
+    r"TO\s+(?P<to>\w+)\s*$",
+    re.I,
+)
+_SET_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+SET\s*\((?P<opts>.*)\)\s*$",
+    re.I | re.S,
+)
+_RESET_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+RESET\s*\((?P<keys>.*)\)\s*$",
+    re.I | re.S,
+)
+_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ADD\s+"
+    r"(?:\((?P<cols>.*)\)|(?P<col>\w+\s+[^,()]+?))\s*$",
+    re.I | re.S,
+)
+_DROP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+DROP\s+"
+    r"(?:\((?P<cols>[\w\s,]*)\)|(?P<col>\w+))\s*$",
+    re.I,
+)
+_MODIFY_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+MODIFY\s+"
+    r"(?:\((?P<cols>.*)\)|(?P<col>\w+\s+[^,()]+?))\s*$",
+    re.I | re.S,
+)
+_COMPACT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+COMPACT\s*$", re.I
+)
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>\w+)\s*$", re.I
+)
+
+
+def _fs_spec(name: str):
+    """Spec for a filesystem DDL table, or None when ``name`` is not a
+    DDL table at all (caller falls through to ``spark.sql`` — Spark
+    handles ALTER on its own catalog tables)."""
+    if name not in _TABLES:
+        return None
+    spec = _TABLES[name]
+    if spec[0] == "datagen":
+        raise DdlError(
+            f"{name!r} is a datagen source — ALTER applies to filesystem "
+            "DDL tables only (reference: datagen has no mutable catalog "
+            "schema either)"
+        )
+    return spec  # (fmt, path, schema_ddl, opts)
+
+
+def _ok(spark: SparkSession):
+    return spark.sql("SELECT 'OK' AS result")
+
+
+def _set_schema(name: str, cols: list[tuple[str, str]]) -> None:
+    fmt, path, _schema, opts = _TABLES[name]
+    _TABLES[name] = (fmt, path, ", ".join(f"{c} {t}" for c, t in cols), opts)
+
+
+def _cow_rewrite(spark, name: str, select_exprs) -> None:
+    """Distributed rewrite of the table files under the CURRENT declared
+    schema, projecting ``select_exprs``, then atomic dir swap — the
+    row_level.py copy-on-write shape. Callers update _TABLES BEFORE this
+    runs only if the writer schema should be the new one (it reads via the
+    pre-change reader passed in select exprs)."""
+    fmt, path, _schema, _opts = _TABLES[name]
+    reader, _ = fs_reader(spark, name)
+    df = reader.load(path).select(*select_exprs)
+    staging = path.rstrip("/") + ".__altering__"
+    backup = path.rstrip("/") + ".__prealter__"
+    shutil.rmtree(staging, ignore_errors=True)
+    writer, _fmt, _p = fs_writer(df, name)
+    writer.mode("overwrite").save(staging)
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+
+
+def _parse_typed_cols(body: str) -> list[tuple[str, str, str | None]]:
+    """``c TYPE [FIRST | AFTER other], ...`` -> [(name, spark_type, pos)]
+    where pos is None | 'FIRST' | an existing column name."""
+    out = []
+    from apache_flink_spark.match_recognize import _split_top_level
+
+    for part in _split_top_level(body):
+        part = part.strip()
+        if not part:
+            continue
+        m = re.match(
+            r"^(\w+)\s+(.+?)(?:\s+NOT\s+NULL)?"
+            r"(?:\s+(?:(FIRST)|AFTER\s+(\w+)))?$",
+            part,
+            re.I | re.S,
+        )
+        if not m:
+            raise DdlError(f"unsupported ALTER column clause {part!r}")
+        pos = "FIRST" if m.group(3) else (m.group(4) or None)
+        out.append((m.group(1), _map_type(m.group(2)), pos))
+    if not out:
+        raise DdlError("ALTER with an empty column list")
+    return out
+
+
+def _insert_at(cols, new, pos):
+    """Insert (name, type) honoring FIRST/AFTER x/None(=append)."""
+    if pos is None:
+        return cols + [new]
+    if pos == "FIRST":
+        return [new] + cols
+    idx = [i for i, (c, _t) in enumerate(cols) if c == pos]
+    if not idx:
+        raise DdlError(f"AFTER column {pos!r} does not exist")
+    return cols[: idx[0] + 1] + [new] + cols[idx[0] + 1 :]
+
+
+_FLINK_TYPE = {
+    "string": "STRING",
+    "binary": "BYTES",
+    "timestamp": "TIMESTAMP(3)",
+    "timestamp_ntz": "TIMESTAMP(3)",
+}
+
+
+def _flink_type(t: str) -> str:
+    """Reverse of _map_type for SHOW CREATE TABLE rendering."""
+    return _FLINK_TYPE.get(t.lower(), t.upper())
+
+
+def show_create_table(spark: SparkSession, name: str):
+    """Reconstructed Flink DDL — reference ShowCreateUtil: one row,
+    column ``result``. Round-trips through execute_flink_ddl."""
+    if name not in _TABLES:
+        return None  # not a DDL table — Spark may know it
+    spec = _TABLES[name]
+    if spec[0] == "datagen":
+        cols = [(c, t) for c, t in spec[2]]
+        opts = dict(spec[1])
+        opts.setdefault("connector", "datagen")
+    else:
+        fmt, path, schema_ddl, topts = spec
+        cols = _schema_ddl_cols(schema_ddl)
+        opts = dict(topts)
+        opts.setdefault("connector", "filesystem")
+        opts.setdefault("path", path)
+        opts.setdefault("format", fmt)
+    lines = [f"  {c} {_flink_type(t)}" for c, t in cols]
+    if name in WATERMARKS:
+        col, delay = WATERMARKS[name]
+        n, u = delay.split(None, 1)
+        lines.append(
+            f"  WATERMARK FOR {col} AS {col} - INTERVAL '{n}' {u.upper()}"
+        )
+    body = ",\n".join(lines)
+    with_body = ",\n".join(
+        f"  '{k}' = '{v}'" for k, v in sorted(opts.items())
+    )
+    ddl = f"CREATE TABLE {name} (\n{body}\n) WITH (\n{with_body}\n)"
+    return spark.createDataFrame([(ddl,)], "result string")
+
+
+def try_handle_alter_statement(spark: SparkSession, sql: str):
+    """Route one ALTER TABLE / SHOW CREATE TABLE statement; returns a
+    result DataFrame or None when the statement is not one of ours."""
+    m = _SHOW_CREATE_RE.match(sql)
+    if m:
+        return show_create_table(spark, m.group("name"))
+
+    m = _RENAME_TABLE_RE.match(sql)
+    if m:
+        name, to = m.group("name"), m.group("to")
+        if name not in _TABLES:
+            if re.match(r"^\s*ALTER\s+TABLE\s+IF\s+EXISTS", sql, re.I):
+                return _ok(spark)
+            return None  # Spark handles ALTER ... RENAME on its tables
+        if to in _TABLES:
+            raise DdlError(f"target table {to!r} already exists")
+        _TABLES[to] = _TABLES.pop(name)
+        if name in WATERMARKS:
+            WATERMARKS[to] = WATERMARKS.pop(name)
+        spark.catalog.dropTempView(name)
+        if _TABLES[to][0] == "datagen":
+            from apache_flink_spark.ddl import _datagen_df
+
+            _datagen_df(spark, _TABLES[to][2], _TABLES[to][1]) \
+                .createOrReplaceTempView(to)
+        else:
+            refresh_table_view(spark, to)
+        return _ok(spark)
+
+    m = _RENAME_COL_RE.match(sql)
+    if m:
+        name, col, to = m.group("name"), m.group("col"), m.group("to")
+        if _fs_spec(name) is None:
+            return None
+        cols = _schema_ddl_cols(_TABLES[name][2])
+        names = [c for c, _t in cols]
+        if col not in names:
+            raise DdlError(f"column {col!r} not in table {name!r}")
+        if to in names:
+            raise DdlError(f"column {to!r} already exists in {name!r}")
+        # COW: by-name formats would resolve the renamed column to NULL
+        # against old files; positional csv would carry a stale header
+        _cow_rewrite(
+            spark, name,
+            [F.col(c).alias(to if c == col else c) for c in names],
+        )
+        _set_schema(
+            name, [(to if c == col else c, t) for c, t in cols]
+        )
+        if WATERMARKS.get(name, (None,))[0] == col:
+            WATERMARKS[name] = (to, WATERMARKS[name][1])
+        refresh_table_view(spark, name)
+        return _ok(spark)
+
+    m = _SET_RE.match(sql)
+    if m:
+        name = m.group("name")
+        if _fs_spec(name) is None:
+            return None
+        new = _split_options(m.group("opts"))
+        if not new:
+            raise DdlError("ALTER TABLE ... SET with no 'k'='v' pairs")
+        if "connector" in new:
+            raise DdlError(
+                "changing 'connector' is unsupported (reference: "
+                "ALTER TABLE SET cannot change the connector either)"
+            )
+        fmt, path, schema_ddl, opts = _TABLES[name]
+        opts = {**opts, **new}
+        fmt = opts.get("format", fmt).lower()
+        path = opts.get("path", path)
+        _TABLES[name] = (fmt, path, schema_ddl, opts)
+        refresh_table_view(spark, name)
+        return _ok(spark)
+
+    m = _RESET_RE.match(sql)
+    if m:
+        name = m.group("name")
+        if _fs_spec(name) is None:
+            return None
+        keys = [k for k in re.findall(r"'([^']*)'", m.group("keys"))]
+        if not keys:
+            raise DdlError("ALTER TABLE ... RESET with no keys")
+        fmt, path, schema_ddl, opts = _TABLES[name]
+        for k in keys:
+            if k.lower() in ("connector", "path"):
+                raise DdlError(f"cannot RESET required option {k!r}")
+            opts.pop(k.lower(), None)
+        _TABLES[name] = (fmt, path, schema_ddl, opts)
+        refresh_table_view(spark, name)
+        return _ok(spark)
+
+    m = _ADD_RE.match(sql)
+    if m:
+        name = m.group("name")
+        spec = _fs_spec(name)
+        if spec is None:
+            return None
+        fmt, _path, schema_ddl, _opts = spec
+        adds = _parse_typed_cols(m.group("cols") or m.group("col"))
+        cols = _schema_ddl_cols(schema_ddl)
+        names = {c for c, _t in cols}
+        for c, t, pos in adds:
+            if c in names:
+                raise DdlError(f"column {c!r} already exists in {name!r}")
+            cols = _insert_at(cols, (c, t), pos)
+            names.add(c)
+        if fmt in _BY_NAME_FORMATS:
+            _set_schema(name, cols)  # old files read the new column as NULL
+        else:
+            # positional format: rewrite so files match the new layout
+            old = _schema_ddl_cols(schema_ddl)
+            exprs = [
+                F.col(c) if c in {o for o, _ in old}
+                else F.lit(None).cast(t).alias(c)
+                for c, t in cols
+            ]
+            _cow_rewrite(spark, name, exprs)
+            _set_schema(name, cols)
+        refresh_table_view(spark, name)
+        return _ok(spark)
+
+    m = _DROP_RE.match(sql)
+    if m:
+        name = m.group("name")
+        spec = _fs_spec(name)
+        if spec is None:
+            return None
+        fmt, _path, schema_ddl, _opts = spec
+        drops = [
+            c.strip()
+            for c in (m.group("cols") or m.group("col")).split(",")
+            if c.strip()
+        ]
+        cols = _schema_ddl_cols(schema_ddl)
+        names = [c for c, _t in cols]
+        for c in drops:
+            if c not in names:
+                raise DdlError(f"column {c!r} not in table {name!r}")
+        kept = [(c, t) for c, t in cols if c not in drops]
+        if not kept:
+            raise DdlError("cannot DROP every column")
+        if WATERMARKS.get(name, (None,))[0] in drops:
+            raise DdlError(
+                "cannot DROP the watermark column (reference: rowtime "
+                "attribute columns cannot be dropped)"
+            )
+        if fmt in _BY_NAME_FORMATS:
+            _set_schema(name, kept)  # reader simply stops projecting it
+        else:
+            _cow_rewrite(spark, name, [F.col(c) for c, _t in kept])
+            _set_schema(name, kept)
+        refresh_table_view(spark, name)
+        return _ok(spark)
+
+    m = _MODIFY_RE.match(sql)
+    if m:
+        name = m.group("name")
+        if _fs_spec(name) is None:
+            return None
+        mods = _parse_typed_cols(m.group("cols") or m.group("col"))
+        cols = _schema_ddl_cols(_TABLES[name][2])
+        names = [c for c, _t in cols]
+        by_name = dict(cols)
+        for c, t, pos in mods:
+            if c not in by_name:
+                raise DdlError(f"column {c!r} not in table {name!r}")
+            if pos is not None:
+                raise DdlError(
+                    "MODIFY ... FIRST/AFTER reordering is unsupported "
+                    "(type changes only)"
+                )
+            by_name[c] = t
+        # COW with cast: a metadata-only type change breaks parquet
+        # readers (physical type mismatch) and silently mis-parses csv
+        _cow_rewrite(
+            spark, name,
+            [F.col(c).cast(by_name[c]).alias(c) for c in names],
+        )
+        _set_schema(name, [(c, by_name[c]) for c in names])
+        refresh_table_view(spark, name)
+        return _ok(spark)
+
+    m = _COMPACT_RE.match(sql)
+    if m:
+        name = m.group("name")
+        spec = _fs_spec(name)
+        if spec is None:
+            return None
+        fmt, path, _schema, _opts = spec
+        if fmt != "parquet":
+            raise DdlError(
+                f"ALTER TABLE COMPACT supports parquet tables; {name!r} "
+                f"is {fmt!r}"
+            )
+        from apache_flink_spark.procedures import (
+            ProcedureContext,
+            _compact_files,
+        )
+
+        schema_ddl, rows = _compact_files(ProcedureContext(spark), path)
+        return spark.createDataFrame(rows, schema_ddl)
+
+    am = re.match(
+        r"^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)", sql, re.I
+    )
+    if am and am.group(1) in _TABLES:
+        raise DdlError(
+            f"unsupported ALTER TABLE clause: {sql.strip()[:80]!r} — "
+            "supported: RENAME TO, RENAME col TO, SET, RESET, ADD, DROP, "
+            "MODIFY, COMPACT"
+        )
+    return None

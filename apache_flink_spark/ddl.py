@@ -198,12 +198,151 @@ def _datagen_df(spark: SparkSession, cols, opts: dict):
     )
 
 
+_CREATE_LIKE_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>\w+)\s*(?:\((?P<body>.*?)\)\s*)?"
+    r"(?:WITH\s*\((?P<opts>.*?)\)\s*)?"
+    r"LIKE\s+(?P<src>\w+)\s*(?:\((?P<like>[^()]*)\))?\s*$",
+    re.I | re.S,
+)
+
+_LIKE_OPT_RE = re.compile(
+    r"(INCLUDING|EXCLUDING|OVERWRITING)\s+"
+    r"(ALL|OPTIONS|WATERMARKS|CONSTRAINTS|GENERATED|METADATA|PARTITIONS)",
+    re.I,
+)
+
+
+def _execute_create_like(spark: SparkSession, m) -> bool:
+    """CREATE TABLE t2 [(extra cols/watermark)] [WITH (...)] LIKE t1
+    [(like options)] — reference SqlCreateTableLike merged by
+    MergeTableLikeUtil.java. Strategies follow the reference:
+
+      - columns: always inherited; extra declared columns appended;
+      - OPTIONS: default INCLUDING (merge; duplicate key with a different
+        value errors), OVERWRITING lets the new WITH win, EXCLUDING keeps
+        only the new WITH;
+      - WATERMARKS: default INCLUDING; a newly declared watermark needs
+        OVERWRITING when the source has one; EXCLUDING drops it;
+      - CONSTRAINTS: accepted (PKs are NOT ENFORCED no-ops here);
+      - GENERATED/METADATA/PARTITIONS: outside the supported DDL subset
+        (no computed/metadata/partition columns exist) — error loudly.
+    """
+    name, src = m.group("name"), m.group("src")
+    if src not in _TABLES:
+        raise DdlError(f"LIKE source table {src!r} was not declared via DDL")
+    strat = {"OPTIONS": "INCLUDING", "WATERMARKS": "INCLUDING",
+             "CONSTRAINTS": "INCLUDING"}
+    for sm in _LIKE_OPT_RE.finditer(m.group("like") or ""):
+        how, what = sm.group(1).upper(), sm.group(2).upper()
+        if what in ("GENERATED", "METADATA", "PARTITIONS"):
+            raise DdlError(
+                f"LIKE option {how} {what} is outside the supported DDL "
+                "subset (no computed/metadata/partition columns)"
+            )
+        if what == "ALL":
+            if how == "OVERWRITING":
+                raise DdlError("OVERWRITING ALL is not valid LIKE syntax")
+            strat = dict.fromkeys(strat, how)
+        else:
+            strat[what] = how
+
+    extra_cols, extra_wm = (
+        _parse_columns(m.group("body")) if m.group("body")
+        else ([], None)
+    )
+    new_opts = _split_options(m.group("opts") or "")
+
+    spec = _TABLES[src]
+    if spec[0] == "datagen":
+        src_cols = list(spec[2])
+        src_opts = dict(spec[1])
+    else:
+        fmt, path, schema_ddl, topts = spec
+        src_cols = _schema_ddl_cols(schema_ddl)
+        src_opts = dict(topts)
+        src_opts.setdefault("connector", "filesystem")
+        src_opts.setdefault("path", path)
+        src_opts.setdefault("format", fmt)
+
+    taken = {c for c, _t in src_cols}
+    for c, _t in extra_cols:
+        if c in taken:
+            raise DdlError(
+                f"LIKE: column {c!r} already exists in source {src!r} "
+                "(the reference's MergeTableLikeUtil rejects duplicates too)"
+            )
+    cols = src_cols + extra_cols
+
+    if strat["OPTIONS"] == "EXCLUDING":
+        opts = new_opts
+    elif strat["OPTIONS"] == "OVERWRITING":
+        opts = {**src_opts, **new_opts}
+    else:  # INCLUDING — duplicate keys with conflicting values error
+        for k, v in new_opts.items():
+            if k in src_opts and src_opts[k] != v:
+                raise DdlError(
+                    f"LIKE INCLUDING OPTIONS: option {k!r} declared with a "
+                    f"different value ({v!r} vs {src_opts[k]!r}) — use "
+                    "OVERWRITING OPTIONS"
+                )
+        opts = {**src_opts, **new_opts}
+
+    watermark = None
+    if strat["WATERMARKS"] != "EXCLUDING" and src in WATERMARKS:
+        watermark = WATERMARKS[src]
+    if extra_wm is not None:
+        if watermark is not None and strat["WATERMARKS"] != "OVERWRITING":
+            raise DdlError(
+                "LIKE: source already defines a watermark — use "
+                "OVERWRITING WATERMARKS to replace it"
+            )
+        watermark = extra_wm
+
+    schema_ddl = ", ".join(f"{c} {t}" for c, t in cols)
+    connector = opts.get("connector", "").lower()
+    if connector == "filesystem":
+        fmt = opts.get("format", "parquet").lower()
+        path = opts.get("path")
+        if not path:
+            raise DdlError("filesystem connector requires a 'path' option")
+        if fmt not in ("parquet", "csv", "json", "orc"):
+            raise DdlError(f"unsupported filesystem format {fmt!r}")
+        if not path.startswith(("s3://", "hdfs://")) and not os.path.exists(path):
+            os.makedirs(path, exist_ok=True)
+        _TABLES[name] = (fmt, path, schema_ddl, opts)
+        reader, _ = fs_reader(spark, name)
+        df = reader.load(path)
+    elif connector == "datagen":
+        df = _datagen_df(spark, cols, opts)
+        _TABLES[name] = ("datagen", opts, cols)
+    else:
+        raise DdlError(
+            f"unsupported connector {connector!r} in LIKE result — "
+            "supported: filesystem, datagen"
+        )
+    df.createOrReplaceTempView(name)
+    if watermark:
+        WATERMARKS[name] = watermark
+    elif name in WATERMARKS:
+        del WATERMARKS[name]
+    return True
+
+
 def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
-    """Compile one Flink CREATE TABLE ... WITH (...) statement; returns
-    False when the statement is not a Flink connector DDL (caller should
-    fall through to ``spark.sql``)."""
+    """Compile one Flink CREATE TABLE ... WITH (...) statement (or
+    CREATE TABLE ... LIKE); returns False when the statement is not a
+    Flink connector DDL (caller should fall through to ``spark.sql``)."""
+    # LIKE first: _CREATE_RE's greedy body/opts groups would otherwise
+    # swallow a trailing LIKE clause into the options text
+    if re.search(r"\bLIKE\s+\w+\s*(?:\([^()]*\))?\s*$", sql):
+        lm = _CREATE_LIKE_RE.match(sql)
+        if lm is not None:
+            return _execute_create_like(spark, lm)
     m = _CREATE_RE.match(sql)
-    if m is None or "'connector'" not in sql.replace(" ", "").replace('"', "'"):
+    if m is None:
+        return False
+    if "'connector'" not in sql.replace(" ", "").replace('"', "'"):
         return False
     name = m.group("name")
     opts = _split_options(m.group("opts"))

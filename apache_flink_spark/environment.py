@@ -185,11 +185,26 @@ class TableEnvironment:
                 return self.spark.sql("SET")
             self.spark.conf.set(key, sm.group("val"))
             return self.spark.sql("SELECT 'OK' AS result")
-        if "CREATE" in up and "CONNECTOR" in up:
+        if "CREATE" in up and ("CONNECTOR" in up or re.search(
+            r"\bLIKE\s+\w+\s*(?:\([^()]*\))?\s*$", query, re.I
+        )):
             from apache_flink_spark.ddl import execute_flink_ddl
 
             if execute_flink_ddl(self.spark, query):
                 return self.spark.sql("SELECT 'OK' AS result")
+        if re.match(
+            r"^\s*(ALTER\s+TABLE|SHOW\s+CREATE\s+TABLE)\b", query, re.I
+        ):
+            # Flink SqlAlterTable* / SqlShowCreateTable on DDL-declared
+            # tables (alter_table.py); non-DDL names fall through to
+            # Spark's own ALTER TABLE / SHOW CREATE TABLE.
+            from apache_flink_spark.alter_table import (
+                try_handle_alter_statement,
+            )
+
+            handled = try_handle_alter_statement(self.spark, query)
+            if handled is not None:
+                return handled
         if _SHOW_JOBS_RE.match(query):
             # Flink SQL-client job management (SqlShowJobs): the engine's
             # jobs are Structured Streaming queries on this session.

@@ -1,0 +1,254 @@
+"""ALTER TABLE family + CREATE TABLE LIKE + SHOW CREATE TABLE —
+reference SqlAlterTable* / SqlCreateTableLike (MergeTableLikeUtil) /
+SqlShowCreateTable parity on DDL-declared filesystem tables."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from apache_flink_spark.ddl import (
+    _TABLES,
+    WATERMARKS,
+    DdlError,
+    _schema_ddl_cols,
+)
+from apache_flink_spark.environment import TableEnvironment
+
+
+@pytest.fixture()
+def te(spark):
+    return TableEnvironment(spark=spark)
+
+
+def _mk(te, tmp_path, name, fmt="parquet", extra_cols="", wm=False):
+    path = os.path.join(str(tmp_path), name)
+    wm_line = (
+        ", WATERMARK FOR ts AS ts - INTERVAL '5' SECOND" if wm else ""
+    )
+    ts_col = ", ts TIMESTAMP(3)" if wm else ""
+    te.sql(
+        f"""
+        CREATE TABLE {name} (
+            id BIGINT, v STRING{ts_col}{extra_cols}{wm_line}
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = '{fmt}'
+        )
+        """
+    )
+    return path
+
+
+def _fill(te, name, rows="SELECT 1, 'a' UNION ALL SELECT 2, 'b'"):
+    te.sql(f"INSERT INTO {name} {rows}")
+
+
+def test_add_column_parquet_metadata_only(te, tmp_path):
+    _mk(te, tmp_path, "at_add")
+    _fill(te, "at_add")
+    te.sql("ALTER TABLE at_add ADD (score DOUBLE)")
+    rows = te.sql(
+        "SELECT id, v, score FROM at_add ORDER BY id"
+    ).collect()
+    assert [(r.id, r.v, r.score) for r in rows] == [
+        (1, "a", None),
+        (2, "b", None),
+    ]
+    # new writes carry the column
+    te.sql(
+        "INSERT INTO at_add SELECT 3, 'c', CAST(1.5 AS DOUBLE)"
+    )
+    got = te.sql(
+        "SELECT score FROM at_add WHERE id = 3"
+    ).collect()[0].score
+    assert got == 1.5
+
+
+def test_add_column_first_and_after(te, tmp_path):
+    _mk(te, tmp_path, "at_pos")
+    te.sql("ALTER TABLE at_pos ADD (z INT FIRST, y INT AFTER id)")
+    cols = [c for c, _ in _schema_ddl_cols(_TABLES["at_pos"][2])]
+    assert cols == ["z", "id", "y", "v"]
+
+
+def test_drop_column_parquet(te, tmp_path):
+    _mk(te, tmp_path, "at_drop")
+    _fill(te, "at_drop")
+    te.sql("ALTER TABLE at_drop DROP v")
+    assert te.sql("SELECT * FROM at_drop").columns == ["id"]
+    assert te.sql("SELECT count(*) AS n FROM at_drop").collect()[0].n == 2
+
+
+def test_rename_column_rewrites_files(te, tmp_path):
+    _mk(te, tmp_path, "at_rencol")
+    _fill(te, "at_rencol")
+    te.sql("ALTER TABLE at_rencol RENAME v TO label")
+    rows = te.sql(
+        "SELECT id, label FROM at_rencol ORDER BY id"
+    ).collect()
+    # COW rewrite: values survive under the new name (a metadata-only
+    # rename would read NULLs from old by-name parquet files)
+    assert [(r.id, r.label) for r in rows] == [(1, "a"), (2, "b")]
+
+
+def test_modify_type_cow_cast(te, tmp_path):
+    _mk(te, tmp_path, "at_mod")
+    _fill(te, "at_mod")
+    te.sql("ALTER TABLE at_mod MODIFY (id STRING)")
+    rows = te.sql("SELECT id FROM at_mod ORDER BY id").collect()
+    assert [r.id for r in rows] == ["1", "2"]
+    assert dict(te.sql("SELECT * FROM at_mod").dtypes)["id"] == "string"
+
+
+def test_rename_table_moves_view_and_watermark(te, tmp_path):
+    _mk(te, tmp_path, "at_ren1", wm=True)
+    te.sql("ALTER TABLE at_ren1 RENAME TO at_ren2")
+    assert "at_ren1" not in _TABLES and "at_ren2" in _TABLES
+    assert WATERMARKS["at_ren2"] == ("ts", "5 second")
+    assert "at_ren1" not in WATERMARKS
+    te.sql("SELECT * FROM at_ren2").collect()
+    with pytest.raises(Exception):
+        te.sql("SELECT * FROM at_ren1").collect()
+
+
+def test_set_and_reset_options_csv_delimiter(te, tmp_path):
+    path = _mk(te, tmp_path, "at_csv", fmt="csv")
+    _fill(te, "at_csv")
+    # switch the declared delimiter; the rewrite honors it end-to-end
+    te.sql("ALTER TABLE at_csv SET ('csv.field-delimiter' = ';')")
+    assert _TABLES["at_csv"][3]["csv.field-delimiter"] == ";"
+    te.sql("INSERT OVERWRITE at_csv SELECT 7, 'x'")
+    raw = ""
+    for f in os.listdir(path):
+        if f.endswith(".csv"):
+            raw += open(os.path.join(path, f)).read()
+    assert "7;x" in raw
+    assert te.sql(
+        "SELECT v FROM at_csv WHERE id = 7"
+    ).collect()[0].v == "x"
+    te.sql("ALTER TABLE at_csv RESET ('csv.field-delimiter')")
+    assert "csv.field-delimiter" not in _TABLES["at_csv"][3]
+    with pytest.raises(DdlError):
+        te.sql("ALTER TABLE at_csv RESET ('path')")
+
+
+def test_csv_add_drop_uses_cow(te, tmp_path):
+    path = _mk(te, tmp_path, "at_csv2", fmt="csv")
+    _fill(te, "at_csv2")
+    # positional format: ADD must rewrite files, not just metadata
+    te.sql("ALTER TABLE at_csv2 ADD (flag INT)")
+    rows = te.sql(
+        "SELECT id, v, flag FROM at_csv2 ORDER BY id"
+    ).collect()
+    assert [(r.id, r.v, r.flag) for r in rows] == [
+        (1, "a", None),
+        (2, "b", None),
+    ]
+    te.sql("ALTER TABLE at_csv2 DROP (v)")
+    rows = te.sql("SELECT * FROM at_csv2 ORDER BY id").collect()
+    assert rows[0].asDict() == {"id": 1, "flag": None}
+
+
+def test_alter_guards(te, tmp_path):
+    _mk(te, tmp_path, "at_g", wm=True)
+    with pytest.raises(DdlError):
+        te.sql("ALTER TABLE at_g DROP ts")  # watermark column
+    with pytest.raises(DdlError):
+        te.sql("ALTER TABLE at_g ADD (id INT)")  # duplicate
+    with pytest.raises(DdlError):
+        te.sql("ALTER TABLE at_g SET ('connector' = 'kafka')")
+    with pytest.raises(DdlError):
+        te.sql("ALTER TABLE at_g SORT BY id")  # unsupported clause
+    # non-DDL table falls through to Spark (which errors its own way)
+    with pytest.raises(Exception) as ei:
+        te.sql("ALTER TABLE no_such_tbl RENAME no TO yes")
+    assert not isinstance(ei.value, DdlError)
+
+
+def test_compact_routes_to_procedure(te, tmp_path):
+    _mk(te, tmp_path, "at_cmp")
+    for i in range(4):
+        te.sql(f"INSERT INTO at_cmp SELECT {i}, 'r{i}'")
+    r = te.sql("ALTER TABLE at_cmp COMPACT").collect()[0]
+    assert r.files_after <= r.files_before
+    assert te.sql("SELECT count(*) AS n FROM at_cmp").collect()[0].n == 4
+
+
+def test_show_create_table_roundtrip(te, tmp_path):
+    _mk(te, tmp_path, "at_sct", wm=True)
+    ddl = te.sql("SHOW CREATE TABLE at_sct").collect()[0].result
+    assert "WATERMARK FOR ts AS ts - INTERVAL '5' SECOND" in ddl
+    assert "'connector' = 'filesystem'" in ddl
+    # the emitted DDL re-executes against a fresh name
+    te.sql(ddl.replace("at_sct", "at_sct2", 1))
+    assert "at_sct2" in _TABLES
+    assert _TABLES["at_sct2"][2] == _TABLES["at_sct"][2]
+    assert WATERMARKS["at_sct2"] == WATERMARKS["at_sct"]
+
+
+def test_create_like_including_all(te, tmp_path):
+    _mk(te, tmp_path, "lk_src", wm=True)
+    _fill(te, "lk_src", "SELECT 1, 'a', TIMESTAMP '2024-01-01 00:00:00'")
+    te.sql("CREATE TABLE lk_dst LIKE lk_src")
+    # same path inherited -> same rows visible
+    assert te.sql(
+        "SELECT count(*) AS n FROM lk_dst"
+    ).collect()[0].n == 1
+    assert WATERMARKS["lk_dst"] == WATERMARKS["lk_src"]
+    assert _TABLES["lk_dst"][1] == _TABLES["lk_src"][1]
+
+
+def test_create_like_overwriting_options_new_path(te, tmp_path):
+    _mk(te, tmp_path, "lk2_src")
+    _fill(te, "lk2_src")
+    new_path = os.path.join(str(tmp_path), "lk2_dst")
+    te.sql(
+        f"""
+        CREATE TABLE lk2_dst WITH ('path' = '{new_path}')
+        LIKE lk2_src (OVERWRITING OPTIONS)
+        """
+    )
+    assert _TABLES["lk2_dst"][1] == new_path
+    assert te.sql("SELECT count(*) AS n FROM lk2_dst").collect()[0].n == 0
+    te.sql("INSERT INTO lk2_dst SELECT 9, 'z'")
+    assert te.sql("SELECT count(*) AS n FROM lk2_dst").collect()[0].n == 1
+    # source untouched
+    assert te.sql("SELECT count(*) AS n FROM lk2_src").collect()[0].n == 2
+
+
+def test_create_like_extra_columns_and_excluding_watermarks(te, tmp_path):
+    _mk(te, tmp_path, "lk3_src", wm=True)
+    new_path = os.path.join(str(tmp_path), "lk3_dst")
+    te.sql(
+        f"""
+        CREATE TABLE lk3_dst (score DOUBLE)
+        WITH ('path' = '{new_path}')
+        LIKE lk3_src (EXCLUDING WATERMARKS, OVERWRITING OPTIONS)
+        """
+    )
+    assert "lk3_dst" not in WATERMARKS
+    assert te.sql("SELECT * FROM lk3_dst").columns == [
+        "id", "v", "ts", "score"
+    ]
+
+
+def test_create_like_guards(te, tmp_path):
+    _mk(te, tmp_path, "lk4_src", wm=True)
+    with pytest.raises(DdlError):
+        te.sql("CREATE TABLE lk4_a LIKE no_such_src")
+    with pytest.raises(DdlError):
+        # INCLUDING OPTIONS (default) + conflicting duplicate key
+        te.sql(
+            "CREATE TABLE lk4_b WITH ('format' = 'csv') LIKE lk4_src"
+        )
+    with pytest.raises(DdlError):
+        te.sql("CREATE TABLE lk4_c LIKE lk4_src (INCLUDING PARTITIONS)")
+    with pytest.raises(DdlError):
+        # new watermark while source has one, without OVERWRITING
+        te.sql(
+            "CREATE TABLE lk4_d (ts2 TIMESTAMP(3), WATERMARK FOR ts2 "
+            "AS ts2 - INTERVAL '1' SECOND) LIKE lk4_src"
+        )
