@@ -871,3 +871,137 @@ def sim_lsh_recall(spark, sf_dir):
             (F.count("l_cand") / F.lit(5.0)).alias("recall_at_5"),
         )
     )
+
+
+_SEMDEDUP_TAU = 0.35
+
+
+@query(
+    "sim_semdedup",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_QE_SQL} AS qe FROM embeddings
+    ), n AS (
+        SELECT vec_id, qe, {_dot_sql("qe", "qe")} AS nv FROM v
+    ), cent AS (
+        SELECT vec_id AS centroid_id, qe AS c_qe, nv AS nc
+        FROM n WHERE vec_id < 8
+    ), d AS (
+        SELECT n.vec_id, cent.centroid_id,
+               {_dot_sql("n.qe", "cent.c_qe")} AS dot, n.nv, cent.nc
+        FROM n CROSS JOIN cent
+    ), assigned AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY CAST(dot AS DOUBLE)
+                                / sqrt(CAST(nv * nc AS DOUBLE)) DESC,
+                                centroid_id) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ), m AS (
+        SELECT a.vec_id, a.centroid_id, n.qe, n.nv
+        FROM assigned a JOIN n ON n.vec_id = a.vec_id
+    ), removed AS (
+        SELECT DISTINCT b.vec_id
+        FROM m a JOIN m b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE CAST({_dot_sql("a.qe", "b.qe")} AS DOUBLE)
+              / sqrt(CAST(a.nv * b.nv AS DOUBLE)) > {_SEMDEDUP_TAU}
+    )
+    SELECT m.centroid_id,
+           COUNT(*) AS n_members,
+           COUNT(r.vec_id) AS n_removed,
+           COUNT(*) - COUNT(r.vec_id) AS n_kept,
+           MIN(CASE WHEN r.vec_id IS NOT NULL THEN m.vec_id END)
+               AS first_removed
+    FROM m LEFT JOIN removed r ON r.vec_id = m.vec_id
+    GROUP BY m.centroid_id
+    """,
+)
+def sim_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication for training corpora: cluster embeddings, then drop
+    near-duplicates WITHIN each cluster only. Two stages, both
+    equi-join-shaped:
+
+      1. Assign every vector to its nearest of K centroids (here K=8
+         fixed as vec_id 0..7 — the kmeans_assign shape; in production
+         the previous Lloyd iteration's centroids broadcast the same
+         way).
+      2. Self equi-join ON centroid_id with vec_a < vec_b; a vector is
+         removed when its cosine to ANY lower-id cluster member exceeds
+         tau (one-pass survivorship — the standard lowest-id-keeps
+         approximation of SemDeDup's iterative pruning, deterministic
+         and order-free).
+
+    Scale story: the pair space is bounded per cluster, never corpus^2 —
+    at 100 TB, K grows with the corpus so cluster size (and the per-key
+    join fan-out) stays flat; skewed clusters split under AQE. Cosines
+    use the module's exact-integer quantization contract, so both engines
+    agree bit-for-bit. Output: per-cluster members/removed/kept counts +
+    first removed id."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.expr(_QE_SPARK).alias("qe")).withColumn(
+        "nv", F.expr(_dot_spark("qe", "qe"))
+    )
+    cent = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("qe").alias("c_qe"),
+        F.col("nv").alias("nc"),
+    )
+    d = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        F.expr(_dot_spark("qe", "c_qe")).alias("dot"),
+        "nv",
+        "nc",
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        (F.col("nv") * F.col("nc")).cast("double")
+    )
+    best = F.max(
+        F.struct(cos.alias("cos"), (-F.col("centroid_id")).alias("neg_id"))
+    )
+    assigned = d.groupBy("vec_id").agg(
+        (-best.getField("neg_id")).alias("centroid_id")
+    )
+    # membership with vectors re-attached (one hash join; at scale the
+    # assignment pass emits (vec_id, centroid_id, qe, nv) directly and
+    # this join disappears)
+    m = assigned.join(v, "vec_id").select("vec_id", "centroid_id", "qe", "nv")
+    a = m.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("qe").alias("qa"),
+        F.col("nv").alias("na"),
+    )
+    b = m.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("qe").alias("qb"),
+        F.col("nv").alias("nb"),
+    )
+    pair_cos = F.expr(_dot_spark("qa", "qb")).cast("double") / F.sqrt(
+        (F.col("na") * F.col("nb")).cast("double")
+    )
+    removed = (
+        a.join(b, (a["cid"] == b["cid"]) & (a["vec_a"] < b["vec_b"]))
+        .filter(pair_cos > F.lit(_SEMDEDUP_TAU))
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_removed", F.lit(1))
+    )
+    return (
+        m.join(removed, "vec_id", "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("is_removed").alias("n_removed"),
+            (F.count(F.lit(1)) - F.count("is_removed")).alias("n_kept"),
+            F.min(
+                F.when(F.col("is_removed").isNotNull(), F.col("vec_id"))
+            ).alias("first_removed"),
+        )
+    )
