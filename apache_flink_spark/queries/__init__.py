@@ -74,7 +74,9 @@ GATE_SAMPLE = [
     "q9_product_profit",
     "q10_returned_items",
     "q18_large_volume_customer",
-    "q21_sole_blame_supplier",
+    # r6 late rotation: SemDeDup — the cluster-bucketed semantic dedup
+    # stage (q21 rotated out, green in the full sweep)
+    "sim_semdedup",
     # r6 rotation: the streaming MATCH_RECOGNIZE NFA driver, the
     # large-star/small-star connected components, and the DataStream V2
     # facade — this round's three new operator families, each in-gate
