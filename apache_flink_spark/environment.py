@@ -294,6 +294,13 @@ class TableEnvironment:
             handled = execute_flink_insert(self.spark, query)
             if handled is not None:
                 return handled
+        if "TABLE" in up and "(" in query:
+            # PTF calls with TABLE arguments (FLIP-440 — ptf.py); a no-op
+            # when no PTF is registered or none is referenced
+            from apache_flink_spark.ptf import _PTFS, rewrite_ptf_calls
+
+            if _PTFS:
+                query = rewrite_ptf_calls(self.spark, query)
         if "TUMBLE" in up or "HOP" in up or "CUMULATE" in up or "SESSION" in up:
             from apache_flink_spark.window_tvf import (
                 rewrite_group_windows,

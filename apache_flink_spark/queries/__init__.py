@@ -45,6 +45,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     pipeline_sampling,
     pipeline_similarity,
     pipeline_text,
+    ptf_queries,
     changelog_queries,
     datastream_queries,
     datastream_v2_queries,
