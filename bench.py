@@ -101,6 +101,10 @@ HEADLINE = [
     # quantifier+WITHIN streaming MATCH_RECOGNIZE NFA.
     "model_predict_l2norm",
     "mr_stream_quantifier_within",
+    # r6 third continuation: SemDeDup (cluster-bucketed semantic dedup)
+    # and the set-semantics Process Table Function lane (FLIP-440).
+    "sim_semdedup",
+    "ptf_set_semantics_gaps",
 ]
 
 
