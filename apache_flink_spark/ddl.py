@@ -329,10 +329,78 @@ def _execute_create_like(spark: SparkSession, m) -> bool:
     return True
 
 
+_CREATE_AS_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>\w+)\s*WITH\s*\((?P<opts>.*?)\)\s*"
+    r"AS\s+(?P<select>SELECT\b.*)$",
+    re.I | re.S,
+)
+
+
+def _spark_type_ddl(dt) -> str:
+    """Spark DataType -> schema-DDL type string (CTAS schema derivation)."""
+    return dt.simpleString()
+
+
+def _execute_create_as(spark: SparkSession, m) -> bool:
+    """CTAS into a connector table — reference SqlCreateTableAs
+    (parserImpls.ftl; CreateTableASOperation): the sink table is derived
+    from the query schema, created in the catalog, and the query result
+    is written to it atomically — one distributed write, no driver
+    materialization."""
+    name = m.group("name")
+    opts = _split_options(m.group("opts"))
+    connector = opts.get("connector", "").lower()
+    if connector != "filesystem":
+        raise DdlError(
+            f"CTAS supports the filesystem connector; got {connector!r}"
+        )
+    fmt = opts.get("format", "parquet").lower()
+    path = opts.get("path")
+    if not path:
+        raise DdlError("filesystem connector requires a 'path' option")
+    if fmt not in ("parquet", "csv", "json", "orc"):
+        raise DdlError(f"unsupported filesystem format {fmt!r}")
+    if name in _TABLES:
+        if re.match(
+            r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+IF\s+NOT\s+EXISTS",
+            m.string, re.I,
+        ):
+            return True
+        raise DdlError(f"CTAS target table {name!r} already exists")
+    out = spark.sql(m.group("select"))
+    for c in out.columns:
+        if not re.match(r"^\w+$", c):
+            raise DdlError(
+                f"CTAS query column {c!r} is not a plain identifier — "
+                "alias every expression column (the reference derives "
+                "the sink schema from the query too)"
+            )
+    schema_ddl = ", ".join(
+        f"{c} {_spark_type_ddl(t.dataType)}" for c, t in
+        zip(out.columns, out.schema.fields)
+    )
+    _TABLES[name] = (fmt, path, schema_ddl, opts)
+    try:
+        writer, _fmt, _p = fs_writer(out, name)
+        writer.mode("overwrite").save(path)
+        refresh_table_view(spark, name)
+    except Exception:
+        _TABLES.pop(name, None)  # failed CTAS must not leave a catalog entry
+        raise
+    return True
+
+
 def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
     """Compile one Flink CREATE TABLE ... WITH (...) statement (or
-    CREATE TABLE ... LIKE); returns False when the statement is not a
-    Flink connector DDL (caller should fall through to ``spark.sql``)."""
+    CREATE TABLE ... LIKE / CREATE TABLE ... AS SELECT); returns False
+    when the statement is not a Flink connector DDL (caller should fall
+    through to ``spark.sql``)."""
+    am = _CREATE_AS_RE.match(sql)
+    if am is not None and "'connector'" in sql.replace(" ", "").replace(
+        '"', "'"
+    ):
+        return _execute_create_as(spark, am)
     # LIKE first: _CREATE_RE's greedy body/opts groups would otherwise
     # swallow a trailing LIKE clause into the options text
     if re.search(r"\bLIKE\s+\w+\s*(?:\([^()]*\))?\s*$", sql):

@@ -776,3 +776,100 @@ def graph_vertex_degrees(spark, sf_dir):
             + F.coalesce("in_degree", F.lit(0))
         ).alias("degree"),
     )
+
+
+_HITS_ROUNDS = 2
+_HITS_SCALE = 1_000_000
+
+
+def _hits_round_sql(k: int) -> str:
+    """One HITS round as two CTEs (auth from hubs, hubs from auths),
+    each max-normalized to integer micro-units via a scalar subquery."""
+    return (
+        f"a{k}r AS (SELECT e.pb AS node, SUM(h.h) AS raw"
+        f" FROM edges e JOIN h{k - 1} h ON h.node = e.pa GROUP BY 1),"
+        f" a{k} AS (SELECT node, raw * {_HITS_SCALE}"
+        f" // (SELECT MAX(raw) FROM a{k}r) AS a FROM a{k}r),"
+        f" h{k}r AS (SELECT e.pa AS node, SUM(a.a) AS raw"
+        f" FROM edges e JOIN a{k} a ON a.node = e.pb GROUP BY 1),"
+        f" h{k} AS (SELECT node, raw * {_HITS_SCALE}"
+        f" // (SELECT MAX(raw) FROM h{k}r) AS h FROM h{k}r)"
+    )
+
+
+@query(
+    "graph_hits",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    nodes AS (SELECT DISTINCT pa AS node FROM edges
+              UNION SELECT DISTINCT pb FROM edges),
+    h0 AS (SELECT node, CAST({_HITS_SCALE} AS BIGINT) AS h FROM nodes),
+    {", ".join(_hits_round_sql(k) for k in range(1, _HITS_ROUNDS + 1))}
+    SELECT n.node,
+           CAST(COALESCE(h.h, 0) AS BIGINT) AS hub_micros,
+           CAST(COALESCE(a.a, 0) AS BIGINT) AS auth_micros
+    FROM nodes n
+    LEFT JOIN h{_HITS_ROUNDS} h ON h.node = n.node
+    LEFT JOIN a{_HITS_ROUNDS} a ON a.node = n.node
+    """,
+)
+def graph_hits(spark, sf_dir):
+    """HITS hubs-and-authorities (reference flink-gelly
+    .../library/linkanalysis/HITS.java — alternating hub/authority
+    updates with per-step score normalization, fixed iteration count).
+    The co-purchase edges are oriented pa < pb, giving a directed graph;
+    each round is (1) authority = sum of hub scores over in-edges,
+    (2) hub = sum of authority scores over out-edges — one SHUFFLE_HASH
+    join + one sum-aggregate on the vertex key each, the same per-round
+    shape (and 100 TB story) as graph_pagerank. Normalization divides by
+    the global max (a SINGLE-ROW broadcast — the reference normalizes
+    per step too) in integer micro-units with floor division, so both
+    engines agree exactly. Nodes with no out-edges have hub 0; no
+    in-edges, authority 0."""
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        e.selectExpr("pa AS node")
+        .union(e.selectExpr("pb AS node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = nodes.select("node", F.lit(_HITS_SCALE).cast("long").alias("h"))
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        araw = (
+            e.alias("e")
+            .join(
+                h.alias("p").hint("shuffle_hash"),
+                F.col("p.node") == F.col("e.pa"),
+            )
+            .groupBy(F.col("e.pb").alias("node"))
+            .agg(F.sum("p.h").alias("raw"))
+        )
+        a = (
+            araw.crossJoin(F.broadcast(araw.agg(F.max("raw").alias("mx"))))
+            .select("node", F.expr(f"raw * {_HITS_SCALE} div mx").alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        hraw = (
+            e.alias("e")
+            .join(
+                a.alias("q").hint("shuffle_hash"),
+                F.col("q.node") == F.col("e.pb"),
+            )
+            .groupBy(F.col("e.pa").alias("node"))
+            .agg(F.sum("q.a").alias("raw"))
+        )
+        h = (
+            hraw.crossJoin(F.broadcast(hraw.agg(F.max("raw").alias("mx"))))
+            .select("node", F.expr(f"raw * {_HITS_SCALE} div mx").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(h, "node", "left")
+        .join(a, "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hub_micros"),
+            F.coalesce("a", F.lit(0)).cast("long").alias("auth_micros"),
+        )
+    )

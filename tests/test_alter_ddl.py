@@ -252,3 +252,40 @@ def test_create_like_guards(te, tmp_path):
             "CREATE TABLE lk4_d (ts2 TIMESTAMP(3), WATERMARK FOR ts2 "
             "AS ts2 - INTERVAL '1' SECOND) LIKE lk4_src"
         )
+
+
+def test_ctas_filesystem(te, tmp_path):
+    path = os.path.join(str(tmp_path), "ctas_t")
+    te.sql(
+        f"""
+        CREATE TABLE ctas_t WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'parquet'
+        ) AS SELECT id AS k, id * 2 AS dbl FROM range(5)
+        """
+    )
+    assert _TABLES["ctas_t"][2] == "k bigint, dbl bigint"
+    rows = te.sql("SELECT k, dbl FROM ctas_t ORDER BY k").collect()
+    assert [(r.k, r.dbl) for r in rows] == [(i, 2 * i) for i in range(5)]
+    # re-create errors; IF NOT EXISTS is a no-op skip
+    with pytest.raises(DdlError):
+        te.sql(
+            f"CREATE TABLE ctas_t WITH ('connector'='filesystem',"
+            f"'path'='{path}') AS SELECT 1 AS x"
+        )
+    te.sql(
+        f"CREATE TABLE IF NOT EXISTS ctas_t WITH ('connector'='filesystem',"
+        f"'path'='{path}') AS SELECT 1 AS x"
+    )
+    assert te.sql("SELECT count(*) AS n FROM ctas_t").collect()[0].n == 5
+
+
+def test_ctas_rejects_unaliased_expression_columns(te, tmp_path):
+    path = os.path.join(str(tmp_path), "ctas_bad")
+    with pytest.raises(DdlError, match="alias"):
+        te.sql(
+            f"CREATE TABLE ctas_bad WITH ('connector'='filesystem',"
+            f"'path'='{path}') AS SELECT id + 1 FROM range(3)"
+        )
+    assert "ctas_bad" not in _TABLES

@@ -54,6 +54,17 @@ _WHITELIST = {
         "(the oracle's CROSS JOIN n)",
         {"BroadcastNestedLoopJoin"},
     ),
+    "sim_semdedup": (
+        "same broadcast K-row centroid assignment shape as "
+        "pipeline_kmeans_assign; the dedup pair join itself is an "
+        "equi-join on centroid_id",
+        {"BroadcastNestedLoopJoin"},
+    ),
+    "graph_hits": (
+        "per-round normalization attaches a SINGLE-ROW global-max "
+        "aggregate (the oracle's scalar subquery)",
+        {"BroadcastNestedLoopJoin"},
+    ),
     "pipeline_kmeans_iterate": (
         "same broadcast K-row centroid assignment shape as "
         "pipeline_kmeans_assign, plus the centroid re-aggregation",
