@@ -24,11 +24,11 @@ Spark-first execution:
 Scale: both lanes are the engine's standard vectorized-Python shape —
 payloads never reach the driver, per-group state is bounded by the
 largest key group (same contract as every applyInPandas operator here),
-and row semantics is embarrassingly parallel. Streaming PTFs (timers +
-keyed state) are covered by the engine's existing custom stateful
-operators (streaming/stateful.py); this module is the batch Table API
-surface, matching the reference where PTF streaming state support landed
-incrementally after the SQL surface.
+and row semantics is embarrassingly parallel. Streaming PTFs — Flink 2.1
+added keyed state + event-time timers to PTFs (``@StateHint``,
+``ctx.timerService``) — run through :func:`apply_ptf_stream`:
+``applyInPandasWithState`` with a :class:`PtfState` context, the exact
+Spark twin of that contract.
 
 SQL surface compiled by :func:`rewrite_ptf_calls` (string-literal-safe):
 
@@ -249,3 +249,88 @@ def rewrite_ptf_calls(spark: SparkSession, sql: str) -> str:
         view = f"__ptf_{name}_{counter[0]}"
         result.createOrReplaceTempView(view)
         sql = sql[: m.start()] + view + sql[m.end():]
+
+
+# -- streaming PTFs (FLIP-440 state + timer support) --------------------------
+
+
+class PtfState:
+    """FLIP-440 ``Context``-style view over Spark's GroupState: value
+    state, event-time timers, and the current watermark — the three
+    facilities a streaming ProcessTableFunction declares in the
+    reference (state entries via ``@StateHint``, ``ctx.timerService``)."""
+
+    def __init__(self, group_state):
+        self._gs = group_state
+
+    def value(self):
+        return self._gs.get if self._gs.exists else None
+
+    def update(self, row: tuple) -> None:
+        self._gs.update(row)
+
+    def clear(self) -> None:
+        self._gs.remove()
+
+    @property
+    def timer_fired(self) -> bool:
+        return self._gs.hasTimedOut
+
+    @property
+    def watermark_ms(self) -> int:
+        return self._gs.getCurrentWatermarkMs()
+
+    def register_timer(self, ts_ms: int) -> None:
+        self._gs.setTimeoutTimestamp(ts_ms)
+
+
+def apply_ptf_stream(
+    name: str,
+    stream_df: DataFrame,
+    partition_by: list[str],
+    state_schema: str,
+    output_mode: str = "update",
+    event_time_timers: bool = False,
+) -> DataFrame:
+    """Streaming application of a registered PTF — the reference's
+    streaming ProcessTableFunction lane (set semantics over an unbounded
+    table; Flink 2.1 added keyed state + timers to PTFs, which is
+    exactly Spark's applyInPandasWithState contract).
+
+    The registered ``fn(keys, pdf_iter, state: PtfState) -> iterator of
+    DataFrames`` sees every micro-batch's rows for its key plus its
+    persistent state; emitted frames carry the declared output columns
+    and the partition keys are prepended by the framework (as in the
+    batch set-semantics lane). Timers require a watermark on
+    ``stream_df`` and ``event_time_timers=True``."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    spec = _PTFS.get(name.lower())
+    if spec is None:
+        raise PtfError(f"unknown PTF {name!r} — registered: {sorted(_PTFS)}")
+    if spec.semantics != "set":
+        raise PtfError(
+            "streaming PTFs are set-semantics (keyed state needs a key); "
+            f"{name!r} is row-semantics"
+        )
+    if not partition_by:
+        raise PtfError("streaming PTFs require PARTITION BY keys")
+    key_schema = ", ".join(
+        f"{c} {t}" for c, t in stream_df.select(*partition_by).dtypes
+    )
+    out_schema = f"{key_schema}, {spec.output_schema}"
+
+    def _apply(keys, pdf_iter, group_state):
+        for out in spec.fn(keys, pdf_iter, PtfState(group_state)):
+            for i, k in enumerate(partition_by):
+                out.insert(i, k, keys[i])
+            yield out
+
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if event_time_timers
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream_df.groupBy(*partition_by).applyInPandasWithState(
+        _apply, out_schema, state_schema, output_mode, timeout
+    )

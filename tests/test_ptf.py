@@ -134,3 +134,72 @@ def test_emitting_fewer_rows(spark):
     assert sorted(
         (r.k, r.first_v) for r in out.collect()
     ) == [(1, 10), (2, 5)]
+
+
+def test_streaming_ptf_state_across_batches(spark, tmp_path):
+    """Streaming PTF (FLIP-440 + Flink 2.1 state support): a per-key
+    cumulative counter whose GroupState must survive micro-batch
+    boundaries — 3 staged files -> 3 batches, final count per key equals
+    the batch ground truth."""
+    import os
+
+    from apache_flink_spark.ptf import apply_ptf_stream
+
+    src = os.path.join(str(tmp_path), "src")
+    df = spark.createDataFrame(
+        [(k, i) for k in (1, 2) for i in range(30)], "k int, v int"
+    )
+    df.repartition(3).write.parquet(src)
+
+    def counter(keys, pdf_iter, state):
+        n = state.value()[0] if state.value() else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"n_events": [n]})
+
+    register_ptf("t_counter", counter, "n_events bigint")
+    stream = (
+        spark.readStream.schema("k int, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = apply_ptf_stream(
+        "t_counter", stream, ["k"], state_schema="n bigint"
+    )
+    captured = {}
+
+    def sink(bdf, bid):
+        captured[bid] = bdf.toPandas()
+
+    import tempfile
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ptf_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(captured) >= 2  # state really crossed batch boundaries
+    allb = pd.concat(
+        [captured[b].assign(_b=b) for b in sorted(captured)],
+        ignore_index=True,
+    )
+    final = allb.sort_values("_b").groupby("k", as_index=False).last()
+    assert sorted(
+        (int(r.k), int(r.n_events)) for r in final.itertuples()
+    ) == [(1, 30), (2, 30)]
+
+
+def test_streaming_ptf_guards(spark):
+    from apache_flink_spark.ptf import apply_ptf_stream
+
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(PtfError, match="row-semantics"):
+        apply_ptf_stream("t_double", stream, ["value"], "n bigint")
+    with pytest.raises(PtfError, match="PARTITION BY"):
+        apply_ptf_stream("t_rsum", stream, [], "n bigint")
