@@ -99,6 +99,80 @@ _COMPACT_RE = re.compile(
 _SHOW_CREATE_RE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>\w+)\s*$", re.I
 )
+_SHOW_PARTS_RE = re.compile(
+    r"^\s*SHOW\s+PARTITIONS\s+(?P<name>\w+)"
+    r"(?:\s+PARTITION\s*\((?P<spec>[^)]*)\))?\s*$",
+    re.I,
+)
+_ADD_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ADD\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?PARTITION\s*\((?P<spec>[^)]*)\)\s*$",
+    re.I,
+)
+_DROP_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+DROP\s+"
+    r"(?P<ie>IF\s+EXISTS\s+)?PARTITION\s*\((?P<spec>[^)]*)\)\s*$",
+    re.I,
+)
+
+
+def _parse_part_spec(name: str, spec: str) -> list[tuple[str, str]]:
+    """``k='v', k2=3`` -> ordered (col, value) pairs matching the table's
+    declared PARTITIONED BY order (reference partition-spec resolution)."""
+    from apache_flink_spark.ddl import part_cols
+
+    declared = part_cols(name)
+    if not declared:
+        raise DdlError(f"table {name!r} is not partitioned")
+    given = {}
+    for m in re.finditer(r"(\w+)\s*=\s*('(?:[^']|'')*'|[\w.-]+)", spec):
+        v = m.group(2)
+        given[m.group(1)] = (
+            v[1:-1].replace("''", "'") if v.startswith("'") else v
+        )
+    bad = [k for k in given if k not in declared]
+    if bad:
+        raise DdlError(
+            f"partition spec columns {bad} not in PARTITIONED BY {declared}"
+        )
+    # a PREFIX of the partition-key order is allowed (SHOW PARTITIONS
+    # filter / dropping a coarse partition); gaps are not
+    out = []
+    for c in declared:
+        if c in given:
+            out.append((c, given[c]))
+        else:
+            break
+    if len(out) != len(given):
+        raise DdlError(
+            f"partition spec {sorted(given)} must be a prefix of the "
+            f"PARTITIONED BY order {declared}"
+        )
+    return out
+
+
+def _part_dir(path: str, pairs: list[tuple[str, str]]) -> str:
+    return os.path.join(path, *[f"{c}={v}" for c, v in pairs])
+
+
+def _list_partitions(path: str, declared: list[str]) -> list[str]:
+    """Hive-style partition dir specs under ``path``, sorted —
+    ``k=v[/k2=v2]`` rows like the reference's SHOW PARTITIONS."""
+    out = []
+
+    def walk(d: str, depth: int, prefix: list[str]):
+        if depth == len(declared):
+            out.append("/".join(prefix))
+            return
+        key = declared[depth] + "="
+        for e in sorted(os.listdir(d)):
+            full = os.path.join(d, e)
+            if os.path.isdir(full) and e.startswith(key):
+                walk(full, depth + 1, prefix + [e])
+
+    if os.path.isdir(path):
+        walk(path, 0, [])
+    return out
 
 
 def _fs_spec(name: str):
@@ -234,6 +308,69 @@ def try_handle_alter_statement(spark: SparkSession, sql: str):
     m = _SHOW_CREATE_RE.match(sql)
     if m:
         return show_create_table(spark, m.group("name"))
+
+    m = _SHOW_PARTS_RE.match(sql)
+    if m:
+        # reference SqlShowPartitions: one ``partition`` row per
+        # hive-style partition dir, optionally filtered by a spec prefix
+        name = m.group("name")
+        spec = _fs_spec(name)
+        if spec is None:
+            return None
+        from apache_flink_spark.ddl import part_cols
+
+        declared = part_cols(name)
+        if not declared:
+            raise DdlError(f"table {name!r} is not partitioned")
+        rows = _list_partitions(spec[1], declared)
+        if m.group("spec"):
+            prefix = "/".join(
+                f"{c}={v}"
+                for c, v in _parse_part_spec(name, m.group("spec"))
+            )
+            rows = [r for r in rows if r.startswith(prefix)]
+        return spark.createDataFrame(
+            [(r,) for r in rows], "partition string"
+        )
+
+    m = _ADD_PART_RE.match(sql)
+    if m:
+        # SqlAddPartitions: register (create) the partition directory
+        name = m.group("name")
+        spec = _fs_spec(name)
+        if spec is None:
+            return None
+        pairs = _parse_part_spec(name, m.group("spec"))
+        from apache_flink_spark.ddl import part_cols
+
+        if len(pairs) != len(part_cols(name)):
+            raise DdlError(
+                "ADD PARTITION needs a FULL partition spec "
+                f"({part_cols(name)})"
+            )
+        d = _part_dir(spec[1], pairs)
+        if os.path.exists(d) and not m.group("ine"):
+            raise DdlError(f"partition {d!r} already exists")
+        os.makedirs(d, exist_ok=True)
+        return _ok(spark)
+
+    m = _DROP_PART_RE.match(sql)
+    if m:
+        # SqlDropPartitions: remove the partition dir(s) + refresh
+        name = m.group("name")
+        spec = _fs_spec(name)
+        if spec is None:
+            return None
+        pairs = _parse_part_spec(name, m.group("spec"))
+        d = _part_dir(spec[1], pairs)
+        if not os.path.exists(d):
+            if m.group("ie"):
+                return _ok(spark)
+            raise DdlError(f"partition {d!r} does not exist")
+        shutil.rmtree(d)
+        spark.catalog.refreshByPath(spec[1])
+        refresh_table_view(spark, name)
+        return _ok(spark)
 
     m = _RENAME_TABLE_RE.match(sql)
     if m:

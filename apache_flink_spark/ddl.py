@@ -74,12 +74,19 @@ def fs_reader(spark: SparkSession, name: str, overrides: dict | None = None):
 
 
 def fs_writer(df, name: str):
-    """Writer for a filesystem DDL table honoring its declared options.
-    Returns (writer, fmt, path)."""
+    """Writer for a filesystem DDL table honoring its declared options
+    and PARTITIONED BY layout. Returns (writer, fmt, path)."""
     fmt, path, _schema, opts = _TABLES[name]
     writer = df.write.format(fmt)
     for k, v in _fs_read_opts(opts, fmt).items():
         writer = writer.option(k, v)
+    pb = [c for c in opts.get(_PART_KEY, "").split(",") if c]
+    if pb:
+        # hive-style partition dirs; overwrite replaces only the TOUCHED
+        # partitions (the reference filesystem sink's overwrite contract)
+        writer = writer.partitionBy(*pb).option(
+            "partitionOverwriteMode", "dynamic"
+        )
     return writer, fmt, path
 
 
@@ -94,6 +101,26 @@ _CREATE_RE = re.compile(
     r"WITH\s*\((?P<opts>.*)\)\s*$",
     re.I | re.S,
 )
+
+#: reserved option key carrying the declared PARTITIONED BY columns
+#: (comma-joined, in declaration order)
+_PART_KEY = "partitioned-by"
+
+# ``) PARTITIONED BY (a, b) WITH (`` — extracted and spliced out BEFORE
+# _CREATE_RE runs (a greedy body group would otherwise swallow it)
+_PARTITIONED_RE = re.compile(
+    r"\)\s*PARTITIONED\s+BY\s*\((?P<parts>[\w\s,]+)\)\s*(?=WITH\s*\()",
+    re.I | re.S,
+)
+
+
+def part_cols(name: str) -> list[str]:
+    """Declared PARTITIONED BY columns of a DDL table ([] if none)."""
+    spec = _TABLES[name]
+    if spec[0] == "datagen":
+        return []
+    pb = spec[3].get(_PART_KEY, "")
+    return [c for c in pb.split(",") if c]
 
 _WATERMARK_RE = re.compile(
     r"^WATERMARK\s+FOR\s+(?P<col>\w+)\s+AS\s+\w+\s*-\s*"
@@ -407,6 +434,13 @@ def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
         lm = _CREATE_LIKE_RE.match(sql)
         if lm is not None:
             return _execute_create_like(spark, lm)
+    # PARTITIONED BY is spliced out before the greedy column-body regex
+    # (reference SqlCreateTable partition-key clause)
+    parts: list[str] = []
+    pm = _PARTITIONED_RE.search(sql)
+    if pm:
+        parts = [c.strip() for c in pm.group("parts").split(",") if c.strip()]
+        sql = sql[: pm.start()] + ")" + sql[pm.end():]
     m = _CREATE_RE.match(sql)
     if m is None:
         return False
@@ -417,6 +451,16 @@ def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
     cols, watermark = _parse_columns(m.group("body"))
     schema_ddl = ", ".join(f"{c} {t}" for c, t in cols)
     connector = opts.get("connector", "").lower()
+    if parts:
+        declared = {c for c, _t in cols}
+        bad = [p for p in parts if p not in declared]
+        if bad:
+            raise DdlError(
+                f"PARTITIONED BY columns {bad} are not declared columns"
+            )
+        if connector != "filesystem":
+            raise DdlError("PARTITIONED BY requires the filesystem connector")
+        opts[_PART_KEY] = ",".join(parts)
 
     if connector == "filesystem":
         fmt = opts.get("format", "parquet").lower()
@@ -451,6 +495,7 @@ def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
 
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<name>\w+)\s+"
+    r"(?:PARTITION\s*\((?P<static>[^)]*)\)\s+)?"
     r"(?P<select>SELECT\b.*)$",
     re.I | re.S,
 )
@@ -476,16 +521,38 @@ def execute_flink_insert(spark: SparkSession, sql: str):
     # reference's SqlInsert semantics; parquet reads back BY NAME, so an
     # expression-named select column would otherwise round-trip as NULL)
     declared = _schema_ddl_cols(_TABLES[name][2])
-    if len(out.columns) != len(declared):
+    static: dict[str, str] = {}
+    if m.group("static"):
+        # static partition spec (reference SqlInsert partition clause):
+        # the SELECT provides the remaining columns positionally; the
+        # spec's literals fill the named partition columns
+        pcols = set(part_cols(name))
+        for sm in re.finditer(
+            r"(\w+)\s*=\s*('(?:[^']|'')*'|[\w.-]+)", m.group("static")
+        ):
+            k, v = sm.group(1), sm.group(2)
+            if k not in pcols:
+                raise DdlError(
+                    f"INSERT PARTITION column {k!r} is not in "
+                    f"{name}'s PARTITIONED BY ({sorted(pcols)})"
+                )
+            static[k] = (
+                v[1:-1].replace("''", "'") if v.startswith("'") else v
+            )
+    target = [(n, t) for n, t in declared if n not in static]
+    if len(out.columns) != len(target):
         raise DdlError(
             f"INSERT INTO {name}: {len(out.columns)} select columns for "
-            f"{len(declared)} declared table columns"
+            f"{len(target)} expected columns"
+            + (f" (static partition fills {sorted(static)})" if static else "")
         )
     # toDF is PURELY positional — F.col(old_name) would mis-parse
     # expression-generated names containing dots like "(id * 1.5)"
-    out = out.toDF(*[n for n, _ in declared]).select(
-        *[F.col(n).cast(t).alias(n) for n, t in declared]
-    )
+    out = out.toDF(*[n for n, _ in target])
+    by_name = dict(declared)
+    for k, v in static.items():
+        out = out.withColumn(k, F.lit(v).cast(by_name[k]))
+    out = out.select(*[F.col(n).cast(t).alias(n) for n, t in declared])
     mode = "overwrite" if m.group("mode").upper() == "OVERWRITE" else "append"
     writer, _fmt, path = fs_writer(out, name)
     writer.mode(mode).save(path)

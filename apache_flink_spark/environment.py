@@ -193,7 +193,9 @@ class TableEnvironment:
             if execute_flink_ddl(self.spark, query):
                 return self.spark.sql("SELECT 'OK' AS result")
         if re.match(
-            r"^\s*(ALTER\s+TABLE|SHOW\s+CREATE\s+TABLE)\b", query, re.I
+            r"^\s*(ALTER\s+TABLE|SHOW\s+CREATE\s+TABLE|SHOW\s+PARTITIONS)\b",
+            query,
+            re.I,
         ):
             # Flink SqlAlterTable* / SqlShowCreateTable on DDL-declared
             # tables (alter_table.py); non-DDL names fall through to

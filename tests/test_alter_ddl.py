@@ -289,3 +289,95 @@ def test_ctas_rejects_unaliased_expression_columns(te, tmp_path):
             f"'path'='{path}') AS SELECT id + 1 FROM range(3)"
         )
     assert "ctas_bad" not in _TABLES
+
+
+def _mk_part(te, tmp_path, name):
+    path = os.path.join(str(tmp_path), name)
+    te.sql(
+        f"""
+        CREATE TABLE {name} (
+            id BIGINT, v STRING, region STRING, day STRING
+        ) PARTITIONED BY (region, day) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'parquet'
+        )
+        """
+    )
+    return path
+
+
+def test_partitioned_table_write_read_prune(te, tmp_path, spark):
+    path = _mk_part(te, tmp_path, "pt")
+    te.sql(
+        "INSERT INTO pt SELECT 1, 'a', 'eu', 'd1' "
+        "UNION ALL SELECT 2, 'b', 'us', 'd1' "
+        "UNION ALL SELECT 3, 'c', 'eu', 'd2'"
+    )
+    assert sorted(
+        e for e in os.listdir(path) if e.startswith("region=")
+    ) == ["region=eu", "region=us"]
+    rows = te.sql(
+        "SELECT id, region, day FROM pt ORDER BY id"
+    ).collect()
+    assert [(r.id, r.region, r.day) for r in rows] == [
+        (1, "eu", "d1"), (2, "us", "d1"), (3, "eu", "d2"),
+    ]
+    # partition pruning reaches the scan
+    plan = (
+        te.sql("SELECT id FROM pt WHERE region = 'eu'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "region" in plan
+
+
+def test_static_partition_insert_and_dynamic_overwrite(te, tmp_path):
+    _mk_part(te, tmp_path, "pt2")
+    te.sql(
+        "INSERT INTO pt2 PARTITION (region='eu', day='d1') "
+        "SELECT 1, 'a' UNION ALL SELECT 2, 'b'"
+    )
+    rows = te.sql("SELECT id, region, day FROM pt2 ORDER BY id").collect()
+    assert [(r.region, r.day) for r in rows] == [("eu", "d1")] * 2
+    # static-partition OVERWRITE replaces ONLY that partition
+    te.sql("INSERT INTO pt2 PARTITION (region='us', day='d1') SELECT 9, 'z'")
+    te.sql(
+        "INSERT OVERWRITE pt2 PARTITION (region='eu', day='d1') "
+        "SELECT 7, 'q'"
+    )
+    rows = te.sql(
+        "SELECT id, region FROM pt2 ORDER BY id"
+    ).collect()
+    assert [(r.id, r.region) for r in rows] == [(7, "eu"), (9, "us")]
+    with pytest.raises(DdlError, match="PARTITION column"):
+        te.sql("INSERT INTO pt2 PARTITION (nope='x') SELECT 1, 'a', 'd'")
+
+
+def test_show_partitions_and_add_drop(te, tmp_path):
+    _mk_part(te, tmp_path, "pt3")
+    te.sql(
+        "INSERT INTO pt3 SELECT 1, 'a', 'eu', 'd1' "
+        "UNION ALL SELECT 2, 'b', 'us', 'd2'"
+    )
+    parts = [r.partition for r in te.sql("SHOW PARTITIONS pt3").collect()]
+    assert parts == ["region=eu/day=d1", "region=us/day=d2"]
+    filtered = [
+        r.partition
+        for r in te.sql(
+            "SHOW PARTITIONS pt3 PARTITION (region='eu')"
+        ).collect()
+    ]
+    assert filtered == ["region=eu/day=d1"]
+    te.sql("ALTER TABLE pt3 ADD PARTITION (region='ap', day='d1')")
+    assert "region=ap/day=d1" in [
+        r.partition for r in te.sql("SHOW PARTITIONS pt3").collect()
+    ]
+    with pytest.raises(DdlError, match="already exists"):
+        te.sql("ALTER TABLE pt3 ADD PARTITION (region='ap', day='d1')")
+    te.sql("ALTER TABLE pt3 DROP PARTITION (region='us')")
+    assert te.sql("SELECT count(*) AS n FROM pt3").collect()[0].n == 1
+    te.sql("ALTER TABLE pt3 DROP IF EXISTS PARTITION (region='us')")
+    with pytest.raises(DdlError, match="does not exist"):
+        te.sql("ALTER TABLE pt3 DROP PARTITION (region='us')")
+    with pytest.raises(DdlError, match="prefix"):
+        te.sql("SHOW PARTITIONS pt3 PARTITION (day='d1')")
