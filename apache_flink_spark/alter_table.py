@@ -270,6 +270,59 @@ def _flink_type(t: str) -> str:
     return _FLINK_TYPE.get(t.lower(), t.upper())
 
 
+_DESCRIBE_RE = re.compile(
+    r"^\s*(?:DESCRIBE|DESC)\s+(?!EXTENDED\b|FORMATTED\b)(?P<name>\w+)\s*$"
+    r"|^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+(?P<name2>\w+)"
+    r"(?:\s+LIKE\s+'(?P<like>[^']*)')?\s*$",
+    re.I,
+)
+
+
+def describe_table(spark: SparkSession, name: str, like: str | None = None):
+    """Flink-style DESCRIBE / SHOW COLUMNS (reference DescribeTableOperation
+    / SqlShowColumns): columns name/type/null/key/extras/watermark — the
+    reference's six-column layout, including the WATERMARK expression and
+    partition-key marker Spark's own DESCRIBE cannot know about."""
+    if name not in _TABLES:
+        return None  # Spark handles DESCRIBE for its own tables
+    spec = _TABLES[name]
+    if spec[0] == "datagen":
+        cols = list(spec[2])
+        pkeys: list[str] = []
+    else:
+        cols = _schema_ddl_cols(spec[2])
+        from apache_flink_spark.ddl import part_cols
+
+        pkeys = part_cols(name)
+    wm_col, wm = (None, "")
+    if name in WATERMARKS:
+        c, delay = WATERMARKS[name]
+        n, u = delay.split(None, 1)
+        wm_col, wm = c, f"`{c}` - INTERVAL '{n}' {u.upper()}"
+    rows = []
+    for c, t in cols:
+        if like is not None:
+            # SQL LIKE with % / _ wildcards, anchored (reference ShowLike)
+            pat = re.escape(like).replace("%", ".*").replace("_", ".")
+            if not re.fullmatch(pat, c, re.I):
+                continue
+        rows.append(
+            (
+                c,
+                _flink_type(t),
+                True,
+                "PRT" if c in pkeys else "",
+                "",
+                wm if c == wm_col else "",
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "name string, type string, null boolean, key string, "
+        "extras string, watermark string",
+    )
+
+
 def show_create_table(spark: SparkSession, name: str):
     """Reconstructed Flink DDL — reference ShowCreateUtil: one row,
     column ``result``. Round-trips through execute_flink_ddl."""
@@ -308,6 +361,12 @@ def try_handle_alter_statement(spark: SparkSession, sql: str):
     m = _SHOW_CREATE_RE.match(sql)
     if m:
         return show_create_table(spark, m.group("name"))
+
+    m = _DESCRIBE_RE.match(sql)
+    if m:
+        return describe_table(
+            spark, m.group("name") or m.group("name2"), m.group("like")
+        )
 
     m = _SHOW_PARTS_RE.match(sql)
     if m:

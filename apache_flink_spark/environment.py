@@ -193,7 +193,8 @@ class TableEnvironment:
             if execute_flink_ddl(self.spark, query):
                 return self.spark.sql("SELECT 'OK' AS result")
         if re.match(
-            r"^\s*(ALTER\s+TABLE|SHOW\s+CREATE\s+TABLE|SHOW\s+PARTITIONS)\b",
+            r"^\s*(ALTER\s+TABLE|SHOW\s+CREATE\s+TABLE|SHOW\s+PARTITIONS"
+            r"|DESCRIBE|DESC\b|SHOW\s+COLUMNS)",
             query,
             re.I,
         ):

@@ -381,3 +381,27 @@ def test_show_partitions_and_add_drop(te, tmp_path):
         te.sql("ALTER TABLE pt3 DROP PARTITION (region='us')")
     with pytest.raises(DdlError, match="prefix"):
         te.sql("SHOW PARTITIONS pt3 PARTITION (day='d1')")
+
+
+def test_describe_and_show_columns(te, tmp_path):
+    _mk(te, tmp_path, "dsc", wm=True)
+    rows = te.sql("DESCRIBE dsc").collect()
+    byname = {r.name: r for r in rows}
+    assert list(byname) == ["id", "v", "ts"]
+    assert byname["id"].type == "BIGINT"
+    assert "INTERVAL '5' SECOND" in byname["ts"].watermark
+    assert byname["v"].watermark == ""
+    # partition key marker
+    _mk_part(te, tmp_path, "dsc_p")
+    keys = {r.name: r.key for r in te.sql("DESC dsc_p").collect()}
+    assert keys["region"] == "PRT" and keys["id"] == ""
+    # SHOW COLUMNS with LIKE
+    got = [
+        r.name
+        for r in te.sql("SHOW COLUMNS FROM dsc LIKE '%s'").collect()
+    ]
+    assert got == ["ts"]
+    # non-DDL table falls through to Spark's own DESCRIBE
+    te.spark.range(3).createOrReplaceTempView("plain_v")
+    cols = te.sql("DESCRIBE plain_v").columns
+    assert "col_name" in cols  # Spark's describe shape, not ours
