@@ -312,6 +312,8 @@ class TableEnvironment:
 
             query = rewrite_group_windows(rewrite_window_tvfs(query))
         if "SYSTEM_TIME" in query.upper():
+            query = self._rewrite_time_travel(query)
+        if "SYSTEM_TIME" in query.upper():
             from apache_flink_spark.temporal_sql import rewrite_system_time_joins
 
             query = rewrite_system_time_joins(query)
@@ -320,6 +322,40 @@ class TableEnvironment:
 
             return sql_with_match_recognize(self.spark, query)
         return self.spark.sql(query)
+
+    _TIME_TRAVEL_RE = re.compile(
+        r"\bFROM\s+(?P<name>[A-Za-z_][\w.]*)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
+        r"TIMESTAMP\s+'(?P<ts>[^']+)'",
+        re.I,
+    )
+
+    def _rewrite_time_travel(self, query: str) -> str:
+        """FLIP-308 time travel: ``FROM mt FOR SYSTEM_TIME AS OF
+        TIMESTAMP '...'`` on a MATERIALIZED TABLE resolves to the
+        snapshot generation that was current at that wall-clock instant
+        (materialized_table.resolve_as_of — expired generations error
+        loudly, the SupportsTimeTravel contract). Non-materialized names
+        are left for the temporal-JOIN rewrite."""
+        if not hasattr(self, "_mt_manager"):
+            return query
+        from datetime import datetime
+
+        out, pos, n = [], 0, 0
+        for m in self._TIME_TRAVEL_RE.finditer(query):
+            try:
+                self._mt_manager._get(m.group("name"))
+            except Exception:
+                continue  # not a materialized table — join rewrite's turn
+            epoch = datetime.fromisoformat(m.group("ts")).timestamp()
+            path = self._mt_manager.resolve_as_of(m.group("name"), epoch)
+            n += 1
+            view = f"__tt_{m.group('name').replace('.', '_')}_{n}"
+            self.spark.read.parquet(path).createOrReplaceTempView(view)
+            out.append(query[pos: m.start()])
+            out.append(f"FROM {view}")
+            pos = m.end()
+        out.append(query[pos:])
+        return "".join(out)
 
     def from_path(self, name: str) -> DataFrame:
         return self.spark.table(name)

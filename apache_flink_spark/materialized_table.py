@@ -43,6 +43,7 @@ Spark-first mapping:
 
 from __future__ import annotations
 
+import os
 import re
 import shutil
 import tempfile
@@ -114,6 +115,9 @@ class _MTable:
     # CONTINUOUS internals: "append" | "complete" once probed, None before
     # the first incremental tick, "fallback" when no stream source applies.
     continuous_sink: Optional[str] = None
+    #: snapshot id -> wall-clock epoch seconds it became current (FLIP-308
+    #: time travel resolves against these; trimmed with dir reclaim)
+    snapshot_times: dict = field(default_factory=dict)
 
     @property
     def current_path(self) -> str:
@@ -344,14 +348,36 @@ class MaterializedTableManager:
                 w = w.partitionBy(*t.partition_cols)
             w.parquet(path)
             t.snapshot = nxt
+            t.snapshot_times[nxt] = time.time()
             # repoint the view atomically; the PREVIOUS snapshot stays one
             # generation for in-flight readers (the gateway pages results
             # concurrently) — only N-2 is reclaimed (review r6 finding #6)
             spark.read.parquet(path).createOrReplaceTempView(t.name)
             shutil.rmtree(f"{t.root}/snapshot-{nxt - 2}", ignore_errors=True)
+            t.snapshot_times.pop(nxt - 2, None)
             n = spark.table(t.name).count()
         t.last_refresh_mono = time.monotonic()
         return n
+
+    def resolve_as_of(self, name: str, epoch_s: float) -> str:
+        """FLIP-308 time travel: the snapshot directory that was current
+        at ``epoch_s``. Only RETAINED generations resolve (current and
+        one-generation grace, like any lake format after snapshot
+        expiry) — an expired or pre-creation timestamp errors loudly,
+        matching the reference's SupportsTimeTravel contract."""
+        t = self._get(name)
+        live = {
+            s: ts for s, ts in t.snapshot_times.items()
+            if os.path.isdir(f"{t.root}/snapshot-{s}")
+        }
+        eligible = [s for s, ts in live.items() if ts <= epoch_s]
+        if not eligible:
+            raise MaterializedTableError(
+                f"no retained snapshot of {name!r} existed at "
+                f"{epoch_s} — retained generations: "
+                f"{sorted((s, round(ts, 3)) for s, ts in live.items())}"
+            )
+        return f"{t.root}/snapshot-{max(eligible)}"
 
     # -- CONTINUOUS: incremental checkpointed refresh ------------------------
     def _refresh_continuous(self, t: _MTable) -> Optional[int]:
@@ -477,12 +503,14 @@ class MaterializedTableManager:
                 path = f"{t.root}/snapshot-{nxt}"
                 shutil.move(pending, path)
                 t.snapshot = nxt
+                t.snapshot_times[nxt] = time.time()
                 main.read.parquet(path).createOrReplaceTempView(t.name)
                 # one-generation grace for concurrent readers (see
                 # _refresh_full)
                 shutil.rmtree(
                     f"{t.root}/snapshot-{nxt - 2}", ignore_errors=True
                 )
+                t.snapshot_times.pop(nxt - 2, None)
             elif t.snapshot < 0:
                 # zero input data ever: an empty table is still a table
                 t.snapshot = 0

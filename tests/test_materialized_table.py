@@ -318,3 +318,35 @@ def test_continuous_property_random_arrivals(tenv, spark, tmp_path):
         (r.grp, r.n, r.sv) for r in tenv.sql("SELECT * FROM mt_pc").collect()
     }
     assert got_c == want_c
+
+
+def test_time_travel_resolves_snapshot_generations(tenv, spark, tmp_path):
+    """FLIP-308 FOR SYSTEM_TIME AS OF on a materialized table: a
+    timestamp between two refreshes reads the OLDER retained snapshot;
+    now reads the current one; pre-creation errors loudly."""
+    from datetime import datetime, timedelta
+
+    tenv.sql(
+        "CREATE MATERIALIZED TABLE mt_tt FRESHNESS = INTERVAL '1' DAY "
+        "AS SELECT count(*) AS n FROM mt_src"
+    )
+    t_after_v0 = datetime.now()
+    _write_src(spark, tmp_path, [(i, "a", i) for i in range(7)])
+    import time as _time
+
+    _time.sleep(0.05)
+    tenv.sql("ALTER MATERIALIZED TABLE mt_tt REFRESH")
+    t_after_v1 = datetime.now()
+
+    def q(ts):
+        return tenv.sql(
+            f"SELECT n FROM mt_tt FOR SYSTEM_TIME AS OF TIMESTAMP "
+            f"'{ts.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+        ).collect()[0].n
+
+    assert q(t_after_v1) == 7      # current generation
+    assert q(t_after_v0) == 3      # previous retained generation
+    with pytest.raises(MaterializedTableError, match="no retained"):
+        q(t_after_v0 - timedelta(hours=1))
+    # plain reads still see the live view
+    assert tenv.sql("SELECT n FROM mt_tt").collect()[0].n == 7
