@@ -74,10 +74,11 @@ GATE_SAMPLE = [
     "q6_forecast_revenue",
     "q9_product_profit",
     "q10_returned_items",
-    "q18_large_volume_customer",
-    # r6 late rotation: SemDeDup — the cluster-bucketed semantic dedup
-    # stage (q21 rotated out, green in the full sweep)
+    # r6 late rotation: SemDeDup (cluster-bucketed semantic dedup) and
+    # the set-semantics PTF lane (q18/q21 rotated out, green in the
+    # full sweep)
     "sim_semdedup",
+    "ptf_set_semantics_gaps",
     # r6 rotation: the streaming MATCH_RECOGNIZE NFA driver, the
     # large-star/small-star connected components, and the DataStream V2
     # facade — this round's three new operator families, each in-gate
