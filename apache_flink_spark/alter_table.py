@@ -348,10 +348,21 @@ def show_create_table(spark: SparkSession, name: str):
             f"  WATERMARK FOR {col} AS {col} - INTERVAL '{n}' {u.upper()}"
         )
     body = ",\n".join(lines)
+    from apache_flink_spark.ddl import _PART_KEY
+
+    part = ""
+    if opts.get(_PART_KEY):
+        part = (
+            "PARTITIONED BY ("
+            + ", ".join(opts[_PART_KEY].split(","))
+            + ") "
+        )
     with_body = ",\n".join(
-        f"  '{k}' = '{v}'" for k, v in sorted(opts.items())
+        f"  '{k}' = '{v}'"
+        for k, v in sorted(opts.items())
+        if k != _PART_KEY
     )
-    ddl = f"CREATE TABLE {name} (\n{body}\n) WITH (\n{with_body}\n)"
+    ddl = f"CREATE TABLE {name} (\n{body}\n) {part}WITH (\n{with_body}\n)"
     return spark.createDataFrame([(ddl,)], "result string")
 
 
@@ -464,6 +475,13 @@ def try_handle_alter_statement(spark: SparkSession, sql: str):
             raise DdlError(f"column {col!r} not in table {name!r}")
         if to in names:
             raise DdlError(f"column {to!r} already exists in {name!r}")
+        from apache_flink_spark.ddl import part_cols
+
+        if col in part_cols(name):
+            raise DdlError(
+                f"cannot RENAME partition column {col!r} — the hive "
+                "directory layout is keyed by its name"
+            )
         # COW: by-name formats would resolve the renamed column to NULL
         # against old files; positional csv would carry a stale header
         _cow_rewrite(
@@ -570,6 +588,14 @@ def try_handle_alter_statement(spark: SparkSession, sql: str):
             raise DdlError(
                 "cannot DROP the watermark column (reference: rowtime "
                 "attribute columns cannot be dropped)"
+            )
+        from apache_flink_spark.ddl import part_cols
+
+        hit = [c for c in drops if c in part_cols(name)]
+        if hit:
+            raise DdlError(
+                f"cannot DROP partition column(s) {hit} — the hive "
+                "directory layout is keyed by them"
             )
         if fmt in _BY_NAME_FORMATS:
             _set_schema(name, kept)  # reader simply stops projecting it

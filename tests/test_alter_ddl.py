@@ -405,3 +405,19 @@ def test_describe_and_show_columns(te, tmp_path):
     te.spark.range(3).createOrReplaceTempView("plain_v")
     cols = te.sql("DESCRIBE plain_v").columns
     assert "col_name" in cols  # Spark's describe shape, not ours
+
+
+def test_partition_column_guards_and_show_create_partitioned(te, tmp_path):
+    _mk_part(te, tmp_path, "pt4")
+    with pytest.raises(DdlError, match="partition column"):
+        te.sql("ALTER TABLE pt4 DROP region")
+    with pytest.raises(DdlError, match="partition column"):
+        te.sql("ALTER TABLE pt4 RENAME region TO zone")
+    ddl = te.sql("SHOW CREATE TABLE pt4").collect()[0].result
+    assert "PARTITIONED BY (region, day)" in ddl
+    assert "partitioned-by" not in ddl
+    # re-executes with the partition layout intact
+    te.sql(ddl.replace("pt4", "pt5", 1))
+    from apache_flink_spark.ddl import part_cols
+
+    assert part_cols("pt5") == ["region", "day"]
