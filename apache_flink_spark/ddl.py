@@ -358,7 +358,9 @@ def _execute_create_like(spark: SparkSession, m) -> bool:
 
 _CREATE_AS_RE = re.compile(
     r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"(?P<name>\w+)\s*WITH\s*\((?P<opts>.*?)\)\s*"
+    r"(?P<name>\w+)\s*"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>[\w\s,]+)\)\s*)?"
+    r"WITH\s*\((?P<opts>.*?)\)\s*"
     r"AS\s+(?P<select>SELECT\b.*)$",
     re.I | re.S,
 )
@@ -407,6 +409,16 @@ def _execute_create_as(spark: SparkSession, m) -> bool:
         f"{c} {_spark_type_ddl(t.dataType)}" for c, t in
         zip(out.columns, out.schema.fields)
     )
+    if m.group("parts"):
+        parts = [
+            c.strip() for c in m.group("parts").split(",") if c.strip()
+        ]
+        bad = [p for p in parts if p not in out.columns]
+        if bad:
+            raise DdlError(
+                f"CTAS PARTITIONED BY columns {bad} are not query columns"
+            )
+        opts[_PART_KEY] = ",".join(parts)
     _TABLES[name] = (fmt, path, schema_ddl, opts)
     try:
         writer, _fmt, _p = fs_writer(out, name)

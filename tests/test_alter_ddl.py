@@ -421,3 +421,26 @@ def test_partition_column_guards_and_show_create_partitioned(te, tmp_path):
     from apache_flink_spark.ddl import part_cols
 
     assert part_cols("pt5") == ["region", "day"]
+
+
+def test_ctas_partitioned(te, tmp_path):
+    path = os.path.join(str(tmp_path), "ctas_p")
+    te.sql(
+        f"""
+        CREATE TABLE ctas_p PARTITIONED BY (grp) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'parquet'
+        ) AS SELECT id AS k, CASE WHEN id % 2 = 0 THEN 'e' ELSE 'o' END
+             AS grp FROM range(6)
+        """
+    )
+    from apache_flink_spark.ddl import part_cols
+
+    assert part_cols("ctas_p") == ["grp"]
+    assert sorted(
+        e for e in os.listdir(path) if e.startswith("grp=")
+    ) == ["grp=e", "grp=o"]
+    parts = [r.partition for r in te.sql("SHOW PARTITIONS ctas_p").collect()]
+    assert parts == ["grp=e", "grp=o"]
+    assert te.sql("SELECT count(*) AS n FROM ctas_p").collect()[0].n == 6
