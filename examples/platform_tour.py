@@ -79,6 +79,31 @@ def main() -> None:
     tenv.sql("DELETE FROM tour_t WHERE id < 5").show()
     tenv.sql("SELECT * FROM tour_t ORDER BY id").show()
 
+    print("== ALTER TABLE / SHOW CREATE / partitions (r6) ==")
+    tenv.sql("ALTER TABLE tour_t ADD (note STRING)").show()
+    tenv.sql("SHOW CREATE TABLE tour_t").show(truncate=False)
+    tenv.sql("DESCRIBE tour_t").show()
+
+    print("== Process Table Function (FLIP-440) ==")
+    import pandas as pd
+
+    from apache_flink_spark.ptf import register_ptf
+
+    def running_total(keys, pdf, **_):
+        return pd.DataFrame(
+            {"id": pdf["id"].to_numpy(), "rt": pdf["v"].cumsum()}
+        )
+
+    register_ptf("tour_rt", running_total, "id bigint, rt bigint")
+    tenv.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW tour_b AS "
+        "SELECT id, CAST(v AS BIGINT) AS v, id % 2 AS bucket FROM tour_t"
+    )
+    tenv.sql(
+        "SELECT * FROM tour_rt(input => TABLE tour_b "
+        "PARTITION BY bucket ORDER BY id) ORDER BY bucket, id LIMIT 6"
+    ).show()
+
     print("== DB-API driver over the SQL gateway (REST) ==")
     from apache_flink_spark import dbapi
     from apache_flink_spark.sql_gateway import (
