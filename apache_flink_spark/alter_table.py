@@ -124,12 +124,15 @@ def _parse_part_spec(name: str, spec: str) -> list[tuple[str, str]]:
     declared = part_cols(name)
     if not declared:
         raise DdlError(f"table {name!r} is not partitioned")
-    given = {}
-    for m in re.finditer(r"(\w+)\s*=\s*('(?:[^']|'')*'|[\w.-]+)", spec):
-        v = m.group(2)
-        given[m.group(1)] = (
-            v[1:-1].replace("''", "'") if v.startswith("'") else v
-        )
+    from apache_flink_spark.ddl import parse_kv_spec
+
+    try:
+        # STRICT: an empty or value-less spec errors here — a lax parse
+        # once let ``DROP PARTITION ()`` resolve to the table root and
+        # rmtree the entire table (r6 review finding #1)
+        given = parse_kv_spec(spec)
+    except ValueError as e:
+        raise DdlError(str(e)) from None
     bad = [k for k in given if k not in declared]
     if bad:
         raise DdlError(
@@ -509,6 +512,11 @@ def try_handle_alter_statement(spark: SparkSession, sql: str):
                 "changing 'connector' is unsupported (reference: "
                 "ALTER TABLE SET cannot change the connector either)"
             )
+        if "partitioned-by" in new:
+            raise DdlError(
+                "cannot SET 'partitioned-by' — the hive directory layout "
+                "is physical; declare partitioning at CREATE time"
+            )
         fmt, path, schema_ddl, opts = _TABLES[name]
         opts = {**opts, **new}
         fmt = opts.get("format", fmt).lower()
@@ -526,10 +534,14 @@ def try_handle_alter_statement(spark: SparkSession, sql: str):
         if not keys:
             raise DdlError("ALTER TABLE ... RESET with no keys")
         fmt, path, schema_ddl, opts = _TABLES[name]
+        # validate EVERY key before touching the catalog entry — popping
+        # from the live dict as we scan half-applies a failed statement
+        # (r6 review finding #7); 'partitioned-by' is physical layout
         for k in keys:
-            if k.lower() in ("connector", "path"):
+            if k.lower() in ("connector", "path", "partitioned-by"):
                 raise DdlError(f"cannot RESET required option {k!r}")
-            opts.pop(k.lower(), None)
+        dropped = {k.lower() for k in keys}
+        opts = {k: v for k, v in opts.items() if k not in dropped}
         _TABLES[name] = (fmt, path, schema_ddl, opts)
         refresh_table_view(spark, name)
         return _ok(spark)
@@ -614,6 +626,9 @@ def try_handle_alter_statement(spark: SparkSession, sql: str):
         cols = _schema_ddl_cols(_TABLES[name][2])
         names = [c for c, _t in cols]
         by_name = dict(cols)
+        from apache_flink_spark.ddl import part_cols
+
+        pkeys = set(part_cols(name))
         for c, t, pos in mods:
             if c not in by_name:
                 raise DdlError(f"column {c!r} not in table {name!r}")
@@ -621,6 +636,13 @@ def try_handle_alter_statement(spark: SparkSession, sql: str):
                 raise DdlError(
                     "MODIFY ... FIRST/AFTER reordering is unsupported "
                     "(type changes only)"
+                )
+            if c in pkeys:
+                # same guard as RENAME/DROP: a failed cast would rewrite
+                # every row under __HIVE_DEFAULT_PARTITION__ (r6 review)
+                raise DdlError(
+                    f"cannot MODIFY partition column {c!r} — the hive "
+                    "directory layout is keyed by its value"
                 )
             by_name[c] = t
         # COW with cast: a metadata-only type change breaks parquet

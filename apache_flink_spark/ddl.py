@@ -122,6 +122,35 @@ def part_cols(name: str) -> list[str]:
     pb = spec[3].get(_PART_KEY, "")
     return [c for c in pb.split(",") if c]
 
+
+#: one ``col = 'quoted' | bareword`` pair of a partition spec
+_KV_PAIR_RE = re.compile(r"(\w+)\s*=\s*('(?:[^']|'')*'|[\w.-]+)")
+
+
+def parse_kv_spec(spec: str) -> dict[str, str]:
+    """STRICT ``k='v', k2=3`` partition-spec parsing, shared by ALTER
+    ADD/DROP PARTITION, SHOW PARTITIONS, INSERT's static PARTITION clause
+    and materialized-table REFRESH PARTITION. Single-quoted values are
+    unescaped (``''`` -> ``'``). Raises ValueError on an empty spec, a
+    value-less entry (``PARTITION (region)``) or any other unparsed text —
+    a lax parse here once turned ``DROP PARTITION ()`` into an rm of the
+    whole table root (r6 review finding)."""
+    out: dict[str, str] = {}
+    for m in _KV_PAIR_RE.finditer(spec):
+        v = m.group(2)
+        out[m.group(1)] = (
+            v[1:-1].replace("''", "'") if v.startswith("'") else v
+        )
+    leftover = _KV_PAIR_RE.sub("", spec).replace(",", "").strip()
+    if leftover:
+        raise ValueError(
+            f"malformed partition spec entry {leftover.split()[0]!r} "
+            f"in {spec.strip()!r} — expected col='value'[, ...]"
+        )
+    if not out:
+        raise ValueError(f"empty partition spec {spec.strip()!r}")
+    return out
+
 _WATERMARK_RE = re.compile(
     r"^WATERMARK\s+FOR\s+(?P<col>\w+)\s+AS\s+\w+\s*-\s*"
     r"INTERVAL\s*'(?P<n>\d+)'\s*(?P<u>\w+)$",
@@ -252,21 +281,28 @@ def _execute_create_like(spark: SparkSession, m) -> bool:
       - WATERMARKS: default INCLUDING; a newly declared watermark needs
         OVERWRITING when the source has one; EXCLUDING drops it;
       - CONSTRAINTS: accepted (PKs are NOT ENFORCED no-ops here);
-      - GENERATED/METADATA/PARTITIONS: outside the supported DDL subset
-        (no computed/metadata/partition columns exist) — error loudly.
+      - PARTITIONS: default INCLUDING (the PARTITIONED BY layout is
+        inherited, independent of the OPTIONS strategy); EXCLUDING drops
+        it; OVERWRITING is invalid (as in MergeTableLikeUtil);
+      - GENERATED/METADATA: outside the supported DDL subset
+        (no computed/metadata columns exist) — error loudly.
     """
     name, src = m.group("name"), m.group("src")
     if src not in _TABLES:
         raise DdlError(f"LIKE source table {src!r} was not declared via DDL")
     strat = {"OPTIONS": "INCLUDING", "WATERMARKS": "INCLUDING",
-             "CONSTRAINTS": "INCLUDING"}
+             "CONSTRAINTS": "INCLUDING", "PARTITIONS": "INCLUDING"}
     for sm in _LIKE_OPT_RE.finditer(m.group("like") or ""):
         how, what = sm.group(1).upper(), sm.group(2).upper()
-        if what in ("GENERATED", "METADATA", "PARTITIONS"):
+        if what in ("GENERATED", "METADATA"):
             raise DdlError(
                 f"LIKE option {how} {what} is outside the supported DDL "
-                "subset (no computed/metadata/partition columns)"
+                "subset (no computed/metadata columns)"
             )
+        if what == "PARTITIONS" and how == "OVERWRITING":
+            # reference MergeTableLikeUtil: partitions merge only as
+            # INCLUDING/EXCLUDING
+            raise DdlError("OVERWRITING PARTITIONS is not valid LIKE syntax")
         if what == "ALL":
             if how == "OVERWRITING":
                 raise DdlError("OVERWRITING ALL is not valid LIKE syntax")
@@ -292,6 +328,11 @@ def _execute_create_like(spark: SparkSession, m) -> bool:
         src_opts.setdefault("path", path)
         src_opts.setdefault("format", fmt)
 
+    # PARTITIONED BY travels as the reserved option — decouple it from the
+    # OPTIONS merge strategy so EXCLUDING OPTIONS doesn't silently drop
+    # partitioning and EXCLUDING PARTITIONS actually removes it (r6 review)
+    src_pb = src_opts.pop(_PART_KEY, None)
+
     taken = {c for c, _t in src_cols}
     for c, _t in extra_cols:
         if c in taken:
@@ -314,6 +355,8 @@ def _execute_create_like(spark: SparkSession, m) -> bool:
                     "OVERWRITING OPTIONS"
                 )
         opts = {**src_opts, **new_opts}
+    if strat["PARTITIONS"] != "EXCLUDING" and src_pb:
+        opts[_PART_KEY] = src_pb
 
     watermark = None
     if strat["WATERMARKS"] != "EXCLUDING" and src in WATERMARKS:
@@ -539,17 +582,15 @@ def execute_flink_insert(spark: SparkSession, sql: str):
         # the SELECT provides the remaining columns positionally; the
         # spec's literals fill the named partition columns
         pcols = set(part_cols(name))
-        for sm in re.finditer(
-            r"(\w+)\s*=\s*('(?:[^']|'')*'|[\w.-]+)", m.group("static")
-        ):
-            k, v = sm.group(1), sm.group(2)
-            if k not in pcols:
-                raise DdlError(
-                    f"INSERT PARTITION column {k!r} is not in "
-                    f"{name}'s PARTITIONED BY ({sorted(pcols)})"
-                )
-            static[k] = (
-                v[1:-1].replace("''", "'") if v.startswith("'") else v
+        try:
+            static = parse_kv_spec(m.group("static"))
+        except ValueError as e:
+            raise DdlError(str(e)) from None
+        bad = [k for k in static if k not in pcols]
+        if bad:
+            raise DdlError(
+                f"INSERT PARTITION column(s) {bad} not in "
+                f"{name}'s PARTITIONED BY ({sorted(pcols)})"
             )
     target = [(n, t) for n, t in declared if n not in static]
     if len(out.columns) != len(target):

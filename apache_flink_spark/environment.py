@@ -185,6 +185,33 @@ class TableEnvironment:
                 return self.spark.sql("SET")
             self.spark.conf.set(key, sm.group("val"))
             return self.spark.sql("SELECT 'OK' AS result")
+        # Pure TEXT rewrites run before ANY route that executes an embedded
+        # SELECT (CTAS, STATEMENT SET, row-level DML, INSERT) — otherwise a
+        # hint / PTF call / window TVF / time-travel clause inside those
+        # statements is silently ignored or fails to resolve (r6 review).
+        if "/*+" in query:
+            from apache_flink_spark.query_hints import rewrite_flink_hints
+
+            query = rewrite_flink_hints(self.spark, query)
+        if "TABLE" in up and "(" in query:
+            # PTF calls with TABLE arguments (FLIP-440 — ptf.py); a no-op
+            # when no PTF is registered or none is referenced
+            from apache_flink_spark.ptf import _PTFS, rewrite_ptf_calls
+
+            if _PTFS:
+                query = rewrite_ptf_calls(self.spark, query)
+        if "TUMBLE" in up or "HOP" in up or "CUMULATE" in up or "SESSION" in up:
+            from apache_flink_spark.window_tvf import (
+                rewrite_group_windows,
+                rewrite_window_tvfs,
+            )
+
+            query = rewrite_group_windows(rewrite_window_tvfs(query))
+        if "SYSTEM_TIME" in query.upper():
+            from apache_flink_spark.temporal_sql import rewrite_system_time_joins
+
+            query = rewrite_system_time_joins(self._rewrite_time_travel(query))
+        up = query.upper()
         if "CREATE" in up and ("CONNECTOR" in up or re.search(
             r"\bLIKE\s+\w+\s*(?:\([^()]*\))?\s*$", query, re.I
         )):
@@ -250,13 +277,6 @@ class TableEnvironment:
                 [(sj.group("id"), "STOPPED", ckpt)],
                 "job_id string, status string, savepoint string",
             )
-        if "/*+" in query:
-            # BEFORE the statement-set/DML/INSERT routes: hints inside an
-            # INSERT's SELECT must translate too (r6 review finding —
-            # Spark silently ignores unknown hint names)
-            from apache_flink_spark.query_hints import rewrite_flink_hints
-
-            query = rewrite_flink_hints(self.spark, query)
         sm_set = _STMT_SET_RE.match(query)
         if sm_set:
             # EXECUTE STATEMENT SET BEGIN <insert>; ...; END (reference
@@ -297,26 +317,6 @@ class TableEnvironment:
             handled = execute_flink_insert(self.spark, query)
             if handled is not None:
                 return handled
-        if "TABLE" in up and "(" in query:
-            # PTF calls with TABLE arguments (FLIP-440 — ptf.py); a no-op
-            # when no PTF is registered or none is referenced
-            from apache_flink_spark.ptf import _PTFS, rewrite_ptf_calls
-
-            if _PTFS:
-                query = rewrite_ptf_calls(self.spark, query)
-        if "TUMBLE" in up or "HOP" in up or "CUMULATE" in up or "SESSION" in up:
-            from apache_flink_spark.window_tvf import (
-                rewrite_group_windows,
-                rewrite_window_tvfs,
-            )
-
-            query = rewrite_group_windows(rewrite_window_tvfs(query))
-        if "SYSTEM_TIME" in query.upper():
-            query = self._rewrite_time_travel(query)
-        if "SYSTEM_TIME" in query.upper():
-            from apache_flink_spark.temporal_sql import rewrite_system_time_joins
-
-            query = rewrite_system_time_joins(query)
         if "MATCH_RECOGNIZE" in query.upper():
             from apache_flink_spark.match_recognize import sql_with_match_recognize
 
@@ -347,12 +347,18 @@ class TableEnvironment:
             except Exception:
                 continue  # not a materialized table — join rewrite's turn
             epoch = datetime.fromisoformat(m.group("ts")).timestamp()
+            mt = self._mt_manager._get(m.group("name"))
             path = self._mt_manager.resolve_as_of(m.group("name"), epoch)
-            n += 1
-            view = f"__tt_{m.group('name').replace('.', '_')}_{n}"
-            self.spark.read.parquet(path).createOrReplaceTempView(view)
             out.append(query[pos: m.start()])
-            out.append(f"FROM {view}")
+            if path == mt.current_path:
+                # the current generation IS the live view (and for an
+                # append-mode table its dir may not have materialized yet)
+                out.append(f"FROM {m.group('name')}")
+            else:
+                n += 1
+                view = f"__tt_{m.group('name').replace('.', '_')}_{n}"
+                self.spark.read.parquet(path).createOrReplaceTempView(view)
+                out.append(f"FROM {view}")
             pos = m.end()
         out.append(query[pos:])
         return "".join(out)

@@ -200,15 +200,12 @@ class MaterializedTableManager:
     def _parse_partition_spec(spec: Optional[str]) -> Optional[dict]:
         if not spec:
             return None
-        out = {}
-        for kv in spec.split(","):
-            k, _, v = kv.partition("=")
-            if not _:
-                raise MaterializedTableError(
-                    f"malformed PARTITION spec entry {kv.strip()!r}"
-                )
-            out[k.strip()] = v.strip().strip("'\"")
-        return out
+        from apache_flink_spark.ddl import parse_kv_spec
+
+        try:
+            return parse_kv_spec(spec)
+        except ValueError as e:
+            raise MaterializedTableError(str(e)) from None
 
     # -- lifecycle ----------------------------------------------------------
     def create(
@@ -366,9 +363,12 @@ class MaterializedTableManager:
         expiry) — an expired or pre-creation timestamp errors loudly,
         matching the reference's SupportsTimeTravel contract."""
         t = self._get(name)
+        # the CURRENT generation is always retained even when its directory
+        # has not materialized yet (append-mode sink before the first data
+        # write) — the caller reads the live view for it (r6 review)
         live = {
             s: ts for s, ts in t.snapshot_times.items()
-            if os.path.isdir(f"{t.root}/snapshot-{s}")
+            if s == t.snapshot or os.path.isdir(f"{t.root}/snapshot-{s}")
         }
         eligible = [s for s, ts in live.items() if ts <= epoch_s]
         if not eligible:
@@ -427,6 +427,9 @@ class MaterializedTableManager:
                 old = t.current_path
                 t.snapshot = -1
                 shutil.rmtree(old, ignore_errors=True)
+                # pre-reset generation timestamps must not resolve to the
+                # post-reset snapshots that reuse their numbers (r6 review)
+                t.snapshot_times.clear()
 
         modes = (
             [t.continuous_sink]
@@ -441,6 +444,10 @@ class MaterializedTableManager:
                 # (an empty PARTITIONED write leaves no schema on disk);
                 # until then the view is an empty in-memory frame
                 t.snapshot = 0
+                # append mode keeps ONE generation that grows in place:
+                # record its birth so FLIP-308 time travel resolves any
+                # later timestamp to it instead of erroring (r6 review)
+                t.snapshot_times[0] = time.time()
                 main.createDataFrame([], sdf.schema).createOrReplaceTempView(
                     t.name
                 )
@@ -514,6 +521,7 @@ class MaterializedTableManager:
             elif t.snapshot < 0:
                 # zero input data ever: an empty table is still a table
                 t.snapshot = 0
+                t.snapshot_times[0] = time.time()
                 main.createDataFrame([], sdf.schema).write.mode(
                     "overwrite"
                 ).parquet(t.current_path)

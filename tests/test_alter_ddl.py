@@ -245,7 +245,7 @@ def test_create_like_guards(te, tmp_path):
             "CREATE TABLE lk4_b WITH ('format' = 'csv') LIKE lk4_src"
         )
     with pytest.raises(DdlError):
-        te.sql("CREATE TABLE lk4_c LIKE lk4_src (INCLUDING PARTITIONS)")
+        te.sql("CREATE TABLE lk4_c LIKE lk4_src (INCLUDING GENERATED)")
     with pytest.raises(DdlError):
         # new watermark while source has one, without OVERWRITING
         te.sql(
@@ -444,3 +444,105 @@ def test_ctas_partitioned(te, tmp_path):
     parts = [r.partition for r in te.sql("SHOW PARTITIONS ctas_p").collect()]
     assert parts == ["grp=e", "grp=o"]
     assert te.sql("SELECT count(*) AS n FROM ctas_p").collect()[0].n == 6
+
+
+# -- r6 review-finding regressions --------------------------------------------
+
+
+def test_drop_partition_rejects_empty_or_valueless_spec(te, tmp_path):
+    """A lax spec parse once resolved ``DROP PARTITION ()`` to the table
+    ROOT and rmtree'd every partition (r6 review #1)."""
+    path = _mk_part(te, tmp_path, "pt6")
+    te.sql("INSERT INTO pt6 SELECT 1, 'a', 'eu', 'd1'")
+    with pytest.raises(DdlError, match="empty partition spec"):
+        te.sql("ALTER TABLE pt6 DROP PARTITION ()")
+    with pytest.raises(DdlError, match="malformed partition spec"):
+        te.sql("ALTER TABLE pt6 DROP PARTITION (region)")
+    with pytest.raises(DdlError, match="malformed partition spec"):
+        te.sql("ALTER TABLE pt6 DROP PARTITION (region='eu', day)")
+    # the table data must be untouched after every rejected statement
+    assert os.path.isdir(os.path.join(path, "region=eu"))
+    assert te.sql("SELECT count(*) AS n FROM pt6").collect()[0].n == 1
+
+
+def test_compact_preserves_partition_layout(te, tmp_path):
+    """COMPACT on a PARTITIONED table must keep the hive k=v layout —
+    a flat rewrite bricked partition discovery (r6 review #2)."""
+    _mk_part(te, tmp_path, "pt7")
+    for i in range(3):
+        te.sql(f"INSERT INTO pt7 SELECT {i}, 'x', 'eu', 'd1'")
+    te.sql("INSERT INTO pt7 SELECT 9, 'y', 'us', 'd2'")
+    # a registered-but-empty partition must survive the rewrite too
+    te.sql("ALTER TABLE pt7 ADD PARTITION (region='ap', day='d9')")
+    res = te.sql("ALTER TABLE pt7 COMPACT").collect()[0]
+    assert res.files_after <= res.files_before
+    parts = [r.partition for r in te.sql("SHOW PARTITIONS pt7").collect()]
+    assert parts == [
+        "region=ap/day=d9", "region=eu/day=d1", "region=us/day=d2"
+    ]
+    rows = te.sql("SELECT id, region, day FROM pt7 ORDER BY id").collect()
+    assert [(r.id, r.region, r.day) for r in rows] == [
+        (0, "eu", "d1"), (1, "eu", "d1"), (2, "eu", "d1"), (9, "us", "d2")
+    ]
+    # pruning still reaches the scan after the rewrite
+    plan = (
+        te.sql("SELECT id FROM pt7 WHERE region = 'eu'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan
+
+
+def test_modify_partition_column_guard(te, tmp_path):
+    """MODIFY of a partition column would rewrite failed casts under
+    __HIVE_DEFAULT_PARTITION__ (r6 review #3) — same guard as RENAME/DROP."""
+    _mk_part(te, tmp_path, "pt8")
+    with pytest.raises(DdlError, match="partition column"):
+        te.sql("ALTER TABLE pt8 MODIFY (region INT)")
+
+
+def test_reset_is_atomic_on_error(te, tmp_path):
+    """RESET validates every key BEFORE mutating the catalog entry —
+    no half-applied statement (r6 review #7)."""
+    _mk(te, tmp_path, "rst", fmt="csv")
+    te.sql("ALTER TABLE rst SET ('csv.field-delimiter' = ';')")
+    with pytest.raises(DdlError, match="required option"):
+        te.sql("ALTER TABLE rst RESET ('csv.field-delimiter', 'path')")
+    assert _TABLES["rst"][3].get("csv.field-delimiter") == ";"
+    with pytest.raises(DdlError, match="required option"):
+        te.sql("ALTER TABLE rst RESET ('partitioned-by')")
+    with pytest.raises(DdlError, match="partitioned-by"):
+        te.sql("ALTER TABLE rst SET ('partitioned-by' = 'v')")
+
+
+def test_create_like_partitions_strategies(te, tmp_path):
+    """LIKE inherits PARTITIONED BY by default (independent of the OPTIONS
+    strategy); EXCLUDING PARTITIONS drops it; OVERWRITING PARTITIONS is
+    invalid syntax (r6 review #6)."""
+    from apache_flink_spark.ddl import part_cols
+
+    _mk_part(te, tmp_path, "pl_src")
+    p2 = os.path.join(str(tmp_path), "pl_inc")
+    te.sql(
+        f"CREATE TABLE pl_inc WITH ('path' = '{p2}') "
+        "LIKE pl_src (OVERWRITING OPTIONS)"
+    )
+    assert part_cols("pl_inc") == ["region", "day"]
+    # EXCLUDING OPTIONS must NOT silently drop the partition layout
+    p3 = os.path.join(str(tmp_path), "pl_excopt")
+    te.sql(
+        f"CREATE TABLE pl_excopt WITH ('connector' = 'filesystem', "
+        f"'path' = '{p3}', 'format' = 'parquet') "
+        "LIKE pl_src (EXCLUDING OPTIONS)"
+    )
+    assert part_cols("pl_excopt") == ["region", "day"]
+    p4 = os.path.join(str(tmp_path), "pl_exc")
+    te.sql(
+        f"CREATE TABLE pl_exc WITH ('path' = '{p4}') "
+        "LIKE pl_src (OVERWRITING OPTIONS, EXCLUDING PARTITIONS)"
+    )
+    assert part_cols("pl_exc") == []
+    with pytest.raises(DdlError, match="OVERWRITING PARTITIONS"):
+        te.sql(
+            f"CREATE TABLE pl_bad WITH ('path' = '{p4}x') "
+            "LIKE pl_src (OVERWRITING PARTITIONS)"
+        )

@@ -350,3 +350,33 @@ def test_time_travel_resolves_snapshot_generations(tenv, spark, tmp_path):
         q(t_after_v0 - timedelta(hours=1))
     # plain reads still see the live view
     assert tenv.sql("SELECT n FROM mt_tt").collect()[0].n == 7
+
+
+def test_time_travel_on_continuous_append_mode(tenv, spark, tmp_path):
+    """FLIP-308 on an append-mode CONTINUOUS table: the single growing
+    generation resolves for any timestamp at/after its birth instead of
+    erroring (r6 review #4); pre-creation still errors loudly."""
+    from datetime import datetime, timedelta
+
+    mgr = tenv.materialized_tables
+    mgr.register_stream_source("mt_src", str(tmp_path / "src"))
+    tenv.sql(
+        "CREATE MATERIALIZED TABLE mt_ta FRESHNESS = INTERVAL '10' SECOND "
+        "REFRESH_MODE = CONTINUOUS "
+        "AS SELECT id, v FROM mt_src WHERE v >= 20"
+    )
+    assert mgr.tables["mt_ta"].continuous_sink == "append"
+
+    def q(ts):
+        return {
+            (r.id, r.v)
+            for r in tenv.sql(
+                f"SELECT * FROM mt_ta FOR SYSTEM_TIME AS OF TIMESTAMP "
+                f"'{ts.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+            ).collect()
+        }
+
+    now = datetime.now()
+    assert q(now) == {(2, 20), (3, 30)}
+    with pytest.raises(MaterializedTableError, match="no retained"):
+        q(now - timedelta(hours=1))

@@ -203,3 +203,27 @@ def test_streaming_ptf_guards(spark):
         apply_ptf_stream("t_double", stream, ["value"], "n bigint")
     with pytest.raises(PtfError, match="PARTITION BY"):
         apply_ptf_stream("t_rsum", stream, [], "n bigint")
+
+
+def test_ptf_inside_insert_statement(te, tmp_path):
+    """The PTF rewrite must run BEFORE the INSERT route (r6 review #5) —
+    an INSERT ... SELECT FROM <ptf>(TABLE ...) previously failed with an
+    unresolved-function error."""
+    import os
+
+    path = os.path.join(str(tmp_path), "ptf_sink")
+    te.sql(
+        f"""
+        CREATE TABLE ptf_sink (v INT, rsum BIGINT) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'parquet'
+        )
+        """
+    )
+    te.sql(
+        "INSERT INTO ptf_sink SELECT v, rsum FROM t_rsum(input => "
+        "TABLE ptf_in PARTITION BY k ORDER BY v) WHERE k = 1"
+    )
+    rows = te.sql("SELECT v, rsum FROM ptf_sink ORDER BY v").collect()
+    assert [(r.v, r.rsum) for r in rows] == [(10, 10), (20, 30)]

@@ -144,3 +144,29 @@ def test_options_unknown_key_errors(tenv, tmp_path):
         tenv.sql(
             "SELECT * FROM hint_csv /*+ OPTIONS('scan.bogus'='1') */"
         )
+
+
+def test_options_hint_inside_ctas(tenv, tmp_path):
+    """The hint rewrite must run BEFORE the CTAS route (r6 review #5) —
+    a hint inside CREATE TABLE ... AS SELECT was silently ignored."""
+    import os
+
+    tenv.sql(
+        """
+        CREATE TABLE hint_gen2 (
+            id BIGINT, v INT
+        ) WITH ('connector' = 'datagen', 'number-of-rows' = '50')
+        """
+    )
+    path = os.path.join(str(tmp_path), "ctas_hint")
+    tenv.sql(
+        f"""
+        CREATE TABLE ctas_hint WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'parquet'
+        ) AS SELECT id, v FROM hint_gen2
+             /*+ OPTIONS('number-of-rows'='4') */
+        """
+    )
+    assert tenv.sql("SELECT count(*) AS n FROM ctas_hint").first().n == 4
