@@ -1,0 +1,321 @@
+"""Catalog / database / module introspection statements.
+
+Reference parity: the flink-sql-parser statement classes a SQL-client or
+gateway user runs to look around (Parser.tdd statementParserMethods;
+operations in flink-table-planner ``ShowTablesOperation`` et al.):
+
+  - ``SHOW CATALOGS`` / ``SHOW CURRENT CATALOG`` / ``USE CATALOG c``
+  - ``SHOW DATABASES`` / ``SHOW CURRENT DATABASE`` / ``USE db`` /
+    ``CREATE DATABASE`` / ``DROP DATABASE`` (Spark passthrough for the
+    last three — identical syntax)
+  - ``SHOW TABLES [FROM|IN db] [[NOT] LIKE 'p']``
+  - ``SHOW VIEWS``
+  - ``SHOW [USER] FUNCTIONS [LIKE 'p']``
+  - ``SHOW JARS``
+  - ``SHOW [FULL] MODULES`` / ``LOAD MODULE m`` / ``UNLOAD MODULE m`` /
+    ``USE MODULES a[, b...]``  (ModuleManager semantics)
+  - ``ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c,... |
+    FOR ALL COLUMNS]``  (SqlAnalyzeTable)
+
+Execution model. Spark's session catalog IS the catalog here, so the
+introspection statements project Spark's catalog APIs into the
+reference's single-column output shapes (``catalog name``, ``database
+name``, ``table name``, ...). Catalog creation is intentionally absent:
+this engine is single-catalog (Spark's ``spark_catalog``), and
+``CREATE CATALOG`` errors loudly rather than pretending.
+
+Modules: the reference's ModuleManager resolves functions through an
+ordered list of loaded-and-used modules. All built-in functions here
+live in one engine (``core``), so the manager tracks names/order/use
+flags with real semantics (duplicate load errors, unload-then-reload,
+USE MODULES reordering, SHOW FULL MODULES flags) but only ``core`` is
+loadable — anything else errors loudly instead of silently resolving
+to the same function set.
+
+ANALYZE TABLE computes real distributed statistics (count + per-column
+ndv / null count / min / max in ONE aggregation pass — no per-column
+jobs) and returns them as rows; the reference writes them into catalog
+stats, which Spark's temp-view-backed DDL tables don't have.
+"""
+
+from __future__ import annotations
+
+import re
+from fnmatch import fnmatchcase
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["try_handle_catalog_statement", "CatalogSqlError", "_MODULES"]
+
+
+class CatalogSqlError(ValueError):
+    pass
+
+
+#: ModuleManager state: ordered {name: used_flag}; the reference loads
+#: CoreModule by default (ModuleManager.java ctor)
+_MODULES: dict[str, bool] = {"core": True}
+
+_SHOW_CATALOGS_RE = re.compile(r"^\s*SHOW\s+CATALOGS\s*$", re.I)
+_SHOW_CUR_CAT_RE = re.compile(r"^\s*SHOW\s+CURRENT\s+CATALOG\s*$", re.I)
+_USE_CATALOG_RE = re.compile(r"^\s*USE\s+CATALOG\s+`?(\w+)`?\s*$", re.I)
+_CREATE_CATALOG_RE = re.compile(r"^\s*CREATE\s+CATALOG\s+", re.I)
+_SHOW_DBS_RE = re.compile(r"^\s*SHOW\s+DATABASES\s*$", re.I)
+_SHOW_CUR_DB_RE = re.compile(r"^\s*SHOW\s+CURRENT\s+DATABASE\s*$", re.I)
+_SHOW_TABLES_RE = re.compile(
+    r"^\s*SHOW\s+TABLES"
+    r"(?:\s+(?:FROM|IN)\s+`?(?P<db>\w+)`?)?"
+    r"(?:\s+(?P<not>NOT\s+)?LIKE\s+'(?P<like>[^']*)')?\s*$",
+    re.I,
+)
+_SHOW_VIEWS_RE = re.compile(
+    r"^\s*SHOW\s+VIEWS(?:\s+(?:FROM|IN)\s+`?(?P<db>\w+)`?)?\s*$", re.I
+)
+_SHOW_FUNCS_RE = re.compile(
+    r"^\s*SHOW\s+(?P<user>USER\s+)?FUNCTIONS"
+    r"(?:\s+(?P<not>NOT\s+)?LIKE\s+'(?P<like>[^']*)')?\s*$",
+    re.I,
+)
+_SHOW_JARS_RE = re.compile(r"^\s*SHOW\s+JARS\s*$", re.I)
+_SHOW_MODULES_RE = re.compile(
+    r"^\s*SHOW\s+(?P<full>FULL\s+)?MODULES\s*$", re.I
+)
+_LOAD_MODULE_RE = re.compile(
+    r"^\s*LOAD\s+MODULE\s+`?(?P<name>\w+)`?(?:\s+WITH\s*\(.*\))?\s*$",
+    re.I | re.S,
+)
+_UNLOAD_MODULE_RE = re.compile(
+    r"^\s*UNLOAD\s+MODULE\s+`?(?P<name>\w+)`?\s*$", re.I
+)
+_USE_MODULES_RE = re.compile(
+    r"^\s*USE\s+MODULES\s+(?P<names>[\w`\s,]+)\s*$", re.I
+)
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+`?(?P<name>\w+)`?\s+COMPUTE\s+STATISTICS"
+    r"(?:\s+FOR\s+(?:(?P<all>ALL\s+COLUMNS)|COLUMNS\s+(?P<cols>[\w`\s,]+)))?"
+    r"\s*$",
+    re.I,
+)
+
+
+def _one_col(spark: SparkSession, col: str, values) -> "DataFrame":
+    return spark.createDataFrame(
+        [(v,) for v in sorted(values)], f"`{col}` string"
+    )
+
+
+def _sql_like(name: str, pattern: str | None, negate: bool) -> bool:
+    """Flink's SHOW ... LIKE uses SQL LIKE syntax (% and _)."""
+    if pattern is None:
+        return True
+    glob = pattern.replace("%", "*").replace("_", "?")
+    hit = fnmatchcase(name, glob)
+    return not hit if negate else hit
+
+
+def try_handle_catalog_statement(spark: SparkSession, sql: str):
+    """Route one statement; returns a DataFrame or None when the text is
+    not a catalog/module introspection statement (the caller falls
+    through to Spark)."""
+    if _SHOW_CATALOGS_RE.match(sql):
+        rows = [r[0] for r in spark.sql("SHOW CATALOGS").collect()]
+        return _one_col(spark, "catalog name", rows)
+
+    if _SHOW_CUR_CAT_RE.match(sql):
+        return _one_col(
+            spark, "current catalog name", [spark.catalog.currentCatalog()]
+        )
+
+    m = _USE_CATALOG_RE.match(sql)
+    if m:
+        spark.catalog.setCurrentCatalog(m.group(1))
+        return spark.sql("SELECT 'OK' AS result")
+
+    if _CREATE_CATALOG_RE.match(sql):
+        raise CatalogSqlError(
+            "CREATE CATALOG is unsupported — this engine is single-catalog "
+            "(Spark's session catalog); declare tables via CREATE TABLE "
+            "... WITH ('connector'=...) instead"
+        )
+
+    if _SHOW_DBS_RE.match(sql):
+        return _one_col(
+            spark,
+            "database name",
+            [d.name for d in spark.catalog.listDatabases()],
+        )
+
+    if _SHOW_CUR_DB_RE.match(sql):
+        return _one_col(
+            spark,
+            "current database name",
+            [spark.catalog.currentDatabase()],
+        )
+
+    m = _SHOW_TABLES_RE.match(sql)
+    if m:
+        tables = spark.catalog.listTables(m.group("db"))
+        neg = bool(m.group("not"))
+        return _one_col(
+            spark,
+            "table name",
+            [
+                t.name
+                for t in tables
+                if _sql_like(t.name, m.group("like"), neg)
+            ],
+        )
+
+    m = _SHOW_VIEWS_RE.match(sql)
+    if m:
+        # temp views + catalog views (Flink SHOW VIEWS lists both)
+        views = [
+            t.name
+            for t in spark.catalog.listTables(m.group("db"))
+            if (t.tableType or "").upper() in ("TEMPORARY", "VIEW")
+            or t.isTemporary
+        ]
+        return _one_col(spark, "view name", views)
+
+    m = _SHOW_FUNCS_RE.match(sql)
+    if m:
+        fns = spark.catalog.listFunctions()
+        if m.group("user"):
+            # SHOW USER FUNCTIONS: only session-registered ones. Spark
+            # marks built-ins isTemporary too, so discriminate on the
+            # implementing class — built-ins live under catalyst
+            fns = [
+                f
+                for f in fns
+                if not (f.className or "").startswith(
+                    "org.apache.spark.sql.catalyst."
+                )
+            ]
+        neg = bool(m.group("not"))
+        return _one_col(
+            spark,
+            "function name",
+            {
+                f.name
+                for f in fns
+                if _sql_like(f.name, m.group("like"), neg)
+            },
+        )
+
+    if _SHOW_JARS_RE.match(sql):
+        rows = [r[0] for r in spark.sql("LIST JARS").collect()]
+        return _one_col(spark, "jars", rows)
+
+    m = _SHOW_MODULES_RE.match(sql)
+    if m:
+        if m.group("full"):
+            return spark.createDataFrame(
+                [(n, u) for n, u in _MODULES.items()],
+                "`module name` string, used boolean",
+            )
+        return spark.createDataFrame(
+            [(n,) for n, u in _MODULES.items() if u],
+            "`module name` string",
+        )
+
+    m = _LOAD_MODULE_RE.match(sql)
+    if m:
+        name = m.group("name").lower()
+        if name in _MODULES:
+            raise CatalogSqlError(
+                f"module {name!r} is already loaded (reference "
+                "ModuleManager.loadModule rejects duplicates)"
+            )
+        if name != "core":
+            raise CatalogSqlError(
+                f"module {name!r} is not available — every built-in "
+                "function lives in the 'core' module here; loading other "
+                "modules would silently resolve to the same function set"
+            )
+        _MODULES[name] = True
+        return spark.sql("SELECT 'OK' AS result")
+
+    m = _UNLOAD_MODULE_RE.match(sql)
+    if m:
+        name = m.group("name").lower()
+        if name not in _MODULES:
+            raise CatalogSqlError(f"module {name!r} is not loaded")
+        del _MODULES[name]
+        return spark.sql("SELECT 'OK' AS result")
+
+    m = _USE_MODULES_RE.match(sql)
+    if m:
+        names = [
+            n.strip().strip("`").lower()
+            for n in m.group("names").split(",")
+            if n.strip()
+        ]
+        missing = [n for n in names if n not in _MODULES]
+        if missing:
+            raise CatalogSqlError(
+                f"USE MODULES: {missing} not loaded — loaded: "
+                f"{list(_MODULES)}"
+            )
+        if len(set(names)) != len(names):
+            raise CatalogSqlError("USE MODULES: duplicate module name")
+        # used modules take the GIVEN order; unlisted loaded ones unuse
+        reordered = {n: True for n in names}
+        for n, _u in _MODULES.items():
+            if n not in reordered:
+                reordered[n] = False
+        _MODULES.clear()
+        _MODULES.update(reordered)
+        return spark.sql("SELECT 'OK' AS result")
+
+    m = _ANALYZE_RE.match(sql)
+    if m:
+        return _analyze_table(
+            spark,
+            m.group("name"),
+            all_cols=bool(m.group("all")),
+            cols=[
+                c.strip().strip("`")
+                for c in (m.group("cols") or "").split(",")
+                if c.strip()
+            ],
+        )
+
+    return None
+
+
+def _analyze_table(spark, name: str, all_cols: bool, cols: list[str]):
+    """SqlAnalyzeTable: one distributed aggregation pass computing row
+    count and (optionally) per-column ndv / null count / min / max.
+    Returned as rows — observable, unlike catalog-internal stats."""
+    df = spark.table(name)
+    if all_cols:
+        cols = list(df.columns)
+    bad = [c for c in cols if c not in df.columns]
+    if bad:
+        raise CatalogSqlError(
+            f"ANALYZE TABLE {name}: column(s) {bad} do not exist "
+            f"(table columns: {df.columns})"
+        )
+    aggs = [F.count(F.lit(1)).alias("__rc")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.approx_count_distinct(c).alias(f"__ndv_{i}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"__nn_{i}"
+            ),
+            F.min(c).cast("string").alias(f"__mn_{i}"),
+            F.max(c).cast("string").alias(f"__mx_{i}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = [("", "row_count", str(row["__rc"]))]
+    for i, c in enumerate(cols):
+        out += [
+            (c, "ndv", str(row[f"__ndv_{i}"])),
+            (c, "null_count", str(row[f"__nn_{i}"])),
+            (c, "min", "" if row[f"__mn_{i}"] is None else row[f"__mn_{i}"]),
+            (c, "max", "" if row[f"__mx_{i}"] is None else row[f"__mx_{i}"]),
+        ]
+    return spark.createDataFrame(
+        out, "`column` string, stat string, value string"
+    )

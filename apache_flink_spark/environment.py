@@ -277,6 +277,22 @@ class TableEnvironment:
                 [(sj.group("id"), "STOPPED", ckpt)],
                 "job_id string, status string, savepoint string",
             )
+        if re.match(
+            r"^\s*(SHOW|USE\s|LOAD\s+MODULE|UNLOAD\s+MODULE|ANALYZE\s"
+            r"|CREATE\s+CATALOG)",
+            query,
+            re.I,
+        ):
+            # catalog/database/module introspection (SqlShowCatalogs,
+            # SqlShowTables, SqlUseModules, SqlAnalyzeTable, ... —
+            # catalog_sql.py); unmatched SHOW/USE fall through to Spark
+            from apache_flink_spark.catalog_sql import (
+                try_handle_catalog_statement,
+            )
+
+            handled = try_handle_catalog_statement(self.spark, query)
+            if handled is not None:
+                return handled
         sm_set = _STMT_SET_RE.match(query)
         if sm_set:
             # EXECUTE STATEMENT SET BEGIN <insert>; ...; END (reference

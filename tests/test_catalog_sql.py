@@ -1,0 +1,119 @@
+"""Catalog / database / module introspection statements — reference
+flink-sql-parser SqlShowCatalogs / SqlShowDatabases / SqlShowTables /
+SqlShowViews / SqlShowFunctions / SqlShowJars / SqlShowModules /
+SqlLoadModule / SqlUnloadModule / SqlUseModules / SqlAnalyzeTable
+(Parser.tdd statementParserMethods)."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_flink_spark.catalog_sql import _MODULES, CatalogSqlError
+from apache_flink_spark.environment import TableEnvironment
+
+
+@pytest.fixture()
+def te(spark):
+    env = TableEnvironment(spark=spark)
+    spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "c")], "k int, s string"
+    ).createOrReplaceTempView("cat_t")
+    yield env
+    # module state is session-global; restore the default for other tests
+    _MODULES.clear()
+    _MODULES["core"] = True
+
+
+def test_show_catalogs_and_current(te):
+    rows = te.sql("SHOW CATALOGS").collect()
+    assert te.sql("SHOW CATALOGS").columns == ["catalog name"]
+    assert "spark_catalog" in [r[0] for r in rows]
+    cur = te.sql("SHOW CURRENT CATALOG").collect()[0][0]
+    assert cur == "spark_catalog"
+    te.sql("USE CATALOG spark_catalog")  # round-trips
+    with pytest.raises(CatalogSqlError, match="single-catalog"):
+        te.sql("CREATE CATALOG c2 WITH ('type' = 'generic_in_memory')")
+
+
+def test_show_databases_tables_views(te):
+    assert te.sql("SHOW DATABASES").columns == ["database name"]
+    assert "default" in [r[0] for r in te.sql("SHOW DATABASES").collect()]
+    assert (
+        te.sql("SHOW CURRENT DATABASE").collect()[0][0] == "default"
+    )
+    tables = [r[0] for r in te.sql("SHOW TABLES").collect()]
+    assert "cat_t" in tables
+    assert te.sql("SHOW TABLES").columns == ["table name"]
+    liked = [r[0] for r in te.sql("SHOW TABLES LIKE 'cat%'").collect()]
+    assert liked == ["cat_t"]
+    notliked = [
+        r[0] for r in te.sql("SHOW TABLES NOT LIKE 'cat%'").collect()
+    ]
+    assert "cat_t" not in notliked
+    views = [r[0] for r in te.sql("SHOW VIEWS").collect()]
+    assert "cat_t" in views  # temp views ARE views in Flink's listing
+
+
+def test_show_functions(te):
+    fns = [r[0] for r in te.sql("SHOW FUNCTIONS").collect()]
+    assert "abs" in fns
+    assert te.sql("SHOW FUNCTIONS").columns == ["function name"]
+    liked = [
+        r[0] for r in te.sql("SHOW FUNCTIONS LIKE 'to_timestamp%'").collect()
+    ]
+    assert "to_timestamp" in liked and all(
+        f.startswith("to_timestamp") for f in liked
+    )
+    user = [r[0] for r in te.sql("SHOW USER FUNCTIONS").collect()]
+    assert "abs" not in user  # built-ins are not user functions
+
+
+def test_show_jars(te):
+    assert te.sql("SHOW JARS").columns == ["jars"]
+    te.sql("SHOW JARS").collect()  # empty session: no jars added
+
+
+def test_module_manager_semantics(te):
+    assert [r[0] for r in te.sql("SHOW MODULES").collect()] == ["core"]
+    full = te.sql("SHOW FULL MODULES").collect()
+    assert [(r[0], r.used) for r in full] == [("core", True)]
+    with pytest.raises(CatalogSqlError, match="already loaded"):
+        te.sql("LOAD MODULE core")
+    with pytest.raises(CatalogSqlError, match="not available"):
+        te.sql("LOAD MODULE hive")
+    te.sql("UNLOAD MODULE core")
+    assert te.sql("SHOW MODULES").count() == 0
+    with pytest.raises(CatalogSqlError, match="not loaded"):
+        te.sql("UNLOAD MODULE core")
+    te.sql("LOAD MODULE core")
+    # USE MODULES with an empty effective set un-uses, FULL still lists
+    te.sql("USE MODULES core")
+    assert [r[0] for r in te.sql("SHOW MODULES").collect()] == ["core"]
+    with pytest.raises(CatalogSqlError, match="not loaded"):
+        te.sql("USE MODULES core, hive")
+
+
+def test_analyze_table_stats(te):
+    rows = te.sql(
+        "ANALYZE TABLE cat_t COMPUTE STATISTICS FOR COLUMNS k, s"
+    ).collect()
+    got = {(r.column, r.stat): r.value for r in rows}
+    assert got[("", "row_count")] == "3"
+    assert got[("k", "ndv")] == "2"
+    assert got[("s", "null_count")] == "1"
+    assert got[("k", "min")] == "1" and got[("k", "max")] == "2"
+    # FOR ALL COLUMNS covers every column; bare form row-count only
+    all_rows = te.sql(
+        "ANALYZE TABLE cat_t COMPUTE STATISTICS FOR ALL COLUMNS"
+    ).collect()
+    assert {r.column for r in all_rows} == {"", "k", "s"}
+    bare = te.sql("ANALYZE TABLE cat_t COMPUTE STATISTICS").collect()
+    assert [(r.stat, r.value) for r in bare] == [("row_count", "3")]
+    with pytest.raises(CatalogSqlError, match="do not exist"):
+        te.sql("ANALYZE TABLE cat_t COMPUTE STATISTICS FOR COLUMNS nope")
+
+
+def test_plain_use_and_spark_show_fall_through(te):
+    te.sql("USE default")  # Spark handles plain USE
+    # statements the engine does not shape still reach Spark unchanged
+    assert te.sql("SHOW TBLPROPERTIES cat_t") is not None
