@@ -104,6 +104,14 @@ def main() -> None:
         "PARTITION BY bucket ORDER BY id) ORDER BY bucket, id LIMIT 6"
     ).show()
 
+    print("== Catalog / module introspection (r6) ==")
+    tenv.sql("SHOW CURRENT CATALOG").show()
+    tenv.sql("SHOW TABLES LIKE 'tour%'").show()
+    tenv.sql("SHOW FULL MODULES").show()
+    tenv.sql(
+        "ANALYZE TABLE tour_t COMPUTE STATISTICS FOR COLUMNS id"
+    ).show()
+
     print("== DB-API driver over the SQL gateway (REST) ==")
     from apache_flink_spark import dbapi
     from apache_flink_spark.sql_gateway import (
