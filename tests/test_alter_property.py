@@ -110,3 +110,109 @@ def test_random_alter_sequences_match_model(spark, tmp_path, seed):
             gv = ["∅" if pd.isna(x) else str(x) for x in got[c]]
             wv = ["∅" if pd.isna(x) else str(x) for x in want[c]]
             assert gv == wv, f"step {_step} ({op}) column {c}: {gv} != {wv}"
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_random_partition_op_sequences_match_model(spark, tmp_path, seed):
+    """Random walks over the PARTITIONED-table statement family — dynamic
+    and static INSERT, static-partition OVERWRITE, ADD/DROP PARTITION
+    (full and prefix specs), COMPACT — mirrored against an in-memory
+    model. After every step both the visible rows AND the SHOW PARTITIONS
+    listing must match the model exactly: this pins dynamic-overwrite
+    scoping, prefix-spec deletion, empty-partition registration, and the
+    layout-preserving compaction rewrite (r6 review #2) in combination."""
+    rng = random.Random(seed)
+    te = TableEnvironment(spark=spark)
+    name = f"prop_part_{seed}"
+    path = os.path.join(str(tmp_path), name)
+    te.sql(
+        f"""
+        CREATE TABLE {name} (
+            id BIGINT, v STRING, region STRING, day STRING
+        ) PARTITIONED BY (region, day) WITH (
+            'connector' = 'filesystem',
+            'path' = '{path}',
+            'format' = 'parquet'
+        )
+        """
+    )
+    regions, days = ["eu", "us", "ap"], ["d1", "d2"]
+    rows: list[tuple] = []      # model: (id, v, region, day)
+    empty_dirs: set = set()     # registered-but-empty (region, day)
+    next_id = 0
+
+    for _step in range(14):
+        op = rng.choice(
+            ["ins_dyn", "ins_static", "ovw_static", "add_part",
+             "drop_part", "compact"]
+        )
+        if op == "ins_dyn":
+            n = rng.randint(1, 3)
+            batch = [
+                (next_id + i, f"v{next_id + i}",
+                 rng.choice(regions), rng.choice(days))
+                for i in range(n)
+            ]
+            next_id += n
+            sel = " UNION ALL ".join(
+                f"SELECT {i}, '{v}', '{r}', '{d}'" for i, v, r, d in batch
+            )
+            te.sql(f"INSERT INTO {name} {sel}")
+            rows += batch
+            empty_dirs -= {(r, d) for _i, _v, r, d in batch}
+        elif op in ("ins_static", "ovw_static"):
+            r, d = rng.choice(regions), rng.choice(days)
+            n = rng.randint(1, 2)
+            batch = [(next_id + i, f"s{next_id + i}", r, d) for i in range(n)]
+            next_id += n
+            sel = " UNION ALL ".join(
+                f"SELECT {i}, '{v}'" for i, v, _r, _d in batch
+            )
+            kw = "INTO" if op == "ins_static" else "OVERWRITE"
+            te.sql(f"INSERT {kw} {name} PARTITION (region='{r}', day='{d}') {sel}")
+            if op == "ovw_static":
+                rows = [t for t in rows if not (t[2] == r and t[3] == d)]
+            rows += batch
+            empty_dirs.discard((r, d))
+        elif op == "add_part":
+            r, d = rng.choice(regions), rng.choice(days)
+            te.sql(
+                f"ALTER TABLE {name} ADD IF NOT EXISTS "
+                f"PARTITION (region='{r}', day='{d}')"
+            )
+            if not any(t[2] == r and t[3] == d for t in rows):
+                empty_dirs.add((r, d))
+        elif op == "drop_part":
+            if rng.random() < 0.5:  # prefix spec: whole region
+                r = rng.choice(regions)
+                spec = f"region='{r}'"
+                keep = lambda t: t[2] != r  # noqa: E731
+                dirs_keep = lambda rd: rd[0] != r  # noqa: E731
+            else:
+                r, d = rng.choice(regions), rng.choice(days)
+                spec = f"region='{r}', day='{d}'"
+                keep = lambda t: not (t[2] == r and t[3] == d)  # noqa: E731
+                dirs_keep = lambda rd: rd != (r, d)  # noqa: E731
+            te.sql(f"ALTER TABLE {name} DROP IF EXISTS PARTITION ({spec})")
+            rows = [t for t in rows if keep(t)]
+            empty_dirs = {rd for rd in empty_dirs if dirs_keep(rd)}
+        else:  # compact (needs at least one parquet file)
+            if not rows:
+                continue
+            te.sql(f"ALTER TABLE {name} COMPACT")
+
+        got = sorted(
+            (r.id, r.v, r.region, r.day)
+            for r in te.sql(f"SELECT * FROM {name}").collect()
+        )
+        assert got == sorted(rows), f"step {_step} ({op}): rows diverged"
+        want_parts = sorted(
+            {f"region={r}/day={d}" for _i, _v, r, d in rows}
+            | {f"region={r}/day={d}" for r, d in empty_dirs}
+        )
+        got_parts = [
+            r.partition for r in te.sql(f"SHOW PARTITIONS {name}").collect()
+        ]
+        assert got_parts == want_parts, (
+            f"step {_step} ({op}): partitions {got_parts} != {want_parts}"
+        )
