@@ -41,7 +41,6 @@ stats, which Spark's temp-view-backed DDL tables don't have.
 from __future__ import annotations
 
 import re
-from fnmatch import fnmatchcase
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -106,11 +105,13 @@ def _one_col(spark: SparkSession, col: str, values) -> "DataFrame":
 
 
 def _sql_like(name: str, pattern: str | None, negate: bool) -> bool:
-    """Flink's SHOW ... LIKE uses SQL LIKE syntax (% and _)."""
+    """Flink's SHOW ... LIKE uses SQL LIKE syntax: % and _ are the ONLY
+    wildcards — every other character is literal (a glob translation
+    would let '*'/'['/'?' in the pattern leak as wildcards, r6 review)."""
     if pattern is None:
         return True
-    glob = pattern.replace("%", "*").replace("_", "?")
-    hit = fnmatchcase(name, glob)
+    rx = re.escape(pattern).replace("%", ".*").replace("_", ".")
+    hit = re.fullmatch(rx, name) is not None
     return not hit if negate else hit
 
 
@@ -251,6 +252,11 @@ def try_handle_catalog_statement(spark: SparkSession, sql: str):
             for n in m.group("names").split(",")
             if n.strip()
         ]
+        if not names:
+            raise CatalogSqlError(
+                "USE MODULES needs at least one module name — a bare "
+                "separator would silently un-use every loaded module"
+            )
         missing = [n for n in names if n not in _MODULES]
         if missing:
             raise CatalogSqlError(
@@ -287,7 +293,19 @@ def try_handle_catalog_statement(spark: SparkSession, sql: str):
 def _analyze_table(spark, name: str, all_cols: bool, cols: list[str]):
     """SqlAnalyzeTable: one distributed aggregation pass computing row
     count and (optionally) per-column ndv / null count / min / max.
-    Returned as rows — observable, unlike catalog-internal stats."""
+    Returned as rows — observable, unlike catalog-internal stats.
+
+    Scope: ONLY temp-view-backed tables (the engine's DDL tables are
+    temp views), where Spark's own ANALYZE cannot run. A Spark catalog
+    table falls through to native ANALYZE, which PERSISTS stats for the
+    cost-based optimizer — intercepting it would silently drop that
+    side effect (r6 review)."""
+    try:
+        tbl = spark.catalog.getTable(name)
+    except Exception:
+        return None  # unknown name: let Spark produce its native error
+    if not tbl.isTemporary:
+        return None
     df = spark.table(name)
     if all_cols:
         cols = list(df.columns)
@@ -311,8 +329,9 @@ def _analyze_table(spark, name: str, all_cols: bool, cols: list[str]):
     out = [("", "row_count", str(row["__rc"]))]
     for i, c in enumerate(cols):
         out += [
-            (c, "ndv", str(row[f"__ndv_{i}"])),
-            (c, "null_count", str(row[f"__nn_{i}"])),
+            (c, "ndv", str(row[f"__ndv_{i}"] or 0)),
+            # SUM over zero rows is SQL NULL, not 0 (r6 review)
+            (c, "null_count", str(row[f"__nn_{i}"] or 0)),
             (c, "min", "" if row[f"__mn_{i}"] is None else row[f"__mn_{i}"]),
             (c, "max", "" if row[f"__mx_{i}"] is None else row[f"__mx_{i}"]),
         ]

@@ -123,6 +123,20 @@ def part_cols(name: str) -> list[str]:
     return [c for c in pb.split(",") if c]
 
 
+def _reject_reserved_opts(opts: dict) -> None:
+    """The WITH clause must not inject the reserved partition-layout key
+    directly (r6 review): a hand-written 'partitioned-by' bypasses the
+    PARTITIONED BY column validation, so part_cols() reports columns the
+    table doesn't have and every INSERT fails — or worse, a real column
+    name grafted onto existing flat files creates the mixed layout the
+    partition guards exist to prevent."""
+    if _PART_KEY in opts:
+        raise DdlError(
+            f"option {_PART_KEY!r} is reserved — declare partitioning "
+            "with PARTITIONED BY (col, ...) before the WITH clause"
+        )
+
+
 #: one ``col = 'quoted' | bareword`` pair of a partition spec
 _KV_PAIR_RE = re.compile(r"(\w+)\s*=\s*('(?:[^']|'')*'|[\w.-]+)")
 
@@ -315,6 +329,7 @@ def _execute_create_like(spark: SparkSession, m) -> bool:
         else ([], None)
     )
     new_opts = _split_options(m.group("opts") or "")
+    _reject_reserved_opts(new_opts)
 
     spec = _TABLES[src]
     if spec[0] == "datagen":
@@ -422,6 +437,7 @@ def _execute_create_as(spark: SparkSession, m) -> bool:
     materialization."""
     name = m.group("name")
     opts = _split_options(m.group("opts"))
+    _reject_reserved_opts(opts)
     connector = opts.get("connector", "").lower()
     if connector != "filesystem":
         raise DdlError(
@@ -503,6 +519,7 @@ def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
         return False
     name = m.group("name")
     opts = _split_options(m.group("opts"))
+    _reject_reserved_opts(opts)
     cols, watermark = _parse_columns(m.group("body"))
     schema_ddl = ", ".join(f"{c} {t}" for c, t in cols)
     connector = opts.get("connector", "").lower()

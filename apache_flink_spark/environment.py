@@ -359,11 +359,10 @@ class TableEnvironment:
         out, pos, n = [], 0, 0
         for m in self._TIME_TRAVEL_RE.finditer(query):
             try:
-                self._mt_manager._get(m.group("name"))
+                mt = self._mt_manager._get(m.group("name"))
             except Exception:
                 continue  # not a materialized table — join rewrite's turn
             epoch = datetime.fromisoformat(m.group("ts")).timestamp()
-            mt = self._mt_manager._get(m.group("name"))
             path = self._mt_manager.resolve_as_of(m.group("name"), epoch)
             out.append(query[pos: m.start()])
             if path == mt.current_path:

@@ -100,19 +100,31 @@ def _compact_files(ctx: ProcedureContext, path: str, target_mb: int = 128):
         )
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / (int(target_mb) * 1024 * 1024)))
-    df = ctx.spark.read.parquet(path)
     staging = path.rstrip("/") + ".__compacting__"
     shutil.rmtree(staging, ignore_errors=True)
     if pcols:
-        # distribute by partition key so each output task holds whole
-        # partitions (≈1 file per partition dir after the write)
-        (
-            df.repartition(n_out, *pcols)
-            .write.mode("overwrite")
-            .partitionBy(*pcols)
-            .parquet(staging)
-        )
+        # Partition values must round-trip as EXACT directory-name strings:
+        # type inference would canonicalize day='01' to int 1, silently
+        # rewriting the value AND leaving the stale day=01 dir to resurface
+        # as a phantom partition (r6 review). Strings write back to the
+        # identical k=v dirs; readers apply their declared schemas on top.
+        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = ctx.spark.conf.get(infer_key, "true")
+        ctx.spark.conf.set(infer_key, "false")
+        try:
+            # distribute by partition key so each output task holds whole
+            # partitions (≈1 file per partition dir after the write)
+            (
+                ctx.spark.read.parquet(path)
+                .repartition(n_out, *pcols)
+                .write.mode("overwrite")
+                .partitionBy(*pcols)
+                .parquet(staging)
+            )
+        finally:
+            ctx.spark.conf.set(infer_key, prev)
     else:
+        df = ctx.spark.read.parquet(path)
         df.repartition(n_out).write.mode("overwrite").parquet(staging)
     backup = path.rstrip("/") + ".__precompact__"
     shutil.rmtree(backup, ignore_errors=True)

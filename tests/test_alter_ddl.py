@@ -546,3 +546,57 @@ def test_create_like_partitions_strategies(te, tmp_path):
             f"CREATE TABLE pl_bad WITH ('path' = '{p4}x') "
             "LIKE pl_src (OVERWRITING PARTITIONS)"
         )
+
+
+def test_compact_preserves_string_partition_values(te, tmp_path):
+    """Partition values must round-trip as EXACT directory strings: type
+    inference would rewrite day='01' to day=1 and resurrect the stale
+    dir as a phantom partition (r6 review)."""
+    path = os.path.join(str(tmp_path), "pt9")
+    te.sql(
+        f"""
+        CREATE TABLE pt9 (id BIGINT, day STRING) PARTITIONED BY (day)
+        WITH ('connector' = 'filesystem', 'path' = '{path}',
+              'format' = 'parquet')
+        """
+    )
+    te.sql("INSERT INTO pt9 SELECT 1, '01' UNION ALL SELECT 2, '02'")
+    te.sql("ALTER TABLE pt9 COMPACT")
+    parts = [r.partition for r in te.sql("SHOW PARTITIONS pt9").collect()]
+    assert parts == ["day=01", "day=02"]
+    rows = te.sql("SELECT id, day FROM pt9 ORDER BY id").collect()
+    assert [(r.id, r.day) for r in rows] == [(1, "01"), (2, "02")]
+
+
+def test_reserved_partitioned_by_option_rejected(te, tmp_path):
+    """'partitioned-by' is the INTERNAL carrier of PARTITIONED BY —
+    injecting it via WITH bypasses column validation (r6 review)."""
+    p = os.path.join(str(tmp_path), "resv")
+    with pytest.raises(DdlError, match="reserved"):
+        te.sql(
+            f"CREATE TABLE resv (id INT) WITH ('connector' = 'filesystem',"
+            f" 'path' = '{p}', 'format' = 'parquet',"
+            f" 'partitioned-by' = 'nope')"
+        )
+    _mk_part(te, tmp_path, "resv_src")
+    with pytest.raises(DdlError, match="reserved"):
+        te.sql(
+            f"CREATE TABLE resv2 WITH ('partitioned-by' = 'x') "
+            "LIKE resv_src (OVERWRITING OPTIONS)"
+        )
+
+
+def test_window_keyword_inside_string_literal_survives_insert(te, tmp_path):
+    """The group-window rewrite must not fire on window-shaped TEXT in a
+    string literal — the statement-routing reorder made INSERTs reach it
+    (r6 review)."""
+    p = os.path.join(str(tmp_path), "litt")
+    te.sql(
+        f"CREATE TABLE litt (doc STRING) WITH ('connector' = 'filesystem',"
+        f" 'path' = '{p}', 'format' = 'parquet')"
+    )
+    te.sql(
+        "INSERT INTO litt SELECT 'TUMBLE(ts, INTERVAL ''1'' HOUR)' AS doc"
+    )
+    got = te.sql("SELECT doc FROM litt").collect()[0].doc
+    assert got == "TUMBLE(ts, INTERVAL '1' HOUR)"

@@ -117,3 +117,56 @@ def test_plain_use_and_spark_show_fall_through(te):
     te.sql("USE default")  # Spark handles plain USE
     # statements the engine does not shape still reach Spark unchanged
     assert te.sql("SHOW TBLPROPERTIES cat_t") is not None
+
+
+# -- r6 second-review regressions ---------------------------------------------
+
+
+def test_analyze_leaves_spark_catalog_tables_to_native(te, spark, tmp_path):
+    """ANALYZE on a NON-temp table must fall through to Spark, whose
+    native ANALYZE persists stats for the CBO — intercepting it would
+    silently drop that side effect (r6 review)."""
+    from apache_flink_spark.catalog_sql import try_handle_catalog_statement
+
+    spark.sql("DROP TABLE IF EXISTS an_managed")
+    spark.sql(f"CREATE TABLE an_managed (k INT) USING parquet")
+    try:
+        assert (
+            try_handle_catalog_statement(
+                spark, "ANALYZE TABLE an_managed COMPUTE STATISTICS"
+            )
+            is None
+        )
+        # end-to-end through the facade: native ANALYZE runs and persists
+        te.sql("ANALYZE TABLE an_managed COMPUTE STATISTICS")
+        desc = spark.sql("DESCRIBE EXTENDED an_managed").collect()
+        stats = [r.data_type for r in desc if r.col_name == "Statistics"]
+        assert stats and "bytes" in stats[0]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS an_managed")
+
+
+def test_analyze_empty_table_zero_counts(te, spark):
+    spark.createDataFrame([], "k int").createOrReplaceTempView("an_empty")
+    rows = te.sql(
+        "ANALYZE TABLE an_empty COMPUTE STATISTICS FOR COLUMNS k"
+    ).collect()
+    got = {(r.column, r.stat): r.value for r in rows}
+    # SUM over zero rows is SQL NULL — must render 0, not 'None'
+    assert got[("k", "null_count")] == "0"
+    assert got[("k", "ndv")] == "0"
+
+
+def test_use_modules_rejects_empty_list(te):
+    with pytest.raises(CatalogSqlError, match="at least one"):
+        te.sql("USE MODULES ,")
+    # state untouched
+    assert [r[0] for r in te.sql("SHOW MODULES").collect()] == ["core"]
+
+
+def test_show_like_metacharacters_are_literal(te, spark):
+    spark.range(1).createOrReplaceTempView("t1")
+    # glob translation would let '[1]' match as a char class
+    assert te.sql("SHOW TABLES LIKE 't[1]'").count() == 0
+    assert te.sql("SHOW TABLES LIKE 't*'").count() == 0
+    assert [r[0] for r in te.sql("SHOW TABLES LIKE 't_'").collect()] == ["t1"]
