@@ -278,6 +278,20 @@ class TableEnvironment:
                 "job_id string, status string, savepoint string",
             )
         if re.match(
+            r"^\s*(CREATE|DROP|ALTER)\s+(TEMPORARY\s+)?(SYSTEM\s+)?FUNCTION\b",
+            query,
+            re.I,
+        ):
+            # SqlCreateFunction / SqlDropFunction / SqlAlterFunction —
+            # function_ddl.py; unmatched forms fall through to Spark
+            from apache_flink_spark.function_ddl import (
+                try_handle_function_statement,
+            )
+
+            handled = try_handle_function_statement(self.spark, query)
+            if handled is not None:
+                return handled
+        if re.match(
             r"^\s*(SHOW|USE\s|LOAD\s+MODULE|UNLOAD\s+MODULE|ANALYZE\s"
             r"|CREATE\s+CATALOG)",
             query,
