@@ -153,11 +153,13 @@ def test_catalog_ddl_surface(spark, sf_dir):
     )
     n = te.sql("SELECT count(*) AS n FROM big_orders").collect()[0].n
     assert n == te.table("orders").filter("o_totalprice > 300000").to_df().count()
-    names = {r.viewName for r in te.sql("SHOW VIEWS").collect()}
+    # SHOW VIEWS is Flink-shaped since r6 (catalog_sql.py): one
+    # 'view name' column, the reference's output layout
+    names = {r[0] for r in te.sql("SHOW VIEWS").collect()}
     assert "big_orders" in names
     te.sql("DROP VIEW big_orders")
     assert "big_orders" not in {
-        r.viewName for r in te.sql("SHOW VIEWS").collect()
+        r[0] for r in te.sql("SHOW VIEWS").collect()
     }
 
 
