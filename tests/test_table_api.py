@@ -215,7 +215,8 @@ def test_sql_statement_surface(spark, sf_dir):
     ).collect()[0].result
     assert "Parsed Logical Plan" in ext and "Physical Plan" in ext
     # Spark-native statements pass straight through.
-    tabs = {r.tableName for r in te.sql("SHOW TABLES").collect()}
+    # Flink-shaped since r6 (catalog_sql.py): one 'table name' column
+    tabs = {r[0] for r in te.sql("SHOW TABLES").collect()}
     assert "lineitem" in tabs and "orders" in tabs
     cols = {r.col_name for r in te.sql("DESCRIBE lineitem").collect()}
     assert "l_orderkey" in cols
