@@ -56,6 +56,38 @@ class CatalogSqlError(ValueError):
 #: CoreModule by default (ModuleManager.java ctor)
 _MODULES: dict[str, bool] = {"core": True}
 
+#: original CREATE VIEW statement text per view name — the reference
+#: keeps view DDL in CatalogView; Spark's temp views don't, so the
+#: facade records the statements it routes (SHOW CREATE VIEW replays)
+_VIEW_DDL: dict[str, str] = {}
+
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?`?(?P<name>\w+)`?\b",
+    re.I,
+)
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+EXISTS\s+)?"
+    r"`?(?P<name>\w+)`?\s*$",
+    re.I,
+)
+_SHOW_CREATE_VIEW_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+VIEW\s+`?(?P<name>\w+)`?\s*$", re.I
+)
+
+
+def record_view_statement(sql: str) -> None:
+    """Called by the facade before CREATE/DROP VIEW reach Spark, so
+    SHOW CREATE VIEW can replay the definition (SqlShowCreateView /
+    ShowCreateUtil.buildShowCreateViewRow)."""
+    m = _CREATE_VIEW_RE.match(sql)
+    if m:
+        _VIEW_DDL[m.group("name").lower()] = sql.strip()
+        return
+    m = _DROP_VIEW_RE.match(sql)
+    if m:
+        _VIEW_DDL.pop(m.group("name").lower(), None)
+
 _SHOW_CATALOGS_RE = re.compile(r"^\s*SHOW\s+CATALOGS\s*$", re.I)
 _SHOW_CUR_CAT_RE = re.compile(r"^\s*SHOW\s+CURRENT\s+CATALOG\s*$", re.I)
 _USE_CATALOG_RE = re.compile(r"^\s*USE\s+CATALOG\s+`?(\w+)`?\s*$", re.I)
@@ -119,6 +151,20 @@ def try_handle_catalog_statement(spark: SparkSession, sql: str):
     """Route one statement; returns a DataFrame or None when the text is
     not a catalog/module introspection statement (the caller falls
     through to Spark)."""
+    m = _SHOW_CREATE_VIEW_RE.match(sql)
+    if m:
+        name = m.group("name").lower()
+        if name not in _VIEW_DDL:
+            raise CatalogSqlError(
+                f"no recorded DDL for view {m.group('name')!r} — only "
+                "views created via SQL through this session's facade "
+                "carry their definition (DataFrame-registered temp views "
+                "have no SQL to show)"
+            )
+        return spark.createDataFrame(
+            [(_VIEW_DDL[name],)], "result string"
+        )
+
     if _SHOW_CATALOGS_RE.match(sql):
         rows = [r[0] for r in spark.sql("SHOW CATALOGS").collect()]
         return _one_col(spark, "catalog name", rows)

@@ -351,6 +351,14 @@ class TableEnvironment:
             from apache_flink_spark.match_recognize import sql_with_match_recognize
 
             return sql_with_match_recognize(self.spark, query)
+        if re.match(r"^\s*(CREATE|DROP)\b", query, re.I) and "VIEW" in up:
+            # record view DDL text for SHOW CREATE VIEW (catalog_sql.py)
+            # once Spark accepts it — Spark keeps no SQL for temp views
+            from apache_flink_spark.catalog_sql import record_view_statement
+
+            out = self.spark.sql(query)
+            record_view_statement(query)
+            return out
         return self.spark.sql(query)
 
     _TIME_TRAVEL_RE = re.compile(

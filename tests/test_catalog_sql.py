@@ -170,3 +170,24 @@ def test_show_like_metacharacters_are_literal(te, spark):
     assert te.sql("SHOW TABLES LIKE 't[1]'").count() == 0
     assert te.sql("SHOW TABLES LIKE 't*'").count() == 0
     assert [r[0] for r in te.sql("SHOW TABLES LIKE 't_'").collect()] == ["t1"]
+
+
+def test_show_create_view_replays_recorded_ddl(te, spark):
+    """SqlShowCreateView: the facade records view DDL it routes (Spark
+    keeps no SQL for temp views) and replays it; DataFrame-registered
+    views error loudly."""
+    te.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW scv_v AS "
+        "SELECT 1 AS a UNION ALL SELECT 2"
+    )
+    ddl = te.sql("SHOW CREATE VIEW scv_v").collect()[0].result
+    assert ddl.startswith("CREATE OR REPLACE TEMPORARY VIEW scv_v")
+    # the recorded DDL re-executes (round-trip)
+    te.sql(ddl.replace("scv_v", "scv_v2", 1))
+    assert te.sql("SELECT count(*) AS n FROM scv_v2").collect()[0].n == 2
+    te.sql("DROP VIEW scv_v")
+    with pytest.raises(CatalogSqlError, match="no recorded DDL"):
+        te.sql("SHOW CREATE VIEW scv_v")
+    spark.range(1).createOrReplaceTempView("scv_df")
+    with pytest.raises(CatalogSqlError, match="no recorded DDL"):
+        te.sql("SHOW CREATE VIEW scv_df")
