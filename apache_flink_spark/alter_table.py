@@ -403,7 +403,7 @@ def try_handle_alter_statement(spark: SparkSession, sql: str):
             )
             rows = [r for r in rows if r.startswith(prefix)]
         return spark.createDataFrame(
-            [(r,) for r in rows], "partition string"
+            [(r,) for r in rows], "`partition name` string"
         )
 
     m = _ADD_PART_RE.match(sql)

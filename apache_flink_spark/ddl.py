@@ -303,7 +303,10 @@ def _execute_create_like(spark: SparkSession, m) -> bool:
     """
     name, src = m.group("name"), m.group("src")
     if src not in _TABLES:
-        raise DdlError(f"LIKE source table {src!r} was not declared via DDL")
+        # r6 ADVICE: Spark supports CREATE TABLE ... LIKE on its own catalog
+        # tables — when the source is not a DDL-declared table, fall through
+        # to spark.sql instead of breaking previously-valid statements.
+        return False
     strat = {"OPTIONS": "INCLUDING", "WATERMARKS": "INCLUDING",
              "CONSTRAINTS": "INCLUDING", "PARTITIONS": "INCLUDING"}
     for sm in _LIKE_OPT_RE.finditer(m.group("like") or ""):

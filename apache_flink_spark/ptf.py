@@ -179,7 +179,9 @@ def _literal_spans(sql: str) -> list[tuple[int, int]]:
 def _parse_scalars(rest: str, fn_name: str) -> dict:
     rest = rest or ""
     leftover = _SCALAR_ARG_RE.sub("", rest)
-    if leftover.strip().strip(","):
+    # r6 ADVICE: with 3+ named scalars the stripped leftover is " , , " —
+    # only commas/whitespace must remain, in any interleaving.
+    if re.sub(r"[\s,]+", "", leftover):
         raise PtfError(
             f"PTF {fn_name!r}: unsupported scalar argument syntax "
             f"{rest.strip()!r} — use name => literal"

@@ -92,9 +92,15 @@ def _split_assignments(sets: str) -> list[tuple[str, str]]:
 
 
 def _table_spec(name: str):
+    """Spec for a filesystem DDL table, or None when ``name`` is not a
+    DDL-declared table at all — the statement then falls through to
+    spark.sql, which natively handles DELETE/UPDATE/TRUNCATE on its own
+    managed tables (r6 ADVICE: intercepting those broke valid Spark SQL)."""
     from apache_flink_spark.ddl import _TABLES
 
-    if name not in _TABLES or _TABLES[name][0] == "datagen":
+    if name not in _TABLES:
+        return None
+    if _TABLES[name][0] == "datagen":
         raise RowLevelError(
             f"row-level DML needs a filesystem DDL table; {name!r} is not "
             "one (reference: the connector must implement "
@@ -129,7 +135,10 @@ def try_handle_row_level_statement(spark, sql: str):
     m = _TRUNCATE_RE.match(sql)
     if m:
         name = m.group("name")
-        fmt, path, schema_ddl = _table_spec(name)
+        spec = _table_spec(name)
+        if spec is None:
+            return None
+        fmt, path, schema_ddl = spec
         from apache_flink_spark.ddl import refresh_table_view
 
         n = spark.table(name).count()
@@ -141,7 +150,10 @@ def try_handle_row_level_statement(spark, sql: str):
     m = _DELETE_RE.match(sql)
     if m:
         name = m.group("name")
-        fmt, path, schema_ddl = _table_spec(name)
+        spec = _table_spec(name)
+        if spec is None:
+            return None
+        fmt, path, schema_ddl = spec
         df = spark.table(name)
         if m.group("where") is None:
             kept = df.limit(0)
@@ -157,7 +169,10 @@ def try_handle_row_level_statement(spark, sql: str):
     m = _UPDATE_RE.match(sql)
     if m:
         name = m.group("name")
-        fmt, path, schema_ddl = _table_spec(name)
+        spec = _table_spec(name)
+        if spec is None:
+            return None
+        fmt, path, schema_ddl = spec
         df = spark.table(name)
         assigns = _split_assignments(m.group("sets"))
         bad = [c for c, _ in assigns if c not in df.columns]

@@ -227,6 +227,7 @@ def main() -> None:
     # per-run judgments need the recorded reference, not memory of r1.
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_BENCH.json")
+    remeasured: list[str] = []
     if os.path.exists(base_path) and sf is not None and abs(sf - 0.1) < 1e-9:
         with open(base_path) as f:
             base = json.load(f)
@@ -242,6 +243,7 @@ def main() -> None:
              and times[n] / base["queries"][n] > 1.5),
             key=lambda n: -(times[n] / base["queries"][n]),
         )[:10]
+        remeasured = list(outliers)
         for name in outliers:
             t0 = time.perf_counter()
             QUERIES[name](spark, SF_DIR).write.format("noop").mode(
@@ -265,7 +267,25 @@ def main() -> None:
                 "total_ratio": round(nsum / bsum, 3),
                 "worst": [{"query": n, "ratio": r} for r, n in ratios[:3]],
             }
-    real_stdout.write(json.dumps(out) + "\n")
+    # Artifact hygiene (VERDICT r6 #1): the driver keeps only a 2000-char
+    # TAIL of stdout, so a 65-query inline map (2409 chars in r6) loses its
+    # head before parsing ("parsed": null two rounds running). Write the
+    # full per-query map (+ which outliers were re-measured, the ADVICE
+    # symmetry note) to a sidecar, and keep the one stdout line short; the
+    # inline map is retained only when the whole line still fits the window.
+    detail = dict(out)
+    detail["remeasured_outliers"] = sorted(remeasured)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    line = json.dumps(out)
+    if len(line) > 1800:
+        del out["queries"]
+        out["queries_detail"] = detail_path
+        line = json.dumps(out)
+    real_stdout.write(line + "\n")
     real_stdout.flush()
 
 

@@ -237,8 +237,11 @@ def test_create_like_extra_columns_and_excluding_watermarks(te, tmp_path):
 
 def test_create_like_guards(te, tmp_path):
     _mk(te, tmp_path, "lk4_src", wm=True)
-    with pytest.raises(DdlError):
+    # Unknown LIKE source falls through to spark.sql (r6 ADVICE) — Spark's
+    # own TABLE_OR_VIEW_NOT_FOUND is the error surface, not DdlError.
+    with pytest.raises(Exception) as exc:
         te.sql("CREATE TABLE lk4_a LIKE no_such_src")
+    assert not isinstance(exc.value, DdlError)
     with pytest.raises(DdlError):
         # INCLUDING OPTIONS (default) + conflicting duplicate key
         te.sql(
@@ -359,10 +362,10 @@ def test_show_partitions_and_add_drop(te, tmp_path):
         "INSERT INTO pt3 SELECT 1, 'a', 'eu', 'd1' "
         "UNION ALL SELECT 2, 'b', 'us', 'd2'"
     )
-    parts = [r.partition for r in te.sql("SHOW PARTITIONS pt3").collect()]
+    parts = [r["partition name"] for r in te.sql("SHOW PARTITIONS pt3").collect()]
     assert parts == ["region=eu/day=d1", "region=us/day=d2"]
     filtered = [
-        r.partition
+        r["partition name"]
         for r in te.sql(
             "SHOW PARTITIONS pt3 PARTITION (region='eu')"
         ).collect()
@@ -370,7 +373,7 @@ def test_show_partitions_and_add_drop(te, tmp_path):
     assert filtered == ["region=eu/day=d1"]
     te.sql("ALTER TABLE pt3 ADD PARTITION (region='ap', day='d1')")
     assert "region=ap/day=d1" in [
-        r.partition for r in te.sql("SHOW PARTITIONS pt3").collect()
+        r["partition name"] for r in te.sql("SHOW PARTITIONS pt3").collect()
     ]
     with pytest.raises(DdlError, match="already exists"):
         te.sql("ALTER TABLE pt3 ADD PARTITION (region='ap', day='d1')")
@@ -441,7 +444,7 @@ def test_ctas_partitioned(te, tmp_path):
     assert sorted(
         e for e in os.listdir(path) if e.startswith("grp=")
     ) == ["grp=e", "grp=o"]
-    parts = [r.partition for r in te.sql("SHOW PARTITIONS ctas_p").collect()]
+    parts = [r["partition name"] for r in te.sql("SHOW PARTITIONS ctas_p").collect()]
     assert parts == ["grp=e", "grp=o"]
     assert te.sql("SELECT count(*) AS n FROM ctas_p").collect()[0].n == 6
 
@@ -476,7 +479,7 @@ def test_compact_preserves_partition_layout(te, tmp_path):
     te.sql("ALTER TABLE pt7 ADD PARTITION (region='ap', day='d9')")
     res = te.sql("ALTER TABLE pt7 COMPACT").collect()[0]
     assert res.files_after <= res.files_before
-    parts = [r.partition for r in te.sql("SHOW PARTITIONS pt7").collect()]
+    parts = [r["partition name"] for r in te.sql("SHOW PARTITIONS pt7").collect()]
     assert parts == [
         "region=ap/day=d9", "region=eu/day=d1", "region=us/day=d2"
     ]
@@ -562,7 +565,7 @@ def test_compact_preserves_string_partition_values(te, tmp_path):
     )
     te.sql("INSERT INTO pt9 SELECT 1, '01' UNION ALL SELECT 2, '02'")
     te.sql("ALTER TABLE pt9 COMPACT")
-    parts = [r.partition for r in te.sql("SHOW PARTITIONS pt9").collect()]
+    parts = [r["partition name"] for r in te.sql("SHOW PARTITIONS pt9").collect()]
     assert parts == ["day=01", "day=02"]
     rows = te.sql("SELECT id, day FROM pt9 ORDER BY id").collect()
     assert [(r.id, r.day) for r in rows] == [(1, "01"), (2, "02")]

@@ -211,7 +211,7 @@ def test_random_partition_op_sequences_match_model(spark, tmp_path, seed):
             | {f"region={r}/day={d}" for r, d in empty_dirs}
         )
         got_parts = [
-            r.partition for r in te.sql(f"SHOW PARTITIONS {name}").collect()
+            r["partition name"] for r in te.sql(f"SHOW PARTITIONS {name}").collect()
         ]
         assert got_parts == want_parts, (
             f"step {_step} ({op}): partitions {got_parts} != {want_parts}"
