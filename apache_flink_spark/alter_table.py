@@ -329,6 +329,30 @@ def describe_table(spark: SparkSession, name: str, like: str | None = None):
 def show_create_table(spark: SparkSession, name: str):
     """Reconstructed Flink DDL — reference ShowCreateUtil: one row,
     column ``result``. Round-trips through execute_flink_ddl."""
+    from apache_flink_spark.ddl import _DISTRIBUTED
+
+    if name in _DISTRIBUTED:
+        # FLIP-376 bucketed table (SqlDistribution.unparse shape)
+        d = _DISTRIBUTED[name]
+        body = ",\n".join(
+            f"  {c} {_flink_type(t)}" for c, t in d["cols_types"]
+        )
+        kind = f"{d['kind']} " if d["kind"] else ""
+        dist = (
+            f"DISTRIBUTED BY {kind}({', '.join(d['cols'])}) "
+            f"INTO {d['buckets']} BUCKETS "
+        )
+        part = (
+            f"PARTITIONED BY ({', '.join(d['parts'])}) " if d["parts"] else ""
+        )
+        with_body = ",\n".join(
+            f"  '{k}' = '{v}'" for k, v in sorted(d["opts"].items())
+        )
+        ddl = (
+            f"CREATE TABLE {name} (\n{body}\n) {dist}{part}"
+            f"WITH (\n{with_body}\n)"
+        )
+        return spark.createDataFrame([(ddl,)], "result string")
     if name not in _TABLES:
         return None  # not a DDL table — Spark may know it
     spec = _TABLES[name]
@@ -369,12 +393,40 @@ def show_create_table(spark: SparkSession, name: str):
     return spark.createDataFrame([(ddl,)], "result string")
 
 
+_DROP_DIST_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+DROP\s+DISTRIBUTION\s*$", re.I
+)
+
+
 def try_handle_alter_statement(spark: SparkSession, sql: str):
     """Route one ALTER TABLE / SHOW CREATE TABLE statement; returns a
     result DataFrame or None when the statement is not one of ours."""
     m = _SHOW_CREATE_RE.match(sql)
     if m:
         return show_create_table(spark, m.group("name"))
+
+    m = _DROP_DIST_RE.match(sql)
+    if m:
+        # SqlAlterTableDropDistribution: removing the bucket spec changes
+        # the physical layout, so this is a distributed rewrite (native
+        # CTAS without CLUSTERED BY -> swap), never driver-side.
+        from apache_flink_spark.ddl import _DISTRIBUTED
+
+        name = m.group("name")
+        if name not in _DISTRIBUTED:
+            raise DdlError(
+                f"table {name!r} has no declared DISTRIBUTED BY clause"
+            )
+        staging = f"{name}__dropdist__"
+        fmt = _DISTRIBUTED[name]["opts"].get("format", "parquet").lower()
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        spark.sql(
+            f"CREATE TABLE {staging} USING {fmt} AS SELECT * FROM {name}"
+        )
+        spark.sql(f"DROP TABLE {name}")
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {name}")
+        del _DISTRIBUTED[name]
+        return spark.createDataFrame([("OK",)], "result string")
 
     m = _DESCRIBE_RE.match(sql)
     if m:

@@ -113,6 +113,106 @@ _PARTITIONED_RE = re.compile(
     re.I | re.S,
 )
 
+# FLIP-376 bucketing clause (reference SqlDistribution.java — flink-table/
+# flink-sql-parser/.../ddl/SqlDistribution.java): sits between the column
+# body and PARTITIONED BY/WITH. Both forms:
+#   DISTRIBUTED BY [HASH|RANGE] (a, b) [INTO n BUCKETS]
+#   DISTRIBUTED INTO n BUCKETS
+_DISTRIBUTED_RE = re.compile(
+    r"\)\s*DISTRIBUTED\s+"
+    r"(?:BY\s+(?:(?P<kind>HASH|RANGE)\s*)?\((?P<cols>[\w\s,]+)\)\s*)?"
+    r"(?:INTO\s+(?P<n>\d+)\s+BUCKETS\s*)?"
+    r"(?=(?:PARTITIONED\s+BY|WITH)\s*\()",
+    re.I | re.S,
+)
+
+#: DISTRIBUTED BY tables are NATIVE Spark bucketed catalog tables (the
+#: zero-exchange join lane — tests/test_bucketing.py); this records the
+#: declared clause so SHOW CREATE TABLE renders the Flink-shaped DDL.
+#: name -> {"kind", "cols", "buckets", "opts", "cols_types"}
+_DISTRIBUTED: dict[str, dict] = {}
+
+#: default bucket count when the DDL omits INTO n BUCKETS (the reference
+#: leaves the count to the connector; Spark needs one at CREATE time)
+_DEFAULT_BUCKETS = 16
+
+
+def _execute_create_distributed(
+    spark: SparkSession, name: str, cols, watermark, dist: dict, opts: dict,
+    parts: list[str],
+) -> bool:
+    """CREATE TABLE ... DISTRIBUTED BY (k) INTO n BUCKETS — compiled to a
+    native Spark bucketed catalog table (``CLUSTERED BY ... INTO n
+    BUCKETS``), the engine's zero-exchange join lane: two tables
+    co-bucketed on their join key plan a SortMergeJoin with NO Exchange on
+    either side, which at 100 TB replaces a full shuffle of both facts
+    with co-located bucket reads. INSERT/SELECT/ALTER on the table fall
+    through to Spark natively (it is a real catalog table, not a temp
+    view)."""
+    if dist["kind"] == "RANGE":
+        raise DdlError(
+            "DISTRIBUTED BY RANGE is not supported — Spark's bucketing is "
+            "hash-based; declare DISTRIBUTED BY HASH(...) (the reference "
+            "also treats the kind as a connector capability, "
+            "SupportsBucketing.listAlgorithms)"
+        )
+    if not dist["cols"]:
+        raise DdlError(
+            "DISTRIBUTED INTO n BUCKETS without columns leaves the "
+            "distribution key to the connector — this engine needs "
+            "explicit columns: DISTRIBUTED BY (col, ...) INTO n BUCKETS"
+        )
+    declared = {c for c, _t in cols}
+    bad = [c for c in dist["cols"] if c not in declared]
+    if bad:
+        raise DdlError(f"DISTRIBUTED BY columns {bad} are not declared columns")
+    connector = opts.get("connector", "filesystem").lower()
+    if connector != "filesystem":
+        raise DdlError(
+            f"DISTRIBUTED BY requires the filesystem connector; got "
+            f"{connector!r}"
+        )
+    fmt = opts.get("format", "parquet").lower()
+    if fmt not in ("parquet", "orc", "json", "csv"):
+        raise DdlError(f"unsupported filesystem format {fmt!r}")
+    n = dist["buckets"] or _DEFAULT_BUCKETS
+    key_list = ", ".join(dist["cols"])
+    col_ddl = ", ".join(f"{c} {t}" for c, t in cols)
+    part_ddl = (
+        f" PARTITIONED BY ({', '.join(parts)})" if parts else ""
+    )
+    loc = ""
+    if opts.get("path"):
+        loc = f" LOCATION '{opts['path']}'"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if not opts.get("path"):
+        # an in-memory-catalog session cannot DROP a managed location left
+        # by a PREVIOUS session; clear it or CREATE fails with
+        # LOCATION_ALREADY_EXISTS (same replace semantics as the drop+create
+        # above, just across sessions)
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        if wh and os.path.isdir(os.path.join(wh, name.lower())):
+            shutil.rmtree(os.path.join(wh, name.lower()), ignore_errors=True)
+    spark.sql(
+        f"CREATE TABLE {name} ({col_ddl}) USING {fmt}{part_ddl} "
+        f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) "
+        f"INTO {n} BUCKETS{loc}"
+    )
+    _DISTRIBUTED[name] = {
+        "kind": dist["kind"] or "",
+        "cols": dist["cols"],
+        "buckets": n,
+        "opts": opts,
+        "cols_types": cols,
+        "parts": parts,
+    }
+    if watermark:
+        WATERMARKS[name] = watermark
+    return True
+
 
 def part_cols(name: str) -> list[str]:
     """Declared PARTITIONED BY columns of a DDL table ([] if none)."""
@@ -508,8 +608,22 @@ def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
         lm = _CREATE_LIKE_RE.match(sql)
         if lm is not None:
             return _execute_create_like(spark, lm)
-    # PARTITIONED BY is spliced out before the greedy column-body regex
-    # (reference SqlCreateTable partition-key clause)
+    # DISTRIBUTED (FLIP-376) then PARTITIONED BY are spliced out before
+    # the greedy column-body regex (reference SqlCreateTable clause order:
+    # columns, distribution, partitions, WITH)
+    dist: dict | None = None
+    dm = _DISTRIBUTED_RE.search(sql)
+    if dm and (dm.group("cols") or dm.group("n")):
+        dist = {
+            "kind": (dm.group("kind") or "").upper(),
+            "cols": [
+                c.strip()
+                for c in (dm.group("cols") or "").split(",")
+                if c.strip()
+            ],
+            "buckets": int(dm.group("n")) if dm.group("n") else None,
+        }
+        sql = sql[: dm.start()] + ")" + sql[dm.end():]
     parts: list[str] = []
     pm = _PARTITIONED_RE.search(sql)
     if pm:
@@ -524,6 +638,10 @@ def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
     opts = _split_options(m.group("opts"))
     _reject_reserved_opts(opts)
     cols, watermark = _parse_columns(m.group("body"))
+    if dist is not None:
+        return _execute_create_distributed(
+            spark, name, cols, watermark, dist, opts, parts
+        )
     schema_ddl = ", ".join(f"{c} {t}" for c, t in cols)
     connector = opts.get("connector", "").lower()
     if parts:

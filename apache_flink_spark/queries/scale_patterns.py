@@ -118,3 +118,67 @@ def rollup_multi_resolution(spark, sf_dir):
                                 (bucket_1d, event_type))
         """
     )
+
+
+@query(
+    "ddl_distributed_bucket_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))), 2)
+                AS DOUBLE) AS sum_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity > 30
+    GROUP BY o.o_orderpriority
+    """,
+)
+def ddl_distributed_bucket_join(spark, sf_dir):
+    """FLIP-376 ``DISTRIBUTED BY`` DDL wired to the zero-exchange bucket
+    lane (reference: flink-sql-parser SqlDistribution.java): two tables
+    declared co-bucketed on the join key, populated by INSERT, joined
+    WITHOUT re-shuffling either side — at 100 TB the layout decision made
+    once at write time replaces a full shuffle of both facts on every
+    join. The no-Exchange plan is pinned in tests/test_bucketing.py."""
+    from apache_flink_spark.ddl import execute_flink_ddl
+
+    load_tables(spark, sf_dir)
+    execute_flink_ddl(
+        spark,
+        """
+        CREATE TABLE bj_lineitem (
+            l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE
+        ) DISTRIBUTED BY HASH(l_orderkey) INTO 8 BUCKETS
+        WITH ('connector' = 'filesystem', 'format' = 'parquet')
+        """,
+    )
+    execute_flink_ddl(
+        spark,
+        """
+        CREATE TABLE bj_orders (
+            o_orderkey BIGINT, o_orderpriority STRING
+        ) DISTRIBUTED BY HASH(o_orderkey) INTO 8 BUCKETS
+        WITH ('connector' = 'filesystem', 'format' = 'parquet')
+        """,
+    )
+    spark.sql(
+        "INSERT INTO bj_lineitem "
+        "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem"
+    )
+    spark.sql(
+        "INSERT INTO bj_orders SELECT o_orderkey, o_orderpriority FROM orders"
+    )
+    return (
+        spark.table("bj_lineitem")
+        .where(F.col("l_quantity") > 30)
+        .hint("merge")
+        .join(
+            spark.table("bj_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )

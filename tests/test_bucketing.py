@@ -69,3 +69,63 @@ def test_bucketed_join_correct(spark, sf_dir, bucketed):
         .count()
     )
     assert got == want
+
+
+def test_distributed_by_ddl_join_no_exchange(spark, sf_dir):
+    """FLIP-376 DISTRIBUTED BY DDL (r7): the declared clause must land in
+    the native bucket lane — co-bucketed DDL tables join with no Exchange."""
+    from apache_flink_spark.queries import QUERIES
+
+    df = QUERIES["ddl_distributed_bucket_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
+def test_distributed_by_ddl_guards(spark):
+    import pytest as _pytest
+
+    from apache_flink_spark.ddl import DdlError, execute_flink_ddl
+
+    with _pytest.raises(DdlError, match="RANGE"):
+        execute_flink_ddl(
+            spark,
+            "CREATE TABLE dd_r (k BIGINT) DISTRIBUTED BY RANGE(k) INTO 4 "
+            "BUCKETS WITH ('connector' = 'filesystem')",
+        )
+    with _pytest.raises(DdlError, match="not declared"):
+        execute_flink_ddl(
+            spark,
+            "CREATE TABLE dd_c (k BIGINT) DISTRIBUTED BY (nope) INTO 4 "
+            "BUCKETS WITH ('connector' = 'filesystem')",
+        )
+    with _pytest.raises(DdlError, match="explicit columns"):
+        execute_flink_ddl(
+            spark,
+            "CREATE TABLE dd_n (k BIGINT) DISTRIBUTED INTO 4 BUCKETS "
+            "WITH ('connector' = 'filesystem')",
+        )
+
+
+def test_distributed_by_show_create_and_drop(spark):
+    from apache_flink_spark.environment import TableEnvironment
+    from apache_flink_spark.ddl import execute_flink_ddl
+
+    te = TableEnvironment(spark=spark)
+    execute_flink_ddl(
+        spark,
+        "CREATE TABLE dd_s (k BIGINT, v STRING) DISTRIBUTED BY (k) "
+        "WITH ('connector' = 'filesystem', 'format' = 'parquet')",
+    )
+    try:
+        ddl = te.sql("SHOW CREATE TABLE dd_s").collect()[0][0]
+        assert "DISTRIBUTED BY (k) INTO 16 BUCKETS" in ddl
+        spark.sql("INSERT INTO dd_s VALUES (1, 'a'), (2, 'b')")
+        te.sql("ALTER TABLE dd_s DROP DISTRIBUTION")
+        assert spark.table("dd_s").count() == 2
+        # bucket spec gone: Spark's own SHOW CREATE has no CLUSTERED BY
+        native = spark.sql("SHOW CREATE TABLE dd_s").collect()[0][0]
+        assert "CLUSTERED BY" not in native
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dd_s")
