@@ -151,6 +151,12 @@ def try_handle_catalog_statement(spark: SparkSession, sql: str):
     """Route one statement; returns a DataFrame or None when the text is
     not a catalog/module introspection statement (the caller falls
     through to Spark)."""
+    from apache_flink_spark.catalogs import try_handle_catalog_ddl
+
+    handled = try_handle_catalog_ddl(spark, sql)
+    if handled is not None:
+        return handled
+
     m = _SHOW_CREATE_VIEW_RE.match(sql)
     if m:
         name = m.group("name").lower()
@@ -163,27 +169,6 @@ def try_handle_catalog_statement(spark: SparkSession, sql: str):
             )
         return spark.createDataFrame(
             [(_VIEW_DDL[name],)], "result string"
-        )
-
-    if _SHOW_CATALOGS_RE.match(sql):
-        rows = [r[0] for r in spark.sql("SHOW CATALOGS").collect()]
-        return _one_col(spark, "catalog name", rows)
-
-    if _SHOW_CUR_CAT_RE.match(sql):
-        return _one_col(
-            spark, "current catalog name", [spark.catalog.currentCatalog()]
-        )
-
-    m = _USE_CATALOG_RE.match(sql)
-    if m:
-        spark.catalog.setCurrentCatalog(m.group(1))
-        return spark.sql("SELECT 'OK' AS result")
-
-    if _CREATE_CATALOG_RE.match(sql):
-        raise CatalogSqlError(
-            "CREATE CATALOG is unsupported — this engine is single-catalog "
-            "(Spark's session catalog); declare tables via CREATE TABLE "
-            "... WITH ('connector'=...) instead"
         )
 
     if _SHOW_DBS_RE.match(sql):

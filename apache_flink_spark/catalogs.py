@@ -1,0 +1,571 @@
+"""Multi-catalog support — in-memory secondary catalogs.
+
+Reference parity: ``GenericInMemoryCatalog`` (flink-table/
+flink-table-api-java/.../catalog/GenericInMemoryCatalog.java, factory
+``GenericInMemoryCatalogFactory.java`` — option ``default-database``) and
+the catalog DDL statement family (flink-sql-parser ``SqlCreateCatalog`` /
+``SqlDropCatalog`` / ``SqlAlterCatalog{Options,Reset,Comment}`` /
+``SqlUseCatalog`` / ``SqlDescribeCatalog``; databases via
+``SqlCreateDatabase`` / ``SqlDropDatabase`` / ``SqlAlterDatabase`` /
+``SqlDescribeDatabase``).
+
+Execution model. Spark has exactly one session catalog, so secondary
+catalogs are an ENGINE-LEVEL namespace: a registry maps
+``catalog.database.table`` onto a mangled temp-view name
+(``__cat_<catalog>__<db>__<table>``), and the facade rewrites identifiers
+before Catalyst sees the statement:
+
+  - fully-qualified ``cat.db.tbl`` references resolve from any catalog
+    context (this is what makes CROSS-catalog joins work);
+  - unqualified names resolve against the CURRENT (catalog, database)
+    when a secondary catalog is current;
+  - the built-in catalog keeps Spark's name (``spark_catalog``) and
+    behavior; ``default_catalog.default_database.x`` (the reference's
+    built-in naming) is also accepted and maps to the plain name.
+
+The rewrite is literal-safe (never inside ``'...'``) and bounded: only
+names actually registered in the catalog registry are touched, so
+ordinary statements pay one dict lookup and pass through byte-identical.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+__all__ = [
+    "try_handle_catalog_ddl",
+    "rewrite_catalog_identifiers",
+    "current_catalog",
+    "CatalogError",
+]
+
+
+class CatalogError(ValueError):
+    pass
+
+
+#: secondary catalogs: name -> {"comment", "properties", "dbs":
+#: {db: {"comment", "properties"}}, "current_db"}
+_CATALOGS: dict[str, dict] = {}
+
+#: (catalog, db, table) -> mangled temp-view name
+_CAT_TABLES: dict[tuple[str, str, str], str] = {}
+
+#: current catalog: None = the built-in Spark session catalog
+_CURRENT: list[str | None] = [None]
+
+_BUILTIN = "spark_catalog"
+#: the reference's built-in names, accepted as aliases of the Spark ones
+_REF_BUILTIN = "default_catalog"
+_REF_BUILTIN_DB = "default_database"
+
+
+def current_catalog(spark: SparkSession) -> str:
+    return _CURRENT[0] or spark.catalog.currentCatalog()
+
+
+def _mangle(cat: str, db: str, tbl: str) -> str:
+    return f"__cat_{cat}__{db}__{tbl}"
+
+
+def _get_cat(name: str) -> dict:
+    if name not in _CATALOGS:
+        raise CatalogError(
+            f"catalog {name!r} does not exist (SHOW CATALOGS lists "
+            "registered ones)"
+        )
+    return _CATALOGS[name]
+
+
+def reset_for_tests() -> None:
+    _CATALOGS.clear()
+    _CAT_TABLES.clear()
+    _CURRENT[0] = None
+
+
+# ---------------------------------------------------------------- grammar
+
+_CREATE_CATALOG_RE = re.compile(
+    r"^\s*CREATE\s+CATALOG\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?`?(?P<name>\w+)`?"
+    r"(?:\s+COMMENT\s+'(?P<comment>[^']*)')?"
+    r"\s+WITH\s*\((?P<opts>.*)\)\s*$",
+    re.I | re.S,
+)
+_DROP_CATALOG_RE = re.compile(
+    r"^\s*DROP\s+CATALOG\s+(?P<ie>IF\s+EXISTS\s+)?`?(?P<name>\w+)`?\s*$",
+    re.I,
+)
+_ALTER_CAT_SET_RE = re.compile(
+    r"^\s*ALTER\s+CATALOG\s+`?(?P<name>\w+)`?\s+SET\s*\((?P<opts>.*)\)\s*$",
+    re.I | re.S,
+)
+_ALTER_CAT_RESET_RE = re.compile(
+    r"^\s*ALTER\s+CATALOG\s+`?(?P<name>\w+)`?\s+RESET\s*\((?P<keys>.*)\)\s*$",
+    re.I | re.S,
+)
+_ALTER_CAT_COMMENT_RE = re.compile(
+    r"^\s*ALTER\s+CATALOG\s+`?(?P<name>\w+)`?\s+COMMENT\s+"
+    r"'(?P<comment>[^']*)'\s*$",
+    re.I,
+)
+_DESC_CATALOG_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+CATALOG\s+(?P<ext>EXTENDED\s+)?`?(?P<name>\w+)`?\s*$",
+    re.I,
+)
+_USE_CATALOG_RE = re.compile(
+    r"^\s*USE\s+CATALOG\s+`?(?P<name>\w+)`?\s*$", re.I
+)
+_SHOW_CATALOGS_RE = re.compile(r"^\s*SHOW\s+CATALOGS\s*$", re.I)
+_SHOW_CUR_CAT_RE = re.compile(r"^\s*SHOW\s+CURRENT\s+CATALOG\s*$", re.I)
+
+_CREATE_DB_RE = re.compile(
+    r"^\s*CREATE\s+DATABASE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?:`?(?P<cat>\w+)`?\.)?`?(?P<name>\w+)`?"
+    r"(?:\s+COMMENT\s+'(?P<comment>[^']*)')?"
+    r"(?:\s+WITH\s*\((?P<opts>.*)\))?\s*$",
+    re.I | re.S,
+)
+_DROP_DB_RE = re.compile(
+    r"^\s*DROP\s+DATABASE\s+(?P<ie>IF\s+EXISTS\s+)?"
+    r"(?:`?(?P<cat>\w+)`?\.)?`?(?P<name>\w+)`?"
+    r"\s*(?P<mode>RESTRICT|CASCADE)?\s*$",
+    re.I,
+)
+_ALTER_DB_RE = re.compile(
+    r"^\s*ALTER\s+DATABASE\s+(?:`?(?P<cat>\w+)`?\.)?`?(?P<name>\w+)`?"
+    r"\s+SET\s*\((?P<opts>.*)\)\s*$",
+    re.I | re.S,
+)
+_DESC_DB_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+DATABASE\s+(?P<ext>EXTENDED\s+)?"
+    r"(?:`?(?P<cat>\w+)`?\.)?`?(?P<name>\w+)`?\s*$",
+    re.I,
+)
+_USE_DB_RE = re.compile(r"^\s*USE\s+`?(?P<name>\w+)`?\s*$", re.I)
+_SHOW_DBS_RE = re.compile(r"^\s*SHOW\s+DATABASES\s*$", re.I)
+_SHOW_CUR_DB_RE = re.compile(r"^\s*SHOW\s+CURRENT\s+DATABASE\s*$", re.I)
+_SHOW_TABLES_RE = re.compile(
+    r"^\s*SHOW\s+TABLES"
+    r"(?:\s+(?:FROM|IN)\s+`?(?P<db>\w+)`?)?"
+    r"(?:\s+(?P<not>NOT\s+)?LIKE\s+'(?P<like>[^']*)')?\s*$",
+    re.I,
+)
+_DROP_TABLE_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?"
+    r"(?:`?(?P<cat>\w+)`?\.`?(?P<db>\w+)`?\.)?`?(?P<name>\w+)`?\s*$",
+    re.I,
+)
+
+#: CREATE TABLE with a qualified or to-be-qualified name — the name is
+#: REWRITTEN to the mangled view and the table recorded in the registry;
+#: the body is left for ddl.execute_flink_ddl
+_CREATE_TABLE_NAME_RE = re.compile(
+    r"^(?P<head>\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?)"
+    r"(?:`?(?P<cat>\w+)`?\.`?(?P<db>\w+)`?\.)?`?(?P<name>\w+)`?"
+    r"(?P<rest>\s*\(.*)$",
+    re.I | re.S,
+)
+
+
+def _split_options(opts: str) -> dict[str, str]:
+    out = {}
+    for m in re.finditer(r"'([^']*)'\s*=\s*'([^']*)'", opts):
+        out[m.group(1).lower()] = m.group(2)
+    return out
+
+
+def _ok(spark: SparkSession):
+    return spark.createDataFrame([("OK",)], "result string")
+
+
+def _info(spark: SparkSession, rows: list[tuple[str, str | None]]):
+    return spark.createDataFrame(
+        rows, "`info name` string, `info value` string"
+    )
+
+
+# -------------------------------------------------------------- resolve
+
+
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    spans, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, j))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _in_literal(spans, pos: int) -> bool:
+    return any(a <= pos <= b for a, b in spans)
+
+
+def rewrite_catalog_identifiers(spark: SparkSession, sql: str) -> str:
+    """Rewrite catalog-qualified (and, when a secondary catalog is
+    current, unqualified) table references onto the mangled temp views.
+    A pass-through when no secondary catalog exists."""
+    # CREATE TABLE targeting a secondary catalog: register + rename first
+    # so the DDL route sees the mangled name.
+    cm = _CREATE_TABLE_NAME_RE.match(sql)
+    if cm and "." not in (cm.group("name") or ""):
+        cat, db = cm.group("cat"), cm.group("db")
+        if cat is None and _CURRENT[0] is not None:
+            cat = _CURRENT[0]
+            db = _CATALOGS[cat]["current_db"]
+        if cat is not None and cat in _CATALOGS:
+            c = _CATALOGS[cat]
+            if db not in c["dbs"]:
+                raise CatalogError(
+                    f"database {db!r} does not exist in catalog {cat!r}"
+                )
+            view = _mangle(cat, db, cm.group("name"))
+            _CAT_TABLES[(cat, db, cm.group("name"))] = view
+            sql = cm.group("head") + view + cm.group("rest")
+    if _REF_BUILTIN in sql:
+        # the reference's built-in naming maps to plain Spark resolution
+        spans = _literal_spans(sql)
+        sql = re.sub(
+            rf"\b{_REF_BUILTIN}\.{_REF_BUILTIN_DB}\.(\w+)\b",
+            lambda m: m.group(0) if _in_literal(spans, m.start())
+            else m.group(1),
+            sql,
+        )
+    if not _CAT_TABLES and _CURRENT[0] is None:
+        return sql
+    spans = _literal_spans(sql)
+
+    def _sub_qualified(m: re.Match) -> str:
+        if _in_literal(spans, m.start()):
+            return m.group(0)
+        key = (m.group(1), m.group(2), m.group(3))
+        return _CAT_TABLES.get(key, m.group(0))
+
+    out = re.sub(
+        r"\b(\w+)\.(\w+)\.(\w+)\b",
+        _sub_qualified,
+        sql,
+    )
+    if _CURRENT[0] is not None:
+        cat = _CURRENT[0]
+        db = _CATALOGS[cat]["current_db"]
+        local = {
+            t: v for (c, d, t), v in _CAT_TABLES.items()
+            if c == cat and d == db
+        }
+        if local:
+            spans = _literal_spans(out)
+
+            def _sub_plain(m: re.Match) -> str:
+                if _in_literal(spans, m.start()):
+                    return m.group(0)
+                # not part of a dotted path on either side
+                s, e = m.start(), m.end()
+                if (s > 0 and out[s - 1] in ".`") or (
+                    e < len(out) and out[e] == "."
+                ):
+                    return m.group(0)
+                return local.get(m.group(0), m.group(0))
+
+            out = re.sub(r"\b\w+\b", _sub_plain, out)
+    return out
+
+
+# ---------------------------------------------------------------- routes
+
+
+def try_handle_catalog_ddl(spark: SparkSession, sql: str):
+    """Route one catalog/database DDL statement; returns a DataFrame or
+    None to fall through (built-in catalog behavior stays in
+    catalog_sql.py / Spark)."""
+    m = _CREATE_CATALOG_RE.match(sql)
+    if m:
+        name = m.group("name")
+        if name in _CATALOGS or name in (_BUILTIN, _REF_BUILTIN):
+            if m.group("ine"):
+                return _ok(spark)
+            raise CatalogError(f"catalog {name!r} already exists")
+        opts = _split_options(m.group("opts"))
+        ctype = opts.get("type", "")
+        if ctype != "generic_in_memory":
+            raise CatalogError(
+                f"unsupported catalog type {ctype!r} — only "
+                "'generic_in_memory' (reference GenericInMemoryCatalog) "
+                "is available; external metastore catalogs need their "
+                "service"
+            )
+        default_db = opts.get("default-database", "default")
+        _CATALOGS[name] = {
+            "comment": m.group("comment"),
+            "properties": {
+                k: v for k, v in opts.items() if k != "type"
+            },
+            "dbs": {default_db: {"comment": None, "properties": {}}},
+            "current_db": default_db,
+        }
+        return _ok(spark)
+
+    m = _DROP_CATALOG_RE.match(sql)
+    if m:
+        name = m.group("name")
+        if name in (_BUILTIN, _REF_BUILTIN):
+            raise CatalogError(f"cannot drop the built-in catalog {name!r}")
+        if name not in _CATALOGS:
+            if m.group("ie"):
+                return _ok(spark)
+            raise CatalogError(f"catalog {name!r} does not exist")
+        if _CURRENT[0] == name:
+            raise CatalogError(
+                f"cannot drop the current catalog {name!r} — USE CATALOG "
+                "another one first (reference CatalogManager.unregisterCatalog)"
+            )
+        for key in [k for k in _CAT_TABLES if k[0] == name]:
+            spark.catalog.dropTempView(_CAT_TABLES.pop(key))
+        del _CATALOGS[name]
+        return _ok(spark)
+
+    m = _ALTER_CAT_SET_RE.match(sql)
+    if m:
+        c = _get_cat(m.group("name"))
+        opts = _split_options(m.group("opts"))
+        if "type" in opts:
+            raise CatalogError(
+                "ALTER CATALOG cannot change 'type' (reference "
+                "AlterCatalogOptionsOperation forbids it too)"
+            )
+        c["properties"].update(opts)
+        return _ok(spark)
+
+    m = _ALTER_CAT_RESET_RE.match(sql)
+    if m:
+        c = _get_cat(m.group("name"))
+        keys = [
+            k.strip().strip("'").lower()
+            for k in m.group("keys").split(",")
+            if k.strip()
+        ]
+        if "type" in keys:
+            raise CatalogError("ALTER CATALOG RESET cannot remove 'type'")
+        for k in keys:
+            c["properties"].pop(k, None)
+        return _ok(spark)
+
+    m = _ALTER_CAT_COMMENT_RE.match(sql)
+    if m:
+        _get_cat(m.group("name"))["comment"] = m.group("comment")
+        return _ok(spark)
+
+    m = _DESC_CATALOG_RE.match(sql)
+    if m:
+        # DescribeCatalogOperation: info name/info value rows — name,
+        # type, comment (+ sorted option:* when EXTENDED)
+        name = m.group("name")
+        if name in (_BUILTIN, _REF_BUILTIN):
+            rows = [("name", name), ("type", "generic_in_memory"),
+                    ("comment", None)]
+            return _info(spark, rows)
+        c = _get_cat(name)
+        rows = [
+            ("name", name),
+            ("type", "generic_in_memory"),
+            ("comment", c["comment"]),
+        ]
+        if m.group("ext"):
+            rows += [
+                (f"option:{k}", v)
+                for k, v in sorted(c["properties"].items())
+            ]
+        return _info(spark, rows)
+
+    m = _USE_CATALOG_RE.match(sql)
+    if m:
+        name = m.group("name")
+        if name in (_BUILTIN, _REF_BUILTIN):
+            _CURRENT[0] = None
+            return _ok(spark)
+        _get_cat(name)
+        _CURRENT[0] = name
+        return _ok(spark)
+
+    if _SHOW_CATALOGS_RE.match(sql):
+        rows = [r[0] for r in spark.sql("SHOW CATALOGS").collect()]
+        rows += list(_CATALOGS)
+        return spark.createDataFrame(
+            [(v,) for v in sorted(rows)], "`catalog name` string"
+        )
+
+    if _SHOW_CUR_CAT_RE.match(sql):
+        return spark.createDataFrame(
+            [(current_catalog(spark),)], "`current catalog name` string"
+        )
+
+    m = _CREATE_DB_RE.match(sql)
+    if m:
+        cat = m.group("cat") or _CURRENT[0]
+        if cat is None or cat not in _CATALOGS:
+            return None  # built-in catalog: Spark handles CREATE DATABASE
+        dbs = _CATALOGS[cat]["dbs"]
+        name = m.group("name")
+        if name in dbs:
+            if m.group("ine"):
+                return _ok(spark)
+            raise CatalogError(
+                f"database {name!r} already exists in catalog {cat!r}"
+            )
+        dbs[name] = {
+            "comment": m.group("comment"),
+            "properties": _split_options(m.group("opts") or ""),
+        }
+        return _ok(spark)
+
+    m = _DROP_DB_RE.match(sql)
+    if m:
+        cat = m.group("cat") or _CURRENT[0]
+        if cat is None or cat not in _CATALOGS:
+            return None
+        c, name = _CATALOGS[cat], m.group("name")
+        if name not in c["dbs"]:
+            if m.group("ie"):
+                return _ok(spark)
+            raise CatalogError(
+                f"database {name!r} does not exist in catalog {cat!r}"
+            )
+        tables = [k for k in _CAT_TABLES if k[0] == cat and k[1] == name]
+        if tables and (m.group("mode") or "RESTRICT").upper() != "CASCADE":
+            raise CatalogError(
+                f"database {name!r} is not empty ({len(tables)} tables) — "
+                "use DROP DATABASE ... CASCADE"
+            )
+        if c["current_db"] == name:
+            raise CatalogError(
+                f"cannot drop the current database {name!r}"
+            )
+        for key in tables:
+            spark.catalog.dropTempView(_CAT_TABLES.pop(key))
+        del c["dbs"][name]
+        return _ok(spark)
+
+    m = _ALTER_DB_RE.match(sql)
+    if m:
+        cat = m.group("cat") or _CURRENT[0]
+        opts = _split_options(m.group("opts"))
+        if cat is None or cat not in _CATALOGS:
+            # SqlAlterDatabase on the built-in catalog: Spark's native
+            # syntax is SET DBPROPERTIES
+            if m.group("cat"):
+                return None
+            props = ", ".join(f"'{k}'='{v}'" for k, v in opts.items())
+            spark.sql(
+                f"ALTER DATABASE {m.group('name')} SET DBPROPERTIES ({props})"
+            )
+            return _ok(spark)
+        c, name = _CATALOGS[cat], m.group("name")
+        if name not in c["dbs"]:
+            raise CatalogError(
+                f"database {name!r} does not exist in catalog {cat!r}"
+            )
+        c["dbs"][name]["properties"].update(opts)
+        return _ok(spark)
+
+    m = _DESC_DB_RE.match(sql)
+    if m:
+        cat = m.group("cat") or _CURRENT[0]
+        name = m.group("name")
+        if cat is None or cat not in _CATALOGS:
+            # built-in: project Spark's catalog metadata into the
+            # reference's info name/info value shape
+            try:
+                db = spark.catalog.getDatabase(name)
+            except Exception:
+                raise CatalogError(f"database {name!r} does not exist")
+            rows = [("name", db.name), ("comment", db.description or "")]
+            if m.group("ext"):
+                rows.append(("location", db.locationUri))
+            return _info(spark, rows)
+        c = _CATALOGS[cat]
+        if name not in c["dbs"]:
+            raise CatalogError(
+                f"database {name!r} does not exist in catalog {cat!r}"
+            )
+        d = c["dbs"][name]
+        rows = [("name", name), ("comment", d["comment"] or "")]
+        if m.group("ext"):
+            rows += [
+                (f"option:{k}", v)
+                for k, v in sorted(d["properties"].items())
+            ]
+        return _info(spark, rows)
+
+    m = _DROP_TABLE_RE.match(sql)
+    if m:
+        # the facade's identifier rewrite runs BEFORE routing, so a
+        # qualified name arrives here already mangled — resolve either form
+        key = None
+        name = m.group("name")
+        if m.group("cat"):
+            ddb = m.group("db")
+            key = (m.group("cat"), ddb, name)
+        elif name in set(_CAT_TABLES.values()):
+            key = next(k for k, v in _CAT_TABLES.items() if v == name)
+        elif _CURRENT[0] is not None:
+            key = (_CURRENT[0], _CATALOGS[_CURRENT[0]]["current_db"], name)
+        if key is None or key not in _CAT_TABLES:
+            if m.group("ie") and key is not None and key[0] in _CATALOGS:
+                return _ok(spark)
+            return None  # maybe a Spark-native table
+        spark.catalog.dropTempView(_CAT_TABLES.pop(key))
+        return _ok(spark)
+
+    # the remaining routes only apply while a secondary catalog is current
+    if _CURRENT[0] is None:
+        return None
+    cat = _CURRENT[0]
+    c = _CATALOGS[cat]
+
+    m = _USE_DB_RE.match(sql)
+    if m and m.group("name").upper() != "CATALOG":
+        name = m.group("name")
+        if name not in c["dbs"]:
+            raise CatalogError(
+                f"database {name!r} does not exist in catalog {cat!r}"
+            )
+        c["current_db"] = name
+        return _ok(spark)
+
+    if _SHOW_DBS_RE.match(sql):
+        return spark.createDataFrame(
+            [(d,) for d in sorted(c["dbs"])], "`database name` string"
+        )
+
+    if _SHOW_CUR_DB_RE.match(sql):
+        return spark.createDataFrame(
+            [(c["current_db"],)], "`current database name` string"
+        )
+
+    m = _SHOW_TABLES_RE.match(sql)
+    if m:
+        db = m.group("db") or c["current_db"]
+        from apache_flink_spark.catalog_sql import _sql_like
+
+        names = sorted(
+            t for (cc, dd, t) in _CAT_TABLES
+            if cc == cat and dd == db
+            and _sql_like(t, m.group("like"), bool(m.group("not")))
+        )
+        return spark.createDataFrame(
+            [(t,) for t in names], "`table name` string"
+        )
+
+    return None

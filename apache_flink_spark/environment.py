@@ -189,6 +189,17 @@ class TableEnvironment:
         # SELECT (CTAS, STATEMENT SET, row-level DML, INSERT) — otherwise a
         # hint / PTF call / window TVF / time-travel clause inside those
         # statements is silently ignored or fails to resolve (r6 review).
+        from apache_flink_spark.catalogs import _CATALOGS
+
+        if _CATALOGS or "default_catalog" in query:
+            # secondary catalogs exist: map cat.db.tbl (and, in a secondary
+            # current catalog, unqualified) names onto their views
+            from apache_flink_spark.catalogs import (
+                rewrite_catalog_identifiers,
+            )
+
+            query = rewrite_catalog_identifiers(self.spark, query)
+            up = query.upper()
         if "/*+" in query:
             from apache_flink_spark.query_hints import rewrite_flink_hints
 
@@ -293,7 +304,8 @@ class TableEnvironment:
                 return handled
         if re.match(
             r"^\s*(SHOW|USE\s|LOAD\s+MODULE|UNLOAD\s+MODULE|ANALYZE\s"
-            r"|CREATE\s+CATALOG)",
+            r"|(CREATE|DROP|ALTER)\s+(CATALOG|DATABASE)"
+            r"|DESC(RIBE)?\s+(CATALOG|DATABASE)|DROP\s+TABLE)",
             query,
             re.I,
         ):

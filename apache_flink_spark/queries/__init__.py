@@ -23,6 +23,7 @@ from apache_flink_spark.queries import (  # noqa: F401,E402
     tpcds_shapes10,
     tpcds_shapes11,
     joins,
+    catalog_queries,
     match_recognize_queries,
     aggregates,
     agg_extras,

@@ -31,8 +31,12 @@ def test_show_catalogs_and_current(te):
     cur = te.sql("SHOW CURRENT CATALOG").collect()[0][0]
     assert cur == "spark_catalog"
     te.sql("USE CATALOG spark_catalog")  # round-trips
-    with pytest.raises(CatalogSqlError, match="single-catalog"):
-        te.sql("CREATE CATALOG c2 WITH ('type' = 'generic_in_memory')")
+    # r7: CREATE CATALOG works for generic_in_memory (tests/test_catalogs.py);
+    # external metastore types still error loudly
+    from apache_flink_spark.catalogs import CatalogError
+
+    with pytest.raises(CatalogError, match="unsupported catalog type"):
+        te.sql("CREATE CATALOG c2 WITH ('type' = 'hive')")
 
 
 def test_show_databases_tables_views(te):
