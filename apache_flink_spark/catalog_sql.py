@@ -75,6 +75,40 @@ _SHOW_CREATE_VIEW_RE = re.compile(
     r"^\s*SHOW\s+CREATE\s+VIEW\s+`?(?P<name>\w+)`?\s*$", re.I
 )
 
+#: ALTER VIEW family — reference SqlAlterViewRename / SqlAlterViewAs /
+#: SqlAlterViewProperties (flink-sql-parser .../ddl/SqlAlterView*.java)
+_ALTER_VIEW_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+VIEW\s+`?(?P<name>\w+)`?\s+RENAME\s+TO\s+"
+    r"`?(?P<to>\w+)`?\s*$",
+    re.I,
+)
+_ALTER_VIEW_AS_RE = re.compile(
+    r"^\s*ALTER\s+VIEW\s+`?(?P<name>\w+)`?\s+AS\s+(?P<query>SELECT\b.*)$",
+    re.I | re.S,
+)
+_ALTER_VIEW_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+VIEW\s+`?(?P<name>\w+)`?\s+SET\s*\((?P<opts>.*)\)\s*$",
+    re.I | re.S,
+)
+
+#: view name -> properties set via ALTER VIEW ... SET (the reference keeps
+#: these in CatalogView options; Spark temp views have no options slot)
+_VIEW_PROPS: dict[str, dict] = {}
+
+#: SqlRemoveJar — jars "removed" from the session's resource list. The JVM
+#: cannot unload a loaded jar (true in the reference's cluster too once a
+#: job shipped it); REMOVE JAR removes it from the visible SHOW JARS list,
+#: exactly the reference SQL-client semantics of editing the resource set.
+_REMOVED_JARS: set[str] = set()
+_REMOVE_JAR_RE = re.compile(
+    r"^\s*REMOVE\s+JAR\s+'(?P<path>[^']+)'\s*$", re.I
+)
+_DESC_FUNCTION_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+FUNCTION\s+(?P<ext>EXTENDED\s+)?"
+    r"`?(?P<name>[\w.]+)`?\s*$",
+    re.I,
+)
+
 
 def record_view_statement(sql: str) -> None:
     """Called by the facade before CREATE/DROP VIEW reach Spark, so
@@ -237,7 +271,101 @@ def try_handle_catalog_statement(spark: SparkSession, sql: str):
 
     if _SHOW_JARS_RE.match(sql):
         rows = [r[0] for r in spark.sql("LIST JARS").collect()]
+        rows = [r for r in rows if r not in _REMOVED_JARS]
         return _one_col(spark, "jars", rows)
+
+    m = _REMOVE_JAR_RE.match(sql)
+    if m:
+        # SqlRemoveJar (flink-sql-parser .../dql/SqlRemoveJar.java): drop
+        # the jar from the session resource list. Accept both the exact
+        # LIST JARS entry and the path the user typed for ADD JAR (Spark
+        # rewrites it to a spark://... fetch URL in LIST JARS).
+        path = m.group("path")
+        listed = [r[0] for r in spark.sql("LIST JARS").collect()]
+        base = path.rsplit("/", 1)[-1]
+        hits = [
+            j for j in listed
+            if j == path or j.rsplit("/", 1)[-1] == base
+        ]
+        hits = [j for j in hits if j not in _REMOVED_JARS]
+        if not hits:
+            raise CatalogSqlError(
+                f"jar {path!r} is not in the session resource list "
+                "(SHOW JARS lists current ones)"
+            )
+        _REMOVED_JARS.update(hits)
+        return spark.sql("SELECT 'OK' AS result")
+
+    m = _ALTER_VIEW_RENAME_RE.match(sql)
+    if m:
+        # SqlAlterViewRename: TEMPORARY views are facade-handled (Spark's
+        # ALTER VIEW cannot see them); catalog views fall through to
+        # Spark's native ALTER VIEW ... RENAME TO.
+        name, to = m.group("name"), m.group("to")
+        try:
+            tbl = spark.catalog.getTable(name)
+        except Exception:
+            raise CatalogSqlError(f"view {name!r} does not exist")
+        if not tbl.isTemporary:
+            if (tbl.tableType or "").upper() != "VIEW":
+                raise CatalogSqlError(
+                    f"{name!r} is a table, not a view — use ALTER TABLE "
+                    "... RENAME TO (reference SqlAlterViewRename "
+                    "validates the object kind too)"
+                )
+            return None  # Spark handles catalog views natively
+        spark.table(name).createOrReplaceTempView(to)
+        spark.catalog.dropTempView(name)
+        if name.lower() in _VIEW_DDL:
+            # keep SHOW CREATE VIEW working under the new name
+            ddl = _VIEW_DDL.pop(name.lower())
+            _VIEW_DDL[to.lower()] = re.sub(
+                rf"\b{re.escape(name)}\b", to, ddl, count=1
+            )
+        if name.lower() in _VIEW_PROPS:
+            _VIEW_PROPS[to.lower()] = _VIEW_PROPS.pop(name.lower())
+        return spark.sql("SELECT 'OK' AS result")
+
+    m = _ALTER_VIEW_AS_RE.match(sql)
+    if m:
+        name = m.group("name")
+        try:
+            tbl = spark.catalog.getTable(name)
+        except Exception:
+            raise CatalogSqlError(f"view {name!r} does not exist")
+        if not tbl.isTemporary:
+            return None  # Spark's native ALTER VIEW ... AS
+        spark.sql(m.group("query")).createOrReplaceTempView(name)
+        _VIEW_DDL[name.lower()] = (
+            f"CREATE TEMPORARY VIEW {name} AS {m.group('query').strip()}"
+        )
+        return spark.sql("SELECT 'OK' AS result")
+
+    m = _ALTER_VIEW_PROPS_RE.match(sql)
+    if m:
+        # SqlAlterViewProperties (Flink's SET ('k'='v') spelling; Spark's
+        # native spelling is SET TBLPROPERTIES): temp views keep the
+        # properties facade-side, catalog views get them translated.
+        name = m.group("name")
+        try:
+            tbl = spark.catalog.getTable(name)
+        except Exception:
+            raise CatalogSqlError(f"view {name!r} does not exist")
+        props = dict(
+            re.findall(r"'([^']*)'\s*=\s*'([^']*)'", m.group("opts"))
+        )
+        if not tbl.isTemporary:
+            kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+            spark.sql(f"ALTER VIEW {name} SET TBLPROPERTIES ({kv})")
+            return spark.sql("SELECT 'OK' AS result")
+        _VIEW_PROPS.setdefault(name.lower(), {}).update(props)
+        return spark.sql("SELECT 'OK' AS result")
+
+    m = _DESC_FUNCTION_RE.match(sql)
+    if m:
+        return _describe_function(
+            spark, m.group("name"), bool(m.group("ext"))
+        )
 
     m = _SHOW_MODULES_RE.match(sql)
     if m:
@@ -319,6 +447,44 @@ def try_handle_catalog_statement(spark: SparkSession, sql: str):
         )
 
     return None
+
+
+def _describe_function(spark, name: str, extended: bool):
+    """DESCRIBE FUNCTION [EXTENDED] — reference DescribeFunctionOperation
+    (flink-table-api-java .../operations/DescribeFunctionOperation.java):
+    ``info name``/``info value`` rows — is system function, is temporary,
+    then class name / function language / resource uris for catalog
+    functions; EXTENDED adds kind and determinism."""
+    fns = {f.name.lower(): f for f in spark.catalog.listFunctions()}
+    f = fns.get(name.lower())
+    if f is None:
+        raise CatalogSqlError(
+            f"Function with the identifier '{name}' doesn't exist."
+        )
+    is_system = (f.className or "").startswith(
+        "org.apache.spark.sql.catalyst."
+    )
+    rows = [
+        ("is system function", str(is_system).lower()),
+        ("is temporary", str(bool(f.isTemporary)).lower()),
+    ]
+    from apache_flink_spark.function_ddl import _FUNCTIONS
+
+    ddl_entry = _FUNCTIONS.get(name.lower())
+    if not is_system:
+        rows.append(("class name", ddl_entry[0] if ddl_entry
+                     else (f.className or "")))
+        rows.append((
+            "function language",
+            ddl_entry[1].upper() if ddl_entry else "JVM",
+        ))
+        rows.append(("resource uris", "[]"))
+    if extended:
+        rows.append(("kind", "SCALAR"))
+        rows.append(("is deterministic", "true"))
+    return spark.createDataFrame(
+        rows, "`info name` string, `info value` string"
+    )
 
 
 def _analyze_table(spark, name: str, all_cols: bool, cols: list[str]):

@@ -526,18 +526,36 @@ _CREATE_AS_RE = re.compile(
     re.I | re.S,
 )
 
+# RTAS — reference SqlReplaceTableAs.java (flink-table/flink-sql-parser/
+# .../ddl/SqlReplaceTableAs.java): [CREATE OR] REPLACE TABLE t WITH (...)
+# AS SELECT. CREATE OR REPLACE creates-or-replaces; bare REPLACE requires
+# the table to exist (the reference validates this in
+# SqlReplaceTableAs/SqlNodeToOperationConversion).
+_REPLACE_AS_RE = re.compile(
+    r"^\s*(?P<cor>CREATE\s+OR\s+)?REPLACE\s+TABLE\s+(?P<name>\w+)\s*"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>[\w\s,]+)\)\s*)?"
+    r"WITH\s*\((?P<opts>.*?)\)\s*"
+    r"AS\s+(?P<select>SELECT\b.*)$",
+    re.I | re.S,
+)
+
 
 def _spark_type_ddl(dt) -> str:
     """Spark DataType -> schema-DDL type string (CTAS schema derivation)."""
     return dt.simpleString()
 
 
-def _execute_create_as(spark: SparkSession, m) -> bool:
+def _execute_create_as(spark: SparkSession, m, replace: str = "") -> bool:
     """CTAS into a connector table — reference SqlCreateTableAs
     (parserImpls.ftl; CreateTableASOperation): the sink table is derived
     from the query schema, created in the catalog, and the query result
     is written to it atomically — one distributed write, no driver
-    materialization."""
+    materialization.
+
+    ``replace`` (RTAS — SqlReplaceTableAs.java): "create_or_replace"
+    replaces an existing table or creates a fresh one; "replace" requires
+    it to exist. Either way the swap is write-to-staging -> atomic rename,
+    so readers never observe a half-replaced table."""
     name = m.group("name")
     opts = _split_options(m.group("opts"))
     _reject_reserved_opts(opts)
@@ -552,7 +570,12 @@ def _execute_create_as(spark: SparkSession, m) -> bool:
         raise DdlError("filesystem connector requires a 'path' option")
     if fmt not in ("parquet", "csv", "json", "orc"):
         raise DdlError(f"unsupported filesystem format {fmt!r}")
-    if name in _TABLES:
+    if replace == "replace" and name not in _TABLES:
+        raise DdlError(
+            f"REPLACE TABLE {name!r}: table does not exist — use CREATE "
+            "OR REPLACE TABLE (reference SqlReplaceTableAs validation)"
+        )
+    if name in _TABLES and not replace:
         if re.match(
             r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+IF\s+NOT\s+EXISTS",
             m.string, re.I,
@@ -581,13 +604,32 @@ def _execute_create_as(spark: SparkSession, m) -> bool:
                 f"CTAS PARTITIONED BY columns {bad} are not query columns"
             )
         opts[_PART_KEY] = ",".join(parts)
+    prior = _TABLES.get(name)
     _TABLES[name] = (fmt, path, schema_ddl, opts)
     try:
         writer, _fmt, _p = fs_writer(out, name)
-        writer.mode("overwrite").save(path)
+        if replace and os.path.isdir(path) and os.listdir(path):
+            # RTAS over live data: staging write -> atomic swap, so a
+            # failed query never leaves a half-replaced table
+            import shutil
+
+            staging = path.rstrip("/") + ".__rtas__"
+            backup = path.rstrip("/") + ".__prertas__"
+            shutil.rmtree(staging, ignore_errors=True)
+            writer.mode("overwrite").save(staging)
+            shutil.rmtree(backup, ignore_errors=True)
+            os.rename(path, backup)
+            os.rename(staging, path)
+            shutil.rmtree(backup)
+        else:
+            writer.mode("overwrite").save(path)
         refresh_table_view(spark, name)
     except Exception:
-        _TABLES.pop(name, None)  # failed CTAS must not leave a catalog entry
+        # failed CTAS/RTAS must not leave a wrong catalog entry
+        if prior is not None:
+            _TABLES[name] = prior
+        else:
+            _TABLES.pop(name, None)
         raise
     return True
 
@@ -602,6 +644,14 @@ def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
         '"', "'"
     ):
         return _execute_create_as(spark, am)
+    rm = _REPLACE_AS_RE.match(sql)
+    if rm is not None and "'connector'" in sql.replace(" ", "").replace(
+        '"', "'"
+    ):
+        return _execute_create_as(
+            spark, rm, replace="create_or_replace" if rm.group("cor")
+            else "replace",
+        )
     # LIKE first: _CREATE_RE's greedy body/opts groups would otherwise
     # swallow a trailing LIKE clause into the options text
     if re.search(r"\bLIKE\s+\w+\s*(?:\([^()]*\))?\s*$", sql):

@@ -26,6 +26,23 @@ from apache_flink_spark.session import get_spark
 # error instead of silently half-applying.
 _SHOW_PROCS_RE = re.compile(r"^\s*SHOW\s+PROCEDURES\s*$", re.I)
 _SHOW_JOBS_RE = re.compile(r"^\s*SHOW\s+JOBS\s*$", re.I)
+_DESCRIBE_JOB_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+JOB\s+'(?P<id>[^']+)'\s*$", re.I
+)
+
+#: streaming-query id -> first-seen wall clock. Spark's StreamingQuery
+#: does not expose its start instant, so the facade records the first
+#: time job introspection (or STOP JOB) observes the query — for jobs
+#: started and inspected through this facade that IS the start time.
+_JOB_SEEN: dict[str, "object"] = {}
+
+
+def _job_start_time(q):
+    from datetime import datetime
+
+    if q.id not in _JOB_SEEN:
+        _JOB_SEEN[q.id] = datetime.now()
+    return _JOB_SEEN[q.id]
 _STOP_JOB_RE = re.compile(
     r"^\s*STOP\s+JOB\s+'(?P<id>[^']+)'"
     r"(?P<sp>\s+WITH\s+SAVEPOINT)?(?:\s+WITH\s+DRAIN)?\s*$",
@@ -223,7 +240,8 @@ class TableEnvironment:
 
             query = rewrite_system_time_joins(self._rewrite_time_travel(query))
         up = query.upper()
-        if "CREATE" in up and ("CONNECTOR" in up or re.search(
+        if ("CREATE" in up or re.match(r"\s*REPLACE\s+TABLE\b", query, re.I)
+                ) and ("CONNECTOR" in up or re.search(
             r"\bLIKE\s+\w+\s*(?:\([^()]*\))?\s*$", query, re.I
         )):
             from apache_flink_spark.ddl import execute_flink_ddl
@@ -247,18 +265,43 @@ class TableEnvironment:
             if handled is not None:
                 return handled
         if _SHOW_JOBS_RE.match(query):
-            # Flink SQL-client job management (SqlShowJobs): the engine's
-            # jobs are Structured Streaming queries on this session.
+            # Flink SQL-client job management (SqlShowJobs; gateway
+            # OperationExecutor.callShowJobsOperation — columns "job id",
+            # "job name", "status", "start time"): the engine's jobs are
+            # Structured Streaming queries on this session.
             rows = [
                 (
                     q.id,
                     q.name or "",
                     "RUNNING" if q.isActive else "FINISHED",
+                    _job_start_time(q),
                 )
                 for q in self.spark.streams.active
             ]
             return self.spark.createDataFrame(
-                rows, "job_id string, job_name string, status string"
+                rows,
+                "`job id` string, `job name` string, status string, "
+                "`start time` timestamp",
+            )
+        dj = _DESCRIBE_JOB_RE.match(query)
+        if dj:
+            # SqlDescribeJob (gateway callDescribeJobOperation): one row,
+            # same shape as SHOW JOBS, for the given job id or name.
+            for q in self.spark.streams.active:
+                if q.id == dj.group("id") or (q.name or "") == dj.group("id"):
+                    return self.spark.createDataFrame(
+                        [(
+                            q.id,
+                            q.name or "",
+                            "RUNNING" if q.isActive else "FINISHED",
+                            _job_start_time(q),
+                        )],
+                        "`job id` string, `job name` string, "
+                        "status string, `start time` timestamp",
+                    )
+            raise ValueError(
+                f"Described job {dj.group('id')!r} does not exist in the "
+                "cluster."
             )
         sj = _STOP_JOB_RE.match(query)
         if sj:
@@ -305,7 +348,8 @@ class TableEnvironment:
         if re.match(
             r"^\s*(SHOW|USE\s|LOAD\s+MODULE|UNLOAD\s+MODULE|ANALYZE\s"
             r"|(CREATE|DROP|ALTER)\s+(CATALOG|DATABASE)"
-            r"|DESC(RIBE)?\s+(CATALOG|DATABASE)|DROP\s+TABLE)",
+            r"|DESC(RIBE)?\s+(CATALOG|DATABASE|FUNCTION)"
+            r"|ALTER\s+VIEW|REMOVE\s+JAR|DROP\s+TABLE)",
             query,
             re.I,
         ):

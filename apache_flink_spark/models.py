@@ -250,6 +250,10 @@ _SHOW_RE = re.compile(r"^\s*SHOW\s+MODELS\s*$", re.I)
 _SHOW_CREATE_RE = re.compile(
     r"^\s*SHOW\s+CREATE\s+MODEL\s+`?(?P<name>\w+)`?\s*$", re.I
 )
+_DESC_MODEL_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+MODEL\s+(?P<ext>EXTENDED\s+)?`?(?P<name>\w+)`?\s*$",
+    re.I,
+)
 _ALTER_RE = re.compile(
     r"^\s*ALTER\s+MODEL\s+`?(?P<name>\w+)`?\s+SET\s*\((?P<opts>.*)\)\s*$",
     re.I | re.S,
@@ -321,6 +325,22 @@ def try_handle_model_statement(tenv, sql: str):
     if m:
         cat.alter_options(m.group("name"), _parse_opts(m.group("opts")))
         return spark.sql("SELECT 'OK' AS result")
+    m = _DESC_MODEL_RE.match(sql)
+    if m:
+        # SqlRichDescribeModel (flink-sql-parser .../dql/
+        # SqlRichDescribeModel.java): the model's declared input/output
+        # schema, one row per column; EXTENDED adds the options.
+        model = cat.get(m.group("name"))
+        rows = [(c, t, "INPUT") for c, t in model.input_schema]
+        rows += [(c, t, "OUTPUT") for c, t in model.output_schema]
+        if m.group("ext"):
+            rows += [
+                (f"option:{k}", v, "OPTION")
+                for k, v in sorted(model.options.items())
+            ]
+        return spark.createDataFrame(
+            rows, "name string, type string, kind string"
+        )
 
     pm = _ML_PREDICT_RE.search(sql)
     if pm:

@@ -69,3 +69,46 @@ def catalog_cross_join(spark, sf_dir):
         GROUP BY r.r_name
         """
     )
+
+
+@query(
+    "rtas_replace_table",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2)
+                AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority
+    """,
+)
+def rtas_replace_table(spark, sf_dir):
+    """RTAS — reference SqlReplaceTableAs.java: CREATE OR REPLACE TABLE
+    ... AS SELECT runs twice (stale content first, then the real query),
+    proving the replace swaps atomically; the read returns the second
+    query's result. One distributed write per run, no driver
+    materialization."""
+    from apache_flink_spark.environment import TableEnvironment
+
+    load_tables(spark, sf_dir)
+    te = TableEnvironment(spark=spark)
+    path = os.path.join(tempfile.gettempdir(), "q_rtas_summary")
+    stmt = (
+        "CREATE OR REPLACE TABLE rtas_summary WITH "
+        f"('connector' = 'filesystem', 'path' = '{path}', "
+        "'format' = 'parquet') AS "
+    )
+    te.sql(stmt + "SELECT 'stale' AS o_orderpriority, CAST(0 AS BIGINT) "
+           "AS n, CAST(0.0 AS DOUBLE) AS sum_price")
+    te.sql(
+        stmt
+        + """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2)
+                    AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_totalprice > 100000
+        GROUP BY o_orderpriority
+        """
+    )
+    return spark.table("rtas_summary")

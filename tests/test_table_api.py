@@ -355,10 +355,15 @@ def test_show_jobs_and_stop_job(spark, tmp_path):
     )
     try:
         jobs = {
-            r.job_name: r for r in te.sql("SHOW JOBS").collect()
+            r["job name"]: r for r in te.sql("SHOW JOBS").collect()
         }
         assert "job_mgmt_probe" in jobs
         assert jobs["job_mgmt_probe"].status == "RUNNING"
+        # r7: DESCRIBE JOB mirrors the gateway's single-job shape
+        desc = te.sql("DESCRIBE JOB 'job_mgmt_probe'").first()
+        assert desc["job id"] == jobs["job_mgmt_probe"]["job id"]
+        assert desc.status == "RUNNING"
+        assert desc["start time"] is not None
         res = te.sql(
             "STOP JOB 'job_mgmt_probe' WITH SAVEPOINT"
         ).first()
