@@ -40,6 +40,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: hard cap on rows a BroadcastStream may materialize on the driver —
+#: broadcast state is per-task-replicated, so anything bigger is a design
+#: error, not a tuning problem (r6 VERDICT finding #3)
+_MAX_BROADCAST_ROWS = 100_000
+
 
 class Collector:
     """Reference common/Collector.java: ``collect`` one output record."""
@@ -386,7 +391,22 @@ class KeyedPartitionStream:
 
         if isinstance(other, BroadcastStream):
             bfn = fn
-            bcast_rows = [r.asDict() for r in other.df.collect()]
+            # The broadcast side materializes on the driver by definition
+            # (every task replays it); an unbounded stream here would OOM
+            # the driver silently. Cap + loud error, same pattern as the
+            # async-lookup service table (async_lookup.py) — r6 VERDICT #3.
+            bcast_rows = [
+                r.asDict()
+                for r in other.df.limit(_MAX_BROADCAST_ROWS + 1).collect()
+            ]
+            if len(bcast_rows) > _MAX_BROADCAST_ROWS:
+                raise ValueError(
+                    f"broadcast side exceeds {_MAX_BROADCAST_ROWS} rows — "
+                    "a BroadcastStream must be a bounded dimension/config "
+                    "stream (the reference's broadcast state is likewise "
+                    "per-task-replicated); use a keyed connect for large "
+                    "sides"
+                )
             bkey_cols = self.key_cols
 
             def brunner(key, pdf) -> "pd.DataFrame":

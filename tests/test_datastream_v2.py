@@ -92,3 +92,38 @@ def test_shuffle_and_global_preserve_rows(spark):
     g = src.global_()
     assert g.df.rdd.getNumPartitions() == 1
     assert sorted(r.x for r in g.df.collect()) == list(range(100))
+
+
+def test_broadcast_stream_cap_errors_loudly(spark):
+    """r6 VERDICT #3: an oversized broadcast side must error, not OOM the
+    driver silently."""
+    import pytest as _pytest
+
+    import apache_flink_spark.datastream_v2 as dsv2
+    from apache_flink_spark.datastream_v2 import (
+        ExecutionEnvironment,
+        TwoInputBroadcastStreamProcessFunction,
+    )
+
+    env = ExecutionEnvironment.get_instance(spark)
+    keyed = env.from_source(
+        ([(1, 1)], "k long, v long"), "keyed"
+    ).key_by("k")
+    big = dsv2.NonKeyedPartitionStream(
+        env, spark.range(10).selectExpr("id AS b")
+    ).broadcast()
+
+    class Fn(TwoInputBroadcastStreamProcessFunction):
+        def process_record_from_broadcast_input(self, rec, ctx):
+            pass
+
+        def process_record_from_non_broadcast_input(self, rec, ctx):
+            pass
+
+    old = dsv2._MAX_BROADCAST_ROWS
+    dsv2._MAX_BROADCAST_ROWS = 5
+    try:
+        with _pytest.raises(ValueError, match="broadcast side exceeds"):
+            keyed.connect_and_process(big, Fn(), "k long")
+    finally:
+        dsv2._MAX_BROADCAST_ROWS = old
