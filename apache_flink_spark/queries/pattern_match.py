@@ -361,3 +361,61 @@ def match_timeout_sideoutput(spark, sf_dir):
     )
     out = streaming_cep_timeout(u, MIN30)
     return run_to_table(out, "append")
+
+
+@query(
+    "cep_not_followed_by",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type FROM events
+        WHERE event_type IN ('click', 'purchase', 'error')
+    ), o AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ep, event_id
+        ) AS rn FROM u
+    ), scanned AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'purchase' THEN rn END) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS p_rn,
+               MIN(CASE WHEN event_type = 'error' THEN rn END) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS e_rn
+        FROM o
+    )
+    SELECT s.user_id, s.event_id AS click_id, p.event_id AS purchase_id
+    FROM scanned s
+    JOIN o p ON p.user_id = s.user_id AND p.rn = s.p_rn
+    WHERE s.event_type = 'click' AND s.p_rn IS NOT NULL
+      AND (s.e_rn IS NULL OR s.p_rn < s.e_rn)
+    """,
+)
+def cep_not_followed_by(spark, sf_dir):
+    """CEP Pattern API middle negation (reference Pattern.notFollowedBy —
+    flink-cep Pattern.java:326): click followedBy purchase with NO error
+    in between. The Pattern compiles onto the MATCH_RECOGNIZE NFA
+    (cep.py): the negative element becomes a reluctant gap variable whose
+    DEFINE is the negated condition — the NFA stop state — so the plan is
+    the usual one keyed shuffle + Arrow matcher, no joins, no second scan
+    of events."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase", "error")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    p = (
+        Pattern.begin("A").where("event_type = 'click'")
+        .not_followed_by("N").where("event_type = 'error'")
+        .followed_by("C").where("event_type = 'purchase'")
+    )
+    return cep_select(
+        spark, e, p, "user_id", "ep, event_id",
+        {"click_id": "LAST(A.event_id)", "purchase_id": "LAST(C.event_id)"},
+    )

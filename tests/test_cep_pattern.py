@@ -1,0 +1,122 @@
+"""CEP Pattern API (flink-cep Pattern.java parity) — builder, compile to
+MATCH_RECOGNIZE, negative patterns, quantifiers, guards."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_flink_spark.cep import (
+    CepError,
+    Pattern,
+    cep_select,
+    pattern_to_match_recognize,
+)
+
+MEAS = {"a_id": "LAST(A.event_id)"}
+
+
+@pytest.fixture()
+def events(spark):
+    return spark.createDataFrame(
+        [
+            (1, 1, "click", 100), (1, 2, "view", 200),
+            (1, 3, "purchase", 300),
+            (2, 4, "click", 100), (2, 5, "error", 150),
+            (2, 6, "purchase", 300),
+            (3, 7, "click", 100), (3, 8, "view", 200),
+        ],
+        "user_id long, event_id long, event_type string, ep long",
+    )
+
+
+def test_middle_not_followed_by_kills_match(spark, events):
+    p = (
+        Pattern.begin("A").where("event_type = 'click'")
+        .not_followed_by("N").where("event_type = 'error'")
+        .followed_by("C").where("event_type = 'purchase'")
+    )
+    out = cep_select(
+        spark, events, p, "user_id", "ep",
+        {"a_id": "LAST(A.event_id)", "c_id": "LAST(C.event_id)"},
+    )
+    assert sorted((r.user_id, r.a_id, r.c_id) for r in out.collect()) == [
+        (1, 1, 3)
+    ]
+
+
+def test_followed_by_skips_intervening_rows(spark, events):
+    p = (
+        Pattern.begin("A").where("event_type = 'click'")
+        .followed_by("C").where("event_type = 'purchase'")
+    )
+    out = cep_select(
+        spark, events, p, "user_id", "ep",
+        {"a_id": "LAST(A.event_id)", "c_id": "LAST(C.event_id)"},
+    )
+    # u2's error between click and purchase does NOT kill a plain followedBy
+    assert sorted((r.user_id, r.a_id, r.c_id) for r in out.collect()) == [
+        (1, 1, 3), (2, 4, 6)
+    ]
+
+
+def test_next_requires_adjacency(spark, events):
+    p = (
+        Pattern.begin("A").where("event_type = 'click'")
+        .next("C").where("event_type = 'purchase'")
+    )
+    out = cep_select(
+        spark, events, p, "user_id", "ep", {"c_id": "LAST(C.event_id)"}
+    )
+    assert out.count() == 0  # no user has purchase immediately after click
+
+
+def test_trailing_not_followed_by_window_plan(spark, events):
+    p = (
+        Pattern.begin("A").where("event_type = 'click'")
+        .not_followed_by("B").where("event_type = 'purchase'")
+        .within(1, "minutes")
+    )
+    out = cep_select(
+        spark, events, p, "user_id", "ep", {"click_id": "A.event_id"}
+    )
+    assert sorted((r.user_id, r.click_id) for r in out.collect()) == [(3, 7)]
+    # plan: single window scan, no join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_quantifiers_compile(spark):
+    df = spark.createDataFrame(
+        [(1, i, "up" if i < 4 else "down", i * 10) for i in range(1, 7)],
+        "k long, event_id long, event_type string, ep long",
+    )
+    p = (
+        Pattern.begin("U").where("event_type = 'up'").times(2, 3)
+        .followed_by("D").where("event_type = 'down'")
+    )
+    stmt = pattern_to_match_recognize(
+        p, "t", "k", "ep", {"n_up": "COUNT(U.*)"}
+    )
+    assert "U{2,3}" in stmt and "G0*?" in stmt
+    out = cep_select(spark, df, p, "k", "ep", {"n_up": "COUNT(U.*)"})
+    assert out.count() > 0
+
+
+def test_guards(spark):
+    with pytest.raises(CepError, match="identifier"):
+        Pattern.begin("not a name")
+    with pytest.raises(CepError, match="already used"):
+        Pattern.begin("A").followed_by("a")
+    with pytest.raises(CepError, match="notNext"):
+        Pattern.begin("A").not_next("B")
+    with pytest.raises(CepError, match="quantifiers on notFollowedBy"):
+        Pattern.begin("A").not_followed_by("B").one_or_more()
+    p = Pattern.begin("A").not_followed_by("B").where("x = 1")
+    with pytest.raises(CepError, match="requires"):
+        # trailing notFollowedBy without within()
+        cep_select(None, None, p, "k", "ep", MEAS)
+    p2 = (
+        Pattern.begin("A").not_followed_by("B").where("x = 1").next("C")
+    )
+    with pytest.raises(CepError, match="followedBy"):
+        pattern_to_match_recognize(p2, "t", "k", "ep", MEAS)
