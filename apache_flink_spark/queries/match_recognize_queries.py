@@ -1016,3 +1016,71 @@ def mr_stream_quantifier_within(spark, sf_dir):
         """,
     )
     return run_to_table(out, "append")
+
+
+@query(
+    "mr_stream_cross_define",
+    oracle="""
+    WITH wm AS (
+        SELECT epoch_us(MAX(ts)) - 3600000000 AS wm_us FROM events
+    ), seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ep,
+               CAST(round(value * 100) AS BIGINT) AS value_c,
+               LEAD(event_id) OVER w AS nxt_id,
+               LEAD(event_type) OVER w AS nxt_type,
+               LEAD(CAST(round(value * 100) AS BIGINT)) OVER w AS nxt_val,
+               LEAD(epoch_us(ts)) OVER w AS nxt_ep
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS a_id, nxt_id AS b_id,
+           value_c AS a_val, nxt_val AS b_val
+    FROM seq, wm
+    WHERE event_type = 'click' AND nxt_type = 'purchase'
+      AND nxt_val > value_c AND nxt_ep <= wm.wm_us
+    """,
+    streaming=True,
+)
+def mr_stream_cross_define(spark, sf_dir):
+    """STREAMING MATCH_RECOGNIZE with a CROSS-VARIABLE DEFINE (r7 —
+    VERDICT r6 next-item #4; reference CepOperator.java:82 evaluates
+    IterativeConditions against the shared buffer on unbounded streams):
+    PATTERN (A B) where B must be a purchase whose value EXCEEDS the
+    matched A's (``B.value_c > LAST(A.value_c)``). The bind-tracking DFS
+    runs inside the certified prefix, so the bound A row is certified
+    before any B evaluates against it; disjoint own-row predicates make
+    the LEAD() oracle exact under SKIP PAST LAST ROW."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.streaming.match_stream import (
+        streaming_match_recognize,
+    )
+    from apache_flink_spark.streaming.sources import (
+        run_to_table,
+        stream_table,
+    )
+
+    e = stream_table(spark, sf_dir, "events")
+    s = e.withWatermark("ts", "1 hour").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("ep"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("is_purchase"),
+        "ts",
+    )
+    out = streaming_match_recognize(
+        s,
+        """
+        PARTITION BY user_id
+        ORDER BY ep, event_id
+        MEASURES A.event_id AS a_id, B.event_id AS b_id,
+                 LAST(A.value_c) AS a_val, B.value_c AS b_val
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B)
+        DEFINE A AS A.event_type = 'click',
+               B AS B.is_purchase = 1 AND B.value_c > LAST(A.value_c)
+        """,
+    )
+    return run_to_table(out, "append")

@@ -31,9 +31,13 @@ sliced into batches, and decisions depend only on that prefix.
 
 Streaming subset (errors loudly otherwise): ONE ROW PER MATCH, AFTER
 MATCH SKIP PAST LAST ROW, ascending ORDER BY (epoch-micros BIGINT first),
-own-row DEFINEs (no PREV/NEXT physical navigation, no cross-variable
-LAST/FIRST binds), no MATCH_NUMBER measure (its per-partition counter
-would be unbounded restore state for no parity gain).
+own-row DEFINEs AND cross-variable LAST/FIRST binds (r7 — the batch
+bind-tracking DFS runs inside the certified prefix; binds only reference
+rows already assigned to the in-flight match, so certification covers
+them by construction). Still out: PREV/NEXT physical navigation (needs
+cross-row state before certification) and MATCH_NUMBER (its
+per-partition counter would be unbounded restore state for no parity
+gain).
 """
 
 from __future__ import annotations
@@ -46,12 +50,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from apache_flink_spark.match_recognize import (
+    _3VL_GLOBALS,
     _BODY_RE,
+    _compile_3vl,
     _emit_measures,
     _measure_sql_type,
+    _NULL,
     _parse_defines,
     _parse_measures,
     _parse_pattern,
+    _UNKNOWN,
     _WITHIN_UNIT_US,
     MatchRecognizeError,
 )
@@ -99,11 +107,19 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
             "not supported (needs cross-row state before certification); "
             "rewrite against LAST/FIRST or use the batch path"
         )
-    if cross_defs:
-        raise MatchRecognizeError(
-            "streaming MATCH_RECOGNIZE: cross-variable DEFINE binds are "
-            "not in the streaming subset yet; use the batch path"
-        )
+    # Cross-variable DEFINE binds (r7, VERDICT r6 next-item #4): the batch
+    # bind-tracking DFS runs INSIDE the certified-prefix NFA — a bind only
+    # ever references rows already assigned to the in-flight match, and a
+    # match is emitted only once its whole span is certified, so the
+    # cross-variable evaluation is slicing-invariant by the same argument
+    # as the own-row masks (extended property test in
+    # tests/test_match_stream.py). The referenced columns ride the same
+    # per-row state arrays as the measure columns.
+    cross_codes = dict(cross_defs)
+    cross_cols = sorted(
+        {c for code in cross_codes.values()
+         for c in re.findall(r'__(?:row|bind)\("(?:\w+", ")?(\w+)"', code)}
+    )
     if m.group("skip") and re.sub(
         r"\s+", " ", m.group("skip").strip()
     ).upper() != "PAST LAST ROW":
@@ -170,12 +186,16 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
             )
 
     meas_cols = sorted({c for _, _, c, _, _ in measures if c is not None})
-    carry = [c for c in meas_cols if c not in (time_col, *part_cols)]
+    carry = [
+        c for c in sorted({*meas_cols, *cross_cols})
+        if c not in (time_col, *part_cols)
+    ]
     for c in carry:
         if type_of.get(c) not in ("bigint", "double"):
             raise MatchRecognizeError(
-                f"streaming MATCH_RECOGNIZE: measure column {c!r} must be "
-                f"BIGINT or DOUBLE (state layout); got {type_of.get(c)!r}"
+                f"streaming MATCH_RECOGNIZE: measure/DEFINE column {c!r} "
+                f"must be BIGINT or DOUBLE (state layout); got "
+                f"{type_of.get(c)!r}"
             )
 
     spark = stream.sparkSession
@@ -204,6 +224,10 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
     meas = list(measures)
     n_parts = len(part_cols)
     tb_col = tiebreaks[0] if tiebreaks else None
+    cross_fns = {
+        v: _compile_3vl(code, f"<mr-stream-define-{v}>")
+        for v, code in cross_codes.items()
+    }
 
     out_fields = []
     for c in part_cols:
@@ -321,7 +345,85 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
                     lim += 1
                 return lim
 
-            def try_match(start: int, limit: int):
+            def ok_fn(v: str, j: int, binds: dict) -> bool:
+                # cross-variable predicate under the in-flight binds —
+                # identical to the batch evaluator (match_recognize.py
+                # ok_fn): __row is the candidate row, __bind looks up
+                # already-matched rows; NULL/UNKNOWN coerce to false.
+                if v not in cross_fns:
+                    return bool(vm[j] & (1 << var_list.index(v)))
+
+                def __row(col):
+                    x = arr[col][j]
+                    return _NULL if x is None or x != x else x
+
+                def __bind(bv, col, fn, off):
+                    bidx = binds.get(bv, ())
+                    if bv == v:
+                        bidx = list(bidx) + [j]
+                    k = (len(bidx) - 1 - off) if fn == "LAST" else off
+                    if k < 0 or k >= len(bidx):
+                        return _NULL
+                    x = arr[col][bidx[k]]
+                    return _NULL if x is None or x != x else x
+
+                try:
+                    res = eval(  # noqa: S307 - compiled validated subset
+                        cross_fns[v],
+                        {**_3VL_GLOBALS, "__row": __row, "__bind": __bind},
+                    )
+                except (TypeError, ZeroDivisionError):
+                    return False
+                return (
+                    res is not _UNKNOWN and res is not _NULL and bool(res)
+                )
+
+            def try_match_binds(start: int, limit: int):
+                # Bind-tracking DFS, the batch try_match_binds shape:
+                # labels and extension validity evaluate under the binds
+                # accumulated so far.
+                def rec(pi: int, ri: int, binds: dict):
+                    if pi == len(pat):
+                        return binds, ri
+                    alts, (lo, hi), greedy = pat[pi]
+                    cur = {v: list(x) for v, x in binds.items()}
+                    labels = []
+                    while (
+                        (hi is None or len(labels) < hi)
+                        and ri + len(labels) < limit
+                    ):
+                        j = ri + len(labels)
+                        v_hit = next(
+                            (v for v in alts if ok_fn(v, j, cur)), None
+                        )
+                        if v_hit is None:
+                            break
+                        labels.append(v_hit)
+                        cur.setdefault(v_hit, []).append(j)
+                    take_max = len(labels)
+                    order = (
+                        range(take_max, lo - 1, -1)
+                        if greedy
+                        else range(lo, take_max + 1)
+                    )
+                    for take in order:
+                        nb = {v: list(x) for v, x in binds.items()}
+                        for ti in range(take):
+                            nb.setdefault(labels[ti], []).append(ri + ti)
+                        res = rec(pi + 1, ri + take, nb)
+                        if res is not None:
+                            return res
+                    return None
+
+                res = rec(0, start, {})
+                if res is None:
+                    return None
+                binds, end = res
+                if end == start:
+                    return None
+                return {v: sorted(i) for v, i in binds.items() if i}, end
+
+            def try_match_own(start: int, limit: int):
                 # Identical semantics to the batch compiler's try_match
                 # (match_recognize.py): greedy tries longest first,
                 # reluctant shortest; only repetition counts backtrack.
@@ -360,6 +462,8 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
                 if end == start:
                     return None
                 return {v: sorted(ix) for v, ix in assign.items()}, end
+
+            try_match = try_match_binds if cross_fns else try_match_own
 
             arr = {
                 c: np.asarray([b_c[i][j] for j in idxs])

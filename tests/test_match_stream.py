@@ -47,6 +47,7 @@ def _mk_rows(seed: int, n_users: int = 3, n_rows: int = 60):
                 "user_id": rng.randrange(1, n_users + 1),
                 "event_id": eid,
                 "kind": rng.choice([0, 1, 1, 2, 2, 2]),
+                "v": rng.randrange(0, 6),
                 "ts": f"2024-01-01 {10 + i // 60:02d}:{i % 60:02d}:00",
             }
         )
@@ -80,13 +81,13 @@ def _run_stream(spark, tmp_path, rows, slices, tag, body=BODY):
         os.utime(p, (base_mtime + i, base_mtime + i))
     raw = (
         spark.readStream.schema(
-            "user_id long, event_id long, kind long, ts timestamp"
+            "user_id long, event_id long, kind long, v long, ts timestamp"
         )
         .option("maxFilesPerTrigger", "1")
         .json(str(in_dir))
     )
     s = raw.withWatermark("ts", "10 minutes").select(
-        "user_id", "event_id", "kind",
+        "user_id", "event_id", "kind", "v",
         F.unix_micros("ts").alias("ep"), "ts",
     )
     out = streaming_match_recognize(s, body)
@@ -158,6 +159,74 @@ def test_slicing_invariance(spark, tmp_path, seed):
 
 
 BODY_FIXED = BODY.replace("B{1,2}", "B{2}")
+
+# r7: cross-variable DEFINE bind — B must not fall below the matched A's
+# value (the IterativeCondition shape; evaluated by the bind-tracking DFS
+# inside the certified prefix).
+BODY_CROSS = BODY.replace(
+    "B AS B.kind = 2", "B AS B.kind = 2 AND B.v >= LAST(A.v)"
+)
+BODY_CROSS_FIXED = BODY_CROSS.replace("B{1,2}", "B{2}")
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_slicing_invariance_cross_define(spark, tmp_path, seed):
+    """The cross-variable bind path must be micro-batch-slicing invariant
+    too (same contract as the own-row masks)."""
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rows = _mk_rows(seed)
+        single = _run_stream(
+            spark, tmp_path, rows, [rows], "xsingle", body=BODY_CROSS
+        )
+        assert single, "fixture produced no cross-define matches"
+        rng = random.Random(seed * 31 + 1)
+        sliced = _run_stream(
+            spark, tmp_path, rows,
+            _random_slices(rows, rng), "xs0", body=BODY_CROSS,
+        )
+        assert sliced == single
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_batch_equivalence_cross_define(spark, tmp_path):
+    """Streaming cross-define result == batch compiler (fixed length, so
+    certification is exactly b_ts <= wm)."""
+    from apache_flink_spark.match_recognize import compile_match_recognize
+
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rows = _mk_rows(29)
+        streamed = _run_stream(
+            spark, tmp_path, rows, [rows], "xbeq", body=BODY_CROSS_FIXED
+        )
+        df = spark.createDataFrame(
+            [
+                (r["user_id"], r["event_id"], r["kind"], r["v"], r["ts"])
+                for r in rows
+            ],
+            "user_id long, event_id long, kind long, v long, ts_str string",
+        ).select(
+            "user_id", "event_id", "kind", "v",
+            F.unix_micros(F.to_timestamp("ts_str")).alias("ep"),
+        )
+        batch = compile_match_recognize(spark, df, BODY_CROSS_FIXED)
+        wm_us = df.agg(F.max("ep")).first()[0] - 10 * 60 * 1_000_000
+        expected = sorted(
+            (r.user_id, r.a_id, r.b_id, r.b_ts)
+            for r in batch.collect()
+            if r.b_ts <= wm_us
+        )
+        assert streamed == expected
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def test_batch_equivalence(spark, tmp_path):
