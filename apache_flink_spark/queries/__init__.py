@@ -74,7 +74,6 @@ GATE_SAMPLE = [
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "q9_product_profit",
-    "q10_returned_items",
     # r6 late rotation: SemDeDup (cluster-bucketed semantic dedup) and
     # the set-semantics PTF lane (q18/q21 rotated out, green in the
     # full sweep)
@@ -104,8 +103,16 @@ GATE_SAMPLE = [
     # all stay green in the full sweep)
     "ds_q72_inventory_promo_nine_join",
     "ds_q14b_period_over_period_intersect",
-    "ds_q57_lag_lead_deviation",
-    "ds_q83_return_share_by_channel",
+    # r7 rotation: the five new operator families, each in-gate —
+    # DISTRIBUTED BY bucketing DDL, multi-catalog cross join, RTAS,
+    # CEP Pattern API negation, streaming MR cross-variable binds
+    # (q10 + 2 TPC-DS + cumulate TVF + except-all rotated out; all stay
+    # green in the full sweep)
+    "ddl_distributed_bucket_join",
+    "catalog_cross_join",
+    "rtas_replace_table",
+    "cep_not_followed_by",
+    "mr_stream_cross_define",
     # joins
     "join_inner_fact_dim",
     "join_full_outer",
@@ -116,7 +123,6 @@ GATE_SAMPLE = [
     "agg_percentiles",
     # window TVFs + event windows
     "tvf_tumble_agg",
-    "tvf_cumulate_agg",
     "win_session_agg",
     # streaming (one windowed, one join, one custom-stateful)
     "stream_tumble_agg",
@@ -127,7 +133,6 @@ GATE_SAMPLE = [
     "rank_topn_per_group",
     # set ops
     "setop_intersect_all",
-    "setop_except_all",
     # MATCH_RECOGNIZE (bounded quantifier + the PREV-navigation V query)
     "mr_bounded_quantifier",
     "mr_v_shape_prev",

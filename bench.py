@@ -105,6 +105,15 @@ HEADLINE = [
     # and the set-semantics Process Table Function lane (FLIP-440).
     "sim_semdedup",
     "ptf_set_semantics_gaps",
+    # r7: the five new operator families — DISTRIBUTED BY bucketed join
+    # (zero-exchange lane incl. the bucketed write), multi-catalog cross
+    # join, RTAS, CEP Pattern API negation, streaming MATCH_RECOGNIZE
+    # cross-variable binds.
+    "ddl_distributed_bucket_join",
+    "catalog_cross_join",
+    "rtas_replace_table",
+    "cep_not_followed_by",
+    "mr_stream_cross_define",
 ]
 
 

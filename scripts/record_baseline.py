@@ -1,5 +1,10 @@
 """Re-record BASELINE_BENCH.json: same-host median-of-N per-query bench.
 
+FROZEN since r6 (VERDICT r6 "what's wrong" #2): do NOT re-run this for an
+existing baseline — a baseline re-recorded by the round it judges measures
+only same-host noise. When the headline GROWS, append the new queries'
+baselines with scripts/append_baseline.py instead.
+
 Runs ``bench.py`` N times (default 3) at sf0.1, takes the per-query
 median, and writes the baseline artifact bench.py's ``vs_baseline`` block
 compares against. Run on a QUIET machine — concurrent load lands in the
@@ -30,6 +35,11 @@ def main() -> int:
         )
         line = out.stdout.strip().splitlines()[-1]
         d = json.loads(line)
+        if "queries" not in d:
+            # bench.py keeps the stdout line short for the driver's tail
+            # window; the per-query map lives in the sidecar (r7)
+            with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+                d["queries"] = json.load(f)["queries"]
         results.append(d)
         print(
             f"run {i + 1}/{RUNS}: total={d['value']}s "
