@@ -1084,3 +1084,67 @@ def mr_stream_cross_define(spark, sf_dir):
         """,
     )
     return run_to_table(out, "append")
+
+
+@query(
+    "mr_stream_prev_nav",
+    oracle="""
+    WITH wm AS (
+        SELECT epoch_us(MAX(ts)) - 3600000000 AS wm_us FROM events
+    ), seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ep,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               LAG(CAST(round(value * 100) AS BIGINT)) OVER w AS pv,
+               LEAD(CAST(round(value * 100) AS BIGINT)) OVER w AS nv,
+               LEAD(event_id) OVER w AS nxt_id,
+               LEAD(epoch_us(ts)) OVER w AS nxt_ep
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS d_id, nxt_id AS u_id, v AS low_val
+    FROM seq, wm
+    WHERE v < pv AND nv > v AND nxt_ep <= wm.wm_us
+    """,
+    streaming=True,
+)
+def mr_stream_prev_nav(spark, sf_dir):
+    """STREAMING MATCH_RECOGNIZE with PREV physical navigation (r7;
+    reference MatchCodeGenerator's offset access running inside
+    CepOperator): PATTERN (D U) finds V-turns — a down-step into the low
+    row, an up-step out of it. PREV of a certified row is final (its
+    physical predecessors can no longer change), and each key keeps a
+    bounded navigation-context tail so PREV reads across already-consumed
+    rows; matches are provably disjoint (the U row is never a down-step),
+    so the LAG/LEAD oracle is exact under SKIP PAST LAST ROW."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.streaming.match_stream import (
+        streaming_match_recognize,
+    )
+    from apache_flink_spark.streaming.sources import (
+        run_to_table,
+        stream_table,
+    )
+
+    e = stream_table(spark, sf_dir, "events")
+    s = e.withWatermark("ts", "1 hour").select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("ep"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        "ts",
+    )
+    out = streaming_match_recognize(
+        s,
+        """
+        PARTITION BY user_id
+        ORDER BY ep, event_id
+        MEASURES D.event_id AS d_id, U.event_id AS u_id,
+                 LAST(D.v) AS low_val
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (D U)
+        DEFINE D AS D.v < PREV(D.v),
+               U AS U.v > PREV(U.v)
+        """,
+    )
+    return run_to_table(out, "append")

@@ -31,13 +31,15 @@ sliced into batches, and decisions depend only on that prefix.
 
 Streaming subset (errors loudly otherwise): ONE ROW PER MATCH, AFTER
 MATCH SKIP PAST LAST ROW, ascending ORDER BY (epoch-micros BIGINT first),
-own-row DEFINEs AND cross-variable LAST/FIRST binds (r7 — the batch
+own-row DEFINEs, cross-variable LAST/FIRST binds (r7 — the batch
 bind-tracking DFS runs inside the certified prefix; binds only reference
 rows already assigned to the in-flight match, so certification covers
-them by construction). Still out: PREV/NEXT physical navigation (needs
-cross-row state before certification) and MATCH_NUMBER (its
-per-partition counter would be unbounded restore state for no parity
-gain).
+them by construction), and PREV physical navigation (r7 — predecessors
+of a certified row are fixed, so each key retains a bounded
+navigation-context tail of consumed rows, flagged by a vm-mask high
+bit). Still out: NEXT navigation (a row's successor is uncertified when
+the row certifies) and MATCH_NUMBER (its per-partition counter would be
+unbounded restore state for no parity gain).
 """
 
 from __future__ import annotations
@@ -70,6 +72,12 @@ from apache_flink_spark.streaming.stateful import (
 )
 import re
 
+#: vm-mask high bit flagging a NAVIGATION-CONTEXT row: retained only so
+#: PREV() of later rows can read it; never a match start. Riding the mask
+#: keeps the checkpoint state layout unchanged (old checkpoints restore
+#: with the bit unset — correct: they carried no context rows).
+_CTX_BIT = 1 << 62
+
 
 def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
     """Run a MATCH_RECOGNIZE body on an unbounded stream.
@@ -101,12 +109,26 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
     defines, nav_cols, cross_defs = _parse_defines(
         m.group("defs"), variables, src_col_names
     )
-    if nav_cols:
-        raise MatchRecognizeError(
-            "streaming MATCH_RECOGNIZE: PREV/NEXT physical navigation is "
-            "not supported (needs cross-row state before certification); "
-            "rewrite against LAST/FIRST or use the batch path"
-        )
+    # PREV physical navigation (r7): a certified row's predecessors are
+    # physically fixed (late rows are rejected), so PREV is final exactly
+    # when the row is certified. Each key retains a bounded NAVIGATION
+    # CONTEXT tail of up to max(offset) already-consumed rows, flagged by
+    # a high bit in the existing vm mask (state layout unchanged — r6
+    # restore checkpoints stay loadable). NEXT stays out: a row's
+    # successor is NOT certified when the row is, so its value could
+    # change with the watermark.
+    nav_prev: dict[str, tuple[str, int]] = {}
+    max_prev = 0
+    for alias, (fn, col, n) in nav_cols.items():
+        if fn == "NEXT":
+            raise MatchRecognizeError(
+                "streaming MATCH_RECOGNIZE: NEXT(...) physical navigation "
+                "is not supported — a row's successor is uncertified when "
+                "the row certifies; PREV is supported, or use the batch "
+                "path"
+            )
+        nav_prev[alias] = (col, n)
+        max_prev = max(max_prev, n)
     # Cross-variable DEFINE binds (r7, VERDICT r6 next-item #4): the batch
     # bind-tracking DFS runs INSIDE the certified-prefix NFA — a bind only
     # ever references rows already assigned to the in-flight match, and a
@@ -116,9 +138,22 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
     # tests/test_match_stream.py). The referenced columns ride the same
     # per-row state arrays as the measure columns.
     cross_codes = dict(cross_defs)
+    # Own-row defines that reference nav aliases cannot evaluate JVM-side
+    # (the lag column does not exist pre-state); they move to the Python
+    # 3VL evaluator like cross-variable predicates.
+    from apache_flink_spark.match_recognize import _sql_pred_to_python
+
+    for var, pred in list(defines.items()):
+        if "__mr_prev" in pred or "__mr_next" in pred:
+            cross_codes[var] = _sql_pred_to_python(
+                pred, set(src_col_names) | set(nav_prev), var
+            )
+            del defines[var]
     cross_cols = sorted(
         {c for code in cross_codes.values()
-         for c in re.findall(r'__(?:row|bind)\("(?:\w+", ")?(\w+)"', code)}
+         for c in re.findall(r'__(?:row|bind)\("(?:\w+", ")?(\w+)"', code)
+         if not c.startswith("__mr_")}
+        | {col for col, _n in nav_prev.values()}
     )
     if m.group("skip") and re.sub(
         r"\s+", " ", m.group("skip").strip()
@@ -212,6 +247,11 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
             F.expr(pred).cast("boolean") if pred else F.lit(True),
         )
     var_list = sorted(variables)
+    if len(var_list) >= 62:
+        raise MatchRecognizeError(
+            "streaming MATCH_RECOGNIZE supports at most 61 pattern "
+            "variables (bitmask state layout)"
+        )
     # Pack per-var booleans into one BIGINT mask: fixed state layout.
     mask = F.lit(0).cast("long")
     for bit, var in enumerate(var_list):
@@ -354,7 +394,13 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
                     return bool(vm[j] & (1 << var_list.index(v)))
 
                 def __row(col):
-                    x = arr[col][j]
+                    jj = j
+                    if col in nav_prev:
+                        base, off = nav_prev[col]
+                        jj, col = j - off, base
+                        if jj < 0:
+                            return _NULL  # before the partition start
+                    x = arr[col][jj]
                     return _NULL if x is None or x != x else x
 
                 def __bind(bv, col, fn, off):
@@ -474,7 +520,10 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
             # (FIRST(A.user_id) …) — constant per group, not in carry
             arr[part_cols[0]] = np.full(len(idxs), user, dtype=np.int64)
 
+            # context rows (PREV lookback) are a prefix: skip as starts
             pos = 0
+            while pos < n and vm[pos] & _CTX_BIT:
+                pos += 1
             keep_from = None
             while pos < n_cert:
                 horizon_final = (
@@ -509,12 +558,15 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
                 out_rows.append(vals)
                 pos = end  # AFTER MATCH SKIP PAST LAST ROW
             keep_from = pos
-            for j in range(keep_from, n):
+            # retain up to max_prev consumed rows as navigation context
+            lo = max(0, keep_from - max_prev) if max_prev else keep_from
+            for j in range(lo, n):
                 gi = idxs[j]
                 keep[0].append(b_k[gi])
                 keep[1].append(b_ts[gi])
                 keep[2].append(b_tb[gi])
-                keep[3].append(b_vm[gi])
+                flag = _CTX_BIT if j < keep_from else 0
+                keep[3].append((b_vm[gi] & ~_CTX_BIT) | flag)
                 for i in range(n_carry):
                     keep[4 + i].append(b_c[i][gi])
             if keep_from < n:
@@ -525,10 +577,13 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
 
         if keep[0]:
             state.update(tuple(keep))
-            wm_ms = wm_us // 1000
-            state.setTimeoutTimestamp(
-                max(min(pending_ts) // 1000 + 1, wm_ms + 1)
-            )
+            if pending_ts:
+                wm_ms = wm_us // 1000
+                state.setTimeoutTimestamp(
+                    max(min(pending_ts) // 1000 + 1, wm_ms + 1)
+                )
+            # context-only state (everything decided, nav tail retained)
+            # needs no timer: it only matters when new rows arrive.
         elif state.exists:
             state.remove()
         yield pd.DataFrame(out_rows, columns=out_cols)

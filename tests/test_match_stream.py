@@ -275,3 +275,68 @@ def test_batch_equivalence(spark, tmp_path):
     finally:
         spark.conf.unset("spark.graft.stateful.keyGroups")
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# r7: PREV physical navigation — the bounded navigation-context tail must
+# make PREV read across batch boundaries and consumed rows identically to
+# the batch compiler's lag column.
+BODY_PREV = BODY.replace(
+    "B AS B.kind = 2", "B AS B.kind = 2 AND B.v >= PREV(B.v)"
+)
+BODY_PREV_FIXED = BODY_PREV.replace("B{1,2}", "B{2}")
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_slicing_invariance_prev_nav(spark, tmp_path, seed):
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rows = _mk_rows(seed)
+        single = _run_stream(
+            spark, tmp_path, rows, [rows], "psingle", body=BODY_PREV
+        )
+        assert single, "fixture produced no PREV-nav matches"
+        rng = random.Random(seed * 31 + 1)
+        sliced = _run_stream(
+            spark, tmp_path, rows,
+            _random_slices(rows, rng), "ps0", body=BODY_PREV,
+        )
+        assert sliced == single
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_batch_equivalence_prev_nav(spark, tmp_path):
+    from apache_flink_spark.match_recognize import compile_match_recognize
+
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rows = _mk_rows(37)
+        streamed = _run_stream(
+            spark, tmp_path, rows, [rows], "pbeq", body=BODY_PREV_FIXED
+        )
+        df = spark.createDataFrame(
+            [
+                (r["user_id"], r["event_id"], r["kind"], r["v"], r["ts"])
+                for r in rows
+            ],
+            "user_id long, event_id long, kind long, v long, ts_str string",
+        ).select(
+            "user_id", "event_id", "kind", "v",
+            F.unix_micros(F.to_timestamp("ts_str")).alias("ep"),
+        )
+        batch = compile_match_recognize(spark, df, BODY_PREV_FIXED)
+        wm_us = df.agg(F.max("ep")).first()[0] - 10 * 60 * 1_000_000
+        expected = sorted(
+            (r.user_id, r.a_id, r.b_id, r.b_ts)
+            for r in batch.collect()
+            if r.b_ts <= wm_us
+        )
+        assert streamed == expected
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
