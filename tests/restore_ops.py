@@ -265,6 +265,44 @@ def _match_expect(rows):
     assert got.get(1) == (11, 12), got
 
 
+def _matchx_build(raw):
+    """r7: cross-variable bind + PREV navigation in the streaming NFA —
+    the restored state must carry the bound A row for LAST(A.v) AND the
+    physical predecessor for PREV(B.v)."""
+    from apache_flink_spark.streaming.match_stream import (
+        streaming_match_recognize,
+    )
+
+    s = raw.withWatermark("ts", "1 hour").select(
+        "user_id", "event_id", "kind", "v",
+        F.unix_micros("ts").alias("ep"), "ts",
+    )
+    out = streaming_match_recognize(
+        s,
+        """
+        PARTITION BY user_id
+        ORDER BY ep, event_id
+        MEASURES A.event_id AS a_id, B.event_id AS b_id,
+                 LAST(A.v) AS a_val
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B)
+        DEFINE A AS A.kind = 1,
+               B AS B.v > LAST(A.v) AND B.v > PREV(B.v)
+        """,
+    )
+    return out, "append"
+
+
+def _matchx_expect(rows):
+    got = {(r.user_id): (r.a_id, r.b_id, r.a_val) for r in rows
+           if r.user_id == 1}
+    # Batch-2's B row (v=15) must see LAST(A.v)=10 from the RESTORED
+    # buffer (and PREV(B.v) = the same physical A row); a cold start has
+    # neither and emits nothing for user 1.
+    assert got.get(1) == (11, 12, 10), got
+
+
 OPS = {
     "topn": {
         "schema": "user_id long, event_id long, value double",
@@ -421,6 +459,26 @@ OPS = {
              "ts": "2024-01-02 23:00:00"},
         ],
         "expect_restored": _match_expect,
+    },
+    "matchx": {
+        "schema": (
+            "user_id long, event_id long, kind long, v long, ts timestamp"
+        ),
+        "build": _matchx_build,
+        # batch 1: the A row alone (uncertified partial match).
+        "batch1": [
+            {"user_id": 1, "event_id": 11, "kind": 1, "v": 10,
+             "ts": "2024-01-01 10:00:00"},
+        ],
+        # batch 2: the completing B row (v>LAST(A.v) and v>PREV) + a
+        # far-future watermark advancer certifying user 1's prefix.
+        "batch2": [
+            {"user_id": 1, "event_id": 12, "kind": 0, "v": 15,
+             "ts": "2024-01-01 10:05:00"},
+            {"user_id": 99, "event_id": 98, "kind": 1, "v": 1,
+             "ts": "2024-01-02 23:00:00"},
+        ],
+        "expect_restored": _matchx_expect,
     },
 }
 

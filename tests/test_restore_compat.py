@@ -127,6 +127,8 @@ def test_key_group_mismatch_fails_loudly(spark, tmp_path):
     [
         "topn", "temporal", "session", "over", "match",
         "keeplast", "tsort", "rover", "ceptimeout", "csession",
+        # r7: cross-variable bind + PREV navigation streaming MR
+        "matchx",
     ],
 )
 def test_restore_r6_operator_fixtures(spark, tmp_path, op):
