@@ -894,6 +894,9 @@ def compile_match_recognize(
             for v, code in cross_codes.items()
         }
         pred_arr = {c: pdf[c].to_numpy() for c in cross_cols}
+        # one reusable eval-globals dict: rebuilding {**_3VL_GLOBALS, ...}
+        # per candidate row was measurable on bind-heavy patterns
+        eval_g = dict(_3VL_GLOBALS)
 
         def ok_fn(v: str, j: int, binds: dict) -> bool:
             if v not in cross_fns:
@@ -913,10 +916,10 @@ def compile_match_recognize(
                 x = pred_arr[col][idxs[k]]
                 return _NULL if x is None or x != x else x
 
+            eval_g["__row"], eval_g["__bind"] = __row, __bind
             try:
                 res = eval(  # noqa: S307 - compiled from the validated subset
-                    cross_fns[v],
-                    {**_3VL_GLOBALS, "__row": __row, "__bind": __bind},
+                    cross_fns[v], eval_g,
                 )
             except (TypeError, ZeroDivisionError):
                 # untransformed NULL use / div-by-zero -> not TRUE (SQL)

@@ -72,6 +72,10 @@ from apache_flink_spark.streaming.stateful import (
 )
 import re
 
+#: reusable eval-globals for the per-row 3VL predicate evaluation (the
+#: per-call __row/__bind closures are swapped in before each eval)
+_EVAL_G = dict(_3VL_GLOBALS)
+
 #: vm-mask high bit flagging a NAVIGATION-CONTEXT row: retained only so
 #: PREV() of later rows can read it; never a match start. Riding the mask
 #: keeps the checkpoint state layout unchanged (old checkpoints restore
@@ -413,10 +417,10 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
                     x = arr[col][bidx[k]]
                     return _NULL if x is None or x != x else x
 
+                _EVAL_G["__row"], _EVAL_G["__bind"] = __row, __bind
                 try:
                     res = eval(  # noqa: S307 - compiled validated subset
-                        cross_fns[v],
-                        {**_3VL_GLOBALS, "__row": __row, "__bind": __bind},
+                        cross_fns[v], _EVAL_G,
                     )
                 except (TypeError, ZeroDivisionError):
                     return False

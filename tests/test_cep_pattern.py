@@ -120,3 +120,27 @@ def test_guards(spark):
     )
     with pytest.raises(CepError, match="followedBy"):
         pattern_to_match_recognize(p2, "t", "k", "ep", MEAS)
+
+
+def test_iterative_condition_via_binds(spark):
+    """flink-cep IterativeCondition parity: a where() condition may
+    reference LAST/FIRST of an earlier pattern variable — it compiles to
+    a cross-variable DEFINE evaluated by the MR bind-tracking NFA."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, "start", 10, 100), (1, 2, "grow", 15, 200),
+            (1, 3, "grow", 12, 300),
+            (2, 4, "start", 10, 100), (2, 5, "grow", 5, 200),
+        ],
+        "k long, event_id long, event_type string, v long, ep long",
+    )
+    p = (
+        Pattern.begin("A").where("event_type = 'start'")
+        .followed_by("B").where("event_type = 'grow' AND B.v > LAST(A.v)")
+    )
+    out = cep_select(
+        spark, df, p, "k", "ep",
+        {"a_id": "LAST(A.event_id)", "b_id": "LAST(B.event_id)"},
+    )
+    # k=1: grow 15 > start 10 matches (event 2); k=2: 5 < 10 -> no match
+    assert sorted((r.k, r.a_id, r.b_id) for r in out.collect()) == [(1, 1, 2)]
