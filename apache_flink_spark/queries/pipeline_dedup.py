@@ -411,68 +411,28 @@ _SURVIVOR_ORACLE = _CLUSTER_CTES + """
 
 @query("dedup_cluster_components", oracle=_CLUSTER_ORACLE)
 def dedup_cluster_components(spark, sf_dir):
-    """Near-dup CLUSTERING: connected components over the Jaccard pair graph
-    by iterative min-label propagation, keeping the smallest doc_id per
-    component (the canonical corpus-dedup survivor rule: candidate pairs ->
-    clusters -> one kept doc per cluster).
+    """Near-dup CLUSTERING: connected components over the Jaccard pair graph,
+    keeping the smallest doc_id per component (the canonical corpus-dedup
+    survivor rule: candidate pairs -> clusters -> one kept doc per cluster).
 
-    Iterative algorithm on DataFrames: each round propagates neighbor
-    labels (one join + one min-aggregate) and localCheckpoints to truncate
-    lineage — without it the plan doubles every round. Rounds needed =
-    graph diameter; at 100 TB scale the same loop runs with the
-    large-star/small-star optimization (alternate edge orientations) to
-    bound skew on popular nodes. The DuckDB oracle computes the same
-    components with a recursive transitive-closure CTE."""
+    r7: runs on the shared LARGE-STAR/SMALL-STAR contraction
+    (graph_queries.connected_components_star — Kiveris et al., O(log n)
+    rounds, edge volume never exceeds input, loud non-convergence), the
+    same engine the graph suite uses: duplicate chains hundreds of docs
+    long (mirror farms) converge in ~10 rounds where the previous
+    min-label loop needed diameter rounds. The DuckDB oracle computes the
+    same components with a recursive transitive-closure CTE."""
+    from apache_flink_spark.queries.graph_queries import (
+        connected_components_star,
+    )
+
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    docs = t(spark, sf_dir, "documents").select("doc_id")
-    edges = pairs.unionAll(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).localCheckpoint(eager=True)
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    max_rounds = 20
-    converged = False
-    for rnd in range(1, max_rounds + 1):
-        nbr = edges.join(
-            labels, edges["doc_b"] == labels["doc_id"]
-        ).select(F.col("doc_a").alias("doc_id"), "cluster_id")
-        new_labels = (
-            labels.unionAll(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
-        )
-        # The convergence probe is a full job (join + count); probing every
-        # 2nd round halves the action count — on a 100 TB edge set each
-        # saved job is material, and one extra propagation round past the
-        # fixpoint is an idempotent no-op.
-        if rnd % 2 == 0 or rnd == max_rounds:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .count()
-            )
-            if changed == 0:
-                labels = new_labels
-                converged = True
-                break
-        labels = new_labels
-    if not converged:
-        # A component with diameter > max_rounds would silently mislabel
-        # clusters (and diverge from the oracle's exact transitive closure);
-        # fail loudly instead of returning unconverged labels.
-        raise RuntimeError(
-            f"dedup_cluster_components: min-label propagation did not "
-            f"converge within {max_rounds} rounds — component diameter "
-            f"exceeds the cap; raise max_rounds or switch to "
-            f"large-star/small-star contraction for this graph"
-        )
+    docs = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("v"))
+    labels = connected_components_star(pairs, docs)
     return labels.select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
+        F.col("v").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("v") == F.col("comp")).alias("is_kept"),
     )
 
 
