@@ -135,7 +135,9 @@ _SHOW_TABLES_RE = re.compile(
     re.I,
 )
 _SHOW_VIEWS_RE = re.compile(
-    r"^\s*SHOW\s+VIEWS(?:\s+(?:FROM|IN)\s+`?(?P<db>\w+)`?)?\s*$", re.I
+    r"^\s*SHOW\s+VIEWS(?:\s+(?:FROM|IN)\s+`?(?P<db>\w+)`?)?"
+    r"(?:\s+(?P<not>NOT\s+)?LIKE\s+'(?P<like>[^']*)')?\s*$",
+    re.I,
 )
 _SHOW_FUNCS_RE = re.compile(
     r"^\s*SHOW\s+(?P<user>USER\s+)?FUNCTIONS"
@@ -242,6 +244,8 @@ def try_handle_catalog_statement(spark: SparkSession, sql: str):
             if (t.tableType or "").upper() in ("TEMPORARY", "VIEW")
             or t.isTemporary
         ]
+        neg = bool(m.group("not"))
+        views = [v for v in views if _sql_like(v, m.group("like"), neg)]
         return _one_col(spark, "view name", views)
 
     m = _SHOW_FUNCS_RE.match(sql)

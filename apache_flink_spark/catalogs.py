@@ -117,7 +117,14 @@ _DESC_CATALOG_RE = re.compile(
 _USE_CATALOG_RE = re.compile(
     r"^\s*USE\s+CATALOG\s+`?(?P<name>\w+)`?\s*$", re.I
 )
-_SHOW_CATALOGS_RE = re.compile(r"^\s*SHOW\s+CATALOGS\s*$", re.I)
+_SHOW_CATALOGS_RE = re.compile(
+    r"^\s*SHOW\s+CATALOGS"
+    r"(?:\s+(?P<not>NOT\s+)?(?P<op>LIKE|ILIKE)\s+'(?P<like>[^']*)')?\s*$",
+    re.I,
+)
+_SHOW_CREATE_CATALOG_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+CATALOG\s+`?(?P<name>\w+)`?\s*$", re.I
+)
 _SHOW_CUR_CAT_RE = re.compile(r"^\s*SHOW\s+CURRENT\s+CATALOG\s*$", re.I)
 
 _CREATE_DB_RE = re.compile(
@@ -144,7 +151,12 @@ _DESC_DB_RE = re.compile(
     re.I,
 )
 _USE_DB_RE = re.compile(r"^\s*USE\s+`?(?P<name>\w+)`?\s*$", re.I)
-_SHOW_DBS_RE = re.compile(r"^\s*SHOW\s+DATABASES\s*$", re.I)
+_SHOW_DBS_RE = re.compile(
+    r"^\s*SHOW\s+DATABASES"
+    r"(?:\s+(?:FROM|IN)\s+`?(?P<cat>\w+)`?)?"
+    r"(?:\s+(?P<not>NOT\s+)?(?P<op>LIKE|ILIKE)\s+'(?P<like>[^']*)')?\s*$",
+    re.I,
+)
 _SHOW_CUR_DB_RE = re.compile(r"^\s*SHOW\s+CURRENT\s+DATABASE\s*$", re.I)
 _SHOW_TABLES_RE = re.compile(
     r"^\s*SHOW\s+TABLES"
@@ -175,6 +187,18 @@ def _split_options(opts: str) -> dict[str, str]:
     for m in re.finditer(r"'([^']*)'\s*=\s*'([^']*)'", opts):
         out[m.group(1).lower()] = m.group(2)
     return out
+
+
+def _like(name: str, m: re.Match) -> bool:
+    """Flink SHOW ... [NOT] (LIKE|ILIKE) — SQL LIKE wildcards only
+    (ShowLikeOperator semantics; ILIKE is the case-insensitive variant)."""
+    pattern = m.groupdict().get("like")
+    if pattern is None:
+        return True
+    flags = re.I if (m.group("op") or "").upper() == "ILIKE" else 0
+    rx = re.escape(pattern).replace("%", ".*").replace("_", ".")
+    hit = re.fullmatch(rx, name, flags) is not None
+    return not hit if m.group("not") else hit
 
 
 def _ok(spark: SparkSession):
@@ -399,12 +423,32 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
         _CURRENT[0] = name
         return _ok(spark)
 
-    if _SHOW_CATALOGS_RE.match(sql):
+    m = _SHOW_CATALOGS_RE.match(sql)
+    if m:
         rows = [r[0] for r in spark.sql("SHOW CATALOGS").collect()]
         rows += list(_CATALOGS)
         return spark.createDataFrame(
-            [(v,) for v in sorted(rows)], "`catalog name` string"
+            [(v,) for v in sorted(rows) if _like(v, m)],
+            "`catalog name` string",
         )
+
+    m = _SHOW_CREATE_CATALOG_RE.match(sql)
+    if m:
+        # SqlShowCreateCatalog / ShowCreateUtil.buildShowCreateCatalogRow
+        name = m.group("name")
+        if name in (_BUILTIN, _REF_BUILTIN):
+            ddl = f"CREATE CATALOG `{name}` WITH (\n  'type' = 'generic_in_memory'\n)"
+            return spark.createDataFrame([(ddl,)], "result string")
+        c = _get_cat(name)
+        opts = {"type": "generic_in_memory", **c["properties"]}
+        comment = (
+            f"\nCOMMENT '{c['comment']}'" if c["comment"] else ""
+        )
+        with_body = ",\n".join(
+            f"  '{k}' = '{v}'" for k, v in sorted(opts.items())
+        )
+        ddl = f"CREATE CATALOG `{name}`{comment} WITH (\n{with_body}\n)"
+        return spark.createDataFrame([(ddl,)], "result string")
 
     if _SHOW_CUR_CAT_RE.match(sql):
         return spark.createDataFrame(
@@ -528,6 +572,26 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
         spark.catalog.dropTempView(_CAT_TABLES.pop(key))
         return _ok(spark)
 
+    m = _SHOW_DBS_RE.match(sql)
+    if m:
+        cat2 = m.group("cat") or _CURRENT[0]
+        if cat2 is not None and cat2 not in (
+            _BUILTIN, _REF_BUILTIN,
+        ) and cat2 in _CATALOGS:
+            names = sorted(_CATALOGS[cat2]["dbs"])
+        elif cat2 is None or cat2 in (_BUILTIN, _REF_BUILTIN):
+            if m.group("like") is None and m.group("cat") is None:
+                return None  # plain builtin listing: catalog_sql's route
+            names = sorted(
+                d.name for d in spark.catalog.listDatabases()
+            )
+        else:
+            raise CatalogError(f"catalog {cat2!r} does not exist")
+        return spark.createDataFrame(
+            [(d,) for d in names if _like(d, m)],
+            "`database name` string",
+        )
+
     # the remaining routes only apply while a secondary catalog is current
     if _CURRENT[0] is None:
         return None
@@ -544,10 +608,6 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
         c["current_db"] = name
         return _ok(spark)
 
-    if _SHOW_DBS_RE.match(sql):
-        return spark.createDataFrame(
-            [(d,) for d in sorted(c["dbs"])], "`database name` string"
-        )
 
     if _SHOW_CUR_DB_RE.match(sql):
         return spark.createDataFrame(

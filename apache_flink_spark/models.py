@@ -246,7 +246,14 @@ _CREATE_RE = re.compile(
 _DROP_RE = re.compile(
     r"^\s*DROP\s+MODEL\s+(?P<ie>IF\s+EXISTS\s+)?`?(?P<name>\w+)`?\s*$", re.I
 )
-_SHOW_RE = re.compile(r"^\s*SHOW\s+MODELS\s*$", re.I)
+_SHOW_RE = re.compile(
+    r"^\s*SHOW\s+MODELS(?:\s+LIKE\s+'(?P<like>[^']*)')?\s*$", re.I
+)
+_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+MODEL\s+(?P<ie>IF\s+EXISTS\s+)?`?(?P<name>\w+)`?"
+    r"\s+RENAME\s+TO\s+`?(?P<to>\w+)`?\s*$",
+    re.I,
+)
 _SHOW_CREATE_RE = re.compile(
     r"^\s*SHOW\s+CREATE\s+MODEL\s+`?(?P<name>\w+)`?\s*$", re.I
 )
@@ -312,10 +319,31 @@ def try_handle_model_statement(tenv, sql: str):
     if m:
         cat.drop(m.group("name"), if_exists=bool(m.group("ie")))
         return spark.sql("SELECT 'OK' AS result")
-    if _SHOW_RE.match(sql):
+    m = _SHOW_RE.match(sql)
+    if m:
+        names = cat.list()
+        if m.group("like") is not None:
+            rx = re.escape(m.group("like")).replace("%", ".*").replace(
+                "_", "."
+            )
+            names = [n for n in names if re.fullmatch(rx, n)]
         return spark.createDataFrame(
-            [(n,) for n in cat.list()], "model_name string"
+            [(n,) for n in names], "model_name string"
         )
+    m = _RENAME_RE.match(sql)
+    if m:
+        # SqlAlterModel rename form (newModelName operand)
+        name, to = m.group("name"), m.group("to")
+        try:
+            model = cat.get(name)
+        except ModelError:
+            if m.group("ie"):
+                return spark.sql("SELECT 'OK' AS result")
+            raise
+        cat.drop(name)
+        model.name = to
+        cat.create(model)
+        return spark.sql("SELECT 'OK' AS result")
     m = _SHOW_CREATE_RE.match(sql)
     if m:
         return spark.createDataFrame(

@@ -182,3 +182,32 @@ def test_drop_guards(te):
     te.sql("USE CATALOG spark_catalog")
     with pytest.raises(CatalogError, match="built-in"):
         te.sql("DROP CATALOG spark_catalog")
+
+
+def test_show_catalogs_like_and_show_create(te):
+    _mk_catalog(te, "likecat")
+    assert [r[0] for r in te.sql("SHOW CATALOGS LIKE 'like%'").collect()] == [
+        "likecat"
+    ]
+    assert "likecat" not in [
+        r[0] for r in te.sql("SHOW CATALOGS NOT LIKE 'like%'").collect()
+    ]
+    assert [r[0] for r in te.sql("SHOW CATALOGS ILIKE 'LIKE%'").collect()] == [
+        "likecat"
+    ]
+    ddl = te.sql("SHOW CREATE CATALOG likecat").collect()[0][0]
+    assert "CREATE CATALOG `likecat`" in ddl
+    assert "'type' = 'generic_in_memory'" in ddl
+    assert "'default-database' = 'db1'" in ddl
+
+
+def test_show_databases_from_and_like(te, spark):
+    _mk_catalog(te, "dbcat")
+    assert [r[0] for r in te.sql("SHOW DATABASES FROM dbcat").collect()] == [
+        "db1"
+    ]
+    assert "default" in [
+        r[0] for r in te.sql("SHOW DATABASES LIKE 'def%'").collect()
+    ]
+    with pytest.raises(CatalogError, match="does not exist"):
+        te.sql("SHOW DATABASES FROM no_such_cat")

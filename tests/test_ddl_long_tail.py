@@ -165,3 +165,32 @@ def test_remove_jar(te, tmp_path):
     )
     with pytest.raises(CatalogSqlError, match="not in the session"):
         te.sql(f"REMOVE JAR '{jar}'")
+
+
+def test_show_views_like_and_models(te, spark):
+    te.sql("CREATE TEMPORARY VIEW lt_vw_one AS SELECT 1 AS x")
+    try:
+        assert [
+            r[0] for r in te.sql("SHOW VIEWS LIKE 'lt_vw%'").collect()
+        ] == ["lt_vw_one"]
+        assert "lt_vw_one" not in [
+            r[0] for r in te.sql("SHOW VIEWS NOT LIKE 'lt_vw%'").collect()
+        ]
+    finally:
+        te.sql("DROP VIEW lt_vw_one")
+    te.sql(
+        "CREATE MODEL lt_m1 INPUT (v ARRAY<FLOAT>) OUTPUT (s DOUBLE) "
+        "WITH ('provider' = 'l2norm')"
+    )
+    try:
+        assert [
+            r[0] for r in te.sql("SHOW MODELS LIKE 'lt_m%'").collect()
+        ] == ["lt_m1"]
+        te.sql("ALTER MODEL lt_m1 RENAME TO lt_m2")
+        assert [
+            r[0] for r in te.sql("SHOW MODELS LIKE 'lt_m%'").collect()
+        ] == ["lt_m2"]
+        te.sql("ALTER MODEL IF EXISTS lt_gone RENAME TO lt_x")  # no-op
+    finally:
+        te.sql("DROP MODEL IF EXISTS lt_m1")
+        te.sql("DROP MODEL IF EXISTS lt_m2")
