@@ -418,13 +418,27 @@ def try_handle_alter_statement(spark: SparkSession, sql: str):
                 f"table {name!r} has no declared DISTRIBUTED BY clause"
             )
         staging = f"{name}__dropdist__"
-        fmt = _DISTRIBUTED[name]["opts"].get("format", "parquet").lower()
+        spec = _DISTRIBUTED[name]
+        fmt = spec["opts"].get("format", "parquet").lower()
+        # only the BUCKET spec is removed — the declared PARTITIONED BY
+        # layout survives the rewrite (r7 review: a bare CTAS silently
+        # dropped it, where the reference removes just the distribution)
+        part_ddl = (
+            f" PARTITIONED BY ({', '.join(spec['parts'])})"
+            if spec.get("parts") else ""
+        )
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
         spark.sql(
-            f"CREATE TABLE {staging} USING {fmt} AS SELECT * FROM {name}"
+            f"CREATE TABLE {staging} USING {fmt}{part_ddl} "
+            f"AS SELECT * FROM {name}"
         )
         spark.sql(f"DROP TABLE {name}")
         spark.sql(f"ALTER TABLE {staging} RENAME TO {name}")
+        if spec.get("parts"):
+            # managed-table RENAME moves the location but the catalog's
+            # partition entries still point at the old paths — re-discover
+            # them from the moved directory tree
+            spark.sql(f"MSCK REPAIR TABLE {name}")
         del _DISTRIBUTED[name]
         return spark.createDataFrame([("OK",)], "result string")
 

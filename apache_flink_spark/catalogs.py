@@ -190,15 +190,16 @@ def _split_options(opts: str) -> dict[str, str]:
 
 
 def _like(name: str, m: re.Match) -> bool:
-    """Flink SHOW ... [NOT] (LIKE|ILIKE) — SQL LIKE wildcards only
-    (ShowLikeOperator semantics; ILIKE is the case-insensitive variant)."""
+    """Flink SHOW ... [NOT] (LIKE|ILIKE) — delegates to the one shared
+    SQL-LIKE translation (catalog_sql._sql_like); ILIKE folds case."""
     pattern = m.groupdict().get("like")
     if pattern is None:
         return True
-    flags = re.I if (m.group("op") or "").upper() == "ILIKE" else 0
-    rx = re.escape(pattern).replace("%", ".*").replace("_", ".")
-    hit = re.fullmatch(rx, name, flags) is not None
-    return not hit if m.group("not") else hit
+    from apache_flink_spark.catalog_sql import _sql_like
+
+    if (m.group("op") or "").upper() == "ILIKE":
+        return _sql_like(name.lower(), pattern.lower(), bool(m.group("not")))
+    return _sql_like(name, pattern, bool(m.group("not")))
 
 
 def _ok(spark: SparkSession):
@@ -237,10 +238,22 @@ def _in_literal(spans, pos: int) -> bool:
     return any(a <= pos <= b for a, b in spans)
 
 
+def _gc_phantom_entries(spark: SparkSession) -> None:
+    """Drop registry entries whose backing view never materialized — a
+    CREATE TABLE registers its mapping before the DDL executes (the text
+    rewrite has no execution context), so a FAILED create would otherwise
+    leave a phantom table in SHOW TABLES and the rewrite (r7 review)."""
+    for key, view in list(_CAT_TABLES.items()):
+        if not spark.catalog.tableExists(view):
+            del _CAT_TABLES[key]
+
+
 def rewrite_catalog_identifiers(spark: SparkSession, sql: str) -> str:
     """Rewrite catalog-qualified (and, when a secondary catalog is
     current, unqualified) table references onto the mangled temp views.
     A pass-through when no secondary catalog exists."""
+    if _CAT_TABLES:
+        _gc_phantom_entries(spark)
     # CREATE TABLE targeting a secondary catalog: register + rename first
     # so the DDL route sees the mangled name.
     cm = _CREATE_TABLE_NAME_RE.match(sql)
@@ -293,17 +306,25 @@ def rewrite_catalog_identifiers(spark: SparkSession, sql: str) -> str:
             spans = _literal_spans(out)
 
             def _sub_plain(m: re.Match) -> str:
-                if _in_literal(spans, m.start()):
+                # only TABLE POSITIONS (after FROM/JOIN/INTO/TABLE/UPDATE/
+                # DELETE FROM/DESCRIBE): a column or alias that happens to
+                # share a registered table's name must survive (r7 review)
+                if _in_literal(spans, m.start(2)):
                     return m.group(0)
-                # not part of a dotted path on either side
-                s, e = m.start(), m.end()
-                if (s > 0 and out[s - 1] in ".`") or (
-                    e < len(out) and out[e] == "."
-                ):
+                e = m.end(2)
+                if e < len(out) and out[e] == ".":
+                    return m.group(0)  # already qualified
+                repl = local.get(m.group(2))
+                if repl is None:
                     return m.group(0)
-                return local.get(m.group(0), m.group(0))
+                return m.group(1) + repl
 
-            out = re.sub(r"\b\w+\b", _sub_plain, out)
+            out = re.sub(
+                r"(?i)\b((?:FROM|JOIN|INTO|OVERWRITE|TABLE|UPDATE|DESC"
+                r"|DESCRIBE)\s+)`?(\w+)`?",
+                _sub_plain,
+                out,
+            )
     return out
 
 
@@ -419,7 +440,13 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
         if name in (_BUILTIN, _REF_BUILTIN):
             _CURRENT[0] = None
             return _ok(spark)
-        _get_cat(name)
+        if name not in _CATALOGS:
+            # a genuine Spark catalog plugin (spark.sql.catalog.<name>)
+            # keeps its pre-facade behavior (r7 review): pass through and
+            # let Spark raise for truly unknown names.
+            spark.catalog.setCurrentCatalog(name)
+            _CURRENT[0] = None
+            return _ok(spark)
         _CURRENT[0] = name
         return _ok(spark)
 
@@ -566,9 +593,18 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
         elif _CURRENT[0] is not None:
             key = (_CURRENT[0], _CATALOGS[_CURRENT[0]]["current_db"], name)
         if key is None or key not in _CAT_TABLES:
-            if m.group("ie") and key is not None and key[0] in _CATALOGS:
-                return _ok(spark)
-            return None  # maybe a Spark-native table
+            if key is not None and key[0] in _CATALOGS:
+                if m.group("ie"):
+                    return _ok(spark)
+                # current-catalog semantics: an unqualified DROP while a
+                # secondary catalog is current targets THAT catalog — it
+                # must not fall through and drop the built-in catalog's
+                # table of the same name (r7 review)
+                raise CatalogError(
+                    f"table {name!r} does not exist in catalog "
+                    f"{key[0]!r} (database {key[1]!r})"
+                )
+            return None  # built-in context: Spark-native table
         spark.catalog.dropTempView(_CAT_TABLES.pop(key))
         return _ok(spark)
 

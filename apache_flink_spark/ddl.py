@@ -139,7 +139,7 @@ _DEFAULT_BUCKETS = 16
 
 def _execute_create_distributed(
     spark: SparkSession, name: str, cols, watermark, dist: dict, opts: dict,
-    parts: list[str],
+    parts: list[str], if_not_exists: bool = False,
 ) -> bool:
     """CREATE TABLE ... DISTRIBUTED BY (k) INTO n BUCKETS — compiled to a
     native Spark bucketed catalog table (``CLUSTERED BY ... INTO n
@@ -175,6 +175,17 @@ def _execute_create_distributed(
     fmt = opts.get("format", "parquet").lower()
     if fmt not in ("parquet", "orc", "json", "csv"):
         raise DdlError(f"unsupported filesystem format {fmt!r}")
+    # Existing-table semantics match the other CREATE paths (r7 review:
+    # the initial version dropped silently): IF NOT EXISTS no-ops, a plain
+    # CREATE over an existing table errors.
+    exists = name in _DISTRIBUTED or spark.catalog.tableExists(name)
+    if exists:
+        if if_not_exists:
+            return True
+        raise DdlError(
+            f"table {name!r} already exists — use CREATE TABLE IF NOT "
+            "EXISTS or DROP TABLE first"
+        )
     n = dist["buckets"] or _DEFAULT_BUCKETS
     key_list = ", ".join(dist["cols"])
     col_ddl = ", ".join(f"{c} {t}" for c, t in cols)
@@ -619,11 +630,20 @@ def _execute_create_as(spark: SparkSession, m, replace: str = "") -> bool:
             writer.mode("overwrite").save(staging)
             shutil.rmtree(backup, ignore_errors=True)
             os.rename(path, backup)
-            os.rename(staging, path)
+            try:
+                os.rename(staging, path)
+            except BaseException:
+                # second rename failed: put the old data back so the
+                # table never points at a missing directory (r7 review)
+                os.rename(backup, path)
+                raise
+            refresh_table_view(spark, name)
+            # backup removed only after the new view resolves — a refresh
+            # failure leaves the old data recoverable on disk
             shutil.rmtree(backup)
         else:
             writer.mode("overwrite").save(path)
-        refresh_table_view(spark, name)
+            refresh_table_view(spark, name)
     except Exception:
         # failed CTAS/RTAS must not leave a wrong catalog entry
         if prior is not None:
@@ -690,7 +710,14 @@ def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
     cols, watermark = _parse_columns(m.group("body"))
     if dist is not None:
         return _execute_create_distributed(
-            spark, name, cols, watermark, dist, opts, parts
+            spark, name, cols, watermark, dist, opts, parts,
+            if_not_exists=bool(
+                re.match(
+                    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+IF\s+NOT"
+                    r"\s+EXISTS",
+                    m.string, re.I,
+                )
+            ),
         )
     schema_ddl = ", ".join(f"{c} {t}" for c, t in cols)
     connector = opts.get("connector", "").lower()

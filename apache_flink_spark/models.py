@@ -321,12 +321,11 @@ def try_handle_model_statement(tenv, sql: str):
         return spark.sql("SELECT 'OK' AS result")
     m = _SHOW_RE.match(sql)
     if m:
-        names = cat.list()
-        if m.group("like") is not None:
-            rx = re.escape(m.group("like")).replace("%", ".*").replace(
-                "_", "."
-            )
-            names = [n for n in names if re.fullmatch(rx, n)]
+        from apache_flink_spark.catalog_sql import _sql_like
+
+        names = [
+            n for n in cat.list() if _sql_like(n, m.group("like"), False)
+        ]
         return spark.createDataFrame(
             [(n,) for n in names], "model_name string"
         )
@@ -340,6 +339,10 @@ def try_handle_model_statement(tenv, sql: str):
             if m.group("ie"):
                 return spark.sql("SELECT 'OK' AS result")
             raise
+        # validate the target BEFORE dropping the source — drop-first
+        # destroyed the source on a name collision (r7 review)
+        if to in cat.list():
+            raise ModelError(f"model {to!r} already exists")
         cat.drop(name)
         model.name = to
         cat.create(model)

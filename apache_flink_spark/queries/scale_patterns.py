@@ -143,6 +143,8 @@ def ddl_distributed_bucket_join(spark, sf_dir):
     from apache_flink_spark.ddl import execute_flink_ddl
 
     load_tables(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS bj_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bj_orders")
     execute_flink_ddl(
         spark,
         """

@@ -20,11 +20,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    runs = 3
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    args, runs, i = [], 3, 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--runs"):
-            runs = int(a.split("=", 1)[1])
+            if "=" in a:
+                runs = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                runs = int(argv[i])
+        else:
+            args.append(a)
+        i += 1
     if not args:
         print("usage: append_baseline.py <query> [...]", file=sys.stderr)
         return 2

@@ -71,3 +71,140 @@ def test_ptf_three_named_scalar_args(te, spark):
         "offset => 1, cap => 100) ORDER BY k"
     ).collect()
     assert [(r.k, r.sv) for r in rows] == [(1, 31), (2, 61)]
+
+
+def test_alter_model_rename_collision_keeps_source(te, spark):
+    """r7 review: rename onto an existing name must error WITHOUT
+    destroying the source model."""
+    from apache_flink_spark.models import ModelError
+
+    te.sql("CREATE MODEL rr_a INPUT (v ARRAY<FLOAT>) OUTPUT (s DOUBLE) "
+           "WITH ('provider' = 'l2norm')")
+    te.sql("CREATE MODEL rr_b INPUT (v ARRAY<FLOAT>) OUTPUT (s DOUBLE) "
+           "WITH ('provider' = 'l2norm')")
+    try:
+        with pytest.raises(ModelError, match="already exists"):
+            te.sql("ALTER MODEL rr_a RENAME TO rr_b")
+        models = [r[0] for r in te.sql("SHOW MODELS LIKE 'rr_%'").collect()]
+        assert models == ["rr_a", "rr_b"]
+    finally:
+        te.sql("DROP MODEL IF EXISTS rr_a")
+        te.sql("DROP MODEL IF EXISTS rr_b")
+
+
+def test_distributed_create_respects_existing(te, spark):
+    """r7 review: CREATE ... DISTRIBUTED BY must not silently drop an
+    existing table; IF NOT EXISTS no-ops."""
+    from apache_flink_spark.ddl import DdlError, execute_flink_ddl
+
+    stmt = (
+        "CREATE TABLE rr_dist (k BIGINT) DISTRIBUTED BY (k) INTO 4 "
+        "BUCKETS WITH ('connector' = 'filesystem', 'format' = 'parquet')"
+    )
+    spark.sql("DROP TABLE IF EXISTS rr_dist")
+    execute_flink_ddl(spark, stmt)
+    try:
+        spark.sql("INSERT INTO rr_dist VALUES (1)")
+        with pytest.raises(DdlError, match="already exists"):
+            execute_flink_ddl(spark, stmt)
+        execute_flink_ddl(spark, stmt.replace(
+            "CREATE TABLE", "CREATE TABLE IF NOT EXISTS"
+        ))
+        assert spark.table("rr_dist").count() == 1  # data survived
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rr_dist")
+
+
+def test_drop_distribution_keeps_partitioning(te, spark):
+    from apache_flink_spark.ddl import execute_flink_ddl
+
+    spark.sql("DROP TABLE IF EXISTS rr_pdist")
+    execute_flink_ddl(
+        spark,
+        "CREATE TABLE rr_pdist (k BIGINT, dt STRING) DISTRIBUTED BY (k) "
+        "INTO 4 BUCKETS PARTITIONED BY (dt) "
+        "WITH ('connector' = 'filesystem', 'format' = 'parquet')",
+    )
+    try:
+        spark.sql("INSERT INTO rr_pdist VALUES (1, 'a'), (2, 'b')")
+        te.sql("ALTER TABLE rr_pdist DROP DISTRIBUTION")
+        native = spark.sql("SHOW CREATE TABLE rr_pdist").collect()[0][0]
+        assert "CLUSTERED BY" not in native
+        assert "PARTITIONED BY" in native  # layout survived
+        assert spark.table("rr_pdist").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rr_pdist")
+
+
+def test_catalog_use_passthrough_and_drop_semantics(te, spark, tmp_path):
+    """r7 review: USE CATALOG for unknown names reaches Spark (its error,
+    not CatalogError); unqualified DROP TABLE in a secondary catalog must
+    not fall through to the built-in catalog's table."""
+    from apache_flink_spark.catalogs import CatalogError, reset_for_tests
+
+    reset_for_tests()
+    try:
+        with pytest.raises(Exception) as exc:
+            te.sql("USE CATALOG no_such_plugin")
+        assert not isinstance(exc.value, CatalogError)
+        te.sql("CREATE CATALOG rr_cat WITH ('type' = 'generic_in_memory')")
+        te.sql("USE CATALOG rr_cat")
+        spark.sql("DROP TABLE IF EXISTS rr_builtin")
+        spark.sql("CREATE TABLE rr_builtin (x INT) USING parquet")
+        try:
+            with pytest.raises(CatalogError, match="does not exist in"):
+                te.sql("DROP TABLE rr_builtin")
+            # still there
+            te.sql("USE CATALOG spark_catalog")
+            assert spark.catalog.tableExists("rr_builtin")
+        finally:
+            spark.sql("DROP TABLE IF EXISTS rr_builtin")
+    finally:
+        reset_for_tests()
+
+
+def test_failed_create_leaves_no_phantom_table(te, spark):
+    """r7 review: a failed CREATE TABLE in a secondary catalog must not
+    leave a phantom registry entry."""
+    from apache_flink_spark.catalogs import reset_for_tests
+    from apache_flink_spark.ddl import DdlError
+
+    reset_for_tests()
+    try:
+        te.sql("CREATE CATALOG rr_ph WITH ('type' = 'generic_in_memory')")
+        te.sql("USE CATALOG rr_ph")
+        with pytest.raises(DdlError):
+            # filesystem connector without 'path' fails after registration
+            te.sql(
+                "CREATE TABLE ghost (k BIGINT) WITH "
+                "('connector' = 'filesystem', 'format' = 'parquet')"
+            )
+        assert te.sql("SHOW TABLES").count() == 0
+    finally:
+        reset_for_tests()
+
+
+def test_unqualified_rewrite_only_in_table_position(te, spark, tmp_path):
+    """r7 review: a column/alias sharing a registered table's name must
+    not be rewritten."""
+    from apache_flink_spark.catalogs import reset_for_tests
+
+    reset_for_tests()
+    try:
+        te.sql("CREATE CATALOG rr_tp WITH ('type' = 'generic_in_memory')")
+        te.sql("USE CATALOG rr_tp")
+        te.sql(
+            f"CREATE TABLE price (v BIGINT) WITH ('connector' = "
+            f"'filesystem', 'path' = '{tmp_path}/price', "
+            "'format' = 'parquet')"
+        )
+        te.sql("INSERT INTO price SELECT 5")
+        spark.createDataFrame(
+            [(7,)], "price bigint"
+        ).createOrReplaceTempView("quotes")
+        # column named `price` selected from a DIFFERENT table
+        assert te.sql("SELECT price FROM quotes").collect()[0].price == 7
+        # table position still resolves to the catalog table
+        assert te.sql("SELECT v FROM price").collect()[0].v == 5
+    finally:
+        reset_for_tests()
