@@ -60,11 +60,53 @@ class Table:
 
     where = filter
 
+    def alias(self, *names: str) -> "Table":
+        """Positional rename of ALL columns (pyflink table.py alias:133)."""
+        if len(names) != len(self._df.columns):
+            raise ValueError(
+                f"alias() names {len(names)} columns; table has "
+                f"{len(self._df.columns)}"
+            )
+        return Table(self._df.toDF(*names))
+
     def add_columns(self, **named_exprs) -> "Table":
+        """pyflink add_columns:696 — rejects existing names (use
+        :meth:`add_or_replace_columns` to overwrite)."""
+        dup = [n for n in named_exprs if n in self._df.columns]
+        if dup:
+            raise ValueError(
+                f"add_columns: column(s) {dup} already exist — the "
+                "reference's addColumns throws too; use "
+                "add_or_replace_columns"
+            )
         df = self._df
         for name, e in named_exprs.items():
             df = df.withColumn(name, _col(e))
         return Table(df)
+
+    def add_or_replace_columns(self, **named_exprs) -> "Table":
+        """pyflink add_or_replace_columns:713."""
+        df = self._df
+        for name, e in named_exprs.items():
+            df = df.withColumn(name, _col(e))
+        return Table(df)
+
+    def map(self, func, output_schema: str) -> "Table":
+        """pyflink map:764 — a row-mapping function over the whole table,
+        executed as ONE Arrow-batched mapInPandas (vectorized, no
+        shuffle). ``func(pdf: pandas.DataFrame) -> pandas.DataFrame``
+        returns exactly ``output_schema``'s columns, one row per input
+        row."""
+        def runner(batches):
+            for pdf in batches:
+                yield func(pdf)
+
+        return Table(self._df.mapInPandas(runner, output_schema))
+
+    def flat_map(self, func, output_schema: str) -> "Table":
+        """pyflink flat_map:790 (UDTF shape): ``func`` may emit ANY number
+        of rows per input row — same Arrow-batched lane as :meth:`map`."""
+        return self.map(func, output_schema)
 
     def rename_columns(self, **renames) -> "Table":
         df = self._df
@@ -80,7 +122,7 @@ class Table:
 
     # -- aggregation -----------------------------------------------------
     def group_by(self, *keys) -> "GroupedTable":
-        return GroupedTable(self._df, [_col(k) for k in keys])
+        return GroupedTable(self._df, list(keys))
 
     def aggregate(self, *aggs) -> "Table":
         """Global aggregate (no keys) — pyflink aggregate:820."""
@@ -89,6 +131,17 @@ class Table:
     def window(self, window_desc: "GroupWindow") -> "WindowedTable":
         """pyflink window:624 — group-window aggregation entry."""
         return WindowedTable(self._df, window_desc)
+
+    def over_window(self, window: "Over") -> "OverWindowedTable":
+        """pyflink over_window:663 — analytic functions over the
+        descriptor's frame: ``t.over_window(Over.partition_by("k")
+        .order_by("ts").preceding(2)).select("k", rsum=F.sum("v"))``."""
+        return OverWindowedTable(self._df, window)
+
+    def flat_aggregate(self, *keys) -> "GroupedTable":
+        """pyflink flat_aggregate:860 — group then apply a UDTAF via
+        :meth:`GroupedTable.flat_aggregate`."""
+        return self.group_by(*keys)
 
     # -- joins -----------------------------------------------------------
     def join(self, other: "Table", on, how: str = "inner") -> "Table":
@@ -108,12 +161,30 @@ class Table:
     def join_lateral(self, call, probe_key: str) -> "Table":
         """Reference ``Table.joinLateral(rates(o_time), key equality)`` —
         the temporal-table-function join syntax (pre-FOR SYSTEM_TIME AS
-        OF). Executes as the engine's scalable as-of shape: union-merge +
+        OF): INNER — probe rows with no version at their time are
+        dropped, like the reference's joinLateral;
+        :meth:`left_outer_join_lateral` keeps them NULL-padded."""
+        return Table(
+            self._join_lateral(call, probe_key).filter(
+                F.col("__v").isNotNull()
+            ).drop("__v")
+        )
+
+    def left_outer_join_lateral(self, call, probe_key: str) -> "Table":
+        """Reference ``Table.leftOuterJoinLateral`` (pyflink table.py
+        left_outer_join_lateral:360): probe rows before the first version
+        survive with NULL function columns."""
+        return Table(self._join_lateral(call, probe_key).drop("__v"))
+
+    def _join_lateral(self, call, probe_key: str) -> DataFrame:
+        """Temporal-table-function join core. Executes as the engine's
+        scalable as-of shape: union-merge +
         one last-ignore-nulls window pass (see queries/temporal_joins
         .asof_join), never a range join. Left rows keep all their
         columns; the function's non-key columns arrive from the latest
         version with ``version.time <= probe.time`` (NULL before the
-        first version).
+        first version). The ``__v`` marker column (NULL = unmatched) is
+        left for the caller to filter/drop.
 
         Parity note (ADVICE r5): the reference's temporal table function
         join emits the FULL function-table row including its time
@@ -188,9 +259,13 @@ class Table:
         out = (
             u.withColumn("__v", carried)
             .filter(F.col("__side") == 1)
-            .select(*left_cols, *[F.col(f"__v.{c}").alias(c) for c in carry_cols])
+            .select(
+                *left_cols,
+                *[F.col(f"__v.{c}").alias(c) for c in carry_cols],
+                "__v",
+            )
         )
-        return Table(out)
+        return out
 
     def left_outer_join(self, other: "Table", on) -> "Table":
         return self.join(other, on, "left")
@@ -232,8 +307,42 @@ class Table:
 
     fetch = limit
 
+    def offset(self, offset: int) -> "Table":
+        """pyflink offset:551 (follow with :meth:`fetch`)."""
+        return Table(self._df.offset(offset))
+
     def offset_fetch(self, offset: int, n: int) -> "Table":
         return Table(self._df.offset(offset).limit(n))
+
+    # -- schema / sinks (pyflink get_schema:960, execute_insert:974) -----
+    def get_schema(self):
+        """The table's schema (Spark StructType — the TableSchema analog)."""
+        return self._df.schema
+
+    def print_schema(self) -> None:
+        self._df.printSchema()
+
+    def execute_insert(self, table_path: str, overwrite: bool = False):
+        """pyflink execute_insert:974 — write this table into a named
+        sink. A DDL-declared connector table goes through its declared
+        writer (format/options/partition layout); a Spark catalog table
+        through insertInto. Returns the written row count DataFrame."""
+        from apache_flink_spark.ddl import (
+            _TABLES,
+            fs_writer,
+            refresh_table_view,
+        )
+
+        spark = self._df.sparkSession
+        if table_path in _TABLES:
+            writer, _fmt, path = fs_writer(self._df, table_path)
+            writer.mode("overwrite" if overwrite else "append").save(path)
+            refresh_table_view(spark, table_path)
+        else:
+            self._df.write.insertInto(table_path, overwrite=overwrite)
+        return spark.createDataFrame(
+            [(table_path,)], "`inserted into` string"
+        )
 
 
 class TemporalTableFunction:
@@ -253,13 +362,77 @@ class TemporalTableFunction:
 
 
 class GroupedTable:
-    def __init__(self, df: DataFrame, keys: Sequence[Column]):
+    def __init__(self, df: DataFrame, keys: Sequence):
         self._df = df
-        self._keys = list(keys)
+        self._raw_keys = list(keys)
+        self._keys = [_col(k) if not isinstance(k, Column) else k
+                      for k in keys]
 
     def select(self, *aggs) -> Table:
         """Aggregate projection over the grouping (pyflink GroupedTable)."""
         return Table(self._df.groupBy(*self._keys).agg(*[_col(a) for a in aggs]))
+
+    def _key_names(self, what: str) -> list[str]:
+        names = [k for k in self._raw_keys if isinstance(k, str)]
+        if len(names) != len(self._raw_keys):
+            raise ValueError(
+                f"{what} needs plain column-name grouping keys (the key "
+                "values are re-attached to the function's output)"
+            )
+        return names
+
+    def aggregate(self, func, output_schema: str) -> Table:
+        """UDAF over each group (pyflink GroupedTable.aggregate:1105):
+        ``func(pdf) -> one-row pandas DataFrame`` of ``output_schema``'s
+        non-key columns; the grouping keys are re-attached. One
+        applyInPandas — Arrow-batched, one keyed shuffle."""
+        return self.flat_aggregate(func, output_schema)
+
+    def flat_aggregate(self, func, output_schema: str) -> Table:
+        """UDTAF over each group (pyflink flat_aggregate:1146): ``func``
+        may emit any number of rows per group."""
+        import pandas as pd
+
+        keys = self._key_names("aggregate/flat_aggregate")
+
+        def runner(key, pdf) -> "pd.DataFrame":
+            out = func(pdf)
+            for i, k in enumerate(keys):
+                if k not in out.columns:
+                    out.insert(i, k, key[i])
+            return out
+
+        full_schema = ", ".join(
+            [
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in self._df.select(*keys).schema.fields
+            ]
+            + [output_schema]
+        )
+        return Table(
+            self._df.groupBy(*keys).applyInPandas(runner, full_schema)
+        )
+
+
+class OverWindowedTable:
+    """pyflink OverWindowedTable:1330 — select with analytic aggregates
+    computed over the descriptor's frame."""
+
+    def __init__(self, df: DataFrame, window: "Over"):
+        self._df = df
+        self._window = window
+
+    def select(self, *passthrough, **aggs) -> Table:
+        spec = self._window.spec()
+        return Table(
+            self._df.select(
+                *[_col(c) for c in passthrough],
+                *[
+                    _col(a).over(spec).alias(name)
+                    for name, a in aggs.items()
+                ],
+            )
+        )
 
 
 class WindowedTable:

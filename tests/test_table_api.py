@@ -287,7 +287,7 @@ def test_temporal_table_function_join_lateral(spark, sf_dir):
     fn = rates.create_temporal_table_function("r_time", "r_currency")
     got = {
         r.o_id: r.r_rate
-        for r in orders.join_lateral(fn("o_time"), "o_currency")
+        for r in orders.left_outer_join_lateral(fn("o_time"), "o_currency")
         .to_df()
         .collect()
     }
@@ -375,3 +375,89 @@ def test_show_jobs_and_stop_job(spark, tmp_path):
     finally:
         if q.isActive:
             q.stop()
+
+
+def test_r7_pyflink_surface_additions(spark):
+    """r7: alias / add_or_replace_columns / offset / map / flat_map /
+    over_window / aggregate / flat_aggregate / get_schema — pyflink
+    table.py parity (alias:133, add_or_replace_columns:713, offset:551,
+    map:764, flat_map:790, over_window:663, aggregate:820/1105,
+    flat_aggregate:860)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from apache_flink_spark.table_api import Over, Table
+
+    t = Table(spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "k long, v long"
+    ))
+    # alias: positional rename of all columns
+    assert t.alias("a", "b").to_df().columns == ["a", "b"]
+    with _pytest.raises(ValueError, match="names 1"):
+        t.alias("a")
+    # add_columns rejects existing; add_or_replace overwrites
+    with _pytest.raises(ValueError, match="already exist"):
+        t.add_columns(v=F.lit(0))
+    assert t.add_or_replace_columns(v=F.col("v") * 2).to_df().collect()[0].v == 20
+    # offset + fetch
+    assert t.order_by("v").offset(1).fetch(1).to_df().collect()[0].v == 10
+    # map / flat_map: Arrow-batched
+    doubled = t.map(
+        lambda pdf: pd.DataFrame({"d": pdf["v"] * 2}), "d long"
+    )
+    assert sorted(r.d for r in doubled.to_df().collect()) == [10, 20, 40]
+    exploded = t.flat_map(
+        lambda pdf: pd.DataFrame(
+            {"x": [x for v in pdf["v"] for x in (v, v)]}
+        ),
+        "x long",
+    )
+    assert exploded.to_df().count() == 6
+    # over_window
+    ow = t.over_window(
+        Over.partition_by("k").order_by("v").unbounded_preceding()
+    ).select("k", "v", rsum=F.sum("v"))
+    got = {(r.k, r.v): r.rsum for r in ow.to_df().collect()}
+    assert got[(1, 20)] == 30 and got[(2, 5)] == 5
+    # UDAF aggregate + UDTAF flat_aggregate
+    agg = t.group_by("k").aggregate(
+        lambda pdf: pd.DataFrame({"span": [pdf["v"].max() - pdf["v"].min()]}),
+        "span long",
+    )
+    assert {(r.k, r.span) for r in agg.to_df().collect()} == {(1, 10), (2, 0)}
+    top2 = t.group_by("k").flat_aggregate(
+        lambda pdf: pd.DataFrame(
+            {"v": pdf["v"].nlargest(2).to_numpy()}
+        ),
+        "v long",
+    )
+    assert top2.to_df().count() == 3
+    # schema access
+    assert [f.name for f in t.get_schema().fields] == ["k", "v"]
+
+
+def test_r7_join_lateral_inner_vs_left_outer(spark):
+    """r7: joinLateral drops probes before the first version (reference
+    semantics); leftOuterJoinLateral NULL-pads them."""
+    from apache_flink_spark.table_api import Table
+
+    rates = Table(spark.createDataFrame(
+        [("eur", 10, 114)], "r_currency string, r_time long, r_rate long"
+    ))
+    orders = Table(spark.createDataFrame(
+        [(1, "eur", 5), (2, "eur", 15)],
+        "o_id long, o_currency string, o_time long",
+    ))
+    fn = rates.create_temporal_table_function("r_time", "r_currency")
+    inner = {
+        r.o_id: r.r_rate
+        for r in orders.join_lateral(fn("o_time"), "o_currency")
+        .to_df().collect()
+    }
+    assert inner == {2: 114}
+    outer = {
+        r.o_id: r.r_rate
+        for r in orders.left_outer_join_lateral(fn("o_time"), "o_currency")
+        .to_df().collect()
+    }
+    assert outer == {1: None, 2: 114}
