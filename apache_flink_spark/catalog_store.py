@@ -67,10 +67,34 @@ def save_catalog_store(tenv, path: str) -> int:
             }
         )
 
+    # r7: secondary catalog DESCRIPTORS (the reference FileCatalogStore's
+    # actual payload — CatalogDescriptor configurations) + the
+    # catalog.db.table -> view mapping that re-binds their tables.
+    from apache_flink_spark.catalogs import _CAT_TABLES, _CATALOGS
+
+    catalogs = {
+        cname: {
+            "comment": c["comment"],
+            "properties": dict(c["properties"]),
+            "dbs": {
+                d: {"comment": e["comment"],
+                    "properties": dict(e["properties"])}
+                for d, e in c["dbs"].items()
+            },
+            "current_db": c["current_db"],
+        }
+        for cname, c in _CATALOGS.items()
+    }
+    cat_tables = [
+        [cat, db, tbl, view] for (cat, db, tbl), view in _CAT_TABLES.items()
+    ]
+
     doc = {
         "format_version": FORMAT_VERSION,
         "tables": tables,
         "models": models,
+        "catalogs": catalogs,
+        "catalog_tables": cat_tables,
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".__writing__"
@@ -141,4 +165,22 @@ def load_catalog_store(tenv, path: str) -> int:
             if_not_exists=True,
         )
         n += 1
+    from apache_flink_spark.catalogs import _CAT_TABLES, _CATALOGS
+
+    for cname, c in doc.get("catalogs", {}).items():
+        _CATALOGS[cname] = {
+            "comment": c.get("comment"),
+            "properties": dict(c.get("properties", {})),
+            "dbs": {
+                d: {"comment": e.get("comment"),
+                    "properties": dict(e.get("properties", {}))}
+                for d, e in c.get("dbs", {}).items()
+            },
+            "current_db": c.get("current_db", "default"),
+        }
+        n += 1
+    for cat, db, tbl, view in doc.get("catalog_tables", []):
+        # the view itself was re-registered above via its mangled DDL
+        # table entry; this restores the catalog-path binding
+        _CAT_TABLES[(cat, db, tbl)] = view
     return n
