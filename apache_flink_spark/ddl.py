@@ -177,8 +177,12 @@ def _execute_create_distributed(
         raise DdlError(f"unsupported filesystem format {fmt!r}")
     # Existing-table semantics match the other CREATE paths (r7 review:
     # the initial version dropped silently): IF NOT EXISTS no-ops, a plain
-    # CREATE over an existing table errors.
-    exists = name in _DISTRIBUTED or spark.catalog.tableExists(name)
+    # CREATE over an existing table errors. The SPARK CATALOG is the
+    # source of truth — a DROP TABLE through spark.sql cannot update
+    # _DISTRIBUTED, so a stale entry there must not block re-creation.
+    exists = spark.catalog.tableExists(name)
+    if not exists:
+        _DISTRIBUTED.pop(name, None)
     if exists:
         if if_not_exists:
             return True
