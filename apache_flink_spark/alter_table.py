@@ -273,8 +273,12 @@ def _flink_type(t: str) -> str:
     return _FLINK_TYPE.get(t.lower(), t.upper())
 
 
+# DESCRIBE [EXTENDED] t — the reference's DescribeTableOperation executes
+# BOTH forms as SHOW COLUMNS (the isExtended flag is parsed and ignored,
+# DescribeTableOperation.java execute()); Spark's FORMATTED stays native.
 _DESCRIBE_RE = re.compile(
-    r"^\s*(?:DESCRIBE|DESC)\s+(?!EXTENDED\b|FORMATTED\b)(?P<name>\w+)\s*$"
+    r"^\s*(?:DESCRIBE|DESC)\s+(?:EXTENDED\s+)?(?!FORMATTED\b)"
+    r"(?P<name>\w+)\s*$"
     r"|^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+(?P<name2>\w+)"
     r"(?:\s+LIKE\s+'(?P<like>[^']*)')?\s*$",
     re.I,

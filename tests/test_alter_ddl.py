@@ -603,3 +603,35 @@ def test_window_keyword_inside_string_literal_survives_insert(te, tmp_path):
     )
     got = te.sql("SELECT doc FROM litt").collect()[0].doc
     assert got == "TUMBLE(ts, INTERVAL '1' HOUR)"
+
+
+def test_describe_extended_is_describe(te, tmp_path):
+    """r7: DESCRIBE EXTENDED on a DDL table executes exactly like
+    DESCRIBE (reference DescribeTableOperation.execute ignores the
+    isExtended flag — both are SHOW COLUMNS)."""
+    te.sql(
+        f"""
+        CREATE TABLE dex_t (
+            k BIGINT, ts TIMESTAMP(3),
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{tmp_path}/dex_t', 'format' = 'parquet')
+        """
+    )
+    plain = te.sql("DESCRIBE dex_t").collect()
+    ext = te.sql("DESCRIBE EXTENDED dex_t").collect()
+    assert plain == ext
+    assert te.sql("DESCRIBE EXTENDED dex_t").columns == [
+        "name", "type", "null", "key", "extras", "watermark"
+    ]
+    # non-DDL names keep Spark's native DESCRIBE EXTENDED
+    import pyspark
+
+    te.spark.sql("DROP TABLE IF EXISTS dex_nat")
+    te.spark.sql("CREATE TABLE dex_nat (x INT) USING parquet")
+    try:
+        assert te.sql("DESCRIBE EXTENDED dex_nat").columns == [
+            "col_name", "data_type", "comment"
+        ]
+    finally:
+        te.spark.sql("DROP TABLE dex_nat")
