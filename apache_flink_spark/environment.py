@@ -512,6 +512,52 @@ class TableEnvironment:
         """Reference ``dropTemporaryView``: True when the view existed."""
         return bool(self.spark.catalog.dropTempView(name))
 
+    # -- pyflink table_environment.py conveniences (r7) -------------------
+
+    def sql_query(self, query: str) -> "Table":
+        """pyflink sql_query:681 — a SELECT returned as a fluent Table."""
+        from apache_flink_spark.table_api import Table
+
+        return Table(self.sql(query))
+
+    def execute_sql(self, stmt: str) -> DataFrame:
+        """pyflink execute_sql:704 — alias of :meth:`sql`."""
+        return self.sql(stmt)
+
+    def list_catalogs(self) -> list[str]:
+        """pyflink list_catalogs:528 — built-in + registered secondary."""
+        return [r[0] for r in self.sql("SHOW CATALOGS").collect()]
+
+    def list_modules(self) -> list[str]:
+        """pyflink list_modules:537 — USED modules in resolution order."""
+        from apache_flink_spark.catalog_sql import _MODULES
+
+        return [n for n, used in _MODULES.items() if used]
+
+    def list_full_modules(self) -> list[tuple[str, bool]]:
+        """pyflink list_full_modules:548 — (name, used) pairs."""
+        from apache_flink_spark.catalog_sql import _MODULES
+
+        return list(_MODULES.items())
+
+    def get_current_catalog(self) -> str:
+        from apache_flink_spark.catalogs import current_catalog
+
+        return current_catalog(self.spark)
+
+    def use_catalog(self, catalog_name: str) -> None:
+        self.sql(f"USE CATALOG {catalog_name}")
+
+    def get_current_database(self) -> str:
+        return self.sql("SHOW CURRENT DATABASE").collect()[0][0]
+
+    def use_database(self, database_name: str) -> None:
+        self.sql(f"USE {database_name}")
+
+    def from_elements(self, rows, schema=None) -> DataFrame:
+        """pyflink from_elements — alias of :meth:`from_values`."""
+        return self.from_values(rows, schema)
+
     def create_statement_set(self) -> "StatementSet":
         """Multi-sink pipeline builder — reference
         TableEnvironment.createStatementSet (StatementSetImpl): buffer
