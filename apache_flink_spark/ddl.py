@@ -768,9 +768,10 @@ def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:
 
 
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<name>\w+)\s+"
-    r"(?:PARTITION\s*\((?P<static>[^)]*)\)\s+)?"
-    r"(?P<select>SELECT\b.*)$",
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<name>\w+)\s*"
+    r"(?:PARTITION\s*\((?P<static>[^)]*)\)\s*)?"
+    r"(?:\((?P<cols>[\w\s,`]+)\)\s*)?"
+    r"(?P<select>(?:SELECT|VALUES|TABLE|WITH)\b.*)$",
     re.I | re.S,
 )
 
@@ -790,6 +791,8 @@ def execute_flink_insert(spark: SparkSession, sql: str):
     name = m.group("name")
     if _TABLES[name][0] == "datagen":
         raise DdlError(f"datagen table {name!r} is a source — INSERT unsupported")
+    # VALUES rows / TABLE refs / CTEs are queries in their own right
+    # (reference SqlInsert accepts any query source, incl. VALUES — r7)
     out = spark.sql(m.group("select"))
     # POSITIONAL column mapping with casts to the declared schema (the
     # reference's SqlInsert semantics; parquet reads back BY NAME, so an
@@ -812,6 +815,43 @@ def execute_flink_insert(spark: SparkSession, sql: str):
                 f"{name}'s PARTITIONED BY ({sorted(pcols)})"
             )
     target = [(n, t) for n, t in declared if n not in static]
+    if m.group("cols"):
+        # explicit column list (SqlInsert's targetColumnList, r7):
+        # the query fills the NAMED columns; every other non-static
+        # column is NULL-padded (the reference's partial-insert rule)
+        listed = [
+            c.strip().strip("`")
+            for c in m.group("cols").split(",") if c.strip()
+        ]
+        by_name_all = dict(declared)
+        bad = [c for c in listed if c not in by_name_all]
+        if bad:
+            raise DdlError(
+                f"INSERT INTO {name}: unknown column(s) {bad} in the "
+                f"column list (declared: {[n for n, _ in declared]})"
+            )
+        dup = {c for c in listed if listed.count(c) > 1}
+        if dup:
+            raise DdlError(
+                f"INSERT INTO {name}: duplicate column(s) {sorted(dup)} "
+                "in the column list"
+            )
+        overlap = [c for c in listed if c in static]
+        if overlap:
+            raise DdlError(
+                f"INSERT INTO {name}: column(s) {overlap} appear in BOTH "
+                "the column list and the static PARTITION spec"
+            )
+        if len(out.columns) != len(listed):
+            raise DdlError(
+                f"INSERT INTO {name}: {len(out.columns)} query columns "
+                f"for {len(listed)} listed columns"
+            )
+        out = out.toDF(*listed)
+        for n2, t2 in target:
+            if n2 not in listed:
+                out = out.withColumn(n2, F.lit(None).cast(t2))
+        out = out.select(*[n2 for n2, _t2 in target])
     if len(out.columns) != len(target):
         raise DdlError(
             f"INSERT INTO {name}: {len(out.columns)} select columns for "

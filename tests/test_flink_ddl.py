@@ -181,3 +181,42 @@ def test_execute_statement_set(spark, tmp_path):
         te.sql(
             "EXECUTE STATEMENT SET BEGIN SELECT 1; END"
         )
+
+
+def test_insert_values_and_column_list(spark, tmp_path):
+    """r7: SqlInsert accepts VALUES rows and an explicit column list
+    (unlisted columns NULL-padded, the reference's partial-insert rule)."""
+    import pytest as _pytest
+
+    from apache_flink_spark.ddl import DdlError
+    from apache_flink_spark.environment import TableEnvironment
+
+    te = TableEnvironment(spark=spark)
+    te.sql(
+        f"""
+        CREATE TABLE iv_t (id BIGINT, v STRING, score DOUBLE) WITH (
+            'connector' = 'filesystem',
+            'path' = '{tmp_path}/iv_t',
+            'format' = 'parquet'
+        )
+        """
+    )
+    te.sql("INSERT INTO iv_t VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    rows = te.sql("SELECT * FROM iv_t ORDER BY id").collect()
+    assert [(r.id, r.v, r.score) for r in rows] == [
+        (1, "a", 1.5), (2, "b", 2.5)
+    ]
+    # column list: unlisted -> NULL
+    te.sql("INSERT INTO iv_t (id, score) VALUES (3, 9.0)")
+    r3 = te.sql("SELECT * FROM iv_t WHERE id = 3").collect()[0]
+    assert (r3.v, r3.score) == (None, 9.0)
+    # column list with SELECT source
+    te.sql("INSERT INTO iv_t (v, id) SELECT 'd', 4")
+    r4 = te.sql("SELECT * FROM iv_t WHERE id = 4").collect()[0]
+    assert (r4.v, r4.score) == ("d", None)
+    with _pytest.raises(DdlError, match="unknown column"):
+        te.sql("INSERT INTO iv_t (nope) VALUES (1)")
+    with _pytest.raises(DdlError, match="duplicate"):
+        te.sql("INSERT INTO iv_t (id, id) VALUES (1, 2)")
+    with _pytest.raises(DdlError, match="query columns"):
+        te.sql("INSERT INTO iv_t (id, v) VALUES (1)")
