@@ -160,8 +160,8 @@ _SHOW_DBS_RE = re.compile(
 _SHOW_CUR_DB_RE = re.compile(r"^\s*SHOW\s+CURRENT\s+DATABASE\s*$", re.I)
 _SHOW_TABLES_RE = re.compile(
     r"^\s*SHOW\s+TABLES"
-    r"(?:\s+(?:FROM|IN)\s+`?(?P<db>\w+)`?)?"
-    r"(?:\s+(?P<not>NOT\s+)?LIKE\s+'(?P<like>[^']*)')?\s*$",
+    r"(?:\s+(?:FROM|IN)\s+(?:`?(?P<cat>\w+)`?\.)?`?(?P<db>\w+)`?)?"
+    r"(?:\s+(?P<not>NOT\s+)?(?P<op>LIKE|ILIKE)\s+'(?P<like>[^']*)')?\s*$",
     re.I,
 )
 _DROP_TABLE_RE = re.compile(
@@ -579,6 +579,18 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
             ]
         return _info(spark, rows)
 
+    m = _SHOW_TABLES_RE.match(sql)
+    if m and m.group("cat") and m.group("cat") in _CATALOGS:
+        # catalog-qualified listing works from ANY current catalog
+        # (SqlShowTables' [catalog.]database preposition)
+        names = sorted(
+            t for (cc, dd, t) in _CAT_TABLES
+            if cc == m.group("cat") and dd == m.group("db") and _like(t, m)
+        )
+        return spark.createDataFrame(
+            [(t,) for t in names], "`table name` string"
+        )
+
     m = _DROP_TABLE_RE.match(sql)
     if m:
         # the facade's identifier rewrite runs BEFORE routing, so a
@@ -652,13 +664,13 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
 
     m = _SHOW_TABLES_RE.match(sql)
     if m:
-        db = m.group("db") or c["current_db"]
-        from apache_flink_spark.catalog_sql import _sql_like
-
+        scat = m.group("cat") or cat
+        if scat not in _CATALOGS:
+            return None  # qualified toward the built-in: Spark/catalog_sql
+        db = m.group("db") or _CATALOGS[scat]["current_db"]
         names = sorted(
             t for (cc, dd, t) in _CAT_TABLES
-            if cc == cat and dd == db
-            and _sql_like(t, m.group("like"), bool(m.group("not")))
+            if cc == scat and dd == db and _like(t, m)
         )
         return spark.createDataFrame(
             [(t,) for t in names], "`table name` string"

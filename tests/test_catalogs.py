@@ -211,3 +211,21 @@ def test_show_databases_from_and_like(te, spark):
     ]
     with pytest.raises(CatalogError, match="does not exist"):
         te.sql("SHOW DATABASES FROM no_such_cat")
+
+
+def test_show_tables_from_catalog_qualified(te, tmp_path):
+    _mk_catalog(te, "qcat")
+    te.sql(
+        f"CREATE TABLE qcat.db1.qt (k BIGINT) WITH ('connector' = "
+        f"'filesystem', 'path' = '{tmp_path}/qt', 'format' = 'parquet')"
+    )
+    # from the built-in catalog, fully qualified
+    assert [
+        r[0] for r in te.sql("SHOW TABLES FROM qcat.db1").collect()
+    ] == ["qt"]
+    assert [
+        r[0]
+        for r in te.sql("SHOW TABLES FROM qcat.db1 LIKE 'q%'").collect()
+    ] == ["qt"]
+    # unqualified FROM still lists the built-in catalog's tables
+    assert "qt" not in [r[0] for r in te.sql("SHOW TABLES").collect()]
