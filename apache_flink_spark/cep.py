@@ -176,6 +176,45 @@ class Pattern:
         e.quant += "?"
         return self
 
+    def consecutive(self) -> "Pattern":
+        """Pattern.java consecutive(): strict internal contiguity for the
+        looping element. Quantifiers here COMPILE to MATCH_RECOGNIZE
+        repetitions, which are consecutive by construction — so this is
+        the (already-active) default and the call is a no-op kept for
+        source compatibility. The reference's RELAXED internal contiguity
+        (its oneOrMore default, skipping non-matching rows inside the
+        loop) is the unsupported direction — see allow_combinations()."""
+        return self
+
+    def allow_combinations(self) -> "Pattern":
+        raise CepError(
+            "allowCombinations / relaxed internal contiguity is not "
+            "supported — quantifiers compile to MATCH_RECOGNIZE "
+            "repetitions, which are consecutive; interleave an explicit "
+            "gap variable (followedBy) or use the batch MATCH_RECOGNIZE "
+            "alternation syntax instead"
+        )
+
+    def until(self, condition_sql: str) -> "Pattern":
+        """Pattern.java until(): stop condition for a looping element —
+        the loop must not extend over a row matching the condition.
+        Compiles by strengthening the element's predicate with
+        NOT(condition): identical acceptance for every row the loop
+        consumes (the reference also applies until as a per-event stop
+        check)."""
+        e = self._last()
+        if not e.quant:
+            raise CepError("until() needs a preceding quantifier")
+        e.conds.append(f"NOT ({condition_sql})")
+        return self
+
+    def subtype(self, _cls) -> "Pattern":
+        raise CepError(
+            "subtype() filters by Java event class — rows here are "
+            "schema-typed, not class-typed; express the discriminator as "
+            "a column predicate in where()"
+        )
+
     def within(self, n: int, unit: str = "minutes") -> "Pattern":
         u = unit.lower()
         if u not in _UNIT_US:

@@ -144,3 +144,30 @@ def test_iterative_condition_via_binds(spark):
     )
     # k=1: grow 15 > start 10 matches (event 2); k=2: 5 < 10 -> no match
     assert sorted((r.k, r.a_id, r.b_id) for r in out.collect()) == [(1, 1, 2)]
+
+
+def test_consecutive_until_subtype_surface(spark):
+    """Pattern.java long tail: consecutive() is the active default
+    (MR repetitions are strict), until() strengthens the loop predicate,
+    allowCombinations/subtype error loudly."""
+    df = spark.createDataFrame(
+        [(1, i, v, i * 10) for i, v in enumerate([1, 2, 3, 99, 4], 1)],
+        "k long, event_id long, v long, ep long",
+    )
+    p = (
+        Pattern.begin("U").where("v < 50").one_or_more().consecutive()
+        .until("v > 90")
+    )
+    out = cep_select(
+        spark, df, p, "k", "ep",
+        {"n": "COUNT(U.*)", "last_id": "LAST(U.event_id)"},
+    )
+    # greedy run 1,2,3 stops before 99 (until) — longest match first
+    rows = sorted((r.n, r.last_id) for r in out.collect())
+    assert rows[-1] == (3, 3)
+    with pytest.raises(CepError, match="allowCombinations"):
+        Pattern.begin("A").one_or_more().allow_combinations()
+    with pytest.raises(CepError, match="subtype"):
+        Pattern.begin("A").subtype(object)
+    with pytest.raises(CepError, match="until"):
+        Pattern.begin("A").until("v > 1")
