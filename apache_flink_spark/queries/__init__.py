@@ -72,7 +72,6 @@ GATE_SAMPLE = [
     # rotated out for TPC-DS/r6 shapes stay oracle-green in the full sweep)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q6_forecast_revenue",
     "q9_product_profit",
     # r6 late rotation: SemDeDup (cluster-bucketed semantic dedup) and
     # the set-semantics PTF lane (q18/q21 rotated out, green in the
@@ -110,6 +109,7 @@ GATE_SAMPLE = [
     # green in the full sweep)
     "ddl_distributed_bucket_join",
     "catalog_cross_join",
+    "dedup_span_ngrams",
     "rtas_replace_table",
     "cep_not_followed_by",
     "mr_stream_cross_define",
@@ -133,9 +133,11 @@ GATE_SAMPLE = [
     "rank_topn_per_group",
     # set ops
     "setop_intersect_all",
-    # MATCH_RECOGNIZE (bounded quantifier + the PREV-navigation V query)
+    # MATCH_RECOGNIZE (bounded quantifier; PREV navigation is in-gate via
+    # the STREAMING mr_stream_prev_nav below — mr_v_shape_prev stays green
+    # in the full sweep)
     "mr_bounded_quantifier",
-    "mr_v_shape_prev",
+    "mr_stream_prev_nav",
     # LLM-pipeline north stars
     "dedup_minhash_lsh",
     "sim_lsh_ann",

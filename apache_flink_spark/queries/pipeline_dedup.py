@@ -510,3 +510,128 @@ def pipeline_dedup_survivor(spark, sf_dir):
         "n_chars",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+_SPAN_K = 40     # duplicate n-gram length (chars)
+_SPAN_STRIDE = 10  # sampling stride: catches any duplicate run >= K+STRIDE
+
+_SPAN_ORACLE = f"""
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {_SPAN_K - 1},
+                                      {_SPAN_STRIDE})) AS p
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) >= {_SPAN_K}
+    ), g AS (
+        SELECT doc_id, p, substr(text, CAST(p AS BIGINT), {_SPAN_K}) AS gram
+        FROM pos
+    ), dup AS (
+        SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1
+    ), occ AS (
+        SELECT g.doc_id, g.p, g.p + {_SPAN_K} AS e
+        FROM g JOIN dup USING (gram)
+    ), isl AS (
+        SELECT doc_id, p, e,
+               CASE WHEN p > COALESCE(MAX(e) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), -1) THEN 1 ELSE 0 END AS new_isl
+        FROM occ
+    ), isl2 AS (
+        SELECT doc_id, p, e,
+               SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS UNBOUNDED PRECEDING) AS isl_id
+        FROM isl
+    ), spans AS (
+        SELECT doc_id, isl_id, MAX(e) - MIN(p) AS span_chars
+        FROM isl2 GROUP BY doc_id, isl_id
+    )
+    SELECT s.doc_id,
+           CAST(SUM(s.span_chars) AS BIGINT) AS dup_chars,
+           COUNT(*) AS n_spans,
+           MIN(d.n_chars) AS n_chars
+    FROM spans s JOIN documents d ON d.doc_id = s.doc_id
+    GROUP BY s.doc_id
+"""
+
+
+@query("dedup_span_ngrams", oracle=_SPAN_ORACLE)
+def dedup_span_ngrams(spark, sf_dir):
+    """Exact duplicate-SPAN detection — the scalable first stage of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every K-char gram
+    sampled at STRIDE is grouped corpus-wide; grams occurring 2+ times
+    mark duplicated spans, which merge per document into maximal runs
+    (dup_chars / n_spans per doc — the removal targets).
+
+    Scale shape: one explode (rows = chars/STRIDE), one gram groupBy
+    (HAVING count>1 — map-side combined), one equi-join back, one per-doc
+    window pass. No all-pairs anything; at 100 TB the gram key would be a
+    64-bit hash instead of the 40-char string (identical plan, narrower
+    shuffle), and STRIDE trades cost for the minimum detectable duplicate
+    run (K + STRIDE chars). The suffix array of the paper is the
+    single-machine construction; the grouped-gram form is its
+    shuffle-native equivalent."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= _SPAN_K)
+    ).select("doc_id", "text", "n_chars")
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.length("text") - F.lit(_SPAN_K - 1),
+                F.lit(_SPAN_STRIDE),
+            )
+        ).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        "p",
+        # the shuffle key is the 64-bit gram hash, not the 40-char string
+        # (the jaccard join's trick): 8-byte exchange rows; a collision
+        # (~2^-64/pair) merging two distinct grams is noise far below the
+        # stride approximation
+        F.xxhash64(
+            F.substring("text", F.col("p"), _SPAN_K)
+        ).alias("gh"),
+    )
+    dup = g.groupBy("gh").count().filter(F.col("count") > 1).select("gh")
+    occ = g.join(dup, "gh").select(
+        "doc_id", "p", (F.col("p") + _SPAN_K).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = occ.withColumn(
+        "new_isl",
+        F.when(
+            F.col("p") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("isl_id", F.sum("new_isl").over(w_run))
+    spans = isl.groupBy("doc_id", "isl_id").agg(
+        (F.max("e") - F.min("p")).alias("span_chars")
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.sum("span_chars").alias("dup_chars"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .join(docs, "doc_id")
+        .select(
+            "doc_id", "dup_chars", "n_spans",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )

@@ -114,6 +114,10 @@ HEADLINE = [
     "rtas_replace_table",
     "cep_not_followed_by",
     "mr_stream_cross_define",
+    # r7 late additions: duplicate-span detection (Lee et al. substring
+    # dedup's shuffle-native form) and the streaming PREV-navigation NFA.
+    "dedup_span_ngrams",
+    "mr_stream_prev_nav",
 ]
 
 
