@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Headline benchmark: runs the engine's flagship queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+line: {"metric": ..., "value": total_sec, "unit": "sec", "sf": ..., "vs_baseline":
+{...}}. The per-query map goes to BENCH_DETAIL.json (the driver keeps only a
+2000-char stdout tail — r6 VERDICT #1); it stays inline only while the whole
+line fits that window.
 
 Each query executes end-to-end via a noop sink (full plan, no driver
 collection) after a warm-up query that amortizes JVM/codegen startup.
