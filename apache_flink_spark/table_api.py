@@ -552,6 +552,20 @@ class Over:
         self._rows = (W.unboundedPreceding, W.currentRow)
         return self
 
+    def following(self, n: int) -> "Over":
+        """Extend the frame end to n rows after the current row (pyflink
+        Over.following) — composes with preceding()/unbounded_preceding()."""
+        start = self._rows[0] if self._rows is not None else 0
+        self._rows = (start, n)
+        return self
+
+    def unbounded_following(self) -> "Over":
+        from pyspark.sql import Window as W
+
+        start = self._rows[0] if self._rows is not None else 0
+        self._rows = (start, W.unboundedFollowing)
+        return self
+
     def spec(self):
         from pyspark.sql import Window as W
 

@@ -486,3 +486,22 @@ def test_r7_tenv_conveniences(spark, sf_dir):
         assert te.from_elements([(1, "a")], "x int, s string").count() == 1
     finally:
         reset_for_tests()
+
+
+def test_r7_over_following(spark):
+    from apache_flink_spark.table_api import Over, Table
+
+    t = Table(spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3)], "k long, v long"
+    ))
+    out = t.over_window(
+        Over.partition_by("k").order_by("v").preceding(1).following(1)
+    ).select("v", s=F.sum("v"))
+    got = {r.v: r.s for r in out.to_df().collect()}
+    assert got == {1: 3, 2: 6, 3: 5}
+    # no preceding() set: frame starts at the current row
+    out2 = t.over_window(
+        Over.partition_by("k").order_by("v").unbounded_following()
+    ).select("v", s=F.sum("v"))
+    got2 = {r.v: r.s for r in out2.to_df().collect()}
+    assert got2 == {1: 6, 2: 5, 3: 3}
