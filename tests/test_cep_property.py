@@ -1,0 +1,116 @@
+"""Property test: the CEP Pattern compiler vs a direct NFA reference.
+
+For random event sequences and the four canonical two/three-element
+pattern shapes, cep_select's MATCH_RECOGNIZE compilation must emit
+exactly the matches of a handwritten reference matcher implementing
+flink-cep's documented semantics (relaxed contiguity takes the FIRST
+qualifying row; notFollowedBy is a stop state killing the in-flight
+match; SKIP TO NEXT ROW starts a fresh attempt at every row)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+KINDS = ["a", "b", "c", "x"]
+
+
+def _ref_matches(rows, shape):
+    """rows: list of (event_id, kind) in order. Returns set of match
+    tuples per shape."""
+    out = set()
+    n = len(rows)
+    for i in range(n):
+        if rows[i][1] != "a":
+            continue
+        if shape == "next":
+            if i + 1 < n and rows[i + 1][1] == "b":
+                out.add((rows[i][0], rows[i + 1][0]))
+        elif shape == "fb":
+            # relaxed: first b after i
+            for j in range(i + 1, n):
+                if rows[j][1] == "b":
+                    out.add((rows[i][0], rows[j][0]))
+                    break
+        elif shape == "fb_fb":
+            # first b after i, then first c after that b
+            jb = next(
+                (j for j in range(i + 1, n) if rows[j][1] == "b"), None
+            )
+            if jb is None:
+                continue
+            jc = next(
+                (j for j in range(jb + 1, n) if rows[j][1] == "c"), None
+            )
+            if jc is not None:
+                out.add((rows[i][0], rows[jb][0], rows[jc][0]))
+        elif shape == "nfb":
+            # A notFollowedBy(x) followedBy(c): scan for first c; an x
+            # before it kills the attempt (stop state)
+            for j in range(i + 1, n):
+                if rows[j][1] == "c":
+                    out.add((rows[i][0], rows[j][0]))
+                    break
+                if rows[j][1] == "x":
+                    break
+    return out
+
+
+def _pattern_for(shape):
+    from apache_flink_spark.cep import Pattern
+
+    if shape == "next":
+        return (
+            Pattern.begin("A").where("kind = 'a'")
+            .next("B").where("kind = 'b'"),
+            {"a_id": "LAST(A.event_id)", "b_id": "LAST(B.event_id)"},
+        )
+    if shape == "fb":
+        return (
+            Pattern.begin("A").where("kind = 'a'")
+            .followed_by("B").where("kind = 'b'"),
+            {"a_id": "LAST(A.event_id)", "b_id": "LAST(B.event_id)"},
+        )
+    if shape == "fb_fb":
+        return (
+            Pattern.begin("A").where("kind = 'a'")
+            .followed_by("B").where("kind = 'b'")
+            .followed_by("C").where("kind = 'c'"),
+            {
+                "a_id": "LAST(A.event_id)",
+                "b_id": "LAST(B.event_id)",
+                "c_id": "LAST(C.event_id)",
+            },
+        )
+    return (
+        Pattern.begin("A").where("kind = 'a'")
+        .not_followed_by("N").where("kind = 'x'")
+        .followed_by("C").where("kind = 'c'"),
+        {"a_id": "LAST(A.event_id)", "c_id": "LAST(C.event_id)"},
+    )
+
+
+@pytest.mark.parametrize("shape", ["next", "fb", "fb_fb", "nfb"])
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(kinds=st.lists(st.sampled_from(KINDS), min_size=4, max_size=18))
+def test_pattern_compiler_matches_reference(spark, shape, kinds):
+    from apache_flink_spark.cep import cep_select
+
+    rows = [(i + 1, k) for i, k in enumerate(kinds)]
+    df = spark.createDataFrame(
+        [(1, eid, k, eid * 10) for eid, k in rows],
+        "k long, event_id long, kind string, ep long",
+    )
+    pattern, measures = _pattern_for(shape)
+    got = {
+        tuple(r[c] for c in measures)
+        for r in cep_select(
+            spark, df, pattern, "k", "ep", measures
+        ).collect()
+    }
+    assert got == _ref_matches(rows, shape), (shape, kinds)
