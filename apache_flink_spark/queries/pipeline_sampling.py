@@ -310,3 +310,80 @@ def pipeline_epoch_shuffle(spark, sf_dir):
         F.col("shard").cast("bigint").alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+
+# DuckDB-side parse of the first 4 md5 hex chars of a WORD -> BIGINT
+# (the Spark side uses conv(); same digits, same value).
+_DSIR_MD5_INT = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(w), {i + 1}, 1)) - 1)"
+    f" * {16 ** (3 - i)}"
+    for i in range(4)
+)
+_DSIR_BUCKETS = 256
+
+_DSIR_ORACLE = f"""
+    WITH words AS (
+        SELECT doc_id, lang,
+               ({_DSIR_MD5_INT}) % {_DSIR_BUCKETS} AS b
+        FROM (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL
+        ) WHERE w <> ''
+    ), feats AS (
+        SELECT b,
+               COUNT(*) AS cnt_s,
+               COALESCE(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0)
+                   AS cnt_t
+        FROM words GROUP BY b
+    )
+    SELECT w.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(f.cnt_t) AS BIGINT) AS target_mass,
+           CAST(SUM(f.cnt_s) AS BIGINT) AS source_mass
+    FROM words w JOIN feats f ON f.b = w.b
+    GROUP BY w.doc_id
+"""
+
+
+@query("pipeline_dsir_weights", oracle=_DSIR_ORACLE)
+def pipeline_dsir_weights(spark, sf_dir):
+    """DSIR-style importance accounting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hashed word features
+    (md5 % 256 buckets), a target distribution (lang='en' docs) vs the
+    full source corpus, and per-document feature-mass sums under each —
+    the exact-integer numerator/denominator of the importance ratio
+    (consumers apply the log/ratio; shipping integers keeps the oracle
+    bit-exact, the engine's float-determinism rule).
+
+    Scale shape: one explode over words, ONE tiny groupBy (256 buckets,
+    map-side combined), a BROADCAST join of the 256-row feature table
+    back onto the word stream, one per-doc sum — no corpus-sized shuffle
+    except the final doc_id aggregation, and the feature table stays
+    256 rows at ANY corpus size (that is the point of hashed features)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "").select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    feats = words.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt_s"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+        ).alias("cnt_t"),
+    )
+    return (
+        words.join(F.broadcast(feats), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("cnt_t").cast("long").alias("target_mass"),
+            F.sum("cnt_s").cast("long").alias("source_mass"),
+        )
+    )
