@@ -532,9 +532,16 @@ def _execute_create_like(spark: SparkSession, m) -> bool:
     return True
 
 
+_CTAS_DIST = (
+    r"(?:DISTRIBUTED\s+BY\s+(?:(?P<dkind>HASH|RANGE)\s*)?"
+    r"\((?P<dcols>[\w\s,]+)\)\s*"
+    r"(?:INTO\s+(?P<dn>\d+)\s+BUCKETS\s*)?)?"
+)
+
 _CREATE_AS_RE = re.compile(
     r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>\w+)\s*"
+    + _CTAS_DIST +
     r"(?:PARTITIONED\s+BY\s*\((?P<parts>[\w\s,]+)\)\s*)?"
     r"WITH\s*\((?P<opts>.*?)\)\s*"
     r"AS\s+(?P<select>SELECT\b.*)$",
@@ -548,6 +555,7 @@ _CREATE_AS_RE = re.compile(
 # SqlReplaceTableAs/SqlNodeToOperationConversion).
 _REPLACE_AS_RE = re.compile(
     r"^\s*(?P<cor>CREATE\s+OR\s+)?REPLACE\s+TABLE\s+(?P<name>\w+)\s*"
+    + _CTAS_DIST +
     r"(?:PARTITIONED\s+BY\s*\((?P<parts>[\w\s,]+)\)\s*)?"
     r"WITH\s*\((?P<opts>.*?)\)\s*"
     r"AS\s+(?P<select>SELECT\b.*)$",
@@ -574,6 +582,12 @@ def _execute_create_as(spark: SparkSession, m, replace: str = "") -> bool:
     name = m.group("name")
     opts = _split_options(m.group("opts"))
     _reject_reserved_opts(opts)
+    if m.group("dcols"):
+        # FLIP-376 CTAS + distribution (SqlCreateTableAs with
+        # SqlDistribution): derive the schema from the query, create the
+        # native bucketed table, and run ONE distributed INSERT — the
+        # write shuffles on the bucket key exactly once.
+        return _execute_ctas_distributed(spark, m, opts, replace)
     connector = opts.get("connector", "").lower()
     if connector != "filesystem":
         raise DdlError(
@@ -655,6 +669,61 @@ def _execute_create_as(spark: SparkSession, m, replace: str = "") -> bool:
         else:
             _TABLES.pop(name, None)
         raise
+    return True
+
+
+def _execute_ctas_distributed(spark, m, opts: dict, replace: str) -> bool:
+    """CTAS/RTAS into a DISTRIBUTED BY table: the sink schema is the
+    query's schema; the table is a native bucketed catalog table and the
+    query result lands with one bucket-keyed write."""
+    name = m.group("name")
+    if m.group("dkind") and m.group("dkind").upper() == "RANGE":
+        raise DdlError(
+            "DISTRIBUTED BY RANGE is not supported — Spark's bucketing "
+            "is hash-based; declare DISTRIBUTED BY HASH(...)"
+        )
+    out = spark.sql(m.group("select"))
+    for c in out.columns:
+        if not re.match(r"^\w+$", c):
+            raise DdlError(
+                f"CTAS query column {c!r} is not a plain identifier — "
+                "alias every expression column"
+            )
+    cols = [
+        (c, f.dataType.simpleString())
+        for c, f in zip(out.columns, out.schema.fields)
+    ]
+    dist = {
+        "kind": (m.group("dkind") or "").upper(),
+        "cols": [
+            c.strip() for c in m.group("dcols").split(",") if c.strip()
+        ],
+        "buckets": int(m.group("dn")) if m.group("dn") else None,
+    }
+    parts = (
+        [c.strip() for c in m.group("parts").split(",") if c.strip()]
+        if m.group("parts") else []
+    )
+    exists = spark.catalog.tableExists(name)
+    if exists and not replace:
+        if re.match(
+            r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+IF\s+NOT\s+EXISTS",
+            m.string, re.I,
+        ):
+            return True
+        raise DdlError(f"CTAS target table {name!r} already exists")
+    if replace == "replace" and not exists:
+        raise DdlError(
+            f"REPLACE TABLE {name!r}: table does not exist — use CREATE "
+            "OR REPLACE TABLE"
+        )
+    if exists:
+        spark.sql(f"DROP TABLE {name}")
+        _DISTRIBUTED.pop(name, None)
+    _execute_create_distributed(
+        spark, name, cols, None, dist, opts, parts
+    )
+    out.write.insertInto(name)
     return True
 
 

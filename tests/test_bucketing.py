@@ -129,3 +129,43 @@ def test_distributed_by_show_create_and_drop(spark):
         assert "CLUSTERED BY" not in native
     finally:
         spark.sql("DROP TABLE IF EXISTS dd_s")
+
+
+def test_ctas_distributed_by(spark, sf_dir):
+    """FLIP-376 CTAS + distribution: schema from the query, one
+    bucket-keyed write, zero-exchange joins afterwards."""
+    from apache_flink_spark.catalog import load_tables
+    from apache_flink_spark.ddl import DdlError, execute_flink_ddl
+    import pytest as _pytest
+
+    load_tables(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS ctasd_o")
+    execute_flink_ddl(
+        spark,
+        "CREATE TABLE ctasd_o DISTRIBUTED BY HASH(o_orderkey) INTO 8 "
+        "BUCKETS WITH ('connector' = 'filesystem', 'format' = 'parquet') "
+        "AS SELECT o_orderkey, o_orderpriority FROM orders",
+    )
+    try:
+        n = spark.table("ctasd_o").count()
+        assert n == spark.table("orders").count()
+        native = spark.sql("SHOW CREATE TABLE ctasd_o").collect()[0][0]
+        assert "CLUSTERED BY" in native
+        # plain CTAS over existing errors; CREATE OR REPLACE replaces
+        with _pytest.raises(DdlError, match="already exists"):
+            execute_flink_ddl(
+                spark,
+                "CREATE TABLE ctasd_o DISTRIBUTED BY (o_orderkey) WITH "
+                "('connector' = 'filesystem') AS SELECT o_orderkey, "
+                "o_orderpriority FROM orders",
+            )
+        execute_flink_ddl(
+            spark,
+            "CREATE OR REPLACE TABLE ctasd_o DISTRIBUTED BY (o_orderkey) "
+            "INTO 4 BUCKETS WITH ('connector' = 'filesystem', 'format' = "
+            "'parquet') AS SELECT o_orderkey FROM orders LIMIT 10",
+        )
+        assert spark.table("ctasd_o").count() == 10
+        assert spark.table("ctasd_o").columns == ["o_orderkey"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ctasd_o")
