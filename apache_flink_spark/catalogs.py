@@ -82,6 +82,7 @@ def _get_cat(name: str) -> dict:
 def reset_for_tests() -> None:
     _CATALOGS.clear()
     _CAT_TABLES.clear()
+    _PENDING.clear()
     _CURRENT[0] = None
 
 
@@ -238,13 +239,23 @@ def _in_literal(spans, pos: int) -> bool:
     return any(a <= pos <= b for a, b in spans)
 
 
+#: registry keys added by a CREATE rewrite whose DDL has not yet been
+#: verified to have materialized the view — checked (and cleared) on the
+#: next statement, so a FAILED create cannot leave a phantom table
+_PENDING: list[tuple[str, str, str]] = []
+
+
 def _gc_phantom_entries(spark: SparkSession) -> None:
     """Drop registry entries whose backing view never materialized — a
     CREATE TABLE registers its mapping before the DDL executes (the text
     rewrite has no execution context), so a FAILED create would otherwise
-    leave a phantom table in SHOW TABLES and the rewrite (r7 review)."""
-    for key, view in list(_CAT_TABLES.items()):
-        if not spark.catalog.tableExists(view):
+    leave a phantom table in SHOW TABLES and the rewrite (r7 review).
+    Only entries still PENDING verification are checked — one catalog
+    lookup per recent CREATE, not per registered table."""
+    while _PENDING:
+        key = _PENDING.pop()
+        view = _CAT_TABLES.get(key)
+        if view is not None and not spark.catalog.tableExists(view):
             del _CAT_TABLES[key]
 
 
@@ -252,7 +263,7 @@ def rewrite_catalog_identifiers(spark: SparkSession, sql: str) -> str:
     """Rewrite catalog-qualified (and, when a secondary catalog is
     current, unqualified) table references onto the mangled temp views.
     A pass-through when no secondary catalog exists."""
-    if _CAT_TABLES:
+    if _PENDING:
         _gc_phantom_entries(spark)
     # CREATE TABLE targeting a secondary catalog: register + rename first
     # so the DDL route sees the mangled name.
@@ -269,7 +280,10 @@ def rewrite_catalog_identifiers(spark: SparkSession, sql: str) -> str:
                     f"database {db!r} does not exist in catalog {cat!r}"
                 )
             view = _mangle(cat, db, cm.group("name"))
-            _CAT_TABLES[(cat, db, cm.group("name"))] = view
+            key = (cat, db, cm.group("name"))
+            _CAT_TABLES[key] = view
+            if key not in _PENDING:
+                _PENDING.append(key)
             sql = cm.group("head") + view + cm.group("rest")
     if _REF_BUILTIN in sql:
         # the reference's built-in naming maps to plain Spark resolution
