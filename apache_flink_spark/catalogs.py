@@ -175,10 +175,10 @@ _DROP_TABLE_RE = re.compile(
 #: REWRITTEN to the mangled view and the table recorded in the registry;
 #: the body is left for ddl.execute_flink_ddl
 _CREATE_TABLE_NAME_RE = re.compile(
-    r"^(?P<head>\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+"
+    r"^(?P<head>\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?TABLE\s+"
     r"(?:IF\s+NOT\s+EXISTS\s+)?)"
     r"(?:`?(?P<cat>\w+)`?\.`?(?P<db>\w+)`?\.)?`?(?P<name>\w+)`?"
-    r"(?P<rest>\s*\(.*)$",
+    r"(?P<rest>(?:\s*\(|\s+(?:WITH|DISTRIBUTED|PARTITIONED)\b).*)$",
     re.I | re.S,
 )
 

@@ -229,3 +229,22 @@ def test_show_tables_from_catalog_qualified(te, tmp_path):
     ] == ["qt"]
     # unqualified FROM still lists the built-in catalog's tables
     assert "qt" not in [r[0] for r in te.sql("SHOW TABLES").collect()]
+
+
+def test_ctas_into_secondary_catalog(te, spark, tmp_path):
+    """r7: CTAS with a catalog-qualified target registers the table in
+    the secondary catalog."""
+    _mk_catalog(te, "ctascat")
+    te.sql(
+        f"CREATE TABLE ctascat.db1.summary WITH ('connector' = "
+        f"'filesystem', 'path' = '{tmp_path}/ctas_sum', 'format' = "
+        "'parquet') AS SELECT 1 AS k, 'a' AS v"
+    )
+    assert (
+        te.sql("SELECT k, v FROM ctascat.db1.summary").collect()[0].k == 1
+    )
+    te.sql("USE CATALOG ctascat")
+    assert "summary" in [r[0] for r in te.sql("SHOW TABLES").collect()]
+    # unqualified resolution inside the catalog
+    assert te.sql("SELECT v FROM summary").collect()[0].v == "a"
+    te.sql("USE CATALOG spark_catalog")
