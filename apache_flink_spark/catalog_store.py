@@ -89,12 +89,36 @@ def save_catalog_store(tenv, path: str) -> int:
         [cat, db, tbl, view] for (cat, db, tbl), view in _CAT_TABLES.items()
     ]
 
+    # r7: DISTRIBUTED BY tables (native bucketed catalog tables) — their
+    # DDL descriptor + resolved data location, so a fresh in-memory
+    # session catalog can re-open them bucketed.
+    from urllib.parse import urlparse
+
+    from apache_flink_spark.ddl import _DISTRIBUTED
+
+    wh = urlparse(
+        tenv.spark.conf.get("spark.sql.warehouse.dir", "")
+    ).path
+    distributed = {}
+    for name, d in _DISTRIBUTED.items():
+        loc = d["opts"].get("path") or os.path.join(wh, name.lower())
+        distributed[name] = {
+            "kind": d["kind"],
+            "cols": list(d["cols"]),
+            "buckets": d["buckets"],
+            "parts": list(d.get("parts") or []),
+            "opts": dict(d["opts"]),
+            "cols_types": [list(c) for c in d["cols_types"]],
+            "location": loc,
+        }
+
     doc = {
         "format_version": FORMAT_VERSION,
         "tables": tables,
         "models": models,
         "catalogs": catalogs,
         "catalog_tables": cat_tables,
+        "distributed_tables": distributed,
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".__writing__"
@@ -183,4 +207,36 @@ def load_catalog_store(tenv, path: str) -> int:
         # the view itself was re-registered above via its mangled DDL
         # table entry; this restores the catalog-path binding
         _CAT_TABLES[(cat, db, tbl)] = view
+    from apache_flink_spark.ddl import _DISTRIBUTED
+
+    for name, d in doc.get("distributed_tables", {}).items():
+        if not tenv.spark.catalog.tableExists(name):
+            if not os.path.isdir(d["location"]):
+                raise CatalogStoreError(
+                    f"distributed table {name!r}: data location "
+                    f"{d['location']!r} no longer exists"
+                )
+            fmt = d["opts"].get("format", "parquet").lower()
+            col_ddl = ", ".join(f"{c} {t}" for c, t in d["cols_types"])
+            part_ddl = (
+                f" PARTITIONED BY ({', '.join(d['parts'])})"
+                if d["parts"] else ""
+            )
+            keys = ", ".join(d["cols"])
+            tenv.spark.sql(
+                f"CREATE TABLE {name} ({col_ddl}) USING {fmt}{part_ddl} "
+                f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+                f"INTO {d['buckets']} BUCKETS LOCATION '{d['location']}'"
+            )
+            if d["parts"]:
+                tenv.spark.sql(f"MSCK REPAIR TABLE {name}")
+        _DISTRIBUTED[name] = {
+            "kind": d["kind"],
+            "cols": list(d["cols"]),
+            "buckets": d["buckets"],
+            "opts": dict(d["opts"]),
+            "cols_types": [tuple(c) for c in d["cols_types"]],
+            "parts": list(d["parts"]),
+        }
+        n += 1
     return n

@@ -111,3 +111,52 @@ def test_secondary_catalogs_persist(spark, tmp_path):
         )
     finally:
         reset_for_tests()
+
+
+def test_distributed_tables_persist(spark, tmp_path):
+    """r7: DISTRIBUTED BY descriptors round-trip through the store — a
+    loaded session re-registers the bucket spec (SHOW CREATE renders it)
+    and, when the catalog entry is gone but the data dir survives,
+    re-opens the table bucketed at its saved location."""
+    from apache_flink_spark.catalog_store import (
+        load_catalog_store,
+        save_catalog_store,
+    )
+    from apache_flink_spark.ddl import _DISTRIBUTED, execute_flink_ddl
+    from apache_flink_spark.environment import TableEnvironment
+
+    te = TableEnvironment(spark=spark)
+    data_dir = str(tmp_path / "cs_dist_data")
+    spark.sql("DROP TABLE IF EXISTS cs_dist")
+    execute_flink_ddl(
+        spark,
+        "CREATE TABLE cs_dist (k BIGINT, v BIGINT) DISTRIBUTED BY (k) "
+        "INTO 4 BUCKETS WITH ('connector' = 'filesystem', "
+        f"'format' = 'parquet', 'path' = '{data_dir}')",
+    )
+    try:
+        spark.sql("INSERT INTO cs_dist VALUES (1, 10), (2, 20)")
+        store = str(tmp_path / "dist_store.json")
+        save_catalog_store(te, store)
+
+        # same-process case: registry wiped, catalog entry intact —
+        # load re-registers the descriptor idempotently
+        _DISTRIBUTED.pop("cs_dist", None)
+        load_catalog_store(te, store)
+        assert "cs_dist" in _DISTRIBUTED
+        ddl = te.sql("SHOW CREATE TABLE cs_dist").collect()[0][0]
+        assert "DISTRIBUTED BY (k) INTO 4 BUCKETS" in ddl
+
+        # cross-process case: catalog entry gone, data dir survives
+        # (explicit LOCATION) — load recreates the bucketed table
+        spark.sql("DROP TABLE cs_dist")
+        _DISTRIBUTED.pop("cs_dist", None)
+        assert not spark.catalog.tableExists("cs_dist")
+        load_catalog_store(te, store)
+        assert spark.catalog.tableExists("cs_dist")
+        assert spark.table("cs_dist").count() == 2
+        native = spark.sql("SHOW CREATE TABLE cs_dist").collect()[0][0]
+        assert "CLUSTERED BY" in native
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cs_dist")
+        _DISTRIBUTED.pop("cs_dist", None)
