@@ -130,8 +130,8 @@ _SHOW_DBS_RE = re.compile(r"^\s*SHOW\s+DATABASES\s*$", re.I)
 _SHOW_CUR_DB_RE = re.compile(r"^\s*SHOW\s+CURRENT\s+DATABASE\s*$", re.I)
 _SHOW_TABLES_RE = re.compile(
     r"^\s*SHOW\s+TABLES"
-    r"(?:\s+(?:FROM|IN)\s+`?(?P<db>\w+)`?)?"
-    r"(?:\s+(?P<not>NOT\s+)?LIKE\s+'(?P<like>[^']*)')?\s*$",
+    r"(?:\s+(?:FROM|IN)\s+(?:`?(?P<cat>\w+)`?\.)?`?(?P<db>\w+)`?)?"
+    r"(?:\s+(?P<not>NOT\s+)?(?P<op>LIKE|ILIKE)\s+'(?P<like>[^']*)')?\s*$",
     re.I,
 )
 _SHOW_VIEWS_RE = re.compile(
@@ -223,15 +223,26 @@ def try_handle_catalog_statement(spark: SparkSession, sql: str):
 
     m = _SHOW_TABLES_RE.match(sql)
     if m:
+        cat = m.group("cat")
+        if cat is not None and cat not in (
+            "spark_catalog", "default_catalog",
+        ):
+            raise CatalogSqlError(f"catalog {cat!r} does not exist")
         tables = spark.catalog.listTables(m.group("db"))
         neg = bool(m.group("not"))
+        fold = (m.group("op") or "").upper() == "ILIKE"
+        pat = m.group("like")
         return _one_col(
             spark,
             "table name",
             [
                 t.name
                 for t in tables
-                if _sql_like(t.name, m.group("like"), neg)
+                if _sql_like(
+                    t.name.lower() if fold else t.name,
+                    pat.lower() if fold and pat is not None else pat,
+                    neg,
+                )
             ],
         )
 

@@ -101,7 +101,14 @@ def save_catalog_store(tenv, path: str) -> int:
     ).path
     distributed = {}
     for name, d in _DISTRIBUTED.items():
-        loc = d["opts"].get("path") or os.path.join(wh, name.lower())
+        # a native DROP TABLE cannot update _DISTRIBUTED — skip stale
+        # entries instead of persisting a location that no longer exists
+        # (which would make the whole store unloadable; r7 review)
+        if not tenv.spark.catalog.tableExists(name):
+            continue
+        loc = os.path.abspath(
+            d["opts"].get("path") or os.path.join(wh, name.lower())
+        )
         distributed[name] = {
             "kind": d["kind"],
             "cols": list(d["cols"]),

@@ -175,7 +175,8 @@ _DROP_TABLE_RE = re.compile(
 #: REWRITTEN to the mangled view and the table recorded in the registry;
 #: the body is left for ddl.execute_flink_ddl
 _CREATE_TABLE_NAME_RE = re.compile(
-    r"^(?P<head>\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?TABLE\s+"
+    r"^(?P<head>\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?|REPLACE\s+)"
+    r"(?:TEMPORARY\s+)?TABLE\s+"
     r"(?:IF\s+NOT\s+EXISTS\s+)?)"
     r"(?:`?(?P<cat>\w+)`?\.`?(?P<db>\w+)`?\.)?`?(?P<name>\w+)`?"
     r"(?P<rest>(?:\s*\(|\s+(?:WITH|DISTRIBUTED|PARTITIONED)\b).*)$",
@@ -597,6 +598,11 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
     if m and m.group("cat") and m.group("cat") in _CATALOGS:
         # catalog-qualified listing works from ANY current catalog
         # (SqlShowTables' [catalog.]database preposition)
+        if m.group("db") not in _CATALOGS[m.group("cat")]["dbs"]:
+            raise CatalogError(
+                f"database {m.group('db')!r} does not exist in catalog "
+                f"{m.group('cat')!r}"
+            )
         names = sorted(
             t for (cc, dd, t) in _CAT_TABLES
             if cc == m.group("cat") and dd == m.group("db") and _like(t, m)
@@ -682,6 +688,10 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
         if scat not in _CATALOGS:
             return None  # qualified toward the built-in: Spark/catalog_sql
         db = m.group("db") or _CATALOGS[scat]["current_db"]
+        if db not in _CATALOGS[scat]["dbs"]:
+            raise CatalogError(
+                f"database {db!r} does not exist in catalog {scat!r}"
+            )
         names = sorted(
             t for (cc, dd, t) in _CAT_TABLES
             if cc == scat and dd == db and _like(t, m)

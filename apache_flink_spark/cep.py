@@ -62,6 +62,7 @@ class _Elem:
     contiguity: str  # "begin" | "next" | "followed_by" | "not_followed_by"
     conds: list[str] = field(default_factory=list)
     or_conds: list[str] = field(default_factory=list)
+    until_conds: list[str] = field(default_factory=list)
     quant: str = ""  # "", "+", "?", "{n}", "{n,m}" (+ trailing "?" lazy)
 
     def condition_sql(self) -> str:
@@ -69,6 +70,11 @@ class _Elem:
         if self.or_conds:
             ors = " OR ".join(f"({c})" for c in self.or_conds)
             base = f"({base}) OR ({ors})"
+        for u in self.until_conds:
+            # until() gates the WHOLE element, including or_where branches
+            # (the reference applies the stop check per event regardless
+            # of which condition accepted it — r7 review)
+            base = f"({base}) AND (NOT ({u}))"
         return base
 
 
@@ -205,7 +211,7 @@ class Pattern:
         e = self._last()
         if not e.quant:
             raise CepError("until() needs a preceding quantifier")
-        e.conds.append(f"NOT ({condition_sql})")
+        e.until_conds.append(condition_sql)
         return self
 
     def subtype(self, _cls) -> "Pattern":

@@ -179,8 +179,10 @@ def _execute_create_distributed(
     # the initial version dropped silently): IF NOT EXISTS no-ops, a plain
     # CREATE over an existing table errors. The SPARK CATALOG is the
     # source of truth — a DROP TABLE through spark.sql cannot update
-    # _DISTRIBUTED, so a stale entry there must not block re-creation.
-    exists = spark.catalog.tableExists(name)
+    # _DISTRIBUTED, so a stale entry there must not block re-creation —
+    # and a TEMP VIEW of the same name is a different namespace, not a
+    # conflict (r7 review #7).
+    exists = _catalog_table_exists(spark, name)
     if not exists:
         _DISTRIBUTED.pop(name, None)
     if exists:
@@ -199,7 +201,8 @@ def _execute_create_distributed(
     loc = ""
     if opts.get("path"):
         loc = f" LOCATION '{opts['path']}'"
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # no catalog table exists here (checked above — a temp view of the
+    # same name is a different namespace and is left alone)
     if not opts.get("path"):
         # an in-memory-catalog session cannot DROP a managed location left
         # by a PREVIOUS session; clear it or CREATE fails with
@@ -672,10 +675,28 @@ def _execute_create_as(spark: SparkSession, m, replace: str = "") -> bool:
     return True
 
 
+def _catalog_table_exists(spark: SparkSession, name: str) -> bool:
+    """True only for a real CATALOG table — tableExists also matches temp
+    views, which live in a different namespace and must not conflict with
+    (or be DROPped by) table DDL (r7 review)."""
+    if not spark.catalog.tableExists(name):
+        return False
+    try:
+        return not spark.catalog.getTable(name).isTemporary
+    except Exception:
+        return False
+
+
 def _execute_ctas_distributed(spark, m, opts: dict, replace: str) -> bool:
     """CTAS/RTAS into a DISTRIBUTED BY table: the sink schema is the
     query's schema; the table is a native bucketed catalog table and the
-    query result lands with one bucket-keyed write."""
+    query result lands with one bucket-keyed write.
+
+    Replace safety (r7 review): ALL validation and the full SELECT run
+    against a STAGING table while the old table stays live; only then is
+    the old table dropped and the staging renamed in — a failing query
+    (including one that reads the table being replaced) leaves the
+    original untouched."""
     name = m.group("name")
     if m.group("dkind") and m.group("dkind").upper() == "RANGE":
         raise DdlError(
@@ -704,7 +725,13 @@ def _execute_ctas_distributed(spark, m, opts: dict, replace: str) -> bool:
         [c.strip() for c in m.group("parts").split(",") if c.strip()]
         if m.group("parts") else []
     )
-    exists = spark.catalog.tableExists(name)
+    bad = [c for c in dist["cols"] + parts if c not in out.columns]
+    if bad:
+        raise DdlError(
+            f"DISTRIBUTED/PARTITIONED column(s) {bad} are not query "
+            f"columns ({out.columns})"
+        )
+    exists = _catalog_table_exists(spark, name)
     if exists and not replace:
         if re.match(
             r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+IF\s+NOT\s+EXISTS",
@@ -717,13 +744,29 @@ def _execute_ctas_distributed(spark, m, opts: dict, replace: str) -> bool:
             f"REPLACE TABLE {name!r}: table does not exist — use CREATE "
             "OR REPLACE TABLE"
         )
+    target = name if not exists else f"{name}__ctasd__"
+    if exists:
+        spark.sql(f"DROP TABLE IF EXISTS {target}")
+        _DISTRIBUTED.pop(target, None)
+    _execute_create_distributed(
+        spark, target, cols, None, dist, opts, parts
+    )
+    try:
+        # positional insert against the TABLE's normalized column order —
+        # Spark moves partition columns to the schema tail, so inserting
+        # in query order would silently mis-bind them (r7 review)
+        out.select(*spark.table(target).columns).write.insertInto(target)
+    except BaseException:
+        spark.sql(f"DROP TABLE IF EXISTS {target}")
+        _DISTRIBUTED.pop(target, None)
+        raise
     if exists:
         spark.sql(f"DROP TABLE {name}")
         _DISTRIBUTED.pop(name, None)
-    _execute_create_distributed(
-        spark, name, cols, None, dist, opts, parts
-    )
-    out.write.insertInto(name)
+        spark.sql(f"ALTER TABLE {target} RENAME TO {name}")
+        if parts:
+            spark.sql(f"MSCK REPAIR TABLE {name}")
+        _DISTRIBUTED[name] = _DISTRIBUTED.pop(target)
     return True
 
 

@@ -543,26 +543,35 @@ class Over:
         return self
 
     def preceding(self, n: int) -> "Over":
-        self._rows = (-n, 0)
+        end = self._rows[1] if self._rows is not None else 0
+        self._rows = (-n, end)
         return self
 
     def unbounded_preceding(self) -> "Over":
         from pyspark.sql import Window as W
 
-        self._rows = (W.unboundedPreceding, W.currentRow)
+        end = self._rows[1] if self._rows is not None else W.currentRow
+        self._rows = (W.unboundedPreceding, end)
         return self
 
     def following(self, n: int) -> "Over":
-        """Extend the frame end to n rows after the current row (pyflink
-        Over.following) — composes with preceding()/unbounded_preceding()."""
-        start = self._rows[0] if self._rows is not None else 0
+        """Frame end n rows after the current row (pyflink Over.following).
+        An unspecified start defaults to UNBOUNDED PRECEDING — the
+        reference's Over default (r7 review)."""
+        from pyspark.sql import Window as W
+
+        start = (
+            self._rows[0] if self._rows is not None else W.unboundedPreceding
+        )
         self._rows = (start, n)
         return self
 
     def unbounded_following(self) -> "Over":
         from pyspark.sql import Window as W
 
-        start = self._rows[0] if self._rows is not None else 0
+        start = (
+            self._rows[0] if self._rows is not None else W.unboundedPreceding
+        )
         self._rows = (start, W.unboundedFollowing)
         return self
 

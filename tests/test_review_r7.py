@@ -208,3 +208,107 @@ def test_unqualified_rewrite_only_in_table_position(te, spark, tmp_path):
         assert te.sql("SELECT v FROM price").collect()[0].v == 5
     finally:
         reset_for_tests()
+
+
+def test_ctas_distributed_replace_is_staged(te, spark, sf_dir):
+    """r7 review #1/#2: distributed RTAS must not destroy the old table
+    before the SELECT runs (self-referencing replace works), and
+    PARTITIONED BY columns bind by name, not query position."""
+    from apache_flink_spark.catalog import load_tables
+    from apache_flink_spark.ddl import execute_flink_ddl
+
+    load_tables(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS rr_ctasd")
+    execute_flink_ddl(
+        spark,
+        "CREATE TABLE rr_ctasd DISTRIBUTED BY (k) INTO 4 BUCKETS WITH "
+        "('connector' = 'filesystem', 'format' = 'parquet') AS "
+        "SELECT 1 AS k, 10 AS v",
+    )
+    try:
+        # self-referencing replace: reads the table being replaced
+        execute_flink_ddl(
+            spark,
+            "CREATE OR REPLACE TABLE rr_ctasd DISTRIBUTED BY (k) INTO 4 "
+            "BUCKETS WITH ('connector' = 'filesystem', 'format' = "
+            "'parquet') AS SELECT k, v + 1 AS v FROM rr_ctasd",
+        )
+        assert [(r.k, r.v) for r in spark.table("rr_ctasd").collect()] == [
+            (1, 11)
+        ]
+        # a FAILING replace leaves the old table untouched
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            execute_flink_ddl(
+                spark,
+                "CREATE OR REPLACE TABLE rr_ctasd DISTRIBUTED BY (k) "
+                "WITH ('connector' = 'filesystem', 'format' = 'parquet') "
+                "AS SELECT k, no_such_col FROM rr_ctasd",
+            )
+        assert [(r.k, r.v) for r in spark.table("rr_ctasd").collect()] == [
+            (1, 11)
+        ]
+        # partition columns NOT last in the query bind correctly
+        spark.sql("DROP TABLE IF EXISTS rr_ctasp")
+        execute_flink_ddl(
+            spark,
+            "CREATE TABLE rr_ctasp DISTRIBUTED BY (k) INTO 2 BUCKETS "
+            "PARTITIONED BY (p) WITH ('connector' = 'filesystem', "
+            "'format' = 'parquet') AS SELECT 'x' AS p, 5 AS k, 7 AS v",
+        )
+        row = spark.table("rr_ctasp").collect()[0]
+        assert (row.p, row.k, row.v) == ("x", 5, 7)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rr_ctasd")
+        spark.sql("DROP TABLE IF EXISTS rr_ctasp")
+
+
+def test_show_tables_builtin_ilike_and_bad_db(te, spark):
+    """r7 review #4/#8: SHOW TABLES ILIKE works in the built-in catalog;
+    a nonexistent database in a qualified listing errors loudly."""
+    from apache_flink_spark.catalogs import CatalogError, reset_for_tests
+
+    # Spark lower-cases temp-view names in the catalog — ILIKE still has
+    # to match case-insensitively against the PATTERN's case
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView(
+        "ilikeprobe"
+    )
+    try:
+        assert "ilikeprobe" in [
+            r[0] for r in te.sql("SHOW TABLES ILIKE 'ILIKE%'").collect()
+        ]
+        assert "ilikeprobe" not in [
+            r[0] for r in te.sql("SHOW TABLES LIKE 'ILIKE%'").collect()
+        ]
+    finally:
+        spark.catalog.dropTempView("ilikeprobe")
+    reset_for_tests()
+    try:
+        te.sql("CREATE CATALOG rr_st WITH ('type' = 'generic_in_memory')")
+        with pytest.raises(CatalogError, match="does not exist in catalog"):
+            te.sql("SHOW TABLES FROM rr_st.no_such_db")
+    finally:
+        reset_for_tests()
+
+
+def test_cep_until_gates_or_where(spark):
+    """r7 review #5: until() must stop the loop regardless of which
+    where/or_where branch accepted the row."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    df = spark.createDataFrame(
+        # v, flag: row 3 matches the or_where branch AND the stop cond
+        [(1, 1, 10, False, 100), (1, 2, 20, False, 200),
+         (1, 3, 99, True, 300)],
+        "k long, event_id long, v long, flag boolean, ep long",
+    )
+    p = (
+        Pattern.begin("U").where("v < 50").or_where("flag")
+        .one_or_more().until("v > 90")
+    )
+    out = cep_select(
+        spark, df, p, "k", "ep",
+        {"n": "COUNT(U.*)", "last_id": "LAST(U.event_id)"},
+    )
+    assert max(r.n for r in out.collect()) == 2  # stops before row 3

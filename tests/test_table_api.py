@@ -499,9 +499,16 @@ def test_r7_over_following(spark):
     ).select("v", s=F.sum("v"))
     got = {r.v: r.s for r in out.to_df().collect()}
     assert got == {1: 3, 2: 6, 3: 5}
-    # no preceding() set: frame starts at the current row
+    # no preceding() set: the frame start defaults to UNBOUNDED
+    # PRECEDING (the reference's Over default)
     out2 = t.over_window(
         Over.partition_by("k").order_by("v").unbounded_following()
     ).select("v", s=F.sum("v"))
     got2 = {r.v: r.s for r in out2.to_df().collect()}
-    assert got2 == {1: 6, 2: 5, 3: 3}
+    assert got2 == {1: 6, 2: 6, 3: 6}
+    # start-only frame keeps its end when preceding() is set afterwards
+    out3 = t.over_window(
+        Over.partition_by("k").order_by("v").following(1).preceding(1)
+    ).select("v", s=F.sum("v"))
+    got3 = {r.v: r.s for r in out3.to_df().collect()}
+    assert got3 == {1: 3, 2: 6, 3: 5}
