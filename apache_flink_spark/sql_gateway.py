@@ -659,6 +659,10 @@ _SQL_KEYWORDS = [
     "DISTINCT", "CASE", "WHEN", "THEN", "ELSE", "END", "AND", "OR", "NOT",
     "NULL", "LIKE", "IN", "EXISTS", "BETWEEN", "CAST", "OVER", "PARTITION",
     "WINDOW", "MATCH_RECOGNIZE", "TUMBLE", "HOP", "CUMULATE", "SESSION",
+    # r7 statement surface
+    "CATALOG", "CATALOGS", "DATABASE", "DATABASES", "DISTRIBUTED",
+    "BUCKETS", "REPLACE", "MODEL", "MODELS", "FUNCTION", "FUNCTIONS",
+    "JAR", "JARS", "ANALYZE", "TRUNCATE", "RENAME", "ILIKE",
 ]
 
 
