@@ -52,6 +52,29 @@ _STMT_SET_RE = re.compile(
     r"^\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(?P<body>.+?)\s*;?\s*END\s*;?\s*$",
     re.I | re.S,
 )
+def _rewrite_lateral_table(query: str) -> str:
+    """Flink's UDTF call spelling ``[LEFT|CROSS] JOIN LATERAL
+    TABLE(fn(args))`` / ``, LATERAL TABLE(fn(args))`` (Calcite's LATERAL
+    TABLE operator — the reference's TableFunction invocation syntax) maps
+    onto Spark's native lateral table-function joins by dropping the
+    ``TABLE( ... )`` wrapper: ``LATERAL fn(args)``. Balanced-paren scan."""
+    out = query
+    pat = re.compile(r"\bLATERAL\s+TABLE\s*\(", re.I)
+    while True:
+        m = pat.search(out)
+        if not m:
+            return out
+        depth, i = 1, m.end()
+        while i < len(out) and depth:
+            if out[i] == "(":
+                depth += 1
+            elif out[i] == ")":
+                depth -= 1
+            i += 1
+        inner = out[m.end(): i - 1].strip()
+        out = out[: m.start()] + "LATERAL " + inner + out[i:]
+
+
 _SET_RE = re.compile(
     r"^\s*(?:"
     r"(?P<set>SET)(?:\s+'(?P<key>[^']+)'\s*=\s*'(?P<val>[^']*)')?"
@@ -221,6 +244,10 @@ class TableEnvironment:
             from apache_flink_spark.query_hints import rewrite_flink_hints
 
             query = rewrite_flink_hints(self.spark, query)
+        if re.search(r"\bLATERAL\s+TABLE\s*\(", query, re.I):
+            # Flink UDTF invocation syntax -> Spark's native lateral TVF
+            query = _rewrite_lateral_table(query)
+            up = query.upper()
         if "TABLE" in up and "(" in query:
             # PTF calls with TABLE arguments (FLIP-440 — ptf.py); a no-op
             # when no PTF is registered or none is referenced

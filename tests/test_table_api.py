@@ -512,3 +512,37 @@ def test_r7_over_following(spark):
     ).select("v", s=F.sum("v"))
     got3 = {r.v: r.s for r in out3.to_df().collect()}
     assert got3 == {1: 3, 2: 6, 3: 5}
+
+
+def test_r7_lateral_table_syntax(spark):
+    """Flink's LATERAL TABLE(fn(...)) UDTF invocation (Calcite's LATERAL
+    TABLE operator) routes onto Spark's native lateral TVF joins —
+    comma/CROSS JOIN and LEFT JOIN ... ON TRUE forms."""
+    from pyspark.sql.functions import udtf
+
+    from apache_flink_spark.environment import TableEnvironment
+
+    te = TableEnvironment(spark=spark)
+
+    @udtf(returnType="w string")
+    class LtSplit:
+        def eval(self, s: str):
+            for w in (s or "").split(" "):
+                if w:
+                    yield (w,)
+
+    spark.udtf.register("lt_split", LtSplit)
+    spark.createDataFrame(
+        [(1, "a b"), (2, "")], "id int, s string"
+    ).createOrReplaceTempView("lt_src")
+    rows = te.sql(
+        "SELECT id, w FROM lt_src, LATERAL TABLE(lt_split(s))"
+    ).collect()
+    assert sorted((r.id, r.w) for r in rows) == [(1, "a"), (1, "b")]
+    rows = te.sql(
+        "SELECT id, w FROM lt_src "
+        "LEFT JOIN LATERAL TABLE(lt_split(s)) ON TRUE"
+    ).collect()
+    assert sorted([(r.id, r.w) for r in rows], key=str) == sorted(
+        [(1, "a"), (1, "b"), (2, None)], key=str
+    )
