@@ -319,6 +319,32 @@ def rewrite_catalog_identifiers(spark: SparkSession, sql: str) -> str:
         }
         if local:
             spans = _literal_spans(out)
+            # names bound INSIDE the statement shadow catalog tables: a
+            # CTE (WITH name AS (...)) or an alias (... AS name) that
+            # happens to share a registered table's name must not be
+            # redirected to the catalog table (r7 advice)
+            bound = {
+                b.group(1)
+                for b in re.finditer(
+                    r"(?i)\bWITH\s+(\w+)\s+AS\s*\(", out
+                )
+                if not _in_literal(spans, b.start())
+            }
+            bound |= {
+                b.group(1)
+                for b in re.finditer(
+                    r"(?i),\s*(\w+)\s+AS\s*\(", out
+                )
+                if not _in_literal(spans, b.start())
+            }
+            bound |= {
+                b.group(1)
+                for b in re.finditer(r"(?i)\bAS\s+(\w+)\b", out)
+                if not _in_literal(spans, b.start())
+            }
+            local = {t: v for t, v in local.items() if t not in bound}
+
+        if local:
 
             def _sub_plain(m: re.Match) -> str:
                 # only TABLE POSITIONS (after FROM/JOIN/INTO/TABLE/UPDATE/

@@ -32,10 +32,13 @@ scan (min forbidden-event time in (0, horizon]) — no join, no second pass.
 
 from __future__ import annotations
 
+import itertools
 import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+
+_cep_view_counter = itertools.count()
 
 __all__ = ["Pattern", "CepError", "pattern_to_match_recognize", "cep_select"]
 
@@ -362,7 +365,11 @@ def cep_select(
 
     from apache_flink_spark.match_recognize import sql_with_match_recognize
 
-    view = f"__cep_input_{abs(hash((partition_by, order_by))) % 10_000}"
+    # monotonically increasing view id: two patterns with identical
+    # partition/order clauses must not share (and re-bind) one temp view —
+    # a lazily-evaluated DataFrame from the first cep_select would read
+    # the second call's input (r7 advice)
+    view = f"__cep_input_{next(_cep_view_counter)}"
     df.createOrReplaceTempView(view)
     stmt = pattern_to_match_recognize(
         pattern, view, partition_by, order_by, measures, skip

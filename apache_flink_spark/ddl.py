@@ -745,11 +745,21 @@ def _execute_ctas_distributed(spark, m, opts: dict, replace: str) -> bool:
             "OR REPLACE TABLE"
         )
     target = name if not exists else f"{name}__ctasd__"
+    # Explicit 'path' + replace: the staging table must NOT share the live
+    # table's directory, or the staged insert appends files next to the
+    # live data and the swapped-in table reads old+new rows (r7 advice).
+    # Stage at a suffixed location and move the directory in at swap time.
+    staged_opts = opts
+    staged_path = None
+    if exists and opts.get("path"):
+        staged_path = opts["path"].rstrip("/") + ".__ctasd__"
+        staged_opts = {**opts, "path": staged_path}
+        _rmtree_path(staged_path)
     if exists:
         spark.sql(f"DROP TABLE IF EXISTS {target}")
         _DISTRIBUTED.pop(target, None)
     _execute_create_distributed(
-        spark, target, cols, None, dist, opts, parts
+        spark, target, cols, None, dist, staged_opts, parts
     )
     try:
         # positional insert against the TABLE's normalized column order —
@@ -759,15 +769,48 @@ def _execute_ctas_distributed(spark, m, opts: dict, replace: str) -> bool:
     except BaseException:
         spark.sql(f"DROP TABLE IF EXISTS {target}")
         _DISTRIBUTED.pop(target, None)
+        if staged_path is not None:
+            _rmtree_path(staged_path)
         raise
     if exists:
         spark.sql(f"DROP TABLE {name}")
         _DISTRIBUTED.pop(name, None)
+        if staged_path is not None:
+            # external table: DROP left the old files; swap the directory
+            # under the canonical path so the renamed table (re-pointed
+            # below) reads only the staged result
+            _rmtree_path(opts["path"])
+            _move_path(staged_path, opts["path"])
         spark.sql(f"ALTER TABLE {target} RENAME TO {name}")
+        if staged_path is not None:
+            spark.sql(
+                f"ALTER TABLE {name} SET LOCATION '{opts['path']}'"
+            )
         if parts:
             spark.sql(f"MSCK REPAIR TABLE {name}")
         _DISTRIBUTED[name] = _DISTRIBUTED.pop(target)
+        if staged_path is not None:
+            _DISTRIBUTED[name]["opts"] = opts
     return True
+
+
+def _local_fs_path(path: str) -> str:
+    from urllib.parse import urlparse
+
+    p = urlparse(path)
+    return p.path if p.scheme in ("", "file") else path
+
+
+def _rmtree_path(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(_local_fs_path(path), ignore_errors=True)
+
+
+def _move_path(src: str, dst: str) -> None:
+    import shutil
+
+    shutil.move(_local_fs_path(src), _local_fs_path(dst))
 
 
 def execute_flink_ddl(spark: SparkSession, sql: str) -> bool:

@@ -57,13 +57,21 @@ def _rewrite_lateral_table(query: str) -> str:
     TABLE(fn(args))`` / ``, LATERAL TABLE(fn(args))`` (Calcite's LATERAL
     TABLE operator — the reference's TableFunction invocation syntax) maps
     onto Spark's native lateral table-function joins by dropping the
-    ``TABLE( ... )`` wrapper: ``LATERAL fn(args)``. Balanced-paren scan."""
+    ``TABLE( ... )`` wrapper: ``LATERAL fn(args)``. Balanced-paren scan.
+    Matches inside single-quoted string literals are data, not syntax —
+    they are skipped (r7 advice: literal-span-safe like catalogs.py)."""
+    from apache_flink_spark.catalogs import _in_literal, _literal_spans
+
     out = query
     pat = re.compile(r"\bLATERAL\s+TABLE\s*\(", re.I)
+    pos = 0
     while True:
-        m = pat.search(out)
+        m = pat.search(out, pos)
         if not m:
             return out
+        if _in_literal(_literal_spans(out), m.start()):
+            pos = m.end()
+            continue
         depth, i = 1, m.end()
         while i < len(out) and depth:
             if out[i] == "(":

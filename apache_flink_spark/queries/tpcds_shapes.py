@@ -340,8 +340,35 @@ _DS_Q14 = f"""
 def ds_q14_cross_channel_items(spark, sf_dir):
     """TPC-DS query14a shape (query14a.sql): cross_items = items sold in ALL
     three channels (a chained INTERSECT), then the channel aggregate runs
-    only over that intersected item set."""
-    return _sql(spark, sf_dir, _DS_Q14)
+    only over that intersected item set.
+
+    Two-scan plan (r8): the 3-branch INTERSECT is one partkey-grouped
+    pass (COUNT(DISTINCT channel) = 3 — channels partition every row, so
+    the three branches re-scan the same 1996 rows); the December channel
+    aggregate is the second scan, semi-joined on the intersected set."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    ch = F.expr(_CHANNEL)
+    cross_items = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .groupBy("l_partkey")
+        .agg(F.size(F.collect_set(ch)).alias("nchan"))
+        .filter(F.col("nchan") == 3)
+        .select(F.col("l_partkey").alias("ci_partkey"))
+    )
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - dec("l_discount", "decimal(6,4)"))
+    return (
+        li.filter(F.month("l_shipdate") == 12)
+        .join(cross_items, F.col("l_partkey") == F.col("ci_partkey"), "semi")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(ch.alias("channel"), F.col("p_brand"))
+        .agg(
+            dround(F.sum(rev)).alias("sales"),
+            F.count(F.lit(1)).alias("number_sales"),
+        )
+        .orderBy("channel", "p_brand")
+        .limit(200)
+    )
 
 
 _DS_Q23 = f"""
@@ -447,8 +474,25 @@ def ds_q33_channel_union_agg(spark, sf_dir):
     """TPC-DS query33 shape (query33.sql, same family as query56/query60):
     three per-channel brand aggregates UNION ALL'd, then re-aggregated to a
     single per-brand total. Decimal partials survive the union; one round
-    at the end."""
-    return _sql(spark, sf_dir, _DS_Q33)
+    at the end.
+
+    Single-scan plan (r8): the three legs differ only in the channel tag
+    and channels PARTITION every row, while the outer GROUP BY re-sums
+    the un-rounded decimal partials — so one March scan grouped by brand
+    is exact-identical to the 3-branch union, at a third of the IO."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(6,4)") - dec("l_discount", "decimal(6,4)")
+    )
+    return (
+        li.filter(F.month("l_shipdate") == 3)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(dround(F.sum(rev)).alias("total_sales"))
+        .orderBy(F.col("total_sales").desc(), "brand")
+        .limit(100)
+    )
 
 
 _DS_Q34 = f"""

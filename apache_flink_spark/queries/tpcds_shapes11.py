@@ -19,6 +19,8 @@ What each b-variant adds over its a-sibling:
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from apache_flink_spark.queries.registry import query
 from apache_flink_spark.queries.tpcds_shapes import (
     _CHANNEL,
@@ -96,8 +98,77 @@ def ds_q14b_period_over_period_intersect(spark, sf_dir):
     """TPC-DS query14b shape (query14b.sql): the cross-channel INTERSECT
     item set and the UNION-ALL global average gate BOTH sides of a
     this-period vs same-period-last-year brand self-join — 14a's set
-    instead fans out per channel."""
-    return _sql(spark, sf_dir, _DS_Q14B)
+    instead fans out per channel.
+
+    Single-scan plan (r8 — the SQL-text port above stays as the oracle):
+    the oracle's 8 lineitem branches all filter the SAME rows by channel
+    tag, so ONE year-filtered scan + broadcast part join feeds one brand-
+    keyed conditional aggregation — the 3-channel INTERSECT becomes
+    ``COUNT(DISTINCT channel) = 3`` (collect_set: avoids the expand),
+    this-year/last-year become conditional sums, and the UNION-ALL global
+    average is a whole-frame window over the TINY per-brand aggregate
+    (brand cardinality, never fact rows). The reference gets the same
+    dedup from its common-subgraph optimizer
+    (StreamCommonSubGraphBasedOptimizer.scala:47); Spark inlines repeated
+    CTEs, so the fusion lives in the builder. Plan-pinned to ≤2 lineitem
+    scans by tests/test_plan_lint.py."""
+    from pyspark.sql import Window
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    yr = F.year("l_shipdate")
+    mo = F.month("l_shipdate")
+    amt = dec("l_quantity") * dec("l_extendedprice")
+    base = (
+        li.filter(yr.isin(1999, 2000, 2001))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            F.expr(_CHANNEL).alias("channel"),
+            amt.alias("amt"),
+            (
+                (F.expr(_CHANNEL) == "store")
+                & (yr == 2000) & (mo == 12)
+            ).alias("is_ty"),
+            (
+                (F.expr(_CHANNEL) == "store")
+                & (yr == 1999) & (mo == 12)
+            ).alias("is_ly"),
+        )
+    )
+    per_brand = base.groupBy("p_brand").agg(
+        F.size(F.collect_set("channel")).alias("nchan"),
+        F.sum("amt").alias("amt_all"),
+        F.count(F.lit(1)).alias("cnt_all"),
+        F.sum(F.when(F.col("is_ty"), F.col("amt"))).alias("sum_ty"),
+        F.sum(F.when(F.col("is_ly"), F.col("amt"))).alias("sum_ly"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gated = per_brand.withColumn(
+        "average_sales",
+        dround(F.sum("amt_all").over(w)) / F.sum("cnt_all").over(w),
+    )
+    return (
+        gated.filter(
+            (F.col("nchan") == 3)
+            & F.col("sum_ty").isNotNull()
+            & F.col("sum_ly").isNotNull()
+            & (dround(F.col("sum_ty")) > F.col("average_sales"))
+            & (dround(F.col("sum_ly")) > F.col("average_sales"))
+        )
+        .select(
+            "p_brand",
+            dround(F.col("sum_ty")).alias("this_year_sales"),
+            dround(F.col("sum_ly")).alias("last_year_sales"),
+        )
+        .orderBy("p_brand")
+        .limit(100)
+    )
 
 
 _DS_Q23B = f"""
@@ -160,8 +231,85 @@ def ds_q23b_best_customer_channel_union(spark, sf_dir):
     (per item-day count HAVING) and the best-customer gate (HAVING above
     half the MAX of a per-customer aggregate) restrict a catalog+web
     UNION that is re-aggregated per customer NAME — 23a emits one
-    combined scalar instead."""
-    return _sql(spark, sf_dir, _DS_Q23B)
+    combined scalar instead.
+
+    Single-scan plan (r8): the oracle's 5 lineitem branches become ONE
+    scan + orders join into a NARROW persisted projection (channel,
+    custkey, partkey, ship day, amt — the Spark analog of the reference's
+    common-subgraph reuse, StreamCommonSubGraphBasedOptimizer.scala:47);
+    the three gate aggregations (different grouping keys, so not fusable
+    into one groupBy) each re-read the cached base instead of re-scanning
+    the fact table. The two UNION ALL channel branches collapse into one
+    aggregation: their inner per-customer DECIMAL sums are re-summed
+    un-rounded by the outer GROUP BY c_name, so summing the qualifying
+    rows directly is exact-identical."""
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    yr = F.year("l_shipdate")
+    mo = F.month("l_shipdate")
+    ch = F.expr(_CHANNEL)
+    amt = dec("l_quantity") * dec("l_extendedprice")
+    tagged = (
+        li.filter(
+            (ch == "store")
+            | (ch.isin("catalog", "web") & (yr == 2000) & (mo == 2))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            ch.alias("channel"),
+            "o_custkey",
+            "l_partkey",
+            "l_shipdate",
+            yr.alias("yr"),
+            amt.alias("amt"),
+        )
+        .persist()
+    )
+    store = tagged.filter(F.col("channel") == "store")
+    freq = (
+        store.filter(F.col("yr").isin(1998, 1999, 2000, 2001))
+        .groupBy("l_partkey", "l_shipdate")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select(F.col("l_partkey").alias("item_sk"))
+        .distinct()
+    )
+    cust = store.groupBy("o_custkey").agg(
+        F.sum("amt").alias("sum_all"),
+        F.sum(
+            F.when(F.col("yr").isin(1998, 1999, 2000, 2001), F.col("amt"))
+        ).alias("sum_y"),
+    )
+    cmax = cust.agg(F.max(dround(F.col("sum_y"))).alias("tpcds_cmax"))
+    best = (
+        cust.join(F.broadcast(cmax))
+        .filter(
+            dround(F.col("sum_all"))
+            > F.lit(0.5).cast("double") * F.col("tpcds_cmax")
+        )
+        .select(F.col("o_custkey").alias("cust"))
+    )
+    # gate sets are aggregated intermediates (item- / customer-dimension
+    # bounded, never fact-sized) — left to AQE, which broadcasts them when
+    # small and shuffle-joins when a 100 TB run makes them wide
+    qualifying = (
+        tagged.filter(F.col("channel").isin("catalog", "web"))
+        .join(freq, F.col("l_partkey") == F.col("item_sk"), "semi")
+        .join(best, F.col("o_custkey") == F.col("cust"), "semi")
+    )
+    return (
+        qualifying.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy("c_name")
+        .agg(dround(F.sum("amt")).alias("sales"))
+        .orderBy("c_name", "sales")
+        .limit(100)
+    )
 
 
 _DS_Q24B = f"""

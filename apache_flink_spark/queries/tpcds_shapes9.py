@@ -67,20 +67,75 @@ _DS_Q60 = _q56_like("item_id, total_sales", "8, 23, 42", 9, 1998,
                     "'NATION_1', 'NATION_19'")
 
 
+def _q56_like_df(spark, sf_dir, order_cols, sizes, moy, year, nations):
+    """Single-scan form of the q33/q56/q60 channel-union family (r8): the
+    three legs differ only in the channel tag, channels PARTITION every
+    row, and the outer GROUP BY re-sums un-rounded decimal partials — so
+    one scan grouped by brand is exact-identical at a third of the IO.
+    The p_type IN-subquery becomes one broadcast semi-join (the oracle
+    text repeats it per branch)."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    types = part.filter(F.col("p_size").isin(*sizes)).select("p_type").distinct()
+    rev = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(6,4)") - dec("l_discount", "decimal(6,4)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(types), "p_type", "semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.year("o_orderdate") == year) & (F.month("o_orderdate") == moy)
+        )
+        .join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.filter(F.col("n_name").isin(*nations))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("p_brand").alias("item_id"))
+        .agg(dround(F.sum(rev)).alias("total_sales"))
+        .orderBy(*order_cols)
+        .limit(100)
+    )
+
+
 @query("ds_q56_channel_union_itemlist", oracle=_DS_Q56)
 def ds_q56_channel_union_itemlist(spark, sf_dir):
     """TPC-DS query56 shape (query56.sql): per-channel aggregates over an
     item set defined by an IN-subquery (repeated in each channel branch,
     which the planner should evaluate once), UNION ALL'd and re-agged;
-    ordered by the measure."""
-    return _sql(spark, sf_dir, _DS_Q56)
+    ordered by the measure. Spark side runs the fused single-scan form
+    (_q56_like_df); the 3-branch SQL text stays as the oracle."""
+    from pyspark.sql import functions as F
+
+    return _q56_like_df(
+        spark, sf_dir, [F.col("total_sales"), F.col("item_id")],
+        (3, 17, 29), 2, 2001, ("NATION_5", "NATION_14"),
+    )
 
 
 @query("ds_q60_channel_union_by_item", oracle=_DS_Q60)
 def ds_q60_channel_union_by_item(spark, sf_dir):
     """TPC-DS query60 shape (query60.sql): the item-ordered member of the
-    q33/q56/q60 channel-union family, different item predicate."""
-    return _sql(spark, sf_dir, _DS_Q60)
+    q33/q56/q60 channel-union family, different item predicate. Fused
+    single-scan form; 3-branch SQL stays as the oracle."""
+    from pyspark.sql import functions as F
+
+    return _q56_like_df(
+        spark, sf_dir, [F.col("item_id"), F.col("total_sales")],
+        (8, 23, 42), 9, 1998, ("NATION_1", "NATION_19"),
+    )
 
 
 _DS_Q57 = f"""
@@ -363,8 +418,33 @@ def ds_q71_union_time_slots(spark, sf_dir):
     """TPC-DS query71 shape (query71.sql): three channel branches UNION
     ALL'd FIRST, then joined to the item and time dimensions (breakfast/
     dinner slots -> early/late days of month) — the dim joins sit above
-    the union, so pushdown must replicate them into each branch."""
-    return _sql(spark, sf_dir, _DS_Q71)
+    the union, so pushdown must replicate them into each branch.
+
+    Single-scan form (r8): the three branches differ only in the channel
+    tag and channels PARTITION every row, so the union is the plain
+    Dec-1998 filter — one scan instead of three."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    dom = F.dayofmonth("l_shipdate").cast("bigint")
+    return (
+        li.filter(
+            (F.month("l_shipdate") == 12) & (F.year("l_shipdate") == 1998)
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_size") == 15)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter((dom <= 7) | (dom >= 21))
+        .groupBy("p_brand", dom.alias("dom"))
+        .agg(dround(F.sum(dec("l_extendedprice"))).alias("ext_price"))
+        .orderBy(F.col("ext_price").desc(), "p_brand", "dom")
+        .limit(100)
+    )
 
 
 _WEEK_OF = (
