@@ -62,11 +62,21 @@ _UNIT_US = {
 @dataclass
 class _Elem:
     name: str
-    contiguity: str  # "begin" | "next" | "followed_by" | "not_followed_by"
+    # "begin" | "next" | "followed_by" | "not_followed_by" | "not_next"
+    contiguity: str
     conds: list[str] = field(default_factory=list)
     or_conds: list[str] = field(default_factory=list)
     until_conds: list[str] = field(default_factory=list)
     quant: str = ""  # "", "+", "?", "{n}", "{n,m}" (+ trailing "?" lazy)
+    # consecutive() — strict INTERNAL contiguity for the looping element.
+    # False is the reference DEFAULT (Quantifier.java:49 SKIP_TILL_NEXT:
+    # non-matching rows between loop iterations are skipped).
+    strict_inner: bool = False
+    # group element (GroupPattern.java:30): inner Pattern compiled to a
+    # parenthesized, quantified PATTERN group; name is "" for groups.
+    group: "Pattern | None" = None
+    # notNext guard hoisted onto this element (set during compile)
+    not_next_cond: str | None = None
 
     def condition_sql(self) -> str:
         base = " AND ".join(f"({c})" for c in self.conds) or "TRUE"
@@ -78,6 +88,15 @@ class _Elem:
             # (the reference applies the stop check per event regardless
             # of which condition accepted it — r7 review)
             base = f"({base}) AND (NOT ({u}))"
+        if self.not_next_cond:
+            # notNext(N) (Pattern.java notNext): the row PHYSICALLY next
+            # after this element must not satisfy N's condition — NEXT
+            # navigation evaluates it on the successor row; COALESCE makes
+            # "no next row" pass (absence of an event is not a violation)
+            base = (
+                f"({base}) AND (NOT COALESCE(({self.not_next_cond}), "
+                "FALSE))"
+            )
         return base
 
 
@@ -93,32 +112,69 @@ class Pattern:
     # -- construction ------------------------------------------------
 
     @staticmethod
-    def begin(name: str) -> "Pattern":
+    def begin(name_or_pattern: "str | Pattern") -> "Pattern":
         p = Pattern()
-        p._elems.append(_Elem(name=p._check_name(name), contiguity="begin"))
+        p._append("begin", name_or_pattern)
         return p
+
+    def _names(self) -> list[str]:
+        out: list[str] = []
+        for e in self._elems:
+            if e.group is not None:
+                out.extend(e.group._names())
+            elif e.name:
+                out.append(e.name)
+        return out
 
     def _check_name(self, name: str) -> str:
         if not re.fullmatch(r"[A-Za-z_]\w*", name):
             raise CepError(f"pattern name {name!r} is not an identifier")
-        if any(e.name.upper() == name.upper() for e in self._elems):
+        if any(n.upper() == name.upper() for n in self._names()):
             raise CepError(
                 f"pattern name {name!r} already used (the reference "
                 "rejects duplicate pattern names too)"
             )
         return name
 
-    def next(self, name: str) -> "Pattern":
-        """Strict contiguity (Pattern.java:240)."""
-        self._elems.append(_Elem(name=self._check_name(name),
-                                 contiguity="next"))
+    def _append(self, contiguity: str, name_or_pattern) -> None:
+        if isinstance(name_or_pattern, Pattern):
+            # GroupPattern (flink-cep .../pattern/GroupPattern.java:30 —
+            # Pattern.begin(Pattern) / followedBy(Pattern) / next(Pattern)):
+            # the inner pattern compiles to a parenthesized PATTERN group;
+            # quantifiers then apply to the whole group.
+            inner = name_or_pattern
+            if inner._within is not None:
+                raise CepError(
+                    "within() on an inner group pattern is not supported "
+                    "— declare the horizon on the OUTER pattern"
+                )
+            for n in inner._names():
+                self._check_name(n)
+            if contiguity == "not_followed_by" or contiguity == "not_next":
+                raise CepError(
+                    "negative group patterns are not supported (the "
+                    "reference forbids notFollowedBy(Pattern) too)"
+                )
+            self._elems.append(
+                _Elem(name="", contiguity=contiguity, group=inner)
+            )
+            return
+        self._elems.append(
+            _Elem(name=self._check_name(name_or_pattern),
+                  contiguity=contiguity)
+        )
+
+    def next(self, name_or_pattern: "str | Pattern") -> "Pattern":
+        """Strict contiguity (Pattern.java:240). Accepts a nested Pattern
+        (GroupPattern.java:30)."""
+        self._append("next", name_or_pattern)
         return self
 
-    def followed_by(self, name: str) -> "Pattern":
+    def followed_by(self, name_or_pattern: "str | Pattern") -> "Pattern":
         """Relaxed contiguity (Pattern.java:258): other events may occur
-        between the previous element and this one."""
-        self._elems.append(_Elem(name=self._check_name(name),
-                                 contiguity="followed_by"))
+        between the previous element and this one. Accepts a nested
+        Pattern (GroupPattern.java:30)."""
+        self._append("followed_by", name_or_pattern)
         return self
 
     def not_followed_by(self, name: str) -> "Pattern":
@@ -130,11 +186,33 @@ class Pattern:
         return self
 
     def not_next(self, name: str) -> "Pattern":
-        raise CepError(
-            "notNext is not supported — its stop state inspects exactly "
-            "one physical row; express it as a PREV() predicate on the "
-            "following variable in SQL MATCH_RECOGNIZE instead"
-        )
+        """Negative pattern with STRICT contiguity (Pattern.java notNext):
+        the match is discarded when the event PHYSICALLY next after the
+        previous element satisfies this element's condition. Compiles
+        into the previous element's DEFINE as a NEXT()-navigation guard
+        (r8 — automated; previously a loud error), so it needs no extra
+        pattern variable and works in any position, including trailing."""
+        prev = self._last()
+        if prev.contiguity in ("not_followed_by", "not_next"):
+            raise CepError(
+                "notNext cannot follow another negative pattern (the "
+                "reference rejects consecutive negative patterns too)"
+            )
+        if prev.group is not None:
+            raise CepError(
+                "notNext after a group pattern is not supported — the "
+                "guard binds to a single pattern variable; name the "
+                "group's last element and attach notNext after it"
+            )
+        if prev.quant not in ("", "{1}"):
+            raise CepError(
+                "notNext after a quantified element is not supported — "
+                "the NEXT() guard would apply to every repetition row, "
+                "not just the last; restructure with followedBy"
+            )
+        self._elems.append(_Elem(name=self._check_name(name),
+                                 contiguity="not_next"))
+        return self
 
     # -- conditions / quantifiers (apply to the LAST element) ---------
 
@@ -144,18 +222,31 @@ class Pattern:
         return self._elems[-1]
 
     def where(self, condition_sql: str) -> "Pattern":
-        self._last().conds.append(condition_sql)
+        e = self._last()
+        if e.group is not None:
+            raise CepError(
+                "where() on a group pattern is not supported (the "
+                "reference's GroupPattern rejects conditions too) — "
+                "attach conditions to the inner pattern's elements"
+            )
+        e.conds.append(condition_sql)
         return self
 
     def or_where(self, condition_sql: str) -> "Pattern":
-        self._last().or_conds.append(condition_sql)
+        e = self._last()
+        if e.group is not None:
+            raise CepError(
+                "or_where() on a group pattern is not supported — attach "
+                "conditions to the inner pattern's elements"
+            )
+        e.or_conds.append(condition_sql)
         return self
 
     def _set_quant(self, q: str) -> None:
         e = self._last()
-        if e.contiguity == "not_followed_by":
+        if e.contiguity in ("not_followed_by", "not_next"):
             raise CepError(
-                "quantifiers on notFollowedBy are not supported (the "
+                "quantifiers on negative patterns are not supported (the "
                 "reference rejects optional negative patterns too)"
             )
         if e.quant:
@@ -186,22 +277,23 @@ class Pattern:
         return self
 
     def consecutive(self) -> "Pattern":
-        """Pattern.java consecutive(): strict internal contiguity for the
-        looping element. Quantifiers here COMPILE to MATCH_RECOGNIZE
-        repetitions, which are consecutive by construction — so this is
-        the (already-active) default and the call is a no-op kept for
-        source compatibility. The reference's RELAXED internal contiguity
-        (its oneOrMore default, skipping non-matching rows inside the
-        loop) is the unsupported direction — see allow_combinations()."""
+        """Pattern.java consecutive() (Quantifier.java:113): STRICT
+        internal contiguity for the looping element — the upgrade from
+        the RELAXED default (Quantifier.java:49 SKIP_TILL_NEXT, under
+        which non-matching rows between loop iterations are skipped).
+        r8: a real flag — relaxed loops compile to gap-interleaved
+        repetitions ``A (G*? A)*``; consecutive() drops the gap so the
+        repetition is a plain MATCH_RECOGNIZE quantifier."""
+        self._last().strict_inner = True
         return self
 
     def allow_combinations(self) -> "Pattern":
         raise CepError(
-            "allowCombinations / relaxed internal contiguity is not "
-            "supported — quantifiers compile to MATCH_RECOGNIZE "
-            "repetitions, which are consecutive; interleave an explicit "
-            "gap variable (followedBy) or use the batch MATCH_RECOGNIZE "
-            "alternation syntax instead"
+            "allowCombinations (SKIP_TILL_ANY — every subset of loop "
+            "rows is a separate match) is not supported: the match "
+            "enumeration is exponential by design and MATCH_RECOGNIZE "
+            "has no analog; the DEFAULT relaxed contiguity "
+            "(SKIP_TILL_NEXT) is active without any call"
         )
 
     def until(self, condition_sql: str) -> "Pattern":
@@ -210,8 +302,15 @@ class Pattern:
         Compiles by strengthening the element's predicate with
         NOT(condition): identical acceptance for every row the loop
         consumes (the reference also applies until as a per-event stop
-        check)."""
+        check). Under the relaxed default the gap variable carries the
+        same NOT(condition) — the reference guards IGNORE transitions
+        with the until condition too (NFACompiler)."""
         e = self._last()
+        if e.group is not None:
+            raise CepError(
+                "until() on a group pattern is not supported — attach "
+                "the stop condition to the inner looping element"
+            )
         if not e.quant:
             raise CepError("until() needs a preceding quantifier")
         e.until_conds.append(condition_sql)
@@ -232,6 +331,35 @@ class Pattern:
         return self
 
 
+_SQL_KEYWORDS = frozenset(
+    "and or not null true false is in like rlike between case when then "
+    "else end cast as interval distinct exists all any some".split()
+)
+
+
+def _ident_wrap(cond: str, wrap) -> str:
+    """Rewrite bare column identifiers in a SQL boolean expression via
+    ``wrap`` (used to turn a notNext condition into NEXT() navigation).
+    Skips single-quoted literals, SQL keywords, and function calls."""
+    segs = re.split(r"('[^']*')", cond)
+    out: list[str] = []
+    for i, seg in enumerate(segs):
+        if i % 2:
+            out.append(seg)
+            continue
+
+        def sub(m: re.Match) -> str:
+            w = m.group(0)
+            if w.lower() in _SQL_KEYWORDS:
+                return w
+            if seg[m.end():].lstrip().startswith("("):
+                return w  # function call
+            return wrap(w)
+
+        out.append(re.sub(r"\b[A-Za-z_]\w*\b", sub, seg))
+    return "".join(out)
+
+
 def pattern_to_match_recognize(
     pattern: Pattern,
     table: str,
@@ -242,7 +370,15 @@ def pattern_to_match_recognize(
 ) -> str:
     """Compile a Pattern to a MATCH_RECOGNIZE statement. Default AFTER
     MATCH is SKIP TO NEXT ROW — the reference CEP's no-skip strategy
-    (every start row may begin a match)."""
+    (every start row may begin a match).
+
+    r8 contiguity parity: looping quantifiers compile under RELAXED
+    internal contiguity by default (Quantifier.java:49 SKIP_TILL_NEXT) as
+    gap-interleaved repetitions ``A (G*? A)*``; ``consecutive()``
+    (Quantifier.java:113) drops the gap. Group patterns
+    (GroupPattern.java:30) compile to parenthesized PATTERN groups;
+    ``notNext`` hoists a NEXT()-navigation guard onto the previous
+    element's DEFINE."""
     elems = pattern._elems
     if not elems:
         raise CepError("empty pattern")
@@ -251,31 +387,130 @@ def pattern_to_match_recognize(
             "trailing notFollowedBy compiles to a window scan, not "
             "MATCH_RECOGNIZE — use cep_select (it picks the right plan)"
         )
+    used = {n.upper() for n in pattern._names()}
     pat_parts: list[str] = []
     defines: list[str] = []
-    gap_i = 0
-    for i, e in enumerate(elems):
-        if e.contiguity == "not_followed_by":
-            nxt = elems[i + 1]
-            if nxt.contiguity != "followed_by":
-                raise CepError(
-                    "notFollowedBy must be followed by followedBy (the "
-                    "reference forbids notFollowedBy+next adjacency too)"
+    seen_defs: set[str] = set()
+    gap_state = [0]
+
+    def new_gap() -> str:
+        while True:
+            g = f"G{gap_state[0]}"
+            gap_state[0] += 1
+            if g.upper() not in used:
+                used.add(g.upper())
+                return g
+
+    def add_def(text: str) -> None:
+        name = text.split(" AS ", 1)[0]
+        if name not in seen_defs:
+            seen_defs.add(name)
+            defines.append(text)
+
+    def expand_quant(atom: str, quant: str, strict: bool,
+                     gap_def: str) -> str:
+        """Relaxed loop expansion: atom{q} -> atom (G*? atom){q-1} with
+        G defined as the loop's skip condition. Single-occurrence forms
+        and consecutive() loops pass through unchanged."""
+        if not quant or quant in ("?", "??"):
+            return f"{atom}{quant}"
+        lazy = ""
+        q = quant
+        if q.endswith("?") and q not in ("?", "??"):
+            lazy = "?"
+            q = q[:-1]
+        if strict:
+            return f"{atom}{q}{lazy}"
+        if q == "+":
+            n: int = 1
+            mx: int | None = None
+        else:
+            mm = re.fullmatch(r"\{(\d+)(?:(,)(\d*))?\}", q)
+            n = int(mm.group(1))
+            if not mm.group(2):
+                mx = n
+            elif mm.group(3):
+                mx = int(mm.group(3))
+            else:
+                mx = None
+        if mx is not None and mx == 0:
+            raise CepError(f"degenerate quantifier {quant!r}")
+        if mx == 1:
+            return f"{atom}?{lazy}" if n == 0 else atom
+        g = new_gap()
+        add_def(f"{g} AS {gap_def}")
+        rep = f"({g}*? {atom})"
+        if n == 0:
+            inner = f"{{0,{mx - 1}}}" if mx is not None else "*"
+            return f"( {atom} {rep}{inner} )?{lazy}"
+        if mx == n:
+            bound = f"{{{n - 1}}}"
+        elif mx is None:
+            bound = "*" if n == 1 else f"{{{n - 1},}}"
+        else:
+            bound = f"{{{n - 1},{mx - 1}}}"
+        return f"{atom} {rep}{bound}{lazy}"
+
+    def emit(elem_list: list[_Elem], parts: list[str]) -> None:
+        # pre-pass: hoist each notNext guard onto its previous element
+        # (build-time validation pinned the previous element as a plain
+        # single-occurrence positive variable)
+        guards: dict[int, str] = {}
+        for i, e in enumerate(elem_list):
+            if e.contiguity == "not_next":
+                prev = elem_list[i - 1]
+                guards[i - 1] = _ident_wrap(
+                    e.condition_sql(),
+                    lambda c, v=prev.name: f"NEXT({v}.{c})",
                 )
-            gap = f"G{gap_i}"
-            gap_i += 1
-            pat_parts.append(f"{gap}*?")
-            defines.append(f"{gap} AS NOT ({e.condition_sql()})")
-            continue
-        if e.contiguity == "followed_by" and not (
-            i > 0 and elems[i - 1].contiguity == "not_followed_by"
-        ):
-            gap = f"G{gap_i}"
-            gap_i += 1
-            pat_parts.append(f"{gap}*?")
-            defines.append(f"{gap} AS TRUE")
-        pat_parts.append(f"{e.name}{e.quant}")
-        defines.append(f"{e.name} AS {e.condition_sql()}")
+        for i, e in enumerate(elem_list):
+            if e.contiguity == "not_next":
+                continue
+            if e.contiguity == "not_followed_by":
+                if i + 1 >= len(elem_list):
+                    raise CepError(
+                        "trailing notFollowedBy requires the cep_select "
+                        "window-scan plan"
+                    )
+                nxt = elem_list[i + 1]
+                if nxt.contiguity != "followed_by":
+                    raise CepError(
+                        "notFollowedBy must be followed by followedBy "
+                        "(the reference forbids notFollowedBy+next "
+                        "adjacency too)"
+                    )
+                gap = new_gap()
+                parts.append(f"{gap}*?")
+                add_def(f"{gap} AS NOT ({e.condition_sql()})")
+                continue
+            if e.contiguity == "followed_by" and not (
+                i > 0 and elem_list[i - 1].contiguity == "not_followed_by"
+            ):
+                gap = new_gap()
+                parts.append(f"{gap}*?")
+                add_def(f"{gap} AS TRUE")
+            if e.group is not None:
+                inner_parts: list[str] = []
+                emit(e.group._elems, inner_parts)
+                atom = f"( {' '.join(inner_parts)} )"
+                parts.append(
+                    expand_quant(atom, e.quant, e.strict_inner, "TRUE")
+                )
+                continue
+            cond = e.condition_sql()
+            if i in guards:
+                cond = f"({cond}) AND (NOT COALESCE(({guards[i]}), FALSE))"
+            # gap skip condition: TRUE, tightened by until() — the
+            # reference guards IGNORE transitions with until too
+            gap_def = "TRUE"
+            for u in e.until_conds:
+                gap_def = f"({gap_def}) AND (NOT ({u}))"
+            parts.append(
+                expand_quant(e.name, e.quant, e.strict_inner, gap_def)
+            )
+            add_def(f"{e.name} AS {cond}")
+
+    emit(list(elems), pat_parts)
     within = ""
     if pattern._within:
         n, u = pattern._within

@@ -83,7 +83,11 @@ _BODY_RE = re.compile(
     r"(?:(?P<mode>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
     r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW"
     r"|TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
-    r"PATTERN\s*\(\s*(?P<pat>(?:[^()]|\([^()]*\))*?)\s*\)\s+"
+    # pattern text: up to 3 paren-nesting levels (r8 — nested sequence
+    # groups like (A (G*? A)*) need depth 2; quantified groups of
+    # relaxed loops need depth 3)
+    r"PATTERN\s*\(\s*(?P<pat>(?:[^()]"
+    r"|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))*?)\s*\)\s+"
     r"(?:WITHIN\s+INTERVAL\s*'(?P<within_n>\d+)'\s*(?P<within_u>\w+)\s+)?"
     r"(?:SUBSET\s+(?P<subset>.+?)\s+)?"
     r"DEFINE\s+(?P<defs>.+)$",
@@ -190,6 +194,245 @@ def _parse_pattern(
     if not toks:
         raise MatchRecognizeError("empty PATTERN")
     return toks
+
+
+# ---------------------------------------------------------------- r8:
+# nested pattern grammar. The SQL standard (and the reference's Calcite
+# grammar, parserImpls.ftl) allows parenthesized SEQUENCE groups with
+# quantifiers and alternation of sequences — PATTERN (A (G*? A)* B),
+# PATTERN ((A B)+ C). The flat token list above stays the fast path; a
+# pattern with nested structure compiles to a small backtracking VM
+# (reference NFACompiler.java builds the analogous NFA states).
+
+_QUANT_RE = re.compile(r"[+*?]\??|\{\s*\d+\s*(?:,\s*\d*)?\s*\}\??")
+_WORD_RE = re.compile(r"\w+")
+
+# tree nodes:
+#   ("var", alts: tuple[str, ...], lo, hi, greedy)
+#   ("seq", [children])
+#   ("group", child, lo, hi, greedy)
+#   ("alt", [children])              # leftmost-preference branches
+
+
+def _parse_pattern_tree(pat: str):
+    s = pat.strip()
+    pos = [0]
+
+    def _ws():
+        while pos[0] < len(s) and s[pos[0]].isspace():
+            pos[0] += 1
+
+    def _peek():
+        _ws()
+        return s[pos[0]] if pos[0] < len(s) else None
+
+    def _quant():
+        _ws()
+        m = _QUANT_RE.match(s, pos[0])
+        if not m:
+            return (1, 1, True)
+        pos[0] = m.end()
+        return _parse_quant(m.group(0))
+
+    def parse_alt():
+        branches = [parse_seq()]
+        while _peek() == "|":
+            pos[0] += 1
+            branches.append(parse_seq())
+        return branches[0] if len(branches) == 1 else ("alt", branches)
+
+    def parse_seq():
+        items = []
+        while _peek() not in (")", "|", None):
+            items.append(parse_elem())
+        if not items:
+            raise MatchRecognizeError(
+                f"empty pattern sequence in PATTERN near: {s[pos[0]:]!r}"
+            )
+        return items[0] if len(items) == 1 else ("seq", items)
+
+    def parse_elem():
+        ch = _peek()
+        if ch == "(":
+            pos[0] += 1
+            inner = parse_alt()
+            if _peek() != ")":
+                raise MatchRecognizeError(
+                    f"unbalanced parentheses in PATTERN: {pat!r}"
+                )
+            pos[0] += 1
+            lo, hi, greedy = _quant()
+            # (A|B|C) with plain single-occurrence vars stays a flat
+            # alternation element (the leftmost-preference branch set)
+            if inner[0] == "alt" and all(
+                b[0] == "var" and b[2:] == (1, 1, True) and len(b[1]) == 1
+                for b in inner[1]
+            ):
+                alts = tuple(b[1][0] for b in inner[1])
+                if len(set(alts)) != len(alts):
+                    raise MatchRecognizeError(
+                        f"duplicate variable in alternation: {alts}"
+                    )
+                return ("var", alts, lo, hi, greedy)
+            if inner[0] == "var" and (lo, hi, greedy) == (1, 1, True):
+                return inner
+            if (lo, hi, greedy) == (1, 1, True):
+                return inner
+            return ("group", inner, lo, hi, greedy)
+        _ws()
+        m = _WORD_RE.match(s, pos[0])
+        if not m:
+            raise MatchRecognizeError(
+                f"unsupported PATTERN syntax near: {s[pos[0]:]!r}"
+            )
+        pos[0] = m.end()
+        lo, hi, greedy = _quant()
+        return ("var", (m.group(0),), lo, hi, greedy)
+
+    root = parse_alt()
+    _ws()
+    if pos[0] != len(s):
+        raise MatchRecognizeError(
+            f"unsupported PATTERN syntax near: {s[pos[0]:]!r}"
+        )
+    return root
+
+
+def _tree_flat(node):
+    """Flat [(alts, (lo, hi), greedy)] list when the tree has no nested
+    structure (the existing vectorized matchers), else None."""
+    items = node[1] if node[0] == "seq" else [node]
+    out = []
+    for it in items:
+        if it[0] != "var":
+            return None
+        out.append((it[1], (it[2], it[3]), it[4]))
+    return out
+
+
+def _tree_vars(node) -> set[str]:
+    k = node[0]
+    if k == "var":
+        return set(node[1])
+    if k == "group":
+        return _tree_vars(node[1])
+    return set().union(*(_tree_vars(c) for c in node[1]))
+
+
+def _anchor_alts(node):
+    """Variables one of which MUST label the first row of any match (for
+    candidate-start pruning), or None when the pattern can start with an
+    optional element."""
+    k = node[0]
+    if k == "var":
+        return node[1] if node[2] >= 1 else None
+    if k == "seq":
+        return _anchor_alts(node[1][0])
+    if k == "group":
+        return _anchor_alts(node[1]) if node[2] >= 1 else None
+    branch = [_anchor_alts(b) for b in node[1]]
+    if any(b is None for b in branch):
+        return None
+    return tuple(dict.fromkeys(v for b in branch for v in b))
+
+
+def _compile_vm(node):
+    """Tree -> backtracking VM program. Ops:
+      ("row", alts)       consume one row labeled with the leftmost
+                          satisfying alternative (no backtrack over labels
+                          — same preference rule as the flat matchers)
+      ("split", a, b)     try pc=a first; on failure resume at pc=b
+      ("jmp", a)
+      ("setreg", k)       loop-entry position register
+      ("chkreg", k)       fail the branch when no row was consumed since
+                          setreg k (empty-loop guard)
+      ("match",)
+    Bounded quantifiers unroll (pattern sizes are tiny); unbounded ones
+    loop with the empty-loop guard."""
+    prog: list[tuple] = []
+    nregs = [0]
+
+    def emit(op) -> int:
+        prog.append(op)
+        return len(prog) - 1
+
+    def comp(nd) -> None:
+        k = nd[0]
+        if k == "var":
+            _, alts, lo, hi, greedy = nd
+            for _ in range(lo):
+                emit(("row", alts))
+            if hi is None:
+                l1 = emit(None)
+                emit(("row", alts))
+                emit(("jmp", l1))
+                end = len(prog)
+                prog[l1] = (
+                    ("split", l1 + 1, end) if greedy
+                    else ("split", end, l1 + 1)
+                )
+            else:
+                sps = []
+                for _ in range(hi - lo):
+                    sps.append(emit(None))
+                    emit(("row", alts))
+                end = len(prog)
+                for sp in sps:
+                    prog[sp] = (
+                        ("split", sp + 1, end) if greedy
+                        else ("split", end, sp + 1)
+                    )
+        elif k == "seq":
+            for c in nd[1]:
+                comp(c)
+        elif k == "alt":
+            jmps = []
+            for i, b in enumerate(nd[1]):
+                last = i == len(nd[1]) - 1
+                sp = None if last else emit(None)
+                comp(b)
+                if not last:
+                    jmps.append(emit(None))
+                    prog[sp] = ("split", sp + 1, len(prog))
+            end = len(prog)
+            for j in jmps:
+                prog[j] = ("jmp", end)
+        elif k == "group":
+            _, child, lo, hi, greedy = nd
+            for _ in range(lo):
+                comp(child)
+            reg = nregs[0]
+            nregs[0] += 1
+            if hi is None:
+                l1 = emit(("setreg", reg))
+                sp = emit(None)
+                comp(child)
+                emit(("chkreg", reg))
+                emit(("jmp", l1))
+                end = len(prog)
+                prog[sp] = (
+                    ("split", sp + 1, end) if greedy
+                    else ("split", end, sp + 1)
+                )
+            else:
+                sps = []
+                for _ in range(hi - lo):
+                    emit(("setreg", reg))
+                    sps.append(emit(None))
+                    comp(child)
+                    emit(("chkreg", reg))
+                end = len(prog)
+                for sp in sps:
+                    prog[sp] = (
+                        ("split", sp + 1, end) if greedy
+                        else ("split", end, sp + 1)
+                    )
+        else:  # pragma: no cover
+            raise MatchRecognizeError(f"unknown pattern node {k!r}")
+
+    comp(node)
+    emit(("match",))
+    return prog, nregs[0]
 
 
 def _parse_measures(meas: str):
@@ -675,13 +918,21 @@ def compile_match_recognize(
             (om.group(1), bool(om.group(2)) and om.group(2).upper() == "DESC")
         )
     order_cols = [c for c, _ in order_specs]
+    vm_prog = vm_nregs = vm_anchor = None
     if permute_vars is not None:
         # downstream machinery sees k single-variable {1,1} elements;
         # the matcher itself switches to the permutation search.
         pattern = [((v,), (1, 1), True) for v in permute_vars]
+        variables = {v for alts, _, _ in pattern for v in alts}
     else:
-        pattern = _parse_pattern(m.group("pat"))
-    variables = {v for alts, _, _ in pattern for v in alts}
+        tree = _parse_pattern_tree(m.group("pat"))
+        pattern = _tree_flat(tree)
+        variables = _tree_vars(tree)
+        if pattern is None:
+            # nested structure (quantified sequence groups / alternation
+            # of sequences): the backtracking VM path
+            vm_prog, vm_nregs = _compile_vm(tree)
+            vm_anchor = _anchor_alts(tree)
     measures = _parse_measures(m.group("meas"))
     src_col_names = {f.name for f in source.schema.fields}
     defines, nav_cols, cross_defs = _parse_defines(
@@ -699,7 +950,9 @@ def compile_match_recognize(
                 raise MatchRecognizeError(
                     f"AFTER MATCH SKIP TO {which} {var}: unknown variable"
                 )
-            first_alts, (first_lo, _fh), _fg = pattern[0]
+            first_alts, (first_lo, _fh), _fg = (
+                pattern[0] if pattern is not None else ((), (0, None), True)
+            )
             if which == "FIRST" and first_alts == (var,) and first_lo >= 1:
                 # The skip target would always be the match start — the
                 # reference rejects this as a guaranteed infinite loop.
@@ -821,7 +1074,7 @@ def compile_match_recognize(
             "horizon scans forward in event time)"
         )
 
-    pat = list(pattern)
+    pat = list(pattern) if pattern is not None else None
     meas = list(measures)
     parts = list(part_cols)
     meas_cols = sorted({c for _, _, c, _, _ in meas if c is not None})
@@ -872,7 +1125,7 @@ def compile_match_recognize(
         # label-independent); the matched row is LABELED with the leftmost
         # matching alternative (the reference's branch preference).
         elem_ok = []
-        for alts, _q, _g in pat:
+        for alts, _q, _g in (pat or []):
             ok = sat[alts[0]]
             for v in alts[1:]:
                 ok = ok | sat[v]
@@ -1047,6 +1300,71 @@ def compile_match_recognize(
             assign = {v: sorted(idxs) for v, idxs in assign.items()}
             return assign, end
 
+        def try_match_vm(start: int, limit: int):
+            """Backtracking VM for patterns with nested sequence groups
+            (r8 — PATTERN (A (G*? A)* B), quantified GroupPattern groups,
+            alternation of sequences). Explicit-stack regex backtracking:
+            state is (pc, row index, bind-trail length, loop registers);
+            labels take the leftmost satisfying alternative with no
+            backtrack over label choice (same preference as the flat
+            matchers); the empty-loop guard (chkreg) kills a loop
+            iteration that consumed no rows."""
+            binds: dict[str, list[int]] = {}
+            trail: list[str] = []
+            bstack: list[tuple] = []
+            regs = [-1] * vm_nregs
+            pc, ri = 0, start
+
+            def _backtrack():
+                nonlocal pc, ri, regs
+                if not bstack:
+                    return False
+                pc, ri, tl, regs = bstack.pop()
+                while len(trail) > tl:
+                    binds[trail.pop()].pop()
+                return True
+
+            while True:
+                op = vm_prog[pc]
+                o = op[0]
+                if o == "row":
+                    hit = None
+                    if ri < limit:
+                        for a in op[1]:
+                            if ok_fn(a, ri, binds):
+                                hit = a
+                                break
+                    if hit is None:
+                        if not _backtrack():
+                            return None
+                        continue
+                    binds.setdefault(hit, []).append(ri)
+                    trail.append(hit)
+                    ri += 1
+                    pc += 1
+                elif o == "split":
+                    bstack.append((op[2], ri, len(trail), regs[:]))
+                    pc = op[1]
+                elif o == "jmp":
+                    pc = op[1]
+                elif o == "setreg":
+                    regs[op[1]] = ri
+                    pc += 1
+                elif o == "chkreg":
+                    if regs[op[1]] == ri:
+                        if not _backtrack():
+                            return None
+                    else:
+                        pc += 1
+                else:  # match
+                    if ri > start:
+                        return (
+                            {v: list(ix) for v, ix in binds.items() if ix},
+                            ri,
+                        )
+                    if not _backtrack():
+                        return None
+
         def try_match_permute(start: int, limit: int):
             """PERMUTE(v1..vk): the k rows from ``start`` must satisfy some
             permutation of the variables; permutations are tried in
@@ -1075,8 +1393,21 @@ def compile_match_recognize(
         # canonical V query). Falls back to the linear scan when a
         # variable-length element precedes every selective one.
         cand_idx = None
+        if vm_prog is not None and vm_anchor is not None:
+            # VM path: a match must START with a row satisfying one of the
+            # anchor alternatives (own-row precomputed booleans) — numpy
+            # jump to candidates instead of a Python row-walk. Cross-
+            # variable anchor predicates would see empty binds at the
+            # match start, same as the matcher itself, so sat[] is exact
+            # for starts only when the anchor variable is own-row; skip
+            # pruning otherwise.
+            if all(v not in cross_codes for v in vm_anchor):
+                ok = sat[vm_anchor[0]]
+                for v in vm_anchor[1:]:
+                    ok = ok | sat[v]
+                cand_idx = np.flatnonzero(ok)
         _off = 0
-        for _pi, (_alts, (_lo, _hi), _g) in enumerate(pat):
+        for _pi, (_alts, (_lo, _hi), _g) in enumerate(pat or []):
             if permute_order is not None:
                 # any variable may come first — no fixed-offset anchor
                 break
@@ -1159,6 +1490,8 @@ def compile_match_recognize(
 
             if permute_order is not None:
                 matcher = try_match_permute
+            elif vm_prog is not None:
+                matcher = try_match_vm
             elif cross_fns:
                 matcher = try_match_binds
             else:

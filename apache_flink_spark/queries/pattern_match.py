@@ -419,3 +419,202 @@ def cep_not_followed_by(spark, sf_dir):
         spark, e, p, "user_id", "ep, event_id",
         {"click_id": "LAST(A.event_id)", "purchase_id": "LAST(C.event_id)"},
     )
+
+
+@query(
+    "cep_one_or_more_relaxed",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ), o AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ep, event_id
+        ) AS rn FROM u
+    ), lp AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN rn END) AS last_p
+        FROM o GROUP BY user_id
+    ), m AS (
+        -- greedy SKIP_TILL_NEXT loop: from each click start, the kept
+        -- clicks are ALL later clicks before the user's last purchase
+        -- (the maximal repetition for which a purchase still follows)
+        SELECT s.user_id, s.rn AS srn,
+               COUNT(*) AS n_clicks, MAX(c.rn) AS last_rn
+        FROM o s
+        JOIN lp ON lp.user_id = s.user_id
+        JOIN o c ON c.user_id = s.user_id AND c.event_type = 'click'
+                AND c.rn >= s.rn AND c.rn < lp.last_p
+        WHERE s.event_type = 'click' AND s.rn < lp.last_p
+        GROUP BY s.user_id, s.rn
+    )
+    SELECT m.user_id, m.n_clicks,
+           fc.event_id AS first_click, lc.event_id AS last_click,
+           p.event_id AS purchase_id
+    FROM m
+    JOIN o fc ON fc.user_id = m.user_id AND fc.rn = m.srn
+    JOIN o lc ON lc.user_id = m.user_id AND lc.rn = m.last_rn
+    JOIN o p ON p.user_id = m.user_id AND p.rn = (
+        SELECT MIN(px.rn) FROM o px
+        WHERE px.user_id = m.user_id AND px.event_type = 'purchase'
+          AND px.rn > m.last_rn)
+    """,
+)
+def cep_one_or_more_relaxed(spark, sf_dir):
+    """CEP Pattern API looping quantifier under the reference's DEFAULT
+    relaxed internal contiguity (flink-cep Quantifier.java:49
+    innerConsumingStrategy = SKIP_TILL_NEXT): click oneOrMore followedBy
+    purchase — non-matching rows BETWEEN the clicks are skipped, so the
+    loop collects every later click while a purchase still follows (the
+    r7 verdict's divergence: the old compile was silently strict). The
+    pattern compiles to gap-interleaved repetitions A (G*? A)* on the
+    r8 backtracking-VM MATCH_RECOGNIZE path: one keyed shuffle, JVM-side
+    predicates, candidate starts pruned to click rows."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    p = (
+        Pattern.begin("A").where("event_type = 'click'").one_or_more()
+        .followed_by("B").where("event_type = 'purchase'")
+    )
+    return cep_select(
+        spark, e, p, "user_id", "ep, event_id",
+        {
+            "n_clicks": "COUNT(A.*)",
+            "first_click": "FIRST(A.event_id)",
+            "last_click": "LAST(A.event_id)",
+            "purchase_id": "LAST(B.event_id)",
+        },
+    )
+
+
+@query(
+    "cep_group_pattern",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ), o AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ep, event_id
+        ) AS rn FROM u
+    ), nx AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'purchase' THEN rn END) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS np,
+               MIN(CASE WHEN event_type = 'click' THEN rn END) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS nc
+        FROM o
+    )
+    SELECT s.user_id,
+           s.event_id AS first_click, c2.event_id AS second_click,
+           p2.event_id AS last_purchase
+    FROM nx s
+    JOIN nx p1 ON p1.user_id = s.user_id AND p1.rn = s.np
+    JOIN nx c2 ON c2.user_id = s.user_id AND c2.rn = p1.nc
+    JOIN nx p2 ON p2.user_id = s.user_id AND p2.rn = c2.np
+    WHERE s.event_type = 'click'
+    """,
+)
+def cep_group_pattern(spark, sf_dir):
+    """CEP GroupPattern (flink-cep GroupPattern.java:30 —
+    Pattern.begin(Pattern).times(2)): a quantified GROUP with an inner
+    followedBy — (click followedBy purchase) twice, relaxed between
+    repetitions. Compiles to a parenthesized quantified PATTERN group
+    ( A G*? B ) (G*? ( A G*? B )){1} on the backtracking-VM path; the
+    reluctant gaps make each hop 'the FIRST next click / next purchase',
+    which is what the window-min chain oracle encodes."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    inner = (
+        Pattern.begin("A").where("event_type = 'click'")
+        .followed_by("B").where("event_type = 'purchase'")
+    )
+    p = Pattern.begin(inner).times(2)
+    return cep_select(
+        spark, e, p, "user_id", "ep, event_id",
+        {
+            "first_click": "FIRST(A.event_id)",
+            "second_click": "LAST(A.event_id)",
+            "last_purchase": "LAST(B.event_id)",
+        },
+    )
+
+
+@query(
+    "cep_not_next",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type FROM events
+        WHERE event_type IN ('click', 'purchase', 'error')
+    ), o AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ep, event_id
+        ) AS rn FROM u
+    ), nx AS (
+        SELECT *,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY rn
+               ) AS nxt_type,
+               MIN(CASE WHEN event_type = 'purchase' THEN rn END) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS np
+        FROM o
+    )
+    SELECT s.user_id, s.event_id AS click_id, p.event_id AS purchase_id
+    FROM nx s
+    JOIN nx p ON p.user_id = s.user_id AND p.rn = s.np
+    WHERE s.event_type = 'click'
+      AND (s.nxt_type IS NULL OR s.nxt_type <> 'error')
+    """,
+)
+def cep_not_next(spark, sf_dir):
+    """CEP notNext (flink-cep Pattern.java notNext — the STRICT negative
+    pattern): click whose IMMEDIATELY next event is not an error,
+    followedBy purchase. r8: automated — the guard compiles into the
+    click variable's DEFINE as NEXT() physical navigation
+    (NOT COALESCE(cond(NEXT(...)), FALSE)), so the plan stays one keyed
+    shuffle + the usual lag/lead nav column; no extra pattern variable,
+    no second scan."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase", "error")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    p = (
+        Pattern.begin("A").where("event_type = 'click'")
+        .not_next("E").where("event_type = 'error'")
+        .followed_by("B").where("event_type = 'purchase'")
+    )
+    return cep_select(
+        spark, e, p, "user_id", "ep, event_id",
+        {
+            "click_id": "LAST(A.event_id)",
+            "purchase_id": "LAST(B.event_id)",
+        },
+    )

@@ -97,9 +97,21 @@ def test_quantifiers_compile(spark):
     stmt = pattern_to_match_recognize(
         p, "t", "k", "ep", {"n_up": "COUNT(U.*)"}
     )
-    assert "U{2,3}" in stmt and "G0*?" in stmt
+    # r8: the DEFAULT internal contiguity is RELAXED (Quantifier.java:49
+    # SKIP_TILL_NEXT) — the bounded loop compiles to gap-interleaved
+    # repetitions; consecutive() restores the strict repetition
+    assert "U (G0*? U){1,2}" in stmt
     out = cep_select(spark, df, p, "k", "ep", {"n_up": "COUNT(U.*)"})
     assert out.count() > 0
+    p_strict = (
+        Pattern.begin("U").where("event_type = 'up'").times(2, 3)
+        .consecutive()
+        .followed_by("D").where("event_type = 'down'")
+    )
+    stmt_strict = pattern_to_match_recognize(
+        p_strict, "t", "k", "ep", {"n_up": "COUNT(U.*)"}
+    )
+    assert "U{2,3} G0*? D" in stmt_strict
 
 
 def test_guards(spark):
@@ -107,10 +119,15 @@ def test_guards(spark):
         Pattern.begin("not a name")
     with pytest.raises(CepError, match="already used"):
         Pattern.begin("A").followed_by("a")
-    with pytest.raises(CepError, match="notNext"):
-        Pattern.begin("A").not_next("B")
-    with pytest.raises(CepError, match="quantifiers on notFollowedBy"):
+    # r8: notNext is supported (NEXT()-guard compile); its guards moved
+    with pytest.raises(CepError, match="notNext after a quantified"):
+        Pattern.begin("A").one_or_more().not_next("B")
+    with pytest.raises(CepError, match="cannot follow another negative"):
+        Pattern.begin("A").not_followed_by("N").not_next("B")
+    with pytest.raises(CepError, match="quantifiers on negative"):
         Pattern.begin("A").not_followed_by("B").one_or_more()
+    with pytest.raises(CepError, match="quantifiers on negative"):
+        Pattern.begin("A").not_next("B").optional()
     p = Pattern.begin("A").not_followed_by("B").where("x = 1")
     with pytest.raises(CepError, match="requires"):
         # trailing notFollowedBy without within()

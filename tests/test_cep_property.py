@@ -54,6 +54,68 @@ def _ref_matches(rows, shape):
                     break
                 if rows[j][1] == "x":
                     break
+        elif shape == "oom":
+            # A+ (RELAXED default — Quantifier.java:49 SKIP_TILL_NEXT)
+            # followedBy(b): greedy loop keeps every a before the LAST b,
+            # b = first b after the last kept a
+            bs = [j for j in range(i + 1, n) if rows[j][1] == "b"]
+            if not bs:
+                continue
+            kept = [j for j in range(i, n)
+                    if rows[j][1] == "a" and j < bs[-1]]
+            if not kept:
+                continue
+            b = next(j for j in bs if j > kept[-1])
+            out.add((len(kept), rows[kept[0]][0], rows[kept[-1]][0],
+                     rows[b][0]))
+        elif shape == "oom_consec":
+            # A+ consecutive() (Quantifier.java:113): the run of adjacent
+            # a's from i; b = first b after the run
+            r = i
+            while r + 1 < n and rows[r + 1][1] == "a":
+                r += 1
+            b = next((j for j in range(r + 1, n) if rows[j][1] == "b"),
+                     None)
+            if b is None:
+                continue
+            out.add((r - i + 1, rows[i][0], rows[r][0], rows[b][0]))
+        elif shape == "times2_relaxed":
+            # A{2} relaxed: second a = FIRST a after i (reluctant gap);
+            # b = first b after it
+            a2 = next((j for j in range(i + 1, n) if rows[j][1] == "a"),
+                      None)
+            if a2 is None:
+                continue
+            b = next((j for j in range(a2 + 1, n) if rows[j][1] == "b"),
+                     None)
+            if b is None:
+                continue
+            out.add((rows[i][0], rows[a2][0], rows[b][0]))
+        elif shape == "not_next":
+            # A notNext(x) followedBy(b): the row immediately after the a
+            # must not be an x
+            if i + 1 < n and rows[i + 1][1] == "x":
+                continue
+            for j in range(i + 1, n):
+                if rows[j][1] == "b":
+                    out.add((rows[i][0], rows[j][0]))
+                    break
+        elif shape == "group_times2":
+            # (a followedBy b){2} relaxed between repetitions: the
+            # first-next chain a->b->a->b
+            b1 = next((j for j in range(i + 1, n) if rows[j][1] == "b"),
+                      None)
+            if b1 is None:
+                continue
+            a2 = next((j for j in range(b1 + 1, n) if rows[j][1] == "a"),
+                      None)
+            if a2 is None:
+                continue
+            b2 = next((j for j in range(a2 + 1, n) if rows[j][1] == "b"),
+                      None)
+            if b2 is None:
+                continue
+            out.add((rows[i][0], rows[a2][0], rows[b2][0]))
     return out
 
 
@@ -83,15 +145,77 @@ def _pattern_for(shape):
                 "c_id": "LAST(C.event_id)",
             },
         )
-    return (
+    if shape == "nfb":
+        return (
+            Pattern.begin("A").where("kind = 'a'")
+            .not_followed_by("N").where("kind = 'x'")
+            .followed_by("C").where("kind = 'c'"),
+            {"a_id": "LAST(A.event_id)", "c_id": "LAST(C.event_id)"},
+        )
+    if shape == "oom":
+        return (
+            Pattern.begin("A").where("kind = 'a'").one_or_more()
+            .followed_by("B").where("kind = 'b'"),
+            {
+                "n_a": "COUNT(A.*)",
+                "first_a": "FIRST(A.event_id)",
+                "last_a": "LAST(A.event_id)",
+                "b_id": "LAST(B.event_id)",
+            },
+        )
+    if shape == "oom_consec":
+        return (
+            Pattern.begin("A").where("kind = 'a'").one_or_more()
+            .consecutive()
+            .followed_by("B").where("kind = 'b'"),
+            {
+                "n_a": "COUNT(A.*)",
+                "first_a": "FIRST(A.event_id)",
+                "last_a": "LAST(A.event_id)",
+                "b_id": "LAST(B.event_id)",
+            },
+        )
+    if shape == "times2_relaxed":
+        return (
+            Pattern.begin("A").where("kind = 'a'").times(2)
+            .followed_by("B").where("kind = 'b'"),
+            {
+                "first_a": "FIRST(A.event_id)",
+                "last_a": "LAST(A.event_id)",
+                "b_id": "LAST(B.event_id)",
+            },
+        )
+    if shape == "not_next":
+        return (
+            Pattern.begin("A").where("kind = 'a'")
+            .not_next("N").where("kind = 'x'")
+            .followed_by("B").where("kind = 'b'"),
+            {"a_id": "LAST(A.event_id)", "b_id": "LAST(B.event_id)"},
+        )
+    # group_times2
+    inner = (
         Pattern.begin("A").where("kind = 'a'")
-        .not_followed_by("N").where("kind = 'x'")
-        .followed_by("C").where("kind = 'c'"),
-        {"a_id": "LAST(A.event_id)", "c_id": "LAST(C.event_id)"},
+        .followed_by("B").where("kind = 'b'")
+    )
+    return (
+        Pattern.begin(inner).times(2),
+        {
+            "first_a": "FIRST(A.event_id)",
+            "last_a": "LAST(A.event_id)",
+            "b_id": "LAST(B.event_id)",
+        },
     )
 
 
-@pytest.mark.parametrize("shape", ["next", "fb", "fb_fb", "nfb"])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        "next", "fb", "fb_fb", "nfb",
+        # r8: relaxed-contiguity loops (Quantifier.java:49 default),
+        # the consecutive() strict upgrade, notNext, and GroupPattern
+        "oom", "oom_consec", "times2_relaxed", "not_next", "group_times2",
+    ],
+)
 @settings(
     max_examples=6,
     deadline=None,
