@@ -34,12 +34,16 @@ MATCH SKIP PAST LAST ROW, ascending ORDER BY (epoch-micros BIGINT first),
 own-row DEFINEs, cross-variable LAST/FIRST binds (r7 — the batch
 bind-tracking DFS runs inside the certified prefix; binds only reference
 rows already assigned to the in-flight match, so certification covers
-them by construction), and PREV physical navigation (r7 — predecessors
+them by construction), PREV physical navigation (r7 — predecessors
 of a certified row are fixed, so each key retains a bounded
 navigation-context tail of consumed rows, flagged by a vm-mask high
-bit). Still out: NEXT navigation (a row's successor is uncertified when
-the row certifies) and MATCH_NUMBER (its per-partition counter would be
-unbounded restore state for no parity gain).
+bit), and NEXT physical navigation (r8 — a row's successor is fixed once
+the successor itself certifies, because anything arriving between them
+would be behind the watermark and late-dropped; decisions therefore
+delay by max-NEXT-offset certified rows: n_eval = n_cert - max_next,
+and horizon-final verdicts wait for max_next certified rows past the
+horizon cut). Still out: MATCH_NUMBER (its per-partition counter would
+be unbounded restore state for no parity gain).
 """
 
 from __future__ import annotations
@@ -118,21 +122,28 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
     # when the row is certified. Each key retains a bounded NAVIGATION
     # CONTEXT tail of up to max(offset) already-consumed rows, flagged by
     # a high bit in the existing vm mask (state layout unchanged — r6
-    # restore checkpoints stay loadable). NEXT stays out: a row's
-    # successor is NOT certified when the row is, so its value could
-    # change with the watermark.
+    # restore checkpoints stay loadable).
+    # NEXT physical navigation (r8, VERDICT r7 missing #2): a row's
+    # successor is FIXED once the successor itself certifies — any row
+    # that could still arrive between them would be behind the watermark
+    # and is late-dropped. So every decision bound moves one (or
+    # max-offset) certified row(s) earlier: rows are finally evaluable
+    # only up to n_eval = n_cert - max_next, and a horizon-final verdict
+    # additionally waits for max_next certified rows PAST the horizon
+    # cut (the reference CepOperator likewise needs the next event to
+    # take or refute a strict-next transition, CepOperator.java:82). No
+    # state-schema change; checkpoints restore unchanged.
     nav_prev: dict[str, tuple[str, int]] = {}
+    nav_next: dict[str, tuple[str, int]] = {}
     max_prev = 0
+    max_next = 0
     for alias, (fn, col, n) in nav_cols.items():
         if fn == "NEXT":
-            raise MatchRecognizeError(
-                "streaming MATCH_RECOGNIZE: NEXT(...) physical navigation "
-                "is not supported — a row's successor is uncertified when "
-                "the row certifies; PREV is supported, or use the batch "
-                "path"
-            )
-        nav_prev[alias] = (col, n)
-        max_prev = max(max_prev, n)
+            nav_next[alias] = (col, n)
+            max_next = max(max_next, n)
+        else:
+            nav_prev[alias] = (col, n)
+            max_prev = max(max_prev, n)
     # Cross-variable DEFINE binds (r7, VERDICT r6 next-item #4): the batch
     # bind-tracking DFS runs INSIDE the certified-prefix NFA — a bind only
     # ever references rows already assigned to the in-flight match, and a
@@ -158,6 +169,7 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
          for c in re.findall(r'__(?:row|bind)\("(?:\w+", ")?(\w+)"', code)
          if not c.startswith("__mr_")}
         | {col for col, _n in nav_prev.values()}
+        | {col for col, _n in nav_next.values()}
     )
     if m.group("skip") and re.sub(
         r"\s+", " ", m.group("skip").strip()
@@ -367,6 +379,9 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
             n_cert = 0
             while n_cert < n and ts[n_cert] <= wm_us:
                 n_cert += 1
+            # NEXT navigation (r8): a row is FINALLY evaluable only once
+            # its max-offset successor is certified
+            n_eval = max(0, n_cert - max_next)
 
             def elem_ok(pi: int, j: int) -> bool:
                 alts, _q, _g2 = pat[pi]
@@ -383,11 +398,19 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
 
             def limit_for(i0: int) -> int:
                 if within_us is None:
-                    return n_cert
+                    return n_eval
                 lim = i0
-                while lim < n_cert and ts[lim] <= ts[i0] + within_us:
+                while lim < n_eval and ts[lim] <= ts[i0] + within_us:
                     lim += 1
                 return lim
+
+            def horizon_rows(i0: int) -> int:
+                """Count of buffered rows inside i0's WITHIN horizon —
+                the NEXT targets a horizon-final decision may read."""
+                h = i0
+                while h < n and ts[h] <= ts[i0] + within_us:
+                    h += 1
+                return h
 
             def ok_fn(v: str, j: int, binds: dict) -> bool:
                 # cross-variable predicate under the in-flight binds —
@@ -404,6 +427,14 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
                         jj, col = j - off, base
                         if jj < 0:
                             return _NULL  # before the partition start
+                    elif col in nav_next:
+                        base, off = nav_next[col]
+                        jj, col = j + off, base
+                        if jj >= len(ts):
+                            # not arrived — decision bounds (n_eval /
+                            # horizon+max_next) guarantee this value is
+                            # never read on a FINAL evaluation
+                            return _NULL
                     x = arr[col][jj]
                     return _NULL if x is None or x != x else x
 
@@ -529,15 +560,18 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
             while pos < n and vm[pos] & _CTX_BIT:
                 pos += 1
             keep_from = None
-            while pos < n_cert:
+            while pos < n_eval:
                 horizon_final = (
                     within_us is not None and wm_us > ts[pos] + within_us
+                    # NEXT: the last within-horizon row's successors must
+                    # themselves be certified before the verdict is final
+                    and horizon_rows(pos) + max_next <= n_cert
                 )
                 hit = try_match(pos, limit_for(pos))
                 if hit is None:
                     # final failure only with full decision context
                     ctx_full = (
-                        l_max is not None and n_cert - pos >= l_max
+                        l_max is not None and n_eval - pos >= l_max
                     ) or horizon_final
                     if ctx_full:
                         pos += 1  # row can never start a match — drop
@@ -545,7 +579,7 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
                     break  # might match with future rows — keep from here
                 assign, end = hit
                 safe = (
-                    end < n_cert
+                    end < n_eval
                     or horizon_final
                     or (l_max is not None and end - pos == l_max)
                 )

@@ -340,3 +340,79 @@ def test_batch_equivalence_prev_nav(spark, tmp_path):
     finally:
         spark.conf.unset("spark.graft.stateful.keyGroups")
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# r8: NEXT physical navigation — decisions delay by one certified row
+# (n_eval = n_cert - max_next); emissions must still be slicing-invariant
+# and equal the batch compiler restricted to successor-certified matches.
+BODY_NEXT = BODY.replace(
+    "A AS A.kind = 1", "A AS A.kind = 1 AND NEXT(A.v) >= 2"
+)
+BODY_NEXT_FIXED = BODY_NEXT.replace("B{1,2}", "B{2}")
+
+
+@pytest.mark.parametrize("seed", [23])
+def test_slicing_invariance_next_nav(spark, tmp_path, seed):
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rows = _mk_rows(seed)
+        single = _run_stream(
+            spark, tmp_path, rows, [rows], "nsingle", body=BODY_NEXT
+        )
+        assert single, "fixture produced no NEXT-nav matches"
+        rng = random.Random(seed * 31 + 1)
+        sliced = _run_stream(
+            spark, tmp_path, rows,
+            _random_slices(rows, rng), "ns0", body=BODY_NEXT,
+        )
+        assert sliced == single
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_batch_equivalence_next_nav(spark, tmp_path):
+    from pyspark.sql import Window
+
+    from apache_flink_spark.match_recognize import compile_match_recognize
+
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rows = _mk_rows(41)
+        streamed = _run_stream(
+            spark, tmp_path, rows, [rows], "nbeq", body=BODY_NEXT_FIXED
+        )
+        df = spark.createDataFrame(
+            [
+                (r["user_id"], r["event_id"], r["kind"], r["v"], r["ts"])
+                for r in rows
+            ],
+            "user_id long, event_id long, kind long, v long, ts_str string",
+        ).select(
+            "user_id", "event_id", "kind", "v",
+            F.unix_micros(F.to_timestamp("ts_str")).alias("ep"),
+        )
+        batch = compile_match_recognize(spark, df, BODY_NEXT_FIXED)
+        wm_us = df.agg(F.max("ep")).first()[0] - 10 * 60 * 1_000_000
+        # NEXT delays the decision one certified row: a streamed match
+        # needs its LAST row's physical successor certified too
+        w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+        nxt = {
+            r.event_id: r.nxt_ep
+            for r in df.withColumn(
+                "nxt_ep", F.lead("ep").over(w)
+            ).collect()
+        }
+        expected = sorted(
+            (r.user_id, r.a_id, r.b_id, r.b_ts)
+            for r in batch.collect()
+            if nxt.get(r.b_id) is not None and nxt[r.b_id] <= wm_us
+        )
+        assert streamed == expected
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
