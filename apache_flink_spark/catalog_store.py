@@ -74,6 +74,7 @@ def save_catalog_store(tenv, path: str) -> int:
 
     catalogs = {
         cname: {
+            "type": c.get("type", "generic_in_memory"),
             "comment": c["comment"],
             "properties": dict(c["properties"]),
             "dbs": {
@@ -200,6 +201,7 @@ def load_catalog_store(tenv, path: str) -> int:
 
     for cname, c in doc.get("catalogs", {}).items():
         _CATALOGS[cname] = {
+            "type": c.get("type", "generic_in_memory"),
             "comment": c.get("comment"),
             "properties": dict(c.get("properties", {})),
             "dbs": {

@@ -79,6 +79,26 @@ def _get_cat(name: str) -> dict:
     return _CATALOGS[name]
 
 
+def _is_hive(name: str | None) -> bool:
+    return name in _CATALOGS and _CATALOGS[name].get("type") == "hive"
+
+
+def _any_hive() -> bool:
+    return any(c.get("type") == "hive" for c in _CATALOGS.values())
+
+
+def _sync_hive_dbs(spark: SparkSession, c: dict) -> None:
+    """A hive-typed catalog's database list is the METASTORE's — refresh
+    the local view so the shared db routes (SHOW/USE/DESCRIBE DATABASE)
+    see current truth."""
+    old = c["dbs"]
+    c["dbs"] = {
+        d.name: old.get(d.name, {"comment": d.description or None,
+                                 "properties": {}})
+        for d in spark.catalog.listDatabases()
+    }
+
+
 def reset_for_tests() -> None:
     _CATALOGS.clear()
     _CAT_TABLES.clear()
@@ -274,7 +294,17 @@ def rewrite_catalog_identifiers(spark: SparkSession, sql: str) -> str:
         if cat is None and _CURRENT[0] is not None:
             cat = _CURRENT[0]
             db = _CATALOGS[cat]["current_db"]
-        if cat is not None and cat in _CATALOGS:
+        if cat is not None and _is_hive(cat):
+            # hive catalog: the table lands in the metastore natively —
+            # qualify with the database, never mangle (with no explicit
+            # catalog the session's current db already points there)
+            if cm.group("cat") is not None:
+                sql = (
+                    cm.group("head")
+                    + f"{db}.{cm.group('name')}"
+                    + cm.group("rest")
+                )
+        elif cat is not None and cat in _CATALOGS:
             c = _CATALOGS[cat]
             if db not in c["dbs"]:
                 raise CatalogError(
@@ -295,7 +325,7 @@ def rewrite_catalog_identifiers(spark: SparkSession, sql: str) -> str:
             else m.group(1),
             sql,
         )
-    if not _CAT_TABLES and _CURRENT[0] is None:
+    if not _CAT_TABLES and _CURRENT[0] is None and not _any_hive():
         return sql
     spans = _literal_spans(sql)
 
@@ -303,6 +333,9 @@ def rewrite_catalog_identifiers(spark: SparkSession, sql: str) -> str:
         if _in_literal(spans, m.start()):
             return m.group(0)
         key = (m.group(1), m.group(2), m.group(3))
+        if _is_hive(key[0]):
+            # hive catalog IS the session catalog under another name
+            return f"{_BUILTIN}.{key[1]}.{key[2]}"
         return _CAT_TABLES.get(key, m.group(0))
 
     out = re.sub(
@@ -385,15 +418,50 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
             raise CatalogError(f"catalog {name!r} already exists")
         opts = _split_options(m.group("opts"))
         ctype = opts.get("type", "")
-        if ctype != "generic_in_memory":
+        if ctype not in ("generic_in_memory", "hive"):
             raise CatalogError(
-                f"unsupported catalog type {ctype!r} — only "
+                f"unsupported catalog type {ctype!r} — "
                 "'generic_in_memory' (reference GenericInMemoryCatalog) "
-                "is available; external metastore catalogs need their "
-                "service"
+                "and 'hive' (reference flink-connector-hive HiveCatalog, "
+                "r8) are available; other external metastore catalogs "
+                "need their service"
             )
+        if ctype == "hive":
+            # HiveCatalog routes onto Spark's own Hive-metastore session
+            # catalog (the in-box spark-hive integration — io.hive_session).
+            # catalogImplementation is a STATIC conf, so the session must
+            # have been created Hive-enabled.
+            impl = spark.conf.get(
+                "spark.sql.catalogImplementation", "in-memory"
+            )
+            if impl != "hive":
+                raise CatalogError(
+                    "CREATE CATALOG ... WITH ('type'='hive') requires a "
+                    "Hive-enabled SparkSession (catalogImplementation is "
+                    "a static conf) — build the session with "
+                    "apache_flink_spark.io.hive_session(warehouse_dir)"
+                )
+            default_db = opts.get("default-database", "default")
+            _CATALOGS[name] = {
+                "type": "hive",
+                "comment": m.group("comment"),
+                "properties": {
+                    k: v for k, v in opts.items() if k != "type"
+                },
+                "dbs": {},
+                "current_db": default_db,
+            }
+            _sync_hive_dbs(spark, _CATALOGS[name])
+            if default_db not in _CATALOGS[name]["dbs"]:
+                del _CATALOGS[name]
+                raise CatalogError(
+                    f"hive catalog default-database {default_db!r} does "
+                    "not exist in the metastore"
+                )
+            return _ok(spark)
         default_db = opts.get("default-database", "default")
         _CATALOGS[name] = {
+            "type": "generic_in_memory",
             "comment": m.group("comment"),
             "properties": {
                 k: v for k, v in opts.items() if k != "type"
@@ -465,7 +533,7 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
         c = _get_cat(name)
         rows = [
             ("name", name),
-            ("type", "generic_in_memory"),
+            ("type", c.get("type", "generic_in_memory")),
             ("comment", c["comment"]),
         ]
         if m.group("ext"):
@@ -489,6 +557,13 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
             _CURRENT[0] = None
             return _ok(spark)
         _CURRENT[0] = name
+        if _is_hive(name):
+            # hive catalog IS the session catalog: unqualified names
+            # resolve natively once the session database is switched
+            _sync_hive_dbs(spark, _CATALOGS[name])
+            spark.catalog.setCurrentDatabase(
+                _CATALOGS[name]["current_db"]
+            )
         return _ok(spark)
 
     m = _SHOW_CATALOGS_RE.match(sql)
@@ -508,7 +583,9 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
             ddl = f"CREATE CATALOG `{name}` WITH (\n  'type' = 'generic_in_memory'\n)"
             return spark.createDataFrame([(ddl,)], "result string")
         c = _get_cat(name)
-        opts = {"type": "generic_in_memory", **c["properties"]}
+        opts = {
+            "type": c.get("type", "generic_in_memory"), **c["properties"]
+        }
         comment = (
             f"\nCOMMENT '{c['comment']}'" if c["comment"] else ""
         )
@@ -528,6 +605,12 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
         cat = m.group("cat") or _CURRENT[0]
         if cat is None or cat not in _CATALOGS:
             return None  # built-in catalog: Spark handles CREATE DATABASE
+        if _is_hive(cat):
+            # hive catalog: the metastore owns databases — delegate
+            ine = "IF NOT EXISTS " if m.group("ine") else ""
+            spark.sql(f"CREATE DATABASE {ine}{m.group('name')}")
+            _sync_hive_dbs(spark, _CATALOGS[cat])
+            return _ok(spark)
         dbs = _CATALOGS[cat]["dbs"]
         name = m.group("name")
         if name in dbs:
@@ -547,6 +630,15 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
         cat = m.group("cat") or _CURRENT[0]
         if cat is None or cat not in _CATALOGS:
             return None
+        if _is_hive(cat):
+            ie = "IF EXISTS " if m.group("ie") else ""
+            mode = (m.group("mode") or "").upper()
+            spark.sql(
+                f"DROP DATABASE {ie}{m.group('name')}"
+                + (" CASCADE" if mode == "CASCADE" else "")
+            )
+            _sync_hive_dbs(spark, _CATALOGS[cat])
+            return _ok(spark)
         c, name = _CATALOGS[cat], m.group("name")
         if name not in c["dbs"]:
             if m.group("ie"):
@@ -624,15 +716,25 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
     if m and m.group("cat") and m.group("cat") in _CATALOGS:
         # catalog-qualified listing works from ANY current catalog
         # (SqlShowTables' [catalog.]database preposition)
+        if _is_hive(m.group("cat")):
+            _sync_hive_dbs(spark, _CATALOGS[m.group("cat")])
         if m.group("db") not in _CATALOGS[m.group("cat")]["dbs"]:
             raise CatalogError(
                 f"database {m.group('db')!r} does not exist in catalog "
                 f"{m.group('cat')!r}"
             )
-        names = sorted(
-            t for (cc, dd, t) in _CAT_TABLES
-            if cc == m.group("cat") and dd == m.group("db") and _like(t, m)
-        )
+        if _is_hive(m.group("cat")):
+            names = sorted(
+                tb.name
+                for tb in spark.catalog.listTables(m.group("db"))
+                if not tb.isTemporary and _like(tb.name, m)
+            )
+        else:
+            names = sorted(
+                t for (cc, dd, t) in _CAT_TABLES
+                if cc == m.group("cat") and dd == m.group("db")
+                and _like(t, m)
+            )
         return spark.createDataFrame(
             [(t,) for t in names], "`table name` string"
         )
@@ -643,6 +745,8 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
         # qualified name arrives here already mangled — resolve either form
         key = None
         name = m.group("name")
+        if _CURRENT[0] is not None and _is_hive(_CURRENT[0]) and not m.group("cat"):
+            return None  # hive catalog: Spark-native drop in the set db
         if m.group("cat"):
             ddb = m.group("db")
             key = (m.group("cat"), ddb, name)
@@ -672,6 +776,8 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
         if cat2 is not None and cat2 not in (
             _BUILTIN, _REF_BUILTIN,
         ) and cat2 in _CATALOGS:
+            if _is_hive(cat2):
+                _sync_hive_dbs(spark, _CATALOGS[cat2])
             names = sorted(_CATALOGS[cat2]["dbs"])
         elif cat2 is None or cat2 in (_BUILTIN, _REF_BUILTIN):
             if m.group("like") is None and m.group("cat") is None:
@@ -695,11 +801,15 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
     m = _USE_DB_RE.match(sql)
     if m and m.group("name").upper() != "CATALOG":
         name = m.group("name")
+        if _is_hive(cat):
+            _sync_hive_dbs(spark, c)
         if name not in c["dbs"]:
             raise CatalogError(
                 f"database {name!r} does not exist in catalog {cat!r}"
             )
         c["current_db"] = name
+        if _is_hive(cat):
+            spark.catalog.setCurrentDatabase(name)
         return _ok(spark)
 
 
@@ -714,14 +824,22 @@ def try_handle_catalog_ddl(spark: SparkSession, sql: str):
         if scat not in _CATALOGS:
             return None  # qualified toward the built-in: Spark/catalog_sql
         db = m.group("db") or _CATALOGS[scat]["current_db"]
+        if _is_hive(scat):
+            _sync_hive_dbs(spark, _CATALOGS[scat])
         if db not in _CATALOGS[scat]["dbs"]:
             raise CatalogError(
                 f"database {db!r} does not exist in catalog {scat!r}"
             )
-        names = sorted(
-            t for (cc, dd, t) in _CAT_TABLES
-            if cc == scat and dd == db and _like(t, m)
-        )
+        if _is_hive(scat):
+            names = sorted(
+                tb.name for tb in spark.catalog.listTables(db)
+                if not tb.isTemporary and _like(tb.name, m)
+            )
+        else:
+            names = sorted(
+                t for (cc, dd, t) in _CAT_TABLES
+                if cc == scat and dd == db and _like(t, m)
+            )
         return spark.createDataFrame(
             [(t,) for t in names], "`table name` string"
         )

@@ -32,10 +32,13 @@ def test_show_catalogs_and_current(te):
     assert cur == "spark_catalog"
     te.sql("USE CATALOG spark_catalog")  # round-trips
     # r7: CREATE CATALOG works for generic_in_memory (tests/test_catalogs.py);
-    # external metastore types still error loudly
+    # r8: 'hive' is supported but needs a Hive-enabled session
+    # (tests/test_hive_catalog.py); other external types error loudly
     from apache_flink_spark.catalogs import CatalogError
 
     with pytest.raises(CatalogError, match="unsupported catalog type"):
+        te.sql("CREATE CATALOG c2 WITH ('type' = 'jdbc')")
+    with pytest.raises(CatalogError, match="hive_session"):
         te.sql("CREATE CATALOG c2 WITH ('type' = 'hive')")
 
 
