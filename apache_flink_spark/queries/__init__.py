@@ -88,14 +88,18 @@ GATE_SAMPLE = [
     # translation (2 more TPC-H rotated out, green in the full sweep)
     "model_predict_l2norm",
     "hint_join_strategies",
-    # TPC-DS shapes (r5): rollup, 3-way intersect, window deviation,
-    # cumulative full-outer compare, rollup-rank, channel overlap
-    "ds_q5_channel_rollup",
-    "ds_q38_three_channel_intersect",
+    # TPC-DS shapes (r5, r8 rotation: q5/q38/q51/q97 rotated out for the
+    # four new r8 operator queries below; all stay green in the full
+    # sweep): window deviation, rollup-rank
     "ds_q47_monthly_deviation",
-    "ds_q51_cumulative_compare",
     "ds_q70_rollup_rank_within_parent",
-    "ds_q97_channel_overlap",
+    # r8 rotation: the four new operator families, each in-gate —
+    # relaxed-contiguity CEP loop (backtracking-VM MATCH_RECOGNIZE path),
+    # GroupPattern, automated notNext, streaming NEXT navigation
+    "cep_one_or_more_relaxed",
+    "cep_group_pattern",
+    "cep_not_next",
+    "mr_stream_next_nav",
     # TPC-DS shapes (r6 rotation): the 9-relation inventory/promo join,
     # the INTERSECT-tower period compare, the lag/lead self-join, and
     # the nested date-subquery return-share query (4 TPC-H rotated out;
