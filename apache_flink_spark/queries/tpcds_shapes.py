@@ -441,9 +441,65 @@ _DS_Q28 = (
 def ds_q28_bucket_stats(spark, sf_dir):
     """TPC-DS query28 shape (query28.sql): six single-row aggregate
     subqueries over disjoint quantity buckets (each with the triple-OR
-    side predicate), comma-cross-joined into one wide row. The six 1-row
-    sides combine via broadcast nested-loop — bounded by construction."""
-    return _sql(spark, sf_dir, _DS_Q28)
+    side predicate), comma-cross-joined into one wide row.
+
+    Single-scan plan (r8, was 6 lineitem scans): quantity buckets are
+    DISJOINT, so one scan tags each row with its bucket, applies that
+    bucket's side predicate via one CASE, pre-aggregates per
+    (bucket, partkey) — which makes COUNT(DISTINCT l_partkey) a plain
+    COUNT(*) of the second level, no expand — and pivots the six bucket
+    rows into the wide single row with conditional MAXes."""
+    buckets = [
+        (1, 1, 8, 0.00, 0.00),
+        (2, 9, 16, 0.01, 0.01),
+        (3, 17, 24, 0.02, 0.02),
+        (4, 25, 32, 0.03, 0.03),
+        (5, 33, 40, 0.04, 0.04),
+        (6, 41, 50, 0.05, 0.05),
+    ]
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    bucket = None
+    for i, lo, hi, d1, d2 in buckets:
+        side = (
+            F.col("l_discount").between(d1, d1 + 0.02)
+            | F.col("l_extendedprice").between(5000, 50000)
+            | F.col("l_tax").between(d2, d2 + 0.01)
+        )
+        cond = qty.between(lo, hi) & side
+        bucket = (
+            F.when(cond, F.lit(i)) if bucket is None
+            else bucket.when(cond, F.lit(i))
+        )
+    lvl1 = (
+        li.select(bucket.alias("b"), "l_partkey", dec("l_extendedprice").alias("p"))
+        .filter(F.col("b").isNotNull())
+        .groupBy("b", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("p").alias("sp"))
+    )
+    lvl2 = lvl1.groupBy("b").agg(
+        F.sum("c").alias("cnt"),
+        F.sum("sp").alias("sump"),
+        F.count(F.lit(1)).alias("cntd"),
+    )
+    wide = []
+    for i, *_ in buckets:
+        hit = F.col("b") == i
+        wide += [
+            (
+                F.max(F.when(hit, dround(F.col("sump")))) /
+                F.max(F.when(hit, F.col("cnt")))
+            ).alias(f"b{i}_avg"),
+            # an EMPTY bucket's scalar subquery still yields a row:
+            # COUNT(*) = 0, not NULL
+            F.coalesce(
+                F.max(F.when(hit, F.col("cnt"))), F.lit(0)
+            ).alias(f"b{i}_cnt"),
+            F.coalesce(
+                F.max(F.when(hit, F.col("cntd"))), F.lit(0)
+            ).alias(f"b{i}_cntd"),
+        ]
+    return lvl2.agg(*wide)
 
 
 def _q33_leg(chan: int) -> str:

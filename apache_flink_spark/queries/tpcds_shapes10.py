@@ -209,8 +209,101 @@ def ds_q80_channel_returns_rollup(spark, sf_dir):
     """TPC-DS query80 shape (query80.sql): per-channel sales/returns/
     profit where returns attach by LEFT OUTER join AT FACT-ROW level
     (ds_q77 outer-joins the aggregates), channel ids concatenated with
-    || before a ROLLUP(channel, id) summary."""
-    return _sql(spark, sf_dir, _DS_Q80)
+    || before a ROLLUP(channel, id) summary.
+
+    Two-scan plan (r8, was 6): channels partition the date-windowed sales
+    side, so ONE channel-tagged sales scan LEFT-joins the one returns
+    scan; the per-channel extra dimension joins (supplier/part/nation)
+    become three broadcast joins with a per-channel eligibility CASE and
+    a per-channel id CASE. The ROLLUP runs on the tiny aggregated
+    intermediate."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec
+    from apache_flink_spark.queries._util import t as _t
+    from apache_flink_spark.queries.tpcds_shapes import _CHANNEL as _CH
+
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    price = dec("l_extendedprice")
+    rev = price * (
+        F.lit(1).cast("decimal(6,4)") - dec("l_discount", "decimal(6,4)")
+    )
+    sales = (
+        li.filter(
+            (F.col("l_returnflag") != "R")
+            & F.col("l_shipdate").between(
+                "2000-08-23 00:00:00", "2000-09-22 00:00:00"
+            )
+        )
+        .select(
+            F.expr(_CH).alias("ch"),
+            "l_orderkey", "l_partkey", "l_suppkey",
+            price.alias("price"), rev.alias("rev"),
+        )
+    )
+    rets = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_ok"),
+        F.col("l_partkey").alias("r_pk"),
+        price.alias("ret_price"),
+    )
+    ch = F.col("ch")
+    joined = (
+        sales.join(
+            rets,
+            (F.col("l_orderkey") == F.col("r_ok"))
+            & (F.col("l_partkey") == F.col("r_pk")),
+            "left",
+        )
+        .join(
+            F.broadcast(supplier),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .filter(
+            F.when(ch == "store", F.col("s_acctbal") > 0)
+            .when(ch == "catalog", F.col("p_retailprice") > 950)
+            .otherwise(F.lit(True))
+        )
+    )
+    zero = F.lit(0).cast("decimal(12,4)")
+    per = joined.groupBy(
+        F.concat(
+            ch, F.lit(" channel")
+        ).alias("channel"),
+        F.concat(
+            ch,
+            F.when(ch == "store", F.col("s_name"))
+            .when(ch == "catalog", F.col("p_brand"))
+            .otherwise(F.col("n_name")),
+        ).alias("id"),
+    ).agg(
+        F.sum(F.col("price")).alias("sales_dec"),
+        F.sum(F.coalesce(F.col("ret_price"), zero)).alias("ret_dec"),
+        F.sum(
+            F.col("rev") - F.coalesce(F.col("ret_price"), zero)
+        ).alias("profit_dec"),
+    )
+    return (
+        per.rollup("channel", "id")
+        .agg(
+            F.round(F.sum("sales_dec"), 2).cast("double").alias("sales"),
+            F.round(F.sum("ret_dec"), 2).cast("double").alias("returns_amt"),
+            F.round(F.sum("profit_dec"), 2).cast("double").alias("profit"),
+        )
+        .orderBy(
+            F.col("channel").asc_nulls_first(),
+            F.col("id").asc_nulls_first(),
+        )
+        .limit(100)
+    )
 
 
 _DS_Q81 = f"""
@@ -299,8 +392,73 @@ def ds_q83_return_share_by_channel(spark, sf_dir):
     """TPC-DS query83 shape (query83.sql): per-item return quantities in
     three channels — each CTE filtered by a NESTED date subquery (weeks
     containing three event dates), equi-joined pairwise on item with
-    share-of-average percentage columns from exactly-rounded sums."""
-    return _sql(spark, sf_dir, _DS_Q83)
+    share-of-average percentage columns from exactly-rounded sums.
+
+    Two-scan plan (r8, was 6): channels partition the returns rows, so
+    one scan with three conditional rounded sums per item replaces the
+    three legs (the pairwise inner joins become IS NOT NULL guards); the
+    week-set subquery is the second scan, evaluated ONCE and semi-joined
+    instead of re-run per leg."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+    from apache_flink_spark.queries.tpcds_shapes import _CHANNEL as _CH
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    wk = F.expr(_WK)  # the oracle's exact week arithmetic
+    weeks = (
+        li.filter(
+            F.col("l_shipdate").isin(
+                "2000-06-30 00:00:00",
+                "2000-09-27 00:00:00",
+                "2000-11-17 00:00:00",
+            )
+        )
+        .select(wk.alias("wk"))
+        .distinct()
+    )
+    ch = F.expr(_CH)
+    qty = dec("l_quantity")
+
+    def cell(c):
+        return dround(F.sum(F.when(ch == c, qty)))
+
+    g = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(weeks), wk == F.col("wk"), "semi")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("item_id"))
+        .agg(
+            cell("store").alias("sr_item_qty"),
+            cell("catalog").alias("cr_item_qty"),
+            cell("web").alias("wr_item_qty"),
+        )
+        .filter(
+            F.col("sr_item_qty").isNotNull()
+            & F.col("cr_item_qty").isNotNull()
+            & F.col("wr_item_qty").isNotNull()
+        )
+    )
+    three = F.lit(3).cast("double")
+    avg_ = (
+        F.round(
+            F.col("sr_item_qty") + F.col("cr_item_qty")
+            + F.col("wr_item_qty"), 2
+        ).cast("double") / three
+    )
+    hundred = F.lit(100).cast("double")
+    return g.select(
+        "item_id",
+        "sr_item_qty",
+        (F.col("sr_item_qty") / avg_ * hundred).alias("sr_dev"),
+        "cr_item_qty",
+        (F.col("cr_item_qty") / avg_ * hundred).alias("cr_dev"),
+        "wr_item_qty",
+        (F.col("wr_item_qty") / avg_ * hundred).alias("wr_dev"),
+        avg_.alias("average"),
+    ).orderBy("item_id", "sr_item_qty").limit(100)
 
 
 _DS_Q86 = f"""

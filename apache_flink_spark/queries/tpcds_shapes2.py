@@ -395,8 +395,58 @@ def ds_q78_unreturned_ratio(spark, sf_dir):
     """TPC-DS query78 shape (query78.sql): drop fully/partly returned orders
     with a NOT IN anti-join (Catalyst plans LeftAnti), aggregate the two
     surviving channels per (customer, year), join them and sort on the
-    cross-channel ratio."""
-    return _sql(spark, sf_dir, _DS_Q78)
+    cross-channel ratio.
+
+    Two-scan plan (r8, was 6): the F/O legs are conditional sums of ONE
+    anti-joined scan (statuses partition the rows; per-leg rounding is a
+    rounded conditional sum); the returned-orders key set is the second,
+    semantically necessary scan. The ss x ws inner join becomes two
+    IS NOT NULL guards."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("rk"))
+        .distinct()
+    )
+    st = F.col("l_linestatus")
+
+    def cell(status, col, typ):
+        return dround(
+            F.sum(F.when(st == status, dec(col, typ)))
+        )
+
+    g = (
+        li.join(returned, F.col("l_orderkey") == F.col("rk"), "anti")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            cell("F", "l_quantity", "decimal(12,4)").alias("ss_qty"),
+            cell("F", "l_extendedprice", "decimal(12,4)").alias("ss_amt"),
+            cell("O", "l_quantity", "decimal(12,4)").alias("ws_qty"),
+            cell("O", "l_extendedprice", "decimal(12,4)").alias("ws_amt"),
+        )
+    )
+    return (
+        g.filter(
+            F.col("ss_amt").isNotNull() & F.col("ws_amt").isNotNull()
+            & (F.col("ws_amt") > F.lit(0).cast("double"))
+        )
+        .select(
+            "c_custkey", "yr", "ss_qty", "ss_amt", "ws_qty", "ws_amt",
+            (F.col("ss_amt") / F.col("ws_amt")).alias("ratio"),
+        )
+        .orderBy(F.col("ratio").desc(), "c_custkey", "yr")
+        .limit(100)
+    )
 
 
 def _q88_bucket(i: int, hour: int) -> str:
@@ -419,9 +469,29 @@ _DS_Q88 = "    SELECT * FROM\n" + ",".join(
 def ds_q88_hourly_buckets(spark, sf_dir):
     """TPC-DS query88 shape (query88.sql): eight single-row COUNT subqueries
     over consecutive hour buckets (each with the OR'd demographic-style side
-    predicate) comma-cross-joined into one wide row. The 1-row sides combine
-    via broadcast nested-loop — bounded by construction."""
-    return _sql(spark, sf_dir, _DS_Q88)
+    predicate) comma-cross-joined into one wide row.
+
+    Single-scan plan (r8, was 8 events scans): the side predicate is the
+    SAME in every bucket and the hour buckets are disjoint, so one scan
+    with eight conditional COUNTs produces the wide row directly."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import t as _t
+
+    e = _t(spark, sf_dir, "events")
+    side = (
+        F.col("event_type").isin("click", "view")
+        | F.col("value").between(10, 60)
+        | F.col("value").between(200, 300)
+    )
+    hour = F.hour("ts")
+    return (
+        e.filter(side & hour.between(8, 15))
+        .agg(*[
+            F.count(F.when(hour == h, F.lit(1))).alias(f"h{h}")
+            for h in range(8, 16)
+        ])
+    )
 
 
 _DS_Q93 = f"""

@@ -97,8 +97,47 @@ def ds_q9_case_scalar_subqueries(spark, sf_dir):
     """TPC-DS query9 shape (query9.sql): five CASE expressions, each
     choosing between two aggregate scalar subqueries based on a COUNT
     scalar subquery — 15 uncorrelated scalar subqueries hanging off a
-    single-row anchor table."""
-    return _sql(spark, sf_dir, _DS_Q9)
+    single-row anchor table.
+
+    Single-scan plan (r8): all 15 subqueries filter the SAME table by
+    quantity bucket, so one scan with 15 conditional aggregates (one
+    global aggregation row) replaces 15 lineitem scans; the CASE then
+    evaluates driver-free on that row, cross-joined to the 1-row anchor."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    region = _t(spark, sf_dir, "region")
+    buckets = [(1, 10), (11, 20), (21, 30), (31, 40), (41, 50)]
+    aggs = []
+    for i, (lo, hi) in enumerate(buckets, start=1):
+        c = F.col("l_quantity").between(lo, hi)
+        aggs += [
+            F.count(F.when(c, F.lit(1))).alias(f"cnt{i}"),
+            F.sum(F.when(c, dec("l_extendedprice"))).alias(f"sp{i}"),
+            F.sum(
+                F.when(c, dec("l_discount", "decimal(6,4)"))
+            ).alias(f"sd{i}"),
+        ]
+    stats = li.filter(F.col("l_quantity").between(1, 50)).agg(*aggs)
+    cols = [F.col("r_regionkey")]
+    for i in range(1, len(buckets) + 1):
+        cols.append(
+            F.when(
+                F.col(f"cnt{i}") > 10000,
+                dround(F.col(f"sp{i}")) / F.col(f"cnt{i}"),
+            )
+            .otherwise(dround(F.col(f"sd{i}")) / F.col(f"cnt{i}"))
+            .alias(f"bucket{i}")
+        )
+    return (
+        region.filter(F.col("r_regionkey") == 0)
+        .select("r_regionkey")
+        .join(F.broadcast(stats))
+        .select(*cols)
+    )
 
 
 def _q10_exists(chan: int) -> str:
@@ -330,8 +369,67 @@ def ds_q77_channel_profit_outer(spark, sf_dir):
     """TPC-DS query77 shape (query77.sql): per channel a FULL OUTER join of
     the sales and returns aggregates (a group can have returns but no
     sales), three channels UNION ALL'd under a ROLLUP summary — the outer
-    join x rollup combination q5 doesn't exercise."""
-    return _sql(spark, sf_dir, _DS_Q77)
+    join x rollup combination q5 doesn't exercise.
+
+    Single-scan plan (r8, was 6 lineitem+supplier scans): the FULL OUTER
+    join of per-(channel, nation) sales and returns aggregates IS one
+    grouped aggregation with two conditional sums (a group exists iff
+    either side has rows, and the missing side is NULL — exactly the
+    outer join's NULL pattern); the ROLLUP then runs on the TINY
+    (channel x nation) intermediate."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec
+    from apache_flink_spark.queries._util import t as _t
+    from apache_flink_spark.queries.tpcds_shapes import _CHANNEL as _CH
+
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    price = dec("l_extendedprice")
+    per = (
+        li.join(
+            F.broadcast(supplier),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.expr(_CH).alias("channel"),
+            F.col("s_nationkey").alias("grp"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") != "R", price)
+            ).alias("sales"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", price)
+            ).alias("rets"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(12,4)")
+    return (
+        per.rollup("channel", "grp")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("sales"), zero)), 2
+            ).cast("double").alias("sales_r"),
+            F.round(
+                F.sum(F.coalesce(F.col("rets"), zero)), 2
+            ).cast("double").alias("returns"),
+            F.round(
+                F.sum(F.coalesce(F.col("sales"), zero))
+                - F.sum(F.coalesce(F.col("rets"), zero)), 2
+            ).cast("double").alias("profit"),
+        )
+        .select(
+            F.coalesce(F.col("channel"), F.lit("ALL")).alias("channel"),
+            F.coalesce(
+                F.col("grp").cast("string"), F.lit("ALL")
+            ).alias("id"),
+            F.col("sales_r").alias("sales"),
+            "returns",
+            "profit",
+        )
+        .orderBy("channel", "id")
+    )
 
 
 _DS_Q89 = f"""

@@ -171,8 +171,63 @@ _DS_Q75 = f"""
 def ds_q75_yoy_decline(spark, sf_dir):
     """TPC-DS query75 shape (query75.sql): all channels UNION ALL'd into
     one (brand, year) ledger, self-joined on consecutive years, keeping
-    brands declining in BOTH unit count (ratio < 0.9) and revenue."""
-    return _sql(spark, sf_dir, _DS_Q75)
+    brands declining in BOTH unit count (ratio < 0.9) and revenue.
+
+    Single-scan plan (r8, was 3x lineitem/orders/part): channels
+    PARTITION every row and the outer ledger re-sums the un-rounded
+    per-channel partials, so one (brand, year) aggregation over the
+    whole join is exact-identical; the year-over-year self-join then
+    runs on the TINY aggregated ledger."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    ledger = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dround(F.sum(dec("l_extendedprice"))).alias("amt"),
+        )
+    )
+    cur = ledger.select(
+        "brand", "yr",
+        F.col("cnt").alias("cur_cnt"), F.col("amt").alias("cur_amt"),
+    )
+    prev = ledger.select(
+        F.col("brand").alias("p_brand_"),
+        F.col("yr").alias("prev_year"),
+        F.col("cnt").alias("prev_cnt"), F.col("amt").alias("prev_amt"),
+    )
+    return (
+        cur.join(
+            prev,
+            (F.col("brand") == F.col("p_brand_"))
+            & (F.col("yr") == F.col("prev_year") + 1),
+        )
+        .filter(
+            (F.col("yr") == 1997)
+            & (
+                F.col("cur_cnt").cast("double") / F.col("prev_cnt")
+                < F.lit(0.9).cast("double")
+            )
+            & (F.col("cur_amt") < F.col("prev_amt"))
+        )
+        .select(
+            "brand", "prev_year", "yr",
+            "prev_cnt", "cur_cnt", "prev_amt", "cur_amt",
+        )
+        .orderBy("brand")
+        .limit(100)
+    )
 
 
 def _q76_leg(chan: int, col: str) -> str:
@@ -201,8 +256,33 @@ _DS_Q76 = f"""
 def ds_q76_null_channel_union(spark, sf_dir):
     """TPC-DS query76 shape (query76.sql): UNION ALL of per-channel legs
     each tagged with leg constants and a degenerate dimension column,
-    counted and summed together by (channel, column, year)."""
-    return _sql(spark, sf_dir, _DS_Q76)
+    counted and summed together by (channel, column, year).
+
+    Single-scan plan (r8, was 3): the leg tag IS the channel expression
+    and channels partition every row, so grouping the one filtered scan
+    by (channel, col, year) is exact-identical."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    from apache_flink_spark.queries.tpcds_shapes import _CHANNEL as _CH
+
+    return (
+        li.filter(F.col("l_linestatus") == "O")
+        .groupBy(
+            F.expr(_CH).alias("channel"),
+            F.col("l_returnflag").alias("col_name"),
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("sales_cnt"),
+            dround(F.sum(dec("l_extendedprice"))).alias("sales_amt"),
+        )
+        .orderBy("channel", "col_name", "yr")
+        .limit(100)
+    )
 
 
 def _q87_leg(chan: int) -> str:

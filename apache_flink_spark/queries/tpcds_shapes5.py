@@ -59,8 +59,59 @@ def ds_q4_three_channel_growth_chain(spark, sf_dir):
     """TPC-DS query4 shape (query4.sql): customers whose catalog growth
     beat BOTH store and web growth — one (customer, year, channel) CTE
     instantiated six ways with a chained pair of ratio comparisons on
-    exact rounded doubles (q11's big sibling)."""
-    return _sql(spark, sf_dir, _DS_Q4)
+    exact rounded doubles (q11's big sibling).
+
+    Single-scan plan (r8, was 6 lineitem+orders scans): the six CTE
+    instances select FIXED (channel, year) cells of one (customer, year,
+    channel) aggregation, so one scan with six conditional rounded sums
+    per customer replaces the 6-way self-join; the inner-join
+    "all six cells exist" requirement becomes six IS NOT NULL guards."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rev = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(6,4)") - dec("l_discount", "decimal(6,4)")
+    )
+    yr = F.year("o_orderdate")
+    chan = F.col("l_linenumber") % 3
+
+    def cell(ch, y):
+        return dround(F.sum(F.when((chan == ch) & (yr == y), rev)))
+
+    g = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(yr.isin(1996, 1997))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            cell(0, 1996).alias("s1"), cell(0, 1997).alias("s2"),
+            cell(1, 1996).alias("c1"), cell(1, 1997).alias("c2"),
+            cell(2, 1996).alias("w1"), cell(2, 1997).alias("w2"),
+        )
+    )
+    zero = F.lit(0).cast("double")
+    return (
+        g.filter(
+            F.col("s1").isNotNull() & F.col("s2").isNotNull()
+            & F.col("c1").isNotNull() & F.col("c2").isNotNull()
+            & F.col("w1").isNotNull() & F.col("w2").isNotNull()
+            & (F.col("s1") > zero) & (F.col("c1") > zero)
+            & (F.col("w1") > zero)
+            & (F.col("c2") / F.col("c1") > F.col("s2") / F.col("s1"))
+            & (F.col("c2") / F.col("c1") > F.col("w2") / F.col("w1"))
+        )
+        .select(
+            "c_custkey",
+            (F.col("c2") / F.col("c1")).alias("catalog_growth"),
+            (F.col("s2") / F.col("s1")).alias("store_growth"),
+            (F.col("w2") / F.col("w1")).alias("web_growth"),
+        )
+        .orderBy("c_custkey")
+        .limit(100)
+    )
 
 
 _DS_Q24 = f"""
