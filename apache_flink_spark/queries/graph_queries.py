@@ -759,22 +759,31 @@ def graph_vertex_degrees(spark, sf_dir):
     .../asm/degree/annotate/directed/VertexDegrees.java): in/out/total
     degree per vertex on the low->high oriented edge set. Two narrow
     aggregates + one full outer join on the vertex key."""
+    # r8: one pass — each edge contributes (pa, out=1) and (pb, in=1) via
+    # an explode, so the edge derivation runs ONCE instead of twice (the
+    # full outer join of the two degree aggregates is the same grouped
+    # sum over the exploded endpoint rows).
     e = _edges(spark, sf_dir)
-    outd = e.groupBy(F.col("pa").alias("node")).agg(
-        F.count(F.lit(1)).alias("out_degree")
-    )
-    ind = e.groupBy(F.col("pb").alias("node")).agg(
-        F.count(F.lit(1)).alias("in_degree")
-    )
-    j = outd.join(ind, "node", "full")
-    return j.select(
-        "node",
-        F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
-        F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
-        (
-            F.coalesce("out_degree", F.lit(0))
-            + F.coalesce("in_degree", F.lit(0))
-        ).alias("degree"),
+    ex = e.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("node"),
+                    F.lit(1).cast("long").alias("o"),
+                    F.lit(0).cast("long").alias("i"),
+                ),
+                F.struct(
+                    F.col("pb").alias("node"),
+                    F.lit(0).cast("long").alias("o"),
+                    F.lit(1).cast("long").alias("i"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    return ex.groupBy("node").agg(
+        F.sum("o").alias("out_degree"),
+        F.sum("i").alias("in_degree"),
+        (F.sum("o") + F.sum("i")).alias("degree"),
     )
 
 

@@ -356,13 +356,15 @@ def sim_embedding_neardup(spark, sf_dir):
     oracle uses the identical candidate set."""
     e = t(spark, sf_dir, "embeddings")
     # Stage 1: per-vector work ONCE — quantized vector, its norm, bucket.
+    # r8: persisted — the projection feeds both band-key sides and both
+    # pair sides, so without the cache the quantization re-runs 4x.
     v = e.select("vec_id", "label", F.expr(_QE_SPARK).alias("qe")).select(
         "vec_id",
         "label",
         "qe",
         F.expr(_dot_spark("qe", "qe")).alias("norm"),
         F.expr(_bucket_spark("qe", _PLANES_ND)).alias("bucket"),
-    )
+    ).persist()
     # Stage 2: SLIM candidate generation — band keys only (no vectors on the
     # shuffle), equi-join per band, then DISTINCT pair ids. Dots are NOT
     # computed here, so a pair colliding in both bands costs nothing extra
@@ -795,9 +797,11 @@ def sim_lsh_recall(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     # Norms once per vector, not per joined pair (the 64-element fold per
     # pair triples work and codegen — same lesson as pipeline_kmeans).
+    # r8: persisted — the exact arm, the LSH arm, and the query sets all
+    # branch from this projection (4 scans + 4 quantizations without it).
     v = e.select("vec_id", F.expr(_QE_SPARK).alias("qe")).withColumn(
         "nn", F.expr(_dot_spark("qe", "qe"))
-    )
+    ).persist()
     b = v.withColumn("bucket", F.expr(_bucket_spark("qe")))
 
     def topk(cand_join):
@@ -943,8 +947,15 @@ def sim_semdedup(spark, sf_dir):
     agree bit-for-bit. Output: per-cluster members/removed/kept counts +
     first removed id."""
     e = t(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", F.expr(_QE_SPARK).alias("qe")).withColumn(
-        "nv", F.expr(_dot_spark("qe", "qe"))
+    # r8: v (scan + quantization) feeds the centroid set, the assignment
+    # cross join, and BOTH sides of the pair join — persist the narrow
+    # quantized projection so the plan quantizes once instead of 9x (the
+    # materialize-vs-rescan tradeoff; at 100 TB re-running the array
+    # quantization per branch dwarfs the cache write)
+    v = (
+        e.select("vec_id", F.expr(_QE_SPARK).alias("qe"))
+        .withColumn("nv", F.expr(_dot_spark("qe", "qe")))
+        .persist()
     )
     cent = v.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"),

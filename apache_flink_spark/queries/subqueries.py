@@ -86,8 +86,25 @@ _SCALAR = """
 @query("subq_scalar_agg", oracle=_SCALAR)
 def subq_scalar_agg(spark, sf_dir):
     """Uncorrelated scalar subqueries: rows above the global mean, expressed
-    exactly as price*N > total (no float AVG)."""
-    return _sql(spark, sf_dir, _SCALAR)
+    exactly as price*N > total (no float AVG).
+
+    Two-scan plan (r8, was 3+): both scalar subqueries come from ONE
+    global aggregation row, broadcast back onto the main scan."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_extendedprice")).alias("tot"),
+    )
+    return (
+        li.join(F.broadcast(stats))
+        .filter(dec("l_extendedprice") * F.col("n") > F.col("tot"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
 
 
 _CORRELATED = """

@@ -171,20 +171,20 @@ def ds_q2_week_over_week(spark, sf_dir):
     week = F.floor(
         F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("date")) / 7
     ).cast("bigint")
-    base_one = lambda status: (  # noqa: E731
-        li.where(F.col("l_linestatus") == status).select(
-            week.alias("wk"),
-            F.date_format("l_shipdate", "EEEE").alias("dn"),
-            dec("l_extendedprice").alias("price"),
-        )
+    # r8: F/O statuses partition every row, so the UNION ALL is one scan
+    # with the status filter; the tiny per-week pivot is persisted so the
+    # w vs w+52 self-join reads it once instead of re-scanning the fact.
+    base = li.where(F.col("l_linestatus").isin("F", "O")).select(
+        week.alias("wk"),
+        F.date_format("l_shipdate", "EEEE").alias("dn"),
+        dec("l_extendedprice").alias("price"),
     )
-    base = base_one("F").unionAll(base_one("O"))
     wkagg = base.groupBy("wk").agg(
         *[
             dround(F.sum(F.when(F.col("dn") == d, F.col("price")))).alias(c)
             for d, c in _DAYS
         ]
-    )
+    ).persist()
     y, z = wkagg.alias("y"), wkagg.alias("z")
     zero = F.lit(0.0)
     return (
@@ -309,8 +309,49 @@ _DS_Q11 = f"""
 def ds_q11_yoy_growth(spark, sf_dir):
     """TPC-DS query11 shape (query11.sql): one customer-year-channel total
     CTE self-joined four ways; keep customers whose web growth ratio beats
-    their store growth ratio. Ratio compare on exact rounded doubles."""
-    return _sql(spark, sf_dir, _DS_Q11)
+    their store growth ratio. Ratio compare on exact rounded doubles.
+
+    Single-scan plan (r8, was 4 lineitem+orders scans): the four CTE
+    instances are FIXED (status, year) cells of one customer aggregation
+    — four conditional rounded sums; inner-join existence = IS NOT NULL
+    (ds_q4's fusion, two cells fewer)."""
+    rev = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(6,4)") - dec("l_discount", "decimal(6,4)")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    st = F.col("l_linestatus")
+
+    def cell(status, y):
+        return dround(F.sum(F.when((st == status) & (yr == y), rev)))
+
+    g = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(yr.isin(1996, 1997))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            cell("F", 1996).alias("store_y1"),
+            cell("F", 1997).alias("store_y2"),
+            cell("O", 1996).alias("web_y1"),
+            cell("O", 1997).alias("web_y2"),
+        )
+    )
+    zero = F.lit(0).cast("double")
+    return (
+        g.filter(
+            F.col("store_y1").isNotNull() & F.col("store_y2").isNotNull()
+            & F.col("web_y1").isNotNull() & F.col("web_y2").isNotNull()
+            & (F.col("store_y1") > zero) & (F.col("web_y1") > zero)
+            & (
+                F.col("web_y2") / F.col("web_y1")
+                > F.col("store_y2") / F.col("store_y1")
+            )
+        )
+        .select("c_custkey", "store_y1", "store_y2", "web_y1", "web_y2")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
 
 
 _DS_Q14 = f"""
@@ -401,8 +442,55 @@ def ds_q23_frequent_best_customers(spark, sf_dir):
     """TPC-DS query23a shape (query23a.sql): frequent-item CTE (HAVING on a
     distinct count) + best-customer CTE gated on a scalar MAX subquery over
     another CTE; final agg filters by both IN-lists. The MAX threshold is
-    compared on exact rounded doubles."""
-    return _sql(spark, sf_dir, _DS_Q23)
+    compared on exact rounded doubles.
+
+    Single-scan plan (r8, was 4 lineitem+orders scans): the three gates
+    group by DIFFERENT keys (partkey / custkey / global), so one narrow
+    persisted projection of the joined scan feeds all three — the q23b
+    common-subgraph-reuse shape."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    amt = dec("l_quantity") * dec("l_extendedprice")
+    tagged = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_partkey", "l_orderkey", "o_custkey",
+            F.year("l_shipdate").alias("ship_yr"),
+            F.year("o_orderdate").alias("order_yr"),
+            amt.alias("amt"),
+            dec("l_extendedprice").alias("price"),
+        )
+        .persist()
+    )
+    freq = (
+        tagged.filter(F.col("ship_yr").isin(1996, 1997))
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("c"))
+        .filter(F.col("c") > 12)
+        .select("l_partkey")
+    )
+    cust = tagged.groupBy("o_custkey").agg(
+        dround(F.sum("amt")).alias("csales")
+    )
+    cmax = cust.agg(F.max("csales").alias("cmax"))
+    best = (
+        cust.join(F.broadcast(cmax))
+        .filter(
+            F.col("csales") > F.lit(0.5).cast("double") * F.col("cmax")
+        )
+        .select(F.col("o_custkey").alias("cust"))
+    )
+    return (
+        tagged.filter(F.col("order_yr") == 1997)
+        .join(freq, "l_partkey", "semi")
+        .join(
+            best, F.col("o_custkey") == F.col("cust"), "semi"
+        )
+        .agg(
+            dround(F.sum("price")).alias("total_sales"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
 
 
 def _q28_bucket(i: int, lo: int, hi: int, d1: float, d2: float) -> str:

@@ -108,8 +108,58 @@ def ds_q74_two_channel_growth(spark, sf_dir):
     growth beats their store growth — ONE union CTE self-joined four
     ways (store/web x first/second year) with CASE-guarded ratio
     comparison on exactly-rounded doubles (ds_q11 is the 2-measure
-    sibling; q74 adds the CASE guards and quantity measure)."""
-    return _sql(spark, sf_dir, _DS_Q74)
+    sibling; q74 adds the CASE guards and quantity measure).
+
+    Single-scan plan (r8, was 4 lineitem+orders scans): four fixed
+    (channel, year) conditional DECIMAL sums per customer; the >0 guards
+    compare the exact decimals like the oracle, rounding only inside the
+    ratio."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec
+    from apache_flink_spark.queries._util import t as _t
+    from apache_flink_spark.queries.tpcds_shapes import _CHANNEL as _CH
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    ch = F.expr(_CH)
+    yr = F.year("o_orderdate")
+    qty = dec("l_quantity")
+
+    def cell(c, y):
+        return F.sum(F.when((ch == c) & (yr == y), qty))
+
+    g = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(yr.isin(2000, 2001) & ch.isin("store", "web"))
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            cell("store", 2000).alias("ts1"),
+            cell("store", 2001).alias("ts2"),
+            cell("web", 2000).alias("tw1"),
+            cell("web", 2001).alias("tw2"),
+        )
+    )
+
+    def r(c):
+        return F.round(F.col(c), 2).cast("double")
+
+    return (
+        g.filter(
+            F.col("ts1").isNotNull() & F.col("ts2").isNotNull()
+            & F.col("tw1").isNotNull() & F.col("tw2").isNotNull()
+            & (F.col("ts1") > 0) & (F.col("tw1") > 0)
+            & (r("tw2") / r("tw1") > r("ts2") / r("ts1"))
+        )
+        .join(
+            F.broadcast(customer),
+            F.col("customer_id") == F.col("c_custkey"),
+        )
+        .select("customer_id", F.col("c_name").alias("customer_name"))
+        .orderBy("customer_id", "customer_name")
+        .limit(100)
+    )
 
 
 _DS_Q79 = f"""

@@ -78,8 +78,62 @@ def ds_q47_monthly_deviation(spark, sf_dir):
     deviates >10% from the yearly average. All comparisons run on exact
     rounded doubles with identical expression trees in both engines (the
     yearly re-sum goes through DECIMAL(14,2) of the already-exact month
-    totals, so it is order-independent too)."""
-    return _sql(spark, sf_dir, _DS_Q47)
+    totals, so it is order-independent too).
+
+    Single-scan plan (r8, was 4 lineitem scans): the rn +/- 1 self-joins
+    ARE lag/lead over the brand's month sequence and the yearly average
+    is a (brand, year) window — both run on the TINY aggregated v1, so
+    one fact scan feeds everything (the oracle keeps the self-join
+    text)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    v1 = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand",
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+            F.month("l_shipdate").cast("bigint").alias("moy"),
+        )
+        .agg(dround(F.sum(dec("l_extendedprice"))).alias("msum"))
+    )
+    w_ord = Window.partitionBy("p_brand").orderBy("yr", "moy")
+    w_year = Window.partitionBy("p_brand", "yr")
+    v = (
+        v1.withColumn("psum", F.lag("msum").over(w_ord))
+        .withColumn("nsum", F.lead("msum").over(w_ord))
+        .withColumn(
+            "ysum",
+            F.round(
+                F.sum(F.col("msum").cast("decimal(14,2)")).over(w_year), 2
+            ).cast("double"),
+        )
+        .withColumn("months", F.count(F.lit(1)).over(w_year))
+    )
+    avg_ = F.col("ysum") / F.col("months")
+    return (
+        v.filter(
+            (F.col("yr") == 1997)
+            & F.col("psum").isNotNull() & F.col("nsum").isNotNull()
+            & (
+                F.abs(F.col("msum") - avg_)
+                > F.lit(0.1).cast("double") * avg_
+            )
+        )
+        .select(
+            "p_brand", "yr", "moy",
+            F.col("msum").alias("sum_sales"),
+            avg_.alias("avg_monthly_sales"),
+            "psum", "nsum",
+        )
+        .orderBy("p_brand", "moy")
+        .limit(100)
+    )
 
 
 _DS_Q49 = f"""

@@ -248,8 +248,55 @@ def ds_q31_quarterly_share_growth(spark, sf_dir):
     """TPC-DS query31 shape (query31.sql): nations whose web revenue grew
     faster than store revenue across consecutive quarters — one
     (nation, quarter, channel) CTE self-joined four ways with a ratio
-    comparison on exact rounded doubles."""
-    return _sql(spark, sf_dir, _DS_Q31)
+    comparison on exact rounded doubles.
+
+    Single-scan plan (r8, was 4 scans of the 3-way join): the four CTE
+    instances are FIXED (status, quarter) cells of one per-nation
+    aggregation — the ds_q4/ds_q11 fusion."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rev = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(6,4)") - dec("l_discount", "decimal(6,4)")
+    )
+    q = F.quarter("o_orderdate")
+    st = F.col("l_linestatus")
+
+    def cell(status, qq):
+        return dround(F.sum(F.when((st == status) & (q == qq), rev)))
+
+    g = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.year("o_orderdate") == 1996)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            cell("F", 1).alias("store_q1"), cell("F", 2).alias("store_q2"),
+            cell("O", 1).alias("web_q1"), cell("O", 2).alias("web_q2"),
+        )
+    )
+    zero = F.lit(0).cast("double")
+    return (
+        g.filter(
+            F.col("store_q1").isNotNull() & F.col("store_q2").isNotNull()
+            & F.col("web_q1").isNotNull() & F.col("web_q2").isNotNull()
+            & (F.col("store_q1") > zero) & (F.col("web_q1") > zero)
+            & (
+                F.col("web_q2") / F.col("web_q1")
+                > F.col("store_q2") / F.col("store_q1")
+            )
+        )
+        .select("nation", "store_q1", "store_q2", "web_q1", "web_q2")
+        .orderBy("nation")
+    )
 
 
 _DS_Q39 = f"""

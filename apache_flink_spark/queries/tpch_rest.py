@@ -307,5 +307,33 @@ _Q22 = """
 def q22_global_sales_opportunity(spark, sf_dir):
     """q22 shape: above-average balance (exact decimal cross-multiplication,
     no double AVG) + NOT EXISTS anti-join, grouped by segment (standing in
-    for the original phone country code)."""
-    return _sql(spark, sf_dir, _Q22)
+    for the original phone country code).
+
+    Two-scan plan (r8, was 3 customer scans): both scalar subqueries come
+    from ONE filtered aggregation row broadcast back; the NOT EXISTS stays
+    an anti-join on orders."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    stats = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("c_acctbal")).alias("tot"),
+    )
+    return (
+        customer.join(F.broadcast(stats))
+        .filter(dec("c_acctbal") * F.col("n") > F.col("tot"))
+        .join(
+            orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dround(F.sum(dec("c_acctbal"))).alias("totacctbal"),
+        )
+    )
