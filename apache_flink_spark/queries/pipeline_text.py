@@ -472,7 +472,15 @@ def text_tfidf_topterms(spark, sf_dir):
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # r8: tf feeds BOTH the df aggregation and the scored join's left
+    # side — persist it so the tokenize+explode+aggregate pipeline runs
+    # once instead of twice (tf is (doc, term)-aggregated, far smaller
+    # than the raw token stream it replaces).
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",

@@ -121,5 +121,23 @@ _CORRELATED = """
 def subq_correlated_scalar(spark, sf_dir):
     """Correlated scalar subqueries (decorrelation phase parity): orders above
     their own customer's mean — decorrelates to a per-custkey aggregate
-    joined back, one extra shuffle on o_custkey."""
-    return _sql(spark, sf_dir, _CORRELATED)
+    joined back, one extra shuffle on o_custkey.
+
+    Two-scan plan (r8, was 3): BOTH correlated aggregates come from one
+    per-custkey aggregation joined back (Catalyst decorrelates each
+    subquery separately, re-scanning per aggregate)."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec
+    from apache_flink_spark.queries._util import t as _t
+
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice")).alias("tot"),
+    )
+    return (
+        orders.join(per, F.col("o_custkey") == F.col("ck"))
+        .filter(dec("o_totalprice") * F.col("n") > F.col("tot"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

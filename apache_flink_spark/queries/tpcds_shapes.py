@@ -680,8 +680,20 @@ _DS_Q38 = f"""
 @query("ds_q38_three_channel_intersect", oracle=_DS_Q38)
 def ds_q38_three_channel_intersect(spark, sf_dir):
     """TPC-DS query38 shape (query38.sql): COUNT(*) over the 3-way INTERSECT
-    of per-channel DISTINCT (customer, month) projections."""
-    return _sql(spark, sf_dir, _DS_Q38)
+    of per-channel DISTINCT (customer, month) projections.
+
+    Single-scan plan (r8, was 3): channels partition every row, so the
+    intersect is one (customer, month) grouping with
+    COUNT(DISTINCT channel) = 3."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", F.month("o_orderdate").alias("m"))
+        .agg(F.size(F.collect_set(F.col("l_linenumber") % 3)).alias("nc"))
+        .filter(F.col("nc") == 3)
+        .agg(F.count(F.lit(1)).alias("hot_cust"))
+    )
 
 
 _DS_Q44 = f"""

@@ -389,8 +389,72 @@ def ds_q81_catalog_return_outliers(spark, sf_dir):
     """TPC-DS query81 shape (query81.sql): catalog-return totals with the
     tax-inclusive amount, customers above 1.2x their state average
     (correlated subquery like q30) with the ADDRESS hierarchy emitted
-    via two extra dimension joins and a region filter."""
-    return _sql(spark, sf_dir, _DS_Q81)
+    via two extra dimension joins and a region filter.
+
+    Single-derivation plan (r8, was 3 scans of the CTE's join): per-state
+    average via a window over the tiny (customer, state) aggregate — the
+    ds_q30 fusion plus the address-hierarchy dimension joins."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+    from apache_flink_spark.queries.tpcds_shapes import _CHANNEL as _CH
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    amt = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(6,4)") + dec("l_tax", "decimal(6,4)")
+    )
+    ctr = (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.expr(_CH) == "catalog")
+            & (F.year("l_shipdate") == 2000)
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("ck"),
+            F.col("c_nationkey").alias("nk"),
+        )
+        .agg(F.sum(amt).alias("ret_dec"))
+    )
+    w = Window.partitionBy("nk")
+    gated = ctr.withColumn(
+        "nk_avg",
+        F.round(F.sum("ret_dec").over(w), 2).cast("double")
+        / F.count(F.lit(1)).over(w),
+    ).filter(
+        dround(F.col("ret_dec"))
+        > F.lit(1.2).cast("double") * F.col("nk_avg")
+    )
+    return (
+        gated.join(
+            F.broadcast(customer), F.col("ck") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("n_regionkey") == 2)
+        .select(
+            "c_name", "n_name", "r_name",
+            dround(F.col("ret_dec")).alias("ctr_total_return"),
+        )
+        .orderBy("c_name", "n_name")
+        .limit(100)
+    )
 
 
 _WK = f"CAST(FLOOR({_DAYS_SINCE} / 7.0) AS BIGINT)"

@@ -307,8 +307,52 @@ def ds_q58_channel_parity(spark, sf_dir):
     """TPC-DS query58 shape (query58.sql): items whose revenue in each of the
     three channels stays within 10% of the three-channel average — three
     aggregate CTEs equi-joined with symmetric BETWEEN predicates on exact
-    rounded doubles (left-associative addition both engines)."""
-    return _sql(spark, sf_dir, _DS_Q58)
+    rounded doubles (left-associative addition both engines).
+
+    Single-scan plan (r8, was 3): three conditional rounded sums per item;
+    the 3-way inner join becomes IS NOT NULL guards."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(6,4)") - dec("l_discount", "decimal(6,4)")
+    )
+    chan = F.col("l_linenumber") % 3
+
+    def cell(c):
+        return dround(F.sum(F.when(chan == c, rev)))
+
+    g = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        cell(0).alias("ss_sales"),
+        cell(1).alias("cs_sales"),
+        cell(2).alias("ws_sales"),
+    )
+    # left-associative addition, matching the oracle's expression tree
+    avg_ = (
+        F.col("ss_sales") + F.col("cs_sales") + F.col("ws_sales")
+    ) / F.lit(3).cast("double")
+    lo, hi = F.lit(0.9).cast("double"), F.lit(1.1).cast("double")
+    return (
+        g.filter(
+            F.col("ss_sales").isNotNull()
+            & F.col("cs_sales").isNotNull()
+            & F.col("ws_sales").isNotNull()
+        )
+        .withColumn("avg_sales", avg_)
+        .filter(
+            F.col("ss_sales").between(lo * avg_, hi * avg_)
+            & F.col("cs_sales").between(lo * avg_, hi * avg_)
+            & F.col("ws_sales").between(lo * avg_, hi * avg_)
+        )
+        .select(
+            "item", "ss_sales", "cs_sales", "ws_sales", "avg_sales"
+        )
+        .orderBy("item")
+        .limit(100)
+    )
 
 
 _DS_Q64 = f"""

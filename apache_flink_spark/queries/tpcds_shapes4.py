@@ -197,6 +197,9 @@ def ds_q75_yoy_decline(spark, sf_dir):
             F.count(F.lit(1)).alias("cnt"),
             dround(F.sum(dec("l_extendedprice"))).alias("amt"),
         )
+        # tiny (brand x year) set — persisted so the consecutive-year
+        # self-join reads it once instead of re-scanning the fact per side
+        .persist()
     )
     cur = ledger.select(
         "brand", "yr",
@@ -304,8 +307,28 @@ _DS_Q87 = f"""
 def ds_q87_except_chain(spark, sf_dir):
     """TPC-DS query87 shape (query87.sql): COUNT over a chained EXCEPT —
     (customer, month) pairs active in the store channel but in NEITHER of
-    the other two (q38's INTERSECT mirror)."""
-    return _sql(spark, sf_dir, _DS_Q87)
+    the other two (q38's INTERSECT mirror).
+
+    Single-scan plan (r8, was 3): one (customer, month) grouping with
+    per-channel presence flags — store present AND catalog/web absent."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    chan = F.col("l_linenumber") % 3
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", F.month("o_orderdate").alias("m"))
+        .agg(
+            F.max(chan == 0).alias("s"),
+            F.max(chan == 1).alias("c"),
+            F.max(chan == 2).alias("w"),
+        )
+        .filter(F.col("s") & ~F.col("c") & ~F.col("w"))
+        .agg(F.count(F.lit(1)).alias("store_only_cust"))
+    )
 
 
 _DS_Q90 = """

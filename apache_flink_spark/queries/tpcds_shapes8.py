@@ -107,8 +107,60 @@ def ds_q30_state_return_outliers(spark, sf_dir):
     (customer, state); customers above 1.2x their state's average via a
     CORRELATED scalar subquery over the same CTE (q1's shape uses a
     join; the reference validates both decorrelation paths), state
-    equality on the customer output side."""
-    return _sql(spark, sf_dir, _DS_Q30)
+    equality on the customer output side.
+
+    Single-derivation plan (r8, was 3 scans of the CTE's join): the
+    correlated per-state average is a window over the TINY
+    (customer, state) aggregate, so the fact join runs once."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+    from apache_flink_spark.queries.tpcds_shapes import _CHANNEL as _CH
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    ctr = (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.expr(_CH) == "web")
+            & (F.year("l_shipdate") == 1999)
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("ck"),
+            F.col("c_nationkey").alias("nk"),
+        )
+        .agg(F.sum(dec("l_extendedprice")).alias("ret_dec"))
+    )
+    w = Window.partitionBy("nk")
+    gated = ctr.withColumn(
+        "nk_avg",
+        F.round(F.sum("ret_dec").over(w), 2).cast("double")
+        / F.count(F.lit(1)).over(w),
+    ).filter(
+        dround(F.col("ret_dec"))
+        > F.lit(1.2).cast("double") * F.col("nk_avg")
+    )
+    return (
+        gated.join(
+            F.broadcast(customer), F.col("ck") == F.col("c_custkey")
+        )
+        .filter(F.col("c_nationkey") == 5)
+        .select(
+            "c_name", "c_mktsegment",
+            F.round(F.col("c_acctbal"), 2).cast("double").alias("acctbal"),
+            dround(F.col("ret_dec")).alias("ctr_total_return"),
+        )
+        .orderBy("c_name")
+        .limit(100)
+    )
 
 
 _DISC_AMT = f"({_PRICE} * CAST(l_discount AS DECIMAL(6,4)))"

@@ -193,8 +193,78 @@ def ds_q57_lag_lead_deviation(spark, sf_dir):
     (brand, call-center) then SELF-JOINED to its rn-1 and rn+1 rows to
     emit previous/next month alongside the deviation — the catalog
     sibling of ds_q47, with the lag/lead fetched by join rather than
-    window (exactly the original's formulation)."""
-    return _sql(spark, sf_dir, _DS_Q57)
+    window (exactly the original's formulation, kept as the oracle).
+
+    Single-scan plan (r8, was 3): the rn +/- 1 self-joins ARE lag/lead
+    over the (brand, nation) month sequence — windows on the TINY monthly
+    aggregate, one fact scan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    yr = F.year("l_shipdate")
+    moy = F.month("l_shipdate")
+    v1 = (
+        li.filter(
+            (F.expr(_CHANNEL) == "catalog")
+            & (
+                (yr == 1999)
+                | ((yr == 1998) & (moy == 12))
+                | ((yr == 2000) & (moy == 1))
+            )
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            "p_brand", "n_name",
+            yr.cast("bigint").alias("yr"),
+            moy.cast("bigint").alias("moy"),
+        )
+        .agg(F.sum(dec("l_extendedprice")).alias("sum_dec"))
+    )
+    w_ord = Window.partitionBy("p_brand", "n_name").orderBy("yr", "moy")
+    w_year = Window.partitionBy("p_brand", "n_name", "yr")
+    v = (
+        v1.withColumn("sum_sales", dround(F.col("sum_dec")))
+        .withColumn(
+            "avg_monthly_sales",
+            F.round(F.sum("sum_dec").over(w_year), 2).cast("double")
+            / F.count(F.lit(1)).over(w_year),
+        )
+        .withColumn("psum", F.lag(dround(F.col("sum_dec"))).over(w_ord))
+        .withColumn("nsum", F.lead(dround(F.col("sum_dec"))).over(w_ord))
+    )
+    avg_ = F.col("avg_monthly_sales")
+    return (
+        v.filter(
+            (F.col("yr") == 1999)
+            & F.col("psum").isNotNull() & F.col("nsum").isNotNull()
+            & (avg_ > F.lit(0).cast("double"))
+            & (
+                F.abs(F.col("sum_sales") - avg_) / avg_
+                > F.lit(0.1).cast("double")
+            )
+        )
+        .select(
+            "p_brand", "n_name", "yr", "moy", "avg_monthly_sales",
+            "sum_sales", "psum", "nsum",
+        )
+        .orderBy(
+            F.col("sum_sales") - avg_, "p_brand", "n_name", "moy"
+        )
+        .limit(100)
+    )
 
 
 _DS_Q59_COLS = ", ".join(

@@ -36,8 +36,36 @@ _Q18 = """
 @query("q18_large_volume_customer", oracle=_Q18)
 def q18_large_volume_customer(spark, sf_dir):
     """TPC-H q18 shape: IN over a HAVING aggregate subquery -> semi join on
-    the aggregated key, then a 3-table join + re-aggregation."""
-    return _sql(spark, sf_dir, _Q18)
+    the aggregated key, then a 3-table join + re-aggregation.
+
+    Single-scan plan (r8, was 3 lineitem scans): the final group key
+    CONTAINS o_orderkey, so the re-aggregated total_qty IS the per-order
+    sum the HAVING subquery already computed — one per-order aggregation
+    feeds both the filter and the output."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    per = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+    )
+    return (
+        per.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name", "o_orderkey", "o_totalprice",
+            dround(F.col("q")).alias("total_qty"),
+        )
+    )
 
 
 _Q19 = """

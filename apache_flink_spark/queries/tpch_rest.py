@@ -144,8 +144,30 @@ def q11_important_stock(spark, sf_dir):
     """q11 shape: per-part value filtered against a multiple of the global
     average (uncorrelated scalar subqueries). Written as the exact decimal
     cross-multiplication value*cnt*2 > total*3 (value > 1.5x mean) so the
-    selectivity is scale-invariant (~top 1.5% of parts at any SF)."""
-    return _sql(spark, sf_dir, _Q11)
+    selectivity is scale-invariant (~top 1.5% of parts at any SF).
+
+    Single-scan plan (r8, was 3 lineitem scans): both scalar subqueries
+    are whole-frame windows over the TINY per-part aggregate (part
+    cardinality, never fact rows)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    partval = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("value")
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        partval.withColumn("n2", F.count(F.lit(1)).over(w) * 2)
+        .withColumn("tot3", F.sum("value").over(w) * 3)
+        .filter(F.col("value") * F.col("n2") > F.col("tot3"))
+        .select("l_partkey", dround(F.col("value")).alias("value"))
+    )
 
 
 _Q13 = """

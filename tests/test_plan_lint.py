@@ -99,6 +99,26 @@ _WHITELIST = {
         "SINGLE-ROW broadcast aggregate (MAX customer sales)",
         {"BroadcastNestedLoopJoin"},
     ),
+    "ds_q23_frequent_best_customers": (
+        "TPC-DS q23a shape: the best-customer threshold attaches as a "
+        "SINGLE-ROW broadcast aggregate (MAX customer sales)",
+        {"BroadcastNestedLoopJoin"},
+    ),
+    "ds_q9_case_scalar_subqueries": (
+        "TPC-DS q9 shape: the fused 15-aggregate stats row (one row) "
+        "attaches to the single-row anchor",
+        {"BroadcastNestedLoopJoin"},
+    ),
+    "subq_scalar_agg": (
+        "both scalar subqueries attach as ONE single-row broadcast "
+        "aggregate",
+        {"BroadcastNestedLoopJoin"},
+    ),
+    "q22_global_sales_opportunity": (
+        "both scalar subqueries attach as ONE single-row broadcast "
+        "aggregate",
+        {"BroadcastNestedLoopJoin"},
+    ),
     "ds_q90_am_pm_ratio": (
         "TPC-DS q90 shape: two SINGLE-ROW COUNT subqueries combine "
         "into one ratio row",
@@ -119,23 +139,51 @@ _MAX_FACT_SCANS = {
     "ds_q56_channel_union_itemlist": 1,
     "ds_q60_channel_union_by_item": 1,
     "ds_q71_union_time_slots": 1,
+    # r8 second wave (was 15/6/8/6/3/6/6/6/4/4/4/4/3/3/3/3/3/1)
+    "ds_q9_case_scalar_subqueries": 1,
+    "ds_q28_bucket_stats": 1,
+    "ds_q4_three_channel_growth_chain": 1,
+    "ds_q75_yoy_decline": 1,
+    "ds_q76_null_channel_union": 1,
+    "ds_q77_channel_profit_outer": 1,
+    "ds_q78_unreturned_ratio": 2,
+    "ds_q80_channel_returns_rollup": 2,
+    "ds_q83_return_share_by_channel": 2,
+    "ds_q11_yoy_growth": 1,
+    "ds_q31_quarterly_share_growth": 1,
+    "ds_q47_monthly_deviation": 1,
+    "ds_q74_two_channel_growth": 1,
+    "ds_q38_three_channel_intersect": 1,
+    "ds_q87_except_chain": 1,
+    "ds_q58_channel_parity": 1,
+    "ds_q57_lag_lead_deviation": 1,
+    "q11_important_stock": 1,
+    "q18_large_volume_customer": 1,
+    "subq_scalar_agg": 2,
+    "subq_correlated_scalar": 2,
+}
+
+_MAX_EVENT_SCANS = {
+    "ds_q88_hourly_buckets": 1,  # was 8
 }
 
 
-@pytest.mark.parametrize("name", sorted(_MAX_FACT_SCANS))
-def test_fused_towers_scan_fact_once(spark, sf_dir, name):
+@pytest.mark.parametrize(
+    "name,table,cap",
+    [(n, "lineitem", c) for n, c in sorted(_MAX_FACT_SCANS.items())]
+    + [(n, "events", c) for n, c in sorted(_MAX_EVENT_SCANS.items())],
+)
+def test_fused_towers_scan_fact_once(spark, sf_dir, name, table, cap):
     import re
 
     plan = (
         QUERIES[name](spark, sf_dir)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    scans = len(
-        re.findall(r"FileScan parquet.*lineitem", plan)
-    )
-    assert scans <= _MAX_FACT_SCANS[name], (
-        f"{name} re-scans lineitem {scans}x (max "
-        f"{_MAX_FACT_SCANS[name]}) — the single-scan fusion regressed"
+    scans = len(re.findall(rf"FileScan parquet.*{table}", plan))
+    assert scans <= cap, (
+        f"{name} re-scans {table} {scans}x (max {cap}) — the "
+        "single-scan fusion regressed"
     )
 
 
