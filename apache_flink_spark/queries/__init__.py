@@ -88,11 +88,10 @@ GATE_SAMPLE = [
     # translation (2 more TPC-H rotated out, green in the full sweep)
     "model_predict_l2norm",
     "hint_join_strategies",
-    # TPC-DS shapes (r5, r8 rotation: q5/q38/q51/q97 rotated out for the
-    # four new r8 operator queries below; all stay green in the full
-    # sweep): window deviation, rollup-rank
+    # TPC-DS shapes (r5, r8 rotation: q5/q38/q51/q70/q97 rotated out for
+    # the five new r8 operator queries below; all stay green in the full
+    # sweep and q47/q70 stay benched every round): window deviation
     "ds_q47_monthly_deviation",
-    "ds_q70_rollup_rank_within_parent",
     # r8 rotation: the four new operator families, each in-gate —
     # relaxed-contiguity CEP loop (backtracking-VM MATCH_RECOGNIZE path),
     # GroupPattern, automated notNext, streaming NEXT navigation
@@ -100,6 +99,9 @@ GATE_SAMPLE = [
     "cep_group_pattern",
     "cep_not_next",
     "mr_stream_next_nav",
+    # r8 late rotation: the no-skip streaming NFA mode (ds_q70 rotated
+    # out — still benched every round and green in the full sweep)
+    "mr_stream_skip_next",
     # TPC-DS shapes (r6 rotation): the 9-relation inventory/promo join,
     # the INTERSECT-tower period compare, the lag/lead self-join, and
     # the nested date-subquery return-share query (4 TPC-H rotated out;

@@ -1212,3 +1212,63 @@ def mr_stream_next_nav(spark, sf_dir):
         """,
     )
     return run_to_table(out, "append")
+
+
+@query(
+    "mr_stream_skip_next",
+    oracle="""
+    WITH wm AS (
+        SELECT epoch_us(MAX(ts)) - 3600000000 AS wm_us FROM events
+    ), seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ep,
+               LEAD(event_id) OVER w AS nxt_id,
+               LEAD(epoch_us(ts)) OVER w AS nxt_ep
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS a_id, nxt_id AS b_id
+    FROM seq, wm
+    WHERE event_type = 'click' AND nxt_ep <= wm.wm_us
+    """,
+    streaming=True,
+)
+def mr_stream_skip_next(spark, sf_dir):
+    """STREAMING MATCH_RECOGNIZE with AFTER MATCH SKIP TO NEXT ROW (r8 —
+    the reference CEP's no-skip default, CepOperator starts a fresh NFA
+    attempt at every row): PATTERN (A B), A = click, B = any next event.
+    Under PAST LAST ROW consecutive clicks would emit every OTHER pair;
+    TO NEXT ROW emits one match per click with a certified successor —
+    which is exactly the LEAD oracle. Decision finality is per START row
+    (l_max = 2), so the frontier advances one row per decided start and
+    state stays (pattern length + watermark lag) as before."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.streaming.match_stream import (
+        streaming_match_recognize,
+    )
+    from apache_flink_spark.streaming.sources import (
+        run_to_table,
+        stream_table,
+    )
+
+    e = stream_table(spark, sf_dir, "events")
+    s = e.withWatermark("ts", "1 hour").select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("ep"),
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("is_click"),
+        "ts",
+    )
+    out = streaming_match_recognize(
+        s,
+        """
+        PARTITION BY user_id
+        ORDER BY ep, event_id
+        MEASURES A.event_id AS a_id, B.event_id AS b_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A B)
+        DEFINE A AS A.is_click = 1, B AS TRUE
+        """,
+    )
+    return run_to_table(out, "append")

@@ -30,7 +30,9 @@ prefix grows monotonically with the watermark regardless of how rows are
 sliced into batches, and decisions depend only on that prefix.
 
 Streaming subset (errors loudly otherwise): ONE ROW PER MATCH, AFTER
-MATCH SKIP PAST LAST ROW, ascending ORDER BY (epoch-micros BIGINT first),
+MATCH SKIP PAST LAST ROW or SKIP TO NEXT ROW (r8 — the reference CEP's
+no-skip default; the frontier advances one row per decided start),
+ascending ORDER BY (epoch-micros BIGINT first),
 own-row DEFINEs, cross-variable LAST/FIRST binds (r7 — the batch
 bind-tracking DFS runs inside the certified prefix; binds only reference
 rows already assigned to the in-flight match, so certification covers
@@ -171,13 +173,22 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
         | {col for col, _n in nav_prev.values()}
         | {col for col, _n in nav_next.values()}
     )
-    if m.group("skip") and re.sub(
-        r"\s+", " ", m.group("skip").strip()
-    ).upper() != "PAST LAST ROW":
-        raise MatchRecognizeError(
-            "streaming MATCH_RECOGNIZE supports AFTER MATCH SKIP PAST "
-            "LAST ROW only"
-        )
+    # r8: SKIP TO NEXT ROW (the reference CEP's no-skip default) — every
+    # row is an independent potential match start, so the decision
+    # frontier advances one row per decided start instead of jumping past
+    # emitted matches. State bounds are unchanged: rows before the
+    # frontier are never needed by later starts (a match's body begins at
+    # its start row).
+    skip_next = False
+    if m.group("skip"):
+        sk = re.sub(r"\s+", " ", m.group("skip").strip()).upper()
+        if sk == "TO NEXT ROW":
+            skip_next = True
+        elif sk != "PAST LAST ROW":
+            raise MatchRecognizeError(
+                "streaming MATCH_RECOGNIZE supports AFTER MATCH SKIP "
+                "PAST LAST ROW and SKIP TO NEXT ROW only"
+            )
     if m.group("mode") and m.group("mode").upper().startswith("ALL"):
         raise MatchRecognizeError(
             "streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH only"
@@ -594,7 +605,9 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
                     classifier=members[-1][1], match_no=None,
                 )
                 out_rows.append(vals)
-                pos = end  # AFTER MATCH SKIP PAST LAST ROW
+                # AFTER MATCH SKIP: past-last jumps the frontier over the
+                # match; to-next decides the very next row as its own start
+                pos = pos + 1 if skip_next else end
             keep_from = pos
             # retain up to max_prev consumed rows as navigation context
             lo = max(0, keep_from - max_prev) if max_prev else keep_from

@@ -127,6 +127,8 @@ HEADLINE = [
     "cep_group_pattern",
     "cep_not_next",
     "mr_stream_next_nav",
+    # r8 late addition: the no-skip (SKIP TO NEXT ROW) streaming NFA mode
+    "mr_stream_skip_next",
 ]
 
 

@@ -416,3 +416,66 @@ def test_batch_equivalence_next_nav(spark, tmp_path):
     finally:
         spark.conf.unset("spark.graft.stateful.keyGroups")
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# r8: AFTER MATCH SKIP TO NEXT ROW — overlapping matches, frontier
+# advances one row per decided start.
+BODY_SKIPNEXT = BODY.replace(
+    "AFTER MATCH SKIP PAST LAST ROW", "AFTER MATCH SKIP TO NEXT ROW"
+).replace("B{1,2}", "B{2}")
+
+
+@pytest.mark.parametrize("seed", [29])
+def test_slicing_invariance_skip_next(spark, tmp_path, seed):
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rows = _mk_rows(seed)
+        single = _run_stream(
+            spark, tmp_path, rows, [rows], "snsingle", body=BODY_SKIPNEXT
+        )
+        assert single, "fixture produced no SKIP TO NEXT ROW matches"
+        rng = random.Random(seed * 31 + 1)
+        sliced = _run_stream(
+            spark, tmp_path, rows,
+            _random_slices(rows, rng), "sn0", body=BODY_SKIPNEXT,
+        )
+        assert sliced == single
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_batch_equivalence_skip_next(spark, tmp_path):
+    from apache_flink_spark.match_recognize import compile_match_recognize
+
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rows = _mk_rows(43)
+        streamed = _run_stream(
+            spark, tmp_path, rows, [rows], "snbeq", body=BODY_SKIPNEXT
+        )
+        df = spark.createDataFrame(
+            [
+                (r["user_id"], r["event_id"], r["kind"], r["ts"])
+                for r in rows
+            ],
+            "user_id long, event_id long, kind long, ts_str string",
+        ).select(
+            "user_id", "event_id", "kind",
+            F.unix_micros(F.to_timestamp("ts_str")).alias("ep"),
+        )
+        batch = compile_match_recognize(spark, df, BODY_SKIPNEXT)
+        wm_us = df.agg(F.max("ep")).first()[0] - 10 * 60 * 1_000_000
+        expected = sorted(
+            (r.user_id, r.a_id, r.b_id, r.b_ts)
+            for r in batch.collect()
+            if r.b_ts <= wm_us
+        )
+        assert streamed == expected
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
