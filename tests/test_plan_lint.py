@@ -143,9 +143,6 @@ _MAX_FACT_SCANS = {
     "ds_q9_case_scalar_subqueries": 1,
     "ds_q28_bucket_stats": 1,
     "ds_q4_three_channel_growth_chain": 1,
-    # one self-join side re-derives (cached-plan matching misses the
-    # re-aliased side); 2 actual scans, down from 6
-    "ds_q75_yoy_decline": 2,
     "ds_q76_null_channel_union": 1,
     "ds_q77_channel_profit_outer": 1,
     "ds_q78_unreturned_ratio": 2,
@@ -189,11 +186,26 @@ def test_fused_towers_scan_fact_once(spark, sf_dir, name, table, cap):
     )
 
 
-def test_q23b_base_is_cached_not_rescanned(spark, sf_dir):
-    """ds_q23b's gates share one persisted narrow projection: the plan
-    must read lineitem through InMemoryTableScan branches, not via
-    repeated FileScans at the top level."""
-    df = QUERIES["ds_q23b_best_customer_channel_union"](spark, sf_dir)
+@pytest.mark.parametrize(
+    "name",
+    [
+        # queries whose different-key branches share one persisted
+        # intermediate: the TEXTUAL FileScan count is unstable (the
+        # InMemoryRelation prints its cached child plan, and cache-hit
+        # asymmetries vary with session cache state), so the pin is the
+        # presence of the cache read itself
+        "ds_q23b_best_customer_channel_union",
+        "ds_q23_frequent_best_customers",
+        "ds_q75_yoy_decline",
+        "ds_q2_week_over_week",
+        "text_tfidf_topterms",
+        "sim_semdedup",
+        "sim_embedding_neardup",
+        "sim_lsh_recall",
+    ],
+)
+def test_shared_base_is_cached_not_rescanned(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
 
