@@ -68,6 +68,9 @@ class _Elem:
     or_conds: list[str] = field(default_factory=list)
     until_conds: list[str] = field(default_factory=list)
     quant: str = ""  # "", "+", "?", "{n}", "{n,m}" (+ trailing "?" lazy)
+    # optional() AFTER a looping quantifier (Pattern.java optional on
+    # TIMES/LOOPING): zero-or-the-loop — the whole expansion wraps in (..)?
+    opt_loop: bool = False
     # consecutive() — strict INTERNAL contiguity for the looping element.
     # False is the reference DEFAULT (Quantifier.java:49 SKIP_TILL_NEXT:
     # non-matching rows between loop iterations are skipped).
@@ -266,7 +269,37 @@ class Pattern:
         return self
 
     def optional(self) -> "Pattern":
+        e = self._last()
+        if e.quant and e.quant != "?":
+            # Pattern.java allows optional() ON TOP of times/oneOrMore
+            # (QuantifierProperty.OPTIONAL on a looping quantifier):
+            # zero occurrences OR the whole loop
+            if e.contiguity in ("not_followed_by", "not_next"):
+                raise CepError(
+                    "quantifiers on negative patterns are not supported "
+                    "(the reference rejects optional negative patterns "
+                    "too)"
+                )
+            if e.opt_loop:
+                raise CepError(
+                    f"element {e.name!r} is already optional"
+                )
+            e.opt_loop = True
+            return self
         self._set_quant("?")
+        return self
+
+    def greedy(self) -> "Pattern":
+        """Pattern.java greedy(): consume as many loop rows as possible.
+        MATCH_RECOGNIZE quantifiers are greedy BY DEFAULT here (the
+        reference's default loop instead branches into every prefix
+        match, which MATCH_RECOGNIZE cannot enumerate), so this pins the
+        already-active interpretation; ``reluctant()`` is the opposite."""
+        e = self._last()
+        if not e.quant:
+            raise CepError("greedy() needs a preceding quantifier")
+        if e.quant.endswith("?") and e.quant != "?":
+            raise CepError("element is already reluctant")
         return self
 
     def reluctant(self) -> "Pattern":
@@ -493,9 +526,10 @@ def pattern_to_match_recognize(
                 inner_parts: list[str] = []
                 emit(e.group._elems, inner_parts)
                 atom = f"( {' '.join(inner_parts)} )"
-                parts.append(
-                    expand_quant(atom, e.quant, e.strict_inner, "TRUE")
-                )
+                frag = expand_quant(atom, e.quant, e.strict_inner, "TRUE")
+                if e.opt_loop:
+                    frag = f"( {frag} )?"
+                parts.append(frag)
                 continue
             cond = e.condition_sql()
             if i in guards:
@@ -505,9 +539,11 @@ def pattern_to_match_recognize(
             gap_def = "TRUE"
             for u in e.until_conds:
                 gap_def = f"({gap_def}) AND (NOT ({u}))"
-            parts.append(
-                expand_quant(e.name, e.quant, e.strict_inner, gap_def)
-            )
+            frag = expand_quant(e.name, e.quant, e.strict_inner, gap_def)
+            if e.opt_loop:
+                # optional() on a looping quantifier: zero or the loop
+                frag = f"( {frag} )?"
+            parts.append(frag)
             add_def(f"{e.name} AS {cond}")
 
     emit(list(elems), pat_parts)

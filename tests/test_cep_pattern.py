@@ -188,3 +188,43 @@ def test_consecutive_until_subtype_surface(spark):
         Pattern.begin("A").subtype(object)
     with pytest.raises(CepError, match="until"):
         Pattern.begin("A").until("v > 1")
+
+
+def test_optional_on_looping_quantifier(spark):
+    """Pattern.java optional() on TOP of times/oneOrMore (the OPTIONAL
+    quantifier property on a looping state): zero occurrences OR the
+    whole loop — r8."""
+    from apache_flink_spark.cep import pattern_to_match_recognize
+
+    p = (
+        Pattern.begin("s").where("kind='s'")
+        .followed_by("a").where("kind='a'").times(2).optional()
+        .followed_by("b").where("kind='b'")
+    )
+    stmt = pattern_to_match_recognize(
+        p, "t", "k", "ts", {"na": "COUNT(a.*)"}
+    )
+    assert "( a (G1*? a){1} )?" in stmt
+    rows = [
+        (1, 1, "s", 0), (1, 2, "a", 1), (1, 3, "a", 2), (1, 4, "b", 3),
+        (2, 1, "s", 0), (2, 2, "b", 1),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts bigint, kind string, v int")
+    got = sorted(
+        (r.k, r.na)
+        for r in cep_select(
+            spark, df, p, "k", "ts", {"na": "COUNT(a.*)"}
+        ).collect()
+    )
+    assert got == [(1, 2), (2, 0)]
+    with pytest.raises(CepError, match="already optional"):
+        Pattern.begin("a").times(2).optional().optional()
+
+
+def test_greedy_is_the_default_and_pins(spark):
+    p = Pattern.begin("a").where("kind='a'").one_or_more().greedy()
+    assert p is not None
+    with pytest.raises(CepError, match="needs a preceding quantifier"):
+        Pattern.begin("a").greedy()
+    with pytest.raises(CepError, match="already reluctant"):
+        Pattern.begin("a").one_or_more().reluctant().greedy()
