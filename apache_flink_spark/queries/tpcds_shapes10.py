@@ -673,5 +673,59 @@ def ds_q94_multi_warehouse_no_returns(spark, sf_dir):
     than one warehouse (correlated EXISTS with an INEQUALITY on the
     correlation table) and never returned (NOT EXISTS), reported as
     COUNT(DISTINCT order) plus cost sums — semijoin + antijoin on the
-    same key with different predicates."""
-    return _sql(spark, sf_dir, _DS_Q94)
+    same key with different predicates.
+
+    Two-scan plan (r8, was 3): both correlated predicates are per-ORDER
+    statistics from one aggregation (supplier count > 1, no returned
+    line); the filtered outer line scan is the second, semantically
+    necessary pass (the outer sums cover only the date/channel-filtered
+    lines, not whole orders)."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+    from apache_flink_spark.queries.tpcds_shapes import _CHANNEL as _CH
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_o = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.max(F.col("l_returnflag") == "R").alias("has_r"),
+        )
+        .filter((F.col("n_supp") > 1) & ~F.col("has_r"))
+        .select("ok")
+    )
+    ship = dec("l_extendedprice") * dec("l_tax", "decimal(6,4)")
+    net = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(6,4)") - dec("l_discount", "decimal(6,4)")
+    )
+    return (
+        li.filter(
+            F.col("l_shipdate").between(
+                "1999-02-01 00:00:00", "1999-04-02 00:00:00"
+            )
+            & (F.expr(_CH) == "web")
+        )
+        .join(per_o, F.col("l_orderkey") == F.col("ok"), "semi")
+        .join(
+            orders.filter(F.col("o_orderpriority") == "2-HIGH"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_2")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .agg(
+            F.countDistinct("l_orderkey").alias("order_count"),
+            dround(F.sum(ship)).alias("total_shipping_cost"),
+            dround(F.sum(net)).alias("total_net_profit"),
+        )
+    )

@@ -645,8 +645,44 @@ def ds_q95_exists_chain(spark, sf_dir):
     """TPC-DS query95 shape (query95.sql): the ws_wh CTE (orders shipped by
     at least two distinct suppliers, a keyed self-join) consumed by TWO IN
     subqueries — membership alone and membership joined against returns —
-    under date/segment filters, reduced to a one-row summary."""
-    return _sql(spark, sf_dir, _DS_Q95)
+    under date/segment filters, reduced to a one-row summary.
+
+    Single-scan plan (r8, was 5 lineitem scans): the multi-supplier
+    self-join IS COUNT(DISTINCT supplier) > 1 per order, and both IN
+    memberships together are (multi-supplier AND any returned line) —
+    one per-order aggregation, one semi join."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    qual = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("ns"),
+            F.max(F.col("l_returnflag") == "R").alias("has_r"),
+        )
+        .filter((F.col("ns") > 1) & F.col("has_r"))
+        .select("l_orderkey")
+    )
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-03-01")
+            & (F.col("o_orderdate") < "1996-06-01")
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(qual, F.col("o_orderkey") == F.col("l_orderkey"), "semi")
+        .agg(
+            F.countDistinct("o_orderkey").alias("order_count"),
+            dround(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+    )
 
 
 def _q97_leg(status: str) -> str:

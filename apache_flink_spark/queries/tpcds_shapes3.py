@@ -186,8 +186,35 @@ _DS_Q16 = """
 def ds_q16_exists_not_exists(spark, sf_dir):
     """TPC-DS query16 shape (query16.sql, family query94): line-level scan
     gated by a positive EXISTS (another supplier on the same order) and a
-    NOT EXISTS (no returned line), reduced to distinct-count + sum."""
-    return _sql(spark, sf_dir, _DS_Q16)
+    NOT EXISTS (no returned line), reduced to distinct-count + sum.
+
+    Single-scan plan (r8, was 3): both correlated predicates are
+    per-ORDER statistics (supplier count > 1, no returned line) and the
+    outer SUM is over every line of a qualifying order — so one
+    per-order aggregation carries the gates AND the per-order price sum."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    per_o = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.max(F.col("l_returnflag") == "R").alias("has_r"),
+        F.sum(dec("l_extendedprice")).alias("psum"),
+    )
+    return (
+        per_o.filter((F.col("n_supp") > 1) & ~F.col("has_r"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .agg(
+            F.countDistinct("o_orderkey").alias("order_count"),
+            dround(F.sum("psum")).alias("total_price"),
+        )
+    )
 
 
 _DS_Q17 = f"""

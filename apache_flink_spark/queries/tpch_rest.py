@@ -306,8 +306,48 @@ _Q21 = """
 def q21_sole_blame_supplier(spark, sf_dir):
     """q21 shape: EXISTS + NOT EXISTS correlated self-joins on the fact
     table (semi + anti join on orderkey) — the sole supplier whose lines
-    were returned on multi-supplier finished orders."""
-    return _sql(spark, sf_dir, _Q21)
+    were returned on multi-supplier finished orders.
+
+    Single-scan plan (r8, was 3 lineitem scans): both correlated
+    predicates are per-order supplier statistics — EXISTS(other supplier)
+    = supplier count > 1, NOT EXISTS(other returned supplier) = exactly
+    one returned supplier (this one) — and the outer COUNT(*) is the
+    (order, supplier) returned-row count, so one per-(order, supplier)
+    aggregation carries everything."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(
+            F.when(F.col("l_returnflag") == "R", F.lit(1))
+        ).alias("r_cnt")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("r_cnt") > 0, F.lit(1))).alias("n_r"),
+    )
+    return (
+        per_os.join(per_o, "l_orderkey")
+        .filter(
+            (F.col("r_cnt") > 0)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_r") == 1)
+        )
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supplier),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.sum("r_cnt").alias("numwait"))
+    )
 
 
 _Q22 = """

@@ -160,6 +160,11 @@ _MAX_FACT_SCANS = {
     "q18_large_volume_customer": 1,
     "subq_scalar_agg": 2,
     "subq_correlated_scalar": 2,
+    # r8 third wave: EXISTS/NOT-EXISTS chains as per-order statistics
+    "q21_sole_blame_supplier": 1,
+    "ds_q95_exists_chain": 1,
+    "ds_q16_exists_not_exists": 1,
+    "ds_q94_multi_warehouse_no_returns": 2,
 }
 
 _MAX_EVENT_SCANS = {
