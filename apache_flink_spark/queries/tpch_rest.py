@@ -321,17 +321,23 @@ def q21_sole_blame_supplier(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     supplier = _t(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
     per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.count(
             F.when(F.col("l_returnflag") == "R", F.lit(1))
         ).alias("r_cnt")
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.count(F.when(F.col("r_cnt") > 0, F.lit(1))).alias("n_r"),
-    )
+    # per-order stats as a WINDOW over the same orderkey grouping — the
+    # shuffle is already keyed by order, so no second traversal of the
+    # aggregate (and no re-scan of the fact)
+    w = Window.partitionBy("l_orderkey")
     return (
-        per_os.join(per_o, "l_orderkey")
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_r",
+            F.count(F.when(F.col("r_cnt") > 0, F.lit(1))).over(w),
+        )
         .filter(
             (F.col("r_cnt") > 0)
             & (F.col("n_supp") > 1)
