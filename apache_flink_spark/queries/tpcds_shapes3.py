@@ -163,8 +163,43 @@ def ds_q10_exists_disjunction(spark, sf_dir):
     """TPC-DS query10 shape (query10.sql, family query35/query69):
     customers active in the store channel AND in at least one of the
     other two — a conjunction containing a DISJUNCTION of correlated
-    EXISTS subqueries, the decorrelation case TPC-H never exercises."""
-    return _sql(spark, sf_dir, _DS_Q10)
+    EXISTS subqueries, the decorrelation case TPC-H never exercises.
+
+    Single-scan plan (r8, was 3 scans of the orders x lineitem join):
+    all three EXISTS differ only in the channel tag, so one per-customer
+    channel-presence aggregation carries the whole predicate (the
+    required store flag makes the inner join existence-exact)."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import dec, dround
+    from apache_flink_spark.queries._util import t as _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    chan = F.col("l_linenumber") % 3
+    flags = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(chan == 0).alias("s"),
+            F.max(chan == 1).alias("cg"),
+            F.max(chan == 2).alias("w"),
+        )
+        .filter(F.col("s") & (F.col("cg") | F.col("w")))
+        .select("o_custkey")
+    )
+    return (
+        customer.join(
+            flags, F.col("c_custkey") == F.col("o_custkey"), "semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dround(F.sum(dec("c_acctbal"))).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
 
 
 _DS_Q16 = """

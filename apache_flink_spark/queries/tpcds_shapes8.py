@@ -230,8 +230,54 @@ def ds_q35_exists_or_exists(spark, sf_dir):
     """TPC-DS query35 shape (query35.sql): customers who bought in the
     store channel AND (web OR catalog) — an EXISTS conjoined with a
     DISJUNCTION of two more EXISTS, which the planner must turn into one
-    semijoin plus a union-style existence flag, never a fan-out join."""
-    return _sql(spark, sf_dir, _DS_Q35)
+    semijoin plus a union-style existence flag, never a fan-out join.
+
+    Single-scan plan (r8, was 3): the three EXISTS share every filter
+    except the channel tag — one per-customer channel-presence
+    aggregation (the ds_q10 fusion with the 1998 Q1-Q3 window)."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import t as _t
+    from apache_flink_spark.queries.tpcds_shapes import _CHANNEL as _CH
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    ch = F.expr(_CH)
+    flags = (
+        li.filter(
+            (F.year("l_shipdate") == 1998)
+            & (F.quarter("l_shipdate") < 4)
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(ch == "store").alias("s"),
+            F.max(ch == "web").alias("w"),
+            F.max(ch == "catalog").alias("cg"),
+        )
+        .filter(F.col("s") & (F.col("w") | F.col("cg")))
+        .select("o_custkey")
+    )
+    bucket = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    return (
+        customer.join(
+            flags, F.col("c_custkey") == F.col("o_custkey"), "semi"
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "c_mktsegment", bucket.alias("bal_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(bucket).alias("min_bucket"),
+            F.max(bucket).alias("max_bucket"),
+        )
+        .orderBy("n_name", "c_mktsegment", "bal_bucket")
+        .limit(100)
+    )
 
 
 _MARGIN = (

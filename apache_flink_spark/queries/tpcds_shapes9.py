@@ -446,8 +446,56 @@ def ds_q69_store_only_customers(spark, sf_dir):
     """TPC-DS query69 shape (query69.sql): demographics of customers who
     bought in-store but NOT on the web and NOT by catalog in the same
     quarter — one semijoin plus two ANTI-joins on the same correlation
-    key (q35 is the disjunctive sibling)."""
-    return _sql(spark, sf_dir, _DS_Q69)
+    key (q35 is the disjunctive sibling).
+
+    Single-scan plan (r8, was 3): one per-customer channel-presence
+    aggregation; store-and-nothing-else = (s AND NOT w AND NOT cg) — the
+    required store flag keeps the semi join existence-exact for the
+    NOT EXISTS arms too (a customer with no window activity has no flags
+    row AND fails the store requirement)."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries._util import t as _t
+    from apache_flink_spark.queries.tpcds_shapes import _CHANNEL as _CH
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    ch = F.expr(_CH)
+    flags = (
+        li.filter(
+            (F.year("l_shipdate") == 2001)
+            & F.month("l_shipdate").between(4, 6)
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(ch == "store").alias("s"),
+            F.max(ch == "web").alias("w"),
+            F.max(ch == "catalog").alias("cg"),
+        )
+        .filter(F.col("s") & ~F.col("w") & ~F.col("cg"))
+        .select("o_custkey")
+    )
+    bucket = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    return (
+        customer.join(
+            F.broadcast(
+                nation.filter(
+                    F.col("n_name").isin(
+                        "NATION_3", "NATION_9", "NATION_16"
+                    )
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(flags, F.col("c_custkey") == F.col("o_custkey"), "semi")
+        .groupBy("c_mktsegment", bucket.alias("bal_bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("c_mktsegment", "bal_bucket")
+        .limit(100)
+    )
 
 
 _DS_Q71 = f"""

@@ -165,6 +165,10 @@ _MAX_FACT_SCANS = {
     "ds_q95_exists_chain": 1,
     "ds_q16_exists_not_exists": 1,
     "ds_q94_multi_warehouse_no_returns": 2,
+    # EXISTS-disjunction family: per-customer channel-presence flags
+    "ds_q10_exists_disjunction": 1,
+    "ds_q35_exists_or_exists": 1,
+    "ds_q69_store_only_customers": 1,
 }
 
 _MAX_EVENT_SCANS = {
