@@ -45,19 +45,37 @@ def derive_changelog(
     base = df.select(*key_cols, *order_cols, value_col).withColumn(
         "__prev", F.lag(value_col).over(w)
     )
-    inserts = base.filter(F.col("__prev").isNull()).select(
-        *key_cols, *order_cols, F.lit(INSERT).alias(ROWKIND_COL), F.col(value_col)
+    # r8: one pass — a 3-branch unionAll recomputes the scan+window per
+    # branch; exploding each row into its rowkind events keeps the same
+    # output set from a single window pass (first row -> [+I]; later
+    # rows -> [-U prior, +U new])
+    ev = F.explode(
+        F.when(
+            F.col("__prev").isNull(),
+            F.array(
+                F.struct(
+                    F.lit(INSERT).alias(ROWKIND_COL),
+                    F.col(value_col).alias(value_col),
+                )
+            ),
+        ).otherwise(
+            F.array(
+                F.struct(
+                    F.lit(UPDATE_BEFORE).alias(ROWKIND_COL),
+                    F.col("__prev").alias(value_col),
+                ),
+                F.struct(
+                    F.lit(UPDATE_AFTER).alias(ROWKIND_COL),
+                    F.col(value_col).alias(value_col),
+                ),
+            )
+        )
+    ).alias("__ev")
+    return base.select(*key_cols, *order_cols, ev).select(
+        *key_cols, *order_cols,
+        F.col(f"__ev.{ROWKIND_COL}").alias(ROWKIND_COL),
+        F.col(f"__ev.{value_col}").alias(value_col),
     )
-    befores = base.filter(F.col("__prev").isNotNull()).select(
-        *key_cols,
-        *order_cols,
-        F.lit(UPDATE_BEFORE).alias(ROWKIND_COL),
-        F.col("__prev").alias(value_col),
-    )
-    afters = base.filter(F.col("__prev").isNotNull()).select(
-        *key_cols, *order_cols, F.lit(UPDATE_AFTER).alias(ROWKIND_COL), F.col(value_col)
-    )
-    return inserts.unionAll(befores).unionAll(afters)
 
 
 def materialize(
