@@ -112,6 +112,35 @@ def test_dedup_keep_first_last_partition(spark, rows):
     pd.testing.assert_frame_equal(f1, l1, check_dtype=False)
 
 
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "pattern",
+    [
+        ("A B+", "ab+"),
+        ("A B{1,2}", "ab{1,2}"),
+        ("A B* C", "ab*c"),
+        # r4 additions: alternation and reluctant quantifiers — the
+        # regex engine is again the independent oracle (same scan
+        # order: leftmost, non-overlapping, lazy vs greedy).
+        ("A (B|C)+", "a[bc]+"),
+        ("A B*? C", "ab*?c"),
+        ("A B+? C", "ab+?c"),
+        # r8: nested sequence groups with quantifiers + alternation
+        # of sequences — the backtracking-VM path; the regex engine
+        # stays the independent oracle (same greedy/lazy preference,
+        # same leftmost branch order, same non-overlapping scan).
+        # Parametrized (not hypothesis-sampled) so EVERY shape runs.
+        ("(A B)+ C", "(?:ab)+c"),
+        ("A (B C)+", "a(?:bc)+"),
+        ("(A B+)+ C", "(?:ab+)+c"),
+        ("A (B | C B)+", "a(?:b|cb)+"),
+        ("A (B*? C)+", "a(?:b*?c)+"),
+        ("(A B){1,2} C", "(?:ab){1,2}c"),
+    ],
+    ids=lambda p: p[1] if isinstance(p, tuple) else str(p),
+)
 @given(
     rows=st.lists(
         st.tuples(
@@ -122,19 +151,6 @@ def test_dedup_keep_first_last_partition(spark, rows):
         min_size=1,
         max_size=30,
         unique_by=lambda r: (r[0], r[1]),
-    ),
-    pattern=st.sampled_from(
-        [
-            ("A B+", "ab+"),
-            ("A B{1,2}", "ab{1,2}"),
-            ("A B* C", "ab*c"),
-            # r4 additions: alternation and reluctant quantifiers — the
-            # regex engine is again the independent oracle (same scan
-            # order: leftmost, non-overlapping, lazy vs greedy).
-            ("A (B|C)+", "a[bc]+"),
-            ("A B*? C", "ab*?c"),
-            ("A B+? C", "ab+?c"),
-        ]
     ),
 )
 @_settings
