@@ -118,10 +118,15 @@ def test_no_python_udfs_on_builtin_surface(spark, sf_dir, name):
 
 
 def test_q21_self_joins_survive_no_broadcast(spark, sf_dir):
-    """q21's EXISTS/NOT EXISTS lineitem self-joins at 100 TB cannot
-    broadcast the fact table: with broadcast planning disabled (simulating
-    fact-scale sizes) every join must fall back to SortMergeJoin on
-    l_orderkey — never a nested-loop or a fact-side broadcast."""
+    """q21 at 100 TB cannot broadcast the fact table: with broadcast
+    planning disabled (simulating fact-scale sizes) every remaining join
+    must fall back to SortMergeJoin — never a nested-loop or a fact-side
+    broadcast. r8: the EXISTS/NOT-EXISTS self-joins fused into one
+    per-(order, supplier) aggregation + window, so the plan now has TWO
+    joins (orders, supplier) and ONE lineitem scan instead of four
+    self-joins over three scans."""
+    import re
+
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
@@ -129,9 +134,10 @@ def test_q21_self_joins_survive_no_broadcast(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
-    assert plan.count("SortMergeJoin") >= 4
-    assert "BroadcastHashJoin" not in plan
+    assert plan.count("SortMergeJoin") >= 2
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"FileScan parquet.*lineitem", plan)) == 1
 
 
 def test_embedding_neardup_is_equijoin(spark, sf_dir):
