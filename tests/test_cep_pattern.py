@@ -228,3 +228,31 @@ def test_greedy_is_the_default_and_pins(spark):
         Pattern.begin("a").greedy()
     with pytest.raises(CepError, match="already reluctant"):
         Pattern.begin("a").one_or_more().reluctant().greedy()
+
+
+def test_relaxed_loop_respects_within_horizon(spark):
+    """r8 interaction pin: the relaxed (SKIP_TILL_NEXT) loop's gap rows
+    still count against the within() horizon — a later qualifying row
+    OUTSIDE the horizon must not join the loop (the VM's WITHIN limit
+    applies to gap-interleaved repetitions exactly like flat patterns)."""
+    rows = [
+        # ep in MICROS; horizon = 1 minute = 60_000_000 us
+        (1, 0, "a"), (1, 10_000_000, "x"), (1, 20_000_000, "a"),
+        (1, 120_000_000, "a"),  # outside the 1-min horizon of ep=0
+        (1, 130_000_000, "b"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ep long, kind string")
+    p = (
+        Pattern.begin("A").where("kind = 'a'").one_or_more()
+        .followed_by("B").where("kind = 'b'")
+        .within(1, "minutes")
+    )
+    out = cep_select(
+        spark, df, p, "k", "ep",
+        {"n_a": "COUNT(A.*)", "first_ep": "FIRST(A.ep)"},
+    ).collect()
+    got = sorted((r.n_a, r.first_ep) for r in out)
+    # from ep=0: only the two a's inside [0, 60s] can loop, and B at 130s
+    # is outside the horizon -> NO match from 0 or 20s; from ep=120s the
+    # single a + b at 130s matches within ITS horizon.
+    assert got == [(1, 120_000_000)]

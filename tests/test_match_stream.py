@@ -479,3 +479,33 @@ def test_batch_equivalence_skip_next(spark, tmp_path):
     finally:
         spark.conf.unset("spark.graft.stateful.keyGroups")
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# r8: NEXT navigation combined with SKIP TO NEXT ROW — the frontier
+# advances one row per decided start AND every decision waits for the
+# max-NEXT-offset certified successor.
+BODY_NEXT_SKIPNEXT = BODY_NEXT.replace(
+    "AFTER MATCH SKIP PAST LAST ROW", "AFTER MATCH SKIP TO NEXT ROW"
+).replace("B{1,2}", "B{2}")
+
+
+@pytest.mark.parametrize("seed", [31])
+def test_slicing_invariance_next_nav_skip_next(spark, tmp_path, seed):
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rows = _mk_rows(seed)
+        single = _run_stream(
+            spark, tmp_path, rows, [rows], "nsn1", body=BODY_NEXT_SKIPNEXT
+        )
+        assert single, "fixture produced no NEXT+skip-next matches"
+        rng = random.Random(seed * 31 + 1)
+        sliced = _run_stream(
+            spark, tmp_path, rows,
+            _random_slices(rows, rng), "nsn0", body=BODY_NEXT_SKIPNEXT,
+        )
+        assert sliced == single
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
