@@ -40,7 +40,13 @@ from pyspark.sql import DataFrame
 
 _cep_view_counter = itertools.count()
 
-__all__ = ["Pattern", "CepError", "pattern_to_match_recognize", "cep_select"]
+__all__ = [
+    "Pattern",
+    "CepError",
+    "pattern_to_match_recognize",
+    "cep_select",
+    "cep_select_stream",
+]
 
 
 class CepError(ValueError):
@@ -554,16 +560,19 @@ def pattern_to_match_recognize(
     meas = ",\n            ".join(f"{v} AS {k}" for k, v in measures.items())
     defs = ",\n            ".join(defines)
     pat = " ".join(pat_parts)
-    return f"""
-    SELECT * FROM {table} MATCH_RECOGNIZE (
-        PARTITION BY {partition_by}
+    body = f"""PARTITION BY {partition_by}
         ORDER BY {order_by}
         MEASURES
             {meas}
         ONE ROW PER MATCH
         AFTER MATCH {skip}
         PATTERN ({pat}) {within}DEFINE
-            {defs}
+            {defs}"""
+    if table is None:
+        return body
+    return f"""
+    SELECT * FROM {table} MATCH_RECOGNIZE (
+        {body}
     )
     """
 
@@ -646,3 +655,40 @@ def cep_select(
         pattern, view, partition_by, order_by, measures, skip
     )
     return sql_with_match_recognize(spark, stmt)
+
+
+def cep_select_stream(
+    stream: DataFrame,
+    pattern: Pattern,
+    partition_by: str,
+    order_by: str,
+    measures: dict[str, str],
+    skip: str = "SKIP TO NEXT ROW",
+) -> DataFrame:
+    """CEP.pattern(DataStream, pattern).select(...) — run the pattern on
+    an UNBOUNDED stream (r8; the reference's primary CEP deployment mode,
+    CepOperator.java:82). Compiles the Pattern to a MATCH_RECOGNIZE body
+    and drives the keyed-state streaming NFA
+    (streaming/match_stream.py), inheriting its subset contract:
+    watermarked input, BIGINT keys/order, and a FLAT compiled pattern —
+    followedBy chains, strict (``consecutive()``) loops, bounded
+    quantifiers and middle ``notFollowedBy`` all compile flat; the
+    RELAXED loop default and GroupPattern produce nested groups, which
+    the streaming parser rejects loudly (use consecutive() or the batch
+    ``cep_select``). The default SKIP TO NEXT ROW is the reference CEP's
+    no-skip strategy, supported streaming since r8."""
+    from apache_flink_spark.streaming.match_stream import (
+        streaming_match_recognize,
+    )
+
+    elems = pattern._elems
+    if elems and elems[-1].contiguity == "not_followed_by":
+        raise CepError(
+            "trailing notFollowedBy compiles to a window scan — "
+            "streaming absence-detection needs the timeout side output "
+            "(queries/pattern_match.py streaming_cep_timeout) instead"
+        )
+    body = pattern_to_match_recognize(
+        pattern, None, partition_by, order_by, measures, skip
+    )
+    return streaming_match_recognize(stream, body)

@@ -618,3 +618,61 @@ def cep_not_next(spark, sf_dir):
             "purchase_id": "LAST(B.event_id)",
         },
     )
+
+
+@query(
+    "cep_stream_next_purchase",
+    oracle="""
+    WITH wm AS (
+        SELECT epoch_us(MAX(ts)) - 3600000000 AS wm_us FROM events
+    ), seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ep,
+               LEAD(event_type) OVER w AS nxt_type,
+               LEAD(event_id) OVER w AS nxt_id,
+               LEAD(epoch_us(ts)) OVER w AS nxt_ep
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS click_id, nxt_id AS purchase_id
+    FROM seq, wm
+    WHERE event_type = 'click' AND nxt_type = 'purchase'
+      AND nxt_ep <= wm.wm_us
+    """,
+    streaming=True,
+)
+def cep_stream_next_purchase(spark, sf_dir):
+    """STREAMING CEP Pattern API (r8 — cep_select_stream, the reference's
+    primary deployment mode: CEP.pattern on a DataStream,
+    CepOperator.java:82): click next(purchase) — strict adjacency — on
+    the watermarked event stream. The Pattern compiles to a FLAT
+    MATCH_RECOGNIZE body and runs the keyed-state streaming NFA with the
+    CEP default AFTER MATCH SKIP TO NEXT ROW; emission waits for the
+    pair to certify (l_max = 2), which is exactly the LEAD oracle's
+    certification gate."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.cep import Pattern, cep_select_stream
+    from apache_flink_spark.streaming.sources import (
+        run_to_table,
+        stream_table,
+    )
+
+    e = stream_table(spark, sf_dir, "events")
+    s = e.withWatermark("ts", "1 hour").select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("ep"),
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("is_click"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("is_purchase"),
+        "ts",
+    )
+    p = (
+        Pattern.begin("A").where("A.is_click = 1")
+        .next("B").where("B.is_purchase = 1")
+    )
+    out = cep_select_stream(
+        s, p, "user_id", "ep, event_id",
+        {"click_id": "A.event_id", "purchase_id": "B.event_id"},
+    )
+    return run_to_table(out, "append")

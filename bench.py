@@ -129,6 +129,8 @@ HEADLINE = [
     "mr_stream_next_nav",
     # r8 late addition: the no-skip (SKIP TO NEXT ROW) streaming NFA mode
     "mr_stream_skip_next",
+    # r8: the streaming CEP Pattern API bridge (CEP.pattern on a stream)
+    "cep_stream_next_purchase",
 ]
 
 
