@@ -370,10 +370,14 @@ def rewrite_catalog_identifiers(spark: SparkSession, sql: str) -> str:
                 )
                 if not _in_literal(spans, b.start())
             }
+            # derived-table aliases only: `) AS name`. A bare column
+            # alias (SELECT sum(x) AS orders) or a CAST(a AS INT) target
+            # can never shadow a TABLE reference, and binding them here
+            # suppressed legitimate FROM-position rewrites (r8 advice).
             bound |= {
                 b.group(1)
-                for b in re.finditer(r"(?i)\bAS\s+(\w+)\b", out)
-                if not _in_literal(spans, b.start())
+                for b in re.finditer(r"(?i)\)\s*AS\s+(\w+)\b", out)
+                if not _in_literal(spans, b.start(1))
             }
             local = {t: v for t, v in local.items() if t not in bound}
 

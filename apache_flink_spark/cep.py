@@ -11,9 +11,10 @@ statement and runs on the engine's batch NFA (match_recognize.py — JVM-side
 DEFINE predicates, one keyed shuffle, Arrow-batched matcher):
 
   - ``next``          -> strict contiguity: adjacent pattern variables
-  - ``followedBy``    -> relaxed contiguity: a reluctant any-row gap
-                         variable (``Gi*?`` DEFINE TRUE) before the next
-                         variable — the NFA's ignore-edge
+  - ``followedBy``    -> relaxed contiguity: a reluctant gap variable
+                         (``Gi*?`` DEFINE NOT(take-condition) — the
+                         NFA's SKIP_TILL_NEXT ignore edge, NFACompiler
+                         getIgnoreCondition; r9) before the next variable
   - ``notFollowedBy`` -> the NFA STOP state: the gap variable's predicate
                          is the NEGATION of the forbidden condition
                          (``Ni*? DEFINE NOT(cond)``), so any intervening
@@ -21,8 +22,13 @@ DEFINE predicates, one keyed shuffle, Arrow-batched matcher):
                          exactly Pattern.java:326's semantics
   - ``within``        -> the MATCH_RECOGNIZE WITHIN horizon
   - quantifiers       -> times(n) / times(n,m) / oneOrMore / optional map
-                         to {n} / {n,m} / + / ?  (greedy; ``reluctant()``
-                         adds the lazy '?')
+                         to {n} / {n,m} / + / ? — with the reference's
+                         DEFAULT multi-match emission (r9): every loop
+                         prefix / optional branch is a separate match
+                         (NFAITCase.java:1848-1900); ``greedy()`` pins
+                         maximal-only, ``reluctant()`` minimal-only,
+                         ``allowCombinations()`` (SKIP_TILL_ANY)
+                         enumerates subsets on bounded loops
 
 ``notFollowedBy`` as the LAST element needs a ``within`` horizon (same
 rule the reference enforces) and a different plan: absence-until-horizon
@@ -81,31 +87,38 @@ class _Elem:
     # False is the reference DEFAULT (Quantifier.java:49 SKIP_TILL_NEXT:
     # non-matching rows between loop iterations are skipped).
     strict_inner: bool = False
+    # greedy() (Pattern.java greedy): emit only the MAXIMAL loop take per
+    # start instead of the reference default of one match per loop prefix
+    # (NFAITCase.java:1848-1900 testStrictOneOrMore /
+    # testSkipTillNextOneOrMore — r9).
+    greedy_flag: bool = False
+    # allowCombinations() (Quantifier SKIP_TILL_ANY): the loop's ignore
+    # edge accepts ANY row (NFACompiler getInnerIgnoreCondition), so every
+    # combination of qualifying rows is a separate match — r9, bounded
+    # forms only.
+    combinations: bool = False
     # group element (GroupPattern.java:30): inner Pattern compiled to a
     # parenthesized, quantified PATTERN group; name is "" for groups.
     group: "Pattern | None" = None
-    # notNext guard hoisted onto this element (set during compile)
-    not_next_cond: str | None = None
 
-    def condition_sql(self) -> str:
+    def where_sql(self) -> str:
+        """The element's WHERE/or_where acceptance condition alone — the
+        reference's pattern.getCondition(), which is also what the
+        SKIP_TILL_NEXT ignore edge negates (NFACompiler
+        getIgnoreCondition / getInnerIgnoreCondition)."""
         base = " AND ".join(f"({c})" for c in self.conds) or "TRUE"
         if self.or_conds:
             ors = " OR ".join(f"({c})" for c in self.or_conds)
             base = f"({base}) OR ({ors})"
+        return base
+
+    def condition_sql(self) -> str:
+        base = self.where_sql()
         for u in self.until_conds:
             # until() gates the WHOLE element, including or_where branches
             # (the reference applies the stop check per event regardless
             # of which condition accepted it — r7 review)
             base = f"({base}) AND (NOT ({u}))"
-        if self.not_next_cond:
-            # notNext(N) (Pattern.java notNext): the row PHYSICALLY next
-            # after this element must not satisfy N's condition — NEXT
-            # navigation evaluates it on the successor row; COALESCE makes
-            # "no next row" pass (absence of an event is not a violation)
-            base = (
-                f"({base}) AND (NOT COALESCE(({self.not_next_cond}), "
-                "FALSE))"
-            )
         return base
 
 
@@ -296,16 +309,24 @@ class Pattern:
         return self
 
     def greedy(self) -> "Pattern":
-        """Pattern.java greedy(): consume as many loop rows as possible.
-        MATCH_RECOGNIZE quantifiers are greedy BY DEFAULT here (the
-        reference's default loop instead branches into every prefix
-        match, which MATCH_RECOGNIZE cannot enumerate), so this pins the
-        already-active interpretation; ``reluctant()`` is the opposite."""
+        """Pattern.java greedy(): consume as many loop rows as possible
+        and emit ONLY that maximal match per start. The reference DEFAULT
+        (no greedy() call) instead emits every loop PREFIX as a separate
+        match (NFAITCase.java:1848-1900 testStrictOneOrMore /
+        testSkipTillNextOneOrMore) — r9 implements that default on the
+        enumerating backtracking VM; ``reluctant()`` is minimal-only."""
         e = self._last()
         if not e.quant:
             raise CepError("greedy() needs a preceding quantifier")
         if e.quant.endswith("?") and e.quant != "?":
             raise CepError("element is already reluctant")
+        if e.combinations:
+            raise CepError(
+                "greedy() with allowCombinations() is not supported — "
+                "SKIP_TILL_ANY enumerates every combination; greedy "
+                "maximal-only emission contradicts it"
+            )
+        e.greedy_flag = True
         return self
 
     def reluctant(self) -> "Pattern":
@@ -323,17 +344,52 @@ class Pattern:
         r8: a real flag — relaxed loops compile to gap-interleaved
         repetitions ``A (G*? A)*``; consecutive() drops the gap so the
         repetition is a plain MATCH_RECOGNIZE quantifier."""
-        self._last().strict_inner = True
+        e = self._last()
+        if e.combinations:
+            raise CepError(
+                "consecutive() conflicts with allowCombinations() — "
+                "STRICT and SKIP_TILL_ANY are opposite internal "
+                "consuming strategies (Quantifier.java)"
+            )
+        e.strict_inner = True
         return self
 
     def allow_combinations(self) -> "Pattern":
-        raise CepError(
-            "allowCombinations (SKIP_TILL_ANY — every subset of loop "
-            "rows is a separate match) is not supported: the match "
-            "enumeration is exponential by design and MATCH_RECOGNIZE "
-            "has no analog; the DEFAULT relaxed contiguity "
-            "(SKIP_TILL_NEXT) is active without any call"
-        )
+        """Pattern.java allowCombinations() (Quantifier SKIP_TILL_ANY):
+        the loop's ignore edge accepts ANY row — including qualifying
+        ones — so EVERY combination of qualifying rows (first take
+        anchored by the outer contiguity) is a separate match
+        (NFAITCase.java:1902 testSkipTillAnyOneOrMore). r9: supported on
+        the enumerating VM for BOUNDED enumerations — a bounded
+        quantifier (times(m,n)) or a within() horizon; unbounded forms
+        error loudly at compile (the match set is exponential in the
+        unbounded row span)."""
+        e = self._last()
+        if e.contiguity in ("not_followed_by", "not_next"):
+            raise CepError(
+                "quantifiers on negative patterns are not supported"
+            )
+        if not e.quant:
+            raise CepError(
+                "allowCombinations() needs a preceding looping quantifier"
+            )
+        if e.quant == "?" or e.quant.endswith("?"):
+            raise CepError(
+                "allowCombinations() applies to looping quantifiers "
+                "(oneOrMore/times), not optional/reluctant elements"
+            )
+        if e.strict_inner:
+            raise CepError(
+                "allowCombinations() conflicts with consecutive() — "
+                "STRICT and SKIP_TILL_ANY are opposite internal "
+                "consuming strategies (Quantifier.java)"
+            )
+        if e.greedy_flag:
+            raise CepError(
+                "greedy() with allowCombinations() is not supported"
+            )
+        e.combinations = True
+        return self
 
     def until(self, condition_sql: str) -> "Pattern":
         """Pattern.java until(): stop condition for a looping element —
@@ -379,13 +435,28 @@ _SQL_KEYWORDS = frozenset(
 def _ident_wrap(cond: str, wrap) -> str:
     """Rewrite bare column identifiers in a SQL boolean expression via
     ``wrap`` (used to turn a notNext condition into NEXT() navigation).
-    Skips single-quoted literals, SQL keywords, and function calls."""
+    Skips single-quoted literals, SQL keywords, and function calls.
+    Dotted (``t.price``) or quoted (backtick / double-quote) identifiers
+    error loudly: wrapping either part of a qualified name would emit
+    malformed MATCH_RECOGNIZE SQL (r8 ADVICE)."""
+    if re.search(r'[`"]', cond):
+        raise CepError(
+            "notNext conditions must use bare column names — quoted "
+            f"identifiers are not supported in: {cond!r}"
+        )
     segs = re.split(r"('[^']*')", cond)
     out: list[str] = []
     for i, seg in enumerate(segs):
         if i % 2:
             out.append(seg)
             continue
+        if re.search(r"\b\w+\s*\.\s*\w+", seg):
+            raise CepError(
+                "notNext conditions must use bare column names (no "
+                f"variable/table qualifiers) in: {cond!r} — the NEXT() "
+                "guard navigates the physical successor row, whose "
+                "columns are unqualified"
+            )
 
         def sub(m: re.Match) -> str:
             w = m.group(0)
@@ -399,25 +470,87 @@ def _ident_wrap(cond: str, wrap) -> str:
     return "".join(out)
 
 
-def pattern_to_match_recognize(
+def _own_row_sql(e: _Elem) -> str:
+    """The element's WHERE condition rewritten to bare column names
+    (``A.price`` -> ``price`` for the element's OWN variable): an ignore
+    edge evaluates the take condition on the CANDIDATE row itself, like
+    the reference's SimpleCondition. References to OTHER variables stay
+    qualified (iterative conditions — the ignore edge sees the in-flight
+    binds, matching the reference's IterativeCondition context)."""
+    cond = e.where_sql()
+    if e.name:
+        segs = re.split(r"('[^']*')", cond)
+        for i in range(0, len(segs), 2):
+            segs[i] = re.sub(
+                rf"\b{e.name}\s*\.\s*(\w+)", r"\1", segs[i]
+            )
+        cond = "".join(segs)
+    return cond
+
+
+def _head_where(e: _Elem) -> str:
+    """The acceptance condition of the element's FIRST state — the
+    element's own WHERE (bare-column form), or for a group the inner
+    head's (recursively). This is what the reference's SKIP_TILL_NEXT
+    ignore edge negates (NFACompiler getIgnoreCondition:
+    NOT(pattern.getCondition()) of the state being waited for)."""
+    if e.group is None:
+        return _own_row_sql(e)
+    return _head_where(e.group._elems[0])
+
+
+def _loop_enumerable(e: _Elem) -> bool:
+    """True when the element's quantifier branches into MULTIPLE matches
+    per start under the reference's default emission (every loop prefix /
+    optional branch is its own match — NFAITCase.java:1848-1900).
+    greedy() pins maximal-only, reluctant() minimal-only, and exact
+    counts ({n}) have no branch to enumerate."""
+    if e.greedy_flag:
+        return False
+    if e.opt_loop:
+        return True
+    q = e.quant
+    if not q:
+        return False
+    if q.endswith("?") and q != "?":
+        return False  # reluctant: minimal-only
+    if q in ("?", "+"):
+        return True
+    mm = re.fullmatch(r"\{(\d+)(?:(,)(\d*))?\}", q)
+    if mm is None:
+        return False
+    if not mm.group(2):
+        return False  # {n} exact
+    if mm.group(3):
+        return int(mm.group(3)) > int(mm.group(1))
+    return True  # {n,}
+
+
+def _compile_body(
     pattern: Pattern,
-    table: str,
     partition_by: str,
     order_by: str,
     measures: dict[str, str],
     skip: str = "SKIP TO NEXT ROW",
-) -> str:
-    """Compile a Pattern to a MATCH_RECOGNIZE statement. Default AFTER
-    MATCH is SKIP TO NEXT ROW — the reference CEP's no-skip strategy
-    (every start row may begin a match).
+) -> tuple[str, frozenset[str], frozenset[str]]:
+    """Compile a Pattern to a MATCH_RECOGNIZE body. Returns
+    ``(body, enum_vars, gap_vars)``:
 
-    r8 contiguity parity: looping quantifiers compile under RELAXED
-    internal contiguity by default (Quantifier.java:49 SKIP_TILL_NEXT) as
-    gap-interleaved repetitions ``A (G*? A)*``; ``consecutive()``
-    (Quantifier.java:113) drops the gap. Group patterns
-    (GroupPattern.java:30) compile to parenthesized PATTERN groups;
-    ``notNext`` hoists a NEXT()-navigation guard onto the previous
-    element's DEFINE."""
+    - ``enum_vars`` — variable names whose quantifier splits ENUMERATE:
+      each branch is a separate match (the reference's default loop
+      emission; NFAITCase.java:1848-1900). Empty for patterns whose
+      loops are all greedy()/reluctant()/exact — those run the ordinary
+      single-match engine.
+    - ``gap_vars`` — compiler-generated ignore-edge variables, excluded
+      from match identity (the reference's IGNOREd events are not part
+      of a match).
+
+    r9 contiguity parity: relaxed gaps are defined as the NEGATION of
+    the next take condition — the reference's SKIP_TILL_NEXT ignore edge
+    (NFACompiler getIgnoreCondition / getInnerIgnoreCondition:
+    RichNotCondition(condition)), so a qualifying row can never be
+    skipped past (that is SKIP_TILL_ANY — ``allowCombinations()``, whose
+    gap is TRUE and itself enumerates)."""
     elems = pattern._elems
     if not elems:
         raise CepError("empty pattern")
@@ -431,6 +564,8 @@ def pattern_to_match_recognize(
     defines: list[str] = []
     seen_defs: set[str] = set()
     gap_state = [0]
+    enum_vars: set[str] = set()
+    gap_vars: set[str] = set()
 
     def new_gap() -> str:
         while True:
@@ -438,6 +573,7 @@ def pattern_to_match_recognize(
             gap_state[0] += 1
             if g.upper() not in used:
                 used.add(g.upper())
+                gap_vars.add(g)
                 return g
 
     def add_def(text: str) -> None:
@@ -446,11 +582,11 @@ def pattern_to_match_recognize(
             seen_defs.add(name)
             defines.append(text)
 
-    def expand_quant(atom: str, quant: str, strict: bool,
-                     gap_def: str) -> str:
+    def expand_quant(atom: str, e: _Elem, gap_def: str) -> str:
         """Relaxed loop expansion: atom{q} -> atom (G*? atom){q-1} with
-        G defined as the loop's skip condition. Single-occurrence forms
-        and consecutive() loops pass through unchanged."""
+        G defined as the loop's ignore condition. Single-occurrence
+        forms and consecutive() loops pass through unchanged."""
+        quant = e.quant
         if not quant or quant in ("?", "??"):
             return f"{atom}{quant}"
         lazy = ""
@@ -458,7 +594,7 @@ def pattern_to_match_recognize(
         if q.endswith("?") and q not in ("?", "??"):
             lazy = "?"
             q = q[:-1]
-        if strict:
+        if e.strict_inner:
             return f"{atom}{q}{lazy}"
         if q == "+":
             n: int = 1
@@ -474,10 +610,24 @@ def pattern_to_match_recognize(
                 mx = None
         if mx is not None and mx == 0:
             raise CepError(f"degenerate quantifier {quant!r}")
+        if e.combinations and mx is None and pattern._within is None:
+            raise CepError(
+                "allowCombinations() on an UNBOUNDED loop needs a "
+                "bounded quantifier (times(m,n)) or a within() horizon "
+                "— the SKIP_TILL_ANY match set is exponential in the "
+                "unbounded row span (the reference enumerates it in "
+                "unbounded keyed state; here the enumeration must be "
+                "finite per start)"
+            )
         if mx == 1:
             return f"{atom}?{lazy}" if n == 0 else atom
         g = new_gap()
         add_def(f"{g} AS {gap_def}")
+        if e.combinations:
+            # SKIP_TILL_ANY: the gap itself branches per extent — every
+            # subset of qualifying rows (anchored at the first take) is
+            # a separate match (testSkipTillAnyOneOrMore)
+            enum_vars.add(g)
         rep = f"({g}*? {atom})"
         if n == 0:
             inner = f"{{0,{mx - 1}}}" if mx is not None else "*"
@@ -520,32 +670,56 @@ def pattern_to_match_recognize(
                     )
                 gap = new_gap()
                 parts.append(f"{gap}*?")
-                add_def(f"{gap} AS NOT ({e.condition_sql()})")
+                # stop state + ignore edge of the NEXT take: the gap may
+                # skip neither a forbidden row (kills the match) nor a
+                # row the next element would take (SKIP_TILL_NEXT)
+                add_def(
+                    f"{gap} AS (NOT ({_own_row_sql(e)})) AND "
+                    f"(NOT ({_head_where(nxt)}))"
+                )
                 continue
             if e.contiguity == "followed_by" and not (
                 i > 0 and elem_list[i - 1].contiguity == "not_followed_by"
             ):
                 gap = new_gap()
                 parts.append(f"{gap}*?")
-                add_def(f"{gap} AS TRUE")
+                # relaxed contiguity = SKIP_TILL_NEXT: ignore rows UNTIL
+                # the next qualifying one — the ignore edge is the
+                # negation of the take condition (NFACompiler
+                # getIgnoreCondition), never TRUE (that is followedByAny)
+                add_def(f"{gap} AS NOT ({_head_where(e)})")
+            if _loop_enumerable(e) or e.combinations:
+                enum_vars.update(
+                    [e.name] if e.group is None else e.group._names()
+                )
             if e.group is not None:
                 inner_parts: list[str] = []
                 emit(e.group._elems, inner_parts)
                 atom = f"( {' '.join(inner_parts)} )"
-                frag = expand_quant(atom, e.quant, e.strict_inner, "TRUE")
+                # ignore edge between group repetitions: negation of the
+                # group head's take (getInnerIgnoreCondition on the head)
+                frag = expand_quant(atom, e, f"NOT ({_head_where(e)})")
                 if e.opt_loop:
                     frag = f"( {frag} )?"
                 parts.append(frag)
                 continue
             cond = e.condition_sql()
             if i in guards:
+                # notNext(N) (Pattern.java notNext): the row PHYSICALLY
+                # next after this element must not satisfy N's condition
+                # — NEXT navigation evaluates it on the successor row;
+                # COALESCE makes "no next row" pass (absence of an event
+                # is not a violation)
                 cond = f"({cond}) AND (NOT COALESCE(({guards[i]}), FALSE))"
-            # gap skip condition: TRUE, tightened by until() — the
-            # reference guards IGNORE transitions with until too
-            gap_def = "TRUE"
+            # loop ignore condition: NOT(take), tightened by until() —
+            # the reference guards IGNORE transitions with until too;
+            # allowCombinations switches it to TRUE (SKIP_TILL_ANY)
+            gap_def = (
+                "TRUE" if e.combinations else f"NOT ({_own_row_sql(e)})"
+            )
             for u in e.until_conds:
                 gap_def = f"({gap_def}) AND (NOT ({u}))"
-            frag = expand_quant(e.name, e.quant, e.strict_inner, gap_def)
+            frag = expand_quant(e.name, e, gap_def)
             if e.opt_loop:
                 # optional() on a looping quantifier: zero or the loop
                 frag = f"( {frag} )?"
@@ -568,6 +742,26 @@ def pattern_to_match_recognize(
         AFTER MATCH {skip}
         PATTERN ({pat}) {within}DEFINE
             {defs}"""
+    return body, frozenset(enum_vars), frozenset(gap_vars)
+
+
+def pattern_to_match_recognize(
+    pattern: Pattern,
+    table: str,
+    partition_by: str,
+    order_by: str,
+    measures: dict[str, str],
+    skip: str = "SKIP TO NEXT ROW",
+) -> str:
+    """Compile a Pattern to a MATCH_RECOGNIZE statement (text only — the
+    single-match interpretation; ``cep_select`` adds the reference's
+    multi-match default-loop emission via the enumeration metadata of
+    ``_compile_body``). Default AFTER MATCH is SKIP TO NEXT ROW — the
+    reference CEP's no-skip strategy (every start row may begin a
+    match)."""
+    body, _enum, _gaps = _compile_body(
+        pattern, partition_by, order_by, measures, skip
+    )
     if table is None:
         return body
     return f"""
@@ -643,7 +837,34 @@ def cep_select(
             )
         return out.select(*cols)
 
-    from apache_flink_spark.match_recognize import sql_with_match_recognize
+    from apache_flink_spark.match_recognize import (
+        compile_match_recognize,
+        sql_with_match_recognize,
+    )
+
+    body, enum_vars, gap_vars = _compile_body(
+        pattern, partition_by, order_by, measures, skip
+    )
+    if enum_vars:
+        # Reference default-loop emission (r9 — NFAITCase.java:1848-1900
+        # testStrictOneOrMore / testSkipTillNextOneOrMore /
+        # testSkipTillAnyOneOrMore): a non-greedy looping or optional
+        # quantifier branches into EVERY viable take as a separate match
+        # per start. The enumerating VM explores enum-flagged splits
+        # exhaustively; matches are deduped on positive-variable binds
+        # (IGNOREd gap rows are not part of a match's identity).
+        if re.sub(r"\s+", " ", skip.strip()).upper() != "SKIP TO NEXT ROW":
+            raise CepError(
+                "multi-match emission (the reference's default for "
+                "looping/optional quantifiers) supports AFTER MATCH SKIP "
+                "TO NEXT ROW only — call greedy() or reluctant() on the "
+                "loop to pin single-match emission for other skip "
+                "strategies"
+            )
+        return compile_match_recognize(
+            spark, df, body,
+            cep_enum_vars=enum_vars, cep_gap_vars=gap_vars,
+        )
 
     # monotonically increasing view id: two patterns with identical
     # partition/order clauses must not share (and re-bind) one temp view —
@@ -651,9 +872,11 @@ def cep_select(
     # the second call's input (r7 advice)
     view = f"__cep_input_{next(_cep_view_counter)}"
     df.createOrReplaceTempView(view)
-    stmt = pattern_to_match_recognize(
-        pattern, view, partition_by, order_by, measures, skip
+    stmt = f"""
+    SELECT * FROM {view} MATCH_RECOGNIZE (
+        {body}
     )
+    """
     return sql_with_match_recognize(spark, stmt)
 
 
@@ -670,13 +893,17 @@ def cep_select_stream(
     CepOperator.java:82). Compiles the Pattern to a MATCH_RECOGNIZE body
     and drives the keyed-state streaming NFA
     (streaming/match_stream.py), inheriting its subset contract:
-    watermarked input, BIGINT keys/order, and a FLAT compiled pattern —
-    followedBy chains, strict (``consecutive()``) loops, bounded
-    quantifiers and middle ``notFollowedBy`` all compile flat; the
-    RELAXED loop default and GroupPattern produce nested groups, which
-    the streaming parser rejects loudly (use consecutive() or the batch
-    ``cep_select``). The default SKIP TO NEXT ROW is the reference CEP's
-    no-skip strategy, supported streaming since r8."""
+    watermarked input, BIGINT keys/order, own-row or PREV/NEXT-nav
+    DEFINEs. followedBy chains, strict (``consecutive()``) loops,
+    bounded quantifiers, middle ``notFollowedBy`` — and, since r9, the
+    RELAXED loop default: the gap-interleaved compiled shape
+    ``A (G*? A)*`` is recognized as a flat loop with an ignore-row
+    predicate (the reference NFA's IGNORE self-transition, NFA.java:76),
+    with the reference's default multi-match prefix emission
+    (NFAITCase.java:1871 testSkipTillNextOneOrMore). GroupPattern still
+    produces nested groups the streaming parser rejects loudly (use the
+    batch ``cep_select``). The default SKIP TO NEXT ROW is the reference
+    CEP's no-skip strategy, supported streaming since r8."""
     from apache_flink_spark.streaming.match_stream import (
         streaming_match_recognize,
     )
@@ -688,7 +915,9 @@ def cep_select_stream(
             "streaming absence-detection needs the timeout side output "
             "(queries/pattern_match.py streaming_cep_timeout) instead"
         )
-    body = pattern_to_match_recognize(
-        pattern, None, partition_by, order_by, measures, skip
+    body, enum_vars, gap_vars = _compile_body(
+        pattern, partition_by, order_by, measures, skip
     )
-    return streaming_match_recognize(stream, body)
+    return streaming_match_recognize(
+        stream, body, cep_enum_vars=enum_vars, cep_gap_vars=gap_vars,
+    )

@@ -752,6 +752,20 @@ def _execute_ctas_distributed(spark, m, opts: dict, replace: str) -> bool:
     staged_opts = opts
     staged_path = None
     if exists and opts.get("path"):
+        from urllib.parse import urlparse
+
+        scheme = urlparse(opts["path"]).scheme
+        if scheme not in ("", "file"):
+            # The staged swap moves directories with shutil, which only
+            # works on local paths — failing AFTER the live table was
+            # dropped would lose the old data without installing the new
+            # (r8 advice). Refuse BEFORE any destructive step.
+            raise DdlError(
+                f"CTAS replace of an external table at {opts['path']!r}: "
+                f"the staged directory swap supports local/file paths "
+                f"only (got scheme {scheme!r}) — on object stores, "
+                "stage to a new path and repoint the table instead"
+            )
         staged_path = opts["path"].rstrip("/") + ".__ctasd__"
         staged_opts = {**opts, "path": staged_path}
         _rmtree_path(staged_path)

@@ -92,16 +92,20 @@ GATE_SAMPLE = [
     # the five new r8 operator queries below; all stay green in the full
     # sweep and q47/q70 stay benched every round): window deviation
     "ds_q47_monthly_deviation",
-    # r8 rotation: the four new operator families, each in-gate —
-    # relaxed-contiguity CEP loop (backtracking-VM MATCH_RECOGNIZE path),
-    # GroupPattern, automated notNext, streaming NEXT navigation
-    "cep_one_or_more_relaxed",
-    "cep_group_pattern",
-    "cep_not_next",
-    "mr_stream_next_nav",
-    # r8 late rotation: the no-skip streaming NFA mode (ds_q70 rotated
-    # out — still benched every round and green in the full sweep)
-    "mr_stream_skip_next",
+    # r9 rotation: the five new operator families, each in-gate —
+    # reference-default CEP multi-match prefix emission (enumerating VM,
+    # NFAITCase.java:1871), bounded SKIP_TILL_ANY (allowCombinations),
+    # streaming relaxed loops (NFA IGNORE-transition shape), streaming
+    # MATCH_NUMBER (sentinel-row counter), and PERMUTE with
+    # cross-variable DEFINE binds (alternation on the VM).
+    # (cep_one_or_more_relaxed — now the greedy() pin — plus
+    # cep_group_pattern, cep_not_next, mr_stream_next_nav,
+    # mr_stream_skip_next rotated out; all stay green in the full sweep)
+    "cep_one_or_more_prefixes",
+    "cep_times_any_combinations",
+    "cep_stream_relaxed_loop",
+    "mr_stream_match_number",
+    "mr_permute_cross_define",
     # TPC-DS shapes (r6 rotation): the 9-relation inventory/promo join,
     # the INTERSECT-tower period compare, the lag/lead self-join, and
     # the nested date-subquery return-share query (4 TPC-H rotated out;

@@ -44,8 +44,21 @@ the successor itself certifies, because anything arriving between them
 would be behind the watermark and late-dropped; decisions therefore
 delay by max-NEXT-offset certified rows: n_eval = n_cert - max_next,
 and horizon-final verdicts wait for max_next certified rows past the
-horizon cut). Still out: MATCH_NUMBER (its per-partition counter would
-be unbounded restore state for no parity gain).
+horizon cut).
+
+r9: relaxed (SKIP_TILL_NEXT) loops stream natively — the CEP compiler's
+gap-interleaved shape ``X (G*? X)*`` is recognized as a flat loop with
+an ignore-row predicate (the reference NFA's IGNORE self-transition,
+NFA.java:76), with the reference's default MULTI-MATCH prefix emission
+(every loop prefix is its own match, all of a start's prefixes decided
+together under a frontier-based finality rule: a decision is final when
+no scan stopped at the certified frontier while still extendable).
+MATCH_NUMBER also streams: the per-key counter rides the existing state
+arrays as one sentinel row per user (vm bit + tie-break field), so the
+checkpoint layout is unchanged and pre-r9 fixtures restore with
+counters at 0. Still out: ALL ROWS PER MATCH, SKIP TO FIRST/LAST,
+quantified multi-variable groups (GroupPattern), and SKIP_TILL_ANY —
+each errors loudly with a batch-path pointer.
 """
 
 from __future__ import annotations
@@ -66,7 +79,8 @@ from apache_flink_spark.match_recognize import (
     _NULL,
     _parse_defines,
     _parse_measures,
-    _parse_pattern,
+    _parse_pattern_tree,
+    _tree_flat,
     _UNKNOWN,
     _WITHIN_UNIT_US,
     MatchRecognizeError,
@@ -88,15 +102,85 @@ _EVAL_G = dict(_3VL_GLOBALS)
 #: with the bit unset — correct: they carried no context rows).
 _CTX_BIT = 1 << 62
 
+#: vm-mask bit flagging a MATCH_NUMBER counter sentinel "row" (r9): one
+#: per user key, event-time -2^62 (sorts first in the key's segment, far
+#: below any epoch-micros value), tie-break field = the count. Riding the
+#: existing arrays keeps the checkpoint state layout unchanged; old
+#: checkpoints carry no sentinels and restore with counters at 0 —
+#: correct, since only MATCH_NUMBER queries (new in r9) write them.
+_MN_BIT = 1 << 61
+_MN_TS = -(1 << 62)
 
-def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
+
+def _tree_flat_ignore(node):
+    """Extended flat view for the streaming matcher:
+    ``[(alts, (lo, hi), greedy, ignore_var | None)]``.
+
+    Recognizes the CEP compiler's relaxed-loop shape ``X (G*? X)*`` /
+    ``X (G*? X){a,b}`` as ONE loop element with an ignore variable — the
+    reference NFA's IGNORE self-transition (flink-libraries/flink-cep
+    NFA.java:76; NFACompiler getInnerIgnoreCondition SKIP_TILL_NEXT).
+    Plain variables pass through with ``None``. Returns None for any
+    other nested structure (quantified multi-variable groups — use the
+    batch path)."""
+    items = list(node[1]) if node[0] == "seq" else [node]
+    out = []
+    i = 0
+    while i < len(items):
+        it = items[i]
+        if it[0] != "var":
+            return None
+        nxt = items[i + 1] if i + 1 < len(items) else None
+        if (
+            it[2:] == (1, 1, True)
+            and len(it[1]) == 1
+            and nxt is not None
+            and nxt[0] == "group"
+            and nxt[1][0] == "seq"
+            and len(nxt[1][1]) == 2
+        ):
+            g_nd, x_nd = nxt[1][1]
+            if (
+                g_nd[0] == "var" and x_nd[0] == "var"
+                and len(g_nd[1]) == 1 and g_nd[2:] == (0, None, False)
+                and x_nd[1] == it[1] and x_nd[2:] == (1, 1, True)
+            ):
+                lo, hi, greedy = nxt[2], nxt[3], nxt[4]
+                out.append((
+                    it[1],
+                    (1 + lo, None if hi is None else 1 + hi),
+                    greedy,
+                    g_nd[1][0],
+                ))
+                i += 2
+                continue
+        out.append(((*it[1],), (it[2], it[3]), it[4], None))
+        i += 1
+    return out
+
+
+def streaming_match_recognize(
+    stream: DataFrame, body: str,
+    cep_enum_vars: frozenset | None = None,
+    cep_gap_vars: frozenset | None = None,
+) -> DataFrame:
     """Run a MATCH_RECOGNIZE body on an unbounded stream.
 
     ``stream`` must be watermarked (withWatermark on its event-time
     column) and contain the ORDER BY columns; the first ORDER BY column
     must be epoch-micros BIGINT (the event-time image the watermark
     certifies). Returns the streaming matches DataFrame (ONE ROW PER
-    MATCH: partition columns + measures)."""
+    MATCH: partition columns + measures).
+
+    ``cep_enum_vars`` (r9, set by the CEP Pattern compiler): loop
+    elements binding these variables use the reference's default
+    MULTI-MATCH emission — every loop prefix / optional branch is its
+    own match (NFAITCase.java:1871 testSkipTillNextOneOrMore), all
+    prefixes of a start decided together under the same certified-
+    frontier rule. ``cep_gap_vars`` names compiler ignore-edge
+    variables, excluded from match identity."""
+    cep_enum = frozenset(cep_enum_vars or ())
+    cep_gaps = frozenset(cep_gap_vars or ())
     m = _BODY_RE.search(body.strip())
     if not m:
         raise MatchRecognizeError("could not parse MATCH_RECOGNIZE body")
@@ -112,8 +196,38 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
                 "(event time only moves forward)"
             )
         order_specs.append(om.group(1))
-    pattern = _parse_pattern(m.group("pat"))
-    variables = {v for alts, _, _ in pattern for v in alts}
+    # r9: relaxed (SKIP_TILL_NEXT) loops stream natively — the compiled
+    # gap-interleaved shape X (G*? X)* is recognized as a flat loop with
+    # an ignore-row predicate (the reference NFA's IGNORE self-transition,
+    # NFA.java:76). Other nested structure (GroupPattern) stays rejected.
+    tree = _parse_pattern_tree(m.group("pat"))
+    flat = _tree_flat(tree)
+    if flat is not None:
+        pattern = [(alts, q, g, None) for alts, q, g in flat]
+    else:
+        pattern = _tree_flat_ignore(tree)
+        if pattern is None:
+            raise MatchRecognizeError(
+                "streaming MATCH_RECOGNIZE supports flat patterns and "
+                "single-variable relaxed loops (the compiled X (G*? X)* "
+                "shape) only — quantified multi-variable groups "
+                "(GroupPattern) need the batch path (cep_select / "
+                "sql_with_match_recognize)"
+            )
+    variables = {v for alts, _q, _g, _ign in pattern for v in alts}
+    variables |= {ign for _a, _q, _g, ign in pattern if ign is not None}
+    for _alts, _q, _g, ign in pattern:
+        if ign is not None and ign in cep_enum:
+            raise MatchRecognizeError(
+                "streaming allowCombinations (SKIP_TILL_ANY) is not "
+                "supported — the per-start subset enumeration is "
+                "unbounded in stream state; use the batch cep_select"
+            )
+    elem_enum = [
+        bool(set(alts) & cep_enum) for alts, _q, _g, _ign in pattern
+    ]
+    has_ignore = any(ign is not None for _a, _q, _g, ign in pattern)
+    has_enum = any(elem_enum)
     measures = _parse_measures(m.group("meas"))
     src_col_names = {f.name for f in stream.schema.fields}
     defines, nav_cols, cross_defs = _parse_defines(
@@ -166,6 +280,12 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
                 pred, set(src_col_names) | set(nav_prev), var
             )
             del defines[var]
+    if cross_codes and (has_ignore or has_enum):
+        raise MatchRecognizeError(
+            "streaming relaxed loops / multi-match emission support "
+            "own-row DEFINEs only (no cross-variable binds or PREV/NEXT "
+            "navigation on the loop pattern) — use the batch path"
+        )
     cross_cols = sorted(
         {c for code in cross_codes.values()
          for c in re.findall(r'__(?:row|bind)\("(?:\w+", ")?(\w+)"', code)
@@ -193,29 +313,49 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
         raise MatchRecognizeError(
             "streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH only"
         )
+    if has_enum:
+        if not skip_next:
+            raise MatchRecognizeError(
+                "streaming multi-match emission (CEP default loops) "
+                "requires AFTER MATCH SKIP TO NEXT ROW — pin greedy()/"
+                "reluctant() for other skip strategies"
+            )
+        if pattern[0][1][0] == 0:
+            raise MatchRecognizeError(
+                "streaming multi-match emission requires a REQUIRED "
+                "first pattern element (the start row anchors match "
+                "identity across watermark advances) — use the batch "
+                "path for optional-head patterns"
+            )
     within_us = None
     if m.group("within_n"):
         unit = m.group("within_u").upper()
         if unit not in _WITHIN_UNIT_US:
             raise MatchRecognizeError(f"unsupported WITHIN unit {unit!r}")
         within_us = int(m.group("within_n")) * _WITHIN_UNIT_US[unit]
+    # MATCH_NUMBER (r9 — VERDICT r8 missing #4): a per-key BIGINT counter
+    # IS bounded state; it rides the existing state arrays as one
+    # sentinel row per user (vm bit _MN_BIT, count in the tie-break
+    # field), so the checkpoint layout is unchanged and old fixtures
+    # restore with counters at 0. Numbering is deterministic: matches
+    # decide in event-time order per key.
+    use_mn = any(kind == "MATCH_NUMBER" for kind, *_rest in measures)
     for kind, var, col, alias, _sem in measures:
-        if kind == "MATCH_NUMBER":
-            raise MatchRecognizeError(
-                "streaming MATCH_RECOGNIZE: MATCH_NUMBER is not supported "
-                "(per-partition counter would be unbounded restore state)"
-            )
         if var is not None and var not in variables:
             raise MatchRecognizeError(
                 f"MEASURES references unknown variable {var!r}"
             )
     # Pattern length bound: every start/drop decision needs a horizon.
     l_max = 0
-    for _alts, (_lo, hi), _g in pattern:
+    for _alts, (_lo, hi), _g, _ign in pattern:
         if hi is None:
             l_max = None
             break
         l_max += hi
+    if l_max is not None and within_us is None and has_ignore:
+        # bounded take-counts do NOT bound the row span once ignore rows
+        # interleave — start/drop finality then needs the horizon
+        l_max = None
     if l_max is None and within_us is None:
         raise MatchRecognizeError(
             "streaming MATCH_RECOGNIZE: an unbounded quantifier (+ or *) "
@@ -339,11 +479,27 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        mn_counts: dict[int, int] = {}
         if state.exists:
             st = state.get
             b_k = list(st[0]); b_ts = list(st[1]); b_tb = list(st[2])
             b_vm = list(st[3])
             b_c = [list(st[4 + i]) for i in range(n_carry)]
+            if use_mn:
+                # strip MATCH_NUMBER counter sentinels (one per user):
+                # vm bit _MN_BIT, count in the tie-break field
+                live = [
+                    j for j in range(len(b_k)) if not (b_vm[j] & _MN_BIT)
+                ]
+                for j in range(len(b_k)):
+                    if b_vm[j] & _MN_BIT:
+                        mn_counts[b_k[j]] = b_tb[j]
+                if len(live) != len(b_k):
+                    b_k = [b_k[j] for j in live]
+                    b_ts = [b_ts[j] for j in live]
+                    b_tb = [b_tb[j] for j in live]
+                    b_vm = [b_vm[j] for j in live]
+                    b_c = [[c[j] for j in live] for c in b_c]
         else:
             b_k, b_ts, b_tb, b_vm = [], [], [], []
             b_c = [[] for _ in range(n_carry)]
@@ -395,13 +551,17 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
             n_eval = max(0, n_cert - max_next)
 
             def elem_ok(pi: int, j: int) -> bool:
-                alts, _q, _g2 = pat[pi]
+                alts = pat[pi][0]
                 return any(
                     vm[j] & (1 << var_list.index(v)) for v in alts
                 )
 
+            def ign_ok(pi: int, j: int) -> bool:
+                ign = pat[pi][3]
+                return bool(vm[j] & (1 << var_list.index(ign)))
+
             def label(pi: int, j: int) -> str:
-                alts, _q, _g2 = pat[pi]
+                alts = pat[pi][0]
                 for v in alts:
                     if vm[j] & (1 << var_list.index(v)):
                         return v
@@ -477,7 +637,7 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
                 def rec(pi: int, ri: int, binds: dict):
                     if pi == len(pat):
                         return binds, ri
-                    alts, (lo, hi), greedy = pat[pi]
+                    alts, (lo, hi), greedy, _ign = pat[pi]
                     cur = {v: list(x) for v, x in binds.items()}
                     labels = []
                     while (
@@ -522,7 +682,7 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
                 def rec(pi: int, ri: int):
                     if pi == len(pat):
                         return {}, ri
-                    _alts, (lo, hi), greedy = pat[pi]
+                    _alts, (lo, hi), greedy, _ign = pat[pi]
                     take_max = 0
                     while (
                         (hi is None or take_max < hi)
@@ -557,6 +717,91 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
 
             try_match = try_match_binds if cross_fns else try_match_own
 
+            # r9 engine for relaxed (ignore-edge) loops and multi-match
+            # emission. Finality is frontier-based instead of l_max-based:
+            # every scan decision is made on a certified row, a horizon
+            # cut, or a reached bound — ONLY a scan that stops at the
+            # n_eval frontier while still extendable is undecided.
+            frontier_hit = [False]
+
+            def scan_elem(pi: int, ri: int, limit: int) -> list[int]:
+                """Maximal qualifying takes for element pi from ri;
+                ignore-flagged rows between takes are skipped (the
+                reference NFA's IGNORE self-transition — cannot fire
+                before the first take: reaching the element is governed
+                by the PREVIOUS gap element)."""
+                alts, (lo, hi), greedy, ign = pat[pi]
+                takes: list[int] = []
+                j = ri
+                while (hi is None or len(takes) < hi) and j < limit:
+                    if elem_ok(pi, j):
+                        takes.append(j)
+                        j += 1
+                    elif ign is not None and takes and ign_ok(pi, j):
+                        j += 1
+                    else:
+                        break
+                if (
+                    j >= limit
+                    and limit == n_eval
+                    and (hi is None or len(takes) < hi)
+                ):
+                    frontier_hit[0] = True
+                return takes
+
+            def try_match_enum(start: int, limit: int):
+                """All matches from ``start``: enum-flagged elements
+                branch per take count (reference default emission —
+                NFAITCase.java:1871), others keep first-success
+                preference. Dedup on positive binds (ignore/gap rows are
+                not part of a match's identity)."""
+                results: list[tuple[dict, int]] = []
+                seen_loc: set[tuple] = set()
+
+                def rec(pi: int, ri: int, assign: dict) -> bool:
+                    if pi == len(pat):
+                        if ri == start:
+                            return False
+                        a = {
+                            v: ix for v, ix in assign.items()
+                            if v not in cep_gaps
+                        }
+                        if not a:
+                            return False
+                        key = tuple(sorted(
+                            (v, tuple(ix)) for v, ix in a.items()
+                        ))
+                        if key not in seen_loc:
+                            seen_loc.add(key)
+                            results.append((a, ri))
+                        return True
+                    _alts, (lo, hi), greedy, _ign = pat[pi]
+                    takes = scan_elem(pi, ri, limit)
+                    if len(takes) < lo:
+                        return False
+                    order_ = (
+                        range(len(takes), lo - 1, -1)
+                        if greedy
+                        else range(lo, len(takes) + 1)
+                    )
+                    found = False
+                    for take in order_:
+                        na = {v: list(ix) for v, ix in assign.items()}
+                        for j in takes[:take]:
+                            na.setdefault(label(pi, j), []).append(j)
+                        nxt = takes[take - 1] + 1 if take else ri
+                        if rec(pi + 1, nxt, na):
+                            found = True
+                            if not elem_enum[pi]:
+                                break
+                    return found
+
+                rec(0, start, {})
+                return [
+                    ({v: sorted(ix) for v, ix in a.items()}, end)
+                    for a, end in results
+                ]
+
             arr = {
                 c: np.asarray([b_c[i][j] for j in idxs])
                 for i, c in enumerate(carry)
@@ -570,7 +815,23 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
             pos = 0
             while pos < n and vm[pos] & _CTX_BIT:
                 pos += 1
+            def _emit_one(assign):
+                members = sorted(
+                    (j, v) for v, ix in assign.items() for j in ix
+                )
+                mn = None
+                if use_mn:
+                    mn_counts[user] = mn_counts.get(user, 0) + 1
+                    mn = mn_counts[user]
+                vals = [user]
+                _emit_measures(
+                    meas, assign, arr, vals,
+                    classifier=members[-1][1], match_no=mn,
+                )
+                out_rows.append(vals)
+
             keep_from = None
+            use_new = has_enum or has_ignore
             while pos < n_eval:
                 horizon_final = (
                     within_us is not None and wm_us > ts[pos] + within_us
@@ -578,6 +839,21 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
                     # themselves be certified before the verdict is final
                     and horizon_rows(pos) + max_next <= n_cert
                 )
+                if use_new:
+                    # ALL this start's matches decide together: final
+                    # when no scan stopped at the n_eval frontier while
+                    # still extendable, or the horizon has passed
+                    frontier_hit[0] = False
+                    ms = try_match_enum(pos, limit_for(pos))
+                    if not horizon_final and frontier_hit[0]:
+                        break  # undecided — keep from here
+                    if not ms:
+                        pos += 1  # final failure — drop as a start
+                        continue
+                    for assign, _end in ms:
+                        _emit_one(assign)
+                    pos = pos + 1 if skip_next else ms[0][1]
+                    continue
                 hit = try_match(pos, limit_for(pos))
                 if hit is None:
                     # final failure only with full decision context
@@ -596,15 +872,7 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
                 )
                 if not safe:
                     break  # greedy extension undecided — keep from here
-                members = sorted(
-                    (j, v) for v, ix in assign.items() for j in ix
-                )
-                vals = [user]
-                _emit_measures(
-                    meas, assign, arr, vals,
-                    classifier=members[-1][1], match_no=None,
-                )
-                out_rows.append(vals)
+                _emit_one(assign)
                 # AFTER MATCH SKIP: past-last jumps the frontier over the
                 # match; to-next decides the very next row as its own start
                 pos = pos + 1 if skip_next else end
@@ -625,6 +893,20 @@ def streaming_match_recognize(stream: DataFrame, body: str) -> DataFrame:
                 # within-horizon or simply more certified rows.
                 nxt = ts[keep_from] + (within_us or 0)
                 pending_ts.append(nxt)
+
+        if use_mn:
+            # persist per-user MATCH_NUMBER counters as sentinel rows
+            # (covers users with no live buffered rows this batch too)
+            for u_, cnt in mn_counts.items():
+                if cnt > 0:
+                    keep[0].append(u_)
+                    keep[1].append(_MN_TS)
+                    keep[2].append(cnt)
+                    keep[3].append(_MN_BIT)
+                    for i2, c2 in enumerate(carry):
+                        keep[4 + i2].append(
+                            0.0 if type_of[c2] == "double" else 0
+                        )
 
         if keep[0]:
             state.update(tuple(keep))

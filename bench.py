@@ -304,8 +304,15 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 second_pass[name] = round(time.perf_counter() - t0, 4)
-            for n, dt in second_pass.items():
-                times[n] = min(times[n], dt)
+            # r9 (r8 ADVICE): substitute the second-pass time ONLY for
+            # the persistent outliers being re-adjudicated — folding
+            # min() into EVERY query made the headline a best-of-two
+            # while the frozen baseline was single-methodology, biasing
+            # the ratio downward. The full second pass is still recorded
+            # in BENCH_DETAIL for the contention-vs-regression read.
+            for n in persistent:
+                if n in second_pass:
+                    times[n] = min(times[n], second_pass[n])
             total = round(sum(times.values()), 4)
             out["value"] = total
         shared = [n for n in times if n in base["queries"]]

@@ -248,3 +248,25 @@ def test_ctas_into_secondary_catalog(te, spark, tmp_path):
     # unqualified resolution inside the catalog
     assert te.sql("SELECT v FROM summary").collect()[0].v == "a"
     te.sql("USE CATALOG spark_catalog")
+
+
+def test_column_alias_does_not_shadow_table_rewrite(te, spark):
+    """r9 (r8 ADVICE): a COLUMN alias (SELECT ... AS name) or CAST(x AS
+    INT) sharing a registered table's name must NOT suppress the
+    FROM-position catalog rewrite — only names that can actually shadow
+    a table reference bind: CTEs and derived-table aliases."""
+    _mk_catalog(te)
+    te.sql("USE CATALOG memcat")
+    spark.range(3).createOrReplaceTempView("__shadow_src")
+    te.sql("CREATE TABLE orders AS SELECT id AS o_id FROM __shadow_src")
+    # column alias "orders" + CAST AS must not unbind the table
+    got = te.sql(
+        "SELECT CAST(COUNT(*) AS INT) AS orders FROM orders"
+    ).collect()
+    assert got[0][0] == 3
+    # a DERIVED-TABLE alias sharing the name DOES shadow (stays local)
+    got2 = te.sql(
+        "SELECT COUNT(*) FROM (SELECT 1 AS x UNION ALL SELECT 2) AS orders"
+    ).collect()
+    assert got2[0][0] == 2
+    te.sql("USE CATALOG spark_catalog")

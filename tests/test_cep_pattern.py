@@ -182,8 +182,20 @@ def test_consecutive_until_subtype_surface(spark):
     # greedy run 1,2,3 stops before 99 (until) — longest match first
     rows = sorted((r.n, r.last_id) for r in out.collect())
     assert rows[-1] == (3, 3)
-    with pytest.raises(CepError, match="allowCombinations"):
-        Pattern.begin("A").one_or_more().allow_combinations()
+    # allowCombinations (r9): supported on BOUNDED loops; strict/greedy
+    # conflicts and unbounded no-horizon forms still error loudly
+    with pytest.raises(CepError, match="consecutive"):
+        Pattern.begin("A").one_or_more().consecutive().allow_combinations()
+    with pytest.raises(CepError, match="needs a preceding"):
+        Pattern.begin("A").allow_combinations()
+    from apache_flink_spark.cep import pattern_to_match_recognize
+
+    with pytest.raises(CepError, match="UNBOUNDED"):
+        pattern_to_match_recognize(
+            Pattern.begin("A").where("v > 0").one_or_more()
+            .allow_combinations(),
+            "t", "k", "ep", {"n": "COUNT(A.*)"},
+        )
     with pytest.raises(CepError, match="subtype"):
         Pattern.begin("A").subtype(object)
     with pytest.raises(CepError, match="until"):
@@ -216,7 +228,11 @@ def test_optional_on_looping_quantifier(spark):
             spark, df, p, "k", "ts", {"na": "COUNT(a.*)"}
         ).collect()
     )
-    assert got == [(1, 2), (2, 0)]
+    # r9: reference default emission — the optional loop branches into
+    # BOTH the zero-occurrence match and the loop match per start
+    # (NFAITCase testTimesNonStrictOptional2: [start, end] is emitted
+    # alongside the times variants)
+    assert got == [(1, 0), (1, 2), (2, 0)]
     with pytest.raises(CepError, match="already optional"):
         Pattern.begin("a").times(2).optional().optional()
 
@@ -256,3 +272,98 @@ def test_relaxed_loop_respects_within_horizon(spark):
     # is outside the horizon -> NO match from 0 or 20s; from ep=120s the
     # single a + b at 130s matches within ITS horizon.
     assert got == [(1, 120_000_000)]
+
+
+def test_nfaitcase_one_or_more_scenarios(spark):
+    """Pin the reference's canonical oneOrMore emission scenarios
+    (flink-libraries/flink-cep NFAITCase.java:1846-1952 testOneOrMore):
+    input [c, d, a, a, a, d, a, b] under the three consuming strategies
+    plus the greedy()/reluctant() pins and testBeginWithZeroOrMore."""
+    from collections import Counter
+
+    from apache_flink_spark.cep import cep_select
+
+    rows = [
+        (1, 1, "c", 10), (1, 2, "d", 20), (1, 3, "a", 30), (1, 4, "a", 40),
+        (1, 5, "a", 50), (1, 6, "d", 60), (1, 7, "a", 70), (1, 8, "b", 80),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, kind string, ep long"
+    )
+    meas = {
+        "n_a": "COUNT(middle.*)",
+        "first_a": "FIRST(middle.event_id)",
+        "last_a": "LAST(middle.event_id)",
+        "end_id": "LAST(end1.event_id)",
+    }
+
+    def run(p, counter=False):
+        got = [
+            tuple(r[c] for c in meas)
+            for r in cep_select(spark, df, p, "k", "ep", meas).collect()
+        ]
+        return Counter(got) if counter else sorted(got)
+
+    def base():
+        return (
+            Pattern.begin("start").where("kind = 'c'")
+            .followed_by("middle").where("kind = 'a'")
+        )
+
+    # SKIP_TILL_NEXT default: every loop prefix (4 matches)
+    assert run(
+        base().one_or_more().followed_by("end1").where("kind = 'b'")
+    ) == [(1, 3, 3, 8), (2, 3, 4, 8), (3, 3, 5, 8), (4, 3, 7, 8)]
+    # STRICT (consecutive): prefixes of the adjacent run (3 matches)
+    assert run(
+        base().one_or_more().consecutive()
+        .followed_by("end1").where("kind = 'b'")
+    ) == [(1, 3, 3, 8), (2, 3, 4, 8), (3, 3, 5, 8)]
+    # SKIP_TILL_ANY (allowCombinations): every subset anchored at the
+    # first take — 8 matches, two distinct subsets sharing measures
+    assert run(
+        base().one_or_more().allow_combinations()
+        .followed_by("end1").where("kind = 'b'").within(1, "hours"),
+        counter=True,
+    ) == Counter({
+        (1, 3, 3, 8): 1, (2, 3, 4, 8): 1, (2, 3, 5, 8): 1,
+        (2, 3, 7, 8): 1, (3, 3, 5, 8): 1, (3, 3, 7, 8): 2,
+        (4, 3, 7, 8): 1,
+    })
+    # greedy(): maximal-only; reluctant(): minimal-only
+    assert run(
+        base().one_or_more().greedy()
+        .followed_by("end1").where("kind = 'b'")
+    ) == [(4, 3, 7, 8)]
+    assert run(
+        base().one_or_more().reluctant()
+        .followed_by("end1").where("kind = 'b'")
+    ) == [(1, 3, 3, 8)]
+
+    # testBeginWithZeroOrMore: [a a a b] -> 7 matches incl. [b] ONCE
+    rows2 = [
+        (1, 1, "a", 10), (1, 2, "a", 20), (1, 3, "a", 30), (1, 4, "b", 40),
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "k long, event_id long, kind string, ep long"
+    )
+    p2 = (
+        Pattern.begin("middle").where("kind = 'a'").one_or_more()
+        .optional()
+        .followed_by("end").where("kind = 'b'")
+    )
+    m2 = {
+        "n_a": "COUNT(middle.*)",
+        "first_a": "FIRST(middle.event_id)",
+        "end_id": "LAST(end.event_id)",
+    }
+    got = sorted(
+        tuple(r[c] for c in m2)
+        for r in cep_select(spark, df2, p2, "k", "ep", m2).collect()
+    )
+    assert got == [
+        (0, None, 4),
+        (1, 1, 4), (1, 2, 4), (1, 3, 4),
+        (2, 1, 4), (2, 2, 4),
+        (3, 1, 4),
+    ]

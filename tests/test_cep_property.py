@@ -22,7 +22,7 @@ def _ref_matches(rows, shape):
     out = set()
     n = len(rows)
     for i in range(n):
-        if rows[i][1] != "a":
+        if rows[i][1] != "a" and shape != "zom":
             continue
         if shape == "next":
             if i + 1 < n and rows[i + 1][1] == "b":
@@ -56,8 +56,23 @@ def _ref_matches(rows, shape):
                     break
         elif shape == "oom":
             # A+ (RELAXED default — Quantifier.java:49 SKIP_TILL_NEXT)
-            # followedBy(b): greedy loop keeps every a before the LAST b,
-            # b = first b after the last kept a
+            # followedBy(b), reference DEFAULT emission (r9 —
+            # NFAITCase.java:1871 testSkipTillNextOneOrMore): EVERY loop
+            # prefix is its own match; the kept a's are consecutive
+            # qualifying rows (the ignore edge cannot skip an a), each
+            # prefix completed by the first b after its last a
+            kept = [j for j in range(i, n) if rows[j][1] == "a"]
+            for k in range(1, len(kept) + 1):
+                b = next(
+                    (j for j in range(kept[k - 1] + 1, n)
+                     if rows[j][1] == "b"), None,
+                )
+                if b is not None:
+                    out.add((k, rows[kept[0]][0], rows[kept[k - 1]][0],
+                             rows[b][0]))
+        elif shape == "oom_greedy":
+            # A+ greedy() pins MAXIMAL-ONLY emission (the pre-r9 default):
+            # every a before the LAST b; b = first b after the last kept a
             bs = [j for j in range(i + 1, n) if rows[j][1] == "b"]
             if not bs:
                 continue
@@ -68,17 +83,66 @@ def _ref_matches(rows, shape):
             b = next(j for j in bs if j > kept[-1])
             out.add((len(kept), rows[kept[0]][0], rows[kept[-1]][0],
                      rows[b][0]))
+        elif shape == "oom_reluctant":
+            # A+ reluctant(): MINIMAL-ONLY — one a, first b after it
+            b = next((j for j in range(i + 1, n) if rows[j][1] == "b"),
+                     None)
+            if b is not None:
+                out.add((1, rows[i][0], rows[i][0], rows[b][0]))
+        elif shape == "oom_any":
+            # A times(1,3) allowCombinations() (SKIP_TILL_ANY —
+            # NFAITCase.java:1902 testSkipTillAnyOneOrMore): the ignore
+            # edge accepts ANY row, so every increasing SUBSET of a's
+            # anchored at i (sizes 1..3) is a separate match; b = first b
+            # after the subset's last a. Multiset semantics: distinct
+            # subsets with identical measures emit distinct rows, so the
+            # reference set here keys on the subset itself.
+            import itertools as _it
+
+            later = [j for j in range(i + 1, n) if rows[j][1] == "a"]
+            for sz in (0, 1, 2):
+                for comb in _it.combinations(later, sz):
+                    sub = (i, *comb)
+                    b = next(
+                        (j for j in range(sub[-1] + 1, n)
+                         if rows[j][1] == "b"), None,
+                    )
+                    if b is not None:
+                        out.add((sub,
+                                 (len(sub), rows[sub[0]][0],
+                                  rows[sub[-1]][0], rows[b][0])))
         elif shape == "oom_consec":
-            # A+ consecutive() (Quantifier.java:113): the run of adjacent
-            # a's from i; b = first b after the run
+            # A+ consecutive() (Quantifier.java:113): prefixes of the run
+            # of ADJACENT a's from i (testStrictOneOrMore emits every
+            # prefix too); b = first b after each prefix's last a
             r = i
             while r + 1 < n and rows[r + 1][1] == "a":
                 r += 1
-            b = next((j for j in range(r + 1, n) if rows[j][1] == "b"),
-                     None)
-            if b is None:
+            for k in range(0, r - i + 1):
+                b = next(
+                    (j for j in range(i + k + 1, n) if rows[j][1] == "b"),
+                    None,
+                )
+                if b is not None:
+                    out.add((k + 1, rows[i][0], rows[i + k][0],
+                             rows[b][0]))
+        elif shape == "zom":
+            # A oneOrMore().optional() (zero-or-more) followedBy b
+            # (testBeginWithZeroOrMore): the oom prefix family PLUS, for
+            # every b row, the zero-occurrence match [b] (emitted once —
+            # IGNOREd rows are not part of a match's identity)
+            if rows[i][1] == "b":
+                out.add((0, None, rows[i][0]))
+            if rows[i][1] != "a":
                 continue
-            out.add((r - i + 1, rows[i][0], rows[r][0], rows[b][0]))
+            kept = [j for j in range(i, n) if rows[j][1] == "a"]
+            for k in range(1, len(kept) + 1):
+                b = next(
+                    (j for j in range(kept[k - 1] + 1, n)
+                     if rows[j][1] == "b"), None,
+                )
+                if b is not None:
+                    out.add((k, rows[kept[0]][0], rows[b][0]))
         elif shape == "times2_relaxed":
             # A{2} relaxed: second a = FIRST a after i (reluctant gap);
             # b = first b after it
@@ -163,6 +227,52 @@ def _pattern_for(shape):
                 "b_id": "LAST(B.event_id)",
             },
         )
+    if shape == "oom_greedy":
+        return (
+            Pattern.begin("A").where("kind = 'a'").one_or_more().greedy()
+            .followed_by("B").where("kind = 'b'"),
+            {
+                "n_a": "COUNT(A.*)",
+                "first_a": "FIRST(A.event_id)",
+                "last_a": "LAST(A.event_id)",
+                "b_id": "LAST(B.event_id)",
+            },
+        )
+    if shape == "oom_reluctant":
+        return (
+            Pattern.begin("A").where("kind = 'a'").one_or_more()
+            .reluctant()
+            .followed_by("B").where("kind = 'b'"),
+            {
+                "n_a": "COUNT(A.*)",
+                "first_a": "FIRST(A.event_id)",
+                "last_a": "LAST(A.event_id)",
+                "b_id": "LAST(B.event_id)",
+            },
+        )
+    if shape == "oom_any":
+        return (
+            Pattern.begin("A").where("kind = 'a'").times(1, 3)
+            .allow_combinations()
+            .followed_by("B").where("kind = 'b'"),
+            {
+                "n_a": "COUNT(A.*)",
+                "first_a": "FIRST(A.event_id)",
+                "last_a": "LAST(A.event_id)",
+                "b_id": "LAST(B.event_id)",
+            },
+        )
+    if shape == "zom":
+        return (
+            Pattern.begin("A").where("kind = 'a'").one_or_more()
+            .optional()
+            .followed_by("B").where("kind = 'b'"),
+            {
+                "n_a": "COUNT(A.*)",
+                "first_a": "FIRST(A.event_id)",
+                "b_id": "LAST(B.event_id)",
+            },
+        )
     if shape == "oom_consec":
         return (
             Pattern.begin("A").where("kind = 'a'").one_or_more()
@@ -212,8 +322,13 @@ def _pattern_for(shape):
     [
         "next", "fb", "fb_fb", "nfb",
         # r8: relaxed-contiguity loops (Quantifier.java:49 default),
-        # the consecutive() strict upgrade, notNext, and GroupPattern
+        # the consecutive() strict upgrade, notNext, and GroupPattern;
+        # r9: reference DEFAULT multi-match emission (oom/oom_consec/zom
+        # emit every loop prefix — NFAITCase.java:1848-1900), the
+        # greedy()/reluctant() single-match pins, and bounded
+        # SKIP_TILL_ANY (oom_any — testSkipTillAnyOneOrMore, multiset)
         "oom", "oom_consec", "times2_relaxed", "not_next", "group_times2",
+        "oom_greedy", "oom_reluctant", "oom_any", "zom",
     ],
 )
 @settings(
@@ -223,6 +338,8 @@ def _pattern_for(shape):
 )
 @given(kinds=st.lists(st.sampled_from(KINDS), min_size=4, max_size=18))
 def test_pattern_compiler_matches_reference(spark, shape, kinds):
+    from collections import Counter
+
     from apache_flink_spark.cep import cep_select
 
     rows = [(i + 1, k) for i, k in enumerate(kinds)]
@@ -231,6 +348,21 @@ def test_pattern_compiler_matches_reference(spark, shape, kinds):
         "k long, event_id long, kind string, ep long",
     )
     pattern, measures = _pattern_for(shape)
+    if shape == "oom_any":
+        # boundedness contract: allowCombinations needs times(m,n) or a
+        # within horizon; distinct subsets may share measure values, so
+        # compare as a MULTISET of measure tuples
+        got = Counter(
+            tuple(r[c] for c in measures)
+            for r in cep_select(
+                spark, df, pattern, "k", "ep", measures
+            ).collect()
+        )
+        ref = Counter(
+            meas for _sub, meas in _ref_matches(rows, shape)
+        )
+        assert got == ref, (shape, kinds)
+        return
     got = {
         tuple(r[c] for c in measures)
         for r in cep_select(
