@@ -509,3 +509,227 @@ def test_slicing_invariance_next_nav_skip_next(spark, tmp_path, seed):
     finally:
         spark.conf.unset("spark.graft.stateful.keyGroups")
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# ---------------------------------------------------------------- r9:
+# relaxed (SKIP_TILL_NEXT) loops with multi-match prefix emission, and
+# streaming MATCH_NUMBER. Both must obey the same contract: the emitted
+# multiset depends only on the rows and the final watermark.
+
+
+def _run_stream_cep(spark, tmp_path, rows, slices, tag):
+    """Like _run_stream but through the CEP Pattern compiler: kind=1
+    oneOrMore (relaxed default — prefix emission) followedBy kind=2,
+    within 30 minutes."""
+    import os
+    import time
+
+    from apache_flink_spark.cep import Pattern, cep_select_stream
+
+    in_dir = tmp_path / f"in_{tag}"
+    in_dir.mkdir()
+    base_mtime = time.time() - len(slices) - 10
+    for i, chunk in enumerate(slices):
+        p = in_dir / f"f{i:03d}.json"
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (base_mtime + i, base_mtime + i))
+    raw = (
+        spark.readStream.schema(
+            "user_id long, event_id long, kind long, v long, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(in_dir))
+    )
+    s = raw.withWatermark("ts", "10 minutes").select(
+        "user_id", "event_id", "kind",
+        F.unix_micros("ts").alias("ep"), "ts",
+    )
+    p = (
+        Pattern.begin("A").where("kind = 1").one_or_more()
+        .followed_by("B").where("kind = 2")
+        .within(30, "minutes")
+    )
+    out = cep_select_stream(
+        s, p, "user_id", "ep, event_id",
+        {
+            "n_a": "COUNT(A.*)",
+            "a_id": "FIRST(A.event_id)",
+            "last_a": "LAST(A.event_id)",
+            "b_id": "LAST(B.event_id)",
+        },
+    )
+    out_dir = str(tmp_path / f"out_{tag}")
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out_dir)
+
+    (
+        out.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    import os as _os
+
+    if not _os.path.exists(out_dir):
+        return []
+    return sorted(
+        (r.user_id, r.n_a, r.a_id, r.last_a, r.b_id)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_slicing_invariance_relaxed_loop_prefixes(spark, tmp_path, seed):
+    """r9: the streaming relaxed loop (ignore-edge shape X (G*? X)*)
+    with the reference's default MULTI-MATCH prefix emission is
+    micro-batch-slicing invariant — all of a start's prefixes decide
+    together under the frontier-based finality rule, which depends only
+    on the certified rows."""
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rows = _mk_rows(seed)
+        single = _run_stream_cep(spark, tmp_path, rows, [rows], "rlsingle")
+        assert single, "fixture produced no matches — weaken the pattern"
+        # multi-match emission: some start must emit >1 prefix
+        assert any(t[1] > 1 for t in single), "no multi-row prefix family"
+        rng = random.Random(seed * 31 + 1)
+        for trial in range(2):
+            sliced = _run_stream_cep(
+                spark, tmp_path, rows,
+                _random_slices(rows, rng), f"rl{trial}",
+            )
+            assert sliced == single, (
+                f"slicing changed the prefix-match set (seed {seed}, "
+                f"trial {trial})"
+            )
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_relaxed_loop_stream_vs_batch(spark, tmp_path):
+    """Streamed prefix matches ⊆ the batch CEP result on the same rows,
+    and ⊇ the batch matches whose start-horizon the final watermark
+    passed (the guaranteed-final subset)."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    try:
+        rows = _mk_rows(41)
+        streamed = set(
+            _run_stream_cep(spark, tmp_path, rows, [rows], "rvb")
+        )
+        df = spark.createDataFrame(
+            [
+                (
+                    r["user_id"], r["event_id"], r["kind"],
+                    r["v"], r["ts"],
+                )
+                for r in rows
+            ],
+            "user_id long, event_id long, kind long, v long, ts string",
+        ).select(
+            "user_id", "event_id", "kind",
+            F.unix_micros(F.to_timestamp("ts")).alias("ep"),
+        )
+        p = (
+            Pattern.begin("A").where("kind = 1").one_or_more()
+            .followed_by("B").where("kind = 2")
+            .within(30, "minutes")
+        )
+        meas = {
+            "n_a": "COUNT(A.*)",
+            "a_id": "FIRST(A.event_id)",
+            "last_a": "LAST(A.event_id)",
+            "b_id": "LAST(B.event_id)",
+            "a_ep": "FIRST(A.ep)",
+        }
+        batch = {
+            (r.user_id, r.n_a, r.a_id, r.last_a, r.b_id): r.a_ep
+            for r in cep_select(
+                spark, df, p, "user_id", "ep, event_id", meas
+            ).collect()
+        }
+        # same unix_micros path as the batch measures, so the watermark
+        # gate below is timezone-consistent with a_ep
+        max_ep = df.agg(F.max("ep")).collect()[0][0]
+        wm = max_ep - 600_000_000  # 10-minute lag
+        horizon = 1_800_000_000
+        assert streamed <= set(batch), "streamed a match batch lacks"
+        guaranteed = {
+            k for k, a_ep in batch.items() if a_ep + horizon < wm
+        }
+        assert guaranteed <= streamed, (
+            "stream missed a horizon-final match"
+        )
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+
+
+BODY_MN = BODY.replace(
+    "LAST(B.ep) AS b_ts", "MATCH_NUMBER() AS b_ts"
+)
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_slicing_invariance_match_number(spark, tmp_path, seed):
+    """r9: streaming MATCH_NUMBER — the per-key counter (sentinel-row
+    state) must produce the SAME deterministic numbering under any
+    micro-batch slicing (matches decide in event-time order per key)."""
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rows = _mk_rows(seed)
+        single = _run_stream(
+            spark, tmp_path, rows, [rows], "mnsingle", body=BODY_MN
+        )
+        assert single and any(t[3] and t[3] > 1 for t in single), (
+            "fixture produced no multi-match user"
+        )
+        rng = random.Random(seed * 31 + 1)
+        for trial in range(2):
+            sliced = _run_stream(
+                spark, tmp_path, rows,
+                _random_slices(rows, rng), f"mn{trial}", body=BODY_MN,
+            )
+            assert sliced == single, (
+                f"slicing changed MATCH_NUMBER assignment (seed {seed}, "
+                f"trial {trial})"
+            )
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_stream_group_pattern_rejects_loudly(spark):
+    """r9 (VERDICT r8 next-item #5): quantified multi-variable groups
+    (GroupPattern) stay batch-only — the streaming parser's reject must
+    be loud and actionable."""
+    from apache_flink_spark.cep import CepError, Pattern, cep_select_stream
+    from apache_flink_spark.match_recognize import MatchRecognizeError
+
+    df = spark.createDataFrame(
+        [(1, 1, 1, 0, 1_000_000)],
+        "user_id long, event_id long, is_a long, is_b long, ep long",
+    )
+    inner = (
+        Pattern.begin("A").where("is_a = 1")
+        .followed_by("B").where("is_b = 1")
+    )
+    p = Pattern.begin(inner).times(2)
+    with pytest.raises(
+        (CepError, MatchRecognizeError),
+        match="batch path|cep_select",
+    ):
+        cep_select_stream(
+            df, p, "user_id", "ep, event_id",
+            {"a_id": "FIRST(A.event_id)"},
+        )
