@@ -131,6 +131,14 @@ HEADLINE = [
     "mr_stream_skip_next",
     # r8: the streaming CEP Pattern API bridge (CEP.pattern on a stream)
     "cep_stream_next_purchase",
+    # r9: reference-default CEP multi-match emission (enumerating VM),
+    # bounded SKIP_TILL_ANY, streaming relaxed loops (ignore-edge shape),
+    # streaming MATCH_NUMBER, and PERMUTE with cross-variable binds.
+    "cep_one_or_more_prefixes",
+    "cep_times_any_combinations",
+    "cep_stream_relaxed_loop",
+    "mr_stream_match_number",
+    "mr_permute_cross_define",
 ]
 
 
