@@ -258,15 +258,20 @@ def test_column_alias_does_not_shadow_table_rewrite(te, spark):
     _mk_catalog(te)
     te.sql("USE CATALOG memcat")
     spark.range(3).createOrReplaceTempView("__shadow_src")
-    te.sql("CREATE TABLE orders AS SELECT id AS o_id FROM __shadow_src")
-    # column alias "orders" + CAST AS must not unbind the table
-    got = te.sql(
-        "SELECT CAST(COUNT(*) AS INT) AS orders FROM orders"
-    ).collect()
-    assert got[0][0] == 3
-    # a DERIVED-TABLE alias sharing the name DOES shadow (stays local)
-    got2 = te.sql(
-        "SELECT COUNT(*) FROM (SELECT 1 AS x UNION ALL SELECT 2) AS orders"
-    ).collect()
-    assert got2[0][0] == 2
-    te.sql("USE CATALOG spark_catalog")
+    spark.sql("DROP TABLE IF EXISTS shadowtbl")
+    te.sql("CREATE TABLE shadowtbl AS SELECT id AS o_id FROM __shadow_src")
+    try:
+        # column alias "shadowtbl" + CAST AS must not unbind the table
+        got = te.sql(
+            "SELECT CAST(COUNT(*) AS INT) AS shadowtbl FROM shadowtbl"
+        ).collect()
+        assert got[0][0] == 3
+        # a DERIVED-TABLE alias sharing the name DOES shadow (stays local)
+        got2 = te.sql(
+            "SELECT COUNT(*) FROM (SELECT 1 AS x UNION ALL SELECT 2) "
+            "AS shadowtbl"
+        ).collect()
+        assert got2[0][0] == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS shadowtbl")
+        te.sql("USE CATALOG spark_catalog")

@@ -367,3 +367,44 @@ def test_nfaitcase_one_or_more_scenarios(spark):
         (2, 1, 4), (2, 2, 4),
         (3, 1, 4),
     ]
+
+
+def test_group_pattern_default_quantifier_enumerates(spark):
+    """r9: a GroupPattern with a RANGE quantifier under the default
+    emission branches per repetition count — (click fb purchase)
+    times(1,2) emits BOTH the 1-rep and the 2-rep match per start
+    (group-level enum splits on the VM); greedy() pins the maximal."""
+    rows = [
+        (1, 1, "click", 10), (1, 2, "purchase", 20),
+        (1, 3, "click", 30), (1, 4, "purchase", 40),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ep long"
+    )
+    inner = (
+        Pattern.begin("A").where("event_type = 'click'")
+        .followed_by("B").where("event_type = 'purchase'")
+    )
+    meas = {
+        "n_b": "COUNT(B.*)",
+        "first_a": "FIRST(A.event_id)",
+        "last_b": "LAST(B.event_id)",
+    }
+
+    def run(p):
+        return sorted(
+            tuple(r[c] for c in meas)
+            for r in cep_select(
+                spark, df, p, "user_id", "ep", meas
+            ).collect()
+        )
+
+    assert run(Pattern.begin(inner).times(1, 2)) == [
+        (1, 1, 2),   # one repetition from click 1
+        (1, 3, 4),   # one repetition from click 3
+        (2, 1, 4),   # two repetitions from click 1
+    ]
+    assert run(Pattern.begin(inner).times(1, 2).greedy()) == [
+        (1, 3, 4),   # start 3 has only the 1-rep maximal
+        (2, 1, 4),   # start 1: maximal only
+    ]
