@@ -303,6 +303,86 @@ def _matchx_expect(rows):
     assert got.get(1) == (11, 12, 10), got
 
 
+
+def _matchmn_build(raw):
+    """r9: streaming MATCH_NUMBER — the per-key counter persists as a
+    sentinel row in the existing state arrays (match_stream._MN_BIT); a
+    restored build must continue numbering where the fixture stopped."""
+    from apache_flink_spark.streaming.match_stream import (
+        streaming_match_recognize,
+    )
+
+    s = raw.withWatermark("ts", "1 hour").select(
+        "user_id", "event_id", "kind",
+        F.unix_micros("ts").alias("ep"), "ts",
+    )
+    out = streaming_match_recognize(
+        s,
+        """
+        PARTITION BY user_id
+        ORDER BY ep, event_id
+        MEASURES A.event_id AS a_id, B.event_id AS b_id,
+                 MATCH_NUMBER() AS mno
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B)
+        DEFINE A AS A.kind = 'a',
+               B AS B.kind = 'b'
+        """,
+    )
+    return out, "append"
+
+
+def _matchmn_expect(rows):
+    got = {r.user_id: (r.a_id, r.b_id, r.mno) for r in rows
+           if r.user_id == 1}
+    # The fixture checkpoint already numbered user 1's first match (the
+    # sentinel-row counter holds 1); batch-2's match must be NUMBER 2.
+    # A cold start would number it 1.
+    assert got.get(1) == (13, 14, 2), got
+
+
+def _matchrl_build(raw):
+    """r9: streaming relaxed loop (CEP Pattern API default — the
+    gap-interleaved X (G*? X)* compile with multi-match prefix
+    emission); the restored NFA buffer must carry the in-flight loop
+    start."""
+    from apache_flink_spark.cep import Pattern, cep_select_stream
+
+    s = raw.withWatermark("ts", "1 hour").select(
+        "user_id", "event_id",
+        F.when(F.col("kind") == "a", F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("is_a"),
+        F.when(F.col("kind") == "b", F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("is_b"),
+        F.unix_micros("ts").alias("ep"), "ts",
+    )
+    p = (
+        Pattern.begin("A").where("is_a = 1").one_or_more()
+        .followed_by("B").where("is_b = 1")
+        .within(1, "hours")
+    )
+    out = cep_select_stream(
+        s, p, "user_id", "ep, event_id",
+        {
+            "n_a": "COUNT(A.*)",
+            "first_a": "FIRST(A.event_id)",
+            "b_id": "LAST(B.event_id)",
+        },
+    )
+    return out, "append"
+
+
+def _matchrl_expect(rows):
+    got = sorted(
+        (r.n_a, r.first_a, r.b_id) for r in rows if r.user_id == 1
+    )
+    # Prefix family anchored at the RESTORED row 11: [11]+b and
+    # [11,12]+b exist only if the fixture's buffered loop start
+    # survived; a cold start sees only start 12.
+    assert got == [(1, 11, 13), (1, 12, 13), (2, 11, 13)], got
+
+
 OPS = {
     "topn": {
         "schema": "user_id long, event_id long, value double",
@@ -479,6 +559,51 @@ OPS = {
              "ts": "2024-01-02 23:00:00"},
         ],
         "expect_restored": _matchx_expect,
+    },
+    "matchmn": {
+        "schema": "user_id long, event_id long, kind string, ts timestamp",
+        "build": _matchmn_build,
+        # batch 1: one COMPLETE match (a, b) + a watermark advancer that
+        # certifies and decides it — the checkpoint persists the
+        # MATCH_NUMBER sentinel at 1.
+        "batch1": [
+            {"user_id": 1, "event_id": 11, "kind": "a",
+             "ts": "2024-01-01 10:00:00"},
+            {"user_id": 1, "event_id": 12, "kind": "b",
+             "ts": "2024-01-01 10:05:00"},
+            {"user_id": 99, "event_id": 98, "kind": "a",
+             "ts": "2024-01-01 13:00:00"},
+        ],
+        # batch 2: a second complete match + a far advancer.
+        "batch2": [
+            {"user_id": 1, "event_id": 13, "kind": "a",
+             "ts": "2024-01-01 14:00:00"},
+            {"user_id": 1, "event_id": 14, "kind": "b",
+             "ts": "2024-01-01 14:05:00"},
+            {"user_id": 99, "event_id": 97, "kind": "a",
+             "ts": "2024-01-02 23:00:00"},
+        ],
+        "expect_restored": _matchmn_expect,
+    },
+    "matchrl": {
+        "schema": "user_id long, event_id long, kind string, ts timestamp",
+        "build": _matchrl_build,
+        # batch 1: a lone loop start (uncertified) — pure NFA buffer.
+        "batch1": [
+            {"user_id": 1, "event_id": 11, "kind": "a",
+             "ts": "2024-01-01 10:00:00"},
+        ],
+        # batch 2: a second loop row + the completing b inside row 11's
+        # 1-hour horizon, + an advancer pushing the watermark past it.
+        "batch2": [
+            {"user_id": 1, "event_id": 12, "kind": "a",
+             "ts": "2024-01-01 10:10:00"},
+            {"user_id": 1, "event_id": 13, "kind": "b",
+             "ts": "2024-01-01 10:20:00"},
+            {"user_id": 99, "event_id": 98, "kind": "a",
+             "ts": "2024-01-02 23:00:00"},
+        ],
+        "expect_restored": _matchrl_expect,
     },
 }
 

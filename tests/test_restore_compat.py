@@ -129,6 +129,8 @@ def test_key_group_mismatch_fails_loudly(spark, tmp_path):
         "keeplast", "tsort", "rover", "ceptimeout", "csession",
         # r7: cross-variable bind + PREV navigation streaming MR
         "matchx",
+        # r9: MATCH_NUMBER sentinel counter + relaxed-loop NFA buffer
+        "matchmn", "matchrl",
     ],
 )
 def test_restore_r6_operator_fixtures(spark, tmp_path, op):
