@@ -253,6 +253,41 @@ def _parse_pattern_tree(pat: str):
 
     def parse_elem():
         ch = _peek()
+        # PERMUTE(V1, V2, ...) as a pattern PRIMARY (r9 — the SQL
+        # standard / reference parserImpls.ftl allow PERMUTE anywhere in
+        # the pattern, not just as the whole pattern): expands to an
+        # alternation of the k! variable sequences in lexicographic
+        # order of the listed variables (the standard's preference).
+        pm = re.compile(r"PERMUTE\s*\(", re.I).match(s, pos[0]) if ch else None
+        if pm:
+            end = s.find(")", pm.end())
+            if end < 0:
+                raise MatchRecognizeError(
+                    f"unbalanced parentheses in PERMUTE: {pat!r}"
+                )
+            pvars = [v.strip() for v in s[pm.end():end].split(",")]
+            if not all(re.fullmatch(r"\w+", v) for v in pvars):
+                raise MatchRecognizeError(
+                    "PERMUTE takes a plain variable list; quantified or "
+                    f"grouped operands are not supported: {s[pm.start():end + 1]!r}"
+                )
+            if len(set(pvars)) != len(pvars):
+                raise MatchRecognizeError("duplicate variable in PERMUTE")
+            if len(pvars) > 6:
+                raise MatchRecognizeError(
+                    "PERMUTE supports at most 6 variables (the "
+                    "alternation expands k! branches)"
+                )
+            pos[0] = end + 1
+            lo, hi, greedy = _quant()
+            branches = [
+                ("seq", [("var", (v,), 1, 1, True) for v in perm])
+                for perm in itertools.permutations(pvars)
+            ]
+            inner = ("alt", branches)
+            if (lo, hi, greedy) == (1, 1, True):
+                return inner
+            return ("group", inner, lo, hi, greedy)
         if ch == "(":
             pos[0] += 1
             inner = parse_alt()
@@ -915,14 +950,12 @@ def compile_match_recognize(
     pat_text = m.group("pat").strip()
     pm = re.match(r"^PERMUTE\s*\(\s*([\w\s,]+)\s*\)$", pat_text, re.I)
     if pm:
+        # standalone PERMUTE keeps the vectorized permutation search;
+        # PERMUTE mixed with other elements (r9) parses as an
+        # alternation node in the pattern tree and runs on the VM
         permute_vars = [v.strip() for v in pm.group(1).split(",")]
         if len(set(permute_vars)) != len(permute_vars):
             raise MatchRecognizeError("duplicate variable in PERMUTE")
-    elif re.search(r"\bPERMUTE\b", pat_text, re.I):
-        raise MatchRecognizeError(
-            "PERMUTE is supported only as the entire pattern: "
-            "PATTERN (PERMUTE(A, B, ...))"
-        )
     # ORDER BY with per-column ASC/DESC (r5 — the matcher walks rows in
     # whatever total order the in-partition sort produced, so direction
     # only changes the sort and the PREV/NEXT window spec).

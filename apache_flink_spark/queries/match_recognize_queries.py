@@ -1404,3 +1404,67 @@ def mr_permute_cross_define(spark, sf_dir):
         )
         """,
     )
+
+
+@query(
+    "mr_permute_mixed",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ep, event_type,
+               LEAD(event_type, 1) OVER w AS t1,
+               LEAD(event_id, 1) OVER w AS id1,
+               LEAD(event_type, 2) OVER w AS t2,
+               LEAD(event_id, 2) OVER w AS id2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    -- S then PERMUTE(A=click, B=view) with strict adjacency: the two
+    -- rows after a signup are a click and a view in EITHER order.
+    -- Matches consume 3 rows whose tail rows are never signups, so
+    -- SKIP PAST LAST ROW keeps every qualifying triple.
+    SELECT user_id, event_id AS s_id,
+           CASE WHEN t1 = 'click' THEN id1 ELSE id2 END AS a_id,
+           CASE WHEN t1 = 'view' THEN id1 ELSE id2 END AS b_id,
+           ep AS s_ts
+    FROM seq
+    WHERE event_type = 'signup'
+      AND ((t1 = 'click' AND t2 = 'view')
+           OR (t1 = 'view' AND t2 = 'click'))
+    """,
+)
+def mr_permute_mixed(spark, sf_dir):
+    """PERMUTE as a pattern PRIMARY mixed with other elements (r9 — the
+    SQL standard / reference parserImpls.ftl place no whole-pattern
+    restriction): PATTERN (S PERMUTE(A, B)) parses into an alternation
+    of the k! sequences inside the pattern tree and runs on the
+    backtracking VM (anchor-pruned to signup rows). Disjoint predicates
+    make the assignment unique per triple, so the LEAD oracle is exact."""
+    from apache_flink_spark.match_recognize import sql_with_match_recognize
+    from apache_flink_spark.queries._util import t
+    from pyspark.sql import functions as F
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_type",
+    )
+    e.createOrReplaceTempView("mr_permute_mixed_src")
+    return sql_with_match_recognize(
+        spark,
+        """
+        SELECT * FROM mr_permute_mixed_src MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ep, event_id
+            MEASURES FIRST(S.event_id) AS s_id,
+                     FIRST(A.event_id) AS a_id,
+                     FIRST(B.event_id) AS b_id,
+                     FIRST(S.ep) AS s_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (S PERMUTE(A, B))
+            DEFINE S AS S.event_type = 'signup',
+                   A AS A.event_type = 'click',
+                   B AS B.event_type = 'view'
+        )
+        """,
+    )

@@ -623,3 +623,66 @@ def test_cross_define_string_literal_survives_rewrite(spark, seq_view):
         if u1 == u2 and t1 == "a" and t2 != "TRUE AND x=y" and v2 >= v1:
             expect.append((u1, s1, s2))
     assert sorted((r.user_id, r.a_seq, r.b_seq) for r in out) == sorted(expect)
+
+
+def test_permute_mixed_and_quantified(spark):
+    """r9: PERMUTE as a pattern primary — mixed with other elements and
+    quantified — parses into an alternation node on the VM (the SQL
+    standard places no whole-pattern restriction)."""
+    from apache_flink_spark.match_recognize import sql_with_match_recognize
+
+    rows = [
+        (1, 1, "s", 10), (1, 2, "a", 20), (1, 3, "b", 30),
+        (1, 4, "s", 40), (1, 5, "b", 50), (1, 6, "a", 60),
+        (1, 7, "s", 70), (1, 8, "a", 80), (1, 9, "x", 90),
+    ]
+    spark.createDataFrame(
+        rows, "k long, event_id long, kind string, ep long"
+    ).createOrReplaceTempView("pm_mixed_t")
+    out = sql_with_match_recognize(
+        spark,
+        """
+        SELECT * FROM pm_mixed_t MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ep
+            MEASURES FIRST(S.event_id) AS s_id,
+                     FIRST(A.event_id) AS a_id,
+                     FIRST(B.event_id) AS b_id
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (S PERMUTE(A, B))
+            DEFINE S AS S.kind = 's',
+                   A AS A.kind = 'a',
+                   B AS B.kind = 'b'
+        )
+        """,
+    )
+    got = sorted((r.s_id, r.a_id, r.b_id) for r in out.collect())
+    # signup 1: a then b; signup 4: b then a (the second permutation);
+    # signup 7: a then x — no match
+    assert got == [(1, 2, 3), (4, 6, 5)], got
+
+    # quantified PERMUTE: (a b | b a) twice, strictly adjacent
+    rows2 = [
+        (1, 1, "a", 10), (1, 2, "b", 20), (1, 3, "b", 30), (1, 4, "a", 40),
+        (2, 5, "a", 10), (2, 6, "b", 20), (2, 7, "a", 30),
+    ]
+    spark.createDataFrame(
+        rows2, "k long, event_id long, kind string, ep long"
+    ).createOrReplaceTempView("pm_quant_t")
+    out2 = sql_with_match_recognize(
+        spark,
+        """
+        SELECT * FROM pm_quant_t MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ep
+            MEASURES COUNT(A.*) AS n_a, FIRST(A.event_id) AS first_a
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (PERMUTE(A, B){2})
+            DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+        )
+        """,
+    )
+    got2 = sorted((r.n_a, r.first_a) for r in out2.collect())
+    assert got2 == [(2, 1)], got2
