@@ -372,12 +372,10 @@ def streaming_match_recognize(
             f"to be epoch-micros BIGINT; got {type_of.get(time_col)!r}"
         )
     tiebreaks = order_specs[1:]
-    if len(tiebreaks) > 1:
+    if len(tiebreaks) > 4:
         raise MatchRecognizeError(
-            "streaming MATCH_RECOGNIZE supports at most ONE tie-break "
-            f"column after the event-time ORDER BY key; got {tiebreaks} "
-            "(the state layout carries a single tie-break — use the batch "
-            "path for deeper orderings)"
+            "streaming MATCH_RECOGNIZE supports at most FOUR tie-break "
+            f"columns after the event-time ORDER BY key; got {tiebreaks}"
         )
     for c in part_cols + tiebreaks:
         if type_of.get(c) != "bigint":
@@ -388,8 +386,13 @@ def streaming_match_recognize(
             )
 
     meas_cols = sorted({c for _, _, c, _, _ in measures if c is not None})
+    # r9: tie-breaks BEYOND the first ride the per-row carry arrays (the
+    # state schema is built per query, so extra sort keys are just more
+    # typed columns — the r8 "single tie-break" rejection was layout
+    # over-caution); the first stays in the dedicated __tb field.
+    extra_tb = tiebreaks[1:]
     carry = [
-        c for c in sorted({*meas_cols, *cross_cols})
+        c for c in sorted({*meas_cols, *cross_cols, *extra_tb})
         if c not in (time_col, *part_cols)
     ]
     for c in carry:
@@ -431,6 +434,7 @@ def streaming_match_recognize(
     meas = list(measures)
     n_parts = len(part_cols)
     tb_col = tiebreaks[0] if tiebreaks else None
+    extra_tb_ci = [carry.index(c) for c in extra_tb]
     cross_fns = {
         v: _compile_3vl(code, f"<mr-stream-define-{v}>")
         for v, code in cross_codes.items()
@@ -530,7 +534,13 @@ def streaming_match_recognize(
         out_rows: list[list] = []
         keep = ([], [], [], [], *[[] for _ in range(n_carry)])
         pending_ts: list[int] = []
-        order = sorted(range(len(b_k)), key=lambda i: (b_k[i], b_ts[i], b_tb[i]))
+        order = sorted(
+            range(len(b_k)),
+            key=lambda i: (
+                b_k[i], b_ts[i], b_tb[i],
+                *[b_c[ci][i] for ci in extra_tb_ci],
+            ),
+        )
         # group by user
         ui = 0
         while ui < len(order):

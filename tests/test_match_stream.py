@@ -733,3 +733,71 @@ def test_stream_group_pattern_rejects_loudly(spark):
             df, p, "user_id", "ep, event_id",
             {"a_id": "FIRST(A.event_id)"},
         )
+
+
+def test_streaming_multi_tiebreak_order(spark, tmp_path):
+    """r9: MORE than one tie-break column after the event-time key —
+    the extra sort keys ride the per-row carry arrays (per-query state
+    schema), closing the r8 single-tie-break caveat. Rows tie on
+    (ep, v); only the SECOND tie-break (w) puts the 'a' before the 'b',
+    so the match (1, 2) exists only under the full three-key order."""
+    import pandas as pd
+
+    from apache_flink_spark.streaming.match_stream import (
+        streaming_match_recognize,
+    )
+
+    rows = [
+        # user 1: same ep and v — w orders a(1) before b(2)
+        (1, 2, "b", 0, 2, 1_000_000_000),
+        (1, 1, "a", 0, 1, 1_000_000_000),
+        (1, 3, "b", 0, 0, 2_000_000_000),
+        # watermark advancer
+        (9, 99, "a", 0, 0, 9_000_000_000),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "kind", "v", "w", "ep"]
+    )
+    pq = str(tmp_path / "mtb_src")
+    spark.createDataFrame(pdf).withColumn(
+        "ts", F.timestamp_micros(F.col("ep"))
+    ).write.mode("overwrite").parquet(pq)
+    s = (
+        spark.readStream.schema(
+            "user_id long, event_id long, kind string, v long, w long, "
+            "ep long, ts timestamp"
+        )
+        .parquet(pq)
+        .withWatermark("ts", "10 seconds")
+    )
+    out = streaming_match_recognize(
+        s,
+        """
+        PARTITION BY user_id
+        ORDER BY ep, v, w
+        MEASURES A.event_id AS a_id, B.event_id AS b_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B)
+        DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+        """,
+    )
+    out_dir = str(tmp_path / "mtb_out")
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out_dir)
+
+    (
+        out.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "mtb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = sorted(
+        (r.user_id, r.a_id, r.b_id)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.user_id == 1
+    )
+    assert got == [(1, 1, 2)], got
