@@ -199,6 +199,17 @@ class Pattern:
         self._append("followed_by", name_or_pattern)
         return self
 
+    def followed_by_any(self, name_or_pattern: "str | Pattern") -> "Pattern":
+        """NON-DETERMINISTIC relaxed contiguity (Pattern.java:344
+        followedByAny — SKIP_TILL_ANY between elements): the ignore edge
+        accepts ANY row including qualifying ones, so EVERY later
+        qualifying row is a separate match branch
+        (NFAITCase.java:565 testBranchingPattern: 3 middles x 2 nexts =
+        6 matches). r9: the gap variable compiles enum-flagged on the
+        backtracking VM; matches dedup on positive binds."""
+        self._append("followed_by_any", name_or_pattern)
+        return self
+
     def not_followed_by(self, name: str) -> "Pattern":
         """Negative pattern (Pattern.java:326): the match is DISCARDED if
         an event matching this element's condition occurs before the next
@@ -678,16 +689,24 @@ def _compile_body(
                     f"(NOT ({_head_where(nxt)}))"
                 )
                 continue
-            if e.contiguity == "followed_by" and not (
+            if e.contiguity in ("followed_by", "followed_by_any") and not (
                 i > 0 and elem_list[i - 1].contiguity == "not_followed_by"
             ):
                 gap = new_gap()
                 parts.append(f"{gap}*?")
-                # relaxed contiguity = SKIP_TILL_NEXT: ignore rows UNTIL
-                # the next qualifying one — the ignore edge is the
-                # negation of the take condition (NFACompiler
-                # getIgnoreCondition), never TRUE (that is followedByAny)
-                add_def(f"{gap} AS NOT ({_head_where(e)})")
+                if e.contiguity == "followed_by_any":
+                    # SKIP_TILL_ANY between elements (Pattern.java:344):
+                    # ignore = TRUE and every gap extent is its own match
+                    # branch (NFACompiler getIgnoreCondition
+                    # SKIP_TILL_ANY -> trueFunction)
+                    add_def(f"{gap} AS TRUE")
+                    enum_vars.add(gap)
+                else:
+                    # relaxed contiguity = SKIP_TILL_NEXT: ignore rows
+                    # UNTIL the next qualifying one — the ignore edge is
+                    # the negation of the take condition (NFACompiler
+                    # getIgnoreCondition), never TRUE
+                    add_def(f"{gap} AS NOT ({_head_where(e)})")
             if _loop_enumerable(e) or e.combinations:
                 enum_vars.update(
                     [e.name] if e.group is None else e.group._names()

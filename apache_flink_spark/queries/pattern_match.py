@@ -923,3 +923,63 @@ def cep_stream_relaxed_loop(spark, sf_dir):
         },
     )
     return run_to_table(out, "append")
+
+
+@query(
+    "cep_followed_by_any",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type FROM events
+        WHERE event_type IN ('signup', 'click', 'purchase')
+    ), o AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ep, event_id
+        ) AS rn FROM u
+    )
+    -- followedByAny twice = the full CROSS PRODUCT of later qualifying
+    -- rows (SKIP_TILL_ANY between elements): every click after the
+    -- signup x every purchase after that click, all inside the 72h
+    -- horizon of the signup
+    SELECT s.user_id, s.event_id AS signup_id,
+           c.event_id AS click_id, p.event_id AS purchase_id
+    FROM o s
+    JOIN o c ON c.user_id = s.user_id AND c.event_type = 'click'
+            AND c.rn > s.rn AND c.ep <= s.ep + 259200000000
+    JOIN o p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+            AND p.rn > c.rn AND p.ep <= s.ep + 259200000000
+    WHERE s.event_type = 'signup'
+    """,
+)
+def cep_followed_by_any(spark, sf_dir):
+    """CEP followedByAny (r9 — Pattern.java:344, SKIP_TILL_ANY between
+    elements; NFAITCase.java:565 testBranchingPattern): the ignore edge
+    accepts ANY row, so signup followedByAny click followedByAny
+    purchase emits one match per (later click x later purchase) pair
+    inside the 72h horizon — the reference's branching match set. The
+    TRUE gap variables are enum-flagged on the backtracking VM; matches
+    dedup on positive binds, so the match count is exactly the cross
+    product of qualifying assignments."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    p = (
+        Pattern.begin("S").where("event_type = 'signup'")
+        .followed_by_any("A").where("event_type = 'click'")
+        .followed_by_any("B").where("event_type = 'purchase'")
+        .within(72, "hours")
+    )
+    return cep_select(
+        spark, e, p, "user_id", "ep, event_id",
+        {
+            "signup_id": "FIRST(S.event_id)",
+            "click_id": "LAST(A.event_id)",
+            "purchase_id": "LAST(B.event_id)",
+        },
+    )

@@ -139,6 +139,9 @@ HEADLINE = [
     "cep_stream_relaxed_loop",
     "mr_stream_match_number",
     "mr_permute_cross_define",
+    # r9 late additions: followedByAny branching and mixed PERMUTE.
+    "cep_followed_by_any",
+    "mr_permute_mixed",
 ]
 
 

@@ -408,3 +408,50 @@ def test_group_pattern_default_quantifier_enumerates(spark):
         (1, 3, 4),   # start 3 has only the 1-rep maximal
         (2, 1, 4),   # start 1: maximal only
     ]
+
+
+def test_followed_by_any_branches(spark):
+    """Pattern.java followedByAny (r9 — NFAITCase.java:565
+    testBranchingPattern): SKIP_TILL_ANY between elements branches into
+    EVERY later qualifying row — 3 middles x 2 nexts x 1 end = 6
+    matches; plain followedBy over the same rows takes the FIRST next
+    qualifying row only."""
+    rows = [
+        (1, 40, "start", 0.0, 1), (1, 41, "mid", 10.0, 3),
+        (1, 42, "mid", 10.0, 4), (1, 43, "mid", 10.0, 5),
+        (1, 44, "next", 2.0, 6), (1, 45, "next", 2.0, 7),
+        (1, 46, "end", 1.0, 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, kind string, v double, ep long"
+    )
+    meas = {
+        "m_id": "LAST(M.event_id)",
+        "n_id": "LAST(N.event_id)",
+        "e_id": "LAST(E.event_id)",
+    }
+    p_any = (
+        Pattern.begin("S").where("kind = 'start'")
+        .followed_by_any("M").where("kind = 'mid' AND v > 5.0")
+        .followed_by_any("N").where("kind = 'next'")
+        .followed_by_any("E").where("kind = 'end'")
+    )
+    got = sorted(
+        tuple(r[c] for c in meas)
+        for r in cep_select(spark, df, p_any, "k", "ep", meas).collect()
+    )
+    assert got == [
+        (41, 44, 46), (41, 45, 46), (42, 44, 46),
+        (42, 45, 46), (43, 44, 46), (43, 45, 46),
+    ], got
+    p_next = (
+        Pattern.begin("S").where("kind = 'start'")
+        .followed_by("M").where("kind = 'mid' AND v > 5.0")
+        .followed_by("N").where("kind = 'next'")
+        .followed_by("E").where("kind = 'end'")
+    )
+    got2 = sorted(
+        tuple(r[c] for c in meas)
+        for r in cep_select(spark, df, p_next, "k", "ep", meas).collect()
+    )
+    assert got2 == [(41, 44, 46)], got2
