@@ -929,11 +929,78 @@ def cep_select_stream(
 
     elems = pattern._elems
     if elems and elems[-1].contiguity == "not_followed_by":
-        raise CepError(
-            "trailing notFollowedBy compiles to a window scan — "
-            "streaming absence-detection needs the timeout side output "
-            "(queries/pattern_match.py streaming_cep_timeout) instead"
+        # r9: trailing notFollowedBy STREAMS as the timeout side output —
+        # absence-until-horizon is exactly a partial match whose window
+        # expires under the watermark without the forbidden completion
+        # (the reference's TimedOutPartialMatchHandler,
+        # CepOperator.processTimedOutSequences). Two-element subset like
+        # the batch window-scan plan.
+        from pyspark.sql import functions as F
+
+        from apache_flink_spark.streaming.stateful import (
+            streaming_cep_timeout,
         )
+
+        if pattern._within is None:
+            raise CepError(
+                "notFollowedBy as the last element requires within() "
+                "(Pattern.java forbids it without a time horizon)"
+            )
+        if len(elems) != 2 or elems[0].contiguity != "begin":
+            raise CepError(
+                "streaming trailing notFollowedBy supports the "
+                "two-element form begin(A).notFollowedBy(N).within(h)"
+            )
+        a, nf = elems
+        if a.quant or a.opt_loop:
+            raise CepError(
+                "streaming trailing notFollowedBy: the positive element "
+                "must be single-occurrence (quantifiers need the batch "
+                "cep_select plan)"
+            )
+        ob = [c.strip() for c in order_by.split(",")]
+        if len(ob) != 2:
+            raise CepError(
+                "streaming trailing notFollowedBy expects ORDER BY "
+                "'<epoch_us_col>, <id_col>'"
+            )
+        ep_col, id_col = ob
+        n, u = pattern._within
+        horizon_us = n * _UNIT_US[u]
+        a_cond, n_cond = _own_row_sql(a), _own_row_sql(nf)
+        mapped = stream.filter(
+            F.expr(f"({a_cond}) OR ({n_cond})")
+        ).select(
+            F.col(partition_by.strip()).alias("user_id"),
+            F.col(id_col).alias("event_id"),
+            F.col(ep_col).alias("ep"),
+            F.when(F.expr(a_cond), F.lit("click"))
+            .otherwise(F.lit("purchase")).alias("event_type"),
+            *[
+                F.col(f.name)
+                for f in stream.schema.fields
+                if f.dataType.simpleString() == "timestamp"
+            ],
+        )
+        out = streaming_cep_timeout(mapped, horizon_us)
+        cols = [F.col("user_id").alias(partition_by.strip())]
+        for alias, expr in measures.items():
+            m_ = re.fullmatch(
+                r"(?:FIRST|LAST)?\(?\s*"
+                rf"{a.name}\s*\.\s*(\w+)\s*\)?",
+                expr.strip(), re.I,
+            )
+            if m_ and m_.group(1) == id_col:
+                cols.append(F.col("click_id").alias(alias))
+            elif m_ and m_.group(1) == ep_col:
+                cols.append(F.col("click_ts").alias(alias))
+            else:
+                raise CepError(
+                    "streaming trailing notFollowedBy measures may "
+                    f"reference {a.name}.{id_col} or {a.name}.{ep_col} "
+                    f"only; got {expr!r}"
+                )
+        return out.select(*cols)
     body, enum_vars, gap_vars = _compile_body(
         pattern, partition_by, order_by, measures, skip
     )

@@ -983,3 +983,65 @@ def cep_followed_by_any(spark, sf_dir):
             "purchase_id": "LAST(B.event_id)",
         },
     )
+
+
+@query(
+    "cep_stream_not_followed_by",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ), wm AS (
+        SELECT MAX(ep) - 3600000000 AS wm_us FROM u
+    ), flagged AS (
+        SELECT user_id, ep, event_id, event_type,
+               MIN(CASE WHEN event_type = 'purchase' THEN ep END)
+                   OVER (PARTITION BY user_id ORDER BY ep
+                         RANGE BETWEEN 1 FOLLOWING AND {MIN30} FOLLOWING)
+                   AS next_p_ep
+        FROM u
+    )
+    SELECT user_id, event_id AS click_id, ep AS click_ts
+    FROM flagged, wm
+    WHERE event_type = 'click' AND next_p_ep IS NULL
+      AND ep + {MIN30} < wm_us
+    """,
+    streaming=True,
+)
+def cep_stream_not_followed_by(spark, sf_dir):
+    """STREAMING trailing notFollowedBy via the CEP Pattern API (r9):
+    begin(click).notFollowedBy(purchase).within(30 minutes) on the
+    unbounded stream compiles onto the timeout-side-output operator
+    (streaming/stateful.py streaming_cep_timeout — the reference's
+    TimedOutPartialMatchHandler / CepOperator.processTimedOutSequences):
+    absence-until-horizon IS a partial match whose window expires under
+    the watermark without the forbidden completion. Emission waits for
+    the watermark to pass the click's horizon — the oracle's cutoff."""
+    from apache_flink_spark.cep import Pattern, cep_select_stream
+    from apache_flink_spark.streaming.sources import (
+        run_to_table,
+        stream_table,
+    )
+
+    e = stream_table(spark, sf_dir, "events")
+    s = e.withWatermark("ts", "1 hour").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("ep"),
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("is_click"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("is_purchase"),
+        "ts",
+    )
+    p = (
+        Pattern.begin("A").where("is_click = 1")
+        .not_followed_by("N").where("is_purchase = 1")
+        .within(30, "minutes")
+    )
+    out = cep_select_stream(
+        s, p, "user_id", "ep, event_id",
+        {"click_id": "A.event_id", "click_ts": "A.ep"},
+    )
+    return run_to_table(out, "append")

@@ -139,9 +139,11 @@ HEADLINE = [
     "cep_stream_relaxed_loop",
     "mr_stream_match_number",
     "mr_permute_cross_define",
-    # r9 late additions: followedByAny branching and mixed PERMUTE.
+    # r9 late additions: followedByAny branching, mixed PERMUTE, and the
+    # streaming trailing-notFollowedBy timeout bridge.
     "cep_followed_by_any",
     "mr_permute_mixed",
+    "cep_stream_not_followed_by",
 ]
 
 
