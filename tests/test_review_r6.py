@@ -90,7 +90,11 @@ def test_streaming_mr_measures_partition_column(spark):
     assert {(r.uid, r.b_id) for r in rows} == {(1, 12)}
 
 
-def test_streaming_mr_rejects_multi_tiebreak(spark):
+def test_streaming_mr_multi_tiebreak_limit(spark):
+    """r9 updates the r6 pin: multiple tie-breaks are now SUPPORTED
+    (extra sort keys ride per-query carry columns — see
+    test_match_stream.test_streaming_multi_tiebreak_order); only the
+    >4-extras cap still rejects loudly."""
     from apache_flink_spark.match_recognize import MatchRecognizeError
     from apache_flink_spark.streaming.match_stream import (
         streaming_match_recognize,
@@ -103,16 +107,33 @@ def test_streaming_mr_rejects_multi_tiebreak(spark):
             F.col("value").alias("user_id"),
             F.col("value").alias("a"),
             F.col("value").alias("b"),
+            F.col("value").alias("c"),
+            F.col("value").alias("d"),
+            F.col("value").alias("e2"),
+            F.col("value").alias("f2"),
             F.unix_micros("timestamp").alias("ep"),
             F.col("timestamp").alias("ts"),
         )
     )
-    with pytest.raises(MatchRecognizeError, match="ONE tie-break"):
+    # three-key ordering compiles fine now
+    streaming_match_recognize(
+        stream,
+        """
+        PARTITION BY user_id
+        ORDER BY ep, a, b
+        MEASURES LAST(A.ep) AS e
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A)
+        DEFINE A AS A.a >= 0
+        """,
+    )
+    with pytest.raises(MatchRecognizeError, match="FOUR tie-break"):
         streaming_match_recognize(
             stream,
             """
             PARTITION BY user_id
-            ORDER BY ep, a, b
+            ORDER BY ep, a, b, c, d, e2, f2
             MEASURES LAST(A.ep) AS e
             ONE ROW PER MATCH
             AFTER MATCH SKIP PAST LAST ROW
