@@ -481,7 +481,11 @@ def text_tfidf_topterms(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist()
     )
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf is keyed by (doc_id, term), so each doc appears at most once per
+    # term — document frequency is a plain COUNT, not a two-phase
+    # DISTINCT aggregate (r9: countDistinct here planned an extra
+    # partial/final distinct pass for nothing)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
