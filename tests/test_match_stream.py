@@ -801,3 +801,108 @@ def test_streaming_multi_tiebreak_order(spark, tmp_path):
         if r.user_id == 1
     )
     assert got == [(1, 1, 2)], got
+
+
+def test_stream_relaxed_loop_bounded_and_greedy(spark, tmp_path):
+    """r9 pins: (a) a BOUNDED relaxed loop times(2,3) streams with
+    prefix emission (sizes 2..3 per start); (b) greedy() pins streaming
+    single-match maximal emission; (c) a middle notFollowedBy streams
+    flat (the stop-state gap kills crossing matches)."""
+    import pandas as pd
+
+    from apache_flink_spark.cep import Pattern, cep_select_stream
+    from apache_flink_spark.streaming.sources import run_to_table
+
+    rows = [
+        (1, 1, 1, 0, 1_000_000_000), (1, 2, 1, 0, 1_010_000_000),
+        (1, 3, 0, 0, 1_020_000_000), (1, 4, 1, 0, 1_030_000_000),
+        (1, 5, 0, 1, 1_040_000_000),
+        (9, 99, 1, 0, 9_000_000_000),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "is_a", "is_b", "ep"]
+    )
+    pq = str(tmp_path / "rlx_src")
+    spark.createDataFrame(pdf).withColumn(
+        "ts", F.timestamp_micros(F.col("ep"))
+    ).write.mode("overwrite").parquet(pq)
+
+    def stream():
+        return (
+            spark.readStream.schema(
+                "user_id long, event_id long, is_a long, is_b long, "
+                "ep long, ts timestamp"
+            ).parquet(pq).withWatermark("ts", "10 seconds")
+        )
+
+    meas = {
+        "n_a": "COUNT(A.*)", "first_a": "FIRST(A.event_id)",
+        "last_a": "LAST(A.event_id)", "b_id": "LAST(B.event_id)",
+    }
+
+    def run(p):
+        out = cep_select_stream(
+            stream(), p, "user_id", "ep, event_id", meas
+        )
+        return sorted(
+            (r.n_a, r.first_a, r.last_a, r.b_id)
+            for r in run_to_table(out, "append").collect()
+            if r.user_id == 1
+        )
+
+    got = run(
+        Pattern.begin("A").where("is_a = 1").times(2, 3)
+        .followed_by("B").where("is_b = 1")
+        .within(1, "minutes")
+    )
+    assert got == [(2, 1, 2, 5), (2, 2, 4, 5), (3, 1, 4, 5)], got
+    got2 = run(
+        Pattern.begin("A").where("is_a = 1").one_or_more().greedy()
+        .followed_by("B").where("is_b = 1")
+        .within(1, "minutes")
+    )
+    assert got2 == [(1, 4, 4, 5), (2, 2, 4, 5), (3, 1, 4, 5)], got2
+
+
+def test_stream_middle_not_followed_by(spark, tmp_path):
+    """r9: a MIDDLE notFollowedBy streams flat — the compiled stop-state
+    gap (NOT(forbidden) AND NOT(next-take)) kills matches crossing a
+    forbidden row."""
+    import pandas as pd
+
+    from apache_flink_spark.cep import Pattern, cep_select_stream
+    from apache_flink_spark.streaming.sources import run_to_table
+
+    rows = [
+        (1, 1, "a", 1_000_000_000), (1, 2, "x", 1_005_000_000),
+        (1, 3, "b", 1_010_000_000),
+        (2, 4, "a", 1_000_000_000), (2, 5, "c", 1_005_000_000),
+        (2, 6, "b", 1_010_000_000),
+        (3, 7, "a", 5_000_000_000),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "kind", "ep"])
+    pq = str(tmp_path / "nfb_src")
+    spark.createDataFrame(pdf).withColumn(
+        "ts", F.timestamp_micros(F.col("ep"))
+    ).write.mode("overwrite").parquet(pq)
+    s = (
+        spark.readStream.schema(
+            "user_id long, event_id long, kind string, ep long, "
+            "ts timestamp"
+        ).parquet(pq).withWatermark("ts", "10 seconds")
+    )
+    p = (
+        Pattern.begin("A").where("kind = 'a'")
+        .not_followed_by("N").where("kind = 'x'")
+        .followed_by("B").where("kind = 'b'")
+        .within(1, "minutes")
+    )
+    out = cep_select_stream(
+        s, p, "user_id", "ep, event_id",
+        {"a_id": "FIRST(A.event_id)", "b_id": "LAST(B.event_id)"},
+    )
+    got = sorted(
+        (r.user_id, r.a_id, r.b_id)
+        for r in run_to_table(out, "append").collect()
+    )
+    assert got == [(2, 4, 6)], got
