@@ -938,7 +938,7 @@ def cep_select_stream(
         from pyspark.sql import functions as F
 
         from apache_flink_spark.streaming.stateful import (
-            streaming_cep_timeout,
+            streaming_absence_timeout,
         )
 
         if pattern._within is None:
@@ -982,7 +982,9 @@ def cep_select_stream(
                 if f.dataType.simpleString() == "timestamp"
             ],
         )
-        out = streaming_cep_timeout(mapped, horizon_us)
+        # key-group-sharded (r9): O(key_groups) Arrow crossings per
+        # micro-batch instead of O(distinct users)
+        out = streaming_absence_timeout(mapped, horizon_us)
         cols = [F.col("user_id").alias(partition_by.strip())]
         for alias, expr in measures.items():
             m_ = re.fullmatch(

@@ -1002,3 +1002,151 @@ def streaming_dedup_ttl(stream: DataFrame, ttl_us: int) -> DataFrame:
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_absence_timeout(stream: DataFrame, window_us: int) -> DataFrame:
+    """KEY-GROUP-SHARDED absence-until-horizon — the r9 successor to
+    ``streaming_cep_timeout`` for NEW queries (the original stays
+    untouched: its committed restore fixture pins the per-user grouping,
+    and a checkpoint's grouping column is immutable, the same rule as the
+    reference's maxParallelism).
+
+    Same semantics: a 'click' row with NO strictly-later same-user
+    'purchase' inside ``window_us`` is emitted once the watermark passes
+    its deadline. The difference is the SHARDING: state groups by
+    hash(user) % key_groups instead of by raw user, so a micro-batch
+    costs O(key_groups) Arrow crossings instead of O(distinct users) —
+    the same fix match_stream/stateful ops got in r5 (SCALE.md "Stateful
+    key groups"; ~3ms per applyInPandas group measured there, fatal at
+    1M users per batch)."""
+    import numpy as np
+
+    spark = stream.sparkSession
+    g = key_groups(spark)
+    budget = max_group_rows(spark)
+
+    out_schema = "user_id long, click_id long, click_ts long, deadline long"
+    # parallel arrays over BOTH kinds of pending rows: kind 0 = click
+    # (awaiting completion/expiry), kind 1 = retained purchase
+    state_schema = (
+        "u array<long>, k array<long>, ids array<long>, eps array<long>"
+    )
+
+    ts_cols = [
+        f.name for f in stream.schema.fields
+        if f.dataType.simpleString() == "timestamp"
+    ]
+    if not ts_cols:
+        raise ValueError(
+            "streaming_absence_timeout: the input must carry its "
+            "watermarked TIMESTAMP column (event-time timers need it)"
+        )
+    work = stream.select(
+        F.pmod(F.xxhash64(F.col("user_id")), F.lit(g)).alias("__grp"),
+        "user_id", "event_id", "ep", "event_type", ts_cols[0],
+    )
+
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            s_u, s_k, s_ids, s_eps = state.get
+            u = np.asarray(s_u, dtype=np.int64)
+            kind = np.asarray(s_k, dtype=np.int64)
+            ids = np.asarray(s_ids, dtype=np.int64)
+            eps = np.asarray(s_eps, dtype=np.int64)
+        else:
+            u = kind = ids = eps = np.empty(0, dtype=np.int64)
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            if len(rows):
+                u = np.concatenate(
+                    [u, rows["user_id"].to_numpy(dtype=np.int64)]
+                )
+                kind = np.concatenate([
+                    kind,
+                    (rows["event_type"] == "purchase")
+                    .to_numpy()
+                    .astype(np.int64),
+                ])
+                ids = np.concatenate(
+                    [ids, rows["event_id"].to_numpy(dtype=np.int64)]
+                )
+                eps = np.concatenate(
+                    [eps, rows["ep"].to_numpy(dtype=np.int64)]
+                )
+        _check_group_budget(len(u), budget, "streaming_absence_timeout")
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        # one lexsort over the whole shard (primary key LAST in numpy):
+        # (user, kind, ep) — each user's clicks ep-ascending, then its
+        # purchases ep-ascending, so the per-segment searchsorted below
+        # sees sorted purchase times
+        order = np.lexsort((eps, kind, u))
+        u, kind, ids, eps = u[order], kind[order], ids[order], eps[order]
+
+        out_u, out_id, out_ts = [], [], []
+        keep_mask = np.zeros(len(u), dtype=bool)
+        deadlines: list[int] = []
+        i = 0
+        n = len(u)
+        while i < n:
+            j = i
+            while j < n and u[j] == u[i]:
+                j += 1
+            seg_kind = kind[i:j]
+            c_sel = np.flatnonzero(seg_kind == 0) + i
+            p_sel = np.flatnonzero(seg_kind == 1) + i
+            c_eps, p_eps = eps[c_sel], eps[p_sel]
+            # consume: first purchase strictly after the click in window
+            live = np.ones(len(c_sel), dtype=bool)
+            if len(p_eps) and len(c_eps):
+                nxt = np.searchsorted(p_eps, c_eps, side="right")
+                in_r = nxt < len(p_eps)
+                hit = np.zeros(len(c_eps), dtype=bool)
+                hit[in_r] = p_eps[nxt[in_r]] <= c_eps[in_r] + window_us
+                live = ~hit
+            expired = live & (c_eps + window_us < wm_us)
+            for ci in np.flatnonzero(expired):
+                out_u.append(int(u[i]))
+                out_id.append(int(ids[c_sel[ci]]))
+                out_ts.append(int(c_eps[ci]))
+            pend = live & ~expired
+            keep_mask[c_sel[pend]] = True
+            # retained purchases: only consumable by an unexpired click
+            keep_mask[p_sel[p_eps > wm_us - window_us]] = True
+            if pend.any():
+                deadlines.append(int(c_eps[pend].min()) + window_us)
+            if (p_eps > wm_us - window_us).any():
+                deadlines.append(
+                    int(p_eps[p_eps > wm_us - window_us].min()) + window_us
+                )
+            i = j
+        if keep_mask.any():
+            state.update((
+                u[keep_mask].tolist(), kind[keep_mask].tolist(),
+                ids[keep_mask].tolist(), eps[keep_mask].tolist(),
+            ))
+            if deadlines:
+                state.setTimeoutTimestamp(max(
+                    min(deadlines) // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1,
+                ))
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame({
+            "user_id": pd.array(out_u, dtype="int64"),
+            "click_id": pd.array(out_id, dtype="int64"),
+            "click_ts": pd.array(out_ts, dtype="int64"),
+            "deadline": pd.array(
+                [t + window_us for t in out_ts], dtype="int64"
+            ),
+        })
+
+    return work.groupBy("__grp").applyInPandasWithState(
+        handler,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
