@@ -260,6 +260,34 @@ def _in_literal(spans, pos: int) -> bool:
     return any(a <= pos <= b for a, b in spans)
 
 
+def _closes_derived_table(sql: str, close_idx: int, spans) -> bool:
+    """True when the ``)`` at ``close_idx`` closes a DERIVED TABLE —
+    i.e. its matching open paren wraps a query (SELECT/VALUES/WITH/
+    TABLE). A function call's close (``SUM(x)``, ``CAST(c AS INT)``)
+    wraps an expression, so ``) AS name`` after it is a COLUMN alias
+    that must not shadow catalog table names (r9 advice)."""
+    depth = 0
+    i = close_idx
+    while i >= 0:
+        if _in_literal(spans, i):
+            i -= 1
+            continue
+        ch = sql[i]
+        if ch == ")":
+            depth += 1
+        elif ch == "(":
+            depth -= 1
+            if depth == 0:
+                j = i + 1
+                while j < len(sql) and sql[j].isspace():
+                    j += 1
+                return bool(re.match(
+                    r"(?i)(?:SELECT|VALUES|WITH|TABLE)\b", sql[j:j + 7]
+                ))
+        i -= 1
+    return False
+
+
 #: registry keys added by a CREATE rewrite whose DDL has not yet been
 #: verified to have materialized the view — checked (and cleared) on the
 #: next statement, so a FAILED create cannot leave a phantom table
@@ -370,14 +398,17 @@ def rewrite_catalog_identifiers(spark: SparkSession, sql: str) -> str:
                 )
                 if not _in_literal(spans, b.start())
             }
-            # derived-table aliases only: `) AS name`. A bare column
-            # alias (SELECT sum(x) AS orders) or a CAST(a AS INT) target
-            # can never shadow a TABLE reference, and binding them here
-            # suppressed legitimate FROM-position rewrites (r8 advice).
+            # derived-table aliases only: `) AS name` where the matching
+            # OPEN paren wraps a query (SELECT/VALUES/WITH/TABLE). A bare
+            # column alias (SELECT sum(x) AS orders) or a CAST(a AS INT)
+            # target closes a FUNCTION call, can never shadow a TABLE
+            # reference, and binding it suppressed legitimate
+            # FROM-position rewrites (r8+r9 advice).
             bound |= {
                 b.group(1)
                 for b in re.finditer(r"(?i)\)\s*AS\s+(\w+)\b", out)
                 if not _in_literal(spans, b.start(1))
+                and _closes_derived_table(out, b.start(), spans)
             }
             local = {t: v for t, v in local.items() if t not in bound}
 

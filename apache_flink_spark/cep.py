@@ -461,7 +461,10 @@ def _ident_wrap(cond: str, wrap) -> str:
         if i % 2:
             out.append(seg)
             continue
-        if re.search(r"\b\w+\s*\.\s*\w+", seg):
+        # require an IDENTIFIER on both sides of the dot: a decimal
+        # literal like 1.5 is not a qualified name (r9 ADVICE — the
+        # previous \b\w+ matched the "1" of "1.5")
+        if re.search(r"\b[A-Za-z_]\w*\s*\.\s*[A-Za-z_]\w*", seg):
             raise CepError(
                 "notNext conditions must use bare column names (no "
                 f"variable/table qualifiers) in: {cond!r} — the NEXT() "
@@ -708,9 +711,41 @@ def _compile_body(
                     # getIgnoreCondition), never TRUE
                     add_def(f"{gap} AS NOT ({_head_where(e)})")
             if _loop_enumerable(e) or e.combinations:
-                enum_vars.update(
-                    [e.name] if e.group is None else e.group._names()
-                )
+                if e.group is None:
+                    enum_vars.add(e.name)
+                else:
+                    # Flag the group's inner variables so the OUTER loop's
+                    # VM splits enumerate — but NOT variables whose own
+                    # element is greedy()/reluctant()-pinned: enum-flagging
+                    # them would enumerate the INNER loop's splits too,
+                    # emitting non-maximal/non-minimal inner takes and
+                    # contradicting the pin (r9 ADVICE).
+                    pinned, free = set(), set()
+
+                    def _split_pins(p: "Pattern") -> None:
+                        for ie in p._elems:
+                            if ie.group is not None:
+                                _split_pins(ie.group)
+                            elif ie.name:
+                                if ie.greedy_flag or (
+                                    ie.quant.endswith("?")
+                                    and ie.quant != "?"
+                                ):
+                                    pinned.add(ie.name)
+                                else:
+                                    free.add(ie.name)
+
+                    _split_pins(e.group)
+                    if not free:
+                        raise CepError(
+                            "an enumerable group quantifier whose inner "
+                            "variables are ALL greedy()/reluctant()-pinned "
+                            "is not supported — pin the group itself with "
+                            "greedy() or reluctant() too (enum splits are "
+                            "tracked per variable name, and flagging a "
+                            "pinned inner loop would contradict its pin)"
+                        )
+                    enum_vars.update(free)
             if e.group is not None:
                 inner_parts: list[str] = []
                 emit(e.group._elems, inner_parts)
@@ -968,14 +1003,23 @@ def cep_select_stream(
         n, u = pattern._within
         horizon_us = n * _UNIT_US[u]
         a_cond, n_cond = _own_row_sql(a), _own_row_sql(nf)
-        mapped = stream.filter(
-            F.expr(f"({a_cond}) OR ({n_cond})")
-        ).select(
+        # A row satisfying BOTH conditions plays BOTH roles (r9 ADVICE):
+        # in the reference, any event matching the notFollowedBy
+        # condition discards earlier partial matches REGARDLESS of also
+        # matching the begin condition — so it must appear as a
+        # 'purchase' (forbidden completion, killing earlier pending
+        # clicks; the absence operator's strictly-after rule means it
+        # never kills its own click) AND as a 'click' (a new pending
+        # partial). One scan: explode a per-row role array.
+        roles = F.array_compact(F.array(
+            F.when(F.expr(a_cond), F.lit("click")),
+            F.when(F.expr(n_cond), F.lit("purchase")),
+        ))
+        mapped = stream.select(
             F.col(partition_by.strip()).alias("user_id"),
             F.col(id_col).alias("event_id"),
             F.col(ep_col).alias("ep"),
-            F.when(F.expr(a_cond), F.lit("click"))
-            .otherwise(F.lit("purchase")).alias("event_type"),
+            F.explode(roles).alias("event_type"),
             *[
                 F.col(f.name)
                 for f in stream.schema.fields

@@ -1199,13 +1199,9 @@ def compile_match_recognize(
         n = len(pdf)
         if n == 0:
             return
-        if cep_enum:
-            # the all-matches engine recurses once per loop iteration /
-            # gap row along a path; long within-horizons need headroom
-            import sys
-
-            if sys.getrecursionlimit() < 20_000:
-                sys.setrecursionlimit(20_000)
+        # (the all-matches engine below walks the VM with an explicit
+        # frame stack — no Python recursion, no recursionlimit games:
+        # depth is bounded by heap, not the C stack — r9 ADVICE)
         sat = {
             # astype("boolean") first: nav-null predicates arrive as object
             # dtype, and fillna on object warns about silent downcasting.
@@ -1476,74 +1472,120 @@ def compile_match_recognize(
             seen_local: set[tuple] = set()
             binds: dict[str, list[int]] = {}
 
-            def rec(pc: int, ri: int, regs: list[int]) -> bool:
-                """True iff >=1 match completed in this subtree (normal
-                splits prune their second branch on True)."""
-                consumed: list[str] = []
-                try:
-                    while True:
-                        op = vm_prog[pc]
-                        o = op[0]
-                        if o == "row":
-                            hit = None
-                            if ri < limit:
-                                for a_ in op[1]:
-                                    if ok_fn(a_, ri, binds):
-                                        hit = a_
-                                        break
-                            if hit is None:
-                                return False
-                            binds.setdefault(hit, []).append(ri)
-                            consumed.append(hit)
-                            ri += 1
-                            pc += 1
-                        elif o == "split":
-                            r1 = rec(op[1], ri, regs[:])
-                            if op[3]:
-                                r2 = rec(op[2], ri, regs[:])
-                                return r1 or r2
-                            if r1:
-                                return True
-                            pc = op[2]
-                        elif o == "jmp":
-                            pc = op[1]
-                        elif o == "setreg":
-                            regs[op[1]] = ri
-                            pc += 1
-                        elif o == "chkreg":
-                            if regs[op[1]] == ri:
-                                return False
-                            pc += 1
-                        else:  # match
-                            if ri == start:
-                                return False  # zero-width — never a match
-                            a = {
-                                v: list(ix)
-                                for v, ix in binds.items()
-                                if ix and v not in cep_gaps
-                            }
-                            if not a:
-                                return False  # gap-only consumption
-                            key = tuple(sorted(
-                                (v, tuple(ix)) for v, ix in a.items()
-                            ))
-                            if key not in seen_local:
-                                seen_local.add(key)
-                                out.append((a, ri, key))
-                                if len(out) > 10_000:
-                                    raise MatchRecognizeError(
-                                        "CEP multi-match emission "
-                                        "exceeded 10000 matches for one "
-                                        "start row — bound the pattern "
-                                        "with within() or times(m,n), "
-                                        "or pin greedy()/reluctant()"
-                                    )
-                            return True
-                finally:
-                    for v in consumed:
-                        binds[v].pop()
+            # Explicit-frame DFS over the VM (r9 ADVICE: the recursive
+            # walk recursed once per loop iteration / gap row along a
+            # path and needed a recursionlimit bump; a dense within()
+            # horizon could still blow the C stack). Each frame is one
+            # "subtree" [pc, ri, regs, consumed, phase, r1]: phase ''
+            # = running, 'norm' = awaiting the take branch of a normal
+            # split (prune the skip branch on success), 'enum1'/'enum2'
+            # = awaiting the branches of an enum-flagged split (explore
+            # BOTH — every completed path is a separate match). `ret`
+            # carries the just-popped frame's "subtree completed >=1
+            # match" result; binds un-consume exactly as the recursive
+            # finally did.
+            RUN, NORM, ENUM1, ENUM2 = 0, 1, 2, 3
 
-            rec(0, start, [-1] * vm_nregs)
+            def _emit(ri: int) -> bool:
+                if ri == start:
+                    return False  # zero-width — never a match
+                a = {
+                    v: list(ix)
+                    for v, ix in binds.items()
+                    if ix and v not in cep_gaps
+                }
+                if not a:
+                    return False  # gap-only consumption
+                key = tuple(sorted(
+                    (v, tuple(ix)) for v, ix in a.items()
+                ))
+                if key not in seen_local:
+                    seen_local.add(key)
+                    out.append((a, ri, key))
+                    if len(out) > 10_000:
+                        raise MatchRecognizeError(
+                            "CEP multi-match emission exceeded 10000 "
+                            "matches for one start row — bound the "
+                            "pattern with within() or times(m,n), or "
+                            "pin greedy()/reluctant()"
+                        )
+                return True
+
+            # frame: [pc, ri, regs, consumed, phase, split_op, r1]
+            stack = [[0, start, [-1] * vm_nregs, [], RUN, None, False]]
+            ret = False
+            while stack:
+                f = stack[-1]
+                if f[4] == NORM:
+                    if ret:  # take branch matched — prune skip branch
+                        for v in f[3]:
+                            binds[v].pop()
+                        stack.pop()
+                        continue  # ret stays True
+                    f[0] = f[5][2]  # fall through to the skip branch
+                    f[4] = RUN
+                elif f[4] == ENUM1:
+                    f[6] = ret
+                    f[4] = ENUM2
+                    stack.append(
+                        [f[5][2], f[1], f[2][:], [], RUN, None, False]
+                    )
+                    continue
+                elif f[4] == ENUM2:
+                    ret = f[6] or ret
+                    for v in f[3]:
+                        binds[v].pop()
+                    stack.pop()
+                    continue
+                # RUN: execute linear ops until a split/frame exit
+                pc, ri, regs = f[0], f[1], f[2]
+                while True:
+                    op = vm_prog[pc]
+                    o = op[0]
+                    if o == "row":
+                        hit = None
+                        if ri < limit:
+                            for a_ in op[1]:
+                                if ok_fn(a_, ri, binds):
+                                    hit = a_
+                                    break
+                        if hit is None:
+                            ret = False
+                            for v in f[3]:
+                                binds[v].pop()
+                            stack.pop()
+                            break
+                        binds.setdefault(hit, []).append(ri)
+                        f[3].append(hit)
+                        ri += 1
+                        pc += 1
+                    elif o == "split":
+                        f[0], f[1], f[4], f[5] = pc, ri, (
+                            ENUM1 if op[3] else NORM
+                        ), op
+                        stack.append(
+                            [op[1], ri, regs[:], [], RUN, None, False]
+                        )
+                        break
+                    elif o == "jmp":
+                        pc = op[1]
+                    elif o == "setreg":
+                        regs[op[1]] = ri
+                        pc += 1
+                    elif o == "chkreg":
+                        if regs[op[1]] == ri:
+                            ret = False
+                            for v in f[3]:
+                                binds[v].pop()
+                            stack.pop()
+                            break
+                        pc += 1
+                    else:  # match
+                        ret = _emit(ri)
+                        for v in f[3]:
+                            binds[v].pop()
+                        stack.pop()
+                        break
             return out
 
         def try_match_permute(start: int, limit: int):

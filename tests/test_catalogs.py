@@ -272,6 +272,13 @@ def test_column_alias_does_not_shadow_table_rewrite(te, spark):
             "AS shadowtbl"
         ).collect()
         assert got2[0][0] == 2
+        # r9 ADVICE: a FUNCTION-call close followed by AS binds nothing —
+        # the matching-paren scan sees SUM(...)/CAST(...) wrap an
+        # expression, not a query, so the FROM rewrite still fires
+        got3 = te.sql(
+            "SELECT SUM(CAST(o_id AS INT)) AS shadowtbl FROM shadowtbl"
+        ).collect()
+        assert got3[0][0] == 3
     finally:
         spark.sql("DROP TABLE IF EXISTS shadowtbl")
         te.sql("USE CATALOG spark_catalog")

@@ -455,3 +455,59 @@ def test_followed_by_any_branches(spark):
         for r in cep_select(spark, df, p_next, "k", "ep", meas).collect()
     )
     assert got2 == [(41, 44, 46)], got2
+
+
+def test_not_next_decimal_literal(spark):
+    """r9 ADVICE: a notNext condition containing a decimal literal
+    ('amount > 1.5') is NOT a qualified name — the dotted-identifier
+    guard must not fire on number-adjacent dots."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a", 1.0, 100), (1, 2, "b", 1.2, 200),
+            (2, 3, "a", 1.0, 100), (2, 4, "b", 9.9, 200),
+        ],
+        "k long, event_id long, kind string, amount double, ep long",
+    )
+    p = (
+        Pattern.begin("A").where("kind = 'a'")
+        .not_next("N").where("kind = 'b' AND amount > 1.5")
+    )
+    out = cep_select(spark, df, p, "k", "ep", {"a_id": "LAST(A.event_id)"})
+    # k=2's physically-next row has amount 9.9 > 1.5 -> killed
+    assert sorted(r.a_id for r in out.collect()) == [1]
+    # qualified names still reject loudly
+    p_bad = (
+        Pattern.begin("A").where("kind = 'a'")
+        .not_next("N").where("N.amount > 1.5")
+    )
+    with pytest.raises(CepError, match="bare column names"):
+        cep_select(spark, df, p_bad, "k", "ep", {"a_id": "LAST(A.event_id)"})
+
+
+def test_greedy_inner_loop_in_enumerable_group(spark):
+    """r9 ADVICE: a greedy()-pinned inner loop inside an ENUMERABLE group
+    quantifier stays maximal-only — enum-flagging is tracked per
+    variable, and pinned inner variables are excluded."""
+    df = spark.createDataFrame(
+        [(1, 10, 1, 100), (1, 11, 2, 200), (1, 12, 2, 300)],
+        "k long, event_id long, kind long, ep long",
+    )
+    inner = (
+        Pattern.begin("A").where("kind = 1")
+        .next("B").where("kind = 2").one_or_more().greedy()
+    )
+    p = Pattern.begin(inner).one_or_more()  # outer: enumerable default
+    out = cep_select(
+        spark, df, p, "k", "ep",
+        {"a_id": "FIRST(A.event_id)", "n_b": "COUNT(B.*)"},
+    )
+    # inner B+ greedy -> ONLY the maximal take (n_b=2); without the
+    # per-variable exclusion the outer enum flag leaked onto B and the
+    # non-maximal prefix (n_b=1) was emitted too
+    assert sorted((r.a_id, r.n_b) for r in out.collect()) == [(10, 2)]
+    # a group whose inner variables are ALL pinned cannot carry the
+    # enum flag anywhere -> loud reject
+    inner2 = Pattern.begin("C").where("kind = 1").one_or_more().greedy()
+    p2 = Pattern.begin(inner2).one_or_more()
+    with pytest.raises(CepError, match="pin the group itself"):
+        cep_select(spark, df, p2, "k", "ep", {"c_id": "FIRST(C.event_id)"})

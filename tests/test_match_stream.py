@@ -906,3 +906,55 @@ def test_stream_middle_not_followed_by(spark, tmp_path):
         for r in run_to_table(out, "append").collect()
     )
     assert got == [(2, 4, 6)], got
+
+
+def test_stream_trailing_nfb_overlapping_conditions(spark, tmp_path):
+    """r9 ADVICE: a row satisfying BOTH the begin and the notFollowedBy
+    condition plays BOTH roles — it discards earlier pending partials
+    (reference: any event matching the forbidden condition kills them,
+    regardless of also matching begin) AND starts its own pending
+    partial (never killed by itself: the completion must be strictly
+    later)."""
+    import pandas as pd
+
+    from apache_flink_spark.cep import Pattern, cep_select_stream
+    from apache_flink_spark.streaming.sources import run_to_table
+
+    m = 60_000_000
+    rows = [
+        # user 1: click@0min, BOTH@10min (kills the click, pends itself)
+        (1, 1, 1, 0, 0 * m), (1, 2, 1, 1, 10 * m),
+        # user 2: plain click@0min, plain purchase@10min (control: killed)
+        (2, 3, 1, 0, 0 * m), (2, 4, 0, 1, 10 * m),
+        # user 3: watermark flusher far in the future, matches neither
+        (3, 5, 0, 0, 600 * m),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "is_c", "is_p", "ep"]
+    )
+    pq = str(tmp_path / "nfb_overlap_src")
+    spark.createDataFrame(pdf).withColumn(
+        "ts", F.timestamp_micros(F.col("ep"))
+    ).write.mode("overwrite").parquet(pq)
+    s = (
+        spark.readStream.schema(
+            "user_id long, event_id long, is_c long, is_p long, "
+            "ep long, ts timestamp"
+        ).parquet(pq).withWatermark("ts", "10 seconds")
+    )
+    p = (
+        Pattern.begin("A").where("is_c = 1")
+        .not_followed_by("N").where("is_p = 1")
+        .within(30, "minutes")
+    )
+    out = cep_select_stream(
+        s, p, "user_id", "ep, event_id",
+        {"click_id": "A.event_id", "click_ts": "A.ep"},
+    )
+    got = sorted(
+        (r.user_id, r.click_id)
+        for r in run_to_table(out, "append").collect()
+    )
+    # event 2 (the dual-role row) expires unanswered -> emitted;
+    # event 1 was killed BY event 2; user 2's click killed normally
+    assert got == [(1, 2)], got
