@@ -60,6 +60,12 @@ class CepError(ValueError):
 
 
 _UNIT_US = {
+    "microsecond": 1,
+    "microseconds": 1,
+    "micros": 1,
+    "millisecond": 1_000,
+    "milliseconds": 1_000,
+    "millis": 1_000,
     "second": 1_000_000,
     "seconds": 1_000_000,
     "minute": 60_000_000,
@@ -100,6 +106,19 @@ class _Elem:
     # group element (GroupPattern.java:30): inner Pattern compiled to a
     # parenthesized, quantified PATTERN group; name is "" for groups.
     group: "Pattern | None" = None
+    # within(w, PREVIOUS_AND_CURRENT) on this element (Pattern.java:267,
+    # WithinType.java — r10): max gap between the PREVIOUS taken event
+    # and this element's event, strict < (NFA.isStateTimedOut prunes at
+    # >=). Compiles to a cross-variable DEFINE conjunct
+    # ``ts - LAST(prev.ts) < w`` — the take chain, never ignored rows
+    # (NFA.advanceTime measures ComputationState.previousTimestamp).
+    window_prev_us: int | None = None
+    # quantifier window (Pattern.java oneOrMore(Duration):390,
+    # times(int,Duration):432, timesOrMore:499 — Times.windowTime): max
+    # gap between CONSECUTIVE loop takes (NFACompiler.createState binds
+    # times.getWindowSize() to the delimited loop states only, so the
+    # gap INTO the first take is not bounded by it).
+    loop_window_us: int | None = None
 
     def where_sql(self) -> str:
         """The element's WHERE/or_where acceptance condition alone — the
@@ -286,16 +305,40 @@ class Pattern:
             raise CepError(f"element {e.name!r} already has a quantifier")
         e.quant = q
 
-    def times(self, n: int, m: int | None = None) -> "Pattern":
+    def _set_loop_window(self, window: "tuple[int, str] | None") -> None:
+        """Quantifier window time (Pattern.java oneOrMore(Duration):390,
+        times(int,Duration):432, timesOrMore(int,Duration):499 —
+        Times.windowTime): the max time gap between CONSECUTIVE loop
+        takes. ``window`` is ``(n, unit)``."""
+        if window is None:
+            return
+        n, u = window
+        if u.lower() not in _UNIT_US:
+            raise CepError(f"unsupported quantifier window unit {u!r}")
+        self._last().loop_window_us = n * _UNIT_US[u.lower()]
+
+    def times(
+        self,
+        n: int,
+        m: int | None = None,
+        window: "tuple[int, str] | None" = None,
+    ) -> "Pattern":
         self._set_quant(f"{{{n}}}" if m is None else f"{{{n},{m}}}")
+        self._set_loop_window(window)
         return self
 
-    def one_or_more(self) -> "Pattern":
+    def one_or_more(
+        self, window: "tuple[int, str] | None" = None
+    ) -> "Pattern":
         self._set_quant("+")
+        self._set_loop_window(window)
         return self
 
-    def times_or_more(self, n: int) -> "Pattern":
+    def times_or_more(
+        self, n: int, window: "tuple[int, str] | None" = None
+    ) -> "Pattern":
         self._set_quant(f"{{{n},}}")
+        self._set_loop_window(window)
         return self
 
     def optional(self) -> "Pattern":
@@ -429,11 +472,65 @@ class Pattern:
             "a column predicate in where()"
         )
 
-    def within(self, n: int, unit: str = "minutes") -> "Pattern":
+    def within(
+        self,
+        n: int,
+        unit: str = "minutes",
+        within_type: str = "FIRST_AND_LAST",
+    ) -> "Pattern":
+        """Pattern.java:255/:267 — the match window.
+
+        ``FIRST_AND_LAST`` (default) bounds the whole match (compiles to
+        the MATCH_RECOGNIZE WITHIN horizon); repeated declarations keep
+        the SMALLEST window, like the reference compiler
+        (NFACompiler:378, NFACompilerTest.testWindowTimeCorrectlySet).
+
+        ``PREVIOUS_AND_CURRENT`` (WithinType.java) bounds the gap
+        between the previous taken event and THIS element's event — it
+        attaches to the element it is declared after, exactly like the
+        reference (windowTimes are keyed by state name,
+        NFACompilerTest.testWindowTimesCorrectlySet). Declared on the
+        FIRST element it is a no-op (the NFA start state never times
+        out, NFA.isStateTimedOut). Requires an epoch-micros BIGINT
+        ORDER BY column at cep_select time."""
         u = unit.lower()
         if u not in _UNIT_US:
             raise CepError(f"unsupported within unit {unit!r}")
-        self._within = (n, u)
+        wt = within_type.upper()
+        if wt == "FIRST_AND_LAST":
+            if self._within is not None:
+                pn, pu = self._within
+                if pn * _UNIT_US[pu] <= n * _UNIT_US[u]:
+                    return self  # keep the smaller window (reference min)
+            self._within = (n, u)
+            return self
+        if wt != "PREVIOUS_AND_CURRENT":
+            raise CepError(
+                f"unknown within_type {within_type!r} — FIRST_AND_LAST "
+                "or PREVIOUS_AND_CURRENT (WithinType.java)"
+            )
+        e = self._last()
+        if e.group is not None:
+            raise CepError(
+                "within(PREVIOUS_AND_CURRENT) on a group pattern is not "
+                "supported — declare it on a named element"
+            )
+        if e.quant or e.opt_loop:
+            raise CepError(
+                "within(PREVIOUS_AND_CURRENT) on a quantified element: "
+                "use the quantifier's window argument instead "
+                "(times(n, window=...), one_or_more(window=...)) — the "
+                "reference binds Times.windowTime to loop states and "
+                "ignores the element-level PREVIOUS_AND_CURRENT window "
+                "there (NFACompiler.createState:428)"
+            )
+        if e.contiguity == "not_next":
+            raise CepError(
+                "within(PREVIOUS_AND_CURRENT) on a notNext element is "
+                "not supported — the NEXT() guard is an edge condition, "
+                "not a taken event"
+            )
+        e.window_prev_us = n * _UNIT_US[u]
         return self
 
 
@@ -482,6 +579,29 @@ def _ident_wrap(cond: str, wrap) -> str:
 
         out.append(re.sub(r"\b[A-Za-z_]\w*\b", sub, seg))
     return "".join(out)
+
+
+def _trailing_nf_horizon(pattern: Pattern) -> int:
+    """Horizon (micros) for the trailing-notFollowedBy absence plan:
+    the smaller of within(FIRST_AND_LAST) and the trailing element's
+    within(PREVIOUS_AND_CURRENT) — either satisfies the reference's
+    'NotFollowedBy is not supported without windowTime as a last part
+    of a Pattern!' rule (NFACompiler:188)."""
+    horizon_us = None
+    if pattern._within is not None:
+        n, u = pattern._within
+        horizon_us = n * _UNIT_US[u]
+    wp = pattern._elems[-1].window_prev_us
+    if wp is not None and (horizon_us is None or wp < horizon_us):
+        horizon_us = wp
+    if horizon_us is None:
+        raise CepError(
+            "notFollowedBy as the last element of a pattern requires "
+            "within() — FIRST_AND_LAST or PREVIOUS_AND_CURRENT "
+            "(reference: NFACompiler:188 forbids it without a time "
+            "horizon)"
+        )
+    return horizon_us
 
 
 def _own_row_sql(e: _Elem) -> str:
@@ -540,6 +660,37 @@ def _loop_enumerable(e: _Elem) -> bool:
     return True  # {n,}
 
 
+def _prev_take_var(elem_list: list[_Elem], i: int) -> str | None:
+    """The pattern variable whose LAST bind is the event taken
+    immediately before element ``i`` — the reference NFA's
+    ComputationState.previousTimestamp (what a PREVIOUS_AND_CURRENT
+    window measures against, NFA.advanceTime). Negative patterns never
+    take events; a group's previous take is its inner pattern's last
+    take. None for the first element (the start state never times out).
+    Optional predecessors error loudly: the previously-taken event is
+    then branch-dependent and has no single bind variable."""
+    j = i - 1
+    while j >= 0 and elem_list[j].contiguity in (
+        "not_followed_by", "not_next",
+    ):
+        j -= 1
+    if j < 0:
+        return None
+    p = elem_list[j]
+    if p.opt_loop or p.quant in ("?", "??") or re.match(
+        r"\{0[,}]", p.quant or ""
+    ):
+        raise CepError(
+            "within(PREVIOUS_AND_CURRENT) after an OPTIONAL element is "
+            "not supported — the previously-taken event is "
+            "branch-dependent; restructure without the optional, or "
+            "bound the whole match with within(FIRST_AND_LAST)"
+        )
+    if p.group is not None:
+        return _prev_take_var(p.group._elems, len(p.group._elems))
+    return p.name
+
+
 def _compile_body(
     pattern: Pattern,
     partition_by: str,
@@ -573,6 +724,29 @@ def _compile_body(
             "trailing notFollowedBy compiles to a window scan, not "
             "MATCH_RECOGNIZE — use cep_select (it picks the right plan)"
         )
+    # r10 — gap windows (within PREVIOUS_AND_CURRENT / quantifier window
+    # times). The reference rejects a gap window larger than the
+    # FIRST_AND_LAST window (NFACompiler checkPatternWindowTimes,
+    # NFACompilerTest.testCheckPatternWindowTimes).
+    tcol = order_by.split(",")[0].strip()
+    if pattern._within is not None:
+        _hz = pattern._within[0] * _UNIT_US[pattern._within[1]]
+
+        def _chk_windows(p: Pattern) -> None:
+            for e_ in p._elems:
+                for w_ in (e_.window_prev_us, e_.loop_window_us):
+                    if w_ is not None and w_ > _hz:
+                        raise CepError(
+                            "the window length between the previous and "
+                            "current event cannot be larger than the "
+                            "window length between the first and last "
+                            "event (reference NFACompiler "
+                            "checkPatternWindowTimes)"
+                        )
+                if e_.group is not None:
+                    _chk_windows(e_.group)
+
+        _chk_windows(pattern)
     used = {n.upper() for n in pattern._names()}
     pat_parts: list[str] = []
     defines: list[str] = []
@@ -670,6 +844,14 @@ def _compile_body(
             if e.contiguity == "not_next":
                 continue
             if e.contiguity == "not_followed_by":
+                if e.window_prev_us is not None:
+                    raise CepError(
+                        "within(PREVIOUS_AND_CURRENT) on a MIDDLE "
+                        "notFollowedBy is not supported — a middle "
+                        "negative element never takes an event (the "
+                        "reference converts it into edge conditions); "
+                        "bound the surrounding positive elements instead"
+                    )
                 if i + 1 >= len(elem_list):
                     raise CepError(
                         "trailing notFollowedBy requires the cep_select "
@@ -765,6 +947,32 @@ def _compile_body(
                 # COALESCE makes "no next row" pass (absence of an event
                 # is not a violation)
                 cond = f"({cond}) AND (NOT COALESCE(({guards[i]}), FALSE))"
+            # r10 gap windows — compiled as cross-variable DEFINE
+            # conjuncts over the TAKE chain (LAST binds), never ignored
+            # rows (the reference measures
+            # ComputationState.previousTimestamp — NFA.advanceTime) and
+            # strict `<` (isStateTimedOut prunes at >=). Deliberately
+            # NOT part of where_sql()/_own_row_sql: the SKIP_TILL_NEXT
+            # ignore edge negates the pattern CONDITION only
+            # (NFACompiler getIgnoreCondition), a window is a timer.
+            if e.loop_window_us is not None:
+                # between consecutive loop takes: LAST(self, 1) is the
+                # previous take under RUNNING semantics; the FIRST take
+                # has none (IS NULL passes — its entry gap is governed
+                # by the outer contiguity, NFACompiler.createState:428
+                # binds Times.windowTime to delimited states only)
+                cond = (
+                    f"({cond}) AND ((LAST({e.name}.{tcol}, 1) IS NULL) "
+                    f"OR ({tcol} - LAST({e.name}.{tcol}, 1) < "
+                    f"{e.loop_window_us}))"
+                )
+            if e.window_prev_us is not None:
+                prev_var = _prev_take_var(elem_list, i)
+                if prev_var is not None:
+                    cond = (
+                        f"({cond}) AND ({tcol} - LAST({prev_var}.{tcol})"
+                        f" < {e.window_prev_us})"
+                    )
             # loop ignore condition: NOT(take), tightened by until() —
             # the reference guards IGNORE transitions with until too;
             # allowCombinations switches it to TRUE (SKIP_TILL_ANY)
@@ -843,12 +1051,11 @@ def cep_select(
         # Trailing negative pattern: absence-until-horizon. One range-frame
         # window scan per partition — the forbidden event's earliest time
         # within (0, horizon] rides the same sort as a positive match scan.
-        if pattern._within is None:
-            raise CepError(
-                "notFollowedBy as the last element of a pattern requires "
-                "within() (reference: Pattern.java forbids it without a "
-                "time horizon)"
-            )
+        # r10: within(PREVIOUS_AND_CURRENT) on the trailing element is an
+        # equally valid horizon (reference NFACompiler:188 accepts either;
+        # NFAITCase.testPendingStateMatches runs both within types) — in
+        # the two-element form the previous event IS the first event.
+        horizon_us = _trailing_nf_horizon(pattern)
         if len(elems) != 2 or elems[0].contiguity != "begin":
             raise CepError(
                 "trailing notFollowedBy supports the two-element form "
@@ -857,9 +1064,6 @@ def cep_select(
             )
         from pyspark.sql import Window
         from pyspark.sql import functions as F
-
-        n, u = pattern._within
-        horizon_us = n * _UNIT_US[u]
         a, b = elems[0], elems[1]
         keys = [k.strip() for k in partition_by.split(",")]
         w = (
@@ -976,11 +1180,7 @@ def cep_select_stream(
             streaming_absence_timeout,
         )
 
-        if pattern._within is None:
-            raise CepError(
-                "notFollowedBy as the last element requires within() "
-                "(Pattern.java forbids it without a time horizon)"
-            )
+        horizon_us = _trailing_nf_horizon(pattern)
         if len(elems) != 2 or elems[0].contiguity != "begin":
             raise CepError(
                 "streaming trailing notFollowedBy supports the "
@@ -1000,8 +1200,6 @@ def cep_select_stream(
                 "'<epoch_us_col>, <id_col>'"
             )
         ep_col, id_col = ob
-        n, u = pattern._within
-        horizon_us = n * _UNIT_US[u]
         a_cond, n_cond = _own_row_sql(a), _own_row_sql(nf)
         # A row satisfying BOTH conditions plays BOTH roles (r9 ADVICE):
         # in the reference, any event matching the notFollowedBy

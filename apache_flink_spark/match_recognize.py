@@ -95,6 +95,12 @@ _BODY_RE = re.compile(
 )
 
 _WITHIN_UNIT_US = {
+    "MICROSECOND": 1,
+    "MICROSECONDS": 1,
+    "MICRO": 1,
+    "MILLISECOND": 1_000,
+    "MILLISECONDS": 1_000,
+    "MILLI": 1_000,
     "SECOND": 1_000_000,
     "SECONDS": 1_000_000,
     "MINUTE": 60_000_000,
@@ -640,11 +646,19 @@ def _not3(v):
 
 def _cmp3(left, pairs):
     """SQL three-valued comparison, including Python chained comparisons
-    (a < b < c == AND of the pairwise comparisons)."""
+    (a < b < c == AND of the pairwise comparisons). ``IS [NOT] NULL``
+    arrives as an identity test against the NULL sentinel (Is/IsNot) and
+    is two-valued by definition — it must NOT take the UNKNOWN escape."""
     saw_unknown = False
     cur = left
     for opname, right in pairs:
-        if cur is _NULL or right is _NULL:
+        if opname == "Is":
+            if cur is not right:
+                return False
+        elif opname == "IsNot":
+            if cur is right:
+                return False
+        elif cur is _NULL or right is _NULL:
             saw_unknown = True
         elif not _CMP3_OPS[opname](cur, right):
             return False
@@ -732,7 +746,7 @@ def _sql_pred_to_python(expr: str, columns, var_msg: str) -> str:
         if name.startswith("__mr_"):  # PREV/NEXT nav alias column
             return f'__row("{name}")'
         if name in ("__bind", "__row", "__NULL") or name in (
-            "and", "or", "not", "True", "False", "None", "abs",
+            "and", "or", "not", "is", "True", "False", "None", "abs",
         ):
             return name
         if name.upper() == "ABS":
@@ -748,6 +762,10 @@ def _sql_pred_to_python(expr: str, columns, var_msg: str) -> str:
     def convert(e: str) -> str:
         e = re.sub(r"<>", "!=", e)
         e = re.sub(r"(?<![<>!=])=(?!=)", "==", e)
+        # IS [NOT] NULL first (two-valued identity tests against the
+        # NULL sentinel — r10, the CEP gap-window conjunct needs them)
+        e = re.sub(r"\bIS\s+NOT\s+NULL\b", " is not __NULL", e, flags=re.I)
+        e = re.sub(r"\bIS\s+NULL\b", " is __NULL", e, flags=re.I)
         e = re.sub(r"\bAND\b", "and", e, flags=re.I)
         e = re.sub(r"\bOR\b", "or", e, flags=re.I)
         e = re.sub(r"\bNOT\b", "not", e, flags=re.I)

@@ -1045,3 +1045,118 @@ def cep_stream_not_followed_by(spark, sf_dir):
         {"click_id": "A.event_id", "click_ts": "A.ep"},
     )
     return run_to_table(out, "append")
+
+
+@query(
+    "cep_within_previous_current",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type FROM events
+        WHERE event_type IN ('click', 'purchase')
+    )
+    -- PREVIOUS_AND_CURRENT window on the purchase: the match is the
+    -- FIRST purchase after the click in (ep, event_id) order
+    -- (SKIP_TILL_NEXT cannot skip a qualifying purchase), valid iff the
+    -- gap to the click is STRICTLY under 30 minutes (the reference NFA
+    -- prunes at gap >= window, NFA.isStateTimedOut)
+    SELECT c.user_id, c.event_id AS click_id, p.purchase_id
+    FROM u c, LATERAL (
+        SELECT event_id AS purchase_id, ep AS p_ep
+        FROM u p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND (p.ep > c.ep OR (p.ep = c.ep AND p.event_id > c.event_id))
+        ORDER BY p.ep, p.event_id LIMIT 1
+    ) p
+    WHERE c.event_type = 'click' AND p.p_ep - c.ep < {MIN30}
+    """,
+)
+def cep_within_previous_current(spark, sf_dir):
+    """CEP within(PREVIOUS_AND_CURRENT) — r10 (flink-cep
+    Pattern.java:267 within(Duration, WithinType), WithinType.java,
+    NFAITCase.java:317 testSimplePatternWithTimeWindowNFAWithinPrevious-
+    AndCurrent): the window bounds the gap between the PREVIOUS taken
+    event and the element it is declared on, strict < (NFA
+    isStateTimedOut prunes at >=). Compiles to a cross-variable DEFINE
+    conjunct ``ep - LAST(A.ep) < w`` on the bind-tracking NFA — the gap
+    is measured over the TAKE chain, never ignored rows (the reference
+    measures ComputationState.previousTimestamp). Plan: one keyed
+    shuffle, anchor-pruned candidate starts (clicks), JVM-side own-row
+    predicates; only the bounded element's predicate goes through the
+    Arrow-batched bind evaluator."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    p = (
+        Pattern.begin("A").where("event_type = 'click'")
+        .followed_by("B").where("event_type = 'purchase'")
+        .within(30, "minutes", within_type="PREVIOUS_AND_CURRENT")
+    )
+    return cep_select(
+        spark, e, p, "user_id", "ep, event_id",
+        {
+            "click_id": "LAST(A.event_id)",
+            "purchase_id": "LAST(B.event_id)",
+        },
+    )
+
+
+@query(
+    "cep_times_window_gaps",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id,
+               LEAD(epoch_us(ts), 1) OVER w AS ep1,
+               LEAD(event_id, 1) OVER w AS id1,
+               LEAD(epoch_us(ts), 2) OVER w AS ep2,
+               LEAD(event_id, 2) OVER w AS id2
+        FROM events WHERE event_type = 'click'
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    -- quantifier window: consecutive TAKES (= consecutive clicks of the
+    -- user; SKIP_TILL_NEXT cannot skip a click) gap strictly under 4
+    -- hours; default emission enumerates both take counts per start
+    SELECT user_id, event_id AS first_click, id1 AS last_click,
+           CAST(2 AS BIGINT) AS n_clicks
+    FROM c WHERE ep1 - ep < 14400000000
+    UNION ALL
+    SELECT user_id, event_id, id2, CAST(3 AS BIGINT)
+    FROM c WHERE ep1 - ep < 14400000000 AND ep2 - ep1 < 14400000000
+    """,
+)
+def cep_times_window_gaps(spark, sf_dir):
+    """CEP quantifier window times — r10 (flink-cep Pattern.java
+    times(int, int, Duration):463, Times.windowTime; NFACompiler
+    createState:428 binds the window to the DELIMITED loop states): the
+    max gap between CONSECUTIVE loop takes, strict <. times(2,3) with a
+    4-hour window over the user's click stream, reference default
+    emission (every viable take count per start is its own match,
+    NFAITCase.java:1848). The window conjunct compiles to
+    ``LAST(A.ep,1) IS NULL OR ep - LAST(A.ep,1) < w`` — the first take
+    passes (its entry gap is governed by the outer contiguity)."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    p = (
+        Pattern.begin("A").where("event_type = 'click'")
+        .times(2, 3, window=(4, "hours"))
+    )
+    return cep_select(
+        spark, e, p, "user_id", "ep, event_id",
+        {
+            "first_click": "FIRST(A.event_id)",
+            "last_click": "LAST(A.event_id)",
+            "n_clicks": "COUNT(A.*)",
+        },
+    )

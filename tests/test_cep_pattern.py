@@ -511,3 +511,158 @@ def test_greedy_inner_loop_in_enumerable_group(spark):
     p2 = Pattern.begin(inner2).one_or_more()
     with pytest.raises(CepError, match="pin the group itself"):
         cep_select(spark, df, p2, "k", "ep", {"c_id": "FIRST(C.event_id)"})
+
+
+S = 1_000_000  # one second in micros
+
+
+def test_within_previous_and_current_nfaitcase(spark):
+    """NFAITCase.java:317 testSimplePatternWithTimeWindowNFAWithinPrevious-
+    AndCurrent, ms scaled to seconds: start1@1 start2@2 middle@3 foobar@4
+    end@11 end2@13, within(9, PREVIOUS_AND_CURRENT) declared after the
+    last element — end@11 completes both starts (gap middle->end 8 < 9),
+    end@13 is pruned (gap 10 >= 9; NFA.isStateTimedOut prunes at >=)."""
+    rows = [
+        (1, 1, "start", 1 * S), (1, 2, "start", 2 * S),
+        (1, 3, "middle", 3 * S), (1, 4, "foobar", 4 * S),
+        (1, 5, "end", 11 * S), (1, 6, "end", 13 * S),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, name string, ep long"
+    )
+    p = (
+        Pattern.begin("S").where("name = 'start'")
+        .followed_by("M").where("name = 'middle'")
+        .followed_by("E").where("name = 'end'")
+        .within(9, "seconds", within_type="PREVIOUS_AND_CURRENT")
+    )
+    out = cep_select(
+        spark, df, p, "k", "ep",
+        {"s_id": "FIRST(S.event_id)", "m_id": "LAST(M.event_id)",
+         "e_id": "LAST(E.event_id)"},
+    )
+    got = sorted((r.s_id, r.m_id, r.e_id) for r in out.collect())
+    assert got == [(1, 3, 5), (2, 3, 5)], got
+
+
+def test_quantifier_window_take_chain_and_boundary(spark):
+    """r10 quantifier window (Pattern.java oneOrMore(Duration):390):
+    the gap is measured between consecutive TAKES — ignored rows in
+    between do not reset it — and the bound is STRICT (gap == window is
+    pruned, NFA.isStateTimedOut >=)."""
+    rows = [
+        (1, 1, "c", 0 * S), (1, 2, "v", 2 * S), (1, 3, "c", 5 * S),
+        (1, 4, "c", 8 * S), (1, 5, "v", 9 * S), (1, 6, "c", 30 * S),
+        (1, 7, "p", 31 * S),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, kind string, ep long"
+    )
+    p = (
+        Pattern.begin("A").where("kind = 'c'")
+        .one_or_more(window=(10, "seconds"))
+        .followed_by("B").where("kind = 'p'")
+        .within(60, "seconds")
+    )
+    out = cep_select(
+        spark, df, p, "k", "ep",
+        {"first_a": "FIRST(A.event_id)", "last_a": "LAST(A.event_id)",
+         "n_a": "COUNT(A.*)"},
+    )
+    got = sorted((r.first_a, r.last_a, r.n_a) for r in out.collect())
+    # click@0 -> click@5 (gap 5s, across an ignored view) -> click@8,
+    # then click@30 is 22s past -> loop ends; default prefix emission
+    assert got == sorted([
+        (1, 1, 1), (1, 3, 2), (1, 4, 3), (3, 3, 1), (3, 4, 2),
+        (4, 4, 1), (6, 6, 1),
+    ]), got
+    # boundary: consecutive takes exactly window apart are PRUNED
+    rows2 = [(1, 1, "c", 0), (1, 2, "c", 10 * S), (1, 3, "p", 11 * S)]
+    df2 = spark.createDataFrame(
+        rows2, "k long, event_id long, kind string, ep long"
+    )
+    out2 = cep_select(
+        spark, df2, p, "k", "ep",
+        {"first_a": "FIRST(A.event_id)", "n_a": "COUNT(A.*)"},
+    )
+    got2 = sorted((r.first_a, r.n_a) for r in out2.collect())
+    assert got2 == [(1, 1), (2, 1)], got2
+
+
+def test_trailing_nfb_previous_and_current_horizon(spark):
+    """NFAITCase.java:507 testPendingStateMatches (both within types run
+    the same scenario): begin(start).notFollowedBy(middle).within(5,
+    PREVIOUS_AND_CURRENT) — the trailing element's gap window IS a valid
+    absence horizon (NFACompiler:188 accepts windowTimes OR windowTime).
+    starts @5 and @11 pend (no middle within 5s); start@1 is killed by
+    middle@4."""
+    rows = [
+        (1, 1, "start", 1 * S), (1, 2, "middle", 4 * S),
+        (1, 3, "start", 5 * S), (1, 4, "start", 11 * S),
+        (1, 5, "middle", 18 * S),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, name string, ep long"
+    )
+    p = (
+        Pattern.begin("A").where("name = 'start'")
+        .not_followed_by("N").where("name = 'middle'")
+        .within(5, "seconds", within_type="PREVIOUS_AND_CURRENT")
+    )
+    out = cep_select(spark, df, p, "k", "ep", {"a_id": "LAST(A.event_id)"})
+    assert sorted(r.a_id for r in out.collect()) == [3, 4]
+
+
+def test_gap_window_guards():
+    """r10 validation parity: NFACompilerTest.testCheckPatternWindowTimes
+    (gap window larger than the FIRST_AND_LAST window rejects), plus the
+    documented subset bounds."""
+    from apache_flink_spark.cep import pattern_to_match_recognize
+
+    # gap window > FIRST_AND_LAST horizon (reference MalformedPattern)
+    p = (
+        Pattern.begin("A").where("x = 1")
+        .followed_by("B").where("x = 2")
+        .within(3, "seconds", within_type="PREVIOUS_AND_CURRENT")
+        .within(2, "seconds")
+    )
+    with pytest.raises(CepError, match="cannot be larger"):
+        pattern_to_match_recognize(p, "t", "k", "ep", MEAS)
+    # PREVIOUS_AND_CURRENT on a quantified element -> quantifier window
+    with pytest.raises(CepError, match="quantifier's window argument"):
+        Pattern.begin("A").where("x = 1").one_or_more().within(
+            1, "minutes", within_type="PREVIOUS_AND_CURRENT"
+        )
+    # unknown within type
+    with pytest.raises(CepError, match="unknown within_type"):
+        Pattern.begin("A").within(1, "minutes", within_type="BOGUS")
+    # after an optional element the previous take is branch-dependent
+    p2 = (
+        Pattern.begin("A").where("x = 1")
+        .followed_by("O").where("x = 2").optional()
+        .followed_by("B").where("x = 3")
+        .within(1, "minutes", within_type="PREVIOUS_AND_CURRENT")
+    )
+    with pytest.raises(CepError, match="OPTIONAL"):
+        pattern_to_match_recognize(p2, "t", "k", "ep", MEAS)
+    # middle notFollowedBy never takes an event
+    p3 = (
+        Pattern.begin("A").where("x = 1")
+        .not_followed_by("N").where("x = 2")
+        .within(1, "minutes", within_type="PREVIOUS_AND_CURRENT")
+        .followed_by("B").where("x = 3")
+    )
+    with pytest.raises(CepError, match="MIDDLE"):
+        pattern_to_match_recognize(p3, "t", "k", "ep", MEAS)
+    # repeated FIRST_AND_LAST declarations keep the SMALLEST window
+    # (NFACompiler:378, testWindowTimeCorrectlySet)
+    p4 = (
+        Pattern.begin("A").where("x = 1").within(10, "seconds")
+        .followed_by("B").where("x = 2").within(20, "seconds")
+    )
+    assert p4._within == (10, "seconds")
+    p5 = (
+        Pattern.begin("A").where("x = 1").within(20, "seconds")
+        .followed_by("B").where("x = 2").within(10, "seconds")
+    )
+    assert p5._within == (10, "seconds")

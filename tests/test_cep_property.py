@@ -15,6 +15,12 @@ from hypothesis import strategies as st
 
 KINDS = ["a", "b", "c", "x"]
 
+#: gap-window size (micros) for the r10 window shapes — rows sit at
+#: ep = event_id * 10, so adjacent rows gap 10, one intervening row 20
+#: (both under), two intervening rows 30 (over): every boundary class
+#: is reachable within an 18-row sequence
+W_GAP = 25
+
 
 def _ref_matches(rows, shape):
     """rows: list of (event_id, kind) in order. Returns set of match
@@ -143,6 +149,38 @@ def _ref_matches(rows, shape):
                 )
                 if b is not None:
                     out.add((k, rows[kept[0]][0], rows[b][0]))
+        elif shape == "oom_window":
+            # A+ with a quantifier window (r10 — Pattern.java
+            # oneOrMore(Duration):390, Times.windowTime): consecutive
+            # TAKES must be under W_GAP apart (strict <, the NFA prunes
+            # at >= — isStateTimedOut); an a beyond the gap can be
+            # neither taken nor ignored (SKIP_TILL_NEXT), so the loop
+            # ends there. Every surviving prefix emits (default
+            # emission), completed by the first b after its last a.
+            kept = []
+            for j in range(i, n):
+                if rows[j][1] != "a":
+                    continue
+                if kept and (j + 1) * 10 - (kept[-1] + 1) * 10 >= W_GAP:
+                    break
+                kept.append(j)
+            for k in range(1, len(kept) + 1):
+                b = next(
+                    (j for j in range(kept[k - 1] + 1, n)
+                     if rows[j][1] == "b"), None,
+                )
+                if b is not None:
+                    out.add((k, rows[kept[0]][0], rows[kept[k - 1]][0],
+                             rows[b][0]))
+        elif shape == "fb_window":
+            # A followedBy B within(W_GAP, PREVIOUS_AND_CURRENT) on B
+            # (r10 — Pattern.java:267): B is the first b after the a
+            # (SKIP_TILL_NEXT), match valid iff its gap to the a is
+            # strictly under W_GAP
+            b = next((j for j in range(i + 1, n) if rows[j][1] == "b"),
+                     None)
+            if b is not None and (b - i) * 10 < W_GAP:
+                out.add((rows[i][0], rows[b][0]))
         elif shape == "times2_relaxed":
             # A{2} relaxed: second a = FIRST a after i (reluctant gap);
             # b = first b after it
@@ -285,6 +323,26 @@ def _pattern_for(shape):
                 "b_id": "LAST(B.event_id)",
             },
         )
+    if shape == "oom_window":
+        return (
+            Pattern.begin("A").where("kind = 'a'")
+            .one_or_more(window=(W_GAP, "micros"))
+            .followed_by("B").where("kind = 'b'"),
+            {
+                "n_a": "COUNT(A.*)",
+                "first_a": "FIRST(A.event_id)",
+                "last_a": "LAST(A.event_id)",
+                "b_id": "LAST(B.event_id)",
+            },
+        )
+    if shape == "fb_window":
+        return (
+            Pattern.begin("A").where("kind = 'a'")
+            .followed_by("B").where("kind = 'b'")
+            .within(W_GAP, "micros",
+                    within_type="PREVIOUS_AND_CURRENT"),
+            {"a_id": "LAST(A.event_id)", "b_id": "LAST(B.event_id)"},
+        )
     if shape == "times2_relaxed":
         return (
             Pattern.begin("A").where("kind = 'a'").times(2)
@@ -329,6 +387,9 @@ def _pattern_for(shape):
         # SKIP_TILL_ANY (oom_any — testSkipTillAnyOneOrMore, multiset)
         "oom", "oom_consec", "times2_relaxed", "not_next", "group_times2",
         "oom_greedy", "oom_reluctant", "oom_any", "zom",
+        # r10: gap windows — quantifier window times and
+        # within(PREVIOUS_AND_CURRENT) (Pattern.java:267,390)
+        "oom_window", "fb_window",
     ],
 )
 @settings(

@@ -958,3 +958,50 @@ def test_stream_trailing_nfb_overlapping_conditions(spark, tmp_path):
     # event 2 (the dual-role row) expires unanswered -> emitted;
     # event 1 was killed BY event 2; user 2's click killed normally
     assert got == [(1, 2)], got
+
+
+def test_stream_within_previous_and_current(spark, tmp_path):
+    """r10: within(PREVIOUS_AND_CURRENT) STREAMS — the gap-window
+    conjunct is a cross-variable DEFINE, which the streaming engine
+    already evaluates under the certified-prefix bind-tracking DFS
+    (slicing-invariant by the r7 argument: binds only reference rows
+    already assigned to the in-flight match)."""
+    import pandas as pd
+
+    from apache_flink_spark.cep import Pattern, cep_select_stream
+    from apache_flink_spark.streaming.sources import run_to_table
+
+    S = 1_000_000
+    rows = [
+        (1, 1, 1, 100 * S), (1, 2, 2, 105 * S),   # gap 5s < 10s: match
+        (2, 3, 1, 100 * S), (2, 4, 2, 120 * S),   # gap 20s >= 10s: no
+        (3, 5, 0, 900 * S),                       # watermark flusher
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "kind", "ep"]
+    )
+    pq = str(tmp_path / "wpc_src")
+    spark.createDataFrame(pdf).withColumn(
+        "ts", F.timestamp_micros(F.col("ep"))
+    ).write.mode("overwrite").parquet(pq)
+    s = (
+        spark.readStream.schema(
+            "user_id long, event_id long, kind long, ep long, "
+            "ts timestamp"
+        ).parquet(pq).withWatermark("ts", "10 seconds")
+    )
+    p = (
+        Pattern.begin("A").where("kind = 1")
+        .followed_by("B").where("kind = 2")
+        .within(10, "seconds", within_type="PREVIOUS_AND_CURRENT")
+        .within(5, "minutes")
+    )
+    out = cep_select_stream(
+        s, p, "user_id", "ep, event_id",
+        {"a_id": "LAST(A.event_id)", "b_id": "LAST(B.event_id)"},
+    )
+    got = sorted(
+        (r.user_id, r.a_id, r.b_id)
+        for r in run_to_table(out, "append").collect()
+    )
+    assert got == [(1, 1, 2)], got
