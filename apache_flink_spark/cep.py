@@ -1158,9 +1158,12 @@ def cep_select_stream(
     ``A (G*? A)*`` is recognized as a flat loop with an ignore-row
     predicate (the reference NFA's IGNORE self-transition, NFA.java:76),
     with the reference's default multi-match prefix emission
-    (NFAITCase.java:1871 testSkipTillNextOneOrMore). GroupPattern still
-    produces nested groups the streaming parser rejects loudly (use the
-    batch ``cep_select``). The default SKIP TO NEXT ROW is the reference
+    (NFAITCase.java:1871 testSkipTillNextOneOrMore). r10: single-level
+    GroupPattern loops stream too — ``begin(inner).one_or_more()`` /
+    enumerable ``times`` compile to a group-body loop element on the
+    same engine (GroupPattern.java:30); greedy()/exact-count group
+    loops and nested groups still reject loudly toward the batch
+    ``cep_select``. The default SKIP TO NEXT ROW is the reference
     CEP's no-skip strategy, supported streaming since r8."""
     from apache_flink_spark.streaming.match_stream import (
         streaming_match_recognize,

@@ -1160,3 +1160,94 @@ def cep_times_window_gaps(spark, sf_dir):
             "n_clicks": "COUNT(A.*)",
         },
     )
+
+
+@query(
+    "cep_stream_group",
+    oracle="""
+    -- streaming (A B)+ group loop: reps chain deterministically — the
+    -- between-reps ignore edge is NOT(click) (a click cannot be
+    -- skipped), the inner pre-gap is NOT(purchase) — so rep k+1's click
+    -- is the FIRST click after rep k's purchase and its purchase the
+    -- FIRST purchase after that click. Default emission: every prefix
+    -- count is its own match; a start's family decides once the
+    -- watermark passes its 72h horizon.
+    WITH RECURSIVE wm AS (
+        SELECT (epoch_us(MAX(ts)) - 3600000000) // 1000 * 1000 AS wm_us
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS rn
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), chain AS (
+        SELECT s.user_id, s.ep AS s_ep, s.event_id AS first_click,
+               CAST(1 AS BIGINT) AS n_pairs, p.rn AS last_rn,
+               p.event_id AS last_purchase
+        FROM u s JOIN u p ON p.user_id = s.user_id AND p.rn = (
+            SELECT MIN(px.rn) FROM u px WHERE px.user_id = s.user_id
+              AND px.event_type = 'purchase' AND px.rn > s.rn)
+        WHERE s.event_type = 'click' AND p.ep <= s.ep + 259200000000
+        UNION ALL
+        SELECT ch.user_id, ch.s_ep, ch.first_click, ch.n_pairs + 1,
+               p.rn, p.event_id
+        FROM chain ch
+        JOIN u c ON c.user_id = ch.user_id AND c.rn = (
+            SELECT MIN(cx.rn) FROM u cx WHERE cx.user_id = ch.user_id
+              AND cx.event_type = 'click' AND cx.rn > ch.last_rn)
+        JOIN u p ON p.user_id = ch.user_id AND p.rn = (
+            SELECT MIN(px.rn) FROM u px WHERE px.user_id = ch.user_id
+              AND px.event_type = 'purchase' AND px.rn > c.rn)
+        WHERE c.ep <= ch.s_ep + 259200000000
+          AND p.ep <= ch.s_ep + 259200000000
+    )
+    SELECT ch.user_id, ch.first_click, ch.n_pairs, ch.last_purchase
+    FROM chain ch CROSS JOIN wm
+    WHERE ch.s_ep + 259200000000 < wm.wm_us
+    """,
+    streaming=True,
+)
+def cep_stream_group(spark, sf_dir):
+    """STREAMING single-level GroupPattern — r10 (VERDICT r9 missing #2
+    / next-item #2; GroupPattern.java:30, NFACompiler loop states over a
+    group body): ``Pattern.begin(click -> purchase).oneOrMore()`` on the
+    unbounded event stream. The compiled shape
+    ``( A G1*? B ) (G0*? ( A G1*? B ))*`` is recognized by the streaming
+    matcher as ONE loop element whose body lists the group's steps
+    (inner pre-gap = the compiled inner relaxed contiguity); reps ride
+    the SAME r9 frontier-based finality and keyed state — no state
+    schema change, committed restore fixtures unchanged. Reference
+    default multi-match emission: every repetition-count prefix is a
+    separate match. Slicing invariance pinned in
+    tests/test_match_stream.py."""
+    from apache_flink_spark.cep import Pattern, cep_select_stream
+    from apache_flink_spark.streaming.sources import (
+        run_to_table,
+        stream_table,
+    )
+
+    e = stream_table(spark, sf_dir, "events")
+    s = e.withWatermark("ts", "1 hour").select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("ep"),
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("is_click"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("is_purchase"),
+        "ts",
+    ).filter((F.col("is_click") == 1) | (F.col("is_purchase") == 1))
+    inner = (
+        Pattern.begin("A").where("A.is_click = 1")
+        .followed_by("B").where("B.is_purchase = 1")
+    )
+    p = Pattern.begin(inner).one_or_more().within(72, "hours")
+    out = cep_select_stream(
+        s, p, "user_id", "ep, event_id",
+        {
+            "first_click": "FIRST(A.event_id)",
+            "n_pairs": "COUNT(A.*)",
+            "last_purchase": "LAST(B.event_id)",
+        },
+    )
+    return run_to_table(out, "append")

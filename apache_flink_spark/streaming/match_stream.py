@@ -56,9 +56,17 @@ no scan stopped at the certified frontier while still extendable).
 MATCH_NUMBER also streams: the per-key counter rides the existing state
 arrays as one sentinel row per user (vm bit + tie-break field), so the
 checkpoint layout is unchanged and pre-r9 fixtures restore with
-counters at 0. Still out: ALL ROWS PER MATCH, SKIP TO FIRST/LAST,
-quantified multi-variable groups (GroupPattern), and SKIP_TILL_ANY —
-each errors loudly with a batch-path pointer.
+counters at 0.
+
+r10: single-level GROUP loops stream (GroupPattern.java:30 —
+Pattern.begin(inner).oneOrMore()): the compiled
+``( A .. B ) (G*? ( A .. B )){..}`` shape is recognized as ONE loop
+element whose body lists the group's steps (optionally with inner
+relaxed pre-gaps); repetitions ride the same frontier-based finality
+and keyed state, no state-schema change. Default multi-match emission
+only — greedy()/exact-count group loops stay batch. Still out: ALL
+ROWS PER MATCH, SKIP TO FIRST/LAST, nested (multi-level) groups, and
+SKIP_TILL_ANY — each errors loudly with a batch-path pointer.
 """
 
 from __future__ import annotations
@@ -112,27 +120,63 @@ _MN_BIT = 1 << 61
 _MN_TS = -(1 << 62)
 
 
+def _body_steps(nd):
+    """Parse a group-loop BODY node — a 'seq' of single-occurrence vars
+    with optional lazy pre-gap vars between them (the CEP compiler's
+    inner relaxed-contiguity shape ``A G1*? B``) — into steps
+    ``[(alts, pre_gap_var | None)]``. The first step never has a
+    pre-gap (the body anchors where the repetition starts). None for
+    unsupported shapes (nested quantifiers inside the body)."""
+    items = list(nd[1]) if nd[0] == "seq" else [nd]
+    steps: list[tuple[tuple, str | None]] = []
+    pre = None
+    for i, it in enumerate(items):
+        if it[0] != "var":
+            return None
+        if (
+            it[2:] == (0, None, False)
+            and len(it[1]) == 1
+            and i + 1 < len(items)
+        ):
+            if pre is not None:
+                return None
+            pre = it[1][0]
+            continue
+        if it[2:] != (1, 1, True):
+            return None
+        if pre is not None and not steps:
+            return None  # pre-gap before the anchoring first step
+        steps.append((tuple(it[1]), pre))
+        pre = None
+    if pre is not None or len(steps) < 2:
+        return None
+    return steps
+
+
 def _tree_flat_ignore(node):
     """Extended flat view for the streaming matcher:
-    ``[(alts, (lo, hi), greedy, ignore_var | None)]``.
+    ``[(alts, (lo, hi), greedy, ignore_var | None, body | None)]``.
 
     Recognizes the CEP compiler's relaxed-loop shape ``X (G*? X)*`` /
     ``X (G*? X){a,b}`` as ONE loop element with an ignore variable — the
     reference NFA's IGNORE self-transition (flink-libraries/flink-cep
-    NFA.java:76; NFACompiler getInnerIgnoreCondition SKIP_TILL_NEXT).
-    Plain variables pass through with ``None``. Returns None for any
-    other nested structure (quantified multi-variable groups — use the
-    batch path)."""
+    NFA.java:76; NFACompiler getInnerIgnoreCondition SKIP_TILL_NEXT) —
+    and, r10, the single-level GROUP loop shape
+    ``( A .. B ) (G*? ( A .. B )){a,b}`` (GroupPattern.java:30 —
+    Pattern.begin(inner).oneOrMore()/times()) as one loop element whose
+    ``body`` lists the group's steps (each step optionally preceded by
+    an inner relaxed pre-gap). Plain variables pass through with
+    ``(None, None)``. Returns None for any other nested structure."""
     items = list(node[1]) if node[0] == "seq" else [node]
     out = []
     i = 0
     while i < len(items):
         it = items[i]
-        if it[0] != "var":
-            return None
         nxt = items[i + 1] if i + 1 < len(items) else None
+        # single-variable relaxed loop X (G*? X){...}
         if (
-            it[2:] == (1, 1, True)
+            it[0] == "var"
+            and it[2:] == (1, 1, True)
             and len(it[1]) == 1
             and nxt is not None
             and nxt[0] == "group"
@@ -151,10 +195,56 @@ def _tree_flat_ignore(node):
                     (1 + lo, None if hi is None else 1 + hi),
                     greedy,
                     g_nd[1][0],
+                    None,
                 ))
                 i += 2
                 continue
-        out.append(((*it[1],), (it[2], it[3]), it[4], None))
+        # group loop ( body ) (G*? ( body )){...} — r10. The parser
+        # flattens an unquantified parenthesized group into a bare
+        # 'seq' node, so the anchor (and the repetition's inner copy)
+        # arrives either as ('seq', items) or as a {1,1} group.
+        body_nd = None
+        if it[0] == "seq":
+            body_nd = it
+        elif it[0] == "group" and it[2:] == (1, 1, True):
+            body_nd = it[1]
+        if (
+            body_nd is not None
+            and nxt is not None
+            and nxt[0] == "group"
+            and nxt[1][0] == "seq"
+            and len(nxt[1][1]) == 2
+        ):
+            g_nd, rep_nd = nxt[1][1]
+            rep_body = None
+            if rep_nd[0] == "seq":
+                rep_body = rep_nd
+            elif rep_nd[0] == "group" and rep_nd[2:] == (1, 1, True):
+                rep_body = rep_nd[1]
+            if (
+                g_nd[0] == "var" and len(g_nd[1]) == 1
+                and g_nd[2:] == (0, None, False)
+                and rep_body == body_nd
+            ):
+                steps = _body_steps(body_nd)
+                if steps is not None:
+                    lo, hi, greedy = nxt[2], nxt[3], nxt[4]
+                    alts = tuple(
+                        dict.fromkeys(v for s, _p in steps for v in s)
+                    )
+                    out.append((
+                        alts,
+                        (1 + lo, None if hi is None else 1 + hi),
+                        greedy,
+                        g_nd[1][0],
+                        steps,
+                    ))
+                    i += 2
+                    continue
+            return None
+        if it[0] != "var":
+            return None
+        out.append(((*it[1],), (it[2], it[3]), it[4], None, None))
         i += 1
     return out
 
@@ -203,20 +293,28 @@ def streaming_match_recognize(
     tree = _parse_pattern_tree(m.group("pat"))
     flat = _tree_flat(tree)
     if flat is not None:
-        pattern = [(alts, q, g, None) for alts, q, g in flat]
+        pattern = [(alts, q, g, None, None) for alts, q, g in flat]
     else:
         pattern = _tree_flat_ignore(tree)
         if pattern is None:
             raise MatchRecognizeError(
-                "streaming MATCH_RECOGNIZE supports flat patterns and "
+                "streaming MATCH_RECOGNIZE supports flat patterns, "
                 "single-variable relaxed loops (the compiled X (G*? X)* "
-                "shape) only — quantified multi-variable groups "
-                "(GroupPattern) need the batch path (cep_select / "
+                "shape) and single-level group loops (the compiled "
+                "( A .. B ) (G*? ( A .. B )){..} shape) only — other "
+                "nested structure needs the batch path (cep_select / "
                 "sql_with_match_recognize)"
             )
-    variables = {v for alts, _q, _g, _ign in pattern for v in alts}
-    variables |= {ign for _a, _q, _g, ign in pattern if ign is not None}
-    for _alts, _q, _g, ign in pattern:
+    variables = set()
+    for alts, _q, _g, ign, body in pattern:
+        variables.update(alts)
+        if ign is not None:
+            variables.add(ign)
+        if body is not None:
+            for _salts, pre in body:
+                if pre is not None:
+                    variables.add(pre)
+    for _alts, _q, _g, ign, _body in pattern:
         if ign is not None and ign in cep_enum:
             raise MatchRecognizeError(
                 "streaming allowCombinations (SKIP_TILL_ANY) is not "
@@ -224,10 +322,18 @@ def streaming_match_recognize(
                 "unbounded in stream state; use the batch cep_select"
             )
     elem_enum = [
-        bool(set(alts) & cep_enum) for alts, _q, _g, _ign in pattern
+        bool(set(alts) & cep_enum) for alts, _q, _g, _ign, _b in pattern
     ]
-    has_ignore = any(ign is not None for _a, _q, _g, ign in pattern)
+    has_ignore = any(ign is not None for _a, _q, _g, ign, _b in pattern)
+    has_body = any(body is not None for *_rest, body in pattern)
     has_enum = any(elem_enum)
+    if has_body and not has_enum:
+        raise MatchRecognizeError(
+            "streaming GROUP loops support the reference DEFAULT "
+            "multi-match emission only — a greedy()/reluctant()-pinned "
+            "or exact-count group loop needs the batch path "
+            "(cep_select)"
+        )
     measures = _parse_measures(m.group("meas"))
     src_col_names = {f.name for f in stream.schema.fields}
     defines, nav_cols, cross_defs = _parse_defines(
@@ -346,9 +452,11 @@ def streaming_match_recognize(
                 f"MEASURES references unknown variable {var!r}"
             )
     # Pattern length bound: every start/drop decision needs a horizon.
+    # A group loop's repetition spans len(body) take rows plus unbounded
+    # inner pre-gap rows, so body elements always defer to the horizon.
     l_max = 0
-    for _alts, (_lo, hi), _g, _ign in pattern:
-        if hi is None:
+    for _alts, (_lo, hi), _g, _ign, body in pattern:
+        if hi is None or body is not None:
             l_max = None
             break
         l_max += hi
@@ -647,7 +755,7 @@ def streaming_match_recognize(
                 def rec(pi: int, ri: int, binds: dict):
                     if pi == len(pat):
                         return binds, ri
-                    alts, (lo, hi), greedy, _ign = pat[pi]
+                    alts, (lo, hi), greedy, _ign, _body = pat[pi]
                     cur = {v: list(x) for v, x in binds.items()}
                     labels = []
                     while (
@@ -692,7 +800,7 @@ def streaming_match_recognize(
                 def rec(pi: int, ri: int):
                     if pi == len(pat):
                         return {}, ri
-                    _alts, (lo, hi), greedy, _ign = pat[pi]
+                    _alts, (lo, hi), greedy, _ign, _body = pat[pi]
                     take_max = 0
                     while (
                         (hi is None or take_max < hi)
@@ -734,20 +842,75 @@ def streaming_match_recognize(
             # n_eval frontier while still extendable is undecided.
             frontier_hit = [False]
 
-            def scan_elem(pi: int, ri: int, limit: int) -> list[int]:
-                """Maximal qualifying takes for element pi from ri;
-                ignore-flagged rows between takes are skipped (the
+            def body_attempt(j: int, limit: int, steps):
+                """Match a group loop's BODY once from row j (the first
+                step takes AT j — the caller handles between-repetition
+                ignore rows). Later steps may skip rows satisfying
+                their inner pre-gap predicate (the compiled inner
+                relaxed contiguity). Returns (consumed [(row, var)],
+                next_j), or 'frontier' (ran into the n_eval frontier
+                mid-body — undecided), or None (dead: a row neither
+                extends the body nor can be skipped)."""
+                consumed: list[tuple[int, str]] = []
+                for si, (salts, pre) in enumerate(steps):
+                    while True:
+                        if j >= limit:
+                            return "frontier" if limit == n_eval else None
+                        hit = next(
+                            (
+                                v for v in salts
+                                if vm[j] & (1 << var_list.index(v))
+                            ),
+                            None,
+                        )
+                        if hit is not None:
+                            consumed.append((j, hit))
+                            j += 1
+                            break
+                        if si == 0 or pre is None:
+                            return None
+                        if not (vm[j] & (1 << var_list.index(pre))):
+                            return None
+                        j += 1
+                return consumed, j
+
+            def scan_elem(pi: int, ri: int, limit: int):
+                """Maximal qualifying takes for element pi from ri, one
+                entry PER REPETITION: ``[(row, var), ...]`` per take
+                (single-variable elements consume one row per take, a
+                group loop's take consumes its whole body — r10).
+                Ignore-flagged rows between takes are skipped (the
                 reference NFA's IGNORE self-transition — cannot fire
                 before the first take: reaching the element is governed
-                by the PREVIOUS gap element)."""
-                alts, (lo, hi), greedy, ign = pat[pi]
-                takes: list[int] = []
+                by the PREVIOUS gap element). A group-loop repetition
+                whose HEAD matched but whose tail failed ends the loop:
+                the between-reps ignore edge is NOT(head), so the head
+                row can never be skipped."""
+                alts, (lo, hi), greedy, ign, body = pat[pi]
+                takes: list[list[tuple[int, str]]] = []
                 j = ri
                 while (hi is None or len(takes) < hi) and j < limit:
-                    if elem_ok(pi, j):
-                        takes.append(j)
-                        j += 1
-                    elif ign is not None and takes and ign_ok(pi, j):
+                    if body is None:
+                        if elem_ok(pi, j):
+                            takes.append([(j, label(pi, j))])
+                            j += 1
+                            continue
+                    else:
+                        head_alts = body[0][0]
+                        if any(
+                            vm[j] & (1 << var_list.index(v))
+                            for v in head_alts
+                        ):
+                            r = body_attempt(j, limit, body)
+                            if r == "frontier":
+                                frontier_hit[0] = True
+                                return takes
+                            if r is None:
+                                return takes  # tail failed: loop ends
+                            consumed, j = r
+                            takes.append(consumed)
+                            continue
+                    if ign is not None and takes and ign_ok(pi, j):
                         j += 1
                     else:
                         break
@@ -785,7 +948,7 @@ def streaming_match_recognize(
                             seen_loc.add(key)
                             results.append((a, ri))
                         return True
-                    _alts, (lo, hi), greedy, _ign = pat[pi]
+                    _alts, (lo, hi), greedy, _ign, _body = pat[pi]
                     takes = scan_elem(pi, ri, limit)
                     if len(takes) < lo:
                         return False
@@ -797,9 +960,10 @@ def streaming_match_recognize(
                     found = False
                     for take in order_:
                         na = {v: list(ix) for v, ix in assign.items()}
-                        for j in takes[:take]:
-                            na.setdefault(label(pi, j), []).append(j)
-                        nxt = takes[take - 1] + 1 if take else ri
+                        for rep in takes[:take]:
+                            for j, v in rep:
+                                na.setdefault(v, []).append(j)
+                        nxt = takes[take - 1][-1][0] + 1 if take else ri
                         if rec(pi + 1, nxt, na):
                             found = True
                             if not elem_enum[pi]:

@@ -710,9 +710,9 @@ def test_slicing_invariance_match_number(spark, tmp_path, seed):
 
 
 def test_stream_group_pattern_rejects_loudly(spark):
-    """r9 (VERDICT r8 next-item #5): quantified multi-variable groups
-    (GroupPattern) stay batch-only — the streaming parser's reject must
-    be loud and actionable."""
+    """r10: ENUMERABLE single-level group loops stream now, but an
+    exact-count group quantifier (times(2) — single-match semantics)
+    still rejects loudly toward the batch path."""
     from apache_flink_spark.cep import CepError, Pattern, cep_select_stream
     from apache_flink_spark.match_recognize import MatchRecognizeError
 
@@ -1005,3 +1005,140 @@ def test_stream_within_previous_and_current(spark, tmp_path):
         for r in run_to_table(out, "append").collect()
     )
     assert got == [(1, 1, 2)], got
+
+
+def _run_stream_cep_group(spark, tmp_path, rows, slices, tag):
+    """Like _run_stream_cep but with a single-level GROUP loop (r10):
+    (A B)+ — begin(kind=1 followedBy kind=2).oneOrMore().within(30m)."""
+    import os
+    import time
+
+    from apache_flink_spark.cep import Pattern, cep_select_stream
+
+    in_dir = tmp_path / f"in_{tag}"
+    in_dir.mkdir()
+    base_mtime = time.time() - len(slices) - 10
+    for i, chunk in enumerate(slices):
+        p = in_dir / f"f{i:03d}.json"
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (base_mtime + i, base_mtime + i))
+    raw = (
+        spark.readStream.schema(
+            "user_id long, event_id long, kind long, v long, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(in_dir))
+    )
+    s = raw.withWatermark("ts", "10 minutes").select(
+        "user_id", "event_id", "kind",
+        F.unix_micros("ts").alias("ep"), "ts",
+    )
+    p = _group_loop_pattern()
+    out = cep_select_stream(
+        s, p, "user_id", "ep, event_id",
+        {
+            "n_pairs": "COUNT(A.*)",
+            "first_a": "FIRST(A.event_id)",
+            "last_b": "LAST(B.event_id)",
+        },
+    )
+    out_dir = str(tmp_path / f"out_{tag}")
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out_dir)
+
+    (
+        out.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not os.path.exists(out_dir):
+        return []
+    return sorted(
+        (r.user_id, r.n_pairs, r.first_a, r.last_b)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+
+
+def _group_loop_pattern():
+    from apache_flink_spark.cep import Pattern
+
+    inner = (
+        Pattern.begin("A").where("kind = 1")
+        .followed_by("B").where("kind = 2")
+    )
+    return Pattern.begin(inner).one_or_more().within(30, "minutes")
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_slicing_invariance_group_loop(spark, tmp_path, seed):
+    """r10: the streaming single-level GROUP loop (A B)+ with default
+    multi-match emission is micro-batch-slicing invariant — repetition
+    prefixes decide together under the same frontier-based finality
+    rule as single-variable loops."""
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rows = _mk_rows(seed)
+        single = _run_stream_cep_group(
+            spark, tmp_path, rows, [rows], "grpsingle"
+        )
+        assert single, "fixture produced no matches — weaken the pattern"
+        rng = random.Random(seed * 17 + 3)
+        for trial in range(2):
+            sliced = _run_stream_cep_group(
+                spark, tmp_path, rows,
+                _random_slices(rows, rng), f"grp{trial}",
+            )
+            assert sliced == single, (
+                f"slicing changed the group-loop match set (seed {seed}, "
+                f"trial {trial})"
+            )
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_group_loop_stream_vs_batch(spark, tmp_path):
+    """Streamed group-loop matches ⊆ the batch CEP result on the same
+    rows (the streaming gate only withholds not-yet-final families)."""
+    from apache_flink_spark.cep import cep_select
+
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    try:
+        rows = _mk_rows(53)
+        streamed = set(
+            _run_stream_cep_group(spark, tmp_path, rows, [rows], "gvb")
+        )
+        assert streamed, "fixture produced no streamed matches"
+        df = spark.createDataFrame(
+            [
+                (r["user_id"], r["event_id"], r["kind"], r["ts"])
+                for r in rows
+            ],
+            "user_id long, event_id long, kind long, ts string",
+        ).select(
+            "user_id", "event_id", "kind",
+            F.unix_micros(F.to_timestamp("ts")).alias("ep"),
+        )
+        batch = set(
+            (r.user_id, r.n_pairs, r.first_a, r.last_b)
+            for r in cep_select(
+                spark, df, _group_loop_pattern(), "user_id",
+                "ep, event_id",
+                {
+                    "n_pairs": "COUNT(A.*)",
+                    "first_a": "FIRST(A.event_id)",
+                    "last_b": "LAST(B.event_id)",
+                },
+            ).collect()
+        )
+        assert streamed <= batch, streamed - batch
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
