@@ -660,35 +660,77 @@ def _loop_enumerable(e: _Elem) -> bool:
     return True  # {n,}
 
 
-def _prev_take_var(elem_list: list[_Elem], i: int) -> str | None:
-    """The pattern variable whose LAST bind is the event taken
-    immediately before element ``i`` — the reference NFA's
-    ComputationState.previousTimestamp (what a PREVIOUS_AND_CURRENT
-    window measures against, NFA.advanceTime). Negative patterns never
-    take events; a group's previous take is its inner pattern's last
-    take. None for the first element (the start state never times out).
-    Optional predecessors error loudly: the previously-taken event is
-    then branch-dependent and has no single bind variable."""
-    j = i - 1
-    while j >= 0 and elem_list[j].contiguity in (
-        "not_followed_by", "not_next",
-    ):
-        j -= 1
-    if j < 0:
-        return None
-    p = elem_list[j]
-    if p.opt_loop or p.quant in ("?", "??") or re.match(
-        r"\{0[,}]", p.quant or ""
-    ):
-        raise CepError(
-            "within(PREVIOUS_AND_CURRENT) after an OPTIONAL element is "
-            "not supported — the previously-taken event is "
-            "branch-dependent; restructure without the optional, or "
-            "bound the whole match with within(FIRST_AND_LAST)"
+def _is_optional_elem(p: _Elem) -> bool:
+    return bool(
+        p.opt_loop
+        or p.quant in ("?", "??")
+        or re.match(r"\{0[,}]", p.quant or "")
+    )
+
+
+def _prev_take_chain(
+    elem_list: list[_Elem], i: int
+) -> list[tuple[str, bool]]:
+    """Candidate previous-take variables for element ``i``, NEAREST
+    first — the reference NFA's ComputationState.previousTimestamp
+    (what a PREVIOUS_AND_CURRENT window measures against,
+    NFA.advanceTime). The last taken event is the nearest bound
+    variable in pattern order; OPTIONAL predecessors contribute a
+    candidate and fall through to the one before (branch-dependent —
+    the reference resolves this dynamically, the compiled conjunct
+    resolves it with IS NULL guards). Entries are
+    ``(var, guaranteed_bound)``; the chain ends at the first
+    guaranteed-bound variable, or exhausts when every predecessor is
+    optional (the match may then START at element i — no previous
+    event, never timed out, like the NFA start state)."""
+    chain: list[tuple[str, bool]] = []
+
+    def walk_back(elems, idx: int, enclosing_optional: bool) -> bool:
+        for j in range(idx - 1, -1, -1):
+            p = elems[j]
+            if p.contiguity in ("not_followed_by", "not_next"):
+                continue  # negative patterns never take events
+            opt = _is_optional_elem(p)
+            if p.group is not None:
+                # a group's last take is its inner pattern's last take;
+                # an anchor found inside an OPTIONAL group does not end
+                # the chain (the whole group may be skipped)
+                if walk_back(
+                    p.group._elems, len(p.group._elems),
+                    enclosing_optional or opt,
+                ) and not (enclosing_optional or opt):
+                    return True
+                continue
+            chain.append((p.name, not (opt or enclosing_optional)))
+            if not opt:
+                # required at THIS level: nothing earlier in this list
+                # can be the last take when this element matched
+                return not enclosing_optional
+        return False
+
+    walk_back(elem_list, i, False)
+    return chain
+
+
+def _gap_window_conjunct(
+    chain: list[tuple[str, bool]], tcol: str, w: int
+) -> str:
+    """SQL conjunct for a PREVIOUS_AND_CURRENT window over a
+    previous-take chain: gap to the NEAREST bound candidate strictly
+    under ``w``; with no candidate bound (all-optional prefix — the
+    match starts here) the window passes, like the NFA start state."""
+    expr = "TRUE"
+    rest = list(chain)
+    if rest and rest[-1][1]:
+        var = rest.pop()[0]
+        expr = f"({tcol} - LAST({var}.{tcol}) < {w})"
+    for var, _req in reversed(rest):
+        expr = (
+            f"((LAST({var}.{tcol}) IS NOT NULL AND "
+            f"{tcol} - LAST({var}.{tcol}) < {w}) OR "
+            f"(LAST({var}.{tcol}) IS NULL AND {expr}))"
         )
-    if p.group is not None:
-        return _prev_take_var(p.group._elems, len(p.group._elems))
-    return p.name
+    return expr
 
 
 def _compile_body(
@@ -967,11 +1009,11 @@ def _compile_body(
                     f"{e.loop_window_us}))"
                 )
             if e.window_prev_us is not None:
-                prev_var = _prev_take_var(elem_list, i)
-                if prev_var is not None:
+                chain = _prev_take_chain(elem_list, i)
+                if chain:
                     cond = (
-                        f"({cond}) AND ({tcol} - LAST({prev_var}.{tcol})"
-                        f" < {e.window_prev_us})"
+                        f"({cond}) AND "
+                        f"{_gap_window_conjunct(chain, tcol, e.window_prev_us)}"
                     )
             # loop ignore condition: NOT(take), tightened by until() —
             # the reference guards IGNORE transitions with until too;

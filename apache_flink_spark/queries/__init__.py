@@ -106,12 +106,29 @@ GATE_SAMPLE = [
     "cep_stream_relaxed_loop",
     "mr_stream_match_number",
     "mr_permute_cross_define",
+    # r10 rotation (VERDICT r9 next-item #4 + the four new r10 operator
+    # families): the three r9 operators the driver never gated —
+    # followedByAny branching (SKIP_TILL_ANY between elements), the
+    # streaming trailing-notFollowedBy timeout side output (key-group-
+    # sharded absence operator), PERMUTE as a mixed pattern primary —
+    # plus r10's within(PREVIOUS_AND_CURRENT) gap window, quantifier
+    # window times, streaming single-level GroupPattern, and
+    # IterativeCondition pass-through. Rotated out (all stay green in
+    # the full sweep): join_full_outer, agg_percentiles,
+    # over_running_sum, setop_intersect_all, win_session_agg,
+    # mr_bounded_quantifier, ds_q14b_period_over_period_intersect.
+    "cep_followed_by_any",
+    "cep_stream_not_followed_by",
+    "mr_permute_mixed",
+    "cep_within_previous_current",
+    "cep_times_window_gaps",
+    "cep_stream_group",
+    "cep_iterative_condition",
     # TPC-DS shapes (r6 rotation): the 9-relation inventory/promo join,
     # the INTERSECT-tower period compare, the lag/lead self-join, and
     # the nested date-subquery return-share query (4 TPC-H rotated out;
     # all stay green in the full sweep)
     "ds_q72_inventory_promo_nine_join",
-    "ds_q14b_period_over_period_intersect",
     # r7 rotation: the five new operator families, each in-gate —
     # DISTRIBUTED BY bucketing DDL, multi-catalog cross join, RTAS,
     # CEP Pattern API negation, streaming MR cross-variable binds
@@ -125,28 +142,19 @@ GATE_SAMPLE = [
     "mr_stream_cross_define",
     # joins
     "join_inner_fact_dim",
-    "join_full_outer",
     "join_theta_nonequi",
     # aggregations
     "agg_grouping_sets",
     "agg_pivot",
-    "agg_percentiles",
     # window TVFs + event windows
     "tvf_tumble_agg",
-    "win_session_agg",
     # streaming (one windowed, one join, one custom-stateful)
     "stream_tumble_agg",
     "stream_stream_join",
     "stream_topn_stateful",
     # over windows / rank
-    "over_running_sum",
     "rank_topn_per_group",
-    # set ops
-    "setop_intersect_all",
-    # MATCH_RECOGNIZE (bounded quantifier; PREV navigation is in-gate via
-    # the STREAMING mr_stream_prev_nav below — mr_v_shape_prev stays green
-    # in the full sweep)
-    "mr_bounded_quantifier",
+    # streaming MATCH_RECOGNIZE PREV navigation
     "mr_stream_prev_nav",
     # LLM-pipeline north stars
     "dedup_minhash_lsh",

@@ -1251,3 +1251,62 @@ def cep_stream_group(spark, sf_dir):
         },
     )
     return run_to_table(out, "append")
+
+
+@query(
+    "cep_iterative_condition",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type, value
+        FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    -- IterativeCondition parity: B's take condition reads A's bind, and
+    -- the SKIP_TILL_NEXT ignore edge negates the FULL take condition
+    -- (NFACompiler getIgnoreCondition = RichNot(getTakeCondition)) — a
+    -- purchase with value <= the click's is SKIPPED, so the match is
+    -- the first purchase whose value exceeds the click's
+    SELECT c.user_id, c.event_id AS click_id, p.purchase_id
+    FROM u c, LATERAL (
+        SELECT event_id AS purchase_id
+        FROM u p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND p.value > c.value
+          AND (p.ep > c.ep OR (p.ep = c.ep AND p.event_id > c.event_id))
+        ORDER BY p.ep, p.event_id LIMIT 1
+    ) p
+    WHERE c.event_type = 'click'
+    """,
+)
+def cep_iterative_condition(spark, sf_dir):
+    """CEP IterativeCondition through where() — r10 (VERDICT r9
+    next-item #6; flink-cep Pattern.java:165 where(IterativeCondition),
+    ctx.getEventsForPattern): a where() condition referencing an EARLIER
+    pattern variable's bind (``B.value > LAST(A.value)``) passes through
+    the compile to a cross-variable DEFINE and runs on the bind-tracking
+    NFA. The relaxed gap edge negates the FULL iterative condition
+    (NFACompiler getIgnoreCondition), so non-qualifying purchases are
+    skipped — pinned by the oracle's first-qualifying-purchase rule."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    p = (
+        Pattern.begin("A").where("event_type = 'click'")
+        .followed_by("B").where(
+            "event_type = 'purchase' AND B.value > LAST(A.value)"
+        )
+    )
+    return cep_select(
+        spark, e, p, "user_id", "ep, event_id",
+        {
+            "click_id": "LAST(A.event_id)",
+            "purchase_id": "LAST(B.event_id)",
+        },
+    )

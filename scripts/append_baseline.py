@@ -5,11 +5,19 @@ appended; existing entries are never re-measured).
 Measures each named query with bench.py's methodology (session warm-up,
 per-query warm run, then median of N timed runs) and appends the medians.
 
+r10 — the freeze rule is CODE now (VERDICT r9 next-item #7, the cea0b67
+adjudication): an existing entry may be re-measured ONLY with an
+explicit ``--re-record`` flag AND only while no committed driver bench
+artifact (BENCH_r*.json) has ever consumed the key. Once a driver run
+has seen the number, the entry is immutable, period.
+
 Usage: python scripts/append_baseline.py q1 [q2 ...] [--runs N]
+                                        [--re-record]
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import statistics
@@ -19,9 +27,78 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def driver_consumed_keys(repo: str = REPO) -> set[str]:
+    """Query names a driver bench run has consumed — these baselines
+    are immutable. Sources: any per-query map embedded in a BENCH_r*
+    artifact, plus the per-query detail file the driver's artifact
+    points at (BENCH_DETAIL.json) in BOTH the working tree and HEAD
+    (a key added this round appears in neither until the next driver
+    run — exactly the same-round correction window)."""
+    out: set[str] = set()
+
+    def _take(doc) -> None:
+        if not isinstance(doc, dict):
+            return
+        q = doc.get("queries")
+        if isinstance(q, dict):
+            out.update(q.keys())
+        _take(doc.get("parsed"))
+
+    for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        try:
+            with open(p) as f:
+                _take(json.load(f))
+        except (OSError, ValueError):
+            continue
+    detail = os.path.join(repo, "BENCH_DETAIL.json")
+    try:
+        with open(detail) as f:
+            _take(json.load(f))
+    except (OSError, ValueError):
+        pass
+    try:  # HEAD's copy too, in case the working tree was locally rerun
+        import subprocess
+
+        blob = subprocess.run(
+            ["git", "-C", repo, "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if blob.returncode == 0:
+            _take(json.loads(blob.stdout))
+    except (OSError, ValueError, subprocess.SubprocessError):
+        pass
+    return out
+
+
+def check_mutation(
+    name: str, existing: bool, consumed: set[str], re_record: bool
+) -> str:
+    """The freeze rule as a pure function (pytest-pinned):
+
+    - new key                         -> 'append'
+    - existing key, no --re-record    -> 'skip' (frozen, append-only)
+    - existing key, --re-record, key never in a committed BENCH_r*.json
+                                      -> 're-record' (same-round
+                                        correction, the cea0b67 case)
+    - existing key, --re-record, key consumed by a driver run
+                                      -> ValueError (immutable)
+    """
+    if not existing:
+        return "append"
+    if not re_record:
+        return "skip"
+    if name in consumed:
+        raise ValueError(
+            f"baseline for {name!r} is FROZEN: a committed driver bench "
+            "artifact (BENCH_r*.json) has consumed it — re-recording a "
+            "consumed baseline is forbidden (append-only rule)"
+        )
+    return "re-record"
+
+
 def main() -> int:
     argv = sys.argv[1:]
-    args, runs, i = [], 3, 0
+    args, runs, re_record, i = [], 3, False, 0
     while i < len(argv):
         a = argv[i]
         if a.startswith("--runs"):
@@ -30,6 +107,8 @@ def main() -> int:
             else:
                 i += 1
                 runs = int(argv[i])
+        elif a == "--re-record":
+            re_record = True
         else:
             args.append(a)
         i += 1
@@ -54,10 +133,15 @@ def main() -> int:
     with open(path) as f:
         doc = json.load(f)
 
+    consumed = driver_consumed_keys()
     for name in args:
-        if name in doc["queries"]:
+        action = check_mutation(
+            name, name in doc["queries"], consumed, re_record
+        )
+        if action == "skip":
             print(f"SKIP {name}: already recorded (baseline is frozen, "
-                  "append-only)", file=sys.stderr)
+                  "append-only; --re-record only before a driver run "
+                  "consumes the key)", file=sys.stderr)
             continue
         fn = QUERIES[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm

@@ -1,0 +1,53 @@
+"""r10 (VERDICT r9 next-item #7): the BASELINE_BENCH freeze rule as
+code — an existing baseline entry may be re-measured only with an
+explicit --re-record flag AND only while no committed driver bench
+artifact (BENCH_r*.json) has consumed the key (the cea0b67
+adjudication, now pinned)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from append_baseline import check_mutation, driver_consumed_keys  # noqa: E402
+
+
+def test_new_key_appends():
+    assert check_mutation("brand_new", False, {"old"}, False) == "append"
+    assert check_mutation("brand_new", False, {"old"}, True) == "append"
+
+
+def test_existing_key_skips_without_flag():
+    assert check_mutation("q1", True, set(), False) == "skip"
+    assert check_mutation("q1", True, {"q1"}, False) == "skip"
+
+
+def test_re_record_allowed_only_before_driver_consumption():
+    # same-round correction: key exists but no driver artifact saw it
+    assert check_mutation("fresh", True, {"other"}, True) == "re-record"
+    # consumed by a driver run -> immutable, loud error
+    with pytest.raises(ValueError, match="FROZEN"):
+        check_mutation("q1", True, {"q1"}, True)
+
+
+def test_driver_consumed_keys_reads_committed_artifacts():
+    keys = driver_consumed_keys(REPO)
+    # the r9 driver bench consumed the shared-query set via
+    # BENCH_DETAIL.json — the flagship and a long-standing CEP query
+    # must therefore be immutable
+    assert "q1_pricing_summary" in keys
+    assert "mr_cross_define_last" in keys
+    # and the full frozen set is now guarded end-to-end: re-recording
+    # any consumed baseline raises
+    with open(os.path.join(REPO, "BASELINE_BENCH.json")) as f:
+        base = json.load(f)
+    consumed_frozen = [k for k in base["queries"] if k in keys]
+    assert consumed_frozen, "no consumed baseline keys found"
+    with pytest.raises(ValueError, match="FROZEN"):
+        check_mutation(consumed_frozen[0], True, keys, True)

@@ -636,15 +636,19 @@ def test_gap_window_guards():
     # unknown within type
     with pytest.raises(CepError, match="unknown within_type"):
         Pattern.begin("A").within(1, "minutes", within_type="BOGUS")
-    # after an optional element the previous take is branch-dependent
+    # after an optional element the previous take is branch-dependent:
+    # the conjunct falls through the candidate chain with IS NULL
+    # guards (O bound -> gap to O; else gap to A)
     p2 = (
         Pattern.begin("A").where("x = 1")
         .followed_by("O").where("x = 2").optional()
         .followed_by("B").where("x = 3")
         .within(1, "minutes", within_type="PREVIOUS_AND_CURRENT")
     )
-    with pytest.raises(CepError, match="OPTIONAL"):
-        pattern_to_match_recognize(p2, "t", "k", "ep", MEAS)
+    stmt = pattern_to_match_recognize(
+        p2, "t", "k", "ep", {"a_id": "LAST(A.event_id)"}
+    )
+    assert "LAST(O.ep) IS NOT NULL" in stmt and "LAST(A.ep)" in stmt
     # middle notFollowedBy never takes an event
     p3 = (
         Pattern.begin("A").where("x = 1")
@@ -666,3 +670,175 @@ def test_gap_window_guards():
         .followed_by("B").where("x = 2").within(10, "seconds")
     )
     assert p5._within == (10, "seconds")
+
+
+def test_nfaitcase_branching_skip_till_next(spark):
+    """NFAITCase.java:2492 testBranchingPatternSkipTillNext: start
+    followedBy mid(vol>5) followedBy next-one followedByAny end — the
+    SKIP_TILL_NEXT legs take the FIRST qualifying row, so exactly ONE
+    match (start, foo1, nextOne1, end). (subtype(SubEvent) expressed as
+    the is_sub column predicate — the documented subtype() mapping.)"""
+    rows = [
+        (1, 40, "start", 0, 0.0, 1 * S),
+        (1, 41, "foo1", 1, 10.0, 3 * S), (1, 42, "foo2", 1, 10.0, 4 * S),
+        (1, 43, "foo3", 1, 10.0, 5 * S),
+        (1, 44, "next-one", 1, 2.0, 6 * S),
+        (1, 45, "next-one", 1, 2.0, 7 * S),
+        (1, 46, "end", 0, 0.0, 8 * S),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k long, event_id long, name string, is_sub long, vol double, "
+        "ep long",
+    )
+    p = (
+        Pattern.begin("S").where("name = 'start'")
+        .followed_by("M").where("is_sub = 1 AND vol > 5.0")
+        .followed_by("N").where("is_sub = 1 AND name = 'next-one'")
+        .followed_by_any("E").where("name = 'end'")
+    )
+    meas = {
+        "s_id": "LAST(S.event_id)", "m_id": "LAST(M.event_id)",
+        "n_id": "LAST(N.event_id)", "e_id": "LAST(E.event_id)",
+    }
+    got = sorted(
+        tuple(r[c] for c in meas)
+        for r in cep_select(spark, df, p, "k", "ep", meas).collect()
+    )
+    assert got == [(40, 41, 44, 46)], got
+
+
+def test_nfaitcase_branching_mixed_followed_by(spark):
+    """NFAITCase.java:2534 testBranchingPatternMixedFollowedBy: the
+    FIRST leg upgrades to followedByAny — every foo middle branches,
+    the later SKIP_TILL_NEXT legs still take the first qualifying row:
+    3 matches (foo1/foo2/foo3 each with nextOne1 and end)."""
+    rows = [
+        (1, 40, "start", 0, 0.0, 1 * S),
+        (1, 41, "foo1", 1, 10.0, 3 * S), (1, 42, "foo2", 1, 10.0, 4 * S),
+        (1, 43, "foo3", 1, 10.0, 5 * S),
+        (1, 44, "next-one", 1, 2.0, 6 * S),
+        (1, 45, "next-one", 1, 2.0, 7 * S),
+        (1, 46, "end", 0, 0.0, 8 * S),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k long, event_id long, name string, is_sub long, vol double, "
+        "ep long",
+    )
+    p = (
+        Pattern.begin("S").where("name = 'start'")
+        .followed_by_any("M").where("is_sub = 1 AND vol > 5.0")
+        .followed_by("N").where("is_sub = 1 AND name = 'next-one'")
+        .followed_by_any("E").where("name = 'end'")
+    )
+    meas = {
+        "s_id": "LAST(S.event_id)", "m_id": "LAST(M.event_id)",
+        "n_id": "LAST(N.event_id)", "e_id": "LAST(E.event_id)",
+    }
+    got = sorted(
+        tuple(r[c] for c in meas)
+        for r in cep_select(spark, df, p, "k", "ep", meas).collect()
+    )
+    assert got == [
+        (40, 41, 44, 46), (40, 42, 44, 46), (40, 43, 44, 46),
+    ], got
+
+
+@pytest.mark.parametrize("within_type", ["FIRST_AND_LAST",
+                                         "PREVIOUS_AND_CURRENT"])
+def test_nfaitcase_times_clearing_buffer(spark, within_type):
+    """NFAITCase.java:2292 testTimesClearingBuffer (both within types):
+    c next a{2} followedBy b within(8) over c@1 a@2 a@3 a@4 b@6 — the
+    match-visible half of the scenario: exactly one match
+    (c, a@2, a@3, b) under either within type (the reference's
+    assertion on partial-match cleanup has no batch analog)."""
+    rows = [
+        (1, 40, "c", 1 * S), (1, 41, "a", 2 * S), (1, 42, "a", 3 * S),
+        (1, 43, "a", 4 * S), (1, 44, "b", 6 * S),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, name string, ep long"
+    )
+    p = (
+        Pattern.begin("C").where("name = 'c'")
+        .next("A").where("name = 'a'").times(2)
+        .followed_by("B").where("name = 'b'")
+        .within(8, "seconds", within_type=within_type)
+    )
+    meas = {
+        "c_id": "LAST(C.event_id)", "first_a": "FIRST(A.event_id)",
+        "last_a": "LAST(A.event_id)", "b_id": "LAST(B.event_id)",
+    }
+    got = sorted(
+        tuple(r[c] for c in meas)
+        for r in cep_select(spark, df, p, "k", "ep", meas).collect()
+    )
+    assert got == [(40, 41, 42, 44)], got
+
+
+@pytest.mark.parametrize("within_type", ["FIRST_AND_LAST",
+                                         "PREVIOUS_AND_CURRENT"])
+def test_nfaitcase_optional_clearing_buffer(spark, within_type):
+    """NFAITCase.java:2330 testOptionalClearingBuffer (both within
+    types): c followedBy a? followedBy b within(8) over c@1 a@5 b@6 —
+    the optional middle enumerates (reference default): both
+    (c, a, b) and the skip-branch (c, b) emit under either type."""
+    rows = [
+        (1, 40, "c", 1 * S), (1, 43, "a", 5 * S), (1, 44, "b", 6 * S),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, name string, ep long"
+    )
+    p = (
+        Pattern.begin("C").where("name = 'c'")
+        .followed_by("A").where("name = 'a'").optional()
+        .followed_by("B").where("name = 'b'")
+        .within(8, "seconds", within_type=within_type)
+    )
+    meas = {
+        "c_id": "LAST(C.event_id)", "a_id": "LAST(A.event_id)",
+        "b_id": "LAST(B.event_id)",
+    }
+    got = sorted(
+        (tuple(r[c] for c in meas)
+         for r in cep_select(spark, df, p, "k", "ep", meas).collect()),
+        key=str,
+    )
+    assert got == sorted(
+        [(40, 43, 44), (40, None, 44)], key=str
+    ), got
+
+
+def test_nfaitcase_at_least_one_clearing_buffer(spark):
+    """NFAITCase.java:2368 testAtLeastOneClearingBuffer: c followedBy
+    a+ allowCombinations followedBy b within(8) over c@1 a@2 a@3 b@5 —
+    the SKIP_TILL_NEXT entry pins the loop anchor at a@2 (the first a
+    cannot be skipped), SKIP_TILL_ANY inside enumerates the anchored
+    subsets: (c,[a2],b) and (c,[a2,a3],b)."""
+    rows = [
+        (1, 40, "c", 1 * S), (1, 41, "a", 2 * S), (1, 42, "a", 3 * S),
+        (1, 44, "b", 5 * S),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, name string, ep long"
+    )
+    p = (
+        Pattern.begin("C").where("name = 'c'")
+        .followed_by("A").where("name = 'a'").one_or_more()
+        .allow_combinations()
+        .followed_by("B").where("name = 'b'")
+        .within(8, "seconds")
+    )
+    meas = {
+        "c_id": "LAST(C.event_id)", "n_a": "COUNT(A.*)",
+        "first_a": "FIRST(A.event_id)", "last_a": "LAST(A.event_id)",
+        "b_id": "LAST(B.event_id)",
+    }
+    got = sorted(
+        tuple(r[c] for c in meas)
+        for r in cep_select(spark, df, p, "k", "ep", meas).collect()
+    )
+    assert got == [
+        (40, 1, 41, 41, 44), (40, 2, 41, 42, 44),
+    ], got
