@@ -144,6 +144,13 @@ HEADLINE = [
     "cep_followed_by_any",
     "mr_permute_mixed",
     "cep_stream_not_followed_by",
+    # r10: the gap-window family (within PREVIOUS_AND_CURRENT +
+    # quantifier window times), streaming single-level GroupPattern,
+    # and the IterativeCondition pass-through.
+    "cep_within_previous_current",
+    "cep_times_window_gaps",
+    "cep_stream_group",
+    "cep_iterative_condition",
 ]
 
 
