@@ -791,11 +791,14 @@ def _compile_body(
         _chk_windows(pattern)
     used = {n.upper() for n in pattern._names()}
     pat_parts: list[str] = []
-    defines: list[str] = []
-    seen_defs: set[str] = set()
+    def_map: dict[str, str] = {}
     gap_state = [0]
     enum_vars: set[str] = set()
     gap_vars: set[str] = set()
+    #: element -> its expand_quant inner-gap variable (r10 — a
+    #: notFollowedBy AFTER a relaxed loop guards the loop's internal
+    #: ignore edge too: NotPatternITCase testTimesWithNotFollowedBy)
+    inner_gap_of: dict[int, str] = {}
 
     def new_gap() -> str:
         while True:
@@ -806,11 +809,9 @@ def _compile_body(
                 gap_vars.add(g)
                 return g
 
-    def add_def(text: str) -> None:
-        name = text.split(" AS ", 1)[0]
-        if name not in seen_defs:
-            seen_defs.add(name)
-            defines.append(text)
+    def add_def(name: str, text: str) -> None:
+        if name not in def_map:
+            def_map[name] = text
 
     def expand_quant(atom: str, e: _Elem, gap_def: str) -> str:
         """Relaxed loop expansion: atom{q} -> atom (G*? atom){q-1} with
@@ -852,7 +853,8 @@ def _compile_body(
         if mx == 1:
             return f"{atom}?{lazy}" if n == 0 else atom
         g = new_gap()
-        add_def(f"{g} AS {gap_def}")
+        add_def(g, gap_def)
+        inner_gap_of[id(e)] = g
         if e.combinations:
             # SKIP_TILL_ANY: the gap itself branches per extent — every
             # subset of qualifying rows (anchored at the first take) is
@@ -882,6 +884,31 @@ def _compile_body(
                     e.condition_sql(),
                     lambda c, v=prev.name: f"NEXT({v}.{c})",
                 )
+        # r10 — reference NOT scoping (NotPatternITCase): a middle
+        # notFollowedBy's forbidden condition guards every ignore edge
+        # from the negative pattern UP TO the first event TAKEN after it.
+        # OPTIONAL successors make the discharge branch-dependent: the
+        # guard stays armed on later gaps unless one of them bound
+        # (LAST(v) IS NOT NULL under the in-flight binds — the
+        # bind-tracking engine resolves it per branch, exactly the NFA's
+        # per-ComputationState stop states).
+        pending_not: str | None = None
+        discharge: list[str] = []
+
+        def not_guard() -> str | None:
+            if pending_not is None:
+                return None
+            g = f"(NOT ({pending_not}))"
+            if discharge:
+                alive = " OR ".join(
+                    f"LAST({v}.{tcol}) IS NOT NULL" for v in discharge
+                )
+                g = f"({g} OR {alive})"
+            return g
+
+        def elem_vars(e: _Elem) -> list[str]:
+            return e.group._names() if e.group is not None else [e.name]
+
         for i, e in enumerate(elem_list):
             if e.contiguity == "not_next":
                 continue
@@ -900,25 +927,43 @@ def _compile_body(
                         "window-scan plan"
                     )
                 nxt = elem_list[i + 1]
-                if nxt.contiguity != "followed_by":
+                if nxt.contiguity not in (
+                    "followed_by", "followed_by_any",
+                ):
                     raise CepError(
                         "notFollowedBy must be followed by followedBy "
-                        "(the reference forbids notFollowedBy+next "
-                        "adjacency too)"
+                        "or followedByAny (the reference forbids "
+                        "notFollowedBy+next adjacency too)"
                     )
-                gap = new_gap()
-                parts.append(f"{gap}*?")
-                # stop state + ignore edge of the NEXT take: the gap may
-                # skip neither a forbidden row (kills the match) nor a
-                # row the next element would take (SKIP_TILL_NEXT)
-                add_def(
-                    f"{gap} AS (NOT ({_own_row_sql(e)})) AND "
-                    f"(NOT ({_head_where(nxt)}))"
-                )
+                if pending_not is not None:
+                    raise CepError(
+                        "overlapping notFollowedBy scopes (two negative "
+                        "patterns with only optional elements between "
+                        "them) are not supported — make an intermediate "
+                        "element required"
+                    )
+                pending_not = _own_row_sql(e)
+                discharge.clear()
+                # a notFollowedBy directly after a RELAXED loop guards
+                # the loop's INTERNAL ignore edge too — the reference's
+                # stop state is active while the partial match still
+                # sits in the looping state (NotPatternITCase
+                # testTimesWithNotFollowedBy: a c between the loop takes
+                # kills the match)
+                if i >= 1:
+                    pg = inner_gap_of.get(id(elem_list[i - 1]))
+                    if pg is not None:
+                        def_map[pg] = (
+                            f"({def_map[pg]}) AND (NOT ({pending_not}))"
+                        )
                 continue
-            if e.contiguity in ("followed_by", "followed_by_any") and not (
-                i > 0 and elem_list[i - 1].contiguity == "not_followed_by"
-            ):
+            if pending_not is not None and e.contiguity == "next":
+                raise CepError(
+                    "a strict-next element inside a notFollowedBy scope "
+                    "is not supported — the reference forbids "
+                    "notFollowedBy+next adjacency"
+                )
+            if e.contiguity in ("followed_by", "followed_by_any"):
                 gap = new_gap()
                 parts.append(f"{gap}*?")
                 if e.contiguity == "followed_by_any":
@@ -926,14 +971,18 @@ def _compile_body(
                     # ignore = TRUE and every gap extent is its own match
                     # branch (NFACompiler getIgnoreCondition
                     # SKIP_TILL_ANY -> trueFunction)
-                    add_def(f"{gap} AS TRUE")
+                    base = "TRUE"
                     enum_vars.add(gap)
                 else:
                     # relaxed contiguity = SKIP_TILL_NEXT: ignore rows
                     # UNTIL the next qualifying one — the ignore edge is
                     # the negation of the take condition (NFACompiler
                     # getIgnoreCondition), never TRUE
-                    add_def(f"{gap} AS NOT ({_head_where(e)})")
+                    base = f"NOT ({_head_where(e)})"
+                ng = not_guard()
+                if ng is not None:
+                    base = ng if base == "TRUE" else f"({base}) AND {ng}"
+                add_def(gap, base)
             if _loop_enumerable(e) or e.combinations:
                 if e.group is None:
                     enum_vars.add(e.name)
@@ -980,6 +1029,12 @@ def _compile_body(
                 if e.opt_loop:
                     frag = f"( {frag} )?"
                 parts.append(frag)
+                if pending_not is not None:
+                    if _is_optional_elem(e):
+                        discharge.extend(e.group._names())
+                    else:
+                        pending_not = None
+                        discharge.clear()
                 continue
             cond = e.condition_sql()
             if i in guards:
@@ -1028,7 +1083,15 @@ def _compile_body(
                 # optional() on a looping quantifier: zero or the loop
                 frag = f"( {frag} )?"
             parts.append(frag)
-            add_def(f"{e.name} AS {cond}")
+            add_def(e.name, cond)
+            if pending_not is not None:
+                if _is_optional_elem(e):
+                    # the guard may still be armed on later gaps — it
+                    # discharges per-branch once this variable bound
+                    discharge.append(e.name)
+                else:
+                    pending_not = None
+                    discharge.clear()
 
     emit(list(elems), pat_parts)
     within = ""
@@ -1036,7 +1099,9 @@ def _compile_body(
         n, u = pattern._within
         within = f"WITHIN INTERVAL '{n}' {u.rstrip('s').upper()}\n        "
     meas = ",\n            ".join(f"{v} AS {k}" for k, v in measures.items())
-    defs = ",\n            ".join(defines)
+    defs = ",\n            ".join(
+        f"{name} AS {text}" for name, text in def_map.items()
+    )
     pat = " ".join(pat_parts)
     body = f"""PARTITION BY {partition_by}
         ORDER BY {order_by}

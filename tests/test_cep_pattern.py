@@ -842,3 +842,109 @@ def test_nfaitcase_at_least_one_clearing_buffer(spark):
     assert got == [
         (40, 1, 41, 41, 44), (40, 2, 41, 42, 44),
     ], got
+
+
+def _run_cep(spark, rows, p, meas):
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, name string, ep long"
+    )
+    out = cep_select(spark, df, p, "k", "ep", meas)
+    return sorted(
+        (tuple(r[c] for c in meas) for r in out.collect()), key=str
+    )
+
+
+def test_notpattern_itcase_scenarios(spark):
+    """NotPatternITCase harvest (r10) — middle-notFollowedBy NOT
+    scoping, reference-exact: the forbidden condition guards every
+    ignore edge from the negative pattern to the first event TAKEN
+    after it (branch-dependent discharge across optional successors),
+    plus the backward rule: a notFollowedBy directly after a relaxed
+    loop guards the loop's internal ignore edge too. Each block cites
+    its reference test (flink-libraries/flink-cep NotPatternITCase.java)
+    and reproduces its expected match set verbatim."""
+    M3 = {"s": "LAST(S.event_id)", "m": "LAST(M.event_id)",
+          "d": "LAST(D.event_id)"}
+    # testNotFollowedBy:151 — a c1 b1 c2 d: the c2 branch crosses b1 and
+    # dies; ONE match (a, c1, d). notFollowedBy before followedByAny.
+    rows = [(1, 40, "a", 1 * S), (1, 41, "c", 2 * S),
+            (1, 42, "b", 3 * S), (1, 43, "c", 4 * S), (1, 44, "d", 5 * S)]
+    p = (Pattern.begin("S").where("name='a'")
+         .not_followed_by("N").where("name='b'")
+         .followed_by_any("M").where("name='c'")
+         .followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows, p, M3) == [(40, 41, 44)]
+    # testNotFollowedByBeforeOptional:184 — the skip-c branch (a, d)
+    # keeps the guard armed and dies on b1; still ONE match.
+    p = (Pattern.begin("S").where("name='a'")
+         .not_followed_by("N").where("name='b'")
+         .followed_by_any("M").where("name='c'").optional()
+         .followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows, p, M3) == [(40, 41, 44)]
+    # testTimesWithNotFollowedBy:218 — a b1 c b2 d: the notFollowedBy
+    # AFTER the b{2} loop guards the loop's internal ignore edge (the
+    # reference stop state is active inside the loop), so the c between
+    # the takes kills everything: EMPTY.
+    rows3 = [(1, 40, "a", 1 * S), (1, 41, "b", 2 * S),
+             (1, 42, "c", 3 * S), (1, 43, "b", 4 * S),
+             (1, 44, "d", 5 * S)]
+    p3 = (Pattern.begin("S").where("name='a'")
+          .followed_by_any("M").where("name='b'").times(2)
+          .not_followed_by("N").where("name='c'")
+          .followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows3, p3, M3) == []
+    # testTimesWithNotFollowedByAfter:291 — c AFTER the completed loop,
+    # before d: killed by the forward guard: EMPTY.
+    rows4 = [(1, 40, "a", 1 * S), (1, 46, "d", 2 * S),
+             (1, 41, "e", 3 * S), (1, 43, "b", 4 * S),
+             (1, 44, "b", 5 * S), (1, 42, "c", 6 * S),
+             (1, 47, "d", 7 * S)]
+    assert _run_cep(spark, rows4, p3, M3) == []
+    # testIgnoreStateOfTimesWithNotFollowedBy:252 — nf(b) before an
+    # OPTIONAL c{2}: only the skip-branch completed by the FIRST d
+    # survives (every c-taking branch crosses b1): (a, d1).
+    rows5 = [(1, 40, "a", 1 * S), (1, 45, "d", 2 * S),
+             (1, 41, "e", 3 * S), (1, 43, "b", 4 * S),
+             (1, 42, "c", 5 * S), (1, 44, "c", 6 * S),
+             (1, 46, "d", 7 * S)]
+    p5 = (Pattern.begin("S").where("name='a'")
+          .not_followed_by("N").where("name='b'")
+          .followed_by_any("M").where("name='c'").times(2).optional()
+          .followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows5, p5, M3) == [(40, None, 45)]
+    # testNotFollowedByBeforeOptionalAtTheEnd:329 — optional LAST
+    # element: the bare (a) match emits (the match ends AT a — no
+    # follow window at all), plus (a, c1); (a, c2) crosses b1 and dies.
+    rows6 = [(1, 40, "a", 1 * S), (1, 41, "c", 2 * S),
+             (1, 42, "b", 3 * S), (1, 43, "c", 4 * S)]
+    p6 = (Pattern.begin("S").where("name='a'")
+          .not_followed_by("N").where("name='b'")
+          .followed_by_any("E").where("name='c'").optional())
+    m6 = {"s": "LAST(S.event_id)", "e": "LAST(E.event_id)"}
+    assert _run_cep(spark, rows6, p6, m6) == [(40, 41), (40, None)]
+    # testNotFollowedByBeforeOptionalTimes:362 — the guard discharges at
+    # the FIRST loop take (c1), so the b1 BETWEEN the takes is fine:
+    # (a, c1, c2, d) only.
+    rows7 = [(1, 40, "a", 1 * S), (1, 41, "c", 2 * S),
+             (1, 42, "b", 3 * S), (1, 43, "c", 4 * S),
+             (1, 44, "d", 5 * S)]
+    m7 = {"s": "LAST(S.event_id)", "fm": "FIRST(M.event_id)",
+          "lm": "LAST(M.event_id)", "d": "LAST(D.event_id)"}
+    assert _run_cep(spark, rows7, p5, m7) == [(40, 41, 43, 44)]
+    # testNotFollowedByBeforeOneOrMoreEager:683 — nf(c) before b+: the
+    # guard covers only the gap to the FIRST b; the loop then skips c1
+    # internally and every prefix emits (default emission): 4 matches.
+    rows8 = [(1, 40, "a", 1 * S), (1, 41, "b", 2 * S),
+             (1, 50, "c", 3 * S), (1, 44, "b", 4 * S),
+             (1, 45, "b", 5 * S), (1, 46, "b", 6 * S),
+             (1, 47, "d", 7 * S)]
+    p8 = (Pattern.begin("S").where("name='a'")
+          .not_followed_by("N").where("name='c'")
+          .followed_by("M").where("name='b'").one_or_more()
+          .followed_by("D").where("name='d'"))
+    m8 = {"s": "LAST(S.event_id)", "n": "COUNT(M.*)",
+          "lm": "LAST(M.event_id)", "d": "LAST(D.event_id)"}
+    assert _run_cep(spark, rows8, p8, m8) == [
+        (40, 1, 41, 47), (40, 2, 44, 47), (40, 3, 45, 47),
+        (40, 4, 46, 47),
+    ]
