@@ -948,3 +948,60 @@ def test_notpattern_itcase_scenarios(spark):
         (40, 1, 41, 47), (40, 2, 44, 47), (40, 3, 45, 47),
         (40, 4, 46, 47),
     ]
+
+
+@pytest.mark.parametrize("within_type", ["FIRST_AND_LAST",
+                                         "PREVIOUS_AND_CURRENT"])
+def test_notpattern_trailing_within_at_end(spark, within_type):
+    """NotPatternITCase.java:997 testNotFollowedByWithinAtEnd (both
+    within types — in the two-element form the previous event IS the
+    first event): a1@1 (b@2 kills), a2@4 (b@10 is 6s out — absence
+    emits), a3@11 (b@13 kills): exactly [a2]."""
+    rows = [
+        (1, 40, "a", 1 * S), (1, 41, "b", 2 * S), (1, 42, "a", 4 * S),
+        (1, 43, "c", 5 * S), (1, 44, "b", 10 * S), (1, 45, "a", 11 * S),
+        (1, 46, "b", 13 * S),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, name string, ep long"
+    )
+    p = (
+        Pattern.begin("A").where("name = 'a'")
+        .not_followed_by("B").where("name = 'b'")
+        .within(3, "seconds", within_type=within_type)
+    )
+    out = cep_select(spark, df, p, "k", "ep", {"a_id": "A.event_id"})
+    assert sorted(r.a_id for r in out.collect()) == [42]
+
+
+def test_notpattern_before_times_within(spark):
+    """NotPatternITCase.java:1031 testNotFollowByBeforeTimesWithin:
+    a nf(b) followedBy c{0,2} within(3) — the zero-take branch emits the
+    bare (a) immediately (no follow window at all, even with a b 1s
+    later); c-branches of a1 die on b1 AND the horizon; a3's second c
+    is outside the horizon. Reference match set reproduced verbatim."""
+    rows = [
+        (1, 40, "a", 1 * S), (1, 41, "b", 2 * S), (1, 42, "a", 10 * S),
+        (1, 43, "c", 11 * S), (1, 44, "c", 12 * S), (1, 45, "a", 20 * S),
+        (1, 46, "c", 21 * S), (1, 47, "c", 24 * S),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, name string, ep long"
+    )
+    p = (
+        Pattern.begin("A").where("name = 'a'")
+        .not_followed_by("B").where("name = 'b'")
+        .followed_by("C").where("name = 'c'").times(0, 2)
+        .within(3, "seconds")
+    )
+    meas = {"a_id": "LAST(A.event_id)", "n_c": "COUNT(C.*)",
+            "last_c": "LAST(C.event_id)"}
+    got = sorted(
+        (tuple(r[c] for c in meas)
+         for r in cep_select(spark, df, p, "k", "ep", meas).collect()),
+        key=str,
+    )
+    assert got == sorted([
+        (40, 0, None), (42, 0, None), (42, 1, 43), (42, 2, 44),
+        (45, 0, None), (45, 1, 46),
+    ], key=str), got
