@@ -52,6 +52,7 @@ __all__ = [
     "pattern_to_match_recognize",
     "cep_select",
     "cep_select_stream",
+    "cep_select_timeouts",
 ]
 
 
@@ -1361,3 +1362,219 @@ def cep_select_stream(
     return streaming_match_recognize(
         stream, body, cep_enum_vars=enum_vars, cep_gap_vars=gap_vars,
     )
+
+
+def cep_select_timeouts(
+    spark,
+    df: DataFrame,
+    pattern: Pattern,
+    partition_by: str,
+    order_by: str,
+    timeout_measures: dict[str, str],
+) -> DataFrame:
+    """The CEP TIMEOUT side output for BATCH patterns — the reference's
+    ``PatternStream.select(timeoutTag, PatternTimeoutFunction, ...)``
+    (flink-cep PatternStream.java; TimedOutPartialMatchHandler;
+    NFA.advanceTime builds ``(timedOutPattern, timeoutTs)`` pairs,
+    NFAITCase.java:358/:466 testSimplePatternWithTimeoutHandling*).
+
+    Emits one row per TIMED-OUT PARTIAL match: a pattern prefix that
+    matched, then sat waiting for the next element until its window
+    deadline passed. Reference semantics reproduced exactly:
+
+    - deadline = min(start_ts + within(FIRST_AND_LAST),
+      last_ts + the awaited element's within(PREVIOUS_AND_CURRENT));
+      a wait state with NO applicable window never times out.
+    - a ``followedBy`` wait is ADVANCED (consumed, no timeout) by the
+      first row satisfying the awaited condition STRICTLY BEFORE the
+      deadline — at exactly the deadline the timeout wins
+      (advanceTime runs before the event processes,
+      NFA.isStateTimedOut uses >=). A ``followedByAny`` wait branch
+      PERSISTS past qualifying rows (TRUE ignore edge), so it always
+      reaches its deadline.
+    - the timeout fires only when event time actually passes the
+      deadline (advanceTime is driven by later events): deadline <=
+      the partition's max event time.
+    - prefix matches themselves respect the window STRICTLY
+      (span < within — a wider partial would have timed out before
+      binding its last row).
+
+    Subset (errors loudly otherwise): a flat chain of
+    single-occurrence elements (begin + followedBy/followedByAny), no
+    negative patterns/quantifiers/groups; the awaited elements'
+    conditions must be own-row (no iterative conditions — the
+    advance-time of a bind-dependent wait is branch-specific).
+    ``timeout_measures`` values are ``VAR.col`` / ``FIRST(VAR.col)`` /
+    ``LAST(VAR.col)`` — references to variables beyond the timed-out
+    prefix yield NULL, like the reference's partial-match map. The
+    output carries ``awaiting`` (the state that timed out — the
+    reference's ComputationState.currentStateName) and ``timeout_ts``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    elems = pattern._elems
+    if len(elems) < 2:
+        raise CepError("cep_select_timeouts needs at least two elements")
+    for e in elems:
+        if e.group is not None or e.quant or e.opt_loop:
+            raise CepError(
+                "cep_select_timeouts supports flat chains of "
+                "single-occurrence elements only (no quantifiers or "
+                "groups) — quantified partial matches are "
+                "branch-dependent; use cep_select for the match side"
+            )
+        if e.contiguity in ("not_followed_by", "not_next"):
+            raise CepError(
+                "cep_select_timeouts does not support negative "
+                "patterns — a negative element never times out (it is "
+                "an edge condition); express absence with the trailing "
+                "notFollowedBy plan of cep_select"
+            )
+        if e.contiguity == "next":
+            raise CepError(
+                "cep_select_timeouts supports relaxed contiguity "
+                "(followedBy/followedByAny) only — a strict-next wait "
+                "is refuted by the very next row, not by a timeout"
+            )
+    horizon_us = None
+    if pattern._within is not None:
+        n, u = pattern._within
+        horizon_us = n * _UNIT_US[u]
+    if horizon_us is None and all(
+        e.window_prev_us is None for e in elems[1:]
+    ):
+        raise CepError(
+            "cep_select_timeouts needs a time window — within() "
+            "FIRST_AND_LAST or PREVIOUS_AND_CURRENT on some element "
+            "(a pattern without windows never times out)"
+        )
+
+    keys = [k.strip() for k in partition_by.split(",")]
+    ob = [c.strip() for c in order_by.split(",")]
+    ep_col = ob[0]
+    w_part = Window.partitionBy(*keys)
+    w_ord = w_part.orderBy(*[F.col(c) for c in ob])
+
+    # one pass: per row, the NEXT timestamp satisfying each element's
+    # own-row condition (used for both prefix-chain advance times and
+    # followedBy advance detection); plus the partition's max event time
+    aug = df.withColumn("__max_ts", F.max(ep_col).over(w_part))
+    next_q = {}
+    for idx, e in enumerate(elems):
+        cond = _own_row_sql(e)
+        if re.search(r"\b(LAST|FIRST)\s*\(", cond, re.I):
+            raise CepError(
+                "cep_select_timeouts: element conditions must be "
+                f"own-row (no LAST/FIRST binds); {e.name!r} is iterative"
+            )
+        col = f"__nx_{idx}"
+        next_q[idx] = col
+        aug = aug.withColumn(
+            col,
+            F.min(F.when(F.expr(cond), F.col(ep_col))).over(
+                w_ord.rowsBetween(1, Window.unboundedFollowing)
+            ),
+        )
+    aug_cols = keys + ob + ["__max_ts"] + list(next_q.values())
+    aug_small = aug.select(*dict.fromkeys(aug_cols))
+
+    meas_refs = {
+        alias: re.fullmatch(
+            r"(?:FIRST|LAST)?\(?\s*(\w+)\s*\.\s*(\w+)\s*\)?",
+            expr.strip(), re.I,
+        )
+        for alias, expr in timeout_measures.items()
+    }
+    for alias, m_ in meas_refs.items():
+        if m_ is None:
+            raise CepError(
+                "cep_select_timeouts measures must be VAR.col / "
+                f"FIRST(VAR.col) / LAST(VAR.col); got "
+                f"{timeout_measures[alias]!r}"
+            )
+
+    out = None
+    for k in range(1, len(elems)):
+        prefix, awaited = elems[:k], elems[k]
+        sub = Pattern()
+        sub._elems = [
+            _Elem(
+                name=e.name, contiguity=e.contiguity,
+                conds=list(e.conds), or_conds=list(e.or_conds),
+                until_conds=list(e.until_conds),
+                window_prev_us=e.window_prev_us,
+            )
+            for e in prefix
+        ]
+        avail = {e.name for e in prefix}
+        meas = {
+            "__first_ts": f"FIRST({prefix[0].name}.{ep_col})",
+            "__last_ts": f"LAST({prefix[-1].name}.{ep_col})",
+        }
+        if len(ob) >= 2:
+            meas["__last_id"] = f"LAST({prefix[-1].name}.{ob[1]})"
+        null_aliases = []
+        for alias, m_ in meas_refs.items():
+            if m_.group(1) in avail:
+                meas[alias] = timeout_measures[alias]
+            else:
+                null_aliases.append(alias)
+        hit = cep_select(spark, df, sub, partition_by, order_by, meas)
+        # strict window on the partial itself: a wider prefix would
+        # have timed out before binding its last row
+        if horizon_us is not None:
+            hit = hit.filter(
+                F.col("__last_ts") - F.col("__first_ts") < horizon_us
+            )
+        # deadline: min over the applicable windows of the wait state
+        deadlines = []
+        if horizon_us is not None:
+            deadlines.append(F.col("__first_ts") + horizon_us)
+        if awaited.window_prev_us is not None:
+            deadlines.append(F.col("__last_ts") + awaited.window_prev_us)
+        if not deadlines:
+            continue  # this wait state has no window: never times out
+        dl = deadlines[0] if len(deadlines) == 1 else F.least(*deadlines)
+        hit = hit.withColumn("__dl", dl)
+        # equi-join on (keys, last row's ts [, tie-break id]): the
+        # advance-time map rides the same hash distribution as the match
+        # scan — no theta join. With a tie-break ORDER BY column the row
+        # identity is exact; without one, same-ts ties collapse to one.
+        jcols = [*keys, "__last_ts"]
+        jsel = [
+            *keys,
+            F.col(ep_col).alias("__last_ts"),
+            F.col("__max_ts"),
+            F.col(next_q[k]).alias("__adv"),
+        ]
+        if len(ob) >= 2:
+            jsel.insert(len(keys) + 1, F.col(ob[1]).alias("__last_id"))
+            jcols.append("__last_id")
+        joined = hit.join(
+            aug_small.select(*jsel).dropDuplicates(jcols),
+            on=jcols,
+            how="inner",
+        )
+        cond = F.col("__dl") <= F.col("__max_ts")
+        if awaited.contiguity == "followed_by":
+            # advanced (no timeout) only by a qualifying row STRICTLY
+            # before the deadline; at the deadline the timeout wins
+            cond = cond & (
+                F.col("__adv").isNull()
+                | (F.col("__adv") >= F.col("__dl"))
+            )
+        sel = [*[F.col(c) for c in keys]]
+        for alias in timeout_measures:
+            if alias in null_aliases:
+                sel.append(F.lit(None).alias(alias))
+            else:
+                sel.append(F.col(alias))
+        sel.append(F.lit(awaited.name).alias("awaiting"))
+        sel.append(F.col("__dl").alias("timeout_ts"))
+        part = joined.filter(cond).select(*sel)
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise CepError(
+            "cep_select_timeouts: no wait state carries a window"
+        )
+    return out

@@ -1310,3 +1310,63 @@ def cep_iterative_condition(spark, sf_dir):
             "purchase_id": "LAST(B.event_id)",
         },
     )
+
+
+@query(
+    "cep_timeout_side_output",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), mx AS (
+        SELECT user_id, MAX(ep) AS max_ts FROM u GROUP BY user_id
+    ), f AS (
+        SELECT user_id, ep, event_id, event_type,
+               MIN(CASE WHEN event_type = 'purchase' THEN ep END)
+                   OVER (PARTITION BY user_id ORDER BY ep, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS adv
+        FROM u
+    )
+    -- a followedBy wait is advanced by a qualifying row STRICTLY before
+    -- the deadline; at exactly the deadline the timeout wins
+    -- (NFA.isStateTimedOut >=), and the timeout only fires once event
+    -- time passes the deadline (advanceTime is event-driven)
+    SELECT f.user_id, f.event_id AS click_id,
+           f.ep + {MIN30} AS timeout_ts
+    FROM f JOIN mx ON mx.user_id = f.user_id
+    WHERE f.event_type = 'click'
+      AND (f.adv IS NULL OR f.adv >= f.ep + {MIN30})
+      AND f.ep + {MIN30} <= mx.max_ts
+    """,
+)
+def cep_timeout_side_output(spark, sf_dir):
+    """BATCH CEP timeout side output — r10 (flink-cep
+    PatternStream.select(timeoutTag, PatternTimeoutFunction, ...);
+    TimedOutPartialMatchHandler; NFAITCase.java:358/:466
+    testSimplePatternWithTimeoutHandling*): every timed-out PARTIAL
+    match of begin(click).followedBy(purchase).within(30 minutes) with
+    its reference-exact timeout timestamp. One window pass precomputes
+    per-row advance times and the partition max event time; per prefix
+    the partial-match scan reuses the SAME hash distribution, so the
+    assembly is equi-joins only — no theta join, no driver loop."""
+    from apache_flink_spark.cep import Pattern, cep_select_timeouts
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    p = (
+        Pattern.begin("A").where("event_type = 'click'")
+        .followed_by("B").where("event_type = 'purchase'")
+        .within(30, "minutes")
+    )
+    out = cep_select_timeouts(
+        spark, e, p, "user_id", "ep, event_id",
+        {"click_id": "LAST(A.event_id)"},
+    )
+    return out.select("user_id", "click_id", "timeout_ts")

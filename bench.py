@@ -151,6 +151,9 @@ HEADLINE = [
     "cep_times_window_gaps",
     "cep_stream_group",
     "cep_iterative_condition",
+    # r10 late addition: the batch CEP timeout side output
+    # (PatternStream.select timeout-tag parity)
+    "cep_timeout_side_output",
 ]
 
 

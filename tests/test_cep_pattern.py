@@ -1005,3 +1005,81 @@ def test_notpattern_before_times_within(spark):
         (40, 0, None), (42, 0, None), (42, 1, 43), (42, 2, 44),
         (45, 0, None), (45, 1, 46),
     ], key=str), got
+
+
+def test_timeout_side_output_nfaitcase(spark):
+    """NFAITCase.java:358/:466 testSimplePatternWithTimeoutHandling
+    (both within types) — cep_select_timeouts reproduces the reference's
+    (timedOutPattern, timeoutTs) pairs exactly: under FIRST_AND_LAST all
+    four partials time out (followedByAny branches persist past
+    qualifying rows); under PREVIOUS_AND_CURRENT (declared on the last
+    element) only the {start, middle} partials carry a window."""
+    from apache_flink_spark.cep import cep_select_timeouts
+
+    rows = [(1, 1, "start", 1 * S), (1, 2, "start", 2 * S),
+            (1, 3, "middle", 3 * S), (1, 4, "foobar", 4 * S),
+            (1, 5, "end", 11 * S), (1, 6, "end", 13 * S)]
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, name string, ep long"
+    )
+    meas = {"s_id": "FIRST(S.event_id)", "m_id": "LAST(M.event_id)"}
+    p = (Pattern.begin("S").where("name='start'")
+         .followed_by_any("M").where("name='middle'")
+         .followed_by_any("E").where("name='end'")
+         .within(10, "seconds"))
+    got = sorted(
+        ((r.s_id, r.m_id, r.awaiting, r.timeout_ts // S)
+         for r in cep_select_timeouts(
+             spark, df, p, "k", "ep, event_id", meas).collect()),
+        key=str,
+    )
+    assert got == sorted([
+        (1, None, "M", 11), (2, None, "M", 12),
+        (1, 3, "E", 11), (2, 3, "E", 12),
+    ], key=str), got
+    p2 = (Pattern.begin("S").where("name='start'")
+          .followed_by_any("M").where("name='middle'")
+          .followed_by_any("E").where("name='end'")
+          .within(10, "seconds",
+                  within_type="PREVIOUS_AND_CURRENT"))
+    got2 = sorted(
+        ((r.s_id, r.m_id, r.awaiting, r.timeout_ts // S)
+         for r in cep_select_timeouts(
+             spark, df, p2, "k", "ep, event_id", meas).collect()),
+        key=str,
+    )
+    assert got2 == sorted(
+        [(1, 3, "E", 13), (2, 3, "E", 13)], key=str
+    ), got2
+    # followedBy waits are ADVANCED by a qualifying row strictly before
+    # the deadline (no timeout for {start} prefixes), and at exactly the
+    # deadline the timeout wins (isStateTimedOut >=)
+    p3 = (Pattern.begin("S").where("name='start'")
+          .followed_by("M").where("name='middle'")
+          .followed_by("E").where("name='end'")
+          .within(10, "seconds"))
+    got3 = sorted(
+        ((r.s_id, r.m_id, r.awaiting, r.timeout_ts // S)
+         for r in cep_select_timeouts(
+             spark, df, p3, "k", "ep, event_id", meas).collect()),
+        key=str,
+    )
+    # {s1,m}: first end @11 == deadline 11 -> timeout wins; {s2,m}:
+    # end @11 < deadline 12 -> advanced (the match side emits it)
+    assert got3 == [(1, 3, "E", 11)], got3
+    # guards
+    with pytest.raises(CepError, match="time window"):
+        cep_select_timeouts(
+            spark, df,
+            Pattern.begin("S").where("name='start'")
+            .followed_by("E").where("name='end'"),
+            "k", "ep, event_id", meas,
+        )
+    with pytest.raises(CepError, match="single-occurrence"):
+        cep_select_timeouts(
+            spark, df,
+            Pattern.begin("S").where("name='start'").one_or_more()
+            .followed_by("E").where("name='end'")
+            .within(10, "seconds"),
+            "k", "ep, event_id", meas,
+        )
