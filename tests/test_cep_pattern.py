@@ -1083,3 +1083,38 @@ def test_timeout_side_output_nfaitcase(spark):
             .within(10, "seconds"),
             "k", "ep, event_id", meas,
         )
+
+
+def test_after_match_skip_itcase_scenarios(spark):
+    """AfterMatchSkipITCase harvest (r10) — the four skip strategies on
+    the CEP Pattern API, each block reproducing its reference test's
+    match set verbatim (flink-libraries/flink-cep
+    AfterMatchSkipITCase.java)."""
+
+    def run(rows, p, meas, skip):
+        df = spark.createDataFrame(
+            rows, "k long, event_id long, name string, ep long"
+        )
+        out = cep_select(spark, df, p, "k", "ep", meas, skip=skip)
+        return sorted(
+            (tuple(r[c] for c in meas) for r in out.collect()), key=str
+        )
+
+    # testNoSkip:50 / testSkipPastLast:212 — a{3} over a1..a6
+    rows = [(1, i, "a", i * S) for i in range(1, 7)]
+    p = Pattern.begin("A").where("name = 'a'").times(3)
+    m = {"f": "FIRST(A.event_id)", "l": "LAST(A.event_id)"}
+    assert run(rows, p, m, "SKIP TO NEXT ROW") == [
+        (1, 3), (2, 4), (3, 5), (4, 6),
+    ]
+    assert run(rows, p, m, "SKIP PAST LAST ROW") == [(1, 3), (4, 6)]
+    # testSkipToFirst:244 — start{2} next end{2}, every row satisfies
+    # both conditions; resume at the FIRST row bound to 'end'
+    rows2 = [(1, i, "ab", i * S) for i in range(1, 7)]
+    p2 = (Pattern.begin("ST").where("name LIKE '%a%'").times(2)
+          .next("E").where("name LIKE '%b%'").times(2))
+    m2 = {"f": "FIRST(ST.event_id)", "l": "LAST(E.event_id)"}
+    assert run(rows2, p2, m2, "SKIP TO FIRST E") == [(1, 4), (3, 6)]
+    # testSkipToLast:281 — 7 rows; resume at the LAST row bound to 'end'
+    rows3 = [(1, i, "ab", i * S) for i in range(1, 8)]
+    assert run(rows3, p2, m2, "SKIP TO LAST E") == [(1, 4), (4, 7)]
