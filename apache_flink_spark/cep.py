@@ -257,12 +257,22 @@ class Pattern:
                 "guard binds to a single pattern variable; name the "
                 "group's last element and attach notNext after it"
             )
-        if prev.quant not in ("", "{1}"):
+        if prev.opt_loop or prev.quant in ("?", "??") or re.match(
+            r"\{0[,}]", prev.quant or ""
+        ):
             raise CepError(
-                "notNext after a quantified element is not supported — "
-                "the NEXT() guard would apply to every repetition row, "
-                "not just the last; restructure with followedBy"
+                "notNext after an OPTIONAL element is not supported "
+                "(the reference throws 'Specifying a pattern with an "
+                "optional path to NOT condition is not supported yet' "
+                "— Pattern.java notNext)"
             )
+        # notNext after a LOOPING element IS supported (r10): the NEXT()
+        # guard lands on the loop variable's DEFINE and so applies to
+        # EVERY take — exactly the reference NFA's behavior, where a
+        # branch dies as soon as any taken loop row is immediately
+        # followed by a forbidden event (NotPatternITCase
+        # testNotNextAfterOneOrMoreSkipTillNext: 0 matches because b1's
+        # successor is a c; the SkipTillAny variant anchors past it).
         self._elems.append(_Elem(name=self._check_name(name),
                                  contiguity="not_next"))
         return self

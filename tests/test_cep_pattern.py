@@ -119,9 +119,12 @@ def test_guards(spark):
         Pattern.begin("not a name")
     with pytest.raises(CepError, match="already used"):
         Pattern.begin("A").followed_by("a")
-    # r8: notNext is supported (NEXT()-guard compile); its guards moved
-    with pytest.raises(CepError, match="notNext after a quantified"):
-        Pattern.begin("A").one_or_more().not_next("B")
+    # r10: notNext after a LOOP is supported (the guard applies to every
+    # take, reference NotPatternITCase:447); after an OPTIONAL it keeps
+    # the reference's own reject (Pattern.java notNext)
+    with pytest.raises(CepError, match="OPTIONAL"):
+        Pattern.begin("A").optional().not_next("B")
+    Pattern.begin("A").one_or_more().not_next("B")  # allowed now
     with pytest.raises(CepError, match="cannot follow another negative"):
         Pattern.begin("A").not_followed_by("N").not_next("B")
     with pytest.raises(CepError, match="quantifiers on negative"):
@@ -1118,3 +1121,55 @@ def test_after_match_skip_itcase_scenarios(spark):
     # testSkipToLast:281 — 7 rows; resume at the LAST row bound to 'end'
     rows3 = [(1, i, "ab", i * S) for i in range(1, 8)]
     assert run(rows3, p2, m2, "SKIP TO LAST E") == [(1, 4), (4, 7)]
+
+
+def test_notpattern_after_loop_scenarios(spark):
+    """NotPatternITCase after-loop negations (r10): notNext after a
+    looping element applies its NEXT() guard to EVERY take (a branch
+    dies as soon as any taken loop row is immediately followed by a
+    forbidden event), and notFollowedBy after a loop kills via both the
+    loop's internal ignore edge and the forward gap. Reference match
+    sets reproduced verbatim."""
+    m = {"a": "LAST(A.event_id)", "lb": "LAST(B.event_id)",
+         "d": "LAST(D.event_id)"}
+    # testNotNextAfterOneOrMoreSkipTillNext:447 — b1's successor is a c,
+    # and SKIP_TILL_NEXT cannot anchor past b1: EMPTY
+    rows = [(1, 40, "a", 1 * S), (1, 41, "b", 2 * S),
+            (1, 43, "c", 3 * S), (1, 42, "b", 4 * S),
+            (1, 44, "d", 5 * S)]
+    p = (Pattern.begin("A").where("name='a'")
+         .followed_by("B").where("name='b'").one_or_more()
+         .not_next("N").where("name='c'")
+         .followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows, p, m) == []
+    # testNotNextAfterOneOrMoreSkipTillAny:453 — followedByAny anchors
+    # past b1: exactly [a, b2, d]
+    p2 = (Pattern.begin("A").where("name='a'")
+          .followed_by_any("B").where("name='b'").one_or_more()
+          .not_next("N").where("name='c'")
+          .followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows, p2, m) == [(40, 42, 44)]
+    # testNotFollowedByNextAfterOneOrMoreEager:491 — every b1-anchored
+    # branch crosses the c (loop-internal or forward gap): EMPTY
+    rows2 = [(1, 40, "a", 1 * S), (1, 41, "b", 2 * S),
+             (1, 42, "b", 3 * S), (1, 43, "b", 4 * S),
+             (1, 50, "c", 5 * S), (1, 44, "b", 6 * S),
+             (1, 45, "b", 7 * S), (1, 46, "b", 8 * S),
+             (1, 47, "d", 9 * S)]
+    p3 = (Pattern.begin("A").where("name='a'")
+          .followed_by("B").where("name='b'").one_or_more()
+          .not_followed_by("N").where("name='c'")
+          .followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows2, p3, m) == []
+    # testNotFollowedByAnyAfterOneOrMoreEager:497 — anchors after the c
+    # emit every prefix: 6 matches
+    p4 = (Pattern.begin("A").where("name='a'")
+          .followed_by_any("B").where("name='b'").one_or_more()
+          .not_followed_by("N").where("name='c'")
+          .followed_by("D").where("name='d'"))
+    m4 = {"a": "LAST(A.event_id)", "fb": "FIRST(B.event_id)",
+          "lb": "LAST(B.event_id)", "d": "LAST(D.event_id)"}
+    assert _run_cep(spark, rows2, p4, m4) == [
+        (40, 44, 44, 47), (40, 44, 45, 47), (40, 44, 46, 47),
+        (40, 45, 45, 47), (40, 45, 46, 47), (40, 46, 46, 47),
+    ]
