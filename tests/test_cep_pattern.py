@@ -1173,3 +1173,32 @@ def test_notpattern_after_loop_scenarios(spark):
         (40, 44, 44, 47), (40, 44, 45, 47), (40, 44, 46, 47),
         (40, 45, 45, 47), (40, 45, 46, 47), (40, 46, 46, 47),
     ]
+
+
+def test_notpattern_before_zero_or_more(spark):
+    """NotPatternITCase.java:797/:875 testNotFollowedByBeforeZeroOrMore
+    (Eager, SkipTillNext and SkipTillAny): a nf(c) b* d over
+    a b1 c1 b4 b5 b6 d — the guard kills the bare (a, d) branch (it
+    crosses the c) and pins the loop anchor at b1 under BOTH entry
+    contiguities (the ANY entry gap carries the guard too, so anchors
+    past the c are unreachable); the loop then skips the c internally
+    and every b1-anchored prefix emits: the same 4 matches for both."""
+    rows = [(1, 40, "a", 1 * S), (1, 41, "b", 2 * S),
+            (1, 50, "c", 3 * S), (1, 44, "b", 4 * S),
+            (1, 45, "b", 5 * S), (1, 46, "b", 6 * S),
+            (1, 47, "d", 7 * S)]
+    m = {"a": "LAST(A.event_id)", "n": "COUNT(B.*)",
+         "lb": "LAST(B.event_id)", "d": "LAST(D.event_id)"}
+    exp = sorted([(40, 1, 41, 47), (40, 2, 44, 47), (40, 3, 45, 47),
+                  (40, 4, 46, 47)], key=str)
+    p = (Pattern.begin("A").where("name='a'")
+         .not_followed_by("N").where("name='c'")
+         .followed_by("B").where("name='b'").one_or_more().optional()
+         .followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows, p, m) == exp
+    p2 = (Pattern.begin("A").where("name='a'")
+          .not_followed_by("N").where("name='c'")
+          .followed_by_any("B").where("name='b'").one_or_more()
+          .optional()
+          .followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows, p2, m) == exp
