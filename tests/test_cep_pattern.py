@@ -1202,3 +1202,61 @@ def test_notpattern_before_zero_or_more(spark):
           .optional()
           .followed_by("D").where("name='d'"))
     assert _run_cep(spark, rows, p2, m) == exp
+
+
+def test_notpattern_branching_at_start(spark):
+    """NotPatternITCase.java:398 testNotFollowedByWithBranchingAtStart:
+    a1's branch crosses the b on the way to its first c and dies; only
+    (a2, c2, d) survives."""
+    rows = [(1, 40, "a", 1 * S), (1, 42, "b", 2 * S),
+            (1, 41, "c", 3 * S), (1, 45, "a", 4 * S),
+            (1, 43, "c", 5 * S), (1, 44, "d", 6 * S)]
+    p = (Pattern.begin("A").where("name='a'")
+         .not_followed_by("N").where("name='b'")
+         .followed_by("M").where("name='c'")
+         .followed_by("D").where("name='d'"))
+    m = {"a": "LAST(A.event_id)", "c": "LAST(M.event_id)",
+         "d": "LAST(D.event_id)"}
+    assert _run_cep(spark, rows, p, m) == [(45, 43, 44)]
+
+
+def test_after_match_skip_discarding_and_iterative(spark):
+    """AfterMatchSkipITCase.java:743 testSkipToFirstDiscarding (mixed
+    conditions + greedy loop; the second match REUSES rows of the
+    first) and :791 testSkipBeforeOtherAlreadyCompleted (skipToFirst
+    with an IterativeCondition reading A's bind) — reference match sets
+    reproduced verbatim."""
+
+    def run(rows, p, meas, skip):
+        df = spark.createDataFrame(
+            rows,
+            "k long, event_id long, name string, price double, ep long",
+        )
+        out = cep_select(spark, df, p, "k", "ep", meas, skip=skip)
+        return sorted(
+            (tuple(r[c] for c in meas) for r in out.collect()), key=str
+        )
+
+    rows = [(1, 1, "a", 0.0, 1 * S), (1, 2, "b", 0.0, 2 * S),
+            (1, 3, "c", 0.0, 3 * S), (1, 4, "c", 0.0, 4 * S),
+            (1, 5, "c", 0.0, 5 * S), (1, 6, "d", 0.0, 6 * S)]
+    p = (Pattern.begin("AC").where("name='a' OR name='c'")
+         .followed_by("BC").where("name='b' OR name='c'")
+         .followed_by("CS").where("name='c'").one_or_more().greedy()
+         .followed_by("D").where("name='d'"))
+    m = {"f": "FIRST(AC.event_id)", "b": "LAST(BC.event_id)",
+         "nc": "COUNT(CS.*)", "d": "LAST(D.event_id)"}
+    assert run(rows, p, m, "SKIP TO FIRST CS") == [
+        (1, 2, 3, 6), (3, 4, 1, 6),
+    ]
+    rows2 = [(1, 1, "a", 0.0, 1 * S), (1, 2, "c", 0.0, 2 * S),
+             (1, 3, "a", 1.0, 3 * S), (1, 4, "c", 0.0, 4 * S),
+             (1, 5, "b", 1.0, 5 * S), (1, 6, "b", 0.0, 6 * S)]
+    p2 = (Pattern.begin("A").where("name='a'")
+          .followed_by("C").where("name='c'")
+          .followed_by("B").where("name='b' AND B.price = FIRST(A.price)"))
+    m2 = {"a": "LAST(A.event_id)", "c": "LAST(C.event_id)",
+          "b": "LAST(B.event_id)"}
+    assert run(rows2, p2, m2, "SKIP TO FIRST C") == [
+        (1, 2, 6), (3, 4, 5),
+    ]
