@@ -1277,11 +1277,11 @@ def cep_select_stream(
     predicate (the reference NFA's IGNORE self-transition, NFA.java:76),
     with the reference's default multi-match prefix emission
     (NFAITCase.java:1871 testSkipTillNextOneOrMore). r10: single-level
-    GroupPattern loops stream too — ``begin(inner).one_or_more()`` /
-    enumerable ``times`` compile to a group-body loop element on the
-    same engine (GroupPattern.java:30); greedy()/exact-count group
-    loops and nested groups still reject loudly toward the batch
-    ``cep_select``. The default SKIP TO NEXT ROW is the reference
+    GroupPattern loops stream too — ``begin(inner)`` with any
+    quantifier (default multi-match, greedy()/reluctant() pins, exact
+    counts) compiles to a group-body loop element on the same engine
+    (GroupPattern.java:30); nested (multi-level) groups still reject
+    loudly toward the batch ``cep_select``. The default SKIP TO NEXT ROW is the reference
     CEP's no-skip strategy, supported streaming since r8."""
     from apache_flink_spark.streaming.match_stream import (
         streaming_match_recognize,

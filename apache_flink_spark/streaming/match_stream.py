@@ -173,23 +173,31 @@ def _tree_flat_ignore(node):
     while i < len(items):
         it = items[i]
         nxt = items[i + 1] if i + 1 < len(items) else None
+        # The repetition after a loop anchor arrives as a quantified
+        # group ``(G*? atom){a,b}`` — or, for an exact count's
+        # ``(G*? atom){1}``, flattened by the parser to a bare seq
+        # (exactly one mandatory repetition).
+        rep_wrap = None
+        if nxt is not None:
+            if nxt[0] == "group" and nxt[1][0] == "seq":
+                rep_wrap = (nxt[1], nxt[2], nxt[3], nxt[4])
+            elif nxt[0] == "seq":
+                rep_wrap = (nxt, 1, 1, True)
         # single-variable relaxed loop X (G*? X){...}
         if (
             it[0] == "var"
             and it[2:] == (1, 1, True)
             and len(it[1]) == 1
-            and nxt is not None
-            and nxt[0] == "group"
-            and nxt[1][0] == "seq"
-            and len(nxt[1][1]) == 2
+            and rep_wrap is not None
+            and len(rep_wrap[0][1]) == 2
         ):
-            g_nd, x_nd = nxt[1][1]
+            g_nd, x_nd = rep_wrap[0][1]
             if (
                 g_nd[0] == "var" and x_nd[0] == "var"
                 and len(g_nd[1]) == 1 and g_nd[2:] == (0, None, False)
                 and x_nd[1] == it[1] and x_nd[2:] == (1, 1, True)
             ):
-                lo, hi, greedy = nxt[2], nxt[3], nxt[4]
+                lo, hi, greedy = rep_wrap[1], rep_wrap[2], rep_wrap[3]
                 out.append((
                     it[1],
                     (1 + lo, None if hi is None else 1 + hi),
@@ -210,12 +218,10 @@ def _tree_flat_ignore(node):
             body_nd = it[1]
         if (
             body_nd is not None
-            and nxt is not None
-            and nxt[0] == "group"
-            and nxt[1][0] == "seq"
-            and len(nxt[1][1]) == 2
+            and rep_wrap is not None
+            and len(rep_wrap[0][1]) == 2
         ):
-            g_nd, rep_nd = nxt[1][1]
+            g_nd, rep_nd = rep_wrap[0][1]
             rep_body = None
             if rep_nd[0] == "seq":
                 rep_body = rep_nd
@@ -228,7 +234,7 @@ def _tree_flat_ignore(node):
             ):
                 steps = _body_steps(body_nd)
                 if steps is not None:
-                    lo, hi, greedy = nxt[2], nxt[3], nxt[4]
+                    lo, hi, greedy = rep_wrap[1], rep_wrap[2], rep_wrap[3]
                     alts = tuple(
                         dict.fromkeys(v for s, _p in steps for v in s)
                     )
@@ -314,26 +320,27 @@ def streaming_match_recognize(
             for _salts, pre in body:
                 if pre is not None:
                     variables.add(pre)
-    for _alts, _q, _g, ign, _body in pattern:
+    for _alts, _q, _g, ign, body in pattern:
         if ign is not None and ign in cep_enum:
             raise MatchRecognizeError(
                 "streaming allowCombinations (SKIP_TILL_ANY) is not "
                 "supported — the per-start subset enumeration is "
                 "unbounded in stream state; use the batch cep_select"
             )
+        if body is not None and any(
+            pre is not None and pre in cep_enum for _s, pre in body
+        ):
+            raise MatchRecognizeError(
+                "streaming group loops support SKIP_TILL_NEXT inner "
+                "contiguity only — a followedByAny INSIDE the group "
+                "branches per gap extent (enum emission the body "
+                "scanner cannot express); use the batch cep_select"
+            )
     elem_enum = [
         bool(set(alts) & cep_enum) for alts, _q, _g, _ign, _b in pattern
     ]
     has_ignore = any(ign is not None for _a, _q, _g, ign, _b in pattern)
-    has_body = any(body is not None for *_rest, body in pattern)
     has_enum = any(elem_enum)
-    if has_body and not has_enum:
-        raise MatchRecognizeError(
-            "streaming GROUP loops support the reference DEFAULT "
-            "multi-match emission only — a greedy()/reluctant()-pinned "
-            "or exact-count group loop needs the batch path "
-            "(cep_select)"
-        )
     measures = _parse_measures(m.group("meas"))
     src_col_names = {f.name for f in stream.schema.fields}
     defines, nav_cols, cross_defs = _parse_defines(

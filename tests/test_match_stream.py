@@ -710,9 +710,10 @@ def test_slicing_invariance_match_number(spark, tmp_path, seed):
 
 
 def test_stream_group_pattern_rejects_loudly(spark):
-    """r10: ENUMERABLE single-level group loops stream now, but an
-    exact-count group quantifier (times(2) — single-match semantics)
-    still rejects loudly toward the batch path."""
+    """r10: single-level group loops stream in ALL emission modes
+    (default/greedy/exact-count), but a group whose BODY itself
+    contains a quantified element (nested loops) still rejects loudly
+    toward the batch path."""
     from apache_flink_spark.cep import CepError, Pattern, cep_select_stream
     from apache_flink_spark.match_recognize import MatchRecognizeError
 
@@ -721,10 +722,10 @@ def test_stream_group_pattern_rejects_loudly(spark):
         "user_id long, event_id long, is_a long, is_b long, ep long",
     )
     inner = (
-        Pattern.begin("A").where("is_a = 1")
+        Pattern.begin("A").where("is_a = 1").one_or_more()
         .followed_by("B").where("is_b = 1")
     )
-    p = Pattern.begin(inner).times(2)
+    p = Pattern.begin(inner).times(2).within(1, "minutes")
     with pytest.raises(
         (CepError, MatchRecognizeError),
         match="batch path|cep_select",
@@ -1142,3 +1143,93 @@ def test_group_loop_stream_vs_batch(spark, tmp_path):
         assert streamed <= batch, streamed - batch
     finally:
         spark.conf.unset("spark.graft.stateful.keyGroups")
+
+
+def test_stream_group_loop_exact_and_greedy(spark, tmp_path):
+    """r10 extension: exact-count and greedy() group loops stream too
+    (single-match semantics on the same body scanner), equal to the
+    batch result; a followedByAny INSIDE the group body still rejects
+    loudly (its gap branches per extent)."""
+    import pandas as pd
+
+    from apache_flink_spark.cep import (
+        CepError,
+        Pattern,
+        cep_select,
+        cep_select_stream,
+    )
+    from apache_flink_spark.match_recognize import MatchRecognizeError
+    from apache_flink_spark.streaming.sources import run_to_table
+
+    S = 1_000_000
+    rows = [
+        (1, 1, 1, 100 * S), (1, 2, 2, 105 * S), (1, 3, 1, 110 * S),
+        (1, 4, 2, 115 * S), (1, 5, 1, 120 * S), (1, 6, 2, 125 * S),
+        (2, 7, 1, 100 * S), (2, 8, 2, 105 * S),
+        (3, 9, 0, 900 * S),
+    ]
+    meas = {"n": "COUNT(A.*)", "fa": "FIRST(A.event_id)",
+            "lb": "LAST(B.event_id)"}
+
+    def stream_run(p):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "event_id", "kind", "ep"]
+        )
+        pq = str(tmp_path / f"grpx_{id(p)}")
+        spark.createDataFrame(pdf).withColumn(
+            "ts", F.timestamp_micros(F.col("ep"))
+        ).write.mode("overwrite").parquet(pq)
+        s = (
+            spark.readStream.schema(
+                "user_id long, event_id long, kind long, ep long, "
+                "ts timestamp"
+            ).parquet(pq).withWatermark("ts", "10 seconds")
+        )
+        out = cep_select_stream(s, p, "user_id", "ep, event_id", meas)
+        return sorted(
+            (tuple(r[c] for c in meas)
+             for r in run_to_table(out, "append").collect()),
+            key=str,
+        )
+
+    def batch_run(p):
+        df = spark.createDataFrame(
+            [r for r in rows if r[0] != 3],
+            "user_id long, event_id long, kind long, ep long",
+        )
+        return sorted(
+            (tuple(r[c] for c in meas)
+             for r in cep_select(
+                 spark, df, p, "user_id", "ep, event_id", meas
+             ).collect()),
+            key=str,
+        )
+
+    def mk(quant):
+        inner = (Pattern.begin("A").where("kind = 1")
+                 .followed_by("B").where("kind = 2"))
+        p = Pattern.begin(inner)
+        quant(p)
+        return p.within(2, "minutes")
+
+    p_exact = mk(lambda p: p.times(2))
+    assert stream_run(p_exact) == batch_run(p_exact) == [
+        (2, 1, 4), (2, 3, 6),
+    ]
+    p_greedy = mk(lambda p: p.one_or_more().greedy())
+    assert stream_run(p_greedy) == batch_run(p_greedy)
+    # inner followedByAny: enum pre-gap the body scanner cannot express
+    inner_any = (Pattern.begin("C").where("kind = 1")
+                 .followed_by_any("D").where("kind = 2"))
+    p_any = Pattern.begin(inner_any).one_or_more().within(2, "minutes")
+    df1 = spark.createDataFrame(
+        [(1, 1, 1, 0, 1_000_000)],
+        "user_id long, event_id long, kind long, x long, ep long",
+    )
+    with pytest.raises(
+        (CepError, MatchRecognizeError), match="batch|cep_select"
+    ):
+        cep_select_stream(
+            df1, p_any, "user_id", "ep, event_id",
+            {"c_id": "FIRST(C.event_id)"},
+        )
