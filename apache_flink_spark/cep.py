@@ -883,7 +883,13 @@ def _compile_body(
             bound = f"{{{n - 1},{mx - 1}}}"
         return f"{atom} {rep}{bound}{lazy}"
 
-    def emit(elem_list: list[_Elem], parts: list[str]) -> None:
+    skip_is_default = (
+        re.sub(r"\s+", " ", skip.strip()).upper() == "SKIP TO NEXT ROW"
+    )
+
+    def emit(
+        elem_list: list[_Elem], parts: list[str], top_level: bool = False
+    ) -> None:
         # pre-pass: hoist each notNext guard onto its previous element
         # (build-time validation pinned the previous element as a plain
         # single-occurrence positive variable)
@@ -994,7 +1000,25 @@ def _compile_body(
                 if ng is not None:
                     base = ng if base == "TRUE" else f"({base}) AND {ng}"
                 add_def(gap, base)
-            if _loop_enumerable(e) or e.combinations:
+            # greedy() is INERT when the loop is the pattern's LAST
+            # positive element: the NFA reaches the final state at
+            # every count and emits each one (GreedyITCase
+            # testEndWithGreedyTimesRange: 3 matches;
+            # testEndWithZeroOrMoreGreedy: 4) — so an end-position
+            # greedy loop enumerates like the default, under the CEP
+            # no-skip strategy where multi-match emission is defined.
+            end_greedy = (
+                top_level
+                and skip_is_default
+                and e.group is None
+                and e.greedy_flag
+                and bool(e.quant)
+                and all(
+                    later.contiguity in ("not_followed_by", "not_next")
+                    for later in elem_list[i + 1:]
+                )
+            )
+            if _loop_enumerable(e) or e.combinations or end_greedy:
                 if e.group is None:
                     enum_vars.add(e.name)
                 else:
@@ -1104,7 +1128,7 @@ def _compile_body(
                     pending_not = None
                     discharge.clear()
 
-    emit(list(elems), pat_parts)
+    emit(list(elems), pat_parts, top_level=True)
     within = ""
     if pattern._within:
         n, u = pattern._within

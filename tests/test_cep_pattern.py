@@ -1260,3 +1260,107 @@ def test_after_match_skip_discarding_and_iterative(spark):
     assert run(rows2, p2, m2, "SKIP TO FIRST C") == [
         (1, 2, 6), (3, 4, 5),
     ]
+
+
+def test_greedy_itcase_scenarios(spark):
+    """GreedyITCase harvest (r10) — greedy() loop semantics, each block
+    citing its reference test (flink-libraries/flink-cep
+    GreedyITCase.java) and reproducing the expected match set verbatim.
+    Key r10 fix: greedy is INERT when the loop is the pattern's LAST
+    positive element — the NFA reaches the final state at every count
+    and emits each one."""
+
+    def run(rows, p, meas):
+        df = spark.createDataFrame(
+            rows,
+            "k long, event_id long, name string, price double, ep long",
+        )
+        out = cep_select(spark, df, p, "k", "ep", meas)
+        return sorted(
+            (tuple(r[c] for c in meas) for r in out.collect()), key=str
+        )
+
+    m = {"c": "LAST(C.event_id)", "n": "COUNT(A.*)",
+         "la": "LAST(A.event_id)", "d": "LAST(D.event_id)"}
+
+    def base():
+        return (Pattern.begin("C").where("name='c'")
+                .followed_by("A").where("name='a'").one_or_more()
+                .greedy()
+                .followed_by("D").where("name='d'"))
+
+    # testGreedyOneOrMore:263 — maximal single match
+    rows = [(1, 40, "c", 0.0, 1 * S), (1, 41, "a", 2.0, 2 * S),
+            (1, 42, "a", 2.0, 3 * S), (1, 43, "a", 2.0, 4 * S),
+            (1, 44, "d", 3.0, 5 * S)]
+    assert run(rows, base(), m) == [(40, 3, 43, 44)]
+    # testGreedyOneOrMoreInBetween:299 — dummies between takes skipped
+    rows2 = [(1, 40, "c", 0.0, 1 * S), (1, 90, "dummy", 0.0, 2 * S),
+             (1, 41, "a", 2.0, 3 * S), (1, 91, "dummy", 0.0, 4 * S),
+             (1, 42, "a", 2.0, 5 * S), (1, 92, "dummy", 0.0, 6 * S),
+             (1, 43, "a", 2.0, 7 * S), (1, 44, "d", 3.0, 8 * S)]
+    assert run(rows2, base(), m) == [(40, 3, 43, 44)]
+    # testGreedyOneOrMoreWithDummyEventsAfterQuantifier:338
+    rows3 = [(1, 40, "c", 0.0, 1 * S), (1, 41, "a", 2.0, 2 * S),
+             (1, 42, "a", 2.0, 3 * S), (1, 93, "dummy", 2.0, 4 * S),
+             (1, 44, "d", 3.0, 5 * S)]
+    assert run(rows3, base(), m) == [(40, 2, 42, 44)]
+    # testGreedyOneOrMoreWithDummyEventsBeforeQuantifier:373 — no a's
+    rows4 = [(1, 40, "c", 0.0, 1 * S), (1, 93, "dummy", 2.0, 2 * S),
+             (1, 44, "d", 3.0, 3 * S)]
+    assert run(rows4, base(), m) == []
+
+    def until_p():
+        return (Pattern.begin("C").where("name='c'")
+                .followed_by("A").where("name='a'").one_or_more()
+                .greedy().until("price > 3.0")
+                .followed_by("D").where("name='d'"))
+
+    # testGreedyUntilOneOrMoreWithDummyEventsAfterQuantifier:402 — the
+    # until() blocks both the take AND the ignore edge of the 4.0 row,
+    # so the loop ends before it; the post-loop gap skips it
+    rows5 = [(1, 40, "c", 1.0, 1 * S), (1, 41, "a", 2.0, 2 * S),
+             (1, 42, "a", 3.0, 3 * S), (1, 43, "a", 3.0, 4 * S),
+             (1, 90, "a", 4.0, 5 * S), (1, 45, "d", 3.0, 6 * S)]
+    assert run(rows5, until_p(), m) == [(40, 3, 43, 45)]
+    # testGreedyUntilOneOrMoreWithDummyEventsBeforeQuantifier:440 — the
+    # high-price a sits at the loop ANCHOR (the pre-loop gap cannot skip
+    # an a) and fails until(): EMPTY
+    rows6 = [(1, 40, "c", 1.0, 1 * S), (1, 90, "a", 4.0, 2 * S),
+             (1, 41, "a", 2.0, 3 * S), (1, 42, "a", 3.0, 4 * S),
+             (1, 43, "a", 3.0, 5 * S), (1, 45, "d", 3.0, 6 * S)]
+    assert run(rows6, until_p(), m) == []
+    # testEndWithGreedyTimesRange:609 — END-position greedy enumerates
+    m2 = {"c": "LAST(C.event_id)", "n": "COUNT(A.*)",
+          "la": "LAST(A.event_id)"}
+    rows7 = [(1, 40, "c", 0.0, 1 * S), (1, 41, "a", 2.0, 2 * S),
+             (1, 42, "a", 2.0, 3 * S), (1, 43, "a", 2.0, 4 * S),
+             (1, 44, "a", 2.0, 5 * S), (1, 45, "dummy", 2.0, 6 * S)]
+    p7 = (Pattern.begin("C").where("name='c'")
+          .followed_by("A").where("name='a'").times(2, 5).greedy())
+    assert run(rows7, p7, m2) == [(40, 2, 42), (40, 3, 43), (40, 4, 44)]
+    # testEndWithZeroOrMoreGreedy:533 — incl. the zero-take bare (c)
+    rows8 = [(1, 40, "c", 0.0, 1 * S), (1, 41, "a", 2.0, 2 * S),
+             (1, 42, "a", 2.0, 3 * S), (1, 44, "dummy", 2.0, 4 * S),
+             (1, 43, "a", 2.0, 5 * S)]
+    p8 = (Pattern.begin("C").where("name='c'")
+          .followed_by("A").where("name='a'").one_or_more().optional()
+          .greedy())
+    assert run(rows8, p8, m2) == sorted(
+        [(40, 0, None), (40, 1, 41), (40, 2, 42), (40, 3, 43)], key=str
+    )
+    # testEndWithZeroOrMoreConsecutiveGreedy:571 — adjacent run only
+    p9 = (Pattern.begin("C").where("name='c'")
+          .followed_by("A").where("name='a'").one_or_more().optional()
+          .consecutive().greedy())
+    assert run(rows8, p9, m2) == sorted(
+        [(40, 0, None), (40, 1, 41), (40, 2, 42)], key=str
+    )
+    # testGreedyTimesRange:647 — NOT at the end: maximal single match
+    rows9 = [(1, 40, "c", 0.0, 1 * S), (1, 41, "a", 2.0, 2 * S),
+             (1, 42, "a", 2.0, 3 * S), (1, 43, "a", 2.0, 4 * S),
+             (1, 44, "a", 2.0, 5 * S), (1, 45, "d", 2.0, 6 * S)]
+    p10 = (Pattern.begin("C").where("name='c'")
+           .followed_by("A").where("name='a'").times(2, 5).greedy()
+           .followed_by("D").where("name='d'"))
+    assert run(rows9, p10, m) == [(40, 4, 44, 45)]
