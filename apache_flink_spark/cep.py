@@ -252,11 +252,13 @@ class Pattern:
                 "reference rejects consecutive negative patterns too)"
             )
         if prev.group is not None:
-            raise CepError(
-                "notNext after a group pattern is not supported — the "
-                "guard binds to a single pattern variable; name the "
-                "group's last element and attach notNext after it"
-            )
+            if prev.quant or prev.opt_loop:
+                raise CepError(
+                    "notNext after a QUANTIFIED group pattern is not "
+                    "supported — name the group's last element and "
+                    "attach notNext after it"
+                )
+            _group_next_guard_var(prev.group)  # validates the target
         if prev.opt_loop or prev.quant in ("?", "??") or re.match(
             r"\{0[,}]", prev.quant or ""
         ):
@@ -679,6 +681,29 @@ def _is_optional_elem(p: _Elem) -> bool:
     )
 
 
+def _group_next_guard_var(p: Pattern) -> str:
+    """The variable a notNext guard after an UNQUANTIFIED group binds
+    to — the group's last taken element (GroupITCase testGroupNotNext:
+    the strict NOT checks the row physically after the group's last
+    event). Must be a plain single-occurrence named element."""
+    for e in reversed(p._elems):
+        if e.contiguity in ("not_followed_by", "not_next"):
+            continue
+        if e.group is not None:
+            if e.quant or e.opt_loop:
+                break
+            return _group_next_guard_var(e.group)
+        if e.quant or e.opt_loop:
+            break
+        return e.name
+    raise CepError(
+        "notNext after a group whose LAST element is quantified or "
+        "optional is not supported — the guard binds to a single "
+        "pattern variable; name the group's last element and attach "
+        "notNext after it"
+    )
+
+
 def _prev_take_chain(
     elem_list: list[_Elem], i: int
 ) -> list[tuple[str, bool]]:
@@ -897,9 +922,13 @@ def _compile_body(
         for i, e in enumerate(elem_list):
             if e.contiguity == "not_next":
                 prev = elem_list[i - 1]
+                gv = (
+                    prev.name if prev.group is None
+                    else _group_next_guard_var(prev.group)
+                )
                 guards[i - 1] = _ident_wrap(
                     e.condition_sql(),
-                    lambda c, v=prev.name: f"NEXT({v}.{c})",
+                    lambda c, v=gv: f"NEXT({v}.{c})",
                 )
         # r10 — reference NOT scoping (NotPatternITCase): a middle
         # notFollowedBy's forbidden condition guards every ignore edge
@@ -1064,6 +1093,15 @@ def _compile_body(
                 if e.opt_loop:
                     frag = f"( {frag} )?"
                 parts.append(frag)
+                if i in guards:
+                    # notNext after an unquantified group: the guard
+                    # binds to the group's last taken element
+                    # (GroupITCase testGroupNotNext)
+                    tv = _group_next_guard_var(e.group)
+                    def_map[tv] = (
+                        f"({def_map[tv]}) AND "
+                        f"(NOT COALESCE(({guards[i]}), FALSE))"
+                    )
                 if pending_not is not None:
                     if _is_optional_elem(e):
                         discharge.extend(e.group._names())

@@ -1364,3 +1364,60 @@ def test_greedy_itcase_scenarios(spark):
            .followed_by("A").where("name='a'").times(2, 5).greedy()
            .followed_by("D").where("name='d'"))
     assert run(rows9, p10, m) == [(40, 4, 44, 45)]
+
+
+def test_group_itcase_scenarios(spark):
+    """GroupITCase harvest (r10) — GroupPattern composition scenarios
+    reproduced verbatim (flink-libraries/flink-cep GroupITCase.java):
+    quantified groups, optional groups (skip branch emits), default
+    prefix emission on (a b)+, and NEGATIONS AFTER a group —
+    notFollowedBy (forward-gap guard) and notNext (the strict guard
+    binds to the group's last taken element, newly supported)."""
+
+    def grp():
+        return (Pattern.begin("M1").where("name='a'")
+                .followed_by("M2").where("name='b'"))
+
+    m = {"c": "LAST(C.event_id)", "a": "LAST(M1.event_id)",
+         "b": "LAST(M2.event_id)", "d": "LAST(D.event_id)"}
+    # testGroupFollowedByTimes:46 — c (a b){2} d: one match
+    rows = [(1, 40, "c", 1 * S), (1, 41, "a", 2 * S),
+            (1, 42, "b", 3 * S), (1, 43, "a", 4 * S),
+            (1, 44, "b", 5 * S), (1, 45, "d", 6 * S)]
+    p = (Pattern.begin("C").where("name='c'").followed_by(grp())
+         .times(2).followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows, p, {**m, "na": "COUNT(M1.*)"}) == [
+        (40, 43, 44, 45, 2),
+    ]
+    # testGroupFollowedByOptional:90 — skip branch (c, d) AND the
+    # first-anchored take (c, a1, b, d); never the a2-anchored one
+    rows2 = [(1, 40, "c", 1 * S), (1, 41, "a", 2 * S),
+             (1, 42, "a", 3 * S), (1, 43, "b", 4 * S),
+             (1, 44, "d", 5 * S)]
+    p2 = (Pattern.begin("C").where("name='c'").followed_by(grp())
+          .optional().followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows2, p2, m) == sorted(
+        [(40, 41, 43, 44), (40, None, None, 44)], key=str
+    )
+    # testGroupFollowedByOneOrMore:171 — default prefix emission
+    p3 = (Pattern.begin("C").where("name='c'").followed_by(grp())
+          .one_or_more().followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows, p3, {**m, "na": "COUNT(M1.*)"}) == [
+        (40, 41, 42, 45, 1), (40, 43, 44, 45, 2),
+    ]
+    # testGroupNotFollowedBy:477 / testGroupNotNext:524 — the (a1, b1)
+    # branch dies on the d; only (c, a2, b2, e) survives
+    rows3 = [(1, 40, "c", 1 * S), (1, 41, "a", 2 * S),
+             (1, 42, "b", 3 * S), (1, 43, "d", 4 * S),
+             (1, 44, "a", 5 * S), (1, 45, "b", 6 * S),
+             (1, 46, "e", 7 * S)]
+    m3 = {"c": "LAST(C.event_id)", "a": "LAST(M1.event_id)",
+          "b": "LAST(M2.event_id)", "e": "LAST(E.event_id)"}
+    p4 = (Pattern.begin("C").where("name='c'").followed_by_any(grp())
+          .not_followed_by("N").where("name='d'")
+          .followed_by("E").where("name='e'"))
+    assert _run_cep(spark, rows3, p4, m3) == [(40, 44, 45, 46)]
+    p5 = (Pattern.begin("C").where("name='c'").followed_by_any(grp())
+          .not_next("N").where("name='d'")
+          .followed_by("E").where("name='e'"))
+    assert _run_cep(spark, rows3, p5, m3) == [(40, 44, 45, 46)]
