@@ -76,6 +76,15 @@ class MatchRecognizeError(ValueError):
 
 _QUANTS = {"": (1, 1), "?": (0, 1), "+": (1, None), "*": (0, None)}
 
+# pattern text: bounded paren nesting, generated to depth 6 (r8 needed
+# depth 3 for quantified groups of relaxed loops; r10's NESTED
+# GroupPattern compiles — (a (b c)+)? — reach depth 5: outer optional
+# group, outer relaxed expansion, inner loop expansion, inner atom,
+# inner relaxed gap group)
+_PAREN = r"\([^()]*\)"
+for _ in range(5):
+    _PAREN = rf"\((?:[^()]|{_PAREN})*\)"
+
 _BODY_RE = re.compile(
     r"PARTITION\s+BY\s+(?P<part>.+?)\s+"
     r"ORDER\s+BY\s+(?P<order>.+?)\s+"
@@ -83,11 +92,7 @@ _BODY_RE = re.compile(
     r"(?:(?P<mode>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
     r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW"
     r"|TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
-    # pattern text: up to 3 paren-nesting levels (r8 — nested sequence
-    # groups like (A (G*? A)*) need depth 2; quantified groups of
-    # relaxed loops need depth 3)
-    r"PATTERN\s*\(\s*(?P<pat>(?:[^()]"
-    r"|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))*?)\s*\)\s+"
+    rf"PATTERN\s*\(\s*(?P<pat>(?:[^()]|{_PAREN})*?)\s*\)\s+"
     r"(?:WITHIN\s+INTERVAL\s*'(?P<within_n>\d+)'\s*(?P<within_u>\w+)\s+)?"
     r"(?:SUBSET\s+(?P<subset>.+?)\s+)?"
     r"DEFINE\s+(?P<defs>.+)$",

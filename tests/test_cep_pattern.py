@@ -1421,3 +1421,50 @@ def test_group_itcase_scenarios(spark):
           .not_next("N").where("name='d'")
           .followed_by("E").where("name='e'"))
     assert _run_cep(spark, rows3, p5, m3) == [(40, 44, 45, 46)]
+
+
+def test_group_nest_scenarios(spark):
+    """GroupITCase nested groups (r10): testGroupNest:571 —
+    ``d (a (b c)+?)? e`` — and testGroupNestTimes:634 —
+    ``d fBAny (a (b c){3}){0,2} e`` — reproduced verbatim on the
+    backtracking VM (the body-text parser's bounded paren nesting was
+    raised to depth 6 for the nested compile)."""
+    rows = [(1, 40, "d", 1 * S), (1, 41, "a", 2 * S),
+            (1, 42, "b", 3 * S), (1, 43, "c", 4 * S),
+            (1, 44, "b", 5 * S), (1, 45, "c", 6 * S),
+            (1, 46, "e", 7 * S)]
+    inner = (Pattern.begin("M2").where("name='b'")
+             .followed_by("M3").where("name='c'"))
+    mid = (Pattern.begin("M1").where("name='a'")
+           .followed_by(inner).one_or_more().optional())
+    p = (Pattern.begin("ST").where("name='d'")
+         .followed_by(mid).optional()
+         .followed_by("E").where("name='e'"))
+    m = {"a": "LAST(M1.event_id)", "nb": "COUNT(M2.*)",
+         "lc": "LAST(M3.event_id)", "e": "LAST(E.event_id)"}
+    assert _run_cep(spark, rows, p, m) == sorted([
+        (None, 0, None, 46), (41, 0, None, 46),
+        (41, 1, 43, 46), (41, 2, 45, 46),
+    ], key=str)
+    rows2 = (
+        [(1, 40, "d", 1 * S), (1, 41, "a", 2 * S)]
+        + [(1, 42 + i, nm, (3 + i) * S)
+           for i, nm in enumerate(["b", "c", "b", "c", "b", "c"])]
+        + [(1, 48, "a", 9 * S)]
+        + [(1, 49 + i, nm, (10 + i) * S)
+           for i, nm in enumerate(["b", "c", "b", "c", "b", "c"])]
+        + [(1, 55, "e", 16 * S)]
+    )
+    inner2 = (Pattern.begin("N2").where("name='b'")
+              .followed_by("N3").where("name='c'"))
+    mid2 = (Pattern.begin("N1").where("name='a'")
+            .followed_by(inner2).times(3))
+    p2 = (Pattern.begin("SX").where("name='d'")
+          .followed_by_any(mid2).times(0, 2)
+          .followed_by("EX").where("name='e'"))
+    m2 = {"fa": "FIRST(N1.event_id)", "la": "LAST(N1.event_id)",
+          "nb": "COUNT(N2.*)", "e": "LAST(EX.event_id)"}
+    assert _run_cep(spark, rows2, p2, m2) == sorted([
+        (None, None, 0, 55), (41, 41, 3, 55), (48, 48, 3, 55),
+        (41, 48, 6, 55),
+    ], key=str)
