@@ -468,11 +468,6 @@ class Pattern:
         same NOT(condition) — the reference guards IGNORE transitions
         with the until condition too (NFACompiler)."""
         e = self._last()
-        if e.group is not None:
-            raise CepError(
-                "until() on a group pattern is not supported — attach "
-                "the stop condition to the inner looping element"
-            )
         if not e.quant:
             raise CepError("until() needs a preceding quantifier")
         e.until_conds.append(condition_sql)
@@ -704,6 +699,23 @@ def _group_next_guard_var(p: Pattern) -> str:
     )
 
 
+def _append_frag(
+    parts: list[str], gap_tok: str | None, core: str, suffix: str
+) -> None:
+    """Append an element fragment, pulling its leading relaxed gap
+    INSIDE the optionality when the element can match zero times — the
+    reference's ignore edges belong to the optional element's states,
+    so skipping the element must skip its gap too (GroupITCase
+    testFollowedByOptionalGroupPattern)."""
+    if gap_tok and suffix:
+        parts.append(f"( {gap_tok} {core} ){suffix}")
+    elif gap_tok:
+        parts.append(gap_tok)
+        parts.append(f"{core}{suffix}")
+    else:
+        parts.append(f"{core}{suffix}")
+
+
 def _prev_take_chain(
     elem_list: list[_Elem], i: int
 ) -> list[tuple[str, bool]]:
@@ -849,20 +861,28 @@ def _compile_body(
         if name not in def_map:
             def_map[name] = text
 
-    def expand_quant(atom: str, e: _Elem, gap_def: str) -> str:
+    def expand_quant(atom: str, e: _Elem, gap_def: str) -> tuple[str, str]:
         """Relaxed loop expansion: atom{q} -> atom (G*? atom){q-1} with
         G defined as the loop's ignore condition. Single-occurrence
-        forms and consecutive() loops pass through unchanged."""
+        forms and consecutive() loops pass through unchanged.
+
+        Returns ``(core, opt_suffix)``: for zero-allowing quantifiers
+        the outer optionality is SPLIT OFF as a '?'/'??' suffix so the
+        caller can pull the element's leading relaxed gap INSIDE it —
+        the reference's ignore edges belong to the optional element's
+        states, so skipping the element skips its gap too (GroupITCase
+        testFollowedByOptionalGroupPattern: a -> (b c)? next d must
+        bind d strictly next to a when the group is skipped)."""
         quant = e.quant
-        if not quant or quant in ("?", "??"):
-            return f"{atom}{quant}"
+        if not quant:
+            return atom, ""
+        if quant in ("?", "??"):
+            return atom, quant
         lazy = ""
         q = quant
         if q.endswith("?") and q not in ("?", "??"):
             lazy = "?"
             q = q[:-1]
-        if e.strict_inner:
-            return f"{atom}{q}{lazy}"
         if q == "+":
             n: int = 1
             mx: int | None = None
@@ -877,6 +897,11 @@ def _compile_body(
                 mx = None
         if mx is not None and mx == 0:
             raise CepError(f"degenerate quantifier {quant!r}")
+        if e.strict_inner:
+            if n == 0:
+                one_up = f"{{1,{mx}}}" if mx is not None else "+"
+                return f"{atom}{one_up}{lazy}", f"?{lazy}"
+            return f"{atom}{q}{lazy}", ""
         if e.combinations and mx is None and pattern._within is None:
             raise CepError(
                 "allowCombinations() on an UNBOUNDED loop needs a "
@@ -887,7 +912,9 @@ def _compile_body(
                 "finite per start)"
             )
         if mx == 1:
-            return f"{atom}?{lazy}" if n == 0 else atom
+            if n == 0:
+                return atom, f"?{lazy}"
+            return atom, ""
         g = new_gap()
         add_def(g, gap_def)
         inner_gap_of[id(e)] = g
@@ -899,14 +926,14 @@ def _compile_body(
         rep = f"({g}*? {atom})"
         if n == 0:
             inner = f"{{0,{mx - 1}}}" if mx is not None else "*"
-            return f"( {atom} {rep}{inner} )?{lazy}"
+            return f"{atom} {rep}{inner}", f"?{lazy}"
         if mx == n:
             bound = f"{{{n - 1}}}"
         elif mx is None:
             bound = "*" if n == 1 else f"{{{n - 1},}}"
         else:
             bound = f"{{{n - 1},{mx - 1}}}"
-        return f"{atom} {rep}{bound}{lazy}"
+        return f"{atom} {rep}{bound}{lazy}", ""
 
     skip_is_default = (
         re.sub(r"\s+", " ", skip.strip()).upper() == "SKIP TO NEXT ROW"
@@ -1009,9 +1036,10 @@ def _compile_body(
                     "is not supported — the reference forbids "
                     "notFollowedBy+next adjacency"
                 )
+            gap_tok = None
             if e.contiguity in ("followed_by", "followed_by_any"):
                 gap = new_gap()
-                parts.append(f"{gap}*?")
+                gap_tok = f"{gap}*?"
                 if e.contiguity == "followed_by_any":
                     # SKIP_TILL_ANY between elements (Pattern.java:344):
                     # ignore = TRUE and every gap extent is its own match
@@ -1085,14 +1113,31 @@ def _compile_body(
                     enum_vars.update(free)
             if e.group is not None:
                 inner_parts: list[str] = []
+                gaps_before = set(gap_vars)
                 emit(e.group._elems, inner_parts)
                 atom = f"( {' '.join(inner_parts)} )"
                 # ignore edge between group repetitions: negation of the
                 # group head's take (getInnerIgnoreCondition on the head)
-                frag = expand_quant(atom, e, f"NOT ({_head_where(e)})")
+                rep_gap_def = f"NOT ({_head_where(e)})"
+                for u in e.until_conds:
+                    rep_gap_def = f"({rep_gap_def}) AND (NOT ({u}))"
+                core, suffix = expand_quant(atom, e, rep_gap_def)
+                if e.until_conds:
+                    # until() on a GROUP loop (GroupITCase
+                    # testGroupFollowedByOneOrMoreWithUntilCondition):
+                    # the stop check gates EVERY row the loop consumes —
+                    # inner element takes AND inner ignore edges
+                    for u in e.until_conds:
+                        for v in e.group._names():
+                            def_map[v] = f"({def_map[v]}) AND (NOT ({u}))"
+                        for gname in set(gap_vars) - gaps_before:
+                            def_map[gname] = (
+                                f"({def_map[gname]}) AND (NOT ({u}))"
+                            )
                 if e.opt_loop:
-                    frag = f"( {frag} )?"
-                parts.append(frag)
+                    core = f"( {core}{suffix} )"
+                    suffix = "?"
+                _append_frag(parts, gap_tok, core, suffix)
                 if i in guards:
                     # notNext after an unquantified group: the guard
                     # binds to the group's last taken element
@@ -1151,11 +1196,12 @@ def _compile_body(
             )
             for u in e.until_conds:
                 gap_def = f"({gap_def}) AND (NOT ({u}))"
-            frag = expand_quant(e.name, e, gap_def)
+            core, suffix = expand_quant(e.name, e, gap_def)
             if e.opt_loop:
                 # optional() on a looping quantifier: zero or the loop
-                frag = f"( {frag} )?"
-            parts.append(frag)
+                core = f"( {core}{suffix} )"
+                suffix = "?"
+            _append_frag(parts, gap_tok, core, suffix)
             add_def(e.name, cond)
             if pending_not is not None:
                 if _is_optional_elem(e):

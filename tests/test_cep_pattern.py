@@ -219,7 +219,10 @@ def test_optional_on_looping_quantifier(spark):
     stmt = pattern_to_match_recognize(
         p, "t", "k", "ts", {"na": "COUNT(a.*)"}
     )
-    assert "( a (G1*? a){1} )?" in stmt
+    # r10: the element's leading relaxed gap sits INSIDE the optional
+    # (skipping the element skips its ignore edge too — GroupITCase
+    # testFollowedByOptionalGroupPattern)
+    assert "( G0*? ( a (G1*? a){1} ) )?" in stmt
     rows = [
         (1, 1, "s", 0), (1, 2, "a", 1), (1, 3, "a", 2), (1, 4, "b", 3),
         (2, 1, "s", 0), (2, 2, "b", 1),
@@ -1468,3 +1471,48 @@ def test_group_nest_scenarios(spark):
         (None, None, 0, 55), (41, 41, 3, 55), (48, 48, 3, 55),
         (41, 48, 6, 55),
     ], key=str)
+
+
+def test_group_itcase_until_and_optional_edges(spark):
+    """GroupITCase long tail (r10): until() on a GROUP loop gates every
+    consumed row (:839 — both prefixes emit, the d stops the loop);
+    a group STARTING with an optional element under strict next (:892);
+    and the optional-group gap-scope fix (:932
+    testFollowedByOptionalGroupPattern): ``a -> (b c)? next d`` binds d
+    STRICTLY next to a when the group is skipped — the relaxed gap
+    belongs to the group's states and is skipped with it."""
+    # :839
+    rows3 = [(1, 40, "c", 1 * S), (1, 41, "a", 2 * S),
+             (1, 42, "b", 3 * S), (1, 43, "a", 4 * S),
+             (1, 44, "b", 5 * S), (1, 45, "d", 6 * S)]
+    grp3 = (Pattern.begin("M1").where("name='a'")
+            .followed_by("M2").where("name='b'"))
+    p3 = (Pattern.begin("C").where("name='c'")
+          .followed_by(grp3).one_or_more().until("name = 'd'")
+          .followed_by("D").where("name='d'"))
+    m3 = {"c": "LAST(C.event_id)", "n": "COUNT(M1.*)",
+          "lb": "LAST(M2.event_id)", "d": "LAST(D.event_id)"}
+    assert _run_cep(spark, rows3, p3, m3) == [
+        (40, 1, 42, 45), (40, 2, 44, 45),
+    ]
+    # :892
+    grp2 = (Pattern.begin("M1").where("name='b'").optional()
+            .next("M2").where("name='c'"))
+    p2 = (Pattern.begin("A").where("name='a'")
+          .next(grp2).next("D").where("name='d'"))
+    rows2 = [(1, 40, "a", 1 * S), (1, 41, "c", 2 * S),
+             (1, 42, "d", 3 * S)]
+    m2 = {"a": "LAST(A.event_id)", "c": "LAST(M2.event_id)",
+          "d": "LAST(D.event_id)"}
+    assert _run_cep(spark, rows2, p2, m2) == [(40, 41, 42)]
+    # :932 — [a, d2] must NOT match (the skipped group takes its
+    # relaxed gap with it, so d binds strictly next to a)
+    rows = [(1, 40, "a", 1 * S), (1, 41, "d", 2 * S),
+            (1, 42, "d", 3 * S)]
+    grp = (Pattern.begin("M1").where("name='b'")
+           .next("M2").where("name='c'"))
+    p = (Pattern.begin("A").where("name='a'")
+         .followed_by(grp).optional()
+         .next("D").where("name='d'"))
+    m = {"a": "LAST(A.event_id)", "d": "LAST(D.event_id)"}
+    assert _run_cep(spark, rows, p, m) == [(40, 41)]
