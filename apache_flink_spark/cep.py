@@ -1117,8 +1117,14 @@ def _compile_body(
                 emit(e.group._elems, inner_parts)
                 atom = f"( {' '.join(inner_parts)} )"
                 # ignore edge between group repetitions: negation of the
-                # group head's take (getInnerIgnoreCondition on the head)
-                rep_gap_def = f"NOT ({_head_where(e)})"
+                # group head's take (getInnerIgnoreCondition on the
+                # head); allowCombinations switches it to TRUE
+                # (SKIP_TILL_ANY — whole repetitions may be skipped,
+                # GroupITCase testGroupFollowedByAnyTimesCombinations)
+                rep_gap_def = (
+                    "TRUE" if e.combinations
+                    else f"NOT ({_head_where(e)})"
+                )
                 for u in e.until_conds:
                     rep_gap_def = f"({rep_gap_def}) AND (NOT ({u}))"
                 core, suffix = expand_quant(atom, e, rep_gap_def)

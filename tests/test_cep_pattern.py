@@ -1516,3 +1516,50 @@ def test_group_itcase_until_and_optional_edges(spark):
          .next("D").where("name='d'"))
     m = {"a": "LAST(A.event_id)", "d": "LAST(D.event_id)"}
     assert _run_cep(spark, rows, p, m) == [(40, 41)]
+
+
+def test_group_itcase_quantifier_variants(spark):
+    """GroupITCase quantifier variants (r10): optional exact-count
+    groups whose partial take dies (:133 — only the skip branch
+    emits), zero-or-more groups (:217 — every repetition count), and
+    allowCombinations on a GROUP loop (:265 — the between-reps ignore
+    edge is TRUE, so whole repetitions may be skipped: all three
+    2-subsets of the three (a b) pairs)."""
+
+    def grp():
+        return (Pattern.begin("M1").where("name='a'")
+                .followed_by("M2").where("name='b'"))
+
+    # :133 testFollowedByGroupTimesOptional
+    rows = [(1, 40, "c", 1 * S), (1, 41, "a", 2 * S),
+            (1, 45, "d", 3 * S)]
+    p = (Pattern.begin("C").where("name='c'").followed_by(grp())
+         .times(2).optional().followed_by("D").where("name='d'"))
+    m = {"c": "LAST(C.event_id)", "a": "LAST(M1.event_id)",
+         "d": "LAST(D.event_id)"}
+    assert _run_cep(spark, rows, p, m) == [(40, None, 45)]
+    # :217 testGroupFollowedByZeroOrMore
+    rows2 = [(1, 40, "c", 1 * S), (1, 41, "a", 2 * S),
+             (1, 42, "b", 3 * S), (1, 43, "a", 4 * S),
+             (1, 44, "b", 5 * S), (1, 45, "d", 6 * S)]
+    p2 = (Pattern.begin("C").where("name='c'").followed_by(grp())
+          .one_or_more().optional()
+          .followed_by("D").where("name='d'"))
+    m2 = {"c": "LAST(C.event_id)", "n": "COUNT(M1.*)",
+          "lb": "LAST(M2.event_id)", "d": "LAST(D.event_id)"}
+    assert _run_cep(spark, rows2, p2, m2) == [
+        (40, 0, None, 45), (40, 1, 42, 45), (40, 2, 44, 45),
+    ]
+    # :265 testGroupFollowedByAnyTimesCombinations
+    rows3 = [(1, 40, "c", 1 * S), (1, 41, "a", 2 * S),
+             (1, 42, "b", 3 * S), (1, 43, "a", 4 * S),
+             (1, 44, "b", 5 * S), (1, 45, "a", 6 * S),
+             (1, 46, "b", 7 * S), (1, 47, "d", 8 * S)]
+    p3 = (Pattern.begin("C").where("name='c'").followed_by_any(grp())
+          .times(2).allow_combinations()
+          .followed_by("D").where("name='d'"))
+    m3 = {"fa": "FIRST(M1.event_id)", "la": "LAST(M1.event_id)",
+          "lb": "LAST(M2.event_id)", "d": "LAST(D.event_id)"}
+    assert _run_cep(spark, rows3, p3, m3) == [
+        (41, 43, 44, 47), (41, 45, 46, 47), (43, 45, 46, 47),
+    ]
