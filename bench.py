@@ -370,14 +370,12 @@ def main() -> None:
             "regression. The bench-methodology number tracks the "
             "host-wide drift below."
         ),
-        "host_drift": (
-            "r10 local idle bench shows a roughly UNIFORM ~1.05-1.45x "
-            "drift vs the r6-era frozen baselines across queries whose "
-            "code is untouched since r6-r8 (text_*, win_*, q6, "
-            "interval_join), while baselines appended THIS round on "
-            "THIS host sit at ~1.0x — consistent with a slower host, "
-            "not plan changes. Judge per-query ratios against the "
-            "total_ratio, not 1.0."
+        "host_load": (
+            "per-query ratios are load-sensitive: an r10 run with "
+            "loadavg ~2-3 (residual from the test suite) showed a "
+            "UNIFORM ~1.05-1.45x drift on queries untouched since "
+            "r6-r8; a truly idle run (loadavg 0.04) landed at 0.982x "
+            "total. Judge per-query ratios against the total_ratio."
         ),
     }
     try:
