@@ -1563,3 +1563,51 @@ def test_group_itcase_quantifier_variants(spark):
     assert _run_cep(spark, rows3, p3, m3) == [
         (41, 43, 44, 47), (41, 45, 46, 47), (43, 45, 46, 47),
     ]
+
+
+def test_group_itcase_any_next_begin_variants(spark):
+    """GroupITCase remaining variants (r10): followedByAny into
+    optional/unbounded group loops (:317 — both 2-rep anchors plus the
+    skip branch; :369 — all six anchor/count combinations), strict
+    NEXT into a zero-or-more group (:423 — only the adjacent anchor,
+    plus the skip branch whose relaxed tail gap reaches d), and a
+    pattern BEGINNING with a quantified group (:796)."""
+
+    def grp():
+        return (Pattern.begin("M1").where("name='a'")
+                .followed_by("M2").where("name='b'"))
+
+    rows = [(1, 40, "c", 1 * S), (1, 41, "a", 2 * S),
+            (1, 42, "b", 3 * S), (1, 43, "a", 4 * S),
+            (1, 44, "b", 5 * S), (1, 45, "a", 6 * S),
+            (1, 46, "b", 7 * S), (1, 47, "d", 8 * S)]
+    m = {"fa": "FIRST(M1.event_id)", "la": "LAST(M1.event_id)",
+         "n": "COUNT(M1.*)", "d": "LAST(D.event_id)"}
+    p1 = (Pattern.begin("C").where("name='c'")
+          .followed_by_any(grp()).times(2).optional()
+          .followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows, p1, m) == sorted([
+        (41, 43, 2, 47), (43, 45, 2, 47), (None, None, 0, 47),
+    ], key=str)
+    p2 = (Pattern.begin("C").where("name='c'")
+          .followed_by_any(grp()).times_or_more(1)
+          .followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows, p2, m) == sorted([
+        (41, 41, 1, 47), (41, 43, 2, 47), (41, 45, 3, 47),
+        (43, 43, 1, 47), (43, 45, 2, 47), (45, 45, 1, 47),
+    ], key=str)
+    p3 = (Pattern.begin("C").where("name='c'")
+          .next(grp()).one_or_more().optional()
+          .followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows, p3, m) == sorted([
+        (41, 41, 1, 47), (41, 43, 2, 47), (41, 45, 3, 47),
+        (None, None, 0, 47),
+    ], key=str)
+    rows2 = [(1, 41, "a", 1 * S), (1, 42, "b", 2 * S),
+             (1, 43, "a", 3 * S), (1, 44, "b", 4 * S),
+             (1, 45, "d", 5 * S)]
+    p4 = (Pattern.begin(grp()).times(1, 2)
+          .followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows2, p4, m) == sorted([
+        (41, 41, 1, 45), (41, 43, 2, 45), (43, 43, 1, 45),
+    ], key=str)
