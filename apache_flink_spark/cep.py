@@ -618,15 +618,41 @@ def _own_row_sql(e: _Elem) -> str:
     edge evaluates the take condition on the CANDIDATE row itself, like
     the reference's SimpleCondition. References to OTHER variables stay
     qualified (iterative conditions — the ignore edge sees the in-flight
-    binds, matching the reference's IterativeCondition context)."""
+    binds, matching the reference's IterativeCondition context).
+
+    r10: AGGREGATES over the own variable's binds (``SUM(A.price)`` —
+    IterativeCondition reductions) are rewritten to the
+    candidate-INCLUSIVE form ``SUM_INCL(A.price)`` instead of being
+    stripped: the reference's ignore edge negates the take condition AS
+    IF the candidate were taken (RichNotCondition evaluates the
+    IterativeCondition on the candidate with the in-flight binds), and
+    RUNNING own-variable aggregates include the current row only when
+    evaluated FOR that variable — the _INCL marker preserves that on
+    the gap variable."""
     cond = e.where_sql()
     if e.name:
+        placeholders: dict[str, str] = {}
+
+        def agg_repl(m: re.Match) -> str:
+            key = f"__AGGPH{len(placeholders)}__"
+            placeholders[key] = (
+                f"{m.group(1).upper()}_INCL({e.name}.{m.group(2)})"
+            )
+            return key
+
         segs = re.split(r"('[^']*')", cond)
         for i in range(0, len(segs), 2):
+            segs[i] = re.sub(
+                rf"\b(SUM|MIN|MAX|AVG|COUNT)\s*\(\s*{e.name}\s*\.\s*"
+                r"(\w+)\s*\)",
+                agg_repl, segs[i], flags=re.I,
+            )
             segs[i] = re.sub(
                 rf"\b{e.name}\s*\.\s*(\w+)", r"\1", segs[i]
             )
         cond = "".join(segs)
+        for key, text in placeholders.items():
+            cond = cond.replace(key, text)
     return cond
 
 

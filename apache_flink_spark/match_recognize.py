@@ -546,6 +546,16 @@ _BIND_RE = re.compile(
     r"(?:,\s*(?P<n>\d+)\s*)?\)",
     re.I,
 )
+
+#: aggregates over a variable's BINDS inside DEFINE (r10 — the
+#: reference IterativeCondition computes arbitrary reductions over
+#: ctx.getEventsForPattern; SQL MR's RUNNING semantics: the own
+#: variable's aggregate includes the current candidate row)
+_BIND_AGG_RE = re.compile(
+    r"\b(?P<fn>SUM|MIN|MAX|AVG|COUNT)(?P<incl>_INCL)?\s*"
+    r"\(\s*(?P<var>\w+)\s*\.\s*(?P<col>\w+)\s*\)",
+    re.I,
+)
 def _outside_literals(expr: str, fn) -> str:
     """Apply ``fn`` only to the parts of ``expr`` outside string literals."""
     segs = re.split(r"(\"[^\"]*\"|'[^']*')", expr)
@@ -732,9 +742,23 @@ def _compile_3vl(pyexpr: str, filename: str):
     return compile(tree, filename, "eval")
 
 
+def _sql_like(val, pat: str):
+    """SQL LIKE with a CONSTANT pattern (r10 — iterative conditions
+    often discriminate on name prefixes): % = any run, _ = any char;
+    NULL operand yields UNKNOWN."""
+    if val is _NULL or val is None:
+        return _UNKNOWN
+    rx = "".join(
+        ".*" if c == "%" else "." if c == "_" else re.escape(c)
+        for c in pat
+    )
+    return re.fullmatch(rx, str(val), re.S) is not None
+
+
 _3VL_GLOBALS = {
     "__and3": _and3, "__or3": _or3, "__not3": _not3, "__cmp3": _cmp3,
-    "__NULL": _NULL, "abs": abs, "__builtins__": {},
+    "__NULL": _NULL, "__like": _sql_like, "abs": abs,
+    "__builtins__": {},
 }
 
 
@@ -743,6 +767,17 @@ def _sql_pred_to_python(expr: str, columns, var_msg: str) -> str:
     Python expression. Comparison, boolean and arithmetic operators plus
     ABS() only — the cross-variable evaluator runs per candidate row in
     Python, so the subset is deliberately small and errors loudly."""
+    # LIKE with a CONSTANT pattern rewrites BEFORE the literal split (the
+    # pattern literal must ride into the __like call; it stays a quoted
+    # string, so the keyword/identifier rewrites below still skip it)
+    expr = re.sub(
+        r"(\w+)\s+NOT\s+LIKE\s+('(?:[^']*)')",
+        r"not __like(\1, \2)", expr, flags=re.I,
+    )
+    expr = re.sub(
+        r"(\w+)\s+LIKE\s+('(?:[^']*)')",
+        r"__like(\1, \2)", expr, flags=re.I,
+    )
     # EVERY rewrite runs only on segments OUTSIDE string literals — an
     # operator or keyword lookalike inside '...'/"..." must survive intact
     # (e.g. B.name = 'TRUE AND x=y').
@@ -750,7 +785,9 @@ def _sql_pred_to_python(expr: str, columns, var_msg: str) -> str:
         name = im.group(0)
         if name.startswith("__mr_"):  # PREV/NEXT nav alias column
             return f'__row("{name}")'
-        if name in ("__bind", "__row", "__NULL") or name in (
+        if name in (
+            "__bind", "__row", "__bagg", "__like", "__NULL",
+        ) or name in (
             "and", "or", "not", "is", "True", "False", "None", "abs",
         ):
             return name
@@ -829,9 +866,13 @@ def _parse_defines(
         stripped = "".join(
             re.split(r"(\"[^\"]*\"|'[^']*')", pred)[0::2]
         )
-        is_cross = bool(_BIND_RE.search(stripped)) or any(
-            re.search(rf"\b{other}\s*\.", stripped)
-            for other in variables - {var}
+        is_cross = (
+            bool(_BIND_RE.search(stripped))
+            or bool(_BIND_AGG_RE.search(stripped))
+            or any(
+                re.search(rf"\b{other}\s*\.", stripped)
+                for other in variables - {var}
+            )
         )
         if not is_cross:
             # Own-row: strip the variable prefix, evaluate on the JVM.
@@ -856,7 +897,21 @@ def _parse_defines(
                 f'__bind("{v}", "{col}", "{bm.group("fn").upper()}", {n})'
             )
 
+        def agg_sub(bm: re.Match) -> str:
+            v, col = bm.group("var"), bm.group("col")
+            if v not in variables:
+                raise MatchRecognizeError(
+                    f"DEFINE {var}: {bm.group('fn')}({v}.{col}) "
+                    "aggregates an unknown pattern variable"
+                )
+            incl = 1 if bm.group("incl") else 0
+            return (
+                f'__bagg("{v}", "{col}", "{bm.group("fn").upper()}", '
+                f"{incl})"
+            )
+
         def rewrite_binds(seg: str) -> str:
+            seg = _BIND_AGG_RE.sub(agg_sub, seg)
             seg = _BIND_RE.sub(bind_sub, seg)
             # Bare other-variable reference = LAST(V.col) (SQL standard).
             for other in variables - {var}:
@@ -1204,7 +1259,7 @@ def compile_match_recognize(
     subset_map = dict(subsets)
     cross_cols = sorted(
         {c for code in cross_codes.values()
-         for c in re.findall(r'__(?:row|bind)\("(?:\w+", ")?(\w+)"', code)}
+         for c in re.findall(r'__(?:row|bind|bagg)\("(?:\w+", ")?(\w+)"', code)}
     )
 
     def run_partition(batches):
@@ -1283,7 +1338,33 @@ def compile_match_recognize(
                 x = pred_arr[col][idxs[k]]
                 return _NULL if x is None or x != x else x
 
+            def __bagg(bv, col, fn, incl=0):
+                # aggregate over the variable's binds (r10 —
+                # IterativeCondition reductions over
+                # ctx.getEventsForPattern; RUNNING: the own variable
+                # includes the current candidate row; _INCL marks a gap
+                # variable evaluating the take condition as-if-taken)
+                idxs = binds.get(bv, ())
+                if incl or bv == v:
+                    idxs = list(idxs) + [j]
+                vals = [
+                    x for x in (pred_arr[col][i] for i in idxs)
+                    if x is not None and x == x
+                ]
+                if fn == "COUNT":
+                    return len(vals)
+                if not vals:
+                    return _NULL
+                if fn == "SUM":
+                    return sum(vals)
+                if fn == "MIN":
+                    return min(vals)
+                if fn == "MAX":
+                    return max(vals)
+                return sum(vals) / len(vals)  # AVG
+
             eval_g["__row"], eval_g["__bind"] = __row, __bind
+            eval_g["__bagg"] = __bagg
             try:
                 res = eval(  # noqa: S307 - compiled from the validated subset
                     cross_fns[v], eval_g,

@@ -1370,3 +1370,80 @@ def cep_timeout_side_output(spark, sf_dir):
         {"click_id": "LAST(A.event_id)"},
     )
     return out.select("user_id", "click_id", "timeout_ts")
+
+
+@query(
+    "cep_iterative_sum",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type, value
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), o AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ep, event_id
+        ) AS rn FROM u
+    ), c AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY rn
+        ) AS crn,
+        SUM(value) OVER (
+            PARTITION BY user_id ORDER BY rn
+        ) AS cumval FROM o WHERE event_type = 'click'
+    )
+    -- prefix family (cep_one_or_more_prefixes) with a BIND-AGGREGATE
+    -- completion condition: the purchase accepts only when the bound
+    -- clicks' value sum reaches the threshold (IterativeCondition over
+    -- ctx.getEventsForPattern — DEFINE SUM(A.value) >= 50)
+    SELECT s.user_id,
+           (k.crn - s.crn + 1) AS n_clicks,
+           s.event_id AS first_click,
+           k.event_id AS last_click,
+           p.event_id AS purchase_id
+    FROM c s
+    JOIN c k ON k.user_id = s.user_id AND k.crn >= s.crn
+            AND k.ep <= s.ep + 259200000000
+    JOIN o p ON p.user_id = s.user_id AND p.rn = (
+        SELECT MIN(px.rn) FROM o px
+        WHERE px.user_id = s.user_id AND px.event_type = 'purchase'
+          AND px.rn > k.rn)
+    WHERE p.ep <= s.ep + 259200000000
+      AND k.cumval - s.cumval + s.value >= 50.0
+    """,
+)
+def cep_iterative_sum(spark, sf_dir):
+    """CEP bind-aggregate iterative condition — r10 (flink-cep
+    IterativeConditionsITCase testIterativeWithPrevPatternDependency:229
+    — ctx.getEventsForPattern reductions): the completing element's
+    where() aggregates the LOOP's bound rows (``SUM(A.value) >= 50``),
+    compiled to a DEFINE bind-aggregate evaluated under the in-flight
+    binds by the bind-tracking NFA. Prefix family of
+    cep_one_or_more_prefixes, filtered to prefixes whose click-value
+    sum reaches the threshold — the oracle expresses the same rule with
+    a cumulative window sum."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    p = (
+        Pattern.begin("A").where("event_type = 'click'").one_or_more()
+        .followed_by("B").where(
+            "event_type = 'purchase' AND SUM(A.value) >= 50.0"
+        )
+        .within(72, "hours")
+    )
+    return cep_select(
+        spark, e, p, "user_id", "ep, event_id",
+        {
+            "n_clicks": "COUNT(A.*)",
+            "first_click": "FIRST(A.event_id)",
+            "last_click": "LAST(A.event_id)",
+            "purchase_id": "LAST(B.event_id)",
+        },
+    )

@@ -63,10 +63,11 @@ Pattern.begin(inner).oneOrMore()): the compiled
 ``( A .. B ) (G*? ( A .. B )){..}`` shape is recognized as ONE loop
 element whose body lists the group's steps (optionally with inner
 relaxed pre-gaps); repetitions ride the same frontier-based finality
-and keyed state, no state-schema change. Default multi-match emission
-only — greedy()/exact-count group loops stay batch. Still out: ALL
-ROWS PER MATCH, SKIP TO FIRST/LAST, nested (multi-level) groups, and
-SKIP_TILL_ANY — each errors loudly with a batch-path pointer.
+and keyed state, no state-schema change. All emission modes stream
+(default multi-match, greedy()/reluctant() pins, exact counts). Still
+out: ALL ROWS PER MATCH, SKIP TO FIRST/LAST, nested (multi-level)
+groups, SKIP_TILL_ANY, and followedByAny inside a group body — each
+errors loudly with a batch-path pointer.
 """
 
 from __future__ import annotations
@@ -401,7 +402,7 @@ def streaming_match_recognize(
         )
     cross_cols = sorted(
         {c for code in cross_codes.values()
-         for c in re.findall(r'__(?:row|bind)\("(?:\w+", ")?(\w+)"', code)
+         for c in re.findall(r'__(?:row|bind|bagg)\("(?:\w+", ")?(\w+)"', code)
          if not c.startswith("__mr_")}
         | {col for col, _n in nav_prev.values()}
         | {col for col, _n in nav_next.values()}
@@ -744,7 +745,32 @@ def streaming_match_recognize(
                     x = arr[col][bidx[k]]
                     return _NULL if x is None or x != x else x
 
+                def __bagg(bv, col, fn, incl=0):
+                    # aggregate over the variable's binds (r10, same
+                    # semantics as the batch evaluator: RUNNING — the
+                    # own variable includes the current candidate;
+                    # _INCL marks an as-if-taken gap evaluation)
+                    bidx = binds.get(bv, ())
+                    if incl or bv == v:
+                        bidx = list(bidx) + [j]
+                    vals = [
+                        x for x in (arr[col][i] for i in bidx)
+                        if x is not None and x == x
+                    ]
+                    if fn == "COUNT":
+                        return len(vals)
+                    if not vals:
+                        return _NULL
+                    if fn == "SUM":
+                        return sum(vals)
+                    if fn == "MIN":
+                        return min(vals)
+                    if fn == "MAX":
+                        return max(vals)
+                    return sum(vals) / len(vals)  # AVG
+
                 _EVAL_G["__row"], _EVAL_G["__bind"] = __row, __bind
+                _EVAL_G["__bagg"] = __bagg
                 try:
                     res = eval(  # noqa: S307 - compiled validated subset
                         cross_fns[v], _EVAL_G,

@@ -154,6 +154,9 @@ HEADLINE = [
     # r10 late addition: the batch CEP timeout side output
     # (PatternStream.select timeout-tag parity)
     "cep_timeout_side_output",
+    # r10: bind-aggregate iterative conditions (SUM over
+    # ctx.getEventsForPattern in DEFINE)
+    "cep_iterative_sum",
 ]
 
 

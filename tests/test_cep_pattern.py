@@ -1611,3 +1611,71 @@ def test_group_itcase_any_next_begin_variants(spark):
     assert _run_cep(spark, rows2, p4, m) == sorted([
         (41, 41, 1, 45), (41, 43, 2, 45), (43, 43, 1, 45),
     ], key=str)
+
+
+def test_iterative_conditions_itcase_scenarios(spark):
+    """IterativeConditionsITCase harvest (r10) — aggregate reductions
+    over a variable's binds inside where() (the reference's
+    ctx.getEventsForPattern loop), new in r10 as DEFINE bind-aggregates
+    SUM/MIN/MAX/AVG/COUNT with RUNNING semantics (the own variable
+    includes the candidate row; ignore edges evaluate the take
+    condition AS IF the candidate were taken — the _INCL rewrite).
+    Reference match sets reproduced verbatim."""
+
+    def run(rows, p, meas):
+        df = spark.createDataFrame(
+            rows,
+            "k long, event_id long, name string, price double, ep long",
+        )
+        out = cep_select(spark, df, p, "k", "ep", meas)
+        return sorted(
+            (tuple(r[c] for c in meas) for r in out.collect()), key=str
+        )
+
+    m = {"fs": "FIRST(ST.event_id)", "n": "COUNT(ST.*)",
+         "ls": "LAST(ST.event_id)", "e": "LAST(E.event_id)"}
+    # testIterativeWithLoopingStartingEager:146 — start+? with
+    # sum-including-candidate < 5: [s1,s2], [s1], [s2], [s3], []
+    rows = [(1, 40, "start", 1.0, 1 * S), (1, 41, "start", 2.0, 2 * S),
+            (1, 42, "start", 3.0, 3 * S), (1, 46, "end", 1.0, 4 * S)]
+    p = (Pattern.begin("ST").where("name = 'start' AND SUM(ST.price) < 5.0")
+         .one_or_more().optional()
+         .followed_by("E").where("name = 'end'"))
+    assert run(rows, p, m) == sorted([
+        (40, 1, 40, 46), (40, 2, 41, 46), (41, 1, 41, 46),
+        (42, 1, 42, 46), (None, 0, None, 46),
+    ], key=str)
+    # testIterativeWithPrevPatternDependency:229 — the END's condition
+    # aggregates the loop's binds: only prefixes whose sum >= 2 complete
+    rows2 = [(1, 40, "start", 1.0, 1 * S), (1, 41, "start", 2.0, 2 * S),
+             (1, 46, "end", 1.0, 4 * S)]
+    p2 = (Pattern.begin("ST").where("name = 'start'").one_or_more()
+          .followed_by("E").where("name = 'end' AND SUM(ST.price) >= 2.0"))
+    assert run(rows2, p2, m) == sorted([
+        (40, 2, 41, 46), (41, 1, 41, 46),
+    ], key=str)
+    # testIterativeWithBranchingPatternEager:58 — LIKE discriminator +
+    # bind-sum on the loop; 5 matches (the 3.0-priced foo3 is skipped
+    # by s1's branches via the as-if-taken ignore edge)
+    rows3 = [(1, 40, "start", 1.0, 1 * S), (1, 41, "foo1", 1.0, 2 * S),
+             (1, 42, "foo2", 2.0, 3 * S), (1, 45, "start", 2.0, 4 * S),
+             (1, 43, "foo3", 3.0, 5 * S), (1, 44, "foo4", 1.0, 6 * S),
+             (1, 47, "next-one", 1.0, 7 * S), (1, 46, "end", 1.0, 8 * S)]
+    p3 = (Pattern.begin("ST").where("name = 'start'")
+          .followed_by("M")
+          .where("name LIKE 'foo%' AND SUM(M.price) < 5.0").one_or_more()
+          .followed_by("E").where("name = 'end'"))
+    m3 = {"s": "LAST(ST.event_id)", "n": "COUNT(M.*)",
+          "fm": "FIRST(M.event_id)", "lm": "LAST(M.event_id)"}
+    assert run(rows3, p3, m3) == sorted([
+        (40, 1, 41, 41), (40, 2, 41, 42), (40, 3, 41, 44),
+        (45, 1, 43, 43), (45, 2, 43, 44),
+    ], key=str)
+    # as-if-taken divergence pin (not a reference test, derived from
+    # NFA semantics): a too-expensive candidate is IGNORED, not a loop
+    # terminator — the loop may take a later, cheaper row
+    rows4 = [(1, 40, "start", 1.0, 1 * S), (1, 41, "start", 2.0, 2 * S),
+             (1, 42, "start", 3.0, 3 * S), (1, 43, "start", 1.0, 4 * S),
+             (1, 46, "end", 1.0, 5 * S)]
+    got = run(rows4, p, m)
+    assert (40, 3, 43, 46) in got  # [s1, s2, (skip s3), s4, e]
