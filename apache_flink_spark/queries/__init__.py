@@ -124,6 +124,18 @@ GATE_SAMPLE = [
     "cep_times_window_gaps",
     "cep_stream_group",
     "cep_iterative_condition",
+    # r11 rotation (VERDICT r10 next-item #4): the three r10 operators
+    # the driver never gated — bind-aggregate iterative conditions
+    # (SUM over getEventsForPattern in DEFINE), the batch CEP timeout
+    # side output (TimedOutPartialMatchHandler parity), GroupPattern —
+    # plus r11's NFAITCase:612 SKIP_TILL_ANY zero-or-more shape (the
+    # re-pinned phantom divergence, now an oracle entry). Rotated out
+    # (all stay green in the full sweep): join_theta_nonequi,
+    # agg_pivot, rank_topn_per_group, graph_pagerank.
+    "cep_iterative_sum",
+    "cep_timeout_side_output",
+    "cep_group_pattern",
+    "cep_combinations_zero_or_more",
     # TPC-DS shapes (r6 rotation): the 9-relation inventory/promo join,
     # the INTERSECT-tower period compare, the lag/lead self-join, and
     # the nested date-subquery return-share query (4 TPC-H rotated out;
@@ -142,18 +154,14 @@ GATE_SAMPLE = [
     "mr_stream_cross_define",
     # joins
     "join_inner_fact_dim",
-    "join_theta_nonequi",
     # aggregations
     "agg_grouping_sets",
-    "agg_pivot",
     # window TVFs + event windows
     "tvf_tumble_agg",
     # streaming (one windowed, one join, one custom-stateful)
     "stream_tumble_agg",
     "stream_stream_join",
     "stream_topn_stateful",
-    # over windows / rank
-    "rank_topn_per_group",
     # streaming MATCH_RECOGNIZE PREV navigation
     "mr_stream_prev_nav",
     # LLM-pipeline north stars
@@ -162,7 +170,6 @@ GATE_SAMPLE = [
     "text_quality_score",
     "pipeline_decontaminate",
     # graph / changelog / temporal / udf
-    "graph_pagerank",
     "cdc_debezium_materialize",
     "asof_join_latest_view",
     "udtaf_apply_in_pandas",

@@ -1447,3 +1447,91 @@ def cep_iterative_sum(spark, sf_dir):
             "purchase_id": "LAST(B.event_id)",
         },
     )
+
+
+@query(
+    "cep_combinations_zero_or_more",
+    oracle="""
+    WITH RECURSIVE u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ), o AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ep, event_id
+        ) AS rn FROM u
+    ), v AS (SELECT * FROM o WHERE event_type = 'view'),
+    c AS (SELECT * FROM o WHERE event_type = 'click'),
+    pp AS (SELECT * FROM o WHERE event_type = 'purchase'),
+    sub AS (
+        -- SKIP_TILL_ANY zero-or-more entered via followedByAny: EVERY
+        -- increasing subset of qualifying clicks after the view is its
+        -- own match extent (recursive path enumeration = the NFA's
+        -- branch-per-ignore-or-take decision tree)
+        SELECT v.user_id, v.ep AS v_ep, v.event_id AS view_id,
+               c.event_id AS first_click, c.rn AS last_rn,
+               c.event_id AS last_click, CAST(1 AS BIGINT) AS n_clicks
+        FROM v JOIN c ON c.user_id = v.user_id AND c.rn > v.rn
+                     AND c.ep <= v.ep + 7200000000
+        UNION ALL
+        SELECT s.user_id, s.v_ep, s.view_id, s.first_click,
+               c2.rn, c2.event_id, s.n_clicks + 1
+        FROM sub s JOIN c c2 ON c2.user_id = s.user_id
+                            AND c2.rn > s.last_rn
+                            AND c2.ep <= s.v_ep + 7200000000
+    ), allm AS (
+        SELECT user_id, v_ep, view_id, n_clicks, first_click, last_click,
+               last_rn
+        FROM sub
+        UNION ALL
+        -- the optional() zero branch: no clicks taken
+        SELECT user_id, ep, event_id, CAST(0 AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), rn
+        FROM v
+    )
+    SELECT m.user_id, m.view_id, m.n_clicks, m.first_click, m.last_click,
+           p.event_id AS purchase_id
+    FROM allm m
+    JOIN pp p ON p.user_id = m.user_id AND p.rn > m.last_rn
+             AND p.ep <= m.v_ep + 7200000000
+    """,
+)
+def cep_combinations_zero_or_more(spark, sf_dir):
+    """CEP zero-or-more with SKIP_TILL_ANY — the NFAITCase.java:612
+    testComplexBranchingAfterZeroOrMore shape (r11, VERDICT r10
+    what's-wrong #2): ``followedByAny`` entry + ``oneOrMore()
+    .allowCombinations().optional()`` + ``followedByAny`` continuation.
+    Every increasing SUBSET of qualifying clicks between a view and a
+    purchase is a distinct match (including subsets that skip a
+    QUALIFYING click — the {m1, m3} entries the r10 pin mislabeled a
+    divergence), plus the empty branch, times EVERY purchase in the
+    horizon. The within() horizon is what makes the unbounded
+    SKIP_TILL_ANY enumeration finite per start — the horizon-less form
+    is a loud compile-time reject (cep.py), pinned in
+    tests/test_cep_pattern.py."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    p = (
+        Pattern.begin("C").where("event_type = 'view'")
+        .followed_by_any("A").where("event_type = 'click'")
+        .one_or_more().allow_combinations().optional()
+        .followed_by_any("B").where("event_type = 'purchase'")
+        .within(2, "hours")
+    )
+    return cep_select(
+        spark, e, p, "user_id", "ep, event_id",
+        {
+            "view_id": "LAST(C.event_id)",
+            "n_clicks": "COUNT(A.*)",
+            "first_click": "FIRST(A.event_id)",
+            "last_click": "LAST(A.event_id)",
+            "purchase_id": "LAST(B.event_id)",
+        },
+    )

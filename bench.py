@@ -157,6 +157,9 @@ HEADLINE = [
     # r10: bind-aggregate iterative conditions (SUM over
     # ctx.getEventsForPattern in DEFINE)
     "cep_iterative_sum",
+    # r11: the NFAITCase:612 SKIP_TILL_ANY zero-or-more shape (the
+    # re-pinned phantom divergence, promoted to an oracle entry)
+    "cep_combinations_zero_or_more",
 ]
 
 

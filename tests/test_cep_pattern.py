@@ -1731,38 +1731,54 @@ def test_nfaitcase_times_family(spark):
     ]
 
 
-def test_complex_branching_after_zero_or_more_known_divergence(spark):
-    """NFAITCase.java:612 testComplexBranchingAfterZeroOrMore — KNOWN
-    r10 DIVERGENCE, pinned at the engine's current emission so any
-    drift is loud. The reference expects 16 matches: ALL subsets of the
-    three middles per (d-choice), including {m1, m3} — a zero-or-more
-    loop entered via followedByAny apparently skipping a QUALIFYING row
-    mid-loop. This engine emits the 14 anchored-prefix matches (no
-    {m1, m3}): anchored prefixes are what getInnerIgnoreCondition's
-    SKIP_TILL_NEXT (NOT(take)) inner edges produce, and the CLOSELY
-    RELATED pinned scenario NotPatternITCase:497 (followedByAny into
-    oneOrMore) confirms anchored-prefix internals — its expected set
-    EXCLUDES the analogous {b4, b6}. The two reference expectations are
-    mutually hard to reconcile from NFACompiler's edge conditions;
-    investigate the NFA decision-graph proceed/ignore interplay next
-    round before changing emission."""
+def test_complex_branching_after_zero_or_more(spark):
+    """NFAITCase.java:612 testComplexBranchingAfterZeroOrMore,
+    faithfully ported (r11, VERDICT r10 what's-wrong #2): the reference
+    pattern has ``.oneOrMore().allowCombinations().optional()``
+    (NFAITCase.java:639-641) — the r10 pin dropped allowCombinations
+    and mislabeled the resulting (correct) anchored-prefix emission a
+    divergence. With SKIP_TILL_ANY inner contiguity the engine
+    reproduces the reference's 16 matches exactly: ALL subsets of the
+    three middles (including the row-skipping {m1, m3}) per d-choice.
+
+    The horizon-less unbounded form stays the documented compile-time
+    reject (the SKIP_TILL_ANY match set is exponential in the unbounded
+    row span); a within() horizon bounds the enumeration and is how the
+    supported surface expresses this scenario."""
     rows = [(1, 40, "c", 1 * S), (1, 41, "a", 2 * S),
             (1, 42, "a", 3 * S), (1, 43, "a", 4 * S),
             (1, 44, "b", 5 * S), (1, 45, "d", 6 * S),
             (1, 46, "d", 7 * S), (1, 47, "e", 8 * S)]
-    p = (Pattern.begin("C").where("name='c'")
-         .followed_by_any("A").where("name='a'").one_or_more().optional()
-         .followed_by_any("B").where("name='b'")
-         .followed_by_any("D").where("name='d'")
-         .followed_by_any("E").where("name='e'"))
+
+    def build():
+        return (Pattern.begin("C").where("name='c'")
+                .followed_by_any("A").where("name='a'")
+                .one_or_more().allow_combinations().optional()
+                .followed_by_any("B").where("name='b'")
+                .followed_by_any("D").where("name='d'")
+                .followed_by_any("E").where("name='e'"))
+
     m = {"fa": "FIRST(A.event_id)", "la": "LAST(A.event_id)",
          "n": "COUNT(A.*)", "b": "LAST(B.event_id)",
          "d": "LAST(D.event_id)", "e": "LAST(E.event_id)"}
-    got = _run_cep(spark, rows, p, m)
-    assert len(got) == 14, got
-    # the divergent entries the reference additionally expects:
-    assert (41, 43, 2, 44, 45, 47) not in got  # {m1, m3} + d1
-    assert (41, 43, 2, 44, 46, 47) not in got  # {m1, m3} + d2
+    # Horizon-less unbounded allowCombinations: loud compile-time reject.
+    with pytest.raises(CepError, match="UNBOUNDED"):
+        _run_cep(spark, rows, build(), m)
+    # With a within() horizon: the reference's 16 matches, verbatim —
+    # every subset of {m1, m2, m3} (8, incl. empty) x each d.
+    got = _run_cep(spark, rows, build().within(1, "minutes"), m)
+    expect = sorted(
+        [
+            (fa, la, n, 44, d, 47)
+            for (fa, la, n) in [
+                (41, 43, 3), (41, 42, 2), (41, 43, 2), (42, 43, 2),
+                (41, 41, 1), (42, 42, 1), (43, 43, 1), (None, None, 0),
+            ]
+            for d in (45, 46)
+        ],
+        key=str,
+    )
+    assert got == expect, got
 
 
 def test_nfaitcase_optional_times_family(spark):
@@ -1827,27 +1843,35 @@ def test_nfaitcase_optional_times_family(spark):
     ], key=str)
 
 
-def test_optional_times_next_known_divergence(spark):
-    """NFAITCase.java:1791 testOptionalTimesNonStrictWithNext — the
-    SECOND member of the :612 known-divergence family: the reference
-    additionally expects {m1, m3} (the relaxed-inner times(2) loop
-    skipping the QUALIFYING m2), which getInnerIgnoreCondition's
-    SKIP_TILL_NEXT (NOT(take)) cannot produce — and which the
-    adjacent scenario :1625 (same events, followedByAny entry, same
-    relaxed times(2).optional()) explicitly does NOT expect. Engine
-    behavior pinned at the anchored-prefix emission; investigate the
-    NFA Dewey-version branching next round."""
+def test_optional_times_non_strict_with_next(spark):
+    """NFAITCase.java:1791 testOptionalTimesNonStrictWithNext,
+    faithfully ported (r11, VERDICT r10 what's-wrong #2): the reference
+    pattern has ``.times(2).allowCombinations().optional()``
+    (NFAITCase.java:1808) — the r10 pin dropped allowCombinations and
+    mislabeled the correct anchored-prefix emission a divergence. With
+    the bounded SKIP_TILL_ANY loop (inside the supported surface — no
+    horizon needed for times(n)) the engine reproduces the reference's
+    3 matches exactly, including the row-skipping {m1, m3}."""
     rows3 = [(1, 40, "c", 1 * S), (1, 41, "a", 2 * S),
              (1, 90, "f", 3 * S), (1, 42, "a", 4 * S),
              (1, 91, "f", 5 * S), (1, 43, "a", 6 * S),
              (1, 44, "b", 7 * S)]
     p7 = (Pattern.begin("C").where("name='c'")
-          .next("A").where("name='a'").times(2).optional()
+          .next("A").where("name='a'").times(2)
+          .allow_combinations().optional()
           .followed_by("B").where("name='b'"))
     m = {"fa": "FIRST(A.event_id)", "la": "LAST(A.event_id)",
          "n": "COUNT(A.*)", "b": "LAST(B.event_id)"}
     got = _run_cep(spark, rows3, p7, m)
     assert got == sorted([
-        (41, 42, 2, 44), (None, None, 0, 44),
+        (41, 42, 2, 44), (41, 43, 2, 44), (None, None, 0, 44),
     ], key=str), got
-    assert (41, 43, 2, 44) not in got  # the reference's extra {m1, m3}
+    # And the r10 variant WITHOUT allowCombinations stays the anchored
+    # SKIP_TILL_NEXT emission (no {m1, m3}) — that distinction is the
+    # whole point of the two inner contiguity modes.
+    p8 = (Pattern.begin("C").where("name='c'")
+          .next("A").where("name='a'").times(2).optional()
+          .followed_by("B").where("name='b'"))
+    assert _run_cep(spark, rows3, p8, m) == sorted([
+        (41, 42, 2, 44), (None, None, 0, 44),
+    ], key=str)
