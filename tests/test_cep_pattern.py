@@ -678,6 +678,89 @@ def test_gap_window_guards():
     assert p5._within == (10, "seconds")
 
 
+def test_group_within_previous_and_current(spark):
+    """r11 (VERDICT r10 missing #2): within(PREVIOUS_AND_CURRENT) on a
+    GROUP pattern. Reference mechanics: the window binds to the
+    looping-group dummy take-state created while currentPattern is
+    still the GroupPattern (NFACompiler.createLoopingGroupPatternState
+    + createState:428 keying windowTimes by state name), and
+    NFA.isStateTimedOut prunes a partial match waiting there when
+    next_take.ts - previousTimestamp >= w — i.e. the gap from the last
+    taken event into each repetition's FIRST take, strict <. Gaps
+    INSIDE a repetition are NOT bounded by the group window (inner
+    states carry their own windowTimes entries only if declared)."""
+
+    def grp():
+        return (Pattern.begin("M1").where("name='a'")
+                .followed_by("M2").where("name='b'"))
+
+    m = {"c": "LAST(C.event_id)", "a": "LAST(M1.event_id)",
+         "b": "LAST(M2.event_id)", "d": "LAST(D.event_id)"}
+    # unquantified group: bounds c -> a (the group's first take) only
+    p = (Pattern.begin("C").where("name='c'").followed_by(grp())
+         .within(3, "seconds", within_type="PREVIOUS_AND_CURRENT")
+         .followed_by("D").where("name='d'"))
+    rows_ok = [(1, 40, "c", 1 * S), (1, 41, "a", 2 * S),
+               (1, 42, "b", 3 * S), (1, 43, "d", 4 * S)]
+    assert _run_cep(spark, rows_ok, p, m) == [(40, 41, 42, 43)]
+    # gap c@1 -> a@5 is 4s >= 3s: pruned (isStateTimedOut)
+    rows_late = [(1, 40, "c", 1 * S), (1, 41, "a", 5 * S),
+                 (1, 42, "b", 6 * S), (1, 43, "d", 7 * S)]
+    assert _run_cep(spark, rows_late, p, m) == []
+    # boundary: gap exactly 3s fails (strict <, prunes at >=)
+    rows_eq = [(1, 40, "c", 1 * S), (1, 41, "a", 4 * S),
+               (1, 42, "b", 5 * S), (1, 43, "d", 6 * S)]
+    assert _run_cep(spark, rows_eq, p, m) == []
+    # the gap INSIDE the group (a -> b) is NOT bounded by the window
+    rows_inner = [(1, 40, "c", 1 * S), (1, 41, "a", 2 * S),
+                  (1, 42, "b", 30 * S), (1, 43, "d", 31 * S)]
+    assert _run_cep(spark, rows_inner, p, m) == [(40, 41, 42, 43)]
+    # looping group (a b)+: the window also bounds REPETITION
+    # re-entries (previous repetition's last take -> next head take)
+    mq = {**m, "na": "COUNT(M1.*)"}
+    pq = (Pattern.begin("C").where("name='c'").followed_by(grp())
+          .one_or_more()
+          .within(3, "seconds", within_type="PREVIOUS_AND_CURRENT")
+          .followed_by("D").where("name='d'"))
+    rows2 = [(1, 40, "c", 1 * S), (1, 41, "a", 2 * S),
+             (1, 42, "b", 3 * S), (1, 43, "a", 4 * S),
+             (1, 44, "b", 5 * S), (1, 45, "d", 6 * S)]
+    assert _run_cep(spark, rows2, pq, mq) == [
+        (40, 41, 42, 45, 1), (40, 43, 44, 45, 2),
+    ]
+    # rep-2 entry gap b@3 -> a@7 is 4s >= 3s: only the 1-rep branch
+    rows2_late = [(1, 40, "c", 1 * S), (1, 41, "a", 2 * S),
+                  (1, 42, "b", 3 * S), (1, 43, "a", 7 * S),
+                  (1, 44, "b", 8 * S), (1, 45, "d", 9 * S)]
+    assert _run_cep(spark, rows2_late, pq, mq) == [(40, 41, 42, 45, 1)]
+    # unsupported shapes reject loudly: repeating group with an
+    # optional inner element (bind order != positional order across
+    # repetitions), and a group head that is itself quantified
+    p_bad = (Pattern.begin("C").where("name='c'")
+             .followed_by(
+                 Pattern.begin("M1").where("name='a'")
+                 .followed_by("M2").where("name='b'").optional())
+             .one_or_more()
+             .within(3, "seconds", within_type="PREVIOUS_AND_CURRENT")
+             .followed_by("D").where("name='d'"))
+    with pytest.raises(CepError, match="REPEATING group"):
+        _run_cep(spark, rows2, p_bad, m)
+    p_bad2 = (Pattern.begin("C").where("name='c'")
+              .followed_by(
+                  Pattern.begin("M1").where("name='a'").times(2)
+                  .followed_by("M2").where("name='b'"))
+              .within(3, "seconds", within_type="PREVIOUS_AND_CURRENT")
+              .followed_by("D").where("name='d'"))
+    with pytest.raises(CepError, match="head element"):
+        _run_cep(spark, rows2, p_bad2, m)
+    # checkPatternWindowTimes applies to group windows too
+    p_big = (Pattern.begin("C").where("name='c'").followed_by(grp())
+             .within(10, "seconds", within_type="PREVIOUS_AND_CURRENT")
+             .followed_by("D").where("name='d'").within(5, "seconds"))
+    with pytest.raises(CepError, match="cannot be larger"):
+        _run_cep(spark, rows2, p_big, m)
+
+
 def test_nfaitcase_branching_skip_till_next(spark):
     """NFAITCase.java:2492 testBranchingPatternSkipTillNext: start
     followedBy mid(vol>5) followedBy next-one followedByAny end — the
