@@ -1613,3 +1613,92 @@ def cep_group_within_previous(spark, sf_dir):
             "last_purchase": "LAST(B.event_id)",
         },
     )
+
+
+@query(
+    "cep_stream_group_any",
+    oracle="""
+    -- streaming (A followedByAny B)+ group loop (r11): the between-reps
+    -- ignore edge is NOT(click) so rep k+1's click is the FIRST click
+    -- after rep k's purchase — but the INNER edge is SKIP_TILL_ANY
+    -- (followedByAny): EVERY purchase after the rep's click (inside the
+    -- start's 72h horizon) is its own branch, and every rep-count
+    -- prefix of every branch is its own match. A start's family decides
+    -- once the watermark passes its horizon.
+    WITH RECURSIVE wm AS (
+        SELECT (epoch_us(MAX(ts)) - 3600000000) // 1000 * 1000 AS wm_us
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS rn
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), chain AS (
+        SELECT s.user_id, s.ep AS s_ep, s.event_id AS first_click,
+               CAST(1 AS BIGINT) AS n_pairs, p.rn AS last_rn,
+               p.event_id AS last_purchase
+        FROM u s JOIN u p ON p.user_id = s.user_id
+              AND p.event_type = 'purchase' AND p.rn > s.rn
+              AND p.ep <= s.ep + 259200000000
+        WHERE s.event_type = 'click'
+        UNION ALL
+        SELECT ch.user_id, ch.s_ep, ch.first_click, ch.n_pairs + 1,
+               p.rn, p.event_id
+        FROM chain ch
+        JOIN u c ON c.user_id = ch.user_id AND c.rn = (
+            SELECT MIN(cx.rn) FROM u cx WHERE cx.user_id = ch.user_id
+              AND cx.event_type = 'click' AND cx.rn > ch.last_rn)
+        JOIN u p ON p.user_id = ch.user_id
+              AND p.event_type = 'purchase' AND p.rn > c.rn
+              AND p.ep <= ch.s_ep + 259200000000
+        WHERE c.ep <= ch.s_ep + 259200000000
+    )
+    SELECT ch.user_id, ch.first_click, ch.n_pairs, ch.last_purchase
+    FROM chain ch CROSS JOIN wm
+    WHERE ch.s_ep + 259200000000 < wm.wm_us
+    """,
+    streaming=True,
+)
+def cep_stream_group_any(spark, sf_dir):
+    """STREAMING GroupPattern with followedByAny INSIDE the body — r11
+    (VERDICT r10 missing #1 / next-item #5): ``Pattern.begin(click
+    followedByAny purchase).oneOrMore()`` on the unbounded event stream.
+    The inner edge is the reference's SKIP_TILL_ANY on group states
+    (NFACompiler getIgnoreCondition trueFunction inside GroupPattern
+    bodies): the streaming body scanner branches per gap extent — every
+    purchase choice is a separate match — and all of a start's matches
+    decide together under the r9 frontier-based finality, so state and
+    checkpoint schema are unchanged (committed restore fixtures intact).
+    Slicing invariance pinned in tests/test_match_stream.py
+    (test_slicing_invariance_group_loop_inner_any)."""
+    from apache_flink_spark.cep import Pattern, cep_select_stream
+    from apache_flink_spark.streaming.sources import (
+        run_to_table,
+        stream_table,
+    )
+
+    e = stream_table(spark, sf_dir, "events")
+    s = e.withWatermark("ts", "1 hour").select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("ep"),
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("is_click"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("is_purchase"),
+        "ts",
+    ).filter((F.col("is_click") == 1) | (F.col("is_purchase") == 1))
+    inner = (
+        Pattern.begin("A").where("A.is_click = 1")
+        .followed_by_any("B").where("B.is_purchase = 1")
+    )
+    p = Pattern.begin(inner).one_or_more().within(72, "hours")
+    out = cep_select_stream(
+        s, p, "user_id", "ep, event_id",
+        {
+            "first_click": "FIRST(A.event_id)",
+            "n_pairs": "COUNT(A.*)",
+            "last_purchase": "LAST(B.event_id)",
+        },
+    )
+    return run_to_table(out, "append")

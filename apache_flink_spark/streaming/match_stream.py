@@ -64,10 +64,20 @@ Pattern.begin(inner).oneOrMore()): the compiled
 element whose body lists the group's steps (optionally with inner
 relaxed pre-gaps); repetitions ride the same frontier-based finality
 and keyed state, no state-schema change. All emission modes stream
-(default multi-match, greedy()/reluctant() pins, exact counts). Still
-out: ALL ROWS PER MATCH, SKIP TO FIRST/LAST, nested (multi-level)
-groups, SKIP_TILL_ANY, and followedByAny inside a group body — each
-errors loudly with a batch-path pointer.
+(default multi-match, greedy()/reluctant() pins, exact counts).
+
+r11: followedByAny INSIDE a streaming group body (the reference's
+SKIP_TILL_ANY inner edge on group states — NFACompiler
+getIgnoreCondition trueFunction inside GroupPattern bodies): the body
+scanner branches per gap extent and all of a start's matches decide
+together under the same frontier-based finality — no new state, no
+schema change. Still out: ALL ROWS PER MATCH, SKIP TO FIRST/LAST,
+nested (multi-level) groups, SKIP_TILL_ANY between elements or
+repetitions (allowCombinations — the per-start subset enumeration is
+unbounded in stream state), and greedy()/reluctant()-pinned
+variable-count group loops with enum inner gaps (the take-count pin
+is ambiguous across branching gap extents) — each errors loudly with
+a batch-path pointer.
 """
 
 from __future__ import annotations
@@ -328,20 +338,41 @@ def streaming_match_recognize(
                 "supported — the per-start subset enumeration is "
                 "unbounded in stream state; use the batch cep_select"
             )
-        if body is not None and any(
-            pre is not None and pre in cep_enum for _s, pre in body
-        ):
-            raise MatchRecognizeError(
-                "streaming group loops support SKIP_TILL_NEXT inner "
-                "contiguity only — a followedByAny INSIDE the group "
-                "branches per gap extent (enum emission the body "
-                "scanner cannot express); use the batch cep_select"
-            )
     elem_enum = [
         bool(set(alts) & cep_enum) for alts, _q, _g, _ign, _b in pattern
     ]
+    # r11 (VERDICT r10 missing #1): followedByAny INSIDE a streaming
+    # group body — the reference's SKIP_TILL_ANY inner edge on group
+    # states (NFACompiler getIgnoreCondition SKIP_TILL_ANY ->
+    # trueFunction inside GroupPattern bodies). The body scanner
+    # branches per gap extent; every branch's matches decide together
+    # under the same frontier-based finality, so no new state and no
+    # schema change. Pinned greedy()/reluctant() variable-count loops
+    # with enum inner gaps stay rejected: maximal/minimal take-count
+    # pins are ambiguous across branching gap extents.
+    elem_body_enum = [
+        body is not None and any(
+            pre is not None and pre in cep_enum for _s, pre in body
+        )
+        for _alts, _q, _g, _ign, body in pattern
+    ]
+    for pi_, (_alts, (lo_, hi_), _g, _ign, _body) in enumerate(pattern):
+        if (
+            elem_body_enum[pi_]
+            and not elem_enum[pi_]
+            and lo_ != hi_
+        ):
+            raise MatchRecognizeError(
+                "a greedy()/reluctant()-pinned streaming group loop "
+                "with followedByAny INSIDE the body is not supported — "
+                "the take-count pin is ambiguous across branching gap "
+                "extents; use the default emission, an exact times(n) "
+                "count, or the batch cep_select"
+            )
     has_ignore = any(ign is not None for _a, _q, _g, ign, _b in pattern)
-    has_enum = any(elem_enum)
+    # enum-inner-gap bodies multi-match per start too (one match per
+    # gap extent), so they ride the same emission requirements
+    has_enum = any(elem_enum) or any(elem_body_enum)
     measures = _parse_measures(m.group("meas"))
     src_col_names = {f.name for f in stream.schema.fields}
     defines, nav_cols, cross_defs = _parse_defines(
@@ -907,6 +938,57 @@ def streaming_match_recognize(
                         j += 1
                 return consumed, j
 
+            def body_attempts(j0: int, limit: int, steps):
+                """All ways to match a group body ONCE from row j0 (r11
+                — a step whose pre-gap is ENUM-flagged rides the
+                reference's SKIP_TILL_ANY inner edge: the gap accepts
+                ANY row, so every later qualifying row is a separate
+                branch). SKIP_TILL_NEXT steps keep the single first-hit
+                path (their gap is NOT(take) — a qualifying row can
+                never be skipped). Returns ``(alternatives,
+                hit_frontier)`` with alternatives a list of
+                ``(consumed [(row, var)], next_j)``."""
+                out_alts: list[tuple[list[tuple[int, str]], int]] = []
+                hit = [False]
+
+                def srec(si: int, j: int, consumed) -> None:
+                    if si == len(steps):
+                        out_alts.append((list(consumed), j))
+                        return
+                    salts, pre = steps[si]
+                    enum_pre = pre is not None and pre in cep_enum
+                    jj = j
+                    while True:
+                        if jj >= limit:
+                            if limit == n_eval:
+                                hit[0] = True
+                            return
+                        v_hit = next(
+                            (
+                                v for v in salts
+                                if vm[jj] & (1 << var_list.index(v))
+                            ),
+                            None,
+                        )
+                        if v_hit is not None:
+                            consumed.append((jj, v_hit))
+                            srec(si + 1, jj + 1, consumed)
+                            consumed.pop()
+                            if not enum_pre:
+                                return
+                            jj += 1
+                            continue
+                        if si == 0 or pre is None:
+                            return
+                        if not enum_pre and not (
+                            vm[jj] & (1 << var_list.index(pre))
+                        ):
+                            return
+                        jj += 1
+
+                srec(0, j0, [])
+                return out_alts, hit[0]
+
             def scan_elem(pi: int, ri: int, limit: int):
                 """Maximal qualifying takes for element pi from ri, one
                 entry PER REPETITION: ``[(row, var), ...]`` per take
@@ -982,6 +1064,58 @@ def streaming_match_recognize(
                             results.append((a, ri))
                         return True
                     _alts, (lo, hi), greedy, _ign, _body = pat[pi]
+                    if _body is not None and elem_body_enum[pi]:
+                        # r11 — enum inner gaps: repetitions branch per
+                        # body alternative (gap extent), so the linear
+                        # takes list cannot represent them; enumerate
+                        # repetitions recursively. The between-reps
+                        # ignore edge stays SKIP_TILL_NEXT (NOT(head) —
+                        # a head row can never be skipped).
+                        head_bits = 0
+                        for v in _body[0][0]:
+                            head_bits |= 1 << var_list.index(v)
+                        ign_bit = (
+                            1 << var_list.index(_ign)
+                            if _ign is not None else 0
+                        )
+                        found_b = [False]
+
+                        def brec(ri2: int, reps: int, na: dict) -> None:
+                            if reps >= lo and rec(
+                                pi + 1, ri2,
+                                {v: list(ix) for v, ix in na.items()},
+                            ):
+                                found_b[0] = True
+                            if hi is not None and reps >= hi:
+                                return
+                            j = ri2
+                            while True:
+                                if j >= limit:
+                                    if limit == n_eval:
+                                        frontier_hit[0] = True
+                                    return
+                                if vm[j] & head_bits:
+                                    balts, bhit = body_attempts(
+                                        j, limit, _body
+                                    )
+                                    if bhit:
+                                        frontier_hit[0] = True
+                                    for consumed, nj in balts:
+                                        nb = {
+                                            v: list(ix)
+                                            for v, ix in na.items()
+                                        }
+                                        for jj, v in consumed:
+                                            nb.setdefault(v, []).append(jj)
+                                        brec(nj, reps + 1, nb)
+                                    return  # head rows are unskippable
+                                if reps and ign_bit and (vm[j] & ign_bit):
+                                    j += 1
+                                    continue
+                                return
+
+                        brec(ri, 0, assign)
+                        return found_b[0]
                     takes = scan_elem(pi, ri, limit)
                     if len(takes) < lo:
                         return False

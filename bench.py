@@ -163,6 +163,9 @@ HEADLINE = [
     # r11: group PREVIOUS_AND_CURRENT window (repetition-entry gap
     # bound via the looping-group dummy-state windowTimes semantics)
     "cep_group_within_previous",
+    # r11: streaming GroupPattern with followedByAny INSIDE the body
+    # (SKIP_TILL_ANY inner edge, gap-extent branching on the NFA)
+    "cep_stream_group_any",
 ]
 
 
