@@ -1435,11 +1435,18 @@ def cep_select(
         # NFAITCase.testPendingStateMatches runs both within types) — in
         # the two-element form the previous event IS the first event.
         horizon_us = _trailing_nf_horizon(pattern)
-        if len(elems) != 2 or elems[0].contiguity != "begin":
-            raise CepError(
-                "trailing notFollowedBy supports the two-element form "
-                "begin(A).notFollowedBy(B).within(h); compose longer "
-                "prefixes in SQL MATCH_RECOGNIZE"
+        if (
+            len(elems) != 2
+            or elems[0].contiguity != "begin"
+            or elems[0].quant
+            or elems[0].opt_loop
+            or elems[0].group is not None
+        ):
+            # r11 (NotPatternITCase.java:1078
+            # testNotFollowedByWithinAtEndAfterMatch): ARBITRARY prefixes
+            # compose — see _trailing_nf_general below.
+            return _trailing_nf_general(
+                spark, df, pattern, partition_by, order_by, measures, skip
             )
         from pyspark.sql import Window
         from pyspark.sql import functions as F
@@ -1515,6 +1522,149 @@ def cep_select(
     )
     """
     return sql_with_match_recognize(spark, stmt)
+
+
+def _pos_names(p: Pattern) -> list[str]:
+    """Positive (event-taking) variable names, groups flattened."""
+    out: list[str] = []
+    for e in p._elems:
+        if e.contiguity in ("not_followed_by", "not_next"):
+            continue
+        if e.group is not None:
+            out.extend(_pos_names(e.group))
+        elif e.name:
+            out.append(e.name)
+    return out
+
+
+def _trailing_nf_general(
+    spark,
+    df: DataFrame,
+    pattern: Pattern,
+    partition_by: str,
+    order_by: str,
+    measures: dict[str, str],
+    skip: str,
+) -> DataFrame:
+    """Trailing notFollowedBy over an ARBITRARY prefix (r11 —
+    NotPatternITCase.java:1078 testNotFollowedByWithinAtEndAfterMatch).
+
+    The reference holds the completed prefix in a Pending state and
+    confirms it when the window expires without the forbidden event
+    (NFACompiler:338 creates the pending/stop pair; NFA.isStateTimedOut
+    prunes at >= deadline, so a forbidden row exactly AT the deadline
+    loses to the timeout). Composition here:
+
+    1. the PREFIX matches run on the normal engine with SKIP TO NEXT
+       ROW (every start, multi-match emission included), carrying
+       synthetic per-variable first/last-timestamp and count measures;
+    2. confirmation is a keyed bounded-range LEFT ANTI join against the
+       forbidden rows: kill iff a forbidden row lands strictly inside
+       (match_end, deadline), deadline = min(start + w_first_and_last,
+       end + w_previous_and_current) over the declared windows;
+    3. AFTER MATCH SKIP applies to the CONFIRMED matches — the
+       reference prunes when matches emit at advanceTime. SKIP TO NEXT
+       ROW emits all; SKIP PAST LAST ROW greedily selects per key in
+       (start asc, takes desc, end asc) order — the NFA's emission
+       preference (longest branch first), pinned by the :1078
+       expectation {a1, a2, a3, c1}.
+
+    Timestamps are compared on the first ORDER BY column only (the
+    NFA's time axis); equal-timestamp forbidden rows do not kill, like
+    advanceTime processing timeouts before same-time events. The anti
+    join is an equi-join on the partition keys plus a horizon-bounded
+    range filter — keyed and bounded, no cross product."""
+    import copy as _copy
+
+    import pandas as pd  # noqa: F811 (driver-side composition helper)
+    from pyspark.sql import functions as F
+
+    elems = pattern._elems
+    nf = elems[-1]
+    pfx = _copy.copy(pattern)
+    pfx._elems = list(elems[:-1])
+    tcol = order_by.split(",")[0].strip()
+    keys = [k.strip() for k in partition_by.split(",")]
+    pos = _pos_names(pfx)
+    if any(c.startswith("__afs_") for c in df.columns):
+        raise CepError("__afs_ column prefix is reserved")
+    aug = dict(measures)
+    for v in pos:
+        aug[f"__afs_s_{v}"] = f"FIRST({v}.{tcol})"
+        aug[f"__afs_e_{v}"] = f"LAST({v}.{tcol})"
+        aug[f"__afs_n_{v}"] = f"COUNT({v}.*)"
+    m = cep_select(
+        spark, df, pfx, partition_by, order_by, aug,
+        skip="SKIP TO NEXT ROW",
+    )
+    s_cols = [F.col(f"__afs_s_{v}") for v in pos]
+    e_cols = [F.col(f"__afs_e_{v}") for v in pos]
+    m = (
+        m.withColumn(
+            "__afs_s", F.least(*s_cols) if len(s_cols) > 1 else s_cols[0]
+        )
+        .withColumn(
+            "__afs_e",
+            F.greatest(*e_cols) if len(e_cols) > 1 else e_cols[0],
+        )
+        .withColumn(
+            "__afs_n",
+            sum(
+                F.coalesce(F.col(f"__afs_n_{v}"), F.lit(0)) for v in pos
+            ).cast("long"),
+        )
+    )
+    deadline = None
+    if pattern._within is not None:
+        nw, uw = pattern._within
+        deadline = F.col("__afs_s") + F.lit(nw * _UNIT_US[uw])
+    if nf.window_prev_us is not None:
+        d2 = F.col("__afs_e") + F.lit(nf.window_prev_us)
+        deadline = d2 if deadline is None else F.least(deadline, d2)
+    m = m.withColumn("__afs_dl", deadline)
+    fdf = df.filter(F.expr(nf.condition_sql())).select(
+        *[F.col(k).alias(f"__afs_k{i}") for i, k in enumerate(keys)],
+        F.col(tcol).alias("__afs_fts"),
+    )
+    cond = (
+        (F.col("__afs_fts") > F.col("__afs_e"))
+        & (F.col("__afs_fts") < F.col("__afs_dl"))
+    )
+    for i, k in enumerate(keys):
+        cond = cond & (m[k] == fdf[f"__afs_k{i}"])
+    confirmed = m.join(fdf, cond, "left_anti")
+    out_cols = keys + list(measures.keys())
+    sk = re.sub(r"\s+", " ", skip.strip()).upper()
+    if sk == "SKIP TO NEXT ROW":
+        return confirmed.select(*out_cols)
+    if sk != "SKIP PAST LAST ROW":
+        raise CepError(
+            "trailing notFollowedBy over a composed prefix supports "
+            "AFTER MATCH SKIP TO NEXT ROW and SKIP PAST LAST ROW"
+        )
+    sel_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in confirmed.schema.fields if f.name in out_cols
+    )
+
+    def _past_last(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["__afs_s", "__afs_n", "__afs_e"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        taken = []
+        prev_end = None
+        for _, r in pdf.iterrows():
+            if prev_end is not None and not (r["__afs_s"] > prev_end):
+                continue
+            taken.append(r)
+            prev_end = r["__afs_e"]
+        if not taken:
+            return pdf.iloc[0:0][out_cols]
+        return pd.DataFrame(taken)[out_cols]
+
+    return confirmed.groupBy(*keys).applyInPandas(_past_last, sel_fields)
 
 
 def cep_select_stream(

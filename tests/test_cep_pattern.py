@@ -1958,3 +1958,183 @@ def test_optional_times_non_strict_with_next(spark):
     assert _run_cep(spark, rows3, p8, m) == sorted([
         (41, 42, 2, 44), (None, None, 0, 44),
     ], key=str)
+
+
+def test_notpattern_itcase_one_or_more_combinations(spark):
+    """NotPatternITCase × allowCombinations harvest (r11, VERDICT r10
+    next-item #7) — the SKIP_TILL_ANY interactions with negative
+    patterns, reproduced verbatim from flink-libraries/flink-cep
+    NotPatternITCase.java. The unbounded oneOrMore+allowCombinations
+    forms carry a within() horizon (the supported surface — the
+    horizon-less form is the documented compile-time reject; the
+    horizon exceeds every fixture's span, so the match sets are the
+    reference's verbatim)."""
+    M = {"n": "COUNT(B.*)", "fb": "FIRST(B.event_id)",
+         "lb": "LAST(B.event_id)", "sb": "SUM(B.event_id)",
+         "d": "LAST(D.event_id)"}
+    # AFTER fixture: a b1 b2 b3 c b4 b5 b6 d (NotFollowByData order)
+    rows_after = [(1, 40, "a", 1 * S), (1, 41, "b", 2 * S),
+                  (1, 42, "b", 3 * S), (1, 43, "b", 4 * S),
+                  (1, 90, "c", 5 * S), (1, 44, "b", 6 * S),
+                  (1, 45, "b", 7 * S), (1, 46, "b", 8 * S),
+                  (1, 50, "d", 9 * S)]
+
+    def p_after(entry_any):
+        p = Pattern.begin("A").where("name='a'")
+        p = (p.followed_by_any("B") if entry_any
+             else p.followed_by("B"))
+        return (p.where("name='b'").one_or_more().allow_combinations()
+                .not_followed_by("N").where("name='c'")
+                .followed_by("D").where("name='d'")
+                .within(1, "minutes"))
+
+    # :527 testNotFollowedByNextAfterOneOrMoreCombinations — followedBy
+    # entry: the first take is b1 and every continuation crosses c: EMPTY
+    assert _run_cep(spark, rows_after, p_after(False), M) == []
+    # :533 testNotFollowedByAnyAfterOneOrMoreCombinations — followedByAny
+    # entry: every nonempty subset of {b4, b5, b6} (the post-c runs; any
+    # subset touching b1-b3 crosses c and dies)
+    assert _run_cep(spark, rows_after, p_after(True), M) == sorted([
+        (3, 44, 46, 135, 50), (2, 44, 45, 89, 50), (2, 44, 46, 90, 50),
+        (2, 45, 46, 91, 50), (1, 44, 44, 44, 50), (1, 45, 45, 45, 50),
+        (1, 46, 46, 46, 50),
+    ], key=str)
+
+    # BEFORE fixture: a b1 c b4 b5 b6 d
+    rows_before = [(1, 40, "a", 1 * S), (1, 41, "b", 2 * S),
+                   (1, 90, "c", 3 * S), (1, 44, "b", 4 * S),
+                   (1, 45, "b", 5 * S), (1, 46, "b", 6 * S),
+                   (1, 50, "d", 7 * S)]
+
+    def p_before(entry_any, combinations, optional):
+        p = (Pattern.begin("A").where("name='a'")
+             .not_followed_by("N").where("name='c'"))
+        p = (p.followed_by_any("B") if entry_any
+             else p.followed_by("B"))
+        p = p.where("name='b'").one_or_more()
+        if combinations:
+            p = p.allow_combinations()
+        if optional:
+            p = p.optional()
+        return (p.followed_by("D").where("name='d'")
+                .within(1, "minutes"))
+
+    # every BEFORE variant must take b1 FIRST: the not-c guard arms on
+    # the negative pattern and discharges only on the first TAKEN row,
+    # so a branch whose first take is b4+ crosses c and dies — and the
+    # zero-or-more's empty branch dies the same way (no {a, d} match).
+    all8 = sorted([
+        (4, 41, 46, 176, 50), (3, 41, 45, 130, 50), (3, 41, 46, 131, 50),
+        (3, 41, 46, 132, 50), (2, 41, 44, 85, 50), (2, 41, 45, 86, 50),
+        (2, 41, 46, 87, 50), (1, 41, 41, 41, 50),
+    ], key=str)
+    eager4 = sorted([
+        (4, 41, 46, 176, 50), (3, 41, 45, 130, 50),
+        (2, 41, 44, 85, 50), (1, 41, 41, 41, 50),
+    ], key=str)
+    # :603 testNotFollowedByAnyBeforeOneOrMoreEager — anchored prefixes
+    assert _run_cep(spark, rows_before, p_before(True, False, False),
+                    M) == eager4
+    # :632 testNotFollowedByAnyBeforeOneOrMoreCombinations — all subsets
+    # anchored at b1 (incl. the b1+b6 / b1+b5+b6 row-skipping entries)
+    assert _run_cep(spark, rows_before, p_before(True, True, False),
+                    M) == all8
+    # :712 testNotFollowedByBeforeOneOrMoreCombinations — same set: the
+    # followedBy entry only constrains the FIRST take, which is b1 in
+    # every branch anyway
+    assert _run_cep(spark, rows_before, p_before(False, True, False),
+                    M) == all8
+    # :825 testNotFollowedByBeforeZeroOrMoreCombinationsSkipTillNext —
+    # optional() adds no match (the empty branch crosses c)
+    assert _run_cep(spark, rows_before, p_before(False, True, True),
+                    M) == all8
+    # :875 testNotFollowedByBeforeZeroOrMoreEagerSkipTillAny
+    assert _run_cep(spark, rows_before, p_before(True, False, True),
+                    M) == eager4
+    # :903 testNotFollowedByBeforeZeroOrMoreCombinationsSkipTillAny
+    assert _run_cep(spark, rows_before, p_before(True, True, True),
+                    M) == all8
+
+
+def test_not_followed_by_within_at_end_after_match(spark):
+    """NotPatternITCase.java:1078 testNotFollowedByWithinAtEndAfterMatch
+    (r11, VERDICT r10 next-item #7): trailing notFollowedBy over a
+    COMPOSED prefix (a+ allowCombinations, c), skipPastLastEvent, within
+    5s. The reference holds the completed prefix in a Pending state and
+    confirms at the window timeout; the skip strategy prunes when the
+    confirmed matches emit — ONE match {a1, a2, a3, c1} survives (the
+    NFA emits the longest branch first, then skip-past-last kills every
+    overlapping alternative)."""
+    rows = [(1, 40, "a", 1 * S), (1, 41, "a", 2 * S),
+            (1, 42, "a", 3 * S), (1, 43, "c", 4 * S),
+            (1, 44, "c", 10 * S)]
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, name string, ep long"
+    )
+    p = (Pattern.begin("A").where("name='a'")
+         .one_or_more().allow_combinations()
+         .followed_by("C").where("name='c'")
+         .not_followed_by("B").where("name='b'")
+         .within(5, "seconds"))
+    meas = {"n": "COUNT(A.*)", "fa": "FIRST(A.event_id)",
+            "la": "LAST(A.event_id)", "c": "LAST(C.event_id)"}
+
+    def run(pp, sk):
+        out = cep_select(spark, df, pp, "k", "ep", meas, skip=sk)
+        return sorted(tuple(r[c] for c in meas) for r in out.collect())
+
+    # the reference expectation, verbatim
+    assert run(p, "SKIP PAST LAST ROW") == [(3, 40, 42, 43)]
+    # no-skip emits the full SKIP_TILL_ANY family (every a-subset)
+    assert run(p, "SKIP TO NEXT ROW") == [
+        (1, 40, 40, 43), (1, 41, 41, 43), (1, 42, 42, 43),
+        (2, 40, 41, 43), (2, 40, 42, 43), (2, 41, 42, 43),
+        (3, 40, 42, 43),
+    ]
+    # a forbidden row strictly inside (end, start + w) kills: b@5s is
+    # inside a1's (4, 6) window — but matches starting a2/a3 survive
+    # (their deadlines are 7/8s; b@5 kills those too: 5 < 7, 5 < 8 — so
+    # everything with end < 5 dies; matches ENDING at c1@4 all die)
+    rows_kill = rows + [(1, 45, "b", 5 * S)]
+    dfk = spark.createDataFrame(
+        rows_kill, "k long, event_id long, name string, ep long"
+    )
+    out = cep_select(spark, dfk, p, "k", "ep", meas,
+                     skip="SKIP PAST LAST ROW")
+    assert sorted(tuple(r[c] for c in meas) for r in out.collect()) == []
+    # a forbidden row exactly AT the deadline does NOT kill: the
+    # reference processes advanceTime (the timeout) before the
+    # same-time event (NFA.isStateTimedOut prunes at >=)
+    rows_eq = rows + [(1, 45, "b", 6 * S)]
+    dfe = spark.createDataFrame(
+        rows_eq, "k long, event_id long, name string, ep long"
+    )
+    out = cep_select(spark, dfe, p, "k", "ep", meas,
+                     skip="SKIP PAST LAST ROW")
+    got = sorted(tuple(r[c] for c in meas) for r in out.collect())
+    # a1's deadline is 6s: b@6 confirms a1's family; a2/a3 starts have
+    # deadlines 7/8s so b@6 kills their families (but they overlap the
+    # emitted a1 match anyway under skip-past-last)
+    assert got == [(3, 40, 42, 43)]
+    # PREVIOUS_AND_CURRENT on the trailing element composes too: the
+    # window then runs from the match END (the previous taken event)
+    p2 = (Pattern.begin("A").where("name='a'")
+          .times(2).consecutive()
+          .followed_by("C").where("name='c'")
+          .not_followed_by("B").where("name='b'")
+          .within(3, "seconds",
+                  within_type="PREVIOUS_AND_CURRENT"))
+    # end c1@4, window 3s from the end -> deadline 7s: b@6 kills
+    out = cep_select(spark, dfe, p2, "k", "ep", meas,
+                     skip="SKIP TO NEXT ROW")
+    assert sorted(tuple(r[c] for c in meas) for r in out.collect()) == []
+    # ...but b@8 is outside (deadline 7s): both times(2) windows confirm
+    rows_ok = rows + [(1, 45, "b", 8 * S)]
+    dfo = spark.createDataFrame(
+        rows_ok, "k long, event_id long, name string, ep long"
+    )
+    out = cep_select(spark, dfo, p2, "k", "ep", meas,
+                     skip="SKIP TO NEXT ROW")
+    assert sorted(tuple(r[c] for c in meas) for r in out.collect()) == [
+        (2, 40, 41, 43), (2, 41, 42, 43),
+    ]
