@@ -1702,3 +1702,66 @@ def cep_stream_group_any(spark, sf_dir):
         },
     )
     return run_to_table(out, "append")
+
+
+@query(
+    "cep_not_followed_by_composed",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS rn
+        FROM events WHERE event_type IN ('click', 'purchase', 'error')
+    ), m AS (
+        -- prefix: click followedBy purchase (SKIP_TILL_NEXT: the FIRST
+        -- purchase after the click), whole prefix inside the 24h window
+        SELECT c.user_id, c.ep AS c_ep, c.event_id AS click_id,
+               p.ep AS p_ep, p.event_id AS purchase_id
+        FROM u c JOIN u p ON p.user_id = c.user_id AND p.rn = (
+            SELECT MIN(px.rn) FROM u px WHERE px.user_id = c.user_id
+              AND px.event_type = 'purchase' AND px.rn > c.rn)
+        WHERE c.event_type = 'click' AND p.ep <= c.ep + 86400000000
+    )
+    -- absence confirmation: no error strictly inside (match end,
+    -- start + 24h) — an error AT the deadline loses to the timeout
+    SELECT m.user_id, m.click_id, m.purchase_id FROM m
+    WHERE NOT EXISTS (
+        SELECT 1 FROM u e WHERE e.user_id = m.user_id
+          AND e.event_type = 'error'
+          AND e.ep > m.p_ep AND e.ep < m.c_ep + 86400000000)
+    """,
+)
+def cep_not_followed_by_composed(spark, sf_dir):
+    """Trailing notFollowedBy over a COMPOSED prefix (r11 —
+    NotPatternITCase.java:1078 family): ``click followedBy purchase
+    notFollowedBy error within 24h``. The reference holds the completed
+    prefix in a Pending state and confirms it at the window timeout
+    (NFACompiler:338 pending/stop pair, NFA.isStateTimedOut); here the
+    prefix matches run on the normal engine and confirmation is a keyed
+    bounded-range LEFT ANTI join against the error rows
+    (cep.py _trailing_nf_general) — no cross product, horizon-bounded,
+    scale-safe."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase", "error")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    p = (
+        Pattern.begin("C").where("event_type = 'click'")
+        .followed_by("P").where("event_type = 'purchase'")
+        .not_followed_by("N").where("event_type = 'error'")
+        .within(24, "hours")
+    )
+    return cep_select(
+        spark, e, p, "user_id", "ep, event_id",
+        {
+            "click_id": "LAST(C.event_id)",
+            "purchase_id": "LAST(P.event_id)",
+        },
+    )

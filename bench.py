@@ -166,6 +166,9 @@ HEADLINE = [
     # r11: streaming GroupPattern with followedByAny INSIDE the body
     # (SKIP_TILL_ANY inner edge, gap-extent branching on the NFA)
     "cep_stream_group_any",
+    # r11: trailing notFollowedBy over a composed prefix (pending-state
+    # confirmation as a keyed bounded-range anti-join)
+    "cep_not_followed_by_composed",
 ]
 
 
