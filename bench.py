@@ -413,7 +413,11 @@ def main() -> None:
             }
     except NameError:
         pass  # no baseline file / non-0.1 sf: no re-validation pass ran
-    detail_path = os.path.join(
+    # Detail sidecar path — overridable so subset/test runs never clobber
+    # the repo's driver-consumed BENCH_DETAIL.json (its per-query map is
+    # part of the baseline freeze evidence: scripts/append_baseline.py
+    # driver_consumed_keys reads it from the working tree AND HEAD).
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     # Host contention is machine-readable (VERDICT r10 what's-wrong #1):

@@ -28,6 +28,9 @@ def test_last_merged_line_is_bench_json(tmp_path):
             # state-store maintenance thread whose shutdown noise broke r10.
             "SPARK_GRAFT_BENCH_QUERIES": "q1_pricing_summary,stream_tumble_agg",
             "SPARK_GRAFT_BENCH_RUNS": "1",
+            # never clobber the repo's driver-consumed BENCH_DETAIL.json
+            # (baseline-freeze evidence) from a test run
+            "SPARK_GRAFT_BENCH_DETAIL": str(tmp_path / "BENCH_DETAIL.json"),
             # cwd is tmp_path, so the engine package must come via PYTHONPATH
             # (executor Python workers inherit it too).
             "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
@@ -35,7 +38,7 @@ def test_last_merged_line_is_bench_json(tmp_path):
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        cwd=str(tmp_path),  # BENCH_DETAIL.json still lands next to bench.py
+        cwd=str(tmp_path),
         env=env,
         stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT,  # the driver's merged-stream view
