@@ -1691,8 +1691,11 @@ def cep_select_stream(
     GroupPattern loops stream too — ``begin(inner)`` with any
     quantifier (default multi-match, greedy()/reluctant() pins, exact
     counts) compiles to a group-body loop element on the same engine
-    (GroupPattern.java:30); nested (multi-level) groups still reject
-    loudly toward the batch ``cep_select``. The default SKIP TO NEXT ROW is the reference
+    (GroupPattern.java:30). r11: followedByAny INSIDE a group body
+    (SKIP_TILL_ANY inner edges branch the body scan per gap extent)
+    and NESTED group loops (the anchor+repetition shape recurses —
+    a recursive body matcher on the same certified-prefix scan) stream
+    too. The default SKIP TO NEXT ROW is the reference
     CEP's no-skip strategy, supported streaming since r8."""
     from apache_flink_spark.streaming.match_stream import (
         streaming_match_recognize,

@@ -1765,3 +1765,125 @@ def cep_not_followed_by_composed(spark, sf_dir):
             "purchase_id": "LAST(P.event_id)",
         },
     )
+
+
+@query(
+    "cep_stream_group_nested",
+    oracle="""
+    -- streaming NESTED group loop ((A B)+ C)+ (r11): SKIP_TILL_NEXT
+    -- everywhere makes every hop deterministic — the inner ignore edge
+    -- is NOT(click) (next rep's click = FIRST click after the previous
+    -- purchase), the close edge is NOT(signup) (the outer rep closes at
+    -- the FIRST signup, skipping intervening clicks), the outer ignore
+    -- edge is NOT(click) again — while EVERY loop's take count
+    -- enumerates: the chain branches per state ('p' = after an inner
+    -- pair, 'c' = after a closing signup) and every 'c' state is a
+    -- match. A start's family decides once the watermark passes its
+    -- 72h horizon.
+    WITH RECURSIVE wm AS (
+        SELECT (epoch_us(MAX(ts)) - 3600000000) // 1000 * 1000 AS wm_us
+        FROM events WHERE event_type IN ('click', 'purchase', 'signup')
+    ), u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS rn
+        FROM events WHERE event_type IN ('click', 'purchase', 'signup')
+    ), chain AS (
+        SELECT c.user_id, c.ep AS s_ep, c.event_id AS fa,
+               CAST(1 AS BIGINT) AS n_a, CAST(0 AS BIGINT) AS n_c,
+               p.rn AS last_rn, p.event_id AS last_eid, 'p' AS state
+        FROM u c JOIN u p ON p.user_id = c.user_id AND p.rn = (
+            SELECT MIN(x.rn) FROM u x WHERE x.user_id = c.user_id
+              AND x.event_type = 'purchase' AND x.rn > c.rn)
+        WHERE c.event_type = 'click' AND p.ep <= c.ep + 259200000000
+        UNION ALL
+        SELECT ch.user_id, ch.s_ep, ch.fa,
+               CASE WHEN nx.event_type = 'signup'
+                    THEN ch.n_a ELSE ch.n_a + 1 END,
+               CASE WHEN nx.event_type = 'signup'
+                    THEN ch.n_c + 1 ELSE ch.n_c END,
+               nx.last_rn, nx.last_eid, nx.state
+        FROM chain ch, LATERAL (
+            SELECT 'p' AS state, p2.rn AS last_rn,
+                   p2.event_id AS last_eid, 'click' AS event_type
+            FROM u c2 JOIN u p2 ON p2.user_id = ch.user_id
+                 AND p2.rn = (
+                SELECT MIN(x.rn) FROM u x WHERE x.user_id = ch.user_id
+                  AND x.event_type = 'purchase' AND x.rn > c2.rn)
+            WHERE c2.user_id = ch.user_id AND c2.rn = (
+                SELECT MIN(y.rn) FROM u y WHERE y.user_id = ch.user_id
+                  AND y.event_type = 'click' AND y.rn > ch.last_rn)
+              AND c2.ep <= ch.s_ep + 259200000000
+              AND p2.ep <= ch.s_ep + 259200000000
+            UNION ALL
+            SELECT 'c', sg.rn, sg.event_id, 'signup'
+            FROM u sg WHERE ch.state = 'p'
+              AND sg.user_id = ch.user_id AND sg.rn = (
+                SELECT MIN(z.rn) FROM u z WHERE z.user_id = ch.user_id
+                  AND z.event_type = 'signup' AND z.rn > ch.last_rn)
+              AND sg.ep <= ch.s_ep + 259200000000
+        ) nx
+    )
+    SELECT ch.user_id, ch.fa AS first_click, ch.n_a AS n_pairs,
+           ch.n_c AS n_signups, ch.last_eid AS last_signup
+    FROM chain ch CROSS JOIN wm
+    WHERE ch.state = 'c' AND ch.s_ep + 259200000000 < wm.wm_us
+    """,
+    streaming=True,
+)
+def cep_stream_group_nested(spark, sf_dir):
+    """STREAMING NESTED GroupPattern — r11:
+    ``Pattern.begin(Pattern.begin(click followedBy purchase).oneOrMore()
+    .followedBy(signup)).oneOrMore()`` on the unbounded event stream.
+    The CEP compiler emits the same anchor+repetition shape at every
+    nesting depth (the reference's
+    NFACompiler.createLoopingGroupPatternState recurses), so the
+    streaming matcher's recursive body model — ("one", alts, pre) |
+    ("loop", steps, lo, hi, ign, greedy, pre) — matches it inside the
+    SAME certified-prefix scan: nothing new is buffered, the checkpoint
+    layout is unchanged, and all of a start's matches (every inner and
+    outer repetition-count alternative) decide together under the
+    frontier-based finality rule. Slicing invariance pinned in
+    tests/test_match_stream.py
+    (test_slicing_invariance_nested_group_loop)."""
+    from apache_flink_spark.cep import Pattern, cep_select_stream
+    from apache_flink_spark.streaming.sources import (
+        run_to_table,
+        stream_table,
+    )
+
+    e = stream_table(spark, sf_dir, "events")
+    s = e.withWatermark("ts", "1 hour").select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("ep"),
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("is_click"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("is_purchase"),
+        F.when(F.col("event_type") == "signup", F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("is_signup"),
+        "ts",
+    ).filter(
+        (F.col("is_click") == 1) | (F.col("is_purchase") == 1)
+        | (F.col("is_signup") == 1)
+    )
+    inner = (
+        Pattern.begin("A").where("A.is_click = 1")
+        .followed_by("B").where("B.is_purchase = 1")
+    )
+    g = (
+        Pattern.begin(inner).one_or_more()
+        .followed_by("C").where("C.is_signup = 1")
+    )
+    p = Pattern.begin(g).one_or_more().within(72, "hours")
+    out = cep_select_stream(
+        s, p, "user_id", "ep, event_id",
+        {
+            "first_click": "FIRST(A.event_id)",
+            "n_pairs": "COUNT(A.*)",
+            "n_signups": "COUNT(C.*)",
+            "last_signup": "LAST(C.event_id)",
+        },
+    )
+    return run_to_table(out, "append")

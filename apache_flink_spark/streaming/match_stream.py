@@ -71,13 +71,18 @@ SKIP_TILL_ANY inner edge on group states — NFACompiler
 getIgnoreCondition trueFunction inside GroupPattern bodies): the body
 scanner branches per gap extent and all of a start's matches decide
 together under the same frontier-based finality — no new state, no
-schema change. Still out: ALL ROWS PER MATCH, SKIP TO FIRST/LAST,
-nested (multi-level) groups, SKIP_TILL_ANY between elements or
+schema change. NESTED group loops stream too (r11): the CEP compiler
+emits the same anchor+repetition shape at every nesting depth
+(NFACompiler.createLoopingGroupPatternState recurses), so the body
+model generalizes to recursive steps — ("one", alts, pre) |
+("loop", steps, lo, hi, ign, greedy, pre) — matched by a recursive
+enumerator inside the same certified-prefix scan; nothing new is
+buffered and the checkpoint layout is unchanged. Still out: ALL ROWS
+PER MATCH, SKIP TO FIRST/LAST, SKIP_TILL_ANY between elements or
 repetitions (allowCombinations — the per-start subset enumeration is
-unbounded in stream state), and greedy()/reluctant()-pinned
-variable-count group loops with enum inner gaps (the take-count pin
-is ambiguous across branching gap extents) — each errors loudly with
-a batch-path pointer.
+unbounded in stream state), and greedy()/reluctant()-pinned loops
+inside enumerating bodies (the take-count pin is ambiguous across
+branching extents) — each errors loudly with a batch-path pointer.
 """
 
 from __future__ import annotations
@@ -162,6 +167,127 @@ def _body_steps(nd):
     if pre is not None or len(steps) < 2:
         return None
     return steps
+
+
+def _parse_rec_steps(items):
+    """r11 — recursive body parser for NESTED group loops. Returns a
+    list of tagged steps or None:
+
+      ("one", alts, pre)                         — single take, optional
+                                                   relaxed pre-gap
+      ("loop", steps, lo, hi, ign, greedy, pre)  — nested loop whose
+                                                   repetition matches
+                                                   ``steps``; lo/hi
+                                                   INCLUDE the anchor
+
+    recognizing the CEP compiler's anchor+repetition shape
+    ``X (G*? X){a,b}`` at every level (NFACompiler compiles a
+    GroupPattern loop the same way at any nesting depth —
+    createLoopingGroupPatternState recurses)."""
+    steps = []
+    pre = None
+    i = 0
+    while i < len(items):
+        it = items[i]
+        nxt = items[i + 1] if i + 1 < len(items) else None
+        if (
+            it[0] == "var" and it[2:] == (0, None, False)
+            and len(it[1]) == 1 and i + 1 < len(items)
+        ):
+            if pre is not None:
+                return None
+            pre = it[1][0]
+            i += 1
+            continue
+        loop = _try_parse_rec_loop(it, nxt)
+        if loop is not None:
+            lsteps, lo, hi, ign, greedy = loop
+            steps.append(("loop", lsteps, lo, hi, ign, greedy, pre))
+            pre = None
+            i += 2
+            continue
+        if it[0] == "var" and it[2:] == (1, 1, True):
+            steps.append(("one", tuple(it[1]), pre))
+            pre = None
+            i += 1
+            continue
+        return None
+    if pre is not None or not steps:
+        return None
+    if steps[0][-1] is not None:
+        return None  # the first step anchors the body — never a pre-gap
+    return steps
+
+
+def _try_parse_rec_loop(it, nxt):
+    """Recognize ``anchor (G*? anchor){a,b}`` where the anchor may be a
+    var OR a parenthesized body whose items parse recursively. Returns
+    ``(steps, lo, hi, ign, greedy)`` with lo/hi including the anchor,
+    or None."""
+    if nxt is None:
+        return None
+    if nxt[0] == "group" and nxt[1][0] == "seq":
+        rep_items, lo, hi, greedy = nxt[1][1], nxt[2], nxt[3], nxt[4]
+    elif nxt[0] == "seq":
+        rep_items, lo, hi, greedy = nxt[1], 1, 1, True
+    else:
+        return None
+    if len(rep_items) != 2:
+        return None
+    g_nd, body_nd = rep_items
+    if not (
+        g_nd[0] == "var" and len(g_nd[1]) == 1
+        and g_nd[2:] == (0, None, False)
+    ):
+        return None
+    anchor = it
+    if anchor[0] == "group" and anchor[2:] == (1, 1, True):
+        anchor = anchor[1]
+    bn = body_nd
+    if bn[0] == "group" and bn[2:] == (1, 1, True):
+        bn = bn[1]
+    if bn != anchor:
+        return None
+    if anchor[0] == "var":
+        if anchor[2:] != (1, 1, True) or len(anchor[1]) != 1:
+            return None
+        lsteps = [("one", tuple(anchor[1]), None)]
+    elif anchor[0] == "seq":
+        lsteps = _parse_rec_steps(anchor[1])
+        if lsteps is None:
+            return None
+    else:
+        return None
+    return (
+        lsteps,
+        1 + lo,
+        None if hi is None else 1 + hi,
+        g_nd[1][0],
+        greedy,
+    )
+
+
+def _rec_walk(steps):
+    """Yield every step of a recursive body, depth-first."""
+    for st in steps:
+        yield st
+        if st[0] == "loop":
+            yield from _rec_walk(st[1])
+
+
+def _rec_take_vars(steps):
+    out = []
+    for st in _rec_walk(steps):
+        if st[0] == "one":
+            out.extend(st[1])
+    return tuple(dict.fromkeys(out))
+
+
+def _rec_head_alts(steps):
+    """The variables that can take a body's FIRST event — recursing
+    into a leading nested loop (its first repetition's head)."""
+    st = steps[0]
+    return st[1] if st[0] == "one" else _rec_head_alts(st[1])
 
 
 def _tree_flat_ignore(node):
@@ -258,6 +384,21 @@ def _tree_flat_ignore(node):
                     ))
                     i += 2
                     continue
+                # r11 — NESTED group loops: the body itself contains
+                # anchor+repetition loops; parse recursively and tag
+                # the body ("rec", steps) for the recursive matcher.
+                rsteps = _parse_rec_steps(list(body_nd[1]))
+                if rsteps is not None:
+                    lo, hi, greedy = rep_wrap[1], rep_wrap[2], rep_wrap[3]
+                    out.append((
+                        _rec_take_vars(rsteps),
+                        (1 + lo, None if hi is None else 1 + hi),
+                        greedy,
+                        g_nd[1][0],
+                        ("rec", rsteps),
+                    ))
+                    i += 2
+                    continue
             return None
         if it[0] != "var":
             return None
@@ -317,20 +458,34 @@ def streaming_match_recognize(
             raise MatchRecognizeError(
                 "streaming MATCH_RECOGNIZE supports flat patterns, "
                 "single-variable relaxed loops (the compiled X (G*? X)* "
-                "shape) and single-level group loops (the compiled "
-                "( A .. B ) (G*? ( A .. B )){..} shape) only — other "
-                "nested structure needs the batch path (cep_select / "
+                "shape), group loops (the compiled "
+                "( A .. B ) (G*? ( A .. B )){..} shape) and their "
+                "nested anchor+repetition compositions only — other "
+                "structure needs the batch path (cep_select / "
                 "sql_with_match_recognize)"
             )
+    def _is_rec(body) -> bool:
+        return isinstance(body, tuple) and body and body[0] == "rec"
+
+    def _body_pres(body):
+        """Every pre-gap variable of a body (flat or recursive)."""
+        if _is_rec(body):
+            return [
+                st[-1] for st in _rec_walk(body[1]) if st[-1] is not None
+            ]
+        return [pre for _s, pre in body if pre is not None]
+
     variables = set()
     for alts, _q, _g, ign, body in pattern:
         variables.update(alts)
         if ign is not None:
             variables.add(ign)
         if body is not None:
-            for _salts, pre in body:
-                if pre is not None:
-                    variables.add(pre)
+            variables.update(_body_pres(body))
+            if _is_rec(body):
+                variables.update(
+                    st[4] for st in _rec_walk(body[1]) if st[0] == "loop"
+                )
     for _alts, _q, _g, ign, body in pattern:
         if ign is not None and ign in cep_enum:
             raise MatchRecognizeError(
@@ -338,6 +493,33 @@ def streaming_match_recognize(
                 "supported — the per-start subset enumeration is "
                 "unbounded in stream state; use the batch cep_select"
             )
+        if body is not None and _is_rec(body):
+            # r11 nested group loops stream for DEFAULT emission only:
+            # a nested loop whose take variables are all pinned
+            # (greedy()/reluctant() excluded them from the enum set)
+            # would need single-match semantics inside an enumerating
+            # scan — ambiguous; and a reluctant (lazy) repetition
+            # wrapper is the same pin at the regex level.
+            for st in _rec_walk(body[1]):
+                if st[0] != "loop":
+                    continue
+                if not st[5] or not (
+                    set(_rec_take_vars(st[1])) & cep_enum
+                ):
+                    raise MatchRecognizeError(
+                        "a greedy()/reluctant()-pinned loop NESTED "
+                        "inside a streaming group body is not "
+                        "supported — pins are ambiguous inside the "
+                        "enumerating repetition scan; use the default "
+                        "emission or the batch cep_select"
+                    )
+                if st[4] in cep_enum:
+                    raise MatchRecognizeError(
+                        "streaming allowCombinations between NESTED "
+                        "group repetitions is not supported — the "
+                        "per-start subset enumeration is unbounded in "
+                        "stream state; use the batch cep_select"
+                    )
     elem_enum = [
         bool(set(alts) & cep_enum) for alts, _q, _g, _ign, _b in pattern
     ]
@@ -351,8 +533,9 @@ def streaming_match_recognize(
     # with enum inner gaps stay rejected: maximal/minimal take-count
     # pins are ambiguous across branching gap extents.
     elem_body_enum = [
-        body is not None and any(
-            pre is not None and pre in cep_enum for _s, pre in body
+        body is not None and (
+            _is_rec(body)  # recursive bodies always use the enum scan
+            or any(pre in cep_enum for pre in _body_pres(body))
         )
         for _alts, _q, _g, _ign, body in pattern
     ]
@@ -989,6 +1172,123 @@ def streaming_match_recognize(
                 srec(0, j0, [])
                 return out_alts, hit[0]
 
+            def rec_body_alts(steps, j0: int, limit: int):
+                """All ways to match a RECURSIVE body once from row j0
+                (r11 nested group loops — the first take lands exactly
+                at j0; later steps skip pre-gap-qualifying rows, enum
+                pre-gaps branch per extent, nested loop steps branch
+                per repetition count). Returns (alternatives,
+                hit_frontier)."""
+                outs: list[tuple[list[tuple[int, str]], int]] = []
+                hit = [False]
+
+                def srec(si: int, j: int, consumed, first: bool) -> None:
+                    if si == len(steps):
+                        outs.append((list(consumed), j))
+                        return
+                    st = steps[si]
+                    pre = st[-1]
+                    enum_pre = pre is not None and pre in cep_enum
+                    jj = j
+                    while True:
+                        if jj >= limit:
+                            if limit == n_eval:
+                                hit[0] = True
+                            return
+                        if st[0] == "one":
+                            v_hit = next(
+                                (
+                                    v for v in st[1]
+                                    if vm[jj] & (1 << var_list.index(v))
+                                ),
+                                None,
+                            )
+                            if v_hit is not None:
+                                consumed.append((jj, v_hit))
+                                srec(si + 1, jj + 1, consumed, False)
+                                consumed.pop()
+                                if not enum_pre:
+                                    return
+                                jj += 1
+                                continue
+                        else:  # nested loop step
+                            head = _rec_head_alts(st[1])
+                            if any(
+                                vm[jj] & (1 << var_list.index(v))
+                                for v in head
+                            ):
+                                l_alts, l_hit = rec_loop_alts(
+                                    st[1], st[2], st[3], st[4], jj, limit
+                                )
+                                if l_hit:
+                                    hit[0] = True
+                                for c2, nj in l_alts:
+                                    n0 = len(consumed)
+                                    consumed.extend(c2)
+                                    srec(si + 1, nj, consumed, False)
+                                    del consumed[n0:]
+                                if not enum_pre:
+                                    return
+                                jj += 1
+                                continue
+                        if first or pre is None:
+                            return
+                        if not enum_pre and not (
+                            vm[jj] & (1 << var_list.index(pre))
+                        ):
+                            return
+                        jj += 1
+
+                srec(0, j0, [], True)
+                return outs, hit[0]
+
+            def rec_loop_alts(
+                steps, lo: int, hi, ign: str, j0: int, limit: int
+            ):
+                """All repetition-count alternatives of a recursive
+                loop whose FIRST repetition anchors at j0. Between
+                repetitions, rows matching the loop's ignore variable
+                (NOT(head) — a head row can never be skipped) are
+                stepped over. Returns (alternatives, hit_frontier)."""
+                outs: list[tuple[list[tuple[int, str]], int]] = []
+                hit = [False]
+                ign_bit = 1 << var_list.index(ign)
+                head = _rec_head_alts(steps)
+                head_bits = 0
+                for v in head:
+                    head_bits |= 1 << var_list.index(v)
+
+                def lrec(j2: int, reps: int, consumed) -> None:
+                    if reps >= lo:
+                        outs.append((list(consumed), j2))
+                    if hi is not None and reps >= hi:
+                        return
+                    jj = j2
+                    while True:
+                        if jj >= limit:
+                            if limit == n_eval:
+                                hit[0] = True
+                            return
+                        if vm[jj] & head_bits:
+                            b_alts, b_hit = rec_body_alts(
+                                steps, jj, limit
+                            )
+                            if b_hit:
+                                hit[0] = True
+                            for c2, nj in b_alts:
+                                n0 = len(consumed)
+                                consumed.extend(c2)
+                                lrec(nj, reps + 1, consumed)
+                                del consumed[n0:]
+                            return  # head rows are unskippable
+                        if reps and (vm[jj] & ign_bit):
+                            jj += 1
+                            continue
+                        return
+
+                lrec(j0, 0, [])
+                return outs, hit[0]
+
             def scan_elem(pi: int, ri: int, limit: int):
                 """Maximal qualifying takes for element pi from ri, one
                 entry PER REPETITION: ``[(row, var), ...]`` per take
@@ -1064,6 +1364,29 @@ def streaming_match_recognize(
                             results.append((a, ri))
                         return True
                     _alts, (lo, hi), greedy, _ign, _body = pat[pi]
+                    if (
+                        _body is not None
+                        and isinstance(_body, tuple)
+                        and _body[0] == "rec"
+                    ):
+                        # r11 — NESTED group loops: the recursive
+                        # matcher enumerates every repetition-count and
+                        # inner-loop alternative; all of this start's
+                        # matches decide together under the same
+                        # frontier rule.
+                        l_alts, l_hit = rec_loop_alts(
+                            _body[1], lo, hi, _ign, ri, limit
+                        )
+                        if l_hit:
+                            frontier_hit[0] = True
+                        found_r = False
+                        for consumed, nj in l_alts:
+                            na = {v: list(ix) for v, ix in assign.items()}
+                            for jj, v in consumed:
+                                na.setdefault(v, []).append(jj)
+                            if rec(pi + 1, nj, na):
+                                found_r = True
+                        return found_r
                     if _body is not None and elem_body_enum[pi]:
                         # r11 — enum inner gaps: repetitions branch per
                         # body alternative (gap extent), so the linear

@@ -169,6 +169,9 @@ HEADLINE = [
     # r11: trailing notFollowedBy over a composed prefix (pending-state
     # confirmation as a keyed bounded-range anti-join)
     "cep_not_followed_by_composed",
+    # r11: NESTED streaming group loops ((A B)+ C)+ (recursive body
+    # matcher on the certified-prefix scan)
+    "cep_stream_group_nested",
 ]
 
 

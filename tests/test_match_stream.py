@@ -709,11 +709,12 @@ def test_slicing_invariance_match_number(spark, tmp_path, seed):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def test_stream_group_pattern_rejects_loudly(spark):
-    """r10: single-level group loops stream in ALL emission modes
-    (default/greedy/exact-count), but a group whose BODY itself
-    contains a quantified element (nested loops) still rejects loudly
-    toward the batch path."""
+def test_stream_group_pattern_boundary(spark):
+    """r11: nested loops inside streaming group bodies now STREAM (the
+    recursive body matcher — see test_nested_group_loop_stream); the
+    remaining loud-reject boundary is a PINNED (reluctant) loop nested
+    inside an enumerating body, whose take-count pin is ambiguous
+    across branching extents."""
     from apache_flink_spark.cep import CepError, Pattern, cep_select_stream
     from apache_flink_spark.match_recognize import MatchRecognizeError
 
@@ -722,13 +723,13 @@ def test_stream_group_pattern_rejects_loudly(spark):
         "user_id long, event_id long, is_a long, is_b long, ep long",
     )
     inner = (
-        Pattern.begin("A").where("is_a = 1").one_or_more()
+        Pattern.begin("A").where("is_a = 1").one_or_more().reluctant()
         .followed_by("B").where("is_b = 1")
     )
     p = Pattern.begin(inner).times(2).within(1, "minutes")
     with pytest.raises(
         (CepError, MatchRecognizeError),
-        match="batch path|cep_select",
+        match="batch|cep_select|pin",
     ):
         cep_select_stream(
             df, p, "user_id", "ep, event_id",
@@ -1287,3 +1288,232 @@ def test_stream_group_loop_exact_and_greedy(spark, tmp_path):
         (CepError, MatchRecognizeError), match="batch|ambiguous"
     ):
         stream_run(p_any_greedy)
+
+
+def _nested_group_pattern(minutes=30):
+    from apache_flink_spark.cep import Pattern
+
+    inner = (
+        Pattern.begin("A").where("kind = 1")
+        .followed_by("B").where("kind = 2")
+    )
+    g = (Pattern.begin(inner).one_or_more()
+         .followed_by("C").where("kind = 3"))
+    return Pattern.begin(g).one_or_more().within(minutes, "minutes")
+
+
+def test_nested_group_loop_stream(spark, tmp_path):
+    """r11: NESTED group loops stream — ``((A B)+ C)+`` compiles to the
+    recursive anchor+repetition shape at every depth
+    (NFACompiler.createLoopingGroupPatternState recurses); the
+    streaming matcher's recursive body enumerator reproduces the batch
+    result exactly, and a quantified element INSIDE a group body
+    ((A+ B) times 2) streams too."""
+    import pandas as pd
+
+    from apache_flink_spark.cep import Pattern, cep_select, cep_select_stream
+    from apache_flink_spark.streaming.sources import run_to_table
+
+    S = 1_000_000
+    rows = [
+        (1, 1, 1, 100 * S), (1, 2, 2, 105 * S), (1, 3, 1, 110 * S),
+        (1, 4, 2, 115 * S), (1, 5, 3, 120 * S), (1, 6, 1, 125 * S),
+        (1, 7, 2, 130 * S), (1, 8, 3, 135 * S),
+        (2, 9, 1, 100 * S), (2, 10, 2, 105 * S), (2, 11, 3, 110 * S),
+        (3, 12, 0, 900 * S),  # watermark pusher
+    ]
+    meas = {"na": "COUNT(A.*)", "nc": "COUNT(C.*)",
+            "fa": "FIRST(A.event_id)", "lc": "LAST(C.event_id)"}
+
+    def stream_run(p):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "event_id", "kind", "ep"]
+        )
+        pq = str(tmp_path / f"nested_{id(p)}")
+        spark.createDataFrame(pdf).withColumn(
+            "ts", F.timestamp_micros(F.col("ep"))
+        ).write.mode("overwrite").parquet(pq)
+        s = (
+            spark.readStream.schema(
+                "user_id long, event_id long, kind long, ep long, "
+                "ts timestamp"
+            ).parquet(pq).withWatermark("ts", "10 seconds")
+        )
+        out = cep_select_stream(s, p, "user_id", "ep, event_id", meas)
+        return sorted(
+            (tuple(r[c] for c in meas)
+             for r in run_to_table(out, "append").collect()),
+            key=str,
+        )
+
+    def batch_run(p):
+        df = spark.createDataFrame(
+            [r for r in rows if r[0] != 3],
+            "user_id long, event_id long, kind long, ep long",
+        )
+        return sorted(
+            (tuple(r[c] for c in meas)
+             for r in cep_select(
+                 spark, df, p, "user_id", "ep, event_id", meas
+             ).collect()),
+            key=str,
+        )
+
+    # a 2-minute horizon: the 900s watermark pusher passes every
+    # start's horizon, so the whole family decides (the 30m variant is
+    # the slicing test's pattern — there the event span provides the
+    # horizon crossings)
+    p = _nested_group_pattern(minutes=2)
+    got = stream_run(p)
+    assert got == batch_run(p)
+    # the nesting is real: a 2-outer-rep match exists (nc = 2)
+    assert any(t[1] == 2 for t in got), got
+    # quantified element INSIDE a group body: (A+ B) times(2)
+    inner2 = (
+        Pattern.begin("A").where("kind = 1").one_or_more()
+        .followed_by("B").where("kind = 2")
+    )
+    p2 = Pattern.begin(inner2).times(2).within(2, "minutes")
+    meas2 = {"na": "COUNT(A.*)", "fa": "FIRST(A.event_id)",
+             "lb": "LAST(B.event_id)"}
+    rows2 = [
+        (1, 1, 1, 100 * S), (1, 2, 1, 105 * S), (1, 3, 2, 110 * S),
+        (1, 4, 1, 115 * S), (1, 5, 2, 120 * S),
+        (3, 12, 0, 900 * S),
+    ]
+    def run2(streamed):
+        if streamed:
+            pdf = pd.DataFrame(
+                rows2, columns=["user_id", "event_id", "kind", "ep"]
+            )
+            pq = str(tmp_path / "nested_q2")
+            spark.createDataFrame(pdf).withColumn(
+                "ts", F.timestamp_micros(F.col("ep"))
+            ).write.mode("overwrite").parquet(pq)
+            s = (
+                spark.readStream.schema(
+                    "user_id long, event_id long, kind long, ep long, "
+                    "ts timestamp"
+                ).parquet(pq).withWatermark("ts", "10 seconds")
+            )
+            out = cep_select_stream(
+                s, p2, "user_id", "ep, event_id", meas2
+            )
+            res = run_to_table(out, "append").collect()
+        else:
+            df = spark.createDataFrame(
+                [r for r in rows2 if r[0] != 3],
+                "user_id long, event_id long, kind long, ep long",
+            )
+            res = cep_select(
+                spark, df, p2, "user_id", "ep, event_id", meas2
+            ).collect()
+        return sorted(
+            (tuple(r[c] for c in meas2) for r in res), key=str
+        )
+
+    got2 = run2(True)
+    assert got2 == run2(False)
+    assert got2, "fixture produced no matches"
+
+
+def _nested_group_pattern_30m():
+    return _nested_group_pattern()
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_slicing_invariance_nested_group_loop(spark, tmp_path, seed):
+    """r11: nested group loops decide each start's whole family
+    together under the frontier rule — emission is micro-batch-slicing
+    invariant like every other loop shape."""
+    import json as _json
+    import os
+    import time
+
+    from apache_flink_spark.cep import cep_select_stream
+
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def mk_rows(sd):
+        # users INTERLEAVED on one global clock (sequential per-user
+        # blocks would let the watermark advance past a later user's
+        # early rows -> late-drops would change the INPUT); steps of
+        # 30-70s keep the max disorder inside a shuffled 7-row slice
+        # (~490s) within the 10-minute watermark allowance, so slicing
+        # reorders rows without dropping any
+        rng = random.Random(sd)
+        rows = []
+        t = 0
+        for eid in range(1, 121):
+            t += rng.randint(30, 70)
+            rows.append(
+                {"user_id": rng.randrange(1, 4), "event_id": eid,
+                 "kind": rng.choice([1, 1, 2, 2, 3, 0]),
+                 "ts": f"2024-01-01 {t // 3600:02d}:"
+                       f"{(t // 60) % 60:02d}:{t % 60:02d}"}
+            )
+        return rows
+
+    def run(rows, slices, tag):
+        in_dir = tmp_path / f"nin_{tag}"
+        in_dir.mkdir()
+        base_mtime = time.time() - len(slices) - 10
+        for i, chunk in enumerate(slices):
+            fp = in_dir / f"f{i:03d}.json"
+            with open(fp, "w") as f:
+                for r in chunk:
+                    f.write(_json.dumps(r) + "\n")
+            os.utime(fp, (base_mtime + i, base_mtime + i))
+        raw = (
+            spark.readStream.schema(
+                "user_id long, event_id long, kind long, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .json(str(in_dir))
+        )
+        s = raw.withWatermark("ts", "10 minutes").select(
+            "user_id", "event_id", "kind",
+            F.unix_micros("ts").alias("ep"), "ts",
+        )
+        out = cep_select_stream(
+            s, _nested_group_pattern(minutes=10), "user_id",
+            "ep, event_id",
+            {"na": "COUNT(A.*)", "nc": "COUNT(C.*)",
+             "fa": "FIRST(A.event_id)", "lc": "LAST(C.event_id)"},
+        )
+        out_dir = str(tmp_path / f"nout_{tag}")
+
+        def sink(batch, batch_id):
+            batch.write.mode("append").parquet(out_dir)
+
+        (
+            out.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / f"nckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        if not os.path.exists(out_dir):
+            return []
+        return sorted(
+            (r.user_id, r.na, r.nc, r.fa, r.lc)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    try:
+        rows = mk_rows(seed)
+        single = run(rows, [rows], "nsingle")
+        assert single, "fixture produced no matches — weaken the pattern"
+        rng = random.Random(seed * 31 + 7)
+        for trial in range(2):
+            sliced = run(rows, _random_slices(rows, rng), f"n{trial}")
+            assert sliced == single, (
+                f"slicing changed the nested group-loop match set "
+                f"(seed {seed}, trial {trial})"
+            )
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
