@@ -1468,3 +1468,71 @@ def mr_permute_mixed(spark, sf_dir):
         )
         """,
     )
+
+
+@query(
+    "mr_stream_skip_to_last",
+    oracle="""
+    -- AFTER MATCH SKIP TO LAST B on PATTERN (A{2} B{2}) where every
+    -- event qualifies: matches chain at rn 1, 4, 7, ... per user (the
+    -- resume target is the previous match's LAST B row, which then
+    -- anchors the next match), each needing all four rows certified.
+    WITH wm AS (
+        SELECT epoch_us(MAX(ts)) - 3600000000 AS wm_us FROM events
+    ), o AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ep,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS rn
+        FROM events
+    ), cert AS (
+        SELECT o.user_id, MAX(o.rn) AS max_rn
+        FROM o CROSS JOIN wm WHERE o.ep <= wm.wm_us GROUP BY o.user_id
+    )
+    SELECT o.user_id, o.event_id AS first_a, l.event_id AS last_b
+    FROM o
+    JOIN cert ON cert.user_id = o.user_id
+    JOIN o l ON l.user_id = o.user_id AND l.rn = o.rn + 3
+    WHERE o.rn % 3 = 1 AND o.rn + 3 <= cert.max_rn
+    """,
+    streaming=True,
+)
+def mr_stream_skip_to_last(spark, sf_dir):
+    """STREAMING AFTER MATCH SKIP TO LAST <var> (r11 — the reference
+    CepOperator applies every AfterMatchSkipStrategy on streams;
+    AfterMatchSkipITCase testSkipToLast:281 is the batch pin): PATTERN
+    (A{2} B{2}) with all-qualifying rows, so consecutive matches OVERLAP
+    on the resume row — the previous match's LAST B anchors the next
+    match (rn 1, 4, 7, ... per user). The resume target belongs to the
+    just-emitted, fully certified match, so the frontier-finality
+    argument is unchanged (l_max = 4 decides each start without a
+    horizon)."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.streaming.match_stream import (
+        streaming_match_recognize,
+    )
+    from apache_flink_spark.streaming.sources import (
+        run_to_table,
+        stream_table,
+    )
+
+    e = stream_table(spark, sf_dir, "events")
+    s = e.withWatermark("ts", "1 hour").select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("ep"),
+        "ts",
+    )
+    out = streaming_match_recognize(
+        s,
+        """
+        PARTITION BY user_id
+        ORDER BY ep, event_id
+        MEASURES FIRST(A.event_id) AS first_a, LAST(B.event_id) AS last_b
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO LAST B
+        PATTERN (A{2} B{2})
+        DEFINE A AS TRUE, B AS TRUE
+        """,
+    )
+    return run_to_table(out, "append")

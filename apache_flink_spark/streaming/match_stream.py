@@ -30,8 +30,11 @@ prefix grows monotonically with the watermark regardless of how rows are
 sliced into batches, and decisions depend only on that prefix.
 
 Streaming subset (errors loudly otherwise): ONE ROW PER MATCH, AFTER
-MATCH SKIP PAST LAST ROW or SKIP TO NEXT ROW (r8 — the reference CEP's
-no-skip default; the frontier advances one row per decided start),
+MATCH SKIP PAST LAST ROW, SKIP TO NEXT ROW (r8 — the reference CEP's
+no-skip default; the frontier advances one row per decided start), or
+SKIP TO FIRST/LAST <var> for single-match patterns (r11 — the resume
+target is a row of the just-emitted fully-certified match, so finality
+is unaffected),
 ascending ORDER BY (epoch-micros BIGINT first),
 own-row DEFINEs, cross-variable LAST/FIRST binds (r7 — the batch
 bind-tracking DFS runs inside the certified prefix; binds only reference
@@ -627,15 +630,35 @@ def streaming_match_recognize(
     # emitted matches. State bounds are unchanged: rows before the
     # frontier are never needed by later starts (a match's body begins at
     # its start row).
+    # r11: SKIP TO FIRST/LAST <var> streams for single-match patterns —
+    # the resume target is a row of the just-emitted (fully certified)
+    # match, so finality is unaffected; only the frontier position
+    # changes (the reference CepOperator applies every
+    # AfterMatchSkipStrategy on streams).
     skip_next = False
+    skip_to: tuple[str, str] | None = None
     if m.group("skip"):
         sk = re.sub(r"\s+", " ", m.group("skip").strip()).upper()
         if sk == "TO NEXT ROW":
             skip_next = True
+        elif sk.startswith("TO FIRST ") or sk.startswith("TO LAST "):
+            _, which, svar = sk.split(" ")
+            if svar not in variables:
+                raise MatchRecognizeError(
+                    f"AFTER MATCH SKIP TO {which} {svar}: unknown variable"
+                )
+            first_alts, (first_lo, _fh), _fg, _fi, _fb = pattern[0]
+            if which == "FIRST" and first_alts == (svar,) and first_lo >= 1:
+                raise MatchRecognizeError(
+                    f"AFTER MATCH SKIP TO FIRST {svar} cannot advance "
+                    "past the match start (infinite loop)"
+                )
+            skip_to = (which.lower(), svar)
         elif sk != "PAST LAST ROW":
             raise MatchRecognizeError(
                 "streaming MATCH_RECOGNIZE supports AFTER MATCH SKIP "
-                "PAST LAST ROW and SKIP TO NEXT ROW only"
+                "PAST LAST ROW, TO NEXT ROW, TO FIRST <var> and "
+                "TO LAST <var>"
             )
     if m.group("mode") and m.group("mode").upper().startswith("ALL"):
         raise MatchRecognizeError(
@@ -1494,6 +1517,27 @@ def streaming_match_recognize(
                 )
                 out_rows.append(vals)
 
+            def _resume_to(match_start: int, assign: dict) -> int:
+                """AFTER MATCH SKIP TO FIRST/LAST <var> resume position
+                (r11 — reference SkipToFirst/SkipToLast on streams).
+                The target row belongs to the just-emitted, fully
+                certified match, so finality is unaffected."""
+                which, svar = skip_to
+                idxs_v = assign.get(svar)
+                if not idxs_v:
+                    raise MatchRecognizeError(
+                        f"AFTER MATCH SKIP TO {which.upper()} {svar}: "
+                        "variable did not participate in the match"
+                    )
+                r = idxs_v[0] if which == "first" else idxs_v[-1]
+                if r <= match_start:
+                    raise MatchRecognizeError(
+                        f"AFTER MATCH SKIP TO {which.upper()} {svar} "
+                        "cannot advance past the match start "
+                        "(infinite loop)"
+                    )
+                return r
+
             keep_from = None
             use_new = has_enum or has_ignore
             while pos < n_eval:
@@ -1516,7 +1560,12 @@ def streaming_match_recognize(
                         continue
                     for assign, _end in ms:
                         _emit_one(assign)
-                    pos = pos + 1 if skip_next else ms[0][1]
+                    if skip_next:
+                        pos = pos + 1
+                    elif skip_to is not None:
+                        pos = _resume_to(pos, ms[0][0])
+                    else:
+                        pos = ms[0][1]
                     continue
                 hit = try_match(pos, limit_for(pos))
                 if hit is None:
@@ -1538,8 +1587,14 @@ def streaming_match_recognize(
                     break  # greedy extension undecided — keep from here
                 _emit_one(assign)
                 # AFTER MATCH SKIP: past-last jumps the frontier over the
-                # match; to-next decides the very next row as its own start
-                pos = pos + 1 if skip_next else end
+                # match; to-next decides the very next row as its own
+                # start; to-first/to-last resumes INSIDE the match (r11)
+                if skip_next:
+                    pos = pos + 1
+                elif skip_to is not None:
+                    pos = _resume_to(pos, assign)
+                else:
+                    pos = end
             keep_from = pos
             # retain up to max_prev consumed rows as navigation context
             lo = max(0, keep_from - max_prev) if max_prev else keep_from

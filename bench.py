@@ -172,6 +172,9 @@ HEADLINE = [
     # r11: NESTED streaming group loops ((A B)+ C)+ (recursive body
     # matcher on the certified-prefix scan)
     "cep_stream_group_nested",
+    # r11: streaming AFTER MATCH SKIP TO LAST <var> (overlapping-chain
+    # resume inside the emitted match)
+    "mr_stream_skip_to_last",
 ]
 
 

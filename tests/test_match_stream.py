@@ -1517,3 +1517,89 @@ def test_slicing_invariance_nested_group_loop(spark, tmp_path, seed):
     finally:
         spark.conf.unset("spark.graft.stateful.keyGroups")
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_stream_skip_to_first_last(spark, tmp_path):
+    """r11: AFTER MATCH SKIP TO FIRST/LAST <var> streams (the reference
+    CepOperator applies every AfterMatchSkipStrategy on streams) — the
+    AfterMatchSkipITCase testSkipToFirst:244 / testSkipToLast:281
+    shapes reproduced on the streaming engine, equal to the batch
+    result. The resume target is a row of the just-emitted fully
+    certified match, so finality is unaffected."""
+    import pandas as pd
+
+    from apache_flink_spark.cep import Pattern, cep_select, cep_select_stream
+    from apache_flink_spark.streaming.sources import run_to_table
+
+    S = 1_000_000
+    # every row satisfies both conditions (name 'ab')
+    rows = [(1, i, "ab", i * S) for i in range(1, 8)]
+    rows.append((9, 99, "zz", 900 * S))  # watermark pusher
+    meas = {"f": "FIRST(ST.event_id)", "l": "LAST(E.event_id)"}
+
+    def mk():
+        return (Pattern.begin("ST").where("name LIKE '%a%'").times(2)
+                .next("E").where("name LIKE '%b%'").times(2)
+                .within(1, "minutes"))
+
+    def stream_run(sk):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "event_id", "name", "ep"]
+        )
+        pq = str(tmp_path / f"skip_{sk.replace(' ', '_')}")
+        spark.createDataFrame(pdf).withColumn(
+            "ts", F.timestamp_micros(F.col("ep"))
+        ).write.mode("overwrite").parquet(pq)
+        s = (
+            spark.readStream.schema(
+                "user_id long, event_id long, name string, ep long, "
+                "ts timestamp"
+            ).parquet(pq).withWatermark("ts", "10 seconds")
+        )
+        out = cep_select_stream(
+            s, mk(), "user_id", "ep, event_id", meas, skip=sk
+        )
+        return sorted(
+            (tuple(r[c] for c in meas)
+             for r in run_to_table(out, "append").collect()),
+            key=str,
+        )
+
+    def batch_run(sk):
+        df = spark.createDataFrame(
+            [r for r in rows if r[0] != 9],
+            "user_id long, event_id long, name string, ep long",
+        )
+        return sorted(
+            (tuple(r[c] for c in meas)
+             for r in cep_select(
+                 spark, df, mk(), "user_id", "ep, event_id", meas,
+                 skip=sk,
+             ).collect()),
+            key=str,
+        )
+
+    # testSkipToFirst:244 — resume at the FIRST row bound to E
+    got_f = stream_run("SKIP TO FIRST E")
+    assert got_f == batch_run("SKIP TO FIRST E") == [(1, 4), (3, 6)]
+    # testSkipToLast:281 — resume at the LAST row bound to E
+    got_l = stream_run("SKIP TO LAST E")
+    assert got_l == batch_run("SKIP TO LAST E") == [(1, 4), (4, 7)]
+    # guards mirror the batch engine: unknown variable, guaranteed
+    # infinite loop
+    from apache_flink_spark.match_recognize import MatchRecognizeError
+
+    with pytest.raises(MatchRecognizeError, match="unknown variable"):
+        stream_run("SKIP TO FIRST X")
+    p_loop = (Pattern.begin("ST").where("name LIKE '%a%'")
+              .next("E").where("name LIKE '%b%'").within(1, "minutes"))
+    df1 = spark.createDataFrame(
+        [(1, 1, "ab", 1_000_000)],
+        "user_id long, event_id long, name string, ep long",
+    )
+    with pytest.raises(MatchRecognizeError, match="infinite loop"):
+        cep_select_stream(
+            df1.withColumn("ts", F.timestamp_micros(F.col("ep"))),
+            p_loop, "user_id", "ep, event_id", meas,
+            skip="SKIP TO FIRST ST",
+        )
