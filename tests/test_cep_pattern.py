@@ -2138,3 +2138,139 @@ def test_not_followed_by_within_at_end_after_match(spark):
     assert sorted(tuple(r[c] for c in meas) for r in out.collect()) == [
         (2, 40, 41, 43), (2, 41, 42, 43),
     ]
+
+
+def test_nfaitcase_zero_or_more_long_tail(spark):
+    """NFAITCase zero-or-more long tail (r11) — reproduced verbatim
+    (unbounded allowCombinations forms carry a within() horizon larger
+    than every fixture span: the supported surface; the horizon-less
+    form is the documented reject).
+
+    :2578 testMultipleTakesVersionCollision — TWO adjacent unbounded
+    SKIP_TILL_ANY loops over the same condition: the reference emits a
+    MULTISET (distinct M1/M2 splits flatten to equal event lists); the
+    engine's per-split matches project to exactly that multiset."""
+    from collections import Counter
+
+    # :2578 — c a a a a a b; (flat count, flat id-sum) multiset
+    rows = [(1, 40, "c", 1 * S), (1, 41, "a", 3 * S), (1, 42, "a", 4 * S),
+            (1, 43, "a", 5 * S), (1, 44, "a", 6 * S), (1, 45, "a", 7 * S),
+            (1, 50, "b", 10 * S)]
+    p = (Pattern.begin("C").where("name='c'")
+         .followed_by("M1").where("name='a'")
+         .one_or_more().allow_combinations()
+         .followed_by("M2").where("name='a'")
+         .one_or_more().allow_combinations()
+         .followed_by("B").where("name='b'")
+         .within(1, "minutes"))
+    meas = {"n1": "COUNT(M1.*)", "s1": "SUM(M1.event_id)",
+            "n2": "COUNT(M2.*)", "s2": "SUM(M2.event_id)"}
+    out = cep_select(
+        spark,
+        spark.createDataFrame(
+            rows, "k long, event_id long, name string, ep long"
+        ),
+        p, "k", "ep, event_id", meas,
+    )
+    got = Counter(
+        (r["n1"] + r["n2"], r["s1"] + r["s2"]) for r in out.collect()
+    )
+    assert got == Counter({
+        (5, 215): 4, (4, 170): 3, (4, 172): 2, (4, 171): 2, (4, 173): 2,
+        (3, 126): 2, (3, 128): 2, (3, 130): 1, (3, 127): 1, (2, 83): 1,
+    }), got
+    # :811 testZeroOrMoreAfterZeroOrMore — two adjacent OPTIONAL
+    # SKIP_TILL_ANY loops over different conditions; the second loop's
+    # followedBy ENTRY still anchors at the first qualifying d
+    rows2 = [(1, 40, "c", 1 * S), (1, 41, "a", 3 * S),
+             (1, 42, "d", 4 * S), (1, 43, "d", 5 * S),
+             (1, 44, "e", 6 * S)]
+    p2 = (Pattern.begin("C").where("name='c'")
+          .followed_by_any("M1").where("name='a'")
+          .one_or_more().allow_combinations().optional()
+          .followed_by("M2").where("name='d'")
+          .one_or_more().allow_combinations().optional()
+          .followed_by("E").where("name='e'")
+          .within(1, "minutes"))
+    m2 = {"n1": "COUNT(M1.*)", "n2": "COUNT(M2.*)",
+          "l2": "LAST(M2.event_id)", "e": "LAST(E.event_id)"}
+    assert _run_cep(spark, rows2, p2, m2) == sorted([
+        (1, 2, 43, 44), (1, 1, 42, 44), (0, 2, 43, 44),
+        (0, 1, 42, 44), (1, 0, None, 44), (0, 0, None, 44),
+    ], key=str)
+    # :859 testZeroOrMoreAfterBranching — followedByAny branch, merge,
+    # then an optional SKIP_TILL_ANY kleene: every (a-choice x kleene
+    # subset)
+    rows3 = [(1, 40, "c", 1 * S), (1, 41, "a", 3 * S),
+             (1, 42, "a", 4 * S), (1, 90, "f", 5 * S),
+             (1, 43, "d", 6 * S), (1, 44, "d", 7 * S),
+             (1, 45, "e", 8 * S)]
+    p3 = (Pattern.begin("C").where("name='c'")
+          .followed_by_any("A").where("name='a'")
+          .followed_by_any("MG").where("name='f'")
+          .followed_by_any("K").where("name='d'")
+          .one_or_more().allow_combinations().optional()
+          .followed_by("E").where("name='e'")
+          .within(1, "minutes"))
+    m3 = {"a": "LAST(A.event_id)", "nk": "COUNT(K.*)",
+          "sk": "SUM(K.event_id)", "e": "LAST(E.event_id)"}
+    assert _run_cep(spark, rows3, p3, m3) == sorted([
+        (41, 0, None, 45), (41, 1, 43, 45), (41, 1, 44, 45),
+        (41, 2, 87, 45),
+        (42, 0, None, 45), (42, 1, 43, 45), (42, 1, 44, 45),
+        (42, 2, 87, 45),
+    ], key=str)
+    # :913 testStrictContinuityNoResultsAfterZeroOrMore — next after an
+    # optional loop: the c between the loop and b kills everything
+    rows4 = [(1, 40, "d", 1 * S), (1, 41, "a", 2 * S),
+             (1, 42, "a", 3 * S), (1, 43, "c", 4 * S),
+             (1, 44, "b", 5 * S)]
+    p4 = (Pattern.begin("ST").where("name='d'")
+          .followed_by("M").where("name='a'").one_or_more().optional()
+          .next("E").where("name='b'"))
+    m4 = {"n": "COUNT(M.*)", "fm": "FIRST(M.event_id)",
+          "lm": "LAST(M.event_id)"}
+    assert _run_cep(spark, rows4, p4, m4) == []
+    # :946 testStrictContinuityResultsAfterZeroOrMore — only the
+    # branches whose LAST take sits strictly before b survive
+    rows5 = [(1, 40, "d", 1 * S), (1, 41, "a", 2 * S),
+             (1, 42, "a", 3 * S), (1, 43, "b", 5 * S)]
+    p5 = (Pattern.begin("ST").where("name='d'")
+          .followed_by_any("M").where("name='a'")
+          .one_or_more().optional().allow_combinations()
+          .next("E").where("name='b'")
+          .within(1, "minutes"))
+    assert _run_cep(spark, rows5, p5, m4) == sorted([
+        (2, 41, 42), (1, 42, 42),
+    ], key=str)
+    # :2022 testSkipTillAnyZeroOrMore — every m1-anchored subset plus
+    # the empty branch (the followedBy ENTRY pins the first take to m1)
+    rows6 = [(1, 40, "c", 1 * S), (1, 90, "d", 2 * S),
+             (1, 41, "a", 3 * S), (1, 42, "a", 4 * S),
+             (1, 43, "a", 4 * S + 1), (1, 91, "d", 5 * S),
+             (1, 44, "a", 6 * S), (1, 50, "b", 7 * S)]
+    p6 = (Pattern.begin("C").where("name='c'")
+          .followed_by("M").where("name='a'")
+          .one_or_more().optional().allow_combinations()
+          .followed_by("E").where("name='b'")
+          .within(1, "minutes"))
+    m6 = {"n": "COUNT(M.*)", "fm": "FIRST(M.event_id)",
+          "sm": "SUM(M.event_id)", "e": "LAST(E.event_id)"}
+    assert _run_cep(spark, rows6, p6, m6) == sorted([
+        (4, 41, 170, 50), (3, 41, 127, 50), (3, 41, 128, 50),
+        (2, 41, 85, 50), (3, 41, 126, 50), (2, 41, 83, 50),
+        (2, 41, 84, 50), (1, 41, 41, 50), (0, None, None, 50),
+    ], key=str)
+    # :1056 testNextZeroOrMore — strict-entry optional consecutive
+    # loop: the non-middle row next to start kills the loop branch,
+    # only the zero branch reaches end
+    rows7 = [(1, 40, "st", 1 * S), (1, 90, "ev", 2 * S),
+             (1, 41, "mi", 3 * S), (1, 42, "mi", 4 * S),
+             (1, 43, "mi", 5 * S), (1, 46, "en", 6 * S)]
+    p7 = (Pattern.begin("ST").where("name='st'")
+          .next("M").where("name='mi'")
+          .one_or_more().optional().consecutive()
+          .followed_by("E").where("name='en'"))
+    m7 = {"s": "LAST(ST.event_id)", "nm": "COUNT(M.*)",
+          "e": "LAST(E.event_id)"}
+    assert _run_cep(spark, rows7, p7, m7) == [(40, 0, 46)]
