@@ -466,11 +466,27 @@ class Pattern:
         consumes (the reference also applies until as a per-event stop
         check). Under the relaxed default the gap variable carries the
         same NOT(condition) — the reference guards IGNORE transitions
-        with the until condition too (NFACompiler)."""
+        with the until condition too (NFACompiler).
+
+        r11: bind-aggregates INSIDE an until condition evaluate over
+        the ACCEPTED events only — the reference's
+        ctx.getEventsForPattern never includes the candidate row
+        (UntilConditionITCase testIterativeUntilConditionOneOrMore:
+        the stop fires on the take AFTER the accepted sum reaches the
+        threshold, so the match reaching the threshold still emits) —
+        rewritten to the _EXCL aggregate form here."""
         e = self._last()
         if not e.quant:
             raise CepError("until() needs a preceding quantifier")
-        e.until_conds.append(condition_sql)
+        segs = re.split(r"('[^']*')", condition_sql)
+        for i in range(0, len(segs), 2):
+            segs[i] = re.sub(
+                r"\b(SUM|MIN|MAX|AVG|COUNT)(\s*\(\s*\w+\s*\.\s*\w+\s*\))",
+                lambda m: m.group(1).upper() + "_EXCL" + m.group(2),
+                segs[i],
+                flags=re.I,
+            )
+        e.until_conds.append("".join(segs))
         return self
 
     def subtype(self, _cls) -> "Pattern":

@@ -550,9 +550,13 @@ _BIND_RE = re.compile(
 #: aggregates over a variable's BINDS inside DEFINE (r10 — the
 #: reference IterativeCondition computes arbitrary reductions over
 #: ctx.getEventsForPattern; SQL MR's RUNNING semantics: the own
-#: variable's aggregate includes the current candidate row)
+#: variable's aggregate includes the current candidate row). _INCL
+#: forces candidate inclusion (gap variables evaluating as-if-taken);
+#: _EXCL forces exclusion (r11 — until() conditions: the reference
+#: evaluates getEventsForPattern over ACCEPTED events only,
+#: UntilConditionITCase testIterativeUntilCondition*).
 _BIND_AGG_RE = re.compile(
-    r"\b(?P<fn>SUM|MIN|MAX|AVG|COUNT)(?P<incl>_INCL)?\s*"
+    r"\b(?P<fn>SUM|MIN|MAX|AVG|COUNT)(?P<incl>_INCL|_EXCL)?\s*"
     r"\(\s*(?P<var>\w+)\s*\.\s*(?P<col>\w+)\s*\)",
     re.I,
 )
@@ -755,9 +759,20 @@ def _sql_like(val, pat: str):
     return re.fullmatch(rx, str(val), re.S) is not None
 
 
+def _sql_coalesce(*args):
+    """SQL COALESCE under the 3VL evaluator (r11 — until() aggregate
+    ports need it: SQL SUM over zero accepted events is NULL where the
+    reference's Java loop sums to 0)."""
+    for a in args:
+        if a is not _NULL and a is not None:
+            return a
+    return _NULL
+
+
 _3VL_GLOBALS = {
     "__and3": _and3, "__or3": _or3, "__not3": _not3, "__cmp3": _cmp3,
     "__NULL": _NULL, "__like": _sql_like, "abs": abs,
+    "__coalesce": _sql_coalesce,
     "__builtins__": {},
 }
 
@@ -787,18 +802,21 @@ def _sql_pred_to_python(expr: str, columns, var_msg: str) -> str:
             return f'__row("{name}")'
         if name in (
             "__bind", "__row", "__bagg", "__like", "__NULL",
+            "__coalesce",
         ) or name in (
             "and", "or", "not", "is", "True", "False", "None", "abs",
         ):
             return name
         if name.upper() == "ABS":
             return "abs"
+        if name.upper() == "COALESCE":
+            return "__coalesce"
         if name in columns:
             return f'__row("{name}")'
         raise MatchRecognizeError(
             f"DEFINE {var_msg}: {name!r} is neither a column nor part of "
             "the supported cross-variable predicate subset (comparisons, "
-            "AND/OR/NOT, arithmetic, ABS, LAST/FIRST binds)"
+            "AND/OR/NOT, arithmetic, ABS, COALESCE, LAST/FIRST binds)"
         )
 
     def convert(e: str) -> str:
@@ -904,7 +922,8 @@ def _parse_defines(
                     f"DEFINE {var}: {bm.group('fn')}({v}.{col}) "
                     "aggregates an unknown pattern variable"
                 )
-            incl = 1 if bm.group("incl") else 0
+            marker = (bm.group("incl") or "").upper()
+            incl = 1 if marker == "_INCL" else (-1 if marker == "_EXCL" else 0)
             return (
                 f'__bagg("{v}", "{col}", "{bm.group("fn").upper()}", '
                 f"{incl})"
@@ -1343,9 +1362,11 @@ def compile_match_recognize(
                 # IterativeCondition reductions over
                 # ctx.getEventsForPattern; RUNNING: the own variable
                 # includes the current candidate row; _INCL marks a gap
-                # variable evaluating the take condition as-if-taken)
+                # variable evaluating the take condition as-if-taken;
+                # _EXCL (-1, r11) marks an until() aggregate — accepted
+                # events only, never the candidate)
                 idxs = binds.get(bv, ())
-                if incl or bv == v:
+                if incl > 0 or (incl == 0 and bv == v):
                     idxs = list(idxs) + [j]
                 vals = [
                     x for x in (pred_arr[col][i] for i in idxs)

@@ -986,9 +986,11 @@ def streaming_match_recognize(
                     # aggregate over the variable's binds (r10, same
                     # semantics as the batch evaluator: RUNNING — the
                     # own variable includes the current candidate;
-                    # _INCL marks an as-if-taken gap evaluation)
+                    # _INCL marks an as-if-taken gap evaluation; _EXCL
+                    # (-1, r11) an until() aggregate over accepted
+                    # events only)
                     bidx = binds.get(bv, ())
-                    if incl or bv == v:
+                    if incl > 0 or (incl == 0 and bv == v):
                         bidx = list(bidx) + [j]
                     vals = [
                         x for x in (arr[col][i] for i in bidx)

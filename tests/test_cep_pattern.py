@@ -2274,3 +2274,146 @@ def test_nfaitcase_zero_or_more_long_tail(spark):
     m7 = {"s": "LAST(ST.event_id)", "nm": "COUNT(M.*)",
           "e": "LAST(E.event_id)"}
     assert _run_cep(spark, rows7, p7, m7) == [(40, 0, 46)]
+
+
+def _run_cep_priced(spark, rows, p, meas):
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, name string, price double, ep long"
+    )
+    out = cep_select(spark, df, p, "k", "ep, event_id", meas)
+    return sorted(
+        (tuple(r[c] for c in meas) for r in out.collect()), key=str
+    )
+
+
+def test_until_condition_itcase_scenarios(spark):
+    """UntilConditionITCase harvest (r11) — all 12 scenarios reproduced
+    verbatim (flink-libraries/flink-cep UntilConditionITCase.java).
+    until() strengthens every row the loop consumes with NOT(stop) —
+    takes AND ignore edges — and bind-aggregates inside the stop
+    condition evaluate over ACCEPTED events only (the reference's
+    ctx.getEventsForPattern never includes the candidate; the Java
+    `sum = 0` loop is ported as COALESCE(SUM(...), 0))."""
+    MU = {"n": "COUNT(M.*)", "fm": "FIRST(M.event_id)",
+          "lm": "LAST(M.event_id)", "e": "LAST(E.event_id)"}
+
+    def base_pat(entry_any=False, optional=False, combinations=False,
+                 consecutive=False, with_end=True, where=True):
+        p = Pattern.begin("C").where("name='c'")
+        p = (p.followed_by_any("M") if entry_any else p.followed_by("M"))
+        if where:
+            p = p.where("name='a'")
+        p = p.one_or_more()
+        if combinations:
+            p = p.allow_combinations()
+        if consecutive:
+            p = p.consecutive()
+        if optional:
+            p = p.optional()
+        p = p.until("price = 5.0")
+        if combinations:
+            p = p.within(1, "minutes")
+        if with_end:
+            p = p.followed_by("E").where("price = 5.0")
+        return p
+
+    # fixture A (:48/:91/:226/:270): c, a@2.0, a@3.0, [a@4.0,]
+    # breaking a@5.0, ignored a@6.0
+    rows = [(1, 40, "c", 1.0, 1 * S), (1, 41, "a", 2.0, 3 * S),
+            (1, 42, "a", 3.0, 4 * S), (1, 44, "a", 5.0, 6 * S),
+            (1, 45, "a", 6.0, 7 * S)]
+    rows3m = [(1, 40, "c", 1.0, 1 * S), (1, 41, "a", 2.0, 3 * S),
+              (1, 42, "a", 3.0, 4 * S), (1, 43, "a", 4.0, 5 * S),
+              (1, 44, "a", 5.0, 6 * S), (1, 45, "a", 6.0, 7 * S)]
+    # :48 testUntilConditionFollowedByOneOrMore
+    assert _run_cep_priced(spark, rows, base_pat(), MU) == sorted([
+        (2, 41, 42, 44), (1, 41, 41, 44),
+    ], key=str)
+    # :91 ...OneOrMoreCombinations — m1-anchored subsets
+    assert _run_cep_priced(
+        spark, rows3m, base_pat(combinations=True), MU
+    ) == sorted([
+        (3, 41, 43, 44), (2, 41, 42, 44), (2, 41, 43, 44),
+        (1, 41, 41, 44),
+    ], key=str)
+    # :226 ...ZeroOrMore — plus the empty branch
+    assert _run_cep_priced(spark, rows, base_pat(optional=True), MU) == \
+        sorted([
+            (2, 41, 42, 44), (1, 41, 41, 44), (0, None, None, 44),
+        ], key=str)
+    # :270 ...ZeroOrMoreCombinations
+    assert _run_cep_priced(
+        spark, rows3m, base_pat(optional=True, combinations=True), MU
+    ) == sorted([
+        (3, 41, 43, 44), (2, 41, 42, 44), (2, 41, 43, 44),
+        (1, 41, 41, 44), (0, None, None, 44),
+    ], key=str)
+    # fixture B (:139/:320): breaking/ignored later (consecutive runs)
+    rows_c = [(1, 40, "c", 1.0, 1 * S), (1, 41, "a", 2.0, 3 * S),
+              (1, 42, "a", 3.0, 4 * S), (1, 45, "a", 5.0, 7 * S),
+              (1, 46, "a", 6.0, 8 * S)]
+    # :139 ...OneOrMoreConsecutive
+    assert _run_cep_priced(
+        spark, rows_c, base_pat(consecutive=True), MU
+    ) == sorted([(2, 41, 42, 45), (1, 41, 41, 45)], key=str)
+    # :320 ...ZeroOrMoreConsecutive
+    assert _run_cep_priced(
+        spark, rows_c, base_pat(consecutive=True, optional=True), MU
+    ) == sorted([
+        (2, 41, 42, 45), (1, 41, 41, 45), (0, None, None, 45),
+    ], key=str)
+    # :182 ...OneOrMoreConsecutive2 — a b-row breaks the consecutive
+    # run; only the single-take match survives (the followedBy entry
+    # cannot skip the qualifying m1 to anchor at m3)
+    rows_c2 = [(1, 40, "c", 1.0, 1 * S), (1, 41, "a", 2.0, 3 * S),
+               (1, 42, "b", 3.0, 4 * S), (1, 43, "a", 4.0, 5 * S),
+               (1, 45, "a", 5.0, 7 * S), (1, 46, "a", 6.0, 8 * S)]
+    assert _run_cep_priced(
+        spark, rows_c2, base_pat(consecutive=True), MU
+    ) == [(1, 41, 41, 45)]
+    # fixture C (:365/:402): a later qualifying row after the breaker
+    rows_any = [(1, 40, "c", 1.0, 1 * S), (1, 41, "a", 2.0, 3 * S),
+                (1, 42, "a", 3.0, 4 * S), (1, 44, "a", 5.0, 6 * S),
+                (1, 45, "a", 6.0, 7 * S)]
+    MN = {"n": "COUNT(M.*)", "fm": "FIRST(M.event_id)",
+          "lm": "LAST(M.event_id)"}
+    # :365 ...AnyOneOrMore — no end element; followedByAny anchors at
+    # every qualifying row the until admits (the breaker itself is
+    # rejected by the stop condition; m3 AFTER the breaker anchors)
+    assert _run_cep_priced(
+        spark, rows_any, base_pat(entry_any=True, with_end=False), MN
+    ) == sorted([
+        (2, 41, 42), (1, 41, 41), (1, 42, 42), (1, 45, 45),
+    ], key=str)
+    # :402 ...AnyZeroOrMore — plus the empty branch
+    assert _run_cep_priced(
+        spark, rows_any,
+        base_pat(entry_any=True, optional=True, with_end=False), MN
+    ) == sorted([
+        (2, 41, 42), (1, 41, 41), (1, 42, 42), (1, 45, 45),
+        (0, None, None),
+    ], key=str)
+    # :441 testUntilConditionWithEmptyWhere — a where()-less loop takes
+    # EVERY row until the stop fires
+    rows_ew = [(1, 40, "c", 1.0, 1 * S), (1, 41, "a", 2.0, 3 * S),
+               (1, 42, "a", 3.0, 4 * S), (1, 43, "d", 1.0, 5 * S),
+               (1, 44, "a", 5.0, 6 * S), (1, 45, "a", 6.0, 7 * S)]
+    assert _run_cep_priced(
+        spark, rows_ew, base_pat(with_end=False, where=False), MN
+    ) == sorted([(3, 41, 43), (2, 41, 42), (1, 41, 41)], key=str)
+    # :484/:540 testIterativeUntilCondition{OneOrMore,ZeroOrMore} — the
+    # stop reads the ACCEPTED events' running sum (getEventsForPattern
+    # excludes the candidate): the match REACHING the threshold emits,
+    # the take after it is blocked
+    p_it = (Pattern.begin("C").where("name='c'")
+            .followed_by("M").one_or_more()
+            .until("COALESCE(SUM(M.price), 0.0) = 6.0"))
+    assert _run_cep_priced(spark, rows_ew, p_it, MN) == sorted([
+        (3, 41, 43), (2, 41, 42), (1, 41, 41),
+    ], key=str)
+    p_it0 = (Pattern.begin("C").where("name='c'")
+             .followed_by("M").one_or_more().optional()
+             .until("COALESCE(SUM(M.price), 0.0) = 6.0"))
+    assert _run_cep_priced(spark, rows_ew, p_it0, MN) == sorted([
+        (3, 41, 43), (2, 41, 42), (1, 41, 41), (0, None, None),
+    ], key=str)
