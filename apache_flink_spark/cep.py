@@ -321,14 +321,38 @@ class Pattern:
     def _set_loop_window(self, window: "tuple[int, str] | None") -> None:
         """Quantifier window time (Pattern.java oneOrMore(Duration):390,
         times(int,Duration):432, timesOrMore(int,Duration):499 —
-        Times.windowTime): the max time gap between CONSECUTIVE loop
-        takes. ``window`` is ``(n, unit)``."""
+        Times.windowTime). r11 reference-exact semantics (derived from
+        NFACompiler's state construction and pinned by the parameterized
+        TimesRangeITCase/TimesOrMoreITCase suites): windowTimes entries
+        are keyed by state name and only DELIMITED take-states get one
+        (createState:435), the first-created (= the loop's LAST
+        position) keeps the undelimited base name, and a state's window
+        prunes only while the computation WAITS AT that state — an
+        optional position's ignore-edge twin carries no window. So the
+        bound applies to: the gap into the FIRST take (vs the previous
+        element's take; only-if-immediate when the loop is .optional(),
+        whose head has an unbounded ignore twin), gaps into REQUIRED
+        positions 2..from (through ignores), and gaps into OPTIONAL
+        positions from+1..to-1 only when no row was ignored since the
+        previous take. The FINAL position (to / the looping state) is
+        never bounded — oneOrMore's looping state keeps the undelimited
+        name, so positions 2+ of oneOrMore are unbounded entirely.
+        ``window`` is ``(n, unit)``."""
         if window is None:
             return
         n, u = window
         if u.lower() not in _UNIT_US:
             raise CepError(f"unsupported quantifier window unit {u!r}")
-        self._last().loop_window_us = n * _UNIT_US[u.lower()]
+        e = self._last()
+        if e.group is not None:
+            raise CepError(
+                "a quantifier window on a GROUP loop is not supported — "
+                "the reference binds Times.windowTime to delimited "
+                "states only and a looping group's states are named by "
+                "its inner elements (NFACompiler createState:435); "
+                "bound the inner elements' gaps instead"
+            )
+        e.loop_window_us = n * _UNIT_US[u.lower()]
 
     def times(
         self,
@@ -761,9 +785,20 @@ def _append_frag(
         parts.append(f"( {gap_tok} {core} ){suffix}")
     elif gap_tok:
         parts.append(gap_tok)
-        parts.append(f"{core}{suffix}")
+        parts.append(_suffixed(core, suffix))
     else:
-        parts.append(f"{core}{suffix}")
+        parts.append(_suffixed(core, suffix))
+
+
+def _suffixed(core: str, suffix: str) -> str:
+    """Attach an optionality suffix, parenthesizing any non-atomic core
+    (r11 — ``M (G*? M){0,1}?`` binds the ``?`` to the repetition group
+    as a LAZY marker instead of making the whole loop optional, which
+    silently dropped the zero branch of ``times(0, m)`` under strict
+    entries: TimesRangeITCase testTimesRangeFromZero)."""
+    if not suffix or re.fullmatch(r"\w+", core):
+        return f"{core}{suffix}"
+    return f"( {core} ){suffix}"
 
 
 def _prev_take_chain(
@@ -912,6 +947,83 @@ def _group_window_head(e: _Elem) -> tuple[_Elem, "_Elem | None"]:
                 "windows instead"
             )
     return head, inner[-1]
+
+
+def _quant_bounds(e: _Elem) -> tuple[int, "int | None"]:
+    """(from, to) of the element's quantifier; to=None is unbounded."""
+    q = e.quant
+    if q.endswith("?") and q not in ("?", "??"):
+        q = q[:-1]
+    if q == "+":
+        return 1, None
+    mm = re.fullmatch(r"\{(\d+)(?:(,)(\d*))?\}", q)
+    n = int(mm.group(1))
+    if not mm.group(2):
+        return n, n
+    if mm.group(3):
+        return n, int(mm.group(3))
+    return n, None
+
+
+def _loop_window_conjunct(
+    e: _Elem,
+    frm: int,
+    to_: "int | None",
+    lead_gap: "str | None",
+    inner_gap: "str | None",
+    prev_chain: list,
+    tcol: str,
+    w: int,
+) -> str:
+    """Reference-exact quantifier-window conjunct (r11 — see
+    Pattern._set_loop_window for the derivation; pinned by the
+    parameterized TimesRangeITCase/TimesOrMoreITCase suites):
+
+    - position 1 (the head take): gap vs the previous element's take
+      chain, strict < (the head state is delimited and carries the
+      windowTimes entry; a non-optional head's ignore edge stays on the
+      bounded state). An ``optional()`` loop's head has an UNBOUNDED
+      ignore twin — the bound applies only when no row was ignored
+      before the first take (lead_gap empty).
+    - required positions 2..from: gap vs the previous take, through
+      ignores (non-optional states ignore in place).
+    - optional positions from+1..to-1: bounded only when IMMEDIATE (no
+      inner-gap row since the previous take — the ignore twin carries
+      no window). consecutive() loops have no inner gap: always bound.
+    - the FINAL position (to, or every position 2+ of oneOrMore's
+      looping state): never bounded — the first-created state keeps
+      the undelimited base name and gets no windowTimes entry.
+    """
+    name = e.name
+    pos = f"COUNT({name}.{tcol})"  # RUNNING: includes the candidate
+    parts: list[str] = []
+    entry = (
+        _gap_window_conjunct(prev_chain, tcol, w) if prev_chain else "TRUE"
+    )
+    if (e.opt_loop or frm == 0) and lead_gap is not None:
+        # optional loops (and times(0, m)) have an OPTIONAL head whose
+        # ignore edge moves to an unbounded twin state
+        entry = f"((COUNT({lead_gap}.{tcol}) > 0) OR {entry})"
+    if entry != "TRUE":
+        parts.append(f"(({pos} > 1) OR {entry})")
+    gap_ok = f"({tcol} - LAST({name}.{tcol}, 1) < {w})"
+    hi_req = frm if (to_ is None or frm < to_) else frm - 1
+    if hi_req >= 2:
+        parts.append(f"(({pos} < 2) OR ({pos} > {hi_req}) OR {gap_ok})")
+    opt_lo = max(frm + 1, 2)  # position 1 is the entry term's job
+    if to_ is not None and to_ - 1 >= opt_lo:
+        if inner_gap is None:
+            not_imm = "FALSE"
+        else:
+            not_imm = (
+                f"(LAST({inner_gap}.{tcol}) IS NOT NULL AND "
+                f"LAST({inner_gap}.{tcol}) > LAST({name}.{tcol}, 1))"
+            )
+        parts.append(
+            f"(({pos} < {opt_lo}) OR ({pos} > {to_ - 1}) OR "
+            f"{not_imm} OR {gap_ok})"
+        )
+    return " AND ".join(parts) if parts else "TRUE"
 
 
 def _compile_body(
@@ -1339,17 +1451,6 @@ def _compile_body(
             # NOT part of where_sql()/_own_row_sql: the SKIP_TILL_NEXT
             # ignore edge negates the pattern CONDITION only
             # (NFACompiler getIgnoreCondition), a window is a timer.
-            if e.loop_window_us is not None:
-                # between consecutive loop takes: LAST(self, 1) is the
-                # previous take under RUNNING semantics; the FIRST take
-                # has none (IS NULL passes — its entry gap is governed
-                # by the outer contiguity, NFACompiler.createState:428
-                # binds Times.windowTime to delimited states only)
-                cond = (
-                    f"({cond}) AND ((LAST({e.name}.{tcol}, 1) IS NULL) "
-                    f"OR ({tcol} - LAST({e.name}.{tcol}, 1) < "
-                    f"{e.loop_window_us}))"
-                )
             if e.window_prev_us is not None:
                 chain = _prev_take_chain(elem_list, i)
                 if chain:
@@ -1366,6 +1467,21 @@ def _compile_body(
             for u in e.until_conds:
                 gap_def = f"({gap_def}) AND (NOT ({u}))"
             core, suffix = expand_quant(e.name, e, gap_def)
+            if e.loop_window_us is not None:
+                # r11 reference-exact quantifier window (replaces the
+                # r10 all-consecutive-gaps form — see
+                # _loop_window_conjunct); runs after expand_quant so
+                # the inner gap variable is known
+                frm_, to2_ = _quant_bounds(e)
+                lw = _loop_window_conjunct(
+                    e, frm_, to2_,
+                    gap_tok.rstrip("*?") if gap_tok else None,
+                    inner_gap_of.get(id(e)),
+                    _prev_take_chain(elem_list, i),
+                    tcol, e.loop_window_us,
+                )
+                if lw != "TRUE":
+                    cond = f"({cond}) AND {lw}"
             if e.opt_loop:
                 # optional() on a looping quantifier: zero or the loop
                 core = f"( {core}{suffix} )"

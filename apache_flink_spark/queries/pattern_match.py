@@ -1119,27 +1119,37 @@ def cep_within_previous_current(spark, sf_dir):
         FROM events WHERE event_type = 'click'
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     )
-    -- quantifier window: consecutive TAKES (= consecutive clicks of the
-    -- user; SKIP_TILL_NEXT cannot skip a click) gap strictly under 4
-    -- hours; default emission enumerates both take counts per start
+    -- r11 reference-exact quantifier window (Times.windowTime rides
+    -- the state-name-keyed windowTimes; only DELIMITED take states are
+    -- bounded and the FINAL position keeps the undelimited name):
+    -- times(2,3) at the pattern head means position 1 is unbounded (no
+    -- previous element), position 2 (the last REQUIRED take) is
+    -- bounded strictly under 4 hours, and position 3 (the final
+    -- position) is unbounded — so triples need only the FIRST gap
+    -- inside the window.
     SELECT user_id, event_id AS first_click, id1 AS last_click,
            CAST(2 AS BIGINT) AS n_clicks
     FROM c WHERE ep1 - ep < 14400000000
     UNION ALL
     SELECT user_id, event_id, id2, CAST(3 AS BIGINT)
-    FROM c WHERE ep1 - ep < 14400000000 AND ep2 - ep1 < 14400000000
+    FROM c WHERE ep1 - ep < 14400000000 AND ep2 IS NOT NULL
     """,
 )
 def cep_times_window_gaps(spark, sf_dir):
-    """CEP quantifier window times — r10 (flink-cep Pattern.java
-    times(int, int, Duration):463, Times.windowTime; NFACompiler
-    createState:428 binds the window to the DELIMITED loop states): the
-    max gap between CONSECUTIVE loop takes, strict <. times(2,3) with a
-    4-hour window over the user's click stream, reference default
-    emission (every viable take count per start is its own match,
-    NFAITCase.java:1848). The window conjunct compiles to
-    ``LAST(A.ep,1) IS NULL OR ep - LAST(A.ep,1) < w`` — the first take
-    passes (its entry gap is governed by the outer contiguity)."""
+    """CEP quantifier window times — r11 reference-exact (flink-cep
+    Pattern.java times(int,int,Duration):463, Times.windowTime;
+    NFACompiler createState:435 binds the window to DELIMITED take
+    states only, and NFAStateNameHandler gives the FIRST-created state
+    — the loop's LAST position — the undelimited base name; pinned by
+    the parameterized TimesRangeITCase/TimesOrMoreITCase ports in
+    tests/test_cep_pattern.py). times(2,3) with a 4-hour window over
+    the user's click stream: position 1 is unbounded (the loop begins
+    the pattern — no previous element), position 2 is bounded strict <
+    (NFA.isStateTimedOut prunes at >=), position 3 is unbounded.
+    Default emission: every viable take count per start is its own
+    match (NFAITCase.java:1848). (The r10 version of this query bounded
+    EVERY consecutive gap — a mistranslation of createState:428 that
+    the parameterized reference suites refute.)"""
     from apache_flink_spark.cep import Pattern, cep_select
 
     e = t(spark, sf_dir, "events").select(

@@ -552,10 +552,24 @@ def test_within_previous_and_current_nfaitcase(spark):
 
 
 def test_quantifier_window_take_chain_and_boundary(spark):
-    """r10 quantifier window (Pattern.java oneOrMore(Duration):390):
-    the gap is measured between consecutive TAKES — ignored rows in
-    between do not reset it — and the bound is STRICT (gap == window is
-    pruned, NFA.isStateTimedOut >=)."""
+    """Quantifier window — r11 REFERENCE-EXACT semantics (replaces the
+    r10 all-consecutive-gaps reading, which the parameterized
+    TimesRangeITCase/TimesOrMoreITCase suites refuted): Times.windowTime
+    rides the state-name-keyed windowTimes map and only DELIMITED take
+    states get an entry (NFACompiler createState:435 +
+    NFAStateNameHandler.getUniqueInternalName — the FIRST-created state,
+    which is the loop's LAST position, keeps the undelimited base
+    name), and the window prunes only while the computation WAITS AT
+    the bounded state (an optional position's ignore twin is
+    unbounded). Consequences pinned here:
+
+    1. oneOrMore(window) at the pattern HEAD is fully inert: position 1
+       has no previous element and positions 2+ sit at the undelimited
+       looping state.
+    2. the ENTRY gap (previous element's take -> first loop take) IS
+       bounded, strict < (isStateTimedOut prunes at >=).
+    3. for timesOrMore(2, window), take 2 is bounded vs take 1 through
+       ignores; takes 3+ are unbounded."""
     rows = [
         (1, 1, "c", 0 * S), (1, 2, "v", 2 * S), (1, 3, "c", 5 * S),
         (1, 4, "c", 8 * S), (1, 5, "v", 9 * S), (1, 6, "c", 30 * S),
@@ -564,35 +578,74 @@ def test_quantifier_window_take_chain_and_boundary(spark):
     df = spark.createDataFrame(
         rows, "k long, event_id long, kind string, ep long"
     )
-    p = (
-        Pattern.begin("A").where("kind = 'c'")
-        .one_or_more(window=(10, "seconds"))
-        .followed_by("B").where("kind = 'p'")
-        .within(60, "seconds")
+    meas = {"first_a": "FIRST(A.event_id)", "last_a": "LAST(A.event_id)",
+            "n_a": "COUNT(A.*)"}
+
+    def run(p, d=df):
+        out = cep_select(spark, d, p, "k", "ep", meas)
+        return sorted(
+            (r.first_a, r.last_a, r.n_a) for r in out.collect()
+        )
+
+    # (1) head oneOrMore window is inert — identical to no window
+    p_w = (Pattern.begin("A").where("kind = 'c'")
+           .one_or_more(window=(10, "seconds"))
+           .followed_by("B").where("kind = 'p'")
+           .within(60, "seconds"))
+    p_nw = (Pattern.begin("A").where("kind = 'c'").one_or_more()
+            .followed_by("B").where("kind = 'p'")
+            .within(60, "seconds"))
+    assert run(p_w) == run(p_nw)
+    # (2) entry gap bounded, strict <: click exactly 10s after the
+    # start element is pruned; 9.999s passes
+    p_entry = (Pattern.begin("S").where("kind = 'v'")
+               .followed_by("A").where("kind = 'c'")
+               .times(2, window=(10, "seconds"))
+               .followed_by("B").where("kind = 'p'")
+               .within(60, "seconds"))
+    rows_eq = [(1, 1, "v", 0), (1, 2, "c", 10 * S),
+               (1, 3, "c", 11 * S), (1, 4, "p", 12 * S)]
+    df_eq = spark.createDataFrame(
+        rows_eq, "k long, event_id long, kind string, ep long"
     )
-    out = cep_select(
-        spark, df, p, "k", "ep",
-        {"first_a": "FIRST(A.event_id)", "last_a": "LAST(A.event_id)",
-         "n_a": "COUNT(A.*)"},
+    assert run(p_entry, df_eq) == []
+    rows_ok = [(1, 1, "v", 0), (1, 2, "c", 10 * S - 1),
+               (1, 3, "c", 11 * S), (1, 4, "p", 12 * S)]
+    df_ok = spark.createDataFrame(
+        rows_ok, "k long, event_id long, kind string, ep long"
     )
-    got = sorted((r.first_a, r.last_a, r.n_a) for r in out.collect())
-    # click@0 -> click@5 (gap 5s, across an ignored view) -> click@8,
-    # then click@30 is 22s past -> loop ends; default prefix emission
-    assert got == sorted([
-        (1, 1, 1), (1, 3, 2), (1, 4, 3), (3, 3, 1), (3, 4, 2),
-        (4, 4, 1), (6, 6, 1),
-    ]), got
-    # boundary: consecutive takes exactly window apart are PRUNED
-    rows2 = [(1, 1, "c", 0), (1, 2, "c", 10 * S), (1, 3, "p", 11 * S)]
-    df2 = spark.createDataFrame(
-        rows2, "k long, event_id long, kind string, ep long"
+    assert run(p_entry, df_ok) == [(2, 3, 2)]
+    # ...and times(2)'s SECOND take (the final position) is unbounded:
+    # a 30s gap between the two clicks still matches
+    rows_gap = [(1, 1, "v", 0), (1, 2, "c", 5 * S),
+                (1, 3, "c", 35 * S), (1, 4, "p", 36 * S)]
+    df_gap = spark.createDataFrame(
+        rows_gap, "k long, event_id long, kind string, ep long"
     )
-    out2 = cep_select(
-        spark, df2, p, "k", "ep",
-        {"first_a": "FIRST(A.event_id)", "n_a": "COUNT(A.*)"},
+    assert run(p_entry, df_gap) == [(2, 3, 2)]
+    # (3) timesOrMore(2): take 2 bounded through ignores (strict <),
+    # takes 3+ unbounded
+    p_tom = (Pattern.begin("S").where("kind = 'v'")
+             .followed_by("A").where("kind = 'c'")
+             .times_or_more(2, window=(10, "seconds"))
+             .followed_by("B").where("kind = 'p'")
+             .within(120, "seconds"))
+    rows_tom = [(1, 1, "v", 0), (1, 2, "c", 1 * S),
+                (1, 5, "v", 2 * S), (1, 3, "c", 11 * S + 1),
+                (1, 4, "p", 12 * S)]
+    df_tom = spark.createDataFrame(
+        rows_tom, "k long, event_id long, kind string, ep long"
     )
-    got2 = sorted((r.first_a, r.n_a) for r in out2.collect())
-    assert got2 == [(1, 1), (2, 1)], got2
+    # take2 gap (1s -> 11.001s) = 10.001s >= 10s: pruned
+    assert run(p_tom, df_tom) == []
+    rows_tom2 = [(1, 1, "v", 0), (1, 2, "c", 1 * S),
+                 (1, 3, "c", 9 * S), (1, 4, "c", 60 * S),
+                 (1, 5, "p", 61 * S)]
+    df_tom2 = spark.createDataFrame(
+        rows_tom2, "k long, event_id long, kind string, ep long"
+    )
+    # take2 at 8s (< 10) binds; take 3 at +51s is UNBOUNDED
+    assert run(p_tom, df_tom2) == sorted([(2, 3, 2), (2, 4, 3)])
 
 
 def test_trailing_nfb_previous_and_current_horizon(spark):
@@ -2417,3 +2470,163 @@ def test_until_condition_itcase_scenarios(spark):
     assert _run_cep_priced(spark, rows_ew, p_it0, MN) == sorted([
         (3, 41, 43), (2, 41, 42), (1, 41, 41), (0, None, None),
     ], key=str)
+
+
+# TimesRangeITCase / TimesOrMoreITCase (r11) — both reference suites,
+# parameterized over the quantifier window exactly like the reference
+# (@Parameterized: null and 3ms -> None and 3 seconds here). Scenario
+# tuples: (name, quant(from,to), entry, mods, seq, base, null_only)
+# where seq items are (name, ts_sec) and match sets are middle-id
+# strings ("13" = {m1, m3}).
+_TIMES_SUITE = [
+    # TimesRangeITCase
+    ("timesRange", (1, 3), "next", "comb",
+     [("c", 1), ("a1", 2), ("a2", 3), ("a3", 4), ("b", 6)],
+     ["123", "12", "13", "1"], []),
+    ("timesRangeFromZero", (0, 2), "next", "comb",
+     [("c", 1), ("a1", 2), ("a2", 3), ("a3", 4), ("b", 6)],
+     ["12", "13", "1", ""], []),
+    ("timesRangeNonStrict", (1, 3), "any", "comb",
+     [("c", 1), ("f", 2), ("a1", 3), ("f", 4), ("a2", 5), ("a3", 6),
+      ("b", 7)],
+     ["123", "12", "13", "1"], ["23", "2", "3"]),
+    ("timesRangeStrict", (0, 3), "any", "consec",
+     [("c", 1), ("f", 2), ("a1", 3), ("f", 4), ("a2", 5), ("a3", 6),
+      ("b", 7)],
+     ["23", "1", "2", "3", ""], []),
+    ("timesRangeStrictOptional", (1, 3), "any", "consec+opt",
+     [("c", 1), ("f", 2), ("a1", 3), ("f", 4), ("a2", 5), ("a3", 6),
+      ("b", 7)],
+     ["23", "1", "2", "3", ""], []),
+    ("timesRangeStrictOptional1", (1, 3), "next", "consec+opt",
+     [("c", 1), ("a1", 3), ("a2", 5), ("a3", 6), ("b", 7)],
+     ["123", "12", "1", ""], []),
+    ("timesRangeNonStrictOptional1", (1, 3), "fb", "opt",
+     [("c", 1), ("f", 2), ("b", 7)],
+     [""], []),
+    ("timesRangeNonStrictOptional2", (2, 3), "any", "comb+opt",
+     [("c", 1), ("f", 2), ("a1", 3), ("f", 4), ("a2", 5), ("a3", 6),
+      ("b", 7)],
+     ["123", "12", "23", ""], ["13"]),
+    ("timesRangeNonStrictOptional3", (2, 3), "any", "opt",
+     [("c", 1), ("f", 2), ("a1", 3), ("f", 4), ("a2", 5), ("a3", 6),
+      ("b", 7)],
+     ["123", "12", "23", ""], []),
+    ("timesRangeNonStrictWithNext", (2, 3), "next", "comb",
+     [("c", 1), ("a1", 2), ("f", 3), ("a2", 4), ("f", 5), ("a3", 6),
+      ("b", 7)],
+     ["123", "12"], ["13"]),
+    ("timesRangeNotStrictWithFollowedBy", (2, 3), "fb", "",
+     [("c", 1), ("a1", 2), ("a2", 4), ("a3", 6), ("b", 7)],
+     ["123", "12"], []),
+    ("timesRangeNotStrictWithFollowedByAny", (2, 3), "any", "comb",
+     [("c", 1), ("a1", 2), ("a2", 4), ("a3", 6), ("b", 7)],
+     ["123", "12"], ["23", "13"]),
+    # TimesOrMoreITCase (to=None -> timesOrMore)
+    ("timesOrMore", (2, None), "fb", "comb",
+     [("c", 1), ("a1", 2), ("a2", 3), ("a3", 4), ("b", 6)],
+     ["123", "12", "13"], []),
+    ("timesOrMoreNonStrict", (2, None), "any", "comb",
+     [("c", 1), ("f", 2), ("a1", 3), ("f", 4), ("a2", 5), ("a3", 6),
+      ("b", 7)],
+     ["123", "12"], ["13", "23"]),
+    # reference quirk: testTimesOrMoreStrict uses times(2) WITHOUT the
+    # window parameter — identical for both parameterizations
+    ("timesOrMoreStrict", (2, 2), "any", "consec+nowin",
+     [("c", 1), ("f", 2), ("a1", 3), ("f", 4), ("a2", 5), ("a3", 6),
+      ("b", 7)],
+     ["23"], []),
+    ("timesOrMoreStrictOptional", (2, None), "any", "consec+opt",
+     [("c", 1), ("f", 2), ("a1", 3), ("f", 4), ("a2", 5), ("a3", 6),
+      ("b", 7)],
+     ["23", ""], []),
+    ("timesOrMoreStrictOptional2", (2, None), "next", "consec+opt",
+     [("c", 1), ("a1", 3), ("a2", 5), ("a3", 6), ("b", 7)],
+     ["123", "12", ""], []),
+    ("timesOrMoreNonStrictOptional", (2, None), "fb", "opt",
+     [("c", 1), ("f", 2), ("b", 7)],
+     [""], []),
+    ("timesOrMoreNonStrictOptional2", (2, None), "any", "comb+opt",
+     [("c", 1), ("f", 2), ("a1", 3), ("f", 4), ("a2", 5), ("a3", 6),
+      ("b", 7)],
+     ["123", "12", "23", ""], ["13"]),
+    ("timesOrMoreNonStrictOptional3", (2, None), "any", "opt",
+     [("c", 1), ("f", 2), ("a1", 3), ("f", 4), ("a2", 5), ("a3", 6),
+      ("b", 7)],
+     ["123", "12", "23", ""], []),
+    ("timesOrMoreNonStrictWithNext", (2, None), "next", "comb",
+     [("c", 1), ("a1", 2), ("f", 3), ("a2", 4), ("f", 5), ("a3", 6),
+      ("b", 7)],
+     ["123", "12"], ["13"]),
+    ("timesOrMoreNotStrictWithFollowedBy", (2, None), "fb", "",
+     [("c", 1), ("a1", 2), ("a2", 4), ("a3", 6), ("b", 7)],
+     ["123", "12"], []),
+    ("timesOrMoreNotStrictWithFollowedByAny", (2, None), "any", "comb",
+     [("c", 1), ("a1", 2), ("a2", 4), ("a3", 6), ("b", 7)],
+     ["123", "12"], ["23", "13"]),
+]
+
+_MID_ID = {"1": 41, "2": 42, "3": 43}
+
+
+@pytest.mark.parametrize("window", [None, (3, "seconds")],
+                         ids=["nowin", "win3s"])
+def test_times_range_or_more_itcase(spark, window):
+    """TimesRangeITCase + TimesOrMoreITCase (r11) — BOTH parameterized
+    reference suites reproduced verbatim (23 scenarios x {no window,
+    3s window}). The quantifier-window semantics follow the reference's
+    state-name-keyed windowTimes exactly (see Pattern._set_loop_window):
+    first take bounded vs the previous element's take (optional-loop
+    heads unbind after an ignored row), required positions 2..from
+    bounded through ignores, optional positions from+1..to-1 bounded
+    only when immediate, and the FINAL position never bounded."""
+    fcount = [0]
+    for (name, (frm, to_), entry, mods, seq, base,
+         null_only) in _TIMES_SUITE:
+        fcount[0] = 0
+
+        def mkrow(nm, ts):
+            if nm == "c":
+                return (1, 40, "c", ts * S)
+            if nm == "b":
+                return (1, 50, "b", ts * S)
+            if nm == "f":
+                fcount[0] += 1
+                return (1, 89 + fcount[0], "f", ts * S)
+            return (1, 40 + int(nm[1]), "a", ts * S)
+
+        rows = [mkrow(nm, ts) for nm, ts in seq]
+        p = Pattern.begin("C").where("name='c'")
+        p = {"fb": p.followed_by, "any": p.followed_by_any,
+             "next": p.next}[entry]("M")
+        p = p.where("name='a'")
+        win = None if "nowin" in mods else window
+        if to_ is None:
+            p = p.times_or_more(frm, window=win)
+        elif frm == to_:
+            p = p.times(frm, window=win)
+        else:
+            p = p.times(frm, to_, window=win)
+        if "comb" in mods:
+            p = p.allow_combinations()
+        if "consec" in mods:
+            p = p.consecutive()
+        if "opt" in mods:
+            p = p.optional()
+        p = p.followed_by("E").where("name='b'")
+        if "comb" in mods and to_ is None:
+            p = p.within(1, "minutes")  # unbounded SKIP_TILL_ANY horizon
+        meas = {"n": "COUNT(M.*)", "fm": "FIRST(M.event_id)",
+                "sm": "SUM(M.event_id)", "e": "LAST(E.event_id)"}
+        got = _run_cep(spark, rows, p, meas)
+        expected_sets = list(base) + ([] if window else list(null_only))
+
+        def tup(s):
+            ids = [_MID_ID[ch] for ch in s]
+            return ((len(ids), ids[0] if ids else None,
+                     sum(ids) if ids else None, 50))
+
+        exp = sorted((tup(s) for s in expected_sets), key=str)
+        assert got == exp, (
+            f"{name} window={window}: got {got}, expected {exp}"
+        )

@@ -150,21 +150,25 @@ def _ref_matches(rows, shape):
                 if b is not None:
                     out.add((k, rows[kept[0]][0], rows[b][0]))
         elif shape == "oom_window":
-            # A+ with a quantifier window (r10 — Pattern.java
-            # oneOrMore(Duration):390, Times.windowTime): consecutive
-            # TAKES must be under W_GAP apart (strict <, the NFA prunes
-            # at >= — isStateTimedOut); an a beyond the gap can be
-            # neither taken nor ignored (SKIP_TILL_NEXT), so the loop
-            # ends there. Every surviving prefix emits (default
-            # emission), completed by the first b after its last a.
+            # timesOrMore(2) with a quantifier window (r11 reference-
+            # exact — Times.windowTime binds to delimited take states
+            # only, NFACompiler createState:435): position 1 has no
+            # previous element (begin) so it is unbounded; position 2
+            # (the last REQUIRED take) is bounded vs take 1, strict <
+            # (isStateTimedOut prunes at >=), through ignores; positions
+            # 3+ sit at the undelimited looping state — unbounded.
             kept = []
             for j in range(i, n):
                 if rows[j][1] != "a":
                     continue
-                if kept and (j + 1) * 10 - (kept[-1] + 1) * 10 >= W_GAP:
-                    break
+                if (
+                    len(kept) == 1
+                    and (j + 1) * 10 - (kept[-1] + 1) * 10 >= W_GAP
+                ):
+                    kept = []
+                    break  # required take 2 timed out: branch dies
                 kept.append(j)
-            for k in range(1, len(kept) + 1):
+            for k in range(2, len(kept) + 1):
                 b = next(
                     (j for j in range(kept[k - 1] + 1, n)
                      if rows[j][1] == "b"), None,
@@ -326,7 +330,7 @@ def _pattern_for(shape):
     if shape == "oom_window":
         return (
             Pattern.begin("A").where("kind = 'a'")
-            .one_or_more(window=(W_GAP, "micros"))
+            .times_or_more(2, window=(W_GAP, "micros"))
             .followed_by("B").where("kind = 'b'"),
             {
                 "n_a": "COUNT(A.*)",
