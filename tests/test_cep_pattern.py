@@ -2630,3 +2630,69 @@ def test_times_range_or_more_itcase(spark, window):
         assert got == exp, (
             f"{name} window={window}: got {got}, expected {exp}"
         )
+
+
+def test_same_element_itcase_scenarios(spark):
+    """SameElementITCase harvest (r11) — value-equal events with equal
+    timestamps are DISTINCT stream positions here (rows are schema
+    records, not object identities), which matches the reference on
+    every scenario whose expectation is positional:
+    testEagerZeroOrMoreSameElement:50 (every prefix of the six-take
+    run, duplicates included), testClearingBuffer:118 (same-ts tail
+    chain), testClearingBufferWithUntilAtTheEnd:155 (iterative until
+    over getEventsForPattern COUNT — accepted events only, so the
+    prefix REACHING the stop emits), testSimplePatternWSameElement:324
+    (two value-equal matches stay two matches). The remaining three
+    scenarios (:356 :410 :451) pin the reference SharedBuffer's
+    VALUE-equality dedup of identical events — out of scope by design
+    for a positional row engine."""
+    M = {"n": "COUNT(M.*)", "fm": "FIRST(M.event_id)",
+         "lm": "LAST(M.event_id)", "e": "LAST(E.event_id)"}
+    # :50 — c, m1 x3 (same ts), m2, d, m3 x2 (same ts), b: every prefix
+    rows = [(1, 40, "c", 1 * S), (1, 41, "a", 3 * S), (1, 41, "a", 3 * S),
+            (1, 41, "a", 3 * S), (1, 42, "a", 4 * S), (1, 50, "d", 5 * S),
+            (1, 43, "a", 6 * S), (1, 43, "a", 6 * S), (1, 44, "b", 7 * S)]
+    p = (Pattern.begin("C").where("name='c'")
+         .followed_by("M").where("name='a'").one_or_more().optional()
+         .followed_by("E").where("name='b'"))
+    assert _run_cep(spark, rows, p, M) == sorted([
+        (6, 41, 43, 44), (5, 41, 43, 44), (4, 41, 42, 44),
+        (3, 41, 41, 44), (2, 41, 41, 44), (1, 41, 41, 44),
+        (0, None, None, 44),
+    ], key=str)
+    # :118 — a, then b/c/d all at the SAME timestamp: one match, the
+    # same-ts tail binds in tie-break order
+    rows2 = [(1, 40, "a", 1 * S), (1, 41, "b", 2 * S),
+             (1, 42, "c", 2 * S), (1, 43, "d", 2 * S)]
+    p2 = (Pattern.begin("A").where("name='a'")
+          .followed_by("B").where("name='b'")
+          .followed_by("Cc").where("name='c'")
+          .followed_by("D").where("name='d'"))
+    m2 = {"a": "LAST(A.event_id)", "b": "LAST(B.event_id)",
+          "c": "LAST(Cc.event_id)", "d": "LAST(D.event_id)"}
+    assert _run_cep(spark, rows2, p2, m2) == [(40, 41, 42, 43)]
+    # :155 — until(count == 3) over three same-ts duplicates: the loop
+    # stops extending once three are ACCEPTED (the candidate is never
+    # in getEventsForPattern), so prefixes 1..3 emit and d4 never binds
+    rows3 = [(1, 40, "a", 1 * S), (1, 41, "d", 2 * S),
+             (1, 41, "d", 2 * S), (1, 41, "d", 2 * S),
+             (1, 41, "d", 4 * S)]
+    p3 = (Pattern.begin("A").where("name='a'")
+          .followed_by("D").where("name='d'").one_or_more()
+          .until("COUNT(D.event_id) = 3"))
+    m3 = {"a": "LAST(A.event_id)", "n": "COUNT(D.*)"}
+    assert _run_cep(spark, rows3, p3, m3) == sorted([
+        (40, 1), (40, 2), (40, 3),
+    ], key=str)
+    # :324 — two value-equal middles under followedByAny: TWO matches
+    # (multiset — identical rows, distinct positions)
+    rows4 = [(1, 40, "c", 1 * S), (1, 41, "a", 3 * S),
+             (1, 41, "a", 3 * S), (1, 44, "b", 7 * S)]
+    p4 = (Pattern.begin("C").where("name='c'")
+          .followed_by_any("M").where("name='a'")
+          .followed_by("E").where("name='b'"))
+    m4 = {"c": "LAST(C.event_id)", "m": "LAST(M.event_id)",
+          "e": "LAST(E.event_id)"}
+    assert _run_cep(spark, rows4, p4, m4) == [
+        (40, 41, 44), (40, 41, 44),
+    ]
