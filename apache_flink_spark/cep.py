@@ -1629,17 +1629,20 @@ def cep_select(
         # per start. The enumerating VM explores enum-flagged splits
         # exhaustively; matches are deduped on positive-variable binds
         # (IGNOREd gap rows are not part of a match's identity).
-        if re.sub(r"\s+", " ", skip.strip()).upper() != "SKIP TO NEXT ROW":
-            raise CepError(
-                "multi-match emission (the reference's default for "
-                "looping/optional quantifiers) supports AFTER MATCH SKIP "
-                "TO NEXT ROW only — call greedy() or reluctant() on the "
-                "loop to pin single-match emission for other skip "
-                "strategies"
+        sknorm = re.sub(r"\s+", " ", skip.strip()).upper()
+        if sknorm in ("SKIP TO NEXT ROW", "NO SKIP"):
+            # our TO NEXT ROW == the reference CEP's noSkip: every match
+            # of every start emits, nothing is pruned
+            return compile_match_recognize(
+                spark, df, body,
+                cep_enum_vars=enum_vars, cep_gap_vars=gap_vars,
             )
-        return compile_match_recognize(
-            spark, df, body,
-            cep_enum_vars=enum_vars, cep_gap_vars=gap_vars,
+        # r11 (AfterMatchSkipITCase) — the OTHER skip strategies over
+        # multi-match emission: enumerate everything, then prune in
+        # completion order (matches complete when their last event
+        # arrives; the reference applies the strategy as matches emit).
+        return _enum_skip_select(
+            spark, df, pattern, partition_by, order_by, measures, sknorm
         )
 
     # monotonically increasing view id: two patterns with identical
@@ -1667,6 +1670,128 @@ def _pos_names(p: Pattern) -> list[str]:
         elif e.name:
             out.append(e.name)
     return out
+
+
+def _enum_skip_select(
+    spark,
+    df: DataFrame,
+    pattern: Pattern,
+    partition_by: str,
+    order_by: str,
+    measures: dict[str, str],
+    sknorm: str,
+) -> DataFrame:
+    """AFTER MATCH SKIP strategies over MULTI-MATCH emission (r11 —
+    AfterMatchSkipITCase): the reference NFA emits matches as they
+    COMPLETE (in end-event order) and each emission prunes the partial
+    matches the strategy discards (SkipPastLastEvent releases starts
+    <= the match end, SkipToNext releases same-start siblings,
+    SkipToFirst/Last(v) releases starts before the bound row). The
+    equivalent batch form: enumerate EVERY match (the noSkip set,
+    which our SKIP TO NEXT ROW already computes), then run the same
+    pruning sweep per key in (end, start, size) completion order.
+
+    Misses are the reference's DEFAULT (no throwExceptionOnMiss —
+    AfterMatchSkipITCase testSkipToFirstNonExistentPositionWithout
+    Exception): a skip-to variable that did not participate, or a
+    resume that would not advance, leaves the threshold unchanged
+    (noSkip behavior for that match). Timestamps (the first ORDER BY
+    column) stand in for stream positions — equal-timestamp
+    boundary rows resolve by ts comparison only."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    tcol = order_by.split(",")[0].strip()
+    keys = [k.strip() for k in partition_by.split(",")]
+    pos = _pos_names(pattern)
+    if any(c.startswith("__ams_") for c in df.columns):
+        raise CepError("__ams_ column prefix is reserved")
+    mm = re.fullmatch(
+        r"SKIP PAST LAST ROW|SKIP TO NEXT"
+        r"|SKIP TO (FIRST|LAST) (\w+)",
+        sknorm,
+    )
+    if not mm:
+        raise CepError(
+            f"unsupported AFTER MATCH SKIP strategy {sknorm!r} for "
+            "multi-match emission — PAST LAST ROW, TO NEXT (the CEP "
+            "skipToNext), TO FIRST <var>, TO LAST <var>, or the "
+            "default TO NEXT ROW / NO SKIP"
+        )
+    which, svar = mm.group(1), mm.group(2)
+    if svar is not None and svar not in {v.upper() for v in pos}:
+        raise CepError(
+            f"AFTER MATCH {sknorm}: unknown variable {svar!r}"
+        )
+    if svar is not None:
+        svar = next(v for v in pos if v.upper() == svar)
+    aug = dict(measures)
+    for v in pos:
+        aug[f"__ams_s_{v}"] = f"FIRST({v}.{tcol})"
+        aug[f"__ams_e_{v}"] = f"LAST({v}.{tcol})"
+        aug[f"__ams_n_{v}"] = f"COUNT({v}.*)"
+    m = cep_select(
+        spark, df, pattern, partition_by, order_by, aug,
+        skip="SKIP TO NEXT ROW",
+    )
+    s_cols = [F.col(f"__ams_s_{v}") for v in pos]
+    e_cols = [F.col(f"__ams_e_{v}") for v in pos]
+    m = (
+        m.withColumn(
+            "__ams_s", F.least(*s_cols) if len(s_cols) > 1 else s_cols[0]
+        )
+        .withColumn(
+            "__ams_e",
+            F.greatest(*e_cols) if len(e_cols) > 1 else e_cols[0],
+        )
+        .withColumn(
+            "__ams_n",
+            sum(
+                F.coalesce(F.col(f"__ams_n_{v}"), F.lit(0)) for v in pos
+            ).cast("long"),
+        )
+    )
+    out_cols = keys + list(measures.keys())
+    sel_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in m.schema.fields if f.name in out_cols
+    )
+    skind = (
+        "past_last" if sknorm == "SKIP PAST LAST ROW"
+        else "to_next" if sknorm == "SKIP TO NEXT"
+        else (which.lower(), svar)
+    )
+
+    def _sweep(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["__ams_e", "__ams_s", "__ams_n"], kind="mergesort"
+        )
+        taken = []
+        threshold = None
+        for _, r in pdf.iterrows():
+            if threshold is not None and r["__ams_s"] < threshold:
+                continue
+            taken.append(r)
+            if skind == "past_last":
+                nt = r["__ams_e"] + 1
+            elif skind == "to_next":
+                nt = r["__ams_s"] + 1
+            else:
+                w, v = skind
+                bound = r[f"__ams_s_{v}" if w == "first" else f"__ams_e_{v}"]
+                # miss / no-advance: reference default keeps noSkip
+                # behavior for this match (no exception)
+                if bound is None or (bound != bound) or bound <= r["__ams_s"]:
+                    nt = threshold
+                else:
+                    nt = int(bound)
+            if nt is not None:
+                threshold = nt if threshold is None else max(threshold, nt)
+        if not taken:
+            return pdf.iloc[0:0][out_cols]
+        return pd.DataFrame(taken)[out_cols]
+
+    return m.groupBy(*keys).applyInPandas(_sweep, sel_fields)
 
 
 def _trailing_nf_general(

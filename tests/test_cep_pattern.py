@@ -2696,3 +2696,115 @@ def test_same_element_itcase_scenarios(spark):
     assert _run_cep(spark, rows4, p4, m4) == [
         (40, 41, 44), (40, 41, 44),
     ]
+
+
+def test_after_match_skip_itcase_long_tail(spark):
+    """AfterMatchSkipITCase long tail (r11) — the skip strategies over
+    MULTI-MATCH emission, reproduced verbatim. The reference applies
+    the strategy as matches COMPLETE (end-event order); the engine
+    enumerates the noSkip set and runs the same pruning sweep per key
+    (cep.py _enum_skip_select). CEP's skipToNext (one match per start)
+    is the 'SKIP TO NEXT' strategy string — distinct from SQL
+    MATCH_RECOGNIZE's SKIP TO NEXT ROW, which equals CEP noSkip under
+    multi-match emission. Misses follow the CEP DEFAULT (no
+    throwExceptionOnMiss): a skip-to target that did not bind or would
+    not advance leaves the pruning threshold unchanged
+    (testSkipToFirstNonExistentPositionWithoutException:514)."""
+
+    def run(rows, p, meas, skip):
+        df = spark.createDataFrame(
+            rows, "k long, event_id long, name string, ep long"
+        )
+        out = cep_select(spark, df, p, "k", "ep", meas, skip=skip)
+        return sorted(
+            (tuple(r[c] for c in meas) for r in out.collect()), key=str
+        )
+
+    # :86 testNoSkipWithFollowedByAny / :102 testSkipToNextWithFollowedByAny
+    rows = [(1, 1, "a", 1 * S), (1, 2, "b", 2 * S),
+            (1, 3, "a", 3 * S), (1, 4, "b", 4 * S)]
+    p = (Pattern.begin("A").where("name='a'")
+         .followed_by_any("B").where("name='b'"))
+    m = {"a": "LAST(A.event_id)", "b": "LAST(B.event_id)"}
+    assert run(rows, p, m, "SKIP TO NEXT ROW") == [(1, 2), (1, 4), (3, 4)]
+    assert run(rows, p, m, "SKIP TO NEXT") == [(1, 2), (3, 4)]
+    # :147 testNoSkipWithQuantifierAtTheEnd / :168 ...SkipToNext...
+    rows2 = [(1, 1, "a", 1 * S), (1, 2, "b", 2 * S),
+             (1, 3, "b", 3 * S), (1, 4, "b", 4 * S)]
+    p2 = (Pattern.begin("A").where("name='a'")
+          .followed_by("B").where("name='b'").one_or_more())
+    m2 = {"a": "LAST(A.event_id)", "n": "COUNT(B.*)",
+          "lb": "LAST(B.event_id)"}
+    assert run(rows2, p2, m2, "SKIP TO NEXT ROW") == [
+        (1, 1, 2), (1, 2, 3), (1, 3, 4),
+    ]
+    assert run(rows2, p2, m2, "SKIP TO NEXT") == [(1, 1, 2)]
+    # :319 testSkipPastLast2 — two followedByAny stages; only the
+    # earliest-completing combination survives the PAST LAST prune
+    rows3 = [(1, 1, "a", 1 * S), (1, 2, "a", 2 * S),
+             (1, 3, "b", 3 * S), (1, 4, "b", 4 * S),
+             (1, 5, "c", 5 * S), (1, 6, "c", 6 * S),
+             (1, 7, "d", 7 * S), (1, 8, "d", 8 * S)]
+    p3 = (Pattern.begin("A").where("name='a'")
+          .followed_by_any("B").where("name='b'")
+          .followed_by_any("Cc").where("name='c'")
+          .followed_by("D").where("name='d'"))
+    m3 = {"a": "LAST(A.event_id)", "b": "LAST(B.event_id)",
+          "c": "LAST(Cc.event_id)", "d": "LAST(D.event_id)"}
+    assert run(rows3, p3, m3, "SKIP PAST LAST ROW") == [(1, 3, 5, 7)]
+    # :358 testSkipPastLast3 — overlapping strict pair is consumed
+    rows4 = [(1, 1, "a", 1 * S), (1, 2, "c", 2 * S),
+             (1, 3, "a", 3 * S), (1, 4, "b", 4 * S)]
+    p4 = (Pattern.begin("A").where("name='a'")
+          .next("B").where("name='b'"))
+    assert run(rows4, p4, m, "SKIP PAST LAST ROW") == [(3, 4)]
+    # :385 testSkipToFirstWithOptionalMatch — the empty optional loop
+    # makes the skip-to target the match start: a MISS under the CEP
+    # default, so both matches emit
+    rows5 = [(1, 1, "ab", 1 * S), (1, 2, "c", 2 * S),
+             (1, 3, "ab", 3 * S), (1, 4, "c", 4 * S)]
+    p5 = (Pattern.begin("X").where("name LIKE '%x%'")
+          .one_or_more().optional()
+          .next("B").where("name LIKE '%b%'")
+          .next("Cc").where("name LIKE '%c%'"))
+    m5 = {"b": "LAST(B.event_id)", "c": "LAST(Cc.event_id)"}
+    assert run(rows5, p5, m5, "SKIP TO FIRST B") == [(1, 2), (3, 4)]
+    # :445 testSkipToFirstWithOneOrMore / :570 testSkipToLastWithOneOrMore
+    rows6 = [(1, 1, "a", 1 * S), (1, 2, "b", 2 * S),
+             (1, 3, "a", 3 * S), (1, 4, "b", 4 * S),
+             (1, 5, "b", 5 * S), (1, 6, "a", 6 * S),
+             (1, 7, "b", 7 * S)]
+    p6 = (Pattern.begin("A").where("name='a'")
+          .next("B").where("name='b'").one_or_more().consecutive())
+    m6 = {"a": "LAST(A.event_id)", "lb": "LAST(B.event_id)"}
+    assert run(rows6, p6, m6, "SKIP TO FIRST B") == [
+        (1, 2), (3, 4), (6, 7),
+    ]
+    assert run(rows6, p6, m6, "SKIP TO LAST B") == [
+        (1, 2), (3, 4), (6, 7),
+    ]
+    # :514/:531 non-existent position WITHOUT exception: B never binds
+    # (optional, zero rows match) — the skip is a silent miss
+    rows7 = [(1, 1, "a", 1 * S), (1, 2, "c", 2 * S)]
+    p7 = (Pattern.begin("A").where("name='a'")
+          .next("B").where("name='b'").one_or_more().optional()
+          .consecutive()
+          .next("Cc").where("name='c'"))
+    m7 = {"a": "LAST(A.event_id)", "c": "LAST(Cc.event_id)"}
+    assert run(rows7, p7, m7, "SKIP TO FIRST B") == [(1, 2)]
+    assert run(rows7, p7, m7, "SKIP TO LAST B") == [(1, 2)]
+    # :610 testSkipPastLastWithOneOrMoreAtBeginning (docs example) —
+    # greedy consecutive loop at the head, PAST LAST ROW
+    rows8 = [(1, 1, "a", 1 * S), (1, 2, "a", 2 * S),
+             (1, 3, "a", 3 * S), (1, 4, "b", 4 * S)]
+    p8 = (Pattern.begin("A").where("name='a'")
+          .one_or_more().consecutive().greedy()
+          .next("B").where("name='b'"))
+    m8 = {"fa": "FIRST(A.event_id)", "la": "LAST(A.event_id)",
+          "b": "LAST(B.event_id)"}
+    assert run(rows8, p8, m8, "SKIP PAST LAST ROW") == [(1, 3, 4)]
+    # :708 testNoSkipWithOneOrMoreAtBeginning (docs example) — every
+    # greedy suffix emits under noSkip
+    assert run(rows8, p8, m8, "SKIP TO NEXT ROW") == [
+        (1, 3, 4), (2, 3, 4), (3, 3, 4),
+    ]
