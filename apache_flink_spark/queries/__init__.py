@@ -101,11 +101,9 @@ GATE_SAMPLE = [
     # (cep_one_or_more_relaxed — now the greedy() pin — plus
     # cep_group_pattern, cep_not_next, mr_stream_next_nav,
     # mr_stream_skip_next rotated out; all stay green in the full sweep)
-    "cep_one_or_more_prefixes",
     "cep_times_any_combinations",
     "cep_stream_relaxed_loop",
     "mr_stream_match_number",
-    "mr_permute_cross_define",
     # r10 rotation (VERDICT r9 next-item #4 + the four new r10 operator
     # families): the three r9 operators the driver never gated —
     # followedByAny branching (SKIP_TILL_ANY between elements), the
@@ -117,7 +115,6 @@ GATE_SAMPLE = [
     # the full sweep): join_full_outer, agg_percentiles,
     # over_running_sum, setop_intersect_all, win_session_agg,
     # mr_bounded_quantifier, ds_q14b_period_over_period_intersect.
-    "cep_followed_by_any",
     "cep_stream_not_followed_by",
     "mr_permute_mixed",
     "cep_within_previous_current",
@@ -136,6 +133,19 @@ GATE_SAMPLE = [
     "cep_timeout_side_output",
     "cep_group_pattern",
     "cep_combinations_zero_or_more",
+    # r11 late rotation: the five new r11 operator families, each
+    # in-gate — group PREVIOUS_AND_CURRENT windows, streaming
+    # GroupPattern with followedByAny inside the body, NESTED streaming
+    # group loops, composed trailing notFollowedBy, and streaming SKIP
+    # TO LAST. Rotated out (same-family long-stable entries, all green
+    # in the full sweep): cep_one_or_more_prefixes, cep_followed_by_any,
+    # cep_not_followed_by, mr_stream_cross_define,
+    # mr_permute_cross_define.
+    "cep_group_within_previous",
+    "cep_stream_group_any",
+    "cep_stream_group_nested",
+    "cep_not_followed_by_composed",
+    "mr_stream_skip_to_last",
     # TPC-DS shapes (r6 rotation): the 9-relation inventory/promo join,
     # the INTERSECT-tower period compare, the lag/lead self-join, and
     # the nested date-subquery return-share query (4 TPC-H rotated out;
@@ -150,8 +160,6 @@ GATE_SAMPLE = [
     "catalog_cross_join",
     "dedup_span_ngrams",
     "rtas_replace_table",
-    "cep_not_followed_by",
-    "mr_stream_cross_define",
     # joins
     "join_inner_fact_dim",
     # aggregations
