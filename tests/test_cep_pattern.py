@@ -2808,3 +2808,86 @@ def test_after_match_skip_itcase_long_tail(spark):
     assert run(rows8, p8, m8, "SKIP TO NEXT ROW") == [
         (1, 3, 4), (2, 3, 4), (3, 3, 4),
     ]
+
+
+def test_greedy_zero_or_more_itcase(spark):
+    """GreedyITCase zero-or-more harvest (r11) — the remaining 7
+    scenarios, verbatim: greedy() on an OPTIONAL loop emits the single
+    maximal match (:42 :79), dummies end the SKIP_TILL_NEXT run (:119)
+    or empty it (:155), until(price > 3) stops the greedy run (:186)
+    and empties it when the FIRST candidate trips it (:225), and a
+    greedy zero-or-more composes before a times(2) GROUP pattern
+    (:476)."""
+
+    def runp(rows, p, meas):
+        df = spark.createDataFrame(
+            rows, "k long, event_id long, name string, price double, ep long"
+        )
+        out = cep_select(spark, df, p, "k", "ep, event_id", meas)
+        return sorted(
+            (tuple(r[c] for c in meas) for r in out.collect()), key=str
+        )
+
+    def base(until=None):
+        p = (Pattern.begin("C").where("name='c'")
+             .followed_by("M").where("name='a'")
+             .one_or_more().optional().greedy())
+        if until:
+            p = p.until(until)
+        return p.followed_by("D").where("name='d'")
+
+    M = {"n": "COUNT(M.*)", "fm": "FIRST(M.event_id)",
+         "lm": "LAST(M.event_id)", "d": "LAST(D.event_id)"}
+    # :42 testGreedyZeroOrMore — single maximal match
+    rows = [(1, 40, "c", 1.0, 1 * S), (1, 41, "a", 2.0, 2 * S),
+            (1, 42, "a", 2.0, 3 * S), (1, 43, "a", 2.0, 4 * S),
+            (1, 44, "d", 3.0, 5 * S)]
+    assert runp(rows, base(), M) == [(3, 41, 43, 44)]
+    # :79 ...InBetween — dummies between takes are skipped
+    rows2 = [(1, 40, "c", 1.0, 1 * S), (1, 90, "y", 1.0, 2 * S),
+             (1, 41, "a", 2.0, 3 * S), (1, 91, "y", 1.0, 4 * S),
+             (1, 42, "a", 2.0, 5 * S), (1, 92, "y", 1.0, 6 * S),
+             (1, 43, "a", 2.0, 7 * S), (1, 44, "d", 3.0, 8 * S)]
+    assert runp(rows2, base(), M) == [(3, 41, 43, 44)]
+    # :119 ...DummyEventsAfterQuantifier — the run ends at the dummy
+    rows3 = [(1, 40, "c", 1.0, 1 * S), (1, 41, "a", 2.0, 2 * S),
+             (1, 42, "a", 2.0, 3 * S), (1, 93, "y", 2.0, 4 * S),
+             (1, 44, "d", 3.0, 5 * S)]
+    assert runp(rows3, base(), M) == [(2, 41, 42, 44)]
+    # :155 ...DummyEventsBeforeQuantifier — empty loop
+    rows4 = [(1, 40, "c", 1.0, 1 * S), (1, 93, "y", 2.0, 2 * S),
+             (1, 44, "d", 3.0, 5 * S)]
+    assert runp(rows4, base(), M) == [(0, None, None, 44)]
+    # :186 testGreedyUntilZeroOrMoreWithDummyEventsAfterQuantifier —
+    # until(price > 3) stops the run before a4
+    rows5 = [(1, 40, "c", 1.0, 1 * S), (1, 41, "a", 2.0, 2 * S),
+             (1, 42, "a", 3.0, 3 * S), (1, 43, "a", 3.0, 4 * S),
+             (1, 44, "a", 4.0, 5 * S), (1, 45, "d", 3.0, 6 * S)]
+    assert runp(rows5, base(until="price > 3.0"), M) == [
+        (3, 41, 43, 45),
+    ]
+    # :225 testGreedyUntilWithDummyEventsBeforeQuantifier — the FIRST
+    # candidate trips the stop: empty loop
+    rows6 = [(1, 40, "c", 1.0, 1 * S), (1, 44, "a", 4.0, 2 * S),
+             (1, 41, "a", 2.0, 3 * S), (1, 42, "a", 3.0, 4 * S),
+             (1, 43, "a", 3.0, 5 * S), (1, 45, "d", 3.0, 6 * S)]
+    assert runp(rows6, base(until="price > 3.0"), M) == [
+        (0, None, None, 45),
+    ]
+    # :476 testGreedyZeroOrMoreBeforeGroupPattern — the greedy run
+    # SKIPS the dummy and takes a3 (all three a's), then (d e){2}, f
+    rows7 = [(1, 40, "c", 1.0, 1 * S), (1, 41, "a", 1.0, 2 * S),
+             (1, 42, "a", 1.0, 3 * S), (1, 93, "y", 2.0, 4 * S),
+             (1, 43, "a", 1.0, 5 * S), (1, 51, "d", 1.0, 6 * S),
+             (1, 52, "e", 1.0, 7 * S), (1, 53, "d", 1.0, 8 * S),
+             (1, 54, "e", 1.0, 9 * S), (1, 60, "f", 3.0, 10 * S)]
+    grp = (Pattern.begin("M1").where("name='d'")
+           .followed_by("M2").where("name='e'"))
+    p7 = (Pattern.begin("C").where("name='c'")
+          .followed_by("M").where("name='a'")
+          .one_or_more().optional().greedy()
+          .followed_by(grp).times(2)
+          .followed_by("F").where("name='f'"))
+    m7 = {"n": "COUNT(M.*)", "lm": "LAST(M.event_id)",
+          "l2": "LAST(M2.event_id)", "f": "LAST(F.event_id)"}
+    assert runp(rows7, p7, m7) == [(3, 43, 54, 60)]
