@@ -2891,3 +2891,45 @@ def test_greedy_zero_or_more_itcase(spark):
     m7 = {"n": "COUNT(M.*)", "lm": "LAST(M.event_id)",
           "l2": "LAST(M2.event_id)", "f": "LAST(F.event_id)"}
     assert runp(rows7, p7, m7) == [(3, 43, 54, 60)]
+
+
+def test_not_next_basic_itcase(spark):
+    """NotPatternITCase basic notNext trio (r11, completing the suite):
+    :49 testNotNext (the guard kills only the branch whose next row is
+    the forbidden one), :85 testNotNextNoMatches (forbidden row
+    directly next to the start kills everything), :118
+    testNotNextNoMatchesAtTheEnd (a TRAILING notNext checked on the
+    final element)."""
+    M3 = {"a": "LAST(A.event_id)", "m": "LAST(M.event_id)",
+          "d": "LAST(D.event_id)"}
+    # :49 — a c1 b c2 d: both c-branches survive (the row next to a is
+    # c1, not b)
+    rows = [(1, 40, "a", 1 * S), (1, 41, "c", 2 * S),
+            (1, 42, "b", 3 * S), (1, 43, "c", 4 * S),
+            (1, 44, "d", 5 * S)]
+    p = (Pattern.begin("A").where("name='a'")
+         .not_next("N").where("name='b'")
+         .followed_by_any("M").where("name='c'")
+         .followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows, p, M3) == sorted(
+        [(40, 41, 44), (40, 43, 44)], key=str
+    )
+    # :85 — a b c1 c2 d: the b directly after a kills everything
+    rows2 = [(1, 40, "a", 1 * S), (1, 42, "b", 2 * S),
+             (1, 41, "c", 3 * S), (1, 43, "c", 4 * S),
+             (1, 44, "d", 5 * S)]
+    p2 = (Pattern.begin("A").where("name='a'")
+          .not_next("N").where("name='b'")
+          .followed_by("M").where("name='c'")
+          .followed_by("D").where("name='d'"))
+    assert _run_cep(spark, rows2, p2, M3) == []
+    # :118 — a c1 c2 d b: trailing notNext — the b right after d kills
+    # every branch (both c-anchors end at the same d)
+    rows3 = [(1, 40, "a", 1 * S), (1, 41, "c", 2 * S),
+             (1, 43, "c", 3 * S), (1, 44, "d", 4 * S),
+             (1, 42, "b", 5 * S)]
+    p3 = (Pattern.begin("A").where("name='a'")
+          .followed_by_any("M").where("name='c'")
+          .followed_by_any("D").where("name='d'")
+          .not_next("N").where("name='b'"))
+    assert _run_cep(spark, rows3, p3, M3) == []
