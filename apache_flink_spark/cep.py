@@ -1645,6 +1645,21 @@ def cep_select(
             spark, df, pattern, partition_by, order_by, measures, sknorm
         )
 
+    # r11 — CEP skip-strategy parity for SINGLE-match patterns too:
+    # noSkip/skipToNext collapse to SKIP TO NEXT ROW (one match per
+    # start IS the whole per-start family here), and skipToFirst/Last
+    # route through the completion-order sweep so misses follow the CEP
+    # default (silent — AfterMatchSkipITCase :417/:673; the SQL
+    # MATCH_RECOGNIZE surface keeps its spec-mandated loud rejects).
+    sknorm2 = re.sub(r"\s+", " ", skip.strip()).upper()
+    if sknorm2 in ("NO SKIP", "SKIP TO NEXT"):
+        body, _ev, _gv = _compile_body(
+            pattern, partition_by, order_by, measures, "SKIP TO NEXT ROW"
+        )
+    elif re.fullmatch(r"SKIP TO (FIRST|LAST) \w+", sknorm2):
+        return _enum_skip_select(
+            spark, df, pattern, partition_by, order_by, measures, sknorm2
+        )
     # monotonically increasing view id: two patterns with identical
     # partition/order clauses must not share (and re-bind) one temp view —
     # a lazily-evaluated DataFrame from the first cep_select would read
@@ -1689,7 +1704,15 @@ def _enum_skip_select(
     SkipToFirst/Last(v) releases starts before the bound row). The
     equivalent batch form: enumerate EVERY match (the noSkip set,
     which our SKIP TO NEXT ROW already computes), then run the same
-    pruning sweep per key in (end, start, size) completion order.
+    pruning sweep per key in START order — the reference HOLDS a
+    completed match while an EARLIER-STARTED partial is still alive
+    (NFA.processMatchesAccordingToSkipStrategy's isEarlier gate;
+    AfterMatchSkipITCase:791 testSkipBeforeOtherAlreadyCompleted pins
+    that the earlier-started match emits first and prunes from its own
+    resume point). Strictness follows the reference classes:
+    SkipToElementStrategy prunes starts STRICTLY before the bound row,
+    SkipRelativeToWholeMatchStrategy (pastLast/toNext) prunes starts at
+    or before the pruning event.
 
     Misses are the reference's DEFAULT (no throwExceptionOnMiss —
     AfterMatchSkipITCase testSkipToFirstNonExistentPositionWithout
@@ -1750,6 +1773,14 @@ def _enum_skip_select(
                 F.coalesce(F.col(f"__ams_n_{v}"), F.lit(0)) for v in pos
             ).cast("long"),
         )
+        .withColumn(
+            "__ams_o",
+            sum(
+                F.coalesce(F.col(f"__ams_s_{v}"), F.lit(0))
+                + F.coalesce(F.col(f"__ams_e_{v}"), F.lit(0))
+                for v in pos
+            ).cast("long"),
+        )
     )
     out_cols = keys + list(measures.keys())
     sel_fields = ", ".join(
@@ -1763,30 +1794,37 @@ def _enum_skip_select(
     )
 
     def _sweep(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # START order (the reference's emission order); ties resolved
+        # earliest-completion / earliest-intermediates first (the
+        # completed-match priority queue's Dewey ordering, approximated
+        # by end then the summed bind timestamps).
         pdf = pdf.sort_values(
-            ["__ams_e", "__ams_s", "__ams_n"], kind="mergesort"
+            ["__ams_s", "__ams_e", "__ams_n", "__ams_o"], kind="mergesort"
         )
         taken = []
-        threshold = None
+        t_gt = None  # survivor start must be >  this (pastLast/toNext)
+        t_ge = None  # survivor start must be >= this (toFirst/toLast)
         for _, r in pdf.iterrows():
-            if threshold is not None and r["__ams_s"] < threshold:
+            s = r["__ams_s"]
+            if t_gt is not None and s <= t_gt:
+                continue
+            if t_ge is not None and s < t_ge:
                 continue
             taken.append(r)
             if skind == "past_last":
-                nt = r["__ams_e"] + 1
+                t_gt = r["__ams_e"] if t_gt is None else max(
+                    t_gt, r["__ams_e"]
+                )
             elif skind == "to_next":
-                nt = r["__ams_s"] + 1
+                t_gt = s if t_gt is None else max(t_gt, s)
             else:
                 w, v = skind
                 bound = r[f"__ams_s_{v}" if w == "first" else f"__ams_e_{v}"]
-                # miss / no-advance: reference default keeps noSkip
-                # behavior for this match (no exception)
-                if bound is None or (bound != bound) or bound <= r["__ams_s"]:
-                    nt = threshold
-                else:
-                    nt = int(bound)
-            if nt is not None:
-                threshold = nt if threshold is None else max(threshold, nt)
+                # miss: the reference default keeps noSkip behavior for
+                # this match (no exception, no pruning)
+                if bound is not None and bound == bound:
+                    b = int(bound)
+                    t_ge = b if t_ge is None else max(t_ge, b)
         if not taken:
             return pdf.iloc[0:0][out_cols]
         return pd.DataFrame(taken)[out_cols]

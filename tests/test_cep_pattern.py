@@ -2933,3 +2933,45 @@ def test_not_next_basic_itcase(spark):
           .followed_by_any("D").where("name='d'")
           .not_next("N").where("name='b'"))
     assert _run_cep(spark, rows3, p3, M3) == []
+
+
+def test_after_match_skip_greedy_docs_examples(spark):
+    """AfterMatchSkipITCase docs examples over GREEDY head loops (r11):
+    :641 testSkipToLastWithOneOrMoreAtBeginning and :673
+    testSkipToFirstWithOneOrMoreAtBeginning — skipTo targets inside the
+    emitted match prune in completion order, and a resume at the match
+    start is a silent miss (CEP default), never an error; :417
+    testSkipToFirstAtStartPosition — skip-to the pattern HEAD is always
+    a miss, so the behavior equals noSkip."""
+
+    def run(rows, p, meas, skip):
+        df = spark.createDataFrame(
+            rows, "k long, event_id long, name string, ep long"
+        )
+        out = cep_select(spark, df, p, "k", "ep", meas, skip=skip)
+        return sorted(
+            (tuple(r[c] for c in meas) for r in out.collect()), key=str
+        )
+
+    rows = [(1, 1, "a", 1 * S), (1, 2, "a", 2 * S),
+            (1, 3, "a", 3 * S), (1, 4, "b", 4 * S)]
+    p = (Pattern.begin("A").where("name='a'")
+         .one_or_more().consecutive().greedy()
+         .next("B").where("name='b'"))
+    m = {"fa": "FIRST(A.event_id)", "la": "LAST(A.event_id)",
+         "b": "LAST(B.event_id)"}
+    # :641 — resume at LAST a: {a1 a2 a3 b} then {a3 b}
+    assert run(rows, p, m, "SKIP TO LAST A") == [
+        (1, 3, 4), (3, 3, 4),
+    ]
+    # :673 — resume at FIRST a = the match start: silent miss -> noSkip
+    assert run(rows, p, m, "SKIP TO FIRST A") == [
+        (1, 3, 4), (2, 3, 4), (3, 3, 4),
+    ]
+    # :417 — skip-to the HEAD variable: every resume is a miss
+    rows2 = [(1, 1, "ab", 1 * S), (1, 2, "c", 2 * S),
+             (1, 3, "ab", 3 * S), (1, 4, "c", 4 * S)]
+    p2 = (Pattern.begin("B").where("name LIKE '%b%'")
+          .next("Cc").where("name LIKE '%c%'"))
+    m2 = {"b": "LAST(B.event_id)", "c": "LAST(Cc.event_id)"}
+    assert run(rows2, p2, m2, "SKIP TO FIRST B") == [(1, 2), (3, 4)]
