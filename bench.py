@@ -409,6 +409,19 @@ def main() -> None:
             "r6-r8; a truly idle run (loadavg 0.04) landed at 0.982x "
             "total. Judge per-query ratios against the total_ratio."
         ),
+        "cep_times_window_gaps": (
+            "r12 baseline re-freeze (VERDICT r11 what's-wrong #1): the "
+            "frozen 1.0186 was recorded under the r10 quantifier-window "
+            "compile that the parameterized TimesRange/TimesOrMore "
+            "reference ports REFUTED — it bounded every loop gap, "
+            "pruning enumeration branches the reference explores, so "
+            "the r11 reference-exact engine was compared against a "
+            "different query's number (stale 1.23-1.36x idle). Old "
+            "value archived in BASELINE_BENCH.json['invalidated'] via "
+            "the --semantics-changed freeze-log path "
+            "(scripts/append_baseline.py); re-frozen idle (loadavg "
+            "0.26) at 1.2777; idle scripts/remeasure.py now 1.081x."
+        ),
     }
     try:
         if second_pass is not None:

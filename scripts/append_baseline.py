@@ -13,6 +13,13 @@ has seen the number, the entry is immutable, period.
 
 Usage: python scripts/append_baseline.py q1 [q2 ...] [--runs N]
                                         [--re-record]
+                                        [--semantics-changed REASON]
+
+r12: ``--semantics-changed REASON`` is the semantic-rework invalidation
+path (VERDICT r11 what's-wrong #1) — when a query's semantics were
+reworked (oracle + compile both changed), its frozen baseline measures
+a query that no longer exists; the old value is archived in the
+``invalidated`` freeze log with the reason, then re-recorded.
 """
 
 from __future__ import annotations
@@ -71,7 +78,11 @@ def driver_consumed_keys(repo: str = REPO) -> set[str]:
 
 
 def check_mutation(
-    name: str, existing: bool, consumed: set[str], re_record: bool
+    name: str,
+    existing: bool,
+    consumed: set[str],
+    re_record: bool,
+    semantics_changed: "str | None" = None,
 ) -> str:
     """The freeze rule as a pure function (pytest-pinned):
 
@@ -82,9 +93,25 @@ def check_mutation(
                                         correction, the cea0b67 case)
     - existing key, --re-record, key consumed by a driver run
                                       -> ValueError (immutable)
+    - existing key, --semantics-changed REASON (r12, VERDICT r11
+      what's-wrong #1) -> 'invalidate': the query's SEMANTICS were
+      reworked (oracle + compile changed), so the frozen number
+      measures a query that no longer exists and comparing against it
+      is itself a falsehood. The old value is NOT overwritten silently:
+      it is archived under doc['invalidated'][name] with the reason
+      (the freeze log), then a fresh median is recorded. The reason is
+      mandatory and non-empty — this path is for semantic reworks
+      only, never for "the number got worse".
     """
     if not existing:
         return "append"
+    if semantics_changed is not None:
+        if not semantics_changed.strip():
+            raise ValueError(
+                "--semantics-changed requires a non-empty reason (it is "
+                "the freeze-log entry)"
+            )
+        return "invalidate"
     if not re_record:
         return "skip"
     if name in consumed:
@@ -99,6 +126,7 @@ def check_mutation(
 def main() -> int:
     argv = sys.argv[1:]
     args, runs, re_record, i = [], 3, False, 0
+    semantics_changed = None
     while i < len(argv):
         a = argv[i]
         if a.startswith("--runs"):
@@ -109,6 +137,12 @@ def main() -> int:
                 runs = int(argv[i])
         elif a == "--re-record":
             re_record = True
+        elif a.startswith("--semantics-changed"):
+            if "=" in a:
+                semantics_changed = a.split("=", 1)[1]
+            else:
+                i += 1
+                semantics_changed = argv[i]
         else:
             args.append(a)
         i += 1
@@ -136,13 +170,23 @@ def main() -> int:
     consumed = driver_consumed_keys()
     for name in args:
         action = check_mutation(
-            name, name in doc["queries"], consumed, re_record
+            name, name in doc["queries"], consumed, re_record,
+            semantics_changed,
         )
         if action == "skip":
             print(f"SKIP {name}: already recorded (baseline is frozen, "
                   "append-only; --re-record only before a driver run "
                   "consumes the key)", file=sys.stderr)
             continue
+        if action == "invalidate":
+            # freeze log: archive the stale-semantics value, never lose it
+            doc.setdefault("invalidated", {})[name] = {
+                "old_value": doc["queries"][name],
+                "reason": semantics_changed,
+            }
+            print(f"INVALIDATE {name}: archived old median "
+                  f"{doc['queries'][name]} — {semantics_changed}",
+                  file=sys.stderr)
         fn = QUERIES[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         times = []

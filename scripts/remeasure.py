@@ -25,6 +25,8 @@ import os
 import statistics
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def remeasure(query: str, runs: int = 5, sf_dir: str | None = None) -> dict:
     import time

@@ -36,6 +36,28 @@ def test_re_record_allowed_only_before_driver_consumption():
         check_mutation("q1", True, {"q1"}, True)
 
 
+def test_semantics_changed_invalidation_path():
+    """r12 (VERDICT r11 what's-wrong #1): a semantic rework invalidates
+    the frozen number — the old value is archived in the freeze log and
+    re-recorded, even for consumed keys; the reason is mandatory."""
+    # consumed key + reason -> invalidate (archive, then re-record)
+    assert check_mutation(
+        "q1", True, {"q1"}, False, "r11 reworked the quantifier window"
+    ) == "invalidate"
+    # empty reason -> loud reject (the reason IS the freeze-log entry)
+    with pytest.raises(ValueError, match="non-empty reason"):
+        check_mutation("q1", True, {"q1"}, False, "  ")
+    # new keys still just append regardless
+    assert check_mutation("new", False, {"q1"}, False, "why") == "append"
+    # and the archive itself exists for the one invalidated entry
+    with open(os.path.join(REPO, "BASELINE_BENCH.json")) as f:
+        base = json.load(f)
+    inv = base.get("invalidated", {})
+    assert "cep_times_window_gaps" in inv
+    assert inv["cep_times_window_gaps"]["old_value"] == 1.0186
+    assert inv["cep_times_window_gaps"]["reason"].strip()
+
+
 def test_driver_consumed_keys_reads_committed_artifacts():
     keys = driver_consumed_keys(REPO)
     # the r9 driver bench consumed the shared-query set via
