@@ -1656,7 +1656,9 @@ def cep_select(
         body, _ev, _gv = _compile_body(
             pattern, partition_by, order_by, measures, "SKIP TO NEXT ROW"
         )
-    elif re.fullmatch(r"SKIP TO (FIRST|LAST) \w+", sknorm2):
+    elif re.fullmatch(
+        r"SKIP TO (FIRST|LAST) \w+( THROW ON MISS)?", sknorm2
+    ):
         return _enum_skip_select(
             spark, df, pattern, partition_by, order_by, measures, sknorm2
         )
@@ -1729,6 +1731,14 @@ def _enum_skip_select(
     pos = _pos_names(pattern)
     if any(c.startswith("__ams_") for c in df.columns):
         raise CepError("__ams_ column prefix is reserved")
+    # r12: 'THROW ON MISS' suffix = the reference's
+    # SkipToElementStrategy.throwExceptionOnMiss() — a skip-to target
+    # that did not bind, or a bound that lands on the match's own first
+    # event, raises instead of falling back to noSkip
+    # (AfterMatchSkipITCase:483/:507/:524).
+    throw_on_miss = sknorm.endswith(" THROW ON MISS")
+    if throw_on_miss:
+        sknorm = sknorm[: -len(" THROW ON MISS")].rstrip()
     mm = re.fullmatch(
         r"SKIP PAST LAST ROW|SKIP TO NEXT"
         r"|SKIP TO (FIRST|LAST) (\w+)",
@@ -1742,6 +1752,11 @@ def _enum_skip_select(
             "default TO NEXT ROW / NO SKIP"
         )
     which, svar = mm.group(1), mm.group(2)
+    if throw_on_miss and svar is None:
+        raise CepError(
+            "THROW ON MISS applies to SKIP TO FIRST/LAST <var> only "
+            "(the reference's SkipToElementStrategy)"
+        )
     if svar is not None and svar not in {v.upper() for v in pos}:
         raise CepError(
             f"AFTER MATCH {sknorm}: unknown variable {svar!r}"
@@ -1821,9 +1836,23 @@ def _enum_skip_select(
                 w, v = skind
                 bound = r[f"__ams_s_{v}" if w == "first" else f"__ams_e_{v}"]
                 # miss: the reference default keeps noSkip behavior for
-                # this match (no exception, no pruning)
-                if bound is not None and bound == bound:
+                # this match (no exception, no pruning); THROW ON MISS
+                # (r12 — SkipToElementStrategy.shouldThrowException,
+                # AfterMatchSkipITCase:483/:507/:524) raises instead
+                if bound is None or bound != bound:
+                    if throw_on_miss:
+                        raise CepError(
+                            f"Could not skip to {v}. No such element in "
+                            "the found match"
+                        )
+                else:
                     b = int(bound)
+                    if throw_on_miss and b == s:
+                        # pruning id == the match's own first event:
+                        # skipping there would loop forever
+                        raise CepError(
+                            "Could not skip to first element of a match."
+                        )
                     t_ge = b if t_ge is None else max(t_ge, b)
         if not taken:
             return pdf.iloc[0:0][out_cols]

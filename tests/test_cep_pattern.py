@@ -2975,3 +2975,157 @@ def test_after_match_skip_greedy_docs_examples(spark):
           .next("Cc").where("name LIKE '%c%'"))
     m2 = {"b": "LAST(B.event_id)", "c": "LAST(Cc.event_id)"}
     assert run(rows2, p2, m2, "SKIP TO FIRST B") == [(1, 2), (3, 4)]
+
+
+def test_after_match_skip_throw_on_miss(spark):
+    """AfterMatchSkipITCase throwExceptionOnMiss tier (r12 — the last 3
+    of 26; SkipToElementStrategy.shouldThrowException, getPruningId
+    throws FlinkRuntimeException on an unbound target or a bound that
+    lands on the match's own first event):
+
+    :483 testSkipToFirstElementOfMatch — skipToFirst on the single
+    (head) variable: the pruning id IS the match's first event, which
+    MATCH_RECOGNIZE treats as an infinite loop -> throw;
+    :507 testSkipToFirstNonExistentPosition / :524 ...ToLast... — the
+    optional 'b' never binds in the [a, c] match -> throw; their
+    without-exception twins (:514/:534) stay the silent noSkip default.
+    The engine spells throwExceptionOnMiss as a 'THROW ON MISS' skip-
+    string suffix."""
+
+    def run(rows, p, meas, skip):
+        df = spark.createDataFrame(
+            rows, "k long, event_id long, name string, ep long"
+        )
+        out = cep_select(spark, df, p, "k", "ep", meas, skip=skip)
+        return sorted(
+            (tuple(r[c] for c in meas) for r in out.collect()), key=str
+        )
+
+    # :483 — single-variable pattern, skip to its own FIRST
+    rows = [(1, 1, "a1", 1 * S)]
+    p = Pattern.begin("A").where("name LIKE 'a%'")
+    m = {"a": "LAST(A.event_id)"}
+    with pytest.raises(Exception, match="first element of a match"):
+        run(rows, p, m, "SKIP TO FIRST A THROW ON MISS")
+    # without the flag: silent miss == noSkip (the CEP default)
+    assert run(rows, p, m, "SKIP TO FIRST A") == [(1,)]
+
+    # :507/:524 — MissedSkipTo: a (b*? consecutive) c over [a, c]
+    rows2 = [(1, 1, "a", 1 * S), (1, 4, "c", 2 * S)]
+    p2 = (Pattern.begin("A").where("name='a'")
+          .next("B").where("name='b'")
+          .one_or_more().optional().consecutive()
+          .next("Cc").where("name='c'"))
+    m2 = {"a": "LAST(A.event_id)", "c": "LAST(Cc.event_id)"}
+    with pytest.raises(Exception, match="Could not skip to B"):
+        run(rows2, p2, m2, "SKIP TO FIRST B THROW ON MISS")
+    with pytest.raises(Exception, match="Could not skip to B"):
+        run(rows2, p2, m2, "SKIP TO LAST B THROW ON MISS")
+    # :514/:534 — the without-exception twins: [a, c] emits
+    assert run(rows2, p2, m2, "SKIP TO FIRST B") == [(1, 4)]
+    assert run(rows2, p2, m2, "SKIP TO LAST B") == [(1, 4)]
+    # suffix guard: THROW ON MISS is a SkipToElement-only modifier
+    with pytest.raises(CepError, match="THROW ON MISS"):
+        run(rows2, p2, m2, "SKIP PAST LAST ROW THROW ON MISS")
+
+
+def test_iterative_conditions_branching_tier(spark):
+    """IterativeConditionsITCase branching tier (r12 — the 4 remaining
+    of 7; bind-aggregates x followedByAny/allowCombinations together):
+
+    :73 testIterativeWithBranchingPatternCombinations — the eager
+    scenario's loop with allowCombinations: row-skipping subsets whose
+    RUNNING price sum stays < 5 join the match set;
+    :158 testIterativeWithLoopingStartingCombination — a bind-aggregate
+    LOOP AT THE PATTERN HEAD with allowCombinations + optional;
+    :273 testIterativeWithABACPattern — followedByAny middle1, then a
+    LOOP whose take condition aggregates its own binds (RUNNING sum
+    <= 5), start rows interleaved with the foo rows;
+    :335 testIterativeWithPrevPatternDependencyAfterBranching — the
+    END's condition aggregates the HEAD loop's binds across an
+    intervening followedByAny stage.
+
+    allowCombinations forms carry a within() horizon larger than every
+    fixture span (the supported surface for bounded SKIP_TILL_ANY; the
+    horizon-less form is the documented reject). Reference match sets
+    reproduced verbatim (multisets — NFATestUtilities.comparePatterns
+    sorts inside each match)."""
+
+    def run(rows, p, meas):
+        df = spark.createDataFrame(
+            rows,
+            "k long, event_id long, name string, price double, ep long",
+        )
+        out = cep_select(spark, df, p, "k", "ep", meas)
+        return sorted(
+            (tuple(r[c] for c in meas) for r in out.collect()), key=str
+        )
+
+    # :73 — same fixture as the :58 eager pin (r10), loop switched to
+    # allowCombinations: adds the row-skipping {m1,m3} and {m1,m4}
+    rows = [(1, 40, "start", 1.0, 1 * S), (1, 41, "foo1", 1.0, 2 * S),
+            (1, 42, "foo2", 2.0, 3 * S), (1, 45, "start", 2.0, 4 * S),
+            (1, 43, "foo3", 3.0, 5 * S), (1, 44, "foo4", 1.0, 6 * S),
+            (1, 47, "next-one", 1.0, 7 * S), (1, 46, "end", 1.0, 8 * S)]
+    p = (Pattern.begin("ST").where("name = 'start'")
+         .followed_by("M")
+         .where("name LIKE 'foo%' AND SUM(M.price) < 5.0")
+         .one_or_more().allow_combinations()
+         .followed_by("E").where("name = 'end'")
+         .within(1, "minutes"))
+    m = {"s": "LAST(ST.event_id)", "n": "COUNT(M.*)",
+         "fm": "FIRST(M.event_id)", "lm": "LAST(M.event_id)"}
+    assert run(rows, p, m) == sorted([
+        (40, 3, 41, 44), (40, 2, 41, 42), (40, 2, 41, 43),
+        (40, 2, 41, 44), (40, 1, 41, 41),
+        (45, 2, 43, 44), (45, 1, 43, 43),
+    ], key=str)
+
+    # :158 — head loop with combinations + optional: adds {s1,s3}
+    rows2 = [(1, 40, "start", 1.0, 1 * S), (1, 41, "start", 2.0, 2 * S),
+             (1, 42, "start", 3.0, 3 * S), (1, 46, "end", 1.0, 4 * S)]
+    p2 = (Pattern.begin("ST")
+          .where("name = 'start' AND SUM(ST.price) < 5.0")
+          .one_or_more().allow_combinations().optional()
+          .followed_by("E").where("name = 'end'")
+          .within(1, "minutes"))
+    m2 = {"fs": "FIRST(ST.event_id)", "n": "COUNT(ST.*)",
+          "ls": "LAST(ST.event_id)", "e": "LAST(E.event_id)"}
+    assert run(rows2, p2, m2) == sorted([
+        (40, 2, 41, 46), (40, 2, 42, 46), (40, 1, 40, 46),
+        (41, 1, 41, 46), (42, 1, 42, 46), (None, 0, None, 46),
+    ], key=str)
+
+    # :273 ABAC — start rows ARE the loop rows; RUNNING sum <= 5
+    rows3 = [(1, 40, "start", 1.0, 1 * S), (1, 41, "foo1", 1.0, 2 * S),
+             (1, 45, "start", 2.0, 3 * S), (1, 46, "start", 3.0, 4 * S),
+             (1, 42, "foo2", 2.0, 5 * S), (1, 47, "start", 4.0, 6 * S),
+             (1, 43, "foo3", 3.0, 7 * S), (1, 44, "foo4", 1.0, 8 * S),
+             (1, 50, "end", 1.0, 9 * S)]
+    p3 = (Pattern.begin("ST").where("name = 'start'")
+          .followed_by_any("M1").where("name LIKE 'foo%'")
+          .followed_by("M2")
+          .where("name = 'start' AND SUM(M2.price) <= 5.0").one_or_more()
+          .followed_by("E").where("name = 'end'"))
+    m3 = {"st": "LAST(ST.event_id)", "m1": "LAST(M1.event_id)",
+          "n2": "COUNT(M2.*)", "l2": "LAST(M2.event_id)"}
+    assert run(rows3, p3, m3) == sorted([
+        (40, 41, 2, 46), (40, 41, 1, 45), (40, 42, 1, 47),
+        (45, 42, 1, 47), (46, 42, 1, 47),
+    ], key=str)
+
+    # :335 — END aggregates the HEAD loop's binds across followedByAny
+    rows4 = [(1, 40, "start", 1.0, 1 * S), (1, 41, "start", 2.0, 2 * S),
+             (1, 43, "foo1", 1.0, 3 * S), (1, 42, "start", 3.0, 4 * S),
+             (1, 44, "foo2", 2.0, 5 * S), (1, 46, "end", 1.0, 6 * S)]
+    p4 = (Pattern.begin("ST").where("name = 'start'").one_or_more()
+          .followed_by_any("M1").where("name LIKE 'foo%'")
+          .followed_by_any("E")
+          .where("name = 'end' AND SUM(ST.price) >= 2.0"))
+    m4 = {"n": "COUNT(ST.*)", "fs": "FIRST(ST.event_id)",
+          "ls": "LAST(ST.event_id)", "m": "LAST(M1.event_id)"}
+    assert run(rows4, p4, m4) == sorted([
+        (2, 40, 41, 43), (1, 41, 41, 43),
+        (2, 40, 41, 44), (3, 40, 42, 44), (2, 41, 42, 44),
+        (1, 41, 41, 44), (1, 42, 42, 44),
+    ], key=str)
