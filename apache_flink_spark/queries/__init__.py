@@ -88,10 +88,21 @@ GATE_SAMPLE = [
     # translation (2 more TPC-H rotated out, green in the full sweep)
     "model_predict_l2norm",
     "hint_join_strategies",
-    # TPC-DS shapes (r5, r8 rotation: q5/q38/q51/q70/q97 rotated out for
-    # the five new r8 operator queries below; all stay green in the full
-    # sweep and q47/q70 stay benched every round): window deviation
-    "ds_q47_monthly_deviation",
+    # r12 rotation (VERDICT r11 next-item #7): five entries the driver
+    # has NEVER gated — the full-outer interval join, the r9 greedy()
+    # one-or-more pin, streaming SKIP TO NEXT ROW emission — plus the
+    # two r12 NFAITCase harvest promotions: a pattern that IS a
+    # consecutive loop (:1444/:2245 — head-anchored sub-run emission)
+    # and a pattern ending in optional() (:1485 — taken + zero branch
+    # per anchor). Rotated out (all stay green in the full sweep):
+    # ds_q47_monthly_deviation (still benched every round),
+    # agg_grouping_sets, join_inner_fact_dim, tvf_tumble_agg,
+    # sink_parquet_partitioned.
+    "interval_join_full",
+    "cep_one_or_more_relaxed",
+    "mr_stream_skip_next",
+    "cep_head_loop_consecutive",
+    "cep_optional_tail",
     # r9 rotation: the five new operator families, each in-gate —
     # reference-default CEP multi-match prefix emission (enumerating VM,
     # NFAITCase.java:1871), bounded SKIP_TILL_ANY (allowCombinations),
@@ -160,12 +171,6 @@ GATE_SAMPLE = [
     "catalog_cross_join",
     "dedup_span_ngrams",
     "rtas_replace_table",
-    # joins
-    "join_inner_fact_dim",
-    # aggregations
-    "agg_grouping_sets",
-    # window TVFs + event windows
-    "tvf_tumble_agg",
     # streaming (one windowed, one join, one custom-stateful)
     "stream_tumble_agg",
     "stream_stream_join",
@@ -181,8 +186,6 @@ GATE_SAMPLE = [
     "cdc_debezium_materialize",
     "asof_join_latest_view",
     "udtaf_apply_in_pandas",
-    # io
-    "sink_parquet_partitioned",
     # streaming stateful temporal join (r4 flagship)
     "stream_temporal_join",
 ]

@@ -1897,3 +1897,117 @@ def cep_stream_group_nested(spark, sf_dir):
         },
     )
     return run_to_table(out, "append")
+
+
+@query(
+    "cep_head_loop_consecutive",
+    oracle="""
+    -- a pattern that IS a loop (NFAITCase.java:1444
+    -- testStartAndEndWithZeroOrMore / :2245 testStartWithOneOrMoreStrict):
+    -- begin(click).oneOrMore().consecutive() emits EVERY sub-run of every
+    -- maximal contiguous click island (anchor x prefix; default loop
+    -- emission NFAITCase.java:1848), and no empty match. Islands via
+    -- gaps-and-islands, sub-runs via a bounded within-island self-join.
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS rn
+        FROM events
+    ), c AS (
+        SELECT user_id, event_id, rn,
+               rn - ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY rn
+               ) AS grp
+        FROM u WHERE event_type = 'click'
+    )
+    SELECT a.user_id, a.event_id AS first_click, b.event_id AS last_click,
+           CAST(b.rn - a.rn + 1 AS BIGINT) AS n_clicks
+    FROM c a JOIN c b
+      ON a.user_id = b.user_id AND a.grp = b.grp AND b.rn >= a.rn
+    """,
+)
+def cep_head_loop_consecutive(spark, sf_dir):
+    """CEP pattern that ENDS (and begins) with a consecutive loop —
+    NFAITCase.java:1444/:2233/:2245 (r12 harvest promotion): a head
+    loop anchors at every qualifying row, consecutive() kills a branch
+    at the first non-click, the trailing loop emits every prefix as its
+    own match, and the pure-loop pattern emits no empty match. Scale:
+    one keyed VM scan; enumeration bounded by per-island run length
+    (the reference's SharedBuffer holds the same per-run state)."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    p = (
+        Pattern.begin("A").where("event_type = 'click'")
+        .one_or_more().consecutive()
+    )
+    return cep_select(
+        spark, e, p, "user_id", "ep, event_id",
+        {
+            "first_click": "FIRST(A.event_id)",
+            "last_click": "LAST(A.event_id)",
+            "n_clicks": "COUNT(A.*)",
+        },
+    )
+
+
+@query(
+    "cep_optional_tail",
+    oracle="""
+    -- a pattern that ENDS with optional() (NFAITCase.java:1485
+    -- testEndWithOptional): each view emits BOTH the taken branch (the
+    -- first purchase after it — the relaxed followedBy ignore edge skips
+    -- only non-purchases) and the zero branch (purchase NULL).
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ep, event_id, event_type
+        FROM events
+    ), v AS (
+        SELECT user_id, ep, event_id FROM u WHERE event_type = 'view'
+    ), taken AS (
+        SELECT v.user_id, v.event_id AS view_id,
+               (SELECT p.event_id FROM u p
+                 WHERE p.user_id = v.user_id
+                   AND p.event_type = 'purchase'
+                   AND (p.ep > v.ep
+                        OR (p.ep = v.ep AND p.event_id > v.event_id))
+                 ORDER BY p.ep, p.event_id LIMIT 1) AS purchase_id
+        FROM v
+    )
+    SELECT user_id, view_id, purchase_id FROM taken
+    WHERE purchase_id IS NOT NULL
+    UNION ALL
+    SELECT user_id, view_id, NULL AS purchase_id FROM taken
+    """,
+)
+def cep_optional_tail(spark, sf_dir):
+    """CEP pattern ending in optional() — NFAITCase.java:1485
+    testEndWithOptional (r12 harvest promotion): the optional tail
+    emits the taken branch AND the zero branch per anchor; the relaxed
+    entry pins the take to the FIRST qualifying row after the anchor.
+    Scale: one keyed VM scan, two rows out per view — no join, no
+    cross product."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+        "event_type",
+    )
+    p = (
+        Pattern.begin("V").where("event_type = 'view'")
+        .followed_by("P").where("event_type = 'purchase'").optional()
+    )
+    return cep_select(
+        spark, e, p, "user_id", "ep, event_id",
+        {
+            "view_id": "LAST(V.event_id)",
+            "purchase_id": "LAST(P.event_id)",
+        },
+    )

@@ -3129,3 +3129,329 @@ def test_iterative_conditions_branching_tier(spark):
         (2, 40, 41, 44), (3, 40, 42, 44), (2, 41, 42, 44),
         (1, 41, 41, 44), (1, 42, 42, 44),
     ], key=str)
+
+
+def test_nfaitcase_basics_harvest(spark):
+    """NFAITCase basics harvest (r12) — the condition-less and
+    single-step scenarios, reproduced verbatim:
+
+    :86 testNoConditionNFA — condition-less followedBy degenerates to
+    adjacency (the SKIP_TILL_NEXT ignore edge is NOT(TRUE) = FALSE);
+    :117 testNoConditionLoopingNFA — condition-less loop: every
+    contiguous window of length >= 2;
+    :154 testAnyWithNoConditionNFA — followedByAny: every ordered pair;
+    :191 testSimplePatternNFA — subtype + volume discriminator (volume
+    rides the price column; only the vol-10 SubEvent passes > 5);
+    :225/:250 testStrictContinuity(With|No)Results — next over [a b]
+    matches, over [a c b] does not."""
+    # :86
+    rows = [(1, 40, "a", 1 * S), (1, 41, "b", 2 * S), (1, 42, "c", 3 * S),
+            (1, 43, "d", 4 * S), (1, 44, "e", 5 * S)]
+    p = Pattern.begin("A").followed_by("B")
+    m = {"a": "LAST(A.event_id)", "b": "LAST(B.event_id)"}
+    assert _run_cep(spark, rows, p, m) == [
+        (40, 41), (41, 42), (42, 43), (43, 44),
+    ]
+    # :117
+    p2 = Pattern.begin("A").followed_by("B").one_or_more()
+    m2 = {"a": "LAST(A.event_id)", "n": "COUNT(B.*)",
+          "fb": "FIRST(B.event_id)", "lb": "LAST(B.event_id)"}
+    assert _run_cep(spark, rows, p2, m2) == sorted([
+        (40, 4, 41, 44), (40, 3, 41, 43), (40, 2, 41, 42), (40, 1, 41, 41),
+        (41, 3, 42, 44), (41, 2, 42, 43), (41, 1, 42, 42),
+        (42, 2, 43, 44), (42, 1, 43, 43), (43, 1, 44, 44),
+    ], key=str)
+    # :154
+    p3 = Pattern.begin("A").followed_by_any("B")
+    assert _run_cep(spark, rows, p3, m) == sorted([
+        (i, j) for i in range(40, 44) for j in range(i + 1, 45)
+    ], key=str)
+    # :191 — price plays SubEvent.volume; barfoo (5.0) fails > 5.0
+    rows4 = [(1, 41, "start", 1.0, 1 * S), (1, 90, "foobar", 1.0, 2 * S),
+             (1, 91, "barfoo", 5.0, 3 * S), (1, 42, "foo", 10.0, 4 * S),
+             (1, 92, "start", 1.0, 5 * S), (1, 43, "end", 1.0, 6 * S)]
+    p4 = (Pattern.begin("ST").where("name = 'start'")
+          .followed_by("M").where("price > 5.0")
+          .followed_by("E").where("name = 'end'"))
+    m4 = {"s": "LAST(ST.event_id)", "m": "LAST(M.event_id)",
+          "e": "LAST(E.event_id)"}
+    assert _run_cep_priced(spark, rows4, p4, m4) == [(41, 42, 43)]
+    # :225 / :250
+    p5 = (Pattern.begin("M").where("name = 'a'")
+          .next("E").where("name = 'b'"))
+    m5 = {"m": "LAST(M.event_id)", "e": "LAST(E.event_id)"}
+    assert _run_cep(
+        spark, [(1, 41, "a", 3 * S), (1, 42, "b", 5 * S)], p5, m5
+    ) == [(41, 42)]
+    assert _run_cep(
+        spark,
+        [(1, 41, "a", 3 * S), (1, 42, "c", 4 * S), (1, 43, "b", 5 * S)],
+        p5, m5,
+    ) == []
+
+
+def test_nfaitcase_kleene_families_harvest(spark):
+    """NFAITCase zero-or-more / at-least-one / optional families (r12),
+    reproduced verbatim (allowCombinations forms carry a within()
+    horizon larger than every fixture span — the supported surface for
+    bounded SKIP_TILL_ANY):
+
+    :694 testZeroOrMore (followedByAny + combinations + optional: all
+    subsets incl. empty), :732 testEagerZeroOrMore (anchored prefixes
+    through an ignorable 'd'), :982 testAtLeastOne (no empty branch),
+    :1018 testBeginWithAtLeastOne (head loop + combinations),
+    :1093 testAtLeastOneEager (followedByAny entry: prefixes from EVERY
+    anchor), :1134 testOptional."""
+    MU = {"n": "COUNT(M.*)", "fm": "FIRST(M.event_id)",
+          "lm": "LAST(M.event_id)", "e": "LAST(E.event_id)"}
+    # :694
+    rows = [(1, 40, "c", 1 * S), (1, 41, "a", 3 * S),
+            (1, 42, "a", 4 * S), (1, 44, "b", 6 * S)]
+    p = (Pattern.begin("C").where("name = 'c'")
+         .followed_by_any("M").where("name = 'a'")
+         .one_or_more().allow_combinations().optional()
+         .followed_by("E").where("name = 'b'")
+         .within(1, "minutes"))
+    assert _run_cep(spark, rows, p, MU) == sorted([
+        (2, 41, 42, 44), (1, 41, 41, 44), (1, 42, 42, 44),
+        (0, None, None, 44),
+    ], key=str)
+    # :732
+    rows2 = [(1, 40, "c", 1 * S), (1, 41, "a", 3 * S), (1, 42, "a", 4 * S),
+             (1, 90, "d", 5 * S), (1, 43, "a", 6 * S), (1, 44, "b", 7 * S)]
+    p2 = (Pattern.begin("C").where("name = 'c'")
+          .followed_by("M").where("name = 'a'").one_or_more().optional()
+          .followed_by("E").where("name = 'b'"))
+    assert _run_cep(spark, rows2, p2, MU) == sorted([
+        (3, 41, 43, 44), (2, 41, 42, 44), (1, 41, 41, 44),
+        (0, None, None, 44),
+    ], key=str)
+    # :982
+    p3 = (Pattern.begin("C").where("name = 'c'")
+          .followed_by_any("M").where("name = 'a'")
+          .one_or_more().allow_combinations()
+          .followed_by_any("E").where("name = 'b'")
+          .within(1, "minutes"))
+    assert _run_cep(spark, rows, p3, MU) == sorted([
+        (2, 41, 42, 44), (1, 41, 41, 44), (1, 42, 42, 44),
+    ], key=str)
+    # :1018
+    rows3 = [(1, 41, "a", 3 * S), (1, 42, "a", 4 * S),
+             (1, 43, "a", 5 * S), (1, 44, "b", 6 * S)]
+    p4 = (Pattern.begin("M").where("name = 'a'")
+          .one_or_more().allow_combinations()
+          .followed_by("E").where("name = 'b'")
+          .within(1, "minutes"))
+    assert _run_cep(spark, rows3, p4, MU) == sorted([
+        (3, 41, 43, 44), (2, 41, 42, 44), (2, 41, 43, 44), (2, 42, 43, 44),
+        (1, 41, 41, 44), (1, 42, 42, 44), (1, 43, 43, 44),
+    ], key=str)
+    # :1093
+    rows4 = [(1, 40, "c", 1 * S), (1, 41, "a", 3 * S), (1, 42, "a", 4 * S),
+             (1, 43, "a", 5 * S), (1, 44, "b", 6 * S)]
+    p5 = (Pattern.begin("C").where("name = 'c'")
+          .followed_by_any("M").where("name = 'a'").one_or_more()
+          .followed_by_any("E").where("name = 'b'"))
+    assert _run_cep(spark, rows4, p5, MU) == sorted([
+        (3, 41, 43, 44), (2, 41, 42, 44), (2, 42, 43, 44),
+        (1, 41, 41, 44), (1, 42, 42, 44), (1, 43, 43, 44),
+    ], key=str)
+    # :1134
+    rows5 = [(1, 40, "c", 1 * S), (1, 43, "a", 5 * S), (1, 44, "b", 6 * S)]
+    p6 = (Pattern.begin("C").where("name = 'c'")
+          .followed_by("M").where("name = 'a'").optional()
+          .followed_by("E").where("name = 'b'"))
+    m6 = {"c": "LAST(C.event_id)", "m": "LAST(M.event_id)",
+          "e": "LAST(E.event_id)"}
+    assert _run_cep(spark, rows5, p6, m6) == sorted([
+        (40, 43, 44), (40, None, 44),
+    ], key=str)
+
+
+def test_nfaitcase_endwith_startwith_harvest(spark):
+    """NFAITCase end-with / start-with family (r12), verbatim: patterns
+    that END in a loop or optional emit every viable prefix with no
+    trailing element, and head loops anchor at every qualifying row.
+
+    :1354 testTimesStrictWithNextAndConsecutive (next entry + broken
+    consecutive run -> empty), :1382 testStartWithOptional,
+    :1409 testEndWithZeroOrMore, :1444 testStartAndEndWithZeroOrMore
+    (the pattern IS an optional loop; no empty match is emitted),
+    :1485 testEndWithOptional, :1513 testEndWithOneOrMore,
+    :2233/:2245 testStartWith(Zero|One)OrMoreStrict (head consecutive
+    runs; the interposed 'c' splits them)."""
+    MU = {"n": "COUNT(M.*)", "fm": "FIRST(M.event_id)",
+          "lm": "LAST(M.event_id)"}
+    # :1354
+    rows = [(1, 40, "c", 1 * S), (1, 41, "a", 2 * S), (1, 90, "f", 3 * S),
+            (1, 42, "a", 4 * S), (1, 43, "a", 6 * S), (1, 44, "b", 7 * S)]
+    p = (Pattern.begin("C").where("name = 'c'")
+         .next("M").where("name = 'a'").times(2).consecutive()
+         .followed_by("E").where("name = 'b'"))
+    m = {"fm": "FIRST(M.event_id)", "lm": "LAST(M.event_id)",
+         "e": "LAST(E.event_id)"}
+    assert _run_cep(spark, rows, p, m) == []
+    # :1382
+    rows2 = [(1, 40, "c", 1 * S), (1, 44, "b", 6 * S)]
+    p2 = (Pattern.begin("C").where("name = 'c'").optional()
+          .followed_by("E").where("name = 'b'"))
+    m2 = {"c": "LAST(C.event_id)", "e": "LAST(E.event_id)"}
+    assert _run_cep(spark, rows2, p2, m2) == sorted([
+        (40, 44), (None, 44),
+    ], key=str)
+    # :1409
+    rows3 = [(1, 40, "c", 1 * S), (1, 41, "a", 3 * S),
+             (1, 42, "a", 4 * S), (1, 43, "a", 5 * S)]
+    p3 = (Pattern.begin("C").where("name = 'c'")
+          .followed_by("M").where("name = 'a'").one_or_more().optional())
+    assert _run_cep(spark, rows3, p3, MU) == sorted([
+        (3, 41, 43), (2, 41, 42), (1, 41, 41), (0, None, None),
+    ], key=str)
+    # :1444 — the whole pattern is one optional loop; NO empty match
+    rows4 = [(1, 40, "c", 1 * S), (1, 41, "a", 3 * S), (1, 42, "a", 4 * S),
+             (1, 43, "a", 5 * S), (1, 44, "d", 6 * S), (1, 45, "d", 7 * S),
+             (1, 46, "d", 8 * S)]
+    p4 = (Pattern.begin("M").where("name = 'a'").one_or_more().optional())
+    assert _run_cep(spark, rows4, p4, MU) == sorted([
+        (3, 41, 43), (2, 41, 42), (1, 41, 41),
+        (2, 42, 43), (1, 42, 42), (1, 43, 43),
+    ], key=str)
+    # :1485
+    rows5 = [(1, 40, "c", 1 * S), (1, 41, "a", 3 * S)]
+    p5 = (Pattern.begin("C").where("name = 'c'")
+          .followed_by("M").where("name = 'a'").optional())
+    m5 = {"c": "LAST(C.event_id)", "m": "LAST(M.event_id)"}
+    assert _run_cep(spark, rows5, p5, m5) == sorted([
+        (40, 41), (40, None),
+    ], key=str)
+    # :1513
+    p6 = (Pattern.begin("C").where("name = 'c'")
+          .followed_by("M").where("name = 'a'").one_or_more())
+    assert _run_cep(spark, rows3, p6, MU) == sorted([
+        (3, 41, 43), (2, 41, 42), (1, 41, 41),
+    ], key=str)
+    # :2233 / :2245 — identical expected sets in the reference
+    rows6 = [(1, 40, "c", 1 * S), (1, 41, "a", 3 * S), (1, 90, "c", 4 * S),
+             (1, 42, "a", 5 * S), (1, 43, "a", 6 * S)]
+    p7 = (Pattern.begin("M").where("name = 'a'")
+          .one_or_more().optional().consecutive())
+    p8 = (Pattern.begin("M").where("name = 'a'")
+          .one_or_more().consecutive())
+    expect = sorted([
+        (1, 41, 41), (2, 42, 43), (1, 42, 42), (1, 43, 43),
+    ], key=str)
+    assert _run_cep(spark, rows6, p7, MU) == expect
+    assert _run_cep(spark, rows6, p8, MU) == expect
+
+
+def test_nfaitcase_strict_zero_or_more_and_times_harvest(spark):
+    """NFAITCase consuming-strategy zero-or-more + times tier (r12),
+    verbatim over the shared ConsecutiveData fixture
+    [c, d, a1, a2, a3, d, a4, b]:
+
+    :1997 testStrictEagerZeroOrMore (consecutive optional loop: the
+    second 'd' ends the run), :2077 testSkipTillNextZeroOrMore (relaxed:
+    anchored prefixes through the d's; :2022 SKIP_TILL_ANY is the r11
+    pin), :2151 testTimesStrict (followedByAny entry, consecutive pair:
+    only [a2 a3] is adjacent), :2187 testTimesNonStrict (bounded
+    allowCombinations: all 2-subsets), :2414 the zero-or-more
+    clearing-buffer fixture's MATCH-SET projection (the reference
+    assertion is on SharedBuffer partial-match internals after
+    advanceTime — n/a for a positional batch engine; the engine pins
+    the emitted matches under the same within(8ms))."""
+    rows = [(1, 40, "c", 1 * S), (1, 90, "d", 2 * S), (1, 41, "a", 3 * S),
+            (1, 42, "a", 4 * S), (1, 43, "a", 5 * S), (1, 91, "d", 6 * S),
+            (1, 44, "a", 7 * S), (1, 50, "b", 8 * S)]
+    MU = {"n": "COUNT(M.*)", "fm": "FIRST(M.event_id)",
+          "lm": "LAST(M.event_id)", "e": "LAST(E.event_id)"}
+    # :1997
+    p = (Pattern.begin("C").where("name = 'c'")
+         .followed_by("M").where("name = 'a'")
+         .one_or_more().optional().consecutive()
+         .followed_by("E").where("name = 'b'"))
+    assert _run_cep(spark, rows, p, MU) == sorted([
+        (3, 41, 43, 50), (2, 41, 42, 50), (1, 41, 41, 50),
+        (0, None, None, 50),
+    ], key=str)
+    # :2077
+    p2 = (Pattern.begin("C").where("name = 'c'")
+          .followed_by("M").where("name = 'a'").one_or_more().optional()
+          .followed_by("E").where("name = 'b'"))
+    assert _run_cep(spark, rows, p2, MU) == sorted([
+        (4, 41, 44, 50), (3, 41, 43, 50), (2, 41, 42, 50),
+        (1, 41, 41, 50), (0, None, None, 50),
+    ], key=str)
+    # :2151 — distinct fixture: [c f a1 f a2 a3 b]
+    rows2 = [(1, 40, "c", 1 * S), (1, 90, "f", 2 * S), (1, 41, "a", 3 * S),
+             (1, 91, "f", 4 * S), (1, 42, "a", 5 * S), (1, 43, "a", 6 * S),
+             (1, 44, "b", 7 * S)]
+    m2 = {"fm": "FIRST(M.event_id)", "lm": "LAST(M.event_id)",
+          "e": "LAST(E.event_id)"}
+    p3 = (Pattern.begin("C").where("name = 'c'")
+          .followed_by_any("M").where("name = 'a'").times(2).consecutive()
+          .followed_by("E").where("name = 'b'"))
+    assert _run_cep(spark, rows2, p3, m2) == [(42, 43, 44)]
+    # :2187
+    p4 = (Pattern.begin("C").where("name = 'c'")
+          .followed_by_any("M").where("name = 'a'").times(2)
+          .allow_combinations()
+          .followed_by("E").where("name = 'b'"))
+    assert _run_cep(spark, rows2, p4, m2) == sorted([
+        (41, 42, 44), (41, 43, 44), (42, 43, 44),
+    ], key=str)
+    # :2414 projection — eps in MICROS so within(8, millis) binds
+    rows3 = [(1, 40, "c", 1_000), (1, 41, "a", 3_000),
+             (1, 42, "a", 4_000), (1, 44, "b", 6_000)]
+    p5 = (Pattern.begin("C").where("name = 'c'")
+          .followed_by("M").where("name = 'a'")
+          .one_or_more().allow_combinations().optional()
+          .followed_by("E").where("name = 'b'")
+          .within(8, "milliseconds"))
+    assert _run_cep(spark, rows3, p5, MU) == sorted([
+        (2, 41, 42, 44), (1, 41, 41, 44), (0, None, None, 44),
+    ], key=str)
+
+
+def test_nfaitcase_result_ordering_harvest(spark):
+    """NFAITCase result-ordering pair (r12), verbatim:
+
+    :2729 testNFAResultOrdering — times(4).allowCombinations() head
+    loop + a consecutive times(3) tail: exactly ONE match whose bind
+    lists hold the events in stream order (FIRST/LAST/COUNT per
+    variable pin the order);
+    :2775 testNFAResultKeyOrdering — the match map preserves pattern
+    declaration order; the engine's contract is measure-dict order =
+    output column order."""
+    rows = [(1, 101, "a-1", 1 * S), (1, 102, "a-2", 3 * S),
+            (1, 103, "a-3", 4 * S), (1, 104, "a-4", 5 * S),
+            (1, 201, "b-1", 6 * S), (1, 202, "b-2", 7 * S),
+            (1, 203, "b-3", 10 * S)]
+    p = (Pattern.begin("ST").where("name LIKE 'a-%'")
+         .times(4).allow_combinations()
+         .followed_by_any("M").where("name LIKE 'b-%'")
+         .times(3).consecutive()
+         .within(1, "minutes"))
+    m = {"fs": "FIRST(ST.event_id)", "ls": "LAST(ST.event_id)",
+         "ns": "COUNT(ST.*)", "fm": "FIRST(M.event_id)",
+         "lm": "LAST(M.event_id)", "nm": "COUNT(M.*)"}
+    assert _run_cep(spark, rows, p, m) == [(101, 104, 4, 201, 203, 3)]
+    # :2775 — five next-chained variables; output columns follow the
+    # measures dict in declaration order
+    rows2 = [(1, 1, "a", 1 * S), (1, 2, "b", 2 * S), (1, 3, "aa", 3 * S),
+             (1, 4, "bb", 4 * S), (1, 5, "ab", 5 * S)]
+    p2 = (Pattern.begin("A").where("name = 'a'")
+          .next("B").where("name = 'b'")
+          .next("AA").where("name = 'aa'")
+          .next("BB").where("name = 'bb'")
+          .next("AB").where("name = 'ab'"))
+    m2 = {"a": "LAST(A.event_id)", "b": "LAST(B.event_id)",
+          "aa": "LAST(AA.event_id)", "bb": "LAST(BB.event_id)",
+          "ab": "LAST(AB.event_id)"}
+    df = spark.createDataFrame(
+        rows2, "k long, event_id long, name string, ep long"
+    )
+    out = cep_select(spark, df, p2, "k", "ep", m2)
+    assert out.columns == ["k", "a", "b", "aa", "bb", "ab"]
+    assert [tuple(r[c] for c in m2) for r in out.collect()] == [
+        (1, 2, 3, 4, 5),
+    ]
