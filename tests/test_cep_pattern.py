@@ -2642,10 +2642,10 @@ def test_same_element_itcase_scenarios(spark):
     chain), testClearingBufferWithUntilAtTheEnd:155 (iterative until
     over getEventsForPattern COUNT — accepted events only, so the
     prefix REACHING the stop emits), testSimplePatternWSameElement:324
-    (two value-equal matches stay two matches). The remaining three
-    scenarios (:356 :410 :451) pin the reference SharedBuffer's
-    VALUE-equality dedup of identical events — out of scope by design
-    for a positional row engine."""
+    (two value-equal matches stay two matches). r12: the remaining
+    scenarios (:204 :356 :410 :451) turned out to be positionally exact
+    as value multisets too — see test_same_element_itcase_remaining;
+    the r11 'SharedBuffer value-dedup divergence' reading was wrong."""
     M = {"n": "COUNT(M.*)", "fm": "FIRST(M.event_id)",
          "lm": "LAST(M.event_id)", "e": "LAST(E.event_id)"}
     # :50 — c, m1 x3 (same ts), m2, d, m3 x2 (same ts), b: every prefix
@@ -3455,3 +3455,94 @@ def test_nfaitcase_result_ordering_harvest(spark):
     assert [tuple(r[c] for c in m2) for r in out.collect()] == [
         (1, 2, 3, 4, 5),
     ]
+
+
+def test_same_element_itcase_remaining(spark):
+    """SameElementITCase remaining tier (r12) — tally 8/8. The r11
+    claim that :204/:356/:410/:451 'pin the SharedBuffer's
+    VALUE-equality dedup, out of scope for a positional engine' was
+    WRONG: on every one of these fixtures the reference emission is
+    positionally exact as a value MULTISET (comparePatterns compares
+    sorted event-value lists — the SharedBuffer never collapses two
+    matches here, it only renders value-equal binds interchangeably,
+    e.g. :204's '[m1, m1]' entry standing for the {m1, m1a} pair).
+    Reproduced verbatim:
+
+    :204 testZeroOrMoreSameElement — allowCombinations over five
+    middles with two value-equal pairs: ALL 32 subsets, none deduped;
+    :356 testIterativeConditionWSameElement — an END whose only
+    condition is an aggregate over the loop's ACCEPTED binds (no name
+    check: an 'a' row can bind as end);
+    :410 testEndWLoopingWSameElement — end-with-loop over three
+    value-equal middles: 7 positional prefixes;
+    :451 testRepeatingPatternWSameElement — optional loop + optional
+    middle + required end: all 8 (M1-prefix x M2-branch) combinations."""
+    from collections import Counter
+    from itertools import combinations
+
+    # :204 — c, [41 41 42 | d | 43 43], b; all 32 subsets as a multiset
+    rows = [(1, 40, "c", 1 * S), (1, 41, "a", 3 * S), (1, 41, "a", 3 * S),
+            (1, 42, "a", 4 * S), (1, 50, "d", 5 * S), (1, 43, "a", 6 * S),
+            (1, 43, "a", 6 * S), (1, 44, "b", 7 * S)]
+    p = (Pattern.begin("C").where("name='c'")
+         .followed_by_any("M").where("name='a'")
+         .one_or_more().optional().allow_combinations()
+         .followed_by_any("E").where("name='b'")
+         .within(1, "minutes"))
+    m = {"n": "COUNT(M.*)", "fm": "FIRST(M.event_id)",
+         "sm": "SUM(M.event_id)", "lm": "LAST(M.event_id)"}
+    got = Counter(_run_cep(spark, rows, p, m))
+    mids = [41, 41, 42, 43, 43]
+    expect = Counter()
+    for k in range(6):
+        for sub in combinations(range(5), k):
+            ids = [mids[i] for i in sub]
+            expect[(len(ids), ids[0] if ids else None,
+                    sum(ids) if ids else None,
+                    ids[-1] if ids else None)] += 1
+    assert got == expect, got
+    # :356 — end bound by a bind-aggregate alone; one end IS an 'a' row
+    rows2 = [(1, 40, "c", 2.0, 1 * S), (1, 41, "a", 2.0, 3 * S),
+             (1, 41, "a", 2.0, 3 * S), (1, 41, "a", 2.0, 3 * S),
+             (1, 44, "b", 5.0, 7 * S)]
+    p2 = (Pattern.begin("C").where("name='c'")
+          .followed_by_any("M").where("name='a'")
+          .one_or_more().optional().allow_combinations()
+          .followed_by("E").where("COALESCE(SUM(M.price), 0.0) = 4.0")
+          .within(1, "minutes"))
+    m2 = {"n": "COUNT(M.*)", "fm": "FIRST(M.event_id)",
+          "lm": "LAST(M.event_id)", "e": "LAST(E.event_id)"}
+    got2 = sorted(_run_cep_priced(spark, rows2, p2, m2), key=str)
+    assert got2 == sorted([
+        (2, 41, 41, 41), (2, 41, 41, 44), (2, 41, 41, 44),
+    ], key=str), got2
+    # :410 — end-with-loop over three value-equal middles: 7 prefixes
+    rows3 = [(1, 40, "c", 1 * S), (1, 41, "a", 3 * S),
+             (1, 41, "a", 3 * S), (1, 41, "a", 3 * S)]
+    p3 = (Pattern.begin("C").where("name='c'")
+          .followed_by_any("M").where("name='a'").one_or_more().optional())
+    m3 = {"n": "COUNT(M.*)", "fm": "FIRST(M.event_id)",
+          "lm": "LAST(M.event_id)"}
+    assert _run_cep(spark, rows3, p3, m3) == sorted([
+        (0, None, None), (1, 41, 41), (1, 41, 41), (1, 41, 41),
+        (2, 41, 41), (2, 41, 41), (3, 41, 41),
+    ], key=str)
+    # :451 — optional loop x optional middle x required end: 8 matches
+    # (distinct ids stand in for the reference's value-equal objects;
+    # no match is deduped so the translation is position-faithful)
+    rows4 = [(1, 10, "c", 1 * S), (1, 21, "a", 2 * S), (1, 22, "a", 3 * S),
+             (1, 23, "a", 4 * S), (1, 90, "d", 5 * S), (1, 30, "b", 6 * S),
+             (1, 24, "a", 7 * S)]
+    p4 = (Pattern.begin("C").where("name='c'")
+          .followed_by("M1").where("name='a'").one_or_more().optional()
+          .followed_by("M2").where("name='b'").optional()
+          .followed_by("E").where("name='a'"))
+    m4 = {"n1": "COUNT(M1.*)", "f1": "FIRST(M1.event_id)",
+          "l1": "LAST(M1.event_id)", "m2": "LAST(M2.event_id)",
+          "e": "LAST(E.event_id)"}
+    assert _run_cep(spark, rows4, p4, m4) == sorted([
+        (0, None, None, None, 21), (1, 21, 21, None, 22),
+        (0, None, None, 30, 24), (2, 21, 22, None, 23),
+        (1, 21, 21, 30, 24), (3, 21, 23, None, 24),
+        (2, 21, 22, 30, 24), (3, 21, 23, 30, 24),
+    ], key=str)
