@@ -81,7 +81,6 @@ GATE_SAMPLE = [
     # r6 rotation: the streaming MATCH_RECOGNIZE NFA driver, the
     # large-star/small-star connected components, and the DataStream V2
     # facade — this round's three new operator families, each in-gate
-    "mr_stream_adjacent_pair",
     "graph_connected_components",
     "dsv2_keyed_process_agg",
     # r6 continuation: ML_PREDICT batch scoring and the Flink query-hint
@@ -103,6 +102,13 @@ GATE_SAMPLE = [
     "mr_stream_skip_next",
     "cep_head_loop_consecutive",
     "cep_optional_tail",
+    # r12 late rotation: bounded streaming allowCombinations — the new
+    # r12 operator family (SKIP_TILL_ANY between flat-loop repetitions
+    # under a within() horizon, zero new state). Rotated out:
+    # mr_stream_adjacent_pair (the streaming-MR family keeps four other
+    # gate rows: mr_stream_match_number / skip_to_last / prev_nav /
+    # skip_next; stays green in the full sweep).
+    "cep_stream_combinations",
     # r9 rotation: the five new operator families, each in-gate —
     # reference-default CEP multi-match prefix emission (enumerating VM,
     # NFAITCase.java:1871), bounded SKIP_TILL_ANY (allowCombinations),

@@ -80,12 +80,20 @@ emits the same anchor+repetition shape at every nesting depth
 model generalizes to recursive steps — ("one", alts, pre) |
 ("loop", steps, lo, hi, ign, greedy, pre) — matched by a recursive
 enumerator inside the same certified-prefix scan; nothing new is
-buffered and the checkpoint layout is unchanged. Still out: ALL ROWS
-PER MATCH, SKIP TO FIRST/LAST, SKIP_TILL_ANY between elements or
-repetitions (allowCombinations — the per-start subset enumeration is
-unbounded in stream state), and greedy()/reluctant()-pinned loops
-inside enumerating bodies (the take-count pin is ambiguous across
-branching extents) — each errors loudly with a batch-path pointer.
+buffered and the checkpoint layout is unchanged.
+
+r12: BOUNDED allowCombinations streams (SKIP_TILL_ANY between
+repetitions of a flat loop, horizon-gated): the subset enumeration
+runs at SCAN time over the horizon window the keyed state already
+buffers — zero new state, checkpoint layout unchanged (the r11
+enum-inner-gap argument). Without a within() horizon it rejects with
+the precise state bound that breaks (every buffered row stays a live
+skip target — 2^n undecided alternatives, no cleanup). Still out: ALL
+ROWS PER MATCH, allowCombinations between GROUP-loop repetitions (the
+branch-per-extent scan composes with the body scanner's own branching
+exponentially), and greedy()/reluctant()-pinned loops inside
+enumerating bodies (the take-count pin is ambiguous across branching
+extents) — each errors loudly with a batch-path pointer.
 """
 
 from __future__ import annotations
@@ -489,12 +497,24 @@ def streaming_match_recognize(
                 variables.update(
                     st[4] for st in _rec_walk(body[1]) if st[0] == "loop"
                 )
+    # r12 — bounded streaming allowCombinations (SKIP_TILL_ANY between
+    # repetitions of a flat loop): supported when a WITHIN horizon
+    # bounds the pattern (checked after the horizon is parsed below).
+    # The subset enumeration happens at SCAN time over rows the keyed
+    # state already buffers for the horizon, so it adds ZERO state and
+    # no schema change — exactly the r11 enum-inner-gap argument.
+    comb_loops = [
+        pi for pi, (_alts, _q, _g, ign, body) in enumerate(pattern)
+        if ign is not None and ign in cep_enum and body is None
+    ]
     for _alts, _q, _g, ign, body in pattern:
-        if ign is not None and ign in cep_enum:
+        if ign is not None and ign in cep_enum and body is not None:
             raise MatchRecognizeError(
-                "streaming allowCombinations (SKIP_TILL_ANY) is not "
-                "supported — the per-start subset enumeration is "
-                "unbounded in stream state; use the batch cep_select"
+                "streaming allowCombinations (SKIP_TILL_ANY) between "
+                "GROUP-loop repetitions is not supported — the "
+                "branch-per-gap-extent scan composes with the body "
+                "scanner's own branching exponentially; use the batch "
+                "cep_select"
             )
         if body is not None and _is_rec(body):
             # r11 nested group loops stream for DEFAULT emission only:
@@ -709,6 +729,22 @@ def streaming_match_recognize(
         # bounded take-counts do NOT bound the row span once ignore rows
         # interleave — start/drop finality then needs the horizon
         l_max = None
+    if comb_loops and within_us is None:
+        # The precise bound that breaks without a horizon: the
+        # SKIP_TILL_ANY edge makes EVERY buffered row a live skip
+        # target, so a start's undecided alternative set is
+        # 2^(rows since start) and no row after the start can ever be
+        # released from state (any future row may still pair with any
+        # subset). WITH a horizon the alternatives are confined to the
+        # horizon window the state already buffers, enumeration happens
+        # at scan time, and state is unchanged.
+        raise MatchRecognizeError(
+            "streaming allowCombinations (SKIP_TILL_ANY between "
+            "repetitions) requires a within() horizon — without one, "
+            "every buffered row stays a live skip target forever "
+            "(2^n undecided alternatives, no state cleanup); bound the "
+            "pattern with within() or use the batch cep_select"
+        )
     if l_max is None and within_us is None:
         raise MatchRecognizeError(
             "streaming MATCH_RECOGNIZE: an unbounded quantifier (+ or *) "
@@ -1464,6 +1500,52 @@ def streaming_match_recognize(
 
                         brec(ri, 0, assign)
                         return found_b[0]
+                    if _ign is not None and _ign in cep_enum:
+                        # r12 — bounded allowCombinations: between
+                        # repetitions the SKIP_TILL_ANY ignore edge may
+                        # skip ANY row (NFACompiler getInnerIgnoreCondition
+                        # SKIP_TILL_ANY -> trueFunction), so the take
+                        # sequence itself branches. Enumerate recursively
+                        # over the horizon-bounded certified rows: the
+                        # FIRST take stays pinned at the entry row (the
+                        # preceding gap element owns the entry edge),
+                        # later takes branch at every qualifying row
+                        # whose skipped prefix the ignore edge accepts.
+                        ign_bit2 = 1 << var_list.index(_ign)
+                        found_c = [False]
+
+                        def crec(j2: int, reps: int, na: dict) -> None:
+                            if reps >= lo and rec(
+                                pi + 1, j2,
+                                {v: list(ix) for v, ix in na.items()},
+                            ):
+                                found_c[0] = True
+                            if hi is not None and reps >= hi:
+                                return
+                            j = j2
+                            while True:
+                                if j >= limit:
+                                    if limit == n_eval:
+                                        frontier_hit[0] = True
+                                    return
+                                if elem_ok(pi, j):
+                                    nb = {
+                                        v: list(ix)
+                                        for v, ix in na.items()
+                                    }
+                                    nb.setdefault(
+                                        label(pi, j), []
+                                    ).append(j)
+                                    crec(j + 1, reps + 1, nb)
+                                if reps == 0:
+                                    # no skipping before the first take
+                                    return
+                                if not (vm[j] & ign_bit2):
+                                    return
+                                j += 1
+
+                        crec(ri, 0, assign)
+                        return found_c[0]
                     takes = scan_elem(pi, ri, limit)
                     if len(takes) < lo:
                         return False

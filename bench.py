@@ -175,6 +175,14 @@ HEADLINE = [
     # r11: streaming AFTER MATCH SKIP TO LAST <var> (overlapping-chain
     # resume inside the emitted match)
     "mr_stream_skip_to_last",
+    # r12: bounded streaming allowCombinations (SKIP_TILL_ANY between
+    # flat-loop repetitions under a within() horizon, zero new state)
+    "cep_stream_combinations",
+    # r12: NFAITCase harvest promotions — a pattern that IS a
+    # consecutive loop (:1444/:2245) and a pattern ending in optional()
+    # (:1485)
+    "cep_head_loop_consecutive",
+    "cep_optional_tail",
 ]
 
 

@@ -1603,3 +1603,234 @@ def test_stream_skip_to_first_last(spark, tmp_path):
             p_loop, "user_id", "ep, event_id", meas,
             skip="SKIP TO FIRST ST",
         )
+
+
+def _run_stream_cep_comb(spark, tmp_path, rows, slices, tag):
+    """Like _run_stream_cep but with allowCombinations on a bounded
+    times(2) loop: kind=1 times(2).allowCombinations() followedBy
+    kind=2, within 30 minutes (r12 — bounded streaming SKIP_TILL_ANY
+    between repetitions)."""
+    import os
+    import time
+
+    from apache_flink_spark.cep import Pattern, cep_select_stream
+
+    in_dir = tmp_path / f"in_{tag}"
+    in_dir.mkdir()
+    base_mtime = time.time() - len(slices) - 10
+    for i, chunk in enumerate(slices):
+        p = in_dir / f"f{i:03d}.json"
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (base_mtime + i, base_mtime + i))
+    raw = (
+        spark.readStream.schema(
+            "user_id long, event_id long, kind long, v long, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(in_dir))
+    )
+    s = raw.withWatermark("ts", "10 minutes").select(
+        "user_id", "event_id", "kind",
+        F.unix_micros("ts").alias("ep"), "ts",
+    )
+    p = (
+        Pattern.begin("A").where("kind = 1")
+        .times(2).allow_combinations()
+        .followed_by("B").where("kind = 2")
+        .within(30, "minutes")
+    )
+    out = cep_select_stream(
+        s, p, "user_id", "ep, event_id",
+        {
+            "a_id": "FIRST(A.event_id)",
+            "last_a": "LAST(A.event_id)",
+            "b_id": "LAST(B.event_id)",
+        },
+    )
+    out_dir = str(tmp_path / f"out_{tag}")
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out_dir)
+
+    (
+        out.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    import os as _os
+
+    if not _os.path.exists(out_dir):
+        return []
+    return sorted(
+        (r.user_id, r.a_id, r.last_a, r.b_id)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+
+
+@pytest.mark.parametrize("seed", [17, 29])
+def test_slicing_invariance_combinations(spark, tmp_path, seed):
+    """r12 (VERDICT r11 next-item #8): bounded streaming
+    allowCombinations (SKIP_TILL_ANY between repetitions of a flat
+    loop) is micro-batch-slicing invariant — the subset enumeration
+    runs at SCAN time over the horizon-bounded certified rows (zero
+    new state, checkpoint layout unchanged), and all of a start's
+    alternatives decide together under the frontier rule."""
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rows = _mk_rows(seed)
+        single = _run_stream_cep_comb(
+            spark, tmp_path, rows, [rows], "cbsingle"
+        )
+        assert single, "fixture produced no matches — weaken the pattern"
+        # row-skipping subsets: some start must pair with a NON-adjacent
+        # second take (two matches sharing a_id with different last_a)
+        by_start = {}
+        for u, a, la, b in single:
+            by_start.setdefault((u, a), set()).add(la)
+        assert any(len(s) > 1 for s in by_start.values()), (
+            "no row-skipping subset in the fixture"
+        )
+        rng = random.Random(seed * 37 + 5)
+        for trial in range(2):
+            sliced = _run_stream_cep_comb(
+                spark, tmp_path, rows,
+                _random_slices(rows, rng), f"cb{trial}",
+            )
+            assert sliced == single, (
+                f"slicing changed the combinations match set "
+                f"(seed {seed}, trial {trial})"
+            )
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_combinations_stream_vs_batch(spark, tmp_path):
+    """Streamed combinations matches ⊆ the batch CEP result, and ⊇ the
+    batch matches whose start-horizon the final watermark passed."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    try:
+        rows = _mk_rows(43)
+        streamed = set(
+            _run_stream_cep_comb(spark, tmp_path, rows, [rows], "cvb")
+        )
+        df = spark.createDataFrame(
+            [
+                (r["user_id"], r["event_id"], r["kind"], r["v"], r["ts"])
+                for r in rows
+            ],
+            "user_id long, event_id long, kind long, v long, ts string",
+        ).select(
+            "user_id", "event_id", "kind",
+            F.unix_micros(F.to_timestamp("ts")).alias("ep"),
+        )
+        p = (
+            Pattern.begin("A").where("kind = 1")
+            .times(2).allow_combinations()
+            .followed_by("B").where("kind = 2")
+            .within(30, "minutes")
+        )
+        meas = {
+            "a_id": "FIRST(A.event_id)",
+            "last_a": "LAST(A.event_id)",
+            "b_id": "LAST(B.event_id)",
+            "a_ep": "FIRST(A.ep)",
+        }
+        batch = {
+            (r.user_id, r.a_id, r.last_a, r.b_id): r.a_ep
+            for r in cep_select(
+                spark, df, p, "user_id", "ep, event_id", meas
+            ).collect()
+        }
+        max_ep = df.agg(F.max("ep")).collect()[0][0]
+        wm = max_ep - 600_000_000
+        horizon = 1_800_000_000
+        assert streamed <= set(batch), "streamed a match batch lacks"
+        guaranteed = {
+            k for k, a_ep in batch.items() if a_ep + horizon < wm
+        }
+        assert guaranteed <= streamed, (
+            "stream missed a horizon-final combinations match"
+        )
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+
+
+def test_combinations_requires_horizon_and_flat_loop(spark):
+    """r12 reject pins: streaming allowCombinations without a within()
+    horizon states the precise state bound that breaks (every buffered
+    row stays a live skip target — 2^n undecided alternatives, no
+    cleanup); between GROUP-loop repetitions it stays rejected (the
+    branch-per-extent scan composes with the body scanner's own
+    branching). The horizon-less CEP form never reaches the streaming
+    engine — the Pattern compiler rejects it first — so the state-bound
+    reject is pinned at the MATCH_RECOGNIZE surface."""
+    from apache_flink_spark.cep import CepError, Pattern, cep_select_stream
+    from apache_flink_spark.streaming.match_stream import (
+        MatchRecognizeError,
+        streaming_match_recognize,
+    )
+
+    s = (
+        spark.readStream.format("rate").load()
+        .select(
+            F.col("value").alias("user_id"),
+            F.col("value").alias("event_id"),
+            (F.col("value") % 3).alias("kind"),
+            F.unix_micros("timestamp").alias("ep"),
+            "timestamp",
+        )
+        .withWatermark("timestamp", "10 seconds")
+    )
+    with pytest.raises(CepError, match="UNBOUNDED"):
+        cep_select_stream(
+            s,
+            Pattern.begin("A").where("kind = 1")
+            .one_or_more().allow_combinations()
+            .followed_by("B").where("kind = 2"),
+            "user_id", "ep, event_id", {"n": "COUNT(A.*)"},
+        )
+    body = """
+        PARTITION BY user_id
+        ORDER BY ep, event_id
+        MEASURES COUNT(A.ep) AS n
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A (G*? A)*) DEFINE G AS TRUE, A AS kind = 1
+    """
+    with pytest.raises(MatchRecognizeError, match="live skip target"):
+        streaming_match_recognize(
+            s, body,
+            cep_enum_vars=frozenset({"A", "G"}),
+            cep_gap_vars=frozenset({"G"}),
+        )
+    with pytest.raises(CepError, match="UNBOUNDED"):
+        inner = (
+            Pattern.begin("A").where("kind = 1")
+            .next("B").where("kind = 2")
+        )
+        cep_select_stream(
+            s,
+            Pattern.begin(inner).one_or_more().allow_combinations(),
+            "user_id", "ep, event_id", {"n": "COUNT(A.*)"},
+        )
+    with pytest.raises(
+        MatchRecognizeError, match="GROUP-loop repetitions"
+    ):
+        cep_select_stream(
+            s,
+            Pattern.begin(
+                Pattern.begin("A").where("kind = 1")
+                .next("B").where("kind = 2")
+            ).one_or_more().allow_combinations().within(1, "hours"),
+            "user_id", "ep, event_id", {"n": "COUNT(A.*)"},
+        )
