@@ -360,6 +360,20 @@ class Pattern:
         m: int | None = None,
         window: "tuple[int, str] | None" = None,
     ) -> "Pattern":
+        # Quantifier.Times validation (r12 — PatternTest.java:193/:198;
+        # Pattern.java times(from, to) rewrites from==0 to an OPTIONAL
+        # quantifier with from=1 before Times.of checks from > 0)
+        eff_from = n if m is None else (1 if n == 0 else n)
+        if eff_from <= 0:
+            raise CepError(
+                "times(): the from should be a positive number greater "
+                "than 0"
+            )
+        if m is not None and m < eff_from:
+            raise CepError(
+                f"times(): the to should be a number greater than or "
+                f"equal to from: {eff_from}"
+            )
         self._set_quant(f"{{{n}}}" if m is None else f"{{{n},{m}}}")
         self._set_loop_window(window)
         return self
@@ -374,6 +388,12 @@ class Pattern:
     def times_or_more(
         self, n: int, window: "tuple[int, str] | None" = None
     ) -> "Pattern":
+        if n <= 0:
+            # Times.of(times, MAX_VALUE) — Quantifier.java:197 (r12)
+            raise CepError(
+                "timesOrMore(): the from should be a positive number "
+                "greater than 0"
+            )
         self._set_quant(f"{{{n},}}")
         self._set_loop_window(window)
         return self
@@ -502,6 +522,20 @@ class Pattern:
         e = self._last()
         if not e.quant:
             raise CepError("until() needs a preceding quantifier")
+        if e.until_conds:
+            # Pattern.java until():233 (r12 — PatternTest.java:301)
+            raise CepError("Only one until condition can be applied.")
+        q = e.quant[:-1] if e.quant.endswith("?") and e.quant not in (
+            "?", "??",
+        ) else e.quant
+        if not (q == "+" or re.fullmatch(r"\{\d+,\}", q)):
+            # Pattern.java until():238 (r12 — PatternTest.java:289):
+            # LOOPING = oneOrMore / timesOrMore only; an exact or ranged
+            # times() quantifier has the TIMES property, not LOOPING
+            raise CepError(
+                "The until condition is only applicable to looping "
+                "states (oneOrMore / timesOrMore)."
+            )
         segs = re.split(r"('[^']*')", condition_sql)
         for i in range(0, len(segs), 2):
             segs[i] = re.sub(
@@ -713,6 +747,36 @@ def _head_where(e: _Elem) -> str:
     if e.group is None:
         return _own_row_sql(e)
     return _head_where(e.group._elems[0])
+
+
+def _greedy_exit_guard(e: _Elem) -> "str | None":
+    """The greedy() PROCEED guard (r12 — CEPITCase:1049;
+    NFACompiler.updateWithGreedyCondition ANDs NOT(takeCondition) onto
+    the loop's proceed edge): the row on which the loop is LEFT must
+    fail the loop's as-if-taken condition — a greedy loop never
+    backtracks to a shorter take while the next row would extend it.
+    until() re-opens the exit (the take condition carries NOT(until),
+    so NOT(take) is true on a stop row). None when the take count
+    cannot vary (exact counts have no exit decision)."""
+    frm_, to_ = _quant_bounds(e)
+    if to_ is not None and to_ <= frm_:
+        return None
+    guard = f"(NOT ({_own_row_sql(e)}))"
+    for u in e.until_conds:
+        guard = f"({guard} OR ({u}))"
+    return guard
+
+
+def _group_head_name(p: "Pattern") -> str:
+    """The group's first positive variable (recursively) — where a
+    PROCEED guard from a preceding greedy loop lands."""
+    for ge in p._elems:
+        if ge.contiguity in ("not_followed_by", "not_next"):
+            continue
+        if ge.group is not None:
+            return _group_head_name(ge.group)
+        return ge.name
+    raise CepError("group pattern has no positive element")
 
 
 def _loop_enumerable(e: _Elem) -> bool:
@@ -1032,6 +1096,7 @@ def _compile_body(
     order_by: str,
     measures: dict[str, str],
     skip: str = "SKIP TO NEXT ROW",
+    stream: bool = False,
 ) -> tuple[str, frozenset[str], frozenset[str]]:
     """Compile a Pattern to a MATCH_RECOGNIZE body. Returns
     ``(body, enum_vars, gap_vars)``:
@@ -1227,6 +1292,13 @@ def _compile_body(
         def elem_vars(e: _Elem) -> list[str]:
             return e.group._names() if e.group is not None else [e.name]
 
+        #: r12 — pending greedy() PROCEED guard: set when the previous
+        #: positive element is a greedy flat loop with a variable take
+        #: count; the NEXT positive element (and its entry gap) may only
+        #: begin at a row that fails the loop's as-if-taken condition
+        #: (NFACompiler updateWithGreedyCondition; CEPITCase:1049 — a
+        #: greedy loop never backtracks to a shorter take).
+        greedy_exit: "str | None" = None
         for i, e in enumerate(elem_list):
             if e.contiguity == "not_next":
                 continue
@@ -1282,6 +1354,7 @@ def _compile_body(
                     "notFollowedBy+next adjacency"
                 )
             gap_tok = None
+            gap = None
             if e.contiguity in ("followed_by", "followed_by_any"):
                 gap = new_gap()
                 gap_tok = f"{gap}*?"
@@ -1301,6 +1374,21 @@ def _compile_body(
                 ng = not_guard()
                 if ng is not None:
                     base = ng if base == "TRUE" else f"({base}) AND {ng}"
+                if greedy_exit is not None and not stream:
+                    # r12 — greedy() PROCEED guard (CEPITCase:1049;
+                    # NFACompiler updateWithGreedyCondition: the loop
+                    # may be left only at an event that does NOT extend
+                    # it): the FIRST row after the last take must fail
+                    # the loop's as-if-taken condition. Own-var COUNT
+                    # is RUNNING (includes the candidate), so the first
+                    # gap row is COUNT == 1. Streaming applies the same
+                    # rule natively in the matcher (adjacent-next-take
+                    # counts are skipped) — bind-aggregates in gap
+                    # DEFINEs would hit the cross-variable reject there.
+                    base = (
+                        f"({base}) AND ((COUNT({gap}.{tcol}) > 1) "
+                        f"OR {greedy_exit})"
+                    )
                 add_def(gap, base)
             # greedy() is INERT when the loop is the pattern's LAST
             # positive element: the NFA reaches the final state at
@@ -1428,6 +1516,20 @@ def _compile_body(
                         f"({def_map[tv]}) AND "
                         f"(NOT COALESCE(({guards[i]}), FALSE))"
                     )
+                if greedy_exit is not None and not stream:
+                    # r12 — greedy PROCEED guard lands on the group's
+                    # HEAD first take (the group's entry row)
+                    hd = _group_head_name(e.group)
+                    gx = f"(COUNT({hd}.{tcol}) > 1) OR "
+                    if gap is not None:
+                        gx += f"(COUNT({gap}.{tcol}) >= 1) OR "
+                    def_map[hd] = (
+                        f"({def_map[hd]}) AND ({gx}{greedy_exit})"
+                    )
+                # group greedy() pins keep their r9 maximal-emission
+                # behavior; the flat-loop PROCEED guard is not derived
+                # for group loops (no reference pin exercises it)
+                greedy_exit = None
                 if pending_not is not None:
                     if _is_optional_elem(e):
                         discharge.extend(e.group._names())
@@ -1482,12 +1584,30 @@ def _compile_body(
                 )
                 if lw != "TRUE":
                     cond = f"({cond}) AND {lw}"
+            if greedy_exit is not None and not stream:
+                # r12 — greedy PROCEED guard on the next element's FIRST
+                # take (own-var COUNT is RUNNING: first take == 1);
+                # later takes/repetitions are past the exit decision
+                if gap is not None:
+                    cond = (
+                        f"({cond}) AND ((COUNT({e.name}.{tcol}) > 1) OR "
+                        f"(COUNT({gap}.{tcol}) >= 1) OR {greedy_exit})"
+                    )
+                elif e.contiguity == "next":
+                    cond = (
+                        f"({cond}) AND ((COUNT({e.name}.{tcol}) > 1) OR "
+                        f"{greedy_exit})"
+                    )
             if e.opt_loop:
                 # optional() on a looping quantifier: zero or the loop
                 core = f"( {core}{suffix} )"
                 suffix = "?"
             _append_frag(parts, gap_tok, core, suffix)
             add_def(e.name, cond)
+            greedy_exit = _greedy_exit_guard(e) if (
+                e.group is None and e.greedy_flag and e.quant
+                and not end_greedy
+            ) else None
             if pending_not is not None:
                 if _is_optional_elem(e):
                     # the guard may still be armed on later gaps — it
@@ -1584,10 +1704,15 @@ def cep_select(
         from pyspark.sql import functions as F
         a, b = elems[0], elems[1]
         keys = [k.strip() for k in partition_by.split(",")]
+        # Right window side EXCLUSIVE (r12 — NFA.isStateTimedOut prunes
+        # at >= deadline, so a forbidden row exactly AT start + horizon
+        # loses to the timeout and does NOT kill; same rule as
+        # _trailing_nf_general's strictly-inside confirmation and
+        # NFATest.java:158's border pin).
         w = (
             Window.partitionBy(*keys)
             .orderBy(order_by)
-            .rangeBetween(1, horizon_us)
+            .rangeBetween(1, horizon_us - 1)
         )
         scanned = df.withColumn(
             "__cep_forbidden_ep",
@@ -2105,10 +2230,17 @@ def cep_select_stream(
                 )
         return out.select(*cols)
     body, enum_vars, gap_vars = _compile_body(
-        pattern, partition_by, order_by, measures, skip
+        pattern, partition_by, order_by, measures, skip, stream=True
+    )
+    # r12 — flat greedy()-pinned loops carry the PROCEED guard natively
+    # in the streaming matcher (batch compiles it as DEFINE conjuncts)
+    greedy_vars = frozenset(
+        e.name for e in pattern._elems
+        if e.group is None and e.name and e.greedy_flag and e.quant
     )
     return streaming_match_recognize(
         stream, body, cep_enum_vars=enum_vars, cep_gap_vars=gap_vars,
+        cep_greedy_vars=greedy_vars,
     )
 
 

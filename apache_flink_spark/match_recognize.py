@@ -1447,9 +1447,11 @@ def compile_match_recognize(
                 return None
             return {v: sorted(i) for v, i in binds.items() if i}, end
         # WITHIN horizon (reference CEP Pattern.within / MATCH_RECOGNIZE
-        # WITHIN): rows later than match-start + interval are outside the
-        # match scope — the NFA prunes them, so the greedy search runs
-        # against a tightened limit per candidate start.
+        # WITHIN): rows at or later than match-start + interval are
+        # OUTSIDE the match scope — the right window side is EXCLUSIVE
+        # (r12, NFATest.java:158 testWindowBorders; NFA.isStateTimedOut
+        # prunes at ``timestamp - start >= windowTime``). searchsorted
+        # 'left' keeps rows with ts < start + within only.
         time_arr = pdf[time_col].to_numpy() if within_us is not None else None
 
         def _limit(i: int, seg_end: int) -> int:
@@ -1457,7 +1459,7 @@ def compile_match_recognize(
                 return seg_end
             return i + int(
                 np.searchsorted(
-                    time_arr[i:seg_end], time_arr[i] + within_us, "right"
+                    time_arr[i:seg_end], time_arr[i] + within_us, "left"
                 )
             )
         arr = {c: pdf[c].to_numpy() for c in meas_cols}

@@ -279,7 +279,7 @@ def mr_bounded_quantifier(spark, sf_dir):
     JOIN pruns p ON p.user_id = s.user_id AND p.start_rn = s.rn + 1
     JOIN seq b ON b.user_id = s.user_id
               AND b.rn BETWEEN p.start_rn AND p.start_rn + p.run_len - 1
-              AND b.ep <= s.ep + 86400000000
+              AND b.ep < s.ep + 86400000000
     WHERE s.event_type = 'click'
     GROUP BY 1, 2
     """,
@@ -969,8 +969,8 @@ def mr_subset_union_measures(spark, sf_dir):
               AND c.event_type = 'purchase'
     LEFT JOIN seq nxt ON nxt.user_id = g.user_id AND nxt.rn = g.r1 + 2
     CROSS JOIN wm
-    WHERE c.ep <= a.ep + 3600000000
-      AND (nxt.ep <= wm.wm_us OR wm.wm_us > a.ep + 3600000000)
+    WHERE c.ep < a.ep + 3600000000
+      AND (nxt.ep <= wm.wm_us OR wm.wm_us >= a.ep + 3600000000)
     ORDER BY a.user_id, a_id
     """,
     streaming=True,

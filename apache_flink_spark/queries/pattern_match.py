@@ -77,7 +77,7 @@ def match_adjacent_pair(spark, sf_dir):
         SELECT user_id, ep, event_id, event_type,
                MIN(CASE WHEN event_type = 'purchase' THEN ep END)
                    OVER (PARTITION BY user_id ORDER BY ep
-                         RANGE BETWEEN 1 FOLLOWING AND {MIN30} FOLLOWING)
+                         RANGE BETWEEN 1 FOLLOWING AND {MIN30 - 1} FOLLOWING)
                    AS next_p_ep
         FROM u
     )
@@ -105,7 +105,7 @@ def match_followed_by(spark, sf_dir):
     w = (
         Window.partitionBy("user_id")
         .orderBy("ep")
-        .rangeBetween(1, MIN30)
+        .rangeBetween(1, MIN30 - 1)
     )
     scanned = u.withColumn(
         "next_p_ep",
@@ -270,7 +270,7 @@ def match_cep_stateful(spark, sf_dir):
         SELECT user_id, ep, event_id, event_type,
                MIN(CASE WHEN event_type = 'purchase' THEN ep END)
                    OVER (PARTITION BY user_id ORDER BY ep
-                         RANGE BETWEEN 1 FOLLOWING AND {MIN30} FOLLOWING)
+                         RANGE BETWEEN 1 FOLLOWING AND {MIN30 - 1} FOLLOWING)
                    AS next_p_ep
         FROM u
     )
@@ -285,7 +285,9 @@ def match_not_followed_by(spark, sf_dir):
     keyed exchange + in-partition sort, NO anti join and no second pass over
     events — the absence test rides the same window.
 
-    Boundary convention: STRICTLY after (rangeBetween(1, MIN30)) — a
+    Boundary convention: STRICTLY after AND strictly inside the window
+    (rangeBetween(1, MIN30 - 1); r12 — NFA.isStateTimedOut at >= deadline,
+    NFATest.java:158) — a
     purchase at the click's exact timestamp does NOT count as a follow-up
     here, whereas the stream_anti_join family counts it (p.ts >= c.ts).
     Deliberate: CEP's notFollowedBy inspects events after the matched
@@ -299,7 +301,7 @@ def match_not_followed_by(spark, sf_dir):
         "event_id",
         "event_type",
     )
-    w = Window.partitionBy("user_id").orderBy("ep").rangeBetween(1, MIN30)
+    w = Window.partitionBy("user_id").orderBy("ep").rangeBetween(1, MIN30 - 1)
     scanned = u.withColumn(
         "next_p_ep",
         F.min(F.when(F.col("event_type") == "purchase", F.col("ep"))).over(w),
@@ -326,7 +328,7 @@ def match_not_followed_by(spark, sf_dir):
         SELECT user_id, ep, event_id, event_type,
                MIN(CASE WHEN event_type = 'purchase' THEN ep END)
                    OVER (PARTITION BY user_id ORDER BY ep
-                         RANGE BETWEEN 1 FOLLOWING AND {MIN30} FOLLOWING)
+                         RANGE BETWEEN 1 FOLLOWING AND {MIN30 - 1} FOLLOWING)
                    AS next_p_ep
         FROM u
     )
@@ -334,7 +336,7 @@ def match_not_followed_by(spark, sf_dir):
            ep + {MIN30} AS deadline
     FROM flagged, wm
     WHERE event_type = 'click' AND next_p_ep IS NULL
-      AND ep + {MIN30} < wm_us
+      AND ep + {MIN30} <= wm_us
     """,
 )
 def match_timeout_sideoutput(spark, sf_dir):
@@ -342,7 +344,7 @@ def match_timeout_sideoutput(spark, sf_dir):
     partial matches of click -> purchase WITHIN 30min whose window expired
     under the watermark without completing. Boundary convention: the
     purchase must be STRICTLY after the click (consistent with
-    match_not_followed_by's rangeBetween(1, MIN30)); clicks inside the
+    match_not_followed_by's rangeBetween(1, MIN30 - 1)); clicks inside the
     final 1-hour watermark lag stay buffered (their window can still
     complete), and the oracle applies the identical cutoff."""
     from apache_flink_spark.streaming.stateful import streaming_cep_timeout
@@ -525,12 +527,12 @@ def cep_one_or_more_relaxed(spark, sf_dir):
            p.event_id AS purchase_id
     FROM c s
     JOIN c k ON k.user_id = s.user_id AND k.crn >= s.crn
-            AND k.ep <= s.ep + 259200000000
+            AND k.ep < s.ep + 259200000000
     JOIN o p ON p.user_id = s.user_id AND p.rn = (
         SELECT MIN(px.rn) FROM o px
         WHERE px.user_id = s.user_id AND px.event_type = 'purchase'
           AND px.rn > k.rn)
-    WHERE p.ep <= s.ep + 259200000000
+    WHERE p.ep < s.ep + 259200000000
     """,
 )
 def cep_one_or_more_prefixes(spark, sf_dir):
@@ -596,14 +598,14 @@ def cep_one_or_more_prefixes(spark, sf_dir):
                CAST(2 AS BIGINT) AS n_clicks
         FROM c s
         JOIN c c2 ON c2.user_id = s.user_id AND c2.crn > s.crn
-                 AND c2.ep <= s.ep + 259200000000
+                 AND c2.ep < s.ep + 259200000000
         UNION ALL
         SELECT s.user_id, s.ep, s.event_id, c3.event_id, c3.rn,
                CAST(3 AS BIGINT)
         FROM c s
         JOIN c c2 ON c2.user_id = s.user_id AND c2.crn > s.crn
         JOIN c c3 ON c3.user_id = s.user_id AND c3.crn > c2.crn
-                 AND c3.ep <= s.ep + 259200000000
+                 AND c3.ep < s.ep + 259200000000
     )
     SELECT m.user_id, m.n_clicks, m.first_click, m.last_click,
            p.event_id AS purchase_id
@@ -612,7 +614,7 @@ def cep_one_or_more_prefixes(spark, sf_dir):
         SELECT MIN(px.rn) FROM o px
         WHERE px.user_id = m.user_id AND px.event_type = 'purchase'
           AND px.rn > m.lrn)
-    WHERE p.ep <= m.sep + 259200000000
+    WHERE p.ep < m.sep + 259200000000
     """,
 )
 def cep_times_any_combinations(spark, sf_dir):
@@ -868,14 +870,14 @@ def cep_stream_next_purchase(spark, sf_dir):
            p.event_id AS purchase_id
     FROM c s
     JOIN c k ON k.user_id = s.user_id AND k.crn >= s.crn
-            AND k.ep <= s.ep + 259200000000
+            AND k.ep < s.ep + 259200000000
     JOIN o p ON p.user_id = s.user_id AND p.rn = (
         SELECT MIN(px.rn) FROM o px
         WHERE px.user_id = s.user_id AND px.event_type = 'purchase'
           AND px.rn > k.rn)
     CROSS JOIN wm
-    WHERE p.ep <= s.ep + 259200000000
-      AND s.ep + 259200000000 < wm.wm_us
+    WHERE p.ep < s.ep + 259200000000
+      AND s.ep + 259200000000 <= wm.wm_us
     """,
     streaming=True,
 )
@@ -944,9 +946,9 @@ def cep_stream_relaxed_loop(spark, sf_dir):
            c.event_id AS click_id, p.event_id AS purchase_id
     FROM o s
     JOIN o c ON c.user_id = s.user_id AND c.event_type = 'click'
-            AND c.rn > s.rn AND c.ep <= s.ep + 259200000000
+            AND c.rn > s.rn AND c.ep < s.ep + 259200000000
     JOIN o p ON p.user_id = s.user_id AND p.event_type = 'purchase'
-            AND p.rn > c.rn AND p.ep <= s.ep + 259200000000
+            AND p.rn > c.rn AND p.ep < s.ep + 259200000000
     WHERE s.event_type = 'signup'
     """,
 )
@@ -997,14 +999,14 @@ def cep_followed_by_any(spark, sf_dir):
         SELECT user_id, ep, event_id, event_type,
                MIN(CASE WHEN event_type = 'purchase' THEN ep END)
                    OVER (PARTITION BY user_id ORDER BY ep
-                         RANGE BETWEEN 1 FOLLOWING AND {MIN30} FOLLOWING)
+                         RANGE BETWEEN 1 FOLLOWING AND {MIN30 - 1} FOLLOWING)
                    AS next_p_ep
         FROM u
     )
     SELECT user_id, event_id AS click_id, ep AS click_ts
     FROM flagged, wm
     WHERE event_type = 'click' AND next_p_ep IS NULL
-      AND ep + {MIN30} < wm_us
+      AND ep + {MIN30} <= wm_us
     """,
     streaming=True,
 )
@@ -1198,7 +1200,7 @@ def cep_times_window_gaps(spark, sf_dir):
         FROM u s JOIN u p ON p.user_id = s.user_id AND p.rn = (
             SELECT MIN(px.rn) FROM u px WHERE px.user_id = s.user_id
               AND px.event_type = 'purchase' AND px.rn > s.rn)
-        WHERE s.event_type = 'click' AND p.ep <= s.ep + 259200000000
+        WHERE s.event_type = 'click' AND p.ep < s.ep + 259200000000
         UNION ALL
         SELECT ch.user_id, ch.s_ep, ch.first_click, ch.n_pairs + 1,
                p.rn, p.event_id
@@ -1209,12 +1211,12 @@ def cep_times_window_gaps(spark, sf_dir):
         JOIN u p ON p.user_id = ch.user_id AND p.rn = (
             SELECT MIN(px.rn) FROM u px WHERE px.user_id = ch.user_id
               AND px.event_type = 'purchase' AND px.rn > c.rn)
-        WHERE c.ep <= ch.s_ep + 259200000000
-          AND p.ep <= ch.s_ep + 259200000000
+        WHERE c.ep < ch.s_ep + 259200000000
+          AND p.ep < ch.s_ep + 259200000000
     )
     SELECT ch.user_id, ch.first_click, ch.n_pairs, ch.last_purchase
     FROM chain ch CROSS JOIN wm
-    WHERE ch.s_ep + 259200000000 < wm.wm_us
+    WHERE ch.s_ep + 259200000000 <= wm.wm_us
     """,
     streaming=True,
 )
@@ -1411,12 +1413,12 @@ def cep_timeout_side_output(spark, sf_dir):
            p.event_id AS purchase_id
     FROM c s
     JOIN c k ON k.user_id = s.user_id AND k.crn >= s.crn
-            AND k.ep <= s.ep + 259200000000
+            AND k.ep < s.ep + 259200000000
     JOIN o p ON p.user_id = s.user_id AND p.rn = (
         SELECT MIN(px.rn) FROM o px
         WHERE px.user_id = s.user_id AND px.event_type = 'purchase'
           AND px.rn > k.rn)
-    WHERE p.ep <= s.ep + 259200000000
+    WHERE p.ep < s.ep + 259200000000
       AND k.cumval - s.cumval + s.value >= 50.0
     """,
 )
@@ -1481,13 +1483,13 @@ def cep_iterative_sum(spark, sf_dir):
                c.event_id AS first_click, c.rn AS last_rn,
                c.event_id AS last_click, CAST(1 AS BIGINT) AS n_clicks
         FROM v JOIN c ON c.user_id = v.user_id AND c.rn > v.rn
-                     AND c.ep <= v.ep + 7200000000
+                     AND c.ep < v.ep + 7200000000
         UNION ALL
         SELECT s.user_id, s.v_ep, s.view_id, s.first_click,
                c2.rn, c2.event_id, s.n_clicks + 1
         FROM sub s JOIN c c2 ON c2.user_id = s.user_id
                             AND c2.rn > s.last_rn
-                            AND c2.ep <= s.v_ep + 7200000000
+                            AND c2.ep < s.v_ep + 7200000000
     ), allm AS (
         SELECT user_id, v_ep, view_id, n_clicks, first_click, last_click,
                last_rn
@@ -1502,7 +1504,7 @@ def cep_iterative_sum(spark, sf_dir):
            p.event_id AS purchase_id
     FROM allm m
     JOIN pp p ON p.user_id = m.user_id AND p.rn > m.last_rn
-             AND p.ep <= m.v_ep + 7200000000
+             AND p.ep < m.v_ep + 7200000000
     """,
 )
 def cep_combinations_zero_or_more(spark, sf_dir):
@@ -1650,7 +1652,7 @@ def cep_group_within_previous(spark, sf_dir):
                p.event_id AS last_purchase
         FROM u s JOIN u p ON p.user_id = s.user_id
               AND p.event_type = 'purchase' AND p.rn > s.rn
-              AND p.ep <= s.ep + 259200000000
+              AND p.ep < s.ep + 259200000000
         WHERE s.event_type = 'click'
         UNION ALL
         SELECT ch.user_id, ch.s_ep, ch.first_click, ch.n_pairs + 1,
@@ -1661,12 +1663,12 @@ def cep_group_within_previous(spark, sf_dir):
               AND cx.event_type = 'click' AND cx.rn > ch.last_rn)
         JOIN u p ON p.user_id = ch.user_id
               AND p.event_type = 'purchase' AND p.rn > c.rn
-              AND p.ep <= ch.s_ep + 259200000000
-        WHERE c.ep <= ch.s_ep + 259200000000
+              AND p.ep < ch.s_ep + 259200000000
+        WHERE c.ep < ch.s_ep + 259200000000
     )
     SELECT ch.user_id, ch.first_click, ch.n_pairs, ch.last_purchase
     FROM chain ch CROSS JOIN wm
-    WHERE ch.s_ep + 259200000000 < wm.wm_us
+    WHERE ch.s_ep + 259200000000 <= wm.wm_us
     """,
     streaming=True,
 )
@@ -1731,7 +1733,7 @@ def cep_stream_group_any(spark, sf_dir):
         FROM u c JOIN u p ON p.user_id = c.user_id AND p.rn = (
             SELECT MIN(px.rn) FROM u px WHERE px.user_id = c.user_id
               AND px.event_type = 'purchase' AND px.rn > c.rn)
-        WHERE c.event_type = 'click' AND p.ep <= c.ep + 86400000000
+        WHERE c.event_type = 'click' AND p.ep < c.ep + 86400000000
     )
     -- absence confirmation: no error strictly inside (match end,
     -- start + 24h) — an error AT the deadline loses to the timeout
@@ -1806,7 +1808,7 @@ def cep_not_followed_by_composed(spark, sf_dir):
         FROM u c JOIN u p ON p.user_id = c.user_id AND p.rn = (
             SELECT MIN(x.rn) FROM u x WHERE x.user_id = c.user_id
               AND x.event_type = 'purchase' AND x.rn > c.rn)
-        WHERE c.event_type = 'click' AND p.ep <= c.ep + 259200000000
+        WHERE c.event_type = 'click' AND p.ep < c.ep + 259200000000
         UNION ALL
         SELECT ch.user_id, ch.s_ep, ch.fa,
                CASE WHEN nx.event_type = 'signup'
@@ -1824,21 +1826,21 @@ def cep_not_followed_by_composed(spark, sf_dir):
             WHERE c2.user_id = ch.user_id AND c2.rn = (
                 SELECT MIN(y.rn) FROM u y WHERE y.user_id = ch.user_id
                   AND y.event_type = 'click' AND y.rn > ch.last_rn)
-              AND c2.ep <= ch.s_ep + 259200000000
-              AND p2.ep <= ch.s_ep + 259200000000
+              AND c2.ep < ch.s_ep + 259200000000
+              AND p2.ep < ch.s_ep + 259200000000
             UNION ALL
             SELECT 'c', sg.rn, sg.event_id, 'signup'
             FROM u sg WHERE ch.state = 'p'
               AND sg.user_id = ch.user_id AND sg.rn = (
                 SELECT MIN(z.rn) FROM u z WHERE z.user_id = ch.user_id
                   AND z.event_type = 'signup' AND z.rn > ch.last_rn)
-              AND sg.ep <= ch.s_ep + 259200000000
+              AND sg.ep < ch.s_ep + 259200000000
         ) nx
     )
     SELECT ch.user_id, ch.fa AS first_click, ch.n_a AS n_pairs,
            ch.n_c AS n_signups, ch.last_eid AS last_signup
     FROM chain ch CROSS JOIN wm
-    WHERE ch.state = 'c' AND ch.s_ep + 259200000000 < wm.wm_us
+    WHERE ch.state = 'c' AND ch.s_ep + 259200000000 <= wm.wm_us
     """,
     streaming=True,
 )
@@ -2047,8 +2049,8 @@ def cep_optional_tail(spark, sf_dir):
         WHERE px.user_id = s.user_id AND px.event_type = 'purchase'
           AND px.rn > k.rn)
     CROSS JOIN wm
-    WHERE p.ep <= s.ep + 14400000000
-      AND s.ep + 14400000000 < wm.wm_us
+    WHERE p.ep < s.ep + 14400000000
+      AND s.ep + 14400000000 <= wm.wm_us
     """,
     streaming=True,
 )

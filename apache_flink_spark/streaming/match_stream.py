@@ -422,6 +422,7 @@ def streaming_match_recognize(
     stream: DataFrame, body: str,
     cep_enum_vars: frozenset | None = None,
     cep_gap_vars: frozenset | None = None,
+    cep_greedy_vars: frozenset | None = None,
 ) -> DataFrame:
     """Run a MATCH_RECOGNIZE body on an unbounded stream.
 
@@ -440,6 +441,13 @@ def streaming_match_recognize(
     variables, excluded from match identity."""
     cep_enum = frozenset(cep_enum_vars or ())
     cep_gaps = frozenset(cep_gap_vars or ())
+    # r12 — CEP greedy()-PINNED loop variables (set by cep_select_stream
+    # only): these loops carry the reference's PROCEED guard — they may
+    # be left only at a row that does not extend them (NFACompiler
+    # updateWithGreedyCondition; CEPITCase:1049 — no backtracking to a
+    # shorter take). Raw SQL MATCH_RECOGNIZE greedy quantifiers keep
+    # SQL backtracking semantics and never appear here.
+    cep_greedy = frozenset(cep_greedy_vars or ())
     m = _BODY_RE.search(body.strip())
     if not m:
         raise MatchRecognizeError("could not parse MATCH_RECOGNIZE body")
@@ -967,10 +975,12 @@ def streaming_match_recognize(
                 raise AssertionError("unlabelable matched row")
 
             def limit_for(i0: int) -> int:
+                # right window side EXCLUSIVE (r12 — NFATest.java:158;
+                # NFA.isStateTimedOut at >=), matching the batch _limit
                 if within_us is None:
                     return n_eval
                 lim = i0
-                while lim < n_eval and ts[lim] <= ts[i0] + within_us:
+                while lim < n_eval and ts[lim] < ts[i0] + within_us:
                     lim += 1
                 return lim
 
@@ -978,7 +988,7 @@ def streaming_match_recognize(
                 """Count of buffered rows inside i0's WITHIN horizon —
                 the NEXT targets a horizon-final decision may read."""
                 h = i0
-                while h < n and ts[h] <= ts[i0] + within_us:
+                while h < n and ts[h] < ts[i0] + within_us:
                     h += 1
                 return h
 
@@ -1116,11 +1126,29 @@ def streaming_match_recognize(
                         and elem_ok(pi, ri + take_max)
                     ):
                         take_max += 1
-                    rng = (
-                        range(take_max, lo - 1, -1)
-                        if greedy
-                        else range(lo, take_max + 1)
-                    )
+                    if (
+                        greedy
+                        and (hi is None or hi > lo)
+                        and pi + 1 < len(pat)
+                        and set(_alts) & cep_greedy
+                    ):
+                        # r12 — greedy() PROCEED guard (CEPITCase:1049;
+                        # NFACompiler updateWithGreedyCondition): in
+                        # this strictly-contiguous scan every shorter
+                        # take leaves the loop AT a row that would
+                        # extend it — forbidden; only the maximal take
+                        # proceeds (no backtracking to shorter counts).
+                        # Batch encodes the same rule as compiled
+                        # DEFINE conjuncts.
+                        rng = range(take_max, take_max + 1) if (
+                            take_max >= lo
+                        ) else range(0)
+                    else:
+                        rng = (
+                            range(take_max, lo - 1, -1)
+                            if greedy
+                            else range(lo, take_max + 1)
+                        )
                     for take in rng:
                         res = rec(pi + 1, ri + take)
                         if res is not None:
@@ -1556,11 +1584,26 @@ def streaming_match_recognize(
                     )
                     found = False
                     for take in order_:
+                        nxt = takes[take - 1][-1][0] + 1 if take else ri
+                        if (
+                            greedy
+                            and not elem_enum[pi]
+                            and (hi is None or hi > lo)
+                            and set(_alts) & cep_greedy
+                            and take < len(takes)
+                            and takes[take][0][0] == nxt
+                        ):
+                            # r12 — greedy() PROCEED guard
+                            # (CEPITCase:1049): leaving the loop AT a
+                            # row that would extend it is forbidden;
+                            # a shorter take is legal only when an
+                            # ignore row separates it from the next
+                            # take. Batch = compiled DEFINE conjuncts.
+                            continue
                         na = {v: list(ix) for v, ix in assign.items()}
                         for rep in takes[:take]:
                             for j, v in rep:
                                 na.setdefault(v, []).append(j)
-                        nxt = takes[take - 1][-1][0] + 1 if take else ri
                         if rec(pi + 1, nxt, na):
                             found = True
                             if not elem_enum[pi]:
@@ -1626,7 +1669,14 @@ def streaming_match_recognize(
             use_new = has_enum or has_ignore
             while pos < n_eval:
                 horizon_final = (
-                    within_us is not None and wm_us > ts[pos] + within_us
+                    # r12: >= — the within scope is RIGHT-EXCLUSIVE
+                    # (ts < start + h), so at wm == start + h every
+                    # in-scope row is certified and no future arrival
+                    # (ts > wm) can be in scope; waiting for wm STRICTLY
+                    # past the horizon made decidability depend on
+                    # whether a certified row happened to sit exactly AT
+                    # the border (slicing-dependent)
+                    within_us is not None and wm_us >= ts[pos] + within_us
                     # NEXT: the last within-horizon row's successors must
                     # themselves be certified before the verdict is final
                     and horizon_rows(pos) + max_next <= n_cert
@@ -1715,8 +1765,17 @@ def streaming_match_recognize(
             state.update(tuple(keep))
             if pending_ts:
                 wm_ms = wm_us // 1000
+                # Fire at the FIRST watermark >= the pending horizon
+                # (r12 — the horizon-final rule is wm >= start+h, the
+                # within scope being right-exclusive). Spark event-time
+                # timeouts fire only when the watermark advances BEYOND
+                # the set timestamp, so set ceil(horizon_ms) - 1; the
+                # old floor+1ms overshot a round horizon by one tick —
+                # a start decidable exactly AT the final watermark then
+                # emitted only if some OTHER pending start's earlier
+                # timer happened to wake the group (slicing-dependent).
                 state.setTimeoutTimestamp(
-                    max(min(pending_ts) // 1000 + 1, wm_ms + 1)
+                    max((min(pending_ts) + 999) // 1000 - 1, wm_ms + 1)
                 )
             # context-only state (everything decided, nav tail retained)
             # needs no timer: it only matters when new rows arrive.

@@ -652,12 +652,16 @@ def streaming_cep_timeout(stream: DataFrame, window_us: int) -> DataFrame:
             nxt = np.searchsorted(pe, c_eps, side="right")
             hit = np.full(len(c_eps), False)
             in_range = nxt < len(pe)
+            # strictly INSIDE the window (r12 — NFA.isStateTimedOut at
+            # >= deadline: a purchase exactly AT click + window loses to
+            # the timeout and does not kill)
             hit[in_range] = (
-                pe[nxt[in_range]] <= c_eps[in_range] + window_us
+                pe[nxt[in_range]] < c_eps[in_range] + window_us
             )
             c_ids, c_eps = c_ids[~hit], c_eps[~hit]
         wm_us = state.getCurrentWatermarkMs() * 1000
-        expired = c_eps + window_us < wm_us
+        # r12: wm >= deadline times out (NFA.isStateTimedOut at >=)
+        expired = c_eps + window_us <= wm_us
         out = pd.DataFrame(
             {
                 "user_id": np.full(
@@ -678,7 +682,8 @@ def streaming_cep_timeout(stream: DataFrame, window_us: int) -> DataFrame:
             candidates = [int(c_eps.min())] if len(c_eps) else []
             if len(pe):
                 candidates.append(int(pe.min()))
-            deadline_ms = int((min(candidates) + window_us) // 1000) + 1
+            # fire at the first wm >= deadline (Spark fires at wm > timer)
+            deadline_ms = int((min(candidates) + window_us + 999) // 1000) - 1
             state.setTimeoutTimestamp(
                 max(deadline_ms, state.getCurrentWatermarkMs() + 1)
             )
@@ -1104,9 +1109,12 @@ def streaming_absence_timeout(stream: DataFrame, window_us: int) -> DataFrame:
                 nxt = np.searchsorted(p_eps, c_eps, side="right")
                 in_r = nxt < len(p_eps)
                 hit = np.zeros(len(c_eps), dtype=bool)
-                hit[in_r] = p_eps[nxt[in_r]] <= c_eps[in_r] + window_us
+                # strictly INSIDE the window (r12 — see
+                # streaming_cep_timeout: at-deadline loses to timeout)
+                hit[in_r] = p_eps[nxt[in_r]] < c_eps[in_r] + window_us
                 live = ~hit
-            expired = live & (c_eps + window_us < wm_us)
+            # r12: wm >= deadline times out (NFA.isStateTimedOut at >=)
+            expired = live & (c_eps + window_us <= wm_us)
             for ci in np.flatnonzero(expired):
                 out_u.append(int(u[i]))
                 out_id.append(int(ids[c_sel[ci]]))
@@ -1129,7 +1137,7 @@ def streaming_absence_timeout(stream: DataFrame, window_us: int) -> DataFrame:
             ))
             if deadlines:
                 state.setTimeoutTimestamp(max(
-                    min(deadlines) // 1000 + 1,
+                    (min(deadlines) + 999) // 1000 - 1,  # fire at wm >= deadline
                     state.getCurrentWatermarkMs() + 1,
                 ))
         elif state.exists:

@@ -3546,3 +3546,188 @@ def test_same_element_itcase_remaining(spark):
         (1, 21, 21, 30, 24), (3, 21, 23, None, 24),
         (2, 21, 22, 30, 24), (3, 21, 23, 30, 24),
     ], key=str)
+
+
+def test_pattern_api_validation_suite(spark):
+    """PatternTest.java validation tier (r12) — the reference Pattern
+    API's malformed-pattern rejects, reproduced verbatim:
+
+    :193/:198 negative times arguments (Quantifier.Times from > 0,
+    to >= from; Pattern.times(0, m) is legal — rewritten to an OPTIONAL
+    quantifier with from=1 before the check);
+    :203-:227 a quantifier can be specified once;
+    :233-:279 negative patterns (notNext/notFollowedBy) take no
+    quantifier;
+    :289 until() applies to LOOPING quantifiers only (oneOrMore /
+    timesOrMore — an exact or ranged times() has the TIMES property);
+    :295 until() needs a quantifier; :301 only one until()."""
+    base = lambda: Pattern.begin("A").where("TRUE")  # noqa: E731
+    # :193 / :198 — plus the legal from==0 rewrite and to < from
+    with pytest.raises(CepError, match="greater than 0"):
+        base().times(-1)
+    with pytest.raises(CepError, match="greater than 0"):
+        base().times(-1, 2)
+    with pytest.raises(CepError, match="greater than or equal to from"):
+        base().times(2, 1)
+    with pytest.raises(CepError, match="greater than or equal to from"):
+        base().times(0, 0)
+    with pytest.raises(CepError, match="greater than 0"):
+        base().times(0)
+    with pytest.raises(CepError, match="greater than 0"):
+        base().times_or_more(0)
+    base().times(0, 2)  # legal: optional times(1..2)
+    # :203-:227 — quantifier once
+    for fn in [
+        lambda: base().one_or_more().one_or_more().optional(),
+        lambda: base().one_or_more().optional().times(1),
+        lambda: base().times(1).one_or_more(),
+        lambda: base().one_or_more().one_or_more(),
+    ]:
+        with pytest.raises(CepError, match="already has a quantifier"):
+            fn()
+    # :233-:279 — no quantifiers on negative patterns
+    for neg in ["not_next", "not_followed_by"]:
+        for q in [
+            lambda p: p.one_or_more(),
+            lambda p: p.times(3),
+            lambda p: p.optional(),
+        ]:
+            with pytest.raises(CepError, match="negative patterns"):
+                q(getattr(base(), neg)("N").where("TRUE"))
+    # :289 / :295 / :301 — until() placement
+    with pytest.raises(CepError, match="only applicable to looping"):
+        base().times(1).until("TRUE")
+    with pytest.raises(CepError, match="only applicable to looping"):
+        base().times(2, 4).until("TRUE")
+    base().times_or_more(2).until("v > 1")  # legal: LOOPING
+    with pytest.raises(CepError, match="until"):
+        base().until("TRUE")
+    with pytest.raises(CepError, match="Only one until"):
+        base().one_or_more().until("v > 1").until("v > 2")
+
+
+def test_nfatest_window_borders(spark):
+    """NFATest.java harvest (r12) — the hand-built start->end NFA and
+    the window-border semantics, reproduced verbatim via the Pattern
+    API (the reference builds the same automaton by hand:
+    createStartEndNFA = start TAKE, end TAKE + TRUE-ignore = relaxed
+    followedBy):
+
+    :50 testSimpleNFA (no window: both starts reach the shared end);
+    :94 testTimeoutWindowPruningWithinFirstAndLast (window 2ms: the
+    3ms-spanning match is pruned);
+    :120 testTimeoutWindowPruningWithinPreviousAndNext (the 2ms gap
+    window binds per transition);
+    :158 testWindowBorders (span == window is NOT a match — the right
+    window side is exclusive, NFA.isStateTimedOut at >=);
+    :180 testTimeoutWindowPruningWindowBorders (pruning uses the same
+    left-inclusive/right-exclusive rule)."""
+    MS = 1_000  # micros per ms — NFATest timestamps are millis
+    m = {"s": "LAST(ST.event_id)", "e": "LAST(E.event_id)"}
+
+    def pat(within=None, within_type="FIRST_AND_LAST"):
+        p = (Pattern.begin("ST").where("name = 'start'")
+             .followed_by("E").where("name = 'end'"))
+        if within is not None:
+            return p.within(within, "milliseconds", within_type)
+        return p
+
+    # :50 — start bar start end, no window
+    rows = [(1, 1, "start", 1 * MS), (1, 2, "bar", 2 * MS),
+            (1, 3, "start", 3 * MS), (1, 4, "end", 4 * MS)]
+    assert _run_cep(spark, rows, pat(), m) == [(1, 4), (3, 4)]
+    # :94 — window 2ms: (1, 4) spans 3ms -> pruned
+    assert _run_cep(spark, rows, pat(2), m) == [(3, 4)]
+    # :120 — PREVIOUS_AND_CURRENT 2ms gap
+    rows2 = [(1, 1, "start", 1 * MS), (1, 2, "end", 2 * MS),
+             (1, 3, "start", 3 * MS), (1, 4, "end", 6 * MS),
+             (1, 5, "start", 7 * MS), (1, 6, "end", 8 * MS)]
+    assert _run_cep(
+        spark, rows2, pat(2, "PREVIOUS_AND_CURRENT"), m
+    ) == [(1, 2), (5, 6)]
+    # :158 — span == window: excluded (right side exclusive)
+    rows3 = [(1, 1, "start", 1 * MS), (1, 2, "end", 3 * MS)]
+    assert _run_cep(spark, rows3, pat(2), m) == []
+    # :180 — same border rule for pruning: only (2, 4) survives
+    rows4 = [(1, 1, "start", 1 * MS), (1, 2, "start", 2 * MS),
+             (1, 3, "foobar", 3 * MS), (1, 4, "end", 3 * MS + 1)]
+    assert _run_cep(spark, rows4, pat(2), m) == [(2, 4)]
+
+
+def test_time_window_border_first_and_last(spark):
+    """NFAITCase.java:279 testSimplePatternWithTimeWindowNFAWithin-
+    FirstAndLast (r12 — previously only the :317 PREVIOUS_AND_CURRENT
+    twin was pinned): the fixture puts end@11 exactly at start1@1 + the
+    10ms window, pinning the EXCLUSIVE right border (this pin exposed
+    and now guards the r12 _limit fix — the batch WITHIN used
+    searchsorted 'right', admitting span == window)."""
+    MS = 1_000
+    rows = [(1, 1, "start", 1 * MS), (1, 2, "start", 2 * MS),
+            (1, 3, "middle", 3 * MS), (1, 4, "foobar", 4 * MS),
+            (1, 5, "end", 11 * MS), (1, 6, "end", 13 * MS)]
+    p = (Pattern.begin("ST").where("name = 'start'")
+         .followed_by("M").where("name = 'middle'")
+         .followed_by("E").where("name = 'end'")
+         .within(10, "milliseconds"))
+    m = {"s": "LAST(ST.event_id)", "mm": "LAST(M.event_id)",
+         "e": "LAST(E.event_id)"}
+    assert _run_cep(spark, rows, p, m) == [(2, 3, 5)]
+
+
+def test_cepitcase_scenarios(spark):
+    """CEPITCase harvest (r12) — the DataStream-level scenarios whose
+    semantic content is portable:
+
+    :1049 testPartialMatchTimeoutOutputCompletedMatch — a GREEDY
+    consecutive head loop never backtracks to a shorter take: starts
+    whose maximal run fails the next element's bind-count-switching
+    condition fail ENTIRELY (expected single match '3,5' — the start1/
+    start2 anchors with viable 2-run sub-matches do NOT emit);
+    :705 testSimplePatternEventTimeWithComparator — the EventComparator
+    is a secondary sort: same-timestamp events order by price (the
+    engine's extra ORDER BY columns), and both same-ts middles match
+    under followedByAny."""
+    MS = 1_000
+    # :1049
+    rows = [(1, 1, "start", 1.0, 0), (1, 2, "start", 2.0, 1 * MS),
+            (1, 3, "start", 3.0, 2 * MS), (1, 4, "start", 4.0, 3 * MS),
+            (1, 5, "end", 5.0, 4 * MS)]
+    p = (Pattern.begin("ST").where("name = 'start'")
+         .one_or_more().consecutive().greedy()
+         .followed_by("M")
+         .where("(COUNT(ST.ep) > 2 AND name = 'middle') OR "
+                "(COUNT(ST.ep) <= 2 AND name = 'end')")
+         .within(100, "milliseconds"))
+    m = {"fs": "FIRST(ST.event_id)", "mm": "LAST(M.event_id)"}
+    df1049 = spark.createDataFrame(
+        rows, "k long, event_id long, name string, price double, ep long"
+    )
+    out1049 = cep_select(
+        spark, df1049, p, "k", "ep, event_id", m,
+        skip="SKIP PAST LAST ROW",
+    )
+    assert sorted(
+        (r.fs, r.mm) for r in out1049.collect()
+    ) == [(3, 5)]
+    # without the skip strategy: starts s3 and s4 both emit (their
+    # maximal runs reach e5 with count <= 2) — s1/s2 still fail
+    # entirely (greedy never backtracks to their viable 2-runs)
+    assert _run_cep_priced(spark, rows, p, m) == [(3, 5), (4, 5)]
+    # :705 — comparator = secondary ORDER BY price; ts in ms
+    rows2 = [(1, 1, "start", 1.0, 5 * MS), (1, 2, "middle", 2.0, 1 * MS),
+             (1, 3, "end", 3.0, 3 * MS), (1, 4, "end", 4.0, 10 * MS),
+             (1, 5, "middle", 6.0, 7 * MS), (1, 6, "middle", 5.0, 7 * MS),
+             (1, 7, "middle", 5.0, 100 * MS)]
+    p2 = (Pattern.begin("ST").where("name = 'start'")
+          .followed_by_any("M").where("name = 'middle'")
+          .followed_by_any("E").where("name = 'end'"))
+    df = spark.createDataFrame(
+        rows2, "k long, event_id long, name string, price double, ep long"
+    )
+    out = cep_select(
+        spark, df, p2, "k", "ep, price, event_id",
+        {"s": "LAST(ST.event_id)", "mm": "LAST(M.event_id)",
+         "e": "LAST(E.event_id)"},
+    )
+    got = sorted((r.s, r.mm, r.e) for r in out.collect())
+    assert got == [(1, 5, 4), (1, 6, 4)]
