@@ -521,12 +521,38 @@ def _parse_measures(meas: str):
             if mv:
                 out.append(("COUNT", mv.group(1), None, alias, sem))
                 continue
-        mv = re.match(r"^(\w+)\.(\w+)$", inner)
+            # COUNT(V.col) / COUNT(col): NON-NULL count over the
+            # variable's (or the universal variable's) rows — SQL
+            # standard (r12, flink-table batch MatchRecognizeITCase
+            # testAggregatesWithNullInputs: COUNT(A.price) skips the
+            # null-priced binds, COUNT(price) the null rows anywhere)
+            mv = re.match(r"^(?:(\w+)\s*\.\s*)?(\w+)$", inner)
+            if mv:
+                out.append(
+                    ("COUNT", mv.group(1), mv.group(2), alias, sem)
+                )
+                continue
+        # qualified/unqualified column, optional logical offset (r12 —
+        # flink-table batch MatchRecognizeITCase testLogicalOffsets /
+        # ...WithStarVariable): FIRST/LAST(V.col, n) navigates V's
+        # binds, FIRST/LAST(col, n) the UNIVERSAL variable (the whole
+        # match). Offsets ride the kind as 'FIRST@n'; var=None marks
+        # the universal variable (aggregates too: SUM(col) = over every
+        # matched row).
+        mv = re.match(
+            r"^(?:(\w+)\s*\.\s*)?(\w+)(?:\s*,\s*(\d+))?$", inner
+        )
         if not mv:
             raise MatchRecognizeError(
                 f"unsupported {agg} argument in MEASURES: {inner!r}"
             )
-        out.append((agg, mv.group(1), mv.group(2), alias, sem))
+        var, col, off = mv.group(1), mv.group(2), mv.group(3)
+        if off is not None and agg not in ("FIRST", "LAST"):
+            raise MatchRecognizeError(
+                f"{agg} takes no logical offset in MEASURES: {inner!r}"
+            )
+        kind = f"{agg}@{int(off)}" if off and int(off) else agg
+        out.append((kind, var, col, alias, sem))
     return out
 
 
@@ -544,6 +570,18 @@ def _nav_col(fn: str, col: str, n: int) -> str:
 _BIND_RE = re.compile(
     r"\b(?P<fn>LAST|FIRST)\s*\(\s*(?P<var>\w+)\s*\.\s*(?P<col>\w+)\s*"
     r"(?:,\s*(?P<n>\d+)\s*)?\)",
+    re.I,
+)
+
+#: UNQUALIFIED navigation — the SQL-standard UNIVERSAL row pattern
+#: variable (r12 — flink-table batch MatchRecognizeITCase
+#: testLogicalOffsetsWithStarVariable): ``LAST(price, 1)`` without a
+#: variable prefix navigates the rows of the WHOLE match (in DEFINE:
+#: the rows matched so far plus the current candidate as the last row).
+#: The single-word argument cannot match a qualified form (the dot
+#: breaks the regex), so this runs safely after _BIND_RE.
+_UBIND_RE = re.compile(
+    r"\b(?P<fn>LAST|FIRST)\s*\(\s*(?P<col>\w+)\s*(?:,\s*(?P<n>\d+)\s*)?\)",
     re.I,
 )
 
@@ -740,7 +778,9 @@ class _ThreeVL(ast.NodeTransformer):
 
 
 def _compile_3vl(pyexpr: str, filename: str):
-    tree = ast.parse(pyexpr, mode="eval")
+    # multi-line DEFINE clauses reach here with embedded newlines —
+    # wrap in parens so eval-mode parsing accepts them (r12)
+    tree = ast.parse(f"({pyexpr})", mode="eval")
     tree = _ThreeVL().visit(tree)
     ast.fix_missing_locations(tree)
     return compile(tree, filename, "eval")
@@ -801,7 +841,7 @@ def _sql_pred_to_python(expr: str, columns, var_msg: str) -> str:
         if name.startswith("__mr_"):  # PREV/NEXT nav alias column
             return f'__row("{name}")'
         if name in (
-            "__bind", "__row", "__bagg", "__like", "__NULL",
+            "__bind", "__row", "__bagg", "__ubind", "__like", "__NULL",
             "__coalesce",
         ) or name in (
             "and", "or", "not", "is", "True", "False", "None", "abs",
@@ -887,6 +927,7 @@ def _parse_defines(
         is_cross = (
             bool(_BIND_RE.search(stripped))
             or bool(_BIND_AGG_RE.search(stripped))
+            or bool(_UBIND_RE.search(stripped))
             or any(
                 re.search(rf"\b{other}\s*\.", stripped)
                 for other in variables - {var}
@@ -929,9 +970,21 @@ def _parse_defines(
                 f"{incl})"
             )
 
+        def ubind_sub(bm: re.Match) -> str:
+            col = bm.group("col")
+            if col not in columns:
+                raise MatchRecognizeError(
+                    f"DEFINE {var}: {bm.group('fn')}({col}, ...) "
+                    "navigates the universal variable but "
+                    f"{col!r} is not an input column"
+                )
+            n = int(bm.group("n") or 0)
+            return f'__ubind("{col}", "{bm.group("fn").upper()}", {n})'
+
         def rewrite_binds(seg: str) -> str:
             seg = _BIND_AGG_RE.sub(agg_sub, seg)
             seg = _BIND_RE.sub(bind_sub, seg)
+            seg = _UBIND_RE.sub(ubind_sub, seg)
             # Bare other-variable reference = LAST(V.col) (SQL standard).
             for other in variables - {var}:
                 seg = re.sub(
@@ -971,35 +1024,62 @@ def _emit_measures(
             continue
         if kind == "COUNT":
             if var is None:
-                vals.append(
-                    sum(len(_vis(v, sem)) for v in assign.values())
-                )
+                idxs = sorted({i for ix in assign.values() for i in ix})
             else:
-                vals.append(len(_vis(assign.get(var, []), sem)))
+                idxs = assign.get(var, [])
+            idxs = _vis(idxs, sem)
+            if col is None:
+                vals.append(len(idxs))
+            else:
+                # COUNT(V.col)/COUNT(col): non-null values only (r12)
+                a = arr[col]
+                vals.append(sum(
+                    1 for i in idxs
+                    if a[i] is not None and a[i] == a[i]
+                ))
             continue
-        idxs = _vis(assign.get(var, []), sem)
+        if var is None:
+            # UNIVERSAL variable (r12): every matched row, stream order
+            uni = sorted({i for ix in assign.values() for i in ix})
+            idxs = _vis(uni, sem)
+        else:
+            idxs = _vis(assign.get(var, []), sem)
+        base, _, offs = kind.partition("@")
+        off = int(offs) if offs else 0
         if not idxs:
             vals.append(None)
             continue
         a = arr[col]
-        if kind == "FIRST":
-            vals.append(a[idxs[0]])
-        elif kind == "LAST":
-            vals.append(a[idxs[-1]])
-        elif kind == "SUM":
-            vals.append(a[idxs].sum())
-        elif kind == "MIN":
-            vals.append(a[idxs].min())
-        elif kind == "MAX":
-            vals.append(a[idxs].max())
-        elif kind == "AVG":
-            vals.append(float(a[idxs].mean()))
+        if base == "FIRST":
+            vals.append(a[idxs[off]] if off < len(idxs) else None)
+        elif base == "LAST":
+            k = len(idxs) - 1 - off
+            vals.append(a[idxs[k]] if k >= 0 else None)
+        else:
+            # SQL aggregates skip NULLs (r12 — testAggregatesWithNull
+            # Inputs: SUM over a null-holding column sums the non-null
+            # values; an int column with nulls arrives as float + NaN)
+            nn = [
+                a[i] for i in idxs
+                if a[i] is not None and a[i] == a[i]
+            ]
+            if not nn:
+                vals.append(None)
+            elif base == "SUM":
+                vals.append(sum(nn))
+            elif base == "MIN":
+                vals.append(min(nn))
+            elif base == "MAX":
+                vals.append(max(nn))
+            elif base == "AVG":
+                vals.append(float(sum(nn)) / len(nn))
 
 
 _SUM_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
 
 def _measure_sql_type(kind: str, col_type: str | None) -> str:
+    kind = kind.partition("@")[0]  # r12: FIRST@n/LAST@n offset forms
     if kind == "CLASSIFIER":
         return "string"
     if kind in ("COUNT", "MATCH_NUMBER"):
@@ -1279,6 +1359,8 @@ def compile_match_recognize(
     cross_cols = sorted(
         {c for code in cross_codes.values()
          for c in re.findall(r'__(?:row|bind|bagg)\("(?:\w+", ")?(\w+)"', code)}
+        | {c for code in cross_codes.values()
+           for c in re.findall(r'__ubind\("(\w+)"', code)}
     )
 
     def run_partition(batches):
@@ -1384,8 +1466,20 @@ def compile_match_recognize(
                     return max(vals)
                 return sum(vals) / len(vals)  # AVG
 
+            def __ubind(col, fn, off):
+                # UNIVERSAL variable navigation (r12): the match's rows
+                # so far in stream order, candidate last; offsets out of
+                # range yield SQL NULL
+                rows = sorted(i for ix in binds.values() for i in ix)
+                rows.append(j)
+                k = (len(rows) - 1 - off) if fn == "LAST" else off
+                if k < 0 or k >= len(rows):
+                    return _NULL
+                x = pred_arr[col][rows[k]]
+                return _NULL if x is None or x != x else x
+
             eval_g["__row"], eval_g["__bind"] = __row, __bind
-            eval_g["__bagg"] = __bagg
+            eval_g["__bagg"], eval_g["__ubind"] = __bagg, __ubind
             try:
                 res = eval(  # noqa: S307 - compiled from the validated subset
                     cross_fns[v], eval_g,

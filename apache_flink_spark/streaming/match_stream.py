@@ -648,6 +648,7 @@ def streaming_match_recognize(
     cross_cols = sorted(
         {c for code in cross_codes.values()
          for c in re.findall(r'__(?:row|bind|bagg)\("(?:\w+", ")?(\w+)"', code)
+         + re.findall(r'__ubind\("(\w+)"', code)
          if not c.startswith("__mr_")}
         | {col for col, _n in nav_prev.values()}
         | {col for col, _n in nav_next.values()}
@@ -1054,8 +1055,20 @@ def streaming_match_recognize(
                         return max(vals)
                     return sum(vals) / len(vals)  # AVG
 
+                def __ubind(col, fn, off):
+                    # UNIVERSAL variable navigation (r12): the match's
+                    # rows so far in stream order, candidate last
+                    rows = sorted(i for ix in binds.values() for i in ix)
+                    rows.append(j)
+                    k = (len(rows) - 1 - off) if fn == "LAST" else off
+                    if k < 0 or k >= len(rows):
+                        return _NULL
+                    x = arr[col][rows[k]]
+                    return _NULL if x is None or x != x else x
+
                 _EVAL_G["__row"], _EVAL_G["__bind"] = __row, __bind
                 _EVAL_G["__bagg"] = __bagg
+                _EVAL_G["__ubind"] = __ubind
                 try:
                     res = eval(  # noqa: S307 - compiled validated subset
                         cross_fns[v], _EVAL_G,

@@ -686,3 +686,149 @@ def test_permute_mixed_and_quantified(spark):
     )
     got2 = sorted((r.n_a, r.first_a) for r in out2.collect())
     assert got2 == [(2, 1)], got2
+
+
+def test_sql_mr_itcase_batch_tier(spark):
+    """flink-table batch MatchRecognizeITCase harvest (r12) — the SQL
+    MATCH_RECOGNIZE surface's distinctive scenarios, reproduced
+    verbatim (flink-table-planner .../runtime/batch/sql/
+    MatchRecognizeITCase.java):
+
+    :161 testTimeConstraint — WITHIN '1' MINUTE: the 58s-spanning
+    triple matches, the 61s one does not (and the right border is
+    exclusive — the r12 strict-within pin at the SQL surface);
+    :210 testSimplePatternWithNulls — NULL columns navigate as SQL
+    NULL: LAST(A.nullField) IS NULL holds inside DEFINE, null measures
+    emit as NULL;
+    :506 testLogicalOffsets (offset subset) — LAST(DOWN.price, 1)
+    DEFINE navigation + FIRST/LAST(DOWN.tstamp) measures (the
+    expression measures of the reference query are exercised by the
+    UP-total check in :604's engine probe instead — expression
+    MEASURES stay unsupported);
+    :604 testLogicalOffsetsWithStarVariable — the UNIVERSAL row
+    pattern variable: FIRST/LAST(col, n) without a variable prefix
+    navigates the WHOLE match, in MEASURES and in DEFINE (new in r12);
+    :666 testLogicalOffsetOutsideOfRangeInMeasures — an offset past
+    the variable's bind count measures NULL;
+    :789 testAggregatesWithNullInputs — COUNT(A.id)/COUNT(A.price)
+    count NON-NULL values only, COUNT(*) counts rows, COUNT(price)
+    counts non-null over the whole match, SUM skips NULLs (new in
+    r12: column-argument COUNT)."""
+    # :161 — seconds as epoch-MICROS BIGINT order key (the engine's
+    # WITHIN time axis)
+    S = 1_000_000
+    rows = [(1, 1, "z", 1 * S), (1, 2, "a", 2 * S), (1, 3, "b", 30 * S),
+            (1, 4, "c", 60 * S), (1, 5, "x", 100 * S),
+            (1, 6, "a", 101 * S), (1, 7, "b", 131 * S),
+            (1, 8, "c", 162 * S), (1, 9, "z", 200 * S)]
+    spark.createDataFrame(
+        rows, "k int, id int, name string, ts bigint"
+    ).createOrReplaceTempView("mr_tc")
+    out = sql_with_match_recognize(spark, """
+        SELECT * FROM mr_tc MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts
+          MEASURES A.id AS aid, B.id AS bid, C.id AS cid
+          PATTERN (A B C) WITHIN INTERVAL '1' MINUTE
+          DEFINE A AS name = 'a', B AS name = 'b', C AS name = 'c'
+        )""")
+    assert sorted((r.aid, r.bid, r.cid) for r in out.collect()) == [
+        (2, 3, 4),
+    ]
+    # :210 — NULL field navigation
+    rows2 = [(1, i, n, None, i * 1000) for i, n in
+             [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, None),
+              (6, "a"), (7, "b"), (8, "c"), (9, None)]]
+    spark.createDataFrame(
+        rows2, "k int, id int, name string, nullField string, ts bigint"
+    ).createOrReplaceTempView("mr_nulls")
+    out2 = sql_with_match_recognize(spark, """
+        SELECT * FROM mr_nulls MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts
+          MEASURES A.id AS aid, LAST(B.nullField) AS bNull,
+                   C.id AS cid, A.nullField AS aNull
+          PATTERN (A B C)
+          DEFINE A AS name = 'a' AND nullField IS NULL,
+                 B AS name = 'b' AND LAST(A.nullField) IS NULL,
+                 C AS name = 'c'
+        )""")
+    assert sorted(
+        (r.aid, r.bNull, r.cid, r.aNull) for r in out2.collect()
+    ) == [(1, None, 3, None), (6, None, 8, None)]
+    # :506 (offset subset) + :666 — shared Ticker fixture
+    rows3 = [(1, "ACME", 1, 19, 1), (1, "ACME", 2, 17, 2),
+             (1, "ACME", 3, 13, 3), (1, "ACME", 4, 20, 4)]
+    spark.createDataFrame(
+        rows3, "k int, symbol string, tstamp bigint, price int, tax int"
+    ).createOrReplaceTempView("mr_ticker4")
+    out3 = sql_with_match_recognize(spark, """
+        SELECT * FROM mr_ticker4 MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY tstamp
+          MEASURES FIRST(DOWNV.price) AS fp, LAST(DOWNV.price) AS lp,
+                   FIRST(DOWNV.price, 5) AS nullPrice,
+                   FIRST(DOWNV.tstamp) AS start_t,
+                   LAST(DOWNV.tstamp) AS bottom_t, UP.tstamp AS end_t
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWNV{2,} UP)
+          DEFINE DOWNV AS price < LAST(DOWNV.price, 1)
+                        OR LAST(DOWNV.price, 1) IS NULL,
+                 UP AS price > LAST(DOWNV.price)
+        )""")
+    assert [
+        (r.fp, r.lp, r.nullPrice, r.start_t, r.bottom_t, r.end_t)
+        for r in out3.collect()
+    ] == [(19, 13, None, 1, 3, 4)]
+    # :604 — universal (star) variable navigation, verbatim
+    rows4 = [(1, i, "ACME", i * 1000, p) for i, p in
+             [(1, 20), (2, 19), (3, 18), (4, 17), (5, 16), (6, 15),
+              (7, 14), (8, 20)]]
+    spark.createDataFrame(
+        rows4, "k int, id int, symbol string, ts bigint, price int"
+    ).createOrReplaceTempView("mr_star")
+    meas = ", ".join(
+        [f"FIRST(id, {n}) AS id{n}" for n in range(8)]
+        + [f"LAST(id, {n}) AS id{8 + n}" for n in range(8)]
+    )
+    out4 = sql_with_match_recognize(spark, f"""
+        SELECT * FROM mr_star MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts
+          MEASURES {meas}
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWNV{{2,}} UP)
+          DEFINE DOWNV AS price < LAST(price, 1)
+                        OR LAST(price, 1) IS NULL,
+                 UP AS price = FIRST(price) AND price > FIRST(price, 3)
+                       AND price = LAST(price, 7)
+        )""")
+    got4 = [tuple(r)[1:] for r in out4.collect()]
+    assert got4 == [(1, 2, 3, 4, 5, 6, 7, 8, 8, 7, 6, 5, 4, 3, 2, 1)]
+    # :789 — null-skipping COUNT/SUM aggregates
+    rows5 = [(1, 1, "a", 10, 1000), (1, 2, "z", 10, 2000),
+             (1, 3, "b", None, 3000), (1, 4, "c", None, 4000),
+             (1, 5, "d", 3, 5000), (1, 6, "c", 3, 6000),
+             (1, 7, "c", 3, 7000), (1, 8, "c", 3, 8000),
+             (1, 9, "c", 2, 9000)]
+    spark.createDataFrame(
+        rows5, "k int, id int, name string, price int, ts bigint"
+    ).createOrReplaceTempView("mr_aggnull")
+    out5 = sql_with_match_recognize(spark, """
+        SELECT * FROM mr_aggnull MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts
+          MEASURES SUM(A.price) AS sumA, COUNT(A.id) AS countAId,
+                   COUNT(A.price) AS countAPrice, COUNT(*) AS countAll,
+                   COUNT(price) AS countAllPrice, LAST(id) AS endId
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A+ C)
+          DEFINE A AS SUM(A.price) < 30, C AS C.name = 'c'
+        )""")
+    assert [
+        (r.sumA, r.countAId, r.countAPrice, r.countAll,
+         r.countAllPrice, r.endId)
+        for r in out5.collect()
+    ] == [(29, 7, 5, 8, 6, 8)]
