@@ -3731,3 +3731,73 @@ def test_cepitcase_scenarios(spark):
     )
     got = sorted((r.s, r.mm, r.e) for r in out.collect())
     assert got == [(1, 5, 4), (1, 6, 4)]
+
+
+def test_cepitcase_portable_tier(spark):
+    """CEPITCase portable tier (r12) — the remaining DataStream-level
+    scenarios whose semantic content ports to the batch engine
+    (processing-time runs are arrival-order runs; the select/flatSelect
+    mechanics are the measures projection):
+
+    :91 testSimplePatternCEP — subtype middle (price > 3 discriminates
+    the SubEvents here) under followedByAny: single match 2,6,8;
+    :374 testSimplePatternWithSingleState — a one-variable pattern
+    emits one match per qualifying row;
+    :644 testSimpleOrFilterPatternCEP — or() filters (Pattern.java
+    or(): the acceptance is the disjunction) across two starts;
+    :796 testSimpleAfterMatchSkip — skipPastLastEvent over times(2)
+    on a run of four: matches at rows 1 and 3.
+
+    n/a (documented): :408/:413 processing-time within (wall-clock
+    nondeterminism is the point of those tests), :841/:923/:1019
+    Rich-function/serialization mechanics, :450/:544 timeout handling
+    (pinned at the NFA level — NFAITCase:357/:435 verbatim ports)."""
+    # :91 — SubEvents are the rows with sub=1; middle = sub AND name
+    rows = [(1, 1, "barfoo", 0, 1 * S), (1, 2, "start", 0, 2 * S),
+            (1, 3, "foobar", 0, 3 * S), (1, 4, "foo", 1, 4 * S),
+            (1, 5, "middle", 0, 5 * S), (1, 6, "middle", 1, 6 * S),
+            (1, 7, "bar", 1, 7 * S), (1, 42, "42", 0, 8 * S),
+            (1, 8, "end", 0, 9 * S)]
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, name string, sub long, ep long"
+    )
+    p = (Pattern.begin("ST").where("name = 'start'")
+         .followed_by_any("M").where("name = 'middle' AND sub = 1")
+         .followed_by_any("E").where("name = 'end'"))
+    out = cep_select(
+        spark, df, p, "k", "ep",
+        {"s": "LAST(ST.event_id)", "m": "LAST(M.event_id)",
+         "e": "LAST(E.event_id)"},
+    )
+    assert sorted((r.s, r.m, r.e) for r in out.collect()) == [(2, 6, 8)]
+    # :374 — single-state pattern
+    rows2 = [(1, 1, "one", 1 * S), (1, 2, "two", 2 * S)]
+    p2 = Pattern.begin("ST").where("name = 'one'")
+    assert _run_cep(spark, rows2, p2, {"s": "LAST(ST.event_id)"}) == [
+        (1,),
+    ]
+    # :644 — or() filter on the middle
+    rows3 = [(1, 1, "start", 1.0, 1 * S), (1, 2, "middle", 2.0, 2 * S),
+             (1, 3, "end", 3.0, 3 * S), (1, 4, "start", 4.0, 4 * S),
+             (1, 5, "middle", 5.0, 5 * S), (1, 6, "end", 6.0, 6 * S)]
+    p3 = (Pattern.begin("ST").where("name = 'start'")
+          .followed_by_any("M").where("price = 2.0").or_where("price = 5.0")
+          .followed_by_any("E").where("name = 'end'"))
+    m3 = {"s": "LAST(ST.event_id)", "m": "LAST(M.event_id)",
+          "e": "LAST(E.event_id)"}
+    assert _run_cep_priced(spark, rows3, p3, m3) == sorted([
+        (1, 5, 6), (1, 2, 3), (4, 5, 6), (1, 2, 6),
+    ], key=str)
+    # :796 — skipPastLastEvent over times(2) on [a a a a]
+    rows4 = [(1, 1, "a", 1 * S), (1, 2, "a", 2 * S),
+             (1, 3, "a", 3 * S), (1, 4, "a", 4 * S)]
+    p4 = Pattern.begin("ST").where("name = 'a'").times(2)
+    df4 = spark.createDataFrame(
+        rows4, "k long, event_id long, name string, ep long"
+    )
+    out4 = cep_select(
+        spark, df4, p4, "k", "ep",
+        {"f": "FIRST(ST.event_id)"},
+        skip="SKIP PAST LAST ROW",
+    )
+    assert sorted(r.f for r in out4.collect()) == [1, 3]
