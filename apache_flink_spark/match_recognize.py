@@ -118,7 +118,7 @@ _WITHIN_UNIT_US = {
 
 _MEASURE_RE = re.compile(
     r"^(?:(?P<sem>RUNNING|FINAL)\s+)?"
-    r"(?:(?P<fn>CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)"
+    r"(?:(?P<fn>CLASSIFIER|MATCH_NUMBER|MATCH_ROWTIME)\s*\(\s*\)"
     r"|(?P<agg>FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?P<inner>[^)]*?)\s*\)"
     r"|(?P<var>\w+)\.(?P<col>\w+))\s+AS\s+(?P<alias>\w+)$",
     re.I,
@@ -1173,6 +1173,16 @@ def compile_match_recognize(
             vm_prog, vm_nregs = _compile_vm(tree, cep_enum)
             vm_anchor = _anchor_alts(tree)
     measures = _parse_measures(m.group("meas"))
+    # MATCH_ROWTIME() (r12 — Flink's rowtime-of-the-match function,
+    # flink-table batch MatchRecognizeITCase
+    # testWindowedGroupingAppliedToMatchRecognize): the event time of
+    # the match's LAST row == universal LAST of the first ORDER BY
+    # column
+    measures = [
+        ("LAST", None, order_cols[0], alias, sem)
+        if kind == "MATCH_ROWTIME" else (kind, var, col, alias, sem)
+        for kind, var, col, alias, sem in measures
+    ]
     src_col_names = {f.name for f in source.schema.fields}
     defines, nav_cols, cross_defs = _parse_defines(
         m.group("defs"), variables, src_col_names

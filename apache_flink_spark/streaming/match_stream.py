@@ -588,6 +588,13 @@ def streaming_match_recognize(
     # gap extent), so they ride the same emission requirements
     has_enum = any(elem_enum) or any(elem_body_enum)
     measures = _parse_measures(m.group("meas"))
+    # MATCH_ROWTIME() (r12): universal LAST of the event-time ORDER BY
+    # column — same rewrite as the batch path
+    measures = [
+        ("LAST", None, order_specs[0], alias, sem)
+        if kind == "MATCH_ROWTIME" else (kind, var, col, alias, sem)
+        for kind, var, col, alias, sem in measures
+    ]
     src_col_names = {f.name for f in stream.schema.fields}
     defines, nav_cols, cross_defs = _parse_defines(
         m.group("defs"), variables, src_col_names

@@ -832,3 +832,88 @@ def test_sql_mr_itcase_batch_tier(spark):
          r.countAllPrice, r.endId)
         for r in out5.collect()
     ] == [(29, 7, 5, 8, 6, 8)]
+
+
+def test_sql_mr_windowed_grouping_compositions(spark):
+    """flink-table batch MatchRecognizeITCase composition pair (r12),
+    verbatim semantics on the idiomatic-Spark pipeline:
+
+    :383 testMatchRecognizeAppliedToWindowedGrouping — MATCH_RECOGNIZE
+    over the output of a TUMBLE grouping (window sums become the MR
+    input rows, ordered by the window rowtime);
+    :444 testWindowedGroupingAppliedToMatchRecognize — a TUMBLE
+    grouping over MATCH_RECOGNIZE output keyed on MATCH_ROWTIME()
+    (new in r12: the rowtime of the match = universal LAST of the
+    event-time ORDER BY column)."""
+    from pyspark.sql import functions as F
+
+    S = 1_000_000
+    # :383 — ticker rows; four extra ACME rows land in the first window
+    rows = [("ACME", 1, 1), ("ACME", 2, 2), ("ACME", 4, 1),
+            ("ACME", 5, 1), ("ACME", 7, 2), ("ACME", 8, 2),
+            ("ACME", 1, 20), ("ACME", 1, 24), ("ACME", 1, 25),
+            ("ACME", 1, 19)]
+    df = spark.createDataFrame(rows, "symbol string, sec int, price int")
+    tumbled = (
+        df.withColumn("ts", F.timestamp_seconds("sec"))
+        .groupBy("symbol", F.window("ts", "3 seconds").alias("w"))
+        .agg(F.sum("price").alias("price"))
+        .select(
+            "symbol", "price",
+            (F.unix_micros(F.col("w.end")) - 1000).alias("rowTime"),
+            F.unix_micros(F.col("w.start")).alias("startTime"),
+        )
+    )
+    tumbled.createOrReplaceTempView("mr_tumbled")
+    out = sql_with_match_recognize(spark, """
+        SELECT * FROM mr_tumbled MATCH_RECOGNIZE (
+          PARTITION BY symbol
+          ORDER BY rowTime
+          MEASURES B.price AS dPrice, B.startTime AS dTime
+          ONE ROW PER MATCH
+          PATTERN (A B)
+          DEFINE B AS B.price < A.price
+        )""")
+    assert [(r.symbol, r.dPrice, r.dTime) for r in out.collect()] == [
+        ("ACME", 2, 3 * S),
+    ]
+    # :444 — MR emits per-row matches with MATCH_ROWTIME(), then a
+    # TUMBLE grouping on the match rowtime
+    rows2 = [("ACME", 1, 1, 1), ("ACME", 2, 2, 2),
+             ("ACME", 4, 1, 4), ("ACME", 5, 1, 3)]
+    spark.createDataFrame(
+        rows2, "symbol string, sec int, price int, tax int"
+    ).select(
+        "symbol", (F.col("sec").cast("bigint") * S).alias("ts"),
+        "price", "tax",
+    ).createOrReplaceTempView("mr_ticker_rt")
+    matched = sql_with_match_recognize(spark, """
+        SELECT * FROM mr_ticker_rt MATCH_RECOGNIZE (
+          PARTITION BY symbol
+          ORDER BY ts
+          MEASURES A.price AS price, A.tax AS tax,
+                   MATCH_ROWTIME() AS matchRowtime
+          ONE ROW PER MATCH
+          PATTERN (A)
+          DEFINE A AS A.price > 0
+        )""")
+    grouped = (
+        matched.withColumn(
+            "mrt", F.timestamp_micros(F.col("matchRowtime"))
+        )
+        .groupBy("symbol", F.window("mrt", "3 seconds").alias("w"))
+        .agg(F.sum("price").alias("price"))
+        .select(
+            "symbol", "price",
+            (F.unix_micros(F.col("w.end")) - 1000).alias("rowTime"),
+            F.unix_micros(F.col("w.start")).alias("startTime"),
+        )
+    )
+    got = sorted(
+        (r.symbol, r.price, r.rowTime, r.startTime)
+        for r in grouped.collect()
+    )
+    assert got == sorted([
+        ("ACME", 3, 3 * S - 1000, 0),
+        ("ACME", 2, 6 * S - 1000, 3 * S),
+    ])
