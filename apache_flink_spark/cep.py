@@ -1299,6 +1299,10 @@ def _compile_body(
         #: (NFACompiler updateWithGreedyCondition; CEPITCase:1049 — a
         #: greedy loop never backtracks to a shorter take).
         greedy_exit: "str | None" = None
+        #: r13 — whether the arming greedy loop carries until(): the
+        #: until escape proceeds to an UNGUARDED sinkStateCopy, so the
+        #: guard is first-gap-row-only in that case (see the gap site)
+        greedy_exit_until = False
         for i, e in enumerate(elem_list):
             if e.contiguity == "not_next":
                 continue
@@ -1375,20 +1379,31 @@ def _compile_body(
                 if ng is not None:
                     base = ng if base == "TRUE" else f"({base}) AND {ng}"
                 if greedy_exit is not None and not stream:
-                    # r12 — greedy() PROCEED guard (CEPITCase:1049;
-                    # NFACompiler updateWithGreedyCondition: the loop
-                    # may be left only at an event that does NOT extend
-                    # it): the FIRST row after the last take must fail
-                    # the loop's as-if-taken condition. Own-var COUNT
-                    # is RUNNING (includes the candidate), so the first
-                    # gap row is COUNT == 1. Streaming applies the same
-                    # rule natively in the matcher (adjacent-next-take
-                    # counts are skipped) — bind-aggregates in gap
-                    # DEFINEs would hit the cross-variable reject there.
-                    base = (
-                        f"({base}) AND ((COUNT({gap}.{tcol}) > 1) "
-                        f"OR {greedy_exit})"
-                    )
+                    # r12/r13 — greedy() PROCEED guard (CEPITCase:1049;
+                    # NFACompiler.updateWithGreedyCondition:1036 ANDs
+                    # NOT(takeCondition) onto ALL of the sink state's
+                    # transitions — take AND ignore): EVERY row between
+                    # the loop's last take and the next element's bind
+                    # is processed at the guarded sink state, so every
+                    # gap row must fail the loop's take condition (r12
+                    # guarded only the first gap row — the ignore edge
+                    # is guarded too). EXCEPT with until(): the until
+                    # branch proceeds to an UNGUARDED sinkStateCopy
+                    # (NFACompiler createLooping:863-875 — the copy is
+                    # taken before updateWithGreedyCondition), so once
+                    # the escape fires the rest of the gap is free; the
+                    # r12 first-row form models that escape
+                    # (GreedyITCase testGreedyUntil*:186/:225 pins).
+                    # Streaming applies its own rule natively in the
+                    # matcher — bind-aggregates in gap DEFINEs would
+                    # hit the cross-variable reject there.
+                    if greedy_exit_until:
+                        base = (
+                            f"({base}) AND ((COUNT({gap}.{tcol}) > 1) "
+                            f"OR {greedy_exit})"
+                        )
+                    else:
+                        base = f"({base}) AND ({greedy_exit})"
                 add_def(gap, base)
             # greedy() is INERT when the loop is the pattern's LAST
             # positive element: the NFA reaches the final state at
@@ -1517,14 +1532,30 @@ def _compile_body(
                         f"(NOT COALESCE(({guards[i]}), FALSE))"
                     )
                 if greedy_exit is not None and not stream:
-                    # r12 — greedy PROCEED guard lands on the group's
-                    # HEAD first take (the group's entry row)
+                    # r12/r13 — greedy PROCEED guard lands on the
+                    # group's HEAD first take (the group's entry row);
+                    # guarded regardless of gap rows before it (the
+                    # sink state's take edge carries the guard — see
+                    # the flat-element site). Optional groups branch at
+                    # the guarded state: reject, as for flat optionals.
+                    if _is_optional_elem(e):
+                        raise CepError(
+                            "a greedy() loop followed by an optional "
+                            "group is not supported in the batch "
+                            "compile — the reference NFA's PROCEED "
+                            "guard branches at the optional sink state "
+                            "(NFACompiler.updateWithGreedyCondition); "
+                            "make the group required or drop greedy()"
+                        )
                     hd = _group_head_name(e.group)
-                    gx = f"(COUNT({hd}.{tcol}) > 1) OR "
-                    if gap is not None:
-                        gx += f"(COUNT({gap}.{tcol}) >= 1) OR "
+                    gx_esc = (
+                        f"(COUNT({gap}.{tcol}) >= 1) OR "
+                        if greedy_exit_until and gap is not None else ""
+                    )
                     def_map[hd] = (
-                        f"({def_map[hd]}) AND ({gx}{greedy_exit})"
+                        f"({def_map[hd]}) AND "
+                        f"((COUNT({hd}.{tcol}) > 1) OR {gx_esc}"
+                        f"{greedy_exit})"
                     )
                 # group greedy() pins keep their r9 maximal-emission
                 # behavior; the flat-loop PROCEED guard is not derived
@@ -1585,19 +1616,38 @@ def _compile_body(
                 if lw != "TRUE":
                     cond = f"({cond}) AND {lw}"
             if greedy_exit is not None and not stream:
-                # r12 — greedy PROCEED guard on the next element's FIRST
-                # take (own-var COUNT is RUNNING: first take == 1);
-                # later takes/repetitions are past the exit decision
-                if gap is not None:
-                    cond = (
-                        f"({cond}) AND ((COUNT({e.name}.{tcol}) > 1) OR "
-                        f"(COUNT({gap}.{tcol}) >= 1) OR {greedy_exit})"
+                # r12/r13 — greedy PROCEED guard on the next element's
+                # FIRST take (own-var COUNT is RUNNING: first take ==
+                # 1); later takes/repetitions happen at the sink's
+                # inner loop states, which the reference does NOT
+                # guard. The take edge is guarded REGARDLESS of gap
+                # rows before it (updateWithGreedyCondition guards the
+                # sink state's take edge itself — r12's COUNT(gap)>=1
+                # escape hatch was the weak reading).
+                if _is_optional_elem(e):
+                    # ADVICE r12 #1: an optional sink PROCEEDs past the
+                    # guarded state at the first post-loop event, after
+                    # which the partial is unguarded at the NEXT state —
+                    # branch-exact emulation needs the NFA's epsilon
+                    # branching, which this compile cannot express.
+                    # Reject loudly rather than diverge silently.
+                    raise CepError(
+                        "a greedy() loop followed by an optional "
+                        "element is not supported in the batch compile "
+                        "— the reference NFA's PROCEED guard branches "
+                        "at the optional sink state "
+                        "(NFACompiler.updateWithGreedyCondition); make "
+                        f"the element {e.name!r} required or drop "
+                        "greedy()"
                     )
-                elif e.contiguity == "next":
-                    cond = (
-                        f"({cond}) AND ((COUNT({e.name}.{tcol}) > 1) OR "
-                        f"{greedy_exit})"
-                    )
+                gx_esc = (
+                    f"(COUNT({gap}.{tcol}) >= 1) OR "
+                    if greedy_exit_until and gap is not None else ""
+                )
+                cond = (
+                    f"({cond}) AND ((COUNT({e.name}.{tcol}) > 1) OR "
+                    f"{gx_esc}{greedy_exit})"
+                )
             if e.opt_loop:
                 # optional() on a looping quantifier: zero or the loop
                 core = f"( {core}{suffix} )"
@@ -1608,6 +1658,9 @@ def _compile_body(
                 e.group is None and e.greedy_flag and e.quant
                 and not end_greedy
             ) else None
+            greedy_exit_until = bool(
+                greedy_exit is not None and e.until_conds
+            )
             if pending_not is not None:
                 if _is_optional_elem(e):
                     # the guard may still be armed on later gaps — it

@@ -1255,11 +1255,28 @@ def compile_match_recognize(
                     )
             subsets[sname] = members
 
+    type_of = dict((f.name, f.dataType.simpleString()) for f in source.schema.fields)
+
     for kind, var, col, alias, _sem in measures:
         if var is not None and var not in variables and var not in subsets:
             raise MatchRecognizeError(f"MEASURES references unknown variable {var!r}")
-
-    type_of = dict((f.name, f.dataType.simpleString()) for f in source.schema.fields)
+        # r13 (ADVICE r12 #2): COUNT(A) where A is a pattern variable is
+        # a common misspelling of COUNT(A.*) — the universal-variable
+        # form would read it as a non-null count of an input COLUMN
+        # named 'A' and blow up (or silently count a like-named column).
+        # Reject loudly at compile time, where variables and source
+        # columns are both known.
+        if var is None and col is not None and col not in type_of:
+            base_kind = kind.split("@")[0]
+            if col in variables or col in subsets:
+                raise MatchRecognizeError(
+                    f"{base_kind}({col}): {col!r} is a pattern variable, "
+                    f"not an input column — use {base_kind}({col}.*) to "
+                    "aggregate over the variable's rows"
+                )
+            raise MatchRecognizeError(
+                f"MEASURES references unknown column {col!r}"
+            )
 
     # 1. One hash exchange on the partition keys (the distribution
     #    StreamExecMatch requires) + an in-partition sort. Done FIRST so

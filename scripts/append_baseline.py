@@ -20,6 +20,25 @@ path (VERDICT r11 what's-wrong #1) — when a query's semantics were
 reworked (oracle + compile both changed), its frozen baseline measures
 a query that no longer exists; the old value is archived in the
 ``invalidated`` freeze log with the reason, then re-recorded.
+
+r13 hardening (ADVICE r12 #3 + VERDICT r12 what's-wrong #1):
+
+- ``--semantics-changed`` now requires EVIDENCE, not just a reason: the
+  query's source hash (function source + oracle SQL, sha256) is recorded
+  at freeze time in ``doc['source_hashes']``; invalidation is rejected
+  when the recorded hash equals the current one (no rework actually
+  happened). The invalidating commit is recorded in the freeze-log entry.
+- ``--measurement-invalid REASON`` is a separate, narrower path for
+  baselines whose frozen value is a load-sensitive FLOOR (the r12
+  adjudication: sub-second streaming queries whose arm/checkpoint
+  overhead dominates — any load prints >1.5x against a floor-recorded
+  number). Guarded: only entries with a frozen median under 1.0s
+  qualify, the reason is mandatory, and the old value is archived in the
+  same ``invalidated`` freeze log. Semantics are unchanged, so the
+  source hash is NOT required to differ on this path.
+- ``--warm N`` re-runs the per-query warm pass N times before timing
+  (default 1). Floor re-freezes use a deep warm (e.g. ``--warm 6``) so
+  the recorded median is the stable tail, not the cold arm.
 """
 
 from __future__ import annotations
@@ -83,6 +102,10 @@ def check_mutation(
     consumed: set[str],
     re_record: bool,
     semantics_changed: "str | None" = None,
+    *,
+    measurement_invalid: "str | None" = None,
+    frozen_value: "float | None" = None,
+    source_unchanged: "bool | None" = None,
 ) -> str:
     """The freeze rule as a pure function (pytest-pinned):
 
@@ -105,11 +128,40 @@ def check_mutation(
     """
     if not existing:
         return "append"
+    if measurement_invalid is not None:
+        # r13: floor-baseline re-freeze — measurement artifact, not a
+        # semantic rework. Only load-dominated sub-second entries qualify.
+        if not measurement_invalid.strip():
+            raise ValueError(
+                "--measurement-invalid requires a non-empty reason (it is "
+                "the freeze-log entry)"
+            )
+        if frozen_value is None or frozen_value >= 1.0:
+            raise ValueError(
+                f"--measurement-invalid is for load-dominated sub-second "
+                f"floors only; frozen median for {name!r} is "
+                f"{frozen_value} (>= 1.0s). A slow query's baseline is not "
+                "a floor artifact — use --semantics-changed with evidence "
+                "if its semantics were reworked."
+            )
+        return "invalidate"
     if semantics_changed is not None:
         if not semantics_changed.strip():
             raise ValueError(
                 "--semantics-changed requires a non-empty reason (it is "
                 "the freeze-log entry)"
+            )
+        if source_unchanged:
+            # ADVICE r12 #3: the reason alone is not evidence — the
+            # query's recorded source hash must have changed since the
+            # freeze, else nothing was reworked and invalidation would
+            # launder a plain regression.
+            raise ValueError(
+                f"--semantics-changed rejected for {name!r}: the query's "
+                "source hash (function source + oracle SQL) is UNCHANGED "
+                "since the baseline was frozen — a semantics rework must "
+                "actually change the compiled query. Frozen baselines are "
+                "immutable without evidence."
             )
         return "invalidate"
     if not re_record:
@@ -123,10 +175,25 @@ def check_mutation(
     return "re-record"
 
 
+def query_source_hash(name: str) -> str:
+    """sha256 of the query's unwrapped function source + oracle SQL —
+    the freeze-time identity --semantics-changed must show has changed
+    (ADVICE r12 #3)."""
+    import hashlib
+    import inspect
+
+    from apache_flink_spark.queries import ORACLES, QUERIES
+
+    fn = inspect.unwrap(QUERIES[name])
+    text = inspect.getsource(fn) + "\n" + ORACLES.get(name, "")
+    return hashlib.sha256(text.encode()).hexdigest()
+
+
 def main() -> int:
     argv = sys.argv[1:]
-    args, runs, re_record, i = [], 3, False, 0
+    args, runs, warm, re_record, i = [], 3, 1, False, 0
     semantics_changed = None
+    measurement_invalid = None
     while i < len(argv):
         a = argv[i]
         if a.startswith("--runs"):
@@ -135,6 +202,12 @@ def main() -> int:
             else:
                 i += 1
                 runs = int(argv[i])
+        elif a.startswith("--warm"):
+            if "=" in a:
+                warm = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                warm = int(argv[i])
         elif a == "--re-record":
             re_record = True
         elif a.startswith("--semantics-changed"):
@@ -143,6 +216,12 @@ def main() -> int:
             else:
                 i += 1
                 semantics_changed = argv[i]
+        elif a.startswith("--measurement-invalid"):
+            if "=" in a:
+                measurement_invalid = a.split("=", 1)[1]
+            else:
+                i += 1
+                measurement_invalid = argv[i]
         else:
             args.append(a)
         i += 1
@@ -167,11 +246,31 @@ def main() -> int:
     with open(path) as f:
         doc = json.load(f)
 
+    def head_commit() -> str:
+        import subprocess
+
+        try:
+            out = subprocess.run(
+                ["git", "-C", REPO, "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=30,
+            )
+            return out.stdout.strip() if out.returncode == 0 else "unknown"
+        except (OSError, subprocess.SubprocessError):
+            return "unknown"
+
     consumed = driver_consumed_keys()
+    hashes = doc.setdefault("source_hashes", {})
     for name in args:
+        existing = name in doc["queries"]
+        cur_hash = query_source_hash(name)
         action = check_mutation(
-            name, name in doc["queries"], consumed, re_record,
+            name, existing, consumed, re_record,
             semantics_changed,
+            measurement_invalid=measurement_invalid,
+            frozen_value=doc["queries"].get(name),
+            source_unchanged=(
+                hashes.get(name) == cur_hash if name in hashes else None
+            ),
         )
         if action == "skip":
             print(f"SKIP {name}: already recorded (baseline is frozen, "
@@ -179,22 +278,29 @@ def main() -> int:
                   "consumes the key)", file=sys.stderr)
             continue
         if action == "invalidate":
-            # freeze log: archive the stale-semantics value, never lose it
+            # freeze log: archive the stale value, never lose it
+            reason = measurement_invalid or semantics_changed
             doc.setdefault("invalidated", {})[name] = {
                 "old_value": doc["queries"][name],
-                "reason": semantics_changed,
+                "reason": reason,
+                "kind": (
+                    "measurement" if measurement_invalid else "semantics"
+                ),
+                "commit": head_commit(),
             }
             print(f"INVALIDATE {name}: archived old median "
-                  f"{doc['queries'][name]} — {semantics_changed}",
+                  f"{doc['queries'][name]} — {reason}",
                   file=sys.stderr)
         fn = QUERIES[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        for _ in range(warm):
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times = []
         for _ in range(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 4))
         doc["queries"][name] = round(statistics.median(times), 4)
+        hashes[name] = cur_hash
         print(f"{name}: {times} -> median {doc['queries'][name]}",
               file=sys.stderr)
 

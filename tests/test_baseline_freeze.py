@@ -58,6 +58,49 @@ def test_semantics_changed_invalidation_path():
     assert inv["cep_times_window_gaps"]["reason"].strip()
 
 
+def test_semantics_changed_requires_source_change():
+    """r13 (ADVICE r12 #3): a reason alone is not evidence — when the
+    query's freeze-time source hash is recorded and UNCHANGED, the
+    semantics-change invalidation is rejected (it would launder a plain
+    regression)."""
+    with pytest.raises(ValueError, match="UNCHANGED"):
+        check_mutation(
+            "q1", True, {"q1"}, False, "claimed rework",
+            source_unchanged=True,
+        )
+    # hash differs -> the rework is real, invalidation proceeds
+    assert check_mutation(
+        "q1", True, {"q1"}, False, "real rework",
+        source_unchanged=False,
+    ) == "invalidate"
+    # no recorded hash (pre-r13 freeze) -> cannot prove either way, allow
+    assert check_mutation(
+        "q1", True, {"q1"}, False, "pre-r13 entry",
+        source_unchanged=None,
+    ) == "invalidate"
+
+
+def test_measurement_invalid_path_guarded_to_subsecond_floors():
+    """r13 (VERDICT r12 what's-wrong #1): floor-recorded sub-second
+    baselines may be re-frozen via --measurement-invalid; anything at or
+    above 1.0s is rejected — that is not floor-artifact territory."""
+    assert check_mutation(
+        "win_tumble_agg", True, {"win_tumble_agg"}, False,
+        measurement_invalid="floor-recorded baseline, load-dominated "
+        "sub-second query", frozen_value=0.2885,
+    ) == "invalidate"
+    with pytest.raises(ValueError, match="sub-second"):
+        check_mutation(
+            "sim_semdedup", True, {"sim_semdedup"}, False,
+            measurement_invalid="nope", frozen_value=3.2438,
+        )
+    with pytest.raises(ValueError, match="non-empty reason"):
+        check_mutation(
+            "win_tumble_agg", True, set(), False,
+            measurement_invalid="  ", frozen_value=0.2885,
+        )
+
+
 def test_driver_consumed_keys_reads_committed_artifacts():
     keys = driver_consumed_keys(REPO)
     # the r9 driver bench consumed the shared-query set via

@@ -3801,3 +3801,68 @@ def test_cepitcase_portable_tier(spark):
         skip="SKIP PAST LAST ROW",
     )
     assert sorted(r.f for r in out4.collect()) == [1, 3]
+
+
+def test_greedy_guard_covers_every_gap_row(spark):
+    """r13 (ADVICE r12 #1 harvest of NFACompiler.updateWithGreedyCondition
+    :1036): the guard is ANDed onto ALL of the sink state's transitions —
+    ignore included — so EVERY row between a greedy loop's last take and
+    the next element's bind must fail the loop's take condition. A
+    take-satisfying row appearing as the SECOND gap row (which r12's
+    first-row-only guard let through) kills the start entirely."""
+    from apache_flink_spark.cep import Pattern, cep_select
+
+    S = 1_000_000
+    rows = [(1, 40, "c", 1.0, 1 * S), (1, 41, "a", 2.0, 2 * S),
+            (1, 42, "a", 2.0, 3 * S), (1, 90, "y", 1.0, 4 * S),
+            (1, 43, "a", 2.0, 5 * S), (1, 44, "d", 3.0, 6 * S)]
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, name string, price double, ep long"
+    )
+    p = (Pattern.begin("C").where("name='c'")
+         .followed_by("M").where("name='a'").times(1, 2).greedy()
+         .followed_by("D").where("name='d'"))
+    out = cep_select(
+        spark, df, p, "k", "ep, event_id",
+        {"n": "COUNT(M.*)", "d": "LAST(D.event_id)"},
+    )
+    # loop maxes at (41,42); gap rows to D are (y@90, a@43): the guarded
+    # sink state dies at a@43 (it satisfies the loop take) — no match.
+    assert out.collect() == []
+    # control: without the stray take-satisfying gap row the maximal
+    # match goes through
+    rows_ok = [r for r in rows if r[1] != 43]
+    df_ok = spark.createDataFrame(
+        rows_ok, "k long, event_id long, name string, price double, ep long"
+    )
+    out_ok = cep_select(
+        spark, df_ok, p, "k", "ep, event_id",
+        {"n": "COUNT(M.*)", "d": "LAST(D.event_id)"},
+    )
+    assert [(r.n, r.d) for r in out_ok.collect()] == [(2, 44)]
+
+
+def test_greedy_then_optional_rejects_loudly(spark):
+    """r13 (ADVICE r12 #1): greedy loop -> optional element -> element
+    cannot be guarded exactly in the batch compile (the reference NFA
+    branches at the guarded optional sink state) — loud reject, never a
+    silent divergence."""
+    import pytest as _pytest
+
+    from apache_flink_spark.cep import CepError, Pattern, cep_select
+
+    S = 1_000_000
+    rows = [(1, 40, "c", 1.0, 1 * S), (1, 41, "a", 2.0, 2 * S),
+            (1, 44, "d", 3.0, 3 * S)]
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, name string, price double, ep long"
+    )
+    p = (Pattern.begin("C").where("name='c'")
+         .followed_by("M").where("name='a'").one_or_more().greedy()
+         .followed_by("B").where("name='b'").optional()
+         .followed_by("D").where("name='d'"))
+    with _pytest.raises(CepError, match="optional"):
+        cep_select(
+            spark, df, p, "k", "ep, event_id",
+            {"d": "LAST(D.event_id)"},
+        )

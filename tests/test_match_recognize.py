@@ -188,6 +188,37 @@ def test_cross_define_forward_reference_is_null(spark, seq_view):
     assert out == []
 
 
+def test_count_of_pattern_variable_rejected(spark, seq_view):
+    """r13 (ADVICE r12 #2): COUNT(A) where A is a pattern variable is a
+    misspelling of COUNT(A.*) — reject loudly at compile time instead of
+    reading it as a non-null count of an input column named 'A'."""
+    with pytest.raises(MatchRecognizeError, match=r"COUNT\(A\.\*\)"):
+        sql_with_match_recognize(
+            spark,
+            """
+            SELECT * FROM mr_seq MATCH_RECOGNIZE (
+                PARTITION BY user_id ORDER BY seq
+                MEASURES COUNT(A) AS n_a
+                PATTERN (A+ B)
+                DEFINE A AS A.v < 100, B AS B.v >= 100
+            )
+            """,
+        )
+    # and a universal aggregate over a non-existent column errors too
+    with pytest.raises(MatchRecognizeError, match="unknown column"):
+        sql_with_match_recognize(
+            spark,
+            """
+            SELECT * FROM mr_seq MATCH_RECOGNIZE (
+                PARTITION BY user_id ORDER BY seq
+                MEASURES COUNT(nope) AS n
+                PATTERN (A+ B)
+                DEFINE A AS A.v < 100, B AS B.v >= 100
+            )
+            """,
+        )
+
+
 def test_unknown_measure_column_errors(spark, seq_view):
     with pytest.raises(MatchRecognizeError, match="unknown column"):
         sql_with_match_recognize(
