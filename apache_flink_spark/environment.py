@@ -270,6 +270,20 @@ class TableEnvironment:
             )
 
             query = rewrite_group_windows(rewrite_window_tvfs(query))
+        if re.match(
+            r"^\s*(SELECT|WITH|\(|INSERT\b|CREATE\s+(?:TEMPORARY\s+)?VIEW)",
+            query, re.I,
+        ):
+            # Flink aggregate-dialect typing (r13 — flink_dialect.py):
+            # AVG/VAR_POP argument-typed results, LISTAGG ',' default,
+            # COLLECT multisets, JSON_OBJECTAGG KEY VALUE syntax
+            from apache_flink_spark.flink_dialect import (
+                needs_rewrite,
+                rewrite_flink_aggregates,
+            )
+
+            if needs_rewrite(query):
+                query = rewrite_flink_aggregates(self.spark, query)
         if "SYSTEM_TIME" in query.upper():
             from apache_flink_spark.temporal_sql import rewrite_system_time_joins
 

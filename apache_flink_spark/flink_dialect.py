@@ -1,0 +1,304 @@
+"""Flink-SQL dialect aggregate typing on top of Catalyst (r13 — the
+streaming AggregateITCase harvest).
+
+Flink (via Calcite) gives several aggregates RESULT TYPES Spark does not:
+
+  - ``AVG(exact-numeric)`` returns the ARGUMENT type: AVG(INT) is an INT
+    computed with integer division (Calcite AggregateReduceFunctionsRule
+    reduces AVG to SUM/COUNT on the arg type; flink-table-planner
+    AggregateITCase.scala:879 pins avg 12,13 -> 12 and :1079 avg of
+    {12,13} -> 12), and AVG(DECIMAL(p,s)) keeps scale s (HALF_UP —
+    AggregateITCase.scala:577 pins avg(2.22222222, 3.33333333) ->
+    2.77777778).
+  - ``VAR_POP(INT)`` is an INT: Calcite reduces it to
+    (SUM(x*x) - SUM(x)*SUM(x)/COUNT(x)) / COUNT(x) with integer division
+    at each step (AggregateITCase.scala:1537 pins VAR_POP over
+    2900,2500,2600 -> 28889, over 3100,11000 -> 15602500).
+  - ``LISTAGG(x)`` defaults the delimiter to ',' (Flink docs; Spark's
+    listagg defaults to the empty string).
+  - ``COLLECT(x)`` builds a MULTISET (value -> count map).
+  - ``JSON_OBJECTAGG(k VALUE v)`` uses the SQL:2016 KEY/VALUE syntax
+    Spark does not parse.
+
+These are rewritten at the SQL-text level before Catalyst sees the query.
+The AVG/VAR_POP rules need the argument's TYPE, which is resolved by
+ANALYZING (never executing) a probe ``SELECT (arg) FROM <enclosing FROM
+clause>`` against the session catalog — plan-only, no jobs. When the
+probe cannot be built or analyzed (correlated/lateral context), the call
+is left untouched and Spark semantics apply; the rewrite never guesses.
+
+Scale: rewrites are pure text transforms + a LIMIT-0 analysis; the
+resulting plans are plain Catalyst aggregates (SUM/COUNT pairs fuse into
+the same hash-agg the AVG would have used — no extra shuffle).
+"""
+
+from __future__ import annotations
+
+import re
+
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+_CALL_RE = re.compile(
+    r"\b(?P<fn>AVG|VAR_POP|LISTAGG|COLLECT|JSON_OBJECTAGG|JSON_ARRAYAGG)"
+    r"\s*\(", re.I
+)
+
+_SCOPE_END = re.compile(
+    r"^(WHERE|GROUP|HAVING|WINDOW|QUALIFY|ORDER|LIMIT|UNION|EXCEPT"
+    r"|INTERSECT)$", re.I
+)
+
+
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    spans, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    break
+                j += 1
+            spans.append((i, j))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _in_literal(spans, pos: int) -> bool:
+    return any(a <= pos <= b for a, b in spans)
+
+
+def _balanced(sql: str, open_pos: int) -> int:
+    """Index of the ')' matching the '(' at open_pos."""
+    depth, i, n = 0, open_pos, len(sql)
+    spans = _literal_spans(sql)
+    while i < n:
+        if _in_literal(spans, i):
+            i += 1
+            continue
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced parentheses")
+
+
+def _enclosing_from(sql: str, pos: int) -> str | None:
+    """The FROM clause of the subquery containing position ``pos`` (the
+    aggregate call site): scan FORWARD at the same paren depth — in a
+    SELECT list the FROM always follows. Returns None when the query has
+    no FROM at this depth (SELECT without FROM)."""
+    spans = _literal_spans(sql)
+    depth, i, n = 0, pos, len(sql)
+    from_start = None
+    while i < n:
+        if _in_literal(spans, i):
+            i += 1
+            continue
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0 and sql[i: i + 4].upper() == "FROM" and (
+            i + 4 >= n or not (sql[i + 4].isalnum() or sql[i + 4] == "_")
+        ) and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            from_start = i + 4
+            i += 4
+            break
+        i += 1
+    if from_start is None:
+        return None
+    # capture until a same-depth scope keyword or the subquery's end
+    depth, j = 0, from_start
+    out_end = n
+    while j < n:
+        if _in_literal(spans, j):
+            j += 1
+            continue
+        c = sql[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                out_end = j
+                break
+            depth -= 1
+        elif depth == 0 and (c.isalpha()):
+            m = re.match(r"[A-Za-z_]+", sql[j:])
+            word = m.group(0)
+            if _SCOPE_END.match(word) and not (
+                j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_")
+            ):
+                out_end = j
+                break
+            j += len(word)
+            continue
+        j += 1
+    clause = sql[from_start:out_end].strip()
+    return clause or None
+
+
+def _probe_type(spark, arg: str, from_clause: str | None) -> str | None:
+    """Catalyst-analyzed type of ``arg`` in the FROM clause's scope —
+    plan-only (schema access analyzes; nothing executes)."""
+    a = re.sub(r"^\s*(DISTINCT|ALL)\b", "", arg, flags=re.I).strip()
+    probe = f"SELECT ({a}) AS __p"
+    if from_clause:
+        probe += f" FROM {from_clause}"
+    try:
+        return spark.sql(probe).schema[0].dataType.simpleString()
+    except Exception:
+        return None
+
+
+def _filter_suffix(sql: str, close: int) -> tuple[str, int]:
+    """A trailing ``FILTER (WHERE ...)`` clause after the call, if any:
+    (clause_text, end_index_exclusive)."""
+    m = re.match(r"\s*FILTER\s*\(", sql[close + 1:], re.I)
+    if not m:
+        return "", close + 1
+    fopen = close + 1 + m.end() - 1
+    fclose = _balanced(sql, fopen)
+    return sql[close + 1: fclose + 1], fclose + 1
+
+
+def _split_distinct(arg: str) -> tuple[str, str]:
+    m = re.match(r"^\s*DISTINCT\b", arg, re.I)
+    if m:
+        return "DISTINCT ", arg[m.end():].strip()
+    return "", arg.strip()
+
+
+def _top_level_comma_split(arg: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    spans = _literal_spans(arg)
+    for i, c in enumerate(arg):
+        if not _in_literal(spans, i):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+                continue
+        cur.append(c)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts]
+
+
+def rewrite_flink_aggregates(spark, sql: str) -> str:
+    """Apply the Flink aggregate-dialect rewrites (module docstring).
+    Idempotent on queries without the listed calls; one pass, innermost
+    calls untouched (the listed aggregates cannot nest in each other)."""
+    out = sql
+    # repeat until no call rewrites (positions shift after each edit)
+    for _ in range(64):
+        spans = _literal_spans(out)
+        changed = False
+        for m in _CALL_RE.finditer(out):
+            if _in_literal(spans, m.start()):
+                continue
+            fn = m.group("fn").upper()
+            open_pos = m.end() - 1
+            try:
+                close = _balanced(out, open_pos)
+            except ValueError:
+                return out
+            arg = out[open_pos + 1: close]
+            repl = None
+            if fn == "AVG":
+                if "__flink_avg" in arg:
+                    continue
+                dist, a = _split_distinct(arg)
+                t = _probe_type(spark, a, _enclosing_from(out, m.start()))
+                if t in _INTEGRAL:
+                    filt, end = _filter_suffix(out, close)
+                    repl = (
+                        f"CAST((SUM({dist}/*__flink_avg*/{a}){filt} DIV "
+                        f"COUNT({dist}{a}){filt}) AS {t.upper()})"
+                    )
+                    close = end - 1
+                elif t is not None and t.startswith("decimal"):
+                    s = int(t.rstrip(")").split(",")[1])
+                    repl = (
+                        f"CAST(AVG({dist}/*__flink_avg*/{a}) "
+                        f"AS DECIMAL(38,{s}))"
+                    )
+            elif fn == "VAR_POP":
+                if "__flink_avg" in arg:
+                    continue
+                dist, a = _split_distinct(arg)
+                if dist:
+                    continue
+                t = _probe_type(spark, a, _enclosing_from(out, m.start()))
+                if t in _INTEGRAL:
+                    x = f"(/*__flink_avg*/{a})"
+                    filt, end = _filter_suffix(out, close)
+                    repl = (
+                        f"CAST(((SUM({x}*{x}){filt} - (SUM({x}){filt}"
+                        f"*SUM({x}){filt} DIV COUNT({x}){filt})) DIV "
+                        f"COUNT({x}){filt}) AS {t.upper()})"
+                    )
+                    close = end - 1
+            elif fn == "LISTAGG":
+                parts = _top_level_comma_split(arg)
+                if len(parts) == 1 and "/*__flink_ws*/" not in arg:
+                    # Flink's default delimiter is ',' (Spark's is '')
+                    repl = f"LISTAGG(/*__flink_ws*/{arg}, ',')"
+            elif fn == "COLLECT":
+                if "__flink_ms" in arg:
+                    continue
+                # Flink MULTISET: value -> multiplicity map (nulls are
+                # ignored, as collect_list does)
+                a = f"/*__flink_ms*/{arg}"
+                repl = (
+                    f"map_from_entries(transform("
+                    f"array_distinct(collect_list({a})), "
+                    f"__v -> struct(__v, size(filter("
+                    f"collect_list({a}), __y -> __y <=> __v)))))"
+                )
+            elif fn == "JSON_OBJECTAGG":
+                kv = re.match(
+                    r"^(?P<k>.+?)\s+VALUE\s+(?P<v>.+)$", arg,
+                    re.I | re.DOTALL,
+                )
+                if kv:
+                    k, v = kv.group("k").strip(), kv.group("v").strip()
+                    # sorted keys — the reference prints the object with
+                    # keys in sorted order (AggregateITCase:1956)
+                    repl = (
+                        f"to_json(map_from_entries(array_sort("
+                        f"collect_list(struct({k} AS k, {v} AS v)))))"
+                    )
+            elif fn == "JSON_ARRAYAGG":
+                if "__flink_ja" not in arg:
+                    repl = f"to_json(collect_list(/*__flink_ja*/{arg}))"
+            if repl is not None:
+                out = out[: m.start()] + repl + out[close + 1:]
+                changed = True
+                break
+        if not changed:
+            return out
+    return out
+
+
+def needs_rewrite(sql: str) -> bool:
+    up = sql.upper()
+    return any(
+        tok in up
+        for tok in (
+            "AVG", "VAR_POP", "LISTAGG", "COLLECT(", "JSON_OBJECTAGG",
+            "JSON_ARRAYAGG",
+        )
+    )
