@@ -100,3 +100,80 @@ def materialize(
 def drop_update_before(changelog: DataFrame) -> DataFrame:
     """DropUpdateBefore: forward only +I/+U/-D (upsert-keyed sinks)."""
     return changelog.filter(F.col(ROWKIND_COL) != UPDATE_BEFORE)
+
+
+def dedup_changelog(
+    df: DataFrame,
+    keys: list[str],
+    rowtime_col: str,
+    arrival_col: str,
+    keep: str = "first",
+) -> DataFrame:
+    """Rowtime deduplicate with RETRACTION EMISSION — the reference's
+    RowTimeDeduplicateFunction (flink-table-runtime .../deduplicate/
+    RowTimeDeduplicateFunction.java; pinned verbatim against streaming
+    DeduplicateITCase.scala:181/:289 in tests/test_itcase_dedup.py):
+
+    per key, rows arrive in ``arrival_col`` order; the current winner is
+    the min (keep='first') or max (keep='last') of ``(rowtime, arrival)``
+    — so for keep-first a STRICTLY earlier rowtime replaces (ties keep
+    the earlier arrival), and for keep-last a later-or-EQUAL rowtime
+    replaces (the reference's shouldKeepCurrentRow asymmetry). The first
+    winner per key emits +I; every replacement emits -U(old), +U(new)
+    under the ``__rowkind`` convention.
+
+    Scale: one hash exchange on ``keys`` + two window passes over the
+    same sort (running winner, then change-point changelog) — the same
+    keyed distribution the reference's dedup state requires; no
+    driver-side collection.
+    """
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+    data_cols = list(df.columns)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cand = F.struct(
+        F.col(rowtime_col).alias("__rt"),
+        F.col(arrival_col).alias("__arr"),
+        *[F.col(c).alias(c) for c in data_cols],
+    )
+    winner = (F.min(cand) if keep == "first" else F.max(cand)).over(w)
+    wdf = df.withColumn("__winner", winner)
+    # change points: the winner differs from the previous row's winner
+    lag_w = Window.partitionBy(*keys).orderBy(arrival_col)
+    points = (
+        wdf.withColumn("__prev_winner", F.lag("__winner").over(lag_w))
+        .filter(
+            F.col("__prev_winner").isNull()
+            | ~(F.col("__winner") == F.col("__prev_winner"))
+        )
+    )
+    ev = F.explode(
+        F.when(
+            F.col("__prev_winner").isNull(),
+            F.array(
+                F.struct(
+                    F.lit(INSERT).alias(ROWKIND_COL),
+                    F.col("__winner").alias("__row"),
+                )
+            ),
+        ).otherwise(
+            F.array(
+                F.struct(
+                    F.lit(UPDATE_BEFORE).alias(ROWKIND_COL),
+                    F.col("__prev_winner").alias("__row"),
+                ),
+                F.struct(
+                    F.lit(UPDATE_AFTER).alias(ROWKIND_COL),
+                    F.col("__winner").alias("__row"),
+                ),
+            )
+        )
+    ).alias("__ev")
+    return points.select(ev).select(
+        F.col(f"__ev.{ROWKIND_COL}").alias(ROWKIND_COL),
+        *[F.col(f"__ev.__row.{c}").alias(c) for c in data_cols],
+    )

@@ -271,7 +271,8 @@ class TableEnvironment:
 
             query = rewrite_group_windows(rewrite_window_tvfs(query))
         if re.match(
-            r"^\s*(SELECT|WITH|\(|INSERT\b|CREATE\s+(?:TEMPORARY\s+)?VIEW)",
+            r"^\s*(SELECT|WITH|\(|INSERT\b"
+            r"|CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW)",
             query, re.I,
         ):
             # Flink aggregate-dialect typing (r13 — flink_dialect.py):

@@ -192,3 +192,55 @@ def rank_topn_with_ties(spark, sf_dir):
         .filter(F.col("rnk") <= 2)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
     )
+
+
+@query(
+    "dedup_rowtime_changelog",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ep,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS arr
+      FROM events
+    ), e AS (
+      SELECT *, MIN(ep) OVER (
+               PARTITION BY user_id ORDER BY arr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_min
+      FROM o
+    ), em AS (
+      SELECT user_id, event_id, ep,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY arr) AS rn,
+             LAG(event_id) OVER (PARTITION BY user_id ORDER BY arr)
+               AS p_eid,
+             LAG(ep) OVER (PARTITION BY user_id ORDER BY arr) AS p_ep
+      FROM e WHERE prev_min IS NULL OR ep < prev_min
+    )
+    SELECT '+I' AS kind, user_id, event_id, ep FROM em WHERE rn = 1
+    UNION ALL
+    SELECT '-U' AS kind, user_id, p_eid AS event_id, p_ep AS ep
+    FROM em WHERE rn > 1
+    UNION ALL
+    SELECT '+U' AS kind, user_id, event_id, ep FROM em WHERE rn > 1
+    """,
+)
+def dedup_rowtime_changelog(spark, sf_dir):
+    """r13 — rowtime keep-first deduplicate with RETRACTION EMISSION
+    (reference RowTimeDeduplicateFunction; DeduplicateITCase.scala:181
+    pinned verbatim in tests/test_itcase_dedup.py): events arrive per
+    user in event_id order; a strictly-earlier event time replaces the
+    current first-row winner, emitting -U(old), +U(new) under the
+    __rowkind convention (aliased ``kind`` here). One hash exchange on
+    user_id + two window passes — the keyed distribution the
+    reference's dedup state requires."""
+    from apache_flink_spark.changelog import ROWKIND_COL, dedup_changelog
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ep")
+    )
+    out = dedup_changelog(
+        e, ["user_id"], "ep", "event_id", keep="first"
+    )
+    return out.select(
+        F.col(ROWKIND_COL).alias("kind"), "user_id", "event_id", "ep"
+    )
