@@ -39,8 +39,8 @@ import re
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
 
 _CALL_RE = re.compile(
-    r"\b(?P<fn>AVG|VAR_POP|LISTAGG|COLLECT|JSON_OBJECTAGG|JSON_ARRAYAGG)"
-    r"\s*\(", re.I
+    r"\b(?P<fn>AVG|VAR_POP|LISTAGG|COLLECT|JSON_OBJECTAGG|JSON_ARRAYAGG"
+    r"|SUM|COUNT|MIN|MAX)\s*\(", re.I
 )
 
 _SCOPE_END = re.compile(
@@ -161,6 +161,20 @@ def _probe_type(spark, arg: str, from_clause: str | None) -> str | None:
         return None
 
 
+def _over_suffix(sql: str, close: int) -> tuple[str, int]:
+    """A trailing ``OVER (...)`` / ``OVER named_window`` clause after the
+    call, if any: (clause_text, end_index_exclusive)."""
+    m = re.match(r"\s*OVER\s*(\(|[A-Za-z_][\w]*)", sql[close + 1:], re.I)
+    if not m:
+        return "", close + 1
+    if m.group(1) == "(":
+        oopen = close + 1 + m.end() - 1
+        oclose = _balanced(sql, oopen)
+        return sql[close + 1: oclose + 1], oclose + 1
+    end = close + 1 + m.end()
+    return sql[close + 1: end], end
+
+
 def _filter_suffix(sql: str, close: int) -> tuple[str, int]:
     """A trailing ``FILTER (WHERE ...)`` clause after the call, if any:
     (clause_text, end_index_exclusive)."""
@@ -201,7 +215,10 @@ def rewrite_flink_aggregates(spark, sql: str) -> str:
     """Apply the Flink aggregate-dialect rewrites (module docstring).
     Idempotent on queries without the listed calls; one pass, innermost
     calls untouched (the listed aggregates cannot nest in each other)."""
-    out = sql
+    # Flink's bare VARCHAR/CHAR default to length 1 in casts; Spark
+    # requires a length — map the bare forms to STRING (same printable
+    # behavior for NULL casts, OverAggregateITCase:416)
+    out = re.sub(r"(?i)\b(AS\s+)VARCHAR(\s*\))", r"\1STRING\2", sql)
     # repeat until no call rewrites (positions shift after each edit)
     for _ in range(64):
         spans = _literal_spans(out)
@@ -221,20 +238,67 @@ def rewrite_flink_aggregates(spark, sql: str) -> str:
                 if "__flink_avg" in arg:
                     continue
                 dist, a = _split_distinct(arg)
+                over, oend = _over_suffix(out, close)
                 t = _probe_type(spark, a, _enclosing_from(out, m.start()))
                 if t in _INTEGRAL:
-                    filt, end = _filter_suffix(out, close)
-                    repl = (
-                        f"CAST((SUM({dist}/*__flink_avg*/{a}){filt} DIV "
-                        f"COUNT({dist}{a}){filt}) AS {t.upper()})"
-                    )
-                    close = end - 1
+                    if over:
+                        repl = (
+                            f"CAST(((SUM(/*__flink_avg*/{a}) {over}) DIV "
+                            f"(COUNT({a}) {over})) AS {t.upper()})"
+                        )
+                        close = oend - 1
+                    else:
+                        filt, end = _filter_suffix(out, close)
+                        repl = (
+                            f"CAST((SUM({dist}/*__flink_avg*/{a}){filt} "
+                            f"DIV COUNT({dist}{a}){filt}) AS {t.upper()})"
+                        )
+                        close = end - 1
                 elif t is not None and t.startswith("decimal"):
                     s = int(t.rstrip(")").split(",")[1])
-                    repl = (
-                        f"CAST(AVG({dist}/*__flink_avg*/{a}) "
-                        f"AS DECIMAL(38,{s}))"
+                    if over:
+                        repl = (
+                            f"CAST((AVG(/*__flink_avg*/{a}) {over}) "
+                            f"AS DECIMAL(38,{s}))"
+                        )
+                        close = oend - 1
+                    else:
+                        repl = (
+                            f"CAST(AVG({dist}/*__flink_avg*/{a}) "
+                            f"AS DECIMAL(38,{s}))"
+                        )
+            elif fn in ("SUM", "COUNT", "MIN", "MAX"):
+                # Flink supports DISTINCT aggregates inside OVER windows
+                # (OverAggregateITCase:1156/:1323); Spark rejects them —
+                # rewritten over a windowed collect_set.
+                if "__flink_" in arg:
+                    continue
+                dist, a = _split_distinct(arg)
+                if not dist:
+                    continue
+                over, oend = _over_suffix(out, close)
+                if not over:
+                    continue
+                a_marked = f"/*__flink_dw*/{a}"
+                if fn in ("MIN", "MAX"):
+                    # distinct is a no-op for min/max — drop it
+                    repl = f"{fn}({a_marked}) {over}"
+                elif fn == "COUNT":
+                    repl = f"size(collect_set({a_marked}) {over})"
+                else:  # SUM
+                    t = _probe_type(
+                        spark, a, _enclosing_from(out, m.start())
                     )
+                    if t is None:
+                        continue
+                    repl = (
+                        f"aggregate(collect_set({a_marked}) {over}, "
+                        f"CAST(NULL AS {t}), "
+                        f"(__a, __v) -> COALESCE(__a, CAST(0 AS {t})) "
+                        f"+ __v)"
+                    )
+                if repl is not None:
+                    close = oend - 1
             elif fn == "VAR_POP":
                 if "__flink_avg" in arg:
                     continue
@@ -252,22 +316,51 @@ def rewrite_flink_aggregates(spark, sql: str) -> str:
                     )
                     close = end - 1
             elif fn == "LISTAGG":
+                if "/*__flink_ws*/" in arg:
+                    continue
                 parts = _top_level_comma_split(arg)
-                if len(parts) == 1 and "/*__flink_ws*/" not in arg:
+                over, oend = _over_suffix(out, close)
+                if over:
+                    # Flink supports LISTAGG [DISTINCT] inside OVER
+                    # windows (OverAggregateITCase:485); Spark's listagg
+                    # is not a window function. DISTINCT keeps
+                    # first-arrival order (array_distinct preserves
+                    # first occurrences).
+                    dist, a0 = _split_distinct(parts[0])
+                    delim = parts[1] if len(parts) > 1 else "','"
+                    inner = f"collect_list(/*__flink_ws*/{a0}) {over}"
+                    if dist:
+                        inner = f"array_distinct({inner})"
+                    repl = f"array_join({inner}, {delim})"
+                    close = oend - 1
+                elif len(parts) == 1:
                     # Flink's default delimiter is ',' (Spark's is '')
                     repl = f"LISTAGG(/*__flink_ws*/{arg}, ',')"
             elif fn == "COLLECT":
                 if "__flink_ms" in arg:
                     continue
                 # Flink MULTISET: value -> multiplicity map (nulls are
-                # ignored, as collect_list does)
-                a = f"/*__flink_ms*/{arg}"
-                repl = (
-                    f"map_from_entries(transform("
-                    f"array_distinct(collect_list({a})), "
-                    f"__v -> struct(__v, size(filter("
-                    f"collect_list({a}), __y -> __y <=> __v)))))"
-                )
+                # ignored, as collect_list does); works inside OVER
+                # windows too (OverAggregateITCase:1323 COLLECT(DISTINCT))
+                dist, a0 = _split_distinct(arg)
+                over, oend = _over_suffix(out, close)
+                a = f"/*__flink_ms*/{a0}"
+                if dist:
+                    repl = (
+                        f"map_from_entries(transform("
+                        f"collect_set({a}){(' ' + over) if over else ''}, "
+                        f"__v -> struct(__v, 1)))"
+                    )
+                else:
+                    osfx = (" " + over) if over else ""
+                    repl = (
+                        f"map_from_entries(transform("
+                        f"array_distinct(collect_list({a}){osfx}), "
+                        f"__v -> struct(__v, size(filter("
+                        f"collect_list({a}){osfx}, __y -> __y <=> __v)))))"
+                    )
+                if over:
+                    close = oend - 1
             elif fn == "JSON_OBJECTAGG":
                 kv = re.match(
                     r"^(?P<k>.+?)\s+VALUE\s+(?P<v>.+)$", arg,
@@ -295,10 +388,15 @@ def rewrite_flink_aggregates(spark, sql: str) -> str:
 
 def needs_rewrite(sql: str) -> bool:
     up = sql.upper()
-    return any(
+    if any(
         tok in up
         for tok in (
-            "AVG", "VAR_POP", "LISTAGG", "COLLECT(", "JSON_OBJECTAGG",
+            "AVG", "VAR_POP", "LISTAGG", "COLLECT", "JSON_OBJECTAGG",
             "JSON_ARRAYAGG",
         )
-    )
+    ):
+        return True
+    if "VARCHAR" in up:
+        return True
+    # DISTINCT aggregates inside OVER windows (SUM/COUNT/MIN/MAX)
+    return "DISTINCT" in up and "OVER" in up
