@@ -118,9 +118,26 @@ GATE_SAMPLE = [
     # (cep_one_or_more_relaxed — now the greedy() pin — plus
     # cep_group_pattern, cep_not_next, mr_stream_next_nav,
     # mr_stream_skip_next rotated out; all stay green in the full sweep)
-    "cep_times_any_combinations",
-    "cep_stream_relaxed_loop",
-    "mr_stream_match_number",
+    # r13 rotation (VERDICT r12 next-item #8): seven entries the driver
+    # has NEVER gated — the five r12-suggested candidates
+    # (win_session_dynamic_gap, stream_over_range_bounded, graph_hits,
+    # mt_materialized_refresh, source_avro_roundtrip) plus the two r13
+    # ITCase-harvest promotions: the rowtime keep-first dedup RETRACTION
+    # EMISSION changelog (DeduplicateITCase:181 verbatim) and tumble
+    # window aggregation with the reference's late-data drop
+    # (WindowAggregateITCase:214 verbatim, per-split bounded
+    # watermarks). Rotated out (long-stable since r9-r11, all green in
+    # the full sweep; the CEP family keeps 15 other gate rows):
+    # cep_times_any_combinations, cep_stream_relaxed_loop,
+    # mr_stream_match_number, cep_within_previous_current,
+    # cep_stream_not_followed_by, mr_permute_mixed, cep_group_pattern.
+    "win_session_dynamic_gap",
+    "stream_over_range_bounded",
+    "graph_hits",
+    "mt_materialized_refresh",
+    "source_avro_roundtrip",
+    "dedup_rowtime_changelog",
+    "win_tumble_late_drop",
     # r10 rotation (VERDICT r9 next-item #4 + the four new r10 operator
     # families): the three r9 operators the driver never gated —
     # followedByAny branching (SKIP_TILL_ANY between elements), the
@@ -132,9 +149,6 @@ GATE_SAMPLE = [
     # the full sweep): join_full_outer, agg_percentiles,
     # over_running_sum, setop_intersect_all, win_session_agg,
     # mr_bounded_quantifier, ds_q14b_period_over_period_intersect.
-    "cep_stream_not_followed_by",
-    "mr_permute_mixed",
-    "cep_within_previous_current",
     "cep_times_window_gaps",
     "cep_stream_group",
     "cep_iterative_condition",
@@ -148,7 +162,6 @@ GATE_SAMPLE = [
     # agg_pivot, rank_topn_per_group, graph_pagerank.
     "cep_iterative_sum",
     "cep_timeout_side_output",
-    "cep_group_pattern",
     "cep_combinations_zero_or_more",
     # r11 late rotation: the five new r11 operator families, each
     # in-gate — group PREVIOUS_AND_CURRENT windows, streaming

@@ -472,3 +472,59 @@ def win_session_dynamic_gap(spark, sf_dir):
         F.min("ep").alias("sess_start"),
         F.max("ep").alias("sess_last"),
     )
+
+
+@query(
+    "win_tumble_late_drop",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ep, value,
+             MAX(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) - {MIN10 // 2} AS wm
+      FROM events
+    ), kept AS (
+      SELECT * FROM o
+      WHERE wm IS NULL OR ((ep // {MIN10}) * {MIN10} + {MIN10}) - 1 > wm
+    )
+    SELECT user_id, (ep // {MIN10}) * {MIN10} AS win_start,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM kept
+    GROUP BY user_id, win_start
+    """,
+)
+def win_tumble_late_drop(spark, sf_dir):
+    """r13 — tumble window aggregation with the reference's LATE-DATA
+    drop (WindowOperator.isWindowLate: an element is dropped from a
+    window whose maxTimestamp <= the current watermark; pinned verbatim
+    against streaming WindowAggregateITCase.scala:214 in
+    tests/test_itcase_window_agg.py). The watermark is the per-split
+    bounded-out-of-orderness strategy (rowtime - 5 minutes over the
+    split's arrival order) — here per user_id stream, each split's
+    running-max prefix scan being ONE window pass over the same keyed
+    exchange the aggregation needs anyway (the scale-correct form: a
+    global arrival order would serialize the scan; real sources carry
+    watermarks per partition/split exactly like this)."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ep"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    win_start = (F.col("ep") - F.col("ep") % MIN10).alias("win_start")
+    kept = (
+        e.withColumn("wm", F.max("ep").over(w) - (MIN10 // 2))
+        .filter(
+            F.col("wm").isNull()
+            | ((F.col("ep") - F.col("ep") % MIN10) + MIN10 - 1 > F.col("wm"))
+        )
+    )
+    return kept.groupBy("user_id", win_start).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )

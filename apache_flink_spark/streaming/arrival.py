@@ -135,6 +135,51 @@ def surviving_windows(
     return out
 
 
+def session_windows(
+    seq: Iterable[tuple],
+    gap: int,
+    key_fn=None,
+) -> list[tuple]:
+    """SESSION windows with merging (the reference's unaligned window
+    operator): a row is late iff its OWN proto-window [ts, ts+gap)'s
+    maxTimestamp <= the watermark at arrival (WindowAggregateITCase's
+    late insert at :745 keeps its session but loses its tumble slice);
+    survivors merge per key into [min ts, max ts + gap) sessions.
+    Returns ``(ts, payload, arrival_idx, win_start, win_end)``.
+    """
+    key_fn = key_fn or (lambda _p: None)
+    wm = float("-inf")
+    survivors: list[tuple] = []
+    idx = 0
+    for item in seq:
+        if item[0] == "wm":
+            wm = max(wm, item[1])
+            continue
+        _, ts, payload = item
+        if ts + gap - 1 > wm:
+            survivors.append((ts, payload, idx))
+        idx += 1
+    # merge per key
+    by_key: dict = {}
+    for ts, payload, i in survivors:
+        by_key.setdefault(key_fn(payload), []).append((ts, payload, i))
+    out: list[tuple] = []
+    for rows in by_key.values():
+        rows.sort(key=lambda r: r[0])
+        sessions: list[list] = []
+        for ts, payload, i in rows:
+            if sessions and ts < sessions[-1][1]:
+                sessions[-1][1] = max(sessions[-1][1], ts + gap)
+                sessions[-1][2].append((ts, payload, i))
+            else:
+                sessions.append([ts, ts + gap, [(ts, payload, i)]])
+        for start, end, members in sessions:
+            out.extend(
+                (ts, payload, i, start, end) for ts, payload, i in members
+            )
+    return out
+
+
 def tumble(size: int, offset: int = 0):
     """TUMBLE window assigner (TumblingEventTimeWindows.assignWindows)."""
 
