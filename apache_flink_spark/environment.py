@@ -285,6 +285,10 @@ class TableEnvironment:
 
             if needs_rewrite(query):
                 query = rewrite_flink_aggregates(self.spark, query)
+            if re.search(r"\bUNNEST\s*\(", query, re.I):
+                from apache_flink_spark.flink_dialect import rewrite_unnest
+
+                query = rewrite_unnest(self.spark, query)
         if "SYSTEM_TIME" in query.upper():
             from apache_flink_spark.temporal_sql import rewrite_system_time_joins
 

@@ -148,17 +148,44 @@ def _enclosing_from(sql: str, pos: int) -> str | None:
     return clause or None
 
 
-def _probe_type(spark, arg: str, from_clause: str | None) -> str | None:
+def _probe_type(
+    spark, arg: str, from_clause: str | None, prefix: str = ""
+) -> str | None:
     """Catalyst-analyzed type of ``arg`` in the FROM clause's scope —
-    plan-only (schema access analyzes; nothing executes)."""
+    plan-only (schema access analyzes; nothing executes). ``prefix``
+    carries a leading WITH-clause so CTE names resolve."""
     a = re.sub(r"^\s*(DISTINCT|ALL)\b", "", arg, flags=re.I).strip()
-    probe = f"SELECT ({a}) AS __p"
+    probe = f"{prefix} SELECT ({a}) AS __p"
     if from_clause:
         probe += f" FROM {from_clause}"
     try:
         return spark.sql(probe).schema[0].dataType.simpleString()
     except Exception:
         return None
+
+
+def _cte_prefix(sql: str) -> str:
+    """The leading ``WITH name AS (...) [, ...]`` prefix, if any — used
+    so type probes resolve CTE names."""
+    m = re.match(r"\s*WITH\s+", sql, re.I)
+    if not m:
+        return ""
+    i = m.end()
+    while True:
+        mm = re.match(r"\s*(?:RECURSIVE\s+)?\w+\s+AS\s*\(", sql[i:], re.I)
+        if not mm:
+            break
+        try:
+            close = _balanced(sql, i + mm.end() - 1)
+        except ValueError:
+            return ""
+        i = close + 1
+        mc = re.match(r"\s*,", sql[i:])
+        if mc:
+            i += mc.end()
+            continue
+        break
+    return sql[:i]
 
 
 def _over_suffix(sql: str, close: int) -> tuple[str, int]:
@@ -384,6 +411,172 @@ def rewrite_flink_aggregates(spark, sql: str) -> str:
         if not changed:
             return out
     return out
+
+
+_UNNEST_RE = re.compile(
+    r"(?P<lead>,|\bCROSS\s+JOIN|\bLEFT\s+JOIN|\bFROM)\s*"
+    r"UNNEST\s*\(", re.I
+)
+
+_UNNEST_TAIL_RE = re.compile(
+    r"^\s*(?:AS\s+)?(?P<alias>\w+)?\s*(?:\(\s*(?P<cols>[\w\s,]+?)\s*\))?",
+    re.I,
+)
+
+_ARRAY_LIT_RE = re.compile(r"\bARRAY\s*\[([^\[\]]*)\]", re.I)
+
+
+def _preceding_from(sql: str, pos: int) -> str | None:
+    """The FROM-clause text between the nearest same-depth FROM keyword
+    BEFORE ``pos`` and ``pos`` — the tables the UNNEST correlates to."""
+    spans = _literal_spans(sql)
+    depth = 0
+    i = pos - 1
+    while i >= 0:
+        if _in_literal(spans, i):
+            i -= 1
+            continue
+        c = sql[i]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                return None
+            depth -= 1
+        elif depth == 0 and c in "Mm" and sql[i - 3: i + 1].upper() == "FROM":
+            start = i - 3
+            if (start == 0 or not (sql[start - 1].isalnum()
+                                   or sql[start - 1] == "_")):
+                clause = sql[i + 1: pos].strip().rstrip(",").strip()
+                return clause or None
+        i -= 1
+    return None
+
+
+def rewrite_unnest(spark, sql: str) -> str:
+    """Flink's ``UNNEST`` collection-table syntax (streaming
+    UnnestITCase.scala) on Spark's LATERAL VIEW:
+
+      - ``FROM T, UNNEST(T.arr) AS A (s[, t])`` / ``CROSS JOIN UNNEST``
+        -> ``LATERAL VIEW explode|inline(arr) A [AS s, t]`` (inline when
+        the element is a struct being splatted into multiple aliases)
+      - ``LEFT JOIN UNNEST(x) AS A(s) ON TRUE`` -> ``LATERAL VIEW OUTER``
+      - ``UNNEST(map)`` with two aliases -> ``explode(map) A AS k, v``
+      - ``UNNEST(multiset)`` (the engine's COLLECT encoding: a value ->
+        INT multiplicity map) expands each element ``multiplicity``
+        times via map_entries + array_repeat before the explode/inline
+      - ``FROM UNNEST(ARRAY[...])`` standalone -> a one-column derived
+        table; Flink's ``ARRAY[...]`` literals map to ``array(...)``.
+
+    Element types are resolved by Catalyst ANALYSIS of the expression
+    against the preceding FROM clause (plan-only); unresolvable sites
+    are left untouched.
+    """
+    # ARRAY[...] literal syntax first (innermost-out for nesting)
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = _ARRAY_LIT_RE.sub(r"array(\1)", sql)
+    for _ in range(32):
+        spans = _literal_spans(sql)
+        m = None
+        for cand in _UNNEST_RE.finditer(sql):
+            if not _in_literal(spans, cand.start()):
+                m = cand
+                break
+        if m is None:
+            return sql
+        open_pos = m.end() - 1
+        try:
+            close = _balanced(sql, open_pos)
+        except ValueError:
+            return sql
+        expr = sql[open_pos + 1: close]
+        tail = _UNNEST_TAIL_RE.match(sql[close + 1:])
+        alias = tail.group("alias")
+        if alias is not None and alias.upper() in (
+            "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION",
+            "EXCEPT", "INTERSECT", "ON", "JOIN", "LEFT", "RIGHT",
+            "CROSS", "INNER", "FULL", "LATERAL", "SELECT", "AS",
+        ):
+            alias = None
+            tail = None
+        cols = [
+            c.strip()
+            for c in ((tail.group("cols") if tail else None) or "").split(",")
+            if c.strip()
+        ]
+        alias = alias or "__unnest"
+        end = close + 1 + (tail.end() if tail else 0)
+        lead = m.group("lead").upper().replace(" ", "")
+        outer = ""
+        if lead == "LEFTJOIN":
+            on = re.match(r"\s*ON\s+TRUE", sql[end:], re.I)
+            if on:
+                end += on.end()
+            outer = "OUTER "
+        t = _probe_type(
+            spark, expr, _preceding_from(sql, m.start()),
+            prefix=_cte_prefix(sql),
+        )
+        if t is None:
+            return sql
+        gen_expr = expr
+        elem = None
+        if t.startswith("array<"):
+            elem = t[6:-1]
+        elif t.startswith("map<"):
+            # the engine's MULTISET encoding is value -> INT multiplicity
+            # (flink_dialect COLLECT); any other map unnests as (k, v)
+            inner = t[4:-1]
+            depth_c = 0
+            split_at = None
+            for i2, ch in enumerate(inner):
+                if ch == "<":
+                    depth_c += 1
+                elif ch == ">":
+                    depth_c -= 1
+                elif ch == "," and depth_c == 0:
+                    split_at = i2
+                    break
+            ktype, vtype = inner[:split_at], inner[split_at + 1:]
+            if vtype.strip() in ("int", "bigint", "smallint", "tinyint"):
+                gen_expr = (
+                    f"flatten(transform(map_entries({expr}), "
+                    f"__e -> array_repeat(__e.key, "
+                    f"CAST(__e.value AS INT))))"
+                )
+                elem = ktype
+            else:
+                gen = f"explode({expr})"
+                col_sfx = f" AS {', '.join(cols)}" if cols else ""
+                repl = f" LATERAL VIEW {outer}{gen} {alias}{col_sfx} "
+                if lead == "FROM":
+                    sel_alias = (
+                        f" AS ({', '.join(cols)})" if cols else ""
+                    )
+                    repl = f" FROM (SELECT {gen}{sel_alias}) {alias} "
+                sql = sql[: m.start()] + repl + sql[end:]
+                continue
+        else:
+            return sql
+        splat = len(cols) > 1 and elem is not None and elem.startswith(
+            "struct<"
+        )
+        gen = (
+            f"inline({gen_expr})" if splat or (
+                not cols and elem is not None and elem.startswith("struct<")
+            )
+            else f"explode({gen_expr})"
+        )
+        col_sfx = f" AS {', '.join(cols)}" if cols else ""
+        if lead == "FROM":
+            sel_alias = f" AS ({', '.join(cols)})" if cols else ""
+            repl = f" FROM (SELECT {gen}{sel_alias}) {alias} "
+        else:
+            repl = f" LATERAL VIEW {outer}{gen} {alias}{col_sfx} "
+        sql = sql[: m.start()] + repl + sql[end:]
+    return sql
 
 
 def needs_rewrite(sql: str) -> bool:

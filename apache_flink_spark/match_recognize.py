@@ -86,7 +86,7 @@ for _ in range(5):
     _PAREN = rf"\((?:[^()]|{_PAREN})*\)"
 
 _BODY_RE = re.compile(
-    r"PARTITION\s+BY\s+(?P<part>.+?)\s+"
+    r"(?:PARTITION\s+BY\s+(?P<part>.+?)\s+)?"
     r"ORDER\s+BY\s+(?P<order>.+?)\s+"
     r"MEASURES\s+(?P<meas>.+?)\s+"
     r"(?:(?P<mode>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
@@ -490,15 +490,46 @@ def _compile_vm(node, enum_vars: frozenset = frozenset()):
     return prog, nregs[0]
 
 
+#: scalar-function measure: fn(VAR.col) / fn(col) — the r13 UDF surface
+#: (streaming MatchRecognizeITCase.scala:858 testUserDefinedFunctions:
+#: prefix(A.name)); the function is applied to the variable's LAST bind
+#: at emission time and may be any session-registered scalar function.
+_FN_MEASURE_RE = re.compile(
+    r"^(?:(?P<sem>RUNNING|FINAL)\s+)?(?P<fn>\w+)\s*\(\s*"
+    r"(?:(?P<var>\w+)\s*\.\s*)?(?P<col>\w+)\s*\)\s+AS\s+(?P<alias>\w+)$",
+    re.I,
+)
+
+_MEASURE_KEYWORDS = {
+    "FIRST", "LAST", "COUNT", "SUM", "MIN", "MAX", "AVG", "CLASSIFIER",
+    "MATCH_NUMBER", "MATCH_ROWTIME",
+}
+
+
 def _parse_measures(meas: str):
     out = []
+    post_fns: dict[str, str] = {}
     for part in _split_top_level(meas):
         m = _MEASURE_RE.match(part.strip())
         if not m:
+            fm = _FN_MEASURE_RE.match(part.strip())
+            if fm and fm.group("fn").upper() not in _MEASURE_KEYWORDS:
+                # scalar UDF over a variable's (or the universal
+                # variable's) LAST bind; applied post-emission
+                out.append((
+                    "LAST", fm.group("var"), fm.group("col"),
+                    fm.group("alias"),
+                    fm.group("sem").upper() if fm.group("sem") else None,
+                ))
+                post_fns[fm.group("alias")] = fm.group("fn")
+                continue
             raise MatchRecognizeError(
                 f"unsupported MEASURES expression: {part!r} (supported: "
                 "VAR.col, FIRST/LAST(VAR.col), COUNT(VAR.*|*), "
-                "SUM/MIN/MAX/AVG(VAR.col))"
+                "SUM/MIN/MAX/AVG(VAR.col), scalarfn(VAR.col); aggregate "
+                "UDFs and arithmetic expressions inside MEASURES are not "
+                "supported — compute them over the emitted columns in "
+                "the outer SELECT)"
             )
         alias = m.group("alias")
         # RUNNING/FINAL semantics prefix (SQL standard / reference
@@ -544,7 +575,11 @@ def _parse_measures(meas: str):
         )
         if not mv:
             raise MatchRecognizeError(
-                f"unsupported {agg} argument in MEASURES: {inner!r}"
+                f"unsupported {agg} argument in MEASURES: {inner!r} "
+                "(aggregates take a plain VAR.col / col argument — "
+                "arithmetic expressions and aggregate UDFs are not "
+                "supported in the measure language; compute them over "
+                "the emitted columns in the outer SELECT)"
             )
         var, col, off = mv.group(1), mv.group(2), mv.group(3)
         if off is not None and agg not in ("FIRST", "LAST"):
@@ -553,7 +588,7 @@ def _parse_measures(meas: str):
             )
         kind = f"{agg}@{int(off)}" if off and int(off) else agg
         out.append((kind, var, col, alias, sem))
-    return out
+    return out, post_fns
 
 
 _NAV_RE = re.compile(
@@ -856,7 +891,10 @@ def _sql_pred_to_python(expr: str, columns, var_msg: str) -> str:
         raise MatchRecognizeError(
             f"DEFINE {var_msg}: {name!r} is neither a column nor part of "
             "the supported cross-variable predicate subset (comparisons, "
-            "AND/OR/NOT, arithmetic, ABS, COALESCE, LAST/FIRST binds)"
+            "AND/OR/NOT, arithmetic, ABS, COALESCE, LAST/FIRST binds). "
+            "Scalar UDFs run only in own-row DEFINEs (no bind "
+            "aggregates in the same predicate); aggregate UDFs are not "
+            "supported — express them via the builtin bind aggregates"
         )
 
     def convert(e: str) -> str:
@@ -1091,6 +1129,32 @@ def _measure_sql_type(kind: str, col_type: str | None) -> str:
     return col_type  # FIRST/LAST/MIN/MAX
 
 
+def _normalize_quoted_vars(body: str) -> str:
+    """r13 — backtick-quoted pattern variable names (streaming
+    MatchRecognizeITCase.scala:52 / batch MatchRecognizeITCase.java:73
+    use PATTERN (`A"` l C)): every quoted identifier appearing in the
+    PATTERN clause is a pattern VARIABLE — rewrite it (everywhere in the
+    body) to a plain generated name before parsing. Backtick-quoted
+    COLUMN names never appear inside PATTERN, so they are untouched."""
+    if "`" not in body:
+        return body
+    pm = re.search(r"\bPATTERN\s*\(", body, re.I)
+    if pm is None:
+        return body
+    depth, i = 1, pm.end()
+    while i < len(body) and depth:
+        if body[i] == "(":
+            depth += 1
+        elif body[i] == ")":
+            depth -= 1
+        i += 1
+    seg = body[pm.end(): i - 1]
+    names = sorted(set(re.findall(r"`([^`]+)`", seg)))
+    for k, n in enumerate(names):
+        body = body.replace(f"`{n}`", f"__mrq{k}")
+    return body
+
+
 def compile_match_recognize(
     spark: SparkSession, source: DataFrame, body: str,
     cep_enum_vars: frozenset | None = None,
@@ -1110,6 +1174,7 @@ def compile_match_recognize(
     (the reference's IGNOREd events are not part of a match)."""
     import pandas as pd
 
+    body = _normalize_quoted_vars(body)
     m = _BODY_RE.search(body.strip())
     if not m:
         raise MatchRecognizeError(
@@ -1117,7 +1182,17 @@ def compile_match_recognize(
             "ORDER BY, MEASURES, [ONE ROW PER MATCH], [AFTER MATCH SKIP ...], "
             "PATTERN (...), DEFINE in that order"
         )
-    part_cols = [c.strip() for c in m.group("part").split(",")]
+    # r13 — PARTITION BY is optional (streaming MatchRecognizeITCase
+    # .scala:52 etc. run globally): a non-partitioned pattern matches
+    # over ONE totally-ordered stream, modeled as a synthetic constant
+    # key (the reference requires parallelism 1 there for the same
+    # reason); the synthetic column never reaches the output.
+    synthetic_part = m.group("part") is None
+    if synthetic_part:
+        source = source.withColumn("__mr_gkey", F.lit(0))
+        part_cols = ["__mr_gkey"]
+    else:
+        part_cols = [c.strip() for c in m.group("part").split(",")]
     # PERMUTE (r6 — SQL standard / reference parserImpls.ftl MATCH_RECOGNIZE
     # grammar): PATTERN (PERMUTE(A, B, C)) matches the variables in ANY
     # order, preferring permutations in lexicographic order of the listed
@@ -1172,7 +1247,7 @@ def compile_match_recognize(
             # of sequences): the backtracking VM path
             vm_prog, vm_nregs = _compile_vm(tree, cep_enum)
             vm_anchor = _anchor_alts(tree)
-    measures = _parse_measures(m.group("meas"))
+    measures, post_fns = _parse_measures(m.group("meas"))
     # MATCH_ROWTIME() (r12 — Flink's rowtime-of-the-match function,
     # flink-table batch MatchRecognizeITCase
     # testWindowedGroupingAppliedToMatchRecognize): the event time of
@@ -1257,6 +1332,21 @@ def compile_match_recognize(
 
     type_of = dict((f.name, f.dataType.simpleString()) for f in source.schema.fields)
 
+    for alias, fname in post_fns.items():
+        try:
+            known = spark.catalog.functionExists(fname)
+        except Exception:  # pragma: no cover - catalog hiccup
+            known = False
+        if not known:
+            raise MatchRecognizeError(
+                f"MEASURES references unknown scalar function {fname!r} "
+                "— register it first (spark.udf.register / CREATE "
+                "FUNCTION). Aggregate UDFs inside MEASURES/DEFINE are "
+                "not supported: the reference evaluates them over the "
+                "variable's binds inside the NFA; compute them over the "
+                "emitted columns in the outer SELECT instead"
+            )
+
     for kind, var, col, alias, _sem in measures:
         if var is not None and var not in variables and var not in subsets:
             raise MatchRecognizeError(f"MEASURES references unknown variable {var!r}")
@@ -1313,14 +1403,16 @@ def compile_match_recognize(
             f"__mr_{var}",
             F.expr(pred).cast("boolean") if pred else F.lit(True),
         )
-    src_cols = [f.name for f in source.schema.fields]
+    src_cols = [
+        f.name for f in source.schema.fields if f.name != "__mr_gkey"
+    ]
     out_fields = []
     if all_rows:
         # ALL ROWS PER MATCH: every input column of each matched row, then
         # the measures (RUNNING by default, FINAL on request) —
         # SQL-standard output shape.
         out_fields.extend((c, type_of[c]) for c in src_cols)
-    else:
+    elif not synthetic_part:
         for c in part_cols:
             if c not in type_of:
                 raise MatchRecognizeError(f"unknown PARTITION BY column {c!r}")
@@ -1918,7 +2010,11 @@ def compile_match_recognize(
 
         rows = []
         for s, e in zip(starts, ends):
-            part_vals = [a[s] for a in part_arrs]
+            # the synthetic global key (r13, optional PARTITION BY)
+            # segments the scan but never reaches the output row
+            part_vals = (
+                [] if synthetic_part else [a[s] for a in part_arrs]
+            )
             match_no = 0
 
             def _do_emit(assign):
@@ -2017,7 +2113,20 @@ def compile_match_recognize(
     # The exchange + in-partition sort happened up top (step 1): each
     # key's rows are contiguous AND event-time ordered, so no per-key sort
     # runs in Python. Projections (nav + boolean columns) preserve both.
-    return work.mapInPandas(run_partition, out_schema)
+    out_df = work.mapInPandas(run_partition, out_schema)
+    if post_fns:
+        # r13 — scalar-UDF measures (streaming MatchRecognizeITCase
+        # .scala:858): apply each session-registered scalar function to
+        # its base measure column post-emission; stays one Catalyst
+        # projection over the match output, zero extra shuffles.
+        out_df = out_df.select(
+            *[
+                F.expr(f"{post_fns[name]}(`{name}`)").alias(name)
+                if name in post_fns else F.col(name)
+                for name in out_cols
+            ]
+        )
+    return out_df
 
 
 _MR_SITE_RE = re.compile(r"(\w+)\s+MATCH_RECOGNIZE\s*\(", re.I)

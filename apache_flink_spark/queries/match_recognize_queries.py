@@ -1536,3 +1536,59 @@ def mr_stream_skip_to_last(spark, sf_dir):
         """,
     )
     return run_to_table(out, "append")
+
+
+@query(
+    "mr_udf_measures",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ep,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS rn
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), m AS (
+        SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+               upper(b.event_type) AS b_type_u
+        FROM o a JOIN o b
+          ON a.user_id = b.user_id AND b.rn = a.rn + 1
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    )
+    SELECT user_id, a_id, b_id, b_type_u FROM m
+    """,
+)
+def mr_udf_measures(spark, sf_dir):
+    """r13 — SCALAR FUNCTIONS inside MATCH_RECOGNIZE MEASURES (streaming
+    MatchRecognizeITCase.scala:858 testUserDefinedFunctions, pinned
+    verbatim in tests/test_itcase_mr_stream.py): ``fn(VAR.col)`` measures
+    apply any session-registered scalar function to the variable's LAST
+    bind — here the catalog's ``upper`` over the adjacent click->purchase
+    pattern, so the post-projection stays a JVM Catalyst expression
+    (zero Python in the hot path); user-registered UDFs ride the same
+    lane. Aggregate UDFs in MEASURES/DEFINE reject loudly (also pinned)."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.match_recognize import sql_with_match_recognize
+    from apache_flink_spark.queries._util import t
+
+    e = t(spark, sf_dir, "events")
+    e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("ep"),
+    ).createOrReplaceTempView("mr_udf_events")
+    return sql_with_match_recognize(
+        spark,
+        """
+        SELECT user_id, a_id, b_id, b_type_u FROM mr_udf_events
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ep, event_id
+            MEASURES A.event_id AS a_id, B.event_id AS b_id,
+                     upper(B.event_type) AS b_type_u
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        )
+        """,
+    )

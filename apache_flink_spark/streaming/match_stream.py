@@ -448,6 +448,9 @@ def streaming_match_recognize(
     # shorter take). Raw SQL MATCH_RECOGNIZE greedy quantifiers keep
     # SQL backtracking semantics and never appear here.
     cep_greedy = frozenset(cep_greedy_vars or ())
+    from apache_flink_spark.match_recognize import _normalize_quoted_vars
+
+    body = _normalize_quoted_vars(body)
     m = _BODY_RE.search(body.strip())
     if not m:
         raise MatchRecognizeError("could not parse MATCH_RECOGNIZE body")
@@ -587,7 +590,16 @@ def streaming_match_recognize(
     # enum-inner-gap bodies multi-match per start too (one match per
     # gap extent), so they ride the same emission requirements
     has_enum = any(elem_enum) or any(elem_body_enum)
-    measures = _parse_measures(m.group("meas"))
+    measures, post_fns = _parse_measures(m.group("meas"))
+    if post_fns:
+        # the streaming NFA emits through the keyed-state lane; the r13
+        # scalar-UDF measure post-projection is batch-only so far
+        raise MatchRecognizeError(
+            "scalar-function MEASURES are not supported on the streaming "
+            f"MATCH_RECOGNIZE path yet ({sorted(post_fns.values())}); "
+            "apply the function in the outer SELECT over the emitted "
+            "columns"
+        )
     # MATCH_ROWTIME() (r12): universal LAST of the event-time ORDER BY
     # column — same rewrite as the batch path
     measures = [
