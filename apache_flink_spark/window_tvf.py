@@ -179,21 +179,26 @@ def rewrite_window_tvfs(sql: str) -> str:
 # TUMBLE/HOP/SESSION directly in GROUP BY plus *_START/*_END selectors in
 # SELECT; validated by the planner's LogicalWindowAggregate rules).
 _GW_RE = re.compile(
-    r"\b(TUMBLE|HOP|SESSION)(_START|_END)?\s*\(\s*`?(\w+)`?\s*,\s*([^()]+)\)",
+    r"\b(TUMBLE|HOP|SESSION)(_START|_END)?\s*\(\s*"
+    r"`?(\w+(?:`?\.`?\w+)?)`?\s*,\s*([^()]+)\)",
     re.I,
 )
 
 
 def _gw_expr(kind: str, col: str, args: str) -> str:
     ivs = _parse_intervals(args)
+    # r13: qualified time attributes (TUMBLE(t1.rowtime, ...) — the
+    # IntervalJoinITCase window-agg-after-join shape) pass through
+    # unquoted; bare names keep backticks (reserved-word columns)
+    ref = col if "." in col else f"`{col}`"
     if kind == "TUMBLE":
         (_, size), = ivs
-        return f"window(`{col}`, '{size}')"
+        return f"window({ref}, '{size}')"
     if kind == "HOP":
         (_, slide), (_, size) = ivs  # Flink arg order: slide, size
-        return f"window(`{col}`, '{size}', '{slide}')"
+        return f"window({ref}, '{size}', '{slide}')"
     (_, gap), = ivs
-    return f"session_window(`{col}`, '{gap}')"
+    return f"session_window({ref}, '{gap}')"
 
 
 def rewrite_group_windows(sql: str) -> str:
