@@ -289,6 +289,12 @@ class TableEnvironment:
                 from apache_flink_spark.flink_dialect import rewrite_unnest
 
                 query = rewrite_unnest(self.spark, query)
+            if re.search(r"\b(?:ARRAY|MAP)\s*\[", query, re.I):
+                from apache_flink_spark.flink_dialect import (
+                    rewrite_bracket_literals,
+                )
+
+                query = rewrite_bracket_literals(query)
         if "SYSTEM_TIME" in query.upper():
             from apache_flink_spark.temporal_sql import rewrite_system_time_joins
 

@@ -424,6 +424,19 @@ _UNNEST_TAIL_RE = re.compile(
 )
 
 _ARRAY_LIT_RE = re.compile(r"\bARRAY\s*\[([^\[\]]*)\]", re.I)
+_MAP_LIT_RE = re.compile(r"\bMAP\s*\[([^\[\]]*)\]", re.I)
+
+
+def rewrite_bracket_literals(sql: str) -> str:
+    """Flink's ``ARRAY[...]`` / ``MAP[k, v, ...]`` collection literals
+    (CalcITCase:231/:508) -> Spark's ``array(...)`` / ``map(...)``
+    (innermost-out for nesting)."""
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = _ARRAY_LIT_RE.sub(r"array(\1)", sql)
+        sql = _MAP_LIT_RE.sub(r"map(\1)", sql)
+    return sql
 
 
 def _preceding_from(sql: str, pos: int) -> str | None:
@@ -472,11 +485,8 @@ def rewrite_unnest(spark, sql: str) -> str:
     against the preceding FROM clause (plan-only); unresolvable sites
     are left untouched.
     """
-    # ARRAY[...] literal syntax first (innermost-out for nesting)
-    prev = None
-    while prev != sql:
-        prev = sql
-        sql = _ARRAY_LIT_RE.sub(r"array(\1)", sql)
+    # ARRAY[...] / MAP[...] literal syntax first
+    sql = rewrite_bracket_literals(sql)
     for _ in range(32):
         spans = _literal_spans(sql)
         m = None
