@@ -43,7 +43,7 @@ _TVF_RE = re.compile(
 )
 
 _INTERVAL_RE = re.compile(
-    r"INTERVAL\s*'(\d+)'\s*(SECOND|MINUTE|HOUR|DAY)S?", re.I
+    r"INTERVAL\s*'(\d+(?:\.\d+)?)'\s*(SECOND|MINUTE|HOUR|DAY)S?", re.I
 )
 
 _UNIT_US = {
@@ -57,8 +57,12 @@ _counter = itertools.count()
 
 
 def _parse_intervals(args: str):
+    # r13: fractional seconds (GroupWindowITCase's INTERVAL '0.004'
+    # SECOND) carry through as integral microseconds
     out = [
-        (int(n) * _UNIT_US[u.upper()], f"{n} {u.lower()}s")
+        (int(float(n) * _UNIT_US[u.upper()]),
+         f"{n} {u.lower()}s" if "." not in n
+         else f"{int(float(n) * _UNIT_US[u.upper()])} microseconds")
         for n, u in _INTERVAL_RE.findall(args)
     ]
     if not out:
@@ -179,7 +183,7 @@ def rewrite_window_tvfs(sql: str) -> str:
 # TUMBLE/HOP/SESSION directly in GROUP BY plus *_START/*_END selectors in
 # SELECT; validated by the planner's LogicalWindowAggregate rules).
 _GW_RE = re.compile(
-    r"\b(TUMBLE|HOP|SESSION)(_START|_END)?\s*\(\s*"
+    r"\b(TUMBLE|HOP|SESSION)(_START|_END|_ROWTIME|_PROCTIME)?\s*\(\s*"
     r"`?(\w+(?:`?\.`?\w+)?)`?\s*,\s*([^()]+)\)",
     re.I,
 )
@@ -220,6 +224,10 @@ def rewrite_group_windows(sql: str) -> str:
             return f"{expr}.start"
         if suffix == "_END":
             return f"{expr}.`end`"
+        if suffix in ("_ROWTIME", "_PROCTIME"):
+            # the window's time attribute = end - 1ms (the reference's
+            # window_time; GroupWindowITCase HOP_ROWTIME/SESSION_ROWTIME)
+            return f"{expr}.`end` - INTERVAL 1 MILLISECOND"
         return expr
 
     return _GW_RE.sub(sub, sql)

@@ -41,12 +41,20 @@ def flink_val(v) -> str:
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, datetime.datetime):
-        # LocalDateTime.toString: ISO-8601, second/fraction omitted when 0
+        # LocalDateTime.toString: ISO-8601, second/fraction omitted when
+        # 0; fractions print in 3-digit groups (millis ".020", micros
+        # ".000123")
         s = v.isoformat()
         if s.endswith(":00") and len(s) == 19:
             s = s[:-3]
         elif "." in s:
-            s = s.rstrip("0").rstrip(".")
+            head, frac = s.split(".")
+            frac = frac.rstrip("0")
+            if not frac:
+                s = head
+            else:
+                pad = (3 - len(frac) % 3) % 3
+                s = f"{head}.{frac}{'0' * pad}"
         return s
     if isinstance(v, datetime.date):
         return v.isoformat()
