@@ -37,13 +37,13 @@ class WindowTvfError(ValueError):
 
 _TVF_RE = re.compile(
     r"TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(\s*TABLE\s+(\w+)"
-    r"(?:\s+PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*))?\s*,\s*"
+    r"(?:\s+PARTITION\s+BY\s+(`?\w+`?(?:\s*,\s*`?\w+`?)*))?\s*,\s*"
     r"DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*([^()]+)\)\s*\)",
     re.I,
 )
 
 _INTERVAL_RE = re.compile(
-    r"INTERVAL\s*'(\d+(?:\.\d+)?)'\s*(SECOND|MINUTE|HOUR|DAY)S?", re.I
+    r"INTERVAL\s*'(-?\d+(?:\.\d+)?)'\s*(SECOND|MINUTE|HOUR|DAY)S?", re.I
 )
 
 _UNIT_US = {
@@ -79,28 +79,51 @@ def _rewrite_one(
         raise WindowTvfError(
             f"PARTITION BY is only valid on SESSION window TVFs, not {kind}"
         )
+    # window_time = window_end - 1ms: the windowed table's rowtime
+    # attribute (ref WindowTableFunctionITCase.scala:73 — every expected
+    # row carries it; flink-table-runtime WindowTableFunctionOperatorBase
+    # emits it as the third window column)
     if kind == "TUMBLE":
-        (_, size), = ivs
+        # Flink arg order: size [, offset] (TUMBLE(..., INTERVAL '5'
+        # SECOND, INTERVAL '1' SECOND) tiles windows at offset mod size;
+        # negative offsets allowed — WindowTableFunctionITCase:177).
+        # Spark window()'s startTime is the same mod-size shift, so
+        # normalize the offset into [0, size).
+        if len(ivs) == 2:
+            (size_us, size), (off_us, _) = ivs
+            start = f", '{((off_us % size_us) + size_us) % size_us} microseconds'"
+            start = f", '{size}'" + start  # window(col, size, slide, start)
+        else:
+            (size_us, size), = ivs
+            start = ""
         return (
             f"(SELECT * EXCEPT({w}), {w}.start AS window_start,"
-            f" {w}.`end` AS window_end"
-            f" FROM (SELECT *, window(`{col}`, '{size}') AS {w} FROM {src}))"
+            f" {w}.`end` AS window_end,"
+            f" {w}.`end` - INTERVAL 1 MILLISECOND AS window_time"
+            f" FROM (SELECT *, window(`{col}`, '{size}'{start}) AS {w}"
+            f" FROM {src}))"
         )
     if kind == "HOP":
-        # Flink arg order: slide, then size.
-        (_, slide), (_, size) = ivs
+        # Flink arg order: slide, then size [, offset].
+        (slide_us, slide), (_, size) = ivs[0], ivs[1]
+        start = ""
+        if len(ivs) == 3:
+            off_us = ivs[2][0]
+            start = f", '{((off_us % slide_us) + slide_us) % slide_us} microseconds'"
         return (
             f"(SELECT * EXCEPT({w}), {w}.start AS window_start,"
-            f" {w}.`end` AS window_end"
-            f" FROM (SELECT *, window(`{col}`, '{size}', '{slide}') AS {w}"
+            f" {w}.`end` AS window_end,"
+            f" {w}.`end` - INTERVAL 1 MILLISECOND AS window_time"
+            f" FROM (SELECT *, window(`{col}`, '{size}', '{slide}'{start}) AS {w}"
             f" FROM {src}))"
         )
     if kind == "CUMULATE":
-        # Flink arg order: step, then max size. A row at offset o into its
-        # max-size window belongs to every slice ending after o —
-        # explode those slice indices (same rewrite as the DataFrame
-        # cumulate operator).
-        (step_us, _), (size_us, _) = ivs
+        # Flink arg order: step, then max size [, offset]. A row at
+        # offset o into its max-size window belongs to every slice ending
+        # after o — explode those slice indices (same rewrite as the
+        # DataFrame cumulate operator).
+        (step_us, _), (size_us, _) = ivs[0], ivs[1]
+        off_us = ((ivs[2][0] % size_us) + size_us) % size_us if len(ivs) == 3 else 0
         if size_us % step_us:
             raise WindowTvfError("CUMULATE size must be a multiple of step")
         n = size_us // step_us
@@ -108,9 +131,11 @@ def _rewrite_one(
         return (
             f"(SELECT * EXCEPT({ws}, {k}),"
             f" timestamp_micros({ws}) AS window_start,"
-            f" timestamp_micros({ws} + {k} * {step_us}) AS window_end"
+            f" timestamp_micros({ws} + {k} * {step_us}) AS window_end,"
+            f" timestamp_micros({ws} + {k} * {step_us} - 1000) AS window_time"
             f" FROM (SELECT *,"
-            f" (unix_micros(`{col}`) div {size_us}) * {size_us} AS {ws},"
+            f" ((unix_micros(`{col}`) - {off_us}) div {size_us}) * {size_us}"
+            f" + {off_us} AS {ws},"
             f" explode(sequence(CAST(1 AS BIGINT), CAST({n} AS BIGINT))) AS {k}"
             f" FROM {src})"
             f" WHERE unix_micros(`{col}`) < {ws} + {k} * {step_us})"
@@ -123,7 +148,7 @@ def _rewrite_one(
     # (window_end = last event + gap, Spark session_window semantics).
     # All four analytic windows share one exchange on the partition keys.
     (gap_us, _), = ivs
-    keys = [k.strip() for k in part.split(",")] if part else []
+    keys = [k.strip().strip("`") for k in part.split(",")] if part else []
     by = ", ".join(f"`{k}`" for k in keys)
     pb = f"PARTITION BY {by}" if keys else ""
     pbg = f"PARTITION BY {by}, {w}g" if keys else f"PARTITION BY {w}g"
@@ -132,7 +157,8 @@ def _rewrite_one(
     return (
         f"(SELECT * EXCEPT({w}n, {w}g, {w}s, {w}e),"
         f" timestamp_micros({w}s) AS window_start,"
-        f" timestamp_micros({w}e) AS window_end"
+        f" timestamp_micros({w}e) AS window_end,"
+        f" timestamp_micros({w}e - 1000) AS window_time"
         f" FROM (SELECT *,"
         f" MIN({ep}) OVER ({pbg}) AS {w}s,"
         f" MAX({ep}) OVER ({pbg}) + {gap_us} AS {w}e"
