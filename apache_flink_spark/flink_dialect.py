@@ -246,6 +246,21 @@ def rewrite_flink_aggregates(spark, sql: str) -> str:
     # requires a length — map the bare forms to STRING (same printable
     # behavior for NULL casts, OverAggregateITCase:416)
     out = re.sub(r"(?i)\b(AS\s+)VARCHAR(\s*\))", r"\1STRING\2", sql)
+    # GROUPING_ID(cols...): Flink (Calcite) computes the bit vector over
+    # exactly the argument columns; Spark's grouping_id() insists the
+    # arguments be the FULL grouping list, so express the same bit
+    # vector with per-column grouping() bits
+    # (WindowDistinctAggregateITCase.scala:216 GROUPING_ID(`name`)).
+    def _gid(m: re.Match) -> str:
+        cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
+        n = len(cols)
+        return "(" + " + ".join(
+            f"grouping({c})" if i == n - 1
+            else f"grouping({c}) * {1 << (n - 1 - i)}"
+            for i, c in enumerate(cols)
+        ) + ")"
+
+    out = re.sub(r"(?i)\bGROUPING_ID\s*\(([^()]*)\)", _gid, out)
     # repeat until no call rewrites (positions shift after each edit)
     for _ in range(64):
         spans = _literal_spans(out)
@@ -599,7 +614,7 @@ def needs_rewrite(sql: str) -> bool:
         )
     ):
         return True
-    if "VARCHAR" in up:
+    if "VARCHAR" in up or "GROUPING_ID" in up:
         return True
     # DISTINCT aggregates inside OVER windows (SUM/COUNT/MIN/MAX)
     return "DISTINCT" in up and "OVER" in up
