@@ -102,6 +102,33 @@ def drop_update_before(changelog: DataFrame) -> DataFrame:
     return changelog.filter(F.col(ROWKIND_COL) != UPDATE_BEFORE)
 
 
+def materialize_retract(changelog: DataFrame) -> DataFrame:
+    """Materialize a RETRACT changelog with no primary key: +I/+U add a
+    row, -U/-D remove a row matching by FULL VALUE (the reference's
+    'changelog-mode' = 'I,UA,UB,D' source without a PK —
+    ChangelogSourceITCase registerChangelogSource; retraction is a
+    multiset operation, not a keyed upsert). The final table is the net
+    multiset: each distinct payload survives max(0, inserts - retracts)
+    times.
+
+    Scale: one hash aggregation over the payload columns (map-side
+    partial combine); the explode rebuilds multiplicity without a second
+    shuffle."""
+    payload = [c for c in changelog.columns if c != ROWKIND_COL]
+    sign = F.when(
+        F.col(ROWKIND_COL).isin(INSERT, UPDATE_AFTER), F.lit(1)
+    ).otherwise(F.lit(-1))
+    net = changelog.groupBy(*payload).agg(F.sum(sign).alias("__net"))
+    return (
+        net.filter(F.col("__net") > 0)
+        .withColumn(
+            "__dup",
+            F.explode(F.sequence(F.lit(1), F.col("__net").cast("int"))),
+        )
+        .select(*payload)
+    )
+
+
 def dedup_changelog(
     df: DataFrame,
     keys: list[str],
