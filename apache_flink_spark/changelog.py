@@ -129,6 +129,42 @@ def materialize_retract(changelog: DataFrame) -> DataFrame:
     )
 
 
+def versioned_table(
+    changelog: DataFrame, time_col: str, arrival_col: str
+) -> DataFrame:
+    """Build an event-time VERSIONED TABLE from a keyed changelog — the
+    right side of a ``FOR SYSTEM_TIME AS OF`` temporal join
+    (flink-table-runtime TemporalRowTimeJoinOperator's right-state
+    timeline; TemporalJoinITCase registers these via changelog sources
+    with a PK + watermark).
+
+    Version timeline per key: every +I/+U event starts a new version at
+    its event time; -U (the retract half) carries no timeline
+    information and is dropped; -D ends the key's validity at the
+    DELETE's own event time (the reference: "the event time semantics in
+    delete event is when the delete event happened") — modeled as a
+    TOMBSTONE version that keeps its full payload (so the join-key
+    equality can still pick it, shadowing older versions) and is marked
+    ``__version_deleted``; the temporal_sql rewrite filters a picked
+    tombstone AFTER the as-of pick, yielding NULLs under LEFT JOIN and a
+    dropped row under INNER. Hidden columns ``__version_time``
+    (ordering) and ``__version_seq`` (arrival tiebreak: at equal version
+    time the later event wins, and a -D at the same time as a +U shadows
+    it) drive the pick.
+
+    Scale: a pure projection — no shuffle; the temporal join itself
+    shuffles on the version key."""
+    payload = [
+        c for c in changelog.columns if c not in (ROWKIND_COL, arrival_col)
+    ]
+    return changelog.filter(F.col(ROWKIND_COL) != UPDATE_BEFORE).select(
+        *payload,
+        F.col(time_col).alias("__version_time"),
+        F.col(arrival_col).alias("__version_seq"),
+        (F.col(ROWKIND_COL) == DELETE).alias("__version_deleted"),
+    )
+
+
 def dedup_changelog(
     df: DataFrame,
     keys: list[str],

@@ -298,7 +298,15 @@ class TableEnvironment:
         if "SYSTEM_TIME" in query.upper():
             from apache_flink_spark.temporal_sql import rewrite_system_time_joins
 
-            query = rewrite_system_time_joins(self._rewrite_time_travel(query))
+            def _columns_of(name: str):
+                try:
+                    return self.spark.table(name).columns
+                except Exception:
+                    return None
+
+            query = rewrite_system_time_joins(
+                self._rewrite_time_travel(query), columns_of=_columns_of
+            )
         up = query.upper()
         if ("CREATE" in up or re.match(r"\s*REPLACE\s+TABLE\b", query, re.I)
                 ) and ("CONNECTOR" in up or re.search(

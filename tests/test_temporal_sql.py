@@ -32,11 +32,25 @@ def test_inner_join_keeps_inner_semantics():
 
 
 def test_unsupported_form_raises():
-    with pytest.raises(TemporalSqlError, match="supported subset"):
+    # an OR'd key pair provides no usable version-lookup equality — the
+    # reference requires the join key to contain the versioned table's PK
+    with pytest.raises(TemporalSqlError, match="equality conjunct"):
         rewrite_system_time_joins(
             "SELECT * FROM o JOIN r FOR SYSTEM_TIME AS OF o.ts AS v"
-            " ON (v.k = o.k OR v.j = o.j)"  # parenthesized condition
+            " ON (v.k = o.k OR v.j = o.j)"
         )
+
+
+def test_residual_predicates_filter_the_picked_version():
+    # non-key conjuncts must NOT participate in the as-of pick
+    # (TemporalJoinITCase testEventTimeTemporalJoinWithNonEqualCondition)
+    out = rewrite_system_time_joins(
+        "SELECT * FROM o JOIN rates FOR SYSTEM_TIME AS OF o.ts AS r"
+        " ON r.cur = o.cur AND r.rate > 102"
+    )
+    inner_pick = out.index("LIMIT 1")
+    assert "r.rate > 102" in out[inner_pick:]
+    assert "r.rate > 102" not in out[:inner_pick]
 
 
 def test_plain_sql_passes_through():
