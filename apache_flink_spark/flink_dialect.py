@@ -261,6 +261,10 @@ def rewrite_flink_aggregates(spark, sql: str) -> str:
         ) + ")"
 
     out = re.sub(r"(?i)\bGROUPING_ID\s*\(([^()]*)\)", _gid, out)
+    # PROCTIME(): the processing-time attribute — in a micro-batch
+    # engine, the batch's wall-clock timestamp (LookupJoinITCase's
+    # "SELECT max(id), PROCTIME() as proctime ... " probe sides)
+    out = re.sub(r"(?i)\bPROCTIME\s*\(\s*\)", "current_timestamp()", out)
     # repeat until no call rewrites (positions shift after each edit)
     for _ in range(64):
         spans = _literal_spans(out)
@@ -614,7 +618,7 @@ def needs_rewrite(sql: str) -> bool:
         )
     ):
         return True
-    if "VARCHAR" in up or "GROUPING_ID" in up:
+    if "VARCHAR" in up or "GROUPING_ID" in up or "PROCTIME" in up:
         return True
     # DISTINCT aggregates inside OVER windows (SUM/COUNT/MIN/MAX)
     return "DISTINCT" in up and "OVER" in up

@@ -124,6 +124,17 @@ def rewrite_system_time_joins(
         cond = m.group("cond").strip()
         join_kw = "LEFT JOIN" if m.group("left") else "JOIN"
 
+        cols = columns_of(tbl) if columns_of is not None else None
+        # LOOKUP mode (StreamExecLookupJoin / LookupJoinRunner — the
+        # reference's LookupJoinITCase): ``FOR SYSTEM_TIME AS OF
+        # l.proctime`` against a table with NO time attribute is a
+        # lookup join — every probe sees the dimension table's current
+        # snapshot and emits ALL matching rows, so it compiles to a
+        # plain join on the snapshot (constant keys, UDF conjuncts and
+        # non-equi predicates all follow ordinary join ON semantics).
+        if cols is not None and VERSION_TIME not in cols and ts not in cols:
+            return f"{join_kw} {tbl} AS {ra} ON ({cond})"
+
         key_conds, residual = [], []
         for c in _split_conjuncts(cond):
             km = _KEY_EQ_RE.match(c)
@@ -138,7 +149,6 @@ def rewrite_system_time_joins(
                 "version lookup key); got: " + cond
             )
 
-        cols = columns_of(tbl) if columns_of is not None else None
         versioned = bool(cols) and VERSION_TIME in cols
         if versioned:
             vt, payload = VERSION_TIME, [c for c in cols if c not in _VERSION_COLS]
