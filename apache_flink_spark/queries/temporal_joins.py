@@ -438,3 +438,32 @@ def temporal_join_sql(spark, sf_dir):
           ON v.user_id = c.user_id
         """
     )
+
+
+@query(
+    "lookup_join_snapshot",
+    oracle="""
+    SELECT e.event_id, n.n_name, n.n_regionkey
+    FROM events e JOIN nation n
+      ON e.user_id % 25 = n.n_nationkey AND e.event_id % 11 = 0
+    """,
+)
+def lookup_join_snapshot(spark, sf_dir):
+    """Lookup join (r13 — LookupJoinITCase.scala:206 shape): ``FOR
+    SYSTEM_TIME AS OF T.ts`` against a dimension table with NO time
+    attribute (nation) — the reference's StreamExecLookupJoin probes the
+    dimension's current snapshot and emits all matches, so temporal_sql's
+    LOOKUP mode compiles it to a plain join on the snapshot. Catalyst
+    broadcasts the 25-row dim side; at 100 TB this is the canonical
+    broadcast-hash lookup with no LIMIT-1 domain join."""
+    from apache_flink_spark.environment import TableEnvironment
+
+    tenv = TableEnvironment(spark=spark)
+    tenv.use_data_dir(sf_dir)
+    return tenv.sql(
+        """
+        SELECT T.event_id, D.n_name, D.n_regionkey
+        FROM events AS T JOIN nation FOR SYSTEM_TIME AS OF T.ts AS D
+          ON T.user_id % 25 = D.n_nationkey AND T.event_id % 11 = 0
+        """
+    )

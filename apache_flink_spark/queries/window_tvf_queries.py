@@ -207,3 +207,35 @@ def tvf_session_agg(spark, sf_dir):
         GROUP BY user_id, window_start, window_end
         """
     )
+
+
+@query(
+    "tvf_raw_expand",
+    oracle=f"""
+    SELECT e.event_id, e.event_type,
+           ((epoch_us(e.ts) // {MIN5}) - g.range) * {MIN5} AS win_start,
+           ((epoch_us(e.ts) // {MIN5}) - g.range) * {MIN5} + {MIN10} AS win_end,
+           ((epoch_us(e.ts) // {MIN5}) - g.range) * {MIN5} + {MIN10} - 1000
+               AS win_time
+    FROM events e CROSS JOIN range(2) g
+    WHERE e.event_id % 7 = 0
+    """,
+)
+def tvf_raw_expand(spark, sf_dir):
+    """RAW window TVF expansion (r13 — WindowTableFunctionITCase.scala:230
+    testHopWindow): the TVF with no aggregate on top emits every
+    (row, window) pair plus the window_time attribute (window_end - 1ms,
+    flink-table-runtime WindowTableFunctionOperatorBase). Stateless
+    per-row fan-out — the plan is a projection + explode-free window()
+    fanout, no exchange at all."""
+    return _tenv(spark, sf_dir).sql(
+        """
+        SELECT event_id, event_type,
+               unix_micros(window_start) AS win_start,
+               unix_micros(window_end) AS win_end,
+               unix_micros(window_time) AS win_time
+        FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts),
+                       INTERVAL '5' MINUTES, INTERVAL '10' MINUTES))
+        WHERE event_id % 7 = 0
+        """
+    )

@@ -183,6 +183,16 @@ HEADLINE = [
     # (:1485)
     "cep_head_loop_consecutive",
     "cep_optional_tail",
+    # r13: harvest promotions — rowtime dedup changelog emission
+    # (DeduplicateITCase), per-split late-drop window agg
+    # (WindowAggregateITCase), scalar-UDF MEASURES (MatchRecognizeITCase),
+    # raw window-TVF expansion (WindowTableFunctionITCase), lookup join
+    # on a snapshot dimension (LookupJoinITCase)
+    "dedup_rowtime_changelog",
+    "win_tumble_late_drop",
+    "mr_udf_measures",
+    "tvf_raw_expand",
+    "lookup_join_snapshot",
 ]
 
 
