@@ -322,7 +322,19 @@ def _split_options(opts: str) -> dict[str, str]:
 
 
 def _parse_columns(body: str):
-    from apache_flink_spark.match_recognize import _split_top_level
+    def _split_top_level(s: str) -> list[str]:
+        # comma split aware of both () and the <> of MAP/ARRAY/ROW types
+        out, depth, start = [], 0, 0
+        for i, ch in enumerate(s):
+            if ch in "(<":
+                depth += 1
+            elif ch in ")>":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append(s[start:i])
+                start = i + 1
+        out.append(s[start:])
+        return out
 
     cols, watermark = [], None
     for part in _split_top_level(body):
@@ -335,7 +347,7 @@ def _parse_columns(body: str):
             continue
         if _PK_RE.match(part):
             continue  # accepted, not enforced — like the reference
-        m = re.match(r"^(\w+)\s+(.+?)(?:\s+NOT\s+NULL)?$", part, re.I | re.S)
+        m = re.match(r"^`?(\w+)`?\s+(.+?)(?:\s+NOT\s+NULL)?$", part, re.I | re.S)
         if not m or re.search(r"\bAS\b", part, re.I):
             raise DdlError(
                 f"unsupported column clause {part!r} (computed columns / "
@@ -544,10 +556,11 @@ _CTAS_DIST = (
 _CREATE_AS_RE = re.compile(
     r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>\w+)\s*"
+    r"(?:\((?P<cols>[^()]*(?:\([^()]*\)[^()]*)*)\)\s*)?"
     + _CTAS_DIST +
     r"(?:PARTITIONED\s+BY\s*\((?P<parts>[\w\s,]+)\)\s*)?"
     r"WITH\s*\((?P<opts>.*?)\)\s*"
-    r"AS\s+(?P<select>SELECT\b.*)$",
+    r"AS\s+(?P<select>\(?\s*SELECT\b.*)$",
     re.I | re.S,
 )
 
@@ -564,6 +577,79 @@ _REPLACE_AS_RE = re.compile(
     r"AS\s+(?P<select>SELECT\b.*)$",
     re.I | re.S,
 )
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _ctas_apply_column_list(out, cols_text: str):
+    """FLINK-33061 CTAS column list (reference MergeTableAsUtil):
+
+    - a list of BARE identifiers is a strict REORDER of the query schema
+      (reorderColumns: sizes must match);
+    - a TYPED list merges (mergeColumns): names NOT in the query schema
+      become new NULL-filled columns placed FIRST in declared order;
+      names that ARE query columns keep their QUERY position with the
+      declared type applied in place;
+    - ``name AS expr`` entries are computed (virtual) columns — part of
+      the table schema but not of the persisted sink data, so they are
+      excluded from the stored result (the reference's values sink
+      likewise records physical columns only)."""
+    from pyspark.sql import functions as F
+
+    entries = []  # (name, type_or_None, is_computed)
+    for ent in _split_top_commas(cols_text):
+        cm = re.match(r"^`?(\w+)`?\s+AS\s+(.+)$", ent, re.I | re.S)
+        if cm:
+            entries.append((cm.group(1), None, True))
+            continue
+        tm = re.match(r"^`?(\w+)`?(?:\s+(.+))?$", ent, re.S)
+        if not tm:
+            raise DdlError(f"CTAS column list: cannot parse entry {ent!r}")
+        entries.append((tm.group(1), (tm.group(2) or "").strip() or None, False))
+    names = [n for n, _, _ in entries]
+    if len(set(names)) != len(names):
+        raise DdlError(
+            "CTAS column list: a column name appears more than once "
+            "(reference: \"A column named '<c>' already exists\")"
+        )
+    physical = [(n, t) for n, t, comp in entries if not comp]
+    qcols = list(out.columns)
+    if all(t is None for _, t in physical):
+        listed = [n for n, _ in physical]
+        if sorted(listed) != sorted(qcols) or len(listed) != len(qcols):
+            raise DdlError(
+                "CTAS bare column list must be a permutation of the "
+                f"query columns {qcols} (reference reorderColumns); got "
+                f"{listed}"
+            )
+        return out.select(*listed)
+    declared = dict(physical)
+    new_cols = [
+        F.lit(None).cast(t).alias(n)
+        for n, t in physical
+        if n not in qcols
+    ]
+    if any(n not in qcols and t is None for n, t in physical):
+        raise DdlError(
+            "CTAS column list: a new (non-query) column requires a type"
+        )
+    merged = [
+        F.col(c).cast(declared[c]).alias(c) if declared.get(c) else F.col(c)
+        for c in qcols
+    ]
+    return out.select(*new_cols, *merged)
 
 
 def _spark_type_ddl(dt) -> str:
@@ -614,7 +700,14 @@ def _execute_create_as(spark: SparkSession, m, replace: str = "") -> bool:
         ):
             return True
         raise DdlError(f"CTAS target table {name!r} already exists")
-    out = spark.sql(m.group("select"))
+    sel = m.group("select").strip()
+    if sel.startswith("("):
+        # SqlCreateTableAs accepts a parenthesized query
+        # (TableSinkITCase testCreateTableAsSelectWithSortLimit)
+        sel = sel[1:].rstrip()
+        if sel.endswith(")"):
+            sel = sel[:-1]
+    out = spark.sql(sel)
     for c in out.columns:
         if not re.match(r"^\w+$", c):
             raise DdlError(
@@ -622,6 +715,8 @@ def _execute_create_as(spark: SparkSession, m, replace: str = "") -> bool:
                 "alias every expression column (the reference derives "
                 "the sink schema from the query too)"
             )
+    if m.groupdict().get("cols"):
+        out = _ctas_apply_column_list(out, m.group("cols"))
     schema_ddl = ", ".join(
         f"{c} {_spark_type_ddl(t.dataType)}" for c, t in
         zip(out.columns, out.schema.fields)
