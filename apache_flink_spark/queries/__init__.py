@@ -150,8 +150,15 @@ GATE_SAMPLE = [
     # over_running_sum, setop_intersect_all, win_session_agg,
     # mr_bounded_quantifier, ds_q14b_period_over_period_intersect.
     "cep_times_window_gaps",
-    "cep_stream_group",
-    "cep_iterative_condition",
+    # r13 late rotation: the two never-gated r13 promotions — the RAW
+    # window-TVF expansion (window_time column, no late drop —
+    # WindowTableFunctionITCase) and the lookup join on a
+    # no-time-attribute snapshot dimension (LookupJoinITCase).
+    # Rotated out (gated since r10, green in the full sweep):
+    # cep_iterative_condition (the family keeps cep_iterative_sum) and
+    # cep_stream_group (the family keeps cep_stream_group_any/_nested).
+    "tvf_raw_expand",
+    "lookup_join_snapshot",
     # r11 rotation (VERDICT r10 next-item #4): the three r10 operators
     # the driver never gated — bind-aggregate iterative conditions
     # (SUM over getEventsForPattern in DEFINE), the batch CEP timeout
