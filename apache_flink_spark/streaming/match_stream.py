@@ -927,48 +927,67 @@ def streaming_match_recognize(
         wm_us = state.getCurrentWatermarkMs() * 1000
         if not state.hasTimedOut:
             for pdf in pdfs:
-                for j in range(len(pdf)):
-                    ts_j = int(pdf["__ts"].iloc[j])
-                    if ts_j <= wm_us:
-                        # LATE row: the certified prefix at ts_j was
-                        # already decided — appending would rewrite
-                        # history nondeterministically. Drop, like the
-                        # reference CEP's default late-event handling
-                        # (CepOperator skips elements behind the
-                        # watermark).
-                        continue
-                    b_k.append(int(pdf["__k"].iloc[j]))
-                    b_ts.append(ts_j)
-                    b_tb.append(int(pdf["__tb"].iloc[j]))
-                    b_vm.append(int(pdf["__vm"].iloc[j]))
-                    for i, c in enumerate(carry):
-                        v = pdf[c].iloc[j]
-                        # state crosses to the JVM via pickle — numpy
-                        # scalars are not unpicklable there
-                        b_c[i].append(v.item() if hasattr(v, "item") else v)
+                if len(pdf) == 0:
+                    continue
+                ts_np = pdf["__ts"].to_numpy(dtype=np.int64, copy=False)
+                # LATE rows (ts <= watermark): the certified prefix there
+                # was already decided — appending would rewrite history
+                # nondeterministically. Drop, like the reference CEP's
+                # default late-event handling (CepOperator skips elements
+                # behind the watermark).
+                live = ts_np > wm_us
+                if not live.all():
+                    pdf = pdf[live]
+                    ts_np = ts_np[live]
+                b_ts.extend(ts_np.tolist())
+                b_k.extend(
+                    pdf["__k"].to_numpy(dtype=np.int64, copy=False).tolist()
+                )
+                b_tb.extend(
+                    pdf["__tb"].to_numpy(dtype=np.int64, copy=False).tolist()
+                )
+                b_vm.extend(
+                    pdf["__vm"].to_numpy(dtype=np.int64, copy=False).tolist()
+                )
+                for i, c in enumerate(carry):
+                    # Series.tolist() yields Python scalars — the state
+                    # crosses to the JVM via pickle and numpy scalars are
+                    # not unpicklable there (same contract as the old
+                    # per-row .item() path, minus the per-row cost)
+                    b_c[i].extend(pdf[c].tolist())
         _check_group_budget(len(b_k), budget, "streaming_match_recognize")
 
         out_rows: list[list] = []
         keep = ([], [], [], [], *[[] for _ in range(n_carry)])
         pending_ts: list[int] = []
-        order = sorted(
-            range(len(b_k)),
-            key=lambda i: (
-                b_k[i], b_ts[i], b_tb[i],
-                *[b_c[ci][i] for ci in extra_tb_ci],
-            ),
-        )
+        n_all = len(b_k)
+        k_all = np.asarray(b_k, dtype=np.int64)
+        ts_all = np.asarray(b_ts, dtype=np.int64)
+        tb_all = np.asarray(b_tb, dtype=np.int64)
+        vm_all = np.asarray(b_vm, dtype=np.int64)
+        # Stable sort by (k, ts, tb, *extra_tb) — np.lexsort's primary
+        # key is the LAST array, and every key is a typed bigint/double
+        # state column (never object), so this equals the old
+        # sorted(key=tuple) ordering including tie stability.
+        sort_keys = [np.asarray(b_c[ci]) for ci in reversed(extra_tb_ci)]
+        sort_keys += [tb_all, ts_all, k_all]
+        if n_all:
+            order = np.lexsort(sort_keys)
+            k_sorted = k_all[order]
+            bounds = np.flatnonzero(np.diff(k_sorted)) + 1
+            user_starts = [0, *bounds.tolist(), n_all]
+        else:
+            order = np.empty(0, dtype=np.int64)
+            user_starts = [0]
+        # retained rows, rebuilt by one vectorized gather after the scan
+        kept_gi: list[int] = []
+        kept_flags: list[int] = []
         # group by user
-        ui = 0
-        while ui < len(order):
-            uj = ui
-            user = b_k[order[ui]]
-            while uj < len(order) and b_k[order[uj]] == user:
-                uj += 1
-            idxs = order[ui:uj]
-            ui = uj
-            ts = [b_ts[i] for i in idxs]
-            vm = [b_vm[i] for i in idxs]
+        for si in range(len(user_starts) - 1):
+            idxs = order[user_starts[si]:user_starts[si + 1]]
+            user = int(k_all[idxs[0]])
+            ts = ts_all[idxs].tolist()
+            vm = vm_all[idxs].tolist()
             n = len(idxs)
             n_cert = 0
             while n_cert < n and ts[n_cert] <= wm_us:
@@ -1764,20 +1783,25 @@ def streaming_match_recognize(
             keep_from = pos
             # retain up to max_prev consumed rows as navigation context
             lo = max(0, keep_from - max_prev) if max_prev else keep_from
-            for j in range(lo, n):
-                gi = idxs[j]
-                keep[0].append(b_k[gi])
-                keep[1].append(b_ts[gi])
-                keep[2].append(b_tb[gi])
-                flag = _CTX_BIT if j < keep_from else 0
-                keep[3].append((b_vm[gi] & ~_CTX_BIT) | flag)
-                for i in range(n_carry):
-                    keep[4 + i].append(b_c[i][gi])
+            if lo < n:
+                kept_gi.extend(idxs[lo:n].tolist())
+                kept_flags.extend([_CTX_BIT] * (keep_from - lo))
+                kept_flags.extend([0] * (n - keep_from))
             if keep_from < n:
                 # earliest decision we still wait for: the kept head's
                 # within-horizon or simply more certified rows.
                 nxt = ts[keep_from] + (within_us or 0)
                 pending_ts.append(nxt)
+
+        if kept_gi:
+            gi_arr = np.asarray(kept_gi, dtype=np.int64)
+            fl_arr = np.asarray(kept_flags, dtype=np.int64)
+            keep[0].extend(k_all[gi_arr].tolist())
+            keep[1].extend(ts_all[gi_arr].tolist())
+            keep[2].extend(tb_all[gi_arr].tolist())
+            keep[3].extend(((vm_all[gi_arr] & ~_CTX_BIT) | fl_arr).tolist())
+            for i in range(n_carry):
+                keep[4 + i].extend(map(b_c[i].__getitem__, kept_gi))
 
         if use_mn:
             # persist per-user MATCH_NUMBER counters as sentinel rows
@@ -1814,6 +1838,30 @@ def streaming_match_recognize(
         elif state.exists:
             state.remove()
         yield pd.DataFrame(out_rows, columns=out_cols)
+
+    import os as _os
+    if _os.environ.get("AFS_PROFILE_HANDLER"):  # dev-only hotspot probe
+        import cProfile
+        import pstats
+
+        _inner = handler
+
+        def handler(key, pdfs, state):  # noqa: F811
+            import apache_flink_spark.streaming.match_stream as _ms
+            prof = getattr(_ms, "_WORKER_PROF", None)
+            if prof is None:
+                prof = cProfile.Profile()
+                _ms._WORKER_PROF = prof
+            prof.enable()
+            try:
+                res = list(_inner(key, pdfs, state))
+            finally:
+                prof.disable()
+                with open(f"/tmp/afs_prof_{_os.getpid()}.txt", "w") as f:
+                    pstats.Stats(prof, stream=f).sort_stats(
+                        "tottime"
+                    ).print_stats(30)
+            yield from res
 
     return work.groupBy("__grp").applyInPandasWithState(
         handler, out_schema, state_schema, "append",

@@ -1834,3 +1834,34 @@ def test_combinations_requires_horizon_and_flat_loop(spark):
             ).one_or_more().allow_combinations().within(1, "hours"),
             "user_id", "ep, event_id", {"n": "COUNT(A.*)"},
         )
+
+
+def test_extra_tiebreak_order(spark, tmp_path):
+    """ORDER BY tie-break columns beyond the first (the extra_tb carry
+    path — r13: sorted via np.lexsort keys drawn from the carry arrays)
+    must order identically to the single-tie-break form: event_id is
+    unique, so trailing keys can never change the order, and slicing
+    invariance must hold through the same path."""
+    spark.conf.set("spark.graft.stateful.keyGroups", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rows = _mk_rows(23)
+        body3 = BODY.replace(
+            "ORDER BY ep, event_id", "ORDER BY ep, event_id, v"
+        )
+        base = _run_stream(spark, tmp_path, rows, [rows], "tb_base")
+        assert base, "fixture produced no matches — weaken the pattern"
+        multi = _run_stream(
+            spark, tmp_path, rows, [rows], "tb_multi", body=body3
+        )
+        assert multi == base
+        rng = random.Random(97)
+        sliced = _run_stream(
+            spark, tmp_path, rows, _random_slices(rows, rng),
+            "tb_sliced", body=body3,
+        )
+        assert sliced == base
+    finally:
+        spark.conf.unset("spark.graft.stateful.keyGroups")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
