@@ -231,6 +231,17 @@ def _rows_of(pdf):
         yield rec
 
 
+def _keyed(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Hash-partition on the process keys with an EXPLICIT partition
+    count (r13): a bare groupBy().applyInPandas exchange gets coalesced
+    by AQE to the 64 MB advisory size — sized for JVM shuffle economics,
+    not for the per-record Python process function it feeds, which then
+    runs on 1-2 cores. The explicit count pins cluster parallelism and
+    the groupBy reuses this exact exchange (same keys, same count)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(c) for c in key_cols])
+
+
 def _run_process(df: DataFrame, fn: OneInputStreamProcessFunction,
                  out_schema: str) -> DataFrame:
     import pandas as pd
@@ -373,7 +384,7 @@ class KeyedPartitionStream:
                 fn.close()
             return pd.DataFrame(out.buf)
 
-        grouped = self.df.groupBy(*key_cols).applyInPandas(
+        grouped = _keyed(self.df, key_cols).groupBy(*key_cols).applyInPandas(
             runner, out_schema
         )
         return NonKeyedPartitionStream(self.env, grouped)
@@ -437,7 +448,7 @@ class KeyedPartitionStream:
 
             return NonKeyedPartitionStream(
                 self.env,
-                self.df.groupBy(*bkey_cols).applyInPandas(
+                _keyed(self.df, bkey_cols).groupBy(*bkey_cols).applyInPandas(
                     brunner, out_schema
                 ),
             )
@@ -473,7 +484,9 @@ class KeyedPartitionStream:
 
         return NonKeyedPartitionStream(
             self.env,
-            both.groupBy(*key_cols).applyInPandas(crunner, out_schema),
+            _keyed(both, key_cols).groupBy(*key_cols).applyInPandas(
+                crunner, out_schema
+            ),
         )
 
     def shuffle(self) -> NonKeyedPartitionStream:

@@ -1377,9 +1377,17 @@ def compile_match_recognize(
         F.col(c).desc() if is_desc else F.col(c).asc()
         for c, is_desc in order_specs
     ]
-    work = source.repartition(*[F.col(c) for c in part_cols]).sortWithinPartitions(
-        *part_cols, *order_exprs
-    )
+    # Explicit partition count (r13): without it AQE coalesces this
+    # exchange to the 64 MB advisory size — sized for JVM shuffle
+    # economics, not for the Python matcher it feeds, whose per-byte
+    # cost is orders of magnitude higher (measured at sf0.1: the whole
+    # NFA scan collapsed onto 1-2 cores). Pinning the conf value keeps
+    # the matcher at cluster parallelism; the conf itself stays
+    # scale-adaptive (CPU count locally, cluster-sized on a deployment).
+    n_shuffle = int(source.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    work = source.repartition(
+        n_shuffle, *[F.col(c) for c in part_cols]
+    ).sortWithinPartitions(*part_cols, *order_exprs)
 
     # 2. PREV/NEXT physical navigation -> lag/lead columns per key.
     if nav_cols:

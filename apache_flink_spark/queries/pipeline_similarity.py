@@ -980,8 +980,16 @@ def sim_semdedup(spark, sf_dir):
     )
     # membership with vectors re-attached (one hash join; at scale the
     # assignment pass emits (vec_id, centroid_id, qe, nv) directly and
-    # this join disappears)
-    m = assigned.join(v, "vec_id").select("vec_id", "centroid_id", "qe", "nv")
+    # this join disappears). r13: persist — m feeds BOTH sides of the
+    # pair join and the final grouping, so without it the whole
+    # assignment subtree (cross join + argmax agg + hash join) re-runs
+    # three times; materializing the narrow (id, cid, qe, nv) projection
+    # once is the same materialize-vs-rescan call as v above.
+    m = (
+        assigned.join(v, "vec_id")
+        .select("vec_id", "centroid_id", "qe", "nv")
+        .persist()
+    )
     a = m.select(
         F.col("centroid_id").alias("cid"),
         F.col("vec_id").alias("vec_a"),
