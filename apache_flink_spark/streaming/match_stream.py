@@ -826,13 +826,6 @@ def streaming_match_recognize(
 
     # JVM-side own-row predicate evaluation (batch compiler step 3) —
     # stateless projections, so they commute with micro-batch slicing.
-    work = stream
-    for var in sorted(variables):
-        pred = defines.get(var)
-        work = work.withColumn(
-            f"__mr_{var}",
-            F.expr(pred).cast("boolean") if pred else F.lit(True),
-        )
     var_list = sorted(variables)
     if len(var_list) >= 62:
         raise MatchRecognizeError(
@@ -840,12 +833,17 @@ def streaming_match_recognize(
             "variables (bitmask state layout)"
         )
     # Pack per-var booleans into one BIGINT mask: fixed state layout.
+    # r13: the predicates fold straight into the mask expression — the
+    # old per-variable withColumn chain paid one full analysis pass per
+    # variable for intermediate columns nothing else read.
     mask = F.lit(0).cast("long")
     for bit, var in enumerate(var_list):
+        pred = defines.get(var)
+        ok = F.expr(pred).cast("boolean") if pred else F.lit(True)
         mask = mask + F.when(
-            F.coalesce(F.col(f"__mr_{var}"), F.lit(False)), F.lit(1 << bit)
+            F.coalesce(ok, F.lit(False)), F.lit(1 << bit)
         ).otherwise(F.lit(0))
-    work = work.withColumn("__vm", mask.cast("long"))
+    work = stream.withColumn("__vm", mask.cast("long"))
 
     pat = list(pattern)
     meas = list(measures)

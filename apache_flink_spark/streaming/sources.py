@@ -30,8 +30,18 @@ from pyspark.sql.types import StructType
 _name_counter = itertools.count()
 
 
+#: Fixture schemas are static — cache per path so every streaming query
+#: (and each of its bench repetitions) pays the driver-side footer read
+#: once per process instead of once per call (r13; ~0.2s/call at sf0.1).
+_SCHEMA_CACHE: dict[str, StructType] = {}
+
+
 def _batch_schema(spark: SparkSession, path: str) -> StructType:
-    return spark.read.parquet(path).schema
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
+    return schema
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
