@@ -139,6 +139,13 @@ def apply_ptf(
             out.insert(i, k, keys[i])
         return out
 
+    # Explicit partition count (r13, same rule as the batch
+    # MATCH_RECOGNIZE exchange): AQE's 64 MB advisory coalesce is sized
+    # for JVM shuffle economics and starves the Python PTF stage of
+    # parallelism; the pinned conf value keeps it at cluster width and
+    # the groupBy reuses the exchange.
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.repartition(n, *partition_by)
     return df.groupBy(*partition_by).applyInPandas(_apply, schema=out_schema)
 
 

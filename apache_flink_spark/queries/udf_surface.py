@@ -150,9 +150,13 @@ def udtaf_apply_in_pandas(spark, sf_dir):
             }
         )
 
-    return o.select("o_custkey", "o_orderkey", "o_orderdate").groupBy(
-        "o_custkey"
-    ).applyInPandas(
+    # Explicit partition count (r13): keeps the Python table-aggregate at
+    # cluster parallelism instead of AQE's JVM-sized advisory coalesce;
+    # the groupBy reuses this exchange.
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return o.select("o_custkey", "o_orderkey", "o_orderdate").repartition(
+        n, "o_custkey"
+    ).groupBy("o_custkey").applyInPandas(
         per_customer,
         "o_custkey long, o_orderkey long, order_rank long, gap_days long",
     )
