@@ -81,12 +81,15 @@ def _cdc_base(spark, sf_dir):
         F.round(F.col("value") * 100).cast("long").alias("value_c"),
     )
     w = Window.partitionBy(*_KEYS).orderBy(*_ORDER)
-    wd = Window.partitionBy(*_KEYS).orderBy(*[F.desc(c) for c in _ORDER])
+    # r13: the last-row flag is lead()-is-null over the SAME ascending
+    # window as the lag()s — the old descending row_number forced a second
+    # scan + exchange + window pass per wire builder (guide §2.4: two
+    # operations keyed the same way share one exchange).
     return (
         e.withColumn("prev_ts", F.lag("ts_us").over(w))
         .withColumn("prev_id", F.lag("event_id").over(w))
         .withColumn("prev_c", F.lag("value_c").over(w))
-        .withColumn("rn_desc", F.row_number().over(wd))
+        .withColumn("is_last", F.lead("event_id").over(w).isNull())
     )
 
 
@@ -120,7 +123,23 @@ def _null_img():
 
 
 def _is_delete_key():
-    return (F.col("rn_desc") == 1) & (F.col("value_c") % 10 == 0)
+    return F.col("is_last") & (F.col("value_c") % 10 == 0)
+
+
+def _wire_rows_and_dels(base, row_env, del_env):
+    """One-pass wire stream: every row emits its envelope, delete-key
+    rows additionally emit the trailing delete envelope — a conditional
+    explode over the single windowed base instead of the old
+    rows.unionAll(dels), which re-scanned and re-shuffled events for the
+    delete branch (guide §2.4). Union order never mattered: materialize
+    re-orders by (ts, event_id, rowkind)."""
+    return base.select(
+        F.explode(
+            F.when(_is_delete_key(), F.array(row_env, del_env)).otherwise(
+                F.array(row_env)
+            )
+        ).alias("value")
+    )
 
 
 def _materialized(parsed):
@@ -143,18 +162,16 @@ def _debezium_wire(spark, sf_dir):
     one-column 'value' DataFrame — the Kafka-topic shape."""
     base = _cdc_base(spark, sf_dir)
     ts_ms = (F.col("ts_us") / 1000).cast("long")
-    rows = base.select(
+    return _wire_rows_and_dels(
+        base,
         to_debezium_json(
             F.when(F.col("prev_c").isNull(), F.lit("c")).otherwise(F.lit("u")),
             F.when(F.col("prev_c").isNotNull(), _img("prev_")).otherwise(_null_img()),
             _img(),
             ts_ms,
-        ).alias("value")
+        ),
+        to_debezium_json(F.lit("d"), _img(), _null_img(), ts_ms),
     )
-    dels = base.filter(_is_delete_key()).select(
-        to_debezium_json(F.lit("d"), _img(), _null_img(), ts_ms).alias("value")
-    )
-    return rows.unionAll(dels)
 
 
 @query("cdc_debezium_stream_materialize", oracle=_ORACLE, streaming=True)
@@ -239,7 +256,8 @@ def cdc_maxwell_materialize(spark, sf_dir):
     columns' prior values, patched over ``data`` for the before-image."""
     base = _cdc_base(spark, sf_dir)
     ts = (F.col("ts_us") / 1_000_000).cast("long")
-    rows = base.select(
+    wire = _wire_rows_and_dels(
+        base,
         to_maxwell_json(
             F.when(F.col("prev_c").isNull(), F.lit("insert")).otherwise(
                 F.lit("update")
@@ -247,12 +265,10 @@ def cdc_maxwell_materialize(spark, sf_dir):
             _img(),
             F.when(F.col("prev_c").isNotNull(), _old_partial()).otherwise(_null_img()),
             ts,
-        ).alias("value")
+        ),
+        to_maxwell_json(F.lit("delete"), _img(), _null_img(), ts),
     )
-    dels = base.filter(_is_delete_key()).select(
-        to_maxwell_json(F.lit("delete"), _img(), _null_img(), ts).alias("value")
-    )
-    return _materialized(parse_maxwell(rows.unionAll(dels), PAYLOAD))
+    return _materialized(parse_maxwell(wire, PAYLOAD))
 
 
 @query("cdc_ogg_materialize", oracle=_ORACLE)
@@ -263,18 +279,17 @@ def cdc_ogg_materialize(spark, sf_dir):
     op_ts = F.date_format(
         F.timestamp_micros(F.col("ts_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS"
     )
-    rows = base.select(
+    wire = _wire_rows_and_dels(
+        base,
         to_ogg_json(
             F.when(F.col("prev_c").isNull(), F.lit("I")).otherwise(F.lit("U")),
             F.when(F.col("prev_c").isNotNull(), _img("prev_")).otherwise(_null_img()),
             _img(),
             op_ts,
-        ).alias("value")
+        ),
+        to_ogg_json(F.lit("D"), _img(), _null_img(), op_ts),
     )
-    dels = base.filter(_is_delete_key()).select(
-        to_ogg_json(F.lit("D"), _img(), _null_img(), op_ts).alias("value")
-    )
-    return _materialized(parse_ogg(rows.unionAll(dels), PAYLOAD))
+    return _materialized(parse_ogg(wire, PAYLOAD))
 
 
 _VIEW_PAYLOAD = StructType(
