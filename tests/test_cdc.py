@@ -251,3 +251,46 @@ def test_debezium_ignore_parse_errors_modes(spark):
         df.filter(F.col("value") != bad), schema, ignore_parse_errors=False
     ).collect()
     assert len(ok) == 1
+
+
+def test_wire_stream_matches_union_formulation(spark):
+    """r13 optimization pin: the one-pass wire builders (conditional
+    explode of row + trailing-delete envelopes over a single windowed
+    base — `_wire_rows_and_dels`) must emit exactly the same envelope
+    MULTISET as the pre-r13 rows.unionAll(dels) formulation. Envelope
+    order is irrelevant (materialize re-orders by ts/event_id/rowkind),
+    so compare sorted JSON strings."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_spark.queries import cdc_queries as cq
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        r.value for r in cq._debezium_wire(spark, sf_dir).collect()
+    )
+
+    # reference formulation: independent rows + dels branches
+    base = cq._cdc_base(spark, sf_dir)
+    ts_ms = (F.col("ts_us") / 1000).cast("long")
+    from apache_flink_spark.cdc import to_debezium_json
+
+    rows = base.select(
+        to_debezium_json(
+            F.when(F.col("prev_c").isNull(), F.lit("c")).otherwise(
+                F.lit("u")
+            ),
+            F.when(
+                F.col("prev_c").isNotNull(), cq._img("prev_")
+            ).otherwise(cq._null_img()),
+            cq._img(),
+            ts_ms,
+        ).alias("value")
+    )
+    dels = base.filter(cq._is_delete_key()).select(
+        to_debezium_json(
+            F.lit("d"), cq._img(), cq._null_img(), ts_ms
+        ).alias("value")
+    )
+    want = sorted(r.value for r in rows.unionAll(dels).collect())
+
+    assert got == want and len(got) > 0
