@@ -448,14 +448,75 @@ _DS_Q70 = f"""
 """
 
 
+_DS_Q70_NK = f"""
+    SELECT s_nationkey,
+           SUM({_REV}) AS rev_sum,
+           SUM({_PRICE}) AS price_sum
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+"""
+
+_DS_Q70_MAIN = """
+    WITH ranked_nations AS (
+        SELECT n_name AS nn,
+               RANK() OVER (PARTITION BY n_regionkey
+                            ORDER BY price_sum DESC, n_name) AS rk
+        FROM q70_nk JOIN nation ON s_nationkey = n_nationkey
+    )
+    SELECT CAST(ROUND(SUM(rev_sum), 2) AS DOUBLE) AS total_sum,
+           COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           GROUPING(r_name) + GROUPING(n_name) AS lochierarchy,
+           RANK() OVER (
+               PARTITION BY GROUPING(r_name) + GROUPING(n_name),
+                            CASE WHEN GROUPING(n_name) = 0 THEN r_name END
+               ORDER BY SUM(rev_sum) DESC, n_name) AS rank_within_parent
+    FROM q70_nk
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE n_name IN (SELECT nn FROM ranked_nations WHERE rk <= 3)
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY lochierarchy DESC, region, rank_within_parent, nation
+"""
+
+
 @query("ds_q70_rollup_rank_within_parent", oracle=_DS_Q70)
 def ds_q70_rollup_rank_within_parent(spark, sf_dir):
     """TPC-DS query70 shape (query70.sql): ROLLUP(region, nation) with
     GROUPING() both as an output column and inside the window PARTITION BY
     (rank-within-parent over the rollup level), plus an IN subquery that is
     itself a windowed ranking. Rank order keys are exact decimal sums, so
-    tie sets agree across engines; n_name is the final tie-break."""
-    return _sql(spark, sf_dir, _DS_Q70)
+    tie sets agree across engines; n_name is the final tie-break.
+
+    r13 execution rewrite (guide §2.3/§2.4: shuffle fewer bytes, shared
+    subtree): the oracle form scans lineitem twice — once under the
+    ROLLUP (whose Expand tripled the full joined fact table) and once
+    inside the IN-subquery ranking. Both sides aggregate the SAME
+    lineitem x supplier join at nation granularity, so the executed plan
+    pre-aggregates per s_nationkey (exact, unrounded decimal partials —
+    SUM is associative, so re-aggregating the 25 partials under ROLLUP
+    and ranking on them is value-identical) and derives both the top-3
+    ranking and the rollup from those 25 rows. One lineitem scan instead
+    of two; Expand runs over 25 rows instead of ~600k. n_name is unique
+    per nation (TPC-H), so the per-(regionkey, name) inner grouping is
+    exactly the per-nationkey partial.
+
+    The partial table is localCheckpoint'ed (eager, inside this call =
+    inside the timed region), NOT persist()'ed: a WITH-CTE or persist
+    formulation leaves two pruned copies of the lineitem subtree in the
+    plan (column pruning specializes one to rev_sum and one to
+    price_sum, so no exchange reuse), and persist() would additionally
+    be re-served from the CacheManager on a later identical call
+    (cross-run caching). The checkpoint pins exactly one scan per
+    execution with no cross-run reuse; downstream joins broadcast the
+    nation/region side, so the lost stats are irrelevant."""
+    from apache_flink_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir)
+    nk = spark.sql(_DS_Q70_NK).localCheckpoint(eager=True)
+    nk.createOrReplaceTempView("q70_nk")
+    return spark.sql(_DS_Q70_MAIN)
 
 
 def _q78_leg(status: str, qn: str, an: str) -> str:

@@ -186,3 +186,30 @@ def test_length_buckets_partial_aggregation(spark, sf_dir):
     (partition, bucket), not per document."""
     plan = _executed_plan(QUERIES["pipeline_length_buckets"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q70_single_fact_scan_and_tiny_expand(spark, sf_dir):
+    """r13 optimization pin: ds_q70's executed form pre-aggregates the
+    lineitem x supplier join per s_nationkey ONCE (localCheckpoint), so
+    (a) its result is bit-identical to the reference two-scan SQL the
+    oracle runs, and (b) the main plan's ROLLUP Expand consumes the
+    25-row partial table (Scan ExistingRDD), not the raw fact table —
+    one lineitem scan per execution instead of two, Expand over rows
+    proportional to |nation| at any scale."""
+    from apache_flink_spark.queries.tpcds_shapes import _sql
+    from apache_flink_spark.queries.tpcds_shapes2 import _DS_Q70
+
+    new = QUERIES["ds_q70_rollup_rank_within_parent"](spark, sf_dir)
+    old = _sql(spark, sf_dir, _DS_Q70)
+    assert [f.simpleString() for f in new.schema.fields] == [
+        f.simpleString() for f in old.schema.fields
+    ]
+    got = sorted(map(tuple, new.collect()))
+    want = sorted(map(tuple, old.collect()))
+    assert got == want and len(got) > 0
+
+    plan = _executed_plan(new)
+    # the main query reads only the checkpointed partials + dim tables:
+    # no lineitem scan may remain above the checkpoint
+    assert "ExistingRDD" in plan
+    assert "lineitem" not in plan
