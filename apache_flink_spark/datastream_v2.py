@@ -307,7 +307,12 @@ class NonKeyedPartitionStream:
                 }
             )
 
-        tagged = self.df.mapInPandas(runner, tag_schema).persist()
+        from apache_flink_spark.run_cache import run_persist
+
+        tagged = run_persist(
+            self.df.mapInPandas(runner, tag_schema),
+            "datastream_v2.side_output.tagged",
+        )
         s1 = tagged.filter(F.col("__tag") == 1).select(
             F.from_json("payload", out_schema1).alias("s")
         ).select("s.*")

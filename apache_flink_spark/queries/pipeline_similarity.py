@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from apache_flink_spark.queries.registry import query
 from apache_flink_spark.queries._util import t
+from apache_flink_spark.run_cache import run_persist
 
 DIM = 64
 _N_PLANES = 8
@@ -358,13 +359,17 @@ def sim_embedding_neardup(spark, sf_dir):
     # Stage 1: per-vector work ONCE — quantized vector, its norm, bucket.
     # r8: persisted — the projection feeds both band-key sides and both
     # pair sides, so without the cache the quantization re-runs 4x.
-    v = e.select("vec_id", "label", F.expr(_QE_SPARK).alias("qe")).select(
-        "vec_id",
-        "label",
-        "qe",
-        F.expr(_dot_spark("qe", "qe")).alias("norm"),
-        F.expr(_bucket_spark("qe", _PLANES_ND)).alias("bucket"),
-    ).persist()
+    # r13: run_persist, so a repeated run recomputes (no cross-run cache).
+    v = run_persist(
+        e.select("vec_id", "label", F.expr(_QE_SPARK).alias("qe")).select(
+            "vec_id",
+            "label",
+            "qe",
+            F.expr(_dot_spark("qe", "qe")).alias("norm"),
+            F.expr(_bucket_spark("qe", _PLANES_ND)).alias("bucket"),
+        ),
+        "sim_embedding_neardup.v",
+    )
     # Stage 2: SLIM candidate generation — band keys only (no vectors on the
     # shuffle), equi-join per band, then DISTINCT pair ids. Dots are NOT
     # computed here, so a pair colliding in both bands costs nothing extra
@@ -799,9 +804,13 @@ def sim_lsh_recall(spark, sf_dir):
     # pair triples work and codegen — same lesson as pipeline_kmeans).
     # r8: persisted — the exact arm, the LSH arm, and the query sets all
     # branch from this projection (4 scans + 4 quantizations without it).
-    v = e.select("vec_id", F.expr(_QE_SPARK).alias("qe")).withColumn(
-        "nn", F.expr(_dot_spark("qe", "qe"))
-    ).persist()
+    # r13: run_persist, so a repeated run recomputes (no cross-run cache).
+    v = run_persist(
+        e.select("vec_id", F.expr(_QE_SPARK).alias("qe")).withColumn(
+            "nn", F.expr(_dot_spark("qe", "qe"))
+        ),
+        "sim_lsh_recall.v",
+    )
     b = v.withColumn("bucket", F.expr(_bucket_spark("qe")))
 
     def topk(cand_join):
@@ -952,10 +961,10 @@ def sim_semdedup(spark, sf_dir):
     # quantized projection so the plan quantizes once instead of 9x (the
     # materialize-vs-rescan tradeoff; at 100 TB re-running the array
     # quantization per branch dwarfs the cache write)
-    v = (
+    v = run_persist(
         e.select("vec_id", F.expr(_QE_SPARK).alias("qe"))
-        .withColumn("nv", F.expr(_dot_spark("qe", "qe")))
-        .persist()
+        .withColumn("nv", F.expr(_dot_spark("qe", "qe"))),
+        "sim_semdedup.v",
     )
     cent = v.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"),
@@ -985,10 +994,10 @@ def sim_semdedup(spark, sf_dir):
     # assignment subtree (cross join + argmax agg + hash join) re-runs
     # three times; materializing the narrow (id, cid, qe, nv) projection
     # once is the same materialize-vs-rescan call as v above.
-    m = (
+    m = run_persist(
         assigned.join(v, "vec_id")
-        .select("vec_id", "centroid_id", "qe", "nv")
-        .persist()
+        .select("vec_id", "centroid_id", "qe", "nv"),
+        "sim_semdedup.m",
     )
     a = m.select(
         F.col("centroid_id").alias("cid"),

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from apache_flink_spark.queries.registry import query
 from apache_flink_spark.queries._util import t
+from apache_flink_spark.run_cache import run_persist
 
 # Tiny English stopword list shared by the quality/lang-id heuristics.
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -476,10 +477,10 @@ def text_tfidf_topterms(spark, sf_dir):
     # side — persist it so the tokenize+explode+aggregate pipeline runs
     # once instead of twice (tf is (doc, term)-aggregated, far smaller
     # than the raw token stream it replaces).
-    tf = (
+    tf = run_persist(
         toks.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .agg(F.count(F.lit(1)).alias("tf")),
+        "text_tfidf_topterms.tf",
     )
     # tf is keyed by (doc_id, term), so each doc appears at most once per
     # term — document frequency is a plain COUNT, not a two-phase

@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 from apache_flink_spark.catalog import load_tables
 from apache_flink_spark.queries._util import dec, dround, t
 from apache_flink_spark.queries.registry import query
+from apache_flink_spark.run_cache import run_persist
 
 
 def _sql(spark, sf_dir, stmt):
@@ -179,12 +180,15 @@ def ds_q2_week_over_week(spark, sf_dir):
         F.date_format("l_shipdate", "EEEE").alias("dn"),
         dec("l_extendedprice").alias("price"),
     )
-    wkagg = base.groupBy("wk").agg(
-        *[
-            dround(F.sum(F.when(F.col("dn") == d, F.col("price")))).alias(c)
-            for d, c in _DAYS
-        ]
-    ).persist()
+    wkagg = run_persist(
+        base.groupBy("wk").agg(
+            *[
+                dround(F.sum(F.when(F.col("dn") == d, F.col("price")))).alias(c)
+                for d, c in _DAYS
+            ]
+        ),
+        "ds_q2_week_over_week.wkagg",
+    )
     y, z = wkagg.alias("y"), wkagg.alias("z")
     zero = F.lit(0.0)
     return (
@@ -452,15 +456,17 @@ def ds_q23_frequent_best_customers(spark, sf_dir):
     orders = t(spark, sf_dir, "orders")
     amt = dec("l_quantity") * dec("l_extendedprice")
     tagged = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            "l_partkey", "l_orderkey", "o_custkey",
-            F.year("l_shipdate").alias("ship_yr"),
-            F.year("o_orderdate").alias("order_yr"),
-            amt.alias("amt"),
-            dec("l_extendedprice").alias("price"),
+        run_persist(
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(
+                "l_partkey", "l_orderkey", "o_custkey",
+                F.year("l_shipdate").alias("ship_yr"),
+                F.year("o_orderdate").alias("order_yr"),
+                amt.alias("amt"),
+                dec("l_extendedprice").alias("price"),
+            ),
+            "ds_q23.tagged",
         )
-        .persist()
     )
     freq = (
         tagged.filter(F.col("ship_yr").isin(1996, 1997))

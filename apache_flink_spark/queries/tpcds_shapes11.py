@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from apache_flink_spark.queries.registry import query
+from apache_flink_spark.run_cache import run_persist
 from apache_flink_spark.queries.tpcds_shapes import (
     _CHANNEL,
     _PRICE,
@@ -253,7 +254,7 @@ def ds_q23b_best_customer_channel_union(spark, sf_dir):
     mo = F.month("l_shipdate")
     ch = F.expr(_CHANNEL)
     amt = dec("l_quantity") * dec("l_extendedprice")
-    tagged = (
+    tagged = run_persist(
         li.filter(
             (ch == "store")
             | (ch.isin("catalog", "web") & (yr == 2000) & (mo == 2))
@@ -266,8 +267,8 @@ def ds_q23b_best_customer_channel_union(spark, sf_dir):
             "l_shipdate",
             yr.alias("yr"),
             amt.alias("amt"),
-        )
-        .persist()
+        ),
+        "ds_q23b.tagged",
     )
     store = tagged.filter(F.col("channel") == "store")
     freq = (

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from apache_flink_spark.queries.registry import query
 from apache_flink_spark.queries.tpcds_shapes import _PRICE, _QTY, _REV, _sql
+from apache_flink_spark.run_cache import run_persist
 
 _DS_Q43 = f"""
     SELECT s_name,
@@ -186,7 +187,7 @@ def ds_q75_yoy_decline(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     part = _t(spark, sf_dir, "part")
-    ledger = (
+    ledger = run_persist(
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(
@@ -196,10 +197,10 @@ def ds_q75_yoy_decline(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             dround(F.sum(dec("l_extendedprice"))).alias("amt"),
-        )
+        ),
         # tiny (brand x year) set — persisted so the consecutive-year
         # self-join reads it once instead of re-scanning the fact per side
-        .persist()
+        "ds_q75_yoy_decline.ledger",
     )
     cur = ledger.select(
         "brand", "yr",
