@@ -237,8 +237,15 @@ def _keyed(df: DataFrame, key_cols: list[str]) -> DataFrame:
     by AQE to the 64 MB advisory size — sized for JVM shuffle economics,
     not for the per-record Python process function it feeds, which then
     runs on 1-2 cores. The explicit count pins cluster parallelism and
-    the groupBy reuses this exact exchange (same keys, same count)."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    the groupBy reuses this exact exchange (same keys, same count).
+    r14: size-derived with a bytes-per-partition floor (parallelism.py);
+    the per-ROW floor, because process functions run a Python loop."""
+    from apache_flink_spark.parallelism import (
+        PYTHON_ROW_STAGE_BYTES_PER_PARTITION,
+        python_stage_partitions,
+    )
+
+    n = python_stage_partitions(df, PYTHON_ROW_STAGE_BYTES_PER_PARTITION)
     return df.repartition(n, *[F.col(c) for c in key_cols])
 
 

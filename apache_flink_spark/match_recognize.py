@@ -1381,10 +1381,13 @@ def compile_match_recognize(
     # exchange to the 64 MB advisory size — sized for JVM shuffle
     # economics, not for the Python matcher it feeds, whose per-byte
     # cost is orders of magnitude higher (measured at sf0.1: the whole
-    # NFA scan collapsed onto 1-2 cores). Pinning the conf value keeps
-    # the matcher at cluster parallelism; the conf itself stays
-    # scale-adaptive (CPU count locally, cluster-sized on a deployment).
-    n_shuffle = int(source.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # NFA scan collapsed onto 1-2 cores). r14: the count is derived from
+    # the input's size estimate with a bytes-per-partition floor
+    # (parallelism.py) — full conf width for any non-trivial input,
+    # without paying near-empty Python tasks on KB-scale ones.
+    from apache_flink_spark.parallelism import python_stage_partitions
+
+    n_shuffle = python_stage_partitions(source)
     work = source.repartition(
         n_shuffle, *[F.col(c) for c in part_cols]
     ).sortWithinPartitions(*part_cols, *order_exprs)

@@ -142,10 +142,11 @@ def apply_ptf(
     # Explicit partition count (r13, same rule as the batch
     # MATCH_RECOGNIZE exchange): AQE's 64 MB advisory coalesce is sized
     # for JVM shuffle economics and starves the Python PTF stage of
-    # parallelism; the pinned conf value keeps it at cluster width and
-    # the groupBy reuses the exchange.
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    df = df.repartition(n, *partition_by)
+    # parallelism; the groupBy reuses the exchange. r14: size-derived
+    # with a bytes-per-partition floor (parallelism.py).
+    from apache_flink_spark.parallelism import python_stage_partitions
+
+    df = df.repartition(python_stage_partitions(df), *partition_by)
     return df.groupBy(*partition_by).applyInPandas(_apply, schema=out_schema)
 
 

@@ -152,10 +152,18 @@ def udtaf_apply_in_pandas(spark, sf_dir):
 
     # Explicit partition count (r13): keeps the Python table-aggregate at
     # cluster parallelism instead of AQE's JVM-sized advisory coalesce;
-    # the groupBy reuses this exchange.
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return o.select("o_custkey", "o_orderkey", "o_orderdate").repartition(
-        n, "o_custkey"
+    # the groupBy reuses this exchange. r14: size-derived with the
+    # per-ROW bytes floor (parallelism.py) — the per-customer pandas
+    # construction saturates width early (measured 2.98s@32 vs 6.9s@9).
+    from apache_flink_spark.parallelism import (
+        PYTHON_ROW_STAGE_BYTES_PER_PARTITION,
+        python_stage_partitions,
+    )
+
+    proj = o.select("o_custkey", "o_orderkey", "o_orderdate")
+    return proj.repartition(
+        python_stage_partitions(proj, PYTHON_ROW_STAGE_BYTES_PER_PARTITION),
+        "o_custkey",
     ).groupBy("o_custkey").applyInPandas(
         per_customer,
         "o_custkey long, o_orderkey long, order_rank long, gap_days long",

@@ -1,7 +1,8 @@
 """Capture .explain("formatted") for bench headline queries.
 
 Usage: python scripts/capture_plans.py <tag> [name_substr_filter...]
-Writes plans/r13/<query>_<tag>.txt for every non-streaming headline query
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (default r14) for
+every non-streaming headline query
 (streaming queries execute on construction — their micro-batch plans are
 captured separately when touched).
 """
@@ -20,7 +21,7 @@ def main() -> int:
     tag = sys.argv[1]
     filters = sys.argv[2:]
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "plans", "r13")
+                           "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
 
     from apache_flink_spark.queries import QUERIES
