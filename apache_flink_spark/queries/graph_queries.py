@@ -520,30 +520,48 @@ def connected_components_star(edges, vertices, max_rounds: int = 25):
     never a transitive-closure blow-up — and edge count stays <= input
     edges, so a round costs the same at any scale while the component
     diameter collapses geometrically (a 1000-hop path converges in ~10
-    rounds where label propagation needs 1000). Convergence = edge-set
-    checksum (count + xxhash sum) stable across a round; loud failure at
-    the cap."""
+    rounds where label propagation needs 1000). Convergence (r14, was
+    edge-set-checksum stability): stop as soon as the round's output IS
+    a star forest — the exact fixpoint characterization of Kiveris et
+    al. (the return logic below already ASSUMES the fixpoint is a star
+    forest; on one, large-star and small-star provably reproduce the
+    identical edge set, so this returns the same edges one full round —
+    two joins, two aggregations, a distinct and a checkpoint — earlier
+    than waiting for the checksum to repeat). Loud failure at the cap."""
     e = edges.select(
         F.col(edges.columns[0]).alias("a"), F.col(edges.columns[1]).alias("b")
     ).localCheckpoint(eager=True)
 
-    def _checksum(df):
-        row = df.agg(
-            F.count(F.lit(1)).alias("c"),
-            F.coalesce(
-                # decimal sum: 2^31 64-bit hashes overflow a LONG sum
-                # under ANSI mode
-                F.sum(
-                    F.xxhash64(
-                        F.least("a", "b"), F.greatest("a", "b")
-                    ).cast("decimal(38,0)")
-                ),
-                F.lit(0).cast("decimal(38,0)"),
-            ).alias("h"),
-        ).first()
-        return (row.c, row.h)
+    def _is_star_forest(df):
+        """True iff ``df`` is a star forest: every ``a`` (leaf) occurs
+        exactly once, and no vertex is both a leaf and a center
+        (``b < a`` holds by construction). One aggregate pass over
+        2|E| tiny rows — far cheaper than the round it saves. As the
+        round's FIRST action it also materializes the round's lazy
+        localCheckpoint in the same job."""
+        occ = df.select(
+            F.col("a").alias("x"), F.lit(1).alias("na"), F.lit(0).alias("nb")
+        ).unionAll(
+            df.select(
+                F.col("b").alias("x"), F.lit(0).alias("na"), F.lit(1).alias("nb")
+            )
+        )
+        row = (
+            occ.groupBy("x")
+            .agg(F.sum("na").alias("na"), F.max("nb").alias("hb"))
+            .agg(
+                F.max(
+                    F.when(
+                        (F.col("na") > 1)
+                        | ((F.col("na") >= 1) & (F.col("hb") == 1)),
+                        1,
+                    ).otherwise(0)
+                ).alias("bad")
+            )
+            .first()
+        )
+        return (row.bad or 0) == 0
 
-    prev = _checksum(e)
     converged = False
     for _rnd in range(1, max_rounds + 1):
         # large-star: reducer u over ALL neighbors; larger ones re-hang
@@ -578,18 +596,19 @@ def connected_components_star(edges, vertices, max_rounds: int = 25):
             )
             .where(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the star-forest test below is the round's single
+            # action and materializes the checkpoint in the same job
+            # (r14 — was eager + a separate checksum job per round)
+            .localCheckpoint(eager=False)
         )
-        cur = _checksum(ss)
         e = ss
-        if cur == prev:
+        if _is_star_forest(ss):
             converged = True
             break
-        prev = cur
     if not converged:
         raise RuntimeError(
             "connected components (star contraction) did not converge in "
-            f"{max_rounds} rounds — edge checksum still moving"
+            f"{max_rounds} rounds — edge set is still not a star forest"
         )
     # Fixpoint edges form stars centered at each component's minimum:
     # every non-center vertex appears exactly once as `a` with its
