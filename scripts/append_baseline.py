@@ -106,6 +106,8 @@ def check_mutation(
     measurement_invalid: "str | None" = None,
     frozen_value: "float | None" = None,
     source_unchanged: "bool | None" = None,
+    cross_run_reuse: "str | None" = None,
+    uses_run_persist: "bool | None" = None,
 ) -> str:
     """The freeze rule as a pure function (pytest-pinned):
 
@@ -128,6 +130,31 @@ def check_mutation(
     """
     if not existing:
         return "append"
+    if cross_run_reuse is not None:
+        # r14 (VERDICT r13 next-item #1): baselines recorded while bare
+        # .persist() calls silently served materialized intermediates
+        # ACROSS bench runs (CacheManager keys by canonicalized plan;
+        # removed in commit 9ec80a8 by routing through
+        # run_cache.run_persist) measured a partially-cached second run —
+        # the frozen number is structurally unreachable by the honest
+        # engine. Guarded: the reason is mandatory, and the query's
+        # CURRENT source must actually route through run_persist (the
+        # evidence that it was affected) — anything else would launder a
+        # plain regression through this path.
+        if not cross_run_reuse.strip():
+            raise ValueError(
+                "--cross-run-reuse requires a non-empty reason (it is "
+                "the freeze-log entry)"
+            )
+        if not uses_run_persist:
+            raise ValueError(
+                f"--cross-run-reuse rejected for {name!r}: the query's "
+                "source does not route through run_cache.run_persist, so "
+                "its frozen baseline cannot have been flattered by the "
+                "cross-run persist reuse. Frozen baselines are immutable "
+                "without evidence."
+            )
+        return "invalidate"
     if measurement_invalid is not None:
         # r13: floor-baseline re-freeze — measurement artifact, not a
         # semantic rework. Only load-dominated sub-second entries qualify.
@@ -194,6 +221,7 @@ def main() -> int:
     args, runs, warm, re_record, i = [], 3, 1, False, 0
     semantics_changed = None
     measurement_invalid = None
+    cross_run_reuse = None
     while i < len(argv):
         a = argv[i]
         if a.startswith("--runs"):
@@ -222,6 +250,12 @@ def main() -> int:
             else:
                 i += 1
                 measurement_invalid = argv[i]
+        elif a.startswith("--cross-run-reuse"):
+            if "=" in a:
+                cross_run_reuse = a.split("=", 1)[1]
+            else:
+                i += 1
+                cross_run_reuse = argv[i]
         else:
             args.append(a)
         i += 1
@@ -263,6 +297,12 @@ def main() -> int:
     for name in args:
         existing = name in doc["queries"]
         cur_hash = query_source_hash(name)
+        uses_run_persist = None
+        if cross_run_reuse is not None:
+            import inspect
+
+            src = inspect.getsource(inspect.unwrap(QUERIES[name]))
+            uses_run_persist = "run_persist(" in src
         action = check_mutation(
             name, existing, consumed, re_record,
             semantics_changed,
@@ -271,6 +311,8 @@ def main() -> int:
             source_unchanged=(
                 hashes.get(name) == cur_hash if name in hashes else None
             ),
+            cross_run_reuse=cross_run_reuse,
+            uses_run_persist=uses_run_persist,
         )
         if action == "skip":
             print(f"SKIP {name}: already recorded (baseline is frozen, "
@@ -279,12 +321,14 @@ def main() -> int:
             continue
         if action == "invalidate":
             # freeze log: archive the stale value, never lose it
-            reason = measurement_invalid or semantics_changed
+            reason = cross_run_reuse or measurement_invalid or semantics_changed
             doc.setdefault("invalidated", {})[name] = {
                 "old_value": doc["queries"][name],
                 "reason": reason,
                 "kind": (
-                    "measurement" if measurement_invalid else "semantics"
+                    "recorded-with-cross-run-reuse" if cross_run_reuse
+                    else "measurement" if measurement_invalid
+                    else "semantics"
                 ),
                 "commit": head_commit(),
             }

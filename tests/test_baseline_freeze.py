@@ -116,3 +116,35 @@ def test_driver_consumed_keys_reads_committed_artifacts():
     assert consumed_frozen, "no consumed baseline keys found"
     with pytest.raises(ValueError, match="FROZEN"):
         check_mutation(consumed_frozen[0], True, keys, True)
+
+
+def test_cross_run_reuse_path_requires_run_persist_evidence():
+    """r14 (VERDICT r13 next-item #1): baselines recorded while bare
+    .persist() calls served cached intermediates across runs may be
+    re-frozen — but ONLY with evidence that the query actually routes
+    through run_cache.run_persist; anything else would launder a plain
+    regression through the invalidation path."""
+    # evidenced -> invalidate (freeze-log entry)
+    assert check_mutation(
+        "sim_semdedup", True, {"sim_semdedup"}, False,
+        cross_run_reuse="recorded with cross-run persist reuse (9ec80a8)",
+        uses_run_persist=True,
+    ) == "invalidate"
+    # no run_persist call site -> rejected loudly
+    with pytest.raises(ValueError, match="run_persist"):
+        check_mutation(
+            "sim_lsh_ann", True, {"sim_lsh_ann"}, False,
+            cross_run_reuse="claimed without evidence",
+            uses_run_persist=False,
+        )
+    # empty reason -> rejected
+    with pytest.raises(ValueError, match="reason"):
+        check_mutation(
+            "sim_semdedup", True, set(), False,
+            cross_run_reuse="  ", uses_run_persist=True,
+        )
+    # new keys still just append
+    assert check_mutation(
+        "brand_new", False, set(), False,
+        cross_run_reuse="x", uses_run_persist=True,
+    ) == "append"
