@@ -314,9 +314,13 @@ class NonKeyedPartitionStream:
                 }
             )
 
-        from apache_flink_spark.run_cache import run_persist
+        # Per-invocation persist (ADVICE r13 #1): two TwoOutput operators
+        # in one job graph must not unpersist each other's still-lazy
+        # tagged DataFrame — each invocation gets its own entry; the
+        # bounded registry still drops the previous run's entries.
+        from apache_flink_spark.run_cache import run_persist_per_invocation
 
-        tagged = run_persist(
+        tagged = run_persist_per_invocation(
             self.df.mapInPandas(runner, tag_schema),
             "datastream_v2.side_output.tagged",
         )

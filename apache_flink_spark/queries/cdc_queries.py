@@ -216,7 +216,16 @@ def cdc_canal_materialize(spark, sf_dir):
     ARRAY (deletes are batched per event_type into one multi-row envelope
     to exercise it); old[i] carries only the changed columns and is patched
     over data[i] to rebuild the before-image."""
-    base = _cdc_base(spark, sf_dir)
+    # r14 (VERDICT r13 next-item #8): canal's delete envelope is a
+    # per-event_type AGGREGATE, so unlike the other three formats it
+    # cannot ride the conditional explode — the union stays, but the
+    # windowed base is now materialized once (run_persist, intra-run
+    # only) instead of the delete branch re-scanning events and
+    # re-running the window pass (column pruning makes the two branch
+    # exchanges non-identical, so AQE could never reuse them).
+    from apache_flink_spark.run_cache import run_persist
+
+    base = run_persist(_cdc_base(spark, sf_dir), "cdc_queries.canal.base")
     ts = (F.col("ts_us") / 1000).cast("long")
     rows = base.select(
         to_canal_json(

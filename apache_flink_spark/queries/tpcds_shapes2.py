@@ -33,6 +33,8 @@ test-scripts/test_tpcds.sh against official answer sets.
 
 from __future__ import annotations
 
+import itertools
+
 from apache_flink_spark.queries.registry import query
 from apache_flink_spark.queries.tpcds_shapes import _CHANNEL, _PRICE, _QTY, _REV, _sql
 
@@ -481,6 +483,9 @@ _DS_Q70_MAIN = """
 """
 
 
+_Q70_VIEW_SEQ = itertools.count()
+
+
 @query("ds_q70_rollup_rank_within_parent", oracle=_DS_Q70)
 def ds_q70_rollup_rank_within_parent(spark, sf_dir):
     """TPC-DS query70 shape (query70.sql): ROLLUP(region, nation) with
@@ -515,8 +520,13 @@ def ds_q70_rollup_rank_within_parent(spark, sf_dir):
 
     load_tables(spark, sf_dir)
     nk = spark.sql(_DS_Q70_NK).localCheckpoint(eager=True)
-    nk.createOrReplaceTempView("q70_nk")
-    return spark.sql(_DS_Q70_MAIN)
+    # Per-invocation view name (ADVICE r13 #3): a shared
+    # createOrReplaceTempView("q70_nk") is session-global — it clobbers
+    # any pre-existing view of that name and races if two invocations
+    # interleave between registration and spark.sql below.
+    view = f"q70_nk_{next(_Q70_VIEW_SEQ)}"
+    nk.createOrReplaceTempView(view)
+    return spark.sql(_DS_Q70_MAIN.replace("q70_nk", view))
 
 
 def _q78_leg(status: str, qn: str, an: str) -> str:

@@ -24,18 +24,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _LAST: dict[str, DataFrame] = {}
+_SITE_SEQ: dict[str, int] = {}
+
+
+def _drop(prev: DataFrame) -> None:
+    """Unpersist a previous run's entry. Only a stopped session is a
+    legitimate reason for this to fail (nothing is cached then); any
+    other failure must surface, because silently keeping the stale
+    materialized entry lets the NEXT identical ``persist()`` re-serve it
+    — the exact cross-run reuse this module exists to prevent (ADVICE
+    r13 #2)."""
+    try:
+        sc = prev.sparkSession.sparkContext
+        stopped = sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:
+        stopped = True  # no reachable JVM == no cache to drop
+    if not stopped:
+        prev.unpersist(blocking=False)
 
 
 def run_persist(df: DataFrame, key: str) -> DataFrame:
     """Persist ``df`` for the duration of this run; unpersist the
     DataFrame persisted under ``key`` by the previous run (if any), so
     repeated executions of the same query never reuse each other's
-    materialized cache. ``key`` must be unique per call site."""
+    materialized cache. ``key`` must be unique per call site AND the
+    call site must run at most once per job graph — a second invocation
+    would unpersist the first's still-lazy DataFrame (use
+    :func:`run_persist_per_invocation` for such operators)."""
     prev = _LAST.pop(key, None)
     if prev is not None:
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass  # session already stopped — nothing cached to drop
+        _drop(prev)
     _LAST[key] = df.persist()
+    return df
+
+
+def run_persist_per_invocation(
+    df: DataFrame, site: str, keep_last: int = 2
+) -> DataFrame:
+    """Per-run persist for call sites that may run MORE than once inside
+    one job graph (e.g. two side-output operators in one pipeline,
+    ADVICE r13 #1): every invocation gets its own registry entry, so a
+    later invocation never unpersists an earlier, still-lazy sibling.
+    Cross-run reuse stays impossible with a bounded registry: the entry
+    ``keep_last`` invocations back is dropped at each new invocation, so
+    a repeated run's invocations evict the previous run's."""
+    n = _SITE_SEQ.get(site, 0)
+    _SITE_SEQ[site] = n + 1
+    old = _LAST.pop(f"{site}#{n - keep_last}", None)
+    if old is not None:
+        _drop(old)
+    _LAST[f"{site}#{n}"] = df.persist()
     return df

@@ -453,6 +453,21 @@ def main() -> None:
             "r6-r8; a truly idle run (loadavg 0.04) landed at 0.982x "
             "total. Judge per-query ratios against the total_ratio."
         ),
+        "stream_join_agg_ratios": (
+            "r14 adjudication (VERDICT r13 next-item #6): "
+            "stream_stream_join / stream_tumble_agg / stream_temporal_join "
+            "recur above baseline because their baselines were frozen in "
+            "r6 on a measurably faster host; they are NOT regressions. "
+            "Evidence: in the r14 idle 32-cpu full run they read "
+            "1.22x/1.26x/1.22x while the same run's untouched pure-CPU "
+            "controls read HIGHER (dedup_simhash 1.28x, dedup_minhash_lsh "
+            "1.70x, mr_quantifier_plus 1.82x) — the trio sits below the "
+            "same-run host factor. Their recentProgress decomposition "
+            "(OPTIMIZATION_r14.md floor table) shows the cost is "
+            "micro-batch machinery (2 triggers: planning + WAL/offset "
+            "commits + state-store commit + the semantically-required "
+            "watermark-advance flush batch), unchanged plans."
+        ),
         "cep_times_window_gaps": (
             "r12 baseline re-freeze (VERDICT r11 what's-wrong #1): the "
             "frozen 1.0186 was recorded under the r10 quantifier-window "
@@ -490,6 +505,33 @@ def main() -> None:
     detail["loadavg"] = out["loadavg"]
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    # r14 (VERDICT r13 next-item #2): the working-tree BENCH_DETAIL.json
+    # is overwritten by whichever driver run lands last (the r13 32-cpu
+    # detail was lost to the 8-cpu run), which leaves PERF with totals
+    # only. Snapshot every FULL headline run to a round- and cpu-stamped
+    # sidecar (round = highest committed BENCH_r*.json + 1 — the driver
+    # commits its artifact only after the round) so per-query
+    # round-over-round comparison always has committed artifacts.
+    # Subset/test runs (query override or detail override) don't snapshot.
+    if not subset and not os.environ.get("SPARK_GRAFT_BENCH_DETAIL"):
+        try:
+            import glob as _glob
+
+            here = os.path.dirname(os.path.abspath(__file__))
+            rounds = [
+                int(m.group(1))
+                for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+                if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+            ]
+            rnd = max(rounds, default=0) + 1
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count()))
+            snap = os.path.join(
+                here, f"BENCH_DETAIL_r{rnd:02d}_c{cpus}.json"
+            )
+            with open(snap, "w") as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
+        except Exception:
+            pass  # snapshotting must never break the bench contract
     line = json.dumps(out)
     if len(line) > 1800:
         del out["queries"]

@@ -63,3 +63,21 @@ def test_registry_keeps_one_handle_per_site(spark, sf_dir):
     n1 = len(_LAST)
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     assert len(_LAST) == n1
+
+
+def test_per_invocation_sites_do_not_unpersist_siblings(spark):
+    """ADVICE r13 #1: two invocations of a per-invocation site inside one
+    job graph must both stay persisted (a fixed key would unpersist the
+    first, breaking the single-execution contract); a later 'run' (the
+    next pair of invocations) still evicts the previous run's entries."""
+    from apache_flink_spark.run_cache import run_persist_per_invocation
+
+    a = run_persist_per_invocation(spark.range(5), "test.site")
+    b = run_persist_per_invocation(spark.range(7), "test.site")
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    c = run_persist_per_invocation(spark.range(9), "test.site")
+    d = run_persist_per_invocation(spark.range(11), "test.site")
+    # the first run's entries were evicted by the second run's
+    assert not a.storageLevel.useMemory
+    assert not b.storageLevel.useMemory
+    assert c.storageLevel.useMemory and d.storageLevel.useMemory
