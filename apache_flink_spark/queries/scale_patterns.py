@@ -163,12 +163,22 @@ def ddl_distributed_bucket_join(spark, sf_dir):
         WITH ('connector' = 'filesystem', 'format' = 'parquet')
         """,
     )
+    # r14 (guide §6 output sizing): align the INSERT's partitioning with
+    # the bucket spec — REPARTITION(8, key) uses the same murmur3-pmod
+    # hash as the bucket id, so each write task holds exactly one
+    # bucket's rows and the table lands as exactly one file per bucket
+    # at ANY input scale (without it, a single-split local scan wrote
+    # all 8 buckets from one task — a serial write — while a many-split
+    # cluster scan would write tasks x buckets files).
     spark.sql(
         "INSERT INTO bj_lineitem "
-        "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem"
+        "SELECT /*+ REPARTITION(8, l_orderkey) */ "
+        "l_orderkey, l_quantity, l_extendedprice FROM lineitem"
     )
     spark.sql(
-        "INSERT INTO bj_orders SELECT o_orderkey, o_orderpriority FROM orders"
+        "INSERT INTO bj_orders "
+        "SELECT /*+ REPARTITION(8, o_orderkey) */ "
+        "o_orderkey, o_orderpriority FROM orders"
     )
     return (
         spark.table("bj_lineitem")
