@@ -119,6 +119,12 @@ def get_spark(
     builder = builder.config(
         "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     )
+    # Warehouse location override (environment sizing, like the heap):
+    # concurrent local sessions (e.g. sharded test runs) must not share
+    # ./spark-warehouse — managed-table writes would collide on disk.
+    wh = os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR")
+    if wh:
+        builder = builder.config("spark.sql.warehouse.dir", wh)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
