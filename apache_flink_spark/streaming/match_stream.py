@@ -832,6 +832,11 @@ def streaming_match_recognize(
             "streaming MATCH_RECOGNIZE supports at most 61 pattern "
             "variables (bitmask state layout)"
         )
+    # Per-variable mask bits, precomputed once: the NFA scan tests
+    # membership millions of times per batch, and a dict lookup beats the
+    # O(|vars|) list.index + shift it replaces (guide §4.2 — keep the
+    # per-row work in the hot enumeration loops minimal).
+    var_bit = {v: 1 << i for i, v in enumerate(var_list)}
     # Pack per-var booleans into one BIGINT mask: fixed state layout.
     # r13: the predicates fold straight into the mask expression — the
     # old per-variable withColumn chain paid one full analysis pass per
@@ -846,6 +851,16 @@ def streaming_match_recognize(
     work = stream.withColumn("__vm", mask.cast("long"))
 
     pat = list(pattern)
+    # Loop-invariant per-element masks: the union of an element's
+    # alternation bits (elem_ok is "any alt matches" == any union bit
+    # set), its (var, bit) pairs in alternation order (label = first
+    # matching), and its ignore-variable bit (0 when the element has no
+    # ignore edge — callers only consult it when one exists).
+    elem_bits = [[(v, var_bit[v]) for v in e[0]] for e in pat]
+    elem_mask = [
+        int(sum(b for _, b in bits)) for bits in elem_bits
+    ]
+    ign_mask = [var_bit[e[3]] if e[3] is not None else 0 for e in pat]
     meas = list(measures)
     n_parts = len(part_cols)
     tb_col = tiebreaks[0] if tiebreaks else None
@@ -995,19 +1010,15 @@ def streaming_match_recognize(
             n_eval = max(0, n_cert - max_next)
 
             def elem_ok(pi: int, j: int) -> bool:
-                alts = pat[pi][0]
-                return any(
-                    vm[j] & (1 << var_list.index(v)) for v in alts
-                )
+                return bool(vm[j] & elem_mask[pi])
 
             def ign_ok(pi: int, j: int) -> bool:
-                ign = pat[pi][3]
-                return bool(vm[j] & (1 << var_list.index(ign)))
+                return bool(vm[j] & ign_mask[pi])
 
             def label(pi: int, j: int) -> str:
-                alts = pat[pi][0]
-                for v in alts:
-                    if vm[j] & (1 << var_list.index(v)):
+                m = vm[j]
+                for v, b in elem_bits[pi]:
+                    if m & b:
                         return v
                 raise AssertionError("unlabelable matched row")
 
@@ -1035,7 +1046,7 @@ def streaming_match_recognize(
                 # ok_fn): __row is the candidate row, __bind looks up
                 # already-matched rows; NULL/UNKNOWN coerce to false.
                 if v not in cross_fns:
-                    return bool(vm[j] & (1 << var_list.index(v)))
+                    return bool(vm[j] & var_bit[v])
 
                 def __row(col):
                     jj = j
@@ -1244,7 +1255,7 @@ def streaming_match_recognize(
                         hit = next(
                             (
                                 v for v in salts
-                                if vm[j] & (1 << var_list.index(v))
+                                if vm[j] & var_bit[v]
                             ),
                             None,
                         )
@@ -1254,7 +1265,7 @@ def streaming_match_recognize(
                             break
                         if si == 0 or pre is None:
                             return None
-                        if not (vm[j] & (1 << var_list.index(pre))):
+                        if not (vm[j] & var_bit[pre]):
                             return None
                         j += 1
                 return consumed, j
@@ -1287,7 +1298,7 @@ def streaming_match_recognize(
                         v_hit = next(
                             (
                                 v for v in salts
-                                if vm[jj] & (1 << var_list.index(v))
+                                if vm[jj] & var_bit[v]
                             ),
                             None,
                         )
@@ -1302,7 +1313,7 @@ def streaming_match_recognize(
                         if si == 0 or pre is None:
                             return
                         if not enum_pre and not (
-                            vm[jj] & (1 << var_list.index(pre))
+                            vm[jj] & var_bit[pre]
                         ):
                             return
                         jj += 1
@@ -1337,7 +1348,7 @@ def streaming_match_recognize(
                             v_hit = next(
                                 (
                                     v for v in st[1]
-                                    if vm[jj] & (1 << var_list.index(v))
+                                    if vm[jj] & var_bit[v]
                                 ),
                                 None,
                             )
@@ -1352,7 +1363,7 @@ def streaming_match_recognize(
                         else:  # nested loop step
                             head = _rec_head_alts(st[1])
                             if any(
-                                vm[jj] & (1 << var_list.index(v))
+                                vm[jj] & var_bit[v]
                                 for v in head
                             ):
                                 l_alts, l_hit = rec_loop_alts(
@@ -1372,7 +1383,7 @@ def streaming_match_recognize(
                         if first or pre is None:
                             return
                         if not enum_pre and not (
-                            vm[jj] & (1 << var_list.index(pre))
+                            vm[jj] & var_bit[pre]
                         ):
                             return
                         jj += 1
@@ -1390,11 +1401,11 @@ def streaming_match_recognize(
                 stepped over. Returns (alternatives, hit_frontier)."""
                 outs: list[tuple[list[tuple[int, str]], int]] = []
                 hit = [False]
-                ign_bit = 1 << var_list.index(ign)
+                ign_bit = var_bit[ign]
                 head = _rec_head_alts(steps)
                 head_bits = 0
                 for v in head:
-                    head_bits |= 1 << var_list.index(v)
+                    head_bits |= var_bit[v]
 
                 def lrec(j2: int, reps: int, consumed) -> None:
                     if reps >= lo:
@@ -1451,7 +1462,7 @@ def streaming_match_recognize(
                     else:
                         head_alts = body[0][0]
                         if any(
-                            vm[j] & (1 << var_list.index(v))
+                            vm[j] & var_bit[v]
                             for v in head_alts
                         ):
                             r = body_attempt(j, limit, body)
@@ -1534,9 +1545,9 @@ def streaming_match_recognize(
                         # a head row can never be skipped).
                         head_bits = 0
                         for v in _body[0][0]:
-                            head_bits |= 1 << var_list.index(v)
+                            head_bits |= var_bit[v]
                         ign_bit = (
-                            1 << var_list.index(_ign)
+                            var_bit[_ign]
                             if _ign is not None else 0
                         )
                         found_b = [False]
@@ -1588,7 +1599,7 @@ def streaming_match_recognize(
                         # preceding gap element owns the entry edge),
                         # later takes branch at every qualifying row
                         # whose skipped prefix the ignore edge accepts.
-                        ign_bit2 = 1 << var_list.index(_ign)
+                        ign_bit2 = var_bit[_ign]
                         found_c = [False]
 
                         def crec(j2: int, reps: int, na: dict) -> None:
