@@ -90,9 +90,10 @@ def test_scheduler_tick_refreshes_due_only(tenv, spark, tmp_path):
         "CREATE MATERIALIZED TABLE mt_slow FRESHNESS = INTERVAL '1' DAY "
         "AS SELECT count(*) AS n FROM mt_src"
     )
-    t0 = max(
-        t.last_refresh_mono for t in mgr.tables.values()
-    )
+    # Anchor on mt_due's OWN refresh time: under a loaded host the later
+    # CREATE of mt_slow can take >1s, so max() over both tables would put
+    # the 1s-fresh mt_due already past due at t0 (flaked in a 4-shard run).
+    t0 = mgr.tables["mt_due"].last_refresh_mono
     assert mgr.tick(now=t0) == []  # nothing due yet
     _write_src(spark, tmp_path, [(i, "a", i) for i in range(7)])
     assert mgr.tick(now=t0 + 2.0) == ["mt_due"]  # only the 1s-fresh table
